@@ -1,38 +1,679 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (SURVEY.md §7.1 slice) on sf0.001.
+``queries()`` — one entry per implemented operator from SURVEY.md §2.
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query (omitted only for
+genuinely non-SQL-expressible ops: LSH/SimHash candidates, ANN, streaming —
+those get rows-only checks).
+
+Column names are aligned pairwise (Spark ``.alias`` ↔ SQL ``AS``); double
+aggregates are rounded on both sides so IEEE summation-order differences
+cannot flip the value hash.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from clickhouse_flatfile_tool_spark.operators import (
+    dedup,
+    events,
+    multimodal,
+    relational,
+    similarity,
+    text,
+)
+from clickhouse_flatfile_tool_spark.streaming import stream_ops
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from clickhouse_flatfile_tool_spark.sources.files import read_parquet
+
+    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's /preview capability on real data — scan →
+    join → project → deterministic page (SURVEY §7.1)."""
+    d = "/root/testdata/sf0.001"
+    li = _t(spark, d, "lineitem")
+    o = _t(spark, d, "orders")
+    joined = relational.chain_join([li, o], ["l_orderkey = o_orderkey"])
+    page = relational.page_slice(
+        joined.select("l_orderkey", "l_linenumber", "o_orderdate", "l_extendedprice"),
+        order_by=["l_orderkey", "l_linenumber"],
+        page=1,
+        page_size=100,
+    )
+    return page
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_preview_page(spark, d):
+    li = _t(spark, d, "lineitem")
+    return relational.page_slice(
+        relational.project(li, ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]),
+        order_by=["l_orderkey", "l_linenumber"],
+        page=3,
+        page_size=100,
+    )
+
+
+def q_count(spark, d):
+    return relational.total_count(_t(spark, d, "lineitem"))
+
+
+def q_filter_project(spark, d):
+    li = _t(spark, d, "lineitem")
+    out = relational.row_filter(
+        relational.project(
+            li, ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_returnflag"]
+        ),
+        "l_quantity > 45 AND l_returnflag = 'R'",
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+    )
+
+
+def q_join_chain(spark, d):
+    li, o, c, n, r = (_t(spark, d, t) for t in ["lineitem", "orders", "customer", "nation", "region"])
+    joined = relational.chain_join(
+        [li, o, relational.broadcast_dim(c), relational.broadcast_dim(n), relational.broadcast_dim(r)],
+        [
+            "l_orderkey = o_orderkey",
+            "o_custkey = c_custkey",
+            "c_nationkey = n_nationkey",
+            "n_regionkey = r_regionkey",
+        ],
+    )
+    return joined.select(
+        "l_orderkey", "l_linenumber", "o_orderdate", "c_custkey", "n_name", "r_name",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+    )
+
+
+def q_groupby_agg(spark, d):
+    li = _t(spark, d, "lineitem")
+    out = relational.aggregate(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("sum", "l_quantity", "sum_qty"),
+            ("sum", "l_extendedprice", "sum_base_price"),
+            ("avg", "l_discount", "avg_disc"),
+            ("count", "l_orderkey", "count_order"),
+        ],
+    )
+    return out.select(
+        "l_returnflag", "l_linestatus",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("sum_base_price", 2).alias("sum_base_price"),
+        F.round("avg_disc", 4).alias("avg_disc"),
+        "count_order",
+    )
+
+
+def q_topk(spark, d):
+    o = _t(spark, d, "orders")
+    return relational.top_k(
+        o.select("o_orderkey", "o_totalprice"), 10, F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+
+
+def q_distinct(spark, d):
+    return relational.distinct_values(_t(spark, d, "customer"), ["c_mktsegment"])
+
+
+def q_setops(spark, d):
+    c = _t(spark, d, "customer")
+    rich = c.filter("c_acctbal > 5000").select("c_custkey")
+    building = c.filter("c_mktsegment = 'BUILDING'").select("c_custkey")
+    return relational.intersect(rich, building)
+
+
+def q_union_names(spark, d):
+    c = _t(spark, d, "customer").select(F.col("c_name").alias("name"))
+    s = _t(spark, d, "supplier").select(F.col("s_name").alias("name"))
+    return relational.union_all(c, s).distinct()
+
+
+def q_window_rank(spark, d):
+    o = _t(spark, d, "orders")
+    out = relational.ranked(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        "row_number",
+        "rk",
+    )
+    return out.filter("rk <= 3")
+
+
+def q_window_lag(spark, d):
+    o = _t(spark, d, "orders")
+    out = relational.with_lag_lead(
+        o.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+        ["o_custkey"],
+        [F.asc("o_orderdate"), F.asc("o_orderkey")],
+        "o_totalprice",
+    )
+    return out.select(
+        "o_custkey", "o_orderkey",
+        F.round("o_totalprice_lag", 2).alias("prev_price"),
+        F.round("o_totalprice_lead", 2).alias("next_price"),
+    )
+
+
+def q_rollup(spark, d):
+    li = _t(spark, d, "lineitem")
+    out = relational.aggregate(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [("sum", "l_quantity", "sum_qty"), ("count", "l_orderkey", "n")],
+        mode="rollup",
+    )
+    return out.select("l_returnflag", "l_linestatus", F.round("sum_qty", 2).alias("sum_qty"), "n")
+
+
+def q_cube(spark, d):
+    o = _t(spark, d, "orders")
+    out = relational.aggregate(
+        o,
+        ["o_orderstatus", "o_orderpriority"],
+        [("count", "o_orderkey", "n"), ("sum", "o_totalprice", "sum_price")],
+        mode="cube",
+    )
+    return out.select("o_orderstatus", "o_orderpriority", "n", F.round("sum_price", 2).alias("sum_price"))
+
+
+def q_scalar_funcs(spark, d):
+    o = _t(spark, d, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper(F.col("o_orderstatus")).alias("status_u"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.length("o_orderpriority").cast("long").alias("prio_len"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.round(F.col("o_totalprice") * 0.1, 4).alias("tithe"),
+        F.concat_ws("-", F.col("o_orderstatus"), F.col("o_orderpriority")).alias("status_prio"),
+    )
+
+
+def q_pivot(spark, d):
+    ev = _t(spark, d, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [F.col("user_id")] + [
+        F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types
+    ]
+    return out.select(*cols)
+
+
+def q_json_props(spark, d):
+    ev = _t(spark, d, "events")
+    return events.with_props(ev).select(
+        "event_id", "event_type", F.col("props_s.k").alias("k")
+    )
+
+
+def q_tumbling_window(spark, d):
+    return events.tumbling_window_agg(
+        _t(spark, d, "events"), "10 minutes", group_extra=["event_type"]
+    )
+
+
+def q_sliding_window(spark, d):
+    return events.sliding_window_agg(_t(spark, d, "events"), "10 minutes", "5 minutes")
+
+
+def q_session_window(spark, d):
+    return events.session_window_agg(_t(spark, d, "events"), "30 minutes")
+
+
+def q_event_funnel(spark, d):
+    return events.event_type_funnel(_t(spark, d, "events"))
+
+
+def q_dedup_exact(spark, d):
+    return dedup.exact_dedup_canonical(_t(spark, d, "documents"))
+
+
+def q_text_metrics(spark, d):
+    docs = _t(spark, d, "documents")
+    m = text.with_text_metrics(docs)
+    return m.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.round("avg_word_len", 6).alias("avg_word_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+    )
+
+
+def q_corpus_stats(spark, d):
+    return text.corpus_stats(_t(spark, d, "documents"), ["lang"]).select(
+        "lang", "n_docs",
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        "avg_tokens", "total_chars", "avg_chars", "min_chars", "max_chars",
+    )
+
+
+def q_quality_score(spark, d):
+    return text.with_quality_score(_t(spark, d, "documents")).select("doc_id", "quality_score")
+
+
+def q_lang_id(spark, d):
+    return text.with_lang_id(_t(spark, d, "documents")).select("doc_id", "lang", "lang_pred")
+
+
+def q_ngram_jaccard(spark, d):
+    return dedup.ngram_jaccard_pairs(_t(spark, d, "documents"), threshold=0.5)
+
+
+def q_minhash_candidates(spark, d):
+    return dedup.minhash_lsh_candidates(_t(spark, d, "documents"))
+
+
+def q_minhash_dedup(spark, d):
+    out = dedup.minhash_dedup(_t(spark, d, "documents"), jaccard_threshold=0.8)
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+def q_simhash_candidates(spark, d):
+    return dedup.simhash_candidates(_t(spark, d, "documents"))
+
+
+def q_cosine_topk(spark, d):
+    emb = _t(spark, d, "embeddings")
+    queries_df = emb.filter("vec_id < 10")
+    return similarity.cosine_topk(queries_df, emb, k=5)
+
+
+def q_ann_topk(spark, d):
+    emb = _t(spark, d, "embeddings")
+    queries_df = emb.filter("vec_id < 10")
+    return similarity.ann_cosine_topk(queries_df, emb, k=5)
+
+
+def q_embedding_norm(spark, d):
+    emb = _t(spark, d, "embeddings")
+    return similarity.with_norm(emb).select("vec_id", F.round("norm", 6).alias("norm"))
+
+
+def q_multimodal_join(spark, d):
+    docs = _t(spark, d, "documents")
+    emb = _t(spark, d, "embeddings")
+    joined = relational.chain_join([docs, emb], ["doc_id = vec_id"])
+    return joined.select(
+        "doc_id", "lang", "label", F.size("embedding").cast("long").alias("dim")
+    )
+
+
+def q_multimodal_features(spark, d):
+    docs = _t(spark, d, "documents")
+    with_payload = multimodal.attach_payload(docs.select("doc_id", "text", "lang", "source", "n_chars"))
+    feats = multimodal.decode_features(with_payload)
+    return feats.select("doc_id", "n_bytes", "checksum")
+
+
+def q_stream_tumbling(spark, d):
+    """Structured Streaming tumbling windows over the events fixture,
+    executed with Trigger.AvailableNow for determinism (rows-only check)."""
+    tmp = tempfile.mkdtemp(prefix="cfts_stream_")
+    out_dir, ckpt = os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+    try:
+        stream = stream_ops.read_event_stream(spark, os.path.join(d, "events.parquet"))
+        result = stream_ops.windowed_counts(stream, "10 minutes", "30 minutes")
+        stream_ops.run_available_now(result, out_dir, ckpt)
+        return spark.read.parquet(out_dir)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def q_stream_dedup(spark, d):
+    """Streaming dedup with bounded state (rows-only check)."""
+    tmp = tempfile.mkdtemp(prefix="cfts_sdedup_")
+    out_dir, ckpt = os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+    try:
+        stream = stream_ops.read_event_stream(spark, os.path.join(d, "events.parquet"))
+        result = stream_ops.dedup_within_watermark(stream, ["user_id", "event_type"], "2 hours")
+        stream_ops.run_available_now(result, out_dir, ckpt)
+        return spark.read.parquet(out_dir).select("user_id", "event_type")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "preview_page": q_preview_page,
+        "count": q_count,
+        "filter_project": q_filter_project,
+        "join_chain": q_join_chain,
+        "groupby_agg": q_groupby_agg,
+        "topk": q_topk,
+        "distinct": q_distinct,
+        "setops": q_setops,
+        "union_names": q_union_names,
+        "window_rank": q_window_rank,
+        "window_lag": q_window_lag,
+        "rollup": q_rollup,
+        "cube": q_cube,
+        "scalar_funcs": q_scalar_funcs,
+        "pivot": q_pivot,
+        "json_props": q_json_props,
+        "tumbling_window": q_tumbling_window,
+        "sliding_window": q_sliding_window,
+        "session_window": q_session_window,
+        "event_funnel": q_event_funnel,
+        "dedup_exact": q_dedup_exact,
+        "text_metrics": q_text_metrics,
+        "corpus_stats": q_corpus_stats,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_candidates": q_minhash_candidates,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_candidates": q_simhash_candidates,
+        "cosine_topk": q_cosine_topk,
+        "ann_topk": q_ann_topk,
+        "embedding_norm": q_embedding_norm,
+        "multimodal_join": q_multimodal_join,
+        "multimodal_features": q_multimodal_features,
+        "stream_tumbling": q_stream_tumbling,
+        "stream_dedup": q_stream_dedup,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB SQL over the same parquet views)
+# ---------------------------------------------------------------------------
+
+_WORDS = "string_split_regex(trim(lower(text)), '\\s+')"
+_NTOK = f"len({_WORDS})"
+_FP = "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
+_BPE = r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]'))"
+_PUNCT = r"len(regexp_extract_all(text, '[^\w\s]'))"
+
+# shingle list (3-gram over words), DuckDB: 1-based inclusive list slicing
+_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),"
+    " i -> array_to_string(w[i:i+2], ' ')))"
+)
+
+_COSINE_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10
+), pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, q.qe, c.embedding AS ce
+  FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.query_id
+), u AS (
+  SELECT query_id, neighbor_id,
+         unnest(qe)::DOUBLE AS x, unnest(ce)::DOUBLE AS y
+  FROM pairs
+), cos AS (
+  SELECT query_id, neighbor_id,
+         sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS c
+  FROM u GROUP BY query_id, neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, c,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
+  FROM cos
+)
+SELECT query_id, neighbor_id, round(c, 6) AS cos_sim
+FROM ranked WHERE rk <= 5
+"""
+
+_SESSION_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM numbered GROUP BY user_id, sess
+"""
+
+_QUALITY_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id,
+         {_NTOK} AS n_tokens,
+         length(regexp_replace(text, '\\s+', '', 'g'))
+           / greatest({_NTOK}, 1) AS avg_word_len,
+         {_PUNCT} / greatest(length(text), 1) AS punct_ratio
+  FROM documents
+)
+SELECT doc_id,
+       round(0.5 * least(n_tokens / 100.0, 1.0)
+           + 0.4 * (1.0 - least(abs(avg_word_len - 5.0) / 5.0, 1.0))
+           + 0.1 * (1.0 - least(punct_ratio * 4.0, 1.0)), 6) AS quality_score
+FROM m
+"""
+
+_LANGID_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(text, '[一-鿿]')) AS cjk,
+         len(list_intersect({_WORDS}, ['the','and','of','to','in'])) AS h_en,
+         len(list_intersect({_WORDS}, ['der','die','und','nicht','das'])) AS h_de,
+         len(list_intersect({_WORDS}, ['le','la','et','les','des'])) AS h_fr,
+         len(list_intersect({_WORDS}, ['el','la','de','que','los'])) AS h_es
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN cjk > 0 THEN 'zh'
+            WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+            WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+            WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+            WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+            ELSE 'de' END AS lang_pred
+FROM m
+"""
+
+_JACCARD_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id AS id, {_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+), sizes AS (
+  SELECT id, len(sh) AS sz FROM base
+), inv AS (
+  SELECT id, unnest(sh) AS s FROM base
+), shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+  FROM inv a JOIN inv b ON a.s = b.s AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       round(n_shared / (sa.sz + sb.sz - n_shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE n_shared / (sa.sz + sb.sz - n_shared) >= 0.5
+"""
+
+_MULTIMODAL_ORACLE = """
+WITH h AS (
+  SELECT doc_id,
+         sha256(concat_ws('|', doc_id, text, lang, source, n_chars)) AS hx
+  FROM documents
+)
+SELECT doc_id,
+       64::INTEGER AS n_bytes,
+       (ord(substr(hx, 1, 1))::BIGINT * 16777216
+        + ord(substr(hx, 2, 1))::BIGINT * 65536
+        + ord(substr(hx, 3, 1))::BIGINT * 256
+        + ord(substr(hx, 4, 1))::BIGINT) AS checksum
+FROM h
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tumble = "make_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) * 1000000)"
+    slide5 = "CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)"
+    return {
+        "preview_page": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem "
+            "ORDER BY l_orderkey, l_linenumber LIMIT 100 OFFSET 200"
+        ),
+        "count": "SELECT count(*) AS total FROM lineitem",
+        "filter_project": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, "
+            "round(l_extendedprice * (1 - l_discount), 4) AS revenue "
+            "FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'"
+        ),
+        "join_chain": (
+            "SELECT l_orderkey, l_linenumber, o_orderdate, c_custkey, n_name, r_name, "
+            "round(l_extendedprice * (1 - l_discount), 4) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey"
+        ),
+        "groupby_agg": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "round(avg(l_discount), 4) AS avg_disc, count(l_orderkey) AS count_order "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "topk": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "distinct": "SELECT DISTINCT c_mktsegment FROM customer",
+        "setops": (
+            "SELECT c_custkey FROM customer WHERE c_acctbal > 5000 "
+            "INTERSECT SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+        ),
+        "union_names": (
+            "SELECT c_name AS name FROM customer UNION SELECT s_name AS name FROM supplier"
+        ),
+        "window_rank": (
+            "SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, "
+            "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk "
+            "FROM orders) WHERE rk <= 3"
+        ),
+        "window_lag": (
+            "SELECT o_custkey, o_orderkey, "
+            "round(lag(o_totalprice) OVER w, 2) AS prev_price, "
+            "round(lead(o_totalprice) OVER w, 2) AS next_price "
+            "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
+        ),
+        "rollup": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+            "count(l_orderkey) AS n FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+        ),
+        "cube": (
+            "SELECT o_orderstatus, o_orderpriority, count(o_orderkey) AS n, "
+            "round(sum(o_totalprice), 2) AS sum_price "
+            "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"
+        ),
+        "scalar_funcs": (
+            "SELECT o_orderkey, upper(o_orderstatus) AS status_u, "
+            "substr(o_orderpriority, 1, 1) AS prio_code, "
+            "length(o_orderpriority)::BIGINT AS prio_len, "
+            "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month, "
+            "year(o_orderdate)::BIGINT AS order_year, "
+            "round(o_totalprice * 0.1, 4) AS tithe, "
+            "concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio "
+            "FROM orders"
+        ),
+        "pivot": (
+            "SELECT user_id, "
+            "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click, "
+            "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view, "
+            "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase, "
+            "sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup, "
+            "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error "
+            "FROM events GROUP BY user_id"
+        ),
+        "json_props": (
+            "SELECT event_id, event_type, "
+            "CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events"
+        ),
+        "tumbling_window": (
+            f"SELECT {tumble} AS window_start, "
+            f"{tumble} + INTERVAL 10 MINUTE AS window_end, "
+            "event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value, "
+            "round(avg(value), 4) AS avg_value "
+            "FROM events GROUP BY 1, 2, 3"
+        ),
+        "sliding_window": (
+            "WITH b AS ("
+            f"  SELECT make_timestamp({slide5} * 1000000) AS ws, value FROM events"
+            "  UNION ALL "
+            f"  SELECT make_timestamp(({slide5} - 300) * 1000000) AS ws, value FROM events"
+            ") SELECT ws AS window_start, ws + INTERVAL 10 MINUTE AS window_end, "
+            "count(*) AS n_events, round(sum(value), 2) AS sum_value FROM b GROUP BY ws"
+        ),
+        "session_window": _SESSION_ORACLE,
+        "event_funnel": (
+            "SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value, "
+            "round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k, "
+            "min(ts) AS first_ts, max(ts) AS last_ts FROM events GROUP BY event_type"
+        ),
+        "dedup_exact": (
+            f"SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents GROUP BY {_FP}"
+        ),
+        "text_metrics": (
+            f"SELECT doc_id, {_NTOK}::BIGINT AS n_tokens, {_BPE}::BIGINT AS n_bpe_tokens, "
+            f"round(length(regexp_replace(text, '\\s+', '', 'g')) / greatest({_NTOK}, 1), 6) AS avg_word_len, "
+            f"round({_PUNCT} / greatest(length(text), 1), 6) AS punct_ratio "
+            "FROM documents"
+        ),
+        "corpus_stats": (
+            f"SELECT lang, count(*) AS n_docs, sum({_NTOK})::BIGINT AS total_tokens, "
+            f"round(avg({_NTOK}), 4) AS avg_tokens, sum(length(text)) AS total_chars, "
+            "round(avg(length(text)), 4) AS avg_chars, min(n_chars) AS min_chars, "
+            "max(n_chars) AS max_chars FROM documents GROUP BY lang"
+        ),
+        "quality_score": _QUALITY_ORACLE,
+        "lang_id": _LANGID_ORACLE,
+        "ngram_jaccard": _JACCARD_ORACLE,
+        "cosine_topk": _COSINE_ORACLE,
+        "embedding_norm": (
+            "SELECT vec_id, round(sqrt(sum(x * x)), 6) AS norm FROM ("
+            "  SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM embeddings"
+            ") GROUP BY vec_id"
+        ),
+        "multimodal_join": (
+            "SELECT doc_id, lang, label, len(embedding)::BIGINT AS dim "
+            "FROM documents JOIN embeddings ON doc_id = vec_id"
+        ),
+        "multimodal_features": _MULTIMODAL_ORACLE,
+        # minhash_candidates / minhash_dedup / simhash_candidates / ann_topk /
+        # stream_* : not SQL-expressible (LSH banding, streaming state) —
+        # rows-only checks per the driver contract.
+    }

@@ -1,0 +1,82 @@
+"""Benchmark runner (driver contract): headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``; prints ONE JSON line.
+
+Query set = the capability spine (preview/count/join/agg/window) + the heavy
+LLM-pipeline operators (dedup, jaccard, cosine top-k, event windows) — the
+operators whose scaling actually matters.  Each query executes via a
+count-style action that forces full evaluation without driver-side
+materialization of results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from clickhouse_flatfile_tool_spark import get_spark
+
+BENCH_QUERIES = [
+    "preview_page",
+    "count",
+    "filter_project",
+    "join_chain",
+    "groupby_agg",
+    "topk",
+    "window_rank",
+    "rollup",
+    "scalar_funcs",
+    "tumbling_window",
+    "session_window",
+    "event_funnel",
+    "dedup_exact",
+    "text_metrics",
+    "corpus_stats",
+    "ngram_jaccard",
+    "minhash_candidates",
+    "simhash_candidates",
+    "cosine_topk",
+    "embedding_norm",
+    "multimodal_join",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(app_name="cfts-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # warm the JVM/codegen path once with a trivial action
+    qs["count"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        # force full evaluation; cheap driver transfer
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

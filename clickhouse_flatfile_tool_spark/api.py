@@ -1,0 +1,173 @@
+"""Endpoint-shaped façade: one Python function per reference HTTP endpoint,
+same request/response shapes, Spark underneath (SURVEY §3).
+
+Reference endpoints → functions:
+  * POST /connect        (server.js:93-196)  → :func:`connect`
+  * POST /columns        (server.js:199-370) → :func:`columns`
+  * POST /preview        (server.js:426-527) → :func:`preview`
+  * POST /ingest         (server.js:530-735) → :func:`ingest`
+  * GET  /download       (server.js:373-423) → :func:`download`
+  * GET  /joinable-tables, /join-columns (server.js:738-814) → :func:`joinable_tables`
+  * POST /execute-join   (server.js:817-866) → :func:`execute_join`
+
+Responses follow the reference's ``{"success": bool, ...}`` envelope.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from clickhouse_flatfile_tool_spark.operators import relational
+from clickhouse_flatfile_tool_spark.progress import ProgressTracker, error_payload
+from clickhouse_flatfile_tool_spark.schema import resolve_csv_schema
+from clickhouse_flatfile_tool_spark.sinks.writers import (
+    append_table,
+    bootstrap_sample_data,
+    create_table_if_absent,
+    export_csv,
+)
+from clickhouse_flatfile_tool_spark.sources.catalog import describe_table, list_tables, ping
+from clickhouse_flatfile_tool_spark.sources.files import read_csv
+
+
+def connect(spark: SparkSession, bootstrap: bool = True) -> dict:
+    """/connect: health check + table list; bootstraps the 5-row sample table
+    when the catalog is empty (server.js:147-179)."""
+    try:
+        if not ping(spark):
+            return {"success": False, "error": "spark session unhealthy"}
+        tables = list_tables(spark)
+        if bootstrap and not tables:
+            bootstrap_sample_data(spark)
+            tables = list_tables(spark)
+        return {"success": True, "tables": tables}
+    except Exception as e:  # noqa: BLE001 — API boundary (server.js:185-192)
+        return error_payload(e)
+
+
+def columns(spark: SparkSession, source: str, table_or_path: str) -> dict:
+    """/columns: schema resolution for either side (server.js:199-370)."""
+    try:
+        if source == "clickhouse":  # catalog table in our engine
+            cols = describe_table(spark, table_or_path)
+        else:
+            with open(table_or_path, encoding="utf-8", errors="replace") as fh:
+                first = fh.readline()
+            resolved = resolve_csv_schema(os.path.basename(table_or_path), first)
+            cols = [{"name": f.name, "type": "String"} for f in resolved.schema.fields]
+        return {"success": True, "columns": cols}
+    except Exception as e:  # noqa: BLE001
+        return error_payload(e)
+
+
+def preview(
+    spark: SparkSession,
+    source: str,
+    table_or_path: str,
+    selected_columns: list[str] | None = None,
+    page: int = 1,
+    page_size: int = relational.DEFAULT_PAGE_SIZE,
+    order_by: list[str] | None = None,
+) -> dict:
+    """/preview: paginated, projected read with count metadata
+    (server.js:426-527).  Deterministic: pages are ordered by ``order_by``
+    (default: all projected columns)."""
+    try:
+        if source == "clickhouse":
+            df = spark.table(table_or_path)
+        else:
+            df, _ = read_csv(spark, table_or_path)
+        cols = selected_columns or df.columns
+        keys = order_by or cols
+        page_df, meta = relational.preview(df, cols, keys, page, page_size)
+        return {
+            "success": True,
+            "data": [r.asDict() for r in page_df.collect()],
+            "pagination": {
+                "total": meta.total,
+                "page": meta.page,
+                "pageSize": meta.page_size,
+                "totalPages": meta.total_pages,
+            },
+        }
+    except Exception as e:  # noqa: BLE001
+        return error_payload(e)
+
+
+def ingest(
+    spark: SparkSession,
+    source: str,
+    table_or_path: str,
+    target_table: str,
+    selected_columns: list[str] | None = None,
+    progress: ProgressTracker | None = None,
+) -> dict:
+    """/ingest: bulk load file→table or table→table (server.js:530-735).
+
+    One distributed read + one partitioned write — no LIMIT/OFFSET paging
+    loop (the reference's O(n²) pattern, SURVEY §2.11).
+    """
+    try:
+        if source == "clickhouse":
+            df = spark.table(table_or_path)
+        else:
+            df, _ = read_csv(spark, table_or_path)
+        if selected_columns:
+            df = df.select(*selected_columns)
+        create_table_if_absent(df.limit(0), target_table)
+        count = append_table(df, target_table)
+        if progress:
+            progress.total = count
+            progress.update(count)
+            progress.finish(True, f"ingested {count} rows")
+        return {"success": True, "count": count, "message": f"ingested {count} rows"}
+    except Exception as e:  # noqa: BLE001
+        if progress:
+            progress.finish(False, str(e))
+        return error_payload(e)
+
+
+def download(spark: SparkSession, table: str, out_path: str) -> dict:
+    """/download: full-table CSV export with header (server.js:373-423)."""
+    try:
+        export_csv(spark.table(table), out_path, single_file=True)
+        return {"success": True, "path": out_path}
+    except Exception as e:  # noqa: BLE001
+        return error_payload(e)
+
+
+def joinable_tables(spark: SparkSession) -> dict:
+    """/joinable-tables + /join-columns (server.js:738-814): tables, their
+    columns, and suggested join keys."""
+    try:
+        tables = list_tables(spark)
+        schemas = {
+            t: [(f["name"], f["type"]) for f in describe_table(spark, t)] for t in tables
+        }
+        return {
+            "success": True,
+            "tables": schemas,
+            "suggestions": relational.join_candidates(schemas),
+        }
+    except Exception as e:  # noqa: BLE001
+        return error_payload(e)
+
+
+def execute_join(
+    spark: SparkSession,
+    tables: list[str],
+    join_conditions: list[str],
+    selected_columns: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """/execute-join (server.js:817-866): left-deep chained join.
+
+    Returns a *lazy* DataFrame instead of materializing every row in server
+    memory (the reference collects the whole result, SURVEY §2.11 /
+    BASELINE.md (b)); callers page or write it.
+    """
+    dfs = [spark.table(t) for t in tables]
+    joined = relational.chain_join(dfs, join_conditions, how=how)
+    return relational.project(joined, selected_columns)

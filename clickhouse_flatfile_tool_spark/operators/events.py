@@ -1,0 +1,114 @@
+"""Event / time-series operators (EXT E6, SURVEY §2.10): tumbling, sliding,
+and session windows, plus JSON property extraction.
+
+Fixture: ``events(event_id, ts, user_id, event_type, value, props)`` where
+``props`` is a JSON string like ``{"k": 87}`` (FIXTURES.md §1) — the
+stringly-typed style the reference's JSONEachRow transfer would produce
+(/root/reference/server/server.js:141, 232, 458).
+
+Batch forms live here (oracle-checkable against DuckDB); streaming variants
+(watermarks, AvailableNow) are in
+:mod:`clickhouse_flatfile_tool_spark.streaming.stream_ops`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PROPS_SCHEMA = T.StructType([T.StructField("k", T.IntegerType(), True)])
+
+
+def with_props(df: DataFrame, props_col: str = "props") -> DataFrame:
+    """Parse the JSON props column with an explicit schema (never
+    schema_of_json over the data — one pass, no sampling)."""
+    return df.withColumn("props_s", F.from_json(F.col(props_col), PROPS_SCHEMA))
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    window_duration: str = "10 minutes",
+    ts_col: str = "ts",
+    group_extra: list[str] = [],
+) -> DataFrame:
+    """Tumbling-window aggregation: count + value stats per window (+ extra
+    keys).  ``F.window`` assigns each row to exactly one bucket — map-side,
+    no blowup; the shuffle is keyed by (window, extras)."""
+    return (
+        df.groupBy(F.window(F.col(ts_col), window_duration).alias("w"), *group_extra)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *group_extra,
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    window_duration: str = "10 minutes",
+    slide: str = "5 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding-window aggregation — each row lands in window/slide buckets
+    (explode factor = duration/slide, bounded and known at plan time)."""
+    return (
+        df.groupBy(F.window(F.col(ts_col), window_duration, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_window_agg(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity.  Uses the built-in ``session_window`` (Spark merges adjacent
+    windows in the agg — one shuffle on the user key)."""
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(user_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col(user_col),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def event_type_funnel(df: DataFrame) -> DataFrame:
+    """Per-type event stats with props extraction — exercises from_json +
+    groupBy together (the reference-era stringly-JSON pattern done right)."""
+    return (
+        with_props(df)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg(F.col("props_s.k")), 4).alias("avg_k"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )

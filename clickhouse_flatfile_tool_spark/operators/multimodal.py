@@ -1,0 +1,115 @@
+"""Multimodal column plumbing (EXT E5, SURVEY §2.10): opaque binary payloads
+(image/audio/video) with typed metadata, processed by Arrow-batched pandas
+UDFs over ``mapInPandas``.
+
+The decode step is STUBBED — image/audio libraries are not in this container
+— but everything Spark-side is real and tested: schema, batch iteration,
+partition sizing, UDF signatures.  Swap ``_decode_stub`` for PIL/ffmpeg and
+the pipeline is production-shaped.
+
+Design: binary payloads ride a ``binary`` column; metadata is a struct
+(media_type, width, height, …).  ``mapInPandas`` receives an iterator of
+Arrow record batches, so one task never materializes its whole partition —
+the only layout that survives multi-MB payloads at scale.  Repartition by
+byte budget, not row count, before heavy decode (``repartition_for_payloads``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Callable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), False),  # image/audio/video
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]
+)
+
+
+def attach_payload(
+    df: DataFrame, payload_col: str = "payload", media_type: str = "image"
+) -> DataFrame:
+    """Fixture path: synthesize a deterministic fake binary payload + typed
+    metadata from existing columns (the container has no real media files).
+    The payload bytes are a hash-derived pseudo-image so sizes vary."""
+    fake = F.sha2(F.concat_ws("|", *df.columns), 256).cast("binary")
+    return df.withColumn(payload_col, fake).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            (F.abs(F.xxhash64(*df.columns)) % 1920 + 32).cast("int").alias("width"),
+            (F.abs(F.xxhash64(*df.columns, F.lit(1))) % 1080 + 32).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ),
+    )
+
+
+def _decode_stub(payload: bytes) -> dict:
+    """Deterministic fake 'decode': real deployments replace this with
+    PIL.Image.open / torchaudio.load.  Raising NotImplementedError here
+    would poison the smoke tests, so we emit a stable digest instead."""
+    return {"n_bytes": len(payload), "checksum": int.from_bytes(payload[:4], "big")}
+
+
+def decode_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    decode: Callable[[bytes], dict] | None = None,
+) -> DataFrame:
+    """Extract per-payload features via mapInPandas (Arrow batches).
+
+    Output schema: input columns minus the payload, plus (n_bytes, checksum).
+    The payload column is dropped on output so the shuffle after feature
+    extraction never carries raw media bytes.
+    """
+    decode = decode or _decode_stub
+    out_fields = [f for f in df.schema.fields if f.name != payload_col] + [
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("checksum", T.LongType(), False),
+    ]
+    out_schema = T.StructType(out_fields)
+    keep = [f.name for f in out_fields if f.name not in ("n_bytes", "checksum")]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf[payload_col].map(lambda b: decode(bytes(b)))
+            out = pdf[keep].copy()
+            out["n_bytes"] = feats.map(lambda d: d["n_bytes"]).astype("int32")
+            out["checksum"] = feats.map(lambda d: d["checksum"]).astype("int64")
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
+def repartition_for_payloads(
+    df: DataFrame, est_row_bytes: int, target_partition_bytes: int = 128 << 20
+) -> DataFrame:
+    """Size partitions by estimated payload bytes, not row count — a decode
+    task over 4 MB images must hold ~32 rows per 128 MB partition, not the
+    default thousands."""
+    total = df.count() * est_row_bytes
+    parts = max(1, total // target_partition_bytes)
+    return df.repartition(int(parts))
+
+
+def frame_sample_plan(
+    df: DataFrame, every_ms: int = 1000, payload_col: str = "payload"
+) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled frame
+    timestamp (decode stubbed).  Demonstrates the explode-then-decode shape:
+    sampling multiplies rows BEFORE the heavy decode, so Spark can
+    redistribute frames across tasks."""
+    n_frames = (F.coalesce(F.col("media_meta.duration_ms"), F.lit(0)) / every_ms).cast("int")
+    return (
+        df.withColumn("frame_idx", F.explode(F.sequence(F.lit(0), F.greatest(n_frames, F.lit(0)))))
+        .withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+    )

@@ -1,0 +1,288 @@
+"""Relational operator surface: projection, filter, pagination, count, joins,
+sort/top-k, set ops, aggregation (incl. cube/rollup), window functions.
+
+Reference mapping (SURVEY.md §2.2-§2.6):
+  * column projection — /root/reference/server/server.js:452-453, 468
+    (ClickHouse side) and 492-496, 689-693 (file side)
+  * LIMIT/OFFSET pagination with count — server.js:456-471 (the reference
+    paginates without ORDER BY → nondeterministic pages, SURVEY §2.11; we
+    require sort keys)
+  * count() — server.js:456-461
+  * left-deep multi-table join chain from raw ON-condition strings —
+    server.js:817-866 (built at 837-844)
+  * join-candidate discovery — server.js:738-814
+  * WHERE / GROUP BY / ORDER BY / window / set ops are absent in the
+    reference (EXT per SURVEY §2; they are part of the capability surface
+    the reference delegates to ClickHouse).
+
+Scale notes: everything here is a lazy DataFrame transform — Catalyst applies
+column pruning, predicate pushdown and limit pushdown; join algorithm choice
+(broadcast-hash vs shuffled-hash vs sort-merge) is Catalyst + AQE, with an
+explicit ``broadcast()`` escape hatch for known-small dimensions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+DEFAULT_PAGE_SIZE = 100  # server.js:53
+MAX_PAGE_SIZE = 1000  # server.js:54
+
+
+# ---------------------------------------------------------------------------
+# projection / filter
+# ---------------------------------------------------------------------------
+
+def project(df: DataFrame, columns: list[str] | None) -> DataFrame:
+    """SELECT c1, c2 … (server.js:452-453); None/empty → SELECT *
+    (server.js:402)."""
+    return df.select(*columns) if columns else df
+
+
+def row_filter(df: DataFrame, condition: str | Column) -> DataFrame:
+    """WHERE clause (EXT — the reference never generates one, SURVEY §2.2 P4)."""
+    return df.filter(condition)
+
+
+# ---------------------------------------------------------------------------
+# pagination (deterministic)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Pagination:
+    total: int
+    page: int
+    page_size: int
+
+    @property
+    def total_pages(self) -> int:
+        return max(1, -(-self.total // self.page_size))
+
+
+def page_slice(
+    df: DataFrame,
+    order_by: list[str | Column],
+    page: int = 1,
+    page_size: int = DEFAULT_PAGE_SIZE,
+) -> DataFrame:
+    """Deterministic LIMIT/OFFSET page (server.js:463-468).
+
+    The reference computes ``offset=(page-1)*pageSize, limit=min(pageSize,
+    1000)`` and pages with no ORDER BY; we require explicit sort keys so
+    pages are stable (divergence documented in SURVEY §2.11).  ``offset``/
+    ``limit`` stay in the logical plan, so Catalyst plans a global top-
+    (offset+limit) rather than a full sort.
+    """
+    page_size = min(page_size, MAX_PAGE_SIZE)  # clamp, server.js:465
+    offset = (max(page, 1) - 1) * page_size
+    return df.orderBy(*order_by).offset(offset).limit(page_size)
+
+
+def preview(
+    df: DataFrame,
+    columns: list[str] | None,
+    order_by: list[str | Column],
+    page: int = 1,
+    page_size: int = DEFAULT_PAGE_SIZE,
+) -> tuple[DataFrame, Pagination]:
+    """The /preview endpoint's shape (server.js:426-527): projected,
+    deterministically paged data + pagination metadata from one count."""
+    page_size = min(page_size, MAX_PAGE_SIZE)
+    projected = project(df, columns)
+    total = projected.count()
+    return (
+        page_slice(projected, order_by, page, page_size),
+        Pagination(total=total, page=page, page_size=page_size),
+    )
+
+
+def total_count(df: DataFrame) -> DataFrame:
+    """SELECT count() AS total (server.js:456-461), as a DataFrame so it can
+    be composed/oracled; ``.first().total`` for the scalar."""
+    return df.agg(F.count(F.lit(1)).alias("total"))
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+def chain_join(
+    dfs: list[DataFrame],
+    conditions: list[str | Column],
+    how: str = "inner",
+    broadcast_under_rows: int | None = None,
+) -> DataFrame:
+    """Left-deep multi-table join chain (server.js:817-866).
+
+    ``conditions[i]`` joins the running result to ``dfs[i+1]`` — raw
+    expression strings are accepted exactly like the reference's user-typed
+    ON conditions (server.js:840-843), parsed by ``F.expr`` instead of
+    string-spliced into SQL (fixes the injection exposure, SURVEY §2.11).
+    The reference's bare ``JOIN`` is INNER; ``how`` extends the surface to
+    left/right/full/semi/anti/cross (EXT J3).
+    """
+    if len(dfs) < 2:
+        raise ValueError("need at least two tables to join")
+    if len(conditions) != len(dfs) - 1:
+        raise ValueError(f"need {len(dfs) - 1} conditions for {len(dfs)} tables")
+
+    def one(acc: DataFrame, nxt_cond: tuple[DataFrame, str | Column]) -> DataFrame:
+        nxt, cond = nxt_cond
+        if isinstance(cond, str):
+            cond = F.expr(cond)
+        return acc.join(nxt, on=cond, how=how)
+
+    return reduce(one, zip(dfs[1:], conditions), dfs[0])
+
+
+def join_candidates(
+    schemas: dict[str, list[tuple[str, str]]]
+) -> list[dict[str, str]]:
+    """Join-key discovery (server.js:738-814): propose columns shared by name
+    and type across table pairs.  ``schemas``: table → [(col, dtype)]."""
+    out = []
+    tables = sorted(schemas)
+    for i, t1 in enumerate(tables):
+        for t2 in tables[i + 1 :]:
+            s2 = dict(schemas[t2])
+            for col, dt in schemas[t1]:
+                if s2.get(col) == dt:
+                    out.append({"left": t1, "right": t2, "column": col, "type": dt})
+    return out
+
+
+def broadcast_dim(df: DataFrame) -> DataFrame:
+    """Mark a dimension table for broadcast-hash join (100 TB note: region/
+    nation/supplier-class tables must never shuffle the fact side)."""
+    return F.broadcast(df)
+
+
+# ---------------------------------------------------------------------------
+# sort / top-k / set ops
+# ---------------------------------------------------------------------------
+
+def order_by(df: DataFrame, *cols: str | Column) -> DataFrame:
+    return df.orderBy(*cols)
+
+
+def top_k(df: DataFrame, k: int, *cols: str | Column) -> DataFrame:
+    """ORDER BY … LIMIT k — Catalyst plans TakeOrderedAndProject: each
+    partition keeps a k-row heap, only k·partitions rows move (no full sort
+    at any scale)."""
+    return df.orderBy(*cols).limit(k)
+
+
+def union_all(*dfs: DataFrame, by_name: bool = True) -> DataFrame:
+    return reduce(
+        (lambda a, b: a.unionByName(b)) if by_name else (lambda a, b: a.union(b)), dfs
+    )
+
+
+def intersect(a: DataFrame, b: DataFrame, keep_duplicates: bool = False) -> DataFrame:
+    return a.intersectAll(b) if keep_duplicates else a.intersect(b)
+
+
+def except_(a: DataFrame, b: DataFrame, keep_duplicates: bool = False) -> DataFrame:
+    return a.exceptAll(b) if keep_duplicates else a.subtract(b)
+
+
+# ---------------------------------------------------------------------------
+# aggregation
+# ---------------------------------------------------------------------------
+
+_AGG_FNS = {
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+    "count_distinct": F.countDistinct,
+    "approx_count_distinct": F.approx_count_distinct,
+    "stddev": F.stddev,
+    "first": F.first,
+}
+
+
+def aggregate(
+    df: DataFrame,
+    group_by: list[str],
+    aggs: list[tuple[str, str, str]],
+    mode: str = "groupby",
+) -> DataFrame:
+    """GROUP BY hash aggregation (EXT A4).  ``aggs`` are (fn, column, alias)
+    triples; ``mode`` ∈ {groupby, rollup, cube}.
+
+    Spark executes this as partial (map-side) aggregation → shuffle on the
+    group keys → final merge, so the shuffle carries one row per
+    (partition × key), not the input — the pattern that survives 100 TB.
+    """
+    exprs = [_AGG_FNS[fn](col).alias(alias) for fn, col, alias in aggs]
+    if mode == "rollup":
+        grouped = df.rollup(*group_by)
+    elif mode == "cube":
+        grouped = df.cube(*group_by)
+    else:
+        grouped = df.groupBy(*group_by)
+    return grouped.agg(*exprs)
+
+
+def distinct_values(df: DataFrame, columns: list[str]) -> DataFrame:
+    return df.select(*columns).distinct()
+
+
+# ---------------------------------------------------------------------------
+# window functions
+# ---------------------------------------------------------------------------
+
+def ranked(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by_cols: list[str | Column],
+    fn: str = "row_number",
+    alias: str = "rk",
+) -> DataFrame:
+    """Ranking window (row_number/rank/dense_rank/ntile)."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by_cols)
+    fns = {
+        "row_number": F.row_number,
+        "rank": F.rank,
+        "dense_rank": F.dense_rank,
+    }
+    return df.withColumn(alias, fns[fn]().over(w))
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by_cols: list[str | Column],
+    k: int,
+) -> DataFrame:
+    """Per-group top-k via row_number ≤ k — the distributed idiom for
+    'best k per key' (one shuffle on the partition keys)."""
+    return (
+        ranked(df, partition_by, order_by_cols, "row_number", "__rk")
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def with_lag_lead(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by_cols: list[str | Column],
+    value_col: str,
+) -> DataFrame:
+    """Analytic window: lag/lead of ``value_col`` within each partition."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by_cols)
+    return df.withColumn(f"{value_col}_lag", F.lag(value_col).over(w)).withColumn(
+        f"{value_col}_lead", F.lead(value_col).over(w)
+    )
+
+
+def sql(spark: SparkSession, query: str) -> DataFrame:
+    """Escape hatch: full Spark SQL surface over registered views."""
+    return spark.sql(query)

@@ -1,0 +1,218 @@
+"""Similarity search over embedding columns (EXT E3, SURVEY §2.10).
+
+Fixture: ``embeddings(vec_id, embedding array<float> dim=64, label)``.
+
+Two tiers, as a real 100 TB pipeline would ship them:
+  * brute-force exact cosine top-k — the correctness baseline.  The query
+    set is broadcast (it is small by construction); candidates never
+    shuffle; per-candidate math is built-in array ops (``zip_with`` +
+    ``aggregate``) inside codegen; top-k per query is a window over the
+    (small) query key space.
+  * LSH-bucketed ANN (random hyperplane signatures) — the scale path: each
+    vector maps to a signature; query and candidate meet only when bucket
+    signatures collide (equi-join), turning O(Q·N) into O(collisions).
+    Recall is tunable via tables × bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from clickhouse_flatfile_tool_spark.operators.relational import top_k_per_group
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ over two array columns — built-in zip_with+aggregate, computed
+    in double precision (cast before multiply: float accumulate would drift
+    vs the DuckDB oracle)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding", alias: str = "norm") -> DataFrame:
+    return df.withColumn(alias, _norm(F.col(vec_col)))
+
+
+def normalize(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """L2-normalize in place — pre-normalizing once turns every downstream
+    cosine into a plain dot product (the standard trick when one corpus
+    serves many queries)."""
+    n = _norm(F.col(vec_col))
+    return df.withColumn(
+        vec_col, F.transform(F.col(vec_col), lambda v: v.cast("double") / n)
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: for each query vector, the k nearest
+    corpus vectors.  Returns (query_id, neighbor_id, cos_sim, rank).
+
+    Plan shape: broadcast(queries) ⋈ corpus (no shuffle of the corpus), then
+    window top-k partitioned by query id.  At 1000 executors this scans the
+    corpus exactly once regardless of |Q|.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv")
+        )
+    )
+    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    pairs = q.crossJoin(c)
+    if not include_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__qv"), F.col("__cv")).alias("__cos"),
+    )
+    ranked = top_k_per_group(
+        scored, ["query_id"], [F.desc("__cos"), F.asc("neighbor_id")], k
+    )
+    return ranked.select(
+        "query_id",
+        "neighbor_id",
+        F.round("__cos", 6).alias("cos_sim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN: random-hyperplane LSH buckets
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, bits: int, table: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no numpy on executors —
+    generated once on the driver, embedded as literals in the plan)."""
+    import random
+
+    rng = random.Random(seed * 1_000_003 + table)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def _signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature of ``vec`` against each hyperplane, packed to a
+    long — built from array literals + zip_with, stays in codegen."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(w) for w in plane])
+        d = F.aggregate(
+            F.zip_with(vec, p, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return sig
+
+
+def ann_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via multi-table random-hyperplane LSH.
+
+    Each of ``tables`` hash tables assigns every vector a ``bits``-bit
+    signature; query meets candidate only on (table, signature) equality —
+    an equi-join, shuffle keyed by bucket.  Exact cosine re-ranks within the
+    candidate set.  Recall rises with ``tables``; cost with bucket size
+    (·2^-bits).
+    """
+    def bucketed(df: DataFrame, id_alias: str) -> DataFrame:
+        rows = []
+        for t in range(tables):
+            planes = _hyperplanes(dim, bits, t, seed)
+            rows.append(
+                F.struct(F.lit(t).alias("tbl"), _signature(F.col(vec_col), planes).alias("sig"))
+            )
+        return df.select(
+            F.col("__id").alias(id_alias),
+            F.col(vec_col).alias(f"__{id_alias}_v"),
+            F.explode(F.array(*rows)).alias("b"),
+        ).select(id_alias, f"__{id_alias}_v", "b.tbl", "b.sig")
+
+    q = bucketed(queries.withColumn("__id", F.col(query_id)), "query_id")
+    c = bucketed(corpus.withColumn("__id", F.col(corpus_id)), "neighbor_id")
+    cands = (
+        q.join(c, on=["tbl", "sig"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__query_id_v", "__neighbor_id_v")
+        .distinct()
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__query_id_v"), F.col("__neighbor_id_v")).alias("__cos"),
+    )
+    ranked = top_k_per_group(
+        scored, ["query_id"], [F.desc("__cos"), F.asc("neighbor_id")], k
+    )
+    return ranked.select("query_id", "neighbor_id", F.round("__cos", 6).alias("cos_sim"))
+
+
+def embedding_dedup_candidates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cos_threshold: float = 0.95,
+    dim: int = 64,
+    bits: int = 10,
+    tables: int = 6,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold)
+    via the same LSH bucketing — the semantic-dedup primitive."""
+    with_id = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias(vec_col))
+    b = None
+    for t in range(tables):
+        planes = _hyperplanes(dim, bits, t, seed)
+        part = with_id.select(
+            "__id", vec_col, F.lit(t).alias("tbl"), _signature(F.col(vec_col), planes).alias("sig")
+        )
+        b = part if b is None else b.unionByName(part)
+    left = b.select(
+        F.col("__id").alias("id_a"), F.col(vec_col).alias("__va"), "tbl", "sig"
+    )
+    right = b.select(
+        F.col("__id").alias("id_b"), F.col(vec_col).alias("__vb"), "tbl", "sig"
+    )
+    cands = (
+        left.join(right, on=["tbl", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__va", "__vb")
+        .distinct()
+    )
+    return (
+        cands.withColumn("cos_sim", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cos_sim") >= cos_threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )

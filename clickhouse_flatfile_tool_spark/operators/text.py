@@ -1,0 +1,149 @@
+"""Text-analysis operators for LLM-data pipelines (EXT E4, SURVEY §2.10):
+token counting, length/quality metrics, language-ID heuristic, document
+fingerprinting, per-language/source corpus stats.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen) — no Python UDFs.  Each helper adds columns or
+aggregates; nothing collects.
+
+Fixture: ``documents(doc_id, text, lang, source, n_chars)`` (FIXTURES.md §1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# whitespace tokenization + a BPE-ish wordpiece regex for subword-level counts
+_WS_SPLIT = r"\s+"
+# "word-ish runs or single non-space symbol" — approximates BPE pre-tokenization
+_BPE_ISH = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "from", "this",
+]
+
+
+def token_count(col: str | Column = "text") -> Column:
+    """Whitespace token count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.split(F.trim(c), _WS_SPLIT))
+
+
+def bpe_ish_token_count(col: str | Column = "text") -> Column:
+    """Subword-ish token count: count of regex pre-token matches.
+
+    ``regexp_count`` is JVM-side; ~the pre-tokenization pass of a BPE
+    tokenizer (real BPE merge tables are model-specific and out of scope).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(_BPE_ISH))
+
+
+def with_text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add per-document metrics: char length, token counts, average word
+    length, punctuation ratio, stopword ratio, uppercase ratio."""
+    c = F.col(text_col)
+    n_tokens = token_count(text_col)
+    words = F.split(F.trim(F.lower(c)), _WS_SPLIT)
+    stop_hits = F.size(F.array_intersect(words, F.array(*[F.lit(s) for s in _STOPWORDS])))
+    n_chars = F.length(c)
+    return (
+        df.withColumn("n_chars_m", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("n_bpe_tokens", bpe_ish_token_count(text_col))
+        .withColumn(
+            "avg_word_len",
+            (F.length(F.regexp_replace(c, _WS_SPLIT, "")) / F.greatest(n_tokens, F.lit(1))),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.regexp_count(c, F.lit(r"[^\w\s]")) / F.greatest(n_chars, F.lit(1)),
+        )
+        # distinct-stopword hits / distinct words — a cheap lexical-diversity proxy
+        .withColumn(
+            "stopword_ratio",
+            stop_hits / F.greatest(F.size(F.array_distinct(words)), F.lit(1)),
+        )
+        .withColumn(
+            "upper_ratio",
+            F.regexp_count(c, F.lit(r"[A-Z]")) / F.greatest(n_chars, F.lit(1)),
+        )
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1]: rewards mid-length docs and typical
+    word lengths, penalizes punctuation soup.  Deliberately simple and fully
+    codegen-able; a real pipeline would swap in a model scorer via pandas UDF
+    (see operators/multimodal.py for that pattern)."""
+    m = with_text_metrics(df, text_col)
+    length_score = F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
+    word_len_score = 1.0 - F.least(
+        F.abs(F.col("avg_word_len") - F.lit(5.0)) / F.lit(5.0), F.lit(1.0)
+    )
+    punct_penalty = F.least(F.col("punct_ratio") * F.lit(4.0), F.lit(1.0))
+    return m.withColumn(
+        "quality_score",
+        F.round(
+            0.5 * length_score + 0.4 * word_len_score + 0.1 * (1.0 - punct_penalty), 6
+        ),
+    )
+
+
+# Tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic.  Real pipelines use fastText/CLD3; those models aren't in this
+# container, and the fixture's lang column lets us validate the plumbing.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "nicht", "das"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "de", "que", "los"],
+}
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: count marker-word hits per language, take the
+    argmax ('und' = undetermined, CLD-style, when nothing matches).  CJK gets
+    a script check first (no spaces to tokenize)."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), _WS_SPLIT)
+    scores = [
+        F.struct(
+            F.size(F.array_intersect(words, F.array(*[F.lit(m) for m in marks]))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, marks in _LANG_MARKERS.items()
+    ]
+    best = F.array_max(F.array(*scores))
+    cjk = F.regexp_count(F.col(text_col), F.lit(r"[一-鿿]"))
+    return df.withColumn(
+        "lang_pred",
+        F.when(cjk > 0, F.lit("zh")).otherwise(
+            F.when(best.getField("hits") > 0, best.getField("lang")).otherwise(F.lit("und"))
+        ),
+    )
+
+
+def fingerprint(col: str | Column = "text") -> Column:
+    """Deterministic document fingerprint: md5 of the whitespace-normalized,
+    lowercased text.  Content-defined (rolling-hash-style normalization
+    before hashing) so trivial whitespace/case edits collide — the exact-dup
+    detector's key."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.trim(F.lower(c)), _WS_SPLIT, " "))
+
+
+def corpus_stats(df: DataFrame, group_cols: list[str] = ["lang"]) -> DataFrame:
+    """Per-language/source corpus statistics (E4): doc counts, token/char
+    totals and means.  One shuffle on the group keys; partial agg map-side."""
+    m = df.withColumn("n_tokens", token_count("text"))
+    return m.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

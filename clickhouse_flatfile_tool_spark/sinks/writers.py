@@ -1,0 +1,101 @@
+"""Sinks: create-if-absent tables, batched append, CSV export, sample-data
+bootstrap.
+
+Reference equivalents (SURVEY.md §2.1 S9-S12):
+  * ``CREATE TABLE IF NOT EXISTS … ENGINE=MergeTree() ORDER BY tuple()`` —
+    /root/reference/server/server.js:586-601, 671-678
+  * batched INSERT VALUES loop — server.js:626-649, 695-718 (Spark writes
+    partition-parallel; no driver-side batching loop)
+  * ``SELECT * FROM t FORMAT CSVWithNames`` download — server.js:400-415
+  * 5-row sample_data bootstrap when the catalog is empty —
+    server.js:147-179, clickhouse/create_sample_table.sql:1-17
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def create_table_if_absent(
+    df: DataFrame, table: str, sort_by: list[str] | None = None
+) -> None:
+    """Create a managed (parquet) table from df's schema if it does not exist.
+
+    ``sort_by`` is the MergeTree ``ORDER BY`` analog: rows are sorted within
+    partitions at write time so min/max parquet statistics support data
+    skipping — the same pruning role the MergeTree primary key plays
+    (server.js:588-589 uses ORDER BY tuple(), i.e. unsorted; the sample table
+    uses ORDER BY id, create_sample_table.sql:9).
+    """
+    writer = df.sortWithinPartitions(*sort_by).write if sort_by else df.write
+    writer.mode("ignore").format("parquet").saveAsTable(table)
+
+
+def append_table(df: DataFrame, table: str, sort_by: list[str] | None = None) -> int:
+    """Append rows; returns the number of rows written (the reference's
+    ingested-row accounting, server.js:640, 703, 717).
+
+    The count costs one extra action; callers that don't need it should use
+    ``df.write`` directly — never count in a hot path at scale.
+    """
+    out = df.sortWithinPartitions(*sort_by) if sort_by else df
+    out.write.mode("append").format("parquet").saveAsTable(table)
+    return df.count()
+
+
+def export_csv(df: DataFrame, path: str, single_file: bool = True) -> str:
+    """CSV export with header (FORMAT CSVWithNames analog, server.js:400-415).
+
+    ``single_file=True`` coalesces to one part file and renames it to
+    ``path`` — only sane for preview/download-sized results (the reference
+    streams one HTTP response, same constraint).  For large exports pass
+    ``single_file=False`` and get a directory of part files written in
+    parallel.
+    """
+    if single_file:
+        tmp = path + "._spark_tmp"
+        df.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
+        shutil.move(part, path)
+        shutil.rmtree(tmp)
+        return path
+    df.write.mode("overwrite").option("header", "true").csv(path)
+    return path
+
+
+SAMPLE_DATA_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),  # UInt32 → Long (SURVEY §1.2)
+        T.StructField("name", T.StringType(), False),
+        T.StructField("age", T.ShortType(), False),  # UInt8 → Short
+        T.StructField("email", T.StringType(), False),
+        T.StructField("created_at", T.TimestampType(), False),
+    ]
+)
+
+# the 5 golden rows from create_sample_table.sql:12-17 / server.js:151-170
+_SAMPLE_ROWS = [
+    (1, "John Doe", 25, "john@example.com"),
+    (2, "Jane Smith", 30, "jane@example.com"),
+    (3, "Bob Johnson", 35, "bob@example.com"),
+    (4, "Alice Brown", 28, "alice@example.com"),
+    (5, "Charlie Wilson", 42, "charlie@example.com"),
+]
+
+
+def bootstrap_sample_data(spark: SparkSession, table: str = "sample_data") -> DataFrame:
+    """If the catalog has no tables, create the reference's 5-row sample set
+    (server.js:147-179).  ``created_at`` uses now() like the reference
+    (server.js:165-169)."""
+    now = datetime.utcnow()
+    rows = [(*r, now) for r in _SAMPLE_ROWS]
+    df = spark.createDataFrame(rows, SAMPLE_DATA_SCHEMA)
+    if not spark.catalog.tableExists(table):
+        create_table_if_absent(df, table, sort_by=["id"])
+    return spark.table(table)

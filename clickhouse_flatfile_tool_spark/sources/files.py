@@ -1,0 +1,127 @@
+"""File sources: CSV/TXT (the reference's "flat file" side) and Parquet
+(our native columnar storage, the MergeTree analog).
+
+Reference equivalents:
+  * streaming CSV parse with header-as-columns + skip-empty-lines —
+    /root/reference/server/server.js:478-480, 681-683 (csv-parse pipeline).
+    Spark's CSV scan is already streaming/iterator-based per partition and
+    distributed across executors; empty lines are dropped by default.
+  * header sniff / headerless probe / UK preset — server.js:262-347 —
+    handled by :mod:`clickhouse_flatfile_tool_spark.schema`.
+
+Scale notes: a CSV scan parallelizes by file split; schema is resolved from
+the first line only (one tiny read, never a full pass — the reference's
+second full-file count scan, server.js:500-507, has no analog here).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_flatfile_tool_spark.schema import ResolvedSchema, resolve_csv_schema
+
+
+def _first_line(path: str) -> str:
+    """Read just the first line (header sniff, server.js:284-298 reads only
+    the first chunk up to ``\\n``)."""
+    with open(path, "r", encoding="utf-8", errors="replace") as fh:
+        return fh.readline()
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    has_header: bool | None = None,
+    infer_types: bool = False,
+) -> tuple[DataFrame, ResolvedSchema]:
+    """Read a CSV/TXT flat file with reference-compatible schema resolution.
+
+    Returns (DataFrame, ResolvedSchema).  All columns are String unless
+    ``infer_types`` — matching the reference, which types every CSV column
+    String (server.js:274, 312-314) and casts on the ClickHouse side.
+    ``columns`` projects a subset post-read (server.js:492-496 does this
+    per-row in JS; here it is Catalyst column pruning, which reaches the
+    scan).
+    """
+    ext = os.path.splitext(path)[1].lower()
+    if ext not in (".csv", ".txt"):
+        # extension check mirrors server.js:259-261
+        raise ValueError(f"unsupported flat-file extension: {ext} (want .csv/.txt)")
+
+    resolved = resolve_csv_schema(
+        os.path.basename(path), first_line=_first_line(path), has_header=has_header
+    )
+    reader = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("header", str(resolved.has_header).lower())
+    )
+    if infer_types:
+        df = reader.option("inferSchema", "true").csv(path)
+        if not resolved.has_header:
+            df = df.toDF(*[f.name for f in resolved.schema.fields])
+    else:
+        df = reader.schema(resolved.schema).csv(path)
+    if columns:
+        df = df.select(*columns)
+    return df, resolved
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar native-table scan (the MergeTree-storage analog,
+    server.js:158, 588).  Vectorized reader + predicate pushdown + column
+    pruning all apply automatically.
+
+    Nanosecond-timestamp columns (TIMESTAMP(NANOS) — Spark's parquet reader
+    rejects them outright) are read as long via
+    ``spark.sql.legacy.parquet.nanosAsLong`` and converted to TimestampType
+    with truncation to microseconds — the same truncation DuckDB applies, so
+    oracle comparisons agree.  Detection is one footer read via pyarrow on
+    the driver, never a data scan.
+    """
+    ns_cols = _nanos_timestamp_cols(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    import pyarrow.dataset as ds
+    import pyarrow.types as pat
+
+    schema = ds.dataset(path, format="parquet").schema
+    return [
+        f.name
+        for f in schema
+        if pat.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def read_table_dir(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every driver fixture table under ``sf_dir`` (TESTDATA.md)."""
+    out = {}
+    for t in _TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            out[t] = read_parquet(spark, p)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register each fixture table as a temp view for spark.sql use."""
+    dfs = read_table_dir(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

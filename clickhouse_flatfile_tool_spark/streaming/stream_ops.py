@@ -1,0 +1,127 @@
+"""Structured Streaming variants of the event operators (EXT E6).
+
+The reference has no streaming surface (SURVEY §1.1: no stream abstraction);
+this is the driver-mandated extension, built on:
+  * file-source ``readStream`` (parquet dir) — deterministic for tests via
+    ``Trigger.AvailableNow`` (process everything present, then stop)
+  * ``withWatermark`` + windowed aggregation for bounded state with late data
+  * ``dropDuplicatesWithinWatermark`` for streaming dedup
+  * ``applyInPandasWithState``-free design: every op here uses built-in
+    stateful operators, which scale via the HDFS/RocksDB state store.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming parquet source over a directory.  A schema is required by
+    Structured Streaming; by default we borrow it from a batch peek (one
+    footer read, driver-side)."""
+    from clickhouse_flatfile_tool_spark.sources.files import _nanos_timestamp_cols
+
+    if os.path.isfile(path):
+        # the streaming file source requires a directory; stage single-file
+        # fixtures behind a symlink dir (no data copy)
+        staged = tempfile.mkdtemp(prefix="cfts_src_")
+        os.symlink(os.path.abspath(path), os.path.join(staged, os.path.basename(path)))
+        ns_cols = _nanos_timestamp_cols(path)
+        path = staged
+    else:
+        ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols:
+        # nanosecond parquet timestamps: read as long, convert post-scan
+        # (same truncation-to-µs as the batch reader in sources/files.py)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def windowed_counts(
+    stream: DataFrame,
+    window_duration: str = "10 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window counts with a watermark: state for a window is freed
+    once event-time passes window_end + watermark — bounded state at any
+    scale; later-than-watermark rows are dropped (documented late-data
+    policy)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionized(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Streaming session windows (session_window + watermark)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(user_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys: list[str],
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state: duplicates arriving within
+    the watermark horizon are dropped; state for old keys is evicted."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_available_now(
+    result: DataFrame, out_dir: str, checkpoint_dir: str, output_mode: str = "append"
+) -> None:
+    """Deterministic test-mode execution: AvailableNow processes all data
+    currently in the source, then stops — the streaming analog of a batch
+    run (SURVEY §7.2 step 7)."""
+    q = (
+        result.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,67 @@
+"""Endpoint-façade tests (SURVEY §3): reference request/response shapes."""
+
+import pytest
+
+from clickhouse_flatfile_tool_spark import api
+
+
+@pytest.fixture()
+def people_csv(tmp_path):
+    p = tmp_path / "people.csv"
+    p.write_text("id,name\n1,alice\n2,bob\n3,carol\n")
+    return str(p)
+
+
+def test_connect(spark):
+    out = api.connect(spark)
+    assert out["success"] and isinstance(out["tables"], list)
+
+
+def test_columns_file(spark, people_csv):
+    out = api.columns(spark, "file", people_csv)
+    assert out["success"]
+    assert out["columns"] == [
+        {"name": "id", "type": "String"},
+        {"name": "name", "type": "String"},
+    ]
+
+
+def test_preview_file(spark, people_csv):
+    out = api.preview(spark, "file", people_csv, page=1, page_size=2)
+    assert out["success"]
+    assert out["pagination"] == {"total": 3, "page": 1, "pageSize": 2, "totalPages": 2}
+    assert out["data"][0] == {"id": "1", "name": "alice"}
+
+
+def test_preview_error_shape(spark):
+    out = api.preview(spark, "file", "/nonexistent/nope.csv")
+    assert out["success"] is False and "error" in out
+
+
+def test_ingest_and_join(spark, people_csv, tmp_path):
+    out = api.ingest(spark, "file", people_csv, "t_people")
+    assert out["success"] and out["count"] == 3
+    scores = tmp_path / "scores.csv"
+    scores.write_text("id,score\n1,10\n2,20\n")
+    out2 = api.ingest(spark, "file", str(scores), "t_scores")
+    assert out2["success"] and out2["count"] == 2
+    joined = api.execute_join(
+        spark,
+        ["t_people", "t_scores"],
+        ["t_people.id = t_scores.id"],
+        selected_columns=["name", "score"],
+    )
+    got = {(r.name, r.score) for r in joined.collect()}
+    assert got == {("alice", "10"), ("bob", "20")}
+
+
+def test_joinable_tables(spark):
+    out = api.joinable_tables(spark)
+    assert out["success"] and "suggestions" in out
+
+
+def test_download(spark, tmp_path, people_csv):
+    api.ingest(spark, "file", people_csv, "t_dl")
+    out = api.download(spark, "t_dl", str(tmp_path / "dl.csv"))
+    assert out["success"]
+    assert (tmp_path / "dl.csv").read_text().splitlines()[0] == "id,name"

@@ -1,0 +1,100 @@
+"""Event-window and Structured Streaming tests (EXT E6)."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_flatfile_tool_spark.operators import events as E
+from clickhouse_flatfile_tool_spark.streaming import stream_ops as SS
+
+
+@pytest.fixture(scope="module")
+def ev(tables):
+    return tables["events"]
+
+
+def test_events_ts_is_timestamp(ev):
+    # ns-parquet handling (sources/files.py): ts must arrive as timestamp
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+
+
+def test_tumbling_partitions_all_events(ev):
+    out = E.tumbling_window_agg(ev, "10 minutes")
+    assert out.agg(F.sum("n_events")).first()[0] == ev.count()
+    # window bounds are 10-minute aligned
+    row = out.first()
+    assert (row.window_end - row.window_start).total_seconds() == 600
+    assert row.window_start.minute % 10 == 0 and row.window_start.second == 0
+
+
+def test_sliding_double_counts(ev):
+    out = E.sliding_window_agg(ev, "10 minutes", "5 minutes")
+    # every event lands in exactly duration/slide = 2 windows
+    assert out.agg(F.sum("n_events")).first()[0] == 2 * ev.count()
+
+
+def test_session_windows_merge(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:10:00", 1.0),  # same session (10 < 30 min gap)
+        (1, "2024-01-01 01:00:00", 1.0),  # new session (50 min gap)
+        (2, "2024-01-01 00:00:00", 1.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = E.session_window_agg(df, "30 minutes").orderBy("user_id", "session_start")
+    got = [(r.user_id, r.n_events) for r in out.collect()]
+    assert got == [(1, 2), (1, 1), (2, 1)]
+    first = out.first()
+    # session_end = last event + gap
+    assert (first.session_end - first.session_start).total_seconds() == 10 * 60 + 30 * 60
+
+
+def test_props_json_parse(ev):
+    out = E.with_props(ev).select("props_s.k").limit(10).collect()
+    assert all(isinstance(r.k, int) for r in out)
+
+
+def test_streaming_matches_batch_closed_windows(spark, sf_dir, ev):
+    """AvailableNow streaming tumbling counts == batch counts for all windows
+    the watermark considers closed (open windows withheld by append mode)."""
+    tmp = tempfile.mkdtemp(prefix="cfts_test_stream_")
+    out_dir, ckpt = os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+    try:
+        stream = SS.read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
+        SS.run_available_now(SS.windowed_counts(stream, "10 minutes", "30 minutes"), out_dir, ckpt)
+        got = spark.read.parquet(out_dir)
+        batch = E.tumbling_window_agg(ev, "10 minutes", group_extra=["event_type"])
+        max_ts = ev.agg(F.max("ts")).first()[0]
+        sg = {
+            (r.window_start, r.event_type): r.n_events
+            for r in got.collect()
+        }
+        for r in batch.collect():
+            key = (r.window_start, r.event_type)
+            if r.window_end <= max_ts:  # definitely closed under the watermark
+                assert sg.get(key) == r.n_events, f"window {key} mismatch"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_dedup_bounded(spark, sf_dir):
+    tmp = tempfile.mkdtemp(prefix="cfts_test_sdedup_")
+    out_dir, ckpt = os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+    try:
+        stream = SS.read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
+        SS.run_available_now(
+            SS.dedup_within_watermark(stream, ["user_id", "event_type"], "10 hours"),
+            out_dir,
+            ckpt,
+        )
+        got = spark.read.parquet(out_dir)
+        # output never exceeds the number of distinct keys
+        distinct_keys = got.select("user_id", "event_type").distinct().count()
+        assert got.count() == distinct_keys
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

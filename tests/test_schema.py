@@ -1,0 +1,96 @@
+"""Type-map and CSV schema-resolution tests (SURVEY §1.2, §2.1 S2-S4).
+
+The reference's mapClickHouseType (server.js:57-85) silently degrades every
+parametrized type to String; these tests pin our fixed behavior.
+"""
+
+from pyspark.sql import types as T
+
+from clickhouse_flatfile_tool_spark import schema as S
+
+
+def test_simple_types():
+    assert S.clickhouse_to_spark("Int32") == (T.IntegerType(), False)
+    assert S.clickhouse_to_spark("Int64") == (T.LongType(), False)
+    assert S.clickhouse_to_spark("Float64") == (T.DoubleType(), False)
+    assert S.clickhouse_to_spark("String") == (T.StringType(), False)
+    assert S.clickhouse_to_spark("Date") == (T.DateType(), False)
+    assert S.clickhouse_to_spark("DateTime") == (T.TimestampType(), False)
+    assert S.clickhouse_to_spark("Bool") == (T.BooleanType(), False)
+
+
+def test_unsigned_widening():
+    # Spark has no unsigned types: widen one size; UInt64 → Decimal(20,0)
+    assert S.clickhouse_to_spark("UInt8") == (T.ShortType(), False)
+    assert S.clickhouse_to_spark("UInt16") == (T.IntegerType(), False)
+    assert S.clickhouse_to_spark("UInt32") == (T.LongType(), False)
+    assert S.clickhouse_to_spark("UInt64") == (T.DecimalType(20, 0), False)
+
+
+def test_parametrized_types_not_degraded():
+    # the reference bug (server.js:84): these all fell through to String
+    assert S.clickhouse_to_spark("Nullable(Int32)") == (T.IntegerType(), True)
+    assert S.clickhouse_to_spark("LowCardinality(String)") == (T.StringType(), False)
+    assert S.clickhouse_to_spark("FixedString(16)") == (T.StringType(), False)
+    assert S.clickhouse_to_spark("DateTime64(3)") == (T.TimestampType(), False)
+    assert S.clickhouse_to_spark("Decimal(10, 2)") == (T.DecimalType(10, 2), False)
+    assert S.clickhouse_to_spark("Enum8('a' = 1)") == (T.StringType(), False)
+
+
+def test_nested_types():
+    dt, nullable = S.clickhouse_to_spark("Array(UInt32)")
+    assert dt == T.ArrayType(T.LongType(), containsNull=False)
+    dt, _ = S.clickhouse_to_spark("Array(Nullable(String))")
+    assert dt == T.ArrayType(T.StringType(), containsNull=True)
+    dt, _ = S.clickhouse_to_spark("Map(String, UInt64)")
+    assert dt == T.MapType(T.StringType(), T.DecimalType(20, 0), valueContainsNull=False)
+    dt, _ = S.clickhouse_to_spark("Tuple(a Int32, b String)")
+    assert dt == T.StructType(
+        [T.StructField("a", T.IntegerType(), False), T.StructField("b", T.StringType(), False)]
+    )
+
+
+def test_unknown_falls_back_to_string():
+    assert S.clickhouse_to_spark("SomeExoticType") == (T.StringType(), True)
+
+
+def test_spark_to_clickhouse_roundtrip():
+    assert S.spark_to_clickhouse(T.IntegerType()) == "Int32"
+    assert S.spark_to_clickhouse(T.LongType(), nullable=True) == "Nullable(Int64)"
+    assert S.spark_to_clickhouse(T.TimestampType()) == "DateTime64(6)"
+    assert (
+        S.spark_to_clickhouse(T.ArrayType(T.FloatType(), containsNull=False))
+        == "Array(Float32)"
+    )
+    assert S.spark_to_clickhouse(T.DecimalType(20, 0)) == "Decimal(20, 0)"
+
+
+def test_uk_property_preset():
+    # filename rule from server.js:263-266; 16 columns from server.js:32-49
+    r = S.resolve_csv_schema("pp-2024.csv")
+    assert r.origin == "preset" and not r.has_header
+    assert len(r.schema.fields) == 16
+    assert r.schema.fields[0].name == "transaction_id"
+    assert S.matches_uk_property_preset("UK-price-paid-full.csv")
+    assert not S.matches_uk_property_preset("orders.csv")
+
+
+def test_header_sniff():
+    r = S.resolve_csv_schema("data.csv", first_line="id,name,email\n")
+    assert r.origin == "header" and r.has_header
+    assert [f.name for f in r.schema.fields] == ["id", "name", "email"]
+
+
+def test_headerless_probe():
+    # generic column_1..n naming (server.js:322-347)
+    r = S.resolve_csv_schema("data.csv", first_line="1,foo,2.5\n")
+    assert r.origin == "headerless" and not r.has_header
+    assert [f.name for f in r.schema.fields] == ["column_1", "column_2", "column_3"]
+
+
+def test_validate_columns():
+    import pytest
+
+    S.validate_columns([{"name": "a", "type": "String"}])
+    with pytest.raises(ValueError):
+        S.validate_columns([{"name": "a"}])

@@ -1,0 +1,67 @@
+"""Similarity-search tests (EXT E3): exact cosine invariants + ANN recall."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_flatfile_tool_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def emb(tables):
+    return tables["embeddings"]
+
+
+def test_self_similarity_is_one(emb):
+    q = emb.filter("vec_id < 5")
+    out = S.cosine_topk(q, q, k=5, include_self=True)
+    self_rows = out.filter("query_id = neighbor_id").collect()
+    assert len(self_rows) == 5
+    assert all(abs(r.cos_sim - 1.0) < 1e-6 for r in self_rows)
+
+
+def test_topk_returns_k(emb):
+    out = S.cosine_topk(emb.filter("vec_id < 10"), emb, k=5)
+    sizes = out.groupBy("query_id").count().collect()
+    assert len(sizes) == 10 and all(r["count"] == 5 for r in sizes)
+
+
+def test_cosine_matches_numpy(spark, emb):
+    import numpy as np
+
+    rows = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.filter("vec_id < 3").collect()}
+    out = S.cosine_topk(emb.filter("vec_id < 3"), emb.filter("vec_id < 3"), k=2, include_self=False)
+    for r in out.collect():
+        a, b = rows[r.query_id], rows[r.neighbor_id]
+        expect = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert math.isclose(r.cos_sim, round(expect, 6), abs_tol=2e-6)
+
+
+def test_normalize_unit_norm(emb):
+    normed = S.normalize(emb.limit(20))
+    norms = S.with_norm(normed).select("norm").collect()
+    assert all(abs(r.norm - 1.0) < 1e-9 for r in norms)
+
+
+def test_ann_recall_against_exact(emb):
+    """ANN with several tables should recover most exact top-5 neighbors on
+    the 64-dim fixture (recall isn't 1.0 by design; assert a sane floor)."""
+    q = emb.filter("vec_id < 20")
+    exact = S.cosine_topk(q, emb, k=5)
+    # uniform random vectors are LSH's worst case (5th-neighbor angle ≈ 70°,
+    # per-table collision ≈ (1-θ/π)^bits) — use short signatures, many tables
+    ann = S.ann_cosine_topk(q, emb, k=5, bits=4, tables=12)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in ann.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"ANN recall too low: {recall}"
+
+
+def test_embedding_dedup_finds_planted_duplicate(spark, emb):
+    dup = emb.filter("vec_id = 7").withColumn("vec_id", F.lit(999_999).cast("long"))
+    with_dup = emb.unionByName(dup)
+    pairs = S.embedding_dedup_candidates(with_dup, cos_threshold=0.99)
+    hit = pairs.filter("id_a = 7 AND id_b = 999999")
+    assert hit.count() == 1
+    assert abs(hit.first().cos_sim - 1.0) < 1e-6

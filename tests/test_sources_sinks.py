@@ -1,0 +1,103 @@
+"""File source/sink and catalog tests (SURVEY §2.1 S1-S13)."""
+
+import csv
+import os
+
+import pytest
+
+from clickhouse_flatfile_tool_spark.sinks import writers as W
+from clickhouse_flatfile_tool_spark.sources import files as FS
+from clickhouse_flatfile_tool_spark.sources.catalog import describe_table, list_tables, ping
+
+
+@pytest.fixture()
+def csv_file(tmp_path):
+    p = tmp_path / "people.csv"
+    p.write_text("id,name,score\n1,alice,9.5\n2,bob,7.25\n\n3,carol,8.0\n")
+    return str(p)
+
+
+def test_read_csv_header(spark, csv_file):
+    df, resolved = FS.read_csv(spark, csv_file)
+    assert resolved.origin == "header"
+    assert df.columns == ["id", "name", "score"]
+    assert df.count() == 3  # empty line skipped (server.js:480 analog)
+    assert all(t == "string" for _, t in df.dtypes)  # all-String like the reference
+
+
+def test_read_csv_projection(spark, csv_file):
+    df, _ = FS.read_csv(spark, csv_file, columns=["name"])
+    assert df.columns == ["name"]
+
+
+def test_read_csv_infer(spark, csv_file):
+    df, _ = FS.read_csv(spark, csv_file, infer_types=True)
+    types = dict(df.dtypes)
+    assert types["id"] in ("int", "bigint") and types["score"] == "double"
+
+
+def test_read_csv_headerless(spark, tmp_path):
+    p = tmp_path / "raw.csv"
+    p.write_text("1,foo,2.5\n2,bar,3.5\n")
+    df, resolved = FS.read_csv(spark, str(p))
+    assert resolved.origin == "headerless"
+    assert df.columns == ["column_1", "column_2", "column_3"]
+    assert df.count() == 2
+
+
+def test_read_csv_rejects_bad_extension(spark, tmp_path):
+    p = tmp_path / "data.parquet"
+    p.write_text("x")
+    with pytest.raises(ValueError):
+        FS.read_csv(spark, str(p))
+
+
+def test_uk_preset_csv(spark, tmp_path):
+    p = tmp_path / "pp-monthly.csv"
+    row = ",".join(f"v{i}" for i in range(16))
+    p.write_text(f"{row}\n{row}\n")
+    df, resolved = FS.read_csv(spark, str(p))
+    assert resolved.origin == "preset"
+    assert df.columns[:3] == ["transaction_id", "price", "date_of_transfer"]
+    assert df.count() == 2  # no header row consumed — preset files are headerless
+
+
+def test_export_csv_roundtrip(spark, tables, tmp_path):
+    out = str(tmp_path / "region_export.csv")
+    W.export_csv(tables["region"].orderBy("r_regionkey"), out)
+    with open(out) as fh:
+        rows = list(csv.reader(fh))
+    assert rows[0] == ["r_regionkey", "r_name"]  # CSVWithNames analog
+    assert len(rows) - 1 == tables["region"].count()
+
+
+def test_table_sink_and_catalog(spark, tables):
+    W.create_table_if_absent(tables["region"], "t_region", sort_by=["r_regionkey"])
+    # mode("ignore"): second create is a no-op, not an error or overwrite
+    W.create_table_if_absent(tables["region"].limit(1), "t_region")
+    assert spark.table("t_region").count() == tables["region"].count()
+    assert "t_region" in list_tables(spark)
+    desc = describe_table(spark, "t_region")
+    # saved parquet tables surface nullable fields → Nullable(...) mapping
+    assert desc[0]["name"] == "r_regionkey"
+    assert desc[0]["clickhouse_type"] == "Nullable(Int32)"
+    n = W.append_table(tables["region"], "t_region")
+    assert n == tables["region"].count()
+    assert spark.table("t_region").count() == 2 * n
+
+
+def test_bootstrap_sample_data(spark):
+    df = W.bootstrap_sample_data(spark, table="t_sample")
+    assert df.count() == 5
+    names = {r.name for r in df.collect()}
+    assert "John Doe" in names and "Charlie Wilson" in names  # golden rows
+
+
+def test_ping(spark):
+    assert ping(spark)
+
+
+def test_nanos_parquet_read(spark, sf_dir):
+    df = FS.read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert df.count() > 0

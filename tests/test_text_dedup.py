@@ -1,0 +1,99 @@
+"""Text-analysis and dedup tests (EXT E1/E2/E4) — property-style invariants
+per SURVEY §5.2(4): dedup output ⊆ input, planted dups always caught."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_flatfile_tool_spark.operators import dedup as D
+from clickhouse_flatfile_tool_spark.operators import text as X
+
+
+@pytest.fixture(scope="module")
+def docs(tables):
+    return tables["documents"]
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different text")],
+        ["doc_id", "text"],
+    )
+    fps = {r.doc_id: r.fp for r in df.select("doc_id", X.fingerprint("text").alias("fp")).collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_exact_dedup_subset_and_planted(spark, docs):
+    # plant an exact duplicate of doc 0 with a new id
+    dup = docs.filter("doc_id = 0").withColumn("doc_id", F.lit(999_999))
+    with_dup = docs.unionByName(dup)
+    out = D.exact_dedup_canonical(with_dup)
+    assert out.count() == docs.select(X.fingerprint("text")).distinct().count()
+    # the planted dup collapsed into doc 0's group
+    assert out.filter("doc_id = 0").first().dup_count >= 2
+    assert out.filter("doc_id = 999999").count() == 0  # min-id survivor policy
+
+
+def test_token_count_matches_python(docs):
+    sample = docs.select("doc_id", "text", X.token_count("text").alias("n")).limit(50).collect()
+    for r in sample:
+        assert r.n == len(r.text.split())
+
+
+def test_quality_score_bounded(docs):
+    scores = X.with_quality_score(docs).select("quality_score").collect()
+    assert all(0.0 <= r.quality_score <= 1.0 for r in scores)
+
+
+def test_lang_id_marker_sentences(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "der hund und die katze das haus"),
+            (3, "le chat et la maison les arbres des"),
+            (4, "好"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.lang_pred for r in X.with_lang_id(df).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "fr" and out[4] == "zh"
+
+
+def test_minhash_catches_planted_near_dup(spark, docs):
+    # near-dup: copy doc 0's text with one word changed
+    base = docs.filter("doc_id = 0").first().text
+    words = base.split()
+    words[len(words) // 2] = "XXREPLACEDXX"
+    near = spark.createDataFrame(
+        [(999_999, " ".join(words), "en", "synthetic", len(base))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    with_near = docs.unionByName(near)
+    cands = D.minhash_lsh_candidates(with_near)
+    assert cands.filter("id_a = 0 AND id_b = 999999").count() == 1
+    # dedup drops the higher id, keeps the original
+    # one changed word in a ~20-word doc alters 3 shingles → jaccard ≈ 0.7
+    survivors = D.minhash_dedup(with_near, jaccard_threshold=0.6)
+    ids = {r.doc_id for r in survivors.select("doc_id").collect()}
+    assert 0 in ids and 999_999 not in ids
+
+
+def test_dedup_output_subset(docs):
+    survivors = D.minhash_dedup(docs)
+    assert survivors.count() <= docs.count()
+    # survivors ⊆ input ids
+    assert survivors.join(docs, "doc_id", "left_anti").count() == 0
+
+
+def test_jaccard_verify_self_pair(spark, docs):
+    pairs = spark.createDataFrame([(0, 0)], ["id_a", "id_b"])
+    out = D.jaccard_verify(docs, pairs).first()
+    assert out.jaccard == 1.0
+
+
+def test_simhash_near_dup_close(spark, docs):
+    sigs = D.simhash_signatures(docs.limit(20))
+    assert sigs.count() == 20
+    # identical text → identical signature
+    two = spark.createDataFrame([(1, "a b c d e f g"), (2, "a b c d e f g")], ["doc_id", "text"])
+    s = [r.simhash for r in D.simhash_signatures(two).collect()]
+    assert s[0] == s[1]
