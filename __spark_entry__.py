@@ -256,6 +256,113 @@ def q_event_funnel(spark, d):
     return events.event_type_funnel(_t(spark, d, "events"))
 
 
+def q_left_join(spark, d):
+    c = _t(spark, d, "customer")
+    o = _t(spark, d, "orders")
+    j = relational.chain_join([c, o], ["c_custkey = o_custkey"], how="left")
+    return j.groupBy("c_custkey", "c_name").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("sum_spend"),
+    )
+
+
+def q_semi_join(spark, d):
+    c = _t(spark, d, "customer")
+    o = _t(spark, d, "orders").filter("o_orderstatus = 'F'")
+    j = relational.chain_join([c, o], ["c_custkey = o_custkey"], how="left_semi")
+    return j.select("c_custkey", "c_name", "c_mktsegment")
+
+
+def q_anti_join(spark, d):
+    c = _t(spark, d, "customer")
+    o = _t(spark, d, "orders")
+    j = relational.chain_join([c, o], ["c_custkey = o_custkey"], how="left_anti")
+    return j.select("c_custkey", "c_name")
+
+
+def q_except(spark, d):
+    c = _t(spark, d, "customer").select("c_custkey")
+    o = _t(spark, d, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return relational.except_(c, o)
+
+
+def q_asof_join(spark, d):
+    ev = _t(spark, d, "events")
+    purchases = ev.filter("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    clicks = (
+        ev.filter("event_type = 'click'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = relational.asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["click_value"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("ts_asof").alias("click_ts"),
+        F.round("click_value_asof", 2).alias("click_value"),
+    )
+
+
+def q_range_join(spark, d):
+    p = _t(spark, d, "part")
+    bands = spark.createDataFrame(
+        [(0.0, 930.0, "low"), (930.0, 960.0, "mid"), (960.0, 1e9, "high")],
+        "lo double, hi double, band string",
+    )
+    j = relational.range_join(
+        p.select("p_partkey", "p_retailprice"), bands,
+        ["p_retailprice >= lo", "p_retailprice < hi"],
+    )
+    return j.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("p_retailprice"), 2).alias("sum_price"),
+    )
+
+
+def q_grouping_sets(spark, d):
+    li = _t(spark, d, "lineitem")
+    out = relational.grouping_sets(
+        li,
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        ["l_returnflag", "l_linestatus"],
+        [("sum", "l_quantity", "sum_qty"), ("count", "l_orderkey", "n")],
+    )
+    return out.select(
+        "l_returnflag", "l_linestatus", F.round("sum_qty", 2).alias("sum_qty"), "n"
+    )
+
+
+def q_ntile(spark, d):
+    o = _t(spark, d, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+    keys = [F.desc("o_totalprice"), F.asc("o_orderkey")]
+    out = relational.ranked(o, ["o_orderpriority"], keys, "ntile:4", "quartile")
+    out = relational.ranked(out, ["o_orderpriority"], keys, "dense_rank", "drk")
+    return out.select("o_orderkey", "o_orderpriority", "quartile", "drk")
+
+
+def q_running_sum(spark, d):
+    o = _t(spark, d, "orders").select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    out = relational.running_agg(
+        o, ["o_custkey"], [F.asc("o_orderdate"), F.asc("o_orderkey")],
+        "o_totalprice", "sum", "running_spend",
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", F.round("running_spend", 2).alias("running_spend")
+    )
+
+
+def q_agg_stats(spark, d):
+    li = _t(spark, d, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.round(F.stddev("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.percentile("l_quantity", 0.5), 2).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", 0.9), 2).alias("p90_price"),
+    )
+
+
 def q_dedup_exact(spark, d):
     return dedup.exact_dedup_canonical(_t(spark, d, "documents"))
 
@@ -322,6 +429,40 @@ def q_embedding_norm(spark, d):
     return similarity.with_norm(emb).select("vec_id", F.round("norm", 6).alias("norm"))
 
 
+def q_embedding_dedup(spark, d):
+    emb = _t(spark, d, "embeddings")
+    return similarity.cosine_dedup_pairs(emb, cos_threshold=0.4)
+
+
+def q_embedding_dedup_lsh(spark, d):
+    emb = _t(spark, d, "embeddings")
+    return similarity.embedding_dedup_candidates(emb, cos_threshold=0.4)
+
+
+def q_doc_fingerprint(spark, d):
+    docs = _t(spark, d, "documents")
+    return (
+        docs.withColumn("fp", text.rolling_fingerprint("text"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_dups"))
+        .select("doc_id", "n_dups")
+    )
+
+
+def q_pipeline_filter_dedup(spark, d):
+    """Composite training-data pipeline: quality filter → exact dedup →
+    multimodal join (the end-to-end shape the EXT operators exist for)."""
+    docs = _t(spark, d, "documents")
+    emb = _t(spark, d, "embeddings")
+    good = text.with_quality_score(docs).filter(F.col("quality_score") >= 0.5)
+    surv = (
+        good.withColumn("__fp", text.fingerprint("text"))
+        .groupBy("__fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return relational.chain_join([surv, emb], ["doc_id = vec_id"]).select("doc_id", "label")
+
+
 def q_multimodal_join(spark, d):
     docs = _t(spark, d, "documents")
     emb = _t(spark, d, "embeddings")
@@ -365,6 +506,32 @@ def q_stream_dedup(spark, d):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def q_stream_session(spark, d):
+    """Streaming session windows (rows-only check)."""
+    tmp = tempfile.mkdtemp(prefix="cfts_ssess_")
+    out_dir, ckpt = os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+    try:
+        stream = stream_ops.read_event_stream(spark, os.path.join(d, "events.parquet"))
+        result = stream_ops.sessionized(stream, "30 minutes", "1 hour")
+        stream_ops.run_available_now(result, out_dir, ckpt)
+        return spark.read.parquet(out_dir).select("user_id", "n_events")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def q_stream_stateful(spark, d):
+    """Custom stateful streaming op via applyInPandasWithState (rows-only)."""
+    tmp = tempfile.mkdtemp(prefix="cfts_sstate_")
+    out_dir, ckpt = os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+    try:
+        stream = stream_ops.read_event_stream(spark, os.path.join(d, "events.parquet"))
+        result = stream_ops.running_user_totals(stream)
+        stream_ops.run_available_now(result, out_dir, ckpt)
+        return spark.read.parquet(out_dir)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "preview_page": q_preview_page,
@@ -380,6 +547,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lag": q_window_lag,
         "rollup": q_rollup,
         "cube": q_cube,
+        "left_join": q_left_join,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "except": q_except,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "grouping_sets": q_grouping_sets,
+        "ntile": q_ntile,
+        "running_sum": q_running_sum,
+        "agg_stats": q_agg_stats,
         "scalar_funcs": q_scalar_funcs,
         "pivot": q_pivot,
         "json_props": q_json_props,
@@ -399,10 +576,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_topk": q_ann_topk,
         "embedding_norm": q_embedding_norm,
+        "embedding_dedup": q_embedding_dedup,
+        "embedding_dedup_lsh": q_embedding_dedup_lsh,
+        "doc_fingerprint": q_doc_fingerprint,
+        "pipeline_filter_dedup": q_pipeline_filter_dedup,
         "multimodal_join": q_multimodal_join,
         "multimodal_features": q_multimodal_features,
         "stream_tumbling": q_stream_tumbling,
         "stream_dedup": q_stream_dedup,
+        "stream_session": q_stream_session,
+        "stream_stateful": q_stream_stateful,
     }
 
 
@@ -600,6 +783,63 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(o_totalprice), 2) AS sum_price "
             "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"
         ),
+        "left_join": (
+            "SELECT c_custkey, c_name, count(o_orderkey) AS n_orders, "
+            "round(coalesce(sum(o_totalprice), 0), 2) AS sum_spend "
+            "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+            "GROUP BY c_custkey, c_name"
+        ),
+        "semi_join": (
+            "SELECT c_custkey, c_name, c_mktsegment FROM customer "
+            "WHERE EXISTS (SELECT 1 FROM orders "
+            "WHERE o_custkey = c_custkey AND o_orderstatus = 'F')"
+        ),
+        "anti_join": (
+            "SELECT c_custkey, c_name FROM customer "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+        ),
+        "except": (
+            "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders"
+        ),
+        "asof_join": (
+            "WITH p AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'purchase'), "
+            "c AS (SELECT user_id, ts, max(value) AS click_value FROM events "
+            "WHERE event_type = 'click' GROUP BY user_id, ts) "
+            "SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts, "
+            "round(c.click_value, 2) AS click_value "
+            "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"
+        ),
+        "range_join": (
+            "SELECT band, count(*) AS n_parts, round(sum(p_retailprice), 2) AS sum_price "
+            "FROM part JOIN (VALUES (0.0, 930.0, 'low'), (930.0, 960.0, 'mid'), "
+            "(960.0, 1000000000.0, 'high')) b(lo, hi, band) "
+            "ON p_retailprice >= lo AND p_retailprice < hi GROUP BY band"
+        ),
+        "grouping_sets": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+            "count(l_orderkey) AS n FROM lineitem GROUP BY GROUPING SETS "
+            "((l_returnflag, l_linestatus), (l_returnflag), ())"
+        ),
+        "ntile": (
+            "SELECT o_orderkey, o_orderpriority, "
+            "ntile(4) OVER w AS quartile, dense_rank() OVER w AS drk "
+            "FROM orders WINDOW w AS "
+            "(PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)"
+        ),
+        "running_sum": (
+            "SELECT o_custkey, o_orderkey, "
+            "round(sum(o_totalprice) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) "
+            "AS running_spend FROM orders"
+        ),
+        "agg_stats": (
+            "SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp, "
+            "round(stddev_samp(l_quantity), 4) AS sd_qty, "
+            "round(quantile_cont(l_quantity, 0.5), 2) AS median_qty, "
+            "round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
         "scalar_funcs": (
             "SELECT o_orderkey, upper(o_orderstatus) AS status_u, "
             "substr(o_orderpriority, 1, 1) AS prio_code, "
@@ -667,6 +907,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, round(sqrt(sum(x * x)), 6) AS norm FROM ("
             "  SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM embeddings"
             ") GROUP BY vec_id"
+        ),
+        "embedding_dedup": (
+            "WITH pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "a.embedding AS ea, b.embedding AS eb "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id), "
+            "u AS (SELECT id_a, id_b, unnest(ea)::DOUBLE AS x, unnest(eb)::DOUBLE AS y "
+            "FROM pairs), "
+            "cos AS (SELECT id_a, id_b, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS c "
+            "FROM u GROUP BY id_a, id_b) "
+            "SELECT id_a, id_b, round(c, 6) AS cos_sim FROM cos WHERE c >= 0.4"
+        ),
+        "doc_fingerprint": (
+            f"SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY {_FP}"
+        ),
+        "pipeline_filter_dedup": (
+            f"""WITH m AS (
+  SELECT doc_id, text,
+         {_NTOK} AS n_tokens,
+         length(regexp_replace(text, '\\s+', '', 'g'))
+           / greatest({_NTOK}, 1) AS avg_word_len,
+         {_PUNCT} / greatest(length(text), 1) AS punct_ratio
+  FROM documents
+), good AS (
+  SELECT doc_id, text FROM m
+  WHERE round(0.5 * least(n_tokens / 100.0, 1.0)
+      + 0.4 * (1.0 - least(abs(avg_word_len - 5.0) / 5.0, 1.0))
+      + 0.1 * (1.0 - least(punct_ratio * 4.0, 1.0)), 6) >= 0.5
+), surv AS (
+  SELECT min(doc_id) AS doc_id FROM good GROUP BY {_FP}
+)
+SELECT s.doc_id, e.label FROM surv s JOIN embeddings e ON s.doc_id = e.vec_id"""
         ),
         "multimodal_join": (
             "SELECT doc_id, lang, label, len(embedding)::BIGINT AS dim "

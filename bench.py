@@ -30,6 +30,11 @@ BENCH_QUERIES = [
     "topk",
     "window_rank",
     "rollup",
+    "grouping_sets",
+    "left_join",
+    "asof_join",
+    "running_sum",
+    "agg_stats",
     "scalar_funcs",
     "tumbling_window",
     "session_window",
@@ -41,6 +46,7 @@ BENCH_QUERIES = [
     "minhash_candidates",
     "simhash_candidates",
     "cosine_topk",
+    "embedding_dedup",
     "embedding_norm",
     "multimodal_join",
 ]

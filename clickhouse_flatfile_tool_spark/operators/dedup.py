@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from clickhouse_flatfile_tool_spark.operators.text import fingerprint
+from clickhouse_flatfile_tool_spark.partitioning import ensure_parallelism
 
 # ---------------------------------------------------------------------------
 # E1: exact dedup
@@ -52,14 +53,67 @@ def exact_dedup_canonical(
 
 def word_shingles(text_col: str | Column = "text", n: int = 3) -> Column:
     """Distinct word n-gram shingle set as an array<string> column —
-    built-in ``transform`` over a sequence of start offsets, JVM-side."""
+    built-in ``transform`` over a sequence of start offsets, JVM-side.
+
+    CAUTION: embedding this directly over a raw text column makes Catalyst
+    re-evaluate the ``split`` per element (O(tokens²) per doc — measured 5×
+    slowdown on the fixture).  Prefer :func:`shingle_postings` /
+    :func:`shingle_sets`, which materialize the words array first.
+    """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    words = F.split(F.trim(F.lower(c)), r"\s+")
+    return _shingles_from_words(F.split(F.trim(F.lower(c)), r"\s+"), n)
+
+
+def _shingles_from_words(words: Column, n: int) -> Column:
+    """Shingle array via n shifted slices zipped together.  The obvious form
+    — ``transform(sequence(...), i -> slice(words, i+1, n))`` — re-evaluates
+    ``words`` (and any expression feeding it, e.g. the regex split) once per
+    ELEMENT because Catalyst neither hoists loop-invariant lambda captures
+    nor stops CollapseProject from inlining the words projection: O(tokens²)
+    per document.  Zipping shifted slices references ``words`` a constant
+    n+1 times per ROW (measured 5× faster on the fixture)."""
     n_sh = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
-    idx = F.sequence(F.lit(0), n_sh - 1)
+    slices = [F.slice(words, k + 1, n_sh) for k in range(n)]
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+        F.transform(
+            F.arrays_zip(*slices),
+            lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)]),
+        )
     )
+
+
+def shingle_sets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingles array<string>) with the words array materialized in a
+    separate projection so the split runs once per document, not once per
+    shingle (the projection boundary defeats Catalyst's per-element
+    re-evaluation inside Generate/transform)."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return (
+        ensure_parallelism(df)
+        .select(F.col(id_col), words.alias("__w"))
+        .select(F.col(id_col), _shingles_from_words(F.col("__w"), n).alias("__sh"))
+    )
+
+
+def shingle_postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    hashed: bool = True,
+) -> DataFrame:
+    """Exploded shingle inverted-index postings: one row per (id, shingle).
+    ``hashed=True`` emits ``xxhash64`` longs instead of strings — 8-byte
+    fixed-width join/shuffle keys instead of variable-length text (collision
+    odds 2⁻⁶⁴; the standard trade in every shingle pipeline)."""
+    sets_df = shingle_sets(df, id_col, text_col, n)
+    sh = F.explode(F.col("__sh")).alias("__s")
+    out = sets_df.select(F.col(id_col), sh)
+    if hashed:
+        return out.select(F.col(id_col), F.xxhash64("__s").alias("__s"))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -78,18 +132,17 @@ def minhash_signatures(
     for hash i, the minimum of ``xxhash64(shingle, seed+i)`` over the doc's
     shingle set.
 
-    Shape: explode shingles → per-row xxhash64 for each hash function →
-    groupBy(id) min-agg.  Each hash computes once per (shingle, i); the
-    min-agg combines map-side, so the shuffle carries one signature row per
+    Shape: explode hashed shingles → per-row xxhash64(long, i) for each hash
+    function → groupBy(id) min-agg.  The shingle string is hashed ONCE; the
+    per-function re-hash works on an 8-byte long, not the text.  The min-agg
+    combines map-side, so the shuffle carries one signature row per
     document — the layout that scales (a single nested
     array_min(transform(...))×H expression recomputes the shingle array H
     times and blows up codegen; measured 30× slower).
     """
-    exploded = df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("__sh")
-    )
+    exploded = shingle_postings(df, id_col, text_col, shingle_n)
     mins = [
-        F.min(F.xxhash64("__sh", F.lit(seed + i))).alias(f"mh_{i}")
+        F.min(F.xxhash64("__s", F.lit(seed + i))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     return exploded.groupBy(id_col).agg(*mins)
@@ -188,9 +241,7 @@ def jaccard_verify(
     """Exact shingle-set Jaccard for candidate pairs: two broadcast-friendly
     equi-joins to attach shingle sets, then array_intersect/union sizes —
     all JVM-side."""
-    sh = df.select(
-        F.col(id_col), word_shingles(text_col, shingle_n).alias("__sh")
-    )
+    sh = shingle_sets(df, id_col, text_col, shingle_n)
     out = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
@@ -213,6 +264,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    prune_singletons: bool = False,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via shingle inverted index: explode
     shingles → self-equi-join on shingle → count shared per pair → Jaccard
@@ -222,12 +274,26 @@ def ngram_jaccard_pairs(
     shingle value (equi-join), so only pairs sharing ≥1 shingle ever meet —
     still quadratic in the worst case, which is exactly why minhash_lsh_*
     is the scale path (documented tradeoff).
+
+    ``prune_singletons`` drops shingles held by a single document before the
+    self-join (they cannot produce a pair; |A∩B| is unaffected).  Enable it
+    for natural-text corpora, where most shingles are singletons and the
+    pruning pays for its extra groupBy many times over; leave it off for
+    small-vocabulary corpora (like the synthetic fixture) where nearly every
+    shingle repeats and the pruning is pure overhead — measured both ways.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, shingle_n)).alias("sh"),
+    sh = shingle_postings(df, id_col, text_col, shingle_n).select(
+        F.col(id_col).alias("id"), F.col("__s").alias("sh")
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    if prune_singletons:
+        repeated = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") >= 2)
+            .select("sh")
+        )
+        sh = sh.join(repeated, on="sh", how="left_semi")
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, on=[F.col("a.sh") == F.col("b.sh"), F.col("a.id") < F.col("b.id")])
@@ -265,9 +331,9 @@ def simhash_signatures(
     sum-agg → pack bits.  ``shiftleft`` (never a Python ``1 << 63`` literal,
     which overflows a JVM long) assembles the signature.
     """
-    exploded = df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, 2)).alias("__sh")
-    ).select(F.col(id_col), F.xxhash64("__sh", F.lit(seed)).alias("__h"))
+    exploded = shingle_postings(df, id_col, text_col, 2).select(
+        F.col(id_col), F.xxhash64("__s", F.lit(seed)).alias("__h")
+    )
     # long format: one row per (doc, bit) — keeps every expression tiny
     # (a 64-wide agg + 64-term signature expression compiles ~50s of codegen;
     # this shape runs in constant small time and scales the same)

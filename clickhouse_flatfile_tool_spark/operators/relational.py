@@ -139,6 +139,110 @@ def chain_join(
     return reduce(one, zip(dfs[1:], conditions), dfs[0])
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    allow_exact_matches: bool = True,
+) -> DataFrame:
+    """As-of join (EXT J3): each left row picks the latest right row with
+    ``right_ts <= left_ts`` (``<`` when ``allow_exact_matches=False``) within
+    the same ``on`` key — the time-series point-in-time join the reference
+    lacks and Spark has no built-in for.
+
+    Implementation is the *union + running last_value* idiom, not a lateral
+    or range cross-join: tag right rows 0 and left rows 1, union, then one
+    window per ``on`` key ordered by (ts, tag) carrying
+    ``last(right value, ignorenulls=True)`` forward.  Exactly one shuffle on
+    the join key, state per key is O(1) — the shape that survives 100 TB
+    (a per-left-row subquery would be O(n·m); an inequality join without an
+    equi key would be a cross join).
+
+    Output: all left columns + ``<col>_asof`` for each of ``right_cols`` and
+    ``{right_ts}_asof`` (NULL when no right row precedes).
+    """
+    lt = left.withColumn("__tag", F.lit(1 if allow_exact_matches else 0))
+    rt = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0 if allow_exact_matches else 1).alias("__tag"),
+        F.struct(F.col(right_ts).alias(f"{right_ts}_asof"),
+                 *[F.col(c).alias(f"{c}_asof") for c in right_cols]).alias("__rv"),
+    )
+    unioned = lt.withColumn("__ts", F.col(left_ts)).withColumn(
+        "__rv", F.lit(None).cast(rt.schema["__rv"].dataType)
+    ).unionByName(
+        rt.select(*[F.lit(None).cast(lt.schema[c.name].dataType).alias(c.name)
+                    for c in lt.schema if c.name not in (on, "__tag")],
+                  on, "__tag", "__ts", "__rv"),
+        allowMissingColumns=False,
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts").asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn("__m", F.last("__rv", ignorenulls=True).over(w))
+    out_cols = [c for c in left.columns] + [
+        F.col(f"__m.{right_ts}_asof").alias(f"{right_ts}_asof")
+    ] + [F.col(f"__m.{c}_asof").alias(f"{c}_asof") for c in right_cols]
+    return matched.filter(F.col("__tag") == (1 if allow_exact_matches else 0)) \
+        .filter(F.col(left_ts).isNotNull()).select(*out_cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    conditions: list[str | Column],
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Interval/band join (EXT J3): join on inequality conditions (e.g.
+    ``value >= lo AND value < hi``).  Without an equi key Catalyst plans
+    BroadcastNestedLoopJoin — acceptable ONLY when one side is tiny (a band
+    dimension), hence ``broadcast_right`` defaults on; a big-big range join
+    should be rewritten by bucketing the range key first (see
+    ``bucketed_range_join``)."""
+    cond = None
+    for c in conditions:
+        col = F.expr(c) if isinstance(c, str) else c
+        cond = col if cond is None else cond & col
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on=cond, how="inner")
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+    extra_cond: Column | None = None,
+) -> DataFrame:
+    """Big-big range join rewrite: explode each right interval into the
+    fixed-width buckets it overlaps, join on bucket equality (an equi-join →
+    hash shuffle, no nested loop), then re-verify the exact range predicate.
+    The classic interval-join strategy at scale; bucket_width should be the
+    typical interval width."""
+    lb = left.withColumn("__bk", F.floor(F.col(left_point) / bucket_width))
+    rb = right.withColumn(
+        "__bk",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / bucket_width),
+                F.floor(F.col(right_hi) / bucket_width),
+            )
+        ),
+    )
+    cond = (F.col(left_point) >= F.col(right_lo)) & (F.col(left_point) < F.col(right_hi))
+    if extra_cond is not None:
+        cond = cond & extra_cond
+    return lb.join(rb, on="__bk").filter(cond).drop("__bk")
+
+
 def join_candidates(
     schemas: dict[str, list[tuple[str, str]]]
 ) -> list[dict[str, str]]:
@@ -247,12 +351,47 @@ def ranked(
 ) -> DataFrame:
     """Ranking window (row_number/rank/dense_rank/ntile)."""
     w = Window.partitionBy(*partition_by).orderBy(*order_by_cols)
+    if fn.startswith("ntile"):
+        n = int(fn.split(":")[1]) if ":" in fn else 4
+        return df.withColumn(alias, F.ntile(n).over(w))
     fns = {
         "row_number": F.row_number,
         "rank": F.rank,
         "dense_rank": F.dense_rank,
+        "percent_rank": F.percent_rank,
+        "cume_dist": F.cume_dist,
     }
     return df.withColumn(alias, fns[fn]().over(w))
+
+
+def running_agg(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by_cols: list[str | Column],
+    value_col: str,
+    fn: str = "sum",
+    alias: str = "running",
+) -> DataFrame:
+    """Cumulative window aggregate (EXT §2.6 frames): ``fn(value)`` over
+    rows UNBOUNDED PRECEDING..CURRENT ROW within each partition."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(alias, _AGG_FNS[fn](value_col).over(w))
+
+
+def grouping_sets(
+    df: DataFrame,
+    sets: list[list[str]],
+    group_cols: list[str],
+    aggs: list[tuple[str, str, str]],
+) -> DataFrame:
+    """GROUP BY GROUPING SETS (EXT A4) — the general form of rollup/cube;
+    same partial-agg + one-shuffle execution."""
+    exprs = [_AGG_FNS[fn](col).alias(alias) for fn, col, alias in aggs]
+    return df.groupingSets([list(s) for s in sets], *group_cols).agg(*exprs)
 
 
 def top_k_per_group(

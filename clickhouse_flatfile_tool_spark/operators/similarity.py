@@ -179,6 +179,67 @@ def ann_cosine_topk(
     return ranked.select("query_id", "neighbor_id", F.round("__cos", 6).alias("cos_sim"))
 
 
+def cosine_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cos_threshold: float = 0.9,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b,
+    cos ≥ threshold) — the correctness baseline for semantic dedup.
+
+    Plan shape: the corpus matrix is L2-normalized and broadcast once
+    (N×d floats — fine to ~1M×64); each partition then BLAS-multiplies its
+    own rows against it inside ``mapInPandas`` (Arrow batches, numpy) and
+    emits only above-threshold pairs.  No pair row ever materializes below
+    the threshold, and the corpus shuffles zero times.  Beyond broadcastable
+    N, :func:`embedding_dedup_candidates` is the LSH-bucketed scale path
+    with identical output semantics minus recall.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    rows = df.select(F.col(id_col), F.col(vec_col)).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast((ids, mat))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType(), False),
+            T.StructField("id_b", T.LongType(), False),
+            T.StructField("cos_sim", T.DoubleType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_mat = bc.value
+        for pdf in batches:
+            my_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            sims = v @ all_mat.T
+            keep = (sims >= cos_threshold) & (my_ids[:, None] < all_ids[None, :])
+            ai, bi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "id_a": my_ids[ai],
+                    "id_b": all_ids[bi],
+                    "cos_sim": np.round(sims[ai, bi], 6),
+                }
+            )
+
+    from clickhouse_flatfile_tool_spark.partitioning import ensure_parallelism
+
+    return ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(gen, out_schema)
+
+
 def embedding_dedup_candidates(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from clickhouse_flatfile_tool_spark.partitioning import ensure_parallelism
+
 # whitespace tokenization + a BPE-ish wordpiece regex for subword-level counts
 _WS_SPLIT = r"\s+"
 # "word-ish runs or single non-space symbol" — approximates BPE pre-tokenization
@@ -50,7 +52,7 @@ def with_text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     stop_hits = F.size(F.array_intersect(words, F.array(*[F.lit(s) for s in _STOPWORDS])))
     n_chars = F.length(c)
     return (
-        df.withColumn("n_chars_m", n_chars)
+        ensure_parallelism(df).withColumn("n_chars_m", n_chars)
         .withColumn("n_tokens", n_tokens)
         .withColumn("n_bpe_tokens", bpe_ish_token_count(text_col))
         .withColumn(
@@ -132,6 +134,29 @@ def fingerprint(col: str | Column = "text") -> Column:
     detector's key."""
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(F.regexp_replace(F.trim(F.lower(c)), _WS_SPLIT, " "))
+
+
+def rolling_fingerprint(col: str | Column = "text", base: int = 1_000_003) -> Column:
+    """Polynomial rolling-hash fingerprint over the normalized word sequence —
+    order-sensitive (unlike a bag-of-words hash), whitespace/case-insensitive,
+    pure codegen via built-in ``aggregate``.  Two independent 31-bit rolling
+    hashes (mod 2³¹, different word-hash seeds — ANSI-safe, no long overflow)
+    packed into one 62-bit value, so collision odds are ~2⁻⁶².  The rolling
+    form is the building block for content-defined chunking."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.trim(F.lower(c)), _WS_SPLIT)
+    m = F.lit(2_147_483_647).cast("long")  # 2^31 - 1
+
+    def roll(seed: int) -> Column:
+        return F.aggregate(
+            words,
+            F.lit(0).cast("long"),
+            lambda acc, w: F.pmod(
+                acc * F.lit(base).cast("long") + F.pmod(F.xxhash64(w, F.lit(seed)), m), m
+            ),
+        )
+
+    return F.shiftleft(roll(0), 31) + roll(1)
 
 
 def corpus_stats(df: DataFrame, group_cols: list[str] = ["lang"]) -> DataFrame:

@@ -98,3 +98,33 @@ def test_streaming_dedup_bounded(spark, sf_dir):
         assert got.count() == distinct_keys
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_running_user_totals_stateful(spark, sf_dir, tmp_path):
+    """applyInPandasWithState custom stateful op: totals must equal the batch
+    groupBy at AvailableNow completion (single-batch source → one emission
+    per user)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_flatfile_tool_spark.sources.files import read_parquet
+    from clickhouse_flatfile_tool_spark.streaming import stream_ops
+
+    path = os.path.join(sf_dir, "events.parquet")
+    stream = stream_ops.read_event_stream(spark, path)
+    result = stream_ops.running_user_totals(stream)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream_ops.run_available_now(result, out_dir, ckpt)
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        r.user_id: (r.n, round(r.tv, 2))
+        for r in read_parquet(spark, path)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert got == want

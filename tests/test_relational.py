@@ -119,3 +119,91 @@ def test_set_ops(tables):
     assert R.intersect(a, b).count() == b.count()  # b ⊆ a
     assert R.except_(b, a).count() == 0
     assert R.union_all(a, b).count() == a.count() + b.count()
+
+
+# ---------------------------------------------------------------------------
+# EXT J3: as-of / range joins; window frames; grouping sets
+# ---------------------------------------------------------------------------
+
+def test_asof_join_picks_latest_preceding(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 15, "c")], "k int, t int, lbl string"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 10, 200.0), (1, 18, 300.0), (2, 99, 400.0)],
+        "k int, t int, v double",
+    )
+    out = {
+        (r.lbl): (r.t_asof, r.v_asof)
+        for r in R.asof_join(left, right, "k", "t", "t", ["v"]).collect()
+    }
+    assert out["a"] == (10, 200.0)   # exact match allowed
+    assert out["b"] == (18, 300.0)   # latest preceding
+    assert out["c"] == (None, None)  # nothing precedes
+
+    strict = {
+        (r.lbl): (r.t_asof, r.v_asof)
+        for r in R.asof_join(
+            left, right, "k", "t", "t", ["v"], allow_exact_matches=False
+        ).collect()
+    }
+    assert strict["a"] == (5, 100.0)  # exact match excluded
+
+
+def test_range_join_band_assignment(spark):
+    pts = spark.createDataFrame([(1, 5.0), (2, 15.0), (3, 25.0)], "id int, x double")
+    bands = spark.createDataFrame(
+        [(0.0, 10.0, "lo"), (10.0, 20.0, "mid"), (20.0, 30.0, "hi")],
+        "lo double, hi double, band string",
+    )
+    out = {r.id: r.band for r in R.range_join(pts, bands, ["x >= lo", "x < hi"]).collect()}
+    assert out == {1: "lo", 2: "mid", 3: "hi"}
+
+
+def test_bucketed_range_join_equals_naive(spark):
+    pts = spark.createDataFrame([(i, float(i)) for i in range(50)], "id int, x double")
+    iv = spark.createDataFrame(
+        [(0.0, 7.0, "a"), (5.0, 12.0, "b"), (40.0, 49.0, "c")],
+        "lo double, hi double, tag string",
+    )
+    naive = {
+        (r.id, r.tag)
+        for r in R.range_join(pts, iv, ["x >= lo", "x < hi"]).collect()
+    }
+    bucketed = {
+        (r.id, r.tag)
+        for r in R.bucketed_range_join(pts, iv, "x", "lo", "hi", 8.0).collect()
+    }
+    assert bucketed == naive and len(naive) > 0
+
+
+def test_grouping_sets_matches_sql(spark, tables):
+    tables["orders"].createOrReplaceTempView("orders_gs")
+    got = R.grouping_sets(
+        tables["orders"],
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        ["o_orderstatus", "o_orderpriority"],
+        [("count", "o_orderkey", "n")],
+    )
+    want = spark.sql(
+        "SELECT o_orderstatus, o_orderpriority, count(o_orderkey) AS n FROM orders_gs "
+        "GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())"
+    )
+    assert sorted(map(tuple, got.collect()), key=str) == sorted(map(tuple, want.collect()), key=str)
+
+
+def test_running_agg_cumulative(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 5.0), (2, 1, 7.0)], "k int, seq int, v double"
+    )
+    out = {
+        (r.k, r.seq): r.running
+        for r in R.running_agg(df, ["k"], [F.asc("seq")], "v", "sum").collect()
+    }
+    assert out == {(1, 1): 10.0, (1, 2): 30.0, (1, 3): 35.0, (2, 1): 7.0}
+
+
+def test_ntile_quartiles(spark):
+    df = spark.createDataFrame([(i,) for i in range(8)], "x int")
+    out = [r.q for r in R.ranked(df, [], [F.asc("x")], "ntile:4", "q").collect()]
+    assert out == [1, 1, 2, 2, 3, 3, 4, 4]

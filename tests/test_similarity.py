@@ -65,3 +65,17 @@ def test_embedding_dedup_finds_planted_duplicate(spark, emb):
     hit = pairs.filter("id_a = 7 AND id_b = 999999")
     assert hit.count() == 1
     assert abs(hit.first().cos_sim - 1.0) < 1e-6
+
+
+def test_cosine_dedup_pairs_exact(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),      # orthogonal
+        (4, [2.0, 0.0, 0.0]),      # same direction as 1, different norm
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from clickhouse_flatfile_tool_spark.operators.similarity import cosine_dedup_pairs
+
+    got = {(r.id_a, r.id_b) for r in cosine_dedup_pairs(df, cos_threshold=0.99).collect()}
+    assert got == {(1, 2), (1, 4), (2, 4)}

@@ -97,3 +97,21 @@ def test_simhash_near_dup_close(spark, docs):
     two = spark.createDataFrame([(1, "a b c d e f g"), (2, "a b c d e f g")], ["doc_id", "text"])
     s = [r.simhash for r in D.simhash_signatures(two).collect()]
     assert s[0] == s[1]
+
+
+def test_rolling_fingerprint_normalization(spark):
+    from clickhouse_flatfile_tool_spark.operators.text import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello  World foo"),
+            (2, "hello world FOO"),    # case/whitespace-insensitive dup of 1
+            (3, "foo hello world"),    # same words, different order — NOT a dup
+            (4, "hello world bar"),
+        ],
+        "id long, text string",
+    )
+    fp = {r.id: r.f for r in df.select("id", rolling_fingerprint("text").alias("f")).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]  # order-sensitive
+    assert fp[1] != fp[4]
