@@ -479,6 +479,43 @@ def q_multimodal_features(spark, d):
     return feats.select("doc_id", "n_bytes", "checksum")
 
 
+def q_multimodal_frames(spark, d):
+    """Video frame-sampling plan: explode-then-decode shape with a
+    data-derived duration so the frame count is oracle-checkable."""
+    docs = _t(spark, d, "documents").select("doc_id", "n_chars")
+    vids = multimodal.attach_payload(
+        docs, media_type="video", duration_expr=F.col("n_chars") * 40
+    )
+    frames = multimodal.frame_sample_plan(vids, every_ms=1000)
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
+    )
+
+
+def q_sql_tpch(spark, d):
+    """Full SQL surface over registered views — same text runs on DuckDB
+    (TPC-H Q3 shape: filter + 3-way join + agg + top-k)."""
+    for t in ["customer", "orders", "lineitem"]:
+        _t(spark, d, t).createOrReplaceTempView(t)
+    return relational.sql(spark, _TPCH_Q3)
+
+
+_TPCH_Q3 = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 20
+"""
+
+
 def q_stream_tumbling(spark, d):
     """Structured Streaming tumbling windows over the events fixture,
     executed with Trigger.AvailableNow for determinism (rows-only check)."""
@@ -582,6 +619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_filter_dedup": q_pipeline_filter_dedup,
         "multimodal_join": q_multimodal_join,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "sql_tpch": q_sql_tpch,
         "stream_tumbling": q_stream_tumbling,
         "stream_dedup": q_stream_dedup,
         "stream_session": q_stream_session,
@@ -944,6 +983,13 @@ SELECT s.doc_id, e.label FROM surv s JOIN embeddings e ON s.doc_id = e.vec_id"""
             "FROM documents JOIN embeddings ON doc_id = vec_id"
         ),
         "multimodal_features": _MULTIMODAL_ORACLE,
+        "multimodal_frames": (
+            "WITH f AS (SELECT doc_id, "
+            "unnest(generate_series(0, greatest(CAST(floor(n_chars * 40.0 / 1000) "
+            "AS BIGINT), 0)))::BIGINT AS frame_idx FROM documents) "
+            "SELECT doc_id, frame_idx, frame_idx * 1000 AS frame_ts_ms FROM f"
+        ),
+        "sql_tpch": _TPCH_Q3,
         # minhash_candidates / minhash_dedup / simhash_candidates / ann_topk /
         # stream_* : not SQL-expressible (LSH banding, streaming state) —
         # rows-only checks per the driver contract.

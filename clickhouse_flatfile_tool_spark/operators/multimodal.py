@@ -36,19 +36,28 @@ MEDIA_META = T.StructType(
 
 
 def attach_payload(
-    df: DataFrame, payload_col: str = "payload", media_type: str = "image"
+    df: DataFrame,
+    payload_col: str = "payload",
+    media_type: str = "image",
+    duration_expr=None,
 ) -> DataFrame:
     """Fixture path: synthesize a deterministic fake binary payload + typed
     metadata from existing columns (the container has no real media files).
-    The payload bytes are a hash-derived pseudo-image so sizes vary."""
+    The payload bytes are a hash-derived pseudo-image so sizes vary.
+    ``duration_expr`` (Column, ms) populates duration for video payloads —
+    deriving it from a data column keeps downstream frame plans
+    oracle-checkable."""
     fake = F.sha2(F.concat_ws("|", *df.columns), 256).cast("binary")
+    duration = (
+        duration_expr.cast("int") if duration_expr is not None else F.lit(None).cast("int")
+    )
     return df.withColumn(payload_col, fake).withColumn(
         "media_meta",
         F.struct(
             F.lit(media_type).alias("media_type"),
             (F.abs(F.xxhash64(*df.columns)) % 1920 + 32).cast("int").alias("width"),
             (F.abs(F.xxhash64(*df.columns, F.lit(1))) % 1080 + 32).cast("int").alias("height"),
-            F.lit(None).cast("int").alias("duration_ms"),
+            duration.alias("duration_ms"),
         ),
     )
 

@@ -259,6 +259,34 @@ def join_candidates(
     return out
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the big side gets a deterministic salt
+    0..salt-1 appended to the key; the small side is exploded ×salt so every
+    salted key still finds its match.  A hot key's rows then spread across
+    ``salt`` reducers instead of one.
+
+    AQE's skew-join split (enabled in session.py) handles most skew at
+    runtime; explicit salting is for the pathological keys AQE can't split —
+    a single key bigger than an executor — and for deterministic layouts.
+    The salt is a hash of the big side's full row (not rand()), so retries
+    and speculative tasks re-derive identical salts.
+    """
+    big_s = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt))
+    )
+    small_s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<long>"))
+    )
+    out = big_s.join(small_s, on=[key, "__salt"], how=how)
+    return out.drop("__salt")
+
+
 def broadcast_dim(df: DataFrame) -> DataFrame:
     """Mark a dimension table for broadcast-hash join (100 TB note: region/
     nation/supplier-class tables must never shuffle the fact side)."""

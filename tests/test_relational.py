@@ -207,3 +207,15 @@ def test_ntile_quartiles(spark):
     df = spark.createDataFrame([(i,) for i in range(8)], "x int")
     out = [r.q for r in R.ranked(df, [], [F.asc("x")], "ntile:4", "q").collect()]
     assert out == [1, 1, 2, 2, 3, 3, 4, 4]
+
+
+def test_salted_join_matches_plain_join(spark, tables):
+    li = tables["lineitem"].select("l_orderkey", "l_quantity")
+    o = tables["orders"].select("o_orderkey", "o_orderdate")
+    plain = li.join(o, li.l_orderkey == o.o_orderkey).groupBy().agg(
+        F.count(F.lit(1)), F.sum("l_quantity")
+    ).collect()
+    salted = R.salted_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), o, "o_orderkey", salt=4
+    ).groupBy().agg(F.count(F.lit(1)), F.sum("l_quantity")).collect()
+    assert [tuple(r) for r in plain] == [tuple(r) for r in salted]
