@@ -43,3 +43,49 @@ def test_minhash_no_cartesian(tables):
 
     cands = D.minhash_lsh_candidates(tables["documents"].limit(50))
     assert_no_cartesian(cands)
+
+
+def test_asof_join_single_shuffle_on_key(spark):
+    """As-of join must plan exactly one exchange keyed by the join key (for
+    the window) — no nested-loop, no per-row subquery."""
+    left = spark.createDataFrame([(1, 10)], "k int, t int")
+    right = spark.createDataFrame([(1, 5, 1.0)], "k int, t int, v double")
+    df = R.asof_join(left, right, "k", "t", "t", ["v"])
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # one hash-partitioning exchange on k (the window); union feeds it
+    assert plan.count("hashpartitioning(k") == 1, plan
+
+
+def test_salted_join_no_cartesian_and_equi(tables):
+    from clickhouse_flatfile_tool_spark.plans import assert_no_cartesian
+
+    li = tables["lineitem"].withColumnRenamed("l_orderkey", "o_orderkey")
+    df = R.salted_join(li, tables["orders"], "o_orderkey", salt=4)
+    assert_no_cartesian(df)
+
+
+def test_range_join_broadcasts_band_side(spark, tables):
+    bands = spark.createDataFrame(
+        [(0.0, 960.0, "lo"), (960.0, 1e9, "hi")], "lo double, hi double, band string"
+    )
+    df = R.range_join(tables["part"], bands, ["p_retailprice >= lo", "p_retailprice < hi"])
+    plan = explain_str(df)
+    # inequality-only join over a broadcast side → BroadcastNestedLoopJoin is
+    # the intended shape (never a shuffled cartesian)
+    assert "BroadcastNestedLoopJoin" in plan and "CartesianProduct" not in plan
+
+
+def test_groupby_partial_aggregation(tables):
+    df = tables["lineitem"].groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    plan = explain_str(df)
+    # map-side combine: partial_sum before the exchange, final after
+    assert "partial_sum" in plan, plan
+
+
+def test_bucketed_range_join_is_equi(spark):
+    pts = spark.createDataFrame([(1, 5.0)], "id int, x double")
+    iv = spark.createDataFrame([(0.0, 7.0, "a")], "lo double, hi double, tag string")
+    df = R.bucketed_range_join(pts, iv, "x", "lo", "hi", 8.0)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

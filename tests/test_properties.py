@@ -1,0 +1,135 @@
+"""Property-style checks (SURVEY §5.2 item 4): invariants for the operators
+whose semantics an SQL oracle can't express, plus randomized differential
+checks of custom operators against naive in-memory references.
+
+Few examples per property (each runs Spark jobs); deadline disabled — JVM
+warmup makes wall-clock meaningless as a correctness signal.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from clickhouse_flatfile_tool_spark.operators import dedup as D
+from clickhouse_flatfile_tool_spark.operators import relational as R
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def asof_case(draw):
+    n_left = draw(st.integers(1, 12))
+    n_right = draw(st.integers(0, 12))
+    keys = st.integers(0, 2)
+    ts = st.integers(0, 30)
+    left = [(draw(keys), draw(ts), i) for i in range(n_left)]
+    right_raw = {(draw(keys), draw(ts)): None for _ in range(n_right)}
+    right = [(k, t, float(k * 100 + t)) for (k, t) in right_raw]
+    return left, right
+
+
+@given(asof_case())
+@settings(**SETTINGS)
+def test_asof_join_matches_naive(spark, case):
+    left, right = case
+    ldf = spark.createDataFrame(left, "k int, t int, rowid int")
+    rdf = spark.createDataFrame(right or [(99, 99, 0.0)], "k int, t int, v double")
+    if not right:
+        rdf = rdf.limit(0)
+    got = {
+        r.rowid: (r.t_asof, r.v_asof)
+        for r in R.asof_join(ldf, rdf, "k", "t", "t", ["v"]).collect()
+    }
+    for k, t, rowid in left:
+        cands = [(rt, rv) for (rk, rt, rv) in right if rk == k and rt <= t]
+        want = max(cands, default=(None, None), key=lambda c: c[0])
+        assert got[rowid] == want, (rowid, got[rowid], want)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_pagination_tiles_ordered_prefix(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, t string")
+    page_size = 3
+    pages = []
+    for p in range(1, (len(texts) + page_size) // page_size + 1):
+        pages += [tuple(r) for r in R.page_slice(df, ["id"], p, page_size).collect()]
+    assert pages == sorted((i, t) for i, t in enumerate(texts))
+
+
+@given(
+    st.lists(
+        st.sampled_from(
+            ["w x y z w x", "a b c d e f", "a b c d e g", "q r s t u v"]
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_minhash_dedup_invariants(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = D.minhash_dedup(df, jaccard_threshold=0.99)
+    kept = {r.doc_id for r in out.collect()}
+    # output is a subset of input ids
+    assert kept <= set(range(len(texts)))
+    # exact duplicates never both survive
+    by_text: dict[str, list[int]] = {}
+    for i, t in enumerate(texts):
+        by_text.setdefault(t, []).append(i)
+    for ids in by_text.values():
+        assert len(set(ids) & kept) <= 1 or len(ids) == 1
+    # at least one representative of every text value survives
+    for ids in by_text.values():
+        assert set(ids) & kept
+
+
+@given(st.lists(st.integers(0, 5), min_size=1, max_size=20), st.integers(1, 4))
+@settings(**SETTINGS)
+def test_salted_join_equals_plain(spark, keys, salt):
+    big = spark.createDataFrame([(k, i) for i, k in enumerate(keys)], "k int, rowid int")
+    small = spark.createDataFrame([(k, k * 10) for k in set(keys)], "k int, v int")
+    plain = sorted(
+        tuple(r) for r in big.join(small, "k").select("rowid", "v").collect()
+    )
+    salted = sorted(
+        tuple(r)
+        for r in R.salted_join(big, small, "k", salt=salt).select("rowid", "v").collect()
+    )
+    assert plain == salted
+
+
+@given(st.lists(st.floats(900.0, 1000.0, allow_nan=False), min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_bucketed_range_join_matches_naive(spark, xs):
+    pts = spark.createDataFrame([(i, x) for i, x in enumerate(xs)], "id int, x double")
+    iv = spark.createDataFrame(
+        [(900.0, 933.0, "a"), (933.0, 966.0, "b"), (960.0, 1000.1, "c")],
+        "lo double, hi double, tag string",
+    )
+    naive = {
+        (i, tag)
+        for i, x in enumerate(xs)
+        for lo, hi, tag in [(900.0, 933.0, "a"), (933.0, 966.0, "b"), (960.0, 1000.1, "c")]
+        if lo <= x < hi
+    }
+    got = {
+        (r.id, r.tag)
+        for r in R.bucketed_range_join(pts, iv, "x", "lo", "hi", 25.0).collect()
+    }
+    assert got == naive
