@@ -99,3 +99,33 @@ def bootstrap_sample_data(spark: SparkSession, table: str = "sample_data") -> Da
     if not spark.catalog.tableExists(table):
         create_table_if_absent(df, table, sort_by=["id"])
     return spark.table(table)
+
+
+def export_json_each_row(df: DataFrame, path: str) -> str:
+    """Write newline-delimited JSON (ClickHouse JSONEachRow wire format) —
+    the export analog of the reference's read-side transfer encoding."""
+    df.write.mode("overwrite").json(path)
+    return path
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) catalog table.
+
+    Bucketing is the 100 TB co-location tool: two tables bucketed the same
+    way on their join key sort-merge-join with ZERO exchange — the shuffle
+    happens once at write time and every subsequent join/aggregation on the
+    bucket key is free.  Equivalent role to the reference's MergeTree
+    ``ORDER BY`` key (server.js:588-589; create_sample_table.sql:8-9), done
+    the Spark way.
+    """
+    writer = df.write.format("parquet").mode(mode).bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

@@ -101,3 +101,43 @@ def test_nanos_parquet_read(spark, sf_dir):
     df = FS.read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
     assert dict(df.dtypes)["ts"] == "timestamp"
     assert df.count() > 0
+
+
+def test_json_each_row_roundtrip(spark, tmp_path):
+    from clickhouse_flatfile_tool_spark.sinks.writers import export_json_each_row
+    from clickhouse_flatfile_tool_spark.sources.files import read_json_each_row
+
+    df = spark.createDataFrame(
+        [(1, "John Doe", 25.5), (2, "Jane, Smith", None)], "id long, name string, v double"
+    )
+    path = str(tmp_path / "jer")
+    export_json_each_row(df, path)
+    back = read_json_each_row(spark, path, "id long, name string, v double")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_bucketed_join_has_no_exchange(spark, tables):
+    """Two tables bucketed on the join key must sort-merge-join with zero
+    Exchange operators — the write-once-shuffle-never contract."""
+    from clickhouse_flatfile_tool_spark.plans import explain_str
+    from clickhouse_flatfile_tool_spark.sinks.writers import write_bucketed
+
+    write_bucketed(
+        tables["orders"].limit(1000), "b_orders", 4, ["o_orderkey"], ["o_orderkey"]
+    )
+    write_bucketed(
+        tables["lineitem"].limit(1000).withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem", 4, ["o_orderkey"], ["o_orderkey"],
+    )
+    # hint("merge") forces sort-merge join (tiny test tables would otherwise
+    # auto-broadcast, which hides the property under test); over bucketed
+    # tables the SMJ must need no Exchange and no per-query Sort
+    j = (
+        spark.table("b_lineitem")
+        .hint("merge")
+        .join(spark.table("b_orders"), "o_orderkey")
+    )
+    plan = explain_str(j)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert j.count() > 0
