@@ -57,6 +57,66 @@ class ProgressTracker:
         return evt
 
 
+    def set_absolute(self, processed: int, total: int) -> dict:
+        """Absolute progress snapshot (scheduler-reported task counts —
+        unlike the reference, total comes from the DAG, not rows-so-far)."""
+        with self._lock:
+            self.processed, self.total = processed, total
+            evt = {"type": "progress", "processed": processed, "total": total}
+            self.events.append(evt)
+        if self.callback:
+            self.callback(evt)
+        return evt
+
+
+def run_with_progress(
+    spark,
+    action: Callable[[], object],
+    tracker: ProgressTracker | None = None,
+    poll_interval: float = 0.1,
+) -> tuple[object, ProgressTracker]:
+    """Execute ``action()`` (any DataFrame action / write) while a daemon
+    thread polls the scheduler's ``StatusTracker``, emitting progress events
+    with REAL task counts — the Spark-native replacement for the reference's
+    per-batch NDJSON lines (server.js:644-649), with a total that is not
+    self-referential (SURVEY §2.11).
+    """
+    from threading import Event, Thread
+
+    tracker = tracker or ProgressTracker()
+    stop = Event()
+
+    def poll() -> None:
+        st = spark.sparkContext.statusTracker()
+        while not stop.is_set():
+            done = total = 0
+            for jid in st.getActiveJobsIds():
+                ji = st.getJobInfo(jid)
+                if ji is None:
+                    continue
+                for sid in ji.stageIds:
+                    si = st.getStageInfo(sid)
+                    if si is not None:
+                        total += si.numTasks
+                        done += si.numCompletedTasks
+            if total:
+                tracker.set_absolute(done, total)
+            stop.wait(poll_interval)
+
+    t = Thread(target=poll, daemon=True)
+    t.start()
+    try:
+        result = action()
+        tracker.finish(True)
+    except Exception as e:  # noqa: BLE001 — surface through tracker, re-raise
+        tracker.finish(False, str(e))
+        raise
+    finally:
+        stop.set()
+        t.join(timeout=2.0)
+    return result, tracker
+
+
 def error_payload(exc: Exception) -> dict:
     """Structured error shape (server.js:185-192): success=false + message;
     stack traces stay in logs, not API responses (the reference leaked them)."""

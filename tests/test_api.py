@@ -65,3 +65,31 @@ def test_download(spark, tmp_path, people_csv):
     out = api.download(spark, "t_dl", str(tmp_path / "dl.csv"))
     assert out["success"]
     assert (tmp_path / "dl.csv").read_text().splitlines()[0] == "id,name"
+
+
+def test_run_with_progress_reports_real_tasks(spark):
+    """StatusTracker polling must see scheduler-level task counts during a
+    multi-partition job (a short per-partition sleep guarantees the poller
+    catches at least one snapshot)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_flatfile_tool_spark.progress import run_with_progress
+
+    df = spark.range(0, 8, 1, 8)
+
+    def slow(it):
+        for pdf in it:
+            time.sleep(0.3)
+            yield pdf
+
+    slow_df = df.mapInPandas(slow, "id long")
+    result, tracker = run_with_progress(
+        spark, lambda: slow_df.count(), poll_interval=0.05
+    )
+    assert result == 8
+    progress = [e for e in tracker.events if e["type"] == "progress"]
+    assert progress, "no progress snapshots captured"
+    assert all(0 <= e["processed"] <= e["total"] for e in progress)
+    assert tracker.events[-1]["type"] == "complete"
