@@ -424,6 +424,12 @@ def q_ann_topk(spark, d):
     return similarity.ann_cosine_topk(queries_df, emb, k=5)
 
 
+def q_ann_ivf_topk(spark, d):
+    emb = _t(spark, d, "embeddings")
+    queries_df = emb.filter("vec_id < 10")
+    return similarity.ivf_cosine_topk(queries_df, emb, k=5)
+
+
 def q_embedding_norm(spark, d):
     emb = _t(spark, d, "embeddings")
     return similarity.with_norm(emb).select("vec_id", F.round("norm", 6).alias("norm"))
@@ -612,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_candidates": q_simhash_candidates,
         "cosine_topk": q_cosine_topk,
         "ann_topk": q_ann_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_norm": q_embedding_norm,
         "embedding_dedup": q_embedding_dedup,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,

@@ -79,3 +79,23 @@ def test_cosine_dedup_pairs_exact(spark):
 
     got = {(r.id_a, r.id_b) for r in cosine_dedup_pairs(df, cos_threshold=0.99).collect()}
     assert got == {(1, 2), (1, 4), (2, 4)}
+
+
+def test_ivf_recall_against_exact(emb):
+    from clickhouse_flatfile_tool_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+    )
+
+    queries = emb.filter("vec_id < 20")
+    exact = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(queries, emb, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_cosine_topk(queries, emb, k=5, n_lists=8, n_probe=4).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # every query returns results
+    assert {q for q, _ in ivf} == {q for q, _ in exact}
