@@ -99,6 +99,42 @@ def decode_features(
     return df.mapInPandas(run, out_schema)
 
 
+def resize_payloads(
+    df: DataFrame,
+    target_width: int,
+    target_height: int,
+    payload_col: str = "payload",
+    resize: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize image payloads via mapInPandas (Arrow batches).
+
+    The pixel work is STUBBED (no imaging libs in this container): the
+    default 'resize' re-hashes the payload with the target dims — a
+    deterministic stand-in with the same schema/flow a PIL/opencv kernel
+    would have.  ``media_meta`` is updated to the target dimensions, so
+    downstream consumers see consistent metadata.
+    """
+    import hashlib
+
+    resize = resize or (
+        lambda b, w, h: hashlib.sha256(b + f"{w}x{h}".encode()).digest()
+    )
+    schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out[payload_col] = out[payload_col].map(
+                lambda b: resize(bytes(b), target_width, target_height)
+            )
+            out["media_meta"] = out["media_meta"].map(
+                lambda m: {**m, "width": target_width, "height": target_height}
+            )
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
 def repartition_for_payloads(
     df: DataFrame, est_row_bytes: int, target_partition_bytes: int = 128 << 20
 ) -> DataFrame:

@@ -1,0 +1,67 @@
+"""Multimodal plumbing tests (EXT E5): payload schema, Arrow-batch decode,
+resize stub, frame sampling, byte-budget repartitioning."""
+
+from pyspark.sql import functions as F
+
+from clickhouse_flatfile_tool_spark.operators import multimodal as M
+
+
+def docs_sample(tables):
+    return tables["documents"].select("doc_id", "text", "n_chars").limit(50)
+
+
+def test_attach_payload_schema(tables):
+    df = M.attach_payload(docs_sample(tables))
+    assert dict(df.dtypes)["payload"] == "binary"
+    meta = [f for f in df.schema.fields if f.name == "media_meta"][0]
+    names = [f.name for f in meta.dataType.fields]
+    assert names == ["media_type", "width", "height", "duration_ms"]
+    row = df.first()
+    # payload = sha256 hex cast to binary: 64 ASCII bytes (the DuckDB
+    # oracle for multimodal_features depends on exactly these bytes)
+    assert row.media_meta.media_type == "image" and len(row.payload) == 64
+
+
+def test_decode_features_deterministic(tables):
+    df = M.attach_payload(docs_sample(tables))
+    out = M.decode_features(df)
+    assert "payload" not in out.columns  # payload dropped before any shuffle
+    a = sorted(map(tuple, out.select("doc_id", "n_bytes", "checksum").collect()))
+    b = sorted(map(tuple, M.decode_features(df).select("doc_id", "n_bytes", "checksum").collect()))
+    assert a == b
+    assert all(r[1] == 64 for r in a)
+
+
+def test_resize_updates_meta_and_payload(tables):
+    df = M.attach_payload(docs_sample(tables))
+    out = M.resize_payloads(df, 224, 224)
+    assert out.schema == df.schema  # schema-preserving
+    row = out.first()
+    assert row.media_meta.width == 224 and row.media_meta.height == 224
+    orig = {r.doc_id: bytes(r.payload) for r in df.collect()}
+    for r in out.collect():
+        assert bytes(r.payload) != orig[r.doc_id]  # payload actually transformed
+
+
+def test_frame_sample_counts(tables):
+    df = M.attach_payload(
+        docs_sample(tables), media_type="video", duration_expr=F.col("n_chars") * 40
+    )
+    frames = M.frame_sample_plan(df, every_ms=1000)
+    got = (
+        frames.groupBy("doc_id")
+        .count()
+        .join(df.select("doc_id", F.col("media_meta.duration_ms").alias("d")), "doc_id")
+        .collect()
+    )
+    for r in got:
+        assert r["count"] == r.d // 1000 + 1
+    ts = frames.filter(F.col("frame_idx") == 2).select("frame_ts_ms").first()
+    assert ts.frame_ts_ms == 2000
+
+
+def test_repartition_for_payloads_scales_with_bytes(tables):
+    df = M.attach_payload(docs_sample(tables))
+    out = M.repartition_for_payloads(df, est_row_bytes=64 << 20, target_partition_bytes=128 << 20)
+    # 50 rows × 64 MB ≈ 3.2 GB → 25 partitions of ~2 rows, never one fat task
+    assert out.rdd.getNumPartitions() == 25
