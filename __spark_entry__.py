@@ -321,6 +321,38 @@ def q_range_join(spark, d):
     )
 
 
+def q_full_join(spark, d):
+    c = _t(spark, d, "customer").groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    s = _t(spark, d, "supplier").groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    j = relational.chain_join([c, s], ["c_nationkey = s_nationkey"], how="full")
+    return j.select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+def q_event_range_join(spark, d):
+    """Big-big interval join via bucketing: clicks within the 10 minutes
+    before each purchase by the same user — equi-join on (user, time bucket),
+    exact range re-verified after."""
+    ev = _t(spark, d, "events")
+    purch = ev.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("ep")
+    )
+    clicks = (
+        ev.filter("event_type = 'click'")
+        .select("user_id", F.unix_timestamp("ts").alias("lo"))
+        .withColumn("hi", F.col("lo") + 600)
+    )
+    j = relational.bucketed_range_join(
+        purch, clicks, "ep", "lo", "hi", 600.0, equi_cols=["user_id"]
+    )
+    return j.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_recent_clicks"))
+
+
 def q_grouping_sets(spark, d):
     li = _t(spark, d, "lineitem")
     out = relational.grouping_sets(
@@ -596,6 +628,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "except": q_except,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "full_join": q_full_join,
+        "event_range_join": q_event_range_join,
         "grouping_sets": q_grouping_sets,
         "ntile": q_ntile,
         "running_sum": q_running_sum,
@@ -861,6 +895,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM part JOIN (VALUES (0.0, 930.0, 'low'), (930.0, 960.0, 'mid'), "
             "(960.0, 1000000000.0, 'high')) b(lo, hi, band) "
             "ON p_retailprice >= lo AND p_retailprice < hi GROUP BY band"
+        ),
+        "full_join": (
+            "SELECT coalesce(c_nationkey, s_nationkey) AS nationkey, n_cust, n_supp "
+            "FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer "
+            "GROUP BY c_nationkey) "
+            "FULL JOIN (SELECT s_nationkey, count(*) AS n_supp FROM supplier "
+            "GROUP BY s_nationkey) ON c_nationkey = s_nationkey"
+        ),
+        "event_range_join": (
+            "SELECT p.event_id, count(*) AS n_recent_clicks "
+            "FROM (SELECT event_id, user_id, epoch(ts) AS ep FROM events "
+            "WHERE event_type = 'purchase') p "
+            "JOIN (SELECT user_id, epoch(ts) AS ep FROM events "
+            "WHERE event_type = 'click') c "
+            "ON p.user_id = c.user_id AND c.ep <= p.ep AND p.ep < c.ep + 600 "
+            "GROUP BY p.event_id"
         ),
         "grouping_sets": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "

@@ -221,12 +221,14 @@ def bucketed_range_join(
     right_hi: str,
     bucket_width: float,
     extra_cond: Column | None = None,
+    equi_cols: list[str] | None = None,
 ) -> DataFrame:
     """Big-big range join rewrite: explode each right interval into the
     fixed-width buckets it overlaps, join on bucket equality (an equi-join →
     hash shuffle, no nested loop), then re-verify the exact range predicate.
     The classic interval-join strategy at scale; bucket_width should be the
-    typical interval width."""
+    typical interval width.  ``equi_cols`` join on (keys..., bucket) so
+    unrelated entities sharing a time bucket never pair up."""
     lb = left.withColumn("__bk", F.floor(F.col(left_point) / bucket_width))
     rb = right.withColumn(
         "__bk",
@@ -240,7 +242,7 @@ def bucketed_range_join(
     cond = (F.col(left_point) >= F.col(right_lo)) & (F.col(left_point) < F.col(right_hi))
     if extra_cond is not None:
         cond = cond & extra_cond
-    return lb.join(rb, on="__bk").filter(cond).drop("__bk")
+    return lb.join(rb, on=[*(equi_cols or []), "__bk"]).filter(cond).drop("__bk")
 
 
 def join_candidates(

@@ -93,14 +93,27 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _nanos_timestamp_cols(path: str) -> list[str]:
-    import pyarrow.dataset as ds
-    import pyarrow.types as pat
+    """Columns physically stored as INT64 TIMESTAMP(NANOS) — the layout
+    Spark's vectorized reader rejects.  Checked at the parquet physical level
+    because INT96 timestamps (Spark's own legacy default output) also surface
+    as ``timestamp[ns]`` in the pyarrow *logical* schema but read fine."""
+    import glob
 
-    schema = ds.dataset(path, format="parquet").schema
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not files:
+            return []
+        path = files[0]
+    schema = pq.ParquetFile(path).schema
     return [
-        f.name
-        for f in schema
-        if pat.is_timestamp(f.type) and f.type.unit == "ns"
+        col.name
+        for i in range(len(schema))
+        for col in [schema.column(i)]
+        if col.physical_type == "INT64"
+        and "Timestamp" in str(col.logical_type)
+        and "nanos" in str(col.logical_type).lower()
     ]
 
 

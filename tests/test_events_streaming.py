@@ -128,3 +128,46 @@ def test_running_user_totals_stateful(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data policy: the watermark advances between micro-batches and a
+    row older than it is dropped, its window never emitted.  Spark applies
+    late-event filtering with the PREVIOUS batch's watermark (watermark
+    propagation, SPARK-40925), so the late row arrives two batches after the
+    rows that established the high-water mark."""
+    import datetime as dt
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_flatfile_tool_spark.streaming import stream_ops
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def mk(rows, name):
+        df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = [f for f in os.listdir(tmp_path / name) if f.endswith(".parquet")][0]
+        os.rename(str(tmp_path / name / part), os.path.join(src, f"{name}.parquet"))
+
+    # batch 0: 10:00-11:00 → watermark after batch ≈ 10:30
+    mk([(t0 + dt.timedelta(minutes=m), "click", 1.0) for m in (0, 30, 60)], "b1")
+    time.sleep(1.1)  # file source orders batches by modification time
+    mk([(t0 + dt.timedelta(minutes=55), "click", 1.0)], "b2")  # on time
+    time.sleep(1.1)
+    mk([(t0 - dt.timedelta(hours=2), "click", 1.0)], "b3")  # 2h late → drop
+
+    stream = stream_ops.read_event_stream(spark, src, max_files_per_trigger=1)
+    result = stream_ops.windowed_counts(stream, "10 minutes", "30 minutes")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream_ops.run_available_now(result, out_dir, ckpt)
+
+    got = spark.read.parquet(out_dir)
+    late = got.filter(F.col("window_start") == t0 - dt.timedelta(hours=2))
+    assert late.count() == 0, "late row beyond watermark must be dropped"
+    # the finalized 10:00 window was emitted (append mode, watermark passed it)
+    assert got.filter(F.col("window_start") == t0).count() == 1
