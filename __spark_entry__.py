@@ -353,6 +353,57 @@ def q_event_range_join(spark, d):
     return j.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_recent_clicks"))
 
 
+def q_tpch_q5(spark, d):
+    """TPC-H Q5 shape, native DataFrame: 6-table star join where every
+    dimension (customer/supplier/nation/region) broadcasts, so the only
+    shuffle is lineitem⋈orders — the plan that must survive at 100 TB."""
+    li, o, c, s, n, r = (
+        _t(spark, d, t)
+        for t in ["lineitem", "orders", "customer", "supplier", "nation", "region"]
+    )
+    o = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    r = r.filter(F.col("r_name") == "ASIA")
+    joined = relational.chain_join(
+        [
+            li,
+            o,
+            relational.broadcast_dim(c),
+            relational.broadcast_dim(s),
+            relational.broadcast_dim(n),
+            relational.broadcast_dim(r),
+        ],
+        [
+            "l_orderkey = o_orderkey",
+            "o_custkey = c_custkey",
+            "l_suppkey = s_suppkey AND c_nationkey = s_nationkey",
+            "s_nationkey = n_nationkey",
+            "n_regionkey = r_regionkey",
+        ],
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        )
+    )
+
+
+def q_salted_join(spark, d):
+    """Skew-resistant salted equi-join, checked against the plain-join
+    oracle: identical results, but each hot key spreads over 8 reducers."""
+    li = _t(spark, d, "lineitem")
+    p = _t(spark, d, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    j = relational.salted_join(li, p, key="l_partkey", salt=8)
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
 def q_grouping_sets(spark, d):
     li = _t(spark, d, "lineitem")
     out = relational.grouping_sets(
@@ -630,6 +681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "full_join": q_full_join,
         "event_range_join": q_event_range_join,
+        "tpch_q5": q_tpch_q5,
+        "salted_join": q_salted_join,
         "grouping_sets": q_grouping_sets,
         "ntile": q_ntile,
         "running_sum": q_running_sum,
@@ -911,6 +964,22 @@ def oracle_sql() -> dict[str, str]:
             "WHERE event_type = 'click') c "
             "ON p.user_id = c.user_id AND c.ep <= p.ep AND p.ep < c.ep + 600 "
             "GROUP BY p.event_id"
+        ),
+        "tpch_q5": (
+            "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) "
+            "AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY n_name"
+        ),
+        "salted_join": (
+            "SELECT p_brand, count(*) AS n_items, round(sum(l_quantity), 2) "
+            "AS sum_qty FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "GROUP BY p_brand"
         ),
         "grouping_sets": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "

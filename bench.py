@@ -59,8 +59,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
-    # warm the JVM/codegen path once with a trivial action
+    # Warm-up: one trivial JVM action, then one Arrow/pandas-UDF action so the
+    # Python worker daemons are forked and numpy is imported before any timed
+    # query — otherwise that one-time fork cost lands on the first UDF query.
     qs["count"](spark, sf_dir).collect()
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).write.format("noop").mode("overwrite").save()
+    # touch every input table once so a cold page cache doesn't dominate the
+    # first timed scan of each file
+    for name in ["join_chain", "corpus_stats", "embedding_norm", "tumbling_window"]:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
