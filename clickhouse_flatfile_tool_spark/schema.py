@@ -223,6 +223,7 @@ def resolve_csv_schema(
     filename: str,
     first_line: str | None = None,
     has_header: bool | None = None,
+    sep: str = ",",
 ) -> ResolvedSchema:
     """Apply the reference's three schema-resolution rules in priority order.
 
@@ -236,7 +237,7 @@ def resolve_csv_schema(
         return ResolvedSchema(UK_PROPERTY_SCHEMA, "preset", False)
     if first_line is None:
         raise ValueError("need first_line for non-preset CSV schema resolution")
-    fields = [f.strip() for f in first_line.rstrip("\r\n").split(",")]
+    fields = [f.strip() for f in first_line.rstrip("\r\n").split(sep)]
     header = has_header if has_header is not None else _looks_like_header(fields)
     if header:
         cols = [f or f"column_{i + 1}" for i, f in enumerate(fields)]

@@ -108,6 +108,13 @@ def export_json_each_row(df: DataFrame, path: str) -> str:
     return path
 
 
+def export_orc(df: DataFrame, path: str) -> str:
+    """Write ORC — ClickHouse's other native columnar interchange format
+    (``FORMAT ORC``); pairs with :func:`sources.files.read_orc`."""
+    df.write.mode("overwrite").orc(path)
+    return path
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

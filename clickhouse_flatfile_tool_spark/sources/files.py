@@ -37,26 +37,35 @@ def read_csv(
     columns: list[str] | None = None,
     has_header: bool | None = None,
     infer_types: bool = False,
+    sep: str | None = None,
 ) -> tuple[DataFrame, ResolvedSchema]:
-    """Read a CSV/TXT flat file with reference-compatible schema resolution.
+    """Read a CSV/TXT/TSV flat file with reference-compatible schema
+    resolution.
 
     Returns (DataFrame, ResolvedSchema).  All columns are String unless
     ``infer_types`` — matching the reference, which types every CSV column
     String (server.js:274, 312-314) and casts on the ClickHouse side.
     ``columns`` projects a subset post-read (server.js:492-496 does this
     per-row in JS; here it is Catalyst column pruning, which reaches the
-    scan).
+    scan).  ``sep`` defaults by extension: tab for ``.tsv`` (ClickHouse
+    TabSeparated format), comma otherwise.
     """
     ext = os.path.splitext(path)[1].lower()
-    if ext not in (".csv", ".txt"):
-        # extension check mirrors server.js:259-261
-        raise ValueError(f"unsupported flat-file extension: {ext} (want .csv/.txt)")
+    if ext not in (".csv", ".txt", ".tsv"):
+        # extension check mirrors server.js:259-261 (+ .tsv extension)
+        raise ValueError(f"unsupported flat-file extension: {ext} (want .csv/.txt/.tsv)")
+    if sep is None:
+        sep = "\t" if ext == ".tsv" else ","
 
     resolved = resolve_csv_schema(
-        os.path.basename(path), first_line=_first_line(path), has_header=has_header
+        os.path.basename(path),
+        first_line=_first_line(path),
+        has_header=has_header,
+        sep=sep,
     )
     reader = (
         spark.read.option("mode", "PERMISSIVE")
+        .option("sep", sep)
         .option("header", str(resolved.has_header).lower())
     )
     if infer_types:
@@ -155,3 +164,10 @@ def read_json_each_row(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC columnar scan — the second columnar format ClickHouse speaks
+    natively (``FORMAT ORC``); same vectorized-reader/pushdown/pruning
+    story as parquet."""
+    return spark.read.orc(path)

@@ -89,3 +89,23 @@ def test_bucketed_range_join_is_equi(spark):
     df = R.bucketed_range_join(pts, iv, "x", "lo", "hi", 8.0)
     plan = explain_str(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q5_all_dims_broadcast(spark, sf_dir):
+    """Star-join rule: customer/supplier/nation/region never shuffle the
+    fact side — every dim join is broadcast-hash."""
+    import __spark_entry__ as em
+
+    df = em.queries()["tpch_q5"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_event_range_join_no_nested_loop(spark, sf_dir):
+    import __spark_entry__ as em
+
+    df = em.queries()["event_range_join"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

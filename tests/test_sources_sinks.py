@@ -141,3 +141,30 @@ def test_bucketed_join_has_no_exchange(spark, tables):
     assert "SortMergeJoin" in plan, plan
     assert "Exchange" not in plan, plan
     assert j.count() > 0
+
+
+def test_tsv_read(spark, tmp_path):
+    from clickhouse_flatfile_tool_spark.sources.files import read_csv
+
+    p = str(tmp_path / "data.tsv")
+    with open(p, "w") as f:
+        f.write("id\tname\tprice\n1\talpha\t10.5\n2\tbeta\t20.0\n")
+    df, resolved = read_csv(spark, p)
+    assert resolved.origin == "header" and resolved.has_header
+    assert df.columns == ["id", "name", "price"]
+    rows = sorted(map(tuple, df.collect()))
+    assert rows == [("1", "alpha", "10.5"), ("2", "beta", "20.0")]
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from clickhouse_flatfile_tool_spark.sinks.writers import export_orc
+    from clickhouse_flatfile_tool_spark.sources.files import read_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, name string, v double"
+    )
+    path = str(tmp_path / "orc_out")
+    export_orc(df, path)
+    back = read_orc(spark, path)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
