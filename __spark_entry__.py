@@ -26,6 +26,7 @@ from clickhouse_flatfile_tool_spark.operators import (
     events,
     multimodal,
     relational,
+    sampling,
     similarity,
     text,
 )
@@ -470,6 +471,35 @@ def q_corpus_stats(spark, d):
     )
 
 
+def q_redact_pii(spark, d):
+    """PII scrubbing over text with a synthetic email injected per doc so
+    the redaction demonstrably fires (fixture text has no real PII)."""
+    docs = _t(spark, d, "documents").withColumn(
+        "text",
+        F.concat(
+            F.lit("contact "),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com: "),
+            F.col("text"),
+        ),
+    )
+    out = text.redact_pii(docs)
+    return out.select(
+        "doc_id", "n_pii", F.substring("redacted", 1, 60).alias("red_prefix")
+    )
+
+
+def q_chunk_text(spark, d):
+    docs = _t(spark, d, "documents").select("doc_id", "text")
+    return text.chunk_text(docs, chunk_size=200, overlap=50, id_cols=["doc_id"])
+
+
+def q_hash_split(spark, d):
+    docs = _t(spark, d, "documents").select("doc_id")
+    out = sampling.hash_split(docs, "doc_id")
+    return out.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def q_quality_score(spark, d):
     return text.with_quality_score(_t(spark, d, "documents")).select("doc_id", "quality_score")
 
@@ -699,6 +729,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
+        "redact_pii": q_redact_pii,
+        "chunk_text": q_chunk_text,
+        "hash_split": q_hash_split,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_candidates": q_minhash_candidates,
         "minhash_dedup": q_minhash_dedup,
@@ -1066,6 +1099,28 @@ def oracle_sql() -> dict[str, str]:
         ),
         "quality_score": _QUALITY_ORACLE,
         "lang_id": _LANGID_ORACLE,
+        "redact_pii": (
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) "
+            "  + len(regexp_extract_all(t2, '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]')) AS BIGINT) AS n_pii, "
+            "substring(regexp_replace(regexp_replace(t2, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\\+?[0-9][0-9()\\-\\s]{7,}[0-9]', '<PHONE>', 'g'), 1, 60) AS red_prefix "
+            "FROM (SELECT doc_id, 'contact ' || CAST(doc_id AS VARCHAR) "
+            "|| '@example.com: ' || text AS t2 FROM documents)"
+        ),
+        "chunk_text": (
+            "SELECT doc_id, chunk_id, "
+            "substring(text, CAST(chunk_id*150+1 AS INT), 200) AS chunk FROM ("
+            "SELECT doc_id, text, unnest(range(0, "
+            "CAST(floor((length(text)-1)/150)+1 AS BIGINT))) AS chunk_id "
+            "FROM documents WHERE length(text) > 0)"
+        ),
+        "hash_split": (
+            "SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' "
+            "THEN 'train' ELSE 'test' END AS split, count(*) AS n_docs "
+            "FROM documents GROUP BY 1"
+        ),
         "ngram_jaccard": _JACCARD_ORACLE,
         "cosine_topk": _COSINE_ORACLE,
         "embedding_norm": (

@@ -1,0 +1,45 @@
+"""Deterministic splits & stratified sampling (training-data pipeline ops).
+
+The reference has no sampling surface; these are EXT operators
+(BASELINE.json north star).  Design rule: splits must be (a) deterministic
+across runs/retries/speculative tasks and (b) engine-portable, so the
+assignment is a pure function of the row's id — md5 hex, not rand() and not
+an engine-specific hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(id_col: str | Column, chars: int = 2) -> Column:
+    """First ``chars`` hex chars of md5(id-as-string): a uniform bucket in
+    [0, 16^chars) that any engine with md5() reproduces exactly."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.substring(F.md5(c.cast("string")), 1, chars)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    threshold_hex: str = "cc",
+    labels: tuple[str, str] = ("train", "test"),
+) -> DataFrame:
+    """Deterministic train/test split: rows whose md5 bucket sorts below
+    ``threshold_hex`` go to ``labels[0]``.  'cc' ≈ 204/256 ≈ 79.7% train.
+    Stable under retries and identical in any md5-capable engine (the oracle
+    runs the same expression in DuckDB)."""
+    b = hash_bucket(id_col, len(threshold_hex))
+    return df.withColumn(
+        "split", F.when(b < threshold_hex, labels[0]).otherwise(labels[1])
+    )
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``sampleBy``): seeded, no shuffle —
+    each task filters its own partition.  Approximate counts by design;
+    checked by property (per-stratum rate within tolerance), not oracle."""
+    return df.sampleBy(strata_col, fractions, seed=seed)

@@ -172,3 +172,59 @@ def corpus_stats(df: DataFrame, group_cols: list[str] = ["lang"]) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction & chunking (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+# deliberately RE2-compatible (no backrefs/lookaround) so the exact same
+# pattern runs on Spark (java.util.regex) and any RE2 engine
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Scrub PII-shaped substrings: adds ``redacted`` (the scrubbed text)
+    and ``n_pii`` (matches found).  Pure JVM regex — whole-stage codegen,
+    no UDF, linear scan per row."""
+    pats = patterns or [(EMAIL_RE, "<EMAIL>"), (PHONE_RE, "<PHONE>")]
+    c = F.col(text_col)
+    n = F.lit(0)
+    red = c
+    for pat, repl in pats:
+        n = n + F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+        red = F.regexp_replace(red, pat, repl)
+    return df.withColumn("redacted", red).withColumn("n_pii", n.cast("long"))
+
+
+def chunk_text(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_size: int = 200,
+    overlap: int = 50,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Split each document into fixed-width character chunks with overlap —
+    the standard pre-embedding chunking step.  ``explode(sequence(...))``
+    keeps everything JVM-side; output rows ≈ len/stride per doc, computed
+    without ever materializing a per-doc array of chunk strings (the
+    substring happens after the explode)."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    keep = id_cols or [c for c in df.columns if c != text_col]
+    n_chunks_minus1 = F.floor((F.length(text_col) - 1) / stride).cast("int")
+    out = (
+        df.filter(F.length(text_col) > 0)
+        .withColumn("chunk_id", F.explode(F.sequence(F.lit(0), n_chunks_minus1)))
+        .withColumn(
+            "chunk",
+            F.expr(f"substring({text_col}, chunk_id * {stride} + 1, {chunk_size})"),
+        )
+    )
+    return out.select(*keep, F.col("chunk_id").cast("long").alias("chunk_id"), "chunk")

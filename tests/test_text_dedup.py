@@ -115,3 +115,68 @@ def test_rolling_fingerprint_normalization(spark):
     assert fp[1] == fp[2]
     assert fp[1] != fp[3]  # order-sensitive
     assert fp[1] != fp[4]
+
+
+def test_redact_pii_scrubs_and_counts(spark):
+    from clickhouse_flatfile_tool_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b@x.co or call +1 (555) 123-4567 now"),
+            (2, "no pii here"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["n_pii"] == 2
+    assert "<EMAIL>" in out[1]["redacted"] and "<PHONE>" in out[1]["redacted"]
+    assert "a.b@x.co" not in out[1]["redacted"]
+    assert out[2]["n_pii"] == 0 and out[2]["redacted"] == "no pii here"
+
+
+def test_chunk_text_overlap_reconstructs(spark):
+    from clickhouse_flatfile_tool_spark.operators.text import chunk_text
+
+    txt = "abcdefghij" * 10  # 100 chars
+    df = spark.createDataFrame([(1, txt), (2, ""), (3, "short")], "id long, text string")
+    rows = chunk_text(df, chunk_size=40, overlap=10).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], {})[r["chunk_id"]] = r["chunk"]
+    # empty text yields no chunks; short text yields exactly one
+    assert 2 not in by_id and list(by_id[3]) == [0] and by_id[3][0] == "short"
+    # stride 30: chunks at 0,30,60,90 → 4 chunks; consecutive chunks share
+    # the 10-char overlap; concatenating stride prefixes + last chunk
+    # reconstructs the document
+    chunks = [by_id[1][i] for i in sorted(by_id[1])]
+    assert len(chunks) == 4
+    for a, b in zip(chunks, chunks[1:]):
+        assert a[30:40] == b[:10]
+    assert "".join(c[:30] for c in chunks[:-1]) + chunks[-1] == txt
+
+
+def test_hash_split_deterministic_and_disjoint(spark):
+    from clickhouse_flatfile_tool_spark.operators.sampling import hash_split
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = hash_split(df, "doc_id").groupBy("split").count().collect()
+    b = hash_split(df, "doc_id").groupBy("split").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    counts = dict(map(tuple, a))
+    frac = counts["train"] / 2000
+    assert 0.75 < frac < 0.85, frac  # 'cc'/256 ≈ 0.797
+
+
+def test_stratified_sample_rates(spark, tables):
+    from clickhouse_flatfile_tool_spark.operators.sampling import stratified_sample
+
+    docs = tables["documents"]
+    fr = {"en": 0.5, "de": 0.1}
+    got = stratified_sample(docs, "lang", fr)
+    n_en = docs.filter("lang = 'en'").count()
+    got_en = got.filter("lang = 'en'").count()
+    assert got.filter("lang NOT IN ('en','de')").count() == 0
+    assert abs(got_en / max(n_en, 1) - 0.5) < 0.2
+    # seeded → reproducible
+    again = stratified_sample(docs, "lang", fr)
+    assert got.count() == again.count()
