@@ -49,6 +49,9 @@ BENCH_QUERIES = [
     "embedding_dedup",
     "embedding_norm",
     "multimodal_join",
+    "tpch_q5",
+    "redact_pii",
+    "chunk_text",
 ]
 
 
