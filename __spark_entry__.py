@@ -688,6 +688,30 @@ def q_stream_stateful(spark, d):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def q_stream_interval_join(spark, d):
+    """Watermarked stream-stream join (purchases ⋈ clicks within 10 min by
+    user) — rows-only check; the batch twin is event_range_join."""
+    tmp = tempfile.mkdtemp(prefix="cfts_ssjoin_")
+    out_dir, ckpt = os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+    try:
+        ev = os.path.join(d, "events.parquet")
+        purch = stream_ops.read_event_stream(spark, ev).filter(
+            "event_type = 'purchase'"
+        ).select("event_id", "user_id", "ts")
+        clicks = stream_ops.read_event_stream(spark, ev).filter(
+            "event_type = 'click'"
+        ).select("user_id", "ts")
+        j = stream_ops.stream_interval_join(purch, clicks, lookback="10 minutes")
+        stream_ops.run_available_now(
+            j.select("event_id", "user_id", F.col("ts_r").alias("click_ts")),
+            out_dir,
+            ckpt,
+        )
+        return spark.read.parquet(out_dir)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "preview_page": q_preview_page,
@@ -752,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "stream_session": q_stream_session,
         "stream_stateful": q_stream_stateful,
+        "stream_interval_join": q_stream_interval_join,
     }
 
 

@@ -183,3 +183,38 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lookback: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each left row pairs with right
+    rows for the same ``key`` whose timestamp falls in
+    ``(left_ts - lookback, left_ts]``.
+
+    Both sides carry a watermark and the join condition bounds event time in
+    both directions — the two requirements Spark imposes so each side's
+    buffered state can be evicted once the watermark passes the interval
+    (state stays bounded regardless of stream length).  The equi-key rides
+    in the join condition, so the state store partitions by key hash.
+    Right columns are suffixed ``_r``.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = (
+        right.withWatermark(right_ts, watermark)
+        .select(
+            *[F.col(c).alias(f"{c}_r") for c in right.columns]
+        )
+        .alias("r")
+    )
+    cond = F.expr(
+        f"l.{key} = r.{key}_r AND r.{right_ts}_r > l.{left_ts} - INTERVAL {lookback} "
+        f"AND r.{right_ts}_r <= l.{left_ts}"
+    )
+    return l.join(r, on=cond, how="inner")

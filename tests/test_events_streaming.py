@@ -171,3 +171,37 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert late.count() == 0, "late row beyond watermark must be dropped"
     # the finalized 10:00 window was emitted (append mode, watermark passed it)
     assert got.filter(F.col("window_start") == t0).count() == 1
+
+
+def test_stream_interval_join_matches_batch(spark, sf_dir):
+    """Stream-stream watermarked join must produce exactly the pairs the
+    batch interval join produces on the same (bounded) input."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as em
+    from clickhouse_flatfile_tool_spark.sources.files import read_parquet
+
+    got = (
+        em.queries()["stream_interval_join"](spark, sf_dir)
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ev = read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+    p = ev.filter("event_type = 'purchase'").select(
+        "event_id", F.col("user_id").alias("u"), F.col("ts").alias("pts")
+    )
+    c = ev.filter("event_type = 'click'").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("cts")
+    )
+    want = (
+        p.join(c, "u")
+        .filter(
+            (F.col("cts") > F.col("pts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("cts") <= F.col("pts"))
+        )
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
