@@ -218,6 +218,37 @@ def q_scalar_funcs(spark, d):
     )
 
 
+def q_array_explode(spark, d):
+    """Array surface (§2.6): explode an embedding into elements, re-aggregate
+    per vector — the lateral-view shape every array pipeline uses."""
+    emb = _t(spark, d, "embeddings")
+    ex = emb.select("vec_id", F.explode("embedding").alias("v"))
+    return ex.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("dim"),
+        F.round(F.max(F.col("v").cast("double")), 6).alias("max_v"),
+        F.round(F.sum(F.col("v").cast("double")), 4).alias("sum_v"),
+    )
+
+
+def q_unpivot(spark, d):
+    """Wide→long unpivot (melt) — DataFrame.unpivot, checked against the
+    UNION ALL oracle formulation."""
+    li = _t(spark, d, "lineitem")
+    w = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("qty"),
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_discount").cast("double").alias("disc"),
+    )
+    return w.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["qty", "price", "disc"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
 def q_pivot(spark, d):
     ev = _t(spark, d, "events")
     types = ["click", "view", "purchase", "signup", "error"]
@@ -727,6 +758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lag": q_window_lag,
         "rollup": q_rollup,
         "cube": q_cube,
+        "array_explode": q_array_explode,
+        "unpivot": q_unpivot,
         "left_join": q_left_join,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
@@ -1022,6 +1055,20 @@ def oracle_sql() -> dict[str, str]:
             "WHERE event_type = 'click') c "
             "ON p.user_id = c.user_id AND c.ep <= p.ep AND p.ep < c.ep + 600 "
             "GROUP BY p.event_id"
+        ),
+        "array_explode": (
+            "SELECT vec_id, count(*) AS dim, round(max(CAST(v AS DOUBLE)), 6) AS max_v, "
+            "round(sum(CAST(v AS DOUBLE)), 4) AS sum_v "
+            "FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings) "
+            "GROUP BY vec_id"
+        ),
+        "unpivot": (
+            "SELECT l_orderkey, l_linenumber, 'qty' AS metric, "
+            "CAST(l_quantity AS DOUBLE) AS val FROM lineitem UNION ALL "
+            "SELECT l_orderkey, l_linenumber, 'price', "
+            "CAST(l_extendedprice AS DOUBLE) FROM lineitem UNION ALL "
+            "SELECT l_orderkey, l_linenumber, 'disc', "
+            "CAST(l_discount AS DOUBLE) FROM lineitem"
         ),
         "tpch_q5": (
             "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) "
