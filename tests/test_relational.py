@@ -219,3 +219,23 @@ def test_salted_join_matches_plain_join(spark, tables):
         li.withColumnRenamed("l_orderkey", "o_orderkey"), o, "o_orderkey", salt=4
     ).groupBy().agg(F.count(F.lit(1)), F.sum("l_quantity")).collect()
     assert [tuple(r) for r in plain] == [tuple(r) for r in salted]
+
+
+def test_approx_aggregates_error_bounds(tables):
+    """approx_count_distinct (HLL++) and percentile_approx must land within
+    tight relative error of their exact counterparts — the sketch path is the
+    100 TB substitute for exact distinct/percentile shuffles."""
+    from pyspark.sql import functions as F
+
+    li = tables["lineitem"]
+    exact = li.select(F.countDistinct("l_orderkey").alias("d")).collect()[0]["d"]
+    approx = li.select(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("d")
+    ).collect()[0]["d"]
+    assert abs(approx - exact) / exact < 0.05, (approx, exact)
+
+    stats = li.select(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_med"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_med"),
+    ).collect()[0]
+    assert abs(stats["approx_med"] - stats["exact_med"]) / stats["exact_med"] < 0.01
