@@ -19,6 +19,7 @@ import shutil
 from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -136,3 +137,29 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Hive-style partitioned parquet layout (+ optional within-partition
+    sort).
+
+    The 100 TB data-layout pair: ``partition_cols`` gives partition PRUNING
+    (a date-filtered query opens only matching directories — the scan never
+    sees the other 99%), and ``sort_cols`` gives row-group SKIPPING via
+    parquet min/max statistics within each file.  Together they are the
+    Spark analog of the reference's MergeTree partition key + ``ORDER BY``
+    (server.js:588-589): sort-order-as-index, done at write time.
+    """
+    out = df
+    if sort_cols:
+        out = out.repartition(*[F.col(c) for c in partition_cols]).sortWithinPartitions(
+            *sort_cols
+        )
+    out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    return path

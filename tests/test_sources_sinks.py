@@ -168,3 +168,28 @@ def test_orc_roundtrip(spark, tmp_path):
     back = read_orc(spark, path)
     assert back.schema == df.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_partitioned_write_prunes_partitions(spark, tables, tmp_path):
+    """A filter on the partition column must prune at planning time: the
+    scan's PartitionFilters carries the predicate and only matching
+    directories are listed."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_flatfile_tool_spark.plans import explain_str
+    from clickhouse_flatfile_tool_spark.sinks.writers import write_partitioned
+
+    ev = tables["events"].withColumn("event_date", F.to_date("ts"))
+    path = str(tmp_path / "ev_part")
+    write_partitioned(ev, path, ["event_date"], sort_cols=["user_id"])
+
+    one_day = (
+        tables["events"].select(F.to_date("ts").alias("d")).distinct().limit(1).collect()
+    )[0]["d"]
+    df = spark.read.parquet(path).filter(F.col("event_date") == F.lit(one_day))
+    plan = explain_str(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "event_date" in pf[0], plan
+    got = df.count()
+    want = ev.filter(F.to_date("ts") == F.lit(one_day)).count()
+    assert got == want > 0
