@@ -666,6 +666,22 @@ LIMIT 20
 """
 
 
+def q_hier_rollup(spark, d):
+    """Day-level stats computed hierarchically (minute→hour→day re-agg, no
+    raw rescan) — the oracle aggregates raw rows directly; results must be
+    identical because sum/count/min/max compose exactly."""
+    ev = _t(spark, d, "events")
+    day = events.multi_resolution_rollup(ev, group_cols=["event_type"])["day"]
+    return day.select(
+        "bucket",
+        "event_type",
+        F.round("v_sum", 2).alias("sum_value"),
+        F.col("v_cnt").alias("n_events"),
+        F.round("v_min", 4).alias("min_value"),
+        F.round("v_max", 4).alias("max_value"),
+    )
+
+
 def q_stream_tumbling(spark, d):
     """Structured Streaming tumbling windows over the events fixture,
     executed with Trigger.AvailableNow for determinism (rows-only check)."""
@@ -805,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "sql_tpch": q_sql_tpch,
+        "hier_rollup": q_hier_rollup,
         "stream_tumbling": q_stream_tumbling,
         "stream_dedup": q_stream_dedup,
         "stream_session": q_stream_session,
@@ -1055,6 +1072,12 @@ def oracle_sql() -> dict[str, str]:
             "WHERE event_type = 'click') c "
             "ON p.user_id = c.user_id AND c.ep <= p.ep AND p.ep < c.ep + 600 "
             "GROUP BY p.event_id"
+        ),
+        "hier_rollup": (
+            "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, event_type, "
+            "round(sum(value), 2) AS sum_value, count(*) AS n_events, "
+            "round(min(value), 4) AS min_value, round(max(value), 4) AS max_value "
+            "FROM events GROUP BY 1, 2"
         ),
         "array_explode": (
             "SELECT vec_id, count(*) AS dim, round(max(CAST(v AS DOUBLE)), 6) AS max_v, "

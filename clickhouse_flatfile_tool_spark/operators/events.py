@@ -112,3 +112,45 @@ def event_type_funnel(df: DataFrame) -> DataFrame:
             F.max("ts").alias("last_ts"),
         )
     )
+
+
+def multi_resolution_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_cols: list[str] | None = None,
+) -> dict[str, DataFrame]:
+    """Hierarchical time rollup: minute → hour → day, where each coarser
+    resolution re-aggregates the next finer one instead of rescanning raw
+    rows (the continuous-aggregate / hypertable-rollup pattern).
+
+    At 100 TB this is the difference between one full scan (minute level,
+    cached/persisted) plus two tiny re-aggregations, and three full scans.
+    Only algebraic aggregates are carried (sum/count/min/max — they compose
+    exactly); avg is derived as sum/count at read time.
+    """
+    keys = group_cols or []
+
+    def agg_from(src: DataFrame, trunc: str, ts_in: str) -> DataFrame:
+        return (
+            src.groupBy(F.date_trunc(trunc, F.col(ts_in)).alias("bucket"), *keys)
+            .agg(
+                F.sum("v_sum").alias("v_sum"),
+                F.sum("v_cnt").alias("v_cnt"),
+                F.min("v_min").alias("v_min"),
+                F.max("v_max").alias("v_max"),
+            )
+        )
+
+    base = df.select(
+        F.col(ts_col).alias("__ts"),
+        *keys,
+        F.col(value_col).alias("v_sum"),
+        F.lit(1).cast("long").alias("v_cnt"),
+        F.col(value_col).alias("v_min"),
+        F.col(value_col).alias("v_max"),
+    )
+    minute = agg_from(base, "minute", "__ts")
+    hour = agg_from(minute, "hour", "bucket")
+    day = agg_from(hour, "day", "bucket")
+    return {"minute": minute, "hour": hour, "day": day}

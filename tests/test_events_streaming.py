@@ -205,3 +205,38 @@ def test_stream_interval_join_matches_batch(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_hier_rollup_matches_direct(spark, sf_dir):
+    """Each resolution of the hierarchical rollup must equal the same
+    aggregation computed directly from raw rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_flatfile_tool_spark.operators.events import multi_resolution_rollup
+    from clickhouse_flatfile_tool_spark.sources.files import read_parquet
+
+    ev = read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+    ro = multi_resolution_rollup(ev, group_cols=["event_type"])
+    for res in ["minute", "hour", "day"]:
+        direct = (
+            ev.groupBy(F.date_trunc(res, "ts").alias("bucket"), "event_type")
+            .agg(
+                F.round(F.sum("value"), 6).alias("s"),
+                F.count(F.lit(1)).alias("c"),
+                F.min("value").alias("mn"),
+                F.max("value").alias("mx"),
+            )
+        )
+        got = ro[res].select(
+            "bucket",
+            "event_type",
+            F.round("v_sum", 6).alias("s"),
+            F.col("v_cnt").alias("c"),
+            F.col("v_min").alias("mn"),
+            F.col("v_max").alias("mx"),
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, direct.collect())
+        ), res
