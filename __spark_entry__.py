@@ -666,6 +666,20 @@ LIMIT 20
 """
 
 
+def q_latest_per_key(spark, d):
+    """Keep-latest-row-per-key (argmax dedup) — the standard CDC/log
+    compaction shape: one window, one shuffle on the key."""
+    ev = _t(spark, d, "events")
+    out = relational.ranked(
+        ev.select("user_id", "event_id", "ts", "event_type"),
+        ["user_id"],
+        [F.desc("ts"), F.desc("event_id")],
+        "row_number",
+        "rn",
+    )
+    return out.filter("rn = 1").select("user_id", "event_id", "event_type")
+
+
 def q_hier_rollup(spark, d):
     """Day-level stats computed hierarchically (minute→hour→day re-agg, no
     raw rescan) — the oracle aggregates raw rows directly; results must be
@@ -822,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "sql_tpch": q_sql_tpch,
         "hier_rollup": q_hier_rollup,
+        "latest_per_key": q_latest_per_key,
         "stream_tumbling": q_stream_tumbling,
         "stream_dedup": q_stream_dedup,
         "stream_session": q_stream_session,
@@ -1072,6 +1087,12 @@ def oracle_sql() -> dict[str, str]:
             "WHERE event_type = 'click') c "
             "ON p.user_id = c.user_id AND c.ep <= p.ep AND p.ep < c.ep + 600 "
             "GROUP BY p.event_id"
+        ),
+        "latest_per_key": (
+            "SELECT user_id, event_id, event_type FROM ("
+            "SELECT user_id, event_id, event_type, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+            "FROM events) WHERE rn = 1"
         ),
         "hier_rollup": (
             "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, event_type, "
