@@ -273,3 +273,24 @@ def validate_columns(columns: list[dict]) -> None:
     for c in columns:
         if not c.get("name") or not c.get("type"):
             raise ValueError(f"invalid column definition: {c!r} (name and type required)")
+
+
+def cast_to_clickhouse_columns(df, columns: list[dict]):
+    """Cast an all-String flat-file DataFrame to its declared ClickHouse
+    column types (``[{name, type}]`` — the reference's universal currency,
+    server.js:576-581).
+
+    Fixes the reference defect at server.js:697, 711 (§2.11): file-side
+    ingest there quotes every value as a string regardless of declared type;
+    here the declared type drives a real cast, so a ``UInt32`` column lands
+    as a Spark integral and bad cells become NULL (``try_cast`` — PERMISSIVE
+    semantics even under ANSI mode) instead of silently storing text.
+    """
+    from pyspark.sql import functions as F
+
+    validate_columns(columns)
+    out = df
+    for c in columns:
+        dt, _nullable = clickhouse_to_spark(c["type"])
+        out = out.withColumn(c["name"], F.col(c["name"]).try_cast(dt))
+    return out

@@ -94,3 +94,32 @@ def test_validate_columns():
     S.validate_columns([{"name": "a", "type": "String"}])
     with pytest.raises(ValueError):
         S.validate_columns([{"name": "a"}])
+
+
+def test_cast_to_clickhouse_columns(spark):
+    from pyspark.sql import types as T
+
+    from clickhouse_flatfile_tool_spark.schema import cast_to_clickhouse_columns
+
+    df = spark.createDataFrame(
+        [("1", "25.5", "2024-01-02", "oops"), ("2", "bad", "2024-02-03", "7")],
+        "id string, v string, d string, n string",
+    )
+    out = cast_to_clickhouse_columns(
+        df,
+        [
+            {"name": "id", "type": "UInt32"},
+            {"name": "v", "type": "Float64"},
+            {"name": "d", "type": "Date"},
+            {"name": "n", "type": "Nullable(Int32)"},
+        ],
+    )
+    sch = {f.name: f.dataType for f in out.schema.fields}
+    assert sch["id"] == T.LongType()  # UInt32 widens to Long
+    assert sch["v"] == T.DoubleType()
+    assert sch["d"] == T.DateType()
+    assert sch["n"] == T.IntegerType()
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["v"] == 25.5 and rows[1]["n"] is None  # bad cell → NULL
+    assert rows[2]["v"] is None and rows[2]["n"] == 7
+    assert str(rows[1]["d"]) == "2024-01-02"
