@@ -666,6 +666,18 @@ LIMIT 20
 """
 
 
+def q_map_props(spark, d):
+    """Map surface (§2.6): JSON → MapType → explode to (key, value) rows —
+    map_keys/map_values/explode over a real fixture column."""
+    ev = _t(spark, d, "events")
+    m = ev.select(
+        "event_id",
+        F.from_json("props", "map<string,int>").alias("pm"),
+    )
+    ex = m.select("event_id", F.explode("pm").alias("prop_key", "prop_val"))
+    return ex.select("event_id", "prop_key", F.col("prop_val").cast("long").alias("prop_val"))
+
+
 def q_latest_per_key(spark, d):
     """Keep-latest-row-per-key (argmax dedup) — the standard CDC/log
     compaction shape: one window, one shuffle on the key."""
@@ -837,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_tpch": q_sql_tpch,
         "hier_rollup": q_hier_rollup,
         "latest_per_key": q_latest_per_key,
+        "map_props": q_map_props,
         "stream_tumbling": q_stream_tumbling,
         "stream_dedup": q_stream_dedup,
         "stream_session": q_stream_session,
@@ -1087,6 +1100,11 @@ def oracle_sql() -> dict[str, str]:
             "WHERE event_type = 'click') c "
             "ON p.user_id = c.user_id AND c.ep <= p.ep AND p.ep < c.ep + 600 "
             "GROUP BY p.event_id"
+        ),
+        "map_props": (
+            "SELECT event_id, 'k' AS prop_key, "
+            "CAST(json_extract(props, '$.k') AS BIGINT) AS prop_val "
+            "FROM events WHERE json_extract(props, '$.k') IS NOT NULL"
         ),
         "latest_per_key": (
             "SELECT user_id, event_id, event_type FROM ("
