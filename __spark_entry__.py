@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from clickhouse_flatfile_tool_spark.operators import (
     dedup,
     events,
+    mergetree,
     multimodal,
     relational,
     sampling,
@@ -708,6 +709,81 @@ def q_hier_rollup(spark, d):
     )
 
 
+def q_collapsing_final(spark, d):
+    """CollapsingMergeTree FINAL semantics (ClickHouse upsert/CDC state):
+    sign=±1 rows cancel per key; survivors keep their latest +1 state.  One
+    hash aggregation — sum(sign) and max(conditional struct) in the same
+    shuffle (operators/mergetree.py)."""
+    ev = _t(spark, d, "events")
+    src = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round("value", 4).alias("value"),
+        F.when(F.pmod("event_id", 4) == 0, F.lit(-1)).otherwise(F.lit(1)).alias("sign"),
+    )
+    return mergetree.collapsing_final(
+        src, ["user_id"], "sign", version_cols=["ts", "event_id"], value_cols=["value"]
+    )
+
+
+def q_replacing_final(spark, d):
+    """ReplacingMergeTree FINAL: newest row per key via a partial-aggregatable
+    max(struct(version, values)) — the aggregation twin of latest_per_key's
+    window formulation (shuffle carries one candidate per key per map task,
+    not every row)."""
+    ev = _t(spark, d, "events")
+    return mergetree.replacing_final(
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        ["user_id"],
+        version_cols=["ts", "event_id"],
+        value_cols=["event_type"],
+    )
+
+
+def q_repetition_metrics(spark, d):
+    """Gopher-style repetition quality signals (dup-word fraction, top-word
+    share) — shuffle-free higher-order array functions."""
+    docs = _t(spark, d, "documents")
+    out = text.with_repetition_metrics(docs)
+    return out.select("doc_id", "dup_line_frac", "dup_word_frac", "top_word_frac")
+
+
+def q_tfidf_terms(spark, d):
+    """Corpus TF-IDF term ranking: one explode + one agg keyed by term;
+    corpus size N arrives via broadcast 1-row aggregate, never a driver-side
+    count."""
+    docs = _t(spark, d, "documents")
+    return text.tfidf_top_terms(docs, k=50)
+
+
+def q_tpch_q18(spark, d):
+    """TPC-H Q18 shape (large-volume customers), native DataFrame: the
+    HAVING-subquery re-expressed as agg → filter → join; the big side
+    aggregates BEFORE joining so the join input is one row per qualifying
+    order."""
+    li, o, c = (_t(spark, d, t) for t in ["lineitem", "orders", "customer"])
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .where(F.col("sum_qty") > 250)
+    )
+    out = (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(relational.broadcast_dim(c), o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+    return relational.top_k(out, 100, F.desc("o_totalprice"), F.asc("o_orderkey"))
+
+
+def q_hll_rollup(spark, d):
+    """Sketch-based distinct rollup (uniqState/uniqMerge analog): hourly HLL
+    sketches of user_id merged into daily estimates — constant-size shuffle
+    state per bucket (rows-only: estimates are engine-specific)."""
+    ev = _t(spark, d, "events")
+    return events.hll_rollup(ev)
+
+
 def q_stream_tumbling(spark, d):
     """Structured Streaming tumbling windows over the events fixture,
     executed with Trigger.AvailableNow for determinism (rows-only check)."""
@@ -850,6 +926,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hier_rollup": q_hier_rollup,
         "latest_per_key": q_latest_per_key,
         "map_props": q_map_props,
+        "collapsing_final": q_collapsing_final,
+        "replacing_final": q_replacing_final,
+        "repetition_metrics": q_repetition_metrics,
+        "tfidf_terms": q_tfidf_terms,
+        "tpch_q18": q_tpch_q18,
+        "hll_rollup": q_hll_rollup,
         "stream_tumbling": q_stream_tumbling,
         "stream_dedup": q_stream_dedup,
         "stream_session": q_stream_session,
@@ -1117,6 +1199,51 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(value), 2) AS sum_value, count(*) AS n_events, "
             "round(min(value), 4) AS min_value, round(max(value), 4) AS max_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "collapsing_final": (
+            "WITH src AS (SELECT user_id, ts, event_id, round(value, 4) AS value, "
+            "CASE WHEN event_id % 4 = 0 THEN -1 ELSE 1 END AS sign FROM events), "
+            "net AS (SELECT user_id, sum(sign) AS net FROM src GROUP BY user_id), "
+            "plus AS (SELECT user_id, ts, event_id, value, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+            "FROM src WHERE sign > 0) "
+            "SELECT p.user_id, p.ts, p.event_id, p.value FROM plus p "
+            "JOIN net n ON p.user_id = n.user_id WHERE p.rn = 1 AND n.net > 0"
+        ),
+        "replacing_final": (
+            "SELECT user_id, ts, event_id, event_type FROM ("
+            "SELECT user_id, ts, event_id, event_type, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+            "FROM events) WHERE rn = 1"
+        ),
+        "repetition_metrics": (
+            "SELECT doc_id, "
+            "round(1 - len(list_distinct(str_split(text, chr(10)))) / "
+            "greatest(len(str_split(text, chr(10))), 1), 6) AS dup_line_frac, "
+            "round(1 - len(list_distinct(str_split_regex(trim(lower(text)), '\\s+'))) / "
+            "greatest(len(str_split_regex(trim(lower(text)), '\\s+')), 1), 6) AS dup_word_frac, "
+            "round(list_max(list_transform("
+            "list_distinct(str_split_regex(trim(lower(text)), '\\s+')), "
+            "x -> len(list_filter(str_split_regex(trim(lower(text)), '\\s+'), y -> y = x)))) / "
+            "greatest(len(str_split_regex(trim(lower(text)), '\\s+')), 1), 6) AS top_word_frac "
+            "FROM documents"
+        ),
+        "tfidf_terms": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(str_split_regex(trim(lower(text)), '\\s+')) AS term FROM documents), "
+            "f AS (SELECT term, count(*) AS cf, count(DISTINCT doc_id) AS df_docs "
+            "FROM toks WHERE len(term) >= 3 GROUP BY term), "
+            "n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents) "
+            "SELECT term, cf, df_docs, round(cf * ln(n_docs / df_docs), 6) AS tfidf "
+            "FROM f, n ORDER BY tfidf DESC, term LIMIT 50"
+        ),
+        "tpch_q18": (
+            "WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty "
+            "FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 250) "
+            "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty "
+            "FROM big JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
         ),
         "array_explode": (
             "SELECT vec_id, count(*) AS dim, round(max(CAST(v AS DOUBLE)), 6) AS max_v, "

@@ -50,8 +50,13 @@ BENCH_QUERIES = [
     "embedding_norm",
     "multimodal_join",
     "tpch_q5",
+    "tpch_q18",
     "redact_pii",
     "chunk_text",
+    "collapsing_final",
+    "repetition_metrics",
+    "tfidf_terms",
+    "hll_rollup",
 ]
 
 

@@ -154,3 +154,34 @@ def multi_resolution_rollup(
     hour = agg_from(minute, "hour", "bucket")
     day = agg_from(hour, "day", "bucket")
     return {"minute": minute, "hour": hour, "day": day}
+
+
+def hll_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    lg_k: int = 14,
+) -> DataFrame:
+    """Re-aggregatable distinct-count rollup: per-hour HLL sketches of
+    ``key_col``, MERGED (``hll_union_agg``) — not recomputed — into per-day
+    estimates.  This is the ClickHouse ``uniqState``/``uniqMerge``
+    (AggregatingMergeTree) pattern: at 100 TB the raw events are scanned
+    once to build the tiny hourly sketch table; every coarser resolution
+    aggregates sketches, whose size is O(2^lg_k) regardless of row count.
+
+    Exact distinct would need the full key set through the shuffle; the
+    sketch shuffle is constant-size per bucket.
+    """
+    hourly = df.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("hour")).agg(
+        F.hll_sketch_agg(F.col(key_col), F.lit(lg_k)).alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    daily = hourly.groupBy(F.date_trunc("day", F.col("hour")).alias("day")).agg(
+        F.hll_union_agg(F.col("sk")).alias("sk"),
+        F.sum("n_events").alias("n_events"),
+    )
+    return daily.select(
+        "day",
+        F.hll_sketch_estimate(F.col("sk")).alias("approx_users"),
+        "n_events",
+    )

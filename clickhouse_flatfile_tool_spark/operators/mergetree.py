@@ -1,0 +1,89 @@
+"""ClickHouse MergeTree-family merge semantics ("FINAL" reads) as Spark
+operators.
+
+The reference only ever creates plain ``MergeTree`` tables
+(/root/reference/server/server.js:586-589, 671-674), but the engine family's
+merge semantics — ReplacingMergeTree (keep newest version per key),
+SummingMergeTree (sum numeric state per key), CollapsingMergeTree /
+VersionedCollapsingMergeTree (±1 sign rows cancel; latest surviving +1 row is
+the state) — are how ClickHouse users express upsert/CDC state, so they are
+part of the capability surface a ClickHouse user expects when switching.
+
+Scale design: every helper computes the post-merge state in ONE hash
+aggregation — map-side partial aggregation, a single shuffle keyed by the
+primary key, no window functions, no second pass over the fact table.  The
+per-key state carried through the shuffle is a single struct, so the shuffle
+volume is O(distinct keys), not O(rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _payload(cols: list[str]):
+    return F.struct(*[F.col(c) for c in cols])
+
+
+def replacing_final(
+    df: DataFrame,
+    key_cols: list[str],
+    version_cols: list[str],
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """ReplacingMergeTree FINAL: one row per key — the row with the greatest
+    version (lexicographic over ``version_cols``; remaining value columns
+    break exact version ties deterministically).
+
+    Equivalent to the window-rank ``latest_per_key`` but with aggregation
+    instead of a sort-based window: ``max(struct(version, values))`` is a
+    partial-aggregatable state, so the map side reduces each key to one
+    candidate before the shuffle.
+    """
+    if value_cols is None:
+        skip = set(key_cols) | set(version_cols)
+        value_cols = [c for c in df.columns if c not in skip]
+    out_cols = list(version_cols) + list(value_cols)
+    agg = df.groupBy(*key_cols).agg(F.max(_payload(out_cols)).alias("_last"))
+    return agg.select(*key_cols, *[F.col(f"_last.{c}").alias(c) for c in out_cols])
+
+
+def summing_final(
+    df: DataFrame, key_cols: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """SummingMergeTree FINAL: numeric state columns summed per key."""
+    return df.groupBy(*key_cols).agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )
+
+
+def collapsing_final(
+    df: DataFrame,
+    key_cols: list[str],
+    sign_col: str = "sign",
+    version_cols: list[str] | None = None,
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """(Versioned)CollapsingMergeTree FINAL.
+
+    Rows carry ``sign`` ∈ {+1, -1}; a -1 row cancels a prior +1 row for the
+    same key.  A key survives iff ``sum(sign) > 0``, and its surviving state
+    is the +1 row with the greatest version.  ``sum(sign)`` and
+    ``max(when(sign > 0, struct(version, values)))`` are computed in the same
+    single aggregation (aggregate ``max`` ignores the NULLs produced for -1
+    rows), so the whole FINAL read is one shuffle.
+    """
+    version_cols = list(version_cols or [])
+    if value_cols is None:
+        skip = set(key_cols) | set(version_cols) | {sign_col}
+        value_cols = [c for c in df.columns if c not in skip]
+    out_cols = version_cols + list(value_cols)
+    agg = df.groupBy(*key_cols).agg(
+        F.sum(sign_col).alias("_net"),
+        F.max(F.when(F.col(sign_col) > 0, _payload(out_cols))).alias("_last"),
+    )
+    return (
+        agg.where(F.col("_net") > 0)
+        .select(*key_cols, *[F.col(f"_last.{c}").alias(c) for c in out_cols])
+    )

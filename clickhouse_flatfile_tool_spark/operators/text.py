@@ -228,3 +228,77 @@ def chunk_text(
         )
     )
     return out.select(*keep, F.col("chunk_id").cast("long").alias("chunk_id"), "chunk")
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics & corpus TF-IDF (training-data quality signals)
+# ---------------------------------------------------------------------------
+
+def with_repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-line fraction,
+    duplicate-word fraction, and the share of the most frequent word.
+
+    All higher-order array functions (JVM-side, codegen); per-row cost is
+    bounded by document length — O(distinct·words) for the top-word scan —
+    so the operator is embarrassingly parallel and shuffle-free.
+    """
+    c = F.col(text_col)
+    lines = F.split(c, r"\n")
+    words = F.split(F.trim(F.lower(c)), _WS_SPLIT)
+    n_words = F.size(words)
+    distinct_words = F.array_distinct(words)
+    top_word_count = F.array_max(
+        F.transform(
+            distinct_words,
+            lambda x: F.size(F.filter(words, lambda w: w == x)),
+        )
+    )
+    return (
+        df.withColumn(
+            "dup_line_frac",
+            F.round(
+                1 - F.size(F.array_distinct(lines)) / F.greatest(F.size(lines), F.lit(1)), 6
+            ),
+        )
+        .withColumn(
+            "dup_word_frac",
+            F.round(1 - F.size(distinct_words) / F.greatest(n_words, F.lit(1)), 6),
+        )
+        .withColumn(
+            "top_word_frac",
+            F.round(top_word_count / F.greatest(n_words, F.lit(1)), 6),
+        )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+    min_len: int = 3,
+) -> DataFrame:
+    """Corpus-level TF-IDF term ranking: collection frequency × ln(N/df).
+
+    One explode (map-side, no shuffle), then a single aggregation keyed by
+    term computing collection frequency and exact document frequency; the
+    corpus size N joins in via a broadcast of a 1-row aggregate (never a
+    driver-side ``count()`` — the whole plan stays lazy and distributed).
+    Top-k is TakeOrderedAndProject, ties broken by term for determinism.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), _WS_SPLIT)).alias("term"),
+    ).where(F.length("term") >= min_len)
+    stats = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("cf"),
+        F.countDistinct(id_col).alias("df_docs"),
+    )
+    n_docs = df.agg(F.countDistinct(id_col).alias("n_docs"))
+    scored = stats.join(F.broadcast(n_docs)).select(
+        "term",
+        "cf",
+        "df_docs",
+        F.round(F.col("cf") * F.log(F.col("n_docs") / F.col("df_docs")), 6).alias("tfidf"),
+    )
+    return scored.orderBy(F.desc("tfidf"), F.asc("term")).limit(k)

@@ -1,0 +1,116 @@
+"""MergeTree-family FINAL semantics (operators/mergetree.py) + the new
+text-quality and sketch operators: hand-computed golden cases and invariants.
+
+Reference context: the tool only ever emits ``ENGINE = MergeTree()``
+(/root/reference/server/server.js:586-589); the Replacing/Summing/Collapsing
+FINAL reads implemented here are the ClickHouse engine-family semantics a
+user of that tool's target system relies on.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from clickhouse_flatfile_tool_spark.operators import events, mergetree, text
+
+
+@pytest.fixture(scope="module")
+def cdc(spark):
+    rows = [
+        # key 1: insert v1, cancel v1, insert v2  -> survives with v2 state
+        (1, 1, 1, "a", 10.0),
+        (1, 2, -1, "a", 10.0),
+        (1, 3, 1, "b", 20.0),
+        # key 2: insert then cancel -> gone
+        (2, 1, 1, "x", 1.0),
+        (2, 2, -1, "x", 1.0),
+        # key 3: plain insert -> survives
+        (3, 7, 1, "z", 5.0),
+    ]
+    return spark.createDataFrame(rows, "k int, ver int, sign int, state string, amount double")
+
+
+def test_collapsing_final_golden(cdc):
+    out = mergetree.collapsing_final(
+        cdc, ["k"], "sign", version_cols=["ver"], value_cols=["state", "amount"]
+    )
+    got = {r["k"]: (r["ver"], r["state"], r["amount"]) for r in out.collect()}
+    assert got == {1: (3, "b", 20.0), 3: (7, "z", 5.0)}
+
+
+def test_collapsing_final_one_shuffle(cdc):
+    plan = mergetree.collapsing_final(
+        cdc, ["k"], "sign", version_cols=["ver"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+
+
+def test_replacing_final_golden(cdc):
+    out = mergetree.replacing_final(cdc, ["k"], ["ver"], value_cols=["state"])
+    got = {r["k"]: (r["ver"], r["state"]) for r in out.collect()}
+    # replacing keeps the max-version row regardless of sign
+    assert got == {1: (3, "b"), 2: (2, "x"), 3: (7, "z")}
+
+
+def test_summing_final_golden(cdc):
+    out = mergetree.summing_final(cdc, ["k"], ["amount"])
+    got = {r["k"]: r["amount"] for r in out.collect()}
+    assert got == {1: 40.0, 2: 2.0, 3: 5.0}
+
+
+def test_repetition_metrics_golden(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "one two three four")], "doc_id int, text string"
+    )
+    got = {r["doc_id"]: r for r in text.with_repetition_metrics(df).collect()}
+    assert got[1]["dup_word_frac"] == pytest.approx(0.5)  # 2 distinct / 4
+    assert got[1]["top_word_frac"] == pytest.approx(0.75)  # 'a' 3 of 4
+    assert got[2]["dup_word_frac"] == 0.0
+    assert got[2]["top_word_frac"] == pytest.approx(0.25)
+
+
+def test_tfidf_ubiquitous_term_scores_zero(spark):
+    # a term present in every doc has idf ln(N/N)=0 regardless of frequency
+    df = spark.createDataFrame(
+        [(1, "common alpha alpha"), (2, "common beta")], "doc_id int, text string"
+    )
+    out = {r["term"]: r["tfidf"] for r in text.tfidf_top_terms(df, k=10).collect()}
+    assert out["common"] == 0.0
+    assert out["alpha"] > out["beta"] > 0.0
+
+
+def test_hll_rollup_close_to_exact(spark, tables):
+    ev = tables["events"]
+    import pyspark.sql.functions as F
+
+    approx = {
+        r["day"]: r["approx_users"] for r in events.hll_rollup(ev).collect()
+    }
+    exact = {
+        r["day"]: r["n"]
+        for r in ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for day, n in exact.items():
+        assert approx[day] == pytest.approx(n, rel=0.05)
+
+
+def test_hll_rollup_merged_matches_direct_daily(spark, tables):
+    # union of hourly sketches must estimate ~ the same as a direct daily
+    # sketch (mergeability — the property that makes the rollup valid)
+    import pyspark.sql.functions as F
+
+    ev = tables["events"]
+    merged = {r["day"]: r["approx_users"] for r in events.hll_rollup(ev).collect()}
+    direct = {
+        r["day"]: r["n"]
+        for r in ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).alias("n"))
+        .collect()
+    }
+    for day in direct:
+        assert merged[day] == pytest.approx(direct[day], rel=0.02)
