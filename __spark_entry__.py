@@ -709,6 +709,26 @@ def q_hier_rollup(spark, d):
     )
 
 
+def q_connected_components(spark, d):
+    """Connected components over the exact-Jaccard near-dup graph (iterative
+    min-label propagation, lineage-truncated per round) — oracled by a
+    DuckDB recursive CTE computing reachability minima."""
+    docs = _t(spark, d, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    return dedup.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("comp")
+    )
+
+
+def q_dedup_cc(spark, d):
+    """Transitively-correct near-dup dedup: Jaccard pairs → connected
+    components → keep the min-id doc per component (A~B, B~C drops B AND C
+    even without an A~C pair — greedy pair-drop gets this wrong)."""
+    docs = _t(spark, d, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    return dedup.cc_dedup(docs, pairs).select("doc_id", "lang", "source")
+
+
 def q_collapsing_final(spark, d):
     """CollapsingMergeTree FINAL semantics (ClickHouse upsert/CDC state):
     sign=±1 rows cancel per key; survivors keep their latest +1 state.  One
@@ -926,6 +946,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hier_rollup": q_hier_rollup,
         "latest_per_key": q_latest_per_key,
         "map_props": q_map_props,
+        "connected_components": q_connected_components,
+        "dedup_cc": q_dedup_cc,
         "collapsing_final": q_collapsing_final,
         "replacing_final": q_replacing_final,
         "repetition_metrics": q_repetition_metrics,
@@ -1057,6 +1079,45 @@ JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
 WHERE n_shared / (sa.sz + sb.sz - n_shared) >= 0.5
 """
+
+# recursive-CTE reachability = connected components of the Jaccard pair graph
+_CC_CTES = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id AS id, {_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+), sizes AS (
+  SELECT id, len(sh) AS sz FROM base
+), inv AS (
+  SELECT id, unnest(sh) AS s FROM base
+), shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+  FROM inv a JOIN inv b ON a.s = b.s AND a.id < b.id
+  GROUP BY a.id, b.id
+), pairs AS (
+  SELECT id_a, id_b
+  FROM shared
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE n_shared / (sa.sz + sb.sz - n_shared) >= 0.5
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(n, c) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, r.c FROM reach r JOIN edges e ON e.s = r.n
+), compmap AS (
+  SELECT n, min(c) AS c FROM reach GROUP BY n
+)
+"""
+
+_CC_ORACLE = _CC_CTES + "SELECT n AS doc_id, c AS comp FROM compmap"
+
+_CC_DEDUP_ORACLE = _CC_CTES + (
+    "SELECT doc_id, lang, source FROM documents "
+    "WHERE doc_id NOT IN (SELECT n FROM compmap WHERE n != c)"
+)
 
 _MULTIMODAL_ORACLE = """
 WITH h AS (
@@ -1383,6 +1444,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY 1"
         ),
         "ngram_jaccard": _JACCARD_ORACLE,
+        "connected_components": _CC_ORACLE,
+        "dedup_cc": _CC_DEDUP_ORACLE,
         "cosine_topk": _COSINE_ORACLE,
         "embedding_norm": (
             "SELECT vec_id, round(sqrt(sum(x * x)), 6) AS norm FROM ("

@@ -397,3 +397,85 @@ def simhash_candidates(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected-component grouping over candidate pairs
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components of the candidate-pair graph via iterative
+    min-label propagation: every node repeatedly adopts the smallest label
+    in its closed neighborhood until a fixpoint.  Returns ``(node, comp)``
+    where ``comp`` is the smallest id in the node's component.
+
+    Scale shape: each round is one equi-join + one groupBy (two shuffles on
+    node id); ``localCheckpoint`` truncates lineage so the plan stays
+    constant-size across rounds, and the input pair plan (often an LSH or
+    inverted-index join) executes exactly once.  Rounds needed =
+    O(component diameter) — near-dup clusters are shallow in practice.  For
+    adversarial long-chain graphs the large-star/small-star algorithm
+    (O(log n) rounds) is the drop-in upgrade.
+
+    Convergence is detected with a 1-row count per round — a deliberate,
+    documented driver action (iterative fixpoint needs *some* driver
+    decision; this is how GraphX/GraphFrames do it too).
+    """
+    e = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("node"), F.col("src").alias("comp")
+    )
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.src, "left")
+            .select(
+                F.col("node"),
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def cc_dedup(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Connected-component dedup: cluster the verified near-dup pairs into
+    components and keep only the minimum-id document of each component —
+    the transitively-correct policy (A~B, B~C drops both B and C even when
+    the A~C pair was never emitted), unlike greedy pair-drop
+    (:func:`minhash_dedup`)."""
+    comp = connected_components(pairs)
+    losers = comp.where(F.col("node") != F.col("comp")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

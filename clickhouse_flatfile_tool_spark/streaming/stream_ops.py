@@ -218,3 +218,32 @@ def stream_interval_join(
         f"AND r.{right_ts}_r <= l.{left_ts}"
     )
     return l.join(r, on=cond, how="inner")
+
+
+def stream_ingest(
+    stream_df: DataFrame,
+    target_table: str,
+    checkpoint_dir: str,
+    transform=None,
+) -> None:
+    """Continuous ingest: a streaming source appended to a catalog table via
+    ``foreachBatch`` — the streaming twin of the reference's file→table
+    ingest loop (/root/reference/server/server.js:659-721), with exactly-once
+    progress tracked by the checkpoint instead of a hand-rolled batch
+    counter.  ``transform`` (optional) is applied per micro-batch DataFrame
+    (projection/cast/quality-filter), keeping the batch plan fully
+    distributed.  Runs with ``Trigger.AvailableNow`` and blocks until the
+    backlog is drained.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform(batch_df) if transform else batch_df
+        out.write.mode("append").format("parquet").saveAsTable(target_table)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()

@@ -9,8 +9,6 @@ user of that tool's target system relies on.
 
 from __future__ import annotations
 
-import datetime
-
 import pytest
 
 from clickhouse_flatfile_tool_spark.operators import events, mergetree, text
@@ -114,3 +112,63 @@ def test_hll_rollup_merged_matches_direct_daily(spark, tables):
     }
     for day in direct:
         assert merged[day] == pytest.approx(direct[day], rel=0.02)
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+
+def test_connected_components_golden(spark):
+    from clickhouse_flatfile_tool_spark.operators import dedup
+
+    # two components: {1,2,3,4} (chain) and {10,11}; 20 isolated (no pairs)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["comp"] for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_cc_dedup_transitive(spark):
+    from clickhouse_flatfile_tool_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in [1, 2, 3, 10, 11, 20]], "doc_id long, text string"
+    )
+    # A~B, B~C with no A~C pair: greedy pair-drop keeps nothing linking 3->1,
+    # CC must drop 2 AND 3, keep 1
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    kept = sorted(r["doc_id"] for r in dedup.cc_dedup(docs, pairs).collect())
+    assert kept == [1, 10, 20]
+
+
+def test_stream_ingest_foreachbatch(spark, tmp_path):
+    import pyspark.sql.functions as F
+    from clickhouse_flatfile_tool_spark.streaming import stream_ops
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.csv").write_text("id,val\n1,10\n2,20\n")
+    (src / "b.csv").write_text("id,val\n3,30\n")
+    stream = (
+        spark.readStream.schema("id int, val int")
+        .option("header", True)
+        .csv(str(src))
+    )
+    spark.sql("DROP TABLE IF EXISTS stream_ingest_t")
+    stream_ops.stream_ingest(
+        stream,
+        "stream_ingest_t",
+        str(tmp_path / "ckpt"),
+        transform=lambda df: df.where(F.col("val") > 10),
+    )
+    got = sorted(r["id"] for r in spark.table("stream_ingest_t").collect())
+    assert got == [2, 3]
+    # re-running with the same checkpoint must be a no-op (exactly-once)
+    stream2 = (
+        spark.readStream.schema("id int, val int")
+        .option("header", True)
+        .csv(str(src))
+    )
+    stream_ops.stream_ingest(stream2, "stream_ingest_t", str(tmp_path / "ckpt"))
+    assert spark.table("stream_ingest_t").count() == 2
