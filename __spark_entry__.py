@@ -709,6 +709,66 @@ def q_hier_rollup(spark, d):
     )
 
 
+def q_token_histogram(spark, d):
+    """Corpus token-count histogram via width_bucket — the fixed-bucket
+    shape whose shuffle is O(buckets), not O(rows)."""
+    docs = _t(spark, d, "documents")
+    m = docs.select(
+        F.width_bucket(text.token_count("text"), F.lit(0), F.lit(500), F.lit(20)).alias(
+            "bucket"
+        )
+    )
+    return m.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def q_length_trim(spark, d):
+    """Percentile-trimmed filter (drop the tails outside [p05, p95] of
+    n_chars): the scalar-subquery pattern as a broadcast join of a 1-row
+    aggregate — no second scan of the fact side, no driver round-trip."""
+    docs = _t(spark, d, "documents")
+    bounds = docs.agg(
+        F.percentile("n_chars", 0.05).alias("lo"),
+        F.percentile("n_chars", 0.95).alias("hi"),
+    )
+    return (
+        docs.join(F.broadcast(bounds))
+        .where("n_chars >= lo AND n_chars <= hi")
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+def q_topk_per_group(spark, d):
+    """Per-group top-k (most active users per event type): one shuffle on
+    the group key, row_number ≤ k."""
+    ev = _t(spark, d, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    return relational.top_k_per_group(
+        per_user, ["event_type"], [F.desc("n"), F.asc("user_id")], k=5
+    )
+
+
+def q_window_first_last(spark, d):
+    """Analytic window frame surface: first/last/nth value over an explicit
+    unbounded frame."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, d, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+    )
+
+
 def q_connected_components(spark, d):
     """Connected components over the exact-Jaccard near-dup graph (iterative
     min-label propagation, lineage-truncated per round) — oracled by a
@@ -948,6 +1008,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_props": q_map_props,
         "connected_components": q_connected_components,
         "dedup_cc": q_dedup_cc,
+        "token_histogram": q_token_histogram,
+        "length_trim": q_length_trim,
+        "topk_per_group": q_topk_per_group,
+        "window_first_last": q_window_first_last,
         "collapsing_final": q_collapsing_final,
         "replacing_final": q_replacing_final,
         "repetition_metrics": q_repetition_metrics,
@@ -1446,6 +1510,35 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _JACCARD_ORACLE,
         "connected_components": _CC_ORACLE,
         "dedup_cc": _CC_DEDUP_ORACLE,
+        "token_histogram": (
+            # DuckDB has no width_bucket; PostgreSQL semantics spelled out:
+            # v>=max -> n+1, else floor(v/step)+1 (min=0, max=500, n=20)
+            "SELECT CASE WHEN t >= 500 THEN 21 "
+            "ELSE CAST(floor(t / 25.0) AS BIGINT) + 1 END AS bucket, "
+            "count(*) AS n_docs FROM ("
+            "SELECT len(str_split_regex(trim(text), '\\s+')) AS t FROM documents"
+            ") GROUP BY 1"
+        ),
+        "length_trim": (
+            "WITH b AS (SELECT quantile_cont(n_chars, 0.05) AS lo, "
+            "quantile_cont(n_chars, 0.95) AS hi FROM documents) "
+            "SELECT doc_id, lang, n_chars FROM documents, b "
+            "WHERE n_chars >= lo AND n_chars <= hi"
+        ),
+        "topk_per_group": (
+            "SELECT event_type, user_id, n, sum_value FROM ("
+            "SELECT event_type, user_id, count(*) AS n, round(sum(value), 2) AS sum_value, "
+            "row_number() OVER (PARTITION BY event_type ORDER BY count(*) DESC, user_id) AS rk "
+            "FROM events GROUP BY event_type, user_id) WHERE rk <= 5"
+        ),
+        "window_first_last": (
+            "SELECT user_id, event_id, "
+            "first_value(event_type) OVER w AS first_type, "
+            "last_value(event_type) OVER w AS last_type, "
+            "nth_value(event_type, 2) OVER w AS second_type "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+        ),
         "cosine_topk": _COSINE_ORACLE,
         "embedding_norm": (
             "SELECT vec_id, round(sqrt(sum(x * x)), 6) AS norm FROM ("
