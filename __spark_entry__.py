@@ -709,6 +709,14 @@ def q_hier_rollup(spark, d):
     )
 
 
+def q_minhash_portable(spark, d):
+    """MinHash-LSH with md5-hex minimums — engine-portable hashing, so the
+    full shingle→signature→band→bucket-join pipeline hash-matches the DuckDB
+    oracle (the xxhash64 fast path, minhash_candidates, stays rows-only)."""
+    docs = _t(spark, d, "documents")
+    return dedup.minhash_lsh_candidates_portable(docs)
+
+
 def q_token_histogram(spark, d):
     """Corpus token-count histogram via width_bucket — the fixed-bucket
     shape whose shuffle is O(buckets), not O(rows)."""
@@ -1008,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_props": q_map_props,
         "connected_components": q_connected_components,
         "dedup_cc": q_dedup_cc,
+        "minhash_portable": q_minhash_portable,
         "token_histogram": q_token_histogram,
         "length_trim": q_length_trim,
         "topk_per_group": q_topk_per_group,
@@ -1142,6 +1151,30 @@ FROM shared
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
 WHERE n_shared / (sa.sz + sb.sz - n_shared) >= 0.5
+"""
+
+# portable MinHash-LSH: md5-hex minimums are engine-independent, so the whole
+# banding pipeline is hash-checkable (the xxhash64 fast path is rows-only)
+_MH_MINS = ", ".join(f"min(md5(s || '#{i}')) AS mh_{i}" for i in range(16))
+_MH_BANDS = " UNION ALL ".join(
+    f"SELECT id, {b} AS band, "
+    f"md5(mh_{4 * b} || '|' || mh_{4 * b + 1} || '|' || mh_{4 * b + 2} || '|' || mh_{4 * b + 3}) AS bucket "
+    "FROM sig"
+    for b in range(4)
+)
+_MINHASH_PORTABLE_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id AS id, {_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+), inv AS (
+  SELECT id, unnest(sh) AS s FROM base
+), sig AS (
+  SELECT id, {_MH_MINS} FROM inv GROUP BY id
+), banded AS (
+  {_MH_BANDS}
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
 """
 
 # recursive-CTE reachability = connected components of the Jaccard pair graph
@@ -1510,6 +1543,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _JACCARD_ORACLE,
         "connected_components": _CC_ORACLE,
         "dedup_cc": _CC_DEDUP_ORACLE,
+        "minhash_portable": _MINHASH_PORTABLE_ORACLE,
         "token_histogram": (
             # DuckDB has no width_bucket; PostgreSQL semantics spelled out:
             # v>=max -> n+1, else floor(v/step)+1 (min=0, max=500, n=20)

@@ -479,3 +479,84 @@ def cc_dedup(
         F.col("node").alias(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Engine-portable (oracle-checkable) MinHash variant
+# ---------------------------------------------------------------------------
+
+def minhash_signatures_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash with md5-hex minimums: hash function i is
+    ``md5(shingle || '#' || i)`` and the signature component is the
+    lexicographic MIN of the hex strings — identical in any engine with
+    md5 + string min, which makes the *whole* LSH pipeline differentially
+    testable against DuckDB (the xxhash64 fast path is Spark-specific and
+    can only be rows-only checked).  Keep :func:`minhash_signatures` for
+    production throughput; keep this for verification parity.
+    """
+    exploded = shingle_postings(df, id_col, text_col, shingle_n, hashed=False)
+    mins = [
+        F.min(F.md5(F.concat_ws("#", F.col("__s"), F.lit(str(i))))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_candidates_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded LSH over the portable md5 signatures: band bucket =
+    md5(concat of the band's signature components); candidates = distinct
+    (id_a < id_b) sharing any (band, bucket).  Same equi-join shape as the
+    fast path — only the hash primitive differs."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures_portable(df, id_col, text_col, shingle_n, num_hashes)
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"mh_{b * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )

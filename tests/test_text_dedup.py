@@ -180,3 +180,16 @@ def test_stratified_sample_rates(spark, tables):
     # seeded → reproducible
     again = stratified_sample(docs, "lang", fr)
     assert got.count() == again.count()
+
+
+def test_minhash_portable_catches_planted_near_dup(spark, docs):
+    base = docs.filter("doc_id = 0").first().text
+    words = base.split()
+    words[len(words) // 2] = "XXREPLACEDXX"
+    near = spark.createDataFrame(
+        [(999_999, " ".join(words), "en", "synthetic", len(base))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    with_near = docs.unionByName(near)
+    cands = D.minhash_lsh_candidates_portable(with_near)
+    assert cands.filter("id_a = 0 AND id_b = 999999").count() == 1
