@@ -925,6 +925,20 @@ def q_stream_stateful(spark, d):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def q_stream_tws(spark, d):
+    """Spark 4 transformWithStateInPandas custom stateful op (typed
+    ValueState per user) — rows-only; batch equivalence in pytest."""
+    tmp = tempfile.mkdtemp(prefix="cfts_stws_")
+    out_dir, ckpt = os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+    try:
+        stream = stream_ops.read_event_stream(spark, os.path.join(d, "events.parquet"))
+        result = stream_ops.user_event_stats_tws(stream)
+        stream_ops.run_available_now(result, out_dir, ckpt)
+        return spark.read.parquet(out_dir)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def q_stream_interval_join(spark, d):
     """Watermarked stream-stream join (purchases ⋈ clicks within 10 min by
     user) — rows-only check; the batch twin is event_range_join."""
@@ -1031,6 +1045,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "stream_session": q_stream_session,
         "stream_stateful": q_stream_stateful,
+        # Spark 4 transformWithStateInPandas needs a working google.protobuf
+        # (state-server protocol); registered only where the dep functions
+        **({"stream_tws": q_stream_tws} if stream_ops.tws_available() else {}),
         "stream_interval_join": q_stream_interval_join,
     }
 

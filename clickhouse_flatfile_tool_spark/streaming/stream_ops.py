@@ -247,3 +247,84 @@ def stream_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas talks to the JVM state server over a
+    protobuf protocol; this container ships a broken google.protobuf (no
+    C descriptor module), so the operator is gated the same way as the
+    JDBC ClickHouse source: code-complete, registered only when the
+    dependency actually works."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def user_event_stats_tws(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful operator on the Spark 4 ``transformWithStateInPandas``
+    API (the successor to applyInPandasWithState): per-user running
+    (count, sum, max) kept in a typed ValueState, one emitted row per key per
+    micro-batch.
+
+    Why both APIs ship here: applyInPandasWithState (running_user_totals) is
+    the stable Spark 3.x surface; transformWithState gives composable typed
+    state (value/list/map), event-time timers, and state-schema evolution —
+    the API a new 100 TB pipeline should target.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("n_events", T.LongType(), False),
+            T.StructField("total_value", T.DoubleType(), False),
+            T.StructField("max_value", T.DoubleType(), False),
+        ]
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n BIGINT, total DOUBLE, mx DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, mx = self._agg.get() if self._agg.exists() else (0, 0.0, float("-inf"))
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf[value_col].sum())
+                mx = max(mx, float(pdf[value_col].max()))
+            self._agg.update((n, total, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                    "max_value": [round(mx, 4)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col))
+        .transformWithStateInPandas(
+            statefulProcessor=UserStats(),
+            outputStructType=out_schema,
+            outputMode="append",
+            timeMode="none",
+        )
+    )

@@ -240,3 +240,44 @@ def test_hier_rollup_matches_direct(spark, sf_dir):
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, direct.collect())
         ), res
+
+
+def test_user_event_stats_tws(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas (Spark 4 typed-state API): per-user stats
+    must equal the batch groupBy at AvailableNow completion.  Skipped where
+    google.protobuf is broken (this container) - see tws_available."""
+    import os
+
+    import pytest
+
+    from clickhouse_flatfile_tool_spark.streaming import stream_ops as _so
+
+    if not _so.tws_available():
+        pytest.skip("google.protobuf descriptor unavailable (container limitation)")
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_flatfile_tool_spark.sources.files import read_parquet
+    from clickhouse_flatfile_tool_spark.streaming import stream_ops
+
+    path = os.path.join(sf_dir, "events.parquet")
+    stream = stream_ops.read_event_stream(spark, path)
+    result = stream_ops.user_event_stats_tws(stream)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream_ops.run_available_now(result, out_dir, ckpt)
+    got = {
+        r.user_id: (r.n_events, r.total_value, r.max_value)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        r.user_id: (r.n, round(r.tv, 2), round(r.mx, 4))
+        for r in read_parquet(spark, path)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("tv"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want
