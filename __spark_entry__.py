@@ -864,6 +864,41 @@ def q_tpch_q18(spark, d):
     return relational.top_k(out, 100, F.desc("o_totalprice"), F.asc("o_orderkey"))
 
 
+def q_tpch_q6(spark, d):
+    """TPC-H Q6 shape (forecast revenue): pure filter + single-row agg — the
+    query whose entire cost should be a pushed-down parquet scan."""
+    li = _t(spark, d, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def q_tpch_q14(spark, d):
+    """TPC-H Q14 shape (promo revenue share by month): fact filtered before
+    the broadcast part join; conditional aggregation for the share."""
+    li, p = (_t(spark, d, t) for t in ["lineitem", "part"])
+    j = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    ).join(relational.broadcast_dim(p), F.col("l_partkey") == F.col("p_partkey"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.groupBy(F.date_trunc("month", "l_shipdate").alias("month")).agg(
+        F.round(
+            100 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) / F.sum(rev),
+            4,
+        ).alias("promo_share")
+    )
+
+
 def q_hll_rollup(spark, d):
     """Sketch-based distinct rollup (uniqState/uniqMerge analog): hourly HLL
     sketches of user_id merged into daily estimates — constant-size shuffle
@@ -1040,6 +1075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics": q_repetition_metrics,
         "tfidf_terms": q_tfidf_terms,
         "tpch_q18": q_tpch_q18,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q14": q_tpch_q14,
         "hll_rollup": q_hll_rollup,
         "stream_tumbling": q_stream_tumbling,
         "stream_dedup": q_stream_dedup,
@@ -1411,6 +1448,20 @@ def oracle_sql() -> dict[str, str]:
             "n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents) "
             "SELECT term, cf, df_docs, round(cf * ln(n_docs / df_docs), 6) AS tfidf "
             "FROM f, n ORDER BY tfidf DESC, term LIMIT 50"
+        ),
+        "tpch_q6": (
+            "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue "
+            "FROM lineitem WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01' "
+            "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+        ),
+        "tpch_q14": (
+            "SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month, "
+            "round(100 * sum(CASE WHEN p_type = 'PROMO' "
+            "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) / "
+            "sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01' "
+            "GROUP BY 1"
         ),
         "tpch_q18": (
             "WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty "
