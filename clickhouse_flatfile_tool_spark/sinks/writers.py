@@ -163,3 +163,69 @@ def write_partitioned(
         )
     out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
     return path
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    sort_within: list[str] | None = None,
+) -> int:
+    """Compact a parquet directory's small files into ~``target_file_mb``
+    outputs; returns the new file count.
+
+    Small-file proliferation is the classic long-running-pipeline failure
+    mode (every streaming micro-batch / incremental append adds files until
+    listing and scheduling dominate).  Sizing from the actual on-disk bytes
+    — not a row-count guess — keeps output files row-group-aligned, and an
+    optional ``sort_within`` re-establishes min/max row-group skipping.
+    Writes to a sibling temp dir then swaps, so a concurrent reader never
+    sees a half-compacted directory.
+    """
+    files = glob.glob(os.path.join(path, "*.parquet")) + glob.glob(
+        os.path.join(path, "part-*")
+    )
+    total_bytes = sum(os.path.getsize(f) for f in set(files))
+    n_out = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    out = df.repartition(int(n_out))
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    tmp = path.rstrip("/") + ".compact.tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    bak = path.rstrip("/") + ".compact.old"
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak, ignore_errors=True)
+    return len(glob.glob(os.path.join(path, "part-*.parquet")))
+
+
+def upsert_table(
+    spark: SparkSession,
+    changes: DataFrame,
+    table: str,
+    key_cols: list[str],
+    version_cols: list[str],
+) -> None:
+    """Batch CDC apply: merge ``changes`` into ``table`` keeping the
+    newest version per key (ReplacingMergeTree semantics via
+    operators.mergetree.replacing_final) — the union + one hash
+    aggregation shape, no per-row lookups.
+
+    The rewrite is full-table here (parquet has no in-place update); at
+    100 TB the same operator runs per partition against only the
+    partitions present in ``changes`` (partition-pruned read, dynamic
+    overwrite), which is how Hive/Delta-style upserts bound the rewrite.
+    """
+    from clickhouse_flatfile_tool_spark.operators.mergetree import replacing_final
+
+    base = spark.table(table)
+    merged = replacing_final(
+        base.unionByName(changes), key_cols, version_cols
+    )
+    # Spark can't overwrite a table that feeds the same plan: stage the
+    # merged result (distributed write, no collect), then swap it in.
+    staging = f"{table}__upsert_staging"
+    merged.write.mode("overwrite").saveAsTable(staging)
+    spark.table(staging).write.mode("overwrite").saveAsTable(table)
+    spark.sql(f"DROP TABLE {staging}")

@@ -193,3 +193,64 @@ def test_partitioned_write_prunes_partitions(spark, tables, tmp_path):
     got = df.count()
     want = ev.filter(F.to_date("ts") == F.lit(one_day)).count()
     assert got == want > 0
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    from clickhouse_flatfile_tool_spark.sinks import writers
+
+    path = str(tmp_path / "frag")
+    # 40 tiny files
+    spark.range(40_000).repartition(40).write.parquet(path)
+    import glob as g
+
+    assert len(g.glob(path + "/part-*.parquet")) == 40
+    before = spark.read.parquet(path).count()
+    n = writers.compact_parquet(spark, path, target_file_mb=128, sort_within=["id"])
+    assert n == 1
+    after = spark.read.parquet(path)
+    assert after.count() == before
+    assert after.agg({"id": "max"}).first()[0] == 39_999
+
+
+def test_upsert_table_replacing_semantics(spark):
+    from clickhouse_flatfile_tool_spark.sinks import writers
+
+    spark.sql("DROP TABLE IF EXISTS upsert_t")
+    base = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b")], "k long, ver long, v string"
+    )
+    base.write.saveAsTable("upsert_t")
+    changes = spark.createDataFrame(
+        [(2, 2, "b2"), (3, 1, "c")], "k long, ver long, v string"
+    )
+    writers.upsert_table(spark, changes, "upsert_t", ["k"], ["ver"])
+    got = {r.k: (r.ver, r.v) for r in spark.table("upsert_t").collect()}
+    assert got == {1: (1, "a"), 2: (2, "b2"), 3: (1, "c")}
+    assert not spark.catalog.tableExists("upsert_t__upsert_staging")
+
+
+def test_dynamic_partition_pruning(spark, tables, tmp_path):
+    """DPP: when the partition filter is only known at runtime (it comes
+    from the dim side of a join), the fact scan's PartitionFilters must
+    carry a dynamicpruning subquery instead of scanning every partition —
+    the plan shape that makes star joins viable on a date-partitioned
+    100 TB fact table."""
+    import pyspark.sql.functions as F
+
+    from clickhouse_flatfile_tool_spark.sinks.writers import write_partitioned
+
+    ev = tables["events"].withColumn("event_date", F.to_date("ts"))
+    path = str(tmp_path / "ev_part")
+    write_partitioned(ev, path, ["event_date"])
+    fact = spark.read.parquet(path)
+    # DPP requires a *selective predicate* on the build side (a limit doesn't
+    # qualify), and the dim must be a scan so the filter is visible to the
+    # PartitionPruning rule
+    dimpath = str(tmp_path / "dim")
+    ev.select("event_date").distinct().withColumn("flag", F.lit(1)).write.parquet(
+        dimpath
+    )
+    dim = spark.read.parquet(dimpath).filter("event_date < '2024-01-03'")
+    joined = fact.join(dim, "event_date").groupBy("event_date").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
