@@ -864,6 +864,13 @@ def q_tpch_q18(spark, d):
     return relational.top_k(out, 100, F.desc("o_totalprice"), F.asc("o_orderkey"))
 
 
+def q_profile_table(spark, d):
+    """Per-column profile of orders (null/distinct counts) in one pass —
+    stack to long format, aggregate by column name."""
+    o = _t(spark, d, "orders")
+    return relational.profile_table(o)
+
+
 def q_tpch_q6(spark, d):
     """TPC-H Q6 shape (forecast revenue): pure filter + single-row agg — the
     query whose entire cost should be a pushed-down parquet scan."""
@@ -1075,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics": q_repetition_metrics,
         "tfidf_terms": q_tfidf_terms,
         "tpch_q18": q_tpch_q18,
+        "profile_table": q_profile_table,
         "tpch_q6": q_tpch_q6,
         "tpch_q14": q_tpch_q14,
         "hll_rollup": q_hll_rollup,
@@ -1449,6 +1457,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT term, cf, df_docs, round(cf * ln(n_docs / df_docs), 6) AS tfidf "
             "FROM f, n ORDER BY tfidf DESC, term LIMIT 50"
         ),
+        "profile_table": ("SELECT 'o_orderkey' AS col, count(*) AS n_rows, count(o_orderkey) AS n_nonnull, count(DISTINCT o_orderkey) AS n_distinct, count(*) - count(o_orderkey) AS n_null FROM orders UNION ALL SELECT 'o_custkey' AS col, count(*) AS n_rows, count(o_custkey) AS n_nonnull, count(DISTINCT o_custkey) AS n_distinct, count(*) - count(o_custkey) AS n_null FROM orders UNION ALL SELECT 'o_orderstatus' AS col, count(*) AS n_rows, count(o_orderstatus) AS n_nonnull, count(DISTINCT o_orderstatus) AS n_distinct, count(*) - count(o_orderstatus) AS n_null FROM orders UNION ALL SELECT 'o_totalprice' AS col, count(*) AS n_rows, count(o_totalprice) AS n_nonnull, count(DISTINCT o_totalprice) AS n_distinct, count(*) - count(o_totalprice) AS n_null FROM orders UNION ALL SELECT 'o_orderdate' AS col, count(*) AS n_rows, count(o_orderdate) AS n_nonnull, count(DISTINCT o_orderdate) AS n_distinct, count(*) - count(o_orderdate) AS n_null FROM orders UNION ALL SELECT 'o_orderpriority' AS col, count(*) AS n_rows, count(o_orderpriority) AS n_nonnull, count(DISTINCT o_orderpriority) AS n_distinct, count(*) - count(o_orderpriority) AS n_null FROM orders"),
         "tpch_q6": (
             "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue "
             "FROM lineitem WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01' "

@@ -455,3 +455,28 @@ def with_lag_lead(
 def sql(spark: SparkSession, query: str) -> DataFrame:
     """Escape hatch: full Spark SQL surface over registered views."""
     return spark.sql(query)
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column data profile — (col, n_rows, n_nonnull, n_null,
+    n_distinct) — in ONE pass over the table.
+
+    Values are stacked to a long (col, val) format (map-side, no shuffle)
+    and aggregated by column name: the shuffle carries 1 key per column
+    with partial counts, and exact distinct runs as Spark's standard
+    two-level aggregation.  The string cast is injective per column, so
+    distinct counts are unaffected.  Contrast with the naive
+    one-aggregate-per-column loop: C full scans for C columns.
+    """
+    cols = columns or df.columns
+    stack_args = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+    long = df.selectExpr(f"stack({len(cols)}, {stack_args}) AS (col, val)")
+    return (
+        long.groupBy("col")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("val").alias("n_nonnull"),
+            F.countDistinct("val").alias("n_distinct"),
+        )
+        .withColumn("n_null", (F.col("n_rows") - F.col("n_nonnull")))
+    )

@@ -109,3 +109,48 @@ def test_event_range_join_no_nested_loop(spark, sf_dir):
     plan = explain_str(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_z_value_matches_python_morton(spark):
+    from clickhouse_flatfile_tool_spark.partitioning import z_value
+
+    def morton(a: int, b: int, bits: int = 16) -> int:
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = [(a, b) for a in [0, 1, 2, 3, 255, 65535] for b in [0, 1, 7, 1024]]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select("a", "b", z_value("a", "b").alias("z")).collect()
+    }
+    for (a, b), z in got.items():
+        assert z == morton(a, b), (a, b, z)
+
+
+def test_z_order_write_roundtrip_and_locality(spark, tmp_path):
+    from clickhouse_flatfile_tool_spark.partitioning import z_order_write, z_value
+
+    df = spark.range(4096).selectExpr("id % 64 AS x", "CAST(id / 64 AS LONG) AS y")
+    path = str(tmp_path / "zorder")
+    z_order_write(df, path, "x", "y", num_files=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 4096
+    assert sorted(r["x"] for r in back.collect()) == sorted(
+        r["x"] for r in df.collect()
+    )
+    # locality: each output file's z-range must be disjoint (range partition)
+    import pyspark.sql.functions as F
+
+    withf = back.withColumn("f", F.input_file_name()).withColumn(
+        "z", z_value("x", "y")
+    )
+    ranges = (
+        withf.groupBy("f").agg(F.min("z").alias("lo"), F.max("z").alias("hi")).collect()
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in ranges)
+    for (l1, h1), (l2, h2) in zip(spans, spans[1:]):
+        assert h1 <= l2, "file z-ranges overlap: range partitioning broken"
