@@ -864,6 +864,13 @@ def q_tpch_q18(spark, d):
     return relational.top_k(out, 100, F.desc("o_totalprice"), F.asc("o_orderkey"))
 
 
+def q_retention_cohorts(spark, d):
+    """Cohort retention (first-seen date × day offset × distinct users) —
+    activity deduped per (user, day) before the join."""
+    ev = _t(spark, d, "events")
+    return events.retention_cohorts(ev)
+
+
 def q_profile_table(spark, d):
     """Per-column profile of orders (null/distinct counts) in one pass —
     stack to long format, aggregate by column name."""
@@ -1082,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics": q_repetition_metrics,
         "tfidf_terms": q_tfidf_terms,
         "tpch_q18": q_tpch_q18,
+        "retention_cohorts": q_retention_cohorts,
         "profile_table": q_profile_table,
         "tpch_q6": q_tpch_q6,
         "tpch_q14": q_tpch_q14,
@@ -1456,6 +1464,13 @@ def oracle_sql() -> dict[str, str]:
             "n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents) "
             "SELECT term, cf, df_docs, round(cf * ln(n_docs / df_docs), 6) AS tfidf "
             "FROM f, n ORDER BY tfidf DESC, term LIMIT 50"
+        ),
+        "retention_cohorts": (
+            "WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY user_id), "
+            "act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events) "
+            "SELECT cohort, datediff('day', cohort, day) AS day_offset, "
+            "count(DISTINCT act.user_id) AS n_users "
+            "FROM act JOIN fs ON act.user_id = fs.user_id GROUP BY 1, 2"
         ),
         "profile_table": ("SELECT 'o_orderkey' AS col, count(*) AS n_rows, count(o_orderkey) AS n_nonnull, count(DISTINCT o_orderkey) AS n_distinct, count(*) - count(o_orderkey) AS n_null FROM orders UNION ALL SELECT 'o_custkey' AS col, count(*) AS n_rows, count(o_custkey) AS n_nonnull, count(DISTINCT o_custkey) AS n_distinct, count(*) - count(o_custkey) AS n_null FROM orders UNION ALL SELECT 'o_orderstatus' AS col, count(*) AS n_rows, count(o_orderstatus) AS n_nonnull, count(DISTINCT o_orderstatus) AS n_distinct, count(*) - count(o_orderstatus) AS n_null FROM orders UNION ALL SELECT 'o_totalprice' AS col, count(*) AS n_rows, count(o_totalprice) AS n_nonnull, count(DISTINCT o_totalprice) AS n_distinct, count(*) - count(o_totalprice) AS n_null FROM orders UNION ALL SELECT 'o_orderdate' AS col, count(*) AS n_rows, count(o_orderdate) AS n_nonnull, count(DISTINCT o_orderdate) AS n_distinct, count(*) - count(o_orderdate) AS n_null FROM orders UNION ALL SELECT 'o_orderpriority' AS col, count(*) AS n_rows, count(o_orderpriority) AS n_nonnull, count(DISTINCT o_orderpriority) AS n_distinct, count(*) - count(o_orderpriority) AS n_null FROM orders"),
         "tpch_q6": (

@@ -155,6 +155,19 @@ def joinable_tables(spark: SparkSession) -> dict:
         return error_payload(e)
 
 
+def join_columns(spark: SparkSession, tables: list[str]) -> dict:
+    """/join-columns (server.js:774-814): column lists for exactly the
+    user-selected join tables (the reference loops DESCRIBE per table; here
+    each describe is a catalog lookup, no query)."""
+    try:
+        return {
+            "success": True,
+            "columns": {t: describe_table(spark, t) for t in tables},
+        }
+    except Exception as e:  # noqa: BLE001
+        return error_payload(e)
+
+
 def execute_join(
     spark: SparkSession,
     tables: list[str],

@@ -185,3 +185,26 @@ def hll_rollup(
         F.hll_sketch_estimate(F.col("sk")).alias("approx_users"),
         "n_events",
     )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Cohort retention: users grouped by first-seen date; for each
+    (cohort, day-offset) the distinct users active that day.
+
+    Two shuffles total — one groupBy(user) for the first-seen date, one
+    groupBy(cohort, offset) for the counts; the activity set is deduped
+    per (user, day) BEFORE the join so the join input is bounded by
+    users×days, not raw events.
+    """
+    day = F.to_date(F.col(ts_col))
+    first_seen = df.groupBy(F.col(user_col)).agg(F.min(day).alias("cohort"))
+    activity = df.select(F.col(user_col), day.alias("day")).distinct()
+    return (
+        activity.join(first_seen, user_col)
+        .groupBy("cohort", F.datediff(F.col("day"), F.col("cohort")).alias("day_offset"))
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )

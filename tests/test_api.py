@@ -93,3 +93,14 @@ def test_run_with_progress_reports_real_tasks(spark):
     assert progress, "no progress snapshots captured"
     assert all(0 <= e["processed"] <= e["total"] for e in progress)
     assert tracker.events[-1]["type"] == "complete"
+
+
+def test_join_columns_endpoint(spark):
+    from clickhouse_flatfile_tool_spark import api
+    from clickhouse_flatfile_tool_spark.sinks.writers import bootstrap_sample_data
+
+    bootstrap_sample_data(spark)
+    out = api.join_columns(spark, ["sample_data"])
+    assert out["success"]
+    names = [c["name"] for c in out["columns"]["sample_data"]]
+    assert names == ["id", "name", "age", "email", "created_at"]
