@@ -864,6 +864,13 @@ def q_tpch_q18(spark, d):
     return relational.top_k(out, 100, F.desc("o_totalprice"), F.asc("o_orderkey"))
 
 
+def q_pmi_collocations(spark, d):
+    """Top bigram collocations by PMI over the corpus — bigrams from zipped
+    slices, totals via broadcast 1-row aggregates."""
+    docs = _t(spark, d, "documents")
+    return text.pmi_collocations(docs, k=50, min_count=5)
+
+
 def q_retention_cohorts(spark, d):
     """Cohort retention (first-seen date × day offset × distinct users) —
     activity deduped per (user, day) before the join."""
@@ -1089,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics": q_repetition_metrics,
         "tfidf_terms": q_tfidf_terms,
         "tpch_q18": q_tpch_q18,
+        "pmi_collocations": q_pmi_collocations,
         "retention_cohorts": q_retention_cohorts,
         "profile_table": q_profile_table,
         "tpch_q6": q_tpch_q6,
@@ -1464,6 +1472,23 @@ def oracle_sql() -> dict[str, str]:
             "n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents) "
             "SELECT term, cf, df_docs, round(cf * ln(n_docs / df_docs), 6) AS tfidf "
             "FROM f, n ORDER BY tfidf DESC, term LIMIT 50"
+        ),
+        "pmi_collocations": (
+            "WITH d AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents), "
+            "d2 AS (SELECT w FROM d WHERE len(w) >= 2), "
+            "bg AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1), "
+            "i -> w[i] || ' ' || w[i+1])) AS bg FROM d2), "
+            "uni AS (SELECT unnest(w) AS t FROM d2), "
+            "bgc AS (SELECT bg, count(*) AS n_ab FROM bg GROUP BY bg HAVING count(*) >= 5), "
+            "unic AS (SELECT t, count(*) AS n_t FROM uni GROUP BY t), "
+            "tot AS (SELECT (SELECT count(*) FROM bg) AS n_bg_total, "
+            "(SELECT count(*) FROM uni) AS n_uni_total) "
+            "SELECT bg, n_ab, round(ln((n_ab / n_bg_total) / "
+            "((a.n_t / n_uni_total) * (b.n_t / n_uni_total))), 6) AS pmi "
+            "FROM bgc CROSS JOIN tot "
+            "JOIN unic a ON a.t = split_part(bg, ' ', 1) "
+            "JOIN unic b ON b.t = split_part(bg, ' ', 2) "
+            "ORDER BY pmi DESC, bg LIMIT 50"
         ),
         "retention_cohorts": (
             "WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY user_id), "

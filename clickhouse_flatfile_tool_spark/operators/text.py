@@ -302,3 +302,75 @@ def tfidf_top_terms(
         F.round(F.col("cf") * F.log(F.col("n_docs") / F.col("df_docs")), 6).alias("tfidf"),
     )
     return scored.orderBy(F.desc("tfidf"), F.asc("term")).limit(k)
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information:
+    PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) with bigram/unigram probabilities
+    from corpus counts; ``min_count`` suppresses the unstable tail.
+
+    Bigrams come from zipped shifted slices of the materialized words array
+    (constant references per row — the transform-over-sequence form
+    re-evaluates the split per element, the measured O(tokens²) trap
+    documented in dedup._shingles_from_words).  Corpus totals join in as
+    broadcast 1-row aggregates; everything else is two hash aggregations
+    and two equi-joins on the term.
+    """
+    words = F.split(F.trim(F.lower(F.col(text_col))), _WS_SPLIT)
+    # four downstream consumers (bigram counts, unigram counts, two totals)
+    # would each redo the regex split; materialize the token arrays once —
+    # one pass over the text, everything after reads the checkpointed rows
+    docs = (
+        ensure_parallelism(df)
+        .select(words.alias("__w"))
+        .where(F.size("__w") >= 2)
+        .localCheckpoint()
+    )
+    n_bg = F.size(F.col("__w")) - 1
+    bigrams = docs.select(
+        F.explode(
+            F.transform(
+                F.arrays_zip(
+                    F.slice(F.col("__w"), 1, n_bg), F.slice(F.col("__w"), 2, n_bg)
+                ),
+                lambda s: F.concat_ws(" ", s["0"], s["1"]),
+            )
+        ).alias("bg")
+    )
+    unigrams = docs.select(F.explode("__w").alias("t"))
+    bgc = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("n_ab")).where(
+        F.col("n_ab") >= min_count
+    )
+    unic = unigrams.groupBy("t").agg(F.count(F.lit(1)).alias("n_t"))
+    totals = bigrams.agg(F.count(F.lit(1)).alias("n_bg_total")).join(
+        unigrams.agg(F.count(F.lit(1)).alias("n_uni_total"))
+    )
+    a = unic.select(F.col("t").alias("t1"), F.col("n_t").alias("n_a"))
+    b = unic.select(F.col("t").alias("t2"), F.col("n_t").alias("n_b"))
+    scored = (
+        bgc.join(F.broadcast(totals))
+        .withColumn("t1", F.substring_index("bg", " ", 1))
+        .withColumn("t2", F.substring_index("bg", " ", -1))
+        .join(a, "t1")
+        .join(b, "t2")
+        .select(
+            "bg",
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab") / F.col("n_bg_total"))
+                    / (
+                        (F.col("n_a") / F.col("n_uni_total"))
+                        * (F.col("n_b") / F.col("n_uni_total"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("bg")).limit(k)
