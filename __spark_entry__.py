@@ -864,6 +864,40 @@ def q_tpch_q18(spark, d):
     return relational.top_k(out, 100, F.desc("o_totalprice"), F.asc("o_orderkey"))
 
 
+def q_pipeline_train_prep(spark, d):
+    """Full training-data prep pipeline, end to end: quality filter → exact
+    dedup (min-id per normalized fingerprint) → 200/50 overlap chunking →
+    deterministic md5 hash split; per-split chunk/doc counts.  Every stage
+    is the operator already verified standalone — this query verifies their
+    composition."""
+    docs = _t(spark, d, "documents")
+    good = text.with_quality_score(docs).filter(F.col("quality_score") >= 0.5)
+    surv_ids = (
+        good.withColumn("__fp", text.fingerprint("text"))
+        .groupBy("__fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    surv = surv_ids.join(docs.select("doc_id", "text"), "doc_id")
+    chunks = text.chunk_text(
+        surv.select("doc_id", "text"), chunk_size=200, overlap=50, id_cols=["doc_id"]
+    )
+    split = sampling.hash_split(chunks, "doc_id")
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+def q_corr_stats(spark, d):
+    """Bivariate statistics per group: Pearson correlation and sample
+    covariance (one-pass co-moment aggregates, map-side combinable)."""
+    li = _t(spark, d, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+    )
+
+
 def q_pmi_collocations(spark, d):
     """Top bigram collocations by PMI over the corpus — bigrams from zipped
     slices, totals via broadcast 1-row aggregates."""
@@ -1096,6 +1130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics": q_repetition_metrics,
         "tfidf_terms": q_tfidf_terms,
         "tpch_q18": q_tpch_q18,
+        "pipeline_train_prep": q_pipeline_train_prep,
+        "corr_stats": q_corr_stats,
         "pmi_collocations": q_pmi_collocations,
         "retention_cohorts": q_retention_cohorts,
         "profile_table": q_profile_table,
@@ -1472,6 +1508,39 @@ def oracle_sql() -> dict[str, str]:
             "n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents) "
             "SELECT term, cf, df_docs, round(cf * ln(n_docs / df_docs), 6) AS tfidf "
             "FROM f, n ORDER BY tfidf DESC, term LIMIT 50"
+        ),
+        "pipeline_train_prep": (
+            f"""WITH m AS (
+  SELECT doc_id, text,
+         {_NTOK} AS n_tokens,
+         length(regexp_replace(text, '\\s+', '', 'g'))
+           / greatest({_NTOK}, 1) AS avg_word_len,
+         {_PUNCT} / greatest(length(text), 1) AS punct_ratio
+  FROM documents
+), good AS (
+  SELECT doc_id, text FROM m
+  WHERE round(0.5 * least(n_tokens / 100.0, 1.0)
+      + 0.4 * (1.0 - least(abs(avg_word_len - 5.0) / 5.0, 1.0))
+      + 0.1 * (1.0 - least(punct_ratio * 4.0, 1.0)), 6) >= 0.5
+), surv AS (
+  SELECT min(doc_id) AS doc_id FROM good GROUP BY {_FP}
+), st AS (
+  SELECT s.doc_id, d.text FROM surv s JOIN documents d ON s.doc_id = d.doc_id
+), chunks AS (
+  SELECT doc_id, unnest(range(0,
+    CAST(floor((length(text)-1)/150)+1 AS BIGINT))) AS chunk_id
+  FROM st WHERE length(text) > 0
+)
+SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+       THEN 'train' ELSE 'test' END AS split,
+       count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs
+FROM chunks GROUP BY 1"""
+        ),
+        "corr_stats": (
+            "SELECT l_returnflag, "
+            "round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price, "
+            "round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price "
+            "FROM lineitem GROUP BY l_returnflag"
         ),
         "pmi_collocations": (
             "WITH d AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents), "
