@@ -864,6 +864,54 @@ def q_tpch_q18(spark, d):
     return relational.top_k(out, 100, F.desc("o_totalprice"), F.asc("o_orderkey"))
 
 
+def q_outliers(spark, d):
+    """Z-score outlier flagging: per-type mean/stddev via one aggregation
+    broadcast back onto the stream of rows (no window sort needed for
+    whole-group stats)."""
+    ev = _t(spark, d, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev("value").alias("sd")
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where((F.col("value") - F.col("mu")) / F.col("sd") > 2.0)
+        .select("event_id", "event_type", F.round("value", 4).alias("value"))
+    )
+
+
+def q_skew_report(spark, d):
+    """Key-skew diagnostic: per-key counts re-aggregated into the stats that
+    decide salting/AQE strategy (max/avg ratio) — two cheap aggregations,
+    the second over one row per key."""
+    li = _t(spark, d, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_rows"),
+        F.round(F.avg("n"), 6).alias("avg_rows"),
+        F.round(F.max("n") / F.avg("n"), 6).alias("skew_ratio"),
+    )
+
+
+def q_debounce_events(spark, d):
+    """Debounce (batch twin of dropDuplicatesWithinWatermark): keep an event
+    only if the previous same-(user,type) event is >10 minutes older — one
+    window over the key, no self-join."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, d, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return (
+        ev.withColumn("__prev", prev)
+        .where(
+            F.col("__prev").isNull()
+            | (F.col("ts").cast("long") - F.col("__prev").cast("long") > 600)
+        )
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
 def q_pipeline_train_prep(spark, d):
     """Full training-data prep pipeline, end to end: quality filter → exact
     dedup (min-id per normalized fingerprint) → 200/50 overlap chunking →
@@ -1130,6 +1178,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics": q_repetition_metrics,
         "tfidf_terms": q_tfidf_terms,
         "tpch_q18": q_tpch_q18,
+        "outliers": q_outliers,
+        "skew_report": q_skew_report,
+        "debounce_events": q_debounce_events,
         "pipeline_train_prep": q_pipeline_train_prep,
         "corr_stats": q_corr_stats,
         "pmi_collocations": q_pmi_collocations,
@@ -1508,6 +1559,24 @@ def oracle_sql() -> dict[str, str]:
             "n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents) "
             "SELECT term, cf, df_docs, round(cf * ln(n_docs / df_docs), 6) AS tfidf "
             "FROM f, n ORDER BY tfidf DESC, term LIMIT 50"
+        ),
+        "outliers": (
+            "WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd "
+            "FROM events GROUP BY event_type) "
+            "SELECT event_id, e.event_type, round(value, 4) AS value "
+            "FROM events e JOIN s ON e.event_type = s.event_type "
+            "WHERE (value - mu) / sd > 2.0"
+        ),
+        "skew_report": (
+            "SELECT count(*) AS n_keys, max(n) AS max_rows, "
+            "round(avg(n), 6) AS avg_rows, round(max(n) / avg(n), 6) AS skew_ratio "
+            "FROM (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey)"
+        ),
+        "debounce_events": (
+            "SELECT event_id, user_id, event_type, ts FROM ("
+            "SELECT event_id, user_id, event_type, ts, "
+            "lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev "
+            "FROM events) WHERE prev IS NULL OR date_diff('second', prev, ts) > 600"
         ),
         "pipeline_train_prep": (
             f"""WITH m AS (
