@@ -864,6 +864,33 @@ def q_tpch_q18(spark, d):
     return relational.top_k(out, 100, F.desc("o_totalprice"), F.asc("o_orderkey"))
 
 
+def q_simhash_verified(spark, d):
+    """SimHash banding candidates verified by exact Hamming distance
+    (bit_count(xor)) — rows-only (xxhash64 signatures are Spark-side)."""
+    docs = _t(spark, d, "documents")
+    cands = dedup.simhash_candidates(docs)
+    return dedup.simhash_verify(docs, cands, max_hamming=8)
+
+
+def q_equiheight_hist(spark, d):
+    """Equi-depth (ntile) histogram of order totals: per-bucket count and
+    value range — the quantile summary whose shuffle is one sort, output
+    O(buckets)."""
+    o = _t(spark, d, "orders")
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
 def q_outliers(spark, d):
     """Z-score outlier flagging: per-type mean/stddev via one aggregation
     broadcast back onto the stream of rows (no window sort needed for
@@ -1178,6 +1205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics": q_repetition_metrics,
         "tfidf_terms": q_tfidf_terms,
         "tpch_q18": q_tpch_q18,
+        "simhash_verified": q_simhash_verified,
+        "equiheight_hist": q_equiheight_hist,
         "outliers": q_outliers,
         "skew_report": q_skew_report,
         "debounce_events": q_debounce_events,
@@ -1559,6 +1588,12 @@ def oracle_sql() -> dict[str, str]:
             "n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents) "
             "SELECT term, cf, df_docs, round(cf * ln(n_docs / df_docs), 6) AS tfidf "
             "FROM f, n ORDER BY tfidf DESC, term LIMIT 50"
+        ),
+        "equiheight_hist": (
+            "SELECT bucket, count(*) AS n_orders, round(min(o_totalprice), 2) AS lo, "
+            "round(max(o_totalprice), 2) AS hi FROM ("
+            "SELECT o_totalprice, ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket "
+            "FROM orders) GROUP BY bucket"
         ),
         "outliers": (
             "WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd "

@@ -560,3 +560,35 @@ def minhash_lsh_candidates_portable(
         )
         .distinct()
     )
+
+
+def simhash_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Exact Hamming verification for SimHash candidate pairs:
+    ``bit_count(sig_a XOR sig_b)`` — the verify step that turns banding
+    candidates into confirmed near-dups (mirror of :func:`jaccard_verify`
+    for the MinHash path).  Two equi-joins to attach signatures, one
+    codegen bit op per pair; no text comparison."""
+    sigs = simhash_signatures(df, id_col, text_col, 64, seed)
+    out = (
+        pairs.join(
+            sigs.withColumnRenamed(id_col, "id_a").withColumnRenamed("simhash", "sig_a"),
+            "id_a",
+        )
+        .join(
+            sigs.withColumnRenamed(id_col, "id_b").withColumnRenamed("simhash", "sig_b"),
+            "id_b",
+        )
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+    )
+    return out.where(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )

@@ -193,3 +193,21 @@ def test_minhash_portable_catches_planted_near_dup(spark, docs):
     with_near = docs.unionByName(near)
     cands = D.minhash_lsh_candidates_portable(with_near)
     assert cands.filter("id_a = 0 AND id_b = 999999").count() == 1
+
+
+def test_simhash_verify_hamming(spark, docs):
+    base = docs.filter("doc_id = 0").first().text
+    words = base.split()
+    words[len(words) // 2] = "XXREPLACEDXX"
+    near = spark.createDataFrame(
+        [(999_999, " ".join(words), "en", "synthetic", len(base))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    with_near = docs.unionByName(near)
+    pairs = spark.createDataFrame([(0, 999_999)], "id_a long, id_b long")
+    got = D.simhash_verify(with_near, pairs, max_hamming=8)
+    row = got.filter("id_a = 0 AND id_b = 999999").first()
+    assert row is not None and row["hamming"] <= 8
+    # an unrelated pair has a large distance and is filtered out
+    far = spark.createDataFrame([(0, 400)], "id_a long, id_b long")
+    assert D.simhash_verify(with_near, far, max_hamming=8).count() == 0
