@@ -864,6 +864,22 @@ def q_tpch_q18(spark, d):
     return relational.top_k(out, 100, F.desc("o_totalprice"), F.asc("o_orderkey"))
 
 
+def q_clickhouse_dialect(spark, d):
+    """A ClickHouse-flavored query (toStartOfDay/uniqExact/toInt64/toYYYYMM)
+    run unchanged through the dialect translator (dialect.py) — the oracle
+    is the hand-written ANSI equivalent."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    _t(spark, d, "events").createOrReplaceTempView("events")
+    ch = (
+        "SELECT toStartOfDay(ts) AS day, event_type, "
+        "uniqExact(user_id) AS users, toInt64(count(*)) AS n, "
+        "toYYYYMM(ts) AS ym "
+        "FROM events GROUP BY toStartOfDay(ts), event_type, toYYYYMM(ts)"
+    )
+    return relational.sql(spark, translate_clickhouse_sql(ch))
+
+
 def q_simhash_verified(spark, d):
     """SimHash banding candidates verified by exact Hamming distance
     (bit_count(xor)) — rows-only (xxhash64 signatures are Spark-side)."""
@@ -1205,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics": q_repetition_metrics,
         "tfidf_terms": q_tfidf_terms,
         "tpch_q18": q_tpch_q18,
+        "clickhouse_dialect": q_clickhouse_dialect,
         "simhash_verified": q_simhash_verified,
         "equiheight_hist": q_equiheight_hist,
         "outliers": q_outliers,
@@ -1588,6 +1605,12 @@ def oracle_sql() -> dict[str, str]:
             "n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents) "
             "SELECT term, cf, df_docs, round(cf * ln(n_docs / df_docs), 6) AS tfidf "
             "FROM f, n ORDER BY tfidf DESC, term LIMIT 50"
+        ),
+        "clickhouse_dialect": (
+            "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, "
+            "count(DISTINCT user_id) AS users, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(strftime(ts, '%Y%m') AS INT) AS ym "
+            "FROM events GROUP BY 1, 2, 5"
         ),
         "equiheight_hist": (
             "SELECT bucket, count(*) AS n_orders, round(min(o_totalprice), 2) AS lo, "
