@@ -171,3 +171,17 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     natively (``FORMAT ORC``); same vectorized-reader/pushdown/pruning
     story as parquet."""
     return spark.read.orc(path)
+
+
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Scan a parquet directory whose files were written under EVOLVING
+    schemas (columns added over time — the normal life of a long-lived
+    table fed by incremental appends).
+
+    ``mergeSchema`` unions the file footers at planning time: old files
+    surface the new columns as NULL, new files keep them.  Costs one footer
+    read per file (driver-side, no data scan) — enable it per-read like
+    this, not globally, because at 100 TB footer-merging every scan of a
+    stable table is waste.
+    """
+    return spark.read.option("mergeSchema", True).parquet(path)

@@ -254,3 +254,17 @@ def test_dynamic_partition_pruning(spark, tables, tmp_path):
     joined = fact.join(dim, "event_date").groupBy("event_date").count()
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_read_parquet_evolved_schema(spark, tmp_path):
+    from clickhouse_flatfile_tool_spark.sources.files import read_parquet_evolved
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.mode("append").parquet(path)
+    df = read_parquet_evolved(spark, path)
+    assert set(df.columns) == {"id", "v", "score"}
+    got = {r["id"]: r["score"] for r in df.collect()}
+    assert got == {1: None, 2: 9.5}
