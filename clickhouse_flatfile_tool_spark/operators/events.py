@@ -208,3 +208,127 @@ def retention_cohorts(
         .groupBy("cohort", F.datediff(F.col("day"), F.col("cohort")).alias("day_offset"))
         .agg(F.countDistinct(user_col).alias("n_users"))
     )
+
+
+def sequence_match(
+    df: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """ClickHouse ``sequenceMatch('(?1).*(?2)...')`` analog: per key, did the
+    step conditions occur in timestamp order (other events may interleave)?
+
+    ``steps`` are SQL boolean expressions over the row (e.g.
+    ``["event_type = 'signup'", "event_type = 'purchase'"]``).  Each event is
+    mapped to the symbol of the FIRST step it satisfies ('1'..'9') or a
+    filler '.'; the per-key symbol string (ordered by ts, tiebroken by
+    ``tiebreak_col`` for determinism) is matched against ``1.*2.*...``.
+
+    Scale: one shuffle keyed by ``key_col``; per-key state is the event list
+    — the same per-group memory bound ClickHouse's sequenceMatch has
+    (reference capability surface is SQL-in-ClickHouse, server.js:837-844).
+    The symbol mapping runs map-side inside codegen; only (ts, tiebreak,
+    1-char symbol) structs travel through the shuffle, not full rows.
+    """
+    if not 1 <= len(steps) <= 9:
+        raise ValueError("sequence_match supports 1-9 steps")
+    sym = F.lit(".")
+    for i, cond in reversed(list(enumerate(steps, start=1))):
+        sym = F.when(F.expr(cond), F.lit(str(i))).otherwise(sym)
+    pattern = ".*".join(str(i) for i in range(1, len(steps) + 1))
+    per_key = (
+        df.select(F.col(key_col), F.col(ts_col), F.col(tiebreak_col), sym.alias("sym"))
+        .groupBy(key_col)
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col(ts_col), F.col(tiebreak_col), F.col("sym")))
+                    ),
+                    lambda s: s.getField("sym"),
+                ),
+            ).alias("seq")
+        )
+    )
+    return per_key.select(
+        F.col(key_col),
+        F.col("seq").rlike(pattern).cast("int").alias("matched"),
+    )
+
+
+def gap_fill(
+    df: DataFrame,
+    step_minutes: int = 60,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """ClickHouse ``ORDER BY ... WITH FILL STEP`` analog: dense time grid per
+    key with zero-filled gaps.
+
+    Buckets events to ``step_minutes`` boundaries and aggregates, then LEFT
+    joins that onto the full (key × bucket) grid spanning the table's
+    min..max bucket.  The grid is generated with ``sequence()`` + ``explode``
+    from a single broadcast 1-row min/max aggregate — no driver collect, no
+    per-key range scan.  Grid size = |keys| × (range/step), independent of
+    raw row count, so the fill side stays tiny even at 100 TB of events.
+    """
+    step_s = step_minutes * 60
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp(F.col(ts_col)) / step_s).cast("long") * step_s
+    )
+    agg = (
+        df.select(F.col(key_col), bucket.alias("bucket"), F.col("value"))
+        .groupBy(key_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    bounds = df.select(bucket.alias("b")).agg(
+        F.min("b").alias("lo"), F.max("b").alias("hi")
+    )
+    grid = (
+        df.select(key_col)
+        .distinct()
+        .join(F.broadcast(bounds))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr(f"interval {step_s} seconds"))
+            ).alias("bucket"),
+        )
+    )
+    return grid.join(agg, [key_col, "bucket"], "left").select(
+        F.col(key_col),
+        F.col("bucket"),
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
+    )
+
+
+def forward_fill(
+    df: DataFrame,
+    value_col: str = "value",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Forward-fill NULLs with the last non-NULL value per key in time order
+    (time-series imputation; ClickHouse users reach for
+    ``any(x) OVER (... ROWS UNBOUNDED PRECEDING)``-style hacks for this).
+
+    ``F.last(ignorenulls=True)`` over an unbounded-preceding running frame —
+    one shuffle + one in-partition sort, no self-join, no per-row lookback
+    scan.  Frame state is a single value, so the window is O(1) memory per
+    partition regardless of history length.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        f"{value_col}_filled", F.last(F.col(value_col), ignorenulls=True).over(w)
+    )

@@ -93,11 +93,24 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """
     ns_cols = _nanos_timestamp_cols(path)
     if not ns_cols:
-        return spark.read.parquet(path)
+        return _ntz_to_ltz(spark.read.parquet(path))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return _ntz_to_ltz(df)
+
+
+def _ntz_to_ltz(df: DataFrame) -> DataFrame:
+    """Normalize TIMESTAMP_NTZ columns (parquet `isAdjustedToUTC=false`, the
+    layout pandas/pyarrow emit by default) to session-local TimestampType.
+    The session timezone is pinned to UTC (session.py), so the wall-clock
+    values are bit-identical to what DuckDB reads — oracles agree — while
+    downstream operators (watermarks, `window()`, streaming state) get the
+    one timestamp flavor every Spark API accepts."""
+    ntz = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
