@@ -101,16 +101,43 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return _ntz_to_ltz(df)
 
 
+def _rewrite_ntz_type(dt):
+    """Recursively replace TimestampNTZType with TimestampType inside any
+    nested struct/array/map.  Returns (new_type, changed)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.TimestampNTZType):
+        return T.TimestampType(), True
+    if isinstance(dt, T.StructType):
+        changed = False
+        fields = []
+        for f in dt.fields:
+            new_t, ch = _rewrite_ntz_type(f.dataType)
+            changed = changed or ch
+            fields.append(T.StructField(f.name, new_t, f.nullable, f.metadata))
+        return T.StructType(fields), changed
+    if isinstance(dt, T.ArrayType):
+        new_t, ch = _rewrite_ntz_type(dt.elementType)
+        return T.ArrayType(new_t, dt.containsNull), ch
+    if isinstance(dt, T.MapType):
+        new_k, ck = _rewrite_ntz_type(dt.keyType)
+        new_v, cv = _rewrite_ntz_type(dt.valueType)
+        return T.MapType(new_k, new_v, dt.valueContainsNull), ck or cv
+    return dt, False
+
+
 def _ntz_to_ltz(df: DataFrame) -> DataFrame:
     """Normalize TIMESTAMP_NTZ columns (parquet `isAdjustedToUTC=false`, the
-    layout pandas/pyarrow emit by default) to session-local TimestampType.
+    layout pandas/pyarrow emit by default) to session-local TimestampType —
+    including NTZ timestamps nested inside structs/arrays/maps.
     The session timezone is pinned to UTC (session.py), so the wall-clock
     values are bit-identical to what DuckDB reads — oracles agree — while
     downstream operators (watermarks, `window()`, streaming state) get the
     one timestamp flavor every Spark API accepts."""
-    ntz = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
-    for c in ntz:
-        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    for f in df.schema.fields:
+        new_t, changed = _rewrite_ntz_type(f.dataType)
+        if changed:
+            df = df.withColumn(f.name, F.col(f.name).cast(new_t))
     return df
 
 
@@ -196,5 +223,14 @@ def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
     read per file (driver-side, no data scan) — enable it per-read like
     this, not globally, because at 100 TB footer-merging every scan of a
     stable table is waste.
+
+    Routed through the same nanos-timestamp + NTZ normalization as
+    :func:`read_parquet` so evolved reads yield identical timestamp flavor.
     """
-    return spark.read.option("mergeSchema", True).parquet(path)
+    ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.option("mergeSchema", True).parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return _ntz_to_ltz(df)

@@ -27,8 +27,16 @@ def read_event_stream(
 ) -> DataFrame:
     """Streaming parquet source over a directory.  A schema is required by
     Structured Streaming; by default we borrow it from a batch peek (one
-    footer read, driver-side)."""
-    from clickhouse_flatfile_tool_spark.sources.files import _nanos_timestamp_cols
+    footer read, driver-side).
+
+    TIMESTAMP_NTZ columns are normalized to TimestampType (session pinned to
+    UTC, so wall-clock values are unchanged) because ``withWatermark``
+    requires TIMESTAMP — without this every watermarked query throws
+    ``EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE``."""
+    from clickhouse_flatfile_tool_spark.sources.files import (
+        _nanos_timestamp_cols,
+        _ntz_to_ltz,
+    )
 
     if os.path.isfile(path):
         # the streaming file source requires a directory; stage single-file
@@ -51,7 +59,7 @@ def read_event_stream(
     df = reader.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return df
+    return _ntz_to_ltz(df)
 
 
 def windowed_counts(
