@@ -496,10 +496,18 @@ def q_text_metrics(spark, d):
 
 
 def q_corpus_stats(spark, d):
+    # types pinned on both sides (BIGINT totals, DECIMAL(18,4) averages) so
+    # the oracle value-hash is representation-stable (DuckDB sum() -> HUGEINT
+    # and round() -> DOUBLE otherwise format differently)
     return text.corpus_stats(_t(spark, d, "documents"), ["lang"]).select(
-        "lang", "n_docs",
+        "lang",
+        "n_docs",
         F.col("total_tokens").cast("long").alias("total_tokens"),
-        "avg_tokens", "total_chars", "avg_chars", "min_chars", "max_chars",
+        F.col("avg_tokens").cast("decimal(18,4)").alias("avg_tokens"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        F.col("avg_chars").cast("decimal(18,4)").alias("avg_chars"),
+        F.col("min_chars").cast("long").alias("min_chars"),
+        F.col("max_chars").cast("long").alias("max_chars"),
     )
 
 
@@ -1825,9 +1833,11 @@ FROM chunks GROUP BY 1"""
         ),
         "corpus_stats": (
             f"SELECT lang, count(*) AS n_docs, sum({_NTOK})::BIGINT AS total_tokens, "
-            f"round(avg({_NTOK}), 4) AS avg_tokens, sum(length(text)) AS total_chars, "
-            "round(avg(length(text)), 4) AS avg_chars, min(n_chars) AS min_chars, "
-            "max(n_chars) AS max_chars FROM documents GROUP BY lang"
+            f"round(avg({_NTOK}), 4)::DECIMAL(18,4) AS avg_tokens, "
+            "sum(length(text))::BIGINT AS total_chars, "
+            "round(avg(length(text)), 4)::DECIMAL(18,4) AS avg_chars, "
+            "min(n_chars)::BIGINT AS min_chars, "
+            "max(n_chars)::BIGINT AS max_chars FROM documents GROUP BY lang"
         ),
         "quality_score": _QUALITY_ORACLE,
         "lang_id": _LANGID_ORACLE,

@@ -182,44 +182,136 @@ def ann_cosine_topk(
     return ranked.select("query_id", "neighbor_id", F.round("__cos", 6).alias("cos_sim"))
 
 
+_PAIR_SCHEMA = "id_a long, id_b long, cos_sim double"
+
+
 def cosine_dedup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cos_threshold: float = 0.9,
+    n_blocks: int | None = None,
+    rows_per_block: int = 4096,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs (id_a < id_b,
     cos ≥ threshold) — the correctness baseline for semantic dedup.
 
-    Plan shape: the corpus matrix is L2-normalized and broadcast once
-    (N×d floats — fine to ~1M×64); each partition then BLAS-multiplies its
-    own rows against it inside ``mapInPandas`` (Arrow batches, numpy) and
-    emits only above-threshold pairs.  No pair row ever materializes below
-    the threshold, and the corpus shuffles zero times.  Beyond broadcastable
-    N, :func:`embedding_dedup_candidates` is the LSH-bucketed scale path
-    with identical output semantics minus recall.
+    Plan shape (distributed block-pair join — NO driver collect, NO
+    full-corpus broadcast): rows hash into ``B`` blocks; every unordered
+    block pair (i ≤ j) becomes one ``applyInPandas`` group whose A-side and
+    B-side sub-matrices are BLAS-multiplied (numpy, Arrow batches) and only
+    above-threshold pairs are emitted.  Each row is shuffled ~B+1 times, so
+    shuffle volume is B+1 × input while compare work — inherently O(N²) for
+    an EXACT all-pairs — is spread over B(B+1)/2 independent tasks that
+    each fit in executor memory.  Beyond what exact can afford,
+    :func:`embedding_dedup_candidates` is the LSH-bucketed scale path with
+    identical output semantics minus recall.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if n_blocks is None:
+        # one cheap count (parquet metadata / light scan) sizes the grid so a
+        # block-pair task multiplies ~rows_per_block² doubles — bounded memory
+        n = df.count()
+        n_blocks = max(1, -(-n // rows_per_block))
+    B = int(n_blocks)
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("blk"),
+    )
+    # a row in block k participates in pair (i=k, j≥k) as the A side and in
+    # pair (i≤k, j=k) as the B side
+    a_side = base.select(
+        F.col("blk").alias("bi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("bj"),
+        F.lit("a").alias("role"),
+        "id",
+        "v",
+    )
+    b_side = base.select(
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
+        F.col("blk").alias("bj"),
+        F.lit("b").alias("role"),
+        "id",
+        "v",
+    )
+    rep = a_side.unionByName(b_side)
+
+    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        if bi == bj:
+            sub = pdf[pdf["role"] == "a"]
+            if len(sub) < 2:
+                return empty
+            ids = sub["id"].to_numpy(dtype=np.int64)
+            m = np.array(list(sub["v"]), dtype=np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ m.T
+            keep = (sims >= cos_threshold) & (ids[:, None] < ids[None, :])
+            ai, bix = np.nonzero(keep)
+            id_a, id_b = ids[ai], ids[bix]
+            cs = sims[ai, bix]
+        else:
+            a = pdf[pdf["role"] == "a"]
+            b = pdf[pdf["role"] == "b"]
+            if not len(a) or not len(b):
+                return empty
+            ia = a["id"].to_numpy(dtype=np.int64)
+            ib = b["id"].to_numpy(dtype=np.int64)
+            ma = np.array(list(a["v"]), dtype=np.float64)
+            mb = np.array(list(b["v"]), dtype=np.float64)
+            ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+            mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+            sims = ma @ mb.T
+            ai, bix = np.nonzero(sims >= cos_threshold)
+            cs = sims[ai, bix]
+            # blocks are disjoint, so ordering within a pair is arbitrary —
+            # canonicalize to id_a < id_b
+            id_a = np.minimum(ia[ai], ib[bix])
+            id_b = np.maximum(ia[ai], ib[bix])
+        return pd.DataFrame(
+            {"id_a": id_a, "id_b": id_b, "cos_sim": np.round(cs, 6)}
+        )
+
+    return rep.groupBy("bi", "bj").applyInPandas(score, _PAIR_SCHEMA)
+
+
+def cosine_dedup_pairs_broadcast(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cos_threshold: float = 0.9,
+    max_broadcast_rows: int = 1_000_000,
+) -> DataFrame:
+    """Broadcast fast path for exact cosine dedup: the L2-normalized corpus
+    matrix is materialized on the driver ONCE and broadcast; each partition
+    BLAS-multiplies its own rows against it.  Zero shuffles, but driver/
+    executor memory is O(N×d) — so it REFUSES to run above
+    ``max_broadcast_rows`` (fail loudly rather than OOM the driver at scale;
+    use :func:`cosine_dedup_pairs` — distributed block-pairs — instead).
     """
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
 
-    from pyspark.sql import types as T
-
+    n = df.count()
+    if n > max_broadcast_rows:
+        raise ValueError(
+            f"cosine_dedup_pairs_broadcast: corpus has {n} rows > "
+            f"max_broadcast_rows={max_broadcast_rows}; driver-side "
+            "materialization would not scale — use cosine_dedup_pairs "
+            "(block-pair exact) or embedding_dedup_candidates (LSH)."
+        )
     rows = df.select(F.col(id_col), F.col(vec_col)).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    sc = df.sparkSession.sparkContext
-    bc = sc.broadcast((ids, mat))
-
-    out_schema = T.StructType(
-        [
-            T.StructField("id_a", T.LongType(), False),
-            T.StructField("id_b", T.LongType(), False),
-            T.StructField("cos_sim", T.DoubleType(), False),
-        ]
-    )
+    bc = df.sparkSession.sparkContext.broadcast((ids, mat))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         all_ids, all_mat = bc.value
@@ -240,7 +332,7 @@ def cosine_dedup_pairs(
 
     from clickhouse_flatfile_tool_spark.partitioning import ensure_parallelism
 
-    return ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(gen, out_schema)
+    return ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(gen, _PAIR_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

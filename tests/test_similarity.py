@@ -81,6 +81,27 @@ def test_cosine_dedup_pairs_exact(spark):
     assert got == {(1, 2), (1, 4), (2, 4)}
 
 
+def test_block_pair_matches_broadcast(emb):
+    """The distributed block-pair exact path and the guarded broadcast fast
+    path must produce identical pair sets (they implement the same exact
+    semantics with different physical plans)."""
+    sub = emb.filter("vec_id < 200")
+    blocked = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in S.cosine_dedup_pairs(sub, cos_threshold=0.4, n_blocks=5).collect()
+    }
+    bcast = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in S.cosine_dedup_pairs_broadcast(sub, cos_threshold=0.4).collect()
+    }
+    assert blocked == bcast and len(blocked) > 0
+
+
+def test_broadcast_guard_raises(emb):
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        S.cosine_dedup_pairs_broadcast(emb, max_broadcast_rows=10)
+
+
 def test_ivf_recall_against_exact(emb):
     from clickhouse_flatfile_tool_spark.operators.similarity import (
         cosine_topk,
