@@ -289,6 +289,29 @@ def q_event_funnel(spark, d):
     return events.event_type_funnel(_t(spark, d, "events"))
 
 
+def q_sequence_funnel(spark, d):
+    """sequenceMatch analog with OVERLAPPING step conditions (an event with
+    value > 50 satisfies both steps) — exercises the greedy per-step pointer,
+    which single-symbol labeling gets wrong."""
+    return events.sequence_match(
+        _t(spark, d, "events"), ["value > 10", "value > 50"], key_col="user_id"
+    )
+
+
+def q_gap_fill(spark, d):
+    return events.gap_fill(_t(spark, d, "events"), step_minutes=60)
+
+
+def q_forward_fill(spark, d):
+    """Forward-fill with deterministically-injected NULLs (fixture has none):
+    every 7th event id loses its value, then last-non-NULL-per-user imputes."""
+    ev = _t(spark, d, "events").withColumn(
+        "value",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value")),
+    )
+    return events.forward_fill(ev).select("event_id", "user_id", "value_filled")
+
+
 def q_left_join(spark, d):
     c = _t(spark, d, "customer")
     o = _t(spark, d, "orders")
@@ -1211,6 +1234,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (state-server protocol); registered only where the dep functions
         **({"stream_tws": q_stream_tws} if stream_ops.tws_available() else {}),
         "stream_interval_join": q_stream_interval_join,
+        # --- new this round (greedy sequenceMatch, WITH FILL, imputation) ---
+        "sequence_funnel": q_sequence_funnel,
+        "gap_fill": q_gap_fill,
+        "forward_fill": q_forward_fill,
         # --- rows-only refreshers (no SQL-expressible oracle by design) ---
         "minhash_candidates": q_minhash_candidates,
         "minhash_dedup": q_minhash_dedup,
@@ -1828,6 +1855,45 @@ FROM chunks GROUP BY 1"""
             "count(*) AS n_events, round(sum(value), 2) AS sum_value FROM b GROUP BY ws"
         ),
         "session_window": _SESSION_ORACLE,
+        # greedy 2-step subsequence: earliest step-1 event, then ANY strictly
+        # later step-2 event (greedy earliest-advance is optimal, so this is
+        # exactly sequence_match's semantics for 2 steps)
+        "sequence_funnel": (
+            "WITH f1 AS ("
+            "  SELECT user_id, ts AS t1, event_id AS i1,"
+            "         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn"
+            "  FROM events WHERE value > 10"
+            ") SELECT u.user_id, "
+            "CAST(max(CASE WHEN e.event_id IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS matched "
+            "FROM (SELECT DISTINCT user_id FROM events) u "
+            "LEFT JOIN (SELECT * FROM f1 WHERE rn = 1) s ON u.user_id = s.user_id "
+            "LEFT JOIN events e ON e.user_id = s.user_id AND e.value > 50 "
+            "  AND (e.ts > s.t1 OR (e.ts = s.t1 AND e.event_id > s.i1)) "
+            "GROUP BY u.user_id"
+        ),
+        "gap_fill": (
+            "WITH agg AS ("
+            "  SELECT event_type, "
+            "         make_timestamp((floor(epoch(ts) / 3600) * 3600 * 1000000)::BIGINT) AS bucket, "
+            "         count(*) AS n_events, round(sum(value), 2) AS sum_value "
+            "  FROM events GROUP BY 1, 2"
+            "), bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM agg), "
+            "grid AS ("
+            "  SELECT k.event_type, g.bucket "
+            "  FROM (SELECT DISTINCT event_type FROM events) k, "
+            "       (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM bounds) g"
+            ") SELECT grid.event_type, grid.bucket, "
+            "coalesce(agg.n_events, 0)::BIGINT AS n_events, "
+            "coalesce(agg.sum_value, 0)::DOUBLE AS sum_value "
+            "FROM grid LEFT JOIN agg ON grid.event_type = agg.event_type AND grid.bucket = agg.bucket"
+        ),
+        "forward_fill": (
+            "SELECT event_id, user_id, "
+            "last_value(CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END IGNORE NULLS) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled "
+            "FROM events"
+        ),
         "event_funnel": (
             "SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value, "
             "round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k, "

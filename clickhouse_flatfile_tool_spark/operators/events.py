@@ -221,41 +221,54 @@ def sequence_match(
     step conditions occur in timestamp order (other events may interleave)?
 
     ``steps`` are SQL boolean expressions over the row (e.g.
-    ``["event_type = 'signup'", "event_type = 'purchase'"]``).  Each event is
-    mapped to the symbol of the FIRST step it satisfies ('1'..'9') or a
-    filler '.'; the per-key symbol string (ordered by ts, tiebroken by
-    ``tiebreak_col`` for determinism) is matched against ``1.*2.*...``.
+    ``["event_type = 'signup'", "event_type = 'purchase'"]``).  Each event
+    gets a bitmask of EVERY step it satisfies (an event may satisfy several
+    — e.g. steps ``value > 0`` then ``value > 10``); the per-key event list
+    (ordered by ts, tiebroken by ``tiebreak_col`` for determinism) is then
+    scanned with the classic greedy funnel algorithm: a pointer starts at
+    step 1 and advances whenever the current event satisfies the pointed-at
+    step.  Greedy earliest-advance is provably optimal for subsequence
+    existence, so this matches ClickHouse ``sequenceMatch('(?1).*(?2)…')``
+    even when one event satisfies multiple step conditions.
 
     Scale: one shuffle keyed by ``key_col``; per-key state is the event list
     — the same per-group memory bound ClickHouse's sequenceMatch has
     (reference capability surface is SQL-in-ClickHouse, server.js:837-844).
-    The symbol mapping runs map-side inside codegen; only (ts, tiebreak,
-    1-char symbol) structs travel through the shuffle, not full rows.
+    The bitmask runs map-side inside codegen; only (ts, tiebreak, int mask)
+    structs travel through the shuffle, not full rows; the greedy scan is a
+    built-in ``aggregate`` over the sorted array — no UDF.
     """
-    if not 1 <= len(steps) <= 9:
+    n = len(steps)
+    if not 1 <= n <= 9:
         raise ValueError("sequence_match supports 1-9 steps")
-    sym = F.lit(".")
-    for i, cond in reversed(list(enumerate(steps, start=1))):
-        sym = F.when(F.expr(cond), F.lit(str(i))).otherwise(sym)
-    pattern = ".*".join(str(i) for i in range(1, len(steps) + 1))
+    mask = F.lit(0)
+    for i, cond in enumerate(steps):
+        mask = mask + F.when(F.expr(cond), F.lit(1 << i)).otherwise(F.lit(0))
     per_key = (
-        df.select(F.col(key_col), F.col(ts_col), F.col(tiebreak_col), sym.alias("sym"))
+        df.select(F.col(key_col), F.col(ts_col), F.col(tiebreak_col), mask.alias("m"))
         .groupBy(key_col)
         .agg(
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col(ts_col), F.col(tiebreak_col), F.col("sym")))
-                    ),
-                    lambda s: s.getField("sym"),
-                ),
-            ).alias("seq")
+            F.array_sort(
+                F.collect_list(F.struct(F.col(ts_col), F.col(tiebreak_col), F.col("m")))
+            ).alias("evs")
         )
+    )
+    # greedy pointer: acc = #steps matched so far; event advances it when the
+    # bit for step acc+1 (bit index acc) is set
+    progressed = F.aggregate(
+        F.transform(F.col("evs"), lambda s: s.getField("m")),
+        F.lit(0),
+        # bit test via pow (shiftleft's shift amount can't be a Column);
+        # exact for the ≤9-bit masks allowed here
+        lambda acc, m: F.when(
+            (acc < n)
+            & (m.bitwiseAND(F.pow(F.lit(2.0), acc.cast("double")).cast("int")) != 0),
+            acc + 1,
+        ).otherwise(acc),
     )
     return per_key.select(
         F.col(key_col),
-        F.col("seq").rlike(pattern).cast("int").alias("matched"),
+        (progressed == n).cast("int").alias("matched"),
     )
 
 
@@ -276,8 +289,11 @@ def gap_fill(
     raw row count, so the fill side stays tiny even at 100 TB of events.
     """
     step_s = step_minutes * 60
+    # floor (not cast, which truncates toward zero) so pre-1970 negative
+    # epochs land on the correct lower bucket boundary, matching ClickHouse
+    # toStartOfInterval / WITH FILL
     bucket = F.timestamp_seconds(
-        (F.unix_timestamp(F.col(ts_col)) / step_s).cast("long") * step_s
+        F.floor(F.unix_timestamp(F.col(ts_col)) / step_s).cast("long") * step_s
     )
     agg = (
         df.select(F.col(key_col), bucket.alias("bucket"), F.col("value"))

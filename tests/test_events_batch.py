@@ -1,0 +1,193 @@
+"""Batch event-operator tests mandated by round-1 advice: sequence_match
+with overlapping/out-of-order steps, gap_fill at negative epochs and
+single-bucket inputs, forward_fill with leading NULL runs, and NTZ parquet
+normalization (top-level and nested)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_flatfile_tool_spark.operators import events as E
+
+TS = dt.datetime  # fixture rows use naive datetimes; session TZ is UTC
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+
+
+def test_sequence_match_overlapping_conditions(spark):
+    """An event satisfying BOTH steps must still serve whichever step the
+    greedy pointer is at — single-symbol labeling (first-step-wins) fails
+    user 2 here."""
+    rows = [
+        # user 1: step-2-worthy event comes first, then only weak events → no match
+        (1, 1, TS(2024, 1, 1, 10, 0), 60.0),
+        (1, 2, TS(2024, 1, 1, 11, 0), 5.0),
+        # user 2: weak (step1-only) then strong (satisfies both) → match,
+        # even though the strong event also satisfies step 1
+        (2, 3, TS(2024, 1, 1, 10, 0), 15.0),
+        (2, 4, TS(2024, 1, 1, 11, 0), 60.0),
+        # user 3: strong then strong → match (first serves step1, second step2)
+        (3, 5, TS(2024, 1, 1, 10, 0), 70.0),
+        (3, 6, TS(2024, 1, 1, 11, 0), 80.0),
+    ]
+    out = {
+        r.user_id: r.matched
+        for r in E.sequence_match(
+            _events(spark, rows), ["value > 10", "value > 50"], key_col="user_id"
+        ).collect()
+    }
+    assert out == {1: 0, 2: 1, 3: 1}
+
+
+def test_sequence_match_out_of_order_input(spark):
+    """Row order in the source must not matter — only event time does."""
+    rows = [  # deliberately shuffled: step 2's event appears first in input
+        (1, 2, TS(2024, 1, 1, 12, 0), 100.0),
+        (1, 1, TS(2024, 1, 1, 10, 0), 20.0),
+    ]
+    out = E.sequence_match(
+        _events(spark, rows), ["value > 10", "value > 50"], key_col="user_id"
+    ).collect()
+    assert out[0].matched == 1
+    # reversed event times → no match
+    rows_rev = [
+        (1, 2, TS(2024, 1, 1, 9, 0), 100.0),
+        (1, 1, TS(2024, 1, 1, 10, 0), 20.0),
+    ]
+    out = E.sequence_match(
+        _events(spark, rows_rev), ["value > 10", "value > 50"], key_col="user_id"
+    ).collect()
+    assert out[0].matched == 0
+
+
+def test_sequence_match_tie_breaks_on_event_id(spark):
+    """Equal timestamps resolve by tiebreak column: step 2's event must have
+    a LARGER (ts, event_id) than step 1's."""
+    rows = [
+        (1, 1, TS(2024, 1, 1, 10, 0), 20.0),
+        (1, 2, TS(2024, 1, 1, 10, 0), 100.0),  # same ts, higher id → after
+    ]
+    out = E.sequence_match(
+        _events(spark, rows), ["value > 10", "value > 50"], key_col="user_id"
+    ).collect()
+    assert out[0].matched == 1
+
+
+def test_gap_fill_negative_epoch_floors(spark):
+    """Pre-1970 timestamps must floor to the LOWER bucket boundary (cast
+    truncates toward zero and would round them up)."""
+    rows = [(1, 1, TS(1969, 12, 31, 23, 30), 1.0)]
+    df = _events(spark, rows).withColumn("event_type", F.lit("x"))
+    out = E.gap_fill(df, step_minutes=60).collect()
+    assert len(out) == 1
+    assert out[0].bucket == TS(1969, 12, 31, 23, 0)
+
+
+def test_gap_fill_single_bucket_and_gaps(spark):
+    rows = [
+        (1, 1, TS(2024, 1, 1, 10, 5), 1.0),
+        (1, 2, TS(2024, 1, 1, 10, 55), 2.0),
+        (1, 3, TS(2024, 1, 1, 13, 1), 3.0),  # 2-hour gap → 2 zero buckets
+    ]
+    df = _events(spark, rows).withColumn("event_type", F.lit("x"))
+    got = {
+        r.bucket: (r.n_events, r.sum_value)
+        for r in E.gap_fill(df, step_minutes=60).collect()
+    }
+    assert got == {
+        TS(2024, 1, 1, 10): (2, 3.0),
+        TS(2024, 1, 1, 11): (0, 0.0),
+        TS(2024, 1, 1, 12): (0, 0.0),
+        TS(2024, 1, 1, 13): (1, 3.0),
+    }
+    # single bucket input → single row, no fill
+    one = E.gap_fill(
+        _events(spark, rows[:2]).withColumn("event_type", F.lit("x")), step_minutes=60
+    ).collect()
+    assert len(one) == 1 and one[0].n_events == 2
+
+
+def test_forward_fill_leading_nulls_stay_null(spark):
+    rows = [
+        (1, 1, TS(2024, 1, 1, 10), None),  # leading NULL: nothing to carry
+        (1, 2, TS(2024, 1, 1, 11), 5.0),
+        (1, 3, TS(2024, 1, 1, 12), None),  # filled with 5.0
+        (1, 4, TS(2024, 1, 1, 13), None),  # still 5.0 (run of NULLs)
+        (2, 5, TS(2024, 1, 1, 10), 7.0),   # other key unaffected
+    ]
+    out = {
+        r.event_id: r.value_filled
+        for r in E.forward_fill(_events(spark, rows)).collect()
+    }
+    assert out == {1: None, 2: 5.0, 3: 5.0, 4: 5.0, 5: 7.0}
+
+
+@pytest.fixture()
+def ntz_parquet(tmp_path):
+    """Parquet with TIMESTAMP_NTZ at top level AND nested in a struct and an
+    array (isAdjustedToUTC=false — the pandas/pyarrow default)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = dt.datetime(2024, 1, 2, 3, 4, 5)
+    ts_type = pa.timestamp("us")  # no tz → NTZ in parquet
+    table = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([t, t], ts_type),
+            "meta": pa.array(
+                [{"created": t}, {"created": t}],
+                pa.struct([("created", ts_type)]),
+            ),
+            "history": pa.array([[t], [t, t]], pa.list_(ts_type)),
+        }
+    )
+    p = str(tmp_path / "ntz.parquet")
+    pq.write_table(table, p)
+    return p
+
+
+def _flavors(df):
+    return {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+
+def test_read_parquet_normalizes_ntz_everywhere(spark, ntz_parquet):
+    from clickhouse_flatfile_tool_spark.sources.files import read_parquet
+
+    df = read_parquet(spark, ntz_parquet)
+    fl = _flavors(df)
+    assert fl["ts"] == "timestamp"
+    assert fl["meta"] == "struct<created:timestamp>"
+    assert fl["history"] == "array<timestamp>"
+    row = df.orderBy("id").first()
+    assert row.ts == dt.datetime(2024, 1, 2, 3, 4, 5)
+    assert row.meta.created == row.ts and row.history[0] == row.ts
+
+
+def test_read_parquet_evolved_matches_read_parquet(spark, ntz_parquet):
+    from clickhouse_flatfile_tool_spark.sources.files import (
+        read_parquet,
+        read_parquet_evolved,
+    )
+
+    a = _flavors(read_parquet(spark, ntz_parquet))
+    b = _flavors(read_parquet_evolved(spark, ntz_parquet))
+    assert a == b
+
+
+def test_event_stream_watermark_accepts_normalized_ts(spark, ntz_parquet):
+    """The streaming reader must emit watermark-compatible TIMESTAMP (the
+    round-1 EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE failure)."""
+    from clickhouse_flatfile_tool_spark.streaming.stream_ops import read_event_stream
+
+    stream = read_event_stream(spark, ntz_parquet)
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    # withWatermark would raise AnalysisException on NTZ at plan time
+    stream.withWatermark("ts", "10 minutes").groupBy(
+        F.window("ts", "5 minutes")
+    ).count()
