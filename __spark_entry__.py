@@ -493,6 +493,11 @@ def q_running_sum(spark, d):
 
 
 def q_agg_stats(spark, d):
+    """Exact percentile is kept HERE because the query is oracle-checked:
+    Spark approx_percentile (GK sketch) and DuckDB approx_quantile (t-digest)
+    are different algorithms and cannot hash-match.  The scale path is
+    relational.approx_quantiles (mergeable GK sketch, bounded memory),
+    asserted against exact within rank tolerance in tests/test_relational.py."""
     li = _t(spark, d, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
@@ -763,7 +768,9 @@ def q_token_histogram(spark, d):
 def q_length_trim(spark, d):
     """Percentile-trimmed filter (drop the tails outside [p05, p95] of
     n_chars): the scalar-subquery pattern as a broadcast join of a 1-row
-    aggregate — no second scan of the fact side, no driver round-trip."""
+    aggregate — no second scan of the fact side, no driver round-trip.
+    Exact percentile stays for oracle determinism (see q_agg_stats);
+    relational.approx_quantiles is the sketch path at scale."""
     docs = _t(spark, d, "documents")
     bounds = docs.agg(
         F.percentile("n_chars", 0.05).alias("lo"),

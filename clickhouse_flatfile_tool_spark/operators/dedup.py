@@ -125,7 +125,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
-    num_hashes: int = 32,
+    num_hashes: int = 16,
     seed: int = 42,
 ) -> DataFrame:
     """MinHash signatures as ``num_hashes`` long columns ``mh_0..mh_{H-1}``:
@@ -153,7 +153,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
-    num_hashes: int = 32,
+    num_hashes: int = 16,
     bands: int = 8,
     seed: int = 42,
 ) -> DataFrame:
@@ -164,10 +164,14 @@ def minhash_lsh_candidates(
     candidate iff they collide in ≥1 band — the classic S-curve.  Returns
     distinct (id_a, id_b) with id_a < id_b.
 
-    Scale: the only shuffles are the signature groupBy and the equi-join on
-    band hash; band buckets are small for non-pathological corpora.  A hot
-    bucket (boilerplate text) is AQE skew-join territory; 'dedupe near-exact
-    first' is the operational fix.
+    Scale: the only shuffles are the signature groupBy, ONE groupBy on
+    (band, bucket) — singleton buckets (the overwhelming majority) are
+    dropped before any pair exists — and the final pair-distinct.  Pairs are
+    enumerated inside each bucket from the sorted id array with built-in
+    transform/slice (no self-join: the old a⋈b form shuffled the banded rows
+    twice and couldn't skip singletons).  A hot bucket (boilerplate text)
+    still blows up as |bucket|²; 'dedupe near-exact first' is the
+    operational fix, and AQE handles moderate skew in the groupBy.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, shingle_n, num_hashes, seed)
@@ -187,23 +191,26 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.bucket") == F.col("b.bucket"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .distinct()
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
+    ids = F.col("ids")
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    ids,
+                    lambda x, i: F.transform(
+                        F.slice(ids, i + 2, F.size(ids)),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 def minhash_dedup(

@@ -368,6 +368,32 @@ def distinct_values(df: DataFrame, columns: list[str]) -> DataFrame:
     return df.select(*columns).distinct()
 
 
+def approx_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: list[float],
+    group_by: list[str] | None = None,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Sketch-based quantiles via ``approx_percentile`` (Greenwald-Khanna):
+    the 100 TB path for percentile aggregation.  Exact ``percentile`` sorts
+    every group's values (memory and time grow with group size — fine for
+    oracle-checked fixture queries, wrong at scale); the GK sketch is
+    bounded-size, MERGEABLE map-side like any partial agg, and its error is
+    ≤ 1/accuracy of rank.  Returns one column per requested prob, named
+    ``q_<prob*100 with _ for .>`` (e.g. q_50, q_99_9).
+    """
+    def _name(p: float) -> str:
+        s = ("%g" % (p * 100)).replace(".", "_")
+        return f"q_{s}"
+
+    exprs = [
+        F.approx_percentile(F.col(value_col), F.lit(p), F.lit(accuracy)).alias(_name(p))
+        for p in probs
+    ]
+    return df.groupBy(*group_by).agg(*exprs) if group_by else df.agg(*exprs)
+
+
 # ---------------------------------------------------------------------------
 # window functions
 # ---------------------------------------------------------------------------

@@ -59,6 +59,25 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def get_spark_with_port_retry(
+    ui_port: int = 4040,
+    max_retries: int = 10,
+    **kwargs,
+) -> SparkSession:
+    """Port-conflict retry (SURVEY §2.9 C3): the reference walks to the next
+    port when its HTTP listener hits EADDRINUSE
+    (/root/reference/server/server.js:870-885).  Spark's bindable surface is
+    the driver UI; we pin ``spark.ui.port`` and let Spark's own bind loop
+    walk ``ui_port .. ui_port+max_retries`` (``spark.port.maxRetries`` is the
+    same next-port strategy the reference hand-rolls).  ``kwargs`` pass
+    through to :func:`get_spark`.
+    """
+    extra = dict(kwargs.pop("extra_conf", None) or {})
+    extra.setdefault("spark.ui.port", str(ui_port))
+    extra.setdefault("spark.port.maxRetries", str(max_retries))
+    return get_spark(extra_conf=extra, **kwargs)
+
+
 def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:

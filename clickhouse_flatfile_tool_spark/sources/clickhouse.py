@@ -59,6 +59,32 @@ def driver_available(spark: SparkSession) -> bool:
         return False
 
 
+def read_jdbc_options(
+    conn: ClickHouseConnection,
+    table: str,
+    columns: list[str] | None = None,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+) -> dict[str, str]:
+    """The full JDBC reader option map (pure function — unit-testable without
+    a driver jar or server; the env ships neither)."""
+    proj = ", ".join(columns) if columns else "*"
+    opts = dict(conn.jdbc_options())
+    opts["dbtable"] = f"(SELECT {proj} FROM {table}) AS src"
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partition_column requires lower_bound and upper_bound")
+        opts.update(
+            partitionColumn=partition_column,
+            numPartitions=str(num_partitions),
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+        )
+    return opts
+
+
 def read_clickhouse_table(
     spark: SparkSession,
     conn: ClickHouseConnection,
@@ -77,22 +103,10 @@ def read_clickhouse_table(
     pushed into the remote query via ``dbtable`` subquery so ClickHouse never
     ships unselected columns.
     """
-    proj = ", ".join(columns) if columns else "*"
-    reader = (
-        spark.read.format("jdbc")
-        .options(**conn.jdbc_options())
-        .option("dbtable", f"(SELECT {proj} FROM {table}) AS src")
+    opts = read_jdbc_options(
+        conn, table, columns, partition_column, num_partitions, lower_bound, upper_bound
     )
-    if partition_column is not None:
-        if lower_bound is None or upper_bound is None:
-            raise ValueError("partition_column requires lower_bound and upper_bound")
-        reader = (
-            reader.option("partitionColumn", partition_column)
-            .option("numPartitions", str(num_partitions))
-            .option("lowerBound", str(lower_bound))
-            .option("upperBound", str(upper_bound))
-        )
-    return reader.load()
+    return spark.read.format("jdbc").options(**opts).load()
 
 
 def write_clickhouse_table(
@@ -112,13 +126,23 @@ def write_clickhouse_table(
     reference's string-built INSERT VALUES, and each Spark partition streams
     its own batches concurrently.
     """
-    (
-        df.write.format("jdbc")
-        .options(**conn.jdbc_options())
-        .option("dbtable", table)
-        .option("batchsize", str(batch_size))
-        .option("isolationLevel", "NONE")
-        .option("createTableOptions", f"ENGINE = MergeTree() ORDER BY {order_by}")
-        .mode(mode)
-        .save()
+    opts = write_jdbc_options(conn, table, batch_size, order_by)
+    df.write.format("jdbc").options(**opts).mode(mode).save()
+
+
+def write_jdbc_options(
+    conn: ClickHouseConnection,
+    table: str,
+    batch_size: int = 10_000,
+    order_by: str = "tuple()",
+) -> dict[str, str]:
+    """The full JDBC writer option map, including the MergeTree DDL
+    (pure function — unit-testable without a driver jar or server)."""
+    opts = dict(conn.jdbc_options())
+    opts.update(
+        dbtable=table,
+        batchsize=str(batch_size),
+        isolationLevel="NONE",
+        createTableOptions=f"ENGINE = MergeTree() ORDER BY {order_by}",
     )
+    return opts

@@ -239,3 +239,41 @@ def test_approx_aggregates_error_bounds(tables):
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_med"),
     ).collect()[0]
     assert abs(stats["approx_med"] - stats["exact_med"]) / stats["exact_med"] < 0.01
+
+
+def test_approx_quantiles_within_rank_tolerance(tables):
+    """The sketch path (approx_percentile) must track exact percentile within
+    GK rank error — the documented reason agg_stats/length_trim stay exact is
+    oracle determinism, not correctness."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_flatfile_tool_spark.operators.relational import approx_quantiles
+
+    li = tables["lineitem"]
+    approx = approx_quantiles(
+        li, "l_extendedprice", [0.5, 0.9], group_by=["l_returnflag"]
+    ).collect()
+    exact = {
+        r.l_returnflag: (r.p50, r.p90)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", 0.5).alias("p50"),
+            F.percentile("l_extendedprice", 0.9).alias("p90"),
+        )
+        .collect()
+    }
+    assert len(approx) == len(exact) > 0
+    for r in approx:
+        e50, e90 = exact[r.l_returnflag]
+        # GK with accuracy=10k on a few-thousand-row group ≈ exact; allow a
+        # generous 1% relative envelope so the assert is about sanity, not luck
+        assert abs(r.q_50 - e50) <= 0.01 * abs(e50)
+        assert abs(r.q_90 - e90) <= 0.01 * abs(e90)
+
+
+def test_approx_quantiles_column_naming(spark):
+    from clickhouse_flatfile_tool_spark.operators.relational import approx_quantiles
+
+    df = spark.range(100).selectExpr("id", "cast(id as double) as v")
+    out = approx_quantiles(df, "v", [0.5, 0.999])
+    assert out.columns == ["q_50", "q_99_9"]
