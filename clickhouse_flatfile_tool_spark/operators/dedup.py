@@ -191,6 +191,17 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    return _bucket_pairs(banded, id_col)
+
+
+def _bucket_pairs(banded: DataFrame, id_col: str) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from (id, band, bucket) rows:
+    ONE groupBy on (band, bucket) — singleton buckets (the overwhelming
+    majority) are dropped before any pair exists — then in-bucket pair
+    enumeration from the sorted id array with built-in transform/slice.
+    Replaces the self-equi-join shape, which shuffles the banded rows twice
+    and cannot skip singletons.  Shared by MinHash-LSH (both hash
+    primitives) and SimHash banding."""
     buckets = (
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
@@ -372,7 +383,8 @@ def simhash_candidates(
 ) -> DataFrame:
     """Near-dup candidates by SimHash banding: split the 64-bit signature
     into ``bands`` 16-bit bands; docs sharing any band value are candidates
-    (catches Hamming distance < bands).  Same equi-join shape as MinHash-LSH."""
+    (catches Hamming distance < bands).  Same bucket-grouping shape as
+    MinHash-LSH (:func:`_bucket_pairs`)."""
     bits_per = 64 // bands
     sigs = simhash_signatures(df, id_col, text_col, 64, seed)
     banded = sigs.withColumnRenamed("simhash", "__sig").select(
@@ -391,19 +403,7 @@ def simhash_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.bucket") == F.col("b.bucket"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    return _bucket_pairs(banded, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -525,8 +525,8 @@ def minhash_lsh_candidates_portable(
 ) -> DataFrame:
     """Banded LSH over the portable md5 signatures: band bucket =
     md5(concat of the band's signature components); candidates = distinct
-    (id_a < id_b) sharing any (band, bucket).  Same equi-join shape as the
-    fast path — only the hash primitive differs."""
+    (id_a < id_b) sharing any (band, bucket).  Same bucket-grouping shape as
+    the fast path — only the hash primitive differs."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures_portable(df, id_col, text_col, shingle_n, num_hashes)
     banded = sigs.select(
@@ -551,22 +551,7 @@ def minhash_lsh_candidates_portable(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.bucket") == F.col("b.bucket"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .distinct()
-    )
+    return _bucket_pairs(banded, id_col)
 
 
 def simhash_verify(

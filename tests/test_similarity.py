@@ -50,12 +50,14 @@ def test_ann_recall_against_exact(emb):
     q = emb.filter("vec_id < 20")
     exact = S.cosine_topk(q, emb, k=5)
     # uniform random vectors are LSH's worst case (5th-neighbor angle ≈ 70°,
-    # per-table collision ≈ (1-θ/π)^bits) — use short signatures, many tables
-    ann = S.ann_cosine_topk(q, emb, k=5, bits=4, tables=12)
+    # per-table collision ≈ (1-θ/π)^bits) — use short signatures, many tables.
+    # Deterministic (seeded hyperplanes + fixed fixture): measured 1.00 at
+    # bits=3/tables=24; floor leaves margin for fixture regeneration.
+    ann = S.ann_cosine_topk(q, emb, k=5, bits=3, tables=24)
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     a = {(r.query_id, r.neighbor_id) for r in ann.collect()}
     recall = len(e & a) / len(e)
-    assert recall >= 0.5, f"ANN recall too low: {recall}"
+    assert recall >= 0.9, f"ANN recall too low: {recall}"
 
 
 def test_embedding_dedup_finds_planted_duplicate(spark, emb):
@@ -112,11 +114,13 @@ def test_ivf_recall_against_exact(emb):
     exact = {
         (r.query_id, r.neighbor_id) for r in cosine_topk(queries, emb, k=5).collect()
     }
+    # deterministic (seeded k-means + fixed fixture): measured 0.92 at
+    # n_lists=8/n_probe=6; floor leaves margin for fixture regeneration
     ivf = {
         (r.query_id, r.neighbor_id)
-        for r in ivf_cosine_topk(queries, emb, k=5, n_lists=8, n_probe=4).collect()
+        for r in ivf_cosine_topk(queries, emb, k=5, n_lists=8, n_probe=6).collect()
     }
     recall = len(exact & ivf) / len(exact)
-    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    assert recall >= 0.8, f"IVF recall too low: {recall}"
     # every query returns results
     assert {q for q, _ in ivf} == {q for q, _ in exact}
