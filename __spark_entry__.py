@@ -312,6 +312,54 @@ def q_forward_fill(spark, d):
     return events.forward_fill(ev).select("event_id", "user_id", "value_filled")
 
 
+def q_clickhouse_aggs(spark, d):
+    """ClickHouse aggregate-function analogs in one pass (the dialect
+    translator maps the names: argMax→max_by, argMin→min_by,
+    groupArray→collect_list, countIf/sumIf/avgIf→FILTER-style conditionals).
+    max_by/min_by determinism: the fixture has a unique extreme price per
+    group (verified); ties would need a composite order key.
+    """
+    li = _t(spark, d, "lineitem")
+    high = F.col("l_quantity") > 25
+    return li.groupBy("l_returnflag").agg(
+        F.max_by("l_suppkey", "l_extendedprice").alias("top_supp"),
+        F.min_by("l_suppkey", "l_extendedprice").alias("bottom_supp"),
+        F.count(F.when(high, 1)).alias("n_high"),
+        F.round(F.sum(F.when(high, F.col("l_extendedprice"))), 2).alias("sum_high"),
+        F.round(F.avg(F.when(high, F.col("l_discount"))), 6).alias("avg_disc_high"),
+        F.concat_ws(",", F.slice(F.array_sort(F.collect_set("l_linestatus")), 1, 3)).alias(
+            "modes_sample"
+        ),
+    )
+
+
+def q_quantiles_multi(spark, d):
+    """ClickHouse ``quantilesExact(0.25,0.5,0.75)(x)`` analog: one exact
+    multi-quantile aggregate per group (single sort, all probs share it)."""
+    li = _t(spark, d, "lineitem")
+    qs = F.percentile("l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return li.groupBy("l_linestatus").agg(
+        F.round(qs[0], 4).alias("q25"),
+        F.round(qs[1], 4).alias("q50"),
+        F.round(qs[2], 4).alias("q75"),
+    )
+
+
+def q_topk_freq(spark, d):
+    """ClickHouse ``topK(3)(x)`` analog, exact form: the 3 most frequent
+    o_orderpriority values per o_orderstatus — groupBy count (map-side partial)
+    then a tiny window over (group, count).  The sketchless exact version is
+    oracle-checkable; at 100 TB the same shape works because the window input
+    is |groups|×|distinct values|, not raw rows."""
+    o = _t(spark, d, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return relational.top_k_per_group(
+        counts, ["o_orderstatus"], [F.desc("n"), F.asc("o_orderpriority")], 3
+    ).select("o_orderstatus", "o_orderpriority", "n")
+
+
 def q_left_join(spark, d):
     c = _t(spark, d, "customer")
     o = _t(spark, d, "orders")
@@ -1197,7 +1245,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_norm": q_embedding_norm,
         "embedding_dedup": q_embedding_dedup,
-        "embedding_dedup_lsh": q_embedding_dedup_lsh,
         "doc_fingerprint": q_doc_fingerprint,
         "pipeline_filter_dedup": q_pipeline_filter_dedup,
         "multimodal_join": q_multimodal_join,
@@ -1241,11 +1288,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (state-server protocol); registered only where the dep functions
         **({"stream_tws": q_stream_tws} if stream_ops.tws_available() else {}),
         "stream_interval_join": q_stream_interval_join,
-        # --- new this round (greedy sequenceMatch, WITH FILL, imputation) ---
+        # --- new this round (greedy sequenceMatch, WITH FILL, imputation,
+        #     ClickHouse aggregate analogs) ---
         "sequence_funnel": q_sequence_funnel,
         "gap_fill": q_gap_fill,
         "forward_fill": q_forward_fill,
+        "clickhouse_aggs": q_clickhouse_aggs,
+        "quantiles_multi": q_quantiles_multi,
+        "topk_freq": q_topk_freq,
         # --- rows-only refreshers (no SQL-expressible oracle by design) ---
+        "embedding_dedup_lsh": q_embedding_dedup_lsh,
         "minhash_candidates": q_minhash_candidates,
         "minhash_dedup": q_minhash_dedup,
         "simhash_candidates": q_simhash_candidates,
@@ -1900,6 +1952,30 @@ FROM chunks GROUP BY 1"""
             "OVER (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled "
             "FROM events"
+        ),
+        "clickhouse_aggs": (
+            "SELECT l_returnflag, "
+            "arg_max(l_suppkey, l_extendedprice) AS top_supp, "
+            "arg_min(l_suppkey, l_extendedprice) AS bottom_supp, "
+            "count(*) FILTER (WHERE l_quantity > 25) AS n_high, "
+            "round(sum(l_extendedprice) FILTER (WHERE l_quantity > 25), 2) AS sum_high, "
+            "round(avg(l_discount) FILTER (WHERE l_quantity > 25), 6) AS avg_disc_high, "
+            "array_to_string(list_sort(list(DISTINCT l_linestatus))[1:3], ',') AS modes_sample "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "quantiles_multi": (
+            "SELECT l_linestatus, "
+            "round(quantile_cont(l_quantity, 0.25), 4) AS q25, "
+            "round(quantile_cont(l_quantity, 0.50), 4) AS q50, "
+            "round(quantile_cont(l_quantity, 0.75), 4) AS q75 "
+            "FROM lineitem GROUP BY l_linestatus"
+        ),
+        "topk_freq": (
+            "WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n "
+            "FROM orders GROUP BY 1, 2), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus "
+            "ORDER BY n DESC, o_orderpriority ASC) AS rn FROM c) "
+            "SELECT o_orderstatus, o_orderpriority, n FROM r WHERE rn <= 3"
         ),
         "event_funnel": (
             "SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value, "

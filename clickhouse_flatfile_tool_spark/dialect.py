@@ -49,6 +49,15 @@ _RENAMES: list[tuple[str, str]] = [
     ("lcase", "lower"),
     ("ucase", "upper"),
     ("halfMD5", "xxhash64"),  # both: fast 64-bit non-cryptographic digest
+    # aggregate analogs with matching arity/semantics
+    ("argMax", "max_by"),
+    ("argMin", "min_by"),
+    ("groupArray", "collect_list"),
+    ("groupUniqArray", "collect_set"),
+    ("groupBitAnd", "bit_and"),
+    ("groupBitOr", "bit_or"),
+    ("groupBitXor", "bit_xor"),
+    ("medianExact", "median"),
 ]
 
 _ZERO_ARG: list[tuple[str, str]] = [

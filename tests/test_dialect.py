@@ -58,3 +58,32 @@ def test_translated_sql_executes(spark, tables):
     for r in rows:
         assert wmap[r["day"]] == r["users"]
         assert r["ym"] == int(r["day"].strftime("%Y%m"))
+
+
+def test_aggregate_analogs_translate():
+    q = (
+        "SELECT argMax(s, p), argMin(s, p), groupArray(x), groupUniqArray(x), "
+        "groupBitOr(b), medianExact(v) FROM t"
+    )
+    assert tr(q) == (
+        "SELECT max_by(s, p), min_by(s, p), collect_list(x), collect_set(x), "
+        "bit_or(b), median(v) FROM t"
+    )
+
+
+def test_group_array_does_not_eat_group_uniq_array():
+    # word-boundary safety: groupUniqArray must not be rewritten by the
+    # groupArray rule (or vice versa)
+    assert tr("groupUniqArray(x)") == "collect_set(x)"
+    assert tr("groupArray(x)") == "collect_list(x)"
+
+
+def test_aggregate_analogs_execute(spark, tables):
+    tables["orders"].createOrReplaceTempView("orders_v")
+    out = spark.sql(
+        tr(
+            "SELECT o_orderstatus, argMax(o_custkey, o_totalprice) AS big_spender "
+            "FROM orders_v GROUP BY o_orderstatus"
+        )
+    ).collect()
+    assert len(out) > 0 and all(r.big_spender is not None for r in out)
