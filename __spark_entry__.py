@@ -312,6 +312,24 @@ def q_forward_fill(spark, d):
     return events.forward_fill(ev).select("event_id", "user_id", "value_filled")
 
 
+def q_pack_sequences(spark, d):
+    return text.pack_sequences(_t(spark, d, "documents"), budget_tokens=2048)
+
+
+def q_dataset_mixture(spark, d):
+    """Weighted dataset mixture: keep 100% of 'en' docs, 25% of 'de', 10% of
+    everything else — membership a pure function of doc_id (md5), so the
+    sample is identical across runs/engines."""
+    out = sampling.hash_stratified_sample(
+        _t(spark, d, "documents"),
+        "lang",
+        "doc_id",
+        {"en": 1.0, "de": 0.25},
+        default_fraction=0.10,
+    )
+    return out.select("doc_id", "lang", "source")
+
+
 def q_clickhouse_aggs(spark, d):
     """ClickHouse aggregate-function analogs in one pass (the dialect
     translator maps the names: argMax→max_by, argMin→min_by,
@@ -1267,7 +1285,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "tpch_q18": q_tpch_q18,
         "clickhouse_dialect": q_clickhouse_dialect,
-        "simhash_verified": q_simhash_verified,
         "equiheight_hist": q_equiheight_hist,
         "outliers": q_outliers,
         "skew_report": q_skew_report,
@@ -1279,7 +1296,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_table": q_profile_table,
         "tpch_q6": q_tpch_q6,
         "tpch_q14": q_tpch_q14,
-        "hll_rollup": q_hll_rollup,
         "stream_tumbling": q_stream_tumbling,
         "stream_dedup": q_stream_dedup,
         "stream_session": q_stream_session,
@@ -1293,11 +1309,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_funnel": q_sequence_funnel,
         "gap_fill": q_gap_fill,
         "forward_fill": q_forward_fill,
+        "pack_sequences": q_pack_sequences,
+        "dataset_mixture": q_dataset_mixture,
         "clickhouse_aggs": q_clickhouse_aggs,
         "quantiles_multi": q_quantiles_multi,
         "topk_freq": q_topk_freq,
         # --- rows-only refreshers (no SQL-expressible oracle by design) ---
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
+        "simhash_verified": q_simhash_verified,
+        "hll_rollup": q_hll_rollup,
         "minhash_candidates": q_minhash_candidates,
         "minhash_dedup": q_minhash_dedup,
         "simhash_candidates": q_simhash_candidates,
@@ -1952,6 +1972,20 @@ FROM chunks GROUP BY 1"""
             "OVER (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled "
             "FROM events"
+        ),
+        "pack_sequences": (
+            "SELECT doc_id, substring(md5(doc_id::VARCHAR), 1, 2) AS bucket, "
+            f"floor((sum({_NTOK}) OVER w - {_NTOK}) / 2048)::BIGINT AS pack_seq, "
+            f"{_NTOK}::BIGINT AS n_tokens "
+            "FROM documents "
+            "WINDOW w AS (PARTITION BY substring(md5(doc_id::VARCHAR), 1, 2) "
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ),
+        "dataset_mixture": (
+            "SELECT doc_id, lang, source FROM documents "
+            "WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT < "
+            "  (CASE WHEN lang = 'en' THEN 1.0 WHEN lang = 'de' THEN 0.25 "
+            "        ELSE 0.10 END) * 65536"
         ),
         "clickhouse_aggs": (
             "SELECT l_returnflag, "

@@ -58,6 +58,10 @@ BENCH_QUERIES = [
     "retention_cohorts",
     "pmi_collocations",
     "profile_table",
+    "sequence_funnel",
+    "gap_fill",
+    "clickhouse_aggs",
+    "topk_freq",
     "redact_pii",
     "chunk_text",
     "collapsing_final",

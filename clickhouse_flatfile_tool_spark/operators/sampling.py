@@ -43,3 +43,27 @@ def stratified_sample(
     each task filters its own partition.  Approximate counts by design;
     checked by property (per-stratum rate within tolerance), not oracle."""
     return df.sampleBy(strata_col, fractions, seed=seed)
+
+
+def hash_stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sampling — the dataset-mixture primitive of a
+    training pipeline ('keep 100% of lang X, 20% of lang Y').
+
+    Unlike ``sampleBy`` (seeded RNG per task: approximate and engine-
+    specific), membership is a pure function of the row id: keep the row iff
+    its md5 bucket (2 bytes → 16-bit uniform) falls below fraction·65536.
+    Exactly reproducible across runs, retries, speculative tasks, and any
+    md5-capable engine (the oracle runs the same expression in DuckDB).
+    Still filter-only — no shuffle, predicate runs map-side.
+    """
+    bucket16 = F.conv(hash_bucket(id_col, 4), 16, 10).cast("long")
+    frac = F.lit(default_fraction)
+    for value, p in fractions.items():
+        frac = F.when(F.col(strata_col) == value, F.lit(p)).otherwise(frac)
+    return df.where(bucket16 < frac * 65536)

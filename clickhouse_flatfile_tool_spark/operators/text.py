@@ -230,6 +230,53 @@ def chunk_text(
     return out.select(*keep, F.col("chunk_id").cast("long").alias("chunk_id"), "chunk")
 
 
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_chars: int = 2,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — assign each document to the
+    fixed-token-budget training window its starting offset falls in (the
+    GPT-style pretraining layout: concatenate the stream, cut every
+    ``budget_tokens``; boundary documents span two windows, intra-document
+    splitting is :func:`chunk_text`'s job).
+
+    Scale shape: a GLOBAL running sum would serialize on one task, so docs
+    first land in one of 16^``bucket_chars`` deterministic md5 buckets
+    (portable — same expression runs in the DuckDB oracle) and the running
+    sum is a window per bucket ordered by id.  Each bucket packs
+    independently — embarrassingly parallel, one shuffle on the bucket key —
+    at the cost of one partially-filled tail window per bucket (negligible:
+    tail waste ≤ buckets·budget tokens, vs ~10¹¹ tokens at 100 TB).
+
+    Returns (id, bucket, pack_seq, n_tokens): pack_seq is the window index
+    within the bucket.
+    """
+    from pyspark.sql import Window
+
+    from clickhouse_flatfile_tool_spark.operators.sampling import hash_bucket
+
+    d = df.select(
+        F.col(id_col),
+        hash_bucket(id_col, bucket_chars).alias("bucket"),
+        token_count(text_col).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start_offset = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return d.select(
+        id_col,
+        "bucket",
+        F.floor(start_offset / budget_tokens).cast("long").alias("pack_seq"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Repetition metrics & corpus TF-IDF (training-data quality signals)
 # ---------------------------------------------------------------------------

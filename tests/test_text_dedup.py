@@ -211,3 +211,51 @@ def test_simhash_verify_hamming(spark, docs):
     # an unrelated pair has a large distance and is filtered out
     far = spark.createDataFrame([(0, 400)], "id_a long, id_b long")
     assert D.simhash_verify(with_near, far, max_hamming=8).count() == 0
+
+
+def test_pack_sequences_properties(tables):
+    from pyspark.sql import functions as F
+
+    from clickhouse_flatfile_tool_spark.operators.text import pack_sequences, token_count
+
+    docs = tables["documents"]
+    packed = pack_sequences(docs, budget_tokens=512)
+    rows = packed.collect()
+    assert len(rows) == docs.count()          # every doc assigned exactly once
+    assert all(r.pack_seq >= 0 for r in rows)
+    # within a (bucket, pack) the token mass is ≤ budget + the boundary doc
+    # (concat-and-chunk semantics: only the straddling doc overflows)
+    stats = (
+        packed.groupBy("bucket", "pack_seq")
+        .agg(F.sum("n_tokens").alias("tot"), F.max("n_tokens").alias("mx"))
+        .collect()
+    )
+    assert all(r.tot <= 512 + r.mx for r in stats)
+    # deterministic: a second evaluation is identical
+    again = {(r.doc_id): (r.bucket, r.pack_seq) for r in pack_sequences(docs, budget_tokens=512).collect()}
+    assert all(again[r.doc_id] == (r.bucket, r.pack_seq) for r in rows)
+
+
+def test_hash_stratified_sample_rates_and_determinism(tables):
+    from clickhouse_flatfile_tool_spark.operators.sampling import hash_stratified_sample
+
+    docs = tables["documents"]
+    out = hash_stratified_sample(
+        docs, "lang", "doc_id", {"en": 1.0, "de": 0.25}, default_fraction=0.10
+    )
+    base = {r.lang: r.n for r in docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    got = {r.lang: r.n for r in out.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    assert got["en"] == base["en"]                      # fraction 1.0 keeps all
+    if "de" in base:
+        assert 0.10 <= got.get("de", 0) / base["de"] <= 0.45   # ~25% of a small stratum
+    other = [l for l in base if l not in ("en", "de")]
+    kept_other = sum(got.get(l, 0) for l in other)
+    tot_other = sum(base[l] for l in other)
+    if tot_other:
+        assert kept_other / tot_other <= 0.25                  # ~10%
+    # deterministic subset: same ids every evaluation
+    ids1 = {r.doc_id for r in out.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in hash_stratified_sample(
+        docs, "lang", "doc_id", {"en": 1.0, "de": 0.25}, default_fraction=0.10
+    ).select("doc_id").collect()}
+    assert ids1 == ids2
