@@ -11,8 +11,11 @@ nesting.
 
 Deliberately NOT a SQL parser: translation is name-level, never touches the
 inside of string literals, and unknown functions pass through untouched
-(Spark then errors with its own message).  ClickHouse combinator syntax
-(``quantile(0.5)(x)``, ``-If``/``-Array`` suffixes) is out of scope.
+(Spark then errors with its own message).  Two ClickHouse combinator forms
+ARE handled because they are common in real queries: the ``-If`` suffix
+(``sumIf(x, cond)`` → ``sum(CASE WHEN cond THEN x END)``) and curried
+quantiles (``quantile(0.5)(x)`` → ``percentile(x, 0.5)``).  ``-Array``/
+``-State``/``-Merge`` combinators stay out of scope.
 """
 
 from __future__ import annotations
@@ -109,20 +112,111 @@ def _wrap(chunk: str, name: str, prefix: str, suffix: str) -> str:
     return chunk
 
 
+def _match_paren(chunk: str, start: int) -> int:
+    """Index just past the ``)`` closing the ``(`` at ``start``."""
+    depth, j = 1, start + 1
+    while j < len(chunk) and depth:
+        if chunk[j] == "(":
+            depth += 1
+        elif chunk[j] == ")":
+            depth -= 1
+        j += 1
+    return j
+
+
+def _split_top_comma(args: str) -> list[str]:
+    """Split on commas at paren depth 0 (argument boundaries)."""
+    parts, depth, buf = [], 0, []
+    for ch in args:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf).strip())
+    return parts
+
+
+# ClickHouse -If combinator → conditional aggregate.  countIf is 1-arg
+# (count_if exists in Spark); the rest are (expr, cond) 2-arg forms.
+_IF_COMBINATORS = {
+    "sumIf": "sum",
+    "avgIf": "avg",
+    "minIf": "min",
+    "maxIf": "max",
+}
+
+
+def _rewrite_if_combinators(chunk: str) -> str:
+    chunk = re.sub(r"\bcountIf\(", "count_if(", chunk)
+    for src, agg in _IF_COMBINATORS.items():
+        pat = re.compile(r"\b" + src + r"\(")
+        m = pat.search(chunk)
+        while m:
+            end = _match_paren(chunk, m.end() - 1)
+            args = _split_top_comma(chunk[m.end() : end - 1])
+            if len(args) == 2:
+                expr, cond = args
+                repl = f"{agg}(CASE WHEN {cond} THEN {expr} END)"
+                chunk = chunk[: m.start()] + repl + chunk[end:]
+                m = pat.search(chunk, m.start() + len(repl))
+            else:  # malformed arity: leave for Spark to error on
+                m = pat.search(chunk, end)
+    return chunk
+
+
+def _rewrite_curried_quantiles(chunk: str) -> str:
+    """``quantile[Exact](p)(x)`` → ``percentile(x, p)``;
+    ``quantiles(p1,p2,...)(x)`` → ``percentile(x, array(p1,p2,...))``.
+    ClickHouse ``quantile`` is approximate (reservoir) — ``percentile`` is
+    the semantic analog; exactness only improves the answer."""
+    for name, as_array in (("quantilesExact", True), ("quantileExact", False),
+                           ("quantiles", True), ("quantile", False)):
+        pat = re.compile(r"\b" + name + r"\(")
+        m = pat.search(chunk)
+        while m:
+            p_end = _match_paren(chunk, m.end() - 1)
+            if p_end >= len(chunk) or chunk[p_end] != "(":
+                m = pat.search(chunk, p_end)  # not curried: leave untouched
+                continue
+            x_end = _match_paren(chunk, p_end)
+            probs = chunk[m.end() : p_end - 1]
+            arg = chunk[p_end + 1 : x_end - 1]
+            probs_sql = f"array({probs})" if as_array else probs
+            repl = f"percentile({arg}, {probs_sql})"
+            chunk = chunk[: m.start()] + repl + chunk[x_end:]
+            m = pat.search(chunk, m.start() + len(repl))
+    return chunk
+
+
 def translate_clickhouse_sql(sql: str) -> str:
     """Translate the common ClickHouse function surface to Spark SQL.
 
-    Unknown names pass through; string literals are never modified."""
-    out: list[str] = []
-    for is_lit, chunk in _split_literals(sql):
+    Unknown names pass through; string literals are never modified — they
+    are masked with ``\\x00<i>\\x00`` placeholders for the duration of the
+    rewrites (so a ``'...'`` inside an argument list can't confuse paren or
+    comma matching) and restored verbatim at the end."""
+    literals: list[str] = []
+    masked: list[str] = []
+    for is_lit, seg in _split_literals(sql):
         if is_lit:
-            out.append(f"'{chunk}'")
-            continue
-        for src, dst in _ZERO_ARG:
-            chunk = chunk.replace(src, dst)
-        for name, prefix, suffix in _WRAPS:
-            chunk = _wrap(chunk, name, prefix, suffix)
-        for src, dst in _RENAMES:
-            chunk = re.sub(r"\b" + src + r"\(", dst + "(", chunk)
-        out.append(chunk)
-    return "".join(out)
+            masked.append(f"\x00{len(literals)}\x00")
+            literals.append(seg)
+        else:
+            masked.append(seg)
+    chunk = "".join(masked)
+
+    for src, dst in _ZERO_ARG:
+        chunk = chunk.replace(src, dst)
+    chunk = _rewrite_if_combinators(chunk)
+    chunk = _rewrite_curried_quantiles(chunk)
+    for name, prefix, suffix in _WRAPS:
+        chunk = _wrap(chunk, name, prefix, suffix)
+    for src, dst in _RENAMES:
+        chunk = re.sub(r"\b" + src + r"\(", dst + "(", chunk)
+
+    return re.sub("\x00(\\d+)\x00", lambda m: f"'{literals[int(m.group(1))]}'", chunk)

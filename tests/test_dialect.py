@@ -87,3 +87,38 @@ def test_aggregate_analogs_execute(spark, tables):
         )
     ).collect()
     assert len(out) > 0 and all(r.big_spender is not None for r in out)
+
+
+def test_if_combinators():
+    q = "SELECT countIf(x > 1), sumIf(price, qty > 5), avgIf(d, f = 'a'), maxIf(v, ok) FROM t"
+    assert tr(q) == (
+        "SELECT count_if(x > 1), sum(CASE WHEN qty > 5 THEN price END), "
+        "avg(CASE WHEN f = 'a' THEN d END), max(CASE WHEN ok THEN v END) FROM t"
+    )
+
+
+def test_if_combinator_nested_args():
+    # commas inside nested calls must not split the (expr, cond) boundary
+    q = "sumIf(round(a, 2), b in (1, 2))"
+    assert tr(q) == "sum(CASE WHEN b in (1, 2) THEN round(a, 2) END)"
+
+
+def test_curried_quantiles():
+    assert tr("quantile(0.5)(x)") == "percentile(x, 0.5)"
+    assert tr("quantileExact(0.9)(price)") == "percentile(price, 0.9)"
+    assert tr("quantiles(0.25, 0.75)(x)") == "percentile(x, array(0.25, 0.75))"
+    # non-curried quantile( stays untouched (not ClickHouse syntax anyway)
+    assert tr("quantile(0.5) + 1") == "quantile(0.5) + 1"
+
+
+def test_if_combinators_execute(spark, tables):
+    tables["lineitem"].createOrReplaceTempView("li_v")
+    out = spark.sql(
+        tr(
+            "SELECT l_returnflag, countIf(l_quantity > 25) AS n_high, "
+            "sumIf(l_extendedprice, l_quantity > 25) AS s_high, "
+            "quantileExact(0.5)(l_quantity) AS med "
+            "FROM li_v GROUP BY l_returnflag"
+        )
+    ).collect()
+    assert len(out) > 0 and all(r.med is not None for r in out)
