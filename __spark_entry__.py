@@ -312,6 +312,17 @@ def q_forward_fill(spark, d):
     return events.forward_fill(ev).select("event_id", "user_id", "value_filled")
 
 
+def q_wav_meta(spark, d):
+    """REAL multimodal decode round-trip: build a valid RIFF/WAVE payload per
+    document (sample rate/channels derived from doc_id, sample count from
+    n_chars), then parse the bytes back with the struct-level WAV decoder.
+    The oracle recomputes the expected metadata directly from the table
+    columns — so any header-layout or parsing bug breaks the hash match."""
+    docs = _t(spark, d, "documents").select("doc_id", "n_chars")
+    wav = multimodal.synthesize_wav_payloads(docs)
+    return multimodal.decode_wav_meta(wav, keep=["doc_id"])
+
+
 def q_pack_sequences(spark, d):
     return text.pack_sequences(_t(spark, d, "documents"), budget_tokens=2048)
 
@@ -1260,7 +1271,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-1 hash-fail, fixed this round ---
         "corpus_stats": q_corpus_stats,
         # --- round-1 unchecked tail (registry #51-93 last round) ---
-        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_norm": q_embedding_norm,
         "embedding_dedup": q_embedding_dedup,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1311,10 +1321,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forward_fill": q_forward_fill,
         "pack_sequences": q_pack_sequences,
         "dataset_mixture": q_dataset_mixture,
+        "wav_meta": q_wav_meta,
         "clickhouse_aggs": q_clickhouse_aggs,
         "quantiles_multi": q_quantiles_multi,
         "topk_freq": q_topk_freq,
         # --- rows-only refreshers (no SQL-expressible oracle by design) ---
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
         "simhash_verified": q_simhash_verified,
         "hll_rollup": q_hll_rollup,
@@ -1972,6 +1984,14 @@ FROM chunks GROUP BY 1"""
             "OVER (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled "
             "FROM events"
+        ),
+        "wav_meta": (
+            "SELECT doc_id, "
+            "(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END)::INT AS sample_rate, "
+            "(1 + doc_id % 2)::INT AS channels, 16::INT AS bits_per_sample, "
+            "n_chars::BIGINT AS n_samples, "
+            "((n_chars * 1000) // (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END))::BIGINT AS duration_ms "
+            "FROM documents"
         ),
         "pack_sequences": (
             "SELECT doc_id, substring(md5(doc_id::VARCHAR), 1, 2) AS bucket, "

@@ -65,3 +65,38 @@ def test_repartition_for_payloads_scales_with_bytes(tables):
     out = M.repartition_for_payloads(df, est_row_bytes=64 << 20, target_partition_bytes=128 << 20)
     # 50 rows × 64 MB ≈ 3.2 GB → 25 partitions of ~2 rows, never one fat task
     assert out.rdd.getNumPartitions() == 25
+
+
+def test_wav_round_trip(spark):
+    from clickhouse_flatfile_tool_spark.operators.multimodal import (
+        decode_wav_meta,
+        synthesize_wav_payloads,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 8000), (1, 441), (2, 100), (5, 0)], "doc_id long, n_chars long"
+    )
+    out = {r.doc_id: r for r in decode_wav_meta(
+        synthesize_wav_payloads(df), keep=["doc_id"]
+    ).collect()}
+    assert out[0].sample_rate == 8000 and out[0].channels == 1
+    assert out[1].sample_rate == 16000 and out[1].channels == 2
+    assert out[2].sample_rate == 44100 and out[2].channels == 1
+    assert out[1].n_samples == 441 and out[1].duration_ms == 441 * 1000 // 16000
+    assert out[5].n_samples == 0 and out[5].duration_ms == 0
+    assert all(r.bits_per_sample == 16 for r in out.values())
+
+
+def test_wav_decoder_rejects_garbage(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from clickhouse_flatfile_tool_spark.operators.multimodal import decode_wav_meta
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"not a wav file at all, definitely"))],
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(Exception) as ei:
+        decode_wav_meta(bad, keep=["doc_id"]).collect()
+    assert "RIFF" in str(ei.value) or "canonical" in str(ei.value)
