@@ -286,20 +286,32 @@ def with_repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     duplicate-word fraction, and the share of the most frequent word.
 
     All higher-order array functions (JVM-side, codegen); per-row cost is
-    bounded by document length — O(distinct·words) for the top-word scan —
-    so the operator is embarrassingly parallel and shuffle-free.
+    bounded by document length — the top-word count is the longest run of
+    equal adjacent values in the SORTED word array (O(w log w) per doc; the
+    naive per-distinct-word rescan is O(distinct·w), measured ~5× slower on
+    the fixture expression and quadratic on long low-repetition docs).
+    Embarrassingly parallel, shuffle-free.
     """
     c = F.col(text_col)
     lines = F.split(c, r"\n")
     words = F.split(F.trim(F.lower(c)), _WS_SPLIT)
     n_words = F.size(words)
     distinct_words = F.array_distinct(words)
-    top_word_count = F.array_max(
-        F.transform(
-            distinct_words,
-            lambda x: F.size(F.filter(words, lambda w: w == x)),
-        )
+    run_scan = F.aggregate(
+        F.array_sort(words),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(w == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(w == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
     )
+    top_word_count = run_scan.best
     return (
         df.withColumn(
             "dup_line_frac",
