@@ -193,6 +193,43 @@ def _rewrite_curried_quantiles(chunk: str) -> str:
     return chunk
 
 
+def _rewrite_clauses(chunk: str) -> str:
+    """ClickHouse-specific CLAUSES (not functions):
+
+    * ``PREWHERE c`` — an optimizer hint in ClickHouse (filter before other
+      columns are read); semantically just a filter.  ``PREWHERE x WHERE y``
+      → ``WHERE (x) AND (y)``; standalone ``PREWHERE x`` → ``WHERE x``.
+      Spark's parquet scan already does predicate pushdown, which is the
+      very thing PREWHERE hand-requests.
+    * ``SAMPLE 0.1`` / ``SAMPLE 10000`` after a table name →
+      ``TABLESAMPLE (10.0 PERCENT)`` / ``TABLESAMPLE (10000 ROWS)``.
+    * trailing ``FORMAT <name>`` (wire-format selector, e.g. JSONEachRow —
+      every read in the reference appends it, server.js:141/232/458) —
+      stripped; output format is the writer's job in Spark.
+    """
+    chunk = re.sub(r"\s+FORMAT\s+\w+\s*;?\s*$", "", chunk, flags=re.IGNORECASE)
+    m = re.search(
+        r"\bPREWHERE\b(.*?)\bWHERE\b(.*?)"
+        r"(?=\bGROUP\b|\bORDER\b|\bLIMIT\b|\bHAVING\b|\bFORMAT\b|$)",
+        chunk,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        pre, where = m.group(1).strip(), m.group(2).strip()
+        chunk = chunk[: m.start()] + f"WHERE ({pre}) AND ({where}) " + chunk[m.end():]
+    chunk = re.sub(r"\bPREWHERE\b", "WHERE", chunk, flags=re.IGNORECASE)
+    chunk = re.sub(
+        r"\bSAMPLE\s+0?\.(\d+)\b",
+        lambda m: f"TABLESAMPLE ({float('0.' + m.group(1)) * 100:g} PERCENT)",
+        chunk,
+        flags=re.IGNORECASE,
+    )
+    chunk = re.sub(
+        r"\bSAMPLE\s+(\d+)\b", r"TABLESAMPLE (\1 ROWS)", chunk, flags=re.IGNORECASE
+    )
+    return chunk
+
+
 def translate_clickhouse_sql(sql: str) -> str:
     """Translate the common ClickHouse function surface to Spark SQL.
 
@@ -212,6 +249,7 @@ def translate_clickhouse_sql(sql: str) -> str:
 
     for src, dst in _ZERO_ARG:
         chunk = chunk.replace(src, dst)
+    chunk = _rewrite_clauses(chunk)
     chunk = _rewrite_if_combinators(chunk)
     chunk = _rewrite_curried_quantiles(chunk)
     for name, prefix, suffix in _WRAPS:

@@ -122,3 +122,32 @@ def test_if_combinators_execute(spark, tables):
         )
     ).collect()
     assert len(out) > 0 and all(r.med is not None for r in out)
+
+
+def test_prewhere_merges_into_where():
+    assert tr("SELECT a FROM t PREWHERE x > 1 WHERE y < 2 ORDER BY a") == (
+        "SELECT a FROM t WHERE (x > 1) AND (y < 2) ORDER BY a"
+    )
+    assert tr("SELECT a FROM t PREWHERE x > 1") == "SELECT a FROM t WHERE x > 1"
+
+
+def test_sample_and_format():
+    assert tr("SELECT a FROM t SAMPLE 0.1") == "SELECT a FROM t TABLESAMPLE (10 PERCENT)"
+    assert tr("SELECT a FROM t SAMPLE 10000 WHERE x") == (
+        "SELECT a FROM t TABLESAMPLE (10000 ROWS) WHERE x"
+    )
+    assert tr("SELECT a FROM t FORMAT JSONEachRow") == "SELECT a FROM t"
+    # FORMAT only strips at end-of-statement; a column named format survives
+    assert tr("SELECT format FROM t") == "SELECT format FROM t"
+
+
+def test_clause_rewrites_execute(spark, tables):
+    tables["lineitem"].createOrReplaceTempView("li_clause")
+    out = spark.sql(
+        tr(
+            "SELECT count(*) AS n FROM li_clause "
+            "PREWHERE l_quantity > 10 WHERE l_discount > 0.01 FORMAT JSONEachRow"
+        )
+    ).collect()
+    direct = tables["lineitem"].where("l_quantity > 10 AND l_discount > 0.01").count()
+    assert out[0].n == direct
