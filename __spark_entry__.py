@@ -312,6 +312,14 @@ def q_forward_fill(spark, d):
     return events.forward_fill(ev).select("event_id", "user_id", "value_filled")
 
 
+def q_reservoir_k(spark, d):
+    """Deterministic per-language reservoir: exactly 20 uniformly-chosen docs
+    per lang, identical across runs/engines (rank by md5(doc_id))."""
+    return sampling.deterministic_reservoir(
+        _t(spark, d, "documents"), ["lang"], "doc_id", 20
+    ).select("doc_id", "lang", "source")
+
+
 def q_wav_meta(spark, d):
     """REAL multimodal decode round-trip: build a valid RIFF/WAVE payload per
     document (sample rate/channels derived from doc_id, sample count from
@@ -1322,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "dataset_mixture": q_dataset_mixture,
         "wav_meta": q_wav_meta,
+        "reservoir_k": q_reservoir_k,
         "clickhouse_aggs": q_clickhouse_aggs,
         "quantiles_multi": q_quantiles_multi,
         "topk_freq": q_topk_freq,
@@ -1984,6 +1993,12 @@ FROM chunks GROUP BY 1"""
             "OVER (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled "
             "FROM events"
+        ),
+        "reservoir_k": (
+            "WITH r AS (SELECT doc_id, lang, source, "
+            "row_number() OVER (PARTITION BY lang "
+            "ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS rk "
+            "FROM documents) SELECT doc_id, lang, source FROM r WHERE rk <= 20"
         ),
         "wav_meta": (
             "SELECT doc_id, "

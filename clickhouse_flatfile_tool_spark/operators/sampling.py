@@ -45,6 +45,32 @@ def stratified_sample(
     return df.sampleBy(strata_col, fractions, seed=seed)
 
 
+def deterministic_reservoir(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Exactly-k uniform sample per group, deterministically: keep the k
+    rows with the smallest md5(id) in each group.  Because md5 is uniform
+    on ids, rank-by-hash ≡ a without-replacement reservoir — but unlike a
+    true reservoir it is a pure function of the data: identical across
+    runs, retries, partitionings, and engines (oracle runs the same
+    expression).  One shuffle on the group keys; the window's sort input is
+    per-group.  For heavy-hitter groups at 100 TB, pre-filter with an
+    approximate per-group threshold before the window to cut the sort.
+    """
+    from pyspark.sql import Window
+
+    c = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(*group_cols).orderBy(c.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def hash_stratified_sample(
     df: DataFrame,
     strata_col: str,

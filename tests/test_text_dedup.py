@@ -259,3 +259,18 @@ def test_hash_stratified_sample_rates_and_determinism(tables):
         docs, "lang", "doc_id", {"en": 1.0, "de": 0.25}, default_fraction=0.10
     ).select("doc_id").collect()}
     assert ids1 == ids2
+
+
+def test_deterministic_reservoir_exact_k(tables):
+    from clickhouse_flatfile_tool_spark.operators.sampling import deterministic_reservoir
+
+    docs = tables["documents"]
+    out = deterministic_reservoir(docs, ["lang"], "doc_id", 7)
+    sizes = {r.lang: r.n for r in out.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    base = {r.lang: r.n for r in docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    for lang, n in sizes.items():
+        assert n == min(7, base[lang])
+    # deterministic across evaluations
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in deterministic_reservoir(docs, ["lang"], "doc_id", 7).collect()}
+    assert a == b
