@@ -41,6 +41,9 @@ _WRAPS: list[tuple[str, str, str]] = [
     ("toFloat32", "CAST(", " AS FLOAT)"),
     ("toFloat64", "CAST(", " AS DOUBLE)"),
     ("toString", "CAST(", " AS STRING)"),
+    ("empty", "(length(", ") = 0)"),
+    ("notEmpty", "(length(", ") > 0)"),
+    ("arrayUniq", "size(array_distinct(", "))"),
 ]
 
 # same-shape renames (arity and semantics line up)
@@ -61,6 +64,19 @@ _RENAMES: list[tuple[str, str]] = [
     ("groupBitOr", "bit_or"),
     ("groupBitXor", "bit_xor"),
     ("medianExact", "median"),
+    # string/array functions with matching arity AND argument order
+    ("position", "instr"),          # both (haystack, needle), 1-based
+    ("match", "regexp_like"),       # both (haystack, pattern)
+    ("has", "array_contains"),      # both (array, elem)
+    ("indexOf", "array_position"),  # both (array, elem), 1-based, 0 = absent
+    ("arrayDistinct", "array_distinct"),
+    ("arraySort", "array_sort"),
+    ("arrayReverse", "reverse"),
+    ("arrayFlatten", "flatten"),
+    ("arrayConcat", "concat"),
+    ("startsWith", "startswith"),
+    ("endsWith", "endswith"),
+    ("trimBoth", "trim"),
 ]
 
 _ZERO_ARG: list[tuple[str, str]] = [

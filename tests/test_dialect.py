@@ -151,3 +151,14 @@ def test_clause_rewrites_execute(spark, tables):
     ).collect()
     direct = tables["lineitem"].where("l_quantity > 10 AND l_discount > 0.01").count()
     assert out[0].n == direct
+
+
+def test_string_array_function_renames():
+    assert tr("position(s, 'x')") == "instr(s, 'x')"
+    assert tr("has(tags, 'a') AND indexOf(tags, 'b') > 0") == (
+        "array_contains(tags, 'a') AND array_position(tags, 'b') > 0"
+    )
+    assert tr("empty(s) OR notEmpty(t)") == "(length(s) = 0) OR (length(t) > 0)"
+    assert tr("arrayUniq(arraySort(xs))") == "size(array_distinct(array_sort(xs)))"
+    assert tr("match(s, '^a.*b$')") == "regexp_like(s, '^a.*b$')"
+    assert tr("startsWith(s, 'pre')") == "startswith(s, 'pre')"
