@@ -987,6 +987,66 @@ def q_tpch_q18(spark, d):
     return relational.top_k(out, 100, F.desc("o_totalprice"), F.asc("o_orderkey"))
 
 
+def q_tpch_q10(spark, d):
+    """TPC-H Q10 shape (returned-item revenue by customer): time-filtered
+    orders ⋈ returned lineitems, dims broadcast, revenue agg, top-20.
+    Fact sides filter BEFORE the join; only (custkey, revenue) reaches the
+    final agg."""
+    li, o, c, n = (_t(spark, d, t) for t in ["lineitem", "orders", "customer", "nation"])
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01"))
+        )
+        .join(li.where(F.col("l_returnflag") == "R"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(relational.broadcast_dim(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(relational.broadcast_dim(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.round(F.sum(rev), 2).alias("revenue")
+    )
+    return relational.top_k(agg, 20, F.desc("revenue"), F.asc("c_custkey"))
+
+
+def q_range_frame(spark, d):
+    """Time-RANGE window frame: per user, the trailing-1-hour event count and
+    value sum at each event (RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND
+    CURRENT ROW) — the frame type rows-based running_sum can't express.
+    Spark's rangeBetween needs a numeric ordering key, so the frame runs on
+    unix seconds; the oracle uses DuckDB's native interval RANGE frame over
+    the timestamp — agreement proves the epoch translation."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, d, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_trailing_1h"),
+    )
+
+
+def q_window_dist(spark, d):
+    """Distribution window functions: percent_rank and cume_dist of order
+    totals within each order status (plus the rank they derive from)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, d, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 def q_clickhouse_dialect(spark, d):
     """A ClickHouse-flavored query (toStartOfDay/uniqExact/toInt64/toYYYYMM)
     run unchanged through the dialect translator (dialect.py) — the oracle
@@ -1331,6 +1391,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_mixture": q_dataset_mixture,
         "wav_meta": q_wav_meta,
         "reservoir_k": q_reservoir_k,
+        "tpch_q10": q_tpch_q10,
+        "range_frame": q_range_frame,
+        "window_dist": q_window_dist,
         "clickhouse_aggs": q_clickhouse_aggs,
         "quantiles_multi": q_quantiles_multi,
         "topk_freq": q_topk_freq,
@@ -1993,6 +2056,31 @@ FROM chunks GROUP BY 1"""
             "OVER (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled "
             "FROM events"
+        ),
+        "tpch_q10": (
+            "WITH j AS (SELECT c_custkey, c_name, n_name, "
+            "l_extendedprice * (1 - l_discount) AS rev "
+            "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-07-01' "
+            "AND l_returnflag = 'R') "
+            "SELECT c_custkey, c_name, n_name, round(sum(rev), 2) AS revenue "
+            "FROM j GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey ASC LIMIT 20"
+        ),
+        "range_frame": (
+            "SELECT event_id, user_id, "
+            "count(*) OVER w AS n_trailing_1h, "
+            "round(sum(value) OVER w, 2) AS sum_trailing_1h "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+        ),
+        "window_dist": (
+            "SELECT o_orderkey, o_orderstatus, "
+            "round(percent_rank() OVER w, 6) AS pct_rank, "
+            "round(cume_dist() OVER w, 6) AS cume "
+            "FROM orders WINDOW w AS (PARTITION BY o_orderstatus "
+            "ORDER BY o_totalprice, o_orderkey)"
         ),
         "reservoir_k": (
             "WITH r AS (SELECT doc_id, lang, source, "
