@@ -1047,6 +1047,20 @@ def q_window_dist(spark, d):
     )
 
 
+def q_edit_distance(spark, d):
+    """ClickHouse editDistance analog (F.levenshtein — also reachable via the
+    dialect rename): edit distance between consecutive documents' prefixes.
+    Cross-engine agreement with DuckDB's levenshtein pins the semantics."""
+    docs = _t(spark, d, "documents").select(
+        "doc_id", F.substring("text", 1, 60).alias("t")
+    )
+    a = docs.where("doc_id < 100").alias("a")
+    b = docs.select((F.col("doc_id") - 1).alias("doc_id"), F.col("t").alias("t_b")).alias("b")
+    return a.join(b, "doc_id").select(
+        "doc_id", F.levenshtein(F.col("t"), F.col("t_b")).alias("edit_dist")
+    )
+
+
 def q_clickhouse_dialect(spark, d):
     """A ClickHouse-flavored query (toStartOfDay/uniqExact/toInt64/toYYYYMM)
     run unchanged through the dialect translator (dialect.py) — the oracle
@@ -1394,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": q_tpch_q10,
         "range_frame": q_range_frame,
         "window_dist": q_window_dist,
+        "edit_distance": q_edit_distance,
         "clickhouse_aggs": q_clickhouse_aggs,
         "quantiles_multi": q_quantiles_multi,
         "topk_freq": q_topk_freq,
@@ -2056,6 +2071,12 @@ FROM chunks GROUP BY 1"""
             "OVER (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled "
             "FROM events"
+        ),
+        "edit_distance": (
+            "SELECT a.doc_id, levenshtein(substring(a.text, 1, 60), "
+            "substring(b.text, 1, 60)) AS edit_dist "
+            "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 "
+            "WHERE a.doc_id < 100"
         ),
         "tpch_q10": (
             "WITH j AS (SELECT c_custkey, c_name, n_name, "

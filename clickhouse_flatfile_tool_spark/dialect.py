@@ -77,6 +77,8 @@ _RENAMES: list[tuple[str, str]] = [
     ("startsWith", "startswith"),
     ("endsWith", "endswith"),
     ("trimBoth", "trim"),
+    ("editDistance", "levenshtein"),
+    ("levenshteinDistance", "levenshtein"),
 ]
 
 _ZERO_ARG: list[tuple[str, str]] = [
