@@ -156,6 +156,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 8,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH.
 
@@ -191,22 +192,34 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    return _bucket_pairs(banded, id_col)
+    return _bucket_pairs(banded, id_col, max_bucket_size)
 
 
-def _bucket_pairs(banded: DataFrame, id_col: str) -> DataFrame:
+def _bucket_pairs(
+    banded: DataFrame, id_col: str, max_bucket_size: int | None = None
+) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) from (id, band, bucket) rows:
     ONE groupBy on (band, bucket) — singleton buckets (the overwhelming
     majority) are dropped before any pair exists — then in-bucket pair
     enumeration from the sorted id array with built-in transform/slice.
     Replaces the self-equi-join shape, which shuffles the banded rows twice
     and cannot skip singletons.  Shared by MinHash-LSH (both hash
-    primitives) and SimHash banding."""
+    primitives) and SimHash banding.
+
+    ``max_bucket_size`` caps the |bucket|² blowup from hot buckets
+    (boilerplate text hashing thousands of docs into one band value):
+    oversized buckets are SKIPPED, the standard production trade — a bucket
+    that large signals near-exact duplication better handled by exact dedup
+    first, and every pair inside it would still need O(|bucket|²) verify
+    work.  None (default) keeps exhaustive behavior for fixture/oracle use.
+    """
     buckets = (
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     ids = F.col("ids")
     pairs = buckets.select(
         F.explode(
@@ -389,6 +402,7 @@ def simhash_candidates(
     text_col: str = "text",
     bands: int = 4,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates by SimHash banding: split the 64-bit signature
     into ``bands`` 16-bit bands; docs sharing any band value are candidates
@@ -412,7 +426,7 @@ def simhash_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    return _bucket_pairs(banded, id_col)
+    return _bucket_pairs(banded, id_col, max_bucket_size)
 
 
 # ---------------------------------------------------------------------------
@@ -531,6 +545,7 @@ def minhash_lsh_candidates_portable(
     shingle_n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded LSH over the portable md5 signatures: band bucket =
     md5(concat of the band's signature components); candidates = distinct
@@ -560,7 +575,7 @@ def minhash_lsh_candidates_portable(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    return _bucket_pairs(banded, id_col)
+    return _bucket_pairs(banded, id_col, max_bucket_size)
 
 
 def simhash_verify(

@@ -274,3 +274,20 @@ def test_deterministic_reservoir_exact_k(tables):
     a = {r.doc_id for r in out.collect()}
     b = {r.doc_id for r in deterministic_reservoir(docs, ["lang"], "doc_id", 7).collect()}
     assert a == b
+
+
+def test_hot_bucket_cap_skips_oversized(spark):
+    """max_bucket_size drops buckets above the cap (the hot-bucket guard);
+    a corpus of one identical doc family collapses into one bucket that the
+    cap suppresses, while distinct pairs below the cap survive."""
+    from clickhouse_flatfile_tool_spark.operators.dedup import minhash_lsh_candidates
+
+    rows = [(i, "the same boilerplate text repeated verbatim many times") for i in range(10)]
+    rows += [(100, "a unique document about gardens"), (101, "a unique document about gardens!")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = minhash_lsh_candidates(df)
+    assert uncapped.count() >= 45  # 10-doc clique alone is 45 pairs
+    capped = minhash_lsh_candidates(df, max_bucket_size=5)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in got          # small bucket survives
+    assert all(a >= 100 for a, _ in got)  # the 10-doc clique is suppressed
