@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "profile_table",
     "sequence_funnel",
     "gap_fill",
+    "wav_meta",
+    "pack_sequences",
     "clickhouse_aggs",
     "topk_freq",
     "redact_pii",
