@@ -1047,6 +1047,23 @@ def q_window_dist(spark, d):
     )
 
 
+def q_containment(spark, d):
+    """Asymmetric containment pairs (quote / partial-copy detection — the
+    case symmetric Jaccard misses)."""
+    return dedup.containment_pairs(_t(spark, d, "documents"), threshold=0.6)
+
+
+def q_dedup_incremental(spark, d):
+    """Incremental ingestion dedup: even doc_ids play the historical corpus,
+    odd ids the incoming batch; batch rows whose fingerprint exists in the
+    corpus (or earlier in the batch) are dropped."""
+    docs = _t(spark, d, "documents")
+    corpus = docs.where("doc_id % 2 = 0")
+    batch = docs.where("doc_id % 2 = 1")
+    out = dedup.incremental_exact_dedup(batch, corpus)
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
 def q_edit_distance(spark, d):
     """ClickHouse editDistance analog (F.levenshtein — also reachable via the
     dialect rename): edit distance between consecutive documents' prefixes.
@@ -1409,6 +1426,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_frame": q_range_frame,
         "window_dist": q_window_dist,
         "edit_distance": q_edit_distance,
+        "containment": q_containment,
+        "dedup_incremental": q_dedup_incremental,
         "clickhouse_aggs": q_clickhouse_aggs,
         "quantiles_multi": q_quantiles_multi,
         "topk_freq": q_topk_freq,
@@ -1586,6 +1605,38 @@ FROM shared
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
 WHERE n_shared / (sa.sz + sb.sz - n_shared) >= 0.5
+"""
+
+_CONTAINMENT_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id AS id, {_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+), sizes AS (
+  SELECT id, len(sh) AS sz FROM base
+), inv AS (
+  SELECT id, unnest(sh) AS s FROM base
+), shared AS (
+  SELECT a.id AS id_small, b.id AS id_big, count(*) AS n_shared
+  FROM inv a JOIN inv b ON a.s = b.s AND a.id <> b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_small, id_big, round(n_shared / sa.sz, 6) AS containment
+FROM shared JOIN sizes sa ON sa.id = id_small
+WHERE n_shared / sa.sz >= 0.6
+"""
+
+_INCR_DEDUP_ORACLE = f"""
+WITH corpus AS (
+  SELECT DISTINCT {_FP} AS fp FROM documents WHERE doc_id % 2 = 0
+), batch AS (
+  SELECT *, {_FP} AS fp FROM documents WHERE doc_id % 2 = 1
+), fresh AS (
+  SELECT b.* FROM batch b LEFT JOIN corpus c ON b.fp = c.fp WHERE c.fp IS NULL
+), survivors AS (
+  SELECT fp, min(doc_id) AS doc_id FROM fresh GROUP BY fp
+)
+SELECT f.doc_id, f.lang, f.source, f.n_chars
+FROM fresh f JOIN survivors s ON f.fp = s.fp AND f.doc_id = s.doc_id
 """
 
 # portable MinHash-LSH: md5-hex minimums are engine-independent, so the whole
@@ -2072,6 +2123,8 @@ FROM chunks GROUP BY 1"""
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled "
             "FROM events"
         ),
+        "containment": _CONTAINMENT_ORACLE,
+        "dedup_incremental": _INCR_DEDUP_ORACLE,
         "edit_distance": (
             "SELECT a.doc_id, levenshtein(substring(a.text, 1, 60), "
             "substring(b.text, 1, 60)) AS edit_dist "

@@ -429,6 +429,106 @@ def simhash_candidates(
     return _bucket_pairs(banded, id_col, max_bucket_size)
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric near-duplicate detection: containment(A→B) =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)| — the measure that catches
+    quotes, partial copies, and doc-inside-doc inclusion that symmetric
+    Jaccard misses (a 100-word quote inside a 10k-word page has tiny Jaccard
+    but containment ≈ 1).  Returns both directions above ``threshold`` as
+    (id_small, id_big, containment) where the contained side is id_small's
+    shingle set.
+
+    Same inverted-index equi-join shape as :func:`ngram_jaccard_pairs`
+    (exact, quadratic worst case — the verification-scale tool; LSH is the
+    discovery-scale path)."""
+    sh = shingle_postings(df, id_col, text_col, shingle_n).select(
+        F.col(id_col).alias("id"), F.col("__s").alias("sh")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on=[F.col("a.sh") == F.col("b.sh"), F.col("a.id") != F.col("b.id")])
+        .groupBy(F.col("a.id").alias("id_small"), F.col("b.id").alias("id_big"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_small").withColumnRenamed("sz", "sz_s"), "id_small")
+        .withColumn("containment", F.col("n_shared") / F.col("sz_s"))
+        .filter(F.col("containment") >= threshold)
+        .select("id_small", "id_big", F.round("containment", 6).alias("containment"))
+    )
+
+
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental ingestion dedup: drop NEW rows whose normalized-text
+    fingerprint already exists in the historical corpus, then drop exact
+    dups within the batch itself (min-id survivor).  Two anti-join-shaped
+    shuffles on a 16-byte key; the corpus side reduces to its distinct
+    fingerprint set — at 100 TB that set lives as a bucketed table keyed by
+    fingerprint, so the daily batch joins without reshuffling history."""
+    fp = fingerprint(text_col)
+    corpus_fps = corpus_df.select(fp.alias("__fp")).distinct()
+    fresh = (
+        new_df.withColumn("__fp", fp)
+        .join(corpus_fps, "__fp", "left_anti")
+    )
+    w_min = fresh.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return fresh.join(w_min, [ "__fp", id_col]).drop("__fp")
+
+
+def incremental_lsh_dedup_candidates(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Near-dup candidates of NEW docs against the historical corpus:
+    band signatures for both sides, equi-join new×old on (band, bucket) —
+    never a corpus self-join, so daily cost is O(batch) not O(corpus).
+    Returns distinct (new_id, corpus_id).  At scale the corpus's banded
+    signatures are precomputed once and stored bucketed on (band, bucket)."""
+    num_hashes = lsh_kwargs.get("num_hashes", 16)
+    bands = lsh_kwargs.get("bands", 8)
+    shingle_n = lsh_kwargs.get("shingle_n", 3)
+    seed = lsh_kwargs.get("seed", 42)
+    rows_per_band = num_hashes // bands
+
+    def banded(df: DataFrame, alias: str) -> DataFrame:
+        sigs = minhash_signatures(df, id_col, text_col, shingle_n, num_hashes, seed)
+        return sigs.select(
+            F.col(id_col).alias(alias),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(alias, "bb.band", "bb.bucket")
+
+    n = banded(new_df, "new_id")
+    c = banded(corpus_df, "corpus_id")
+    return n.join(c, on=["band", "bucket"]).select("new_id", "corpus_id").distinct()
+
+
 # ---------------------------------------------------------------------------
 # Connected-component grouping over candidate pairs
 # ---------------------------------------------------------------------------

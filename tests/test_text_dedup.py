@@ -291,3 +291,23 @@ def test_hot_bucket_cap_skips_oversized(spark):
     got = {(r.id_a, r.id_b) for r in capped.collect()}
     assert (100, 101) in got          # small bucket survives
     assert all(a >= 100 for a, _ in got)  # the 10-doc clique is suppressed
+
+
+def test_incremental_lsh_finds_cross_corpus_near_dup(tables, spark):
+    from pyspark.sql import functions as F
+
+    from clickhouse_flatfile_tool_spark.operators.dedup import (
+        incremental_lsh_dedup_candidates,
+    )
+
+    docs = tables["documents"]
+    corpus = docs.where("doc_id % 2 = 0")
+    # batch: odd ids plus an exact copy of corpus doc 0 under a new id
+    clone = docs.where("doc_id = 0").withColumn("doc_id", F.lit(999_999).cast("long"))
+    batch = docs.where("doc_id % 2 = 1").unionByName(clone)
+    cands = incremental_lsh_dedup_candidates(batch, corpus)
+    got = {(r.new_id, r.corpus_id) for r in cands.collect()}
+    assert (999_999, 0) in got
+    # never pairs corpus with corpus or batch with batch
+    assert all(n % 2 == 1 or n == 999_999 for n, _ in got)
+    assert all(c % 2 == 0 for _, c in got)
