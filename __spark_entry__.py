@@ -1047,6 +1047,30 @@ def q_window_dist(spark, d):
     )
 
 
+_RECURSIVE_SQL = """
+WITH RECURSIVE months(m, hi) AS (
+  SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE),
+         CAST(date_trunc('month', max(o_orderdate)) AS DATE) FROM orders
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE), hi FROM months WHERE m < hi
+)
+SELECT m AS month, count(o_orderkey) AS n_orders
+FROM months LEFT JOIN orders ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+GROUP BY m
+"""
+
+
+def q_sql_recursive(spark, d):
+    """Recursive CTE (Spark 4 WITH RECURSIVE): a dense month spine from the
+    orders date range LEFT-joined to per-month counts — the same SQL text
+    runs verbatim on DuckDB as the oracle.  The max bound rides INSIDE the
+    recursion (a correlated scalar subquery in the step's WHERE re-runs the
+    full aggregate every iteration — measured 27 s vs 3 s); the heavy side
+    stays a single distributed aggregate."""
+    _t(spark, d, "orders").createOrReplaceTempView("orders")
+    return relational.sql(spark, _RECURSIVE_SQL)
+
+
 def q_containment(spark, d):
     """Asymmetric containment pairs (quote / partial-copy detection — the
     case symmetric Jaccard misses)."""
@@ -1427,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_dist": q_window_dist,
         "edit_distance": q_edit_distance,
         "containment": q_containment,
+        "sql_recursive": q_sql_recursive,
         "dedup_incremental": q_dedup_incremental,
         "clickhouse_aggs": q_clickhouse_aggs,
         "quantiles_multi": q_quantiles_multi,
@@ -2124,6 +2149,7 @@ FROM chunks GROUP BY 1"""
             "FROM events"
         ),
         "containment": _CONTAINMENT_ORACLE,
+        "sql_recursive": _RECURSIVE_SQL,
         "dedup_incremental": _INCR_DEDUP_ORACLE,
         "edit_distance": (
             "SELECT a.doc_id, levenshtein(substring(a.text, 1, 60), "
