@@ -1391,44 +1391,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # at the tail.  Round-2 window: the 43 round-1-unchecked entries, the
     # round-1 hash-fail (corpus_stats, fixed), and rows-only refreshers.
     return {
-        # --- round-1 hash-fail, fixed this round ---
+        # Registry order = driver-check priority (the driver may cap how
+        # many entries it verifies per round; round 1 stopped at #50).
+        # Rotated each round — see the round notes in git history.
+        # --- tier 1: NEW oracled queries (no evidence exists yet) ---
         "corpus_stats": q_corpus_stats,
-        # --- round-1 unchecked tail (registry #51-93 last round) ---
-        "embedding_norm": q_embedding_norm,
-        "embedding_dedup": q_embedding_dedup,
-        "doc_fingerprint": q_doc_fingerprint,
-        "pipeline_filter_dedup": q_pipeline_filter_dedup,
-        "multimodal_join": q_multimodal_join,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "sql_tpch": q_sql_tpch,
-        "hier_rollup": q_hier_rollup,
-        "latest_per_key": q_latest_per_key,
-        "map_props": q_map_props,
-        "connected_components": q_connected_components,
-        "dedup_cc": q_dedup_cc,
-        "minhash_portable": q_minhash_portable,
-        "token_histogram": q_token_histogram,
-        "length_trim": q_length_trim,
-        "topk_per_group": q_topk_per_group,
-        "window_first_last": q_window_first_last,
-        "collapsing_final": q_collapsing_final,
-        "replacing_final": q_replacing_final,
-        "repetition_metrics": q_repetition_metrics,
-        "tfidf_terms": q_tfidf_terms,
-        "tpch_q18": q_tpch_q18,
-        "clickhouse_dialect": q_clickhouse_dialect,
-        "equiheight_hist": q_equiheight_hist,
-        "outliers": q_outliers,
-        "skew_report": q_skew_report,
-        "debounce_events": q_debounce_events,
-        "pipeline_train_prep": q_pipeline_train_prep,
-        "corr_stats": q_corr_stats,
-        "pmi_collocations": q_pmi_collocations,
-        "retention_cohorts": q_retention_cohorts,
-        "profile_table": q_profile_table,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q14": q_tpch_q14,
+        "sequence_funnel": q_sequence_funnel,
+        "gap_fill": q_gap_fill,
+        "forward_fill": q_forward_fill,
+        "pack_sequences": q_pack_sequences,
+        "dataset_mixture": q_dataset_mixture,
+        "wav_meta": q_wav_meta,
+        "reservoir_k": q_reservoir_k,
+        "clickhouse_aggs": q_clickhouse_aggs,
+        "quantiles_multi": q_quantiles_multi,
+        "topk_freq": q_topk_freq,
+        "tpch_q10": q_tpch_q10,
+        "range_frame": q_range_frame,
+        "window_dist": q_window_dist,
+        "edit_distance": q_edit_distance,
+        "containment": q_containment,
+        "dedup_incremental": q_dedup_incremental,
+        "sql_recursive": q_sql_recursive,
+        # --- tier 2: streaming (rows-only; round-1 regression evidence) ---
         "stream_tumbling": q_stream_tumbling,
         "stream_dedup": q_stream_dedup,
         "stream_session": q_stream_session,
@@ -1437,36 +1422,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (state-server protocol); registered only where the dep functions
         **({"stream_tws": q_stream_tws} if stream_ops.tws_available() else {}),
         "stream_interval_join": q_stream_interval_join,
-        # --- new this round (greedy sequenceMatch, WITH FILL, imputation,
-        #     ClickHouse aggregate analogs) ---
-        "sequence_funnel": q_sequence_funnel,
-        "gap_fill": q_gap_fill,
-        "forward_fill": q_forward_fill,
-        "pack_sequences": q_pack_sequences,
-        "dataset_mixture": q_dataset_mixture,
-        "wav_meta": q_wav_meta,
-        "reservoir_k": q_reservoir_k,
-        "tpch_q10": q_tpch_q10,
-        "range_frame": q_range_frame,
-        "window_dist": q_window_dist,
-        "edit_distance": q_edit_distance,
-        "containment": q_containment,
-        "sql_recursive": q_sql_recursive,
-        "dedup_incremental": q_dedup_incremental,
-        "clickhouse_aggs": q_clickhouse_aggs,
-        "quantiles_multi": q_quantiles_multi,
-        "topk_freq": q_topk_freq,
-        # --- rows-only refreshers (no SQL-expressible oracle by design) ---
+        # --- tier 3: round-1-unchecked, substantive first ---
+        "embedding_dedup": q_embedding_dedup,
+        "multimodal_join": q_multimodal_join,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "connected_components": q_connected_components,
+        "dedup_cc": q_dedup_cc,
+        "minhash_portable": q_minhash_portable,
+        "collapsing_final": q_collapsing_final,
+        "replacing_final": q_replacing_final,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
+        "clickhouse_dialect": q_clickhouse_dialect,
+        "sql_tpch": q_sql_tpch,
+        "hier_rollup": q_hier_rollup,
+        "pipeline_filter_dedup": q_pipeline_filter_dedup,
+        "pipeline_train_prep": q_pipeline_train_prep,
+        "tfidf_terms": q_tfidf_terms,
+        "repetition_metrics": q_repetition_metrics,
+        "pmi_collocations": q_pmi_collocations,
+        "retention_cohorts": q_retention_cohorts,
+        "length_trim": q_length_trim,
+        "hll_rollup": q_hll_rollup,
+        "doc_fingerprint": q_doc_fingerprint,
+        "latest_per_key": q_latest_per_key,
+        "equiheight_hist": q_equiheight_hist,
+        "debounce_events": q_debounce_events,
+        # --- tier 4: remaining (round-1 proven or trivial variants) ---
+        "embedding_norm": q_embedding_norm,
+        "map_props": q_map_props,
+        "token_histogram": q_token_histogram,
+        "topk_per_group": q_topk_per_group,
+        "window_first_last": q_window_first_last,
+        "outliers": q_outliers,
+        "skew_report": q_skew_report,
+        "corr_stats": q_corr_stats,
+        "profile_table": q_profile_table,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
         "simhash_verified": q_simhash_verified,
-        "hll_rollup": q_hll_rollup,
         "minhash_candidates": q_minhash_candidates,
         "minhash_dedup": q_minhash_dedup,
         "simhash_candidates": q_simhash_candidates,
         "ann_topk": q_ann_topk,
         "tumbling_window": q_tumbling_window,
-        # --- proven green in CORRECTNESS_r01.json (registry #1-50 last round) ---
         "preview_page": q_preview_page,
         "count": q_count,
         "filter_project": q_filter_project,
