@@ -1060,6 +1060,26 @@ GROUP BY m
 """
 
 
+def q_null_semantics(spark, d):
+    """NULL-handling semantics in one differential surface (SURVEY §2 P5):
+    deterministic NULL injection, then COALESCE, NULLIF, and null-safe
+    equality (Spark ``<=>`` ≡ ANSI IS NOT DISTINCT FROM) — the exact
+    behaviors that silently diverge between engines when mistranslated."""
+    o = _t(spark, d, "orders")
+    v = F.when(F.col("o_orderkey") % 5 == 0, F.lit(None)).otherwise(F.col("o_totalprice"))
+    w = F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(F.col("o_totalprice"))
+    return (
+        o.select("o_orderkey", v.alias("v"), w.alias("w"))
+        .select(
+            "o_orderkey",
+            F.coalesce("v", "w", F.lit(-1.0)).alias("first_non_null"),
+            F.nullif(F.col("v"), F.col("w")).alias("null_if_equal"),
+            F.col("v").eqNullSafe(F.col("w")).cast("int").alias("null_safe_eq"),
+            (F.col("v") == F.col("w")).cast("int").alias("plain_eq"),
+        )
+    )
+
+
 def q_sql_recursive(spark, d):
     """Recursive CTE (Spark 4 WITH RECURSIVE): a dense month spine from the
     orders date range LEFT-joined to per-month counts — the same SQL text
@@ -1413,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": q_containment,
         "dedup_incremental": q_dedup_incremental,
         "sql_recursive": q_sql_recursive,
+        "null_semantics": q_null_semantics,
         # --- tier 2: streaming (rows-only; round-1 regression evidence) ---
         "stream_tumbling": q_stream_tumbling,
         "stream_dedup": q_stream_dedup,
@@ -2151,6 +2172,16 @@ FROM chunks GROUP BY 1"""
         ),
         "containment": _CONTAINMENT_ORACLE,
         "sql_recursive": _RECURSIVE_SQL,
+        "null_semantics": (
+            "WITH b AS (SELECT o_orderkey, "
+            "CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_totalprice END AS v, "
+            "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS w "
+            "FROM orders) "
+            "SELECT o_orderkey, coalesce(v, w, -1.0) AS first_non_null, "
+            "nullif(v, w) AS null_if_equal, "
+            "CAST(v IS NOT DISTINCT FROM w AS INT) AS null_safe_eq, "
+            "CAST(v = w AS INT) AS plain_eq FROM b"
+        ),
         "dedup_incremental": _INCR_DEDUP_ORACLE,
         "edit_distance": (
             "SELECT a.doc_id, levenshtein(substring(a.text, 1, 60), "
