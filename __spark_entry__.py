@@ -1060,6 +1060,12 @@ GROUP BY m
 """
 
 
+def q_unigram_surprisal(spark, d):
+    """CCNet-style quality signal: mean -ln p(word) per doc against the
+    corpus's own unigram distribution."""
+    return text.unigram_surprisal(_t(spark, d, "documents"))
+
+
 def q_null_semantics(spark, d):
     """NULL-handling semantics in one differential surface (SURVEY §2 P5):
     deterministic NULL injection, then COALESCE, NULLIF, and null-safe
@@ -1434,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "sql_recursive": q_sql_recursive,
         "null_semantics": q_null_semantics,
+        "unigram_surprisal": q_unigram_surprisal,
         # --- tier 2: streaming (rows-only; round-1 regression evidence) ---
         "stream_tumbling": q_stream_tumbling,
         "stream_dedup": q_stream_dedup,
@@ -2172,6 +2179,15 @@ FROM chunks GROUP BY 1"""
         ),
         "containment": _CONTAINMENT_ORACLE,
         "sql_recursive": _RECURSIVE_SQL,
+        "unigram_surprisal": (
+            "WITH toks AS (SELECT doc_id, unnest({W}) AS w FROM "
+            "(SELECT doc_id, {WORDS} AS {W} FROM documents)), "
+            "freqs AS (SELECT w, count(*) AS wf FROM toks GROUP BY w), "
+            "tot AS (SELECT sum(wf) AS tot FROM freqs) "
+            "SELECT doc_id, round(avg(-ln(wf / tot)), 6) AS mean_surprisal, "
+            "count(*) AS n_tokens FROM toks JOIN freqs USING (w) CROSS JOIN tot "
+            "GROUP BY doc_id"
+        ).format(W="w", WORDS=_WORDS),
         "null_semantics": (
             "WITH b AS (SELECT o_orderkey, "
             "CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_totalprice END AS v, "

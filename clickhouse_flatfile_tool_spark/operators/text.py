@@ -277,6 +277,40 @@ def pack_sequences(
     )
 
 
+def unigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean unigram surprisal −mean(ln p(w)) against the
+    corpus's own unigram distribution — the cheap stand-in for the LM
+    perplexity filter of CCNet-style pipelines (docs far from the corpus
+    distribution score high; boilerplate scores low).
+
+    Shape: one exploded token pass builds the frequency table (groupBy word,
+    map-side partials); the corpus total joins in as a broadcast 1-row
+    aggregate (never a driver count); the per-doc score is a second groupBy
+    over the SAME exploded tokens joined to the frequency table — at 100 TB
+    the frequency table is the only reused state and it is |vocab|-sized,
+    not corpus-sized.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), _WS_SPLIT)).alias("w"),
+    )
+    freqs = toks.groupBy("w").agg(F.count(F.lit(1)).alias("wf"))
+    total = freqs.agg(F.sum("wf").alias("tot"))
+    scored = (
+        toks.join(freqs, "w")
+        .join(F.broadcast(total))
+        .select(F.col(id_col), (-F.log(F.col("wf") / F.col("tot"))).alias("s"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("s"), 6).alias("mean_surprisal"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Repetition metrics & corpus TF-IDF (training-data quality signals)
 # ---------------------------------------------------------------------------
