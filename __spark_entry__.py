@@ -302,6 +302,12 @@ def q_gap_fill(spark, d):
     return events.gap_fill(_t(spark, d, "events"), step_minutes=60)
 
 
+def q_gap_fill_interp(spark, d):
+    """WITH FILL INTERPOLATE analog: linear interpolation across the empty
+    buckets of the dense grid."""
+    return events.gap_fill_interpolated(_t(spark, d, "events"), step_minutes=60)
+
+
 def q_forward_fill(spark, d):
     """Forward-fill with deterministically-injected NULLs (fixture has none):
     every 7th event id loses its value, then last-non-NULL-per-user imputes."""
@@ -1424,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "sequence_funnel": q_sequence_funnel,
         "gap_fill": q_gap_fill,
+        "gap_fill_interp": q_gap_fill_interp,
         "forward_fill": q_forward_fill,
         "pack_sequences": q_pack_sequences,
         "dataset_mixture": q_dataset_mixture,
@@ -2257,6 +2264,37 @@ FROM chunks GROUP BY 1"""
             "WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT < "
             "  (CASE WHEN lang = 'en' THEN 1.0 WHEN lang = 'de' THEN 0.25 "
             "        ELSE 0.10 END) * 65536"
+        ),
+        "gap_fill_interp": (
+            "WITH agg AS ("
+            "  SELECT event_type, "
+            "         make_timestamp((floor(epoch(ts) / 3600) * 3600 * 1000000)::BIGINT) AS bucket, "
+            "         count(*) AS n_events, round(sum(value), 2) AS sum_value "
+            "  FROM events GROUP BY 1, 2"
+            "), bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM agg), "
+            "grid AS ("
+            "  SELECT k.event_type, g.bucket "
+            "  FROM (SELECT DISTINCT event_type FROM events) k, "
+            "       (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM bounds) g"
+            "), filled AS ("
+            "  SELECT grid.event_type, grid.bucket, "
+            "  coalesce(agg.n_events, 0)::BIGINT AS n_events, "
+            "  coalesce(agg.sum_value, 0)::DOUBLE AS sum_value "
+            "  FROM grid LEFT JOIN agg ON grid.event_type = agg.event_type AND grid.bucket = agg.bucket"
+            "), w AS ("
+            "  SELECT *, "
+            "  last_value(CASE WHEN n_events > 0 THEN sum_value END IGNORE NULLS) OVER wb AS pv, "
+            "  last_value(CASE WHEN n_events > 0 THEN epoch(bucket)::BIGINT END IGNORE NULLS) OVER wb AS pt, "
+            "  first_value(CASE WHEN n_events > 0 THEN sum_value END IGNORE NULLS) OVER wf AS nv, "
+            "  first_value(CASE WHEN n_events > 0 THEN epoch(bucket)::BIGINT END IGNORE NULLS) OVER wf AS nt "
+            "  FROM filled WINDOW "
+            "  wb AS (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
+            "  wf AS (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+            ") SELECT event_type, bucket, n_events, "
+            "round(CASE WHEN n_events > 0 THEN sum_value "
+            "WHEN pv IS NOT NULL AND nv IS NOT NULL THEN "
+            "  pv + (nv - pv) * (epoch(bucket)::BIGINT - pt) / (nt - pt) "
+            "ELSE coalesce(pv, nv) END, 4) AS sum_value_interp FROM w"
         ),
         "clickhouse_aggs": (
             "SELECT l_returnflag, "

@@ -322,6 +322,58 @@ def gap_fill(
     )
 
 
+def gap_fill_interpolated(
+    df: DataFrame,
+    step_minutes: int = 60,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """ClickHouse ``WITH FILL ... INTERPOLATE`` analog: the dense grid from
+    :func:`gap_fill`, with the metric LINEARLY INTERPOLATED across empty
+    buckets (instead of zero-filled) — time-weighted between the nearest
+    non-empty buckets; leading/trailing gaps carry the nearest real value.
+
+    Two window passes over the GRID (|keys|×|buckets| rows — independent of
+    raw event count): last/first non-NULL value and its bucket time in each
+    direction, then the weighted blend.  O(1) frame state per row.
+    """
+    from pyspark.sql import Window
+
+    filled = gap_fill(df, step_minutes, key_col, ts_col)
+    real = F.when(F.col("n_events") > 0, F.col("sum_value"))
+    real_ts = F.when(F.col("n_events") > 0, F.col("bucket").cast("long"))
+    back = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    g = (
+        filled.withColumn("__pv", F.last(real, ignorenulls=True).over(back))
+        .withColumn("__pt", F.last(real_ts, ignorenulls=True).over(back))
+        .withColumn("__nv", F.first(real, ignorenulls=True).over(fwd))
+        .withColumn("__nt", F.first(real_ts, ignorenulls=True).over(fwd))
+    )
+    t = F.col("bucket").cast("long")
+    frac = (t - F.col("__pt")) / (F.col("__nt") - F.col("__pt"))
+    interp = F.round(
+        F.when(F.col("n_events") > 0, F.col("sum_value"))
+        .when(
+            F.col("__pv").isNotNull() & F.col("__nv").isNotNull(),
+            F.col("__pv") + (F.col("__nv") - F.col("__pv")) * frac,
+        )
+        .otherwise(F.coalesce(F.col("__pv"), F.col("__nv"))),
+        4,
+    )
+    return g.select(
+        key_col, "bucket", "n_events", interp.alias("sum_value_interp")
+    )
+
+
 def forward_fill(
     df: DataFrame,
     value_col: str = "value",

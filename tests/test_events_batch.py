@@ -191,3 +191,19 @@ def test_event_stream_watermark_accepts_normalized_ts(spark, ntz_parquet):
     stream.withWatermark("ts", "10 minutes").groupBy(
         F.window("ts", "5 minutes")
     ).count()
+
+
+def test_gap_fill_interpolated_linear_blend(spark):
+    rows = [
+        (1, 1, TS(2024, 1, 1, 10, 30), 10.0),
+        (1, 2, TS(2024, 1, 1, 13, 30), 40.0),  # 2 empty buckets between
+    ]
+    df = _events(spark, rows).withColumn("event_type", F.lit("x"))
+    got = {
+        r.bucket: r.sum_value_interp
+        for r in E.gap_fill_interpolated(df, step_minutes=60).collect()
+    }
+    assert got[TS(2024, 1, 1, 10)] == 10.0
+    assert got[TS(2024, 1, 1, 11)] == 20.0   # 1/3 of the way 10 -> 40
+    assert got[TS(2024, 1, 1, 12)] == 30.0   # 2/3
+    assert got[TS(2024, 1, 1, 13)] == 40.0
