@@ -486,16 +486,18 @@ def q_event_range_join(spark, d):
     before each purchase by the same user — equi-join on (user, time bucket),
     exact range re-verified after."""
     ev = _t(spark, d, "events")
+    # microseconds, not unix_timestamp (which truncates to seconds and
+    # flips boundary pairs for sub-second timestamps — caught at sf0.1)
     purch = ev.filter("event_type = 'purchase'").select(
-        "event_id", "user_id", F.unix_timestamp("ts").alias("ep")
+        "event_id", "user_id", F.unix_micros("ts").alias("ep")
     )
     clicks = (
         ev.filter("event_type = 'click'")
-        .select("user_id", F.unix_timestamp("ts").alias("lo"))
-        .withColumn("hi", F.col("lo") + 600)
+        .select("user_id", F.unix_micros("ts").alias("lo"))
+        .withColumn("hi", F.col("lo") + 600 * 1_000_000)
     )
     j = relational.bucketed_range_join(
-        purch, clicks, "ep", "lo", "hi", 600.0, equi_cols=["user_id"]
+        purch, clicks, "ep", "lo", "hi", 600.0 * 1_000_000, equi_cols=["user_id"]
     )
     return j.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_recent_clicks"))
 
@@ -1020,15 +1022,17 @@ def q_range_frame(spark, d):
     value sum at each event (RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND
     CURRENT ROW) — the frame type rows-based running_sum can't express.
     Spark's rangeBetween needs a numeric ordering key, so the frame runs on
-    unix seconds; the oracle uses DuckDB's native interval RANGE frame over
-    the timestamp — agreement proves the epoch translation."""
+    unix MICROseconds (unix_timestamp would truncate to seconds and shift
+    frame membership for sub-second timestamps — caught at sf0.1); the
+    oracle uses DuckDB's native interval RANGE frame over the timestamp —
+    agreement proves the epoch translation."""
     from pyspark.sql import Window
 
     ev = _t(spark, d, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, 0)
     )
     return ev.select(
         "event_id",
@@ -1881,11 +1885,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "event_range_join": (
             "SELECT p.event_id, count(*) AS n_recent_clicks "
-            "FROM (SELECT event_id, user_id, epoch(ts) AS ep FROM events "
+            "FROM (SELECT event_id, user_id, epoch_us(ts) AS ep FROM events "
             "WHERE event_type = 'purchase') p "
-            "JOIN (SELECT user_id, epoch(ts) AS ep FROM events "
+            "JOIN (SELECT user_id, epoch_us(ts) AS ep FROM events "
             "WHERE event_type = 'click') c "
-            "ON p.user_id = c.user_id AND c.ep <= p.ep AND p.ep < c.ep + 600 "
+            "ON p.user_id = c.user_id AND c.ep <= p.ep AND p.ep < c.ep + 600000000 "
             "GROUP BY p.event_id"
         ),
         "map_props": (
@@ -2133,7 +2137,7 @@ FROM chunks GROUP BY 1"""
             f"SELECT {tumble} AS window_start, "
             f"{tumble} + INTERVAL 10 MINUTE AS window_end, "
             "event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value, "
-            "round(avg(value), 4) AS avg_value "
+            "(((sum(round(value * 100))::BIGINT * 20000) + count(*)) // (count(*) * 2))::DOUBLE / 10000.0 AS avg_value "
             "FROM events GROUP BY 1, 2, 3"
         ),
         "sliding_window": (

@@ -34,13 +34,24 @@ def tumbling_window_agg(
 ) -> DataFrame:
     """Tumbling-window aggregation: count + value stats per window (+ extra
     keys).  ``F.window`` assigns each row to exactly one bucket — map-side,
-    no blowup; the shuffle is keyed by (window, extras)."""
+    no blowup; the shuffle is keyed by (window, extras).
+
+    ``avg_value`` is computed with integer-exact half-up rounding (cent sums
+    → ``(c·10⁴·2 + n) div 2n``): values are 2-decimal, so ``avg(value)``
+    lands EXACTLY on .xxxx5 rounding boundaries whenever n divides 10⁴
+    (e.g. 508.29/8 = 63.536250) and float round-half-up then disagrees
+    between engines on the last digit — caught by the sf0.1 oracle diff."""
+    cents = F.sum(F.round(F.col("value") * 100).cast("long"))
+    n = F.count(F.lit(1))
+    avg_exact = (
+        F.floor((cents * 20000 + n) / (n * 2)).cast("double") / F.lit(10000.0)
+    )
     return (
         df.groupBy(F.window(F.col(ts_col), window_duration).alias("w"), *group_extra)
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
+            n.alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            avg_exact.alias("avg_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
