@@ -2326,7 +2326,9 @@ FROM chunks GROUP BY 1"""
         ),
         "event_funnel": (
             "SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value, "
-            "round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k, "
+            "((sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) * 20000 "
+            "+ count(json_extract_string(props, '$.k'))) "
+            "// (count(json_extract_string(props, '$.k')) * 2))::DOUBLE / 10000.0 AS avg_k, "
             "min(ts) AS first_ts, max(ts) AS last_ts FROM events GROUP BY event_type"
         ),
         "dedup_exact": (

@@ -111,14 +111,22 @@ def session_window_agg(
 
 def event_type_funnel(df: DataFrame) -> DataFrame:
     """Per-type event stats with props extraction — exercises from_json +
-    groupBy together (the reference-era stringly-JSON pattern done right)."""
+    groupBy together (the reference-era stringly-JSON pattern done right).
+
+    ``avg_k`` (mean of an integer) uses integer-exact half-up rounding —
+    int sums over counts dividing 10⁴ land exactly on .xxxx5 float
+    boundaries where engines round apart (same class as the tumbling
+    avg_value divergence caught at sf0.1)."""
+    n = F.count(F.col("props_s.k"))
+    ksum = F.sum(F.col("props_s.k").cast("long"))
+    avg_k = F.floor((ksum * 20000 + n) / (n * 2)).cast("double") / F.lit(10000.0)
     return (
         with_props(df)
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
-            F.round(F.avg(F.col("props_s.k")), 4).alias("avg_k"),
+            avg_k.alias("avg_k"),
             F.min("ts").alias("first_ts"),
             F.max("ts").alias("last_ts"),
         )
