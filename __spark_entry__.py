@@ -1076,6 +1076,22 @@ def q_unigram_surprisal(spark, d):
     return text.unigram_surprisal(_t(spark, d, "documents"))
 
 
+def q_integrity_check(spark, d):
+    """Referential-integrity audit over the TPC-H-ish FK graph (post-load
+    data-quality gate; one left-anti join per relationship)."""
+    o = _t(spark, d, "orders")
+    c = _t(spark, d, "customer")
+    li = _t(spark, d, "lineitem")
+    n = _t(spark, d, "nation")
+    return relational.integrity_report(
+        [
+            ("orders->customer", o, "o_custkey", c, "c_custkey"),
+            ("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+            ("customer->nation", c, "c_nationkey", n, "n_nationkey"),
+        ]
+    )
+
+
 def q_null_semantics(spark, d):
     """NULL-handling semantics in one differential surface (SURVEY §2 P5):
     deterministic NULL injection, then COALESCE, NULLIF, and null-safe
@@ -1451,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "sql_recursive": q_sql_recursive,
         "null_semantics": q_null_semantics,
+        "integrity_check": q_integrity_check,
         "unigram_surprisal": q_unigram_surprisal,
         # --- tier 2: streaming (rows-only; round-1 regression evidence) ---
         "stream_tumbling": q_stream_tumbling,
@@ -2199,6 +2216,26 @@ FROM chunks GROUP BY 1"""
             "count(*) AS n_tokens FROM toks JOIN freqs USING (w) CROSS JOIN tot "
             "GROUP BY doc_id"
         ).format(W="w", WORDS=_WORDS),
+        "integrity_check": (
+            "SELECT 'orders->customer' AS relationship, "
+            "(SELECT count(*) FROM orders) AS n_child, "
+            "(SELECT count(*) FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c "
+            " ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) AS n_orphans, "
+            "(SELECT count(DISTINCT o_custkey) FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c "
+            " ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) AS n_orphan_keys "
+            "UNION ALL SELECT 'lineitem->orders', "
+            "(SELECT count(*) FROM lineitem), "
+            "(SELECT count(*) FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o "
+            " ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL), "
+            "(SELECT count(DISTINCT l_orderkey) FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o "
+            " ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) "
+            "UNION ALL SELECT 'customer->nation', "
+            "(SELECT count(*) FROM customer), "
+            "(SELECT count(*) FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n "
+            " ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL), "
+            "(SELECT count(DISTINCT c_nationkey) FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n "
+            " ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL)"
+        ),
         "null_semantics": (
             "WITH b AS (SELECT o_orderkey, "
             "CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_totalprice END AS v, "

@@ -368,6 +368,36 @@ def distinct_values(df: DataFrame, columns: list[str]) -> DataFrame:
     return df.select(*columns).distinct()
 
 
+def integrity_report(
+    relationships: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit across FK relationships — the data-quality
+    gate an ETL tool runs after bulk loads (the reference moves rows between
+    systems with no such check; SURVEY §2.11 divergence we add).
+
+    ``relationships`` rows are (name, child_df, child_key, parent_df,
+    parent_key); output is one row per relationship: child rowcount, orphan
+    count (child keys absent from the parent — a left-anti join, the only
+    shuffle, keyed by the FK), and distinct orphan keys.
+    """
+    from functools import reduce
+
+    reports = []
+    for name, child, ck, parent, pk in relationships:
+        orphans = child.select(F.col(ck).alias("__k")).join(
+            parent.select(F.col(pk).alias("__k")).distinct(), "__k", "left_anti"
+        )
+        reports.append(
+            child.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
+                orphans.agg(
+                    F.count(F.lit(1)).alias("n_orphans"),
+                    F.countDistinct("__k").alias("n_orphan_keys"),
+                )
+            ).select(F.lit(name).alias("relationship"), "n_child", "n_orphans", "n_orphan_keys")
+        )
+    return reduce(lambda a, b: a.unionByName(b), reports)
+
+
 def approx_quantiles(
     df: DataFrame,
     value_col: str,

@@ -294,3 +294,31 @@ def cast_to_clickhouse_columns(df, columns: list[dict]):
         dt, _nullable = clickhouse_to_spark(c["type"])
         out = out.withColumn(c["name"], F.col(c["name"]).try_cast(dt))
     return out
+
+
+def schema_drift(old: T.StructType, new: T.StructType) -> dict:
+    """Diff two schemas the way an ETL tool audits a source between loads
+    (the reference re-DESCRIBEs on every request, server.js:230-233, but
+    never compares): returns added / removed / type-changed /
+    nullability-changed columns, keyed by name.  Pure metadata — no data
+    scan; pair with read_parquet_evolved for the merge-on-read side."""
+    o = {f.name: f for f in old.fields}
+    n = {f.name: f for f in new.fields}
+    return {
+        "added": sorted(set(n) - set(o)),
+        "removed": sorted(set(o) - set(n)),
+        "type_changed": sorted(
+            k for k in set(o) & set(n)
+            if o[k].dataType.simpleString() != n[k].dataType.simpleString()
+        ),
+        "nullability_changed": sorted(
+            k for k in set(o) & set(n)
+            if o[k].dataType.simpleString() == n[k].dataType.simpleString()
+            and o[k].nullable != n[k].nullable
+        ),
+        "compatible": all(
+            o[k].dataType.simpleString() == n[k].dataType.simpleString()
+            for k in set(o) & set(n)
+        )
+        and not (set(o) - set(n)),
+    }

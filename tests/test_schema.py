@@ -123,3 +123,31 @@ def test_cast_to_clickhouse_columns(spark):
     assert rows[1]["v"] == 25.5 and rows[1]["n"] is None  # bad cell → NULL
     assert rows[2]["v"] is None and rows[2]["n"] == 7
     assert str(rows[1]["d"]) == "2024-01-02"
+
+
+def test_schema_drift_detects_all_change_classes():
+    from pyspark.sql import types as T
+
+    from clickhouse_flatfile_tool_spark.schema import schema_drift
+
+    old = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("legacy", T.IntegerType(), True),
+        T.StructField("flag", T.IntegerType(), True),
+    ])
+    new = T.StructType([
+        T.StructField("id", T.LongType(), True),          # nullability flip
+        T.StructField("name", T.StringType(), True),
+        T.StructField("flag", T.LongType(), True),        # widened type
+        T.StructField("score", T.DoubleType(), True),     # added
+    ])
+    d = schema_drift(old, new)
+    assert d["added"] == ["score"]
+    assert d["removed"] == ["legacy"]
+    assert d["type_changed"] == ["flag"]
+    assert d["nullability_changed"] == ["id"]
+    assert d["compatible"] is False
+    # pure addition is compatible
+    d2 = schema_drift(T.StructType(old.fields[:2]), old)
+    assert d2["compatible"] is True and d2["added"] == ["flag", "legacy"]
