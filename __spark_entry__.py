@@ -946,6 +946,19 @@ def q_collapsing_final(spark, d):
     )
 
 
+def q_summing_final(spark, d):
+    """SummingMergeTree FINAL: numeric state columns summed per key at read
+    time — one hash agg, map-side partials (the third MergeTree family
+    alongside Replacing/Collapsing).  Sum pinned to cents-exact BIGINT so
+    the value hash is representation-stable."""
+    ev = _t(spark, d, "events").select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    return mergetree.summing_final(ev, ["user_id", "event_type"], ["value_cents"])
+
+
 def q_replacing_final(spark, d):
     """ReplacingMergeTree FINAL: newest row per key via a partial-aggregatable
     max(struct(version, values)) — the aggregation twin of latest_per_key's
@@ -1488,6 +1501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_portable": q_minhash_portable,
         "collapsing_final": q_collapsing_final,
         "replacing_final": q_replacing_final,
+        "summing_final": q_summing_final,
         "tpch_q6": q_tpch_q6,
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
@@ -2216,6 +2230,11 @@ FROM chunks GROUP BY 1"""
             "count(*) AS n_tokens FROM toks JOIN freqs USING (w) CROSS JOIN tot "
             "GROUP BY doc_id"
         ).format(W="w", WORDS=_WORDS),
+        "summing_final": (
+            "SELECT user_id, event_type, "
+            "sum(round(value * 100)::BIGINT)::BIGINT AS value_cents "
+            "FROM events GROUP BY user_id, event_type"
+        ),
         "integrity_check": (
             "SELECT 'orders->customer' AS relationship, "
             "(SELECT count(*) FROM orders) AS n_child, "
