@@ -1089,6 +1089,53 @@ def q_unigram_surprisal(spark, d):
     return text.unigram_surprisal(_t(spark, d, "documents"))
 
 
+def q_array_funcs(spark, d):
+    """Higher-order array function depth (§2.6): transform / filter / exists
+    / forall / zip_with / sort / slice over the embeddings fixture, checked
+    against DuckDB's list_* equivalents."""
+    emb = _t(spark, d, "embeddings").where("vec_id < 200")
+    v = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.round(
+            F.aggregate(
+                F.transform(v, lambda x: x.cast("double") * 2.0),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            6,
+        ).alias("sum_doubled"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+        F.exists(v, lambda x: x > 0.49).cast("int").alias("has_large"),
+        F.forall(v, lambda x: F.abs(x) <= 0.5).cast("int").alias("all_bounded"),
+        F.round(F.element_at(F.array_sort(v), -1).cast("double"), 6).alias("max_elem"),
+        F.round(
+            F.aggregate(
+                F.zip_with(F.slice(v, 1, 8), F.slice(v, 9, 8), lambda a, b: a.cast("double") * b.cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            6,
+        ).alias("head_tail_dot"),
+    )
+
+
+def q_string_funcs(spark, d):
+    """String function depth (§2.6): regexp extraction/count, translate,
+    padding, repeat, reverse, title-case — cross-checked against DuckDB."""
+    docs = _t(spark, d, "documents").where("doc_id < 200")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(r"[aeiou]")).cast("long").alias("n_vowels"),
+        F.length(F.regexp_replace(t, r"[^a-z]", "")).alias("n_lower"),
+        F.substring(F.translate(t, "aeiou", "_____"), 1, 40).alias("masked_prefix"),
+        F.lpad(F.col("lang"), 5, ".").alias("lang_padded"),
+        F.reverse(F.substring(t, 1, 12)).alias("rev_prefix"),
+        F.split_part(t, F.lit(" "), F.lit(2)).alias("second_word"),
+    )
+
+
 def q_integrity_check(spark, d):
     """Referential-integrity audit over the TPC-H-ish FK graph (post-load
     data-quality gate; one left-anti join per relationship)."""
@@ -1481,6 +1528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_recursive": q_sql_recursive,
         "null_semantics": q_null_semantics,
         "integrity_check": q_integrity_check,
+        "array_funcs": q_array_funcs,
+        "string_funcs": q_string_funcs,
         "unigram_surprisal": q_unigram_surprisal,
         # --- tier 2: streaming (rows-only; round-1 regression evidence) ---
         "stream_tumbling": q_stream_tumbling,
@@ -2230,6 +2279,27 @@ FROM chunks GROUP BY 1"""
             "count(*) AS n_tokens FROM toks JOIN freqs USING (w) CROSS JOIN tot "
             "GROUP BY doc_id"
         ).format(W="w", WORDS=_WORDS),
+        "array_funcs": (
+            "SELECT vec_id, "
+            "round(list_sum(list_transform(embedding, x -> x::DOUBLE * 2.0)), 6) AS sum_doubled, "
+            "len(list_filter(embedding, x -> x > 0))::INT AS n_positive, "
+            "CAST(len(list_filter(embedding, x -> x > 0.49)) > 0 AS INT) AS has_large, "
+            "CAST(len(list_filter(embedding, x -> abs(x) > 0.5)) = 0 AS INT) AS all_bounded, "
+            "round(list_sort(embedding)[-1]::DOUBLE, 6) AS max_elem, "
+            "round(list_sum(list_transform(generate_series(1, 8), "
+            "  i -> embedding[i]::DOUBLE * embedding[i + 8]::DOUBLE)), 6) AS head_tail_dot "
+            "FROM embeddings WHERE vec_id < 200"
+        ),
+        "string_funcs": (
+            "SELECT doc_id, "
+            "len(regexp_extract_all(text, '[aeiou]'))::BIGINT AS n_vowels, "
+            "length(regexp_replace(text, '[^a-z]', '', 'g'))::INT AS n_lower, "
+            "substring(translate(text, 'aeiou', '_____'), 1, 40) AS masked_prefix, "
+            "lpad(lang, 5, '.') AS lang_padded, "
+            "reverse(substring(text, 1, 12)) AS rev_prefix, "
+            "split_part(text, ' ', 2) AS second_word "
+            "FROM documents WHERE doc_id < 200"
+        ),
         "summing_final": (
             "SELECT user_id, event_type, "
             "sum(round(value * 100)::BIGINT)::BIGINT AS value_cents "
