@@ -1089,6 +1089,22 @@ def q_unigram_surprisal(spark, d):
     return text.unigram_surprisal(_t(spark, d, "documents"))
 
 
+def q_quantize_embeddings(spark, d):
+    """int8 embedding quantization round-trip, pinned cross-engine: the
+    quantized payload is summarized with EXACT integer aggregates (sum /
+    min / max of the int8 codes), so any divergence in the scale or
+    rounding math breaks the hash."""
+    q = similarity.quantize_embeddings(_t(spark, d, "embeddings"))
+    codes = F.col("qvec")
+    return q.select(
+        "vec_id",
+        F.round("qscale", 6).alias("qscale"),
+        F.aggregate(codes, F.lit(0), lambda a, x: a + x.cast("int")).alias("code_sum"),
+        F.array_max(codes).cast("int").alias("code_max"),
+        F.array_min(codes).cast("int").alias("code_min"),
+    )
+
+
 def q_array_funcs(spark, d):
     """Higher-order array function depth (§2.6): transform / filter / exists
     / forall / zip_with / sort / slice over the embeddings fixture, checked
@@ -1528,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_recursive": q_sql_recursive,
         "null_semantics": q_null_semantics,
         "integrity_check": q_integrity_check,
+        "quantize_embeddings": q_quantize_embeddings,
         "array_funcs": q_array_funcs,
         "string_funcs": q_string_funcs,
         "unigram_surprisal": q_unigram_surprisal,
@@ -2279,6 +2296,16 @@ FROM chunks GROUP BY 1"""
             "count(*) AS n_tokens FROM toks JOIN freqs USING (w) CROSS JOIN tot "
             "GROUP BY doc_id"
         ).format(W="w", WORDS=_WORDS),
+        "quantize_embeddings": (
+            "WITH q AS (SELECT vec_id, "
+            "list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale, "
+            "list_transform(embedding, x -> round(x::DOUBLE / "
+            "  list_max(list_transform(embedding, y -> abs(y::DOUBLE))) * 127.0)::INT) AS codes "
+            "FROM embeddings) "
+            "SELECT vec_id, round(scale, 6) AS qscale, "
+            "list_sum(codes)::INT AS code_sum, "
+            "list_max(codes)::INT AS code_max, list_min(codes)::INT AS code_min FROM q"
+        ),
         "array_funcs": (
             "SELECT vec_id, "
             "round(list_sum(list_transform(embedding, x -> x::DOUBLE * 2.0)), 6) AS sum_doubled, "

@@ -425,6 +425,37 @@ def ivf_cosine_topk(
     return ranked.select("query_id", "neighbor_id", F.round("__cos", 6).alias("cos_sim"))
 
 
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "qvec"
+) -> DataFrame:
+    """Symmetric int8 quantization with a per-vector max-abs scale — the
+    standard 4× storage cut for embedding corpora at scale (64 float32 →
+    64 int8 + one float scale per vector).  Pure codegen array math; the
+    scale rides alongside so dequantization is exact up to the 1/127
+    rounding step.  Cosine on dequantized vectors tracks the original to
+    ~1e-2, asserted by a recall test."""
+    scale = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") / scale * 127.0).cast("tinyint"),
+    )
+    return df.withColumn("qscale", scale).withColumn(out_col, q)
+
+
+def dequantize_embeddings(
+    df: DataFrame, qvec_col: str = "qvec", scale_col: str = "qscale",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`: x ≈ q/127·scale."""
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(qvec_col),
+            lambda q: q.cast("double") / 127.0 * F.col(scale_col),
+        ),
+    )
+
+
 def embedding_dedup_candidates(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -124,3 +124,34 @@ def test_ivf_recall_against_exact(emb):
     assert recall >= 0.8, f"IVF recall too low: {recall}"
     # every query returns results
     assert {q for q, _ in ivf} == {q for q, _ in exact}
+
+
+def test_int8_quantization_roundtrip_and_recall(emb):
+    from pyspark.sql import functions as F
+
+    q = S.quantize_embeddings(emb)
+    # schema: int8 payload + one scale per vector
+    assert dict(q.dtypes)["qvec"] == "array<tinyint>"
+    deq = S.dequantize_embeddings(q.drop("embedding"))
+    # element-wise reconstruction error bounded by scale/127 (half a step)
+    err = (
+        q.select("vec_id", "embedding", "qscale")
+        .join(deq.select("vec_id", F.col("embedding").alias("deq")), "vec_id")
+        .select(
+            F.array_max(
+                F.zip_with("embedding", "deq", lambda a, b: F.abs(a.cast("double") - b))
+            ).alias("max_err"),
+            F.col("qscale"),
+        )
+    )
+    bad = err.where(F.col("max_err") > F.col("qscale") / 127.0 * 0.500001).count()
+    assert bad == 0
+    # top-k recall on dequantized corpus vs exact
+    queries = emb.filter("vec_id < 20")
+    exact = {(r.query_id, r.neighbor_id) for r in S.cosine_topk(queries, emb, k=5).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(queries, deq.select("vec_id", "embedding"), k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"int8 recall too low: {recall}"
