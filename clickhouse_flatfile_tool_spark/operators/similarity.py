@@ -425,6 +425,85 @@ def ivf_cosine_topk(
     return ranked.select("query_id", "neighbor_id", F.round("__cos", 6).alias("cos_sim"))
 
 
+def ivf_build_centroids(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    sample_size: int = 10_000,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train the IVF coarse quantizer and return it AS A DATAFRAME
+    (list_id, centroid array<double>) — persist with ``write.parquet`` and
+    reuse across queries/days; at 100 TB you train once on a bounded sample,
+    not per search.  Driver-side spherical k-means over ≤``sample_size``
+    rows (bounded, documented); the model is n_lists×dim — tiny."""
+    import numpy as np
+
+    sample = corpus.select(vec_col).limit(sample_size).collect()
+    cent = _kmeans_centroids(
+        np.array([r[0] for r in sample], dtype=np.float64), n_lists, seed
+    )
+    rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cent)]
+    return corpus.sparkSession.createDataFrame(
+        rows, "list_id int, centroid array<double>"
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest centroid lists with
+    PURE DataFrame ops: broadcast(centroids) cross join + cosine + top-k
+    window — no Python UDF anywhere, so assignment stays in codegen and
+    scales with the corpus scan.  n_probe=1 indexes a corpus; n_probe>1
+    fans out queries to the lists they should search."""
+    scored = corpus.crossJoin(
+        F.broadcast(centroids.select("list_id", F.col("centroid").alias("__c")))
+    ).withColumn("__sim", cosine(F.col(vec_col), F.col("__c")))
+    ranked = top_k_per_group(
+        scored, [id_col], [F.desc("__sim"), F.asc("list_id")], n_probe
+    )
+    return ranked.select(id_col, vec_col, "list_id")
+
+
+def ivf_search(
+    queries: DataFrame,
+    indexed_corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a prebuilt IVF index: queries probe their n_probe nearest
+    lists (broadcast centroid scoring), candidates meet through an equi-join
+    on list_id (shuffle keyed by list — per-query cost ~n_probe/n_lists of
+    the corpus), exact cosine re-ranks."""
+    q = ivf_assign(queries, centroids, query_id, vec_col, n_probe).select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv"), "list_id"
+    )
+    c = indexed_corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "list_id"
+    )
+    cands = (
+        q.join(c, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("__cos")
+    )
+    ranked = top_k_per_group(
+        scored, ["query_id"], [F.desc("__cos"), F.asc("neighbor_id")], k
+    )
+    return ranked.select("query_id", "neighbor_id", F.round("__cos", 6).alias("cos_sim"))
+
+
 def quantize_embeddings(
     df: DataFrame, vec_col: str = "embedding", out_col: str = "qvec"
 ) -> DataFrame:

@@ -155,3 +155,23 @@ def test_int8_quantization_roundtrip_and_recall(emb):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"int8 recall too low: {recall}"
+
+
+def test_ivf_persistent_index_roundtrip(emb, spark, tmp_path):
+    """Build -> persist -> load -> search must match searching with the
+    in-memory centroids, and recall vs exact stays above the floor."""
+    cent = S.ivf_build_centroids(emb, n_lists=8)
+    path = str(tmp_path / "ivf_centroids")
+    cent.write.parquet(path)
+    loaded = spark.read.parquet(path)
+    indexed = S.ivf_assign(emb, loaded)
+    assert indexed.count() == emb.count()          # every vector in exactly 1 list
+    queries = emb.filter("vec_id < 20")
+    got = S.ivf_search(queries, indexed, loaded, k=5, n_probe=6)
+    mem = S.ivf_search(queries, S.ivf_assign(emb, cent), cent, k=5, n_probe=6)
+    a = {(r.query_id, r.neighbor_id) for r in got.collect()}
+    b = {(r.query_id, r.neighbor_id) for r in mem.collect()}
+    assert a == b
+    exact = {(r.query_id, r.neighbor_id) for r in S.cosine_topk(queries, emb, k=5).collect()}
+    recall = len(exact & a) / len(exact)
+    assert recall >= 0.8, f"persistent IVF recall too low: {recall}"
