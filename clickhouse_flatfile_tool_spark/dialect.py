@@ -79,6 +79,10 @@ _RENAMES: list[tuple[str, str]] = [
     ("trimBoth", "trim"),
     ("editDistance", "levenshtein"),
     ("levenshteinDistance", "levenshtein"),
+    ("toTimeZone", "from_utc_timestamp"),   # both (ts, tz); session is UTC
+    ("toUnixTimestamp", "unix_timestamp"),
+    ("fromUnixTimestamp", "from_unixtime"),
+    ("modulo", "mod"),                      # both keep the dividend's sign
 ]
 
 _ZERO_ARG: list[tuple[str, str]] = [
@@ -167,6 +171,24 @@ _IF_COMBINATORS = {
     "minIf": "min",
     "maxIf": "max",
 }
+
+
+def _rewrite_int_div(chunk: str) -> str:
+    """``intDiv(a, b)`` → ``CAST(FLOOR((a) / (b)) AS BIGINT)`` — ClickHouse
+    intDiv rounds toward -inf, which Spark's ``div`` (truncation) gets wrong
+    for negative operands."""
+    pat = re.compile(r"\bintDiv\(")
+    m = pat.search(chunk)
+    while m:
+        end = _match_paren(chunk, m.end() - 1)
+        args = _split_top_comma(chunk[m.end() : end - 1])
+        if len(args) == 2:
+            repl = f"CAST(FLOOR(({args[0]}) / ({args[1]})) AS BIGINT)"
+            chunk = chunk[: m.start()] + repl + chunk[end:]
+            m = pat.search(chunk, m.start() + len(repl))
+        else:
+            m = pat.search(chunk, end)
+    return chunk
 
 
 def _rewrite_if_combinators(chunk: str) -> str:
@@ -268,6 +290,7 @@ def translate_clickhouse_sql(sql: str) -> str:
     for src, dst in _ZERO_ARG:
         chunk = chunk.replace(src, dst)
     chunk = _rewrite_clauses(chunk)
+    chunk = _rewrite_int_div(chunk)
     chunk = _rewrite_if_combinators(chunk)
     chunk = _rewrite_curried_quantiles(chunk)
     for name, prefix, suffix in _WRAPS:

@@ -162,3 +162,19 @@ def test_string_array_function_renames():
     assert tr("arrayUniq(arraySort(xs))") == "size(array_distinct(array_sort(xs)))"
     assert tr("match(s, '^a.*b$')") == "regexp_like(s, '^a.*b$')"
     assert tr("startsWith(s, 'pre')") == "startswith(s, 'pre')"
+
+
+def test_time_and_math_renames():
+    assert tr("toUnixTimestamp(ts)") == "unix_timestamp(ts)"
+    assert tr("fromUnixTimestamp(x)") == "from_unixtime(x)"
+    assert tr("toTimeZone(ts, 'America/New_York')") == (
+        "from_utc_timestamp(ts, 'America/New_York')"
+    )
+    assert tr("modulo(a, b)") == "mod(a, b)"
+    assert tr("intDiv(a + 1, b)") == "CAST(FLOOR((a + 1) / (b)) AS BIGINT)"
+
+
+def test_int_div_floor_semantics(spark):
+    # ClickHouse intDiv(-7, 2) = -4 (floor); Spark's `div` would give -3
+    out = spark.sql("SELECT " + tr("intDiv(-7, 2)") + " AS v").first()
+    assert out.v == -4
