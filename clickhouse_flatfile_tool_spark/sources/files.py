@@ -38,6 +38,10 @@ def read_csv(
     has_header: bool | None = None,
     infer_types: bool = False,
     sep: str | None = None,
+    quote: str = '"',
+    escape: str = '"',
+    null_value: str | None = None,
+    multiline: bool = False,
 ) -> tuple[DataFrame, ResolvedSchema]:
     """Read a CSV/TXT/TSV flat file with reference-compatible schema
     resolution.
@@ -49,6 +53,13 @@ def read_csv(
     per-row in JS; here it is Catalyst column pruning, which reaches the
     scan).  ``sep`` defaults by extension: tab for ``.tsv`` (ClickHouse
     TabSeparated format), comma otherwise.
+
+    Quoting follows the reference's csv-parse defaults (RFC 4180: fields
+    quoted with ``"``, embedded quotes doubled — escape defaults to the
+    quote char).  ``multiline=True`` allows quoted fields to span newlines;
+    it is OFF by default because multiline parsing forces whole-file splits
+    (one task per file) instead of per-split parallel scans — at 100 TB,
+    pre-normalize such files or accept the parallelism loss explicitly.
     """
     ext = os.path.splitext(path)[1].lower()
     if ext not in (".csv", ".txt", ".tsv"):
@@ -67,7 +78,12 @@ def read_csv(
         spark.read.option("mode", "PERMISSIVE")
         .option("sep", sep)
         .option("header", str(resolved.has_header).lower())
+        .option("quote", quote)
+        .option("escape", escape)
+        .option("multiLine", str(multiline).lower())
     )
+    if null_value is not None:
+        reader = reader.option("nullValue", null_value)
     if infer_types:
         df = reader.option("inferSchema", "true").csv(path)
         if not resolved.has_header:

@@ -343,3 +343,30 @@ def test_port_retry_session_confs(spark):
         ui_port=4099, extra_conf={"spark.ui.port": "5055"}
     )
     assert s2.sparkContext is not None
+
+
+def test_csv_rfc4180_quoting(spark, tmp_path):
+    """Quoted fields with embedded separators and doubled quotes (the
+    csv-parse defaults the reference relies on, server.js:478-480)."""
+    p = str(tmp_path / "quoted.csv")
+    with open(p, "w") as fh:
+        fh.write('id,name,notes\n')
+        fh.write('1,"Smith, Jr.","said ""hi"" twice"\n')
+        fh.write('2,plain,,\n')          # trailing empty field
+    df, _ = FS.read_csv(spark, p)
+    rows = {r.id: r for r in df.collect()}
+    assert rows["1"].name == "Smith, Jr."
+    assert rows["1"].notes == 'said "hi" twice'
+    assert rows["2"].notes is None or rows["2"].notes == ""
+
+
+def test_csv_null_value_and_multiline(spark, tmp_path):
+    p = str(tmp_path / "ml.csv")
+    with open(p, "w") as fh:
+        fh.write('id,comment\n')
+        fh.write('1,"line one\nline two"\n')
+        fh.write('2,\\N\n')
+    df, _ = FS.read_csv(spark, p, multiline=True, null_value="\\N")
+    rows = {r.id: r.comment for r in df.collect()}
+    assert rows["1"] == "line one\nline two"
+    assert rows["2"] is None
