@@ -39,3 +39,37 @@ def ping(spark: SparkSession) -> bool:
         return spark.sql("SELECT 1 AS ok").first().ok == 1
     except Exception:
         return False
+
+
+def analyze_table(
+    spark: SparkSession, table: str, columns: list[str] | None = None
+) -> None:
+    """Collect CBO statistics (``ANALYZE TABLE ... COMPUTE STATISTICS``,
+    plus per-column NDV/min/max/null counts when ``columns`` given).
+
+    At 100 TB this is what makes Catalyst's cost-based join reordering and
+    broadcast decisions real instead of guessed: sizeInBytes/rowCount feed
+    the broadcast threshold, column NDVs feed join-order costs.  Run it
+    after bulk loads (the reference has no analog — its "optimizer" is
+    whatever ClickHouse does server-side)."""
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}")
+
+
+def table_stats(spark: SparkSession, table: str) -> dict:
+    """Read back the collected statistics (rowCount / sizeInBytes) from the
+    catalog — the numbers the optimizer will actually use."""
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    out: dict = {}
+    for r in rows:
+        if r.col_name == "Statistics":
+            # e.g. "123456 bytes, 1000 rows"
+            for part in r.data_type.split(","):
+                part = part.strip()
+                if part.endswith("bytes"):
+                    out["size_bytes"] = int(part.split()[0])
+                elif part.endswith("rows"):
+                    out["row_count"] = int(part.split()[0])
+    return out

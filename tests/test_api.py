@@ -104,3 +104,14 @@ def test_join_columns_endpoint(spark):
     assert out["success"]
     names = [c["name"] for c in out["columns"]["sample_data"]]
     assert names == ["id", "name", "age", "email", "created_at"]
+
+
+def test_analyze_table_feeds_cbo_stats(spark, tables, tmp_path):
+    from clickhouse_flatfile_tool_spark.sources.catalog import analyze_table, table_stats
+
+    tables["nation"].write.mode("overwrite").saveAsTable("nation_stats_t")
+    analyze_table(spark, "nation_stats_t", columns=["n_nationkey", "n_name"])
+    stats = table_stats(spark, "nation_stats_t")
+    assert stats.get("row_count") == tables["nation"].count()
+    assert stats.get("size_bytes", 0) > 0
+    spark.sql("DROP TABLE nation_stats_t")
