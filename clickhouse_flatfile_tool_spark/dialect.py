@@ -11,7 +11,11 @@ nesting.
 
 Deliberately NOT a SQL parser: translation is name-level, never touches the
 inside of string literals, and unknown functions pass through untouched
-(Spark then errors with its own message).  Two ClickHouse combinator forms
+(Spark then errors with its own message).  Known name-level limits:
+``empty()``/``notEmpty()`` translate to ``length()`` and therefore cover
+String/FixedString arguments only — ClickHouse also defines them on arrays,
+which Spark's ``length()`` rejects with an AnalysisException (use
+``size(x) = 0`` directly for arrays).  Two ClickHouse combinator forms
 ARE handled because they are common in real queries: the ``-If`` suffix
 (``sumIf(x, cond)`` → ``sum(CASE WHEN cond THEN x END)``) and curried
 quantiles (``quantile(0.5)(x)`` → ``percentile(x, 0.5)``).  ``-Array``/
@@ -41,6 +45,11 @@ _WRAPS: list[tuple[str, str, str]] = [
     ("toFloat32", "CAST(", " AS FLOAT)"),
     ("toFloat64", "CAST(", " AS DOUBLE)"),
     ("toString", "CAST(", " AS STRING)"),
+    # STRING/BINARY only: ClickHouse empty()/notEmpty() also accept arrays,
+    # but name-level translation cannot see the argument's type and Spark
+    # length() rejects arrays — array-typed calls will raise an
+    # AnalysisException naming length(); rewrite those to size(x) = 0 by
+    # hand.  Documented limitation (module docstring).
     ("empty", "(length(", ") = 0)"),
     ("notEmpty", "(length(", ") > 0)"),
     ("arrayUniq", "size(array_distinct(", "))"),
@@ -174,16 +183,25 @@ _IF_COMBINATORS = {
 
 
 def _rewrite_int_div(chunk: str) -> str:
-    """``intDiv(a, b)`` → ``CAST(FLOOR((a) / (b)) AS BIGINT)`` — ClickHouse
-    intDiv rounds toward -inf, which Spark's ``div`` (truncation) gets wrong
-    for negative operands."""
+    """``intDiv(a, b)`` → floor division on longs.  ClickHouse intDiv rounds
+    toward -inf; Spark's ``DIV`` truncates toward zero, so a sign/remainder
+    correction subtracts 1 when the signs differ and the division is inexact.
+    Stays in 64-bit integer arithmetic end-to-end — ``FLOOR((a)/(b))`` over
+    double division diverges from true integer division once the operands
+    pass 2^53.  Operands are cast to BIGINT first (matching ClickHouse,
+    which defines intDiv on integers)."""
     pat = re.compile(r"\bintDiv\(")
     m = pat.search(chunk)
     while m:
         end = _match_paren(chunk, m.end() - 1)
         args = _split_top_comma(chunk[m.end() : end - 1])
         if len(args) == 2:
-            repl = f"CAST(FLOOR(({args[0]}) / ({args[1]})) AS BIGINT)"
+            a = f"CAST({args[0]} AS BIGINT)"
+            b = f"CAST({args[1]} AS BIGINT)"
+            repl = (
+                f"(({a} DIV {b}) + (CASE WHEN ({a} % {b}) != 0 "
+                f"AND (({a} < 0) != ({b} < 0)) THEN -1 ELSE 0 END))"
+            )
             chunk = chunk[: m.start()] + repl + chunk[end:]
             m = pat.search(chunk, m.start() + len(repl))
         else:
@@ -233,6 +251,65 @@ def _rewrite_curried_quantiles(chunk: str) -> str:
     return chunk
 
 
+def _find_top_level_word(chunk: str, words: tuple[str, ...], start: int = 0):
+    """First occurrence of any of ``words`` at paren depth 0 from ``start``
+    (case-insensitive, word-bounded).  Returns (index, word) or (None, None).
+    Depth tracking keeps a WHERE inside a subquery — ``PREWHERE a IN (SELECT
+    ... WHERE q) WHERE y`` — from being mistaken for the outer WHERE."""
+    upper = chunk.upper()
+    depth = 0
+    i = start
+    n = len(chunk)
+    while i < n:
+        ch = chunk[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and (ch.isalpha() or ch == "_"):
+            if i == 0 or not (chunk[i - 1].isalnum() or chunk[i - 1] == "_"):
+                for w in words:
+                    j = i + len(w)
+                    if upper.startswith(w, i) and (
+                        j >= n or not (chunk[j].isalnum() or chunk[j] == "_")
+                    ):
+                        return i, w
+            # skip the rest of this identifier in one go
+            while i + 1 < n and (chunk[i + 1].isalnum() or chunk[i + 1] == "_"):
+                i += 1
+        i += 1
+    return None, None
+
+
+_CLAUSE_TERMINATORS = ("GROUP", "ORDER", "LIMIT", "HAVING", "FORMAT", "WINDOW")
+
+
+def _merge_prewhere(chunk: str) -> str:
+    """``PREWHERE x WHERE y`` → ``WHERE (x) AND (y)``, with both the WHERE
+    and the clause terminator located at paren depth 0 so predicates that
+    contain subqueries (their own WHERE/GROUP/LIMIT) merge intact.
+
+    Scope: merges the top-level pair only.  A *subquery* that itself uses
+    both PREWHERE and WHERE is out of scope for name-level rewriting (its
+    PREWHERE is renamed to WHERE, producing SQL Spark will reject with a
+    clear parse error rather than silently mis-merging)."""
+    pre_at, _ = _find_top_level_word(chunk, ("PREWHERE",))
+    if pre_at is None:
+        return chunk
+    body_start = pre_at + len("PREWHERE")
+    where_at, _ = _find_top_level_word(chunk, ("WHERE",), body_start)
+    if where_at is None:
+        return chunk  # standalone PREWHERE; caller renames it to WHERE
+    term_at, _ = _find_top_level_word(
+        chunk, _CLAUSE_TERMINATORS, where_at + len("WHERE")
+    )
+    if term_at is None:
+        term_at = len(chunk)
+    pre = chunk[body_start:where_at].strip()
+    where = chunk[where_at + len("WHERE") : term_at].strip()
+    return chunk[:pre_at] + f"WHERE ({pre}) AND ({where}) " + chunk[term_at:]
+
+
 def _rewrite_clauses(chunk: str) -> str:
     """ClickHouse-specific CLAUSES (not functions):
 
@@ -248,15 +325,7 @@ def _rewrite_clauses(chunk: str) -> str:
       stripped; output format is the writer's job in Spark.
     """
     chunk = re.sub(r"\s+FORMAT\s+\w+\s*;?\s*$", "", chunk, flags=re.IGNORECASE)
-    m = re.search(
-        r"\bPREWHERE\b(.*?)\bWHERE\b(.*?)"
-        r"(?=\bGROUP\b|\bORDER\b|\bLIMIT\b|\bHAVING\b|\bFORMAT\b|$)",
-        chunk,
-        re.IGNORECASE | re.DOTALL,
-    )
-    if m:
-        pre, where = m.group(1).strip(), m.group(2).strip()
-        chunk = chunk[: m.start()] + f"WHERE ({pre}) AND ({where}) " + chunk[m.end():]
+    chunk = _merge_prewhere(chunk)
     chunk = re.sub(r"\bPREWHERE\b", "WHERE", chunk, flags=re.IGNORECASE)
     chunk = re.sub(
         r"\bSAMPLE\s+0?\.(\d+)\b",

@@ -40,18 +40,18 @@ def tumbling_window_agg(
     → ``(c·10⁴·2 + n) div 2n``): values are 2-decimal, so ``avg(value)``
     lands EXACTLY on .xxxx5 rounding boundaries whenever n divides 10⁴
     (e.g. 508.29/8 = 63.536250) and float round-half-up then disagrees
-    between engines on the last digit — caught by the sf0.1 oracle diff."""
+    between engines on the last digit — caught by the sf0.1 oracle diff.
+    The quotient uses Spark's ``div`` (truncating long division) — the
+    exact twin of the DuckDB oracle's ``//`` at ALL magnitudes; routing
+    through double division drifts once the numerator passes 2^53."""
     cents = F.sum(F.round(F.col("value") * 100).cast("long"))
     n = F.count(F.lit(1))
-    avg_exact = (
-        F.floor((cents * 20000 + n) / (n * 2)).cast("double") / F.lit(10000.0)
-    )
     return (
         df.groupBy(F.window(F.col(ts_col), window_duration).alias("w"), *group_extra)
         .agg(
             n.alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
-            avg_exact.alias("avg_value"),
+            cents.alias("_cents"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -59,7 +59,10 @@ def tumbling_window_agg(
             *group_extra,
             "n_events",
             "sum_value",
-            "avg_value",
+            F.expr(
+                "CAST((_cents * 20000 + n_events) DIV (n_events * 2) AS DOUBLE)"
+                " / 10000.0"
+            ).alias("avg_value"),
         )
     )
 
@@ -116,19 +119,28 @@ def event_type_funnel(df: DataFrame) -> DataFrame:
     ``avg_k`` (mean of an integer) uses integer-exact half-up rounding —
     int sums over counts dividing 10⁴ land exactly on .xxxx5 float
     boundaries where engines round apart (same class as the tumbling
-    avg_value divergence caught at sf0.1)."""
-    n = F.count(F.col("props_s.k"))
-    ksum = F.sum(F.col("props_s.k").cast("long"))
-    avg_k = F.floor((ksum * 20000 + n) / (n * 2)).cast("double") / F.lit(10000.0)
+    avg_value divergence caught at sf0.1).  Quotient via ``div`` on longs,
+    the exact twin of the oracle's ``//`` (see tumbling_window_agg)."""
     return (
         with_props(df)
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
-            avg_k.alias("avg_k"),
+            F.sum(F.col("props_s.k").cast("long")).alias("_ksum"),
+            F.count(F.col("props_s.k")).alias("_nk"),
             F.min("ts").alias("first_ts"),
             F.max("ts").alias("last_ts"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "sum_value",
+            F.expr(
+                "CAST((_ksum * 20000 + _nk) DIV (_nk * 2) AS DOUBLE) / 10000.0"
+            ).alias("avg_k"),
+            "first_ts",
+            "last_ts",
         )
     )
 
@@ -355,6 +367,12 @@ def gap_fill_interpolated(
     Two window passes over the GRID (|keys|×|buckets| rows — independent of
     raw event count): last/first non-NULL value and its bucket time in each
     direction, then the weighted blend.  O(1) frame state per row.
+
+    The blend is integer-exact: values are 2-decimal (cents are exact longs)
+    and bucket times are whole seconds, so ``round(pv + (nv-pv)·frac, 4)``
+    is computed as ``(cents·Δt arithmetic) DIV`` on longs — double-float
+    blending lands on .xxxx5 boundaries where Spark (exact-binary HALF_UP)
+    and other engines (scaled std::round) disagree on the last digit.
     """
     from pyspark.sql import Window
 
@@ -376,17 +394,25 @@ def gap_fill_interpolated(
         .withColumn("__pt", F.last(real_ts, ignorenulls=True).over(back))
         .withColumn("__nv", F.first(real, ignorenulls=True).over(fwd))
         .withColumn("__nt", F.first(real_ts, ignorenulls=True).over(fwd))
+        .withColumn("__ca", F.round(F.col("__pv") * 100).cast("long"))
+        .withColumn("__cb", F.round(F.col("__nv") * 100).cast("long"))
+        .withColumn("__du", F.col("bucket").cast("long") - F.col("__pt"))
+        .withColumn("__dk", F.col("__nt") - F.col("__pt"))
     )
-    t = F.col("bucket").cast("long")
-    frac = (t - F.col("__pt")) / (F.col("__nt") - F.col("__pt"))
-    interp = F.round(
-        F.when(F.col("n_events") > 0, F.col("sum_value"))
+    interp = (
+        F.when(F.col("n_events") > 0, F.round(F.col("sum_value"), 4))
         .when(
-            F.col("__pv").isNotNull() & F.col("__nv").isNotNull(),
-            F.col("__pv") + (F.col("__nv") - F.col("__pv")) * frac,
+            F.col("__pv").isNotNull()
+            & F.col("__nv").isNotNull()
+            & (F.col("__dk") > 0),
+            # cents·Δt blend, half-up via truncating long DIV (numerator is
+            # non-negative on the grid, so truncation == floor == half-up)
+            F.expr(
+                "CAST(((__ca * __dk + (__cb - __ca) * __du) * 200 + __dk) "
+                "DIV (2 * __dk) AS DOUBLE) / 10000.0"
+            ),
         )
-        .otherwise(F.coalesce(F.col("__pv"), F.col("__nv"))),
-        4,
+        .otherwise(F.round(F.coalesce(F.col("__pv"), F.col("__nv")), 4))
     )
     return g.select(
         key_col, "bucket", "n_events", interp.alias("sum_value_interp")

@@ -81,32 +81,50 @@ def run_with_progress(
     per-batch NDJSON lines (server.js:644-649), with a total that is not
     self-referential (SURVEY §2.11).
     """
+    import uuid
     from threading import Event, Thread
 
     tracker = tracker or ProgressTracker()
     stop = Event()
+    sc = spark.sparkContext
+    st = sc.statusTracker()
+    # Tag the action's jobs with a unique group so a deterministic final
+    # snapshot can be taken from the scheduler AFTER the action returns —
+    # a wall-clock poller alone can be starved for the whole (short) job
+    # under CPU contention and then reports nothing.
+    group = f"cfts-progress-{uuid.uuid4().hex[:8]}"
+
+    def _group_task_counts() -> tuple[int, int]:
+        done = total = 0
+        for jid in st.getJobIdsForGroup(group):
+            ji = st.getJobInfo(jid)
+            if ji is None:
+                continue
+            for sid in ji.stageIds:
+                si = st.getStageInfo(sid)
+                if si is not None:
+                    total += si.numTasks
+                    done += si.numCompletedTasks
+        return done, total
 
     def poll() -> None:
-        st = spark.sparkContext.statusTracker()
         while not stop.is_set():
-            done = total = 0
-            for jid in st.getActiveJobsIds():
-                ji = st.getJobInfo(jid)
-                if ji is None:
-                    continue
-                for sid in ji.stageIds:
-                    si = st.getStageInfo(sid)
-                    if si is not None:
-                        total += si.numTasks
-                        done += si.numCompletedTasks
+            done, total = _group_task_counts()
             if total:
                 tracker.set_absolute(done, total)
             stop.wait(poll_interval)
 
     t = Thread(target=poll, daemon=True)
     t.start()
+    sc.setJobGroup(group, "run_with_progress")
     try:
         result = action()
+        stop.set()
+        t.join(timeout=2.0)
+        # guaranteed ≥1 real-task-count snapshot, however fast the job ran
+        done, total = _group_task_counts()
+        if total:
+            tracker.set_absolute(done, total)
         tracker.finish(True)
     except Exception as e:  # noqa: BLE001 — surface through tracker, re-raise
         tracker.finish(False, str(e))
@@ -114,6 +132,7 @@ def run_with_progress(
     finally:
         stop.set()
         t.join(timeout=2.0)
+        sc.setLocalProperty("spark.jobGroup.id", None)
     return result, tracker
 
 

@@ -171,10 +171,40 @@ def test_time_and_math_renames():
         "from_utc_timestamp(ts, 'America/New_York')"
     )
     assert tr("modulo(a, b)") == "mod(a, b)"
-    assert tr("intDiv(a + 1, b)") == "CAST(FLOOR((a + 1) / (b)) AS BIGINT)"
+    assert "DIV" in tr("intDiv(a + 1, b)")  # stays in long arithmetic
 
 
 def test_int_div_floor_semantics(spark):
-    # ClickHouse intDiv(-7, 2) = -4 (floor); Spark's `div` would give -3
+    # ClickHouse intDiv(-7, 2) = -4 (floor); Spark's bare `div` gives -3
     out = spark.sql("SELECT " + tr("intDiv(-7, 2)") + " AS v").first()
     assert out.v == -4
+    out = spark.sql("SELECT " + tr("intDiv(7, 2)") + " AS v").first()
+    assert out.v == 3
+    out = spark.sql("SELECT " + tr("intDiv(7, -2)") + " AS v").first()
+    assert out.v == -4
+    out = spark.sql("SELECT " + tr("intDiv(-8, 2)") + " AS v").first()
+    assert out.v == -4  # exact division: no correction
+    # past 2^53 double division drifts; long `div` must stay exact
+    big = 9007199254740993  # 2^53 + 1
+    out = spark.sql("SELECT " + tr(f"intDiv({big}, 1)") + " AS v").first()
+    assert out.v == big
+
+
+def test_prewhere_subquery_where_depth():
+    # the WHERE inside the IN-subquery must NOT terminate the PREWHERE
+    # predicate — merge at paren depth 0 only
+    out = tr(
+        "SELECT a FROM t PREWHERE a IN (SELECT z FROM u WHERE q > 1) "
+        "WHERE y < 2 ORDER BY a"
+    )
+    assert out == (
+        "SELECT a FROM t WHERE (a IN (SELECT z FROM u WHERE q > 1)) "
+        "AND (y < 2) ORDER BY a"
+    )
+    # subquery terminators (GROUP/LIMIT) are likewise invisible at depth 0
+    out = tr(
+        "SELECT a FROM t PREWHERE a IN (SELECT z FROM u GROUP BY z) WHERE y < 2"
+    )
+    assert out == (
+        "SELECT a FROM t WHERE (a IN (SELECT z FROM u GROUP BY z)) AND (y < 2) "
+    )
