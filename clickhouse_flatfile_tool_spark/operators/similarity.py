@@ -383,7 +383,17 @@ def ivf_cosine_topk(
     """
     from pyspark.sql import types as T
 
-    sample = corpus.select(vec_col).limit(sample_size).collect()
+    # Hash-ordered sample: deterministic like a prefix, but draws uniformly
+    # from the whole corpus (a plain limit() on an ingestion-ordered parquet
+    # table would train k-means on the first partitions only and can yield
+    # degenerate centroids).  TakeOrderedAndProject keeps this a distributed
+    # top-k, not a full sort.
+    sample = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col)))
+        .limit(sample_size)
+        .collect()
+    )
     cent = _kmeans_centroids(np.array([r[0] for r in sample], dtype=np.float64), n_lists, seed)
     bc = corpus.sparkSession.sparkContext.broadcast(cent)
 
@@ -436,10 +446,18 @@ def ivf_build_centroids(
     (list_id, centroid array<double>) — persist with ``write.parquet`` and
     reuse across queries/days; at 100 TB you train once on a bounded sample,
     not per search.  Driver-side spherical k-means over ≤``sample_size``
-    rows (bounded, documented); the model is n_lists×dim — tiny."""
+    rows (bounded, documented); the model is n_lists×dim — tiny.  The
+    sample is hash-ordered (xxhash64 of the vector) so it is deterministic
+    yet uniform over the corpus — a raw prefix limit() would see only the
+    first partitions of an ingestion-ordered table."""
     import numpy as np
 
-    sample = corpus.select(vec_col).limit(sample_size).collect()
+    sample = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col)))
+        .limit(sample_size)
+        .collect()
+    )
     cent = _kmeans_centroids(
         np.array([r[0] for r in sample], dtype=np.float64), n_lists, seed
     )
