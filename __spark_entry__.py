@@ -743,6 +743,55 @@ def q_pipeline_filter_dedup(spark, d):
     return relational.chain_join([surv, emb], ["doc_id = vec_id"]).select("doc_id", "label")
 
 
+def q_gopher_rules(spark, d):
+    """Gopher-style rules quality filter (Rae et al. 2021 table A1 analog):
+    per-rule boolean gates + conjunction, cast to 0/1 ints for the
+    cross-engine hash.  Pure codegen mapper — zero shuffle at any scale."""
+    out = text.gopher_quality_rules(_t(spark, d, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("r_word_count").cast("int").alias("r_word_count"),
+        F.col("r_mean_word_len").cast("int").alias("r_mean_word_len"),
+        F.col("r_symbol_ratio").cast("int").alias("r_symbol_ratio"),
+        F.col("r_alpha_ratio").cast("int").alias("r_alpha_ratio"),
+        F.col("r_stopwords").cast("int").alias("r_stopwords"),
+        F.col("gopher_pass").cast("int").alias("gopher_pass"),
+    )
+
+
+def q_boilerplate(spark, d):
+    """C4-style repeated-span removal at n-gram granularity: per-doc count
+    and ratio of trigrams occurring in >= 5 distinct documents.  Inverted
+    index -> doc-frequency groupBy (map-side combine absorbs hot grams) ->
+    join back -> per-doc agg."""
+    out = dedup.boilerplate_ngrams(_t(spark, d, "documents"), min_docs=5)
+    return out.select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_boilerplate").cast("long").alias("n_boilerplate"),
+        "boilerplate_ratio",
+    )
+
+
+def q_decontaminate(spark, d):
+    """Benchmark decontamination (GPT-3/PaLM n-gram-collision procedure):
+    every 20th doc stands in for the eval suite; training docs sharing any
+    trigram with it are flagged.  Benchmark shingles broadcast — the 100 TB
+    side is a map-only probe plus one per-doc groupBy."""
+    docs = _t(spark, d, "documents")
+    bench = docs.filter("doc_id % 20 = 0")
+    train = docs.filter("doc_id % 20 != 0")
+    out = dedup.decontaminate(train, bench)
+    return out.select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        "overlap_ratio",
+        F.col("contaminated").cast("int").alias("contaminated"),
+    )
+
+
 def q_multimodal_join(spark, d):
     docs = _t(spark, d, "documents")
     emb = _t(spark, d, "embeddings")
@@ -1575,6 +1624,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   embedding_norm -> cosine_topk   token_histogram -> topk_freq
     #   window_first_last -> window_lag map_props -> array_funcs/json_props
     return {
+        # --- tier 0: new this round (round 3) ---
+        "gopher_rules": q_gopher_rules,
+        "boilerplate": q_boilerplate,
+        "decontaminate": q_decontaminate,
         # --- tier 1: never driver-checked, oracled (highest priority) ---
         "pmi_collocations": q_pmi_collocations,
         "retention_cohorts": q_retention_cohorts,
@@ -1812,6 +1865,74 @@ FROM shared
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
 WHERE n_shared / (sa.sz + sb.sz - n_shared) >= 0.5
+"""
+
+_GOPHER_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id,
+         {_NTOK} AS n_words,
+         length(regexp_replace(text, '\\s+', '', 'g'))
+           / greatest({_NTOK}, 1) AS mean_wl,
+         {_PUNCT} / greatest(length(text), 1) AS symbol_ratio,
+         len(list_filter({_WORDS}, x -> regexp_matches(x, '[a-z]')))
+           / greatest({_NTOK}, 1) AS alpha_ratio,
+         len(list_intersect({_WORDS},
+             ['the', 'a', 'and', 'of', 'to'])) AS stop_hits
+  FROM documents
+), r AS (
+  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 1 ELSE 0 END AS r_word_count,
+         CASE WHEN mean_wl >= 2.0 AND mean_wl <= 12.0 THEN 1 ELSE 0 END AS r_mean_word_len,
+         CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS r_symbol_ratio,
+         CASE WHEN alpha_ratio >= 0.8 THEN 1 ELSE 0 END AS r_alpha_ratio,
+         CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS r_stopwords
+  FROM m
+)
+SELECT doc_id, n_words, r_word_count, r_mean_word_len, r_symbol_ratio,
+       r_alpha_ratio, r_stopwords,
+       r_word_count * r_mean_word_len * r_symbol_ratio * r_alpha_ratio
+         * r_stopwords AS gopher_pass
+FROM r
+"""
+
+_BOILERPLATE_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id AS id, {_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+), inv AS (
+  SELECT id, unnest(sh) AS s FROM base
+), df AS (
+  SELECT s, count(*) AS dfreq FROM inv GROUP BY s
+)
+SELECT id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN dfreq >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+       round(sum(CASE WHEN dfreq >= 5 THEN 1 ELSE 0 END) / count(*), 6)
+         AS boilerplate_ratio
+FROM inv JOIN df USING (s)
+GROUP BY id
+"""
+
+_DECONTAMINATE_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id AS id, {_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+), binv AS (
+  SELECT DISTINCT s FROM (
+    SELECT unnest(sh) AS s FROM base WHERE id % 20 = 0
+  )
+), tinv AS (
+  SELECT id, unnest(sh) AS s FROM base WHERE id % 20 <> 0
+)
+SELECT t.id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       round(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) / count(*), 6)
+         AS overlap_ratio,
+       CASE WHEN sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) >= 1
+            THEN 1 ELSE 0 END AS contaminated
+FROM tinv t LEFT JOIN binv b ON t.s = b.s
+GROUP BY t.id
 """
 
 _CONTAINMENT_ORACLE = f"""
@@ -2582,6 +2703,9 @@ FROM chunks GROUP BY 1"""
             "FROM documents GROUP BY 1"
         ),
         "ngram_jaccard": _JACCARD_ORACLE,
+        "gopher_rules": _GOPHER_ORACLE,
+        "boilerplate": _BOILERPLATE_ORACLE,
+        "decontaminate": _DECONTAMINATE_ORACLE,
         "connected_components": _CC_ORACLE,
         "dedup_cc": _CC_DEDUP_ORACLE,
         "minhash_portable": _MINHASH_PORTABLE_ORACLE,

@@ -465,6 +465,89 @@ def containment_pairs(
     )
 
 
+def boilerplate_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_docs: int = 10,
+) -> DataFrame:
+    """Cross-document boilerplate detection — the n-gram-granularity analog
+    of C4's repeated-line removal (Raffel et al. 2020 drop any 3-sentence
+    span seen more than once; RefinedWeb dedups repeated lines).  The
+    fixture corpus has no line structure, so the unit of repetition is the
+    word n-gram.
+
+    Returns per-document ``(id, n_shingles, n_boilerplate,
+    boilerplate_ratio)`` where a shingle is boilerplate when it occurs in
+    ≥ ``min_docs`` distinct documents.  A pipeline filters or rewrites docs
+    whose ratio is high (template/spam pages).
+
+    Scale shape: inverted-index postings → groupBy shingle for doc
+    frequency (map-side partial agg collapses hot grams per mapper — the
+    skew-proof shape; a COUNT window over the shingle key would funnel a
+    100M-doc boilerplate gram into one task) → join postings back on the
+    shingle hash (AQE skew-join splits residual hot keys) → groupBy doc.
+    Postings appear twice in the plan but are cheap column-pruned mapper
+    work; nothing materializes on the driver.
+    """
+    posts = shingle_postings(df, id_col, text_col, n)
+    # postings are distinct per doc, so count-per-shingle == doc frequency
+    docfreq = posts.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    flagged = posts.join(docfreq, "__s").select(
+        id_col, (F.col("__df") >= min_docs).alias("__bp")
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.col("__bp").cast("long")).alias("n_boilerplate"),
+        F.round(
+            F.sum(F.col("__bp").cast("long")) / F.count(F.lit(1)), 6
+        ).alias("boilerplate_ratio"),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    n-gram with an evaluation/benchmark set (the published GPT-3/PaLM
+    procedure uses 8–13-gram collision; n is a parameter and the fixture's
+    short docs use the repo-standard trigram).
+
+    Returns one row per training document: ``(id, n_shingles, n_overlap,
+    overlap_ratio, contaminated)`` with ``n_overlap`` = distinct shingles
+    also present in the benchmark.
+
+    Scale shape: the benchmark side (eval suites are ~10⁴–10⁶ grams even at
+    100 TB train scale) is reduced to DISTINCT hashed shingles and
+    broadcast, so the train side is a map-only semi-join probe — zero
+    shuffle on the 100 TB side except the final per-doc groupBy.
+    """
+    bench_sh = F.broadcast(
+        shingle_postings(benchmark, id_col, text_col, n).select("__s").distinct()
+    )
+    posts = shingle_postings(train, id_col, text_col, n)
+    hits = posts.join(bench_sh.withColumn("__hit", F.lit(1)), "__s", "left")
+    return hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0)).cast("long")).alias("n_overlap"),
+        F.round(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)).cast("long"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("overlap_ratio"),
+        (
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)).cast("long"))
+            >= F.lit(min_overlap)
+        ).alias("contaminated"),
+    )
+
+
 def incremental_exact_dedup(
     new_df: DataFrame,
     corpus_df: DataFrame,

@@ -174,6 +174,68 @@ def corpus_stats(df: DataFrame, group_cols: list[str] = ["lang"]) -> DataFrame:
     )
 
 
+# Gopher-style rule thresholds (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", table A1 — public
+# paper).  Tuned down for the fixture's short docs; parameterized anyway.
+_GOPHER_STOPWORDS = ["the", "a", "and", "of", "to"]
+
+
+def gopher_quality_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style rules quality filter: one boolean column per rule plus
+    the conjunction ``gopher_pass`` — the standard pretraining-corpus gate
+    (word-count bounds, mean word length bounds, symbol-to-char ratio,
+    alphabetic-word fraction, stopword presence).
+
+    Differs from :func:`with_quality_score` (a scalar score for ranking):
+    rules are hard gates with per-rule attribution, so a pipeline can report
+    WHY documents were dropped.  All built-in expressions, fully codegen —
+    at 100 TB this is a mapper with zero shuffle.
+    """
+    c = F.col(text_col)
+    words = F.split(F.trim(F.lower(c)), _WS_SPLIT)
+    n_words = F.size(words)
+    mean_wl = F.length(F.regexp_replace(c, _WS_SPLIT, "")) / F.greatest(
+        n_words, F.lit(1)
+    )
+    symbol_ratio = F.regexp_count(c, F.lit(r"[^\w\s]")) / F.greatest(
+        F.length(c), F.lit(1)
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    alpha_ratio = alpha_words / F.greatest(n_words, F.lit(1))
+    stop_hits = F.size(
+        F.array_intersect(words, F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]))
+    )
+    out = (
+        df.withColumn("n_words", n_words)
+        .withColumn("r_word_count", (n_words >= min_words) & (n_words <= max_words))
+        .withColumn(
+            "r_mean_word_len",
+            (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len),
+        )
+        .withColumn("r_symbol_ratio", symbol_ratio <= max_symbol_ratio)
+        .withColumn("r_alpha_ratio", alpha_ratio >= min_alpha_word_ratio)
+        .withColumn("r_stopwords", stop_hits >= min_stopword_hits)
+    )
+    return out.withColumn(
+        "gopher_pass",
+        F.col("r_word_count")
+        & F.col("r_mean_word_len")
+        & F.col("r_symbol_ratio")
+        & F.col("r_alpha_ratio")
+        & F.col("r_stopwords"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII redaction & chunking (training-data pipeline ops)
 # ---------------------------------------------------------------------------

@@ -311,3 +311,60 @@ def test_incremental_lsh_finds_cross_corpus_near_dup(tables, spark):
     # never pairs corpus with corpus or batch with batch
     assert all(n % 2 == 1 or n == 999_999 for n, _ in got)
     assert all(c % 2 == 0 for _, c in got)
+
+
+def test_gopher_rules_flags_and_conjunction(spark):
+    rows = [
+        (1, "the quick brown fox and a dog ran of to them today " * 3),  # passes all
+        (2, "hi"),                                                        # too few words
+        (3, "a " + "!!! ??? ;;; " * 20),                                  # symbol soup
+        (4, "the of a to and " + " ".join(["12345"] * 40)),               # low alpha ratio
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in X.gopher_quality_rules(df).collect()}
+    assert out[1].gopher_pass
+    assert not out[2].r_word_count and not out[2].gopher_pass
+    assert not out[3].r_symbol_ratio and not out[3].gopher_pass
+    assert not out[4].r_alpha_ratio and not out[4].gopher_pass
+    # conjunction == AND of all rule columns, every row
+    for r in out.values():
+        assert r.gopher_pass == (
+            r.r_word_count and r.r_mean_word_len and r.r_symbol_ratio
+            and r.r_alpha_ratio and r.r_stopwords
+        )
+
+
+def test_boilerplate_ngrams_planted_template(spark, docs):
+    # plant the same 6-word template into 10 docs -> its 4 trigrams must be
+    # flagged as boilerplate in every planted doc at min_docs=10
+    template = "zqx wvu tsr qpo nml kji"
+    planted = docs.filter("doc_id < 10").withColumn(
+        "text", F.concat(F.lit(template + " "), F.col("text"))
+    )
+    rest = docs.filter("doc_id >= 10")
+    out = D.boilerplate_ngrams(planted.unionByName(rest), min_docs=10)
+    flagged = {r.doc_id: r for r in out.filter("doc_id < 10").collect()}
+    assert len(flagged) == 10
+    for r in flagged.values():
+        assert r.n_boilerplate >= 4, r
+        assert 0.0 < r.boilerplate_ratio <= 1.0
+    # every doc accounted for, shingle counts positive
+    assert out.count() == docs.count()
+    assert out.filter("n_shingles <= 0").count() == 0
+
+
+def test_decontaminate_planted_overlap(spark, docs):
+    # benchmark = doc 0; train = a doc repeating doc 0's text (contaminated)
+    # plus a doc of unseen words (clean)
+    bench = docs.filter("doc_id = 0").select("doc_id", "text")
+    contaminated = docs.filter("doc_id = 0").select(
+        F.lit(101).cast("long").alias("doc_id"), "text"
+    )
+    clean = spark.createDataFrame(
+        [(102, "zzz yyy xxx www vvv uuu ttt sss")], ["doc_id", "text"]
+    )
+    train = contaminated.unionByName(clean)
+    out = {r.doc_id: r for r in D.decontaminate(train, bench).collect()}
+    assert out[101].contaminated and out[101].n_overlap == out[101].n_shingles
+    assert not out[102].contaminated and out[102].n_overlap == 0
+    assert abs(out[101].overlap_ratio - 1.0) < 1e-9
