@@ -539,6 +539,64 @@ def q_tpch_q5(spark, d):
     )
 
 
+def q_tpch_q1(spark, d):
+    """TPC-H Q1 (pricing summary report), native DataFrame: the canonical
+    scan-heavy aggregation — one pushed-down filter, one groupBy on two
+    low-cardinality keys, 8 aggregates computed in a single shuffle with
+    map-side partial agg.  Monetary math in integer cents (prices/rates
+    have 2 decimals), so every sum is an exact BIGINT on both engines and
+    the final division is the only float op — bit-identical cross-engine."""
+    li = _t(spark, d, "lineitem")
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    tax_c = F.round(F.col("l_tax") * 100).cast("long")
+    disc_price_u = price_c * (F.lit(100).cast("long") - disc_c)      # 1e-4 units
+    charge_u = disc_price_u * (F.lit(100).cast("long") + tax_c)      # 1e-6 units
+    n = F.count(F.lit(1))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(qty_c) / 100.0, 2).alias("sum_qty"),
+            F.round(F.sum(price_c) / 100.0, 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price_u) / 10000.0, 2).alias("sum_disc_price"),
+            F.round(F.sum(charge_u) / 1000000.0, 2).alias("sum_charge"),
+            F.round(F.sum(qty_c) / 100.0 / n, 4).alias("avg_qty"),
+            F.round(F.sum(price_c) / 100.0 / n, 4).alias("avg_price"),
+            F.round(F.sum(disc_c) / 100.0 / n, 4).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q19(spark, d):
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates): the
+    classic OR-of-conjunctions query — part is broadcast, the brand/size/
+    quantity disjunction is evaluated post-join while the shared
+    l_quantity range-envelope predicate pushes into the lineitem scan.
+    (The synthetic schema has no p_container/l_shipmode; the disjunction
+    uses brand × size × quantity, same plan shape.)"""
+    li, p = (_t(spark, d, t) for t in ["lineitem", "part"])
+    j = li.where(F.col("l_quantity").between(1, 30)).join(
+        relational.broadcast_dim(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    b, s, q = F.col("p_brand"), F.col("p_size"), F.col("l_quantity")
+    cond = (
+        ((b == "Brand#3") & s.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#14") & s.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#25") & s.between(1, 35) & q.between(20, 30))
+    )
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    return j.where(cond).agg(
+        F.round(F.sum(price_c * (F.lit(100).cast("long") - disc_c)) / 10000.0, 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def q_salted_join(spark, d):
     """Skew-resistant salted equi-join, checked against the plain-join
     oracle: identical results, but each hot key spreads over 8 reducers."""
@@ -1628,6 +1686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "boilerplate": q_boilerplate,
         "decontaminate": q_decontaminate,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q19": q_tpch_q19,
         # --- tier 1: never driver-checked, oracled (highest priority) ---
         "pmi_collocations": q_pmi_collocations,
         "retention_cohorts": q_retention_cohorts,
@@ -2305,6 +2365,33 @@ FROM chunks GROUP BY 1"""
             "FROM act JOIN fs ON act.user_id = fs.user_id GROUP BY 1, 2"
         ),
         "profile_table": ("SELECT 'o_orderkey' AS col, count(*) AS n_rows, count(o_orderkey) AS n_nonnull, count(DISTINCT o_orderkey) AS n_distinct, count(*) - count(o_orderkey) AS n_null FROM orders UNION ALL SELECT 'o_custkey' AS col, count(*) AS n_rows, count(o_custkey) AS n_nonnull, count(DISTINCT o_custkey) AS n_distinct, count(*) - count(o_custkey) AS n_null FROM orders UNION ALL SELECT 'o_orderstatus' AS col, count(*) AS n_rows, count(o_orderstatus) AS n_nonnull, count(DISTINCT o_orderstatus) AS n_distinct, count(*) - count(o_orderstatus) AS n_null FROM orders UNION ALL SELECT 'o_totalprice' AS col, count(*) AS n_rows, count(o_totalprice) AS n_nonnull, count(DISTINCT o_totalprice) AS n_distinct, count(*) - count(o_totalprice) AS n_null FROM orders UNION ALL SELECT 'o_orderdate' AS col, count(*) AS n_rows, count(o_orderdate) AS n_nonnull, count(DISTINCT o_orderdate) AS n_distinct, count(*) - count(o_orderdate) AS n_null FROM orders UNION ALL SELECT 'o_orderpriority' AS col, count(*) AS n_rows, count(o_orderpriority) AS n_nonnull, count(DISTINCT o_orderpriority) AS n_distinct, count(*) - count(o_orderpriority) AS n_null FROM orders"),
+        "tpch_q1": (
+            "WITH b AS (SELECT l_returnflag, l_linestatus, "
+            "CAST(round(l_quantity * 100) AS BIGINT) AS qty_c, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c, "
+            "CAST(round(l_discount * 100) AS BIGINT) AS disc_c, "
+            "CAST(round(l_tax * 100) AS BIGINT) AS tax_c "
+            "FROM lineitem WHERE l_shipdate <= '1998-09-02') "
+            "SELECT l_returnflag, l_linestatus, "
+            "round(CAST(sum(qty_c) AS BIGINT) / 100.0, 2) AS sum_qty, "
+            "round(CAST(sum(price_c) AS BIGINT) / 100.0, 2) AS sum_base_price, "
+            "round(CAST(sum(price_c * (100 - disc_c)) AS BIGINT) / 10000.0, 2) AS sum_disc_price, "
+            "round(CAST(sum(price_c * (100 - disc_c) * (100 + tax_c)) AS BIGINT) / 1000000.0, 2) AS sum_charge, "
+            "round(CAST(sum(qty_c) AS BIGINT) / 100.0 / count(*), 4) AS avg_qty, "
+            "round(CAST(sum(price_c) AS BIGINT) / 100.0 / count(*), 4) AS avg_price, "
+            "round(CAST(sum(disc_c) AS BIGINT) / 100.0 / count(*), 4) AS avg_disc, "
+            "count(*) AS count_order "
+            "FROM b GROUP BY l_returnflag, l_linestatus"
+        ),
+        "tpch_q19": (
+            "SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "* (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0, 2) "
+            "AS revenue, count(*) AS n_items "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11) "
+            "OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20) "
+            "OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)"
+        ),
         "tpch_q6": (
             "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue "
             "FROM lineitem WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01' "

@@ -70,6 +70,12 @@ BENCH_QUERIES = [
     "repetition_metrics",
     "tfidf_terms",
     "hll_rollup",
+    # round 3 additions
+    "tpch_q1",
+    "tpch_q19",
+    "gopher_rules",
+    "boilerplate",
+    "decontaminate",
 ]
 
 
