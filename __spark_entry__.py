@@ -772,6 +772,16 @@ def q_embedding_dedup(spark, d):
     return similarity.cosine_dedup_pairs(emb, cos_threshold=0.4)
 
 
+def q_semantic_dedup(spark, d):
+    """SemDeDup (Abbas et al. 2023): k-means clusters → within-cluster
+    cosine pairs → greedy min-id survivor policy.  Rows-only (driver-side
+    k-means is not SQL-expressible); pytest asserts planted-dup capture and
+    the no-surviving-pair guarantee."""
+    emb = _t(spark, d, "embeddings")
+    out = similarity.semantic_dedup(emb, cos_threshold=0.9, n_clusters=8)
+    return out.select("vec_id", "label")
+
+
 def q_embedding_dedup_lsh(spark, d):
     emb = _t(spark, d, "embeddings")
     return similarity.embedding_dedup_candidates(emb, cos_threshold=0.4)
@@ -1688,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "tpch_q1": q_tpch_q1,
         "tpch_q19": q_tpch_q19,
+        "semantic_dedup": q_semantic_dedup,
         # --- tier 1: never driver-checked, oracled (highest priority) ---
         "pmi_collocations": q_pmi_collocations,
         "retention_cohorts": q_retention_cohorts,

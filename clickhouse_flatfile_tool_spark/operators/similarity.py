@@ -590,3 +590,82 @@ def embedding_dedup_candidates(
         .filter(F.col("cos_sim") >= cos_threshold)
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cos_threshold: float = 0.95,
+    n_clusters: int = 16,
+    sample_size: int = 10_000,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style within-cluster near-duplicate pairs (Abbas et al.
+    2023, "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — public paper): k-means the corpus into ``n_clusters``,
+    then compare embeddings ONLY inside their own cluster, reducing the
+    exact all-pairs O(N²) to Σ|cluster|² ≈ N²/k while catching near-dups,
+    which land in the same cluster by construction.
+
+    Plan shape: bounded-sample k-means on the driver (model is k×dim —
+    tiny), broadcast centroid assignment (pure codegen, no UDF), then one
+    ``applyInPandas`` BLAS pass per cluster.  A cluster is a single Arrow
+    group, so size ``n_clusters`` such that N/k rows × dim doubles fit an
+    executor (the paper's own operating assumption; for clusters beyond
+    that, :func:`cosine_dedup_pairs` is the block-pair exact fallback).
+
+    Misses only cross-cluster pairs near cluster boundaries — the recall
+    trade the paper accepts; pytest plants an exact duplicate and asserts
+    it is always caught (identical vectors always share a cluster).
+    """
+    centroids = ivf_build_centroids(
+        df, n_lists=n_clusters, sample_size=sample_size, seed=seed, vec_col=vec_col
+    )
+    assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col, n_probe=1)
+
+    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["__id"].to_numpy(dtype=np.int64)
+        m = np.array(list(pdf["__v"]), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        keep = (sims >= cos_threshold) & (ids[:, None] < ids[None, :])
+        ai, bi = np.nonzero(keep)
+        return pd.DataFrame(
+            {"id_a": ids[ai], "id_b": ids[bi], "cos_sim": np.round(sims[ai, bi], 6)}
+        )
+
+    grouped = assigned.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(vec_col).alias("__v"),
+        "list_id",
+    )
+    return grouped.groupBy("list_id").applyInPandas(score, _PAIR_SCHEMA)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cos_threshold: float = 0.95,
+    n_clusters: int = 16,
+    sample_size: int = 10_000,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup end-to-end: drop every row that has a within-cluster
+    neighbor with a SMALLER id at cos ≥ threshold (deterministic greedy —
+    the paper keeps one representative per ε-ball; min-id is the
+    engine-portable choice).  Guarantee: no two surviving rows in the same
+    cluster are ≥ threshold apart (if (a<b) survived as a pair, b would
+    have been dropped).  Output = input columns, survivors only; one
+    anti-join after the pair pass."""
+    pairs = semantic_dedup_pairs(
+        df, id_col, vec_col, cos_threshold, n_clusters, sample_size, seed
+    )
+    drops = pairs.select(F.col("id_b").alias("__drop")).distinct()
+    return df.join(
+        drops, F.col(id_col).cast("long") == F.col("__drop"), "left_anti"
+    )

@@ -175,3 +175,33 @@ def test_ivf_persistent_index_roundtrip(emb, spark, tmp_path):
     exact = {(r.query_id, r.neighbor_id) for r in S.cosine_topk(queries, emb, k=5).collect()}
     recall = len(exact & a) / len(exact)
     assert recall >= 0.8, f"persistent IVF recall too low: {recall}"
+
+
+def test_semantic_dedup_pairs_planted_and_subset(spark, emb):
+    """SemDeDup: an exact planted duplicate is ALWAYS caught (identical
+    vectors share a cluster by construction), and every reported pair
+    really is >= threshold (verified against exact cosine)."""
+    import math
+
+    dup = emb.filter("vec_id = 7").withColumn("vec_id", F.lit(999_999).cast("long"))
+    with_dup = emb.unionByName(dup)
+    pairs = S.semantic_dedup_pairs(with_dup, cos_threshold=0.99)
+    rows = pairs.collect()
+    assert any(r.id_a == 7 and r.id_b == 999_999 for r in rows)
+    assert all(r.cos_sim >= 0.99 - 1e-6 for r in rows)
+    planted = [r for r in rows if r.id_a == 7 and r.id_b == 999_999][0]
+    assert math.isclose(planted.cos_sim, 1.0, abs_tol=1e-6)
+
+
+def test_semantic_dedup_survivor_invariants(spark, emb):
+    """Survivors are a subset of the input, the planted dup is dropped, and
+    no surviving within-cluster pair is >= threshold (greedy min-id
+    guarantee)."""
+    dup = emb.filter("vec_id = 7").withColumn("vec_id", F.lit(999_999).cast("long"))
+    with_dup = emb.unionByName(dup)
+    surv = S.semantic_dedup(with_dup, cos_threshold=0.99)
+    ids = {r.vec_id for r in surv.select("vec_id").collect()}
+    assert 999_999 not in ids and 7 in ids
+    assert ids <= {r.vec_id for r in with_dup.select("vec_id").collect()}
+    # re-running the pair pass on survivors must find nothing
+    assert S.semantic_dedup_pairs(surv, cos_threshold=0.99).count() == 0
