@@ -1479,6 +1479,13 @@ def q_pmi_collocations(spark, d):
     return text.pmi_collocations(docs, k=50, min_count=5)
 
 
+def q_bigram_surprisal(spark, d):
+    """Per-doc mean conditional bigram surprisal vs the corpus bigram MLE —
+    the context-aware LM-quality gate (text.py::bigram_surprisal)."""
+    docs = _t(spark, d, "documents")
+    return text.bigram_surprisal(docs)
+
+
 def q_retention_cohorts(spark, d):
     """Cohort retention (first-seen date × day offset × distinct users) —
     activity deduped per (user, day) before the join."""
@@ -1699,6 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q19": q_tpch_q19,
         "semantic_dedup": q_semantic_dedup,
+        "bigram_surprisal": q_bigram_surprisal,
         # --- tier 1: never driver-checked, oracled (highest priority) ---
         "pmi_collocations": q_pmi_collocations,
         "retention_cohorts": q_retention_cohorts,
@@ -2350,6 +2358,20 @@ FROM chunks GROUP BY 1"""
             "round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price, "
             "round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price "
             "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "bigram_surprisal": (
+            "WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w "
+            "FROM documents), "
+            "d2 AS (SELECT doc_id, w FROM d WHERE len(w) >= 2), "
+            "bgr AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1), "
+            "i -> w[i] || ' ' || w[i+1])) AS bg FROM d2), "
+            "bgc AS (SELECT bg, count(*) AS n_ab FROM bgr GROUP BY bg), "
+            "hc AS (SELECT split_part(bg, ' ', 1) AS h, CAST(sum(n_ab) AS BIGINT) AS n_h "
+            "FROM bgc GROUP BY 1) "
+            "SELECT doc_id, round(avg(-ln(n_ab / n_h)), 6) AS mean_surprisal, "
+            "count(*) AS n_bigrams "
+            "FROM bgr JOIN bgc USING (bg) JOIN hc ON split_part(bgr.bg, ' ', 1) = hc.h "
+            "GROUP BY doc_id"
         ),
         "pmi_collocations": (
             "WITH d AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents), "

@@ -373,6 +373,51 @@ def unigram_surprisal(
     )
 
 
+def bigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean conditional bigram surprisal
+    −mean(ln p(wᵢ | wᵢ₋₁)) against the corpus's own bigram MLE
+    p(b|a) = count(a b) / count(a ·) — one modeling level above
+    :func:`unigram_surprisal` (context-aware: a token is cheap when its
+    predecessor predicts it), the closer stand-in for the KenLM perplexity
+    gate of CCNet-style pipelines.
+
+    Shape: one exploded bigram pass builds the bigram table (groupBy,
+    map-side partials); head totals derive from the bigram table itself
+    (vocab-sized, never re-scans the corpus); the per-doc score joins the
+    SAME exploded bigrams to both tables.  Both model tables are
+    vocabulary-sized — the only reused state at 100 TB.  Documents with
+    fewer than 2 tokens have no bigrams and are excluded.
+    """
+    words = F.split(F.trim(F.lower(F.col(text_col))), _WS_SPLIT)
+    base = df.select(F.col(id_col), words.alias("__w")).where(F.size("__w") >= 2)
+    n_bg = F.size(F.col("__w")) - 1
+    bigrams = F.transform(
+        F.arrays_zip(
+            F.slice(F.col("__w"), 1, n_bg), F.slice(F.col("__w"), 2, n_bg)
+        ),
+        lambda s: F.concat_ws(" ", s["0"], s["1"]),
+    )
+    bgs = base.select(F.col(id_col), F.explode(bigrams).alias("bg"))
+    bgc = bgs.groupBy("bg").agg(F.count(F.lit(1)).alias("n_ab"))
+    heads = bgc.groupBy(F.substring_index("bg", " ", 1).alias("__h")).agg(
+        F.sum("n_ab").alias("n_h")
+    )
+    scored = (
+        bgs.join(bgc, "bg")
+        .withColumn("__h", F.substring_index("bg", " ", 1))
+        .join(heads, "__h")
+        .select(F.col(id_col), (-F.log(F.col("n_ab") / F.col("n_h"))).alias("s"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("s"), 6).alias("mean_surprisal"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Repetition metrics & corpus TF-IDF (training-data quality signals)
 # ---------------------------------------------------------------------------

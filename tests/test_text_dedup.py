@@ -368,3 +368,22 @@ def test_decontaminate_planted_overlap(spark, docs):
     assert out[101].contaminated and out[101].n_overlap == out[101].n_shingles
     assert not out[102].contaminated and out[102].n_overlap == 0
     assert abs(out[101].overlap_ratio - 1.0) < 1e-9
+
+
+def test_bigram_surprisal_hand_computed(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c"), (3, "x")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in X.bigram_surprisal(df).collect()}
+    # corpus bigram counts: "a b":2, "b a":1, "a c":1; heads: a:3, b:1
+    # doc 1: (-ln(2/3) + -ln(1/1) + -ln(2/3)) / 3
+    assert math.isclose(
+        out[1].mean_surprisal, round((2 * -math.log(2 / 3)) / 3, 6), abs_tol=1e-6
+    )
+    assert out[1].n_bigrams == 3
+    # doc 2: -ln(1/3)
+    assert math.isclose(out[2].mean_surprisal, round(-math.log(1 / 3), 6), abs_tol=1e-6)
+    # doc 3 has <2 tokens -> excluded
+    assert 3 not in out
