@@ -1486,6 +1486,21 @@ def q_bigram_surprisal(spark, d):
     return text.bigram_surprisal(docs)
 
 
+def q_mixture_weights(spark, d):
+    """Temperature-scaled (alpha=0.5) per-language sampling weights — the
+    multilingual alpha-sampling rule (sampling.py::temperature_mixture_weights)."""
+    docs = _t(spark, d, "documents")
+    return sampling.temperature_mixture_weights(docs, alpha=0.5)
+
+
+def q_token_budget(spark, d):
+    """Per-language token-budget trim in deterministic md5(id) order
+    (sampling.py::token_budget_trim) — window cumsum, budget 8000 tokens."""
+    docs = _t(spark, d, "documents")
+    out = sampling.token_budget_trim(docs, token_budget=8000)
+    return out.select("doc_id", "lang")
+
+
 def q_retention_cohorts(spark, d):
     """Cohort retention (first-seen date × day offset × distinct users) —
     activity deduped per (user, day) before the join."""
@@ -1707,6 +1722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": q_tpch_q19,
         "semantic_dedup": q_semantic_dedup,
         "bigram_surprisal": q_bigram_surprisal,
+        "mixture_weights": q_mixture_weights,
+        "token_budget": q_token_budget,
         # --- tier 1: never driver-checked, oracled (highest priority) ---
         "pmi_collocations": q_pmi_collocations,
         "retention_cohorts": q_retention_cohorts,
@@ -2358,6 +2375,24 @@ FROM chunks GROUP BY 1"""
             "round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price, "
             "round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price "
             "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "mixture_weights": (
+            "WITH per AS (SELECT lang, count(*) AS n_docs, "
+            "CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens "
+            "FROM documents GROUP BY lang), "
+            "w AS (SELECT *, pow(CAST(n_tokens AS DOUBLE), 0.5) AS w FROM per), "
+            "t AS (SELECT sum(w) AS tot FROM w) "
+            "SELECT lang, n_docs, n_tokens, round(w / tot, 6) AS sample_prob "
+            "FROM w CROSS JOIN t"
+        ),
+        "token_budget": (
+            "WITH d AS (SELECT doc_id, lang, "
+            "len(string_split_regex(trim(text), '\\s+')) AS nt, "
+            "md5(CAST(doc_id AS VARCHAR)) AS h FROM documents), "
+            "c AS (SELECT doc_id, lang, sum(nt) OVER (PARTITION BY lang "
+            "ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
+            "FROM d) "
+            "SELECT doc_id, lang FROM c WHERE cum <= 8000"
         ),
         "bigram_surprisal": (
             "WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w "

@@ -93,3 +93,65 @@ def hash_stratified_sample(
     for value, p in fractions.items():
         frac = F.when(F.col(strata_col) == value, F.lit(p)).otherwise(frac)
     return df.where(bucket16 < frac * 65536)
+
+
+def temperature_mixture_weights(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled sampling weights per group — the multilingual
+    alpha-sampling rule (p_g proportional to n_g^alpha, Conneau & Lample
+    2019; alpha<1 upweights low-resource groups, alpha=1 is proportional).
+    Returns per-group token counts, raw weight and the normalized sampling
+    probability.  Group table is tiny (|groups| rows); the normalizer joins
+    in as a broadcast 1-row aggregate — never a driver collect."""
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens).alias("n_tokens"),
+    )
+    per = per.withColumn("w", F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)))
+    tot = per.agg(F.sum("w").alias("tot"))
+    return per.join(F.broadcast(tot)).select(
+        group_col,
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.col("w") / F.col("tot"), 6).alias("sample_prob"),
+    )
+
+
+def token_budget_trim(
+    df: DataFrame,
+    token_budget: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Trim each group to a per-group token budget: rows are admitted in
+    deterministic md5(id) order (engine-portable, uniform — an unbiased
+    without-replacement draw, same rule as :func:`deterministic_reservoir`)
+    until the group's running token total exceeds the budget.  The document
+    that crosses the budget line is excluded.
+
+    One shuffle on the group key; the running sum is a window cumsum over
+    the per-group hash order.  At 100 TB pre-aggregate per (group, bucket)
+    first if groups are huge — the admitted prefix is hash-ordered, so a
+    coarse bucket-level cumsum can bound the scan before the row-level
+    window."""
+    from pyspark.sql import Window
+
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    h = F.md5(F.col(id_col).cast("string"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__nt", n_tokens)
+        .withColumn("__cum", F.sum("__nt").over(w))
+        .where(F.col("__cum") <= token_budget)
+        .drop("__nt", "__cum")
+    )

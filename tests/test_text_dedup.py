@@ -387,3 +387,43 @@ def test_bigram_surprisal_hand_computed(spark):
     assert math.isclose(out[2].mean_surprisal, round(-math.log(1 / 3), 6), abs_tol=1e-6)
     # doc 3 has <2 tokens -> excluded
     assert 3 not in out
+
+
+def test_temperature_mixture_weights_properties(tables):
+    from clickhouse_flatfile_tool_spark.operators.sampling import (
+        temperature_mixture_weights,
+    )
+
+    docs = tables["documents"]
+    # alpha=1 -> proportional to token counts; alpha=0 -> uniform
+    prop = {r.lang: r for r in temperature_mixture_weights(docs, alpha=1.0).collect()}
+    unif = {r.lang: r for r in temperature_mixture_weights(docs, alpha=0.0).collect()}
+    tot_tokens = sum(r.n_tokens for r in prop.values())
+    for lang, r in prop.items():
+        assert abs(r.sample_prob - r.n_tokens / tot_tokens) < 1e-5
+    for r in unif.values():
+        assert abs(r.sample_prob - 1.0 / len(unif)) < 1e-5
+    assert abs(sum(r.sample_prob for r in prop.values()) - 1.0) < 1e-4
+    # alpha=0.5 boosts the smallest group relative to proportional
+    half = {r.lang: r for r in temperature_mixture_weights(docs, alpha=0.5).collect()}
+    smallest = min(prop.values(), key=lambda r: r.n_tokens).lang
+    assert half[smallest].sample_prob > prop[smallest].sample_prob
+
+
+def test_token_budget_trim_respects_budget(tables, spark):
+    from clickhouse_flatfile_tool_spark.operators.sampling import token_budget_trim
+
+    docs = tables["documents"]
+    out = token_budget_trim(docs, token_budget=5000)
+    kept = out.select(
+        "lang", F.size(F.split(F.trim("text"), r"\s+")).alias("nt")
+    ).groupBy("lang").agg(F.sum("nt").alias("tot"))
+    for r in kept.collect():
+        assert r.tot <= 5000, r
+    # deterministic: same input -> same kept set
+    ids1 = {r.doc_id for r in out.select("doc_id").collect()}
+    ids2 = {
+        r.doc_id
+        for r in token_budget_trim(docs, token_budget=5000).select("doc_id").collect()
+    }
+    assert ids1 == ids2 and len(ids1) > 0
