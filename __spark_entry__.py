@@ -1076,6 +1076,34 @@ def q_summing_final(spark, d):
     return mergetree.summing_final(ev, ["user_id", "event_type"], ["value_cents"])
 
 
+def q_aggregating_final(spark, d):
+    """AggregatingMergeTree FINAL (the fourth MergeTree family): partial
+    (count,sum,min,max) states per (user,event_type) "part" merged to
+    event_type at read time, then finalized (avg = sum/count) — the
+    -State/-Merge combinator pattern, two hash aggs, cents-exact BIGINTs."""
+    ev = _t(spark, d, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    states = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(cents).alias("sum_cents"),
+        F.min(cents).alias("min_cents"),
+        F.max(cents).alias("max_cents"),
+    )
+    merged = mergetree.aggregating_final(
+        states,
+        ["event_type"],
+        {"cnt": "count", "sum_cents": "sum", "min_cents": "min", "max_cents": "max"},
+    )
+    return merged.select(
+        "event_type",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+        "min_cents",
+        "max_cents",
+        F.round(F.col("sum_cents") / 100.0 / F.col("cnt"), 6).alias("avg_value"),
+    )
+
+
 def q_replacing_final(spark, d):
     """ReplacingMergeTree FINAL: newest row per key via a partial-aggregatable
     max(struct(version, values)) — the aggregation twin of latest_per_key's
@@ -1724,6 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_surprisal": q_bigram_surprisal,
         "mixture_weights": q_mixture_weights,
         "token_budget": q_token_budget,
+        "aggregating_final": q_aggregating_final,
         # --- tier 1: never driver-checked, oracled (highest priority) ---
         "pmi_collocations": q_pmi_collocations,
         "retention_cohorts": q_retention_cohorts,
@@ -2375,6 +2404,19 @@ FROM chunks GROUP BY 1"""
             "round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price, "
             "round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price "
             "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "aggregating_final": (
+            "WITH states AS (SELECT user_id, event_type, count(*) AS cnt, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents, "
+            "min(CAST(round(value * 100) AS BIGINT)) AS min_cents, "
+            "max(CAST(round(value * 100) AS BIGINT)) AS max_cents "
+            "FROM events GROUP BY 1, 2) "
+            "SELECT event_type, CAST(sum(cnt) AS BIGINT) AS cnt, "
+            "CAST(sum(sum_cents) AS BIGINT) AS sum_cents, "
+            "min(min_cents) AS min_cents, max(max_cents) AS max_cents, "
+            "round(CAST(sum(sum_cents) AS BIGINT) / 100.0 / CAST(sum(cnt) AS BIGINT), 6) "
+            "AS avg_value "
+            "FROM states GROUP BY event_type"
         ),
         "mixture_weights": (
             "WITH per AS (SELECT lang, count(*) AS n_docs, "

@@ -58,6 +58,31 @@ def summing_final(
     )
 
 
+def aggregating_final(
+    df: DataFrame,
+    key_cols: list[str],
+    state_map: dict[str, str],
+) -> DataFrame:
+    """AggregatingMergeTree FINAL: merge partial aggregate STATES per key —
+    the fourth MergeTree family (ClickHouse's ``-State``/``-Merge``
+    combinator pattern: parts hold sumState/countState/minState/maxState
+    columns and FINAL combines them).
+
+    ``state_map`` maps each state column to its merge function: ``sum``
+    and ``count`` states merge by summation, ``min``/``max`` by their own
+    function — exactly ClickHouse's merge rule, and every one is
+    partial-aggregatable in Spark, so the whole FINAL read stays one
+    shuffle with map-side combine.  Finalization (e.g. avg = sum/count) is
+    a post-merge projection left to the caller."""
+    mergers = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    unknown = {k for k in state_map.values() if k not in mergers}
+    if unknown:
+        raise ValueError(f"aggregating_final: unknown merge kinds {sorted(unknown)}")
+    return df.groupBy(*key_cols).agg(
+        *[mergers[kind](c).alias(c) for c, kind in state_map.items()]
+    )
+
+
 def collapsing_final(
     df: DataFrame,
     key_cols: list[str],

@@ -58,6 +58,33 @@ def test_summing_final_golden(cdc):
     assert got == {1: 40.0, 2: 2.0, 3: 5.0}
 
 
+def test_aggregating_final_golden(spark):
+    # two "parts" holding partial states for the same key merge like
+    # ClickHouse -Merge combinators: counts/sums add, min/max combine
+    rows = [
+        ("a", 3, 30, 5, 20),
+        ("a", 2, 12, 1, 9),
+        ("b", 1, 7, 7, 7),
+    ]
+    df = spark.createDataFrame(rows, "k string, cnt long, s long, mn long, mx long")
+    out = mergetree.aggregating_final(
+        df, ["k"], {"cnt": "count", "s": "sum", "mn": "min", "mx": "max"}
+    )
+    got = {r["k"]: (r["cnt"], r["s"], r["mn"], r["mx"]) for r in out.collect()}
+    assert got == {"a": (5, 42, 1, 20), "b": (1, 7, 7, 7)}
+
+
+def test_aggregating_final_one_shuffle_and_bad_kind(spark):
+    df = spark.createDataFrame([("a", 1)], "k string, cnt long")
+    plan = (
+        mergetree.aggregating_final(df, ["k"], {"cnt": "count"})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    with pytest.raises(ValueError, match="unknown merge kinds"):
+        mergetree.aggregating_final(df, ["k"], {"cnt": "median"})
+
+
 def test_repetition_metrics_golden(spark):
     df = spark.createDataFrame(
         [(1, "a a a b"), (2, "one two three four")], "doc_id int, text string"
