@@ -1529,6 +1529,22 @@ def q_token_budget(spark, d):
     return out.select("doc_id", "lang")
 
 
+def q_drift_psi(spark, d):
+    """Population Stability Index between two corpus snapshots (even/odd
+    doc_id halves) over fixed n_chars buckets — the standard ingestion
+    drift monitor (relational.py::population_stability)."""
+    docs = _t(spark, d, "documents")
+    out = relational.population_stability(
+        docs.filter("doc_id % 2 = 0"),
+        docs.filter("doc_id % 2 = 1"),
+        "n_chars",
+        edges=[200.0, 400.0, 600.0, 800.0, 1000.0],
+    )
+    return out.select(
+        F.col("bucket").cast("long").alias("bucket"), "p_ref", "p_cur", "psi_term"
+    )
+
+
 def q_retention_cohorts(spark, d):
     """Cohort retention (first-seen date × day offset × distinct users) —
     activity deduped per (user, day) before the join."""
@@ -1753,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": q_mixture_weights,
         "token_budget": q_token_budget,
         "aggregating_final": q_aggregating_final,
+        "drift_psi": q_drift_psi,
         # --- tier 1: never driver-checked, oracled (highest priority) ---
         "pmi_collocations": q_pmi_collocations,
         "retention_cohorts": q_retention_cohorts,
@@ -2404,6 +2421,26 @@ FROM chunks GROUP BY 1"""
             "round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price, "
             "round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price "
             "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "drift_psi": (
+            "WITH b AS (SELECT doc_id % 2 AS side, "
+            "CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 400 THEN 1 "
+            "WHEN n_chars < 600 THEN 2 WHEN n_chars < 800 THEN 3 "
+            "WHEN n_chars < 1000 THEN 4 ELSE 5 END AS bucket FROM documents), "
+            "cnt AS (SELECT bucket, "
+            "CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, "
+            "CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1 "
+            "FROM b GROUP BY bucket), "
+            "tot AS (SELECT CAST(sum(n0) AS BIGINT) AS t0, CAST(sum(n1) AS BIGINT) AS t1 FROM cnt), "
+            "g AS (SELECT gs.bucket, "
+            "coalesce(n0, 0) / CAST(t0 AS DOUBLE) AS p_ref, "
+            "coalesce(n1, 0) / CAST(t1 AS DOUBLE) AS p_cur "
+            "FROM (SELECT unnest(generate_series(0, 5)) AS bucket) gs "
+            "LEFT JOIN cnt ON cnt.bucket = gs.bucket CROSS JOIN tot) "
+            "SELECT bucket, round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur, "
+            "round(((p_ref + 0.000001) - (p_cur + 0.000001)) "
+            "* ln((p_ref + 0.000001) / (p_cur + 0.000001)), 6) AS psi_term "
+            "FROM g"
         ),
         "aggregating_final": (
             "WITH states AS (SELECT user_id, event_type, count(*) AS cnt, "

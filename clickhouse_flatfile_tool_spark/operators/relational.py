@@ -536,3 +536,61 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         )
         .withColumn("n_null", (F.col("n_rows") - F.col("n_nonnull")))
     )
+
+
+def population_stability(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    edges: list[float],
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard drift monitor for an ongoing-ingestion pipeline
+    (PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ) over shared buckets; <0.1 stable, >0.25
+    drifted, per the credit-scoring convention the measure comes from).
+
+    ``edges`` are explicit interior bucket boundaries (value < e₀ → bucket
+    0, …, ≥ last → len(edges)), so bucket assignment is a pure comparison
+    chain — deterministic and engine-portable, unlike quantile-derived
+    edges.  Each side aggregates to |edges|+1 rows (map-side partials, one
+    tiny shuffle each); fractions are smoothed with ``eps`` so empty
+    buckets stay finite.  Returns one row per bucket with both fractions
+    and the PSI term; ``Σ psi_term`` is the index.
+    """
+    def bucketize(c: Column) -> Column:
+        b = F.lit(len(edges))
+        for i in range(len(edges) - 1, -1, -1):
+            b = F.when(c < F.lit(edges[i]), F.lit(i)).otherwise(b)
+        return b
+
+    def fracs(df: DataFrame, name: str) -> DataFrame:
+        counts = df.select(bucketize(F.col(col)).alias("bucket")).groupBy(
+            "bucket"
+        ).agg(F.count(F.lit(1)).alias("__n"))
+        total = counts.agg(F.sum("__n").alias("__tot"))
+        return counts.join(F.broadcast(total)).select(
+            "bucket", (F.col("__n") / F.col("__tot")).alias(name)
+        )
+
+    all_buckets = ref.sparkSession.range(len(edges) + 1).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    p = fracs(ref, "p_ref")
+    q = fracs(cur, "p_cur")
+    joined = (
+        all_buckets.join(p, "bucket", "left")
+        .join(q, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("p_ref", F.lit(0.0)).alias("p_ref"),
+            F.coalesce("p_cur", F.lit(0.0)).alias("p_cur"),
+        )
+    )
+    ps, qs = F.col("p_ref") + eps, F.col("p_cur") + eps
+    return joined.select(
+        "bucket",
+        F.round("p_ref", 6).alias("p_ref"),
+        F.round("p_cur", 6).alias("p_cur"),
+        F.round((ps - qs) * F.log(ps / qs), 6).alias("psi_term"),
+    )

@@ -277,3 +277,21 @@ def test_approx_quantiles_column_naming(spark):
     df = spark.range(100).selectExpr("id", "cast(id as double) as v")
     out = approx_quantiles(df, "v", [0.5, 0.999])
     assert out.columns == ["q_50", "q_99_9"]
+
+
+def test_population_stability_identical_and_shifted(spark):
+    from clickhouse_flatfile_tool_spark.operators.relational import (
+        population_stability,
+    )
+
+    a = spark.range(1000).selectExpr("CAST(id % 100 AS DOUBLE) AS v")
+    same = population_stability(a, a, "v", edges=[25.0, 50.0, 75.0]).collect()
+    assert len(same) == 4
+    assert abs(sum(r.p_ref for r in same) - 1.0) < 1e-6
+    assert abs(sum(r.p_cur for r in same) - 1.0) < 1e-6
+    psi_same = sum(r.psi_term for r in same)
+    assert abs(psi_same) < 1e-9          # identical distributions -> PSI 0
+    # shifted distribution -> PSI clearly above the 0.25 'drifted' line
+    b = spark.range(1000).selectExpr("CAST(id % 100 AS DOUBLE) + 50.0 AS v")
+    shifted = population_stability(a, b, "v", edges=[25.0, 50.0, 75.0]).collect()
+    assert sum(r.psi_term for r in shifted) > 0.25
