@@ -1545,6 +1545,14 @@ def q_drift_psi(spark, d):
     )
 
 
+def q_approx_topk(spark, d):
+    """Misra-Gries mergeable heavy hitters in the exact regime (capacity ≥
+    distinct, so no decrement fires and the oracle can check it); the
+    approximate regime is property-tested (relational.py::misra_gries_topk)."""
+    o = _t(spark, d, "orders")
+    return relational.misra_gries_topk(o, "o_orderpriority", k=3, capacity=64)
+
+
 def q_retention_cohorts(spark, d):
     """Cohort retention (first-seen date × day offset × distinct users) —
     activity deduped per (user, day) before the join."""
@@ -1770,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "aggregating_final": q_aggregating_final,
         "drift_psi": q_drift_psi,
+        "approx_topk": q_approx_topk,
         # --- tier 1: never driver-checked, oracled (highest priority) ---
         "pmi_collocations": q_pmi_collocations,
         "retention_cohorts": q_retention_cohorts,
@@ -2421,6 +2430,10 @@ FROM chunks GROUP BY 1"""
             "round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price, "
             "round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price "
             "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "approx_topk": (
+            "SELECT CAST(o_orderpriority AS VARCHAR) AS item, count(*) AS cnt "
+            "FROM orders GROUP BY 1 ORDER BY cnt DESC, item LIMIT 3"
         ),
         "drift_psi": (
             "WITH b AS (SELECT doc_id % 2 AS side, "

@@ -594,3 +594,49 @@ def population_stability(
         F.round("p_cur", 6).alias("p_cur"),
         F.round((ps - qs) * F.log(ps / qs), 6).alias("psi_term"),
     )
+
+
+def misra_gries_topk(
+    df: DataFrame,
+    col: str,
+    k: int = 10,
+    capacity: int = 256,
+) -> DataFrame:
+    """Approximate heavy hitters via MERGEABLE Misra-Gries summaries — the
+    100 TB twin of the exact groupBy top-k: each partition keeps a
+    ``capacity``-bounded counter summary (classic MG decrement, applied to
+    vectorized per-batch value_counts, not per row), the summaries merge
+    with one tiny shuffle keyed by item (≤ capacity rows per partition —
+    shuffle volume is O(partitions × capacity), independent of row count),
+    and the merged counts take top-k.
+
+    Guarantee (Misra-Gries 1982; merge rule per Agarwal et al. 2012,
+    "Mergeable Summaries"): estimates only UNDERCOUNT, by at most
+    n/(capacity+1) — so any item with true frequency above n/(capacity+1)
+    is guaranteed present.  With ``capacity`` ≥ distinct(col) no decrement
+    ever fires and the result is exact (the oracle-checkable regime).
+    """
+    import pandas as pd
+
+    src = df.select(F.col(col).cast("string").alias("item"))
+
+    def summarize(batches):
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf["item"].value_counts(dropna=True)
+            for item, cnt in vc.items():
+                counters[item] = counters.get(item, 0) + int(cnt)
+            if len(counters) > capacity:
+                # subtract the (capacity+1)-th largest count from everything
+                # and drop non-positives — the mergeable-summaries MG step
+                cut = sorted(counters.values(), reverse=True)[capacity]
+                counters = {i: c - cut for i, c in counters.items() if c > cut}
+        yield pd.DataFrame(
+            {"item": list(counters.keys()), "cnt": list(counters.values())}
+        )
+
+    summaries = src.mapInPandas(summarize, "item string, cnt long")
+    merged = summaries.groupBy("item").agg(F.sum("cnt").alias("cnt"))
+    return top_k_per_group(
+        merged.withColumn("__g", F.lit(1)), ["__g"], [F.desc("cnt"), F.asc("item")], k
+    ).select("item", "cnt")

@@ -295,3 +295,21 @@ def test_population_stability_identical_and_shifted(spark):
     b = spark.range(1000).selectExpr("CAST(id % 100 AS DOUBLE) + 50.0 AS v")
     shifted = population_stability(a, b, "v", edges=[25.0, 50.0, 75.0]).collect()
     assert sum(r.psi_term for r in shifted) > 0.25
+
+
+def test_misra_gries_exact_regime_and_guarantee(spark):
+    from clickhouse_flatfile_tool_spark.operators.relational import misra_gries_topk
+
+    # skewed data: item 'hot' = 5000 rows, 50 cold items x 20 rows
+    df = spark.range(6000).selectExpr(
+        "CASE WHEN id < 5000 THEN 'hot' ELSE CONCAT('cold_', CAST(id % 50 AS STRING)) END AS v"
+    ).repartition(8)
+    # exact regime: capacity >= distinct -> true counts
+    exact = {r.item: r.cnt for r in misra_gries_topk(df, "v", k=51, capacity=128).collect()}
+    assert exact["hot"] == 5000 and all(v == 20 for k_, v in exact.items() if k_ != "hot")
+    # approximate regime: tiny capacity still guarantees the heavy hitter,
+    # with undercount bounded by n/(capacity+1) per partition-sequence
+    approx = {r.item: r.cnt for r in misra_gries_topk(df, "v", k=5, capacity=4).collect()}
+    assert "hot" in approx
+    assert approx["hot"] <= 5000                       # never overcounts
+    assert approx["hot"] >= 5000 - 6000 // 5           # n/(capacity+1) bound
