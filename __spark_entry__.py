@@ -1507,6 +1507,13 @@ def q_pmi_collocations(spark, d):
     return text.pmi_collocations(docs, k=50, min_count=5)
 
 
+def q_char_entropy(spark, d):
+    """Per-doc character-distribution Shannon entropy — gibberish/encoding
+    noise detector (text.py::char_entropy)."""
+    docs = _t(spark, d, "documents")
+    return text.char_entropy(docs)
+
+
 def q_bigram_surprisal(spark, d):
     """Per-doc mean conditional bigram surprisal vs the corpus bigram MLE —
     the context-aware LM-quality gate (text.py::bigram_surprisal)."""
@@ -1779,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggregating_final": q_aggregating_final,
         "drift_psi": q_drift_psi,
         "approx_topk": q_approx_topk,
+        "char_entropy": q_char_entropy,
         # --- tier 1: never driver-checked, oracled (highest priority) ---
         "pmi_collocations": q_pmi_collocations,
         "retention_cohorts": q_retention_cohorts,
@@ -2430,6 +2438,16 @@ FROM chunks GROUP BY 1"""
             "round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price, "
             "round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price "
             "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "char_entropy": (
+            "WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents), "
+            "ch2 AS (SELECT doc_id, c FROM ch WHERE length(c) = 1), "
+            "cnt AS (SELECT doc_id, c, count(*) AS n FROM ch2 GROUP BY 1, 2), "
+            "tot AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS tot FROM cnt GROUP BY 1) "
+            "SELECT cnt.doc_id, tot AS n_chars_counted, "
+            "round(sum(-(n / CAST(tot AS DOUBLE)) * ln(n / CAST(tot AS DOUBLE))), 6) "
+            "AS char_entropy "
+            "FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id GROUP BY cnt.doc_id, tot"
         ),
         "approx_topk": (
             "SELECT CAST(o_orderpriority AS VARCHAR) AS item, count(*) AS cnt "

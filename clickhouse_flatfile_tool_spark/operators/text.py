@@ -373,6 +373,42 @@ def unigram_surprisal(
     )
 
 
+def char_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Shannon entropy of each document's character distribution (nats) —
+    the standard gibberish/encoding-noise detector: natural text sits in a
+    narrow entropy band, base64 blobs and mojibake above it, repeated-char
+    padding below.
+
+    Shape: explode to (doc, char) — a map-side generate, no shuffle — then
+    ONE groupBy (doc, char) with partial aggregation and a per-doc combine;
+    p·ln p sums over ≤ |alphabet| terms per document.
+    """
+    chars = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "")).alias("__c"),
+    ).where(F.length("__c") == 1)
+    counts = chars.groupBy(id_col, "__c").agg(F.count(F.lit(1)).alias("__n"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("__n").alias("__tot"),
+        F.collect_list(F.struct("__c", "__n")).alias("__cs"),
+    )
+    p = lambda n: n.cast("double") / F.col("__tot")  # noqa: E731
+    h = F.aggregate(
+        F.col("__cs"),
+        F.lit(0.0),
+        lambda acc, s: acc - p(s["__n"]) * F.log(p(s["__n"])),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("__tot").cast("long").alias("n_chars_counted"),
+        F.round(h, 6).alias("char_entropy"),
+    )
+
+
 def bigram_surprisal(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -427,3 +427,16 @@ def test_token_budget_trim_respects_budget(tables, spark):
         for r in token_budget_trim(docs, token_budget=5000).select("doc_id").collect()
     }
     assert ids1 == ids2 and len(ids1) > 0
+
+
+def test_char_entropy_hand_computed(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in X.char_entropy(df).collect()}
+    assert out[1].char_entropy == 0.0                       # single symbol
+    assert math.isclose(out[2].char_entropy, round(math.log(2), 6), abs_tol=1e-6)
+    assert math.isclose(out[3].char_entropy, round(math.log(4), 6), abs_tol=1e-6)
+    assert out[3].n_chars_counted == 4
