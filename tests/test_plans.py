@@ -154,3 +154,34 @@ def test_z_order_write_roundtrip_and_locality(spark, tmp_path):
     spans = sorted((r["lo"], r["hi"]) for r in ranges)
     for (l1, h1), (l2, h2) in zip(spans, spans[1:]):
         assert h1 <= l2, "file z-ranges overlap: range partitioning broken"
+
+
+def test_decontaminate_broadcasts_benchmark_side(tables):
+    from clickhouse_flatfile_tool_spark.operators import dedup as D
+
+    docs = tables["documents"]
+    pairs = D.decontaminate(
+        docs.filter("doc_id % 20 != 0"), docs.filter("doc_id % 20 = 0")
+    )
+    plan = explain_str(pairs)
+    # the 100 TB train side must be a map-only broadcast probe, never a
+    # shuffle join against the benchmark shingle set
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q19_pushes_quantity_envelope(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.q_tpch_q19(spark, sf_dir)
+    pf = pushed_filters(df)
+    assert "l_quantity" in pf, f"quantity envelope not pushed: {pf!r}"
+    assert "BroadcastHashJoin" in explain_str(df)
+
+
+def test_boilerplate_uses_partial_aggregation(tables):
+    from clickhouse_flatfile_tool_spark.operators import dedup as D
+
+    plan = explain_str(D.boilerplate_ngrams(tables["documents"], min_docs=5))
+    # doc-frequency must partial-aggregate map-side (the skew-proof shape)
+    assert "partial_count" in plan or "partial_sum" in plan
