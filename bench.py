@@ -76,6 +76,14 @@ BENCH_QUERIES = [
     "gopher_rules",
     "boilerplate",
     "decontaminate",
+    "semantic_dedup",
+    "bigram_surprisal",
+    "char_entropy",
+    "approx_topk",
+    "aggregating_final",
+    "drift_psi",
+    "mixture_weights",
+    "token_budget",
 ]
 
 
