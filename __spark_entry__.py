@@ -1761,9 +1761,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # it checks per round (50/round observed).  Entries are ROTATED each
     # round — queries with no green CORRECTNESS_r*.json row yet, plus any
     # whose implementation changed this round, come first; proven greens sit
-    # at the tail.  Round-3 window: the 20 never-driver-checked entries
-    # (minus the pruned near-duplicates, see below), the corpus_stats hash
-    # fix, new csv_quoted, and rows-only streaming refreshers.
+    # at the tail.  Round-3 window: 14 new tier-0 operators (Gopher rules,
+    # boilerplate n-grams, decontamination, TPC-H Q1/Q19, SemDeDup, bigram
+    # surprisal, temperature mixture, token budget, AggregatingMergeTree,
+    # PSI drift, Misra-Gries, char entropy), the 20 never-driver-checked
+    # entries (minus the pruned near-duplicates, see below), the
+    # corpus_stats hash fix, new csv_quoted, and rows-only streaming
+    # refreshers — ~45 of the 50 slots; round-2 greens fill the tail.
     #
     # Pruned this round (near-duplicate variants folded into a sibling that
     # exercises the same operator family; all keep direct pytest coverage):
