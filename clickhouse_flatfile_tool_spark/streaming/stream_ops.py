@@ -336,3 +336,17 @@ def user_event_stats_tws(
             timeMode="none",
         )
     )
+
+
+def stream_quality_gate(stream: DataFrame, text_col: str = "text") -> DataFrame:
+    """Streaming document quality gate: the Gopher-rules filter
+    (operators/text.py::gopher_quality_rules) applied to a document stream.
+
+    The rules are pure per-row expressions, so this is a STATELESS map-only
+    streaming stage — no watermark, no state store, arbitrarily scalable;
+    exactly how an ingestion pipeline gates documents before they reach the
+    (stateful) dedup stage.  Batch/stream equivalence is asserted in pytest
+    (identical pass set on the same files)."""
+    from clickhouse_flatfile_tool_spark.operators.text import gopher_quality_rules
+
+    return gopher_quality_rules(stream, text_col).where(F.col("gopher_pass"))

@@ -281,3 +281,22 @@ def test_user_event_stats_tws(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_quality_gate_matches_batch(spark, sf_dir, tmp_path):
+    from clickhouse_flatfile_tool_spark.operators.text import gopher_quality_rules
+    from clickhouse_flatfile_tool_spark.sources.files import read_parquet
+    from clickhouse_flatfile_tool_spark.streaming import stream_ops
+
+    path = f"{sf_dir}/documents.parquet"
+    batch = gopher_quality_rules(read_parquet(spark, path)).where("gopher_pass")
+    stream = stream_ops.stream_quality_gate(
+        stream_ops.read_event_stream(spark, path)
+    )
+    out_dir = str(tmp_path / "out")
+    stream_ops.run_available_now(
+        stream.select("doc_id"), out_dir, str(tmp_path / "ckpt")
+    )
+    got = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    expect = {r.doc_id for r in batch.select("doc_id").collect()}
+    assert got == expect and len(got) > 0

@@ -133,3 +133,38 @@ def test_bucketed_range_join_matches_naive(spark, xs):
         for r in R.bucketed_range_join(pts, iv, "x", "lo", "hi", 25.0).collect()
     }
     assert got == naive
+
+
+@given(
+    st.lists(st.integers(0, 99), min_size=1, max_size=40),
+    st.lists(st.integers(0, 99), min_size=1, max_size=40),
+)
+@settings(**SETTINGS)
+def test_psi_nonnegative_and_zero_iff_identical(spark, xs, ys):
+    """Every PSI term is >= 0 (Gibbs' inequality termwise: (p-q)ln(p/q) >= 0),
+    and PSI over identical snapshots is exactly 0."""
+    from clickhouse_flatfile_tool_spark.operators.relational import (
+        population_stability,
+    )
+
+    a = spark.createDataFrame([(float(x),) for x in xs], "v double")
+    b = spark.createDataFrame([(float(y),) for y in ys], "v double")
+    rows = population_stability(a, b, "v", edges=[25.0, 50.0, 75.0]).collect()
+    assert all(r.psi_term >= 0.0 for r in rows)
+    same = population_stability(a, a, "v", edges=[25.0, 50.0, 75.0]).collect()
+    assert all(abs(r.psi_term) < 1e-12 for r in same)
+
+
+@given(st.integers(1, 40), st.integers(1, 40))
+@settings(**SETTINGS)
+def test_token_budget_monotone(spark, b_small, b_large):
+    """A larger token budget keeps a superset of a smaller budget's rows
+    (admission order is fixed by md5(id), so the kept set is a prefix)."""
+    from clickhouse_flatfile_tool_spark.operators.sampling import token_budget_trim
+
+    lo, hi = sorted([b_small, b_large])
+    rows = [(i, "g", "w " * (i % 5 + 1)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    small = {r.doc_id for r in token_budget_trim(df, lo).select("doc_id").collect()}
+    large = {r.doc_id for r in token_budget_trim(df, hi).select("doc_id").collect()}
+    assert small <= large
