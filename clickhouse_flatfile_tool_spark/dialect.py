@@ -227,6 +227,43 @@ def _rewrite_if_combinators(chunk: str) -> str:
     return chunk
 
 
+# ClickHouse higher-order array functions put the LAMBDA FIRST
+# (arrayMap(x -> e, arr)); Spark puts the array first (transform(arr,
+# x -> e)).  Same lambda syntax (`->`) on both sides, so only the argument
+# order moves.  Two-array arrayMap (ClickHouse zips the arrays) maps to
+# Spark's zip_with.
+_LAMBDA_FNS = {
+    "arrayMap": "transform",
+    "arrayFilter": "filter",
+    "arrayExists": "exists",
+    "arrayAll": "forall",
+}
+
+
+def _rewrite_lambda_array_fns(chunk: str) -> str:
+    for ch_name, spark_name in _LAMBDA_FNS.items():
+        pat = re.compile(r"\b" + ch_name + r"\(")
+        m = pat.search(chunk)
+        while m:
+            end = _match_paren(chunk, m.end() - 1)
+            args = _split_top_comma(chunk[m.end() : end - 1])
+            if len(args) >= 2 and "->" in args[0]:
+                if len(args) == 2:
+                    repl = f"{spark_name}({args[1]}, {args[0]})"
+                elif len(args) == 3 and ch_name == "arrayMap":
+                    repl = f"zip_with({args[1]}, {args[2]}, {args[0]})"
+                else:  # >2 arrays: no Spark analog — leave for Spark to name
+                    m = pat.search(chunk, end)
+                    continue
+                chunk = chunk[: m.start()] + repl + chunk[end:]
+                # rescan from the rewrite start: the moved arguments may
+                # themselves contain nested arrayMap/arrayFilter calls
+                m = pat.search(chunk, m.start())
+            else:
+                m = pat.search(chunk, end)
+    return chunk
+
+
 def _rewrite_curried_quantiles(chunk: str) -> str:
     """``quantile[Exact](p)(x)`` → ``percentile(x, p)``;
     ``quantiles(p1,p2,...)(x)`` → ``percentile(x, array(p1,p2,...))``.
@@ -361,6 +398,7 @@ def translate_clickhouse_sql(sql: str) -> str:
     chunk = _rewrite_clauses(chunk)
     chunk = _rewrite_int_div(chunk)
     chunk = _rewrite_if_combinators(chunk)
+    chunk = _rewrite_lambda_array_fns(chunk)
     chunk = _rewrite_curried_quantiles(chunk)
     for name, prefix, suffix in _WRAPS:
         chunk = _wrap(chunk, name, prefix, suffix)

@@ -208,3 +208,38 @@ def test_prewhere_subquery_where_depth():
     assert out == (
         "SELECT a FROM t WHERE (a IN (SELECT z FROM u GROUP BY z)) AND (y < 2) "
     )
+
+
+def test_array_lambda_arg_swap():
+    assert tr("SELECT arrayMap(x -> x * 2, arr) FROM t") == (
+        "SELECT transform(arr, x -> x * 2) FROM t"
+    )
+    assert tr("SELECT arrayFilter(x -> x > 1, arr) FROM t") == (
+        "SELECT filter(arr, x -> x > 1) FROM t"
+    )
+    assert tr("SELECT arrayExists(x -> x = 0, arr), arrayAll(x -> x != 0, arr) FROM t") == (
+        "SELECT exists(arr, x -> x = 0), forall(arr, x -> x != 0) FROM t"
+    )
+    # two-array arrayMap zips -> zip_with
+    assert tr("SELECT arrayMap((a, b) -> a + b, xs, ys) FROM t") == (
+        "SELECT zip_with(xs, ys, (a, b) -> a + b) FROM t"
+    )
+    # nested higher-order calls rewrite inside moved arguments
+    assert tr("arrayFilter(y -> y > 0, arrayMap(x -> x - 1, arr))") == (
+        "filter(transform(arr, x -> x - 1), y -> y > 0)"
+    )
+    # non-lambda first arg: left untouched (ClickHouse would error too)
+    assert tr("arrayMap(arr)") == "arrayMap(arr)"
+
+
+def test_array_lambda_swap_executes(spark):
+    out = spark.sql(
+        "SELECT "
+        + tr("arrayFilter(x -> x > 1, arrayMap(x -> x * 2, array(0, 1, 2)))")
+        + " AS v"
+    ).first()
+    assert out.v == [2, 4]
+    out2 = spark.sql(
+        "SELECT " + tr("arrayMap((a, b) -> a + b, array(1, 2), array(10, 20))") + " AS v"
+    ).first()
+    assert out2.v == [11, 22]
