@@ -227,6 +227,67 @@ def _rewrite_if_combinators(chunk: str) -> str:
     return chunk
 
 
+def _rewrite_multi_if(chunk: str) -> str:
+    """``multiIf(c1, v1, c2, v2, …, else)`` → a CASE WHEN chain (odd arity:
+    condition/value pairs plus the final else)."""
+    pat = re.compile(r"\bmultiIf\(")
+    m = pat.search(chunk)
+    while m:
+        end = _match_paren(chunk, m.end() - 1)
+        args = _split_top_comma(chunk[m.end() : end - 1])
+        if len(args) >= 3 and len(args) % 2 == 1:
+            whens = " ".join(
+                f"WHEN {args[i]} THEN {args[i + 1]}" for i in range(0, len(args) - 1, 2)
+            )
+            repl = f"(CASE {whens} ELSE {args[-1]} END)"
+            chunk = chunk[: m.start()] + repl + chunk[end:]
+            m = pat.search(chunk, m.start())  # nested multiIf in moved args
+        else:
+            m = pat.search(chunk, end)
+    return chunk
+
+
+def _rewrite_split_by_char(chunk: str) -> str:
+    """``splitByChar(sep, s)`` / ``splitByString(sep, s)`` → ``split(s,
+    sep)`` with the separator wrapped in ``\\Q…\\E`` so Spark's regex
+    ``split`` treats it literally (ClickHouse splits on the raw string —
+    a '.' or '|' separator must not become a regex)."""
+    for name in ("splitByChar", "splitByString"):
+        pat = re.compile(r"\b" + name + r"\(")
+        m = pat.search(chunk)
+        while m:
+            end = _match_paren(chunk, m.end() - 1)
+            args = _split_top_comma(chunk[m.end() : end - 1])
+            if len(args) == 2:
+                sep, s = args
+                repl = f"split({s}, concat('\\\\Q', {sep}, '\\\\E'))"
+                chunk = chunk[: m.start()] + repl + chunk[end:]
+                m = pat.search(chunk, m.start())
+            else:
+                m = pat.search(chunk, end)
+    return chunk
+
+
+def _rewrite_array_string_concat(chunk: str) -> str:
+    """``arrayStringConcat(arr[, sep])`` → ``array_join(arr, sep)`` (Spark
+    requires the separator; ClickHouse defaults to '')."""
+    pat = re.compile(r"\barrayStringConcat\(")
+    m = pat.search(chunk)
+    while m:
+        end = _match_paren(chunk, m.end() - 1)
+        args = _split_top_comma(chunk[m.end() : end - 1])
+        if len(args) == 1:
+            repl = f"array_join({args[0]}, '')"
+        elif len(args) == 2:
+            repl = f"array_join({args[0]}, {args[1]})"
+        else:
+            m = pat.search(chunk, end)
+            continue
+        chunk = chunk[: m.start()] + repl + chunk[end:]
+        m = pat.search(chunk, m.start())
+    return chunk
+
+
 # ClickHouse higher-order array functions put the LAMBDA FIRST
 # (arrayMap(x -> e, arr)); Spark puts the array first (transform(arr,
 # x -> e)).  Same lambda syntax (`->`) on both sides, so only the argument
@@ -399,6 +460,9 @@ def translate_clickhouse_sql(sql: str) -> str:
     chunk = _rewrite_int_div(chunk)
     chunk = _rewrite_if_combinators(chunk)
     chunk = _rewrite_lambda_array_fns(chunk)
+    chunk = _rewrite_multi_if(chunk)
+    chunk = _rewrite_split_by_char(chunk)
+    chunk = _rewrite_array_string_concat(chunk)
     chunk = _rewrite_curried_quantiles(chunk)
     for name, prefix, suffix in _WRAPS:
         chunk = _wrap(chunk, name, prefix, suffix)

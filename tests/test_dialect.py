@@ -243,3 +243,25 @@ def test_array_lambda_swap_executes(spark):
         "SELECT " + tr("arrayMap((a, b) -> a + b, array(1, 2), array(10, 20))") + " AS v"
     ).first()
     assert out2.v == [11, 22]
+
+
+def test_multi_if_and_split_and_array_join():
+    assert tr("SELECT multiIf(a > 1, 'x', a > 0, 'y', 'z') FROM t") == (
+        "SELECT (CASE WHEN a > 1 THEN 'x' WHEN a > 0 THEN 'y' ELSE 'z' END) FROM t"
+    )
+    assert tr("arrayStringConcat(xs, ',')") == "array_join(xs, ',')"
+    assert tr("arrayStringConcat(xs)") == "array_join(xs, '')"
+    # even arity multiIf is malformed in ClickHouse too: pass through
+    assert tr("multiIf(a, b)") == "multiIf(a, b)"
+
+
+def test_split_by_char_literal_metachar_executes(spark):
+    # '.' must split literally, not as a regex wildcard
+    out = spark.sql("SELECT " + tr("splitByChar('.', 'a.b.c')") + " AS v").first()
+    assert out.v == ["a", "b", "c"]
+    out2 = spark.sql("SELECT " + tr("splitByString('||', 'a||b')") + " AS v").first()
+    assert out2.v == ["a", "b"]
+    out3 = spark.sql(
+        "SELECT " + tr("multiIf(1 > 2, 'x', 3 > 2, 'y', 'z')") + " AS v"
+    ).first()
+    assert out3.v == "y"
