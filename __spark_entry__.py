@@ -337,6 +337,17 @@ def q_wav_meta(spark, d):
     return multimodal.decode_wav_meta(wav, keep=["doc_id"])
 
 
+def q_png_meta(spark, d):
+    """REAL multimodal decode round-trip #2: build a structurally valid PNG
+    per document (signature + IHDR with correct CRC-32 + IEND; width from
+    n_chars, height/color type from doc_id), then parse AND CRC-verify the
+    bytes back.  The oracle recomputes the metadata from table columns —
+    any header-layout, endianness, or CRC bug breaks the hash."""
+    docs = _t(spark, d, "documents").select("doc_id", "n_chars")
+    png = multimodal.synthesize_png_payloads(docs)
+    return multimodal.decode_png_meta(png, keep=["doc_id"])
+
+
 def q_pack_sequences(spark, d):
     return text.pack_sequences(_t(spark, d, "documents"), budget_tokens=2048)
 
@@ -1791,6 +1802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi": q_drift_psi,
         "approx_topk": q_approx_topk,
         "char_entropy": q_char_entropy,
+        "png_meta": q_png_meta,
         # --- tier 1: never driver-checked, oracled (highest priority) ---
         "pmi_collocations": q_pmi_collocations,
         "retention_cohorts": q_retention_cohorts,
@@ -2842,6 +2854,16 @@ FROM chunks GROUP BY 1"""
             "row_number() OVER (PARTITION BY lang "
             "ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS rk "
             "FROM documents) SELECT doc_id, lang, source FROM r WHERE rk <= 20"
+        ),
+        "png_meta": (
+            "SELECT doc_id, "
+            "(n_chars % 640 + 1)::INT AS width, "
+            "(doc_id % 480 + 1)::INT AS height, "
+            "8::INT AS bit_depth, "
+            "(CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 6 END)::INT AS color_type, "
+            "(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)::INT AS channels, "
+            "((n_chars % 640 + 1) * (doc_id % 480 + 1))::BIGINT AS n_pixels "
+            "FROM documents"
         ),
         "wav_meta": (
             "SELECT doc_id, "

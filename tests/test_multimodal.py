@@ -100,3 +100,29 @@ def test_wav_decoder_rejects_garbage(spark):
     with pytest.raises(Exception) as ei:
         decode_wav_meta(bad, keep=["doc_id"]).collect()
     assert "RIFF" in str(ei.value) or "canonical" in str(ei.value)
+
+
+def test_png_roundtrip_and_crc_rejection(spark):
+    import struct
+    import zlib
+
+    from clickhouse_flatfile_tool_spark.operators import multimodal as M
+
+    df = spark.createDataFrame([(0, 100), (1, 700), (2, 5)], "doc_id long, n_chars long")
+    png = M.synthesize_png_payloads(df)
+    meta = {r.doc_id: r for r in M.decode_png_meta(png, keep=["doc_id"]).collect()}
+    assert meta[0].width == 101 and meta[0].color_type == 0 and meta[0].channels == 1
+    assert meta[1].width == 61 and meta[1].color_type == 2 and meta[1].channels == 3
+    assert meta[2].width == 6 and meta[2].height == 3 and meta[2].channels == 4
+    assert all(m.n_pixels == m.width * m.height for m in meta.values())
+    # the synthesized bytes are a real PNG container: signature + valid CRC
+    raw = bytes(png.filter("doc_id = 0").first().payload)
+    assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+    assert zlib.crc32(raw[12:29]) == struct.unpack(">I", raw[29:33])[0]
+    # corrupting one IHDR byte must fail the CRC check, not yield garbage
+    bad = raw[:16] + bytes([raw[16] ^ 0xFF]) + raw[17:]
+    bad_df = spark.createDataFrame([(0, bytearray(bad))], "doc_id long, payload binary")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="CRC|PythonException"):
+        M.decode_png_meta(bad_df, keep=["doc_id"]).collect()
