@@ -13,6 +13,7 @@ cannot flip the value hash.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import tempfile
@@ -555,8 +556,14 @@ def q_tpch_q1(spark, d):
     scan-heavy aggregation — one pushed-down filter, one groupBy on two
     low-cardinality keys, 8 aggregates computed in a single shuffle with
     map-side partial agg.  Monetary math in integer cents (prices/rates
-    have 2 decimals), so every sum is an exact BIGINT on both engines and
-    the final division is the only float op — bit-identical cross-engine."""
+    have 2 decimals), so every sum is an exact BIGINT on both engines; the
+    averages use integer-exact half-up rounding ((2x+y) DIV 2y, the
+    events.py convention — round(S/100.0/n, 4) lands on .xxxx5 boundaries
+    whenever n divides the scale and the engines' float round-half-up then
+    disagrees on the last digit).  BIGINT headroom: the 1e-6-unit charge
+    sum is exact to ~2.5e8 rows per (returnflag, linestatus) group
+    (~sf100); past that, cast the two money sums to DECIMAL(38,0) on the
+    Spark side — DuckDB already sums in HUGEINT."""
     li = _t(spark, d, "lineitem")
     qty_c = F.round(F.col("l_quantity") * 100).cast("long")
     price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
@@ -564,20 +571,31 @@ def q_tpch_q1(spark, d):
     tax_c = F.round(F.col("l_tax") * 100).cast("long")
     disc_price_u = price_c * (F.lit(100).cast("long") - disc_c)      # 1e-4 units
     charge_u = disc_price_u * (F.lit(100).cast("long") + tax_c)      # 1e-6 units
-    n = F.count(F.lit(1))
-    return (
+    raw = (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(qty_c) / 100.0, 2).alias("sum_qty"),
-            F.round(F.sum(price_c) / 100.0, 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price_u) / 10000.0, 2).alias("sum_disc_price"),
-            F.round(F.sum(charge_u) / 1000000.0, 2).alias("sum_charge"),
-            F.round(F.sum(qty_c) / 100.0 / n, 4).alias("avg_qty"),
-            F.round(F.sum(price_c) / 100.0 / n, 4).alias("avg_price"),
-            F.round(F.sum(disc_c) / 100.0 / n, 4).alias("avg_disc"),
-            n.alias("count_order"),
+            F.sum(qty_c).alias("__sq"),
+            F.sum(price_c).alias("__sp"),
+            F.sum(disc_price_u).alias("__sd"),
+            F.sum(charge_u).alias("__sc"),
+            F.sum(disc_c).alias("__sdisc"),
+            F.count(F.lit(1)).alias("count_order"),
         )
+    )
+    # half-up to 4 decimals of S/(100*n): (S*100*2 + n) DIV 2n, all positive
+    avg4 = "CAST((%s * 200 + count_order) DIV (count_order * 2) AS DOUBLE) / 10000.0"
+    return raw.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("__sq") / 100.0, 2).alias("sum_qty"),
+        F.round(F.col("__sp") / 100.0, 2).alias("sum_base_price"),
+        F.round(F.col("__sd") / 10000.0, 2).alias("sum_disc_price"),
+        F.round(F.col("__sc") / 1000000.0, 2).alias("sum_charge"),
+        F.expr(avg4 % "__sq").alias("avg_qty"),
+        F.expr(avg4 % "__sp").alias("avg_price"),
+        F.expr(avg4 % "__sdisc").alias("avg_disc"),
+        "count_order",
     )
 
 
@@ -687,15 +705,18 @@ def q_text_metrics(spark, d):
 
 def q_corpus_stats(spark, d):
     # totals pinned to BIGINT (DuckDB sum() -> HUGEINT otherwise); averages
-    # stay round(x, 4) DOUBLE on both sides — the convention every other
-    # hash-green oracle pair uses (DECIMAL renders differently per engine)
+    # derived from the BIGINT totals with integer-exact half-up rounding
+    # ((2x+y) DIV 2y, the events.py convention) so no float round can land
+    # on a .xxxx5 boundary where engines disagree — this was the only
+    # oracled hash failure of rounds 1-2 (DECIMAL in r2, unpinned in r1)
+    avg4 = "CAST((%s * 20000 + n_docs) DIV (n_docs * 2) AS DOUBLE) / 10000.0"
     return text.corpus_stats(_t(spark, d, "documents"), ["lang"]).select(
         "lang",
         "n_docs",
         F.col("total_tokens").cast("long").alias("total_tokens"),
-        F.round(F.col("avg_tokens"), 4).cast("double").alias("avg_tokens"),
+        F.expr(avg4 % "CAST(total_tokens AS BIGINT)").alias("avg_tokens"),
         F.col("total_chars").cast("long").alias("total_chars"),
-        F.round(F.col("avg_chars"), 4).cast("double").alias("avg_chars"),
+        F.expr(avg4 % "CAST(total_chars AS BIGINT)").alias("avg_chars"),
         F.col("min_chars").cast("long").alias("min_chars"),
         F.col("max_chars").cast("long").alias("max_chars"),
     )
@@ -1111,7 +1132,10 @@ def q_aggregating_final(spark, d):
         F.col("sum_cents").cast("long").alias("sum_cents"),
         "min_cents",
         "max_cents",
-        F.round(F.col("sum_cents") / 100.0 / F.col("cnt"), 6).alias("avg_value"),
+        # integer-exact half-up to 6 decimals of S/(100·n): (S·10⁴·2+n) DIV 2n
+        F.expr(
+            "CAST((sum_cents * 20000 + cnt) DIV (cnt * 2) AS DOUBLE) / 1000000.0"
+        ).alias("avg_value"),
     )
 
 
@@ -1721,9 +1745,10 @@ def q_stream_interval_join(spark, d):
 
 # RFC 4180 CSV fixture for the csv_quoted oracle pair (S1 quoting surface:
 # embedded commas, doubled quotes, a quoted newline, and a NULL marker).
-# Written idempotently to a fixed path so the DuckDB oracle — a static SQL
-# string — can read the very same bytes the Spark reader parses.
-_CSV_QUOTED_PATH = os.path.join(tempfile.gettempdir(), "cfts_fixtures", "csv_quoted.csv")
+# Written idempotently to a CONTENT-ADDRESSED path (md5 of the body in the
+# filename) so both engines read the very same bytes AND a stale file from
+# an earlier round — or a foreign file squatting on a fixed /tmp name —
+# can never be silently substituted: changing the body changes the path.
 _CSV_QUOTED_BODY = (
     "id,name,val,note\n"
     '1,plain,1.5,hello\n'
@@ -1732,6 +1757,11 @@ _CSV_QUOTED_BODY = (
     '4,"line\nbreak",4.5,NULL\n'
     '5,unquoted,5.0,"trailing, note"\n'
     '6,"tab\there",6.25,last\n'
+)
+_CSV_QUOTED_PATH = os.path.join(
+    tempfile.gettempdir(),
+    "cfts_fixtures",
+    f"csv_quoted_{hashlib.md5(_CSV_QUOTED_BODY.encode()).hexdigest()[:10]}.csv",
 )
 
 
@@ -2466,8 +2496,10 @@ FROM chunks GROUP BY 1"""
             "FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id GROUP BY cnt.doc_id, tot"
         ),
         "approx_topk": (
+            # NULLs excluded on both sides (ClickHouse topK convention)
             "SELECT CAST(o_orderpriority AS VARCHAR) AS item, count(*) AS cnt "
-            "FROM orders GROUP BY 1 ORDER BY cnt DESC, item LIMIT 3"
+            "FROM orders WHERE o_orderpriority IS NOT NULL "
+            "GROUP BY 1 ORDER BY cnt DESC, item LIMIT 3"
         ),
         "drift_psi": (
             "WITH b AS (SELECT doc_id % 2 AS side, "
@@ -2498,8 +2530,8 @@ FROM chunks GROUP BY 1"""
             "SELECT event_type, CAST(sum(cnt) AS BIGINT) AS cnt, "
             "CAST(sum(sum_cents) AS BIGINT) AS sum_cents, "
             "min(min_cents) AS min_cents, max(max_cents) AS max_cents, "
-            "round(CAST(sum(sum_cents) AS BIGINT) / 100.0 / CAST(sum(cnt) AS BIGINT), 6) "
-            "AS avg_value "
+            "CAST((CAST(sum(sum_cents) AS BIGINT) * 20000 + CAST(sum(cnt) AS BIGINT)) "
+            "// (CAST(sum(cnt) AS BIGINT) * 2) AS DOUBLE) / 1000000.0 AS avg_value "
             "FROM states GROUP BY event_type"
         ),
         "mixture_weights": (
@@ -2571,9 +2603,9 @@ FROM chunks GROUP BY 1"""
             "round(CAST(sum(price_c) AS BIGINT) / 100.0, 2) AS sum_base_price, "
             "round(CAST(sum(price_c * (100 - disc_c)) AS BIGINT) / 10000.0, 2) AS sum_disc_price, "
             "round(CAST(sum(price_c * (100 - disc_c) * (100 + tax_c)) AS BIGINT) / 1000000.0, 2) AS sum_charge, "
-            "round(CAST(sum(qty_c) AS BIGINT) / 100.0 / count(*), 4) AS avg_qty, "
-            "round(CAST(sum(price_c) AS BIGINT) / 100.0 / count(*), 4) AS avg_price, "
-            "round(CAST(sum(disc_c) AS BIGINT) / 100.0 / count(*), 4) AS avg_disc, "
+            "CAST((CAST(sum(qty_c) AS BIGINT) * 200 + count(*)) // (count(*) * 2) AS DOUBLE) / 10000.0 AS avg_qty, "
+            "CAST((CAST(sum(price_c) AS BIGINT) * 200 + count(*)) // (count(*) * 2) AS DOUBLE) / 10000.0 AS avg_price, "
+            "CAST((CAST(sum(disc_c) AS BIGINT) * 200 + count(*)) // (count(*) * 2) AS DOUBLE) / 10000.0 AS avg_disc, "
             "count(*) AS count_order "
             "FROM b GROUP BY l_returnflag, l_linestatus"
         ),
@@ -2963,9 +2995,9 @@ FROM chunks GROUP BY 1"""
         ),
         "corpus_stats": (
             f"SELECT lang, count(*) AS n_docs, sum({_NTOK})::BIGINT AS total_tokens, "
-            f"round(avg({_NTOK}), 4)::DOUBLE AS avg_tokens, "
+            f"CAST((sum({_NTOK})::BIGINT * 20000 + count(*)) // (count(*) * 2) AS DOUBLE) / 10000.0 AS avg_tokens, "
             "sum(length(text))::BIGINT AS total_chars, "
-            "round(avg(length(text)), 4)::DOUBLE AS avg_chars, "
+            "CAST((sum(length(text))::BIGINT * 20000 + count(*)) // (count(*) * 2) AS DOUBLE) / 10000.0 AS avg_chars, "
             "min(n_chars)::BIGINT AS min_chars, "
             "max(n_chars)::BIGINT AS max_chars FROM documents GROUP BY lang"
         ),

@@ -189,10 +189,23 @@ def _rewrite_int_div(chunk: str) -> str:
     Stays in 64-bit integer arithmetic end-to-end — ``FLOOR((a)/(b))`` over
     double division diverges from true integer division once the operands
     pass 2^53.  Operands are cast to BIGINT first (matching ClickHouse,
-    which defines intDiv on integers)."""
+    which defines intDiv on integers).
+
+    Matches rewrite INNERMOST-FIRST (the last-starting occurrence can
+    contain no nested call), so ``intDiv(intDiv(a, b), 2)`` translates
+    fully instead of leaving — and triplicating — the inner call inside
+    the expansion.  The template references each argument 3× (DIV,
+    remainder test, sign test), so a non-deterministic argument
+    (``rand()``) would be evaluated per reference; ClickHouse SQL users
+    don't write that, and the alternative (a subquery) can't be spliced
+    textually."""
     pat = re.compile(r"\bintDiv\(")
-    m = pat.search(chunk)
-    while m:
+    skipped: set[int] = set()  # starts of malformed-arity calls left as-is
+    while True:
+        matches = [m for m in pat.finditer(chunk) if m.start() not in skipped]
+        if not matches:
+            return chunk
+        m = matches[-1]  # last start = innermost: no nested intDiv within
         end = _match_paren(chunk, m.end() - 1)
         args = _split_top_comma(chunk[m.end() : end - 1])
         if len(args) == 2:
@@ -203,10 +216,10 @@ def _rewrite_int_div(chunk: str) -> str:
                 f"AND (({a} < 0) != ({b} < 0)) THEN -1 ELSE 0 END))"
             )
             chunk = chunk[: m.start()] + repl + chunk[end:]
-            m = pat.search(chunk, m.start() + len(repl))
+            skipped = {s if s < m.start() else s + len(repl) - (end - m.start())
+                       for s in skipped if s < m.start() or s >= end}
         else:
-            m = pat.search(chunk, end)
-    return chunk
+            skipped.add(m.start())
 
 
 def _rewrite_if_combinators(chunk: str) -> str:

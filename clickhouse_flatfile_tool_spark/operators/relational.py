@@ -615,10 +615,18 @@ def misra_gries_topk(
     n/(capacity+1) — so any item with true frequency above n/(capacity+1)
     is guaranteed present.  With ``capacity`` ≥ distinct(col) no decrement
     ever fires and the result is exact (the oracle-checkable regime).
+
+    NULLs are excluded EXPLICITLY (filter before the sketch), matching
+    ClickHouse's ``topK``/aggregate convention — without the filter the
+    per-batch ``value_counts`` would drop them silently while an exact
+    ``GROUP BY`` oracle counts NULL as a group, breaking the documented
+    exactness on nullable columns.
     """
     import pandas as pd
 
-    src = df.select(F.col(col).cast("string").alias("item"))
+    src = df.select(F.col(col).cast("string").alias("item")).where(
+        F.col(col).isNotNull()
+    )
 
     def summarize(batches):
         counters: dict = {}

@@ -265,3 +265,15 @@ def test_split_by_char_literal_metachar_executes(spark):
         "SELECT " + tr("multiIf(1 > 2, 'x', 3 > 2, 'y', 'z')") + " AS v"
     ).first()
     assert out3.v == "y"
+
+
+def test_int_div_nested_rewrites_fully(spark):
+    out = tr("SELECT intDiv(intDiv(a, b), 2) FROM t")
+    assert "intDiv" not in out
+    # executable floor-semantics check on the nested form:
+    # intDiv(intDiv(-7, 2), 2) = intDiv(-4, 2) = -2
+    v = spark.sql("SELECT " + tr("intDiv(intDiv(-7, 2), 2)") + " AS v").first().v
+    assert v == -2
+    # malformed arity stays untouched while well-formed siblings rewrite
+    both = tr("SELECT intDiv(a), intDiv(x, y) FROM t")
+    assert "intDiv(a)" in both and "intDiv(x, y)" not in both

@@ -313,3 +313,14 @@ def test_misra_gries_exact_regime_and_guarantee(spark):
     assert "hot" in approx
     assert approx["hot"] <= 5000                       # never overcounts
     assert approx["hot"] >= 5000 - 6000 // 5           # n/(capacity+1) bound
+
+
+def test_misra_gries_excludes_nulls_explicitly(spark):
+    from clickhouse_flatfile_tool_spark.operators.relational import misra_gries_topk
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), (None,), (None,), (None,), ("b",)], "v string"
+    )
+    got = {r.item: r.cnt for r in misra_gries_topk(df, "v", k=5, capacity=16).collect()}
+    # NULL never appears as an item; non-null counts are exact
+    assert None not in got and got == {"a": 2, "b": 1}

@@ -195,13 +195,19 @@ def test_semantic_dedup_pairs_planted_and_subset(spark, emb):
 
 def test_semantic_dedup_survivor_invariants(spark, emb):
     """Survivors are a subset of the input, the planted dup is dropped, and
-    no surviving within-cluster pair is >= threshold (greedy min-id
-    guarantee)."""
+    no pair FROM THE ORIGINAL CLUSTERING survives whole (greedy min-id
+    guarantee — the guarantee is relative to the original clusters, so the
+    check filters the original pair set rather than re-running the pair
+    pass, which would re-train k-means on different data)."""
     dup = emb.filter("vec_id = 7").withColumn("vec_id", F.lit(999_999).cast("long"))
     with_dup = emb.unionByName(dup)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in S.semantic_dedup_pairs(with_dup, cos_threshold=0.99).collect()
+    }
     surv = S.semantic_dedup(with_dup, cos_threshold=0.99)
     ids = {r.vec_id for r in surv.select("vec_id").collect()}
     assert 999_999 not in ids and 7 in ids
     assert ids <= {r.vec_id for r in with_dup.select("vec_id").collect()}
-    # re-running the pair pass on survivors must find nothing
-    assert S.semantic_dedup_pairs(surv, cos_threshold=0.99).count() == 0
+    # no original-clustering pair has both endpoints surviving
+    assert not any(a in ids and b in ids for a, b in pairs)
