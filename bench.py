@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "drift_psi",
     "mixture_weights",
     "token_budget",
+    "png_meta",
 ]
 
 
