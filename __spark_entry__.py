@@ -1077,6 +1077,16 @@ def q_dedup_cc(spark, d):
     return dedup.cc_dedup(docs, pairs).select("doc_id", "lang", "source")
 
 
+def q_pagerank_docs(spark, d):
+    """PageRank centrality over the exact-Jaccard near-dup graph — ranks
+    the canonical exemplar per neighborhood (dedup.py::pagerank; fixed
+    power iterations, lineage-truncated per round).  Rows-only: iterative
+    float fixpoint; hand-computed goldens + invariants in pytest."""
+    docs = _t(spark, d, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    return dedup.pagerank(pairs).select(F.col("node").alias("doc_id"), "rank")
+
+
 def q_collapsing_final(spark, d):
     """CollapsingMergeTree FINAL semantics (ClickHouse upsert/CDC state):
     sign=±1 rows cancel per key; survivors keep their latest +1 state.  One
@@ -1875,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session": q_stream_session,
         "stream_stateful": q_stream_stateful,
         "stream_quality_gate": q_stream_quality_gate,
+        "pagerank_docs": q_pagerank_docs,
         # Spark 4 transformWithStateInPandas needs a working google.protobuf
         # (state-server protocol); registered only where the dep functions —
         # see OPERATORS.md "Environment gates" for the grader-facing note

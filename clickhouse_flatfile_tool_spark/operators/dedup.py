@@ -794,3 +794,52 @@ def simhash_verify(
     return out.where(F.col("hamming") <= max_hamming).select(
         "id_a", "id_b", "hamming"
     )
+
+
+def pagerank(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    damping: float = 0.85,
+    iterations: int = 10,
+) -> DataFrame:
+    """PageRank over an undirected candidate-pair graph (Page et al. 1998)
+    — ranks the CANONICAL document inside each near-dup neighborhood: the
+    most-connected member gets the highest rank, a principled upgrade over
+    the min-id survivor policy when the pipeline wants to keep the "best
+    connected" exemplar, and the standard centrality signal for curation.
+
+    Fixed ``iterations`` of power iteration (no convergence collect —
+    deterministic work per run); each round is one equi-join of ranks to
+    edges + one groupBy on the destination (two shuffles), with
+    ``localCheckpoint`` truncating lineage so round N's plan doesn't
+    embed rounds 1..N-1.  Isolated rank mass from dangling nodes doesn't
+    arise: every node in a pair graph has degree ≥ 1 by construction.
+    Ranks are scaled so they sum to the node count (the classic
+    formulation); rank 1.0 ≈ average importance.
+    """
+    e = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    degrees = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = degrees.select("src", F.lit(1.0).alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            edges.join(ranks, "src")
+            .join(degrees, "src")
+            .select(F.col("dst").alias("src"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("src")
+            .agg(F.sum("c").alias("recv"))
+        )
+        ranks = degrees.join(contribs, "src", "left").select(
+            "src",
+            (
+                F.lit(1.0 - damping) + F.lit(damping) * F.coalesce("recv", F.lit(0.0))
+            ).alias("rank"),
+        ).localCheckpoint(eager=False)
+    return ranks.select(F.col("src").alias("node"), F.round("rank", 6).alias("rank"))

@@ -199,3 +199,23 @@ def test_stream_ingest_foreachbatch(spark, tmp_path):
     )
     stream_ops.stream_ingest(stream2, "stream_ingest_t", str(tmp_path / "ckpt"))
     assert spark.table("stream_ingest_t").count() == 2
+
+
+def test_pagerank_hand_computed_and_invariants(spark):
+    from clickhouse_flatfile_tool_spark.operators.dedup import pagerank
+
+    # path graph 1-2-3: center node 2 must outrank the leaves, symmetric ends
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    r = {row.node: row.rank for row in pagerank(pairs, iterations=60).collect()}
+    assert r[2] > r[1] and abs(r[1] - r[3]) < 1e-9
+    # closed-form fixpoint for the path graph (d=0.85):
+    # leaf = 0.15 + 0.85*center/2 ; center = 0.15 + 0.85*(leaf+leaf)
+    # => center = 0.15 + 1.7*(0.15 + 0.425*center)
+    # power iteration converges ~0.85^k: 60 rounds -> error ~6e-5
+    center = (0.15 + 1.7 * 0.15) / (1 - 1.7 * 0.425)
+    leaf = 0.15 + 0.425 * center
+    assert abs(r[2] - center) < 1e-3 and abs(r[1] - leaf) < 1e-3
+    # rank mass ~ node count on a regular graph (triangle: all ranks 1.0)
+    tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "id_a long, id_b long")
+    rt = {row.node: row.rank for row in pagerank(tri, iterations=5).collect()}
+    assert all(abs(v - 1.0) < 1e-9 for v in rt.values())
