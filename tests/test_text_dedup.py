@@ -440,3 +440,29 @@ def test_char_entropy_hand_computed(spark):
     assert math.isclose(out[2].char_entropy, round(math.log(2), 6), abs_tol=1e-6)
     assert math.isclose(out[3].char_entropy, round(math.log(4), 6), abs_tol=1e-6)
     assert out[3].n_chars_counted == 4
+
+
+def test_pipeline_curation_stage_composition(tables, spark):
+    """Each stage of the curation pipeline only removes documents, the
+    final set respects every gate, and the budget holds per language."""
+    import os
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    docs = tables["documents"]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+    out = e.q_pipeline_curation(spark, sf_dir)
+    rows = out.collect()
+    kept = {r.doc_id for r in rows}
+    assert len(kept) > 0
+    train_ids = {r.doc_id for r in docs.filter("doc_id % 20 != 0").select("doc_id").collect()}
+    assert kept <= train_ids
+    # budget per language holds on the kept set
+    kept_docs = docs.filter(docs.doc_id.isin(list(kept)))
+    from pyspark.sql import functions as FF
+    tot = kept_docs.groupBy("lang").agg(
+        FF.sum(FF.size(FF.split(FF.trim("text"), r"\s+"))).alias("t")
+    )
+    assert all(r.t <= 6000 for r in tot.collect())
