@@ -182,6 +182,36 @@ _IF_COMBINATORS = {
 }
 
 
+def _rewrite_call(chunk: str, name: str, make) -> str:
+    """Shared scaffolding for every call-shaped rewrite: find ``name(…)``,
+    split its top-level arguments, and replace the call with
+    ``make(args)`` — ``make`` returns ``None`` to leave a call untouched
+    (malformed arity passes through for Spark to error on by name).
+
+    Matches are processed INNERMOST-FIRST: nested calls start later in the
+    text, so the last non-skipped match can contain no nested occurrence,
+    and rewriting it never duplicates untranslated calls into the
+    replacement (the bug class a naive resume-after-replacement scan has).
+    Skipped-call positions are rebased after each splice so the loop
+    terminates."""
+    pat = re.compile(r"\b" + name + r"\(")
+    skipped: set[int] = set()
+    while True:
+        matches = [m for m in pat.finditer(chunk) if m.start() not in skipped]
+        if not matches:
+            return chunk
+        m = matches[-1]
+        end = _match_paren(chunk, m.end() - 1)
+        repl = make(_split_top_comma(chunk[m.end() : end - 1]))
+        if repl is None:
+            skipped.add(m.start())
+            continue
+        chunk = chunk[: m.start()] + repl + chunk[end:]
+        delta = len(repl) - (end - m.start())
+        skipped = {s + delta if s >= end else s
+                   for s in skipped if s < m.start() or s >= end}
+
+
 def _rewrite_int_div(chunk: str) -> str:
     """``intDiv(a, b)`` → floor division on longs.  ClickHouse intDiv rounds
     toward -inf; Spark's ``DIV`` truncates toward zero, so a sign/remainder
@@ -189,37 +219,22 @@ def _rewrite_int_div(chunk: str) -> str:
     Stays in 64-bit integer arithmetic end-to-end — ``FLOOR((a)/(b))`` over
     double division diverges from true integer division once the operands
     pass 2^53.  Operands are cast to BIGINT first (matching ClickHouse,
-    which defines intDiv on integers).
+    which defines intDiv on integers).  The template references each
+    argument 3× (DIV, remainder test, sign test), so a non-deterministic
+    argument (``rand()``) would be evaluated per reference; ClickHouse SQL
+    users don't write that, and a subquery can't be spliced textually."""
 
-    Matches rewrite INNERMOST-FIRST (the last-starting occurrence can
-    contain no nested call), so ``intDiv(intDiv(a, b), 2)`` translates
-    fully instead of leaving — and triplicating — the inner call inside
-    the expansion.  The template references each argument 3× (DIV,
-    remainder test, sign test), so a non-deterministic argument
-    (``rand()``) would be evaluated per reference; ClickHouse SQL users
-    don't write that, and the alternative (a subquery) can't be spliced
-    textually."""
-    pat = re.compile(r"\bintDiv\(")
-    skipped: set[int] = set()  # starts of malformed-arity calls left as-is
-    while True:
-        matches = [m for m in pat.finditer(chunk) if m.start() not in skipped]
-        if not matches:
-            return chunk
-        m = matches[-1]  # last start = innermost: no nested intDiv within
-        end = _match_paren(chunk, m.end() - 1)
-        args = _split_top_comma(chunk[m.end() : end - 1])
-        if len(args) == 2:
-            a = f"CAST({args[0]} AS BIGINT)"
-            b = f"CAST({args[1]} AS BIGINT)"
-            repl = (
-                f"(({a} DIV {b}) + (CASE WHEN ({a} % {b}) != 0 "
-                f"AND (({a} < 0) != ({b} < 0)) THEN -1 ELSE 0 END))"
-            )
-            chunk = chunk[: m.start()] + repl + chunk[end:]
-            skipped = {s if s < m.start() else s + len(repl) - (end - m.start())
-                       for s in skipped if s < m.start() or s >= end}
-        else:
-            skipped.add(m.start())
+    def make(args):
+        if len(args) != 2:
+            return None
+        a = f"CAST({args[0]} AS BIGINT)"
+        b = f"CAST({args[1]} AS BIGINT)"
+        return (
+            f"(({a} DIV {b}) + (CASE WHEN ({a} % {b}) != 0 "
+            f"AND (({a} < 0) != ({b} < 0)) THEN -1 ELSE 0 END))"
+        )
+
+    return _rewrite_call(chunk, "intDiv", make)
 
 
 def _rewrite_if_combinators(chunk: str) -> str:
@@ -243,21 +258,17 @@ def _rewrite_if_combinators(chunk: str) -> str:
 def _rewrite_multi_if(chunk: str) -> str:
     """``multiIf(c1, v1, c2, v2, …, else)`` → a CASE WHEN chain (odd arity:
     condition/value pairs plus the final else)."""
-    pat = re.compile(r"\bmultiIf\(")
-    m = pat.search(chunk)
-    while m:
-        end = _match_paren(chunk, m.end() - 1)
-        args = _split_top_comma(chunk[m.end() : end - 1])
+
+    def make(args):
         if len(args) >= 3 and len(args) % 2 == 1:
             whens = " ".join(
-                f"WHEN {args[i]} THEN {args[i + 1]}" for i in range(0, len(args) - 1, 2)
+                f"WHEN {args[i]} THEN {args[i + 1]}"
+                for i in range(0, len(args) - 1, 2)
             )
-            repl = f"(CASE {whens} ELSE {args[-1]} END)"
-            chunk = chunk[: m.start()] + repl + chunk[end:]
-            m = pat.search(chunk, m.start())  # nested multiIf in moved args
-        else:
-            m = pat.search(chunk, end)
-    return chunk
+            return f"(CASE {whens} ELSE {args[-1]} END)"
+        return None
+
+    return _rewrite_call(chunk, "multiIf", make)
 
 
 def _rewrite_split_by_char(chunk: str) -> str:
@@ -265,40 +276,30 @@ def _rewrite_split_by_char(chunk: str) -> str:
     sep)`` with the separator wrapped in ``\\Q…\\E`` so Spark's regex
     ``split`` treats it literally (ClickHouse splits on the raw string —
     a '.' or '|' separator must not become a regex)."""
+
+    def make(args):
+        if len(args) != 2:
+            return None
+        sep, s = args
+        return f"split({s}, concat('\\\\Q', {sep}, '\\\\E'))"
+
     for name in ("splitByChar", "splitByString"):
-        pat = re.compile(r"\b" + name + r"\(")
-        m = pat.search(chunk)
-        while m:
-            end = _match_paren(chunk, m.end() - 1)
-            args = _split_top_comma(chunk[m.end() : end - 1])
-            if len(args) == 2:
-                sep, s = args
-                repl = f"split({s}, concat('\\\\Q', {sep}, '\\\\E'))"
-                chunk = chunk[: m.start()] + repl + chunk[end:]
-                m = pat.search(chunk, m.start())
-            else:
-                m = pat.search(chunk, end)
+        chunk = _rewrite_call(chunk, name, make)
     return chunk
 
 
 def _rewrite_array_string_concat(chunk: str) -> str:
     """``arrayStringConcat(arr[, sep])`` → ``array_join(arr, sep)`` (Spark
     requires the separator; ClickHouse defaults to '')."""
-    pat = re.compile(r"\barrayStringConcat\(")
-    m = pat.search(chunk)
-    while m:
-        end = _match_paren(chunk, m.end() - 1)
-        args = _split_top_comma(chunk[m.end() : end - 1])
+
+    def make(args):
         if len(args) == 1:
-            repl = f"array_join({args[0]}, '')"
-        elif len(args) == 2:
-            repl = f"array_join({args[0]}, {args[1]})"
-        else:
-            m = pat.search(chunk, end)
-            continue
-        chunk = chunk[: m.start()] + repl + chunk[end:]
-        m = pat.search(chunk, m.start())
-    return chunk
+            return f"array_join({args[0]}, '')"
+        if len(args) == 2:
+            return f"array_join({args[0]}, {args[1]})"
+        return None
+
+    return _rewrite_call(chunk, "arrayStringConcat", make)
 
 
 # ClickHouse higher-order array functions put the LAMBDA FIRST
@@ -316,25 +317,15 @@ _LAMBDA_FNS = {
 
 def _rewrite_lambda_array_fns(chunk: str) -> str:
     for ch_name, spark_name in _LAMBDA_FNS.items():
-        pat = re.compile(r"\b" + ch_name + r"\(")
-        m = pat.search(chunk)
-        while m:
-            end = _match_paren(chunk, m.end() - 1)
-            args = _split_top_comma(chunk[m.end() : end - 1])
+        def make(args, spark_name=spark_name, ch_name=ch_name):
             if len(args) >= 2 and "->" in args[0]:
                 if len(args) == 2:
-                    repl = f"{spark_name}({args[1]}, {args[0]})"
-                elif len(args) == 3 and ch_name == "arrayMap":
-                    repl = f"zip_with({args[1]}, {args[2]}, {args[0]})"
-                else:  # >2 arrays: no Spark analog — leave for Spark to name
-                    m = pat.search(chunk, end)
-                    continue
-                chunk = chunk[: m.start()] + repl + chunk[end:]
-                # rescan from the rewrite start: the moved arguments may
-                # themselves contain nested arrayMap/arrayFilter calls
-                m = pat.search(chunk, m.start())
-            else:
-                m = pat.search(chunk, end)
+                    return f"{spark_name}({args[1]}, {args[0]})"
+                if len(args) == 3 and ch_name == "arrayMap":
+                    return f"zip_with({args[1]}, {args[2]}, {args[0]})"
+            return None  # lambda-less or >2 arrays: leave for Spark to name
+
+        chunk = _rewrite_call(chunk, ch_name, make)
     return chunk
 
 

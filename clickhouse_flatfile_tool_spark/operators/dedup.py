@@ -826,20 +826,33 @@ def pagerank(
         .distinct()
         .localCheckpoint()
     )
-    degrees = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ranks = degrees.select("src", F.lit(1.0).alias("rank"))
+    # ranks carry their node's degree, so each round is exactly two joins
+    # (edges⋈ranks for contributions, ranks⋈contribs for the update) and
+    # the degree aggregation runs once, not once per round
+    ranks = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .withColumn("rank", F.lit(1.0))
+        .localCheckpoint()
+    )
     for _ in range(iterations):
         contribs = (
             edges.join(ranks, "src")
-            .join(degrees, "src")
             .select(F.col("dst").alias("src"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("src")
             .agg(F.sum("c").alias("recv"))
         )
-        ranks = degrees.join(contribs, "src", "left").select(
-            "src",
-            (
-                F.lit(1.0 - damping) + F.lit(damping) * F.coalesce("recv", F.lit(0.0))
-            ).alias("rank"),
-        ).localCheckpoint(eager=False)
+        ranks = (
+            ranks.drop("rank")
+            .join(contribs, "src", "left")
+            .select(
+                "src",
+                "deg",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("recv", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
     return ranks.select(F.col("src").alias("node"), F.round("rank", 6).alias("rank"))

@@ -624,8 +624,8 @@ def misra_gries_topk(
     """
     import pandas as pd
 
-    src = df.select(F.col(col).cast("string").alias("item")).where(
-        F.col(col).isNotNull()
+    src = df.where(F.col(col).isNotNull()).select(
+        F.col(col).cast("string").alias("item")
     )
 
     def summarize(batches):

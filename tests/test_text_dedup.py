@@ -442,17 +442,12 @@ def test_char_entropy_hand_computed(spark):
     assert out[3].n_chars_counted == 4
 
 
-def test_pipeline_curation_stage_composition(tables, spark):
+def test_pipeline_curation_stage_composition(tables, spark, sf_dir):
     """Each stage of the curation pipeline only removes documents, the
     final set respects every gate, and the budget holds per language."""
-    import os
-    import sys
-
-    sys.path.insert(0, "/root/repo")
-    import __spark_entry__ as e
+    import __spark_entry__ as e  # conftest puts the repo root on sys.path
 
     docs = tables["documents"]
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
     out = e.q_pipeline_curation(spark, sf_dir)
     rows = out.collect()
     kept = {r.doc_id for r in rows}
