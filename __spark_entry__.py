@@ -892,6 +892,17 @@ def q_decontaminate(spark, d):
     )
 
 
+def q_bpe_merges(spark, d):
+    """Distributed BPE vocabulary induction (Sennrich et al. 2016): one
+    corpus pass builds the vocab-sized word-frequency table; each merge
+    iteration runs on that small table only (text.py::bpe_train).
+    Rows-only: iterative with a 1-row driver decision per merge, the same
+    documented pattern as connected_components; hand-computed goldens in
+    pytest."""
+    docs = _t(spark, d, "documents")
+    return text.bpe_train(docs, num_merges=12)
+
+
 def q_pipeline_curation(spark, d):
     """Round-3 capstone pipeline: Gopher rules gate → boilerplate-ratio
     filter → benchmark decontamination → per-language token budget, composed
@@ -1911,6 +1922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_quality_gate": q_stream_quality_gate,
         "pagerank_docs": q_pagerank_docs,
         "pipeline_curation": q_pipeline_curation,
+        "bpe_merges": q_bpe_merges,
         # Spark 4 transformWithStateInPandas needs a working google.protobuf
         # (state-server protocol); registered only where the dep functions —
         # see OPERATORS.md "Environment gates" for the grader-facing note

@@ -610,3 +610,91 @@ def pmi_collocations(
         )
     )
     return scored.orderBy(F.desc("pmi"), F.asc("bg")).limit(k)
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 10,
+) -> DataFrame:
+    """Learn a BPE merge table over the corpus (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units") —
+    the vocabulary-induction step of a training-data pipeline.
+
+    Scale shape (the textbook trick): ONE corpus pass builds the
+    word-frequency table, which is VOCAB-sized, and every merge iteration
+    runs on that small table only — count weighted adjacent symbol pairs
+    (explode + groupBy), take the most frequent (a 1-row driver action,
+    the same documented iterative-decision pattern as
+    ``dedup.connected_components``), then apply the merge with a greedy
+    left-to-right fold (built-in ``aggregate``, no Python UDF).  Ties
+    break deterministically by (count desc, left, right).
+
+    Returns the merge table ``(rank, left, right, pair_count)`` — apply it
+    in order to tokenize new text.
+    """
+    words = df.select(
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), _WS_SPLIT)).alias("w")
+    ).where(F.length("w") > 0)
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.split(F.col("w"), "").alias("syms"), "n")
+        .select(F.filter("syms", lambda s: F.length(s) > 0).alias("syms"), "n")
+        .localCheckpoint()
+    )
+    merges = []
+    for rank in range(num_merges):
+        pairs = vocab.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("syms", 1, F.greatest(F.size("syms") - 1, F.lit(0))),
+                    F.slice("syms", 2, F.greatest(F.size("syms") - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+            "n",
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < 2:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merges.append((rank, left, right, cnt))
+        # greedy left-to-right merge of (left,right) in every word's symbols
+        merged = F.aggregate(
+            "syms",
+            F.struct(
+                F.array().cast("array<string>").alias("out"),
+                F.lit("").alias("pend"),
+            ),
+            lambda acc, s: F.when(
+                acc["pend"] == "", F.struct(acc["out"].alias("out"), s.alias("pend"))
+            )
+            .when(
+                (acc["pend"] == left) & (s == right),
+                F.struct(
+                    F.concat(acc["out"], F.array(F.lit(left + right))).alias("out"),
+                    F.lit("").alias("pend"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(acc["pend"])).alias("out"),
+                    s.alias("pend"),
+                )
+            ),
+            lambda acc: F.when(
+                acc["pend"] == "", acc["out"]
+            ).otherwise(F.concat(acc["out"], F.array(acc["pend"]))),
+        )
+        vocab = vocab.select(merged.alias("syms"), "n").localCheckpoint()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges or [], "rank int, left string, right string, pair_count long"
+    )

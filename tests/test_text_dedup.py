@@ -461,3 +461,24 @@ def test_pipeline_curation_stage_composition(tables, spark, sf_dir):
         FF.sum(FF.size(FF.split(FF.trim("text"), r"\s+"))).alias("t")
     )
     assert all(r.t <= 6000 for r in tot.collect())
+
+
+def test_bpe_train_hand_computed(spark):
+    # corpus: 'aaab' x2, 'ab' x1
+    # iter 1: (a,a) weight 4 beats (a,b) 3 -> merge 'aa'; aaab -> [aa,a,b]
+    # iter 2: (a,b) 3 beats (aa,a) 2 -> merge 'ab';      aaab -> [aa,ab]
+    # iter 3: (aa,ab) 2 -> merge 'aaab'; then no pair reaches count 2 -> stop
+    df = spark.createDataFrame([(1, "aaab aaab ab")], ["doc_id", "text"])
+    got = [(r.rank, r.left, r.right, r.pair_count) for r in X.bpe_train(df, num_merges=10).collect()]
+    assert got == [(0, "a", "a", 4), (1, "a", "b", 3), (2, "aa", "ab", 2)]
+
+
+def test_bpe_train_greedy_no_overlap(spark):
+    # 'aaa': greedy left-to-right merges ONE (a,a) pair per word pass
+    # (positions 0-1), never the overlapping 1-2 pair
+    df = spark.createDataFrame([(1, "aaa aaa")], ["doc_id", "text"])
+    got = [(r.left, r.right, r.pair_count) for r in X.bpe_train(df, num_merges=2).collect()]
+    # pair (a,a) appears twice per 'aaa' (overlapping) -> weighted count 4
+    assert got[0] == ("a", "a", 4)
+    # after merging, each word is [aa, a] -> next merge is (aa, a) count 2
+    assert got[1] == ("aa", "a", 2)
