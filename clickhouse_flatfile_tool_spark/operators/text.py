@@ -698,3 +698,54 @@ def bpe_train(
     return spark.createDataFrame(
         merges or [], "rank int, left string, right string, pair_count long"
     )
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    merges_df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a learned BPE merge table (:func:`bpe_train`) to text: per
+    word, start from characters and repeatedly merge the LOWEST-RANK
+    adjacent pair present — the exact inference rule of the original
+    algorithm.  The merge table is vocab-sized, so it collects to the
+    driver and broadcasts like any small model; tokenization itself is an
+    Arrow-batched ``mapInPandas`` (the documented model-scoring pattern —
+    genuinely per-symbol sequential work no built-in expresses)."""
+    from pyspark.sql import types as T
+
+    ranks = {
+        (r["left"], r["right"]): int(r["rank"])
+        for r in merges_df.select("rank", "left", "right").collect()
+    }
+    bc = df.sparkSession.sparkContext.broadcast(ranks)
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, T.ArrayType(T.StringType()), False)]
+    )
+
+    def run(batches):
+        rk = bc.value
+
+        def word_tokens(word):
+            syms = list(word)
+            while len(syms) > 1:
+                best, best_i = None, -1
+                for i in range(len(syms) - 1):
+                    r = rk.get((syms[i], syms[i + 1]))
+                    if r is not None and (best is None or r < best):
+                        best, best_i = r, i
+                if best is None:
+                    break
+                syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+            return syms
+
+        for pdf in batches:
+            out = pdf.copy()
+            out[out_col] = pdf[text_col].map(
+                lambda t: [s for w in t.strip().lower().split() for s in word_tokens(w)]
+            )
+            yield out
+
+    return df.mapInPandas(run, schema)

@@ -482,3 +482,20 @@ def test_bpe_train_greedy_no_overlap(spark):
     assert got[0] == ("a", "a", 4)
     # after merging, each word is [aa, a] -> next merge is (aa, a) count 2
     assert got[1] == ("aa", "a", 2)
+
+
+def test_bpe_tokenize_applies_learned_merges(spark):
+    df = spark.createDataFrame([(1, "aaab aaab ab")], ["doc_id", "text"])
+    merges = X.bpe_train(df, num_merges=10)
+    out = X.bpe_tokenize(
+        spark.createDataFrame(
+            [(1, "aaab"), (2, "aab"), (3, "ba xyz")], ["doc_id", "text"]
+        ),
+        merges,
+    )
+    got = {r.doc_id: r.bpe_tokens for r in out.collect()}
+    # 'aaab' fully merges via (a,a)->(a,b)->(aa,ab); 'aab' stops at [aa, b]
+    assert got[1] == ["aaab"]
+    assert got[2] == ["aa", "b"]
+    # unseen symbols stay as characters; word boundary respected
+    assert got[3] == ["b", "a", "x", "y", "z"]
