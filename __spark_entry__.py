@@ -1862,13 +1862,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # it checks per round (50/round observed).  Entries are ROTATED each
     # round — queries with no green CORRECTNESS_r*.json row yet, plus any
     # whose implementation changed this round, come first; proven greens sit
-    # at the tail.  Round-3 window: 14 new tier-0 operators (Gopher rules,
+    # at the tail.  Round-3 window: 18 new operators (Gopher rules,
     # boilerplate n-grams, decontamination, TPC-H Q1/Q19, SemDeDup, bigram
     # surprisal, temperature mixture, token budget, AggregatingMergeTree,
-    # PSI drift, Misra-Gries, char entropy), the 20 never-driver-checked
-    # entries (minus the pruned near-duplicates, see below), the
-    # corpus_stats hash fix, new csv_quoted, and rows-only streaming
-    # refreshers — ~45 of the 50 slots; round-2 greens fill the tail.
+    # PSI drift, Misra-Gries, char entropy, PNG decode, PageRank, BPE,
+    # curation pipeline, streaming quality gate), the never-driver-checked
+    # r2 entries (minus the pruned near-duplicates, see below), the
+    # corpus_stats fix, csv_quoted, and rows-only streaming refreshers —
+    # all 37 unproven entries sit in the top 50 slots (verified by
+    # script); round-2 greens fill the remaining 13.
     #
     # Pruned this round (near-duplicate variants folded into a sibling that
     # exercises the same operator family; all keep direct pytest coverage):
