@@ -669,3 +669,35 @@ def semantic_dedup(
     return df.join(
         drops, F.col(id_col).cast("long") == F.col("__drop"), "left_anti"
     )
+
+
+def cluster_report(
+    corpus: DataFrame,
+    n_lists: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 10_000,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-cluster curation report over the embedding corpus: size and
+    mean cosine-to-centroid cohesion for each k-means cluster — the
+    diagnostic behind cluster-balanced sampling (oversample small coherent
+    clusters, downsample giant diffuse ones; the SemDeDup/DSIR-family
+    curation move).  Reuses the IVF quantizer: train once on a bounded
+    hash-ordered sample, broadcast-assign (no UDF), then one groupBy on
+    the cluster id."""
+    cent = ivf_build_centroids(
+        corpus, n_lists=n_lists, sample_size=sample_size, seed=seed, vec_col=vec_col
+    )
+    assigned = ivf_assign(corpus, cent, id_col=id_col, vec_col=vec_col, n_probe=1)
+    return (
+        assigned.join(F.broadcast(cent), "list_id")
+        .groupBy("list_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg(cosine(F.col(vec_col), F.col("centroid"))), 6).alias(
+                "cohesion"
+            ),
+        )
+        .orderBy("list_id")
+    )

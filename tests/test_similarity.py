@@ -211,3 +211,12 @@ def test_semantic_dedup_survivor_invariants(spark, emb):
     assert ids <= {r.vec_id for r in with_dup.select("vec_id").collect()}
     # no original-clustering pair has both endpoints surviving
     assert not any(a in ids and b in ids for a, b in pairs)
+
+
+def test_cluster_report_partitions_corpus(emb):
+    rep = S.cluster_report(emb, n_lists=8).collect()
+    assert sum(r.n_vectors for r in rep) == emb.count()
+    assert all(-1.0 <= r.cohesion <= 1.0 for r in rep)
+    assert len(rep) <= 8 and len(rep) > 1
+    # cohesion must beat random: mean cosine to the OWN centroid is positive
+    assert all(r.cohesion > 0 for r in rep)
