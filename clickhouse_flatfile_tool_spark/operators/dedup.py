@@ -359,44 +359,52 @@ def simhash_signatures(
     Majority rule per bit: bit b of the signature is set iff more than half
     of the doc's shingle hashes have bit b set (≡ the classic ±1 sum > 0).
 
-    Shape: hashed shingles → ``collect_list`` per doc (map-side combine; the
-    shuffle carries one hash array per doc) → ONE codegen expression per doc
-    that folds the array into 64 bit-counts (``aggregate`` + ``zip_with``
-    over a literal mask array) and packs the signature.  Earlier shapes both
-    lose: a 64-wide column agg compiles ~50 s of codegen, and the long-format
-    explode (one row per doc×bit) materializes 64× the shingle rows —
-    measured 2.7× slower than this at sf0.1.  Masks come from SQL
+    Shape: SWAR lane sums — each hash contributes 16 packed addends
+    (``(h >>> k) & 0x0001000100010001``: four 16-bit bit-counters per
+    long), aggregated per doc as 16 plain ``sum`` columns.  Sums get TRUE
+    map-side partial aggregation, so the shuffle carries 17 longs per doc
+    per mapper — O(docs), independent of shingle count — and the
+    signature packs from the lane sums in one final projection.
+
+    Shape history, all bit-identical outputs, measured at sf0.1: a
+    64-wide column agg compiles ~50 s of codegen; long-format explode
+    (row per doc×bit) is 2.7× slower; collect_list + a 64-bit-count
+    array fold ties this form locally (1.55 s vs 1.63 s — map-side
+    shingle hashing dominates at fixture scale) but shuffles every
+    shingle hash per doc, which loses at corpus scale.  Lane counters
+    are 16-bit: exact for documents up to 65 535 shingles (chunk longer
+    docs first — standard in any pipeline).  Bit masks come from SQL
     ``shiftleft(1L, i)`` literals — never a Python ``1 << 63``, which
-    overflows a JVM long.  (A SWAR variant — four 16-bit counters packed
-    per long, 16 lanes, ~4× fewer lambda ops per shingle — produced
-    bit-identical signatures but measured 9% SLOWER at sf0.1: the
-    collect_list shuffle dominates, not the fold.  Kept this form.)
+    overflows a JVM long.
     """
+    from functools import reduce
+
+    if bits != 64:
+        raise ValueError("simhash_signatures: the SWAR layout is 64-bit only")
+    mask = F.lit(0x0001000100010001)
     exploded = shingle_postings(df, id_col, text_col, 2).select(
         F.col(id_col), F.xxhash64("__s", F.lit(seed)).alias("__h")
     )
-    hs = exploded.groupBy(id_col).agg(F.collect_list("__h").alias("__hs"))
-    masks = F.array(*[F.expr(f"shiftleft(1L, {i})") for i in range(bits)])
-    counts = F.aggregate(
-        F.col("__hs"),
-        F.array_repeat(F.lit(0), bits),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(masks, lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(0)),
-            lambda a, x: a + x,
-        ),
+    lanes = exploded.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.shiftrightunsigned("__h", k).bitwiseAND(mask)).alias(f"__l{k}")
+            for k in range(16)
+        ],
     )
-    n = F.size(F.col("__hs"))
-    sig = F.aggregate(
-        F.zip_with(
-            counts,
-            masks,
-            lambda c, m: F.when(c * 2 > n, m).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda a, b: a.bitwiseOR(b),
-    )
-    return hs.select(F.col(id_col), sig.alias("simhash"))
+    n = F.col("__n")
+    terms = []
+    for i in range(bits):
+        cnt = F.shiftrightunsigned(F.col(f"__l{i % 16}"), 16 * (i // 16)).bitwiseAND(
+            F.lit(0xFFFF)
+        )
+        terms.append(
+            F.when(cnt * 2 > n, F.expr(f"shiftleft(1L, {i})")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    sig = reduce(lambda a, b: a.bitwiseOR(b), terms)
+    return lanes.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_candidates(
