@@ -1919,6 +1919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_table": q_profile_table,
         # --- tier 1b: changed or new this round ---
         "corpus_stats": q_corpus_stats,
+        "tumbling_window": q_tumbling_window,  # avg_value 100x fix (r3): re-verify
         "csv_quoted": q_csv_quoted,
         # --- tier 2: never driver-checked, rows-only by design ---
         "hll_rollup": q_hll_rollup,
@@ -1990,7 +1991,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "array_funcs": q_array_funcs,
         "string_funcs": q_string_funcs,
-        "tumbling_window": q_tumbling_window,
         "preview_page": q_preview_page,
         "count": q_count,
         "filter_project": q_filter_project,
@@ -2852,7 +2852,7 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
             f"SELECT {tumble} AS window_start, "
             f"{tumble} + INTERVAL 10 MINUTE AS window_end, "
             "event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value, "
-            "(((sum(round(value * 100))::BIGINT * 20000) + count(*)) // (count(*) * 2))::DOUBLE / 10000.0 AS avg_value "
+            "(((sum(round(value * 100))::BIGINT * 200) + count(*)) // (count(*) * 2))::DOUBLE / 10000.0 AS avg_value "
             "FROM events GROUP BY 1, 2, 3"
         ),
         "sliding_window": (

@@ -30,7 +30,7 @@ def tumbling_window_agg(
     df: DataFrame,
     window_duration: str = "10 minutes",
     ts_col: str = "ts",
-    group_extra: list[str] = [],
+    group_extra: list[str] | None = None,
 ) -> DataFrame:
     """Tumbling-window aggregation: count + value stats per window (+ extra
     keys).  ``F.window`` assigns each row to exactly one bucket — map-side,
@@ -43,7 +43,12 @@ def tumbling_window_agg(
     between engines on the last digit — caught by the sf0.1 oracle diff.
     The quotient uses Spark's ``div`` (truncating long division) — the
     exact twin of the DuckDB oracle's ``//`` at ALL magnitudes; routing
-    through double division drifts once the numerator passes 2^53."""
+    through double division drifts once the numerator passes 2^53.
+    Multiplier is 200 (cents·100·2): cents/(100·n) scaled to 4 decimals —
+    a 20000 multiplier here would return the average in CENTS (100× the
+    true value), the bug class a cross-engine hash can't catch because
+    the oracle mirrors the formula."""
+    group_extra = group_extra or []
     cents = F.sum(F.round(F.col("value") * 100).cast("long"))
     n = F.count(F.lit(1))
     return (
@@ -60,7 +65,7 @@ def tumbling_window_agg(
             "n_events",
             "sum_value",
             F.expr(
-                "CAST((_cents * 20000 + n_events) DIV (n_events * 2) AS DOUBLE)"
+                "CAST((_cents * 200 + n_events) DIV (n_events * 2) AS DOUBLE)"
                 " / 10000.0"
             ).alias("avg_value"),
         )
@@ -150,15 +155,20 @@ def multi_resolution_rollup(
     ts_col: str = "ts",
     value_col: str = "value",
     group_cols: list[str] | None = None,
+    persist: bool = True,
 ) -> dict[str, DataFrame]:
     """Hierarchical time rollup: minute → hour → day, where each coarser
     resolution re-aggregates the next finer one instead of rescanning raw
     rows (the continuous-aggregate / hypertable-rollup pattern).
 
-    At 100 TB this is the difference between one full scan (minute level,
-    cached/persisted) plus two tiny re-aggregations, and three full scans.
-    Only algebraic aggregates are carried (sum/count/min/max — they compose
-    exactly); avg is derived as sum/count at read time.
+    ``persist=True`` (default) persists the minute and hour levels so
+    materializing all three levels really is one full scan plus two tiny
+    re-aggregations — WITHOUT it, Spark's lazy lineage recomputes the
+    finer level under each coarser one (three full scans, exactly the
+    cost this pattern exists to avoid).  The caller owns ``unpersist()``
+    when done; in production the levels would be written to storage
+    instead.  Only algebraic aggregates are carried (sum/count/min/max —
+    they compose exactly); avg is derived as sum/count at read time.
     """
     keys = group_cols or []
 
@@ -182,7 +192,11 @@ def multi_resolution_rollup(
         F.col(value_col).alias("v_max"),
     )
     minute = agg_from(base, "minute", "__ts")
+    if persist:
+        minute = minute.persist()
     hour = agg_from(minute, "hour", "bucket")
+    if persist:
+        hour = hour.persist()
     day = agg_from(hour, "day", "bucket")
     return {"minute": minute, "hour": hour, "day": day}
 
@@ -405,8 +419,11 @@ def gap_fill_interpolated(
             F.col("__pv").isNotNull()
             & F.col("__nv").isNotNull()
             & (F.col("__dk") > 0),
-            # cents·Δt blend, half-up via truncating long DIV (numerator is
-            # non-negative on the grid, so truncation == floor == half-up)
+            # cents·Δt blend via truncating long DIV — the exact twin of the
+            # oracle's // at all magnitudes.  For non-negative values this is
+            # round-half-up; for NEGATIVE values both engines truncate toward
+            # zero identically (cross-engine agreement holds), but the last
+            # digit rounds half-toward-zero rather than half-up there.
             F.expr(
                 "CAST(((__ca * __dk + (__cb - __ca) * __du) * 200 + __dk) "
                 "DIV (2 * __dk) AS DOUBLE) / 10000.0"

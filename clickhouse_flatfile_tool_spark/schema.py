@@ -230,19 +230,45 @@ def resolve_csv_schema(
     ``first_line`` is the raw first line of the file (used for the header
     sniff, server.js:284-298, and the headerless column count,
     server.js:322-347).  ``has_header`` overrides sniffing when the caller
-    knows.  All resolved columns are String — typing happens via explicit
-    casts downstream, exactly like the reference (server.js:274, 312-314).
+    knows — an explicit override also beats the UK-property filename
+    preset (the caller's knowledge outranks a substring heuristic that
+    also matches names like ``app-events.csv``).  All resolved columns are
+    String — typing happens via explicit casts downstream, exactly like
+    the reference (server.js:274, 312-314).
+
+    The first line is split with a quote-aware RFC 4180 parser (stdlib
+    ``csv``), matching the quoting the data reader itself honors — a
+    naive ``split(sep)`` would shred ``id,"full, name",notes`` into four
+    garbage columns while Spark parses three fields per data row.
+    Duplicate header names are disambiguated with positional suffixes
+    (``id``, ``id_2`` …) so the resolved schema is always selectable.
     """
-    if matches_uk_property_preset(filename):
+    if matches_uk_property_preset(filename) and has_header is None:
         return ResolvedSchema(UK_PROPERTY_SCHEMA, "preset", False)
     if first_line is None:
         raise ValueError("need first_line for non-preset CSV schema resolution")
-    fields = [f.strip() for f in first_line.rstrip("\r\n").split(sep)]
+    import csv as _csv
+    import io
+
+    try:
+        fields = [
+            f.strip()
+            for f in next(
+                _csv.reader(io.StringIO(first_line.rstrip("\r\n")), delimiter=sep)
+            )
+        ]
+    except StopIteration:
+        fields = []
     header = has_header if has_header is not None else _looks_like_header(fields)
     if header:
         cols = [f or f"column_{i + 1}" for i, f in enumerate(fields)]
+        seen: dict[str, int] = {}
+        uniq = []
+        for c in cols:
+            seen[c] = seen.get(c, 0) + 1
+            uniq.append(c if seen[c] == 1 else f"{c}_{seen[c]}")
         return ResolvedSchema(
-            T.StructType([T.StructField(c, T.StringType(), True) for c in cols]),
+            T.StructType([T.StructField(c, T.StringType(), True) for c in uniq]),
             "header",
             True,
         )

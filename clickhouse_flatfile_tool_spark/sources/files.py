@@ -24,11 +24,25 @@ from pyspark.sql import functions as F
 from clickhouse_flatfile_tool_spark.schema import ResolvedSchema, resolve_csv_schema
 
 
-def _first_line(path: str) -> str:
+def _first_line(path: str, spark: SparkSession | None = None) -> str:
     """Read just the first line (header sniff, server.js:284-298 reads only
-    the first chunk up to ``\\n``)."""
-    with open(path, "r", encoding="utf-8", errors="replace") as fh:
-        return fh.readline()
+    the first chunk up to ``\\n``).  Local single files use a plain
+    ``open`` (one tiny read); directories, globs, and remote URIs fall
+    back to a ``spark.read.text(...).limit(1)`` — a pushed-down 1-row
+    scan — since Spark's CSV reader accepts all of those while ``open``
+    does not.  Caveat: a header whose QUOTED field embeds a newline is
+    truncated at the first ``\\n`` by either path — pass an explicit
+    schema for such files."""
+    if os.path.isfile(path):
+        with open(path, "r", encoding="utf-8", errors="replace") as fh:
+            return fh.readline()
+    if spark is None:
+        raise ValueError(
+            f"_first_line: {path!r} is not a local file and no SparkSession "
+            "was provided for the distributed fallback"
+        )
+    row = spark.read.text(path).limit(1).collect()
+    return row[0][0] if row else ""
 
 
 def read_csv(
@@ -62,15 +76,18 @@ def read_csv(
     pre-normalize such files or accept the parallelism loss explicitly.
     """
     ext = os.path.splitext(path)[1].lower()
-    if ext not in (".csv", ".txt", ".tsv"):
-        # extension check mirrors server.js:259-261 (+ .tsv extension)
+    # extension check mirrors server.js:259-261 (+ .tsv extension); it only
+    # applies to single local files — directories, globs, and remote URIs
+    # name a collection, not a file, and pass through to Spark's reader
+    is_single_file = os.path.isfile(path)
+    if is_single_file and ext not in (".csv", ".txt", ".tsv"):
         raise ValueError(f"unsupported flat-file extension: {ext} (want .csv/.txt/.tsv)")
     if sep is None:
         sep = "\t" if ext == ".tsv" else ","
 
     resolved = resolve_csv_schema(
         os.path.basename(path),
-        first_line=_first_line(path),
+        first_line=_first_line(path, spark),
         has_header=has_header,
         sep=sep,
     )
@@ -104,8 +121,16 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     rejects them outright) are read as long via
     ``spark.sql.legacy.parquet.nanosAsLong`` and converted to TimestampType
     with truncation to microseconds — the same truncation DuckDB applies, so
-    oracle comparisons agree.  Detection is one footer read via pyarrow on
+    oracle comparisons agree.  Detection is footer reads via pyarrow on
     the driver, never a data scan.
+
+    NOTE: ``nanosAsLong`` is a SESSION-wide conf and is deliberately NOT
+    restored after the read — Spark resolves it lazily at plan/execution
+    time, so scoping it set/restore around this call would break the
+    returned (lazy) DataFrame.  Consequence: after reading one nanos
+    file, a plain ``spark.read.parquet`` elsewhere in the session reads
+    TIMESTAMP(NANOS) columns as LongType instead of erroring — always go
+    through this function (or ``read_parquet_evolved``), which converts.
     """
     ns_cols = _nanos_timestamp_cols(path)
     if not ns_cols:
@@ -161,25 +186,34 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     """Columns physically stored as INT64 TIMESTAMP(NANOS) — the layout
     Spark's vectorized reader rejects.  Checked at the parquet physical level
     because INT96 timestamps (Spark's own legacy default output) also surface
-    as ``timestamp[ns]`` in the pyarrow *logical* schema but read fine."""
+    as ``timestamp[ns]`` in the pyarrow *logical* schema but read fine.
+
+    Directories scan EVERY file's footer (metadata-only, no data read):
+    under schema evolution a nanos column may exist only in newer files,
+    and detecting just the first file would let the plain reader crash on
+    the ones that carry it."""
     import glob
 
     import pyarrow.parquet as pq
 
-    if os.path.isdir(path):
-        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
-        if not files:
-            return []
-        path = files[0]
-    schema = pq.ParquetFile(path).schema
-    return [
-        col.name
-        for i in range(len(schema))
-        for col in [schema.column(i)]
-        if col.physical_type == "INT64"
-        and "Timestamp" in str(col.logical_type)
-        and "nanos" in str(col.logical_type).lower()
-    ]
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    ns_cols: list[str] = []
+    for f in files:
+        schema = pq.ParquetFile(f).schema
+        for i in range(len(schema)):
+            col = schema.column(i)
+            if (
+                col.physical_type == "INT64"
+                and "Timestamp" in str(col.logical_type)
+                and "nanos" in str(col.logical_type).lower()
+                and col.name not in ns_cols
+            ):
+                ns_cols.append(col.name)
+    return ns_cols
 
 
 _TABLES = (

@@ -207,3 +207,20 @@ def test_gap_fill_interpolated_linear_blend(spark):
     assert got[TS(2024, 1, 1, 11)] == 20.0   # 1/3 of the way 10 -> 40
     assert got[TS(2024, 1, 1, 12)] == 30.0   # 2/3
     assert got[TS(2024, 1, 1, 13)] == 40.0
+
+
+def test_tumbling_avg_value_matches_float_average(spark, tables):
+    """Regression for the 100x avg bug: the integer-exact avg_value must
+    track the plain float average (cents multiplier 200, not 20000)."""
+    import pyspark.sql.functions as F
+    from clickhouse_flatfile_tool_spark.operators.events import tumbling_window_agg
+
+    ev = tables["events"]
+    exact = tumbling_window_agg(ev).select("window_start", "avg_value")
+    ref = ev.groupBy(F.window("ts", "10 minutes").alias("w")).agg(
+        F.avg("value").alias("fa")
+    ).select(F.col("w.start").alias("window_start"), "fa")
+    joined = exact.join(ref, "window_start").select(
+        F.max(F.abs(F.col("avg_value") - F.col("fa"))).alias("maxdiff")
+    )
+    assert joined.first().maxdiff < 1e-4

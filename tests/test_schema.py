@@ -151,3 +151,33 @@ def test_schema_drift_detects_all_change_classes():
     # pure addition is compatible
     d2 = schema_drift(T.StructType(old.fields[:2]), old)
     assert d2["compatible"] is True and d2["added"] == ["flag", "legacy"]
+
+
+def test_header_sniff_is_quote_aware():
+    from clickhouse_flatfile_tool_spark.schema import resolve_csv_schema
+
+    r = resolve_csv_schema("x.csv", 'id,"full, name",notes\n')
+    assert [f.name for f in r.schema.fields] == ["id", "full, name", "notes"]
+    assert r.has_header
+
+
+def test_header_sniff_dedupes_duplicate_names():
+    from clickhouse_flatfile_tool_spark.schema import resolve_csv_schema
+
+    r = resolve_csv_schema("x.csv", "id,id,value\n", has_header=True)
+    assert [f.name for f in r.schema.fields] == ["id", "id_2", "value"]
+
+
+def test_explicit_has_header_beats_preset():
+    from clickhouse_flatfile_tool_spark.schema import (
+        UK_PROPERTY_COLUMNS,
+        resolve_csv_schema,
+    )
+
+    # default: filename heuristic wins (reference semantics)
+    preset = resolve_csv_schema("pp-2024.csv", "a,b\n")
+    assert preset.origin == "preset" and not preset.has_header
+    assert [f.name for f in preset.schema.fields] == UK_PROPERTY_COLUMNS
+    # explicit caller knowledge overrides the substring heuristic
+    r = resolve_csv_schema("pp-2024.csv", "a,b\n", has_header=True)
+    assert r.origin == "header" and [f.name for f in r.schema.fields] == ["a", "b"]

@@ -370,3 +370,14 @@ def test_csv_null_value_and_multiline(spark, tmp_path):
     rows = {r.id: r.comment for r in df.collect()}
     assert rows["1"] == "line one\nline two"
     assert rows["2"] is None
+
+
+def test_read_csv_accepts_directory(spark, tmp_path):
+    from clickhouse_flatfile_tool_spark.sources.files import read_csv
+
+    d = tmp_path / "csvdir"
+    d.mkdir()
+    (d / "a.csv").write_text("id,val\n1,x\n")
+    (d / "b.csv").write_text("id,val\n2,y\n")
+    df, resolved = read_csv(spark, str(d))
+    assert resolved.has_header and sorted(r.id for r in df.collect()) == ["1", "2"]
