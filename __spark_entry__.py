@@ -827,6 +827,37 @@ def q_embedding_dedup_lsh(spark, d):
     return similarity.embedding_dedup_candidates(emb, cos_threshold=0.4)
 
 
+def q_gram_matrix(spark, d):
+    """Distributed Gram matrix XᵀX over the embedding corpus in integer
+    mode (components quantized floor(x·1000+0.5) → int64 products, exactly
+    order-independent and engine-reproducible).  mapInPandas emits one d×d
+    partial per Arrow batch; ONE d²-row groupBy sums them — the shuffle is
+    O(partitions·d²), independent of corpus size.  Feeds pca_project."""
+    emb = _t(spark, d, "embeddings")
+    return similarity.gram_matrix_long(emb, scale=1000).select(
+        F.col("i").cast("int").alias("i"),
+        F.col("j").cast("int").alias("j"),
+        F.col("g").cast("long").alias("g"),
+    )
+
+
+def q_pca_project(spark, d):
+    """PCA: distributed moments (Σx fold + Gram partials) → O(d³) eigh of
+    the d×d covariance on the driver (d² floats collected, independent of
+    n) → projection as literal-array zip_with/aggregate expressions (pure
+    JVM codegen, no UDF).  Rows-only: eigenvectors are numpy-specific up to
+    sign/degeneracy; pytest asserts orthonormality, eigenvalue-descending
+    order, per-component variance == eigenvalue, and monotone
+    reconstruction error (tests/test_similarity.py)."""
+    emb = _t(spark, d, "embeddings")
+    mu, comps, _ = similarity.pca_fit(emb, k=4)
+    out = similarity.pca_project(emb, mu, comps)
+    return out.select(
+        "vec_id",
+        *[F.round(F.element_at("pca", i + 1), 4).alias(f"pc{i}") for i in range(4)],
+    )
+
+
 def q_doc_fingerprint(spark, d):
     docs = _t(spark, d, "documents")
     return (
@@ -1921,6 +1952,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "tumbling_window": q_tumbling_window,  # avg_value 100x fix (r3): re-verify
         "csv_quoted": q_csv_quoted,
+        # --- tier 1c: new in this session (round 3, batch 2) ---
+        "gram_matrix": q_gram_matrix,
+        "pca_project": q_pca_project,
         # --- tier 2: never driver-checked, rows-only by design ---
         "hll_rollup": q_hll_rollup,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2923,6 +2957,15 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
             "SELECT vec_id, round(scale, 6) AS qscale, "
             "list_sum(codes)::INT AS code_sum, "
             "list_max(codes)::INT AS code_max, list_min(codes)::INT AS code_min FROM q"
+        ),
+        "gram_matrix": (
+            # integer-quantized XᵀX: floor(x·1000+0.5) per component, int64
+            # products — exact on both engines regardless of sum order
+            "SELECT i::INT AS i, j::INT AS j, "
+            "sum(CAST(floor(embedding[i]::DOUBLE * 1000 + 0.5) AS BIGINT) * "
+            "    CAST(floor(embedding[j]::DOUBLE * 1000 + 0.5) AS BIGINT))::BIGINT AS g "
+            "FROM embeddings, generate_series(1, 64) s1(i), generate_series(1, 64) s2(j) "
+            "WHERE j >= i GROUP BY i, j"
         ),
         "array_funcs": (
             "SELECT vec_id, "

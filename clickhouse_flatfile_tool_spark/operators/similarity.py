@@ -701,3 +701,120 @@ def cluster_report(
         )
         .orderBy("list_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA over the embedding corpus (distributed Gram matrix, driver eigh)
+# ---------------------------------------------------------------------------
+
+def gram_matrix_long(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int | None = None,
+) -> DataFrame:
+    """Upper-triangular Gram matrix XᵀX in long form ``(i, j, g)`` with
+    1-based indices, computed distributed: each Arrow batch contributes a
+    d×d numpy partial (``mapInPandas``), and ONE d²-row groupBy sums the
+    partials — the shuffle carries O(partitions·d²) rows, never O(n).
+
+    With ``scale`` set, components are quantized to integers
+    ``floor(x·scale + 0.5)`` before the product, making the sums
+    order-independent and exactly reproducible across engines (int64
+    addition is associative; float accumulation is not) — the
+    cross-engine-oracle form.  int64 headroom: |x·scale| ≤ s ⇒ overflow
+    needs Σ > 2⁶³/s², ~1e12 rows at s≈3e3.  ``scale=None`` keeps float64
+    products (the production form when exact replay is not required).
+    """
+    import pandas as pd  # noqa: F811 — local for the worker closure
+
+    def partial(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if scale is not None:
+                mat = np.floor(mat * scale + 0.5)
+                g = (mat.astype(np.int64).T @ mat.astype(np.int64)).astype(np.int64)
+            else:
+                g = mat.T @ mat
+            d = g.shape[0]
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {"i": iu + 1, "j": ju + 1, "g": g[iu, ju]}
+            )
+
+    out_t = "bigint" if scale is not None else "double"
+    partials = df.select(vec_col).mapInPandas(
+        partial, f"i int, j int, g {out_t}"
+    )
+    return partials.groupBy("i", "j").agg(F.sum("g").alias("g"))
+
+
+def pca_fit(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fit PCA on the corpus: distributed first/second moments (one
+    aggregation each — ``n``+``Σx`` via built-in array fold, XᵀX via
+    :func:`gram_matrix_long`), then an O(d³) ``eigh`` of the d×d covariance
+    on the driver (d² values collected — tiny, independent of n).
+
+    Returns ``(mean[d], components[k,d], explained_var[k])`` with
+    components as rows, eigenvalue-descending.
+    """
+    d = len(df.select(vec_col).first()[0])
+    sums = df.select(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(f"s{i}")
+            for i in range(d)
+        ],
+    ).first()
+    n = sums["n"]
+    mu = np.array([sums[f"s{i}"] for i in range(d)]) / n
+    gl = gram_matrix_long(df, vec_col).collect()
+    g = np.zeros((d, d))
+    for r in gl:
+        g[r["i"] - 1, r["j"] - 1] = r["g"]
+        g[r["j"] - 1, r["i"] - 1] = r["g"]
+    cov = (g - n * np.outer(mu, mu)) / max(n - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T
+    # deterministic sign: make the largest-|.| coordinate of each component
+    # positive (eigh's sign is arbitrary)
+    for row in comps:
+        j = int(np.argmax(np.abs(row)))
+        if row[j] < 0:
+            row *= -1.0
+    return mu, comps, evals[order]
+
+
+def pca_project(
+    df: DataFrame,
+    mean: np.ndarray,
+    components: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project each vector onto the fitted components: (x−μ)·vₖ per k.
+    Mean and components ship as literal arrays inside built-in
+    zip_with/aggregate expressions — pure JVM codegen, no UDF, no shuffle."""
+    mean_lit = F.array(*[F.lit(float(v)) for v in mean])
+    centered = F.zip_with(
+        F.col(vec_col), mean_lit, lambda x, m: x.cast("double") - m
+    )
+    projections = [
+        F.aggregate(
+            F.zip_with(
+                centered,
+                F.array(*[F.lit(float(v)) for v in comp]),
+                lambda x, c: x * c,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for comp in components
+    ]
+    return df.withColumn(out_col, F.array(*projections))

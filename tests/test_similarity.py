@@ -220,3 +220,68 @@ def test_cluster_report_partitions_corpus(emb):
     assert len(rep) <= 8 and len(rep) > 1
     # cohesion must beat random: mean cosine to the OWN centroid is positive
     assert all(r.cohesion > 0 for r in rep)
+
+
+def test_gram_matrix_matches_numpy(emb):
+    import numpy as np
+
+    sub = emb.filter("vec_id < 50")
+    mat = np.stack([r.embedding for r in sub.collect()]).astype(np.float64)
+    expect = mat.T @ mat
+    got = S.gram_matrix_long(sub).collect()
+    assert len(got) == 64 * 65 // 2  # upper triangle incl diagonal
+    for r in got:
+        assert math.isclose(r.g, expect[r.i - 1, r.j - 1], rel_tol=1e-9)
+
+
+def test_gram_matrix_integer_mode_is_exact(emb):
+    import numpy as np
+
+    sub = emb.filter("vec_id < 50")
+    mat = np.stack([r.embedding for r in sub.collect()]).astype(np.float64)
+    q = np.floor(mat * 1000 + 0.5).astype(np.int64)
+    expect = q.T @ q
+    # exact equality regardless of partitioning: int64 sums are associative
+    for r in S.gram_matrix_long(sub.repartition(7), scale=1000).collect():
+        assert r.g == expect[r.i - 1, r.j - 1]
+
+
+def test_pca_components_orthonormal_and_sorted(emb):
+    import numpy as np
+
+    mu, comps, ev = S.pca_fit(emb, k=8)
+    assert comps.shape == (8, 64) and len(mu) == 64
+    # orthonormal rows
+    gram = comps @ comps.T
+    assert np.allclose(gram, np.eye(8), atol=1e-8)
+    # eigenvalue-descending, non-negative
+    assert all(ev[i] >= ev[i + 1] - 1e-12 for i in range(len(ev) - 1))
+    assert ev[-1] >= -1e-9
+
+
+def test_pca_projection_variance_matches_eigenvalues(emb):
+    import numpy as np
+
+    mu, comps, ev = S.pca_fit(emb, k=4)
+    proj = S.pca_project(emb, mu, comps, out_col="p")
+    rows = np.stack([r.p for r in proj.select("p").collect()])
+    # sample variance along each component equals its eigenvalue
+    var = rows.var(axis=0, ddof=1)
+    assert np.allclose(var, ev, rtol=1e-6)
+    # components are uncorrelated: off-diagonal covariance ~ 0
+    cov = np.cov(rows.T)
+    off = cov - np.diag(np.diag(cov))
+    assert np.abs(off).max() < 1e-6 * max(1.0, ev[0])
+
+
+def test_pca_reconstruction_error_decreases_with_k(emb):
+    import numpy as np
+
+    mat = np.stack([r.embedding for r in emb.collect()]).astype(np.float64)
+    errs = []
+    for k in (2, 8, 32):
+        mu, comps, _ = S.pca_fit(emb, k=k)
+        centered = mat - mu
+        recon = centered @ comps.T @ comps
+        errs.append(float(((centered - recon) ** 2).sum()))
+    assert errs[0] > errs[1] > errs[2]
