@@ -931,6 +931,47 @@ def q_decontaminate(spark, d):
     )
 
 
+def q_bloom_decontaminate(spark, d):
+    """decontaminate for benchmark sets beyond broadcast size: benchmark
+    shingles → 128 KiB Bloom bitset (pure bit_or aggregation, broadcastable
+    at ANY benchmark size) → map-side probe → exact verify join on the
+    surviving candidates only (dedup.py::bloom_decontaminate).  False
+    positives die in the verify step, so the ORACLE IS THE EXACT PATH's —
+    the plan, not the answer, is what changes."""
+    docs = _t(spark, d, "documents")
+    bench = docs.filter("doc_id % 20 = 0")
+    train = docs.filter("doc_id % 20 != 0")
+    out = dedup.bloom_decontaminate(train, bench)
+    return out.select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        "overlap_ratio",
+        F.col("contaminated").cast("int").alias("contaminated"),
+    )
+
+
+def q_cms_estimate(spark, d):
+    """Count-Min sketch word frequencies (relational.py::cms_table /
+    cms_estimate): depth=4 × width=256 md5-bucketed count table — the
+    engine-portable bucket function makes the whole sketch, estimates
+    included, hash-checkable against DuckDB even in the approximate
+    (overcounting) regime.  Mergeability is pytest-asserted."""
+    docs = _t(spark, d, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+    )
+    sketch = relational.cms_table(words, "w", depth=4, hex_chars=2)
+    qs = (
+        _t(spark, d, "documents")
+        .filter("doc_id < 5")
+        .select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
+        .distinct()
+    )
+    out = relational.cms_estimate(sketch, qs, "w", depth=4, hex_chars=2)
+    return out.select("item", F.col("est").cast("long").alias("est"))
+
+
 def q_bpe_merges(spark, d):
     """Distributed BPE vocabulary induction (Sennrich et al. 2016): one
     corpus pass builds the vocab-sized word-frequency table; each merge
@@ -1955,6 +1996,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tier 1c: new in this session (round 3, batch 2) ---
         "gram_matrix": q_gram_matrix,
         "pca_project": q_pca_project,
+        "cms_estimate": q_cms_estimate,
+        "bloom_decontaminate": q_bloom_decontaminate,
         # --- tier 2: never driver-checked, rows-only by design ---
         "hll_rollup": q_hll_rollup,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -3203,6 +3246,21 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
         "gopher_rules": _GOPHER_ORACLE,
         "boilerplate": _BOILERPLATE_ORACLE,
         "decontaminate": _DECONTAMINATE_ORACLE,
+        # bloom path's output is exactly the exact path's (verify step
+        # removes every Bloom false positive) — same oracle by design
+        "bloom_decontaminate": _DECONTAMINATE_ORACLE,
+        "cms_estimate": (
+            f"WITH words AS (SELECT unnest({_WORDS}) AS w FROM documents), "
+            "cms AS (SELECT d, substring(md5(w || '#' || d), 1, 2) AS bucket, "
+            "  count(*) AS cnt FROM words, generate_series(0, 3) g(d) "
+            "  GROUP BY d, bucket), "
+            f"qs AS (SELECT DISTINCT unnest({_WORDS}) AS item FROM documents "
+            "  WHERE doc_id < 5), "
+            "probes AS (SELECT item, d, substring(md5(item || '#' || d), 1, 2) "
+            "  AS bucket FROM qs, generate_series(0, 3) g(d)) "
+            "SELECT item, min(coalesce(cnt, 0))::BIGINT AS est "
+            "FROM probes LEFT JOIN cms USING (d, bucket) GROUP BY item"
+        ),
         "connected_components": _CC_ORACLE,
         "dedup_cc": _CC_DEDUP_ORACLE,
         "minhash_portable": _MINHASH_PORTABLE_ORACLE,

@@ -864,3 +864,129 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks.select(F.col("src").alias("node"), F.round("rank", 6).alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination (the beyond-broadcast scale path)
+# ---------------------------------------------------------------------------
+
+def bloom_bitset(
+    df: DataFrame,
+    col: str = "__s",
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Bloom filter over a column of hashed shingles, as a DataFrame bitset:
+    ``(word, bits)`` where word = position ÷ 64 and bits is the OR of
+    ``1 << (position mod 64)`` for every set position.  Positions are
+    ``xxhash64(value, seed+i) mod m`` for i < k.
+
+    Pure built-in aggregation (explode k positions → groupBy(word) →
+    bit_or) — no driver-side state, no UDF; the result is ≤ m/64 rows
+    (m=2²⁰ → 16,384 longs = 128 KiB) regardless of input size.  That is the
+    point: an eval-suite shingle set too large to broadcast exactly
+    (10⁸ grams ≈ 800 MB hashed) still fits any executor as a bitset."""
+    pos = [
+        (F.pmod(F.xxhash64(F.col(col), F.lit(seed + i)), F.lit(m_bits)))
+        for i in range(k)
+    ]
+    words = df.select(
+        F.explode(F.array(*[p.cast("long") for p in pos])).alias("p")
+    ).select(
+        (F.col("p") / 64).cast("long").alias("word"),
+        # shiftleft via expr: the F.shiftleft wrapper only takes a literal
+        # shift amount, not a per-row column
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("bit"),
+    )
+    return words.groupBy("word").agg(F.bit_or("bit").alias("bits"))
+
+
+def bloom_might_contain(
+    probe: DataFrame,
+    bitset: DataFrame,
+    col: str = "__s",
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Filter ``probe`` to rows whose ``col`` value passes the Bloom filter
+    (all k bits set).  The bitset is broadcast and each probe row expands to
+    its k (word, bit) lookups — a map-only broadcast join + groupBy
+    ALL(bit present); no shuffle on the probe side beyond the per-value
+    regroup, which AQE coalesces."""
+    lookups = probe.select(
+        col,
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(col), F.lit(seed + i)), F.lit(m_bits))
+                    .cast("long")
+                    .alias("p")
+                    for i in range(k)
+                ]
+            )
+        ).alias("p"),
+    ).select(
+        col,
+        (F.col("p") / 64).cast("long").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("bit"),
+    )
+    hit = lookups.join(F.broadcast(bitset), "word", "left").select(
+        col,
+        (
+            F.col("bits").isNotNull() & (F.col("bits").bitwiseAND(F.col("bit")) != 0)
+        ).alias(
+            "__set"
+        ),
+    )
+    passed = hit.groupBy(col).agg(
+        F.min(F.col("__set").cast("int")).alias("__all_set")
+    )
+    return passed.filter("__all_set = 1").select(col)
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 1,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """:func:`decontaminate` for benchmark sets too large to broadcast as
+    exact values: the benchmark's hashed shingles compress to a Bloom
+    bitset (128 KiB at m=2²⁰ — broadcastable at ANY benchmark size), train
+    shingles probe it map-side, and only the surviving ~ε·N candidates pay
+    the exact verification join against the true benchmark set (a
+    shuffle join on the now-tiny candidate side — the exact set never
+    broadcasts).  False positives are eliminated by the verify step, so the
+    OUTPUT is exactly :func:`decontaminate`'s — only the plan differs; the
+    driver oracle for `bloom_decontaminate` is the same SQL as the exact
+    path's.
+    """
+    bench_sh = shingle_postings(benchmark, id_col, text_col, n).select("__s").distinct()
+    bitset = bloom_bitset(bench_sh, "__s", m_bits, k)
+    posts = shingle_postings(train, id_col, text_col, n)
+    # candidate shingle VALUES (distinct) that pass the bloom
+    cand = bloom_might_contain(
+        posts.select("__s").distinct(), bitset, "__s", m_bits, k
+    )
+    # exact verify: candidates ∩ benchmark — both sides small now
+    true_hits = cand.join(bench_sh, "__s").withColumn("__hit", F.lit(1))
+    hits = posts.join(true_hits, "__s", "left")
+    return hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0)).cast("long")).alias("n_overlap"),
+        F.round(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)).cast("long"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("overlap_ratio"),
+        (
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)).cast("long"))
+            >= F.lit(min_overlap)
+        ).alias("contaminated"),
+    )

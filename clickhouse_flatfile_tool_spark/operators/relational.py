@@ -648,3 +648,89 @@ def misra_gries_topk(
     return top_k_per_group(
         merged.withColumn("__g", F.lit(1)), ["__g"], [F.desc("cnt"), F.asc("item")], k
     ).select("item", "cnt")
+
+
+def cms_table(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    hex_chars: int = 2,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) as a long-form count
+    table ``(d, bucket, cnt)`` with width = 16^``hex_chars``: row d's bucket
+    for an item is the first ``hex_chars`` hex digits of
+    ``md5(item || '#' || d)`` — an engine-portable bucket function (md5 +
+    substring exist everywhere), which makes the WHOLE sketch, not just a
+    query over it, differentially testable against a SQL oracle.
+
+    Built with one explode (depth rows per input row) and ONE groupBy of at
+    most depth·width groups — map-side combine reduces the shuffle to
+    O(partitions·depth·width), independent of row count.  Mergeable by
+    construction: the sketch of a union is the cell-wise SUM of the
+    sketches, so per-day tables can be kept and added (same property the
+    Misra-Gries summary above provides for top-k).
+
+    NULLs are excluded explicitly, matching the Misra-Gries convention.
+    """
+    src = df.where(F.col(col).isNotNull()).select(
+        F.col(col).cast("string").alias("item")
+    )
+    rows = src.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.substring(
+                            F.md5(F.concat_ws("#", F.col("item"), F.lit(str(d)))),
+                            1,
+                            hex_chars,
+                        ).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("db")
+    ).select("db.d", "db.bucket")
+    return rows.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    cms: DataFrame,
+    queries: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    hex_chars: int = 2,
+) -> DataFrame:
+    """Point-frequency estimates from a :func:`cms_table` sketch: for each
+    query item, min over the depth rows of the counter its bucket hashes to
+    (0 when a bucket row is absent — possible on sparse sketches).
+    Guarantee: estimate ≥ true count always; overcount ≤ εn with
+    probability 1−(1/2)^depth for ε = e/width.
+
+    The sketch side is ≤ depth·width rows — broadcast — so the probe is a
+    map-only join however large the query side is."""
+    probes = queries.select(
+        F.col(item_col).cast("string").alias("item")
+    ).select(
+        "item",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.substring(
+                            F.md5(F.concat_ws("#", F.col("item"), F.lit(str(d)))),
+                            1,
+                            hex_chars,
+                        ).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("db"),
+    ).select("item", "db.d", "db.bucket")
+    joined = probes.join(F.broadcast(cms), ["d", "bucket"], "left")
+    return joined.groupBy("item").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
+    )

@@ -499,3 +499,72 @@ def test_bpe_tokenize_applies_learned_merges(spark):
     assert got[2] == ["aa", "b"]
     # unseen symbols stay as characters; word boundary respected
     assert got[3] == ["b", "a", "x", "y", "z"]
+
+
+def test_cms_estimate_never_undercounts(tables, spark):
+    from pyspark.sql import functions as F
+
+    from clickhouse_flatfile_tool_spark.operators import relational as R
+
+    docs = tables["documents"]
+    words = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+    )
+    exact = {r.w: r.cnt for r in words.groupBy("w").agg(F.count("*").alias("cnt")).collect()}
+    sketch = R.cms_table(words, "w", depth=4, hex_chars=2)
+    qs = words.select("w").distinct().limit(50)
+    est = {r.item: r.est for r in R.cms_estimate(sketch, qs, "w").collect()}
+    n = sum(exact.values())
+    for item, e in est.items():
+        assert e >= exact[item], f"CMS undercounted {item}"
+        # soft sanity: overcount bounded by ~4·e/width·n (far looser than the
+        # w.h.p. bound; catches broken bucketing, not tail luck)
+        assert e - exact[item] <= 4 * 2.718 * n / 256
+
+
+def test_cms_is_mergeable(tables, spark):
+    from pyspark.sql import functions as F
+
+    from clickhouse_flatfile_tool_spark.operators import relational as R
+
+    docs = tables["documents"]
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+    )
+    a, b = words.filter("doc_id % 2 = 0"), words.filter("doc_id % 2 = 1")
+    whole = {
+        (r.d, r.bucket): r.cnt for r in R.cms_table(words, "w").collect()
+    }
+    merged: dict = {}
+    for part in (a, b):
+        for r in R.cms_table(part, "w").collect():
+            merged[(r.d, r.bucket)] = merged.get((r.d, r.bucket), 0) + r.cnt
+    assert merged == whole
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    from pyspark.sql import functions as F
+
+    members = spark.range(0, 2000).select(F.xxhash64("id").alias("__s"))
+    others = spark.range(10_000, 30_000).select(F.xxhash64("id").alias("__s"))
+    bits = D.bloom_bitset(members, m_bits=1 << 16, k=4)
+    passed_members = D.bloom_might_contain(members, bits, m_bits=1 << 16, k=4).count()
+    assert passed_members == 2000  # Bloom filters never false-negative
+    fp = D.bloom_might_contain(others, bits, m_bits=1 << 16, k=4).count()
+    # m/n = 32.8 bits/elem, k=4 → theoretical fp ≈ 0.24%; assert a loose 2%
+    assert fp / 20_000 < 0.02, f"false-positive rate too high: {fp / 20_000}"
+
+
+def test_bloom_decontaminate_equals_exact(tables, spark):
+    docs = tables["documents"]
+    train = docs.filter("doc_id >= 20")
+    bench = docs.filter("doc_id < 20").selectExpr("doc_id + 100000 AS doc_id", "text")
+    exact = {
+        r.doc_id: (r.n_shingles, r.n_overlap, r.contaminated)
+        for r in D.decontaminate(train, bench).collect()
+    }
+    bloom = {
+        r.doc_id: (r.n_shingles, r.n_overlap, r.contaminated)
+        for r in D.bloom_decontaminate(train, bench).collect()
+    }
+    assert bloom == exact  # verify step removes every false positive
