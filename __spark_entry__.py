@@ -1551,6 +1551,90 @@ def q_clickhouse_dialect(spark, d):
     return relational.sql(spark, translate_clickhouse_sql(ch))
 
 
+def q_dict_lookup(spark, d):
+    """ClickHouse dictGetOrDefault analog (relational.py::dict_get): enrich
+    orders with customer name + nation key via a BROADCAST dictionary probe
+    (map-side, zero shuffle on the fact side — the executor-local hash
+    table dictGet keeps).  A planted out-of-range custkey exercises the
+    default path."""
+    o = _t(spark, d, "orders").withColumn(
+        "o_custkey",
+        # plant misses: every 50th order probes a key outside the dimension
+        F.when(F.col("o_orderkey") % 50 == 0, F.lit(-1)).otherwise(
+            F.col("o_custkey")
+        ),
+    )
+    c = _t(spark, d, "customer")
+    out = relational.dict_get(
+        o,
+        c,
+        "o_custkey",
+        "c_custkey",
+        {
+            "cust_name": ("c_name", "UNKNOWN"),
+            "cust_nation": ("c_nationkey", -1),
+        },
+    )
+    return out.select(
+        "o_orderkey",
+        "cust_name",
+        F.col("cust_nation").cast("long").alias("cust_nation"),
+    )
+
+
+def q_window_funnel(spark, d):
+    """ClickHouse windowFunnel(3600)(ts, view, click, purchase) analog
+    (events.py::window_funnel): per user, max consecutive funnel depth
+    reached by any chain starting at a 'view' with all steps inside one
+    hour of it.  Oracle = EXISTS-chain SQL (greedy-from-each-start equals
+    chain existence for a deadline fixed by the start event)."""
+    ev = _t(spark, d, "events")
+    return events.window_funnel(
+        ev,
+        3600,
+        [
+            "event_type = 'view'",
+            "event_type = 'click'",
+            "event_type = 'purchase'",
+        ],
+    ).select("user_id", F.col("level").cast("int").alias("level"))
+
+
+def q_url_funcs(spark, d):
+    """ClickHouse URL-function family (domain/protocol/path/queryString/
+    fragment/extractURLParameter/topLevelDomain/domainWithoutWWW/
+    cutQueryString) through the dialect translator → Spark parse_url parts
+    (dialect.py _WRAPS + _rewrite_extract_url_parameter).  URLs are
+    synthesized deterministically from documents so the DuckDB oracle can
+    re-parse them with anchored regexes."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    docs = _t(spark, d, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://www."),
+            F.col("source"),
+            F.lit(".example.com/docs/"),
+            F.col("doc_id"),
+            F.lit("?lang="),
+            F.col("lang"),
+            F.lit("&v="),
+            F.col("n_chars") % 10,
+            F.lit("#s"),
+            F.col("doc_id") % 5,
+        ).alias("url"),
+    )
+    docs.createOrReplaceTempView("urls")
+    ch = (
+        "SELECT doc_id, domain(url) AS host, protocol(url) AS proto, "
+        "path(url) AS url_path, queryString(url) AS qs, fragment(url) AS frag, "
+        "extractURLParameter(url, 'lang') AS lang, topLevelDomain(url) AS tld, "
+        "domainWithoutWWW(url) AS host_nw, cutQueryString(url) AS no_qs "
+        "FROM urls"
+    )
+    return relational.sql(spark, translate_clickhouse_sql(ch))
+
+
 def q_simhash_verified(spark, d):
     """SimHash banding candidates verified by exact Hamming distance
     (bit_count(xor)) — rows-only (xxhash64 signatures are Spark-side)."""
@@ -1998,6 +2082,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_project": q_pca_project,
         "cms_estimate": q_cms_estimate,
         "bloom_decontaminate": q_bloom_decontaminate,
+        "url_funcs": q_url_funcs,
+        "window_funnel": q_window_funnel,
+        "dict_lookup": q_dict_lookup,
         # --- tier 2: never driver-checked, rows-only by design ---
         "hll_rollup": q_hll_rollup,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -3249,6 +3336,60 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
         # bloom path's output is exactly the exact path's (verify step
         # removes every Bloom false positive) — same oracle by design
         "bloom_decontaminate": _DECONTAMINATE_ORACLE,
+        "dict_lookup": (
+            "WITH o AS (SELECT o_orderkey, CASE WHEN o_orderkey % 50 = 0 "
+            "  THEN -1 ELSE o_custkey END AS k FROM orders) "
+            "SELECT o.o_orderkey, "
+            "coalesce(c.c_name, 'UNKNOWN') AS cust_name, "
+            "coalesce(c.c_nationkey, -1)::BIGINT AS cust_nation "
+            "FROM o LEFT JOIN customer c ON o.k = c.c_custkey"
+        ),
+        "window_funnel": (
+            # EXISTS-chain equivalent of greedy windowFunnel: level ≥ k iff
+            # a strict (ts, event_id)-ordered chain of the first k steps
+            # exists with every step inside [t1, t1 + 1 hour]
+            "WITH s1 AS (SELECT user_id, ts, event_id FROM events "
+            "  WHERE event_type = 'view'), "
+            "s2 AS (SELECT user_id, ts, event_id FROM events "
+            "  WHERE event_type = 'click'), "
+            "s3 AS (SELECT user_id, ts, event_id FROM events "
+            "  WHERE event_type = 'purchase'), "
+            "c2 AS (SELECT DISTINCT s1.user_id FROM s1 JOIN s2 "
+            "  ON s1.user_id = s2.user_id "
+            "  AND (s2.ts > s1.ts OR (s2.ts = s1.ts AND s2.event_id > s1.event_id)) "
+            "  AND s2.ts <= s1.ts + INTERVAL 1 HOUR), "
+            "c3 AS (SELECT DISTINCT s1.user_id FROM s1 "
+            "  JOIN s2 ON s1.user_id = s2.user_id "
+            "  AND (s2.ts > s1.ts OR (s2.ts = s1.ts AND s2.event_id > s1.event_id)) "
+            "  AND s2.ts <= s1.ts + INTERVAL 1 HOUR "
+            "  JOIN s3 ON s2.user_id = s3.user_id "
+            "  AND (s3.ts > s2.ts OR (s3.ts = s2.ts AND s3.event_id > s2.event_id)) "
+            "  AND s3.ts <= s1.ts + INTERVAL 1 HOUR) "
+            "SELECT u.user_id, CASE "
+            "  WHEN u.user_id IN (SELECT user_id FROM c3) THEN 3 "
+            "  WHEN u.user_id IN (SELECT user_id FROM c2) THEN 2 "
+            "  WHEN u.user_id IN (SELECT user_id FROM s1) THEN 1 "
+            "  ELSE 0 END AS level "
+            "FROM (SELECT DISTINCT user_id FROM events) u"
+        ),
+        "url_funcs": (
+            "WITH u AS (SELECT doc_id, 'https://www.' || source || "
+            "'.example.com/docs/' || doc_id || '?lang=' || lang || '&v=' || "
+            "(n_chars % 10) || '#s' || (doc_id % 5) AS url FROM documents) "
+            "SELECT doc_id, "
+            "regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host, "
+            "regexp_extract(url, '^([a-z]+)://', 1) AS proto, "
+            "regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS url_path, "
+            "regexp_extract(url, '\\?([^#]*)', 1) AS qs, "
+            "regexp_extract(url, '#(.*)$', 1) AS frag, "
+            "regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang, "
+            "regexp_extract(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1), "
+            "  '\\.([^.]+)$', 1) AS tld, "
+            "regexp_replace(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1), "
+            "  '^www\\.', '') AS host_nw, "
+            "regexp_replace(url, '\\?[^#]*', '') AS no_qs "
+            "FROM u"
+        ),
         "cms_estimate": (
             f"WITH words AS (SELECT unnest({_WORDS}) AS w FROM documents), "
             "cms AS (SELECT d, substring(md5(w || '#' || d), 1, 2) AS bucket, "

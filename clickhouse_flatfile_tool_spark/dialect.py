@@ -53,6 +53,19 @@ _WRAPS: list[tuple[str, str, str]] = [
     ("empty", "(length(", ") = 0)"),
     ("notEmpty", "(length(", ") > 0)"),
     ("arrayUniq", "size(array_distinct(", "))"),
+    # URL family (ClickHouse URL functions → Spark parse_url parts).
+    # Note ClickHouse domain() tolerates scheme-less 'host/path' strings;
+    # parse_url follows RFC parsing and needs a scheme — pass full URLs.
+    ("domain", "parse_url(", ", 'HOST')"),
+    ("protocol", "parse_url(", ", 'PROTOCOL')"),
+    ("path", "parse_url(", ", 'PATH')"),
+    ("pathFull", "parse_url(", ", 'FILE')"),
+    ("queryString", "parse_url(", ", 'QUERY')"),
+    ("fragment", "parse_url(", ", 'REF')"),
+    ("domainWithoutWWW", "regexp_replace(parse_url(", ", 'HOST'), '^www\\\\.', '')"),
+    ("topLevelDomain", "regexp_extract(parse_url(", ", 'HOST'), '\\\\.([^.]+)$', 1)"),
+    ("cutQueryString", "regexp_replace(", ", '\\\\?[^#]*', '')"),
+    ("cutFragment", "regexp_replace(", ", '#.*$', '')"),
 ]
 
 # same-shape renames (arity and semantics line up)
@@ -315,6 +328,19 @@ _LAMBDA_FNS = {
 }
 
 
+def _rewrite_extract_url_parameter(chunk: str) -> str:
+    """``extractURLParameter(url, name)`` → ``parse_url(url, 'QUERY',
+    name)`` — the key argument moves from second position to third, after
+    the part selector (arity 2 only; anything else passes through)."""
+
+    def make(args):
+        if len(args) != 2:
+            return None
+        return f"parse_url({args[0]}, 'QUERY', {args[1]})"
+
+    return _rewrite_call(chunk, "extractURLParameter", make)
+
+
 def _rewrite_lambda_array_fns(chunk: str) -> str:
     for ch_name, spark_name in _LAMBDA_FNS.items():
         def make(args, spark_name=spark_name, ch_name=ch_name):
@@ -468,6 +494,7 @@ def translate_clickhouse_sql(sql: str) -> str:
     chunk = _rewrite_split_by_char(chunk)
     chunk = _rewrite_array_string_concat(chunk)
     chunk = _rewrite_curried_quantiles(chunk)
+    chunk = _rewrite_extract_url_parameter(chunk)
     for name, prefix, suffix in _WRAPS:
         chunk = _wrap(chunk, name, prefix, suffix)
     for src, dst in _RENAMES:

@@ -462,3 +462,87 @@ def forward_fill(
     return df.withColumn(
         f"{value_col}_filled", F.last(F.col(value_col), ignorenulls=True).over(w)
     )
+
+
+def window_funnel(
+    df: DataFrame,
+    window_seconds: int,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """ClickHouse ``windowFunnel(window)(ts, cond1, cond2, …)`` analog: per
+    key, the maximum number of CONSECUTIVE funnel steps completed by any
+    event chain whose events (a) occur in strict ``(ts, tiebreak)`` order
+    and (b) all fall within ``window_seconds`` of the chain's FIRST event.
+
+    Level semantics match ClickHouse's default mode: level ≥ 1 iff any
+    event satisfies step 1; level ≥ k iff some step-1 event starts a chain
+    reaching step k inside its window.  Greedy earliest-advance from each
+    start is optimal for deadline-bounded subsequence existence (the
+    deadline is fixed by the start event, so taking every step at its
+    earliest opportunity dominates), which is what makes the result
+    equal to the SQL EXISTS-chain oracle.
+
+    Scale shape: one shuffle keyed by ``key_col`` (same bound as
+    sequence_match above and as ClickHouse's own windowFunnel, which also
+    materializes each key's events); the per-start greedy scan is a
+    built-in ``transform``+``aggregate`` over the sorted struct array —
+    O(per-key-events²) worst case, all inside codegen, no UDF.
+    """
+    n = len(steps)
+    if not 1 <= n <= 9:
+        raise ValueError("window_funnel supports 1-9 steps")
+    mask = F.lit(0)
+    for i, cond in enumerate(steps):
+        mask = mask + F.when(F.expr(cond), F.lit(1 << i)).otherwise(F.lit(0))
+    per_key = (
+        df.select(
+            F.col(key_col),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),  # exact int64 µs
+            F.col(tiebreak_col).alias("tb"),
+            mask.alias("m"),
+        )
+        .groupBy(key_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("t"), F.col("tb"), F.col("m")))
+            ).alias("evs")
+        )
+    )
+
+    def bit(level_col):
+        # bit test for a Column-valued bit index (shiftleft needs a literal);
+        # exact for the ≤9-bit masks allowed here
+        return F.pow(F.lit(2.0), level_col.cast("double")).cast("int")
+
+    evs = F.col("evs")
+    # for each start position i whose event satisfies step 1, greedily
+    # advance through the tail while inside [t_i, t_i + window]
+    start_levels = F.transform(
+        evs,
+        lambda s, i: F.when(
+            s.getField("m").bitwiseAND(F.lit(1)) != 0,
+            F.aggregate(
+                F.slice(evs, i + F.lit(2), F.size(evs)),
+                F.struct(
+                    F.lit(1).cast("int").alias("lvl"),
+                    (s.getField("t") + F.lit(int(window_seconds) * 1_000_000)).alias("dl"),
+                ),
+                lambda acc, ev: F.when(
+                    (acc.getField("lvl") < n)
+                    & (ev.getField("t") <= acc.getField("dl"))
+                    & (ev.getField("m").bitwiseAND(bit(acc.getField("lvl"))) != 0),
+                    F.struct(
+                        (acc.getField("lvl") + 1).alias("lvl"),
+                        acc.getField("dl").alias("dl"),
+                    ),
+                ).otherwise(acc),
+            ).getField("lvl"),
+        ).otherwise(F.lit(0)),
+    )
+    return per_key.select(
+        F.col(key_col),
+        F.coalesce(F.array_max(start_levels), F.lit(0)).alias("level"),
+    )

@@ -734,3 +734,36 @@ def cms_estimate(
     return joined.groupBy("item").agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
     )
+
+
+def dict_get(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    attrs: dict,
+) -> DataFrame:
+    """ClickHouse ``dictGetOrDefault('dict', 'attr', key, default)`` analog:
+    enrich ``fact`` with dimension attributes by key, each with a default
+    for missing keys.  ``attrs`` maps output column → (dim column, default
+    literal).
+
+    The Spark realization of a ClickHouse dictionary is a BROADCAST hash
+    map: the dimension ships once to every executor and each lookup is a
+    map-side probe — zero shuffle on the fact side, exactly the
+    executor-local hash table ClickHouse keeps for dictGet.  A dictionary
+    too large to broadcast is no longer a dictionary; use a bucketed join
+    (sinks.writers.write_bucketed) instead.
+    """
+    proj = dim.select(
+        F.col(dim_key).alias("__dk"),
+        *[F.col(src).alias(f"__v_{out}") for out, (src, _) in attrs.items()],
+    )
+    joined = fact.join(
+        F.broadcast(proj), fact[fact_key] == F.col("__dk"), "left"
+    )
+    for out, (_, default) in attrs.items():
+        joined = joined.withColumn(
+            out, F.coalesce(F.col(f"__v_{out}"), F.lit(default))
+        )
+    return joined.drop("__dk", *[f"__v_{out}" for out in attrs])

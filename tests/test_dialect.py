@@ -277,3 +277,35 @@ def test_int_div_nested_rewrites_fully(spark):
     # malformed arity stays untouched while well-formed siblings rewrite
     both = tr("SELECT intDiv(a), intDiv(x, y) FROM t")
     assert "intDiv(a)" in both and "intDiv(x, y)" not in both
+
+
+def test_url_function_family_translates(spark):
+    assert tr("domain(u)") == "parse_url(u, 'HOST')"
+    assert tr("extractURLParameter(u, 'k')") == "parse_url(u, 'QUERY', 'k')"
+    # name-boundary safety: longer names must not be eaten by shorter ones
+    assert "parse_url(u, 'FILE')" in tr("pathFull(u)")
+    assert tr("cutQueryString(u)").startswith("regexp_replace(u")
+    url = "'https://www.ex.example.com/a/b?lang=en&v=3#s1'"
+    row = spark.sql(
+        "SELECT "
+        + tr(f"domain({url})") + " AS host, "
+        + tr(f"protocol({url})") + " AS proto, "
+        + tr(f"path({url})") + " AS p, "
+        + tr(f"queryString({url})") + " AS qs, "
+        + tr(f"fragment({url})") + " AS frag, "
+        + tr(f"extractURLParameter({url}, 'lang')") + " AS lang, "
+        + tr(f"topLevelDomain({url})") + " AS tld, "
+        + tr(f"domainWithoutWWW({url})") + " AS nw, "
+        + tr(f"cutQueryString({url})") + " AS nq, "
+        + tr(f"cutFragment({url})") + " AS nf"
+    ).first()
+    assert row.host == "www.ex.example.com"
+    assert row.proto == "https"
+    assert row.p == "/a/b"
+    assert row.qs == "lang=en&v=3"
+    assert row.frag == "s1"
+    assert row.lang == "en"
+    assert row.tld == "com"
+    assert row.nw == "ex.example.com"
+    assert row.nq == "https://www.ex.example.com/a/b#s1"
+    assert row.nf == "https://www.ex.example.com/a/b?lang=en&v=3"

@@ -224,3 +224,45 @@ def test_tumbling_avg_value_matches_float_average(spark, tables):
         F.max(F.abs(F.col("avg_value") - F.col("fa"))).alias("maxdiff")
     )
     assert joined.first().maxdiff < 1e-4
+
+
+def test_window_funnel_hand_computed(spark):
+    from clickhouse_flatfile_tool_spark.operators.events import window_funnel
+
+    rows = [
+        # u1: full chain inside the window
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (1, "2024-01-01 10:10:00", 2, "click"),
+        (1, "2024-01-01 10:20:00", 3, "purchase"),
+        # u2: purchase lands past the 1h window of the only view → level 2
+        (2, "2024-01-01 10:00:00", 4, "view"),
+        (2, "2024-01-01 10:30:00", 5, "click"),
+        (2, "2024-01-01 11:30:00", 6, "purchase"),
+        # u3: steps out of order → level 1 (view exists, click precedes it)
+        (3, "2024-01-01 10:05:00", 7, "click"),
+        (3, "2024-01-01 10:10:00", 8, "view"),
+        # u4: no step-1 event at all → level 0
+        (4, "2024-01-01 10:00:00", 9, "error"),
+        # u5: LATER view starts a complete chain the first view can't reach
+        (5, "2024-01-01 09:00:00", 10, "view"),
+        (5, "2024-01-01 11:00:00", 11, "view"),
+        (5, "2024-01-01 11:10:00", 12, "click"),
+        (5, "2024-01-01 11:20:00", 13, "purchase"),
+        # u6: boundary — purchase exactly at view + 1h counts (<=)
+        (6, "2024-01-01 10:00:00", 14, "view"),
+        (6, "2024-01-01 10:30:00", 15, "click"),
+        (6, "2024-01-01 11:00:00", 16, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(u, __import__("datetime").datetime.fromisoformat(t), e, ty) for u, t, e, ty in rows],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    out = {
+        r.user_id: r.level
+        for r in window_funnel(
+            df,
+            3600,
+            ["event_type = 'view'", "event_type = 'click'", "event_type = 'purchase'"],
+        ).collect()
+    }
+    assert out == {1: 3, 2: 2, 3: 1, 4: 0, 5: 3, 6: 3}

@@ -185,3 +185,33 @@ def test_boilerplate_uses_partial_aggregation(tables):
     plan = explain_str(D.boilerplate_ngrams(tables["documents"], min_docs=5))
     # doc-frequency must partial-aggregate map-side (the skew-proof shape)
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_dict_get_broadcasts_dimension(tables):
+    from clickhouse_flatfile_tool_spark.operators import relational as R
+
+    out = R.dict_get(
+        tables["orders"],
+        tables["customer"],
+        "o_custkey",
+        "c_custkey",
+        {"cust_name": ("c_name", "UNKNOWN")},
+    )
+    plan = explain_str(out)
+    # dictGet semantics = executor-local hash probe: the dimension must
+    # broadcast; a shuffle on the fact side defeats the operator
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_probe_broadcasts_bitset(tables):
+    from pyspark.sql import functions as F
+
+    from clickhouse_flatfile_tool_spark.operators import dedup as D
+
+    docs = tables["documents"]
+    sh = D.shingle_postings(docs, "doc_id", "text", 3).select("__s").distinct()
+    bits = D.bloom_bitset(sh)
+    probe = D.bloom_might_contain(sh, bits)
+    plan = explain_str(probe)
+    assert "BroadcastHashJoin" in plan
