@@ -1551,6 +1551,30 @@ def q_clickhouse_dialect(spark, d):
     return relational.sql(spark, translate_clickhouse_sql(ch))
 
 
+def q_shared_spans(spark, d):
+    """Cross-doc verbatim shared-span detection (dedup.py::shared_spans) —
+    the span-level verification stage of suffix-array substring dedup
+    (Lee et al. 2021), bounded to candidate pairs.  Candidates here = docs
+    sharing an identical 60-char prefix (the fixture's planted near-dups);
+    gaps-and-islands on the position offset finds maximal runs."""
+    docs = _t(spark, d, "documents")
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = a.join(
+        b,
+        F.expr(
+            "substring(a.text, 1, 60) = substring(b.text, 1, 60) "
+            "AND a.doc_id < b.doc_id"
+        ),
+    ).selectExpr("a.doc_id AS id_a", "b.doc_id AS id_b")
+    out = dedup.shared_spans(docs, pairs)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("longest_run_tokens").cast("long").alias("longest_run_tokens"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+    )
+
+
 def q_retention_flags(spark, d):
     """ClickHouse retention(cond1, cond2, …) aggregate analog
     (events.py::retention_flags): per user, did-signup gate ANDed with
@@ -2126,6 +2150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dict_lookup": q_dict_lookup,
         "retention_flags": q_retention_flags,
         "clickhouse_funcs2": q_clickhouse_funcs2,
+        "shared_spans": q_shared_spans,
         # --- tier 2: never driver-checked, rows-only by design ---
         "hll_rollup": q_hll_rollup,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -3377,6 +3402,30 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
         # bloom path's output is exactly the exact path's (verify step
         # removes every Bloom false positive) — same oracle by design
         "bloom_decontaminate": _DECONTAMINATE_ORACLE,
+        "shared_spans": (
+            "WITH w AS (SELECT doc_id, "
+            f"  {_WORDS} AS w FROM documents), "
+            "sh AS (SELECT doc_id, "
+            "  unnest(generate_series(1, len(w) - 2)) AS pos, "
+            "  unnest(list_transform(generate_series(1, len(w) - 2), "
+            "    i -> array_to_string(w[i:i+2], ' '))) AS s "
+            "  FROM w WHERE len(w) >= 3), "
+            "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            "  FROM documents a JOIN documents b "
+            "  ON substring(a.text, 1, 60) = substring(b.text, 1, 60) "
+            "  AND a.doc_id < b.doc_id), "
+            "m AS (SELECT p.id_a, p.id_b, a.pos AS pa, a.pos - b.pos AS off "
+            "  FROM pairs p "
+            "  JOIN sh a ON a.doc_id = p.id_a "
+            "  JOIN sh b ON b.doc_id = p.id_b AND b.s = a.s), "
+            "isl AS (SELECT id_a, id_b, off, pa, "
+            "  pa - row_number() OVER (PARTITION BY id_a, id_b, off ORDER BY pa) "
+            "  AS grp FROM m), "
+            "runs AS (SELECT id_a, id_b, off, grp, count(*) AS len "
+            "  FROM isl GROUP BY id_a, id_b, off, grp) "
+            "SELECT id_a, id_b, (max(len) + 2)::BIGINT AS longest_run_tokens, "
+            "count(*)::BIGINT AS n_spans FROM runs GROUP BY id_a, id_b"
+        ),
         "retention_flags": (
             "SELECT user_id, "
             "max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS r0, "

@@ -990,3 +990,94 @@ def bloom_decontaminate(
             >= F.lit(min_overlap)
         ).alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document shared-span detection (exact substring dedup, Lee et al.
+# 2021 "Deduplicating Training Data Makes Language Models Better" — the
+# span-level view LSH pair candidates can't give)
+# ---------------------------------------------------------------------------
+
+def positional_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    hashed: bool = True,
+) -> DataFrame:
+    """One row per (id, pos, shingle) with 1-based positions — the
+    POSITIONAL inverted index (shingle_postings above deduplicates and
+    drops positions; span detection needs both).  ``hashed`` swaps the
+    shingle string for its xxhash64 — position arithmetic never looks at
+    the value, so results are identical modulo 2⁻⁶⁴ collisions."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+    posts = (
+        df.where(F.size(words) >= n)
+        .select(F.col(id_col), F.posexplode(grams).alias("pos0", "__s"))
+        .select(
+            F.col(id_col), (F.col("pos0") + 1).alias("pos"), F.col("__s")
+        )
+    )
+    if hashed:
+        return posts.select(id_col, "pos", F.xxhash64("__s").alias("__s"))
+    return posts
+
+
+def shared_spans(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_run: int = 1,
+) -> DataFrame:
+    """For each candidate pair, the maximal shared verbatim token spans:
+    ``(id_a, id_b, longest_run_tokens, n_spans)`` where a span is a maximal
+    run of consecutive positions in BOTH documents with identical n-grams
+    (gaps-and-islands on the position offset), and ``longest_run_tokens``
+    counts tokens (= shingle-run length + n − 1).
+
+    This is the verification/attribution stage of suffix-array substring
+    dedup, bounded to candidate pairs (from LSH, fingerprints, or prefix
+    grouping) — the all-pairs suffix array itself is the part that does not
+    distribute; candidates-then-verify is how the published pipelines run
+    at scale.  Shuffles: postings⋈pairs keyed by id (candidate docs only —
+    the corpus is semi-join-pruned first), the n-gram equi-join, and the
+    two island groupBys, all on (pair, offset)-grade keys.
+    """
+    pa = pairs.select(F.col("id_a"), F.col("id_b"))
+    ids_a = pa.select(F.col("id_a").alias(id_col)).distinct()
+    ids_b = pa.select(F.col("id_b").alias(id_col)).distinct()
+    posts = positional_shingles(df, id_col, text_col, n)
+    posts_a = posts.join(ids_a, id_col, "left_semi").select(
+        F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a"), "__s"
+    )
+    posts_b = posts.join(ids_b, id_col, "left_semi").select(
+        F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b"), "__s"
+    )
+    m = (
+        pa.join(posts_a, "id_a")
+        .join(posts_b, ["id_b", "__s"])
+        .select(
+            "id_a", "id_b", "pos_a", (F.col("pos_a") - F.col("pos_b")).alias("off")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id_a", "id_b", "off").orderBy("pos_a")
+    isl = m.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+    runs = isl.groupBy("id_a", "id_b", "off", "grp").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        runs.filter(F.col("run_len") >= min_run)
+        .groupBy("id_a", "id_b")
+        .agg(
+            (F.max("run_len") + (n - 1)).alias("longest_run_tokens"),
+            F.count(F.lit(1)).alias("n_spans"),
+        )
+    )

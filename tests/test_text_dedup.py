@@ -568,3 +568,61 @@ def test_bloom_decontaminate_equals_exact(tables, spark):
         for r in D.bloom_decontaminate(train, bench).collect()
     }
     assert bloom == exact  # verify step removes every false positive
+
+
+def test_shared_spans_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            # pair (1,2): one shared 5-token span + one shared 3-token span
+            (1, "aa bb s1 s2 s3 s4 s5 cc dd q1 q2 q3 ee"),
+            (2, "zz s1 s2 s3 s4 s5 yy q1 q2 q3 xx ww vv"),
+            # pair (3,4): no shared trigram at all
+            (3, "one two three four five six"),
+            (4, "seven eight nine ten eleven twelve"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    out = {
+        (r.id_a, r.id_b): (r.longest_run_tokens, r.n_spans)
+        for r in D.shared_spans(docs, pairs).collect()
+    }
+    # 5-token span = 3 consecutive trigrams → 3 + (3-1) = 5; the 3-token
+    # span is a single trigram → island of 1.  Pair (3,4) has no match row.
+    assert out == {(1, 2): (5, 2)}
+
+
+def test_shared_spans_hashed_equals_string(spark, docs):
+    sub = docs.filter("doc_id < 40")
+    pairs = (
+        sub.alias("a")
+        .join(sub.alias("b"), F.expr("substring(a.text,1,60) = substring(b.text,1,60) AND a.doc_id < b.doc_id"))
+        .selectExpr("a.doc_id AS id_a", "b.doc_id AS id_b")
+    )
+    hashed = {
+        (r.id_a, r.id_b): (r.longest_run_tokens, r.n_spans)
+        for r in D.shared_spans(docs, pairs).collect()
+    }
+    # string-keyed variant must agree (hash collisions are 2^-64)
+    from clickhouse_flatfile_tool_spark.operators import dedup as DD
+
+    posts = DD.positional_shingles(docs, hashed=False)
+    assert posts.schema["__s"].dataType.typeName() == "string"
+    # monkey-free check: recompute via a one-off copy using strings
+    import types
+
+    def shared_spans_str(df, pairs):
+        import clickhouse_flatfile_tool_spark.operators.dedup as M
+
+        orig = M.positional_shingles
+        try:
+            M.positional_shingles = lambda *a, **k: orig(*a, **{**k, "hashed": False})
+            return M.shared_spans(df, pairs)
+        finally:
+            M.positional_shingles = orig
+
+    stringy = {
+        (r.id_a, r.id_b): (r.longest_run_tokens, r.n_spans)
+        for r in shared_spans_str(docs, pairs).collect()
+    }
+    assert hashed == stringy and len(hashed) > 0
