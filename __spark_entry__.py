@@ -2097,8 +2097,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # never-driver-checked
     # r2 entries (minus the pruned near-duplicates, see below), the
     # corpus_stats fix, csv_quoted, and rows-only streaming refreshers —
-    # all 37 unproven entries sit in the top 50 slots (verified by
-    # script); round-2 greens fill the remaining 13.
+    # plus the session-2 additions (PCA, CMS, Bloom decontamination, URL
+    # fns, windowFunnel, dictGet, retention, shared spans).  All 47
+    # unproven entries sit in the top 50 slots (audited by
+    # scripts/registry_window.py); proven greens fill the rest.
     #
     # Pruned this round (near-duplicate variants folded into a sibling that
     # exercises the same operator family; all keep direct pytest coverage):
@@ -2156,16 +2158,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
         "simhash_verified": q_simhash_verified,
+        # never-driver-checked rows-only entries stay ABOVE the proven
+        # stream refreshers so every unproven entry sits inside the 50-slot
+        # window (scripts/registry_window.py audits this)
+        "bpe_merges": q_bpe_merges,
+        "embedding_clusters": q_embedding_clusters,
+        "pagerank_docs": q_pagerank_docs,
+        "pipeline_curation": q_pipeline_curation,
+        "stream_quality_gate": q_stream_quality_gate,
         # --- tier 3: streaming refreshers (rows-only; ran clean r2) ---
         "stream_tumbling": q_stream_tumbling,
         "stream_dedup": q_stream_dedup,
         "stream_session": q_stream_session,
         "stream_stateful": q_stream_stateful,
-        "stream_quality_gate": q_stream_quality_gate,
-        "pagerank_docs": q_pagerank_docs,
-        "pipeline_curation": q_pipeline_curation,
-        "bpe_merges": q_bpe_merges,
-        "embedding_clusters": q_embedding_clusters,
         # Spark 4 transformWithStateInPandas needs a working google.protobuf
         # (state-server protocol); registered only where the dep functions —
         # see OPERATORS.md "Environment gates" for the grader-facing note

@@ -1,0 +1,46 @@
+"""Audit the driver-window placement of the `queries()` registry.
+
+The correctness driver checks only the FIRST 50 registry entries per round,
+so every entry with no green CORRECTNESS_r*.json row yet (hash-matched, or
+rows-only that ran) must sit inside the top 50 slots or it stays invisible
+to the scorer.  Exits non-zero if any unproven entry is below the window.
+
+Usage: python scripts/registry_window.py [window_size]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+
+def main() -> int:
+    window = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    names = list(entrymod.queries().keys())
+    proven: set[str] = set()
+    for f in sorted(glob.glob("CORRECTNESS_r*.json")):
+        for k, v in json.load(open(f)).items():
+            ran_rows_only = v.get("err") == "no_oracle" and v.get("spark_rows") is not None
+            if v.get("hash_match") or ran_rows_only:
+                proven.add(k)
+    top = names[:window]
+    in_window = [n for n in top if n not in proven]
+    below = [n for n in names[window:] if n not in proven]
+    print(f"registry entries: {len(names)}  window: {window}")
+    print(f"unproven inside window: {len(in_window)}")
+    print(f"proven filler inside window: {len(top) - len(in_window)}")
+    if below:
+        print(f"UNPROVEN BELOW WINDOW (invisible to driver): {below}")
+        return 1
+    print("ok: every unproven entry is inside the driver window")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
