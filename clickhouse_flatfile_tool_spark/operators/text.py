@@ -749,3 +749,86 @@ def bpe_tokenize(
             yield out
 
     return df.mapInPandas(run, schema)
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hex_chars: int = 2,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every corpus
+    document by ``log p_target(doc) − log p_corpus(doc)`` under
+    HASH-BUCKETED unigram language models of the target and raw corpus —
+    the importance-resampling signal that upweights target-domain-looking
+    documents without training a classifier.
+
+    Buckets are the first ``hex_chars`` hex digits of ``md5(word)``
+    (width = 16^hex_chars) — the same engine-portable bucket function the
+    Count-Min sketch uses, so the whole computation is oracle-checkable.
+    Both LMs are add-``smoothing`` smoothed over the bucket vocabulary.
+
+    Scale shape: two O(width)-row bucket-count aggregations (map-side
+    combined), their ratio table broadcast, then one map-side probe join
+    per corpus token and a per-doc sum — no shuffle wider than
+    (doc, bucket) pairs.  Returns ``(id, n_tokens, log_ratio)``.
+    """
+    width = 16 ** hex_chars
+
+    def bucketed_words(df):
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), _WS_SPLIT)
+            ).alias("w"),
+        ).select(
+            F.col(id_col),
+            F.substring(F.md5("w"), 1, hex_chars).alias("b"),
+        )
+
+    def bucket_logprobs(df, name):
+        counts = bucketed_words(df).groupBy("b").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        total = counts.agg(F.sum("cnt").alias(f"tot_{name}"))
+        lp = counts.crossJoin(F.broadcast(total)).select(
+            "b",
+            F.log(
+                (F.col("cnt") + F.lit(smoothing))
+                / (F.col(f"tot_{name}") + F.lit(smoothing * width))
+            ).alias(f"lp_{name}"),
+        )
+        # smoothed floor for buckets this LM never observed
+        floor = total.select(
+            F.log(
+                F.lit(smoothing) / (F.col(f"tot_{name}") + F.lit(smoothing * width))
+            ).alias(f"floor_{name}")
+        )
+        return lp, floor
+
+    lp_t, floor_t = bucket_logprobs(target, "t")
+    lp_c, floor_c = bucket_logprobs(corpus, "c")
+    ratio = (
+        lp_t.join(lp_c, "b", "full")
+        .crossJoin(F.broadcast(floor_t))
+        .crossJoin(F.broadcast(floor_c))
+        .select(
+            "b",
+            (
+                F.coalesce(F.col("lp_t"), F.col("floor_t"))
+                - F.coalesce(F.col("lp_c"), F.col("floor_c"))
+            ).alias("lr"),
+        )
+    )
+    toks = bucketed_words(corpus)
+    return (
+        toks.join(F.broadcast(ratio), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr").alias("log_ratio"),
+        )
+    )

@@ -350,3 +350,25 @@ def stream_quality_gate(stream: DataFrame, text_col: str = "text") -> DataFrame:
     from clickhouse_flatfile_tool_spark.operators.text import gopher_quality_rules
 
     return gopher_quality_rules(stream, text_col).where(F.col("gopher_pass"))
+
+
+def stream_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    stream_key: str,
+    dim_key: str,
+    attrs: list[str],
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to a
+    stream by key — the streaming twin of relational.dict_get (ClickHouse
+    dictGet over a Kafka/file stream).  Structured Streaming re-plans the
+    static side per micro-batch, so a dimension refreshed between batches
+    is picked up automatically; with the dimension broadcast the probe is
+    map-side and the stream side never shuffles (stateless — no watermark
+    needed, unlike stream-stream joins)."""
+    proj = dim.select(
+        F.col(dim_key).alias("__dk"), *[F.col(a) for a in attrs]
+    )
+    return stream.join(
+        F.broadcast(proj), stream[stream_key] == F.col("__dk"), "left"
+    ).drop("__dk")

@@ -300,3 +300,34 @@ def test_stream_quality_gate_matches_batch(spark, sf_dir, tmp_path):
     got = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
     expect = {r.doc_id for r in batch.select("doc_id").collect()}
     assert got == expect and len(got) > 0
+
+
+def test_stream_enrich_equals_batch_join(spark, sf_dir, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_flatfile_tool_spark.sources.files import read_parquet
+    from clickhouse_flatfile_tool_spark.streaming import stream_ops
+
+    stream = stream_ops.read_event_stream(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+    dim = read_parquet(spark, os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_name"
+    )
+    enriched = stream_ops.stream_enrich(stream, dim, "user_id", "c_custkey", ["c_name"])
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream_ops.run_available_now(enriched, out_dir, ckpt)
+    got = {
+        (r.event_id, r.c_name)
+        for r in spark.read.parquet(out_dir).select("event_id", "c_name").collect()
+    }
+    ev = read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+    expect = {
+        (r.event_id, r.c_name)
+        for r in ev.join(dim, ev.user_id == dim.c_custkey, "left")
+        .select("event_id", "c_name")
+        .collect()
+    }
+    assert got == expect and len(got) > 0
