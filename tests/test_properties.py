@@ -168,3 +168,86 @@ def test_token_budget_monotone(spark, b_small, b_large):
     small = {r.doc_id for r in token_budget_trim(df, lo).select("doc_id").collect()}
     large = {r.doc_id for r in token_budget_trim(df, hi).select("doc_id").collect()}
     assert small <= large
+
+
+@st.composite
+def funnel_case(draw):
+    n = draw(st.integers(1, 14))
+    # small domains force ties, interleavings, and multi-start chains
+    return [
+        (
+            draw(st.integers(1, 3)),            # user
+            draw(st.integers(0, 20)),           # ts seconds
+            i,                                   # event_id (unique tiebreak)
+            draw(st.sampled_from(["a", "b", "c", "x"])),
+        )
+        for i in range(n)
+    ]
+
+
+def _funnel_reference(rows, window, steps):
+    """Brute-force windowFunnel: greedy from every step-1 start over the
+    (ts, event_id)-sorted list."""
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for u, t, e, ty in rows:
+        per_user[u].append((t, e, ty))
+    out = {}
+    for u, evs in per_user.items():
+        evs.sort()
+        best = 0
+        for i, (t0, _, ty0) in enumerate(evs):
+            if ty0 != steps[0]:
+                continue
+            level, deadline = 1, t0 + window
+            for t, _, ty in evs[i + 1 :]:
+                if level < len(steps) and t <= deadline and ty == steps[level]:
+                    level += 1
+            best = max(best, level)
+        out[u] = best
+    return out
+
+
+@given(funnel_case(), st.integers(0, 25))
+@settings(**SETTINGS)
+def test_window_funnel_matches_naive(spark, rows, window):
+    import datetime
+
+    from clickhouse_flatfile_tool_spark.operators.events import window_funnel
+
+    steps = ["a", "b", "c"]
+    df = spark.createDataFrame(
+        [
+            (u, datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=t), e, ty)
+            for u, t, e, ty in rows
+        ],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    got = {
+        r.user_id: r.level
+        for r in window_funnel(
+            df, window, [f"event_type = '{s}'" for s in steps]
+        ).collect()
+    }
+    assert got == _funnel_reference(rows, window, steps)
+
+
+@given(st.lists(st.text(alphabet="abcd", min_size=1, max_size=3), min_size=1, max_size=60))
+@settings(**SETTINGS)
+def test_cms_never_undercounts_random(spark, items):
+    from collections import Counter
+
+    exact = Counter(items)
+    df = spark.createDataFrame([(w,) for w in items], "w string")
+    sketch = R.cms_table(df, "w", depth=3, hex_chars=1)  # width 16: collisions likely
+    est = {
+        r.item: r.est
+        for r in R.cms_estimate(
+            sketch, df.select("w").distinct(), "w", depth=3, hex_chars=1
+        ).collect()
+    }
+    n = len(items)
+    for w, true in exact.items():
+        assert est[w] >= true          # CMS can only overcount
+        assert est[w] <= n             # and never beyond the stream length
