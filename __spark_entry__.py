@@ -1551,6 +1551,30 @@ def q_clickhouse_dialect(spark, d):
     return relational.sql(spark, translate_clickhouse_sql(ch))
 
 
+def q_normalize_unicode(spark, d):
+    """Unicode normalization (text.py::normalize_text): NFC composition +
+    ICU-convention accent strip via an Arrow-batched pandas_udf — the
+    preprocessing pass that makes composed/decomposed text hash together
+    before fingerprinting.  A decomposed accented prefix is planted so the
+    normalization demonstrably fires (fixture text is ASCII); the oracle is
+    DuckDB's ICU nfc_normalize/strip_accents."""
+    # DECOMPOSED on purpose (NFC must visibly change it): e+COMBINING
+    # ACUTE, A+COMBINING RING, o+COMBINING DIAERESIS, plus NUMERO SIGN
+    prefix = "Cafe\u0301 A\u030angstro\u0308m \u2116"
+    docs = _t(spark, d, "documents").withColumn(
+        "text", F.concat(F.lit(prefix + " "), F.col("text"))
+    )
+    out = text.normalize_text(docs, strip_accents=False, out_col="nfc")
+    out = text.normalize_text(out, strip_accents=True, out_col="stripped")
+    return out.select(
+        "doc_id",
+        F.substring("nfc", 1, 20).alias("nfc_prefix"),
+        F.substring("stripped", 1, 20).alias("stripped_prefix"),
+        F.length("nfc").cast("long").alias("nfc_len"),
+        F.length("stripped").cast("long").alias("stripped_len"),
+    )
+
+
 def q_stream_enrich(spark, d):
     """Stream-static enrichment join (stream_ops.py::stream_enrich): the
     event stream picks up customer-dimension attributes via a broadcast
@@ -2197,7 +2221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_quoted": q_csv_quoted,
         # --- tier 1c: new in this session (round 3, batch 2) ---
         "gram_matrix": q_gram_matrix,
-        "pca_project": q_pca_project,
+        "normalize_unicode": q_normalize_unicode,
         "cms_estimate": q_cms_estimate,
         "bloom_decontaminate": q_bloom_decontaminate,
         "url_funcs": q_url_funcs,
@@ -2227,6 +2251,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scripts/selfcheck.py at sf0.01 — parked just past the 50-slot
         # window (51 entries currently need rows; it re-rotates next round)
         "tumbling_window": q_tumbling_window,
+        # pca_project: rows-only, 5-property pytest coverage — parked with
+        # tumbling_window past the window edge; re-rotates next round
+        "pca_project": q_pca_project,
         "stream_tumbling": q_stream_tumbling,
         "stream_dedup": q_stream_dedup,
         "stream_session": q_stream_session,
@@ -3467,6 +3494,17 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
         # bloom path's output is exactly the exact path's (verify step
         # removes every Bloom false positive) — same oracle by design
         "bloom_decontaminate": _DECONTAMINATE_ORACLE,
+        "normalize_unicode": (
+            "WITH t AS (SELECT doc_id, "
+            "'Café Ångström № ' || text AS tt "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "substring(nfc_normalize(tt), 1, 20) AS nfc_prefix, "
+            "substring(strip_accents(tt), 1, 20) AS stripped_prefix, "
+            "length(nfc_normalize(tt))::BIGINT AS nfc_len, "
+            "length(strip_accents(tt))::BIGINT AS stripped_len "
+            "FROM t"
+        ),
         "dsir_weights": (
             f"WITH toks AS (SELECT doc_id, substring(md5(unnest({_WORDS})), 1, 2) "
             "  AS b FROM documents), "

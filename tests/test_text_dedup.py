@@ -626,3 +626,21 @@ def test_shared_spans_hashed_equals_string(spark, docs):
         for r in shared_spans_str(docs, pairs).collect()
     }
     assert hashed == stringy and len(hashed) > 0
+
+
+def test_normalize_text_composes_and_strips(spark):
+    from clickhouse_flatfile_tool_spark.operators.text import normalize_text
+
+    decomposed = "Café Ångström"
+    composed = "Café Ångström"
+    df = spark.createDataFrame([(1, decomposed), (2, composed), (3, None)], "id long, text string")
+    out = {r.id: (r.nfc, r.plain) for r in
+           normalize_text(
+               normalize_text(df, out_col="nfc"),
+               out_col="plain", strip_accents=True, lowercase=True,
+           ).collect()}
+    # NFC makes composed and decomposed identical
+    assert out[1][0] == out[2][0] == composed
+    # accent-strip + lowercase gives the dedup-ready key
+    assert out[1][1] == out[2][1] == "cafe angstrom"
+    assert out[3] == (None, None)
