@@ -1551,6 +1551,17 @@ def q_clickhouse_dialect(spark, d):
     return relational.sql(spark, translate_clickhouse_sql(ch))
 
 
+def q_sequence_count(spark, d):
+    """ClickHouse sequenceCount analog (events.py::sequence_count): per
+    user, non-overlapping greedy view→click chain completions.  Rows-only
+    (greedy non-overlapping counting isn't tractable in set-based SQL);
+    pytest covers the counting semantics hand-computed."""
+    ev = _t(spark, d, "events")
+    return events.sequence_count(
+        ev, ["event_type = 'view'", "event_type = 'click'"]
+    ).select("user_id", F.col("n_matches").cast("long").alias("n_matches"))
+
+
 def q_normalize_unicode(spark, d):
     """Unicode normalization (text.py::normalize_text): NFC composition +
     ICU-convention accent strip via an Arrow-batched pandas_udf — the
@@ -2251,9 +2262,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scripts/selfcheck.py at sf0.01 — parked just past the 50-slot
         # window (51 entries currently need rows; it re-rotates next round)
         "tumbling_window": q_tumbling_window,
-        # pca_project: rows-only, 5-property pytest coverage — parked with
-        # tumbling_window past the window edge; re-rotates next round
+        # pca_project/sequence_count: rows-only with strong pytest coverage
+        # — parked with tumbling_window past the window edge; re-rotate
+        # next round
         "pca_project": q_pca_project,
+        "sequence_count": q_sequence_count,
         "stream_tumbling": q_stream_tumbling,
         "stream_dedup": q_stream_dedup,
         "stream_session": q_stream_session,

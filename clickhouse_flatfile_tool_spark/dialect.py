@@ -328,6 +328,24 @@ _LAMBDA_FNS = {
 }
 
 
+def _rewrite_numbers(chunk: str) -> str:
+    """``numbers(N)`` / ``numbers(offset, N)`` (ClickHouse's integer table
+    function, column ``number``) → a ``range()`` subquery exposing the same
+    column name."""
+
+    def make(args):
+        if len(args) == 1:
+            return f"(SELECT id AS number FROM range({args[0]}))"
+        if len(args) == 2:
+            return (
+                f"(SELECT id AS number FROM range({args[0]}, "
+                f"({args[0]}) + ({args[1]})))"
+            )
+        return None
+
+    return _rewrite_call(chunk, "numbers", make)
+
+
 def _rewrite_extract_url_parameter(chunk: str) -> str:
     """``extractURLParameter(url, name)`` → ``parse_url(url, 'QUERY',
     name)`` — the key argument moves from second position to third, after
@@ -595,6 +613,7 @@ def translate_clickhouse_sql(sql: str) -> str:
     chunk = _rewrite_json_extract(chunk)
     chunk = _rewrite_ipv4(chunk)
     chunk = _rewrite_extract_url_parameter(chunk)
+    chunk = _rewrite_numbers(chunk)
     for name, prefix, suffix in _WRAPS:
         chunk = _wrap(chunk, name, prefix, suffix)
     for src, dst in _RENAMES:

@@ -574,3 +574,61 @@ def retention_flags(
         for i in range(1, len(conds))
     ]
     return g.select(F.col(key_col), *out)
+
+
+def sequence_count(
+    df: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """ClickHouse ``sequenceCount('(?1).*(?2)…')`` analog: per key, how many
+    NON-OVERLAPPING completions of the step chain occur in timestamp order
+    (greedy left-to-right — each completed chain releases the pointer to
+    start matching the next one, the ClickHouse counting rule).
+
+    Same machinery as sequence_match above: per-event step bitmask, one
+    shuffle keyed by ``key_col``, a built-in ``aggregate`` scan over the
+    (ts, tiebreak)-sorted struct array carrying (progress, count) state.
+    """
+    n = len(steps)
+    if not 1 <= n <= 9:
+        raise ValueError("sequence_count supports 1-9 steps")
+    mask = F.lit(0)
+    for i, cond in enumerate(steps):
+        mask = mask + F.when(F.expr(cond), F.lit(1 << i)).otherwise(F.lit(0))
+    per_key = (
+        df.select(F.col(key_col), F.col(ts_col), F.col(tiebreak_col), mask.alias("m"))
+        .groupBy(key_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(ts_col), F.col(tiebreak_col), F.col("m")))
+            ).alias("evs")
+        )
+    )
+    state = F.aggregate(
+        F.transform(F.col("evs"), lambda s: s.getField("m")),
+        F.struct(
+            F.lit(0).cast("int").alias("prog"), F.lit(0).cast("long").alias("cnt")
+        ),
+        lambda acc, m: F.when(
+            m.bitwiseAND(
+                F.pow(F.lit(2.0), acc.getField("prog").cast("double")).cast("int")
+            )
+            != 0,
+            F.when(
+                acc.getField("prog") == n - 1,
+                F.struct(
+                    F.lit(0).cast("int").alias("prog"),
+                    (acc.getField("cnt") + 1).alias("cnt"),
+                ),
+            ).otherwise(
+                F.struct(
+                    (acc.getField("prog") + 1).alias("prog"),
+                    acc.getField("cnt").alias("cnt"),
+                )
+            ),
+        ).otherwise(acc),
+    )
+    return per_key.select(F.col(key_col), state.getField("cnt").alias("n_matches"))

@@ -349,3 +349,11 @@ def test_retention_flags_hand_computed(spark):
         ).collect()
     }
     assert out == {1: (1, 1, 0), 2: (0, 0, 0), 3: (1, 0, 0)}
+
+
+def test_numbers_table_function(spark):
+    out = tr("SELECT number FROM numbers(5)")
+    assert out == "SELECT number FROM (SELECT id AS number FROM range(5))"
+    assert [r.number for r in spark.sql(out).collect()] == [0, 1, 2, 3, 4]
+    out2 = tr("SELECT sum(number) FROM numbers(10, 5)")
+    assert spark.sql(out2).first()[0] == 10 + 11 + 12 + 13 + 14

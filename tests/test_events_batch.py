@@ -266,3 +266,31 @@ def test_window_funnel_hand_computed(spark):
         ).collect()
     }
     assert out == {1: 3, 2: 2, 3: 1, 4: 0, 5: 3, 6: 3}
+
+
+def test_sequence_count_non_overlapping(spark):
+    import datetime
+
+    from clickhouse_flatfile_tool_spark.operators.events import sequence_count
+
+    def mk(u, t, e, ty):
+        return (u, datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=t), e, ty)
+
+    rows = [
+        # u1: A B A B → 2 complete non-overlapping A→B chains
+        mk(1, 0, 1, "a"), mk(1, 1, 2, "b"), mk(1, 2, 3, "a"), mk(1, 3, 4, "b"),
+        # u2: A A B → greedy: first A starts, B completes → 1 (second A ignored mid-chain)
+        mk(2, 0, 5, "a"), mk(2, 1, 6, "a"), mk(2, 2, 7, "b"),
+        # u3: B A → 0 (wrong order)
+        mk(3, 0, 8, "b"), mk(3, 1, 9, "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {
+        r.user_id: r.n_matches
+        for r in sequence_count(
+            df, ["event_type = 'a'", "event_type = 'b'"]
+        ).collect()
+    }
+    assert out == {1: 2, 2: 1, 3: 0}
