@@ -553,6 +553,42 @@ def _merge_prewhere(chunk: str) -> str:
     return chunk[:pre_at] + f"WHERE ({pre}) AND ({where}) " + chunk[term_at:]
 
 
+def _merge_with_totals(chunk: str) -> str:
+    """``GROUP BY a, b WITH TOTALS`` → ``GROUP BY GROUPING SETS ((a, b),
+    ())`` — ClickHouse's extra all-rows totals row as the standard grand-
+    total grouping set.  Representation note: Spark/ANSI put NULL in the
+    key columns of the totals row where ClickHouse renders zero values /
+    empty strings (its JSON formats carry totals out-of-band); NULL is the
+    faithful relational encoding.  Depth-0 only (a subquery's GROUP BY
+    keeps its own TOTALS untouched and errors by name in Spark)."""
+    g_at, _ = _find_top_level_word(chunk, ("GROUP",))
+    if g_at is None:
+        return chunk
+    m = re.compile(r"GROUP\s+BY\s+", re.IGNORECASE).match(chunk, g_at)
+    if not m:
+        return chunk
+    list_start = m.end()
+    t = re.compile(r"\bWITH\s+TOTALS\b", re.IGNORECASE)
+    # find WITH TOTALS at paren depth 0 after the list
+    depth = 0
+    for i in range(list_start, len(chunk)):
+        ch = chunk[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            mt = t.match(chunk, i)
+            if mt:
+                cols = chunk[list_start : i].strip().rstrip(",")
+                return (
+                    chunk[: g_at]
+                    + f"GROUP BY GROUPING SETS (({cols}), ())"
+                    + chunk[mt.end():]
+                )
+    return chunk
+
+
 def _rewrite_clauses(chunk: str) -> str:
     """ClickHouse-specific CLAUSES (not functions):
 
@@ -568,6 +604,7 @@ def _rewrite_clauses(chunk: str) -> str:
       stripped; output format is the writer's job in Spark.
     """
     chunk = re.sub(r"\s+FORMAT\s+\w+\s*;?\s*$", "", chunk, flags=re.IGNORECASE)
+    chunk = _merge_with_totals(chunk)
     chunk = _merge_prewhere(chunk)
     chunk = re.sub(r"\bPREWHERE\b", "WHERE", chunk, flags=re.IGNORECASE)
     chunk = re.sub(

@@ -357,3 +357,14 @@ def test_numbers_table_function(spark):
     assert [r.number for r in spark.sql(out).collect()] == [0, 1, 2, 3, 4]
     out2 = tr("SELECT sum(number) FROM numbers(10, 5)")
     assert spark.sql(out2).first()[0] == 10 + 11 + 12 + 13 + 14
+
+
+def test_with_totals_executes(spark):
+    out = tr("SELECT event_type, count(*) AS n FROM ev GROUP BY event_type WITH TOTALS")
+    assert "GROUPING SETS ((event_type), ())" in out
+    spark.createDataFrame(
+        [("a",), ("a",), ("b",)], "event_type string"
+    ).createOrReplaceTempView("ev")
+    rows = {r.event_type: r.n for r in spark.sql(out).collect()}
+    # NULL key row = the ClickHouse totals row
+    assert rows == {"a": 2, "b": 1, None: 3}
