@@ -377,9 +377,22 @@ def _rewrite_curried_quantiles(chunk: str) -> str:
     """``quantile[Exact](p)(x)`` → ``percentile(x, p)``;
     ``quantiles(p1,p2,...)(x)`` → ``percentile(x, array(p1,p2,...))``.
     ClickHouse ``quantile`` is approximate (reservoir) — ``percentile`` is
-    the semantic analog; exactness only improves the answer."""
-    for name, as_array in (("quantilesExact", True), ("quantileExact", False),
-                           ("quantiles", True), ("quantile", False)):
+    the semantic analog; exactness only improves the answer.  The sketch
+    variants (TDigest/BFloat16/Timing/Deterministic) map to Spark's own
+    sketch aggregate ``approx_percentile`` — approximate on both sides, so
+    values differ per engine (the exact names are the oracle path)."""
+    for name, as_array, fn in (
+        ("quantilesTDigest", True, "approx_percentile"),
+        ("quantileTDigest", False, "approx_percentile"),
+        ("quantilesTiming", True, "approx_percentile"),
+        ("quantileTiming", False, "approx_percentile"),
+        ("quantileBFloat16", False, "approx_percentile"),
+        ("quantileDeterministic", False, "approx_percentile"),
+        ("quantilesExact", True, "percentile"),
+        ("quantileExact", False, "percentile"),
+        ("quantiles", True, "percentile"),
+        ("quantile", False, "percentile"),
+    ):
         pat = re.compile(r"\b" + name + r"\(")
         m = pat.search(chunk)
         while m:
@@ -391,7 +404,7 @@ def _rewrite_curried_quantiles(chunk: str) -> str:
             probs = chunk[m.end() : p_end - 1]
             arg = chunk[p_end + 1 : x_end - 1]
             probs_sql = f"array({probs})" if as_array else probs
-            repl = f"percentile({arg}, {probs_sql})"
+            repl = f"{fn}({arg}, {probs_sql})"
             chunk = chunk[: m.start()] + repl + chunk[x_end:]
             m = pat.search(chunk, m.start() + len(repl))
     return chunk

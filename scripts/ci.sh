@@ -14,5 +14,8 @@ python scripts/selfcheck.py "${SF}" 2>/dev/null | tail -3
 echo "== plan audit (anti-pattern sweep) =="
 python scripts/plan_audit.py 2>/dev/null | tail -2
 
+echo "== registry window placement =="
+python scripts/registry_window.py 2>/dev/null | tail -3
+
 echo "== bench (sf0.1) =="
 python bench.py 2>/dev/null | tail -1

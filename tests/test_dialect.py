@@ -368,3 +368,13 @@ def test_with_totals_executes(spark):
     rows = {r.event_type: r.n for r in spark.sql(out).collect()}
     # NULL key row = the ClickHouse totals row
     assert rows == {"a": 2, "b": 1, None: 3}
+
+
+def test_quantile_sketch_variants(spark):
+    assert tr("quantileTDigest(0.5)(x)") == "approx_percentile(x, 0.5)"
+    assert tr("quantilesTiming(0.5, 0.9)(x)") == "approx_percentile(x, array(0.5, 0.9))"
+    assert tr("quantile(0.5)(x)") == "percentile(x, 0.5)"
+    df = spark.range(101)
+    df.createOrReplaceTempView("r")
+    v = spark.sql("SELECT " + tr("quantileTDigest(0.5)(id)") + " AS m FROM r").first().m
+    assert 45 <= v <= 55
