@@ -1551,6 +1551,35 @@ def q_clickhouse_dialect(spark, d):
     return relational.sql(spark, translate_clickhouse_sql(ch))
 
 
+def q_mv_incremental(spark, d):
+    """Materialized-view incremental maintenance
+    (mergetree.py::mv_refresh): orders split into 3 deterministic batches,
+    each folded into the running AggregatingMergeTree-style state; the
+    oracle is the FULL recompute (merge functions are associative, so
+    incremental ≡ one-shot).  Money state kept in integer cents so the
+    staged fold is bit-exact across engines."""
+    from clickhouse_flatfile_tool_spark.operators import mergetree
+
+    o = _t(spark, d, "orders").select(
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.lit(1).cast("long").alias("n"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("max_cents"),
+        (F.col("o_orderkey") % 3).alias("__batch"),
+    )
+    smap = {"cents": "sum", "n": "count", "max_cents": "max"}
+    state = None
+    for day in range(3):
+        delta = o.filter(F.col("__batch") == day).drop("__batch")
+        state = mergetree.mv_refresh(state, delta, ["o_orderpriority"], smap)
+    return state.select(
+        "o_orderpriority",
+        F.col("cents").cast("long").alias("cents"),
+        F.col("n").cast("long").alias("n"),
+        F.col("max_cents").cast("long").alias("max_cents"),
+    )
+
+
 def q_sequence_count(spark, d):
     """ClickHouse sequenceCount analog (events.py::sequence_count): per
     user, non-overlapping greedy view→click chain completions.  Rows-only
@@ -2267,6 +2296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # next round
         "pca_project": q_pca_project,
         "sequence_count": q_sequence_count,
+        "mv_incremental": q_mv_incremental,
         "stream_tumbling": q_stream_tumbling,
         "stream_dedup": q_stream_dedup,
         "stream_session": q_stream_session,
@@ -3517,6 +3547,13 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
             "length(nfc_normalize(tt))::BIGINT AS nfc_len, "
             "length(strip_accents(tt))::BIGINT AS stripped_len "
             "FROM t"
+        ),
+        "mv_incremental": (
+            "SELECT o_orderpriority, "
+            "sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents, "
+            "count(*)::BIGINT AS n, "
+            "max(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS max_cents "
+            "FROM orders GROUP BY o_orderpriority"
         ),
         "dsir_weights": (
             f"WITH toks AS (SELECT doc_id, substring(md5(unnest({_WORDS})), 1, 2) "

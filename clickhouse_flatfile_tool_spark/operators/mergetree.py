@@ -112,3 +112,29 @@ def collapsing_final(
         agg.where(F.col("_net") > 0)
         .select(*key_cols, *[F.col(f"_last.{c}").alias(c) for c in out_cols])
     )
+
+
+def mv_refresh(
+    state: DataFrame | None,
+    delta: DataFrame,
+    key_cols: list[str],
+    state_map: dict[str, str],
+) -> DataFrame:
+    """ClickHouse materialized-view maintenance: fold a new batch of partial
+    aggregate states (``delta`` — e.g. today's ingest pre-aggregated with
+    the same ``state_map``) into the persisted MV ``state`` table, exactly
+    the AggregatingMergeTree + MV pattern (the MV INSERT writes -State rows;
+    background merges / FINAL reads combine them).
+
+    ``mv_refresh(state, delta) ≡ aggregating_final(state ∪ delta)`` — merge
+    functions are associative and commutative, so incremental maintenance
+    is just another merge: one union + ONE hash aggregation whose shuffle
+    carries a struct per key.  At 100 TB the state table lives bucketed by
+    the key columns (sinks.writers.write_bucketed) so the daily refresh
+    joins/aggregates without reshuffling history.  ``state=None`` boots an
+    empty view (first refresh = the delta's own FINAL).
+    """
+    pre = aggregating_final(delta, key_cols, state_map)
+    if state is None:
+        return pre
+    return aggregating_final(state.unionByName(pre), key_cols, state_map)

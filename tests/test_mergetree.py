@@ -219,3 +219,34 @@ def test_pagerank_hand_computed_and_invariants(spark):
     tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "id_a long, id_b long")
     rt = {row.node: row.rank for row in pagerank(tri, iterations=5).collect()}
     assert all(abs(v - 1.0) < 1e-9 for v in rt.values())
+
+
+def test_mv_refresh_incremental_equals_full_recompute(tables):
+    from pyspark.sql import functions as F
+
+    from clickhouse_flatfile_tool_spark.operators.mergetree import (
+        aggregating_final,
+        mv_refresh,
+    )
+
+    o = tables["orders"].select(
+        "o_orderpriority",
+        F.col("o_totalprice").alias("s"),
+        F.lit(1).alias("n"),
+        F.col("o_totalprice").alias("mx"),
+    )
+    smap = {"s": "sum", "n": "count", "mx": "max"}
+    keys = ["o_orderpriority"]
+    # three daily batches folded incrementally
+    state = None
+    for day in range(3):
+        delta = o.filter(f"abs(hash(s)) % 3 = {day}")
+        state = mv_refresh(state, delta, keys, smap)
+    inc = {
+        r.o_orderpriority: (round(r.s, 2), r.n, r.mx) for r in state.collect()
+    }
+    full = {
+        r.o_orderpriority: (round(r.s, 2), r.n, r.mx)
+        for r in aggregating_final(o, keys, smap).collect()
+    }
+    assert inc == full and len(full) > 0
