@@ -1551,6 +1551,37 @@ def q_clickhouse_dialect(spark, d):
     return relational.sql(spark, translate_clickhouse_sql(ch))
 
 
+def q_stream_mv(spark, d):
+    """Streaming materialized-view maintenance (stream_ops.py::stream_mv):
+    micro-batch partial aggregates fold into a versioned persisted state
+    with an atomic pointer swap — the Kafka→MV→AggregatingMergeTree
+    pipeline.  Rows-only; batch-equivalence pytest-asserted (integer
+    count + sum state)."""
+    tmp = tempfile.mkdtemp(prefix="cfts_smv_")
+    try:
+        stream = stream_ops.read_event_stream(spark, os.path.join(d, "events.parquet"))
+        proj = stream.select(
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+            F.lit(1).cast("long").alias("n"),
+        )
+        live = stream_ops.stream_mv(
+            spark,
+            proj,
+            ["event_type"],
+            {"cents": "sum", "n": "count"},
+            os.path.join(tmp, "state"),
+            os.path.join(tmp, "ckpt"),
+        )
+        return spark.read.parquet(live).select(
+            "event_type",
+            F.col("cents").cast("long").alias("cents"),
+            F.col("n").cast("long").alias("n"),
+        )
+    finally:
+        shutil.rmtree(os.path.join(tmp, "ckpt"), ignore_errors=True)
+
+
 def q_mv_incremental(spark, d):
     """Materialized-view incremental maintenance
     (mergetree.py::mv_refresh): orders split into 3 deterministic batches,
@@ -2297,6 +2328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_project": q_pca_project,
         "sequence_count": q_sequence_count,
         "mv_incremental": q_mv_incremental,
+        "stream_mv": q_stream_mv,
         "stream_tumbling": q_stream_tumbling,
         "stream_dedup": q_stream_dedup,
         "stream_session": q_stream_session,
@@ -3547,6 +3579,13 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
             "length(nfc_normalize(tt))::BIGINT AS nfc_len, "
             "length(strip_accents(tt))::BIGINT AS stripped_len "
             "FROM t"
+        ),
+        "stream_mv": (
+            # streaming fold is deterministic in OUTPUT (integer cents/count
+            # state; merge fns associative) — oracled like any batch query
+            "SELECT event_type, "
+            "sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents, "
+            "count(*)::BIGINT AS n FROM events GROUP BY event_type"
         ),
         "mv_incremental": (
             "SELECT o_orderpriority, "

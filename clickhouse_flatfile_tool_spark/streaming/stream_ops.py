@@ -372,3 +372,59 @@ def stream_enrich(
     return stream.join(
         F.broadcast(proj), stream[stream_key] == F.col("__dk"), "left"
     ).drop("__dk")
+
+
+def stream_mv(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    key_cols: list[str],
+    state_map: dict[str, str],
+    state_dir: str,
+    checkpoint_dir: str,
+) -> str:
+    """Streaming materialized-view maintenance: each micro-batch's partial
+    aggregate states fold into a persisted AggregatingMergeTree-style state
+    via ``mergetree.mv_refresh`` inside ``foreachBatch`` — the ClickHouse
+    Kafka-engine → MV → AggregatingMergeTree pipeline, Spark-shaped.
+
+    State versioning: every fold writes ``state_dir/v{batch_id}`` and then
+    atomically repoints ``state_dir/_CURRENT`` (text file naming the live
+    version).  Readers never see a half-written state, the previous version
+    stays for debugging/rollback, and re-running a failed batch overwrites
+    its own version directory before the pointer moves — which, combined
+    with the checkpoint's exactly-once batch ids, makes the fold idempotent
+    (the ClickHouse analog's dedup-by-block-id).  Returns the live state
+    path; read it with ``spark.read.parquet``.
+    """
+    import os
+
+    from clickhouse_flatfile_tool_spark.operators.mergetree import mv_refresh
+
+    os.makedirs(state_dir, exist_ok=True)
+    pointer = os.path.join(state_dir, "_CURRENT")
+
+    def _current() -> DataFrame | None:
+        if not os.path.exists(pointer):
+            return None
+        with open(pointer, encoding="utf-8") as fh:
+            v = fh.read().strip()
+        return spark.read.parquet(os.path.join(state_dir, v))
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        new_state = mv_refresh(_current(), batch_df, key_cols, state_map)
+        vdir = os.path.join(state_dir, f"v{batch_id}")
+        new_state.write.mode("overwrite").parquet(vdir)
+        tmp = pointer + f".tmp{batch_id}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(f"v{batch_id}")
+        os.replace(tmp, pointer)  # atomic pointer swap
+
+    q = (
+        stream_df.writeStream.foreachBatch(_fold)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+    with open(pointer, encoding="utf-8") as fh:
+        return os.path.join(state_dir, fh.read().strip())

@@ -331,3 +331,46 @@ def test_stream_enrich_equals_batch_join(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_stream_mv_equals_batch_aggregate(spark, sf_dir, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_flatfile_tool_spark.sources.files import read_parquet
+    from clickhouse_flatfile_tool_spark.streaming import stream_ops
+
+    ev = read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+    # split the fixture into several files so AvailableNow makes multiple
+    # micro-batches (one file per trigger) — exercising the incremental fold
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    stream = stream_ops.read_event_stream(spark, src, max_files_per_trigger=1)
+    proj = stream.select(
+        "event_type",
+        F.col("value").alias("s"),
+        F.lit(1).cast("long").alias("n"),
+    )
+    live = stream_ops.stream_mv(
+        spark,
+        proj,
+        ["event_type"],
+        {"s": "sum", "n": "count"},
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+    )
+    got = {
+        r.event_type: (round(r.s, 4), r.n)
+        for r in spark.read.parquet(live).collect()
+    }
+    expect = {
+        r.event_type: (round(r.s, 4), r.n)
+        for r in ev.groupBy("event_type")
+        .agg(F.sum("value").alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expect and len(got) == 5
+    # multiple versions exist → the fold really ran incrementally
+    versions = [d for d in os.listdir(str(tmp_path / "state")) if d.startswith("v")]
+    assert len(versions) >= 2
