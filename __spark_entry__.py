@@ -1551,6 +1551,35 @@ def q_clickhouse_dialect(spark, d):
     return relational.sql(spark, translate_clickhouse_sql(ch))
 
 
+def q_clickhouse_dates(spark, d):
+    """ClickHouse date-function family through the dialect translator
+    (formatDateTime %-codes, dateDiff unit literal → timestampdiff keyword,
+    toDayOfWeek Monday=1 renumbering, toMonday, toStartOfQuarter) — DuckDB
+    oracle uses strftime/isodow/date_diff."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    _t(spark, d, "events").createOrReplaceTempView("events")
+    ch = (
+        "SELECT formatDateTime(ts, '%Y-%m-%d') AS day_str, "
+        "toDayOfWeek(ts) AS dow, "
+        "toInt64(dateDiff('hour', toStartOfDay(ts), ts)) AS hour_of_day, "
+        "toMonday(ts) AS week_start, "
+        "toQuarter(ts) AS q, "
+        "toInt64(count(*)) AS n "
+        "FROM events GROUP BY formatDateTime(ts, '%Y-%m-%d'), toDayOfWeek(ts), "
+        "toInt64(dateDiff('hour', toStartOfDay(ts), ts)), toMonday(ts), toQuarter(ts)"
+    )
+    out = relational.sql(spark, translate_clickhouse_sql(ch))
+    return out.select(
+        "day_str",
+        F.col("dow").cast("int").alias("dow"),
+        "hour_of_day",
+        F.col("week_start").cast("string").alias("week_start"),
+        F.col("q").cast("int").alias("q"),
+        "n",
+    )
+
+
 def q_stream_mv(spark, d):
     """Streaming materialized-view maintenance (stream_ops.py::stream_mv):
     micro-batch partial aggregates fold into a versioned persisted state
@@ -2329,6 +2358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_count": q_sequence_count,
         "mv_incremental": q_mv_incremental,
         "stream_mv": q_stream_mv,
+        "clickhouse_dates": q_clickhouse_dates,
         "stream_tumbling": q_stream_tumbling,
         "stream_dedup": q_stream_dedup,
         "stream_session": q_stream_session,
@@ -3579,6 +3609,14 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
             "length(nfc_normalize(tt))::BIGINT AS nfc_len, "
             "length(strip_accents(tt))::BIGINT AS stripped_len "
             "FROM t"
+        ),
+        "clickhouse_dates": (
+            "SELECT strftime(ts, '%Y-%m-%d') AS day_str, "
+            "isodow(ts)::INT AS dow, "
+            "date_diff('hour', date_trunc('day', ts), ts)::BIGINT AS hour_of_day, "
+            "CAST(date_trunc('week', ts) AS DATE)::VARCHAR AS week_start, "
+            "quarter(ts)::INT AS q, count(*)::BIGINT AS n "
+            "FROM events GROUP BY 1, 2, 3, 4, 5"
         ),
         "stream_mv": (
             # streaming fold is deterministic in OUTPUT (integer cents/count

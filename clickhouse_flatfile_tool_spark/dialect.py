@@ -32,6 +32,14 @@ _WRAPS: list[tuple[str, str, str]] = [
     ("toStartOfHour", "date_trunc('hour', ", ")"),
     ("toStartOfDay", "date_trunc('day', ", ")"),
     ("toStartOfMonth", "date_trunc('month', ", ")"),
+    ("toStartOfQuarter", "date_trunc('quarter', ", ")"),
+    ("toStartOfYear", "date_trunc('year', ", ")"),
+    # ClickHouse weeks start Monday; Spark date_trunc('week') also snaps to
+    # Monday, so both map cleanly (toMonday returns a Date in CH)
+    ("toStartOfWeek", "CAST(date_trunc('week', ", ") AS DATE)"),
+    ("toMonday", "CAST(date_trunc('week', ", ") AS DATE)"),
+    # CH toDayOfWeek: Monday=1..Sunday=7; Spark dayofweek: Sunday=1..Sat=7
+    ("toDayOfWeek", "(pmod(dayofweek(", ") + 5, 7) + 1)"),
     ("toYYYYMM", "CAST(date_format(", ", 'yyyyMM') AS INT)"),
     ("uniqExact", "count(DISTINCT ", ")"),
     ("toInt8", "CAST(", " AS TINYINT)"),
@@ -101,6 +109,16 @@ _RENAMES: list[tuple[str, str]] = [
     ("trimBoth", "trim"),
     ("editDistance", "levenshtein"),
     ("levenshteinDistance", "levenshtein"),
+    # date-part extractors with identical numbering on both sides
+    ("toYear", "year"),
+    ("toMonth", "month"),
+    ("toDayOfMonth", "dayofmonth"),
+    ("toDayOfYear", "dayofyear"),
+    ("toHour", "hour"),
+    ("toMinute", "minute"),
+    ("toSecond", "second"),
+    ("toQuarter", "quarter"),
+    ("toISOWeek", "weekofyear"),            # both ISO-8601 week numbering
     ("toTimeZone", "from_utc_timestamp"),   # both (ts, tz); session is UTC
     ("toUnixTimestamp", "unix_timestamp"),
     ("fromUnixTimestamp", "from_unixtime"),
@@ -326,6 +344,67 @@ _LAMBDA_FNS = {
     "arrayExists": "exists",
     "arrayAll": "forall",
 }
+
+
+# ClickHouse formatDateTime %-codes → Java SimpleDateFormat-style patterns
+# (the common subset; unknown codes pass through literally)
+_CH_FMT = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH",
+    "%M": "mm", "%S": "ss", "%F": "yyyy-MM-dd", "%T": "HH:mm:ss",
+    "%e": "d", "%j": "DDD", "%a": "EEE", "%b": "MMM", "%p": "a",
+    "%%": "%",
+}
+
+_DATEDIFF_UNITS = {
+    "second": "SECOND", "minute": "MINUTE", "hour": "HOUR", "day": "DAY",
+    "week": "WEEK", "month": "MONTH", "quarter": "QUARTER", "year": "YEAR",
+}
+
+
+def _rewrite_literal_aware(chunk: str, literals: list[str]) -> str:
+    """Rewrites that must read/transform a string-literal argument (which is
+    masked as \\x00i\\x00 at this stage): the callback resolves the mask via
+    ``literals`` and may append a NEW literal for the replacement.
+
+    * ``formatDateTime(x, '%Y-%m-%d')`` → ``date_format(x, 'yyyy-MM-dd')``
+      (`_CH_FMT` code table).
+    * ``dateDiff('day', a, b)`` / ``date_diff`` → ``timestampdiff(DAY, a,
+      b)`` — the unit moves from a string literal to a keyword.
+    """
+    lit_pat = re.compile("^\x00(\\d+)\x00$")
+
+    def resolve(arg):
+        m = lit_pat.match(arg.strip())
+        return literals[int(m.group(1))] if m else None
+
+    def new_lit(value: str) -> str:
+        literals.append(value)
+        return f"\x00{len(literals) - 1}\x00"
+
+    def fmt_make(args):
+        if len(args) != 2:
+            return None
+        fmt = resolve(args[1])
+        if fmt is None:
+            return None
+        out = re.sub(
+            "%.|%", lambda m: _CH_FMT.get(m.group(0), m.group(0)), fmt
+        )
+        return f"date_format({args[0]}, {new_lit(out)})"
+
+    def diff_make(args):
+        if len(args) != 3:
+            return None
+        unit = resolve(args[0])
+        if unit is None or unit.lower() not in _DATEDIFF_UNITS:
+            return None
+        kw = _DATEDIFF_UNITS[unit.lower()]
+        return f"timestampdiff({kw}, {args[1]}, {args[2]})"
+
+    chunk = _rewrite_call(chunk, "formatDateTime", fmt_make)
+    chunk = _rewrite_call(chunk, "dateDiff", diff_make)
+    chunk = _rewrite_call(chunk, "date_diff", diff_make)
+    return chunk
 
 
 def _rewrite_numbers(chunk: str) -> str:
@@ -664,6 +743,7 @@ def translate_clickhouse_sql(sql: str) -> str:
     chunk = _rewrite_ipv4(chunk)
     chunk = _rewrite_extract_url_parameter(chunk)
     chunk = _rewrite_numbers(chunk)
+    chunk = _rewrite_literal_aware(chunk, literals)
     for name, prefix, suffix in _WRAPS:
         chunk = _wrap(chunk, name, prefix, suffix)
     for src, dst in _RENAMES:

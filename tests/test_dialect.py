@@ -378,3 +378,26 @@ def test_quantile_sketch_variants(spark):
     df.createOrReplaceTempView("r")
     v = spark.sql("SELECT " + tr("quantileTDigest(0.5)(id)") + " AS m FROM r").first().m
     assert 45 <= v <= 55
+
+
+def test_date_family_translates_and_executes(spark):
+    row = spark.sql(
+        "SELECT "
+        + tr("formatDateTime(timestamp'2024-03-05 07:08:09', '%Y-%m-%d %H:%M:%S')")
+        + " AS f, "
+        + tr("dateDiff('day', timestamp'2024-01-01', timestamp'2024-01-31')")
+        + " AS dd, "
+        + tr("toDayOfWeek(date'2024-01-01')") + " AS dw_mon, "   # 2024-01-01 = Monday
+        + tr("toDayOfWeek(date'2024-01-07')") + " AS dw_sun, "   # Sunday
+        + tr("toMonday(date'2024-01-03')") + " AS mon, "
+        + tr("toYear(date'2024-06-15')") + " AS y, "
+        + tr("toQuarter(date'2024-06-15')") + " AS q"
+    ).first()
+    assert row.f == "2024-03-05 07:08:09"
+    assert row.dd == 30
+    assert row.dw_mon == 1 and row.dw_sun == 7  # ClickHouse numbering
+    assert str(row.mon) == "2024-01-01"
+    assert row.y == 2024 and row.q == 2
+    # unknown unit / non-literal format: pass through untouched by name
+    assert "dateDiff" in tr("dateDiff('fortnight', a, b)")
+    assert "formatDateTime" in tr("formatDateTime(ts, fmt_col)")
