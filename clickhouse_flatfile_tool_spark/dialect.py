@@ -681,6 +681,30 @@ def _merge_with_totals(chunk: str) -> str:
     return chunk
 
 
+def _rewrite_array_join_clause(chunk: str) -> str:
+    """``[LEFT] ARRAY JOIN <expr> AS <alias>`` (ClickHouse's row-expanding
+    clause) → ``LATERAL VIEW [OUTER] explode(<expr>) __aj<i> AS <alias>``.
+    LEFT keeps rows whose array is empty/NULL (→ OUTER).  Single-expression
+    form only (the common case); a comma list of arrays zips in ClickHouse,
+    which LATERAL VIEW can't express name-level — those pass through and
+    Spark errors by name."""
+    pat = re.compile(
+        r"\b(LEFT\s+)?ARRAY\s+JOIN\s+(.+?)\s+AS\s+(\w+)", re.IGNORECASE
+    )
+    i = 0
+
+    def repl(m):
+        nonlocal i
+        i += 1
+        outer = "OUTER " if m.group(1) else ""
+        expr, alias = m.group(2).strip(), m.group(3)
+        if "," in expr:  # multi-array zip form: out of scope, pass through
+            return m.group(0)
+        return f"LATERAL VIEW {outer}explode({expr}) __aj{i} AS {alias}"
+
+    return pat.sub(repl, chunk)
+
+
 def _rewrite_clauses(chunk: str) -> str:
     """ClickHouse-specific CLAUSES (not functions):
 
@@ -696,6 +720,15 @@ def _rewrite_clauses(chunk: str) -> str:
       stripped; output format is the writer's job in Spark.
     """
     chunk = re.sub(r"\s+FORMAT\s+\w+\s*;?\s*$", "", chunk, flags=re.IGNORECASE)
+    # SETTINGS name=value[, ...] — ClickHouse per-query knobs; Spark's
+    # equivalents are session confs, so the clause is dropped
+    chunk = re.sub(
+        r"\s+SETTINGS\s+\w+\s*=\s*\S+(\s*,\s*\w+\s*=\s*\S+)*\s*;?\s*$",
+        "",
+        chunk,
+        flags=re.IGNORECASE,
+    )
+    chunk = _rewrite_array_join_clause(chunk)
     chunk = _merge_with_totals(chunk)
     chunk = _merge_prewhere(chunk)
     chunk = re.sub(r"\bPREWHERE\b", "WHERE", chunk, flags=re.IGNORECASE)

@@ -401,3 +401,22 @@ def test_date_family_translates_and_executes(spark):
     # unknown unit / non-literal format: pass through untouched by name
     assert "dateDiff" in tr("dateDiff('fortnight', a, b)")
     assert "formatDateTime" in tr("formatDateTime(ts, fmt_col)")
+
+
+def test_array_join_and_settings(spark):
+    out = tr("SELECT x FROM t ARRAY JOIN arr AS x")
+    assert "LATERAL VIEW explode(arr) __aj1 AS x" in out
+    out_left = tr("SELECT x FROM t LEFT ARRAY JOIN arr AS x")
+    assert "LATERAL VIEW OUTER explode(arr)" in out_left
+    # executes: expand rows; LEFT keeps the empty-array row
+    spark.createDataFrame(
+        [(1, [10, 20]), (2, [])], "id long, arr array<int>"
+    ).createOrReplaceTempView("aj")
+    rows = spark.sql(tr("SELECT id, x FROM aj ARRAY JOIN arr AS x")).collect()
+    assert {(r.id, r.x) for r in rows} == {(1, 10), (1, 20)}
+    rows_l = spark.sql(tr("SELECT id, x FROM aj LEFT ARRAY JOIN arr AS x")).collect()
+    assert {(r.id, r.x) for r in rows_l} == {(1, 10), (1, 20), (2, None)}
+    # SETTINGS clause is dropped
+    assert tr("SELECT 1 FROM t SETTINGS max_threads = 4, join_use_nulls = 1") == "SELECT 1 FROM t"
+    # multi-array zip form passes through (out of scope, errors by name)
+    assert "ARRAY JOIN" in tr("SELECT 1 FROM t ARRAY JOIN a, b AS x")
