@@ -251,3 +251,57 @@ def test_cms_never_undercounts_random(spark, items):
     for w, true in exact.items():
         assert est[w] >= true          # CMS can only overcount
         assert est[w] <= n             # and never beyond the stream length
+
+
+@st.composite
+def span_docs(draw):
+    # two docs over a tiny vocabulary so shared trigram runs appear naturally
+    vocab = ["w0", "w1", "w2", "w3"]
+    a = draw(st.lists(st.sampled_from(vocab), min_size=3, max_size=14))
+    b = draw(st.lists(st.sampled_from(vocab), min_size=3, max_size=14))
+    return " ".join(a), " ".join(b)
+
+
+def _spans_reference(ta, tb, n=3):
+    """Naive shared-span finder: all (pos_a, pos_b) n-gram matches, islands
+    by offset, return (longest_run_tokens, n_spans) or None if no match."""
+    wa, wb = ta.split(), tb.split()
+    ga = [" ".join(wa[i : i + n]) for i in range(len(wa) - n + 1)]
+    gb = [" ".join(wb[i : i + n]) for i in range(len(wb) - n + 1)]
+    matches = [
+        (i, j) for i, x in enumerate(ga) for j, y in enumerate(gb) if x == y
+    ]
+    if not matches:
+        return None
+    from collections import defaultdict
+
+    by_off = defaultdict(list)
+    for i, j in matches:
+        by_off[i - j].append(i)
+    runs = []
+    for poss in by_off.values():
+        poss.sort()
+        run = 1
+        for p, q in zip(poss, poss[1:]):
+            if q == p + 1:
+                run += 1
+            else:
+                runs.append(run)
+                run = 1
+        runs.append(run)
+    return max(runs) + n - 1, len(runs)
+
+
+@given(span_docs())
+@settings(**SETTINGS)
+def test_shared_spans_matches_naive(spark, docs_pair):
+    ta, tb = docs_pair
+    df = spark.createDataFrame([(1, ta), (2, tb)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    rows = D.shared_spans(df, pairs).collect()
+    expect = _spans_reference(ta, tb)
+    if expect is None:
+        assert rows == []
+    else:
+        assert len(rows) == 1
+        assert (rows[0].longest_run_tokens, rows[0].n_spans) == expect
