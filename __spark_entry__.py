@@ -1551,6 +1551,18 @@ def q_clickhouse_dialect(spark, d):
     return relational.sql(spark, translate_clickhouse_sql(ch))
 
 
+def q_dedup_policy(spark, d):
+    """Survivorship-policy exact dedup (dedup.py::exact_dedup_by_policy,
+    'longest' policy): keep the longest raw text per normalized-text
+    fingerprint group, id-ascending tiebreak — one max_by aggregation, no
+    window; oracle uses the equivalent row_number window."""
+    docs = _t(spark, d, "documents")
+    out = dedup.exact_dedup_by_policy(docs, policy="longest")
+    return out.select(
+        "doc_id", F.col("dup_count").cast("long").alias("dup_count")
+    )
+
+
 def q_clickhouse_dates(spark, d):
     """ClickHouse date-function family through the dialect translator
     (formatDateTime %-codes, dateDiff unit literal → timestampdiff keyword,
@@ -2359,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mv_incremental": q_mv_incremental,
         "stream_mv": q_stream_mv,
         "clickhouse_dates": q_clickhouse_dates,
+        "dedup_policy": q_dedup_policy,
         "stream_tumbling": q_stream_tumbling,
         "stream_dedup": q_stream_dedup,
         "stream_session": q_stream_session,
@@ -3609,6 +3622,17 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
             "length(nfc_normalize(tt))::BIGINT AS nfc_len, "
             "length(strip_accents(tt))::BIGINT AS stripped_len "
             "FROM t"
+        ),
+        "dedup_policy": (
+            "WITH f AS (SELECT doc_id, length(text) AS ln, "
+            "  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp "
+            "  FROM documents), "
+            "r AS (SELECT doc_id, fp, "
+            "  row_number() OVER (PARTITION BY fp ORDER BY ln DESC, doc_id ASC) AS rk "
+            "  FROM f), "
+            "c AS (SELECT fp, count(*) AS dup_count FROM f GROUP BY fp) "
+            "SELECT r.doc_id, c.dup_count::BIGINT AS dup_count "
+            "FROM r JOIN c USING (fp) WHERE r.rk = 1"
         ),
         "clickhouse_dates": (
             "SELECT strftime(ts, '%Y-%m-%d') AS day_str, "

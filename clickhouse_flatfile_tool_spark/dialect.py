@@ -270,7 +270,17 @@ def _rewrite_int_div(chunk: str) -> str:
 
 def _rewrite_if_combinators(chunk: str) -> str:
     chunk = re.sub(r"\bcountIf\(", "count_if(", chunk)
-    for src, agg in _IF_COMBINATORS.items():
+    # (template, needs_distinct) — the CASE makes non-matching rows NULL,
+    # which every aggregate here ignores; anyIf needs an explicit
+    # ignore-nulls first_value, uniqIf a DISTINCT over the CASE
+    shapes = {
+        **{src: f"{agg}(CASE WHEN {{cond}} THEN {{expr}} END)"
+           for src, agg in _IF_COMBINATORS.items()},
+        "anyIf": "first_value(CASE WHEN {cond} THEN {expr} END, true)",
+        "uniqIf": "count(DISTINCT CASE WHEN {cond} THEN {expr} END)",
+        "uniqExactIf": "count(DISTINCT CASE WHEN {cond} THEN {expr} END)",
+    }
+    for src, template in shapes.items():
         pat = re.compile(r"\b" + src + r"\(")
         m = pat.search(chunk)
         while m:
@@ -278,7 +288,7 @@ def _rewrite_if_combinators(chunk: str) -> str:
             args = _split_top_comma(chunk[m.end() : end - 1])
             if len(args) == 2:
                 expr, cond = args
-                repl = f"{agg}(CASE WHEN {cond} THEN {expr} END)"
+                repl = template.format(cond=cond, expr=expr)
                 chunk = chunk[: m.start()] + repl + chunk[end:]
                 m = pat.search(chunk, m.start() + len(repl))
             else:  # malformed arity: leave for Spark to error on

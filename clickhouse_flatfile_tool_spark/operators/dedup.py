@@ -1081,3 +1081,48 @@ def shared_spans(
             F.count(F.lit(1)).alias("n_spans"),
         )
     )
+
+
+def exact_dedup_by_policy(
+    df: DataFrame,
+    key: Column | str = "text",
+    policy: str = "min_id",
+    id_col: str = "doc_id",
+    score_col: str | None = None,
+) -> DataFrame:
+    """Exact dedup with an explicit SURVIVORSHIP POLICY — production corpus
+    pipelines rarely keep an arbitrary row per duplicate group:
+
+    * ``min_id``      — deterministic canonical (exact_dedup_canonical)
+    * ``max_score``   — keep the highest-``score_col`` duplicate (quality
+                        scorer output; id-ascending tiebreak)
+    * ``longest``     — keep the longest text (the usual pick when dups are
+                        truncations of each other; id-ascending tiebreak)
+
+    Same scale shape for every policy: ONE hash aggregation on the
+    fingerprint carrying an (ordering-key, id) struct per group — max_by
+    over a struct, no window function, no second scan.  Returns
+    ``(id, dup_count)`` of the survivors.
+    """
+    k = fingerprint(key) if isinstance(key, str) else key
+    with_fp = df.withColumn("__fp", k)
+    neg_id = -F.col(id_col)  # id-ASCENDING tiebreak inside a max_by
+    if policy == "min_id":
+        order = F.struct(neg_id.alias("o1"), neg_id.alias("o2"))
+    elif policy == "max_score":
+        if not score_col:
+            raise ValueError("max_score policy needs score_col")
+        order = F.struct(F.col(score_col).alias("o1"), neg_id.alias("o2"))
+    elif policy == "longest":
+        key_col = key if isinstance(key, str) else "text"
+        order = F.struct(F.length(F.col(key_col)).alias("o1"), neg_id.alias("o2"))
+    else:
+        raise ValueError(f"unknown survivorship policy: {policy}")
+    return (
+        with_fp.groupBy("__fp")
+        .agg(
+            F.max_by(F.col(id_col), order).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .drop("__fp")
+    )

@@ -420,3 +420,18 @@ def test_array_join_and_settings(spark):
     assert tr("SELECT 1 FROM t SETTINGS max_threads = 4, join_use_nulls = 1") == "SELECT 1 FROM t"
     # multi-array zip form passes through (out of scope, errors by name)
     assert "ARRAY JOIN" in tr("SELECT 1 FROM t ARRAY JOIN a, b AS x")
+
+
+def test_any_if_uniq_if(spark):
+    assert tr("uniqIf(x, c)") == "count(DISTINCT CASE WHEN c THEN x END)"
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a"), (4, None)], "v long, g string"
+    ).createOrReplaceTempView("aiu")
+    row = spark.sql(
+        "SELECT "
+        + tr("anyIf(v, g = 'a')") + " AS first_a, "
+        + tr("uniqIf(g, v > 1)") + " AS u "
+        "FROM aiu"
+    ).first()
+    assert row.first_a in (1, 3)  # some row with g='a'
+    assert row.u == 2  # {'b','a'} for v>1 (NULL g ignored by count distinct)

@@ -644,3 +644,25 @@ def test_normalize_text_composes_and_strips(spark):
     # accent-strip + lowercase gives the dedup-ready key
     assert out[1][1] == out[2][1] == "cafe angstrom"
     assert out[3] == (None, None)
+
+
+def test_dedup_policy_survivors(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "hello  world", 0.2),   # same fingerprint as 2,3 (ws/case)
+            (2, "Hello World", 0.9),
+            (3, "hello world extra", 0.5),  # different group
+            (4, "HELLO   WORLD", 0.4),
+        ],
+        "doc_id long, text string, score double",
+    )
+    longest = {r.doc_id: r.dup_count for r in
+               D.exact_dedup_by_policy(df, policy="longest").collect()}
+    # group {1,2,4}: '"HELLO   WORLD"' is longest (13 chars vs 12/11)
+    assert longest == {4: 3, 3: 1}
+    best = {r.doc_id: r.dup_count for r in
+            D.exact_dedup_by_policy(df, policy="max_score", score_col="score").collect()}
+    assert best == {2: 3, 3: 1}
+    min_id = {r.doc_id: r.dup_count for r in
+              D.exact_dedup_by_policy(df, policy="min_id").collect()}
+    assert min_id == {1: 3, 3: 1}
