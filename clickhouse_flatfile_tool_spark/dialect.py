@@ -739,6 +739,14 @@ def _rewrite_clauses(chunk: str) -> str:
         flags=re.IGNORECASE,
     )
     chunk = _rewrite_array_join_clause(chunk)
+    # GLOBAL IN / GLOBAL JOIN — ClickHouse's "broadcast the subquery to all
+    # shards" hint; Spark's optimizer owns that decision, so the keyword
+    # drops.  ALL JOIN is ClickHouse's explicit default-multiplicity
+    # modifier (≡ standard join semantics) — also dropped.  ANY JOIN
+    # (first-match-only) is NOT translated: its semantics differ, so it
+    # passes through and Spark errors by name.
+    chunk = re.sub(r"\bGLOBAL\s+(?=IN\b|JOIN\b|LEFT\b|RIGHT\b|INNER\b|FULL\b|CROSS\b|ANY\b|ALL\b)", "", chunk, flags=re.IGNORECASE)
+    chunk = re.sub(r"\bALL\s+(?=((LEFT|RIGHT|INNER|FULL)\s+)?JOIN\b)", "", chunk, flags=re.IGNORECASE)
     chunk = _merge_with_totals(chunk)
     chunk = _merge_prewhere(chunk)
     chunk = re.sub(r"\bPREWHERE\b", "WHERE", chunk, flags=re.IGNORECASE)

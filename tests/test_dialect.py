@@ -435,3 +435,11 @@ def test_any_if_uniq_if(spark):
     ).first()
     assert row.first_a in (1, 3)  # some row with g='a'
     assert row.u == 2  # {'b','a'} for v>1 (NULL g ignored by count distinct)
+
+
+def test_global_and_all_join_modifiers(spark):
+    assert tr("SELECT 1 FROM a GLOBAL JOIN b ON a.x = b.x") == "SELECT 1 FROM a JOIN b ON a.x = b.x"
+    assert tr("SELECT 1 FROM a ALL LEFT JOIN b ON a.x = b.x") == "SELECT 1 FROM a LEFT JOIN b ON a.x = b.x"
+    assert tr("SELECT 1 WHERE x GLOBAL IN (1, 2)") == "SELECT 1 WHERE x IN (1, 2)"
+    # ANY JOIN semantics differ — stays untouched for Spark to reject by name
+    assert "ANY LEFT JOIN" in tr("SELECT 1 FROM a ANY LEFT JOIN b ON a.x = b.x")
