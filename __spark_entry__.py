@@ -1551,6 +1551,18 @@ def q_clickhouse_dialect(spark, d):
     return relational.sql(spark, translate_clickhouse_sql(ch))
 
 
+def q_mrl_topk(spark, d):
+    """Matryoshka-truncated similarity search (similarity.py::mrl_truncate
+    + cosine_topk): top-k over the first 16 of 64 dims — the serve-cheap /
+    rerank-full pattern.  Truncation without renormalize so the oracle's
+    cosine-on-slices is the bit-identical formula (ranking is unaffected
+    by renormalization)."""
+    emb = _t(spark, d, "embeddings")
+    t16 = similarity.mrl_truncate(emb, 16, renormalize=False)
+    queries_df = t16.filter("vec_id < 10")
+    return similarity.cosine_topk(queries_df, t16, k=5)
+
+
 def q_dedup_policy(spark, d):
     """Survivorship-policy exact dedup (dedup.py::exact_dedup_by_policy,
     'longest' policy): keep the longest raw text per normalized-text
@@ -2372,6 +2384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_mv": q_stream_mv,
         "clickhouse_dates": q_clickhouse_dates,
         "dedup_policy": q_dedup_policy,
+        "mrl_topk": q_mrl_topk,
         "stream_tumbling": q_stream_tumbling,
         "stream_dedup": q_stream_dedup,
         "stream_session": q_stream_session,
@@ -3622,6 +3635,23 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
             "length(nfc_normalize(tt))::BIGINT AS nfc_len, "
             "length(strip_accents(tt))::BIGINT AS stripped_len "
             "FROM t"
+        ),
+        "mrl_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding[1:16] AS qe "
+            "  FROM embeddings WHERE vec_id < 10), "
+            "pairs AS (SELECT q.query_id, c.vec_id AS neighbor_id, q.qe, "
+            "  c.embedding[1:16] AS ce FROM q CROSS JOIN embeddings c "
+            "  WHERE c.vec_id <> q.query_id), "
+            "u AS (SELECT query_id, neighbor_id, unnest(qe)::DOUBLE AS x, "
+            "  unnest(ce)::DOUBLE AS y FROM pairs), "
+            "cos AS (SELECT query_id, neighbor_id, "
+            "  sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS c "
+            "  FROM u GROUP BY query_id, neighbor_id), "
+            "ranked AS (SELECT query_id, neighbor_id, c, "
+            "  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk "
+            "  FROM cos) "
+            "SELECT query_id, neighbor_id, round(c, 6) AS cos_sim "
+            "FROM ranked WHERE rk <= 5"
         ),
         "dedup_policy": (
             "WITH f AS (SELECT doc_id, length(text) AS ln, "

@@ -818,3 +818,24 @@ def pca_project(
         for comp in components
     ]
     return df.withColumn(out_col, F.array(*projections))
+
+
+def mrl_truncate(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    renormalize: bool = True,
+) -> DataFrame:
+    """Matryoshka truncation (Kusupati et al. 2022, "Matryoshka
+    Representation Learning"): keep the first ``k`` dimensions and
+    L2-renormalize — the d/k storage & compute cut used to serve ANN at a
+    fraction of full-dimension cost, rerank on full vectors only for the
+    shortlist.  Complements int8 quantization above (orthogonal axes:
+    fewer dims vs fewer bits).  Pure built-in slice + fold arithmetic."""
+    head = F.slice(F.col(vec_col), 1, k)
+    if not renormalize:
+        return df.withColumn(vec_col, head)
+    return df.withColumn("__h", head).withColumn(
+        vec_col,
+        F.transform(F.col("__h"), lambda v: v.cast("double") / _norm(F.col("__h"))),
+    ).drop("__h")

@@ -22,7 +22,7 @@ import __spark_entry__ as entrymod  # noqa: E402
 # Entries deliberately parked past the window edge this round (more entries
 # need rows than the driver checks per round; these have strong local
 # pytest/selfcheck evidence and re-rotate next round).
-DEFERRED = {"pca_project", "sequence_count", "mv_incremental", "stream_mv", "clickhouse_dates", "dedup_policy"}
+DEFERRED = {"pca_project", "sequence_count", "mv_incremental", "stream_mv", "clickhouse_dates", "dedup_policy", "mrl_topk"}
 
 
 def main() -> int:
