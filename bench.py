@@ -93,6 +93,17 @@ BENCH_QUERIES = [
     "url_funcs",
     "window_funnel",
     "dict_lookup",
+    "retention_flags",
+    "clickhouse_funcs2",
+    "shared_spans",
+    "dsir_weights",
+    "bpe_fertility",
+    "normalize_unicode",
+    "sequence_count",
+    "mv_incremental",
+    "clickhouse_dates",
+    "dedup_policy",
+    "mrl_topk",
 ]
 
 
