@@ -1551,6 +1551,47 @@ def q_clickhouse_dialect(spark, d):
     return relational.sql(spark, translate_clickhouse_sql(ch))
 
 
+def q_canonical_dedup(spark, d):
+    """Canonical-URL crawl dedup (text.py::canonical_url): four synthetic
+    fetch-variants per resource (tracking params, WWW/case, trailing
+    slash+fragment) collapse to one canonical string; survivors = min
+    doc_id per canonical with dup_count.  Oracle re-canonicalizes
+    independently with DuckDB regex/list functions."""
+    docs = _t(spark, d, "documents").select("doc_id")
+    base = F.concat(F.lit("/page/"), (F.col("doc_id") / 4).cast("long").cast("string"))
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("https://site.example.com"), base, F.lit("?a=1&b=2")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("https://site.example.com"), base,
+                F.lit("?b=2&utm_source=feed&a=1"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("HTTPS://WWW.Site.example.com"), base, F.lit("?a=1&b=2")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://site.example.com"), base, F.lit("/?a=1&b=2#section")
+            )
+        )
+    )
+    with_cu = docs.withColumn("cu", text.canonical_url(url))
+    return (
+        with_cu.groupBy("cu")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select("cu", "doc_id", F.col("dup_count").cast("long").alias("dup_count"))
+    )
+
+
 def q_mrl_topk(spark, d):
     """Matryoshka-truncated similarity search (similarity.py::mrl_truncate
     + cosine_topk): top-k over the first 16 of 64 dims — the serve-cheap /
@@ -2366,6 +2407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clickhouse_dates": q_clickhouse_dates,
         "dedup_policy": q_dedup_policy,
         "mrl_topk": q_mrl_topk,
+        "canonical_dedup": q_canonical_dedup,
         # --- tier 2: never driver-checked, rows-only by design ---
         "hll_rollup": q_hll_rollup,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -3640,6 +3682,27 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
             "length(nfc_normalize(tt))::BIGINT AS nfc_len, "
             "length(strip_accents(tt))::BIGINT AS stripped_len "
             "FROM t"
+        ),
+        "canonical_dedup": (
+            "WITH u AS (SELECT doc_id, CASE doc_id % 4 "
+            "  WHEN 0 THEN 'https://site.example.com/page/' || (doc_id // 4) || '?a=1&b=2' "
+            "  WHEN 1 THEN 'https://site.example.com/page/' || (doc_id // 4) || '?b=2&utm_source=feed&a=1' "
+            "  WHEN 2 THEN 'HTTPS://WWW.Site.example.com/page/' || (doc_id // 4) || '?a=1&b=2' "
+            "  ELSE 'https://site.example.com/page/' || (doc_id // 4) || '/?a=1&b=2#section' "
+            "  END AS url FROM documents), "
+            "c AS (SELECT doc_id, "
+            "  lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://' || "
+            "  regexp_replace(lower(regexp_extract(url, '://([^/?#]+)', 1)), '^www\\.', '') || "
+            "  regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1), '/$', '') || "
+            "  CASE WHEN qs_kept <> '' THEN '?' || qs_kept ELSE '' END AS cu "
+            "  FROM (SELECT doc_id, url, array_to_string(list_sort(list_filter("
+            "    string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'), "
+            "    p -> p <> '' AND NOT string_split(p, '=')[1] IN "
+            "    ('utm_source', 'utm_medium', 'utm_campaign', 'utm_term', "
+            "     'utm_content', 'gclid', 'fbclid', 'ref'))), '&') AS qs_kept "
+            "  FROM u)) "
+            "SELECT cu, min(doc_id) AS doc_id, count(*)::BIGINT AS dup_count "
+            "FROM c GROUP BY cu"
         ),
         "mrl_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding[1:16] AS qe "

@@ -882,3 +882,50 @@ def normalize_text(
         return s.map(f)
 
     return df.withColumn(out_col, _norm(F.col(text_col)))
+
+
+# tracking parameters stripped during URL canonicalization (the usual
+# crawl-dedup list: UTM campaign tags + common click ids)
+_TRACKING_PARAMS = [
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "gclid", "fbclid", "ref",
+]
+
+
+def canonical_url(col: str | Column = "url") -> Column:
+    """Canonical form of a URL for crawl deduplication: lowercase scheme +
+    host, strip ``www.``, drop the fragment, drop tracking parameters
+    (UTM/click ids), SORT the surviving query parameters (param order is
+    not identity), and trim a trailing slash from the path.  Two fetches of
+    the same resource then compare equal as strings — the key for
+    exact_dedup/exact_dedup_by_policy over web corpora.
+
+    All built-in expressions: parse_url parts + a filter/array_sort/
+    array_join pipeline over the split query string — no UDF, codegen-safe.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    scheme = F.lower(F.parse_url(c, F.lit("PROTOCOL")))
+    host = F.regexp_replace(
+        F.lower(F.parse_url(c, F.lit("HOST"))), r"^www\.", ""
+    )
+    path = F.regexp_replace(F.parse_url(c, F.lit("PATH")), r"/$", "")
+    qs = F.parse_url(c, F.lit("QUERY"))
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.coalesce(qs, F.lit("")), "&"),
+                lambda p: (p != "")
+                & ~F.split(p, "=")
+                .getItem(0)
+                .isin(*_TRACKING_PARAMS),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
+    )

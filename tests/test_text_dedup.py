@@ -666,3 +666,28 @@ def test_dedup_policy_survivors(spark):
     min_id = {r.doc_id: r.dup_count for r in
               D.exact_dedup_by_policy(df, policy="min_id").collect()}
     assert min_id == {1: 3, 3: 1}
+
+
+def test_canonical_url_normalizes(spark):
+    from clickhouse_flatfile_tool_spark.operators.text import canonical_url
+
+    cases = [
+        # tracking params dropped, params sorted, www/fragment/trailing-/ gone
+        ("HTTPS://WWW.Example.com/a/b/?b=2&utm_source=x&a=1#frag",
+         "https://example.com/a/b?a=1&b=2"),
+        ("https://example.com/a/b?a=1&b=2",
+         "https://example.com/a/b?a=1&b=2"),
+        ("http://example.com/", "http://example.com"),
+        ("http://example.com/p?gclid=zzz", "http://example.com/p"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "id long, url string")
+    got = {r.id: r.cu for r in df.select("id", canonical_url("url").alias("cu")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+    # the first two rows now dedup together
+    from clickhouse_flatfile_tool_spark.operators import dedup as DD
+
+    survivors = DD.exact_dedup_canonical(
+        df.withColumn("cu", canonical_url("url")), key=__import__("pyspark").sql.functions.col("cu"), id_col="id"
+    )
+    assert survivors.count() == 3
