@@ -1551,6 +1551,21 @@ def q_clickhouse_dialect(spark, d):
     return relational.sql(spark, translate_clickhouse_sql(ch))
 
 
+def q_cdc_chunks(spark, d):
+    """Content-defined chunking (text.py::cdc_chunks): rolling-window md5
+    boundaries (expected chunk ≈ 16 words) — chunk-level dedup robust to
+    insertions, unlike fixed-size chunking.  md5 buckets make the exact
+    chunking engine-portable; insertion-robustness is pytest-asserted."""
+    docs = _t(spark, d, "documents")
+    out = text.cdc_chunks(docs)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.substring("chunk_text", 1, 40).alias("chunk_prefix"),
+        "n_tokens",
+    )
+
+
 def q_canonical_dedup(spark, d):
     """Canonical-URL crawl dedup (text.py::canonical_url): four synthetic
     fetch-variants per resource (tracking params, WWW/case, trailing
@@ -2408,6 +2423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_policy": q_dedup_policy,
         "mrl_topk": q_mrl_topk,
         "canonical_dedup": q_canonical_dedup,
+        "cdc_chunks": q_cdc_chunks,
         # --- tier 2: never driver-checked, rows-only by design ---
         "hll_rollup": q_hll_rollup,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -3682,6 +3698,25 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
             "length(nfc_normalize(tt))::BIGINT AS nfc_len, "
             "length(strip_accents(tt))::BIGINT AS stripped_len "
             "FROM t"
+        ),
+        "cdc_chunks": (
+            # same boundary rule: md5 of the trailing 4-word window starts
+            # with hex '0'; chunks = spans between boundaries
+            f"WITH w AS (SELECT doc_id, {_WORDS} AS w FROM documents), "
+            "b AS (SELECT doc_id, w, list_filter("
+            "  CASE WHEN len(w) > 4 THEN generate_series(4, len(w) - 1) "
+            "       ELSE [] END, "
+            "  i -> substring(md5(array_to_string(w[i-3:i], ' ')), 1, 1) = '0') "
+            "  AS bp FROM w), "
+            "sp AS (SELECT doc_id, w, "
+            "  list_concat([1], list_transform(bp, i -> i + 1)) AS starts, "
+            "  list_concat(bp, [len(w)]) AS ends FROM b), "
+            "e AS (SELECT doc_id, w, i - 1 AS chunk_idx, starts[i] AS s, "
+            "  ends[i] AS en FROM sp, "
+            "  unnest(generate_series(1, len(starts))) AS t(i)) "
+            "SELECT doc_id, chunk_idx::INT AS chunk_idx, "
+            "substring(array_to_string(w[s:en], ' '), 1, 40) AS chunk_prefix, "
+            "(en - s + 1)::BIGINT AS n_tokens FROM e"
         ),
         "canonical_dedup": (
             "WITH u AS (SELECT doc_id, CASE doc_id % 4 "

@@ -929,3 +929,58 @@ def canonical_url(col: str | Column = "url") -> Column:
         path,
         F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 4,
+    boundary_hex: int = 1,
+) -> DataFrame:
+    """Content-defined chunking: split each document where the hash of the
+    trailing ``window``-word context starts with ``boundary_hex`` hex zeros
+    (expected chunk length ≈ 16^boundary_hex words).  Because boundaries
+    depend only on LOCAL content, an insertion near the head re-chunks a
+    constant number of chunks and every downstream chunk is byte-identical
+    — the property that makes chunk-level dedup robust to edits, where
+    fixed-size chunking shifts every boundary (the rsync/LBFS/FastCDC idea
+    applied to words).
+
+    One row per ``(id, chunk_idx, chunk_text, n_tokens)``.  All built-in
+    array expressions (sequence/filter/zip_with/posexplode) over md5 —
+    engine-portable, so the exact chunking oracles against DuckDB.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), _WS_SPLIT)
+    src = df.select(F.col(id_col), words.alias("__w"))
+    w, n = F.col("__w"), F.size(F.col("__w"))
+    zeros = "0" * boundary_hex
+    # candidate boundary AFTER position i (i = window..n-1; a boundary at n
+    # would only close the final chunk, which closes anyway)
+    seq = F.when(n > window, F.sequence(F.lit(window), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bpos = F.filter(
+        seq,
+        lambda i: F.substring(
+            F.md5(F.concat_ws(" ", F.slice(w, i - window + 1, window))),
+            1,
+            boundary_hex,
+        )
+        == zeros,
+    )
+    starts = F.concat(F.array(F.lit(1)), F.transform(bpos, lambda i: i + 1))
+    ends = F.concat(bpos, F.array(n))
+    spans = F.zip_with(
+        starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
+    )
+    return src.select(
+        F.col(id_col), F.col("__w"), F.posexplode(spans).alias("chunk_idx", "sp")
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.array_join(
+            F.slice(w, F.col("sp.s"), F.col("sp.e") - F.col("sp.s") + 1), " "
+        ).alias("chunk_text"),
+        (F.col("sp.e") - F.col("sp.s") + 1).cast("long").alias("n_tokens"),
+    )

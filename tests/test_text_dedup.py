@@ -691,3 +691,30 @@ def test_canonical_url_normalizes(spark):
         df.withColumn("cu", canonical_url("url")), key=__import__("pyspark").sql.functions.col("cu"), id_col="id"
     )
     assert survivors.count() == 3
+
+
+def test_cdc_chunks_cover_and_are_insertion_robust(spark):
+    import random
+
+    from clickhouse_flatfile_tool_spark.operators.text import cdc_chunks
+
+    rng = random.Random(7)
+    words = [f"w{rng.randrange(50)}" for _ in range(400)]
+    doc = " ".join(words)
+    # same doc with one word inserted near the head
+    doc2 = " ".join(words[:10] + ["INSERTED"] + words[10:])
+    df = spark.createDataFrame([(1, doc), (2, doc2)], "doc_id long, text string")
+    out = cdc_chunks(df)
+    a = [r.chunk_text for r in out.filter("doc_id = 1").orderBy("chunk_idx").collect()]
+    b = [r.chunk_text for r in out.filter("doc_id = 2").orderBy("chunk_idx").collect()]
+    # chunks reassemble the full document
+    assert " ".join(a) == doc.lower() and " ".join(b) == doc2.lower()
+    assert len(a) > 3  # boundary rate 1/16 over ~400 words → many chunks
+    # insertion robustness: the chunk SETS agree on every chunk after the
+    # edit region — only an O(1) prefix of chunks differs
+    tail_a, tail_b = set(a[2:]), set(b[2:])
+    assert len(tail_a & tail_b) >= len(a[2:]) - 2
+    # short doc (< window words): one chunk, intact
+    short = spark.createDataFrame([(3, "only two")], "doc_id long, text string")
+    srow = cdc_chunks(short).collect()
+    assert len(srow) == 1 and srow[0].chunk_text == "only two"
