@@ -2416,7 +2416,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clickhouse_funcs2": q_clickhouse_funcs2,
         "shared_spans": q_shared_spans,
         "dsir_weights": q_dsir_weights,
-        "bpe_fertility": q_bpe_fertility,
         "mv_incremental": q_mv_incremental,
         "stream_mv": q_stream_mv,
         "clickhouse_dates": q_clickhouse_dates,
@@ -2442,6 +2441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # next round
         "pca_project": q_pca_project,
         "sequence_count": q_sequence_count,
+        "bpe_fertility": q_bpe_fertility,
         "stream_enrich": q_stream_enrich,
         "bpe_merges": q_bpe_merges,
         "embedding_clusters": q_embedding_clusters,

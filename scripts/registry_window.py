@@ -26,7 +26,7 @@ DEFERRED = {
     # rows-only entries parked past the window edge: oracled entries get
     # the contested slots (a hash-green row is stronger evidence than
     # ran-clean); every one is pytest-covered and re-rotates next round
-    "pca_project", "sequence_count", "stream_enrich", "bpe_merges",
+    "pca_project", "sequence_count", "bpe_fertility", "stream_enrich", "bpe_merges",
     "embedding_clusters", "pagerank_docs", "pipeline_curation",
     "stream_quality_gate",
 }
