@@ -655,6 +655,49 @@ def _merge_prewhere(chunk: str) -> str:
     return chunk[:pre_at] + f"WHERE ({pre}) AND ({where}) " + chunk[term_at:]
 
 
+def _rewrite_limit_by(chunk: str) -> str:
+    """``ORDER BY <ord> LIMIT <n> BY <cols> [LIMIT <m>]`` (ClickHouse's
+    top-n-per-group clause) → a row_number window subquery:
+
+        SELECT * FROM (<query sans LIMIT BY>,
+                       row_number() OVER (PARTITION BY cols ORDER BY ord))
+        WHERE __rn <= n [LIMIT m]
+
+    Scope (documented, conservative): top-level SELECT only, requires an
+    explicit top-level ORDER BY (ClickHouse's per-group pick is otherwise
+    nondeterministic anyway — same stance as the deterministic-pagination
+    rework of the reference's LIMIT/OFFSET, SURVEY §2.11); the optional
+    trailing LIMIT becomes the outer row limit.  Queries outside this shape
+    pass through and error by name."""
+    m = re.search(r"\bLIMIT\s+(\d+)\s+BY\s+", chunk, re.IGNORECASE)
+    if not m:
+        return chunk
+    n = m.group(1)
+    ord_at, _ = _find_top_level_word(chunk, ("ORDER",))
+    if ord_at is None or ord_at > m.start():
+        return chunk
+    om = re.compile(r"ORDER\s+BY\s+", re.IGNORECASE).match(chunk, ord_at)
+    if not om:
+        return chunk
+    order_expr = chunk[om.end() : m.start()].strip()
+    # BY-list runs to an optional trailing LIMIT (the outer row cap) or EOS
+    tail = chunk[m.end():]
+    tm = re.search(r"\bLIMIT\s+(\d+)\s*$", tail, re.IGNORECASE)
+    if tm:
+        cols = tail[: tm.start()].strip().rstrip(",")
+        outer_limit = f" LIMIT {tm.group(1)}"
+    else:
+        cols = tail.strip().rstrip(",")
+        outer_limit = ""
+    inner = chunk[: ord_at].strip()
+    return (
+        f"SELECT * EXCEPT (__rn) FROM (SELECT __q.*, row_number() OVER "
+        f"(PARTITION BY {cols} ORDER BY {order_expr}) AS __rn "
+        f"FROM ({inner}) AS __q) WHERE __rn <= {n} "
+        f"ORDER BY {order_expr}{outer_limit}"
+    )
+
+
 def _merge_with_totals(chunk: str) -> str:
     """``GROUP BY a, b WITH TOTALS`` → ``GROUP BY GROUPING SETS ((a, b),
     ())`` — ClickHouse's extra all-rows totals row as the standard grand-
@@ -739,6 +782,7 @@ def _rewrite_clauses(chunk: str) -> str:
         flags=re.IGNORECASE,
     )
     chunk = _rewrite_array_join_clause(chunk)
+    chunk = _rewrite_limit_by(chunk)
     # GLOBAL IN / GLOBAL JOIN — ClickHouse's "broadcast the subquery to all
     # shards" hint; Spark's optimizer owns that decision, so the keyword
     # drops.  ALL JOIN is ClickHouse's explicit default-multiplicity

@@ -443,3 +443,19 @@ def test_global_and_all_join_modifiers(spark):
     assert tr("SELECT 1 WHERE x GLOBAL IN (1, 2)") == "SELECT 1 WHERE x IN (1, 2)"
     # ANY JOIN semantics differ — stays untouched for Spark to reject by name
     assert "ANY LEFT JOIN" in tr("SELECT 1 FROM a ANY LEFT JOIN b ON a.x = b.x")
+
+
+def test_limit_by_clause(spark):
+    spark.createDataFrame(
+        [("a", 3), ("a", 1), ("a", 2), ("b", 9), ("b", 8)], "g string, v int"
+    ).createOrReplaceTempView("lb")
+    out = tr("SELECT g, v FROM lb ORDER BY v DESC LIMIT 2 BY g")
+    rows = [(r.g, r.v) for r in spark.sql(out).collect()]
+    assert sorted(rows) == [("a", 2), ("a", 3), ("b", 8), ("b", 9)]
+    assert "v" in spark.sql(out).columns and "__rn" not in spark.sql(out).columns
+    # trailing outer LIMIT becomes the row cap
+    out2 = tr("SELECT g, v FROM lb ORDER BY v DESC LIMIT 1 BY g LIMIT 1")
+    rows2 = [(r.g, r.v) for r in spark.sql(out2).collect()]
+    assert rows2 == [("b", 9)]
+    # no top-level ORDER BY: out of scope, passes through by name
+    assert "LIMIT 2 BY" in tr("SELECT g FROM lb LIMIT 2 BY g")
