@@ -3852,7 +3852,7 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
         ),
         "clickhouse_funcs2": (
             "SELECT user_id, "
-            "least(count(DISTINCT event_type), 3) AS up3, "
+            "least(count(DISTINCT event_type), 4) AS up3, "  # uniqUpTo: N+1 beyond cap
             "max(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS max_k, "
             "sum(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL "
             "  THEN 1 ELSE 0 END)::BIGINT AS n_k, "

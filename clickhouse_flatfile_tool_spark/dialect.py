@@ -64,14 +64,14 @@ _WRAPS: list[tuple[str, str, str]] = [
     # URL family (ClickHouse URL functions → Spark parse_url parts).
     # Note ClickHouse domain() tolerates scheme-less 'host/path' strings;
     # parse_url follows RFC parsing and needs a scheme — pass full URLs.
-    ("domain", "parse_url(", ", 'HOST')"),
-    ("protocol", "parse_url(", ", 'PROTOCOL')"),
-    ("path", "parse_url(", ", 'PATH')"),
-    ("pathFull", "parse_url(", ", 'FILE')"),
-    ("queryString", "parse_url(", ", 'QUERY')"),
-    ("fragment", "parse_url(", ", 'REF')"),
-    ("domainWithoutWWW", "regexp_replace(parse_url(", ", 'HOST'), '^www\\\\.', '')"),
-    ("topLevelDomain", "regexp_extract(parse_url(", ", 'HOST'), '\\\\.([^.]+)$', 1)"),
+    ("domain", "try_parse_url(", ", 'HOST')"),
+    ("protocol", "try_parse_url(", ", 'PROTOCOL')"),
+    ("path", "try_parse_url(", ", 'PATH')"),
+    ("pathFull", "try_parse_url(", ", 'FILE')"),
+    ("queryString", "try_parse_url(", ", 'QUERY')"),
+    ("fragment", "try_parse_url(", ", 'REF')"),
+    ("domainWithoutWWW", "regexp_replace(try_parse_url(", ", 'HOST'), '^www\\\\.', '')"),
+    ("topLevelDomain", "regexp_extract(try_parse_url(", ", 'HOST'), '\\\\.([^.]+)$', 1)"),
     ("cutQueryString", "regexp_replace(", ", '\\\\?[^#]*', '')"),
     ("cutFragment", "regexp_replace(", ", '#.*$', '')"),
 ]
@@ -388,7 +388,9 @@ def _rewrite_literal_aware(chunk: str, literals: list[str]) -> str:
         return literals[int(m.group(1))] if m else None
 
     def new_lit(value: str) -> str:
-        literals.append(value)
+        # literals are stored in SOURCE form (the final restore wraps with
+        # bare quotes, no escaping), so embedded quotes must be doubled here
+        literals.append(value.replace("'", "''"))
         return f"\x00{len(literals) - 1}\x00"
 
     def fmt_make(args):
@@ -397,10 +399,30 @@ def _rewrite_literal_aware(chunk: str, literals: list[str]) -> str:
         fmt = resolve(args[1])
         if fmt is None:
             return None
-        out = re.sub(
-            "%.|%", lambda m: _CH_FMT.get(m.group(0), m.group(0)), fmt
-        )
-        return f"date_format({args[0]}, {new_lit(out)})"
+        # ClickHouse treats every non-% character as a LITERAL; Java
+        # patterns treat letters as pattern codes — so literal runs that
+        # contain letters must be single-quoted ('T' in ISO-8601, 'h' in
+        # '%Hh'), with embedded quotes doubled.  Unknown %-codes keep
+        # their raw text but are quoted too, never silently reinterpreted.
+        parts = []  # (text, is_literal); adjacent literals merge so the
+        # Java quoting below emits ONE '...' run (adjacent quoted runs
+        # would read as an escaped quote)
+        for tok in re.findall("%.|%|[^%]+", fmt):
+            if tok.startswith("%") and tok in _CH_FMT and tok != "%%":
+                parts.append((_CH_FMT[tok], False))
+            else:
+                text_seg = _CH_FMT[tok] if tok == "%%" else tok
+                if parts and parts[-1][1]:
+                    parts[-1] = (parts[-1][0] + text_seg, True)
+                else:
+                    parts.append((text_seg, True))
+        out = []
+        for text_seg, is_literal in parts:
+            if is_literal and re.search("[A-Za-z']", text_seg):
+                out.append("'" + text_seg.replace("'", "''") + "'")
+            else:
+                out.append(text_seg)
+        return f"date_format({args[0]}, {new_lit(''.join(out))})"
 
     def diff_make(args):
         if len(args) != 3:
@@ -443,7 +465,7 @@ def _rewrite_extract_url_parameter(chunk: str) -> str:
     def make(args):
         if len(args) != 2:
             return None
-        return f"parse_url({args[0]}, 'QUERY', {args[1]})"
+        return f"try_parse_url({args[0]}, 'QUERY', {args[1]})"
 
     return _rewrite_call(chunk, "extractURLParameter", make)
 
@@ -500,10 +522,10 @@ def _rewrite_curried_quantiles(chunk: str) -> str:
 
 
 def _rewrite_curried_uniq_up_to(chunk: str) -> str:
-    """``uniqUpTo(N)(x)`` → ``least(count(DISTINCT x), N)`` — ClickHouse's
-    capped distinct count ("counts exactly up to N, returns N+1 beyond" —
-    we return the cap itself; the use case is 'at least N distinct?' and
-    both answers threshold identically at N)."""
+    """``uniqUpTo(N)(x)`` → ``least(count(DISTINCT x), (N) + 1)`` —
+    ClickHouse counts exactly up to N and returns N+1 for anything beyond,
+    so BOTH ``>= N`` and the idiomatic strict ``> N`` ("more than N
+    distinct?") predicates keep their truth value under translation."""
     pat = re.compile(r"\buniqUpTo\(")
     m = pat.search(chunk)
     while m:
@@ -514,7 +536,7 @@ def _rewrite_curried_uniq_up_to(chunk: str) -> str:
         x_end = _match_paren(chunk, p_end)
         cap = chunk[m.end() : p_end - 1]
         arg = chunk[p_end + 1 : x_end - 1]
-        repl = f"least(count(DISTINCT {arg}), {cap})"
+        repl = f"least(count(DISTINCT {arg}), ({cap}) + 1)"
         chunk = chunk[: m.start()] + repl + chunk[x_end:]
         m = pat.search(chunk, m.start() + len(repl))
     return chunk
@@ -748,11 +770,18 @@ def _rewrite_array_join_clause(chunk: str) -> str:
 
     def repl(m):
         nonlocal i
-        i += 1
         outer = "OUTER " if m.group(1) else ""
         expr, alias = m.group(2).strip(), m.group(3)
         if "," in expr:  # multi-array zip form: out of scope, pass through
             return m.group(0)
+        # multi-array form with per-array aliases ("ARRAY JOIN a AS x, b AS
+        # y"): the comma sits AFTER the first alias, so check what follows —
+        # rewriting only the first array would emit invalid SQL with the
+        # ClickHouse clause name destroyed
+        rest = chunk[m.end():]
+        if re.match(r"\s*,\s*[^,\s]+\s+AS\s+\w+", rest, re.IGNORECASE):
+            return m.group(0)
+        i += 1
         return f"LATERAL VIEW {outer}explode({expr}) __aj{i} AS {alias}"
 
     return pat.sub(repl, chunk)

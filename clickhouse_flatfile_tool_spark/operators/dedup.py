@@ -870,6 +870,27 @@ def pagerank(
 # Bloom-prefiltered decontamination (the beyond-broadcast scale path)
 # ---------------------------------------------------------------------------
 
+def _bloom_position_cols(col, m_bits: int, k: int, seed: int):
+    """The k Bloom position expressions for ``col`` — the shared build/probe
+    hash contract (the two sides MUST agree bit-for-bit or the filter
+    false-negatives, breaking its one guarantee): position i =
+    pmod(xxhash64(value, seed+i), m)."""
+    return [
+        F.pmod(F.xxhash64(F.col(col), F.lit(seed + i)), F.lit(m_bits)).cast("long")
+        for i in range(k)
+    ]
+
+
+def _bloom_word():
+    return (F.col("p") / 64).cast("long")
+
+
+def _bloom_bit():
+    # shiftleft via expr: the F.shiftleft wrapper only takes a literal
+    # shift amount, not a per-row column
+    return F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))")
+
+
 def bloom_bitset(
     df: DataFrame,
     col: str = "__s",
@@ -887,17 +908,11 @@ def bloom_bitset(
     (m=2²⁰ → 16,384 longs = 128 KiB) regardless of input size.  That is the
     point: an eval-suite shingle set too large to broadcast exactly
     (10⁸ grams ≈ 800 MB hashed) still fits any executor as a bitset."""
-    pos = [
-        (F.pmod(F.xxhash64(F.col(col), F.lit(seed + i)), F.lit(m_bits)))
-        for i in range(k)
-    ]
     words = df.select(
-        F.explode(F.array(*[p.cast("long") for p in pos])).alias("p")
+        F.explode(F.array(*_bloom_position_cols(col, m_bits, k, seed))).alias("p")
     ).select(
-        (F.col("p") / 64).cast("long").alias("word"),
-        # shiftleft via expr: the F.shiftleft wrapper only takes a literal
-        # shift amount, not a per-row column
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("bit"),
+        _bloom_word().alias("word"),
+        _bloom_bit().alias("bit"),
     )
     return words.groupBy("word").agg(F.bit_or("bit").alias("bits"))
 
@@ -917,20 +932,11 @@ def bloom_might_contain(
     regroup, which AQE coalesces."""
     lookups = probe.select(
         col,
-        F.explode(
-            F.array(
-                *[
-                    F.pmod(F.xxhash64(F.col(col), F.lit(seed + i)), F.lit(m_bits))
-                    .cast("long")
-                    .alias("p")
-                    for i in range(k)
-                ]
-            )
-        ).alias("p"),
+        F.explode(F.array(*_bloom_position_cols(col, m_bits, k, seed))).alias("p"),
     ).select(
         col,
-        (F.col("p") / 64).cast("long").alias("word"),
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("bit"),
+        _bloom_word().alias("word"),
+        _bloom_bit().alias("bit"),
     )
     hit = lookups.join(F.broadcast(bitset), "word", "left").select(
         col,

@@ -650,6 +650,27 @@ def misra_gries_topk(
     ).select("item", "cnt")
 
 
+def _cms_buckets(item: Column, depth: int, hex_chars: int) -> Column:
+    """The sketch's bucket contract, shared by build and probe (they MUST
+    hash identically or every estimate silently breaks): row d's bucket is
+    the first ``hex_chars`` hex digits of ``md5(item || '#' || d)``."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    F.substring(
+                        F.md5(F.concat_ws("#", item, F.lit(str(d)))),
+                        1,
+                        hex_chars,
+                    ).alias("bucket"),
+                )
+                for d in range(depth)
+            ]
+        )
+    )
+
+
 def cms_table(
     df: DataFrame,
     col: str,
@@ -676,21 +697,7 @@ def cms_table(
         F.col(col).cast("string").alias("item")
     )
     rows = src.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"),
-                        F.substring(
-                            F.md5(F.concat_ws("#", F.col("item"), F.lit(str(d)))),
-                            1,
-                            hex_chars,
-                        ).alias("bucket"),
-                    )
-                    for d in range(depth)
-                ]
-            )
-        ).alias("db")
+        _cms_buckets(F.col("item"), depth, hex_chars).alias("db")
     ).select("db.d", "db.bucket")
     return rows.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
 
@@ -713,22 +720,7 @@ def cms_estimate(
     probes = queries.select(
         F.col(item_col).cast("string").alias("item")
     ).select(
-        "item",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"),
-                        F.substring(
-                            F.md5(F.concat_ws("#", F.col("item"), F.lit(str(d)))),
-                            1,
-                            hex_chars,
-                        ).alias("bucket"),
-                    )
-                    for d in range(depth)
-                ]
-            )
-        ).alias("db"),
+        "item", _cms_buckets(F.col("item"), depth, hex_chars).alias("db")
     ).select("item", "db.d", "db.bucket")
     joined = probes.join(F.broadcast(cms), ["d", "bucket"], "left")
     return joined.groupBy("item").agg(

@@ -835,7 +835,15 @@ def mrl_truncate(
     head = F.slice(F.col(vec_col), 1, k)
     if not renormalize:
         return df.withColumn(vec_col, head)
-    return df.withColumn("__h", head).withColumn(
-        vec_col,
-        F.transform(F.col("__h"), lambda v: v.cast("double") / _norm(F.col("__h"))),
-    ).drop("__h")
+    # norm hoisted to its own column: embedding the O(k) norm fold inside
+    # the per-element lambda is O(k²) per row — Catalyst does not CSE a
+    # loop-invariant aggregate out of a transform lambda
+    return (
+        df.withColumn("__h", head)
+        .withColumn("__n", _norm(F.col("__h")))
+        .withColumn(
+            vec_col,
+            F.transform(F.col("__h"), lambda v: v.cast("double") / F.col("__n")),
+        )
+        .drop("__h", "__n")
+    )

@@ -900,16 +900,21 @@ def canonical_url(col: str | Column = "url") -> Column:
     the same resource then compare equal as strings — the key for
     exact_dedup/exact_dedup_by_policy over web corpora.
 
+    Unparseable inputs (relative URLs, junk strings — parse_url returns
+    NULL for scheme/host) fall back to the RAW string: NULL canonical keys
+    would otherwise merge every malformed URL into one dedup group and
+    silently drop all but one of those documents.
+
     All built-in expressions: parse_url parts + a filter/array_sort/
     array_join pipeline over the split query string — no UDF, codegen-safe.
     """
     c = F.col(col) if isinstance(col, str) else col
-    scheme = F.lower(F.parse_url(c, F.lit("PROTOCOL")))
+    scheme = F.lower(F.try_parse_url(c, F.lit("PROTOCOL")))
     host = F.regexp_replace(
-        F.lower(F.parse_url(c, F.lit("HOST"))), r"^www\.", ""
+        F.lower(F.try_parse_url(c, F.lit("HOST"))), r"^www\.", ""
     )
-    path = F.regexp_replace(F.parse_url(c, F.lit("PATH")), r"/$", "")
-    qs = F.parse_url(c, F.lit("QUERY"))
+    path = F.regexp_replace(F.try_parse_url(c, F.lit("PATH")), r"/$", "")
+    qs = F.try_parse_url(c, F.lit("QUERY"))
     kept = F.array_join(
         F.array_sort(
             F.filter(
@@ -922,13 +927,15 @@ def canonical_url(col: str | Column = "url") -> Column:
         ),
         "&",
     )
-    return F.concat(
+    built = F.concat(
         scheme,
         F.lit("://"),
         host,
-        path,
+        # PATH is NULL (not '') for bare 'scheme://host' URLs
+        F.coalesce(path, F.lit("")),
         F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
     )
+    return F.coalesce(built, c)
 
 
 def cdc_chunks(

@@ -389,12 +389,15 @@ def stream_mv(
 
     State versioning: every fold writes ``state_dir/v{batch_id}`` and then
     atomically repoints ``state_dir/_CURRENT`` (text file naming the live
-    version).  Readers never see a half-written state, the previous version
-    stays for debugging/rollback, and re-running a failed batch overwrites
-    its own version directory before the pointer moves — which, combined
-    with the checkpoint's exactly-once batch ids, makes the fold idempotent
-    (the ClickHouse analog's dedup-by-block-id).  Returns the live state
-    path; read it with ``spark.read.parquet``.
+    version).  Readers never see a half-written state and the previous
+    version stays for debugging/rollback.  Idempotency on checkpoint
+    replay: a crash BEFORE the pointer swap re-runs the fold against the
+    previous version (safe overwrite of an orphaned directory); a crash
+    AFTER the swap but before the checkpoint commit is detected because
+    the pointer already names this batch's version — the replayed fold
+    no-ops instead of reading v{b} while overwriting it (the ClickHouse
+    analog's dedup-by-block-id).  Returns the live state path; read it
+    with ``spark.read.parquet``.
     """
     import os
 
@@ -411,6 +414,14 @@ def stream_mv(
         return spark.read.parquet(os.path.join(state_dir, v))
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        # replay guard: if a crash landed between the pointer swap and the
+        # checkpoint commit, the replayed batch's fold already happened —
+        # folding again would read v{batch_id} while overwriting it (and
+        # double-count).  The pointer naming this batch IS the marker.
+        if os.path.exists(pointer):
+            with open(pointer, encoding="utf-8") as fh:
+                if fh.read().strip() == f"v{batch_id}":
+                    return
         new_state = mv_refresh(_current(), batch_df, key_cols, state_map)
         vdir = os.path.join(state_dir, f"v{batch_id}")
         new_state.write.mode("overwrite").parquet(vdir)

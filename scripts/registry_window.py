@@ -19,10 +19,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
 
+# Entries whose implementation changed AFTER their last green CORRECTNESS
+# row — the historical hash row no longer proves the current output, so the
+# audit treats them as unproven regardless of what the JSON says.
+CHANGED_SINCE_GREEN = {"tumbling_window"}  # r3 avg_value fix; r1 row is stale
+
 # Entries deliberately parked past the window edge this round (more entries
 # need rows than the driver checks per round; these have strong local
 # pytest/selfcheck evidence and re-rotate next round).
 DEFERRED = {
+    "tumbling_window",  # stale-green (see above); selfcheck-verified locally
     # rows-only entries parked past the window edge: oracled entries get
     # the contested slots (a hash-green row is stronger evidence than
     # ran-clean); every one is pytest-covered and re-rotates next round
@@ -39,7 +45,7 @@ def main() -> int:
     for f in sorted(glob.glob("CORRECTNESS_r*.json")):
         for k, v in json.load(open(f)).items():
             ran_rows_only = v.get("err") == "no_oracle" and v.get("spark_rows") is not None
-            if v.get("hash_match") or ran_rows_only:
+            if (v.get("hash_match") or ran_rows_only) and k not in CHANGED_SINCE_GREEN:
                 proven.add(k)
     top = names[:window]
     in_window = [n for n in top if n not in proven]

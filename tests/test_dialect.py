@@ -280,10 +280,10 @@ def test_int_div_nested_rewrites_fully(spark):
 
 
 def test_url_function_family_translates(spark):
-    assert tr("domain(u)") == "parse_url(u, 'HOST')"
-    assert tr("extractURLParameter(u, 'k')") == "parse_url(u, 'QUERY', 'k')"
+    assert tr("domain(u)") == "try_parse_url(u, 'HOST')"
+    assert tr("extractURLParameter(u, 'k')") == "try_parse_url(u, 'QUERY', 'k')"
     # name-boundary safety: longer names must not be eaten by shorter ones
-    assert "parse_url(u, 'FILE')" in tr("pathFull(u)")
+    assert "try_parse_url(u, 'FILE')" in tr("pathFull(u)")
     assert tr("cutQueryString(u)").startswith("regexp_replace(u")
     url = "'https://www.ex.example.com/a/b?lang=en&v=3#s1'"
     row = spark.sql(
@@ -312,7 +312,7 @@ def test_url_function_family_translates(spark):
 
 
 def test_uniq_up_to_json_ipv4_translate_and_execute(spark):
-    assert tr("uniqUpTo(5)(x)") == "least(count(DISTINCT x), 5)"
+    assert tr("uniqUpTo(5)(x)") == "least(count(DISTINCT x), (5) + 1)"
     assert (
         tr("JSONExtractString(j, 'k')")
         == "get_json_object(j, concat('$.', 'k'))"
@@ -459,3 +459,8 @@ def test_limit_by_clause(spark):
     assert rows2 == [("b", 9)]
     # no top-level ORDER BY: out of scope, passes through by name
     assert "LIMIT 2 BY" in tr("SELECT g FROM lb LIMIT 2 BY g")
+
+
+def test_array_join_multi_alias_passes_through(spark):
+    # per-array-alias multi form must not be half-rewritten into invalid SQL
+    assert "ARRAY JOIN" in tr("SELECT 1 FROM t ARRAY JOIN a AS x, b AS y")

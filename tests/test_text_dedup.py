@@ -718,3 +718,18 @@ def test_cdc_chunks_cover_and_are_insertion_robust(spark):
     short = spark.createDataFrame([(3, "only two")], "doc_id long, text string")
     srow = cdc_chunks(short).collect()
     assert len(srow) == 1 and srow[0].chunk_text == "only two"
+
+
+def test_canonical_url_malformed_falls_back_to_raw(spark):
+    from clickhouse_flatfile_tool_spark.operators.text import canonical_url
+
+    df = spark.createDataFrame(
+        [(1, "not a url"), (2, "example.com/relative"), (3, "https://ok.com/x"), (4, None)],
+        "id long, url string",
+    )
+    got = {r.id: r.cu for r in df.select("id", canonical_url("url").alias("cu")).collect()}
+    # malformed inputs keep their raw identity instead of collapsing to NULL
+    assert got[1] == "not a url"
+    assert got[2] == "example.com/relative"
+    assert got[3] == "https://ok.com/x"
+    assert got[4] is None
