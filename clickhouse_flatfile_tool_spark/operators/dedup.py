@@ -1015,15 +1015,25 @@ def positional_shingles(
     POSITIONAL inverted index (shingle_postings above deduplicates and
     drops positions; span detection needs both).  ``hashed`` swaps the
     shingle string for its xxhash64 — position arithmetic never looks at
-    the value, so results are identical modulo 2⁻⁶⁴ collisions."""
+    the value, so results are identical modulo 2⁻⁶⁴ collisions.
+
+    Same two Catalyst mitigations as :func:`_shingles_from_words`: the
+    split is materialized behind a projection boundary (once per doc, not
+    once per shingle) and the grams come from n zipped shifted slices, not
+    a per-index ``slice`` lambda — the naive form re-evaluated the regex
+    split per ELEMENT (measured 8× slower at sf0.1)."""
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tok = df.select(F.col(id_col), words.alias("__w")).where(
+        F.size("__w") >= n
+    )
+    n_sh = F.size("__w") - F.lit(n - 1)
+    slices = [F.slice("__w", k + 1, n_sh) for k in range(n)]
     grams = F.transform(
-        F.sequence(F.lit(0), F.size(words) - n),
-        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        F.arrays_zip(*slices),
+        lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)]),
     )
     posts = (
-        df.where(F.size(words) >= n)
-        .select(F.col(id_col), F.posexplode(grams).alias("pos0", "__s"))
+        tok.select(F.col(id_col), F.posexplode(grams).alias("pos0", "__s"))
         .select(
             F.col(id_col), (F.col("pos0") + 1).alias("pos"), F.col("__s")
         )
@@ -1058,7 +1068,14 @@ def shared_spans(
     pa = pairs.select(F.col("id_a"), F.col("id_b"))
     ids_a = pa.select(F.col("id_a").alias(id_col)).distinct()
     ids_b = pa.select(F.col("id_b").alias(id_col)).distinct()
-    posts = positional_shingles(df, id_col, text_col, n)
+    # prune the corpus to candidate docs BEFORE shingling: the semi-join
+    # sits below the posexplode, so only candidate documents pay the
+    # positional-index build cost (at 100 TB the candidate set from LSH is
+    # orders of magnitude smaller than the corpus)
+    cand = df.join(
+        ids_a.union(ids_b).distinct(), id_col, "left_semi"
+    )
+    posts = positional_shingles(cand, id_col, text_col, n)
     posts_a = posts.join(ids_a, id_col, "left_semi").select(
         F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a"), "__s"
     )
