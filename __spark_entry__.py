@@ -1566,6 +1566,44 @@ def q_cdc_chunks(spark, d):
     )
 
 
+def q_fuzzy_pairs(spark, d):
+    """Approximate-string self-join (dedup.py::edit_distance_pairs): all
+    document pairs whose 30-char text prefixes are within Levenshtein
+    distance 2, via PassJoin partition-signature candidates (segments vs
+    position-windowed substrings — an equi-join, never all-pairs) + exact
+    levenshtein verification.  Oracle = DuckDB brute-force levenshtein
+    join, so any false negative in the candidate scheme breaks the hash."""
+    docs = _t(spark, d, "documents").select(
+        "doc_id", F.substring("text", 1, 30).alias("pref")
+    )
+    return dedup.edit_distance_pairs(docs, "doc_id", "pref", max_dist=2)
+
+
+def q_any_join(spark, d):
+    """ClickHouse ANY-strictness join (relational.py::any_join): each
+    customer picks at most ONE order — deterministically the minimum
+    o_orderkey — so the left side never fans out on duplicate right keys.
+    The right side collapses via one min_by hash aggregation BEFORE the
+    join (no window, no second scan).  Oracle = row_number()-over-key
+    subquery + LEFT JOIN."""
+    cust = _t(spark, d, "customer").select("c_custkey", "c_name", "c_acctbal")
+    orders = _t(spark, d, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+    )
+    out = relational.any_join(cust, orders, on="c_custkey", order_col="o_orderkey")
+    return out.select(
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "o_orderkey",
+        "o_orderdate",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
 def q_canonical_dedup(spark, d):
     """Canonical-URL crawl dedup (text.py::canonical_url): four synthetic
     fetch-variants per resource (tracking params, WWW/case, trailing
@@ -2423,7 +2461,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mrl_topk": q_mrl_topk,
         "canonical_dedup": q_canonical_dedup,
         "cdc_chunks": q_cdc_chunks,
-        # --- tier 2: never driver-checked, rows-only by design ---
+        # --- tier 1d: new in this session (round 3, batch 3) ---
+        "fuzzy_pairs": q_fuzzy_pairs,
+        "any_join": q_any_join,
+        # --- tier 2: never driver-checked, rows-only by design.
+        # embedding_dedup_lsh/simhash_verified displaced past the window
+        # edge by the two tier-1d oracled entries (hash-green > ran-clean;
+        # both are pytest-covered and re-rotate next round — see
+        # scripts/registry_window.py DEFERRED) ---
         "hll_rollup": q_hll_rollup,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
@@ -3755,6 +3800,26 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
             "  FROM cos) "
             "SELECT query_id, neighbor_id, round(c, 6) AS cos_sim "
             "FROM ranked WHERE rk <= 5"
+        ),
+        "fuzzy_pairs": (
+            # brute-force: the oracle intentionally ignores the candidate
+            # scheme, so a PassJoin false negative breaks the hash
+            "WITH p AS (SELECT doc_id, substring(text, 1, 30) AS pref "
+            "  FROM documents WHERE text IS NOT NULL) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "  levenshtein(a.pref, b.pref)::BIGINT AS dist "
+            "FROM p a JOIN p b ON a.doc_id < b.doc_id "
+            "WHERE levenshtein(a.pref, b.pref) <= 2"
+        ),
+        "any_join": (
+            "SELECT c.c_custkey, c.c_name, round(c.c_acctbal, 2) AS c_acctbal, "
+            "  o.o_orderkey, o.o_orderdate, round(o.o_totalprice, 2) AS o_totalprice "
+            "FROM customer c LEFT JOIN ("
+            "  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM ("
+            "    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice, "
+            "      row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rk "
+            "    FROM orders) WHERE rk = 1"
+            ") o ON c.c_custkey = o.o_custkey"
         ),
         "dedup_policy": (
             "WITH f AS (SELECT doc_id, length(text) AS ln, "

@@ -1106,6 +1106,126 @@ def shared_spans(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    str_col: str = "s",
+    max_dist: int = 1,
+) -> DataFrame:
+    """Approximate-string self-join: every unordered pair of rows whose
+    ``str_col`` values are within Levenshtein distance ``max_dist``,
+    returned as ``(id_a, id_b, dist)`` with ``id_a < id_b``.
+
+    Candidate scheme = the PassJoin partition signature (Li, Deng, Wang &
+    Feng, "PassJoin: A Partition-based Method for Similarity Joins", VLDB
+    2012): split every string into ``d+1`` contiguous segments; by
+    pigeonhole, any string within edit distance ``d`` must contain at
+    least one of those segments VERBATIM, starting within ``±d`` of the
+    segment's home position.  So the join is segments (one side) against
+    position-windowed substrings (other side) — an equi-join on
+    ``(source_length, segment_index, gram)``, never an all-pairs cross —
+    followed by exact ``levenshtein`` verification on the deduplicated
+    candidate pairs only.
+
+    Scale shape: segments are ``d+1`` rows/string, probes ≤
+    ``(2d+1)²·(d+1)`` rows/string — both linear in corpus size; the
+    shuffle key includes the segment VALUE, so only strings sharing a
+    verbatim segment ever meet.  Verification joins the (small) candidate
+    set back to the strings.  Strings shorter than ``d+1`` cannot carry
+    non-empty segments and go through a bounded short-string fallback
+    (they can only match strings of length < ``2d+1``).
+    """
+    d = max_dist
+    base = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("__id"), F.col(str_col).alias("__s"))
+        .where(F.col("__s").isNotNull())
+        .select("__id", "__s", F.length("__s").alias("__l"))
+    )
+    # segment layout for a string of length l: q = l div (d+1) and
+    # r = l % (d+1); the first (d+1-r) segments have length q, the rest
+    # q+1.  pos_i = 1 + i*q + max(0, i - (d+1 - r))  (1-based).
+    def _seg_len(length: str) -> str:
+        return (
+            f"(({length} DIV {d + 1}) + (CASE WHEN i >= "
+            f"({d + 1} - ({length} % {d + 1})) THEN 1 ELSE 0 END))"
+        )
+
+    def _seg_pos(length: str) -> str:
+        return (
+            f"(1 + i * ({length} DIV {d + 1}) + greatest(0, i - "
+            f"({d + 1} - ({length} % {d + 1}))))"
+        )
+
+    segs = base.where(F.col("__l") >= d + 1).select(
+        F.col("__id").alias("id_a"),
+        F.col("__l").alias("src"),
+        F.expr(
+            f"explode(transform(sequence(0, {d}), i -> "
+            f"struct(i AS i, substring(__s, {_seg_pos('__l')}, "
+            f"{_seg_len('__l')}) AS g)))"
+        ).alias("p"),
+    ).select("id_a", "src", F.col("p.i").alias("i"), F.col("p.g").alias("g"))
+    seg_len, seg_pos = _seg_len("src"), _seg_pos("src")
+
+    # probe side: for every plausible partner length src ∈ [l-d, l+d]
+    # (src ≥ d+1), every segment index, every start within ±d of the
+    # segment's home position (clamped to the valid substring range)
+    probe_expr = (
+        f"flatten(transform(sequence(greatest({d + 1}, __l - {d}), __l + {d}), src -> "
+        f"flatten(transform(sequence(0, {d}), i -> "
+        f"  CASE WHEN greatest(1, {seg_pos} - {d}) <= least(__l - {seg_len} + 1, {seg_pos} + {d}) "
+        f"  THEN transform(sequence(greatest(1, {seg_pos} - {d}), "
+        f"                          least(__l - {seg_len} + 1, {seg_pos} + {d})), st -> "
+        f"       struct(src AS src, i AS i, substring(__s, st, {seg_len}) AS g)) "
+        f"  ELSE array() END))))"
+    )
+    probes = base.select(
+        F.col("__id").alias("id_b"),
+        F.explode(F.expr(probe_expr)).alias("p"),
+    ).select(
+        "id_b", F.col("p.src").alias("src"), F.col("p.i").alias("i"),
+        F.col("p.g").alias("g"),
+    )
+
+    cand = (
+        segs.join(probes, ["src", "i", "g"])
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+
+    # short-string fallback: a string with l < d+1 can only be within
+    # distance d of strings with l < 2d+1 — a tiny, length-bounded set
+    shorts = base.where(F.col("__l") < d + 1).withColumn("__k", F.lit(1))
+    near_short = base.where(F.col("__l") < 2 * d + 1).withColumn("__k", F.lit(1))
+    cand_short = (
+        shorts.select("__k", F.col("__id").alias("id_a"))
+        .join(near_short.select("__k", F.col("__id").alias("id_b")), "__k")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+
+    sa = base.select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa"))
+    sb = base.select(F.col("__id").alias("id_b"), F.col("__s").alias("__sb"))
+    return (
+        cand.union(cand_short)
+        .distinct()
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("dist", F.levenshtein("__sa", "__sb"))
+        .where(F.col("dist") <= d)
+        .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+    )
+
+
 def exact_dedup_by_policy(
     df: DataFrame,
     key: Column | str = "text",

@@ -295,6 +295,41 @@ def broadcast_dim(df: DataFrame) -> DataFrame:
     return F.broadcast(df)
 
 
+def any_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    order_col: str,
+    how: str = "left",
+) -> DataFrame:
+    """ClickHouse ANY-strictness join (``ANY LEFT JOIN`` — the reference
+    delegates all join execution to ClickHouse, server.js:817-866, where
+    ANY is a supported strictness): at most ONE right-side row joins per
+    key, so the left side never fans out on duplicate right keys.
+
+    ClickHouse picks an *arbitrary* matching row; arbitrary is not
+    reproducible across engines, so this picks a DETERMINISTIC one — the
+    match minimizing ``order_col`` (ties broken by the struct comparison,
+    so pass a unique column for full determinism).
+
+    Scale shape: the right side collapses to ≤ one row per key *before*
+    the join via a single hash aggregation (``min_by`` over the row
+    struct) — the shuffle carries one row per right KEY, not per right
+    row, and the left side joins against the reduced table.  No window
+    function, no second scan of either input.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = [c for c in right.columns if c not in keys]
+    row = F.struct(*[F.col(c) for c in payload])
+    reduced = right.groupBy(*keys).agg(
+        F.min_by(row, F.struct(F.col(order_col).alias("__o"), row.alias("__t"))).alias(
+            "__r"
+        )
+    )
+    reduced = reduced.select(*keys, *[F.col(f"__r.{c}").alias(c) for c in payload])
+    return left.join(reduced, on=keys, how=how)
+
+
 # ---------------------------------------------------------------------------
 # sort / top-k / set ops
 # ---------------------------------------------------------------------------

@@ -35,6 +35,8 @@ DEFERRED = {
     "pca_project", "sequence_count", "bpe_fertility", "stream_enrich", "bpe_merges",
     "embedding_clusters", "pagerank_docs", "pipeline_curation",
     "stream_quality_gate",
+    # displaced by the tier-1d oracled entries (fuzzy_pairs/any_join)
+    "embedding_dedup_lsh", "simhash_verified",
 }
 
 

@@ -324,3 +324,41 @@ def test_misra_gries_excludes_nulls_explicitly(spark):
     got = {r.item: r.cnt for r in misra_gries_topk(df, "v", k=5, capacity=16).collect()}
     # NULL never appears as an item; non-null counts are exact
     assert None not in got and got == {"a": 2, "b": 1}
+
+
+def test_any_join_no_fanout_and_deterministic_pick(spark):
+    from clickhouse_flatfile_tool_spark.operators.relational import any_join
+
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, 30, "x"), (1, 10, "y"), (1, 20, "z"), (2, 5, "w")],
+        "k long, ord long, rv string",
+    )
+    out = any_join(left, right, on="k", order_col="ord", how="left").collect()
+    by_k = {r.k: r for r in out}
+    # left preserved exactly (no fan-out on duplicate right keys, no drops)
+    assert len(out) == 3 and set(by_k) == {1, 2, 3}
+    # deterministic pick: the min-order_col match
+    assert by_k[1].ord == 10 and by_k[1].rv == "y"
+    assert by_k[2].ord == 5 and by_k[2].rv == "w"
+    # unmatched left row gets NULLs (LEFT semantics)
+    assert by_k[3].ord is None and by_k[3].rv is None
+    # inner strictness drops unmatched left rows
+    inner = any_join(left, right, on="k", order_col="ord", how="inner").collect()
+    assert {r.k for r in inner} == {1, 2}
+
+
+def test_any_join_tie_broken_by_row_struct(spark):
+    from clickhouse_flatfile_tool_spark.operators.relational import any_join
+
+    left = spark.createDataFrame([(1,)], "k long")
+    # two right rows tie on order_col; the full-row struct breaks the tie
+    # deterministically (lexicographically smallest payload wins)
+    right = spark.createDataFrame(
+        [(1, 7, "zz"), (1, 7, "aa")], "k long, ord long, rv string"
+    )
+    for _ in range(3):
+        out = any_join(left, right, on="k", order_col="ord").collect()
+        assert len(out) == 1 and out[0].rv == "aa"

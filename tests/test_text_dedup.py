@@ -733,3 +733,61 @@ def test_canonical_url_malformed_falls_back_to_raw(spark):
     assert got[2] == "example.com/relative"
     assert got[3] == "https://ok.com/x"
     assert got[4] is None
+
+
+def _brute_lev(a: str, b: str) -> int:
+    m, n = len(a), len(b)
+    dp = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, n + 1):
+            cur = dp[j]
+            dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return dp[n]
+
+
+def test_edit_distance_pairs_matches_bruteforce(spark):
+    """PassJoin candidates + levenshtein verify == exhaustive all-pairs,
+    including empty and shorter-than-(d+1) strings (fallback path)."""
+    import itertools
+    import random
+
+    from clickhouse_flatfile_tool_spark.operators.dedup import edit_distance_pairs
+
+    rng = random.Random(7)
+    strs = [
+        "".join(rng.choice("abcde") for _ in range(rng.randint(0, 12)))
+        for _ in range(80)
+    ]
+    strs += [s + "x" for s in strs[:8]] + [s[1:] for s in strs[8:16]]
+    rows = [(i, s) for i, s in enumerate(strs)]
+    df = spark.createDataFrame(rows, "doc_id long, s string")
+    for d in (1, 2):
+        got = {
+            (r.id_a, r.id_b, r.dist)
+            for r in edit_distance_pairs(df, "doc_id", "s", d).collect()
+        }
+        want = {
+            (i, j, _brute_lev(a, b))
+            for (i, a), (j, b) in itertools.combinations(rows, 2)
+            if _brute_lev(a, b) <= d
+        }
+        assert got == want
+
+
+def test_edit_distance_pairs_planted_variants(spark):
+    from clickhouse_flatfile_tool_spark.operators.dedup import edit_distance_pairs
+
+    base = "the quick brown fox jumps over"
+    rows = [
+        (0, base),
+        (1, base),                         # exact dup -> dist 0
+        (2, base.replace("quick", "quwck")),  # 1 substitution
+        (3, "x" + base),                   # 1 insertion at front
+        (4, "completely different string"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, s string")
+    got = {(r.id_a, r.id_b): r.dist for r in edit_distance_pairs(df, "doc_id", "s", 1).collect()}
+    assert got[(0, 1)] == 0 and got[(0, 2)] == 1 and got[(0, 3)] == 1
+    assert not any(4 in pair for pair in got)
