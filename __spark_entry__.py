@@ -1657,6 +1657,21 @@ def q_mrl_topk(spark, d):
     return similarity.cosine_topk(queries_df, t16, k=5)
 
 
+def q_pq_topk(spark, d):
+    """Product-Quantization ANN (similarity.py::pq_train/pq_encode/pq_topk,
+    Jégou et al. 2011): 64-dim float vectors compress to 16 subspace codes
+    (16× storage), search is asymmetric-distance lookup-table sums over the
+    codes (map-only corpus pass, per-partition shortlists) + exact cosine
+    rerank of the 50-row shortlist.  Rows-only: k-means codebooks are not
+    SQL-expressible; recall floors vs exact top-k are pytest-asserted
+    (tests/test_similarity.py::test_pq_adc_and_rerank_recall)."""
+    emb = similarity.normalize(_t(spark, d, "embeddings"))
+    cb = similarity.pq_train(emb, m=16, k=64)
+    enc = similarity.pq_encode(emb, cb)
+    queries_df = emb.filter("vec_id < 10")
+    return similarity.pq_topk(queries_df, enc, cb, k=5, rerank=50)
+
+
 def q_dedup_policy(spark, d):
     """Survivorship-policy exact dedup (dedup.py::exact_dedup_by_policy,
     'longest' policy): keep the longest raw text per normalized-text
@@ -2473,6 +2488,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
         "simhash_verified": q_simhash_verified,
+        # rows-only (k-means codebooks); parked past the window edge with
+        # the other deferred rows-only entries, re-rotates next round
+        "pq_topk": q_pq_topk,
         # never-driver-checked rows-only entries stay ABOVE the proven
         # stream refreshers so every unproven entry sits inside the 50-slot
         # window (scripts/registry_window.py audits this)

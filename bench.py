@@ -104,6 +104,11 @@ BENCH_QUERIES = [
     "clickhouse_dates",
     "dedup_policy",
     "mrl_topk",
+    # round 3, session 3 additions
+    "fuzzy_pairs",
+    "any_join",
+    "pq_topk",
+    "shared_spans",
 ]
 
 

@@ -847,3 +847,233 @@ def mrl_truncate(
         )
         .drop("__h", "__n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product Quantization (PQ) — Jégou, Douze & Schmid 2011, "Product
+# Quantization for Nearest Neighbor Search".  The fourth member of the
+# embedding-compression family here (IVF = coarse partitioning, int8 =
+# fewer bits/dim, MRL = fewer dims, PQ = subspace codebooks): the vector
+# splits into m subvectors, each quantized to one of k codewords learned
+# per subspace, so a d-dim float vector stores as m small codes (64-dim
+# float32 → 8 codes ≈ 32× compression at m=8, k≤256) and distances are
+# computed against codes via a per-query lookup table (ADC), never by
+# decoding the corpus.
+# ---------------------------------------------------------------------------
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    sample_size: int = 10_000,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Learn per-subspace codebooks and return them AS A DATAFRAME
+    ``(sub_idx, code, centroid array<double>)`` — persist with
+    ``write.parquet`` and reuse, exactly like ``ivf_build_centroids``
+    (train once on a bounded, hash-ordered-deterministic sample; the model
+    is m·k×(d/m) — tiny).  Plain L2 k-means per subspace (PQ quantizes
+    residual geometry; spherical normalization would distort subvectors).
+    """
+    sample = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col)))
+        .limit(sample_size)
+        .collect()
+    )
+    mat = np.array([r[0] for r in sample], dtype=np.float64)
+    d = mat.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    rows = []
+    for s in range(m):
+        sub = mat[:, s * dsub : (s + 1) * dsub]
+        kk = min(k, len(sub))
+        cent = sub[rng.choice(len(sub), size=kk, replace=False)].copy()
+        for _ in range(10):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(kk):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        rows += [
+            (s, int(c), [float(x) for x in cent[c]]) for c in range(kk)
+        ]
+    return corpus.sparkSession.createDataFrame(
+        rows, "sub_idx int, code int, centroid array<double>"
+    )
+
+
+def _codebook_array(codebooks: DataFrame):
+    """Collect the (tiny) codebook DataFrame into an (m, k, dsub) ndarray."""
+    rows = codebooks.collect()
+    m = 1 + max(r.sub_idx for r in rows)
+    k = 1 + max(r.code for r in rows)
+    dsub = len(rows[0].centroid)
+    arr = np.zeros((m, k, dsub), dtype=np.float64)
+    for r in rows:
+        arr[r.sub_idx, r.code] = r.centroid
+    return arr
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """Encode every vector to its m nearest-codeword indices
+    (``array<int>`` of length m) — ONE Arrow-batched pass with the
+    broadcast codebook; per batch the argmin is a BLAS matmul per
+    subspace (‖x−c‖² = ‖x‖²−2x·c+‖c‖², only the last two terms rank).
+    Map-only: no shuffle, scales with the corpus scan."""
+    from pyspark.sql import types as T
+
+    cb = _codebook_array(codebooks)
+    bc = df.sparkSession.sparkContext.broadcast(cb)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(v: pd.Series) -> pd.Series:
+        c = bc.value
+        m, _, dsub = c.shape
+        mat = np.array(list(v), dtype=np.float64)
+        out = np.empty((len(mat), m), dtype="int32")
+        for s in range(m):
+            sub = mat[:, s * dsub : (s + 1) * dsub]
+            # rank by -2x·c + ‖c‖² (the ‖x‖² term is constant per row)
+            scores = -2.0 * (sub @ c[s].T) + (c[s] ** 2).sum(axis=1)[None, :]
+            out[:, s] = np.argmin(scores, axis=1)
+        return pd.Series(list(out))
+
+    return df.select(F.col(id_col), F.col(vec_col), encode(F.col(vec_col)).alias(out_col))
+
+
+def pq_decode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    codes_col: str = "codes",
+    out_col: str = "approx",
+) -> DataFrame:
+    """Reconstruct the approximate vector from its codes (concatenated
+    codewords) — the reconstruction-error side of the PQ trade, used by
+    tests to assert error shrinks as k grows."""
+    from pyspark.sql import types as T
+
+    cb = _codebook_array(codebooks)
+    bc = df.sparkSession.sparkContext.broadcast(cb)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def decode(codes: pd.Series) -> pd.Series:
+        c = bc.value
+        m, _, dsub = c.shape
+        cm = np.array(list(codes), dtype="int64")
+        out = np.empty((len(cm), m * dsub), dtype=np.float64)
+        for s in range(m):
+            out[:, s * dsub : (s + 1) * dsub] = c[s][cm[:, s]]
+        return pd.Series(list(out))
+
+    return df.withColumn(out_col, decode(F.col(codes_col)))
+
+
+def pq_topk(
+    queries: DataFrame,
+    encoded_corpus: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+    rerank: int | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over PQ codes: each query
+    precomputes an m×k table of squared distances from its subvectors to
+    every codeword; a corpus row's approximate distance is then m table
+    lookups summed — the corpus is NEVER decoded.
+
+    ``rerank=N`` switches to the standard production two-stage shape:
+    ADC produces an N-row shortlist per query, then ONLY the shortlist
+    joins back to true vectors for an exact-cosine re-rank to k (requires
+    ``encoded_corpus`` to still carry ``vec_col``).  Recall then tracks
+    the shortlist hit rate instead of raw code distortion.
+
+    Scale shape: queries (small by construction) broadcast with their
+    LUTs inside an Arrow ``mapInPandas`` pass over the encoded corpus;
+    each partition emits only its per-query top-k (≤ |Q|·k rows per
+    partition), and one final per-query top-k merges partitions.  Map-only
+    over the corpus + one k·|Q|·partitions-row reduction — no corpus
+    shuffle, no decode, m-byte-codes I/O instead of full vectors; the
+    rerank stage touches shortlist·|Q| rows only."""
+    shortlist = max(k, rerank or 0)
+    cb = _codebook_array(codebooks)
+    mm, kk, dsub = cb.shape
+    qrows = queries.select(query_id, vec_col).collect()
+    qids = np.array([r[0] for r in qrows])
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    # LUT[q, s, c] = ‖q_s − c_{s,c}‖²
+    luts = np.empty((len(qids), mm, kk), dtype=np.float64)
+    for s in range(mm):
+        qs = qmat[:, s * dsub : (s + 1) * dsub]
+        diff = qs[:, None, :] - cb[s][None, :, :]
+        luts[:, s, :] = (diff**2).sum(axis=2)
+    sc = encoded_corpus.sparkSession.sparkContext
+    bc = sc.broadcast((qids, luts))
+
+    schema = "query_id long, neighbor_id long, approx_dist double"
+
+    def scan(batches):
+        qids_, luts_ = bc.value
+        nq = len(qids_)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.array(list(pdf[codes_col]), dtype="int64")  # n×m
+            ids = pdf["__nid"].to_numpy()
+            # dists[q, n] = Σ_s LUT[q, s, codes[n, s]]
+            n = len(codes)
+            dists = np.zeros((nq, n), dtype=np.float64)
+            for s in range(mm):
+                dists += luts_[:, s, :][:, codes[:, s]]
+            # keep shortlist+1 per partition: the query's own row may sit
+            # in this partition's top-k and is filtered out after the scan
+            keep = min(shortlist + 1, n)
+            part = np.argpartition(dists, keep - 1, axis=1)[:, :keep]
+            out = {
+                "query_id": np.repeat(qids_, keep),
+                "neighbor_id": ids[part].ravel(),
+                "approx_dist": np.take_along_axis(dists, part, axis=1).ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    per_part = encoded_corpus.select(
+        F.col(corpus_id).alias("__nid"), F.col(codes_col)
+    ).mapInPandas(scan, schema)
+    merged = per_part.filter(F.col("query_id") != F.col("neighbor_id"))
+    ranked = top_k_per_group(
+        merged, ["query_id"], [F.asc("approx_dist"), F.asc("neighbor_id")], shortlist
+    )
+    if rerank is None:
+        return top_k_per_group(
+            ranked, ["query_id"], [F.asc("approx_dist"), F.asc("neighbor_id")], k
+        ).select(
+            "query_id", "neighbor_id", F.round("approx_dist", 6).alias("approx_dist")
+        )
+    qv = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    cv = encoded_corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    exact = (
+        ranked.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("__cos"))
+    )
+    return top_k_per_group(
+        exact, ["query_id"], [F.desc("__cos"), F.asc("neighbor_id")], k
+    ).select("query_id", "neighbor_id", F.round("__cos", 6).alias("cos_sim"))

@@ -37,6 +37,8 @@ DEFERRED = {
     "stream_quality_gate",
     # displaced by the tier-1d oracled entries (fuzzy_pairs/any_join)
     "embedding_dedup_lsh", "simhash_verified",
+    # new rows-only this session; pytest recall floors, re-rotates next round
+    "pq_topk",
 }
 
 

@@ -317,3 +317,69 @@ def test_mrl_truncate_shapes_and_recall(emb):
     assert r16 >= 0.1  # ≥5x the 2% random baseline even at 4x compression
     assert r48 > r16   # more dims -> better recall
     assert r48 >= 0.4
+
+
+# ---------------------------------------------------------------------------
+# Product Quantization
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def pq_setup(emb):
+    normed = S.normalize(emb)
+    cb = S.pq_train(normed, m=16, k=64)
+    enc = S.pq_encode(normed, cb)
+    return normed, cb, enc
+
+
+def test_pq_codes_shape_and_range(pq_setup):
+    normed, cb, enc = pq_setup
+    rows = enc.limit(20).collect()
+    n_codes = cb.groupBy("sub_idx").count().collect()
+    k_max = max(r["count"] for r in n_codes)
+    assert all(len(r.codes) == 16 for r in rows)
+    assert all(0 <= c < k_max for r in rows for c in r.codes)
+
+
+def test_pq_train_deterministic(emb):
+    normed = S.normalize(emb)
+    a = sorted(map(tuple, S.pq_train(normed, m=8, k=8).collect()))
+    b = sorted(map(tuple, S.pq_train(normed, m=8, k=8).collect()))
+    assert [(r[0], r[1]) for r in a] == [(r[0], r[1]) for r in b]
+    assert all(x[2] == y[2] for x, y in zip(a, b))
+
+
+def test_pq_reconstruction_error_shrinks_with_k(emb):
+    normed = S.normalize(emb)
+    def mse(k):
+        cb = S.pq_train(normed, m=8, k=k)
+        dec = S.pq_decode(S.pq_encode(normed, cb), cb)
+        err = F.zip_with("embedding", "approx", lambda a, b: a.cast("double") - b)
+        sq = F.aggregate(err, F.lit(0.0), lambda acc, x: acc + x * x)
+        return dec.select(F.avg(sq).alias("m")).collect()[0].m
+    m2, m32 = mse(2), mse(32)
+    assert m32 < m2 * 0.8, (m2, m32)
+
+
+def test_pq_adc_and_rerank_recall(pq_setup):
+    """ADC-only recall has a modest floor on the (near-random) fixture;
+    the standard shortlist+exact-rerank pass must recover most of the
+    exact top-k — the production configuration."""
+    normed, cb, enc = pq_setup
+    q = normed.filter("vec_id < 10")
+    exact = {(r.query_id, r.neighbor_id) for r in S.cosine_topk(q, normed, k=5).collect()}
+    adc = {(r.query_id, r.neighbor_id) for r in S.pq_topk(q, enc, cb, k=5).collect()}
+    rr = {(r.query_id, r.neighbor_id) for r in S.pq_topk(q, enc, cb, k=5, rerank=50).collect()}
+    assert len(adc) == len(exact)
+    assert len(exact & adc) / len(exact) >= 0.3, len(exact & adc) / len(exact)
+    assert len(exact & rr) / len(exact) >= 0.8, len(exact & rr) / len(exact)
+
+
+def test_pq_topk_complete_on_single_partition(pq_setup):
+    """k results per query even when the whole corpus is one partition and
+    the query's own row lands in the partition shortlist."""
+    normed, cb, enc = pq_setup
+    one_part = enc.coalesce(1)
+    q = normed.filter("vec_id < 4")
+    out = S.pq_topk(q, one_part, cb, k=5).groupBy("query_id").count().collect()
+    assert len(out) == 4 and all(r["count"] == 5 for r in out)
+    assert S.pq_topk(q, one_part, cb, k=5).filter("query_id = neighbor_id").count() == 0
