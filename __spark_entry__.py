@@ -349,6 +349,19 @@ def q_png_meta(spark, d):
     return multimodal.decode_png_meta(png, keep=["doc_id"])
 
 
+def q_jpeg_meta(spark, d):
+    """REAL multimodal decode round-trip #3: build a structurally valid
+    JPEG marker stream per document (SOI, APP0/JFIF, COM, SOF0/SOF2 frame
+    header with per-component entries, EOI; width from n_chars,
+    height/components/progressive from doc_id), then walk the markers and
+    parse the frame header back.  The oracle recomputes the metadata from
+    table columns — any marker-layout, segment-length, or endianness bug
+    breaks the hash."""
+    docs = _t(spark, d, "documents").select("doc_id", "n_chars")
+    jpg = multimodal.synthesize_jpeg_payloads(docs)
+    return multimodal.decode_jpeg_meta(jpg, keep=["doc_id"])
+
+
 def q_pack_sequences(spark, d):
     return text.pack_sequences(_t(spark, d, "documents"), budget_tokens=2048)
 
@@ -2479,6 +2492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tier 1d: new in this session (round 3, batch 3) ---
         "fuzzy_pairs": q_fuzzy_pairs,
         "any_join": q_any_join,
+        "jpeg_meta": q_jpeg_meta,
         # --- tier 2: never driver-checked, rows-only by design.
         # embedding_dedup_lsh/simhash_verified displaced past the window
         # edge by the two tier-1d oracled entries (hash-green > ran-clean;
@@ -3613,6 +3627,16 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
             "8::INT AS bit_depth, "
             "(CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 6 END)::INT AS color_type, "
             "(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)::INT AS channels, "
+            "((n_chars % 640 + 1) * (doc_id % 480 + 1))::BIGINT AS n_pixels "
+            "FROM documents"
+        ),
+        "jpeg_meta": (
+            "SELECT doc_id, "
+            "(n_chars % 640 + 1)::INT AS width, "
+            "(doc_id % 480 + 1)::INT AS height, "
+            "8::INT AS precision, "
+            "(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 3 END)::INT AS n_components, "
+            "(doc_id % 5 = 0) AS progressive, "
             "((n_chars % 640 + 1) * (doc_id % 480 + 1))::BIGINT AS n_pixels "
             "FROM documents"
         ),

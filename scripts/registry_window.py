@@ -35,8 +35,9 @@ DEFERRED = {
     "pca_project", "sequence_count", "bpe_fertility", "stream_enrich", "bpe_merges",
     "embedding_clusters", "pagerank_docs", "pipeline_curation",
     "stream_quality_gate",
-    # displaced by the tier-1d oracled entries (fuzzy_pairs/any_join)
-    "embedding_dedup_lsh", "simhash_verified",
+    # displaced by the tier-1d oracled entries (fuzzy_pairs/any_join/
+    # jpeg_meta): hash-green > ran-clean for the contested slots
+    "embedding_dedup_lsh", "simhash_verified", "ann_ivf_topk",
     # new rows-only this session; pytest recall floors, re-rotates next round
     "pq_topk",
 }

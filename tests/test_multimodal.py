@@ -126,3 +126,47 @@ def test_png_roundtrip_and_crc_rejection(spark):
 
     with _pytest.raises(Exception, match="CRC|PythonException"):
         M.decode_png_meta(bad_df, keep=["doc_id"]).collect()
+
+
+def test_jpeg_roundtrip_and_marker_walk(spark):
+    import struct
+
+    from clickhouse_flatfile_tool_spark.operators import multimodal as M
+
+    df = spark.createDataFrame(
+        [(0, 100), (1, 700), (5, 42)], "doc_id long, n_chars long"
+    )
+    jpg = M.synthesize_jpeg_payloads(df)
+    meta = {r.doc_id: r for r in M.decode_jpeg_meta(jpg, keep=["doc_id"]).collect()}
+    # width = n_chars % 640 + 1, height = doc_id % 480 + 1
+    assert meta[0].width == 101 and meta[0].height == 1
+    assert meta[1].width == 61 and meta[1].height == 2
+    # even ids are 3-component, odd ids 1-component; every 5th progressive
+    assert meta[0].n_components == 3 and meta[0].progressive
+    assert meta[1].n_components == 1 and not meta[1].progressive
+    assert meta[5].n_components == 1 and meta[5].progressive
+    assert all(m.n_pixels == m.width * m.height for m in meta.values())
+    # the synthesized bytes are a real marker stream: SOI first, EOI last,
+    # and the decoder found the SOF by WALKING segments (an extra COM
+    # segment sits between APP0 and SOF)
+    raw = bytes(jpg.filter("doc_id = 0").first().payload)
+    assert raw[:2] == b"\xff\xd8" and raw[-2:] == b"\xff\xd9"
+    assert b"\xff\xfe" in raw  # COM segment present
+
+
+def test_jpeg_decoder_rejects_corrupt_streams(spark):
+    import pytest as _pytest
+
+    from clickhouse_flatfile_tool_spark.operators import multimodal as M
+
+    cases = [
+        b"GIF89a not a jpeg",                      # bad SOI
+        b"\xff\xd8\xff\xe0\x00\x99",               # truncated segment
+        b"\xff\xd8\xff\xd9",                       # no SOF at all
+    ]
+    for payload in cases:
+        bad = spark.createDataFrame(
+            [(1, bytearray(payload))], "doc_id long, payload binary"
+        )
+        with _pytest.raises(Exception, match="SOI|truncated|SOF|PythonException"):
+            M.decode_jpeg_meta(bad, keep=["doc_id"]).collect()
