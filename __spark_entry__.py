@@ -2275,6 +2275,31 @@ def q_stream_dedup(spark, d):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def q_stream_near_dedup(spark, d):
+    """Streaming NEAR-dup suppression (stream_ops.py::stream_near_dedup):
+    per-row MinHash signatures + dropDuplicatesWithinWatermark.  Input is
+    the documents table unioned with a re-crawl copy (same text, new ids,
+    1 minute later) — exactly one survivor per distinct signature must
+    remain (rows-only; signature ≡ batch path is pytest-proven)."""
+    tmp = tempfile.mkdtemp(prefix="cfts_sndedup_")
+    src, out_dir, ckpt = (os.path.join(tmp, p) for p in ("src", "out", "ckpt"))
+    try:
+        docs = _t(spark, d, "documents").select("doc_id", "text")
+        recrawl = docs.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+        staged = docs.withColumn("__ts", F.timestamp_seconds(F.lit(0))).unionByName(
+            recrawl.withColumn("__ts", F.timestamp_seconds(F.lit(60)))
+        )
+        staged.write.mode("overwrite").parquet(src)
+        stream = stream_ops.read_event_stream(spark, src)
+        result = stream_ops.stream_near_dedup(stream, watermark="10 minutes")
+        stream_ops.run_available_now(result.select("doc_id"), out_dir, ckpt)
+        return spark.read.parquet(out_dir)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def q_stream_quality_gate(spark, d):
     """Streaming Gopher-rules quality gate — stateless map-only stage, no
     watermark/state store (rows-only; batch≡stream pass-set equivalence is
@@ -2505,6 +2530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (k-means codebooks); parked past the window edge with
         # the other deferred rows-only entries, re-rotates next round
         "pq_topk": q_pq_topk,
+        "stream_near_dedup": q_stream_near_dedup,
         # never-driver-checked rows-only entries stay ABOVE the proven
         # stream refreshers so every unproven entry sits inside the 50-slot
         # window (scripts/registry_window.py audits this)

@@ -120,6 +120,46 @@ def shingle_postings(
 # E2: MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
 
+def with_minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    seed: int = 42,
+    prefix: str = "mh_",
+) -> DataFrame:
+    """Per-ROW (stateless) MinHash signature columns — the streaming-safe
+    twin of :func:`minhash_signatures`.  No explode, no groupBy: each
+    ``mh_i`` is ``array_min`` over the doc's hashed-shingle array, so the
+    expression composes with streaming watermark dedup (a groupBy
+    aggregation would be a second stateful operator).
+
+    Same two-stage Catalyst hygiene as everywhere else: words and hashed
+    shingles are materialized behind projection boundaries, so the text is
+    split once and each shingle hashed once; the per-function re-hash
+    works on 8-byte longs.  Produces values IDENTICAL to
+    ``minhash_signatures`` for any doc with ≥1 shingle
+    (pytest-asserted); docs with no shingles get NULL signatures (the
+    groupBy path drops them instead)."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    staged = (
+        df.withColumn("__w", words)
+        .withColumn("__sh", _shingles_from_words(F.col("__w"), shingle_n))
+        .withColumn("__hs", F.transform("__sh", lambda s: F.xxhash64(s)))
+    )
+    def _rehash(i: int):
+        # single-arg lambda on purpose: pyspark passes (element, index) to
+        # a TWO-arg transform lambda, which would silently shadow a
+        # default-captured i
+        return lambda h: F.xxhash64(h, F.lit(seed + i))
+
+    sigs = [
+        F.array_min(F.transform("__hs", _rehash(i))).alias(f"{prefix}{i}")
+        for i in range(num_hashes)
+    ]
+    return staged.select(*df.columns, *sigs)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -439,3 +439,33 @@ def stream_mv(
     q.awaitTermination()
     with open(pointer, encoding="utf-8") as fh:
         return os.path.join(state_dir, fh.read().strip())
+
+
+def stream_near_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "__ts",
+    watermark: str = "1 hour",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Streaming NEAR-duplicate suppression: per-row MinHash signatures
+    (``dedup.with_minhash_signature`` — stateless, no groupBy, so it
+    legally precedes the stateful dedup) + ``dropDuplicatesWithinWatermark``
+    on all ``num_hashes`` signature columns.  A document whose full
+    signature matches an earlier arrival inside the watermark is dropped —
+    near-identical re-crawls/reposts collapse to their first sighting,
+    with state bounded by the watermark, not the stream length.
+
+    The signature expression is value-identical to the batch
+    ``minhash_signatures`` path (pytest-asserted), so batch backfills and
+    the live stream suppress the same documents.
+    """
+    from clickhouse_flatfile_tool_spark.operators.dedup import with_minhash_signature
+
+    sig = with_minhash_signature(
+        stream, text_col, shingle_n=shingle_n, num_hashes=num_hashes, seed=seed
+    )
+    keys = [f"mh_{i}" for i in range(num_hashes)]
+    return sig.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

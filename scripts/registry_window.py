@@ -40,6 +40,8 @@ DEFERRED = {
     "embedding_dedup_lsh", "simhash_verified", "ann_ivf_topk",
     # new rows-only this session; pytest recall floors, re-rotates next round
     "pq_topk",
+    # new rows-only this session; pytest batch-equivalence + suppression
+    "stream_near_dedup",
 }
 
 

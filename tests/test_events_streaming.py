@@ -405,3 +405,54 @@ def test_stream_mv_fold_replay_is_noop(spark, tmp_path):
     )
     after = {(r.k, r.n) for r in spark.read.parquet(live2).collect()}
     assert after == before
+
+
+def test_rowwise_minhash_matches_batch_signatures(spark, tables):
+    """with_minhash_signature (streaming-safe, per-row) must produce values
+    identical to the explode+groupBy batch path for every doc with >=1
+    shingle — the guarantee that stream and backfill suppress the same
+    documents."""
+    from clickhouse_flatfile_tool_spark.operators import dedup
+
+    docs = tables["documents"].select("doc_id", "text").limit(100)
+    rowwise = dedup.with_minhash_signature(docs).select(
+        "doc_id", *[f"mh_{i}" for i in range(16)]
+    )
+    batch = dedup.minhash_signatures(docs)
+    a = {tuple(r) for r in rowwise.where("mh_0 IS NOT NULL").collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_stream_near_dedup_suppresses_recrawls(spark, tables, tmp_path):
+    """Originals at t=0, byte-identical re-crawls at t=60s: one survivor per
+    distinct signature, none of the duplicate signatures survive twice."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_flatfile_tool_spark.operators import dedup
+    from clickhouse_flatfile_tool_spark.streaming import stream_ops
+
+    docs = tables["documents"].select("doc_id", "text").limit(50)
+    recrawl = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    staged = docs.withColumn("__ts", F.timestamp_seconds(F.lit(0))).unionByName(
+        recrawl.withColumn("__ts", F.timestamp_seconds(F.lit(60)))
+    )
+    src = str(tmp_path / "src")
+    staged.write.mode("overwrite").parquet(src)
+    stream = stream_ops.read_event_stream(spark, src)
+    result = stream_ops.stream_near_dedup(stream, watermark="10 minutes")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream_ops.run_available_now(result.select("doc_id"), out_dir, ckpt)
+    survivors = spark.read.parquet(out_dir)
+    n_sigs = (
+        dedup.with_minhash_signature(staged)
+        .select(*[f"mh_{i}" for i in range(16)])
+        .distinct()
+        .count()
+    )
+    assert survivors.count() == n_sigs
+    # every original text is represented exactly once among survivors
+    surv_texts = survivors.join(staged, "doc_id").select("text").distinct()
+    assert surv_texts.count() == docs.select("text").distinct().count()
