@@ -20,6 +20,12 @@ ARE handled because they are common in real queries: the ``-If`` suffix
 (``sumIf(x, cond)`` → ``sum(CASE WHEN cond THEN x END)``) and curried
 quantiles (``quantile(0.5)(x)`` → ``percentile(x, 0.5)``).  ``-Array``/
 ``-State``/``-Merge`` combinators stay out of scope.
+
+Bracket syntax is translated too (``_rewrite_array_literals``): ``[1,2,3]``
+literals → ``array(...)`` and — because ClickHouse indexes 1-based while
+Spark's bracket operator is 0-based — ``expr[i]`` element access →
+``element_at(expr, i)``, which is 1-based with ClickHouse's negative-index
+convention on both engines.
 """
 
 from __future__ import annotations
@@ -74,6 +80,16 @@ _WRAPS: list[tuple[str, str, str]] = [
     ("topLevelDomain", "regexp_extract(try_parse_url(", ", 'HOST'), '\\\\.([^.]+)$', 1)"),
     ("cutQueryString", "regexp_replace(", ", '\\\\?[^#]*', '')"),
     ("cutFragment", "regexp_replace(", ", '#.*$', '')"),
+    ("toYYYYMMDD", "CAST(date_format(", ", 'yyyyMMdd') AS INT)"),
+    ("bitNot", "(~(", "))"),
+    # ClickHouse splitByWhitespace drops leading/trailing runs; trim + \s+
+    # split matches that for non-empty input (empty string still yields [''])
+    ("splitByWhitespace", "split(trim(", "), '\\\\s+')"),
+    ("base64Decode", "CAST(unbase64(", ") AS STRING)"),
+    ("toRelativeDayNum", "datediff(", ", DATE'1970-01-01')"),
+    # arraySum/arrayAvg accumulate in DOUBLE (ClickHouse keeps integer sums
+    # integer — cast the result back where exactness matters)
+    ("arraySum", "aggregate(", ", CAST(0 AS DOUBLE), (a, v) -> a + v)"),
 ]
 
 # same-shape renames (arity and semantics line up)
@@ -123,6 +139,38 @@ _RENAMES: list[tuple[str, str]] = [
     ("toUnixTimestamp", "unix_timestamp"),
     ("fromUnixTimestamp", "from_unixtime"),
     ("modulo", "mod"),                      # both keep the dividend's sign
+    ("arrayMin", "array_min"),
+    ("arrayMax", "array_max"),
+    ("arraySlice", "slice"),                # both (arr, offset, length), 1-based
+    ("arrayZip", "arrays_zip"),
+    ("hasAny", "arrays_overlap"),
+    ("leftPad", "lpad"),
+    ("rightPad", "rpad"),
+    ("trimLeft", "ltrim"),
+    ("trimRight", "rtrim"),
+    ("concatWithSeparator", "concat_ws"),
+    # CH any()/anyLast() = first/last encountered value.  The rename is
+    # REQUIRED, not cosmetic: Spark's own any() is a boolean-OR aggregate.
+    # (The ANY join-strictness keyword is never followed by '(' so the
+    # \bany\( pattern cannot touch it.)
+    ("anyLast", "last"),
+    ("any", "first"),
+    # Spark strings are UTF-8 native; the UTF8-suffixed CH variants are the
+    # same operation
+    ("lengthUTF8", "length"),
+    ("lowerUTF8", "lower"),
+    ("upperUTF8", "upper"),
+    ("substringUTF8", "substring"),
+    ("bitShiftLeft", "shiftleft"),
+    ("bitShiftRight", "shiftright"),
+    ("base64Encode", "base64"),
+    # same (haystack, pattern, replacement) order; NOTE: CH backreferences
+    # are \1, Spark's are $1 — patterns with backrefs need hand-porting
+    ("replaceRegexpAll", "regexp_replace"),
+    ("replaceAll", "replace"),
+    # keyword-unit form dateAdd(DAY, n, ts) only (string-unit form passes
+    # through for Spark to reject by name)
+    ("dateAdd", "timestampadd"),
 ]
 
 _ZERO_ARG: list[tuple[str, str]] = [
@@ -542,6 +590,156 @@ def _rewrite_curried_uniq_up_to(chunk: str) -> str:
     return chunk
 
 
+# a '[' after one of these keywords (or after an operator/comma/open
+# paren) opens an ARRAY LITERAL; after an identifier/')'/']' it is
+# element access (arr[1] — both engines use the same indexing syntax)
+_ARRAY_LIT_KEYWORDS = {
+    "SELECT", "WHEN", "THEN", "ELSE", "IN", "AS", "ON", "AND", "OR", "NOT",
+    "BY", "WHERE", "HAVING", "RETURN", "UNION", "ALL", "DISTINCT", "BETWEEN",
+    "LIKE", "IS", "CASE", "END", "FROM", "LIMIT", "OFFSET", "INTERVAL",
+}
+
+
+def _rewrite_array_literals(chunk: str) -> str:
+    """ClickHouse bracket syntax → Spark equivalents:
+
+    * ``[1, 2, 3]`` array LITERALS → ``array(1, 2, 3)``
+    * ``expr[i]`` element ACCESS → ``element_at(expr, i)`` — ClickHouse
+      indexing is 1-based (negative = from the end); Spark's own bracket
+      operator is 0-based, so leaving it untouched would silently shift
+      every index.  ``element_at`` matches both conventions.  (OOB differs:
+      ClickHouse returns the type's default value, element_at raises /
+      NULLs under ANSI off — port OOB-reliant queries by hand.)  Works for
+      map access too (both engines say ``m['k']``).
+
+    A bracket after a value expression (identifier, ``)``, ``]``) is
+    access; anything else — including after a KEYWORD like ``THEN [1]`` —
+    opens a literal.  Chained access (``a[1][2]``) and nested literals
+    rewrite through rescanning."""
+    i = 0
+    while i < len(chunk):
+        if chunk[i] != "[":
+            i += 1
+            continue
+        # classify by the token before the bracket
+        j = i - 1
+        while j >= 0 and chunk[j].isspace():
+            j -= 1
+        is_literal = True
+        if j >= 0:
+            prev = chunk[j]
+            if prev in ")]":
+                is_literal = False
+            elif prev.isalnum() or prev == "_":
+                # word before the bracket: literal only after a keyword
+                k = j
+                while k >= 0 and (chunk[k].isalnum() or chunk[k] == "_"):
+                    k -= 1
+                word = chunk[k + 1 : j + 1].upper()
+                is_literal = word in _ARRAY_LIT_KEYWORDS
+        # find the matching ']' at bracket/paren depth 0
+        depth, e = 1, i + 1
+        while e < len(chunk) and depth:
+            if chunk[e] in "([":
+                depth += 1
+            elif chunk[e] in ")]":
+                depth -= 1
+            e += 1
+        inner = chunk[i + 1 : e - 1]
+        if is_literal:
+            chunk = chunk[:i] + "array(" + inner + ")" + chunk[e:]
+            i += len("array(")  # rescan inside for nested literals
+            continue
+        # element access: walk back to the start of the indexed expression
+        s = j
+        if chunk[s] in ")]":
+            closer = chunk[s]
+            opener = "(" if closer == ")" else "["
+            d = 1
+            s -= 1
+            while s >= 0 and d:
+                if chunk[s] == closer:
+                    d += 1
+                elif chunk[s] == opener:
+                    d -= 1
+                s -= 1
+            s += 1
+        # prefix identifier (function name / qualified column)
+        while s > 0 and (chunk[s - 1].isalnum() or chunk[s - 1] in "_."):
+            s -= 1
+        base = chunk[s : j + 1]
+        chunk = chunk[:s] + f"element_at({base}, {inner})" + chunk[e:]
+        i = s  # rescan: base/inner may hold further brackets
+    return chunk
+
+
+_DATE_ADD_UNITS = {
+    "addSeconds": "SECOND", "addMinutes": "MINUTE", "addHours": "HOUR",
+    "addDays": "DAY", "addWeeks": "WEEK", "addMonths": "MONTH",
+    "addYears": "YEAR",
+    "subtractSeconds": "SECOND", "subtractMinutes": "MINUTE",
+    "subtractHours": "HOUR", "subtractDays": "DAY", "subtractWeeks": "WEEK",
+    "subtractMonths": "MONTH", "subtractYears": "YEAR",
+}
+
+
+def _rewrite_misc_calls(chunk: str) -> str:
+    """Multi-argument rewrites that need their own templates (the
+    single-arg wraps and same-order renames can't express them):
+
+    * ``hasAll(a, b)`` → ``size(array_except(b, a)) = 0``
+    * ``bitAnd/bitOr/bitXor(a, b)`` → the ``&``/``|``/``^`` operators
+    * ``positionCaseInsensitive(h, n)`` → ``instr(lower(h), lower(n))``
+    * ``extractAll(s, re)`` → ``regexp_extract_all(s, re, 0)`` (whole-match
+      group; CH extracts the first capture group when one exists — port
+      group-using patterns by hand)
+    * ``arrayAvg(x)`` → sum-fold / size (DOUBLE; references x twice —
+      fine for column-backed arrays, the caveat the intDiv rewrite
+      documents)
+    * ``addDays(ts, n)`` / ``subtractHours(ts, n)`` / … →
+      ``timestampadd(UNIT, ±n, ts)`` (argument order moves)
+    * ``dateSub(UNIT, n, ts)`` → ``timestampadd(UNIT, -(n), ts)``
+    """
+    def two(template):
+        def make(args):
+            return template.format(*args) if len(args) == 2 else None
+        return make
+
+    chunk = _rewrite_call(chunk, "hasAll", two("(size(array_except({1}, {0})) = 0)"))
+    chunk = _rewrite_call(chunk, "bitAnd", two("(({0}) & ({1}))"))
+    chunk = _rewrite_call(chunk, "bitOr", two("(({0}) | ({1}))"))
+    chunk = _rewrite_call(chunk, "bitXor", two("(({0}) ^ ({1}))"))
+    chunk = _rewrite_call(
+        chunk, "positionCaseInsensitive", two("instr(lower({0}), lower({1}))")
+    )
+    chunk = _rewrite_call(chunk, "extractAll", two("regexp_extract_all({0}, {1}, 0)"))
+
+    def avg_make(args):
+        if len(args) != 1:
+            return None
+        a = args[0]
+        return (
+            f"(aggregate({a}, CAST(0 AS DOUBLE), (a, v) -> a + v) / size({a}))"
+        )
+
+    chunk = _rewrite_call(chunk, "arrayAvg", avg_make)
+
+    for name, unit in _DATE_ADD_UNITS.items():
+        sign = "-" if name.startswith("subtract") else ""
+        chunk = _rewrite_call(
+            chunk, name,
+            two(f"timestampadd({unit}, {sign}({{1}}), {{0}})"),
+        )
+
+    def date_sub_make(args):
+        if len(args) != 3:
+            return None
+        return f"timestampadd({args[0]}, -({args[1]}), {args[2]})"
+
+    chunk = _rewrite_call(chunk, "dateSub", date_sub_make)
+    return chunk
+
+
 def _rewrite_json_extract(chunk: str) -> str:
     """ClickHouse ``JSONExtract*(json, 'key')`` / ``visitParam*`` →
     ``get_json_object(json, '$.key')`` with the result cast per the name's
@@ -558,6 +756,12 @@ def _rewrite_json_extract(chunk: str) -> str:
         "visitParamExtractInt": "BIGINT",
         "visitParamExtractFloat": "DOUBLE",
         "visitParamExtractBool": "BOOLEAN",
+        # simpleJSONExtract* is the current ClickHouse name for visitParam*
+        "simpleJSONExtractString": None,
+        "simpleJSONExtractInt": "BIGINT",
+        "simpleJSONExtractFloat": "DOUBLE",
+        "simpleJSONExtractBool": "BOOLEAN",
+        "simpleJSONExtractRaw": None,
     }
 
     def make_for(cast_to):
@@ -863,7 +1067,9 @@ def translate_clickhouse_sql(sql: str) -> str:
     chunk = _rewrite_array_string_concat(chunk)
     chunk = _rewrite_curried_quantiles(chunk)
     chunk = _rewrite_curried_uniq_up_to(chunk)
+    chunk = _rewrite_array_literals(chunk)
     chunk = _rewrite_json_extract(chunk)
+    chunk = _rewrite_misc_calls(chunk)
     chunk = _rewrite_ipv4(chunk)
     chunk = _rewrite_extract_url_parameter(chunk)
     chunk = _rewrite_numbers(chunk)

@@ -464,3 +464,96 @@ def test_limit_by_clause(spark):
 def test_array_join_multi_alias_passes_through(spark):
     # per-array-alias multi form must not be half-rewritten into invalid SQL
     assert "ARRAY JOIN" in tr("SELECT 1 FROM t ARRAY JOIN a AS x, b AS y")
+
+
+def test_misc_function_batch_translate_and_execute(spark):
+    """Session-3 function batch: every rewrite executes on Spark with the
+    ClickHouse-documented semantics."""
+    spark.createDataFrame(
+        [(1, [3, 1, 2], "Hello World", "2024-03-05 10:00:00")],
+        "id long, arr array<int>, s string, ts string",
+    ).createOrReplaceTempView("mf")
+    row = spark.sql(
+        "SELECT "
+        + tr("arraySum(arr)") + " AS asum, "
+        + tr("arrayAvg(arr)") + " AS aavg, "
+        + tr("arrayMin(arr)") + " AS amin, "
+        + tr("arrayMax(arr)") + " AS amax, "
+        + tr("arraySlice(arr, 2, 2)") + " AS aslice, "
+        + tr("hasAll(arr, [1, 3])") + " AS hall, "
+        + tr("hasAll(arr, [1, 9])") + " AS hall_no, "
+        + tr("hasAny(arr, [9, 2])") + " AS hany, "
+        + tr("bitAnd(6, 3)") + " AS band, "
+        + tr("bitOr(4, 1)") + " AS bor, "
+        + tr("bitXor(6, 3)") + " AS bxor, "
+        + tr("bitNot(0)") + " AS bnot, "
+        + tr("bitShiftLeft(1, 4)") + " AS bshl, "
+        + tr("positionCaseInsensitive(s, 'WORLD')") + " AS pci, "
+        + tr("extractAll(s, '[A-Z]')") + " AS exall, "
+        + tr("replaceAll(s, 'l', 'L')") + " AS rall, "
+        + tr("replaceRegexpAll(s, '[aeiou]', '_')") + " AS rre, "
+        + tr("leftPad(s, 13, '*')") + " AS lp, "
+        + tr("trimLeft('  x  ')") + " AS tl, "
+        + tr("concatWithSeparator('-', 'a', 'b')") + " AS cws, "
+        + tr("lengthUTF8(s)") + " AS lu, "
+        + tr("splitByWhitespace('  a b   c ')") + " AS sbw, "
+        + tr("base64Decode(base64Encode('hi'))") + " AS b64, "
+        + tr("toYYYYMMDD(toDateTime(ts))") + " AS ymd, "
+        + tr("toRelativeDayNum(toDate(ts))") + " AS rdn, "
+        + tr("addDays(toDateTime(ts), 3)") + " AS ad, "
+        + tr("subtractHours(toDateTime(ts), 2)") + " AS sh, "
+        + tr("dateSub(DAY, 4, toDateTime(ts))") + " AS ds, "
+        + tr("simpleJSONExtractInt('{\"k\": 7}', 'k')") + " AS sje "
+        "FROM mf"
+    ).first()
+    assert row.asum == 6.0 and row.aavg == 2.0
+    assert row.amin == 1 and row.amax == 3 and row.aslice == [1, 2]
+    assert row.hall and not row.hall_no and row.hany
+    assert row.band == 2 and row.bor == 5 and row.bxor == 5
+    assert row.bnot == -1 and row.bshl == 16
+    assert row.pci == 7
+    assert row.exall == ["H", "W"]
+    assert row.rall == "HeLLo WorLd" and row.rre == "H_ll_ W_rld"
+    assert row.lp == "**Hello World" and row.tl == "x  "
+    assert row.cws == "a-b" and row.lu == 11
+    assert row.sbw == ["a", "b", "c"] and row.b64 == "hi"
+    assert row.ymd == 20240305
+    assert row.rdn == 19787  # days since 1970-01-01
+    assert str(row.ad).startswith("2024-03-08 10:00") and str(row.sh).startswith("2024-03-05 08:00")
+    assert str(row.ds).startswith("2024-03-01 10:00")
+    assert row.sje == 7
+
+
+def test_any_and_anylast_aggregates(spark):
+    spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "v long, g string"
+    ).createOrReplaceTempView("aal")
+    assert tr("any(v)") == "first(v)" and tr("anyLast(v)") == "last(v)"
+    row = spark.sql(
+        "SELECT " + tr("any(v)") + " AS a, " + tr("anyLast(v)") + " AS al FROM aal"
+    ).first()
+    assert row.a in (1, 2, 3) and row.al in (1, 2, 3)
+    # the ANY join-strictness keyword is untouched by the rename
+    assert "ANY LEFT JOIN" in tr("SELECT 1 FROM a ANY LEFT JOIN b ON a.x = b.x")
+
+
+def test_array_literal_rewrite(spark):
+    # literal positions -> array(); access -> element_at (CH is 1-based,
+    # Spark's bracket operator is 0-based — pass-through would shift
+    # every index)
+    assert tr("SELECT [1, 2, 3]") == "SELECT array(1, 2, 3)"
+    assert tr("SELECT arr[1] FROM t") == "SELECT element_at(arr, 1) FROM t"
+    assert tr("SELECT [[1], [2]]") == "SELECT array(array(1), array(2))"
+    assert tr("SELECT CASE WHEN c THEN [1] ELSE [2] END") == (
+        "SELECT CASE WHEN c THEN array(1) ELSE array(2) END"
+    )
+    assert tr("SELECT f(x)[2], [5][1]") == (
+        "SELECT element_at(f(x), 2), element_at(array(5), 1)"
+    )
+    # chained access, qualified columns, negative (from-end) index
+    assert tr("SELECT a.b[1][2]") == "SELECT element_at(element_at(a.b, 1), 2)"
+    row = spark.sql(
+        tr("SELECT [10, 20, 30][2] AS v, [10, 20, 30][-1] AS w, "
+           "arraySum([1.5, 2.5]) AS s, [[7], [8]][2][1] AS n")
+    ).first()
+    assert row.v == 20 and row.w == 30 and row.s == 4.0 and row.n == 8
