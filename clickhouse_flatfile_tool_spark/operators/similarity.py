@@ -931,7 +931,8 @@ def pq_encode(
     (``array<int>`` of length m) — ONE Arrow-batched pass with the
     broadcast codebook; per batch the argmin is a BLAS matmul per
     subspace (‖x−c‖² = ‖x‖²−2x·c+‖c‖², only the last two terms rank).
-    Map-only: no shuffle, scales with the corpus scan."""
+    Map-only: no shuffle, scales with the corpus scan.  All input columns
+    survive (IVF-PQ needs the list assignment to ride along)."""
     from pyspark.sql import types as T
 
     cb = _codebook_array(codebooks)
@@ -950,7 +951,7 @@ def pq_encode(
             out[:, s] = np.argmin(scores, axis=1)
         return pd.Series(list(out))
 
-    return df.select(F.col(id_col), F.col(vec_col), encode(F.col(vec_col)).alias(out_col))
+    return df.withColumn(out_col, encode(F.col(vec_col)))
 
 
 def pq_decode(
@@ -1073,6 +1074,132 @@ def pq_topk(
         ranked.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
         .select("query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("__cos"))
+    )
+    return top_k_per_group(
+        exact, ["query_id"], [F.desc("__cos"), F.asc("neighbor_id")], k
+    ).select("query_id", "neighbor_id", F.round("__cos", 6).alias("cos_sim"))
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    m: int = 8,
+    k_codes: int = 64,
+    n_probe: int = 4,
+    rerank: int | None = None,
+    sample_size: int = 10_000,
+    seed: int = 42,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FAISS-style IVF-PQ search (Jégou et al. 2011 §IV) — the composed
+    100 TB ANN layout: the IVF coarse quantizer PRUNES (each query touches
+    ~n_probe/n_lists of the corpus) and PQ codes over the RESIDUAL
+    x − centroid(x) COMPRESS what remains (residuals concentrate near 0,
+    so the same code budget quantizes them far better than raw vectors).
+
+    Search: each (query, probed list) pair gets its own ADC lookup table
+    built from the query's residual against that list's centroid; corpus
+    codes of the probed lists cost m table lookups each, inside one Arrow
+    map pass that emits per-partition shortlists only.  ``rerank=N`` adds
+    the exact-cosine rerank of the N-row shortlist (true vectors join back
+    by id — only the shortlist is ever decoded).
+
+    Scale shape: index = one broadcast-scored assignment pass + one
+    map-only encode pass; search is map-only over the encoded corpus with
+    a |Q|·n_probe-entry LUT broadcast, one k·|Q|·partitions-row reduction,
+    and (with rerank) a shortlist-sized join.  No corpus shuffle anywhere.
+    """
+    cent = ivf_build_centroids(corpus, n_lists, sample_size, seed, vec_col)
+    centd = cent.select("list_id", F.col("centroid").alias("__cent"))
+    assigned = ivf_assign(corpus, cent, corpus_id, vec_col, n_probe=1)
+    resid = assigned.join(F.broadcast(centd), "list_id").withColumn(
+        "__resid", F.zip_with(vec_col, "__cent", lambda a, b: a.cast("double") - b)
+    )
+    cb = pq_train(resid, m, k_codes, sample_size, seed, vec_col="__resid")
+    enc = pq_encode(resid, cb, id_col=corpus_id, vec_col="__resid").select(
+        F.col(corpus_id).alias("__nid"), "list_id", vec_col, "codes"
+    )
+
+    # per-(query, probed-list) residual LUTs — |Q|·n_probe·m·k doubles,
+    # tiny for any sane query batch
+    cbarr = _codebook_array(cb)
+    mm, kk, dsub = cbarr.shape
+    qa = ivf_assign(queries, cent, query_id, vec_col, n_probe=n_probe)
+    q_rows = (
+        qa.join(F.broadcast(centd), "list_id")
+        .withColumn(
+            "__qres", F.zip_with(vec_col, "__cent", lambda a, b: a.cast("double") - b)
+        )
+        .select(query_id, "list_id", "__qres")
+        .collect()
+    )
+    luts_by_list: dict[int, list] = {}
+    for r in q_rows:
+        qres = np.array(r["__qres"], dtype=np.float64)
+        lut = np.empty((mm, kk), dtype=np.float64)
+        for s in range(mm):
+            diff = qres[s * dsub : (s + 1) * dsub][None, :] - cbarr[s]
+            lut[s] = (diff**2).sum(axis=1)
+        luts_by_list.setdefault(int(r["list_id"]), []).append((r[0], lut))
+    bc = corpus.sparkSession.sparkContext.broadcast(luts_by_list)
+    shortlist = max(k, rerank or 0)
+
+    def scan(batches):
+        table = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            frames = []
+            for list_id, grp in pdf.groupby("list_id"):
+                probers = table.get(int(list_id))
+                if not probers:
+                    continue
+                codes = np.array(list(grp["codes"]), dtype="int64")
+                ids = grp["__nid"].to_numpy()
+                n = len(codes)
+                keep = min(shortlist + 1, n)
+                for qid, lut in probers:
+                    dists = np.zeros(n, dtype=np.float64)
+                    for s in range(mm):
+                        dists += lut[s][codes[:, s]]
+                    part = np.argpartition(dists, keep - 1)[:keep]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": qid,
+                                "neighbor_id": ids[part],
+                                "approx_dist": dists[part],
+                            }
+                        )
+                    )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    per_part = enc.select("__nid", "list_id", "codes").mapInPandas(
+        scan, "query_id long, neighbor_id long, approx_dist double"
+    )
+    merged = per_part.filter(F.col("query_id") != F.col("neighbor_id"))
+    ranked = top_k_per_group(
+        merged, ["query_id"], [F.asc("approx_dist"), F.asc("neighbor_id")], shortlist
+    )
+    if rerank is None:
+        return top_k_per_group(
+            ranked, ["query_id"], [F.asc("approx_dist"), F.asc("neighbor_id")], k
+        ).select(
+            "query_id", "neighbor_id", F.round("approx_dist", 6).alias("approx_dist")
+        )
+    qv = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv"))
+    cv = enc.select(F.col("__nid").alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    exact = (
+        ranked.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("__cos")
+        )
     )
     return top_k_per_group(
         exact, ["query_id"], [F.desc("__cos"), F.asc("neighbor_id")], k

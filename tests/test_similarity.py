@@ -383,3 +383,25 @@ def test_pq_topk_complete_on_single_partition(pq_setup):
     out = S.pq_topk(q, one_part, cb, k=5).groupBy("query_id").count().collect()
     assert len(out) == 4 and all(r["count"] == 5 for r in out)
     assert S.pq_topk(q, one_part, cb, k=5).filter("query_id = neighbor_id").count() == 0
+
+
+def test_ivfpq_recall_and_completeness(emb):
+    """Composed IVF-PQ: ADC over residual codes within probed lists; the
+    reranked configuration must recover most exact neighbors, and every
+    query gets exactly k rows."""
+    normed = S.normalize(emb)
+    q = normed.filter("vec_id < 10")
+    exact = {(r.query_id, r.neighbor_id) for r in S.cosine_topk(q, normed, k=5).collect()}
+    out = S.ivfpq_topk(
+        q, normed, k=5, n_lists=8, m=16, k_codes=32, n_probe=8, rerank=40
+    )
+    rows = out.collect()
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    per_q = {}
+    for r in rows:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert set(per_q.values()) == {5}
+    assert not any(a == b for a, b in got)
+    # n_probe = n_lists -> no list is ever pruned away for these queries;
+    # recall is then bounded by PQ shortlist quality alone
+    assert len(exact & got) / len(exact) >= 0.7, len(exact & got) / len(exact)
