@@ -165,6 +165,41 @@ def write_partitioned(
     return path
 
 
+def write_with_bloom(
+    df: DataFrame,
+    path: str,
+    bloom_cols: list[str],
+    fpp: float = 0.01,
+    ndv: int | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Parquet write with per-column BLOOM FILTERS — the Spark analog of
+    ClickHouse's ``bloom_filter`` data-skipping index (granule-level skip
+    indexes, declared per column at table creation; the reference's
+    MergeTree tables can carry them).  Parquet stores a split-block bloom
+    per row group; Spark's vectorized reader then skips whole row groups
+    on ``col = literal`` probes that cannot match — the point-lookup
+    complement to min/max sorting, which only helps range-correlated
+    columns.
+
+    ``ndv`` (expected distinct values per row group) sizes the filter;
+    leave None for the writer default.  Costs ~1.2 bytes/value at 1% fpp —
+    negligible next to the data pages it lets a 100 TB scan skip.
+
+    Note: parquet-mr intentionally OMITS the bloom for columns whose row
+    group stayed fully dictionary-encoded (the dictionary already answers
+    membership exactly) — so low-cardinality columns produce no filter
+    bytes, which is correct, not a failure."""
+    w = df.write.mode(mode)
+    for c in bloom_cols:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        w = w.option(f"parquet.bloom.filter.fpp#{c}", str(fpp))
+        if ndv:
+            w = w.option(f"parquet.bloom.filter.expected.ndv#{c}", str(ndv))
+    w.parquet(path)
+    return path
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,

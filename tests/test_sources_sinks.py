@@ -381,3 +381,30 @@ def test_read_csv_accepts_directory(spark, tmp_path):
     (d / "b.csv").write_text("id,val\n2,y\n")
     df, resolved = read_csv(spark, str(d))
     assert resolved.has_header and sorted(r.id for r in df.collect()) == ["1", "2"]
+
+
+def test_write_with_bloom_adds_filters_and_roundtrips(spark, tmp_path):
+    """Bloom-enabled output must carry the filter bytes (file grows by
+    ~1.2 bytes/ndv) and read back identically; the skip behavior itself is
+    the parquet reader's job."""
+    from clickhouse_flatfile_tool_spark.sinks.writers import write_with_bloom
+
+    # high-cardinality column: a fully dictionary-encoded column would
+    # (correctly) carry no bloom — the dictionary already answers
+    # membership
+    df = spark.range(50_000).selectExpr(
+        "id", "concat('user_', CAST(id AS STRING)) AS user"
+    ).coalesce(1)
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloom")
+    df.write.mode("overwrite").parquet(plain)
+    write_with_bloom(df, bloomed, ["user"], fpp=0.01, ndv=50_000)
+
+    import glob
+    import os
+
+    sz = lambda d: sum(os.path.getsize(f) for f in glob.glob(d + "/*.parquet"))
+    grew = sz(bloomed) - sz(plain)
+    assert grew > 2000, f"bloom filter bytes missing (delta={grew})"
+    # read-back correctness with a point probe (the bloom's target shape)
+    got = spark.read.parquet(bloomed).where("user = 'user_123'").count()
+    assert got == 1
