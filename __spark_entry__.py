@@ -1685,6 +1685,19 @@ def q_pq_topk(spark, d):
     return similarity.pq_topk(queries_df, enc, cb, k=5, rerank=50)
 
 
+def q_ivfpq_topk(spark, d):
+    """FAISS-style IVF-PQ composite search (similarity.py::ivfpq_topk):
+    IVF coarse pruning + PQ residual codes + ADC lookup tables + exact
+    rerank of the shortlist.  Rows-only: both quantizers are k-means;
+    recall floor vs exact is pytest-asserted
+    (tests/test_similarity.py::test_ivfpq_recall_and_completeness)."""
+    emb = similarity.normalize(_t(spark, d, "embeddings"))
+    queries_df = emb.filter("vec_id < 10")
+    return similarity.ivfpq_topk(
+        queries_df, emb, k=5, n_lists=8, m=16, k_codes=32, n_probe=4, rerank=40
+    )
+
+
 def q_dedup_policy(spark, d):
     """Survivorship-policy exact dedup (dedup.py::exact_dedup_by_policy,
     'longest' policy): keep the longest raw text per normalized-text
@@ -2530,6 +2543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (k-means codebooks); parked past the window edge with
         # the other deferred rows-only entries, re-rotates next round
         "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         "stream_near_dedup": q_stream_near_dedup,
         # never-driver-checked rows-only entries stay ABOVE the proven
         # stream refreshers so every unproven entry sits inside the 50-slot

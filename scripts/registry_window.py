@@ -39,7 +39,7 @@ DEFERRED = {
     # jpeg_meta): hash-green > ran-clean for the contested slots
     "embedding_dedup_lsh", "simhash_verified", "ann_ivf_topk",
     # new rows-only this session; pytest recall floors, re-rotates next round
-    "pq_topk",
+    "pq_topk", "ivfpq_topk",
     # new rows-only this session; pytest batch-equivalence + suppression
     "stream_near_dedup",
 }
