@@ -471,11 +471,13 @@ def window_funnel(
     key_col: str = "user_id",
     ts_col: str = "ts",
     tiebreak_col: str = "event_id",
+    mode: str | list[str] | None = None,
 ) -> DataFrame:
-    """ClickHouse ``windowFunnel(window)(ts, cond1, cond2, …)`` analog: per
-    key, the maximum number of CONSECUTIVE funnel steps completed by any
-    event chain whose events (a) occur in strict ``(ts, tiebreak)`` order
-    and (b) all fall within ``window_seconds`` of the chain's FIRST event.
+    """ClickHouse ``windowFunnel(window[, mode])(ts, cond1, cond2, …)``
+    analog: per key, the maximum number of CONSECUTIVE funnel steps
+    completed by any event chain whose events (a) occur in strict
+    ``(ts, tiebreak)`` order and (b) all fall within ``window_seconds``
+    of the chain's FIRST event.
 
     Level semantics match ClickHouse's default mode: level ≥ 1 iff any
     event satisfies step 1; level ≥ k iff some step-1 event starts a chain
@@ -485,12 +487,28 @@ def window_funnel(
     earliest opportunity dominates), which is what makes the result
     equal to the SQL EXISTS-chain oracle.
 
+    ``mode`` accepts ClickHouse's strict variants (singly or combined):
+
+    * ``strict_order`` — any in-window event that is NOT the next expected
+      step interrupts the chain (A→B→D→C stops at D with level 2)
+    * ``strict_dedup`` — an in-window repeat of an ALREADY-matched
+      condition interrupts the chain
+    * ``strict_increase`` — matched events must have strictly increasing
+      timestamps (equal-timestamp candidates are skipped, not fatal)
+
     Scale shape: one shuffle keyed by ``key_col`` (same bound as
     sequence_match above and as ClickHouse's own windowFunnel, which also
     materializes each key's events); the per-start greedy scan is a
     built-in ``transform``+``aggregate`` over the sorted struct array —
     O(per-key-events²) worst case, all inside codegen, no UDF.
     """
+    modes = {mode} if isinstance(mode, str) else set(mode or [])
+    unknown = modes - {"strict_order", "strict_dedup", "strict_increase"}
+    if unknown:
+        raise ValueError(f"unknown windowFunnel mode(s): {sorted(unknown)}")
+    strict_order = "strict_order" in modes
+    strict_dedup = "strict_dedup" in modes
+    strict_increase = "strict_increase" in modes
     n = len(steps)
     if not 1 <= n <= 9:
         raise ValueError("window_funnel supports 1-9 steps")
@@ -518,8 +536,57 @@ def window_funnel(
         return F.pow(F.lit(2.0), level_col.cast("double")).cast("int")
 
     evs = F.col("evs")
+
     # for each start position i whose event satisfies step 1, greedily
-    # advance through the tail while inside [t_i, t_i + window]
+    # advance through the tail while inside [t_i, t_i + window].  State
+    # carries (lvl, deadline, frozen, last-matched-t) so the strict modes
+    # can interrupt (fz) or gate on timestamp monotonicity (lt).
+    def fold_step(acc, ev):
+        in_window = ev.getField("t") <= acc.getField("dl")
+        can_advance = (
+            (acc.getField("fz") == 0)
+            & (acc.getField("lvl") < n)
+            & in_window
+            & (ev.getField("m").bitwiseAND(bit(acc.getField("lvl"))) != 0)
+        )
+        if strict_increase:
+            can_advance = can_advance & (ev.getField("t") > acc.getField("lt"))
+        advanced = F.struct(
+            (acc.getField("lvl") + 1).alias("lvl"),
+            acc.getField("dl").alias("dl"),
+            acc.getField("fz").alias("fz"),
+            ev.getField("t").alias("lt"),
+        )
+        frozen = F.struct(
+            acc.getField("lvl").alias("lvl"),
+            acc.getField("dl").alias("dl"),
+            F.lit(1).cast("int").alias("fz"),
+            acc.getField("lt").alias("lt"),
+        )
+        out = F.when(can_advance, advanced)
+        if strict_order:
+            # any other in-window event interrupts (unless the funnel is
+            # already complete) — strict_increase skips, so an
+            # equal-timestamp next-step event is NOT an interruption there
+            interrupts = in_window & (acc.getField("lvl") < n)
+            if strict_increase:
+                interrupts = interrupts & ~(
+                    (ev.getField("m").bitwiseAND(bit(acc.getField("lvl"))) != 0)
+                    & (ev.getField("t") <= acc.getField("lt"))
+                )
+            out = out.when(interrupts, frozen)
+        if strict_dedup:
+            # in-window repeat of an already-matched condition interrupts;
+            # matched steps are 0..lvl-1 = mask (2^lvl − 1)
+            matched_mask = (bit(acc.getField("lvl")) - F.lit(1)).cast("int")
+            out = out.when(
+                in_window
+                & (acc.getField("lvl") < n)
+                & (ev.getField("m").bitwiseAND(matched_mask) != 0),
+                frozen,
+            )
+        return out.otherwise(acc)
+
     start_levels = F.transform(
         evs,
         lambda s, i: F.when(
@@ -529,16 +596,10 @@ def window_funnel(
                 F.struct(
                     F.lit(1).cast("int").alias("lvl"),
                     (s.getField("t") + F.lit(int(window_seconds) * 1_000_000)).alias("dl"),
+                    F.lit(0).cast("int").alias("fz"),
+                    s.getField("t").alias("lt"),
                 ),
-                lambda acc, ev: F.when(
-                    (acc.getField("lvl") < n)
-                    & (ev.getField("t") <= acc.getField("dl"))
-                    & (ev.getField("m").bitwiseAND(bit(acc.getField("lvl"))) != 0),
-                    F.struct(
-                        (acc.getField("lvl") + 1).alias("lvl"),
-                        acc.getField("dl").alias("dl"),
-                    ),
-                ).otherwise(acc),
+                fold_step,
             ).getField("lvl"),
         ).otherwise(F.lit(0)),
     )

@@ -294,3 +294,44 @@ def test_sequence_count_non_overlapping(spark):
         ).collect()
     }
     assert out == {1: 2, 2: 1, 3: 0}
+
+
+def test_window_funnel_strict_modes(spark):
+    from clickhouse_flatfile_tool_spark.operators.events import window_funnel
+
+    steps = ["ev = 'A'", "ev = 'B'", "ev = 'C'"]
+
+    def run(rows, mode=None):
+        df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, ev string")
+        out = window_funnel(df, 3600, steps, mode=mode).collect()
+        return {r.user_id: r.level for r in out}
+
+    from datetime import datetime
+
+    t = lambda s: datetime(2024, 1, 1, 10, 0, s)
+    # user 1: A, D, B, C — D between A and B
+    rows1 = [(1, i, t(i * 10), e) for i, e in enumerate(["A", "D", "B", "C"])]
+    assert run(rows1)[1] == 3                      # default: D ignored
+    assert run(rows1, "strict_order")[1] == 1      # D interrupts after A
+    # user 2: A, B, C clean — all modes give 3
+    rows2 = [(2, i, t(i * 10), e) for i, e in enumerate(["A", "B", "C"])]
+    for m in (None, "strict_order", "strict_dedup", "strict_increase"):
+        assert run(rows2, m)[2] == 3, m
+    # user 3: A, A, B, C — repeated step-1 event
+    rows3 = [(3, i, t(i * 10), e) for i, e in enumerate(["A", "A", "B", "C"])]
+    assert run(rows3)[3] == 3                      # default: repeat harmless
+    # strict_dedup: the first chain (start at event 0) is interrupted by
+    # the second A, but the chain STARTING at the second A runs clean
+    assert run(rows3, "strict_dedup")[3] == 3
+    # user 4: A, B, A, C — repeat of matched step 1 after B
+    rows4 = [(4, i, t(i * 10), e) for i, e in enumerate(["A", "B", "A", "C"])]
+    assert run(rows4)[4] == 3
+    assert run(rows4, "strict_dedup")[4] == 2      # second A interrupts at level 2
+    # user 5: A and B share a timestamp
+    rows5 = [(5, 0, t(0), "A"), (5, 1, t(0), "B"), (5, 2, t(20), "C")]
+    assert run(rows5)[5] == 3                      # default: ties advance
+    assert run(rows5, "strict_increase")[5] == 1   # equal ts never matches B...
+    # ...but a later B recovers the chain (skip, not interrupt):
+    # A(t0) -> B(t10) -> C(t20), strictly increasing all the way
+    rows5b = rows5 + [(5, 3, t(10), "B")]
+    assert run(rows5b, "strict_increase")[5] == 3
