@@ -184,3 +184,34 @@ def execute_join(
     dfs = [spark.table(t) for t in tables]
     joined = relational.chain_join(dfs, join_conditions, how=how)
     return relational.project(joined, selected_columns)
+
+
+def query(
+    spark: SparkSession,
+    sql: str,
+    page: int = 1,
+    page_size: int = relational.DEFAULT_PAGE_SIZE,
+) -> dict:
+    """Run ClickHouse-dialect SQL against the session catalog — the analog
+    of the reference delegating user SQL strings to ClickHouse over HTTP
+    (every endpoint builds ClickHouse SQL, e.g. server.js:444-470): the
+    statement goes through ``dialect.translate_clickhouse_sql`` and
+    executes on Spark.  Results are page-clamped like ``preview`` so the
+    driver never materializes an unbounded result (the reference collects
+    everything, SURVEY §2.11)."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    try:
+        translated = translate_clickhouse_sql(sql)
+        df = spark.sql(translated)
+        size = max(1, min(int(page_size), relational.MAX_PAGE_SIZE))
+        offset = (max(1, int(page)) - 1) * size
+        rows = df.offset(offset).limit(size).collect()
+        return {
+            "success": True,
+            "translated_sql": translated,
+            "data": [r.asDict() for r in rows],
+            "pagination": {"page": max(1, int(page)), "pageSize": size},
+        }
+    except Exception as e:  # noqa: BLE001
+        return error_payload(e)

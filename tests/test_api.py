@@ -115,3 +115,24 @@ def test_analyze_table_feeds_cbo_stats(spark, tables, tmp_path):
     assert stats.get("row_count") == tables["nation"].count()
     assert stats.get("size_bytes", 0) > 0
     spark.sql("DROP TABLE nation_stats_t")
+
+
+def test_query_endpoint_runs_clickhouse_sql(spark):
+    from clickhouse_flatfile_tool_spark import api
+    from clickhouse_flatfile_tool_spark.sinks.writers import bootstrap_sample_data
+
+    bootstrap_sample_data(spark, "q_sample")
+    out = api.query(
+        spark,
+        "SELECT uniqExact(id) AS u, arraySum([1, 2, 3]) AS s FROM q_sample",
+    )
+    assert out["success"], out
+    assert "count(DISTINCT" in out["translated_sql"]
+    assert out["data"][0]["s"] == 6.0 and out["data"][0]["u"] >= 1
+    # paging clamps and offsets deterministically with an ORDER BY
+    p1 = api.query(spark, "SELECT id FROM q_sample ORDER BY id", page=1, page_size=2)
+    p2 = api.query(spark, "SELECT id FROM q_sample ORDER BY id", page=2, page_size=2)
+    assert len(p1["data"]) == 2 and p1["data"][0]["id"] < p2["data"][0]["id"]
+    # errors come back in the reference envelope, not as exceptions
+    bad = api.query(spark, "SELECT definitely_not_a_col FROM q_sample")
+    assert bad["success"] is False and "error" in bad
