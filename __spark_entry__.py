@@ -28,6 +28,7 @@ from clickhouse_flatfile_tool_spark.operators import (
     mergetree,
     multimodal,
     relational,
+    retrieval,
     sampling,
     similarity,
     text,
@@ -1617,6 +1618,41 @@ def q_any_join(spark, d):
     )
 
 
+def q_bm25_rank(spark, d):
+    """Okapi BM25 keyword scoring (retrieval.py::bm25_scores): every doc
+    matching any of the query terms with its exact BM25 score — corpus
+    stats (N, avgdl, per-term df) via broadcast 1-row/|terms|-row
+    aggregates, one doc-keyed tf shuffle, zero UDFs.  All matching docs
+    are returned (no top-k cutoff) so the oracle compare is immune to
+    knife-edge rank boundaries."""
+    docs = _t(spark, d, "documents")
+    out = retrieval.bm25_scores(docs, ["vector", "hash", "join"])
+    return out.select(
+        "doc_id",
+        F.round("bm25", 6).alias("bm25"),
+        F.col("n_terms_matched").cast("long").alias("n_terms_matched"),
+    )
+
+
+def q_hybrid_rrf(spark, d):
+    """Hybrid search via Reciprocal Rank Fusion (retrieval.py::rrf_fuse):
+    BM25 keyword ranks ⊕ embedding-cosine ranks (query = vec 0's
+    embedding; vec_id ↔ doc_id in the fixture), fused as
+    Σ 1/(60 + rank) and cut to the top 20.  Fully deterministic and
+    SQL-expressible — the oracle recomputes both rank lists and the
+    fusion from scratch."""
+    docs = _t(spark, d, "documents")
+    emb = _t(spark, d, "embeddings")
+    bm = retrieval.bm25_topk(docs, ["vector", "hash", "join"], k=50).select(
+        "doc_id", "bm25"
+    )
+    qv = emb.filter("vec_id = 0")
+    cos = similarity.cosine_topk(qv, emb, k=50).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("cos_sim")
+    )
+    return retrieval.rrf_fuse(bm, cos, k=20)
+
+
 def q_canonical_dedup(spark, d):
     """Canonical-URL crawl dedup (text.py::canonical_url): four synthetic
     fetch-variants per resource (tracking params, WWW/case, trailing
@@ -2531,6 +2567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_pairs": q_fuzzy_pairs,
         "any_join": q_any_join,
         "jpeg_meta": q_jpeg_meta,
+        "bm25_rank": q_bm25_rank,
+        "hybrid_rrf": q_hybrid_rrf,
         # --- tier 2: never driver-checked, rows-only by design.
         # embedding_dedup_lsh/simhash_verified displaced past the window
         # edge by the two tier-1d oracled entries (hash-green > ran-clean;
@@ -3882,6 +3920,62 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
             "  FROM cos) "
             "SELECT query_id, neighbor_id, round(c, 6) AS cos_sim "
             "FROM ranked WHERE rk <= 5"
+        ),
+        "bm25_rank": (
+            "WITH b2 AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w "
+            "  FROM documents), "
+            "b3 AS (SELECT doc_id, w, len(w) AS dl FROM b2), "
+            "stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM b3), "
+            "toks AS (SELECT doc_id, dl, unnest(w) AS t FROM b3), "
+            "ft AS (SELECT * FROM toks WHERE t IN ('vector', 'hash', 'join')), "
+            "dfreq AS (SELECT t, count(DISTINCT doc_id) AS df FROM ft GROUP BY t), "
+            "tf AS (SELECT doc_id, t, count(*) AS tf, max(dl) AS dl "
+            "  FROM ft GROUP BY doc_id, t), "
+            "sc AS (SELECT doc_id, "
+            "  ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * 2.2) "
+            "  / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS ts "
+            "  FROM tf JOIN dfreq USING (t) CROSS JOIN stats) "
+            "SELECT doc_id, round(sum(ts), 6) AS bm25, "
+            "count(*)::BIGINT AS n_terms_matched FROM sc GROUP BY doc_id"
+        ),
+        "hybrid_rrf": (
+            # replicates the Spark pipeline exactly: top-50 cuts on RAW
+            # scores (id tiebreak), ranks on the ROUNDED scores the
+            # retrievers emit, fusion on 1/(60+rank)
+            "WITH b2 AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w "
+            "  FROM documents), "
+            "b3 AS (SELECT doc_id, w, len(w) AS dl FROM b2), "
+            "stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM b3), "
+            "toks AS (SELECT doc_id, dl, unnest(w) AS t FROM b3), "
+            "ft AS (SELECT * FROM toks WHERE t IN ('vector', 'hash', 'join')), "
+            "dfreq AS (SELECT t, count(DISTINCT doc_id) AS df FROM ft GROUP BY t), "
+            "tf AS (SELECT doc_id, t, count(*) AS tf, max(dl) AS dl "
+            "  FROM ft GROUP BY doc_id, t), "
+            "sc AS (SELECT doc_id, "
+            "  ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * 2.2) "
+            "  / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS ts "
+            "  FROM tf JOIN dfreq USING (t) CROSS JOIN stats), "
+            "bm AS (SELECT doc_id, sum(ts) AS raw FROM sc GROUP BY doc_id), "
+            "bmtop AS (SELECT doc_id, round(raw, 6) AS bm25 FROM bm "
+            "  ORDER BY raw DESC, doc_id LIMIT 50), "
+            "bmr AS (SELECT doc_id, row_number() OVER "
+            "  (ORDER BY bm25 DESC, doc_id) AS ra FROM bmtop), "
+            "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
+            "u AS (SELECT c.vec_id AS doc_id, unnest(q.qe)::DOUBLE AS x, "
+            "  unnest(c.embedding)::DOUBLE AS y FROM q CROSS JOIN embeddings c "
+            "  WHERE c.vec_id <> 0), "
+            "cosall AS (SELECT doc_id, "
+            "  sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS raw "
+            "  FROM u GROUP BY doc_id), "
+            "costop AS (SELECT doc_id, round(raw, 6) AS cs FROM cosall "
+            "  ORDER BY raw DESC, doc_id LIMIT 50), "
+            "cosr AS (SELECT doc_id, row_number() OVER "
+            "  (ORDER BY cs DESC, doc_id) AS rb FROM costop), "
+            "fused AS (SELECT doc_id, "
+            "  coalesce(1.0 / (60 + ra), 0) + coalesce(1.0 / (60 + rb), 0) AS rrf "
+            "  FROM bmr FULL JOIN cosr USING (doc_id)) "
+            "SELECT doc_id, round(rrf, 6) AS rrf FROM fused "
+            "ORDER BY rrf DESC, doc_id LIMIT 20"
         ),
         "fuzzy_pairs": (
             # brute-force: the oracle intentionally ignores the candidate

@@ -36,8 +36,13 @@ DEFERRED = {
     "embedding_clusters", "pagerank_docs", "pipeline_curation",
     "stream_quality_gate",
     # displaced by the tier-1d oracled entries (fuzzy_pairs/any_join/
-    # jpeg_meta): hash-green > ran-clean for the contested slots
+    # jpeg_meta/bm25_rank/hybrid_rrf): hash-green > ran-clean for the
+    # contested slots
     "embedding_dedup_lsh", "simhash_verified", "ann_ivf_topk",
+    "hll_rollup",
+    # 51st oracled entry — one past the 50-slot window; selfcheck-green
+    # at sf0.01, first in line for the round-4 window
+    "hybrid_rrf",
     # new rows-only this session; pytest recall floors, re-rotates next round
     "pq_topk", "ivfpq_topk",
     # new rows-only this session; pytest batch-equivalence + suppression
