@@ -1618,6 +1618,14 @@ def q_any_join(spark, d):
     )
 
 
+def q_ccnet_buckets(spark, d):
+    """CCNet head/middle/tail quality buckets (text.py::ccnet_buckets):
+    per-language ntile(3) over the oracle-proven rounded unigram
+    surprisal, id tiebreak — the keep/down-weight/drop split of the CCNet
+    curation pipeline, engine-reproducible by construction."""
+    return text.ccnet_buckets(_t(spark, d, "documents"))
+
+
 def q_bm25_rank(spark, d):
     """Okapi BM25 keyword scoring (retrieval.py::bm25_scores): every doc
     matching any of the query terms with its exact BM25 score — corpus
@@ -2569,6 +2577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_meta": q_jpeg_meta,
         "bm25_rank": q_bm25_rank,
         "hybrid_rrf": q_hybrid_rrf,
+        "ccnet_buckets": q_ccnet_buckets,
         # --- tier 2: never driver-checked, rows-only by design.
         # embedding_dedup_lsh/simhash_verified displaced past the window
         # edge by the two tier-1d oracled entries (hash-green > ran-clean;
@@ -3921,6 +3930,19 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
             "SELECT query_id, neighbor_id, round(c, 6) AS cos_sim "
             "FROM ranked WHERE rk <= 5"
         ),
+        "ccnet_buckets": (
+            "WITH toks AS (SELECT doc_id, unnest({WORDS}) AS w FROM documents), "
+            "freqs AS (SELECT w, count(*) AS wf FROM toks GROUP BY w), "
+            "tot AS (SELECT sum(wf) AS tot FROM freqs), "
+            "s AS (SELECT doc_id, round(avg(-ln(wf / tot)), 6) AS sur "
+            "  FROM toks JOIN freqs USING (w) CROSS JOIN tot GROUP BY doc_id), "
+            "t AS (SELECT d.doc_id, d.lang, s.sur, "
+            "  ntile(3) OVER (PARTITION BY d.lang ORDER BY s.sur, d.doc_id) AS b "
+            "  FROM documents d JOIN s ON d.doc_id = s.doc_id) "
+            "SELECT doc_id, lang, sur AS surprisal, "
+            "CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket "
+            "FROM t"
+        ).format(WORDS=_WORDS),
         "bm25_rank": (
             "WITH b2 AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w "
             "  FROM documents), "

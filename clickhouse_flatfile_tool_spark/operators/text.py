@@ -991,3 +991,44 @@ def cdc_chunks(
         ).alias("chunk_text"),
         (F.col("sp.e") - F.col("sp.s") + 1).cast("long").alias("n_tokens"),
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    rank documents PER LANGUAGE by unigram surprisal (the LM-perplexity
+    stand-in, :func:`unigram_surprisal`) and split each language into
+    equal head / middle / tail thirds — head = closest to the corpus
+    distribution = the slice CCNet keeps for training, tail = the noisy
+    slice that gets dropped or down-weighted.
+
+    Ranking uses the ROUNDED (6 dp) score with an id tiebreak so bucket
+    boundaries are engine-reproducible: the per-doc rounded surprisal is
+    already oracle-proven identical, so ntile over (rounded, id) is too.
+    Shape: the surprisal passes (vocab-sized model tables) + one ntile
+    window per language partition — shuffle keyed by language; at corpus
+    scale partition-skew by language is the known cost and the window
+    carries only (id, score) pairs.
+    """
+    from pyspark.sql import Window
+
+    s = unigram_surprisal(df, id_col, text_col)
+    joined = df.select(F.col(id_col), F.col(lang_col)).join(s, id_col)
+    w = Window.partitionBy(lang_col).orderBy(
+        F.round("mean_surprisal", 6).asc(), F.col(id_col).asc()
+    )
+    tile = F.ntile(3).over(w)
+    return joined.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.round("mean_surprisal", 6).alias("surprisal"),
+        F.when(tile == 1, F.lit("head"))
+        .when(tile == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

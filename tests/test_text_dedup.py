@@ -791,3 +791,23 @@ def test_edit_distance_pairs_planted_variants(spark):
     got = {(r.id_a, r.id_b): r.dist for r in edit_distance_pairs(df, "doc_id", "s", 1).collect()}
     assert got[(0, 1)] == 0 and got[(0, 2)] == 1 and got[(0, 3)] == 1
     assert not any(4 in pair for pair in got)
+
+
+def test_ccnet_buckets_thirds_and_ordering(spark, tables):
+    from clickhouse_flatfile_tool_spark.operators.text import ccnet_buckets
+
+    out = ccnet_buckets(tables["documents"]).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rows in by_lang.items():
+        counts = {"head": 0, "middle": 0, "tail": 0}
+        for r in rows:
+            counts[r.bucket] += 1
+        # ntile thirds: sizes differ by at most 1
+        assert max(counts.values()) - min(counts.values()) <= 1, (lang, counts)
+        # every head doc scores <= every tail doc within the language
+        heads = [r.surprisal for r in rows if r.bucket == "head"]
+        tails = [r.surprisal for r in rows if r.bucket == "tail"]
+        if heads and tails:
+            assert max(heads) <= min(tails), lang
