@@ -109,6 +109,10 @@ BENCH_QUERIES = [
     "any_join",
     "pq_topk",
     "shared_spans",
+    "bm25_rank",
+    "hybrid_rrf",
+    "ccnet_buckets",
+    "jpeg_meta",
 ]
 
 
