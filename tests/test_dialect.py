@@ -552,6 +552,13 @@ def test_array_literal_rewrite(spark):
     )
     # chained access, qualified columns, negative (from-end) index
     assert tr("SELECT a.b[1][2]") == "SELECT element_at(element_at(a.b, 1), 2)"
+    # map access (string-literal key survives masking), lambda bodies,
+    # function-result indexing
+    assert tr("SELECT m['k'] FROM t") == "SELECT element_at(m, 'k') FROM t"
+    assert tr("SELECT ['a', 'b'][1]") == "SELECT element_at(array('a', 'b'), 1)"
+    assert tr("SELECT arrayMap(x -> x[1], arr)") == (
+        "SELECT transform(arr, x -> element_at(x, 1))"
+    )
     row = spark.sql(
         tr("SELECT [10, 20, 30][2] AS v, [10, 20, 30][-1] AS w, "
            "arraySum([1.5, 2.5]) AS s, [[7], [8]][2][1] AS n")
