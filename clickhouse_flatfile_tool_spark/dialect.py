@@ -547,6 +547,10 @@ def _rewrite_curried_quantiles(chunk: str) -> str:
         ("quantileTiming", False, "approx_percentile"),
         ("quantileBFloat16", False, "approx_percentile"),
         ("quantileDeterministic", False, "approx_percentile"),
+        # weighted exact: (x, w) inner args — Spark percentile's 3rd
+        # argument is the integral frequency, exactly CH's weight
+        ("quantilesExactWeighted", True, "percentile#w"),
+        ("quantileExactWeighted", False, "percentile#w"),
         ("quantilesExact", True, "percentile"),
         ("quantileExact", False, "percentile"),
         ("quantiles", True, "percentile"),
@@ -563,7 +567,14 @@ def _rewrite_curried_quantiles(chunk: str) -> str:
             probs = chunk[m.end() : p_end - 1]
             arg = chunk[p_end + 1 : x_end - 1]
             probs_sql = f"array({probs})" if as_array else probs
-            repl = f"{fn}({arg}, {probs_sql})"
+            if fn.endswith("#w"):
+                inner = _split_top_comma(arg)
+                if len(inner) != 2:
+                    m = pat.search(chunk, x_end)  # wrong arity: pass through
+                    continue
+                repl = f"{fn[:-2]}({inner[0]}, {probs_sql}, {inner[1]})"
+            else:
+                repl = f"{fn}({arg}, {probs_sql})"
             chunk = chunk[: m.start()] + repl + chunk[x_end:]
             m = pat.search(chunk, m.start() + len(repl))
     return chunk
@@ -723,6 +734,34 @@ def _rewrite_misc_calls(chunk: str) -> str:
         )
 
     chunk = _rewrite_call(chunk, "arrayAvg", avg_make)
+
+    def diff_make(args):
+        # arrayDifference([a1,a2,a3]) = [0, a2-a1, a3-a2]: element-wise
+        # subtract against the right-shifted array (references the
+        # argument 3× — fine for column-backed arrays, the documented
+        # intDiv-style caveat)
+        if len(args) != 1:
+            return None
+        a = args[0]
+        return (
+            f"zip_with({a}, concat(slice({a}, 1, 1), "
+            f"slice({a}, 1, size({a}) - 1)), (a, b) -> a - b)"
+        )
+
+    chunk = _rewrite_call(chunk, "arrayDifference", diff_make)
+
+    def compact_make(args):
+        # arrayCompact: drop CONSECUTIVE duplicates (keep the first of
+        # each run) — filter on (value, index) pairs vs the predecessor
+        if len(args) != 1:
+            return None
+        a = args[0]
+        return (
+            f"transform(filter(transform({a}, (v, i) -> struct(v AS v, i AS i)), "
+            f"s -> s.i = 0 OR NOT s.v <=> element_at({a}, s.i)), s -> s.v)"
+        )
+
+    chunk = _rewrite_call(chunk, "arrayCompact", compact_make)
 
     for name, unit in _DATE_ADD_UNITS.items():
         sign = "-" if name.startswith("subtract") else ""

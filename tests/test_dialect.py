@@ -564,3 +564,23 @@ def test_array_literal_rewrite(spark):
            "arraySum([1.5, 2.5]) AS s, [[7], [8]][2][1] AS n")
     ).first()
     assert row.v == 20 and row.w == 30 and row.s == 4.0 and row.n == 8
+
+
+def test_array_difference_compact_weighted_quantiles(spark):
+    row = spark.sql(
+        "SELECT "
+        + tr("arrayDifference([1, 4, 9, 16])") + " AS d, "
+        + tr("arrayCompact([1, 1, 2, 2, 2, 3, 1])") + " AS c"
+    ).first()
+    assert row.d == [0, 3, 5, 7]          # first element 0, CH convention
+    assert row.c == [1, 2, 3, 1]          # consecutive dups only
+    m = spark.sql(
+        tr("SELECT quantileExactWeighted(0.5)(x, w) AS m "
+           "FROM (SELECT 1 x, 1 w UNION ALL SELECT 10, 9 UNION ALL SELECT 3, 2)")
+    ).first()
+    assert m.m == 10.0                    # weight-expanded exact median
+    q = spark.sql(
+        tr("SELECT quantilesExactWeighted(0.25, 0.75)(x, w) AS q "
+           "FROM (SELECT 1 x, 3 w UNION ALL SELECT 10, 1)")
+    ).first()
+    assert q.q == [1.0, 3.25]
