@@ -1626,6 +1626,20 @@ def q_ccnet_buckets(spark, d):
     return text.ccnet_buckets(_t(spark, d, "documents"))
 
 
+def q_nb_quality(spark, d):
+    """Model-based quality filter (text.py::nb_classifier_scores): a
+    fastText-style linear classifier trained closed-form as hash-bucketed
+    naive Bayes (positive class = English docs) and applied as a broadcast
+    probe — training is two aggregations, deployment one join, and the
+    whole thing (training included) hash-matches the SQL oracle."""
+    out = text.nb_classifier_scores(_t(spark, d, "documents"), "lang = 'en'")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("nb_score", 6).alias("nb_score"),
+    )
+
+
 def q_bm25_rank(spark, d):
     """Okapi BM25 keyword scoring (retrieval.py::bm25_scores): every doc
     matching any of the query terms with its exact BM25 score — corpus
@@ -2578,6 +2592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rank": q_bm25_rank,
         "hybrid_rrf": q_hybrid_rrf,
         "ccnet_buckets": q_ccnet_buckets,
+        "nb_quality": q_nb_quality,
         # --- tier 2: never driver-checked, rows-only by design.
         # embedding_dedup_lsh/simhash_verified displaced past the window
         # edge by the two tier-1d oracled entries (hash-green > ran-clean;
@@ -3930,6 +3945,23 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
             "SELECT query_id, neighbor_id, round(c, 6) AS cos_sim "
             "FROM ranked WHERE rk <= 5"
         ),
+        "nb_quality": (
+            "WITH toks AS (SELECT doc_id, lang = 'en' AS p, "
+            "  substring(md5(w), 1, 2) AS b FROM "
+            "  (SELECT doc_id, lang, unnest({WORDS}) AS w FROM documents)), "
+            "prior AS (SELECT ln(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) "
+            "  / sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)) AS pr FROM documents), "
+            "counts AS (SELECT b, sum(CASE WHEN p THEN 1 ELSE 0 END) AS cp, "
+            "  sum(CASE WHEN p THEN 0 ELSE 1 END) AS cn FROM toks GROUP BY b), "
+            "tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn FROM counts), "
+            "model AS (SELECT b, ln((cp + 1.0) / (tp + 256.0)) "
+            "  - ln((cn + 1.0) / (tn + 256.0)) AS lo "
+            "  FROM counts CROSS JOIN tot) "
+            "SELECT doc_id, count(*)::BIGINT AS n_tokens, "
+            "round(pr + sum(lo), 6) AS nb_score "
+            "FROM toks JOIN model USING (b) CROSS JOIN prior "
+            "GROUP BY doc_id, pr"
+        ).format(WORDS=_WORDS),
         "ccnet_buckets": (
             "WITH toks AS (SELECT doc_id, unnest({WORDS}) AS w FROM documents), "
             "freqs AS (SELECT w, count(*) AS wf FROM toks GROUP BY w), "

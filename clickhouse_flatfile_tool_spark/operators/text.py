@@ -1032,3 +1032,76 @@ def ccnet_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def nb_classifier_scores(
+    df: DataFrame,
+    positive: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hex_chars: int = 2,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """fastText-style LINEAR quality classifier, trained closed-form as
+    hash-bucketed multinomial naive Bayes — the model-based filter stage
+    of DCLM/FineWeb-class pipelines (score docs with a cheap linear text
+    classifier, keep the high scorers).  ``positive`` is a SQL boolean
+    over the row defining the positive class (e.g. ``"lang = 'en'"``).
+
+    score(doc) = log(N⁺/N⁻) + Σ_w [log p(bucket(w)|+) − log p(bucket(w)|−)]
+
+    exactly the log-odds a multinomial NB classifier computes, and a
+    linear model over hashed bag-of-words features — the same hypothesis
+    class fastText-supervised fits by SGD, except training here IS two
+    bucket-count aggregations (one corpus pass, vocabulary-sized model,
+    no gradient loop) and deployment is a broadcast probe join.  Buckets
+    are md5-hex prefixes (:func:`dsir_weights` convention) so the whole
+    computation — training included — is engine-portable and
+    oracle-checkable.  Returns ``(id, n_tokens, nb_score)``; docs with
+    zero tokens are absent.
+
+    Scale shape: two O(16^hex_chars)-row class-conditional count tables +
+    one 1-row prior aggregate, broadcast; one exploded-token probe join
+    with a per-doc sum (map-side combined).  Nothing wider than
+    (doc, bucket) ever shuffles.
+    """
+    width = 16 ** hex_chars
+    pos = F.expr(positive)
+    toks = df.select(
+        F.col(id_col),
+        pos.alias("__pos"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), _WS_SPLIT)).alias("w"),
+    ).select(
+        F.col(id_col), "__pos", F.substring(F.md5("w"), 1, hex_chars).alias("b")
+    )
+    prior = df.select(
+        F.log(
+            F.sum(F.when(pos, 1).otherwise(0))
+            / F.sum(F.when(pos, 0).otherwise(1))
+        ).alias("__prior")
+    )
+    counts = toks.groupBy("b").agg(
+        F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("cp"),
+        F.sum(F.when(F.col("__pos"), 0).otherwise(1)).alias("cn"),
+    )
+    totals = counts.agg(
+        F.sum("cp").alias("tp"), F.sum("cn").alias("tn")
+    )
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("cp") + F.lit(smoothing)) / (F.col("tp") + F.lit(smoothing * width)))
+            - F.log((F.col("cn") + F.lit(smoothing)) / (F.col("tn") + F.lit(smoothing * width)))
+        ).alias("lo"),
+    )
+    return (
+        toks.join(F.broadcast(model), "b")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lo").alias("__slo"))
+        .crossJoin(F.broadcast(prior))
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("__prior") + F.col("__slo")).alias("nb_score"),
+        )
+    )

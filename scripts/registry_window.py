@@ -40,9 +40,9 @@ DEFERRED = {
     # contested slots
     "embedding_dedup_lsh", "simhash_verified", "ann_ivf_topk",
     "hll_rollup",
-    # 51st/52nd oracled entries — just past the 50-slot window;
-    # selfcheck-green at sf0.01, first in line for the round-4 window
-    "hybrid_rrf", "ccnet_buckets",
+    # oracled entries just past the 50-slot window; selfcheck-green at
+    # sf0.01, first in line for the round-4 window
+    "hybrid_rrf", "ccnet_buckets", "nb_quality",
     # new rows-only this session; pytest recall floors, re-rotates next round
     "pq_topk", "ivfpq_topk",
     # new rows-only this session; pytest batch-equivalence + suppression

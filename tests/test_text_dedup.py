@@ -811,3 +811,34 @@ def test_ccnet_buckets_thirds_and_ordering(spark, tables):
         tails = [r.surprisal for r in rows if r.bucket == "tail"]
         if heads and tails:
             assert max(heads) <= min(tails), lang
+
+
+def test_nb_classifier_separates_positive_class(spark, tables):
+    """The closed-form NB scorer must rank its own positive class higher —
+    the sanity a deployed quality classifier needs (trained and applied on
+    the same corpus here, so separation is expected, not incidental)."""
+    from clickhouse_flatfile_tool_spark.operators.text import nb_classifier_scores
+
+    docs = tables["documents"]
+    out = nb_classifier_scores(docs, "lang = 'en'")
+    scored = out.join(docs.select("doc_id", "lang"), "doc_id").collect()
+    pos = [r.nb_score for r in scored if r.lang == "en"]
+    neg = [r.nb_score for r in scored if r.lang != "en"]
+    assert pos and neg
+    assert sum(pos) / len(pos) > sum(neg) / len(neg)
+    # the fixture languages share one word palette, so only the class MEANS
+    # separate there; on a corpus with disjoint vocabularies the classifier
+    # must be near-perfect at threshold 0
+    rows = [(i, "en", "alpha beta gamma delta " * 3) for i in range(30)] + [
+        (i + 30, "xx", "omega sigma tau rho " * 3) for i in range(30)
+    ]
+    sep = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    sep_scored = (
+        nb_classifier_scores(sep, "lang = 'en'")
+        .join(sep.select("doc_id", "lang"), "doc_id")
+        .collect()
+    )
+    acc = sum(
+        1 for r in sep_scored if (r.nb_score > 0) == (r.lang == "en")
+    ) / len(sep_scored)
+    assert acc == 1.0, acc
