@@ -1626,6 +1626,32 @@ def q_ccnet_buckets(spark, d):
     return text.ccnet_buckets(_t(spark, d, "documents"))
 
 
+def q_paste_join(spark, d):
+    """ClickHouse PASTE JOIN analog (relational.py::paste_join): zip the
+    top-10 customers by balance with the top-10 suppliers by balance,
+    row-by-row by rank — position defined by an explicit deterministic
+    sort (row_number per side + equi-join on position), since block-
+    arrival order is not reproducible distributed."""
+    cust = (
+        _t(spark, d, "customer")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .limit(10)
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"))
+    )
+    supp = (
+        _t(spark, d, "supplier")
+        .orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+        .limit(10)
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
+    return relational.paste_join(
+        cust,
+        supp,
+        order_left=[F.desc("c_acctbal"), F.asc("c_custkey")],
+        order_right=[F.desc("s_acctbal"), F.asc("s_suppkey")],
+    )
+
+
 def q_nb_quality(spark, d):
     """Model-based quality filter (text.py::nb_classifier_scores): a
     fastText-style linear classifier trained closed-form as hash-bucketed
@@ -2593,6 +2619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "ccnet_buckets": q_ccnet_buckets,
         "nb_quality": q_nb_quality,
+        "paste_join": q_paste_join,
         # --- tier 2: never driver-checked, rows-only by design.
         # embedding_dedup_lsh/simhash_verified displaced past the window
         # edge by the two tier-1d oracled entries (hash-green > ran-clean;
@@ -3944,6 +3971,16 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
             "  FROM cos) "
             "SELECT query_id, neighbor_id, round(c, 6) AS cos_sim "
             "FROM ranked WHERE rk <= 5"
+        ),
+        "paste_join": (
+            "WITH c AS (SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, "
+            "  row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn "
+            "  FROM (SELECT * FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10)), "
+            "s AS (SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal, "
+            "  row_number() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS rn "
+            "  FROM (SELECT * FROM supplier ORDER BY s_acctbal DESC, s_suppkey LIMIT 10)) "
+            "SELECT c_custkey, c_name, c_acctbal, s_suppkey, s_name, s_acctbal "
+            "FROM c JOIN s USING (rn)"
         ),
         "nb_quality": (
             "WITH toks AS (SELECT doc_id, lang = 'en' AS p, "

@@ -295,6 +295,42 @@ def broadcast_dim(df: DataFrame) -> DataFrame:
     return F.broadcast(df)
 
 
+def paste_join(
+    left: DataFrame,
+    right: DataFrame,
+    order_left: list[str] | None = None,
+    order_right: list[str] | None = None,
+) -> DataFrame:
+    """ClickHouse ``PASTE JOIN`` analog: zip the two inputs row-by-row by
+    POSITION (first with first, second with second, …), truncating to the
+    shorter side — ClickHouse's column-bind for equal-length results.
+
+    ClickHouse pastes in block-arrival order, which is not reproducible
+    in a distributed engine; position here is defined by an explicit sort
+    (``order_left`` / ``order_right``, defaulting to each side's columns)
+    — deterministic and engine-portable.  Implemented as a row_number
+    window per side + an equi-join on the position.
+
+    Scale note: a global row numbering is inherently a total order — the
+    unpartitioned window is the honest cost of positional semantics (same
+    as ClickHouse, which single-streams the paste).  Use it for
+    result-shaped frames (top-k lists, aggregates, zipped exports), not
+    raw fact tables; key-based joins are the scalable tool there.
+    """
+    from pyspark.sql.window import Window
+
+    def cols(spec, default):
+        return [F.col(c) if isinstance(c, str) else c for c in (spec or default)]
+
+    ln = left.withColumn(
+        "__pos", F.row_number().over(Window.orderBy(*cols(order_left, left.columns)))
+    )
+    rn = right.withColumn(
+        "__pos", F.row_number().over(Window.orderBy(*cols(order_right, right.columns)))
+    )
+    return ln.join(rn, "__pos").drop("__pos")
+
+
 def any_join(
     left: DataFrame,
     right: DataFrame,

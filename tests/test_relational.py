@@ -362,3 +362,15 @@ def test_any_join_tie_broken_by_row_struct(spark):
     for _ in range(3):
         out = any_join(left, right, on="k", order_col="ord").collect()
         assert len(out) == 1 and out[0].rv == "aa"
+
+
+def test_paste_join_zips_by_position(spark):
+    from clickhouse_flatfile_tool_spark.operators.relational import paste_join
+
+    a = spark.createDataFrame([(3, "c"), (1, "a"), (2, "b")], "k long, v string")
+    b = spark.createDataFrame([(20, "y"), (10, "x")], "j long, w string")
+    out = paste_join(a, b, order_left=["k"], order_right=["j"]).collect()
+    # truncates to the shorter side; first-with-first by the given sort
+    assert len(out) == 2
+    got = {(r.k, r.j) for r in out}
+    assert got == {(1, 10), (2, 20)}
