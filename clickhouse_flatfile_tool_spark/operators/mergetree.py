@@ -74,12 +74,42 @@ def aggregating_final(
     partial-aggregatable in Spark, so the whole FINAL read stays one
     shuffle with map-side combine.  Finalization (e.g. avg = sum/count) is
     a post-merge projection left to the caller."""
-    mergers = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    mergers = {
+        "sum": F.sum,
+        "count": F.sum,
+        "min": F.min,
+        "max": F.max,
+        # uniqState/uniqMerge analog: the column holds HLL sketch binaries
+        # (build per-key states with :func:`hll_state`); merging is the
+        # sketch union — constant-size, associative, partial-aggregatable,
+        # so distinct-count MVs maintain incrementally like every other
+        # state.  Read the estimate with F.hll_sketch_estimate.
+        "hll": F.hll_union_agg,
+    }
     unknown = {k for k in state_map.values() if k not in mergers}
     if unknown:
         raise ValueError(f"aggregating_final: unknown merge kinds {sorted(unknown)}")
     return df.groupBy(*key_cols).agg(
         *[mergers[kind](c).alias(c) for c, kind in state_map.items()]
+    )
+
+
+def hll_state(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    out_col: str = "uniq_state",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Build per-key HLL sketch STATES from raw rows — ClickHouse's
+    ``uniqState(value)`` in an AggregatingMergeTree MV.  Feed the result
+    (or a new batch's states) to :func:`mv_refresh` with a
+    ``{out_col: "hll"}`` state_map entry; read the distinct-count with
+    ``F.hll_sketch_estimate(out_col)``.  Sketches are ~2^lg_k bytes per
+    key regardless of cardinality — the state table never grows with the
+    data, only with the key space."""
+    return df.groupBy(*key_cols).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias(out_col)
     )
 
 

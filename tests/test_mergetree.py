@@ -250,3 +250,51 @@ def test_mv_refresh_incremental_equals_full_recompute(tables):
         for r in aggregating_final(o, keys, smap).collect()
     }
     assert inc == full and len(full) > 0
+
+
+def test_mv_refresh_with_hll_uniq_state(spark):
+    """uniqState/uniqMerge analog: a distinct-count MV maintained
+    incrementally through HLL sketch states must estimate the same value
+    as a one-shot sketch over all data, and stay within HLL error of the
+    exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_flatfile_tool_spark.operators.mergetree import (
+        hll_state,
+        mv_refresh,
+    )
+
+    rows = [(i % 4, f"u{i % 997}", i) for i in range(6000)]
+    df = spark.createDataFrame(rows, "g int, user string, v long")
+    batches = [df.where(f"v % 3 = {k}") for k in range(3)]
+
+    smap = {"uniq_state": "hll", "n": "count"}
+
+    def to_states(b):
+        return hll_state(b, ["g"], "user").join(
+            b.groupBy("g").agg(F.count(F.lit(1)).alias("n")), "g"
+        )
+
+    state = None
+    for b in batches:
+        state = mv_refresh(state, to_states(b), ["g"], smap)
+    folded = state.select(
+        "g", F.hll_sketch_estimate("uniq_state").alias("u"), "n"
+    ).collect()
+    oneshot = {
+        r.g: r.u
+        for r in to_states(df)
+        .select("g", F.hll_sketch_estimate("uniq_state").alias("u"))
+        .collect()
+    }
+    exact = {
+        r.g: r.u
+        for r in df.groupBy("g").agg(F.count_distinct("user").alias("u")).collect()
+    }
+    for r in folded:
+        # union-of-sketches need not be register-identical to a one-shot
+        # sketch (datasketches sparse-mode promotion differs), but both
+        # must sit within HLL error of the exact distinct count
+        assert abs(r.u - oneshot[r.g]) / exact[r.g] < 0.02
+        assert abs(r.u - exact[r.g]) / exact[r.g] < 0.05
+        assert r.n == 1500
