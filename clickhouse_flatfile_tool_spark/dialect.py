@@ -90,6 +90,12 @@ _WRAPS: list[tuple[str, str, str]] = [
     # arraySum/arrayAvg accumulate in DOUBLE (ClickHouse keeps integer sums
     # integer — cast the result back where exactness matters)
     ("arraySum", "aggregate(", ", CAST(0 AS DOUBLE), (a, v) -> a + v)"),
+    # the one -State/-Merge combinator pair with a native Spark state:
+    # uniqState → an HLL sketch binary (store it, merge it, ship it),
+    # uniqMerge → union + estimate.  Other -State kinds stay out of scope
+    # (module docstring).  Estimates are approximate on both engines.
+    ("uniqState", "hll_sketch_agg(", ")"),
+    ("uniqMerge", "hll_sketch_estimate(hll_union_agg(", "))"),
 ]
 
 # same-shape renames (arity and semantics line up)

@@ -584,3 +584,18 @@ def test_array_difference_compact_weighted_quantiles(spark):
            "FROM (SELECT 1 x, 3 w UNION ALL SELECT 10, 1)")
     ).first()
     assert q.q == [1.0, 3.25]
+
+
+def test_uniq_state_merge_roundtrip(spark):
+    """uniqState/uniqMerge: the sketch-state pair survives a store-and-merge
+    round trip — the AggregatingMergeTree MV read path in SQL."""
+    spark.createDataFrame(
+        [(d, f"u{i % 37}") for d in (1, 2) for i in range(200)],
+        "day int, user string",
+    ).createOrReplaceTempView("usm")
+    states = spark.sql(
+        tr("SELECT day, uniqState(user) AS s FROM usm GROUP BY day")
+    )
+    states.createOrReplaceTempView("usm_states")
+    merged = spark.sql(tr("SELECT uniqMerge(s) AS u FROM usm_states")).first()
+    assert abs(merged.u - 37) <= 2  # both days hold the same 37 users
