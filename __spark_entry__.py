@@ -1626,6 +1626,15 @@ def q_ccnet_buckets(spark, d):
     return text.ccnet_buckets(_t(spark, d, "documents"))
 
 
+def q_ewma(spark, d):
+    """ClickHouse exponentialMovingAverage analog (events.py::ewma_final):
+    per-user time-decay weighted mean of value, weight = 2^(−age/1h)
+    against the user's newest event — closed form over explicit
+    timestamps, one aggregation pass."""
+    out = events.ewma_final(_t(spark, d, "events"), halflife_seconds=3600.0)
+    return out.select("user_id", "n_events", F.round("ewma", 6).alias("ewma"))
+
+
 def q_paste_join(spark, d):
     """ClickHouse PASTE JOIN analog (relational.py::paste_join): zip the
     top-10 customers by balance with the top-10 suppliers by balance,
@@ -2624,6 +2633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "nb_quality": q_nb_quality,
         "paste_join": q_paste_join,
+        "ewma": q_ewma,
         # --- tier 2: never driver-checked, rows-only by design.
         # embedding_dedup_lsh/simhash_verified displaced past the window
         # edge by the two tier-1d oracled entries (hash-green > ran-clean;
@@ -3975,6 +3985,14 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
             "  FROM cos) "
             "SELECT query_id, neighbor_id, round(c, 6) AS cos_sim "
             "FROM ranked WHERE rk <= 5"
+        ),
+        "ewma": (
+            "WITH g AS (SELECT user_id, max(epoch_us(ts)) AS tmax "
+            "  FROM events GROUP BY user_id) "
+            "SELECT e.user_id, count(*)::BIGINT AS n_events, "
+            "round(sum(e.value * pow(2, -(tmax - epoch_us(e.ts)) / 3600000000.0)) "
+            "  / sum(pow(2, -(tmax - epoch_us(e.ts)) / 3600000000.0)), 6) AS ewma "
+            "FROM events e JOIN g USING (user_id) GROUP BY e.user_id, tmax"
         ),
         "paste_join": (
             "WITH c AS (SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, "

@@ -693,3 +693,44 @@ def sequence_count(
         ).otherwise(acc),
     )
     return per_key.select(F.col(key_col), state.getField("cnt").alias("n_matches"))
+
+
+def ewma_final(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    halflife_seconds: float = 3600.0,
+) -> DataFrame:
+    """ClickHouse ``exponentialMovingAverage(halflife)(value, time)``
+    analog: per key, the time-decay weighted average of ``value_col`` —
+    each observation weighted by ``2^(−Δt/halflife)`` where Δt is its age
+    relative to the key's NEWEST event.  The recency-weighted activity
+    score (user engagement, error rates, feature freshness).
+
+    The recursive EWMA fold has a closed form over explicit timestamps:
+    ``Σ xᵢ·2^(−(t_max−tᵢ)/hl) / Σ 2^(−(t_max−tᵢ)/hl)`` — so instead of a
+    sorted per-key fold this is ONE aggregation pass computing max(t),
+    the weighted sum, and the weight sum together (decay is computed
+    against max(t) via a second pass over the same shuffled group — a
+    per-key max join would be a second shuffle; here the two aggregates
+    share one).  Exact int64-µs age arithmetic; fully SQL-expressible.
+    """
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    grouped = df.groupBy(key_col).agg(
+        F.max(t).alias("__tmax"),
+        F.collect_list(F.struct(t.alias("t"), F.col(value_col).alias("x"))).alias(
+            "__evs"
+        ),
+    )
+    hl_us = float(halflife_seconds) * 1_000_000.0
+    w = lambda e: F.pow(F.lit(2.0), -(F.col("__tmax") - e.getField("t")) / F.lit(hl_us))
+    num = F.aggregate(
+        F.col("__evs"), F.lit(0.0), lambda acc, e: acc + w(e) * e.getField("x")
+    )
+    den = F.aggregate(F.col("__evs"), F.lit(0.0), lambda acc, e: acc + w(e))
+    return grouped.select(
+        F.col(key_col),
+        F.size("__evs").cast("long").alias("n_events"),
+        (num / den).alias("ewma"),
+    )

@@ -42,7 +42,7 @@ DEFERRED = {
     "hll_rollup",
     # oracled entries just past the 50-slot window; selfcheck-green at
     # sf0.01, first in line for the round-4 window
-    "hybrid_rrf", "ccnet_buckets", "nb_quality", "paste_join",
+    "hybrid_rrf", "ccnet_buckets", "nb_quality", "paste_join", "ewma",
     # new rows-only this session; pytest recall floors, re-rotates next round
     "pq_topk", "ivfpq_topk",
     # new rows-only this session; pytest batch-equivalence + suppression

@@ -335,3 +335,28 @@ def test_window_funnel_strict_modes(spark):
     # A(t0) -> B(t10) -> C(t20), strictly increasing all the way
     rows5b = rows5 + [(5, 3, t(10), "B")]
     assert run(rows5b, "strict_increase")[5] == 3
+
+
+def test_ewma_final_hand_computed(spark):
+    import math
+    from datetime import datetime
+
+    from clickhouse_flatfile_tool_spark.operators.events import ewma_final
+
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0, 0), 10.0),   # age 2h at tmax
+        (1, datetime(2024, 1, 1, 11, 0, 0), 20.0),   # age 1h
+        (1, datetime(2024, 1, 1, 12, 0, 0), 40.0),   # newest, weight 1
+        (2, t0, 7.0),                                 # single event -> ewma = value
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {r.user_id: r for r in ewma_final(df, halflife_seconds=3600.0).collect()}
+    w = [0.25, 0.5, 1.0]  # 2^-2, 2^-1, 2^0
+    expect = (10 * w[0] + 20 * w[1] + 40 * w[2]) / sum(w)
+    assert math.isclose(out[1].ewma, expect, rel_tol=1e-12)
+    assert out[1].n_events == 3
+    assert out[2].ewma == 7.0 and out[2].n_events == 1
+    # newest events dominate: ewma sits between the plain mean and the
+    # newest value
+    assert (10 + 20 + 40) / 3 < out[1].ewma < 40
