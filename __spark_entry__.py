@@ -1635,6 +1635,44 @@ def q_ewma(spark, d):
     return out.select("user_id", "n_events", F.round("ewma", 6).alias("ewma"))
 
 
+def q_dialect_asof(spark, d):
+    """ClickHouse ``ASOF JOIN`` through the SQL endpoint
+    (dialect.py::_rewrite_asof_join): each purchase event matched to the
+    user's latest not-later view event — the CH dialect string runs on
+    Spark via a correlated LATERAL subquery (closest-match LIMIT 1).
+    The view side is pre-deduped on (user_id, ts) so the asof match is
+    unique and the result hash-deterministic.  Oracle: DuckDB's native
+    ASOF JOIN over the same SQL shape."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    ev = _t(spark, d, "events")
+    ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    ).createOrReplaceTempView("asof_purchase")
+    ev.filter(F.col("event_type") == "view").groupBy("user_id", "ts").agg(
+        F.round(F.max("value"), 2).alias("vvalue")
+    ).select("user_id", F.col("ts").alias("vts"), "vvalue").createOrReplaceTempView(
+        "asof_view"
+    )
+    ch_sql = (
+        "SELECT a.event_id, a.user_id, a.ts, "
+        "b.vts AS view_ts, b.vvalue AS view_value "
+        "FROM asof_purchase a ASOF JOIN asof_view b "
+        "ON a.user_id = b.user_id AND a.ts >= b.vts"
+    )
+    return spark.sql(translate_clickhouse_sql(ch_sql))
+
+
+def q_ema_recursive(spark, d):
+    """ClickHouse exponentialMovingAverage (events.py::ema_recursive): the
+    recursive interpolated EMA per user — emaᵢ = emaᵢ₋₁·a + xᵢ·(1−a),
+    a = 2^(−Δt/1h), fold seeded with the earliest event (≡ ClickHouse's
+    zero-seed for epoch timestamps; see the operator docstring).  Oracle
+    is DuckDB list_reduce running the identical fold."""
+    out = events.ema_recursive(_t(spark, d, "events"), halflife_seconds=3600.0)
+    return out.select("user_id", "n_events", F.round("ema", 6).alias("ema"))
+
+
 def q_paste_join(spark, d):
     """ClickHouse PASTE JOIN analog (relational.py::paste_join): zip the
     top-10 customers by balance with the top-10 suppliers by balance,
@@ -2574,6 +2612,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   embedding_norm -> cosine_topk   token_histogram -> topk_freq
     #   window_first_last -> window_lag map_props -> array_funcs/json_props
     return {
+        # --- tier -1: new this round (round 4) ---
+        "dialect_asof": q_dialect_asof,
+        "ema_recursive": q_ema_recursive,
         # --- tier 0: new this round (round 3) ---
         "gopher_rules": q_gopher_rules,
         "boilerplate": q_boilerplate,
@@ -3993,6 +4034,27 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
             "round(sum(e.value * pow(2, -(tmax - epoch_us(e.ts)) / 3600000000.0)) "
             "  / sum(pow(2, -(tmax - epoch_us(e.ts)) / 3600000000.0)), 6) AS ewma "
             "FROM events e JOIN g USING (user_id) GROUP BY e.user_id, tmax"
+        ),
+        "dialect_asof": (
+            "WITH a AS (SELECT event_id, user_id, ts, value FROM events "
+            "  WHERE event_type = 'purchase'), "
+            "b AS (SELECT user_id, ts AS vts, round(max(value), 2) AS vvalue "
+            "  FROM events WHERE event_type = 'view' GROUP BY user_id, ts) "
+            "SELECT a.event_id, a.user_id, a.ts, "
+            "b.vts AS view_ts, b.vvalue AS view_value "
+            "FROM a ASOF JOIN b ON a.user_id = b.user_id AND a.ts >= b.vts"
+        ),
+        "ema_recursive": (
+            "WITH s AS (SELECT user_id, "
+            "  list(struct_pack(t := epoch_us(ts), x := CAST(value AS DOUBLE)) "
+            "       ORDER BY epoch_us(ts), CAST(value AS DOUBLE)) AS evs "
+            "  FROM events GROUP BY user_id) "
+            "SELECT user_id, len(evs)::BIGINT AS n_events, "
+            "round(list_reduce(evs, (a, e) -> struct_pack("
+            "  t := e.t, "
+            "  x := a.x * pow(2, -(e.t - a.t)/3600000000.0) "
+            "     + e.x * (1 - pow(2, -(e.t - a.t)/3600000000.0)))).x, 6) AS ema "
+            "FROM s"
         ),
         "paste_join": (
             "WITH c AS (SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, "

@@ -202,7 +202,7 @@ def query(
     from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
 
     try:
-        translated = translate_clickhouse_sql(sql)
+        translated = translate_clickhouse_sql(sql, spark=spark)
         df = spark.sql(translated)
         size = max(1, min(int(page_size), relational.MAX_PAGE_SIZE))
         offset = (max(1, int(page)) - 1) * size

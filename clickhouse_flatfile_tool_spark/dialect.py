@@ -12,10 +12,13 @@ nesting.
 Deliberately NOT a SQL parser: translation is name-level, never touches the
 inside of string literals, and unknown functions pass through untouched
 (Spark then errors with its own message).  Known name-level limits:
-``empty()``/``notEmpty()`` translate to ``length()`` and therefore cover
-String/FixedString arguments only — ClickHouse also defines them on arrays,
-which Spark's ``length()`` rejects with an AnalysisException (use
-``size(x) = 0`` directly for arrays).  Two ClickHouse combinator forms
+``empty()``/``notEmpty()`` default to ``length()`` (String/Binary); when a
+SparkSession is passed (``translate_clickhouse_sql(sql, spark=...)`` — the
+``api.query`` endpoint does) the translation is schema-aware: if the
+``length()`` form fails analysis, array/map-typed arguments are resolved to
+``size()`` via analysis feedback, so ClickHouse's array ``empty()`` works
+through the SQL endpoint.  Schema-free translation keeps the documented
+String-only limitation.  Two ClickHouse combinator forms
 ARE handled because they are common in real queries: the ``-If`` suffix
 (``sumIf(x, cond)`` → ``sum(CASE WHEN cond THEN x END)``) and curried
 quantiles (``quantile(0.5)(x)`` → ``percentile(x, 0.5)``).  ``-Array``/
@@ -59,13 +62,8 @@ _WRAPS: list[tuple[str, str, str]] = [
     ("toFloat32", "CAST(", " AS FLOAT)"),
     ("toFloat64", "CAST(", " AS DOUBLE)"),
     ("toString", "CAST(", " AS STRING)"),
-    # STRING/BINARY only: ClickHouse empty()/notEmpty() also accept arrays,
-    # but name-level translation cannot see the argument's type and Spark
-    # length() rejects arrays — array-typed calls will raise an
-    # AnalysisException naming length(); rewrite those to size(x) = 0 by
-    # hand.  Documented limitation (module docstring).
-    ("empty", "(length(", ") = 0)"),
-    ("notEmpty", "(length(", ") > 0)"),
+    # empty()/notEmpty() are handled by _wrap_empty_sites (schema-aware when
+    # a SparkSession is passed to translate_clickhouse_sql), not here.
     ("arrayUniq", "size(array_distinct(", "))"),
     # URL family (ClickHouse URL functions → Spark parse_url parts).
     # Note ClickHouse domain() tolerates scheme-less 'host/path' strings;
@@ -643,9 +641,12 @@ def _rewrite_array_literals(chunk: str) -> str:
         while j >= 0 and chunk[j].isspace():
             j -= 1
         is_literal = True
+        in_list = False  # `x IN [1,2,3]` → parenthesized list, not array()
         if j >= 0:
             prev = chunk[j]
-            if prev in ")]":
+            if prev in ")]" or prev == "\x00":
+                # ')' / ']' end a value expression; '\x00' closes a masked
+                # string literal ('abc'[1] is element access in ClickHouse)
                 is_literal = False
             elif prev.isalnum() or prev == "_":
                 # word before the bracket: literal only after a keyword
@@ -654,6 +655,10 @@ def _rewrite_array_literals(chunk: str) -> str:
                     k -= 1
                 word = chunk[k + 1 : j + 1].upper()
                 is_literal = word in _ARRAY_LIT_KEYWORDS
+                # `x IN [1,2,3]` is the primary CH bracket idiom in the IN
+                # position, but Spark can't parse `IN array(...)` — emit a
+                # plain parenthesized value list instead
+                in_list = word == "IN"
         # find the matching ']' at bracket/paren depth 0
         depth, e = 1, i + 1
         while e < len(chunk) and depth:
@@ -664,11 +669,27 @@ def _rewrite_array_literals(chunk: str) -> str:
             e += 1
         inner = chunk[i + 1 : e - 1]
         if is_literal:
-            chunk = chunk[:i] + "array(" + inner + ")" + chunk[e:]
-            i += len("array(")  # rescan inside for nested literals
+            if in_list:
+                chunk = chunk[:i] + "(" + inner + ")" + chunk[e:]
+                i += 1  # rescan inside for nested literals
+            else:
+                chunk = chunk[:i] + "array(" + inner + ")" + chunk[e:]
+                i += len("array(")  # rescan inside for nested literals
             continue
         # element access: walk back to the start of the indexed expression
         s = j
+        if chunk[s] == "\x00":
+            # masked string literal \x00N\x00 — walk to its opening marker.
+            # Spark's element_at rejects STRING, so 1-based character
+            # access goes through substr (negative index = from the end,
+            # same convention both engines use for subscripts)
+            s -= 1
+            while s >= 0 and chunk[s] != "\x00":
+                s -= 1
+            base = chunk[s : j + 1]
+            chunk = chunk[:s] + f"substr({base}, {inner}, 1)" + chunk[e:]
+            i = s
+            continue
         if chunk[s] in ")]":
             closer = chunk[s]
             opener = "(" if closer == ")" else "["
@@ -749,9 +770,14 @@ def _rewrite_misc_calls(chunk: str) -> str:
         if len(args) != 1:
             return None
         a = args[0]
+        # greatest(size-1, 0): for an empty array slice(a, 1, -1) raises
+        # INVALID_PARAMETER_VALUE.LENGTH in Spark, while ClickHouse's
+        # arrayDifference([]) returns [] — clamping makes the shifted
+        # array [] / [a1] for empty / 1-element inputs, so zip_with
+        # yields [] / [0] exactly like ClickHouse
         return (
             f"zip_with({a}, concat(slice({a}, 1, 1), "
-            f"slice({a}, 1, size({a}) - 1)), (a, b) -> a - b)"
+            f"slice({a}, 1, greatest(size({a}) - 1, 0))), (a, b) -> a - b)"
         )
 
     chunk = _rewrite_call(chunk, "arrayDifference", diff_make)
@@ -1036,6 +1062,103 @@ def _rewrite_array_join_clause(chunk: str) -> str:
     return pat.sub(repl, chunk)
 
 
+_ASOF_PAT = re.compile(r"\bASOF\s+(LEFT\s+)?JOIN\b", re.IGNORECASE)
+_ASOF_TABLE_PAT = re.compile(
+    r"\s+([A-Za-z_][\w.]*)"
+    r"(?:\s+AS\s+([A-Za-z_]\w*)|\s+(?!ON\b)([A-Za-z_]\w*))?"
+    r"\s+ON\b",
+    re.IGNORECASE,
+)
+_ASOF_CLAUSE_END = re.compile(
+    r"(WHERE|GROUP|ORDER|LIMIT|HAVING|UNION|WINDOW|JOIN|LEFT|RIGHT|FULL"
+    r"|INNER|CROSS|ASOF|SETTINGS|FORMAT)\b",
+    re.IGNORECASE,
+)
+_ASOF_INEQ = re.compile(r"(<=|>=|<|>)")
+
+
+def _rewrite_asof_join(chunk: str) -> str:
+    """ClickHouse ``A ASOF [LEFT] JOIN B ON A.k = B.k AND A.t >= B.t`` →
+    a Spark correlated LATERAL subquery selecting the single closest match::
+
+        A [LEFT] JOIN LATERAL (
+            SELECT * FROM B AS b WHERE <cond> ORDER BY b.t DESC LIMIT 1
+        ) b ON true
+
+    The ON condition's single top-level inequality names the asof column
+    (exactly ClickHouse's rule, docs "ASOF JOIN Usage"); its direction
+    picks the sort: the right side ≤/< the left probes backward (DESC →
+    latest earlier row), ≥/> probes forward (ASC).  Scope (documented):
+    the right side must be a table/view name (optionally aliased), not a
+    subquery, and the inequality operands must be qualified by the right
+    alias — the conservative string-level stance of this module.  The
+    DataFrame-level ``relational.asof_join`` (sort-merge shape) is the
+    scale path; this covers the SQL endpoint (``api.query``).  Semantics
+    cross-checked by the ``dialect_asof`` driver oracle.
+    Reference parity: ClickHouse ASOF JOIN, server-side join builder
+    passes raw ON strings through (server/server.js:837-844)."""
+    m = _ASOF_PAT.search(chunk)
+    while m:
+        is_left = bool(m.group(1))
+        tm = _ASOF_TABLE_PAT.match(chunk, m.end())
+        if not tm:
+            return chunk  # unsupported shape — pass through, Spark errors
+        table = tm.group(1)
+        alias = tm.group(2) or tm.group(3) or table.split(".")[-1]
+        cond_start = tm.end()
+        # the ON condition runs to the next top-level clause keyword
+        depth, k, end = 0, cond_start, len(chunk)
+        while k < len(chunk):
+            ch = chunk[k]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    end = k
+                    break
+                depth -= 1
+            elif depth == 0 and (ch.isalpha() or ch == "_"):
+                prev_ok = k == 0 or not (
+                    chunk[k - 1].isalnum() or chunk[k - 1] in "_."
+                )
+                if prev_ok and _ASOF_CLAUSE_END.match(chunk, k):
+                    end = k
+                    break
+                while k < len(chunk) and (chunk[k].isalnum() or chunk[k] == "_"):
+                    k += 1
+                continue
+            k += 1
+        cond = chunk[cond_start:end].strip()
+        # find the inequality term at top AND level; its right-alias side
+        # is the asof sort expression
+        sort_expr, direction = None, None
+        for part in re.split(r"\bAND\b", cond, flags=re.IGNORECASE):
+            im = _ASOF_INEQ.search(part)
+            if not im or "(" in part:  # keep to simple comparison terms
+                continue
+            lhs, rhs = part[: im.start()].strip(), part[im.end() :].strip()
+            op = im.group(1)
+            qual = re.compile(rf"^{re.escape(alias)}\s*\.", re.IGNORECASE)
+            if qual.match(lhs):
+                se, lt = lhs, op in ("<", "<=")
+            elif qual.match(rhs):
+                se, lt = rhs, op not in ("<", "<=")
+            else:
+                continue
+            sort_expr, direction = se, ("DESC" if lt else "ASC")
+        if sort_expr is None:
+            return chunk  # no resolvable asof inequality — pass through
+        join_kw = "LEFT JOIN" if is_left else "JOIN"
+        repl = (
+            f"{join_kw} LATERAL (SELECT * FROM {table} AS {alias} "
+            f"WHERE {cond} ORDER BY {sort_expr} {direction} LIMIT 1) "
+            f"{alias} ON true "
+        )
+        chunk = chunk[: m.start()] + repl + chunk[end:]
+        m = _ASOF_PAT.search(chunk, m.start() + len(repl))
+    return chunk
+
+
 def _rewrite_clauses(chunk: str) -> str:
     """ClickHouse-specific CLAUSES (not functions):
 
@@ -1084,13 +1207,44 @@ def _rewrite_clauses(chunk: str) -> str:
     return chunk
 
 
-def translate_clickhouse_sql(sql: str) -> str:
+_EMPTY_SITE_PAT = re.compile(r"\b(empty|notEmpty)\(")
+
+
+def _wrap_empty_sites(chunk: str, flags: list[bool]) -> str:
+    """Rewrite each ``empty(x)`` / ``notEmpty(x)`` site (textual scan
+    order, outer before nested) to ``(length(x) = 0)`` (flag False) or
+    ``(size(x) = 0)`` (flag True).  ClickHouse defines both on
+    String AND Array/Map; Spark splits the surface between ``length``
+    (string/binary) and ``size`` (array/map), so the per-site flag lets
+    analysis feedback pick the right one."""
+    idx = 0
+    m = _EMPTY_SITE_PAT.search(chunk)
+    while m:
+        j = _match_paren(chunk, m.end() - 1)
+        inner = chunk[m.end() : j - 1]
+        fn = "size" if (idx < len(flags) and flags[idx]) else "length"
+        op = "= 0" if m.group(1) == "empty" else "> 0"
+        head = f"({fn}("
+        chunk = chunk[: m.start()] + head + inner + f") {op})" + chunk[j:]
+        idx += 1
+        # resume just inside the rewritten call so nested sites are seen
+        m = _EMPTY_SITE_PAT.search(chunk, m.start() + len(head))
+    return chunk
+
+
+def translate_clickhouse_sql(sql: str, spark=None) -> str:
     """Translate the common ClickHouse function surface to Spark SQL.
 
     Unknown names pass through; string literals are never modified — they
     are masked with ``\\x00<i>\\x00`` placeholders for the duration of the
     rewrites (so a ``'...'`` inside an argument list can't confuse paren or
-    comma matching) and restored verbatim at the end."""
+    comma matching) and restored verbatim at the end.
+
+    When ``spark`` is given, ``empty()``/``notEmpty()`` calls are resolved
+    schema-aware: the default ``length()`` form is tried first, and if the
+    statement fails analysis the translator retries with ``size()`` at
+    each call site (fewest substitutions first) until one analyzes —
+    covering ClickHouse's array/map ``empty()`` without a SQL parser."""
     literals: list[str] = []
     masked: list[str] = []
     for is_lit, seg in _split_literals(sql):
@@ -1104,6 +1258,7 @@ def translate_clickhouse_sql(sql: str) -> str:
     for src, dst in _ZERO_ARG:
         chunk = chunk.replace(src, dst)
     chunk = _rewrite_clauses(chunk)
+    chunk = _rewrite_asof_join(chunk)
     chunk = _rewrite_int_div(chunk)
     chunk = _rewrite_if_combinators(chunk)
     chunk = _rewrite_lambda_array_fns(chunk)
@@ -1119,9 +1274,36 @@ def translate_clickhouse_sql(sql: str) -> str:
     chunk = _rewrite_extract_url_parameter(chunk)
     chunk = _rewrite_numbers(chunk)
     chunk = _rewrite_literal_aware(chunk, literals)
-    for name, prefix, suffix in _WRAPS:
-        chunk = _wrap(chunk, name, prefix, suffix)
-    for src, dst in _RENAMES:
-        chunk = re.sub(r"\b" + src + r"\(", dst + "(", chunk)
+    n_empty = len(_EMPTY_SITE_PAT.findall(chunk))
 
-    return re.sub("\x00(\\d+)\x00", lambda m: f"'{literals[int(m.group(1))]}'", chunk)
+    def finish(flags: list[bool]) -> str:
+        c = _wrap_empty_sites(chunk, flags) if n_empty else chunk
+        for name, prefix, suffix in _WRAPS:
+            c = _wrap(c, name, prefix, suffix)
+        for src, dst in _RENAMES:
+            c = re.sub(r"\b" + src + r"\(", dst + "(", c)
+        return re.sub(
+            "\x00(\\d+)\x00", lambda m: f"'{literals[int(m.group(1))]}'", c
+        )
+
+    default = finish([False] * n_empty)
+    if spark is None or n_empty == 0:
+        return default
+    # analysis feedback: prefer the fewest size() substitutions (keeps the
+    # schema-free behavior when length() analyzes); cap the search so a
+    # pathological query can't explode (2^6 = 64 cheap analyses max)
+    import itertools
+
+    if n_empty > 6:
+        return default
+    combos = sorted(
+        itertools.product([False, True], repeat=n_empty), key=sum
+    )
+    for flags in combos:
+        candidate = finish(list(flags))
+        try:
+            spark.sql(candidate)  # analysis only — no job is triggered
+            return candidate
+        except Exception:  # noqa: BLE001 — analysis failure, try next
+            continue
+    return default  # nothing analyzes: surface Spark's own error upstream

