@@ -1114,6 +1114,26 @@ def ivfpq_topk(
     and (with rerank) a shortlist-sized join.  No corpus shuffle anywhere.
     """
     cent = ivf_build_centroids(corpus, n_lists, sample_size, seed, vec_col)
+    enc = _ivfpq_encode(corpus, cent, m, k_codes, sample_size, seed, corpus_id, vec_col)
+    cb = enc[1]
+    return ivfpq_search(
+        queries, cent, cb, enc[0], k, n_probe, rerank, query_id, vec_col
+    )
+
+
+def _ivfpq_encode(
+    corpus: DataFrame,
+    cent: DataFrame,
+    m: int,
+    k_codes: int,
+    sample_size: int,
+    seed: int,
+    corpus_id: str,
+    vec_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF-assign + residual-PQ-encode the corpus against prebuilt coarse
+    centroids.  Returns ``(enc, codebooks)`` where enc is
+    ``(__nid, list_id, <vec_col>, codes)``."""
     centd = cent.select("list_id", F.col("centroid").alias("__cent"))
     assigned = ivf_assign(corpus, cent, corpus_id, vec_col, n_probe=1)
     resid = assigned.join(F.broadcast(centd), "list_id").withColumn(
@@ -1123,7 +1143,27 @@ def ivfpq_topk(
     enc = pq_encode(resid, cb, id_col=corpus_id, vec_col="__resid").select(
         F.col(corpus_id).alias("__nid"), "list_id", vec_col, "codes"
     )
+    return enc, cb
 
+
+def ivfpq_search(
+    queries: DataFrame,
+    cent: DataFrame,
+    cb: DataFrame,
+    enc: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    rerank: int | None = None,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a PREBUILT IVF-PQ index (``ivfpq_build_index`` /
+    ``ivfpq_load_index``) — the production lifecycle: at 100 TB the coarse
+    centroids, residual codebooks, and encoded corpus are trained and
+    written ONCE, and every query batch pays only query-side LUT
+    construction + the pruned ADC scan.  ``enc`` must carry
+    ``(__nid, list_id, <vec_col>, codes)`` as written by the builder."""
+    centd = cent.select("list_id", F.col("centroid").alias("__cent"))
     # per-(query, probed-list) residual LUTs — |Q|·n_probe·m·k doubles,
     # tiny for any sane query batch
     cbarr = _codebook_array(cb)
@@ -1145,7 +1185,7 @@ def ivfpq_topk(
             diff = qres[s * dsub : (s + 1) * dsub][None, :] - cbarr[s]
             lut[s] = (diff**2).sum(axis=1)
         luts_by_list.setdefault(int(r["list_id"]), []).append((r[0], lut))
-    bc = corpus.sparkSession.sparkContext.broadcast(luts_by_list)
+    bc = queries.sparkSession.sparkContext.broadcast(luts_by_list)
     shortlist = max(k, rerank or 0)
 
     def scan(batches):
@@ -1204,3 +1244,69 @@ def ivfpq_topk(
     return top_k_per_group(
         exact, ["query_id"], [F.desc("__cos"), F.asc("neighbor_id")], k
     ).select("query_id", "neighbor_id", F.round("__cos", 6).alias("cos_sim"))
+
+
+def pq_build_index(
+    corpus: DataFrame,
+    path: str,
+    m: int = 8,
+    k: int = 16,
+    sample_size: int = 10_000,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train PQ codebooks and encode the corpus ONCE, persisting both to
+    ``path`` (``codebooks/`` + ``codes/`` parquet) — the production index
+    lifecycle (mirrors the IVF roundtrip at ivf_build_centroids): at
+    100 TB the train+encode passes run once per corpus version and every
+    search session just reads m-byte codes.  The encoded table keeps the
+    true vectors so the exact-cosine rerank stage can join back by id."""
+    cb = pq_train(corpus, m, k, sample_size, seed, vec_col)
+    cb.write.mode("overwrite").parquet(f"{path}/codebooks")
+    enc = pq_encode(corpus, cb, id_col=id_col, vec_col=vec_col)
+    enc.select(id_col, vec_col, "codes").write.mode("overwrite").parquet(
+        f"{path}/codes"
+    )
+
+
+def pq_load_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load a ``pq_build_index`` output: ``(codebooks, encoded_corpus)``."""
+    return (
+        spark.read.parquet(f"{path}/codebooks"),
+        spark.read.parquet(f"{path}/codes"),
+    )
+
+
+def ivfpq_build_index(
+    corpus: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    m: int = 8,
+    k_codes: int = 64,
+    sample_size: int = 10_000,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train + persist the full IVF-PQ index (coarse centroids, residual
+    codebooks, encoded corpus) to ``path`` — searches then run via
+    ``ivfpq_load_index`` + ``ivfpq_search`` without touching raw vectors
+    except for the shortlist rerank."""
+    cent = ivf_build_centroids(corpus, n_lists, sample_size, seed, vec_col)
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    enc, cb = _ivfpq_encode(
+        corpus, cent, m, k_codes, sample_size, seed, id_col, vec_col
+    )
+    cb.write.mode("overwrite").parquet(f"{path}/codebooks")
+    enc.write.mode("overwrite").parquet(f"{path}/codes")
+
+
+def ivfpq_load_index(spark, path: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Load an ``ivfpq_build_index`` output:
+    ``(centroids, codebooks, encoded_corpus)``."""
+    return (
+        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{path}/codebooks"),
+        spark.read.parquet(f"{path}/codes"),
+    )

@@ -405,3 +405,36 @@ def test_ivfpq_recall_and_completeness(emb):
     # n_probe = n_lists -> no list is ever pruned away for these queries;
     # recall is then bounded by PQ shortlist quality alone
     assert len(exact & got) / len(exact) >= 0.7, len(exact & got) / len(exact)
+
+
+def test_pq_persistent_index_roundtrip(emb, spark, tmp_path):
+    """pq_build_index -> pq_load_index -> pq_topk must equal searching the
+    in-memory codebooks/codes exactly (VERDICT r3 #4: the benched query is
+    the prebuilt-index production shape, so the roundtrip must be
+    lossless)."""
+    normed = S.normalize(emb)
+    path = str(tmp_path / "pq_index")
+    S.pq_build_index(normed, path, m=16, k=16)
+    cb_l, enc_l = S.pq_load_index(spark, path)
+    q = normed.filter("vec_id < 10")
+    got = S.pq_topk(q, enc_l, cb_l, k=5, rerank=50).collect()
+    cb_m = S.pq_train(normed, m=16, k=16)
+    enc_m = S.pq_encode(normed, cb_m)
+    mem = S.pq_topk(q, enc_m, cb_m, k=5, rerank=50).collect()
+    assert {tuple(r) for r in got} == {tuple(r) for r in mem}
+
+
+def test_ivfpq_persistent_index_roundtrip(emb, spark, tmp_path):
+    """ivfpq_build_index -> ivfpq_load_index -> ivfpq_search must equal the
+    monolithic ivfpq_topk (train-in-query) result set — same quantizers,
+    same seeds, persisted vs in-memory."""
+    normed = S.normalize(emb)
+    path = str(tmp_path / "ivfpq_index")
+    S.ivfpq_build_index(normed, path, n_lists=8, m=16, k_codes=32)
+    cent, cb, enc = S.ivfpq_load_index(spark, path)
+    q = normed.filter("vec_id < 10")
+    got = S.ivfpq_search(q, cent, cb, enc, k=5, n_probe=8, rerank=40).collect()
+    mem = S.ivfpq_topk(
+        q, normed, k=5, n_lists=8, m=16, k_codes=32, n_probe=8, rerank=40
+    ).collect()
+    assert {tuple(r) for r in got} == {tuple(r) for r in mem}
