@@ -5,59 +5,129 @@ so every entry with no green CORRECTNESS_r*.json row yet (hash-matched, or
 rows-only that ran) must sit inside the top 50 slots or it stays invisible
 to the scorer.  Exits non-zero if any unproven entry is below the window.
 
-Usage: python scripts/registry_window.py [window_size]
+Stale-green detection is AUTOMATIC (VERDICT r3 #2): every query has a
+source fingerprint — the q_ wrapper's source, its oracle SQL, and the
+source of every ``mod.fn(`` / bare ``fn(`` callable the wrapper invokes —
+snapshotted in scripts/green_fingerprints.json when the entry was last
+proven.  A proven entry whose current fingerprint differs is treated as
+UNPROVEN (its historical row no longer proves the current output) and must
+re-enter the window.  After a driver round lands, refresh the snapshot:
+
+    python scripts/registry_window.py --update
+
+Usage: python scripts/registry_window.py [window_size] [--update]
 """
 
 from __future__ import annotations
 
 import glob
+import hashlib
+import inspect
 import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
 
-# Entries whose implementation changed AFTER their last green CORRECTNESS
-# row — the historical hash row no longer proves the current output, so the
-# audit treats them as unproven regardless of what the JSON says.
-CHANGED_SINCE_GREEN = {"tumbling_window"}  # r3 avg_value fix; r1 row is stale
+FINGERPRINTS_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "green_fingerprints.json"
+)
 
-# Entries deliberately parked past the window edge this round (more entries
-# need rows than the driver checks per round; these have strong local
-# pytest/selfcheck evidence and re-rotate next round).
-DEFERRED = {
-    "tumbling_window",  # stale-green (see above); selfcheck-verified locally
-    # rows-only entries parked past the window edge: oracled entries get
-    # the contested slots (a hash-green row is stronger evidence than
-    # ran-clean); every one is pytest-covered and re-rotates next round
-    "pca_project", "sequence_count", "bpe_fertility", "stream_enrich", "bpe_merges",
-    "embedding_clusters", "pagerank_docs", "pipeline_curation",
-    "stream_quality_gate",
-    # displaced by the tier-1d oracled entries (fuzzy_pairs/any_join/
-    # jpeg_meta/bm25_rank/hybrid_rrf): hash-green > ran-clean for the
-    # contested slots
-    "embedding_dedup_lsh", "simhash_verified", "ann_ivf_topk",
-    "hll_rollup",
-    # oracled entries just past the 50-slot window; selfcheck-green at
-    # sf0.01, first in line for the round-4 window
-    "hybrid_rrf", "ccnet_buckets", "nb_quality", "paste_join", "ewma",
-    # new rows-only this session; pytest recall floors, re-rotates next round
-    "pq_topk", "ivfpq_topk",
-    # new rows-only this session; pytest batch-equivalence + suppression
-    "stream_near_dedup",
-}
+# Manual override for staleness the fingerprint can't see (kept empty when
+# the automatic check suffices).  tumbling_window: its r3 avg_value fix
+# predates the fingerprint snapshot, so the automatic check can't flag it —
+# drop the override once a round-4+ green row lands.
+CHANGED_SINCE_GREEN: set[str] = {"tumbling_window"}
+
+
+def _fingerprint(qfn, oracle: str | None) -> str:
+    """Hash the query wrapper's source + oracle SQL + the source of every
+    callable it references (``mod.fn(`` and bare ``fn(`` forms) — function
+    granularity, so editing an operator invalidates exactly the greens
+    that call it.  Transitive helpers are out of scope by design (the
+    driver re-proves the whole window each round anyway)."""
+    try:
+        src = inspect.getsource(qfn)
+    except (TypeError, OSError):
+        src = repr(qfn)
+    parts = [src, oracle or ""]
+    seen = set()
+    for mod_name, fn_name in re.findall(r"\b(\w+)\.(\w+)\(", src):
+        key = f"{mod_name}.{fn_name}"
+        if key in seen:
+            continue
+        seen.add(key)
+        mod = getattr(entrymod, mod_name, None)
+        target = (
+            getattr(mod, fn_name, None) if inspect.ismodule(mod) else None
+        )
+        if callable(target):
+            try:
+                parts.append(inspect.getsource(target))
+            except (TypeError, OSError):
+                parts.append(repr(target))
+    for fn_name in re.findall(r"(?<![\w.])(\w+)\(", src):
+        if fn_name in seen:
+            continue
+        seen.add(fn_name)
+        target = getattr(entrymod, fn_name, None)
+        if inspect.isfunction(target):
+            try:
+                parts.append(inspect.getsource(target))
+            except (TypeError, OSError):
+                parts.append(repr(target))
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()
+
+
+def current_fingerprints() -> dict[str, str]:
+    oracles = entrymod.oracle_sql()
+    return {
+        name: _fingerprint(qfn, oracles.get(name))
+        for name, qfn in entrymod.queries().items()
+    }
+
+
+def stale_entries() -> set[str]:
+    """Proven-looking entries whose implementation drifted since their
+    fingerprint snapshot — plus any manual CHANGED_SINCE_GREEN override."""
+    if not os.path.exists(FINGERPRINTS_PATH):
+        return set(CHANGED_SINCE_GREEN)
+    recorded = json.load(open(FINGERPRINTS_PATH))
+    cur = current_fingerprints()
+    drifted = {n for n, fp in cur.items() if n in recorded and recorded[n] != fp}
+    return drifted | CHANGED_SINCE_GREEN
+
+# Entries deliberately parked past the window edge (more entries needing
+# rows than the driver checks per round).  EMPTY after the round-4
+# rotation: the full r3 backlog fits the window, so every unproven entry
+# sits inside the top 50 slots (VERDICT r3 #1).
+DEFERRED: set[str] = set()
 
 
 def main() -> int:
-    window = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    args = [a for a in sys.argv[1:] if a != "--update"]
+    if "--update" in sys.argv[1:]:
+        json.dump(
+            current_fingerprints(),
+            open(FINGERPRINTS_PATH, "w"),
+            indent=0,
+            sort_keys=True,
+        )
+        print(f"fingerprints refreshed -> {FINGERPRINTS_PATH}")
+        return 0
+    window = int(args[0]) if args else 50
     names = list(entrymod.queries().keys())
+    stale = stale_entries()
+    if stale:
+        print(f"stale greens (impl changed since snapshot): {sorted(stale)}")
     proven: set[str] = set()
     for f in sorted(glob.glob("CORRECTNESS_r*.json")):
         for k, v in json.load(open(f)).items():
             ran_rows_only = v.get("err") == "no_oracle" and v.get("spark_rows") is not None
-            if (v.get("hash_match") or ran_rows_only) and k not in CHANGED_SINCE_GREEN:
+            if (v.get("hash_match") or ran_rows_only) and k not in stale:
                 proven.add(k)
     top = names[:window]
     in_window = [n for n in top if n not in proven]

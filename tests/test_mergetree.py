@@ -298,3 +298,31 @@ def test_mv_refresh_with_hll_uniq_state(spark):
         assert abs(r.u - oneshot[r.g]) / exact[r.g] < 0.02
         assert abs(r.u - exact[r.g]) / exact[r.g] < 0.05
         assert r.n == 1500
+
+
+def test_uniq_state_merge_estimate_within_bound(spark, sf_dir):
+    """The uniq_state_merge driver query (uniqState/uniqMerge via
+    hll_state + mv_refresh) must land within 2 % of the exact
+    COUNT(DISTINCT) per event_type on the fixture — the ANN-recall-floor
+    pattern applied to sketch estimates (VERDICT r3 #5)."""
+    import os
+
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    got = {
+        r.event_type: r.approx_users
+        for r in E.queries()["uniq_state_merge"](spark, sf_dir).collect()
+    }
+    from clickhouse_flatfile_tool_spark.sources.files import read_parquet
+
+    ev = read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for t, n in exact.items():
+        assert abs(got[t] - n) / n <= 0.02, (t, got[t], n)
