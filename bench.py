@@ -113,7 +113,25 @@ BENCH_QUERIES = [
     "hybrid_rrf",
     "ccnet_buckets",
     "jpeg_meta",
+    # round 4 additions
+    "dialect_asof",
+    "ema_recursive",
+    "uniq_state_merge",
+    "ivfpq_topk",
 ]
+
+
+def _format_mask(cpus: list[int]) -> str:
+    """Compact range form of a CPU list: [0,1,2,5,7,8] -> '0-2,5,7-8'."""
+    runs: list[str] = []
+    i = 0
+    while i < len(cpus):
+        j = i
+        while j + 1 < len(cpus) and cpus[j + 1] == cpus[j] + 1:
+            j += 1
+        runs.append(str(cpus[i]) if i == j else f"{cpus[i]}-{cpus[j]}")
+        i = j + 1
+    return ",".join(runs)
 
 
 def main() -> None:
@@ -121,6 +139,19 @@ def main() -> None:
     # heap at sf0.1; 16g keeps full GCs out of the timed region (the
     # container has 128 GiB — the env var still overrides for smaller hosts)
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+    # Contention control (VERDICT r3 #7): record the CPU mask the bench ran
+    # under so cross-round comparisons are interpretable; optionally pin to
+    # a fixed set first (SPARK_GRAFT_CPU_PIN="0-15") — equivalent to
+    # launching under `taskset -c`.  Pinning must happen before the JVM
+    # forks so executor threads inherit the mask.
+    pin = os.environ.get("SPARK_GRAFT_CPU_PIN")
+    if pin:
+        cpus: set[int] = set()
+        for part in pin.split(","):
+            a, _, b = part.partition("-")
+            cpus |= set(range(int(a), int(b or a) + 1))
+        os.sched_setaffinity(0, cpus)
+    cpu_mask = _format_mask(sorted(os.sched_getaffinity(0)))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark(app_name="cfts-bench")
@@ -213,6 +244,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "tpch_recheck": tpch_recheck,
+                "cpu_mask": cpu_mask,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

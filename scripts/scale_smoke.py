@@ -27,7 +27,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from clickhouse_flatfile_tool_spark import get_spark  # noqa: E402
-from clickhouse_flatfile_tool_spark.operators import dedup, text  # noqa: E402
+from clickhouse_flatfile_tool_spark.operators import (  # noqa: E402
+    dedup,
+    retrieval,
+    similarity,
+    text,
+)
 from clickhouse_flatfile_tool_spark.sources.files import read_parquet  # noqa: E402
 
 
@@ -52,6 +57,60 @@ def scaled_docs(docs, k: int):
     )
 
 
+def scaled_plain(docs, k: int):
+    """K identical copies with shifted ids — for operators whose cost is
+    term/row driven, not duplicate-structure driven (BM25): suffixing
+    words would break query-term matching in the copies."""
+    if k == 1:
+        return docs
+    copies = docs.crossJoin(
+        F.broadcast(docs.sparkSession.range(k).select(F.col("id").alias("__copy")))
+    )
+    n = docs.count()
+    return copies.select(
+        (F.col("doc_id") + F.col("__copy") * n).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+
+def scaled_fuzzy(docs, k: int):
+    """K copies for the PassJoin smoke: each copy's 30-char prefixes get an
+    8-char per-copy hash block, so cross-copy prefix distance is ≥≈8 ≫
+    max_dist and the candidate structure stays per-copy (weak scaling of
+    the operator, not of accidental cross-copy near-pairs — the word
+    suffix used by scaled_docs differs by only 1-2 chars between copies,
+    which WOULD create a quadratic cross-copy pair explosion here)."""
+    copies = docs.crossJoin(
+        F.broadcast(docs.sparkSession.range(k).select(F.col("id").alias("__copy")))
+    )
+    n = docs.count()
+    return copies.select(
+        (F.col("doc_id") + F.col("__copy") * n).alias("doc_id"),
+        F.concat(
+            F.substring(F.md5(F.col("__copy").cast("string")), 1, 8),
+            F.lit(" "),
+            F.col("text"),
+        ).alias("text"),
+    )
+
+
+def scaled_embeddings(emb, k: int):
+    """K copies with shifted vec_ids — ADC-scan cost depends on code count,
+    not vector values, so identical copies measure search weak-scaling."""
+    if k == 1:
+        return emb
+    copies = emb.crossJoin(
+        F.broadcast(emb.sparkSession.range(k).select(F.col("id").alias("__copy")))
+    )
+    n = emb.count()
+    return copies.select(
+        (F.col("vec_id") + F.col("__copy") * n).alias("vec_id"), "embedding"
+    )
+
+
 OPS = {
     "exact_dedup": lambda df: dedup.exact_dedup_canonical(df),
     "minhash_candidates": lambda df: dedup.minhash_lsh_candidates(df),
@@ -65,6 +124,22 @@ OPS = {
 }
 
 
+def _time_pair(op, in_1x, in_kx, k: int):
+    times = []
+    for df in (in_1x, in_kx):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            op(df).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        times.append(round(best, 3))
+    return {
+        "t_1x": times[0],
+        f"t_{k}x": times[1],
+        "ratio": round(times[1] / max(times[0], 1e-9), 2),
+    }
+
+
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -76,19 +151,52 @@ def main() -> None:
 
     out = {}
     for name, op in OPS.items():
-        times = []
-        for df in (docs1, docsk):
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.time()
-                op(df).write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
-            times.append(round(best, 3))
-        out[name] = {
-            "t_1x": times[0],
-            f"t_{k}x": times[1],
-            "ratio": round(times[1] / max(times[0], 1e-9), 2),
-        }
+        out[name] = _time_pair(op, docs1, docsk, k)
+
+    # round-3 heavy operators (VERDICT r3 #3) — each with the input
+    # scaling that isolates the operator's own weak-scaling behavior
+    plaink = scaled_plain(docs1, k).localCheckpoint()
+    out["bm25_scores"] = _time_pair(
+        lambda df: retrieval.bm25_scores(df, ["vector", "hash", "join"]),
+        docs1,
+        plaink,
+        k,
+    )
+    out["bloom_decontaminate"] = _time_pair(
+        lambda df: dedup.bloom_decontaminate(
+            df.filter("doc_id % 20 != 0"), df.filter("doc_id % 20 = 0")
+        ),
+        docs1,
+        docsk,
+        k,
+    )
+    fz1 = scaled_fuzzy(docs1, 1).localCheckpoint()
+    fzk = scaled_fuzzy(docs1, k).localCheckpoint()
+    out["fuzzy_pairs"] = _time_pair(
+        lambda df: dedup.edit_distance_pairs(
+            df.select("doc_id", F.substring("text", 1, 30).alias("pref")),
+            "doc_id",
+            "pref",
+            max_dist=2,
+        ),
+        fz1,
+        fzk,
+        k,
+    )
+    # PQ search-only: codebooks trained ONCE on the 1× corpus (the
+    # production prebuilt-index shape); both scales are encoded untimed,
+    # the timed region is LUT + ADC scan + shortlist rerank
+    emb1 = similarity.normalize(
+        read_parquet(spark, os.path.join(sf_dir, "embeddings.parquet"))
+    ).localCheckpoint()
+    embk = scaled_embeddings(emb1, k).localCheckpoint()
+    cb = similarity.pq_train(emb1, m=16, k=64).localCheckpoint()
+    enc1 = similarity.pq_encode(emb1, cb).localCheckpoint()
+    enck = similarity.pq_encode(embk, cb).localCheckpoint()
+    q = emb1.filter("vec_id < 10")
+    out["pq_search"] = _time_pair(
+        lambda enc: similarity.pq_topk(q, enc, cb, k=5, rerank=50), enc1, enck, k
+    )
     print(json.dumps({"k": k, "ops": out}))
 
 
