@@ -1635,6 +1635,102 @@ def q_ewma(spark, d):
     return out.select("user_id", "n_events", F.round("ewma", 6).alias("ewma"))
 
 
+def q_clickhouse_funcs3(spark, d):
+    """Round-4 ClickHouse function batch through the dialect translator
+    (dialect.py): arrayCumSum (one aggregate fold, O(n)), arrayEnumerate
+    (transform-by-index — NOT sequence(1, size), which descends for empty
+    arrays), countEqual (NULL-safe <=>), bitCount, range with the
+    empty-guard slice, exp2.  Oracle = DuckDB list/bit builtins."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    _t(spark, d, "events").createOrReplaceTempView("ev_funcs3")
+    ch_sql = (
+        "SELECT event_id, "
+        "arrayCumSum([1, event_id % 5, 2]) AS cum, "
+        "arrayEnumerate(range(event_id % 4)) AS en, "
+        "countEqual([event_id % 3, 1, 1], 1) AS ce, "
+        "bitCount(event_id) AS bc, "
+        "range(event_id % 4) AS rg, "
+        "round(exp2(event_id % 5), 6) AS e2 "
+        "FROM ev_funcs3 WHERE event_id < 500"
+    )
+    out = spark.sql(translate_clickhouse_sql(ch_sql))
+    return out.select(
+        "event_id",
+        "cum",
+        F.col("en").cast("array<long>").alias("en"),
+        F.col("ce").cast("long").alias("ce"),
+        F.col("bc").cast("long").alias("bc"),
+        F.col("rg").cast("array<long>").alias("rg"),
+        "e2",
+    )
+
+
+def q_with_fill(spark, d):
+    """ClickHouse ``ORDER BY ... WITH FILL FROM a TO b`` through the SQL
+    endpoint (dialect.py::_rewrite_with_fill): day-of-month event counts
+    with deliberate gaps (every dom ≡ 1 mod 3 filtered out) filled to the
+    full 1..31 progression as NULL-count rows — generated sequence
+    FULL-joined on the fill column.  Oracle: DuckDB generate_series left
+    join (identical fill semantics)."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    _t(spark, d, "events").createOrReplaceTempView("ev_fill")
+    ch_sql = (
+        "SELECT toDayOfMonth(ts) AS dom, count(*) AS n_events "
+        "FROM ev_fill WHERE toDayOfMonth(ts) % 3 != 1 "
+        "GROUP BY dom ORDER BY dom WITH FILL FROM 1 TO 32"
+    )
+    out = spark.sql(translate_clickhouse_sql(ch_sql))
+    return out.select("dom", F.col("n_events").cast("long").alias("n_events"))
+
+
+def q_jsonl_scan(spark, d):
+    """JSONEachRow source round trip (sources/files.py::write_jsonl +
+    read_jsonl): documents project to newline-delimited JSON and read back
+    under an explicit schema — the wire format the reference requests on
+    every read (server/server.js:141).  Oracle = the same projection
+    straight off the parquet view, so the hash proves byte-faithful
+    JSON encode/decode of real corpus text (escapes, unicode)."""
+    from clickhouse_flatfile_tool_spark.sources.files import read_jsonl, write_jsonl
+
+    docs = (
+        _t(spark, d, "documents")
+        .filter("doc_id < 200")
+        .select("doc_id", "lang", "text")
+    )
+    tag = os.path.basename(os.path.normpath(d)) or "sf"
+    tmp = os.path.join(tempfile.gettempdir(), f"cfts_jsonl_{tag}")
+    write_jsonl(docs, tmp)
+    back = read_jsonl(spark, tmp, schema="doc_id bigint, lang string, text string")
+    return back.select("doc_id", "lang", "text")
+
+
+def q_winsorize(spark, d):
+    """Winsorized robust aggregation: o_totalprice clipped to its
+    [k-th smallest, k-th largest] band (k = max(1, ⌊1% · n⌋)) before a
+    per-priority sum — the outlier-robust statistics pass a curation
+    pipeline runs before computing corpus mixes.  Thresholds come from two
+    top-k reductions (orderBy+limit+agg — distributed top-k, no global
+    window); the clip itself is pure codegen least/greatest.  Sums are
+    exact: 2-decimal money at fixture scale stays integer in cents under
+    2^53.  Oracle computes the same k-th order statistics via row_number."""
+    o = _t(spark, d, "orders").select("o_orderpriority", "o_totalprice")
+    n = o.count()
+    k = max(1, n // 100)
+    lo = o.orderBy(F.asc("o_totalprice")).limit(k).agg(
+        F.max("o_totalprice")
+    ).collect()[0][0]
+    hi = o.orderBy(F.desc("o_totalprice")).limit(k).agg(
+        F.min("o_totalprice")
+    ).collect()[0][0]
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.lit(lo)), F.lit(hi))
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(clipped), 2).alias("sum_winsorized"),
+    )
+
+
 def q_dialect_asof(spark, d):
     """ClickHouse ``ASOF JOIN`` through the SQL endpoint
     (dialect.py::_rewrite_asof_join): each purchase event matched to the
@@ -2650,6 +2746,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dialect_asof": q_dialect_asof,
         "ema_recursive": q_ema_recursive,
         "uniq_state_merge": q_uniq_state_merge,
+        "clickhouse_funcs3": q_clickhouse_funcs3,
+        "with_fill": q_with_fill,
+        "jsonl_scan": q_jsonl_scan,
+        "winsorize": q_winsorize,
         "hybrid_rrf": q_hybrid_rrf,
         "ccnet_buckets": q_ccnet_buckets,
         "nb_quality": q_nb_quality,
@@ -4054,6 +4154,39 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
             "round(sum(e.value * pow(2, -(tmax - epoch_us(e.ts)) / 3600000000.0)) "
             "  / sum(pow(2, -(tmax - epoch_us(e.ts)) / 3600000000.0)), 6) AS ewma "
             "FROM events e JOIN g USING (user_id) GROUP BY e.user_id, tmax"
+        ),
+        "clickhouse_funcs3": (
+            "SELECT event_id, "
+            "list_transform(generate_series(1, 3), "
+            "  i -> (list_sum(([1, event_id % 5, 2])[1:i]))::DOUBLE) AS cum, "
+            "generate_series(1, greatest(event_id % 4, 0)) AS en, "
+            "len(list_filter([event_id % 3, 1, 1], x -> x = 1))::BIGINT AS ce, "
+            "bit_count(event_id)::BIGINT AS bc, "
+            "range(event_id % 4) AS rg, "
+            "round(pow(2, event_id % 5), 6) AS e2 "
+            "FROM events WHERE event_id < 500"
+        ),
+        "with_fill": (
+            "WITH b AS (SELECT day(ts)::INT AS dom, count(*)::BIGINT AS n_events "
+            "  FROM events WHERE day(ts) % 3 != 1 GROUP BY dom) "
+            "SELECT g.dom, b.n_events "
+            "FROM (SELECT unnest(generate_series(1, 31))::INT AS dom) g "
+            "LEFT JOIN b USING (dom) ORDER BY g.dom"
+        ),
+        "jsonl_scan": (
+            "SELECT doc_id, lang, text FROM documents WHERE doc_id < 200"
+        ),
+        "winsorize": (
+            "WITH v AS (SELECT o_orderpriority AS p, o_totalprice AS x FROM orders), "
+            "k AS (SELECT greatest(count(*) // 100, 1) AS kk FROM v), "
+            "r AS (SELECT p, x, row_number() OVER (ORDER BY x) AS ra, "
+            "  row_number() OVER (ORDER BY x DESC) AS rd FROM v), "
+            "t AS (SELECT max(CASE WHEN ra <= (SELECT kk FROM k) THEN x END) AS lo, "
+            "  min(CASE WHEN rd <= (SELECT kk FROM k) THEN x END) AS hi FROM r) "
+            "SELECT p AS o_orderpriority, count(*)::BIGINT AS n_orders, "
+            "round(sum(least(greatest(x, (SELECT lo FROM t)), (SELECT hi FROM t))), 2) "
+            "  AS sum_winsorized "
+            "FROM v GROUP BY p"
         ),
         "dialect_asof": (
             "WITH a AS (SELECT event_id, user_id, ts, value FROM events "

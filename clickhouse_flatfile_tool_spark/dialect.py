@@ -65,6 +65,13 @@ _WRAPS: list[tuple[str, str, str]] = [
     # empty()/notEmpty() are handled by _wrap_empty_sites (schema-aware when
     # a SparkSession is passed to translate_clickhouse_sql), not here.
     ("arrayUniq", "size(array_distinct(", "))"),
+    # exp2/exp10 have no Spark builtin (log2/log10 do and pass through)
+    ("exp2", "power(2.0, ", ")"),
+    ("exp10", "power(10.0, ", ")"),
+    # arrayEnumerate([a,b,c]) = [1,2,3] — transform by index (NOT
+    # sequence(1, size(x)): Spark's sequence(1, 0) descends to [1, 0]
+    # for empty arrays instead of yielding [])
+    ("arrayEnumerate", "transform(", ", (__x, __i) -> __i + 1)"),
     # URL family (ClickHouse URL functions → Spark parse_url parts).
     # Note ClickHouse domain() tolerates scheme-less 'host/path' strings;
     # parse_url follows RFC parsing and needs a scheme — pass full URLs.
@@ -167,6 +174,10 @@ _RENAMES: list[tuple[str, str]] = [
     ("substringUTF8", "substring"),
     ("bitShiftLeft", "shiftleft"),
     ("bitShiftRight", "shiftright"),
+    ("bitCount", "bit_count"),
+    # anyHeavy approximates the most frequent value; Spark's exact mode()
+    # is the closest aggregate (deterministic, a strict upgrade)
+    ("anyHeavy", "mode"),
     ("base64Encode", "base64"),
     # same (haystack, pattern, replacement) order; NOTE: CH backreferences
     # are \1, Spark's are $1 — patterns with backrefs need hand-porting
@@ -795,6 +806,61 @@ def _rewrite_misc_calls(chunk: str) -> str:
 
     chunk = _rewrite_call(chunk, "arrayCompact", compact_make)
 
+    def cumsum_make(args):
+        # arrayCumSum: one aggregate fold carrying (running sum, out array)
+        # — O(n), no slice-per-element.  DOUBLE accumulation like the
+        # arraySum rewrite (cast back where integer exactness matters).
+        if len(args) != 1:
+            return None
+        a = args[0]
+        return (
+            f"aggregate({a}, "
+            "named_struct('s', CAST(0 AS DOUBLE), 's_arr', CAST(array() AS ARRAY<DOUBLE>)), "
+            "(acc, x) -> named_struct('s', acc.s + x, "
+            "'s_arr', concat(acc.s_arr, array(acc.s + x))), "
+            "acc -> acc.s_arr)"
+        )
+
+    chunk = _rewrite_call(chunk, "arrayCumSum", cumsum_make)
+
+    def avg_weighted_make(args):
+        # avgWeighted(x, w) = Σ x·w / Σ w (CH returns NaN on zero weight
+        # sum; Spark returns NULL — the honest SQL analog)
+        if len(args) != 2:
+            return None
+        return f"(sum(({args[0]}) * ({args[1]})) / sum({args[1]}))"
+
+    chunk = _rewrite_call(chunk, "avgWeighted", avg_weighted_make)
+
+    def count_equal_make(args):
+        # countEqual(arr, v): NULL-safe equality so countEqual(a, NULL)
+        # counts NULL elements like ClickHouse
+        if len(args) != 2:
+            return None
+        return f"size(filter({args[0]}, __x -> __x <=> ({args[1]})))"
+
+    chunk = _rewrite_call(chunk, "countEqual", count_equal_make)
+
+    def range_make(args):
+        # range(n) = [0..n-1]; range(s, e) = [s..e-1].  The slice guard
+        # matters: Spark's sequence(0, -1) DESCENDS instead of returning
+        # [] for n = 0.
+        if len(args) == 1:
+            n = args[0]
+            return (
+                f"slice(sequence(0, greatest(({n}) - 1, 0)), "
+                f"1, greatest(({n}), 0))"
+            )
+        if len(args) == 2:
+            s, e = args
+            return (
+                f"slice(sequence(({s}), greatest(({e}) - 1, ({s}))), "
+                f"1, greatest(({e}) - ({s}), 0))"
+            )
+        return None
+
+    chunk = _rewrite_call(chunk, "range", range_make)
+
     for name, unit in _DATE_ADD_UNITS.items():
         sign = "-" if name.startswith("subtract") else ""
         chunk = _rewrite_call(
@@ -1062,6 +1128,46 @@ def _rewrite_array_join_clause(chunk: str) -> str:
     return pat.sub(repl, chunk)
 
 
+_WITH_FILL_PAT = re.compile(
+    r"ORDER\s+BY\s+([A-Za-z_]\w*)\s+WITH\s+FILL"
+    r"(?:\s+FROM\s+(\S+))?(?:\s+TO\s+(\S+))?(?:\s+STEP\s+(\S+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_with_fill(chunk: str) -> str:
+    """ClickHouse ``ORDER BY c WITH FILL [FROM a] [TO b] [STEP s]`` →
+    a generated value sequence FULL-joined with the query (USING-join, so
+    the fill column is coalesced per the SQL standard): every gap in the
+    arithmetic progression appears as a row with NULL payload columns,
+    original rows all survive — exactly CH's fill semantics (FROM
+    inclusive, TO exclusive, default step 1; CH docs "ORDER BY Expr WITH
+    FILL Modifier").  Scope (documented, conservative string level): one
+    fill column, a plain column name, numeric progression, the statement's
+    final ORDER BY.  Timestamp gap-fill is the ``events.gap_fill``
+    operator (driver query ``gap_fill``, green r1) — this covers the SQL
+    endpoint.  Without FROM/TO the bounds come from scalar-subquery
+    min/max over the base result, the same one-extra-tiny-job shape as
+    the operator."""
+    m = _WITH_FILL_PAT.search(chunk)
+    if not m:
+        return chunk
+    col, frm, to, step = m.groups()
+    base = chunk[: m.start()].rstrip()
+    step = step or "1"
+    frm_e = frm or f"(SELECT min({col}) FROM __fill_base)"
+    to_e = f"({to}) - 1" if to else f"(SELECT max({col}) FROM __fill_base)"
+    seq = (
+        f"(SELECT explode(sequence({frm_e}, greatest({to_e}, {frm_e}), {step})) "
+        f"AS {col})"
+    )
+    return (
+        f"WITH __fill_base AS ({base}) "
+        f"SELECT * FROM {seq} FULL JOIN __fill_base USING ({col}) "
+        f"ORDER BY {col}"
+    )
+
+
 _ASOF_PAT = re.compile(r"\bASOF\s+(LEFT\s+)?JOIN\b", re.IGNORECASE)
 _ASOF_TABLE_PAT = re.compile(
     r"\s+([A-Za-z_][\w.]*)"
@@ -1077,86 +1183,192 @@ _ASOF_CLAUSE_END = re.compile(
 _ASOF_INEQ = re.compile(r"(<=|>=|<|>)")
 
 
+_ASOF_LEFT_TABLE_PAT = re.compile(
+    r"\bFROM\s+([A-Za-z_][\w.]*)"
+    r"(?:\s+AS\s+([A-Za-z_]\w*)|\s+(?!ASOF\b)([A-Za-z_]\w*))?"
+    r"\s*$",
+    re.IGNORECASE,
+)
+
+
+def _asof_condition_span(chunk: str, cond_start: int) -> int:
+    """End index of an ON condition: the next top-level clause keyword or
+    unbalanced ``)`` at paren depth 0."""
+    depth, k, end = 0, cond_start, len(chunk)
+    while k < len(chunk):
+        ch = chunk[k]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            if depth == 0:
+                return k
+            depth -= 1
+        elif depth == 0 and (ch.isalpha() or ch == "_"):
+            prev_ok = k == 0 or not (chunk[k - 1].isalnum() or chunk[k - 1] in "_.")
+            if prev_ok and _ASOF_CLAUSE_END.match(chunk, k):
+                return k
+            while k < len(chunk) and (chunk[k].isalnum() or chunk[k] == "_"):
+                k += 1
+            continue
+        k += 1
+    return end
+
+
+def _asof_split_condition(cond: str, r_alias: str):
+    """Split the ON condition into equality terms and THE inequality
+    (ClickHouse's rule: exactly one inequality names the asof column).
+    Returns (eq_pairs [(left_expr, right_expr)], ineq (l, r, op)) with
+    each term's operands sorted so the right-alias side is second, or
+    (None, None) when the shape isn't resolvable."""
+    qual = re.compile(rf"^{re.escape(r_alias)}\s*\.", re.IGNORECASE)
+    eq_pairs, ineq = [], None
+    for part in re.split(r"\bAND\b", cond, flags=re.IGNORECASE):
+        part = part.strip()
+        if "(" in part:
+            return None, None  # keep to simple comparison terms
+        im = _ASOF_INEQ.search(part)
+        if im:
+            lhs, rhs = part[: im.start()].strip(), part[im.end() :].strip()
+            op = im.group(1)
+            if qual.match(rhs):
+                pass  # left op right-side already
+            elif qual.match(lhs):
+                lhs, rhs = rhs, lhs
+                op = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}[op]
+            else:
+                return None, None
+            if ineq is not None:
+                return None, None  # CH allows exactly one
+            ineq = (lhs, rhs, op)
+            continue
+        if "=" in part:
+            lhs, _, rhs = part.partition("=")
+            lhs, rhs = lhs.strip(), rhs.strip()
+            if qual.match(lhs):
+                lhs, rhs = rhs, lhs
+            if not qual.match(rhs):
+                return None, None
+            eq_pairs.append((lhs, rhs))
+            continue
+        return None, None
+    if ineq is None:
+        return None, None
+    return eq_pairs, ineq
+
+
 def _rewrite_asof_join(chunk: str) -> str:
     """ClickHouse ``A ASOF [LEFT] JOIN B ON A.k = B.k AND A.t >= B.t`` →
-    a Spark correlated LATERAL subquery selecting the single closest match::
+    the *union + running last_value* idiom — the same single-shuffle
+    sort-merge shape as the DataFrame ``relational.asof_join`` — expressed
+    generically by packing each side into a struct column NAMED BY ITS
+    ALIAS, so the outer query's ``a.x`` / ``b.y`` references resolve as
+    struct-field access unchanged::
 
-        A [LEFT] JOIN LATERAL (
-            SELECT * FROM B AS b WHERE <cond> ORDER BY b.t DESC LIMIT 1
-        ) b ON true
+        (SELECT __lv AS a, __rvm AS b FROM (
+           SELECT __lv, __tag, last_value(__rv, true) OVER (
+             PARTITION BY __k0.. ORDER BY __ts {ASC|DESC}, __tag
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __rvm
+           FROM (SELECT struct(a.*), NULL, keys.., a.t, {ltag} FROM A a
+                 UNION ALL
+                 SELECT NULL, struct(b.*), keys.., b.t, {rtag} FROM B b))
+         WHERE __tag = {ltag} [AND __rvm IS NOT NULL])
 
-    The ON condition's single top-level inequality names the asof column
-    (exactly ClickHouse's rule, docs "ASOF JOIN Usage"); its direction
-    picks the sort: the right side ≤/< the left probes backward (DESC →
-    latest earlier row), ≥/> probes forward (ASC).  Scope (documented):
-    the right side must be a table/view name (optionally aliased), not a
-    subquery, and the inequality operands must be qualified by the right
-    alias — the conservative string-level stance of this module.  The
-    DataFrame-level ``relational.asof_join`` (sort-merge shape) is the
-    scale path; this covers the SQL endpoint (``api.query``).  Semantics
-    cross-checked by the ``dialect_asof`` driver oracle.
-    Reference parity: ClickHouse ASOF JOIN, server-side join builder
-    passes raw ON strings through (server/server.js:837-844)."""
+    One shuffle on the key, O(1) window state per key — a correlated
+    LATERAL subquery here plans as a per-left-row nested loop (measured
+    263 s vs 0.9 s at sf0.1).  The inequality's direction picks the scan
+    order (right ≤ left probes backward/ASC-latest; ≥ probes
+    forward/DESC-nearest) and its strictness the tag order (exact matches
+    included for ≤/≥, exactly ClickHouse's rule, docs "ASOF JOIN Usage").
+    Scope (documented): both sides plain table/view names (optionally
+    aliased), simple comparison terms, column refs qualified by the two
+    aliases; the outer query must use qualified references (``SELECT *``
+    would yield the two structs).  Cross-checked by the ``dialect_asof``
+    driver oracle (DuckDB native ASOF JOIN).
+    Reference parity: ClickHouse ASOF JOIN; the reference passes raw join
+    condition strings through (server/server.js:837-844)."""
     m = _ASOF_PAT.search(chunk)
     while m:
         is_left = bool(m.group(1))
         tm = _ASOF_TABLE_PAT.match(chunk, m.end())
         if not tm:
             return chunk  # unsupported shape — pass through, Spark errors
-        table = tm.group(1)
-        alias = tm.group(2) or tm.group(3) or table.split(".")[-1]
+        r_table = tm.group(1)
+        r_alias = tm.group(2) or tm.group(3) or r_table.split(".")[-1]
         cond_start = tm.end()
-        # the ON condition runs to the next top-level clause keyword
-        depth, k, end = 0, cond_start, len(chunk)
-        while k < len(chunk):
-            ch = chunk[k]
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                if depth == 0:
-                    end = k
-                    break
-                depth -= 1
-            elif depth == 0 and (ch.isalpha() or ch == "_"):
-                prev_ok = k == 0 or not (
-                    chunk[k - 1].isalnum() or chunk[k - 1] in "_."
-                )
-                if prev_ok and _ASOF_CLAUSE_END.match(chunk, k):
-                    end = k
-                    break
-                while k < len(chunk) and (chunk[k].isalnum() or chunk[k] == "_"):
-                    k += 1
-                continue
-            k += 1
+        end = _asof_condition_span(chunk, cond_start)
         cond = chunk[cond_start:end].strip()
-        # find the inequality term at top AND level; its right-alias side
-        # is the asof sort expression
-        sort_expr, direction = None, None
-        for part in re.split(r"\bAND\b", cond, flags=re.IGNORECASE):
-            im = _ASOF_INEQ.search(part)
-            if not im or "(" in part:  # keep to simple comparison terms
-                continue
-            lhs, rhs = part[: im.start()].strip(), part[im.end() :].strip()
-            op = im.group(1)
-            qual = re.compile(rf"^{re.escape(alias)}\s*\.", re.IGNORECASE)
-            if qual.match(lhs):
-                se, lt = lhs, op in ("<", "<=")
-            elif qual.match(rhs):
-                se, lt = rhs, op not in ("<", "<=")
-            else:
-                continue
-            sort_expr, direction = se, ("DESC" if lt else "ASC")
-        if sort_expr is None:
-            return chunk  # no resolvable asof inequality — pass through
-        join_kw = "LEFT JOIN" if is_left else "JOIN"
-        repl = (
-            f"{join_kw} LATERAL (SELECT * FROM {table} AS {alias} "
-            f"WHERE {cond} ORDER BY {sort_expr} {direction} LIMIT 1) "
-            f"{alias} ON true "
+        lm = _ASOF_LEFT_TABLE_PAT.search(chunk, 0, m.start())
+        eq_pairs, ineq = _asof_split_condition(cond, r_alias)
+        if lm is None or eq_pairs is None or not eq_pairs:
+            # fallback: correlated LATERAL closest-match (correct but
+            # per-left-row — only for shapes the window form can't parse)
+            repl = _asof_lateral(cond, r_table, r_alias, is_left)
+            if repl is None:
+                return chunk
+            chunk = chunk[: m.start()] + repl + chunk[end:]
+            m = _ASOF_PAT.search(chunk, m.start() + len(repl))
+            continue
+        l_table = lm.group(1)
+        l_alias = lm.group(2) or lm.group(3) or l_table.split(".")[-1]
+        l_ts, r_ts, op = ineq  # left-side expr, right-side expr, l <op> r
+        backward = op in (">", ">=")  # left ≥ right: latest earlier right
+        inclusive = op in (">=", "<=")
+        ltag, rtag = (1, 0) if inclusive else (0, 1)
+        direction = "ASC" if backward else "DESC"
+        l_keys = ", ".join(
+            f"{le} AS __k{i}" for i, (le, _) in enumerate(eq_pairs)
         )
-        chunk = chunk[: m.start()] + repl + chunk[end:]
-        m = _ASOF_PAT.search(chunk, m.start() + len(repl))
+        r_keys = ", ".join(
+            f"{re_} AS __k{i}" for i, (_, re_) in enumerate(eq_pairs)
+        )
+        part_keys = ", ".join(f"__k{i}" for i in range(len(eq_pairs)))
+        inner_filter = "" if is_left else " AND __rvm IS NOT NULL"
+        repl = (
+            f"(SELECT __lv AS {l_alias}, __rvm AS {r_alias} FROM ("
+            f"SELECT __lv, __tag, last_value(__rv, true) OVER ("
+            f"PARTITION BY {part_keys} ORDER BY __ts {direction}, __tag ASC "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __rvm "
+            f"FROM ("
+            f"SELECT struct({l_alias}.*) AS __lv, NULL AS __rv, {l_keys}, "
+            f"{l_ts} AS __ts, {ltag} AS __tag FROM {l_table} AS {l_alias} "
+            f"UNION ALL "
+            f"SELECT NULL AS __lv, struct({r_alias}.*) AS __rv, {r_keys}, "
+            f"{r_ts} AS __ts, {rtag} AS __tag FROM {r_table} AS {r_alias}"
+            f")) WHERE __tag = {ltag}{inner_filter}) "
+        )
+        # splice over "FROM <left> ... ON <cond>" — the FROM keyword stays
+        chunk = chunk[: lm.start()] + "FROM " + repl + chunk[end:]
+        m = _ASOF_PAT.search(chunk, lm.start() + len(repl))
     return chunk
+
+
+def _asof_lateral(
+    cond: str, r_table: str, r_alias: str, is_left: bool
+) -> str | None:
+    """LATERAL closest-match fallback (per-left-row — small dims only)."""
+    sort_expr, direction = None, None
+    qual = re.compile(rf"^{re.escape(r_alias)}\s*\.", re.IGNORECASE)
+    for part in re.split(r"\bAND\b", cond, flags=re.IGNORECASE):
+        im = _ASOF_INEQ.search(part)
+        if not im or "(" in part:
+            continue
+        lhs, rhs = part[: im.start()].strip(), part[im.end() :].strip()
+        op = im.group(1)
+        if qual.match(lhs):
+            se, lt = lhs, op in ("<", "<=")
+        elif qual.match(rhs):
+            se, lt = rhs, op not in ("<", "<=")
+        else:
+            continue
+        sort_expr, direction = se, ("DESC" if lt else "ASC")
+    if sort_expr is None:
+        return None
+    join_kw = "LEFT JOIN" if is_left else "JOIN"
+    return (
+        f"{join_kw} LATERAL (SELECT * FROM {r_table} AS {r_alias} "
+        f"WHERE {cond} ORDER BY {sort_expr} {direction} LIMIT 1) "
+        f"{r_alias} ON true "
+    )
 
 
 def _rewrite_clauses(chunk: str) -> str:
@@ -1258,6 +1470,7 @@ def translate_clickhouse_sql(sql: str, spark=None) -> str:
     for src, dst in _ZERO_ARG:
         chunk = chunk.replace(src, dst)
     chunk = _rewrite_clauses(chunk)
+    chunk = _rewrite_with_fill(chunk)
     chunk = _rewrite_asof_join(chunk)
     chunk = _rewrite_int_div(chunk)
     chunk = _rewrite_if_combinators(chunk)

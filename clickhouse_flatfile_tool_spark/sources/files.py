@@ -263,6 +263,28 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_jsonl(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """Newline-delimited JSON scan — ClickHouse's ``JSONEachRow``, the wire
+    format the reference requests on every read (server/server.js:141, 232,
+    458: ``FORMAT JSONEachRow`` appended to each query).  Pass an explicit
+    ``schema`` DDL string in production: schema inference costs a full
+    extra pass over the data and types drift between files; with a schema
+    the scan is one pass and malformed rows land in Spark's default
+    PERMISSIVE null-column handling."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write newline-delimited JSON (JSONEachRow) — the export twin of
+    :func:`read_jsonl`; one file per partition, no driver collect."""
+    df.write.mode(mode).json(path)
+
+
 def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
     """Scan a parquet directory whose files were written under EVOLVING
     schemas (columns added over time — the normal life of a long-lived

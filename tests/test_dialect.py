@@ -650,9 +650,11 @@ def test_empty_on_array_schema_aware(spark):
 
 
 def test_asof_join_rewrite(spark):
-    """ASOF [LEFT] JOIN → correlated LATERAL closest-match subquery
-    (VERDICT r3 #8).  Backward probe (>=) takes the latest earlier row;
-    unmatched left rows survive only under ASOF LEFT JOIN."""
+    """ASOF [LEFT] JOIN → union + running last_value over structs named by
+    the aliases (VERDICT r3 #8; the single-shuffle sort-merge shape — the
+    correlated-LATERAL form measured 263 s vs 0.9 s at sf0.1).  Backward
+    probe (>=) takes the latest earlier row; unmatched left rows survive
+    only under ASOF LEFT JOIN; strict > excludes exact-timestamp matches."""
     spark.createDataFrame(
         [(1, 10), (1, 20), (2, 15)], "k int, t int"
     ).createOrReplaceTempView("asof_a")
@@ -664,7 +666,8 @@ def test_asof_join_rewrite(spark):
         "ASOF LEFT JOIN asof_b b ON asof_a.k = b.k AND asof_a.t >= b.bt "
         "ORDER BY asof_a.k, asof_a.t"
     )
-    assert "LATERAL" in out and "LIMIT 1" in out
+    assert "last_value(__rv, true)" in out and "UNION ALL" in out
+    assert "LATERAL" not in out  # the per-left-row plan must NOT be used
     rows = [tuple(r) for r in spark.sql(out).collect()]
     assert rows == [(1, 10, "x"), (1, 20, "y"), (2, 15, None)]
     inner = tr(
@@ -672,13 +675,24 @@ def test_asof_join_rewrite(spark):
         "ASOF JOIN asof_b b ON asof_a.k = b.k AND asof_a.t >= b.bt"
     )
     assert {tuple(r) for r in spark.sql(inner).collect()} == {(1, "x"), (1, "y")}
-    # forward probe (<=) sorts ASC — earliest not-earlier row
+    # forward probe (<=) scans DESC — earliest not-earlier row
     fwd = tr(
         "SELECT asof_a.k, asof_a.t, b.bt FROM asof_a "
         "ASOF JOIN asof_b b ON asof_a.k = b.k AND asof_a.t <= b.bt "
         "ORDER BY asof_a.k, asof_a.t"
     )
     assert [tuple(r) for r in spark.sql(fwd).collect()] == [(1, 10, 18), (2, 15, 99)]
+    # strict >: the bt=18 row is no longer an exact match for t=18-free
+    # data, but bt=5 still precedes t=10
+    strict = tr(
+        "SELECT asof_a.k, asof_a.t, b.bt FROM asof_a "
+        "ASOF JOIN asof_b b ON asof_a.k = b.k AND asof_a.t > b.bt "
+        "ORDER BY asof_a.k, asof_a.t"
+    )
+    assert [tuple(r) for r in spark.sql(strict).collect()] == [
+        (1, 10, 5),
+        (1, 20, 18),
+    ]
 
 
 def test_ema_recursive_hand_computed(spark):
@@ -697,3 +711,78 @@ def test_ema_recursive_hand_computed(spark):
     out = {r.user_id: r.ema for r in ema_recursive(df, halflife_seconds=3600.0).collect()}
     # ema = 10*0.5 + 20*0.5 = 15
     assert abs(out[1] - 15.0) < 1e-9
+
+
+def test_round4_function_batch(spark):
+    """arrayCumSum / arrayEnumerate / countEqual / bitCount / range /
+    exp2 / exp10 / avgWeighted / anyHeavy — round-4 dialect additions,
+    hand-computed, including the empty-array edges the sequence()
+    descending trap would break."""
+    row = spark.sql(
+        "SELECT "
+        + tr("arrayCumSum([1, 2, 3])")
+        + " AS cs, "
+        + tr("arrayCumSum(array())")
+        + " AS cse, "
+        + tr("arrayEnumerate([7, 8])")
+        + " AS en, "
+        + tr("arrayEnumerate(array())")
+        + " AS ene, "
+        + tr("countEqual([1, 2, 1, NULL], 1)")
+        + " AS ce, "
+        + tr("countEqual([1, NULL], NULL)")
+        + " AS cen, "
+        + tr("bitCount(7)")
+        + " AS bc, "
+        + tr("range(3)")
+        + " AS r1, "
+        + tr("range(0)")
+        + " AS r0, "
+        + tr("range(2, 5)")
+        + " AS r2, "
+        + tr("round(exp2(10), 1)")
+        + " AS e2, "
+        + tr("round(exp10(2), 1)")
+        + " AS e10"
+    ).first()
+    assert row.cs == [1.0, 3.0, 6.0]
+    assert row.cse == []
+    assert row.en == [1, 2]
+    assert row.ene == []
+    assert row.ce == 2
+    assert row.cen == 1
+    assert row.bc == 3
+    assert row.r1 == [0, 1, 2]
+    assert row.r0 == []
+    assert row.r2 == [2, 3, 4]
+    assert row.e2 == 1024.0
+    assert row.e10 == 100.0
+    agg = spark.sql(
+        tr(
+            "SELECT avgWeighted(x, w) AS aw, anyHeavy(x) AS ah "
+            "FROM (SELECT 10 AS x, 1 AS w UNION ALL SELECT 20, 3 "
+            "UNION ALL SELECT 20, 1)"
+        )
+    ).first()
+    assert agg.aw == 18.0  # (10*1 + 20*3 + 20*1) / 5
+    assert agg.ah == 20    # mode
+
+
+def test_with_fill_rewrite(spark):
+    """ORDER BY c WITH FILL FROM/TO/STEP → generated-sequence FULL join:
+    gaps appear as NULL-payload rows, original rows survive, TO is
+    exclusive."""
+    spark.createDataFrame(
+        [(1, 10), (2, 20), (5, 50)], "c int, v int"
+    ).createOrReplaceTempView("wf")
+    out = tr("SELECT c, v FROM wf ORDER BY c WITH FILL FROM 1 TO 6")
+    rows = [(r.c, r.v) for r in spark.sql(out).collect()]
+    assert rows == [(1, 10), (2, 20), (3, None), (4, None), (5, 50)]
+    # unbounded form: min/max scalar subqueries over the base result
+    out2 = tr("SELECT c, v FROM wf ORDER BY c WITH FILL")
+    rows2 = [(r.c, r.v) for r in spark.sql(out2).collect()]
+    assert rows2 == [(1, 10), (2, 20), (3, None), (4, None), (5, 50)]
+    # STEP keeps only the progression's fill points; base rows all survive
+    out3 = tr("SELECT c, v FROM wf ORDER BY c WITH FILL FROM 1 TO 8 STEP 2")
+    rows3 = [(r.c, r.v) for r in spark.sql(out3).collect()]
+    assert rows3 == [(1, 10), (2, 20), (3, None), (5, 50), (7, None)]
