@@ -1651,7 +1651,12 @@ def q_clickhouse_funcs3(spark, d):
         "countEqual([event_id % 3, 1, 1], 1) AS ce, "
         "bitCount(event_id) AS bc, "
         "range(event_id % 4) AS rg, "
-        "round(exp2(event_id % 5), 6) AS e2 "
+        "round(exp2(event_id % 5), 6) AS e2, "
+        "arraySort(arrayIntersect([1, 2, 3, event_id % 5], [2, 3, 9])) AS ai, "
+        "arrayPushBack([1, 2], event_id % 7) AS pb, "
+        "arrayPopFront([1, 2, 3]) AS pf, "
+        "ifNull(NULL, event_id) AS ifn, "
+        "tupleElement(tuple(event_id, 'x'), 1) AS te "
         "FROM ev_funcs3 WHERE event_id < 500"
     )
     out = spark.sql(translate_clickhouse_sql(ch_sql))
@@ -1663,6 +1668,11 @@ def q_clickhouse_funcs3(spark, d):
         F.col("bc").cast("long").alias("bc"),
         F.col("rg").cast("array<long>").alias("rg"),
         "e2",
+        F.col("ai").cast("array<long>").alias("ai"),
+        F.col("pb").cast("array<long>").alias("pb"),
+        F.col("pf").cast("array<long>").alias("pf"),
+        F.col("ifn").cast("long").alias("ifn"),
+        F.col("te").cast("long").alias("te"),
     )
 
 
@@ -4163,7 +4173,12 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
             "len(list_filter([event_id % 3, 1, 1], x -> x = 1))::BIGINT AS ce, "
             "bit_count(event_id)::BIGINT AS bc, "
             "range(event_id % 4) AS rg, "
-            "round(pow(2, event_id % 5), 6) AS e2 "
+            "round(pow(2, event_id % 5), 6) AS e2, "
+            "list_sort(list_intersect([1, 2, 3, event_id % 5], [2, 3, 9])) AS ai, "
+            "[1, 2] || [event_id % 7] AS pb, "
+            "[2, 3] AS pf, "
+            "event_id AS ifn, "
+            "event_id AS te "
             "FROM events WHERE event_id < 500"
         ),
         "with_fill": (

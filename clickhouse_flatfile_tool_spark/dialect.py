@@ -175,6 +175,9 @@ _RENAMES: list[tuple[str, str]] = [
     ("bitShiftLeft", "shiftleft"),
     ("bitShiftRight", "shiftright"),
     ("bitCount", "bit_count"),
+    ("arrayIntersect", "array_intersect"),
+    ("ifNull", "coalesce"),       # both: first non-NULL of two
+    ("nullIf", "nullif"),
     # anyHeavy approximates the most frequent value; Spark's exact mode()
     # is the closest aggregate (deterministic, a strict upgrade)
     ("anyHeavy", "mode"),
@@ -496,9 +499,25 @@ def _rewrite_literal_aware(chunk: str, literals: list[str]) -> str:
         kw = _DATEDIFF_UNITS[unit.lower()]
         return f"timestampdiff({kw}, {args[1]}, {args[2]})"
 
+    def tuple_elem_make(args):
+        # tupleElement(t, 2) → (t).col2 — Spark's struct() names
+        # positional fields col1..colN, matching CH's 1-based index;
+        # tupleElement(t, 'name') → (t).`name`.  Only literal selectors
+        # resolve at translation time; dynamic ones pass through.
+        if len(args) != 2:
+            return None
+        t, sel = args[0], args[1].strip()
+        if re.fullmatch(r"\d+", sel):
+            return f"(({t}).col{sel})"
+        name = resolve(sel)
+        if name is not None and re.fullmatch(r"\w+", name):
+            return f"(({t}).`{name}`)"
+        return None
+
     chunk = _rewrite_call(chunk, "formatDateTime", fmt_make)
     chunk = _rewrite_call(chunk, "dateDiff", diff_make)
     chunk = _rewrite_call(chunk, "date_diff", diff_make)
+    chunk = _rewrite_call(chunk, "tupleElement", tuple_elem_make)
     return chunk
 
 
@@ -860,6 +879,45 @@ def _rewrite_misc_calls(chunk: str) -> str:
         return None
 
     chunk = _rewrite_call(chunk, "range", range_make)
+
+    def push_make(front: bool):
+        def make(args):
+            if len(args) != 2:
+                return None
+            a, v = args
+            return (
+                f"concat(array({v}), {a})" if front else f"concat({a}, array({v}))"
+            )
+        return make
+
+    chunk = _rewrite_call(chunk, "arrayPushBack", push_make(False))
+    chunk = _rewrite_call(chunk, "arrayPushFront", push_make(True))
+
+    def pop_make(front: bool):
+        def make(args):
+            if len(args) != 1:
+                return None
+            a = args[0]
+            start = "2" if front else "1"
+            return f"slice({a}, {start}, greatest(size({a}) - 1, 0))"
+        return make
+
+    chunk = _rewrite_call(chunk, "arrayPopBack", pop_make(False))
+    chunk = _rewrite_call(chunk, "arrayPopFront", pop_make(True))
+
+    def tuple_make(args):
+        # tuple(a, b) → named_struct('col1', a, 'col2', b): plain struct()
+        # names fields after the argument EXPRESSIONS (a column arg yields
+        # its own name, not colN), which would break tupleElement's
+        # 1-based positional access — forcing col1..colN restores CH's
+        # positional tuple semantics.
+        if not args:
+            return None
+        fields = ", ".join(f"'col{i + 1}', {a}" for i, a in enumerate(args))
+        return f"named_struct({fields})"
+
+    chunk = _rewrite_call(chunk, "tuple", tuple_make)
+
 
     for name, unit in _DATE_ADD_UNITS.items():
         sign = "-" if name.startswith("subtract") else ""

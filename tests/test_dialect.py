@@ -786,3 +786,42 @@ def test_with_fill_rewrite(spark):
     out3 = tr("SELECT c, v FROM wf ORDER BY c WITH FILL FROM 1 TO 8 STEP 2")
     rows3 = [(r.c, r.v) for r in spark.sql(out3).collect()]
     assert rows3 == [(1, 10), (2, 20), (3, None), (5, 50), (7, None)]
+
+
+def test_tuple_and_array_mutators(spark):
+    """tuple/tupleElement positional + named access, arrayPush/Pop,
+    arrayIntersect, ifNull/nullIf — round-4 batch 2."""
+    row = spark.sql(
+        "SELECT "
+        + tr("tupleElement(tuple(41, 'x'), 1)")
+        + " AS t1, "
+        + tr("tupleElement(tuple(41, 'x'), 2)")
+        + " AS t2, "
+        + tr("arrayPushBack([1, 2], 9)")
+        + " AS pb, "
+        + tr("arrayPushFront([1, 2], 9)")
+        + " AS pf, "
+        + tr("arrayPopBack([1, 2, 3])")
+        + " AS ob, "
+        + tr("arrayPopFront([1, 2, 3])")
+        + " AS of, "
+        + tr("arrayPopBack(array())")
+        + " AS oe, "
+        + tr("arraySort(arrayIntersect([3, 1, 2, 2], [2, 3, 9]))")
+        + " AS ai, "
+        + tr("ifNull(NULL, 7)")
+        + " AS ifn, "
+        + tr("nullIf(5, 5)")
+        + " AS nif"
+    ).first()
+    assert (row.t1, row.t2) == (41, "x")
+    assert row.pb == [1, 2, 9] and row.pf == [9, 1, 2]
+    assert row.ob == [1, 2] and row.of == [2, 3] and row.oe == []
+    assert row.ai == [2, 3]
+    assert row.ifn == 7 and row.nif is None
+    # named tuple access: CH tuples with explicit names come from CAST or
+    # map contexts; the 'name' selector resolves struct fields
+    named = spark.sql(
+        "SELECT " + tr("tupleElement(named_struct('a', 5, 'b', 6), 'b')") + " AS v"
+    ).first()
+    assert named.v == 6
