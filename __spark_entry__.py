@@ -1635,6 +1635,48 @@ def q_ewma(spark, d):
     return out.select("user_id", "n_events", F.round("ewma", 6).alias("ewma"))
 
 
+def q_paragraph_dedup(spark, d):
+    """Paragraph-granular corpus dedup with reassembly (dedup.py::
+    paragraph_dedup — the CCNet first-pass, Wenzek et al. 2020 §3.1):
+    paragraphs are synthesized deterministically (newline after every 4
+    words, same regex both engines), repeats keep only their first
+    corpus-wide occurrence, docs reassemble in original order.  Two
+    shuffles: one row_number keyed by paragraph fingerprint, one per-doc
+    regroup."""
+    docs = _t(spark, d, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", r"(\S+ \S+ \S+ \S+) ", "$1\n").alias("text"),
+    )
+    out = dedup.paragraph_dedup(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_paragraphs").cast("long").alias("n_paragraphs"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        "text",
+    )
+
+
+def q_zipf_fit(spark, d):
+    """Corpus-level Zipf fit (text.py::zipf_fit): ln(freq)~ln(rank) least
+    squares over the top-1000 tokens — the one-number distribution-health
+    probe (natural text sits near slope −1).  Bounded top-k then regr
+    aggregates; never a full-vocab sort."""
+    return text.zipf_fit(_t(spark, d, "documents"), top_n=1000)
+
+
+def q_pr_curve(spark, d):
+    """Quality-score calibration curve (text.py::pr_curve): type-token
+    ratio as the score, length>250 as the label; precision/recall at each
+    quantized threshold scanning high→low.  Threshold frame is bounded by
+    quantization (≤1001 points at any corpus size)."""
+    w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    scored = _t(spark, d, "documents").select(
+        (F.size(F.array_distinct(w)) / F.size(w)).alias("score"),
+        (F.col("n_chars") > 250).alias("label"),
+    )
+    return text.pr_curve(scored).orderBy(F.desc("threshold"))
+
+
 def q_clickhouse_funcs3(spark, d):
     """Round-4 ClickHouse function batch through the dialect translator
     (dialect.py): arrayCumSum (one aggregate fold, O(n)), arrayEnumerate
@@ -2760,6 +2802,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "with_fill": q_with_fill,
         "jsonl_scan": q_jsonl_scan,
         "winsorize": q_winsorize,
+        "paragraph_dedup": q_paragraph_dedup,
+        "zipf_fit": q_zipf_fit,
+        "pr_curve": q_pr_curve,
         "hybrid_rrf": q_hybrid_rrf,
         "ccnet_buckets": q_ccnet_buckets,
         "nb_quality": q_nb_quality,
@@ -4164,6 +4209,44 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
             "round(sum(e.value * pow(2, -(tmax - epoch_us(e.ts)) / 3600000000.0)) "
             "  / sum(pow(2, -(tmax - epoch_us(e.ts)) / 3600000000.0)), 6) AS ewma "
             "FROM events e JOIN g USING (user_id) GROUP BY e.user_id, tmax"
+        ),
+        "paragraph_dedup": (
+            "WITH marked AS (SELECT doc_id, "
+            "  regexp_replace(text, '(\\S+ \\S+ \\S+ \\S+) ', '\\1' || chr(10), 'g') AS text "
+            "  FROM documents), "
+            "segs AS (SELECT doc_id, unnest(list_transform(string_split(text, chr(10)), "
+            "  (s, i) -> struct_pack(pos := i, seg := s)), recursive := true) FROM marked), "
+            "r AS (SELECT doc_id, pos, seg, row_number() OVER ("
+            "  PARTITION BY md5(regexp_replace(trim(lower(seg)), '\\s+', ' ', 'g')) "
+            "  ORDER BY doc_id, pos) AS rn FROM segs) "
+            "SELECT doc_id, count(*)::BIGINT AS n_paragraphs, "
+            "sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept, "
+            "coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, chr(10) ORDER BY pos), '') AS text "
+            "FROM r GROUP BY doc_id"
+        ),
+        "zipf_fit": (
+            "WITH tok AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok "
+            "  FROM documents), "
+            "f AS (SELECT tok, count(*)::DOUBLE AS freq FROM tok WHERE tok != '' GROUP BY tok), "
+            "top AS (SELECT tok, freq, row_number() OVER (ORDER BY freq DESC, tok) AS rank "
+            "  FROM f ORDER BY freq DESC, tok LIMIT 1000) "
+            "SELECT count(*)::BIGINT AS n_tokens, "
+            "round(regr_slope(ln(freq), ln(rank)), 6) AS slope, "
+            "round(regr_intercept(ln(freq), ln(rank)), 6) AS intercept FROM top"
+        ),
+        "pr_curve": (
+            "WITH s AS (SELECT round(len(list_distinct(w))::DOUBLE / len(w), 3) AS t, "
+            "  (n_chars > 250)::BIGINT AS y FROM "
+            "  (SELECT string_split_regex(trim(lower(text)), '\\s+') AS w, n_chars "
+            "   FROM documents)), "
+            "per AS (SELECT t, count(*) AS n, sum(y) AS tp FROM s GROUP BY t), "
+            "tot AS (SELECT sum(y)::DOUBLE AS p FROM s) "
+            "SELECT t AS threshold, "
+            "round(sum(tp) OVER w2 / sum(n) OVER w2, 6) AS precision, "
+            "round(sum(tp) OVER w2 / (SELECT p FROM tot), 6) AS recall "
+            "FROM per WINDOW w2 AS (ORDER BY t DESC "
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "ORDER BY threshold DESC"
         ),
         "clickhouse_funcs3": (
             "SELECT event_id, "

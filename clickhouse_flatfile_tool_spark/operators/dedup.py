@@ -1309,3 +1309,59 @@ def exact_dedup_by_policy(
         )
         .drop("__fp")
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Paragraph-granular exact dedup with document reassembly — the
+    CCNet/Gopher pipeline pass that removes boilerplate paragraphs
+    REPEATED ACROSS the corpus (nav bars, license blocks, cookie notices)
+    while keeping each document's unique content intact (Wenzek et al.
+    2020 §3.1 dedups CommonCrawl at paragraph level before anything else).
+
+    Rule: a paragraph survives only in its FIRST corpus-wide occurrence
+    (ordered by (doc_id, position)); later exact repeats (normalized:
+    trimmed, lowercased, whitespace-collapsed) are dropped, and every
+    document is reassembled from its surviving paragraphs in original
+    order.
+
+    Plan shape: posexplode (map-side), one row_number window keyed by the
+    paragraph fingerprint (shuffle ∝ paragraphs, state O(1) per
+    fingerprint), one per-doc groupBy to reassemble — two shuffles total,
+    both on high-cardinality keys.  No driver materialization.
+
+    Returns ``(id, n_paragraphs, n_kept, text)``.
+    """
+    from pyspark.sql.window import Window
+
+    segs = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "seg")
+    )
+    fp = F.md5(F.regexp_replace(F.trim(F.lower(F.col("seg"))), r"\s+", " "))
+    w = Window.partitionBy(fp).orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    ranked = segs.withColumn("__rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_paragraphs"),
+            F.sum((F.col("__rn") == 1).cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__rn") == 1,
+                                F.struct(F.col("pos"), F.col("seg")),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("seg"),
+                ),
+                sep,
+            ).alias("text"),
+        )
+    )

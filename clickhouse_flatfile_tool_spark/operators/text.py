@@ -1105,3 +1105,93 @@ def nb_classifier_scores(
             (F.col("__prior") + F.col("__slo")).alias("nb_score"),
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 1000,
+) -> DataFrame:
+    """Zipf-law fit of the corpus token distribution: least-squares slope
+    and intercept of ln(freq) on ln(rank) over the ``top_n`` most frequent
+    tokens.  A healthy natural-language corpus sits near slope −1
+    (Zipf 1949); corpora polluted by boilerplate or generated spam bend
+    the curve — the one-number corpus-health probe that complements
+    per-document quality scores.
+
+    Plan: token explode + count (one shuffle), a bounded orderBy().limit
+    (distributed top-k, top_n rows), rank via row_number on the limited
+    frame only, then regr_slope/regr_intercept — never a full-vocab sort.
+    Returns one row ``(n_tokens, slope, intercept)``.
+    """
+    from pyspark.sql.window import Window
+
+    freq = (
+        df.select(
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = freq.orderBy(F.desc("freq"), F.asc("tok")).limit(top_n)
+    # row_number on the already-limited frame: the unpartitioned window
+    # touches ≤ top_n rows by construction
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("tok"))),
+    )
+    xy = ranked.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    return xy.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.regr_slope("y", "x"), 6).alias("slope"),
+        F.round(F.regr_intercept("y", "x"), 6).alias("intercept"),
+    )
+
+
+def pr_curve(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    quantize: int = 3,
+) -> DataFrame:
+    """Precision/recall curve points for a quality-classifier score against
+    binary labels — the calibration readout used to pick a filtering
+    threshold before a corpus-wide quality cut.  One point per distinct
+    quantized score, scanning thresholds from the highest score down:
+    ``precision = TP(≥t)/N(≥t)``, ``recall = TP(≥t)/P``.
+
+    Scores are quantized to ``quantize`` decimals first, so the curve has
+    at most 10^quantize + 1 points at ANY corpus size — the per-threshold
+    aggregation is one groupBy shuffle and the cumulative pass is a window
+    over the bounded threshold frame, not over rows.
+    """
+    from pyspark.sql.window import Window
+
+    per_t = (
+        scored.select(
+            F.round(F.col(score_col).cast("double"), quantize).alias("t"),
+            F.col(label_col).cast("long").alias("y"),
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("tp"))
+    )
+    w = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total_pos = scored.select(
+        F.sum(F.col(label_col).cast("long")).alias("p")
+    ).collect()[0][0]
+    cum = per_t.select(
+        F.col("t").alias("threshold"),
+        F.sum("tp").over(w).alias("__ctp"),
+        F.sum("n").over(w).alias("__cn"),
+    )
+    return cum.select(
+        "threshold",
+        F.round(F.col("__ctp") / F.col("__cn"), 6).alias("precision"),
+        F.round(F.col("__ctp") / F.lit(float(total_pos)), 6).alias("recall"),
+    )
