@@ -1635,6 +1635,29 @@ def q_ewma(spark, d):
     return out.select("user_id", "n_events", F.round("ewma", 6).alias("ewma"))
 
 
+def q_sequence_match(spark, d):
+    """ClickHouse sequenceMatch through the dialect translator
+    (dialect.py::_rewrite_sequence_funcs): per user, does a view precede
+    a purchase ((?1).*(?2)) and does view→click→purchase occur in order
+    ((?1).*(?2).*(?3)) — a codegen aggregate fold over the per-key
+    sequence, clocked by the unique event_id (CH accepts any UInt time
+    column; uniqueness makes the order total, so the brute-force
+    EXISTS-join oracle is exact)."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    _t(spark, d, "events").createOrReplaceTempView("seq_ev")
+    ch_sql = (
+        "SELECT user_id, "
+        "sequenceMatch('(?1).*(?2)')(event_id, "
+        "  event_type = 'view', event_type = 'purchase') AS vp, "
+        "sequenceMatch('(?1).*(?2).*(?3)')(event_id, "
+        "  event_type = 'view', event_type = 'click', "
+        "  event_type = 'purchase') AS vcp "
+        "FROM seq_ev GROUP BY user_id"
+    )
+    return spark.sql(translate_clickhouse_sql(ch_sql))
+
+
 def q_paragraph_dedup(spark, d):
     """Paragraph-granular corpus dedup with reassembly (dedup.py::
     paragraph_dedup — the CCNet first-pass, Wenzek et al. 2020 §3.1):
@@ -2805,6 +2828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "zipf_fit": q_zipf_fit,
         "pr_curve": q_pr_curve,
+        "sequence_match": q_sequence_match,
         "hybrid_rrf": q_hybrid_rrf,
         "ccnet_buckets": q_ccnet_buckets,
         "nb_quality": q_nb_quality,
@@ -4209,6 +4233,22 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
             "round(sum(e.value * pow(2, -(tmax - epoch_us(e.ts)) / 3600000000.0)) "
             "  / sum(pow(2, -(tmax - epoch_us(e.ts)) / 3600000000.0)), 6) AS ewma "
             "FROM events e JOIN g USING (user_id) GROUP BY e.user_id, tmax"
+        ),
+        "sequence_match": (
+            "WITH e AS (SELECT user_id, event_id, event_type FROM events) "
+            "SELECT u.user_id, "
+            "coalesce(m2.f, false) AS vp, coalesce(m3.f, false) AS vcp "
+            "FROM (SELECT DISTINCT user_id FROM e) u "
+            "LEFT JOIN (SELECT DISTINCT a.user_id, true AS f FROM e a "
+            "  JOIN e b ON a.user_id = b.user_id AND a.event_id < b.event_id "
+            "  WHERE a.event_type = 'view' AND b.event_type = 'purchase') m2 "
+            "  ON u.user_id = m2.user_id "
+            "LEFT JOIN (SELECT DISTINCT a.user_id, true AS f FROM e a "
+            "  JOIN e b ON a.user_id = b.user_id AND a.event_id < b.event_id "
+            "  JOIN e c ON b.user_id = c.user_id AND b.event_id < c.event_id "
+            "  WHERE a.event_type = 'view' AND b.event_type = 'click' "
+            "    AND c.event_type = 'purchase') m3 "
+            "  ON u.user_id = m3.user_id"
         ),
         "paragraph_dedup": (
             "WITH marked AS (SELECT doc_id, "

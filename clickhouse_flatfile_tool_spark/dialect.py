@@ -518,6 +518,88 @@ def _rewrite_literal_aware(chunk: str, literals: list[str]) -> str:
     chunk = _rewrite_call(chunk, "dateDiff", diff_make)
     chunk = _rewrite_call(chunk, "date_diff", diff_make)
     chunk = _rewrite_call(chunk, "tupleElement", tuple_elem_make)
+    chunk = _rewrite_sequence_funcs(chunk, resolve)
+    return chunk
+
+
+_SEQ_PATTERN = re.compile(r"\(\?(\d+)\)(?:\.\*\(\?(\d+)\))*")
+
+
+def _rewrite_sequence_funcs(chunk: str, resolve) -> str:
+    """ClickHouse ``sequenceMatch('(?1).*(?2)')(ts, c1, c2)`` /
+    ``sequenceCount(...)`` → a codegen ``aggregate`` fold over the key's
+    time-sorted events (the same machinery as ``events.window_funnel``,
+    which is the timed variant):
+
+    * sequenceMatch: state machine 0→1→…→K advancing one step per event
+      that satisfies the next condition; result ``state = K`` —
+      subsequence existence, greedy earliest-advance (optimal when there
+      is no deadline).
+    * sequenceCount: same machine plus a counter; completing step K
+      increments and resets — ClickHouse's non-overlapping left-to-right
+      count.
+
+    Scope (documented): patterns of the form ``(?a).*(?b)...`` — step
+    conditions separated by ``.*`` (match-anything), the overwhelmingly
+    common shape.  Adjacency patterns (``(?1)(?2)``), time constraints
+    (``(?t<=3600)``) and other regex atoms pass through untranslated
+    (windowFunnel covers the timed case).  One collect_list per key —
+    state O(events per key), like every per-key sequence op."""
+    for name, is_count in (("sequenceMatch", False), ("sequenceCount", True)):
+        pat = re.compile(r"\b" + name + r"\(")
+        m = pat.search(chunk)
+        while m:
+            p_end = _match_paren(chunk, m.end() - 1)
+            if p_end >= len(chunk) or chunk[p_end] != "(":
+                m = pat.search(chunk, p_end)
+                continue
+            x_end = _match_paren(chunk, p_end)
+            pat_lit = resolve(chunk[m.end() : p_end - 1])
+            args = _split_top_comma(chunk[p_end + 1 : x_end - 1])
+            steps = (
+                [int(s) for s in re.findall(r"\(\?(\d+)\)", pat_lit)]
+                if pat_lit is not None
+                and re.fullmatch(r"\(\?\d+\)(?:\.\*\(\?\d+\))*", pat_lit)
+                else None
+            )
+            if not steps or len(args) < 2 or max(steps) > len(args) - 1:
+                m = pat.search(chunk, x_end)  # unsupported: pass through
+                continue
+            ts, conds = args[0], args[1:]
+            k = len(steps)
+            fields = ", ".join(
+                f"CAST({conds[idx - 1]} AS BOOLEAN) AS s{j + 1}"
+                for j, idx in enumerate(steps)
+            )
+            evs = (
+                f"array_sort(collect_list(struct({ts} AS t, {fields})))"
+            )
+            if not is_count:
+                branches = " ".join(
+                    f"WHEN s = {j} AND e.s{j + 1} THEN {j + 1}"
+                    for j in range(k)
+                )
+                repl = (
+                    f"(aggregate({evs}, 0, (s, e) -> "
+                    f"CASE {branches} ELSE s END) = {k})"
+                )
+            else:
+                done = (
+                    f"WHEN a.st = {k - 1} AND e.s{k} "
+                    f"THEN named_struct('st', 0, 'c', a.c + 1)"
+                )
+                advance = " ".join(
+                    f"WHEN a.st = {j} AND e.s{j + 1} "
+                    f"THEN named_struct('st', {j + 1}, 'c', a.c)"
+                    for j in range(k - 1)
+                )
+                repl = (
+                    f"aggregate({evs}, named_struct('st', 0, 'c', 0), "
+                    f"(a, e) -> CASE {done} {advance} ELSE a END, "
+                    f"a -> a.c)"
+                )
+            chunk = chunk[: m.start()] + repl + chunk[x_end:]
+            m = pat.search(chunk, m.start() + len(repl))
     return chunk
 
 

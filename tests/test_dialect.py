@@ -825,3 +825,38 @@ def test_tuple_and_array_mutators(spark):
         "SELECT " + tr("tupleElement(named_struct('a', 5, 'b', 6), 'b')") + " AS v"
     ).first()
     assert named.v == 6
+
+
+def test_sequence_match_and_count(spark):
+    """sequenceMatch/sequenceCount curried translation: subsequence state
+    machine over the sorted per-key events; count is non-overlapping
+    left-to-right; reversed step indices follow the pattern, not the
+    argument order; unsupported pattern shapes pass through untouched."""
+    import datetime
+
+    rows = [
+        (1, 1, "A"), (1, 2, "X"), (1, 3, "B"),
+        (2, 1, "B"), (2, 2, "A"),
+        (3, 1, "A"), (3, 2, "B"), (3, 3, "A"), (3, 4, "B"),
+    ]
+    spark.createDataFrame(
+        [(u, datetime.datetime(2024, 1, 1, 0, 0, s), t) for u, s, t in rows],
+        "u int, ts timestamp, et string",
+    ).createOrReplaceTempView("seq_t")
+    out = spark.sql(
+        tr(
+            "SELECT u, "
+            "sequenceMatch('(?1).*(?2)')(ts, et = 'A', et = 'B') AS m, "
+            "sequenceCount('(?1).*(?2)')(ts, et = 'A', et = 'B') AS c, "
+            "sequenceMatch('(?2).*(?1)')(ts, et = 'A', et = 'B') AS rev "
+            "FROM seq_t GROUP BY u ORDER BY u"
+        )
+    ).collect()
+    assert [tuple(r) for r in out] == [
+        (1, True, 1, False),
+        (2, False, 0, True),
+        (3, True, 2, True),
+    ]
+    # time-constraint patterns are out of scope and must pass through
+    untouched = tr("SELECT sequenceMatch('(?1)(?t<=3600)(?2)')(ts, a, b) FROM t")
+    assert "sequenceMatch" in untouched
