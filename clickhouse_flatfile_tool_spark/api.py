@@ -129,11 +129,28 @@ def ingest(
         return error_payload(e)
 
 
-def download(spark: SparkSession, table: str, out_path: str) -> dict:
-    """/download: full-table CSV export with header (server.js:373-423)."""
+def download(
+    spark: SparkSession, table: str, out_path: str, fmt: str = "csv"
+) -> dict:
+    """/download: full-table export (server.js:373-423 — the reference is
+    CSV-only; ``fmt`` adds the other formats ClickHouse itself would
+    serve: ``jsonl`` (JSONEachRow, its default wire format), ``parquet``,
+    and ``orc``)."""
     try:
-        export_csv(spark.table(table), out_path, single_file=True)
-        return {"success": True, "path": out_path}
+        df = spark.table(table)
+        if fmt == "csv":
+            export_csv(df, out_path, single_file=True)
+        elif fmt == "jsonl":
+            from clickhouse_flatfile_tool_spark.sources.files import write_jsonl
+
+            write_jsonl(df, out_path)
+        elif fmt == "parquet":
+            df.write.mode("overwrite").parquet(out_path)
+        elif fmt == "orc":
+            df.write.mode("overwrite").orc(out_path)
+        else:
+            raise ValueError(f"unknown download format: {fmt!r}")
+        return {"success": True, "path": out_path, "format": fmt}
     except Exception as e:  # noqa: BLE001
         return error_payload(e)
 

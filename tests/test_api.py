@@ -67,6 +67,24 @@ def test_download(spark, tmp_path, people_csv):
     assert (tmp_path / "dl.csv").read_text().splitlines()[0] == "id,name"
 
 
+def test_download_formats(spark, tmp_path, people_csv):
+    """fmt='jsonl'/'parquet'/'orc' round-trip through the matching reader;
+    unknown formats error through the structured payload."""
+    api.ingest(spark, "file", people_csv, "t_dl2")
+    n = spark.table("t_dl2").count()
+    for fmt in ("jsonl", "parquet", "orc"):
+        out = api.download(spark, "t_dl2", str(tmp_path / f"dl_{fmt}"), fmt=fmt)
+        assert out["success"] and out["format"] == fmt
+        reader = {
+            "jsonl": spark.read.json,
+            "parquet": spark.read.parquet,
+            "orc": spark.read.orc,
+        }[fmt]
+        assert reader(str(tmp_path / f"dl_{fmt}")).count() == n
+    bad = api.download(spark, "t_dl2", str(tmp_path / "x"), fmt="xml")
+    assert not bad["success"]
+
+
 def test_run_with_progress_reports_real_tasks(spark):
     """StatusTracker polling must see scheduler-level task counts during a
     multi-partition job (a short per-partition sleep guarantees the poller
