@@ -528,6 +528,78 @@ def q_event_range_join(spark, d):
     return j.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_recent_clicks"))
 
 
+def q_tpch_q3(spark, d):
+    """TPC-H Q3 shape (shipping priority), native DataFrame: customer dim
+    broadcasts, the only shuffle is lineitem⋈orders, then a top-10 by
+    revenue — adapted to the fixture (o_orderpriority stands in for the
+    missing o_shippriority; deterministic l_orderkey tiebreak added to
+    the top-k ordering on BOTH sides)."""
+    li, o, c = (_t(spark, d, t) for t in ["lineitem", "orders", "customer"])
+    c = c.filter(F.col("c_mktsegment") == "BUILDING")
+    o = o.filter(F.col("o_orderdate") < F.lit("1997-06-01"))
+    li = li.filter(F.col("l_shipdate") > F.lit("1997-06-01"))
+    joined = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue")
+    )
+    return agg.orderBy(
+        F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey")
+    ).limit(10)
+
+
+def q_tpch_q8(spark, d):
+    """TPC-H Q8 shape (national market share), native DataFrame: the
+    nation table joins TWICE (customer's region gate, supplier's share
+    nation), all dims broadcast, one lineitem⋈orders shuffle — adapted to
+    the fixture vocabulary (region ASIA, part type PROMO, share nation
+    NATION_5)."""
+    li, o, c, s, p, r = (
+        _t(spark, d, t)
+        for t in ["lineitem", "orders", "customer", "supplier", "part", "region"]
+    )
+    n1 = _t(spark, d, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = _t(spark, d, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    o = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31"))
+    )
+    p = p.filter(F.col("p_type") == "PROMO")
+    r = r.filter(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    vol = joined.select(
+        F.year("o_orderdate").alias("o_year"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        "nation",
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
 def q_tpch_q5(spark, d):
     """TPC-H Q5 shape, native DataFrame: 6-table star join where every
     dimension (customer/supplier/nation/region) broadcasts, so the only
@@ -2829,6 +2901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "pr_curve": q_pr_curve,
         "sequence_match": q_sequence_match,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q8": q_tpch_q8,
         "hybrid_rrf": q_hybrid_rrf,
         "ccnet_buckets": q_ccnet_buckets,
         "nb_quality": q_nb_quality,
@@ -3760,6 +3834,36 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
             "CAST(l_extendedprice AS DOUBLE) FROM lineitem UNION ALL "
             "SELECT l_orderkey, l_linenumber, 'disc', "
             "CAST(l_discount AS DOUBLE) FROM lineitem"
+        ),
+        "tpch_q3": (
+            "SELECT l_orderkey, o_orderdate, o_orderpriority, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00' "
+            "AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00' "
+            "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+            "ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"
+        ),
+        "tpch_q8": (
+            "SELECT o_year, "
+            "round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END) "
+            "  / sum(volume), 6) AS mkt_share "
+            "FROM (SELECT year(o_orderdate) AS o_year, "
+            "  l_extendedprice * (1 - l_discount) AS volume, n2.n_name AS nation "
+            "  FROM lineitem "
+            "  JOIN part ON l_partkey = p_partkey "
+            "  JOIN orders ON l_orderkey = o_orderkey "
+            "  JOIN customer ON o_custkey = c_custkey "
+            "  JOIN supplier ON l_suppkey = s_suppkey "
+            "  JOIN nation n1 ON c_nationkey = n1.n_nationkey "
+            "  JOIN region ON n1.n_regionkey = r_regionkey "
+            "  JOIN nation n2 ON s_nationkey = n2.n_nationkey "
+            "  WHERE r_name = 'ASIA' AND p_type = 'PROMO' "
+            "  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+            "  AND o_orderdate <= TIMESTAMP '1997-12-31 00:00:00') "
+            "GROUP BY o_year ORDER BY o_year"
         ),
         "tpch_q5": (
             "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) "

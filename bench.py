@@ -118,6 +118,11 @@ BENCH_QUERIES = [
     "ema_recursive",
     "uniq_state_merge",
     "ivfpq_topk",
+    "tpch_q3",
+    "tpch_q8",
+    "paragraph_dedup",
+    "zipf_fit",
+    "sequence_match",
 ]
 
 
