@@ -305,3 +305,132 @@ def test_shared_spans_matches_naive(spark, docs_pair):
     else:
         assert len(rows) == 1
         assert (rows[0].longest_run_tokens, rows[0].n_spans) == expect
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions
+# ---------------------------------------------------------------------------
+
+@st.composite
+def asof_sql_case(draw):
+    n_left = draw(st.integers(1, 10))
+    n_right = draw(st.integers(0, 10))
+    left = [
+        (draw(st.integers(0, 2)), draw(st.integers(0, 50)))
+        for _ in range(n_left)
+    ]
+    right = [
+        (draw(st.integers(0, 2)), draw(st.integers(0, 50)), i)
+        for i in range(n_right)
+    ]
+    return left, right
+
+
+@given(asof_sql_case())
+@settings(**SETTINGS)
+def test_dialect_asof_matches_naive(spark, case):
+    """The SQL ASOF LEFT JOIN rewrite (union + running last_value) must
+    match a naive per-row 'latest right with rt <= lt, tiebreak by the
+    sort's bool ordering' reference on random keyed data with ties."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql as tr
+
+    left, right = case
+    spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k int, t int, lid int"
+    ).createOrReplaceTempView("pa_l")
+    spark.createDataFrame(right, "k int, rt int, rid int").createOrReplaceTempView(
+        "pa_r"
+    )
+    out = spark.sql(
+        tr(
+            "SELECT l.lid, r.rt, r.rid FROM pa_l l "
+            "ASOF LEFT JOIN pa_r r ON l.k = r.k AND l.t >= r.rt"
+        )
+    ).collect()
+    got = {r.lid: (r.rt, r.rid) for r in out}
+    assert len(got) == len(left)  # every left row survives exactly once
+    for lid, (k, t) in enumerate(left):
+        cands = [(rt, rid) for (rk, rt, rid) in right if rk == k and rt <= t]
+        if not cands:
+            assert got[lid] == (None, None), (lid, got[lid])
+        else:
+            # the fold takes the LAST candidate in (rt, rid-struct) sort
+            # order — max rt; among equal rt the struct sort decides, and
+            # since rid is part of the right struct, max (rt, ...) wins
+            # deterministically on rt at least
+            assert got[lid][0] == max(rt for rt, _ in cands), (lid, got[lid])
+
+
+@given(st.lists(st.integers(-50, 50), max_size=8))
+@settings(**SETTINGS)
+def test_array_cumsum_matches_python(spark, xs):
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql as tr
+
+    lit = "[" + ", ".join(map(str, xs)) + "]" if xs else "array()"
+    row = spark.sql("SELECT " + tr(f"arrayCumSum({lit})") + " AS c").first()
+    expect, s = [], 0.0
+    for x in xs:
+        s += x
+        expect.append(s)
+    assert row.c == expect
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.sampled_from(["aa bb", "cc dd", "ee ff", "gg"])),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_paragraph_dedup_invariants(spark, docs):
+    """Kept-paragraph fingerprints are globally unique; counts are
+    consistent; reassembled text only loses paragraphs, never reorders."""
+    rows = [
+        (i, "\n".join(p for _, p in docs[: k + 1]))
+        for i, (k, _) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = D.paragraph_dedup(df).collect()
+    seen = set()
+    for r in sorted(out, key=lambda r: r.doc_id):
+        assert 0 <= r.n_kept <= r.n_paragraphs
+        kept = [p for p in r.text.split("\n") if p != ""] if r.text else []
+        assert len(kept) == r.n_kept
+        orig = rows[r.doc_id][1].split("\n")
+        # kept paragraphs appear in original relative order
+        it = iter(orig)
+        assert all(any(p == o for o in it) for p in kept)
+        for p in kept:
+            assert p not in seen  # corpus-wide uniqueness of survivors
+            seen.add(p)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3600), st.floats(-100, 100, allow_nan=False)),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda e: e[0],
+    )
+)
+@settings(**SETTINGS)
+def test_ema_recursive_matches_python_fold(spark, events):
+    import datetime
+
+    from clickhouse_flatfile_tool_spark.operators.events import ema_recursive
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + datetime.timedelta(seconds=s), float(x)) for s, x in events
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+    got = ema_recursive(df, halflife_seconds=600.0).collect()[0]
+    sorted_ev = sorted(events)
+    ema, pt = sorted_ev[0][1], sorted_ev[0][0]
+    for s, x in sorted_ev[1:]:
+        a = 2.0 ** (-(s - pt) / 600.0)
+        ema = ema * a + x * (1 - a)
+        pt = s
+    assert got.n_events == len(events)
+    assert abs(got.ema - ema) < 1e-9 * max(1.0, abs(ema))
