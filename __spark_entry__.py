@@ -1707,6 +1707,20 @@ def q_ewma(spark, d):
     return out.select("user_id", "n_events", F.round("ewma", 6).alias("ewma"))
 
 
+def q_max_intersections(spark, d):
+    """ClickHouse maxIntersections/maxIntersectionsPosition
+    (events.py::max_intersections): peak concurrent intervals per user —
+    sweep-line as explode(+1/−1) + per-key running sum.  Intervals are
+    derived deterministically from event_id so the oracle mirrors the
+    exact sweep."""
+    ev = _t(spark, d, "events").select(
+        "user_id",
+        (F.col("event_id") % 1000).alias("s"),
+        (F.col("event_id") % 1000 + F.col("event_id") % 50 + 1).alias("e"),
+    )
+    return events.max_intersections(ev, "s", "e", key_col="user_id")
+
+
 def q_sequence_match(spark, d):
     """ClickHouse sequenceMatch through the dialect translator
     (dialect.py::_rewrite_sequence_funcs): per user, does a view precede
@@ -2903,6 +2917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_match": q_sequence_match,
         "tpch_q3": q_tpch_q3,
         "tpch_q8": q_tpch_q8,
+        "max_intersections": q_max_intersections,
         "hybrid_rrf": q_hybrid_rrf,
         "ccnet_buckets": q_ccnet_buckets,
         "nb_quality": q_nb_quality,
@@ -4337,6 +4352,20 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
             "round(sum(e.value * pow(2, -(tmax - epoch_us(e.ts)) / 3600000000.0)) "
             "  / sum(pow(2, -(tmax - epoch_us(e.ts)) / 3600000000.0)), 6) AS ewma "
             "FROM events e JOIN g USING (user_id) GROUP BY e.user_id, tmax"
+        ),
+        "max_intersections": (
+            "WITH iv AS (SELECT user_id, event_id % 1000 AS s, "
+            "  event_id % 1000 + event_id % 50 + 1 AS e FROM events), "
+            "ev AS (SELECT user_id, s AS t, 1 AS d FROM iv "
+            "  UNION ALL SELECT user_id, e AS t, -1 AS d FROM iv), "
+            "run AS (SELECT user_id, t, d, sum(d) OVER (PARTITION BY user_id "
+            "  ORDER BY t, d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS o "
+            "  FROM ev), "
+            "sel AS (SELECT user_id, t, o, max(o) OVER (PARTITION BY user_id) AS mo "
+            "  FROM run) "
+            "SELECT user_id, max(o)::BIGINT AS max_intersections, "
+            "min(CASE WHEN o = mo THEN t END) AS peak_at "
+            "FROM sel GROUP BY user_id"
         ),
         "sequence_match": (
             "WITH e AS (SELECT user_id, event_id, event_type FROM events) "

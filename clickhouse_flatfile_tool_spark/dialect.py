@@ -987,6 +987,33 @@ def _rewrite_misc_calls(chunk: str) -> str:
     chunk = _rewrite_call(chunk, "arrayPopBack", pop_make(False))
     chunk = _rewrite_call(chunk, "arrayPopFront", pop_make(True))
 
+    def assume_make(args):
+        # assumeNotNull is a type-level assertion in CH; value-wise identity
+        return f"({args[0]})" if len(args) == 1 else None
+
+    chunk = _rewrite_call(chunk, "assumeNotNull", assume_make)
+
+    def transform_value_make(args):
+        # CH transform(x, [from...], [to...], default) — value mapping.
+        # Spark spells the same thing map_from_arrays + element_at (missing
+        # key → NULL → coalesce to the default).  Only the 4-arg form; the
+        # 3-arg form (default = x itself) reuses x.  NOT the array
+        # higher-order transform — that one takes a lambda 2nd argument
+        # and is left to Spark's own transform() by checking for '->'.
+        if len(args) == 4 and "->" not in args[1]:
+            x, f, t, d = args
+            return (
+                f"coalesce(element_at(map_from_arrays({f}, {t}), {x}), {d})"
+            )
+        if len(args) == 3 and "->" not in args[1]:
+            x, f, t = args
+            return (
+                f"coalesce(element_at(map_from_arrays({f}, {t}), {x}), {x})"
+            )
+        return None
+
+    chunk = _rewrite_call(chunk, "transform", transform_value_make)
+
     def tuple_make(args):
         # tuple(a, b) → named_struct('col1', a, 'col2', b): plain struct()
         # names fields after the argument EXPRESSIONS (a column arg yields

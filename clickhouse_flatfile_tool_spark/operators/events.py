@@ -800,3 +800,51 @@ def ema_recursive(
         F.size("__evs").cast("long").alias("n_events"),
         ema.alias("ema"),
     )
+
+
+def max_intersections(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    key_col: str | None = None,
+) -> DataFrame:
+    """ClickHouse ``maxIntersections(start, end)`` (+``...Position``): the
+    maximum number of simultaneously-open intervals, per key — peak
+    concurrency (sessions online at once, overlapping bookings).
+
+    Sweep-line as pure DataFrame ops: each interval explodes to a
+    ``(t, +1)`` open and ``(t, −1)`` close event, a running sum ordered by
+    ``(t, delta)`` counts the open set (close sorts before open at equal
+    t — half-open ``[start, end)`` semantics, matching ClickHouse), and
+    the max of the running sum is the answer.  One shuffle keyed by
+    ``key_col``; the window is per-key.  With ``key_col=None`` a constant
+    key is used — the global sweep is a total order by definition (same
+    story as any global maxIntersections), so keep keys for 100 TB use.
+    Also returns ``peak_at``: the earliest sweep position reaching the
+    max (maxIntersectionsPosition).
+    """
+    from pyspark.sql.window import Window
+
+    key = F.col(key_col) if key_col else F.lit(0).alias("__k")
+    kname = key_col or "__k"
+    ev = df.select(
+        key.alias(kname) if not key_col else F.col(key_col),
+        F.explode(
+            F.array(
+                F.struct(F.col(start_col).alias("t"), F.lit(1).alias("d")),
+                F.struct(F.col(end_col).alias("t"), F.lit(-1).alias("d")),
+            )
+        ).alias("e"),
+    ).select(kname, F.col("e.t").alias("t"), F.col("e.d").alias("d"))
+    w = (
+        Window.partitionBy(kname)
+        .orderBy(F.col("t").asc(), F.col("d").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = ev.withColumn("__open", F.sum("d").over(w))
+    return run.groupBy(kname).agg(
+        F.max("__open").cast("long").alias("max_intersections"),
+        F.min_by(F.col("t"), F.struct((-F.col("__open")).alias("n"), F.col("t"))).alias(
+            "peak_at"
+        ),
+    )

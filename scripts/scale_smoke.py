@@ -116,6 +116,14 @@ OPS = {
     "minhash_candidates": lambda df: dedup.minhash_lsh_candidates(df),
     "simhash_candidates": lambda df: dedup.simhash_candidates(df),
     "corpus_stats": lambda df: text.corpus_stats(df),
+    "paragraph_dedup": lambda df: dedup.paragraph_dedup(
+        df.select(
+            "doc_id",
+            F.expr(
+                r"regexp_replace(text, '(\\S+ \\S+ \\S+ \\S+) ', '$1\n')"
+            ).alias("text"),
+        )
+    ),
     "cms_table": lambda df: __import__(
         "clickhouse_flatfile_tool_spark.operators.relational", fromlist=["relational"]
     ).cms_table(

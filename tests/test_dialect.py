@@ -860,3 +860,37 @@ def test_sequence_match_and_count(spark):
     # time-constraint patterns are out of scope and must pass through
     untouched = tr("SELECT sequenceMatch('(?1)(?t<=3600)(?2)')(ts, a, b) FROM t")
     assert "sequenceMatch" in untouched
+
+
+def test_assume_not_null_and_value_transform(spark):
+    """assumeNotNull is value-identity; CH transform() value mapping via
+    map_from_arrays (3- and 4-arg forms); Spark's lambda transform()
+    passes through untouched."""
+    row = spark.sql(
+        "SELECT "
+        + tr("assumeNotNull(5)")
+        + " AS a, "
+        + tr("transform(2, [1, 2, 3], ['a', 'b', 'c'], 'z')")
+        + " AS m, "
+        + tr("transform(9, [1, 2, 3], ['a', 'b', 'c'], 'z')")
+        + " AS d, "
+        + tr("transform(9, [1, 2], [10, 20])")
+        + " AS i"
+    ).first()
+    assert (row.a, row.m, row.d, row.i) == (5, "b", "z", 9)
+    lam = tr("SELECT transform(arr, x -> x + 1) FROM t")
+    assert "transform(arr, x -> x + 1)" in lam
+
+
+def test_group_by_all_and_star_except_pass_through(spark):
+    """ClickHouse GROUP BY ALL and SELECT * EXCEPT are Spark-native —
+    translation must leave them alone and they must execute."""
+    spark.createDataFrame(
+        [(1, "a", 10), (1, "a", 20), (2, "b", 5)], "k int, g string, v int"
+    ).createOrReplaceTempView("gba")
+    out = spark.sql(
+        tr("SELECT k, g, sum(v) AS s FROM gba GROUP BY ALL ORDER BY k")
+    ).collect()
+    assert [tuple(r) for r in out] == [(1, "a", 30), (2, "b", 5)]
+    ex = spark.sql(tr("SELECT * EXCEPT (g) FROM gba ORDER BY k, v")).columns
+    assert ex == ["k", "v"]
