@@ -2138,9 +2138,11 @@ def q_clickhouse_dates(spark, d):
         "toInt64(dateDiff('hour', toStartOfDay(ts), ts)) AS hour_of_day, "
         "toMonday(ts) AS week_start, "
         "toQuarter(ts) AS q, "
+        "toStartOfInterval(ts, INTERVAL 5 minute) AS bucket5, "
         "toInt64(count(*)) AS n "
         "FROM events GROUP BY formatDateTime(ts, '%Y-%m-%d'), toDayOfWeek(ts), "
-        "toInt64(dateDiff('hour', toStartOfDay(ts), ts)), toMonday(ts), toQuarter(ts)"
+        "toInt64(dateDiff('hour', toStartOfDay(ts), ts)), toMonday(ts), "
+        "toQuarter(ts), toStartOfInterval(ts, INTERVAL 5 minute)"
     )
     out = relational.sql(spark, translate_clickhouse_sql(ch))
     return out.select(
@@ -2149,6 +2151,7 @@ def q_clickhouse_dates(spark, d):
         "hour_of_day",
         F.col("week_start").cast("string").alias("week_start"),
         F.col("q").cast("int").alias("q"),
+        F.col("bucket5").cast("string").alias("bucket5"),
         "n",
     )
 
@@ -4612,8 +4615,11 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
             "isodow(ts)::INT AS dow, "
             "date_diff('hour', date_trunc('day', ts), ts)::BIGINT AS hour_of_day, "
             "CAST(date_trunc('week', ts) AS DATE)::VARCHAR AS week_start, "
-            "quarter(ts)::INT AS q, count(*)::BIGINT AS n "
-            "FROM events GROUP BY 1, 2, 3, 4, 5"
+            "quarter(ts)::INT AS q, "
+            "strftime(to_timestamp((epoch_us(ts) // 1000000 // 300) * 300), "
+            "  '%Y-%m-%d %H:%M:%S') AS bucket5, "
+            "count(*)::BIGINT AS n "
+            "FROM events GROUP BY 1, 2, 3, 4, 5, 6"
         ),
         "stream_mv": (
             # streaming fold is deterministic in OUTPUT (integer cents/count

@@ -987,6 +987,29 @@ def _rewrite_misc_calls(chunk: str) -> str:
     chunk = _rewrite_call(chunk, "arrayPopBack", pop_make(False))
     chunk = _rewrite_call(chunk, "arrayPopFront", pop_make(True))
 
+    def tsoi_make(args):
+        # toStartOfInterval(ts, INTERVAL n unit) → epoch-aligned bucket
+        # floor — the CH dashboard bucketing idiom.  Fixed-width units
+        # only (second/minute/hour/day are epoch-aligned in CH too);
+        # week/month/quarter/year have calendar origins — toMonday /
+        # toStartOfMonth etc. cover those, so the variable-width forms
+        # pass through untranslated.
+        if len(args) != 2:
+            return None
+        m = re.fullmatch(
+            r"(?is)\s*INTERVAL\s+(\d+)\s+(second|minute|hour|day)s?\s*",
+            args[1],
+        )
+        if not m:
+            return None
+        mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+        secs = int(m.group(1)) * mult[m.group(2).lower()]
+        return (
+            f"timestamp_seconds((unix_timestamp({args[0]}) DIV {secs}) * {secs})"
+        )
+
+    chunk = _rewrite_call(chunk, "toStartOfInterval", tsoi_make)
+
     def assume_make(args):
         # assumeNotNull is a type-level assertion in CH; value-wise identity
         return f"({args[0]})" if len(args) == 1 else None

@@ -894,3 +894,18 @@ def test_group_by_all_and_star_except_pass_through(spark):
     assert [tuple(r) for r in out] == [(1, "a", 30), (2, "b", 5)]
     ex = spark.sql(tr("SELECT * EXCEPT (g) FROM gba ORDER BY k, v")).columns
     assert ex == ["k", "v"]
+
+
+def test_to_start_of_interval(spark):
+    """toStartOfInterval epoch-aligned bucket floor for fixed-width units;
+    variable-width units pass through untranslated."""
+    out = spark.sql(
+        "SELECT "
+        + tr("toStartOfInterval(TIMESTAMP '2024-03-05 10:47:33', INTERVAL 15 minute)")
+        + " AS m15, "
+        + tr("toStartOfInterval(TIMESTAMP '2024-03-05 10:47:33', INTERVAL 6 hour)")
+        + " AS h6"
+    ).first()
+    assert str(out.m15) == "2024-03-05 10:45:00"
+    assert str(out.h6) == "2024-03-05 06:00:00"
+    assert "toStartOfInterval" in tr("toStartOfInterval(ts, INTERVAL 1 month)")
