@@ -1707,6 +1707,16 @@ def q_ewma(spark, d):
     return out.select("user_id", "n_events", F.round("ewma", 6).alias("ewma"))
 
 
+def q_hard_negatives(spark, d):
+    """Hard-negative mining (similarity.py::hard_negatives): per query,
+    top-5 most cosine-similar vectors with a DIFFERENT label — the
+    contrastive-training near-miss set.  broadcast(queries) ⋈ corpus with
+    the label inequality folded into the join filter; oracle is the
+    brute-force cross join with the same filter."""
+    emb = _t(spark, d, "embeddings")
+    return similarity.hard_negatives(emb.filter("vec_id < 10"), emb, k=5)
+
+
 def q_max_intersections(spark, d):
     """ClickHouse maxIntersections/maxIntersectionsPosition
     (events.py::max_intersections): peak concurrent intervals per user —
@@ -2921,6 +2931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q8": q_tpch_q8,
         "max_intersections": q_max_intersections,
+        "hard_negatives": q_hard_negatives,
         "hybrid_rrf": q_hybrid_rrf,
         "ccnet_buckets": q_ccnet_buckets,
         "nb_quality": q_nb_quality,
@@ -4356,6 +4367,31 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
             "  / sum(pow(2, -(tmax - epoch_us(e.ts)) / 3600000000.0)), 6) AS ewma "
             "FROM events e JOIN g USING (user_id) GROUP BY e.user_id, tmax"
         ),
+        "hard_negatives": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe, label AS ql
+  FROM embeddings WHERE vec_id < 10
+), pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, c.label AS neg_label, q.qe,
+         c.embedding AS ce
+  FROM q CROSS JOIN embeddings c
+  WHERE c.vec_id <> q.query_id AND c.label IS DISTINCT FROM q.ql
+), u AS (
+  SELECT query_id, neighbor_id, neg_label,
+         unnest(qe)::DOUBLE AS x, unnest(ce)::DOUBLE AS y
+  FROM pairs
+), cos AS (
+  SELECT query_id, neighbor_id, neg_label,
+         sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS c
+  FROM u GROUP BY query_id, neighbor_id, neg_label
+), ranked AS (
+  SELECT query_id, neighbor_id, neg_label, c,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
+  FROM cos
+)
+SELECT query_id, neighbor_id, neg_label, round(c, 6) AS cos_sim
+FROM ranked WHERE rk <= 5
+""",
         "max_intersections": (
             "WITH iv AS (SELECT user_id, event_id % 1000 AS s, "
             "  event_id % 1000 + event_id % 50 + 1 AS e FROM events), "

@@ -122,6 +122,7 @@ _RENAMES: list[tuple[str, str]] = [
     ("groupBitXor", "bit_xor"),
     ("medianExact", "median"),
     # string/array functions with matching arity AND argument order
+    ("positionUTF8", "instr"),      # Spark strings are UTF-8 native
     ("position", "instr"),          # both (haystack, needle), 1-based
     ("match", "regexp_like"),       # both (haystack, pattern)
     ("has", "array_contains"),      # both (array, elem)
@@ -514,10 +515,48 @@ def _rewrite_literal_aware(chunk: str, literals: list[str]) -> str:
             return f"(({t}).`{name}`)"
         return None
 
+    def array_reduce_make(args):
+        # arrayReduce('agg', arr) — aggregate-by-name over an array.  The
+        # common names map to built-ins; sum/avg accumulate in DOUBLE
+        # (the arraySum caveat).  Unknown aggregate names pass through.
+        if len(args) != 2:
+            return None
+        agg = resolve(args[0])
+        if agg is None:
+            return None
+        arr = args[1]
+        forms = {
+            "max": f"array_max({arr})",
+            "min": f"array_min({arr})",
+            "sum": f"aggregate({arr}, CAST(0 AS DOUBLE), (a, v) -> a + v)",
+            "avg": (
+                f"(aggregate({arr}, CAST(0 AS DOUBLE), (a, v) -> a + v)"
+                f" / size({arr}))"
+            ),
+            "count": f"size({arr})",
+            "uniqexact": f"size(array_distinct({arr}))",
+        }
+        return forms.get(agg.lower())
+
+    def extract_make(args):
+        # CH extract(haystack, pattern): first capture group when the
+        # pattern has one, else the whole match.  The 1-arg SQL-standard
+        # form extract(YEAR FROM ts) has one comma-free argument and
+        # passes through untouched.
+        if len(args) != 2:
+            return None
+        patt = resolve(args[1])
+        if patt is None:
+            return None
+        has_group = bool(re.search(r"(?<!\\)\((?!\?)", patt))
+        return f"regexp_extract({args[0]}, {args[1]}, {1 if has_group else 0})"
+
     chunk = _rewrite_call(chunk, "formatDateTime", fmt_make)
     chunk = _rewrite_call(chunk, "dateDiff", diff_make)
     chunk = _rewrite_call(chunk, "date_diff", diff_make)
     chunk = _rewrite_call(chunk, "tupleElement", tuple_elem_make)
+    chunk = _rewrite_call(chunk, "arrayReduce", array_reduce_make)
+    chunk = _rewrite_call(chunk, "extract", extract_make)
     chunk = _rewrite_sequence_funcs(chunk, resolve)
     return chunk
 
@@ -986,6 +1025,36 @@ def _rewrite_misc_calls(chunk: str) -> str:
 
     chunk = _rewrite_call(chunk, "arrayPopBack", pop_make(False))
     chunk = _rewrite_call(chunk, "arrayPopFront", pop_make(True))
+
+    def fold_make(args):
+        # arrayFold((acc, x) -> ..., arr, init) → aggregate(arr, init,
+        # (acc, x) -> ...): same fold, the lambda moves from first to last
+        if len(args) != 3 or "->" not in args[0]:
+            return None
+        lam, arr, init = args
+        return f"aggregate({arr}, {init}, {lam})"
+
+    chunk = _rewrite_call(chunk, "arrayFold", fold_make)
+
+    def count_substrings_make(args):
+        # countSubstrings(h, n): non-overlapping occurrence count via the
+        # length-delta trick — pure codegen, no regex
+        if len(args) != 2:
+            return None
+        h, n = args
+        return (
+            f"(CASE WHEN length({n}) = 0 THEN 0 ELSE "
+            f"(length({h}) - length(replace({h}, {n}, ''))) DIV length({n}) END)"
+        )
+
+    chunk = _rewrite_call(chunk, "countSubstrings", count_substrings_make)
+
+    def count_matches_make(args):
+        if len(args) != 2:
+            return None
+        return f"size(regexp_extract_all({args[0]}, {args[1]}, 0))"
+
+    chunk = _rewrite_call(chunk, "countMatches", count_matches_make)
 
     def tsoi_make(args):
         # toStartOfInterval(ts, INTERVAL n unit) → epoch-aligned bucket

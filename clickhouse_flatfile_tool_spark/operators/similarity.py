@@ -1310,3 +1310,52 @@ def ivfpq_load_index(spark, path: str) -> tuple[DataFrame, DataFrame, DataFrame]
         spark.read.parquet(f"{path}/codebooks"),
         spark.read.parquet(f"{path}/codes"),
     )
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query, the
+    ``k`` most cosine-similar corpus vectors with a DIFFERENT label — the
+    near-miss examples that make embedding/classifier training data hard
+    (the in-batch-negatives upgrade every retrieval recipe ships).
+
+    Same plan shape as :func:`cosine_topk` — broadcast(queries) ⋈ corpus
+    scan, label inequality folded into the join filter so mismatched
+    pairs never score, window top-k per query.  At scale swap the scan
+    side for the ANN/IVF candidates exactly as with positives.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            F.col(label_col).alias("__ql"),
+        )
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col(label_col).alias("__cl"),
+    )
+    pairs = q.crossJoin(c).filter(
+        (F.col("query_id") != F.col("neighbor_id"))
+        & ~F.col("__ql").eqNullSafe(F.col("__cl"))
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.col("__cl").alias("neg_label"),
+        cosine(F.col("__qv"), F.col("__cv")).alias("__cos"),
+    )
+    ranked = top_k_per_group(
+        scored, ["query_id"], [F.desc("__cos"), F.asc("neighbor_id")], k
+    )
+    return ranked.select(
+        "query_id", "neighbor_id", "neg_label", F.round("__cos", 6).alias("cos_sim")
+    )

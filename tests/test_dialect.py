@@ -909,3 +909,38 @@ def test_to_start_of_interval(spark):
     assert str(out.m15) == "2024-03-05 10:45:00"
     assert str(out.h6) == "2024-03-05 06:00:00"
     assert "toStartOfInterval" in tr("toStartOfInterval(ts, INTERVAL 1 month)")
+
+
+def test_fold_reduce_and_string_counts(spark):
+    """arrayFold lambda reposition, arrayReduce by-name, countSubstrings
+    length-delta, countMatches, extract capture-vs-whole, positionUTF8."""
+    row = spark.sql(
+        "SELECT "
+        + tr("arrayFold((acc, x) -> acc * 2 + x, [1, 0, 1], 0)")
+        + " AS f, "
+        + tr("arrayReduce('max', [3, 9, 4])")
+        + " AS rmax, "
+        + tr("round(arrayReduce('avg', [1, 2, 3, 4]), 2)")
+        + " AS ravg, "
+        + tr("countSubstrings('ababab', 'ab')")
+        + " AS cs, "
+        + tr("countSubstrings('aaa', 'aa')")
+        + " AS cs2, "
+        + tr("countMatches('a1b22c333', '[0-9]+')")
+        + " AS cm, "
+        + tr("extract('key=val', 'key=(\\\\w+)')")
+        + " AS exg, "
+        + tr("extract('abc123', '[0-9]+')")
+        + " AS exw, "
+        + tr("positionUTF8('haystack', 'st')")
+        + " AS p"
+    ).first()
+    assert row.f == 5            # binary 101
+    assert row.rmax == 9 and row.ravg == 2.5
+    assert row.cs == 3
+    assert row.cs2 == 1          # non-overlapping, length-delta trick
+    assert row.cm == 3
+    assert row.exg == "val" and row.exw == "123"
+    assert row.p == 4
+    # SQL-standard extract passes through untouched
+    assert tr("extract(YEAR FROM ts)") == "extract(YEAR FROM ts)"

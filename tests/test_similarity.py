@@ -438,3 +438,21 @@ def test_ivfpq_persistent_index_roundtrip(emb, spark, tmp_path):
         q, normed, k=5, n_lists=8, m=16, k_codes=32, n_probe=8, rerank=40
     ).collect()
     assert {tuple(r) for r in got} == {tuple(r) for r in mem}
+
+
+def test_hard_negatives_label_exclusion(emb, spark):
+    """Every mined negative has a different label from its query, k rows
+    per query, and negatives rank by true cosine among the cross-label
+    candidate set."""
+    q = emb.filter("vec_id < 5")
+    out = S.hard_negatives(q, emb, k=5)
+    rows = out.collect()
+    qlabels = {r.vec_id: r.label for r in q.select("vec_id", "label").collect()}
+    per_q = {}
+    for r in rows:
+        assert r.neg_label != qlabels[r.query_id]
+        assert r.neighbor_id != r.query_id
+        per_q.setdefault(r.query_id, []).append(r.cos_sim)
+    assert set(per_q) == set(qlabels)
+    for sims in per_q.values():
+        assert len(sims) == 5 and sims == sorted(sims, reverse=True)
