@@ -215,3 +215,45 @@ def test_bloom_probe_broadcasts_bitset(tables):
     probe = D.bloom_might_contain(sh, bits)
     plan = explain_str(probe)
     assert "BroadcastHashJoin" in plan
+
+
+def test_dialect_asof_no_nested_loop(spark, sf_dir):
+    """The SQL ASOF rewrite must plan as union + window (one shuffle on
+    the key), never BroadcastNestedLoop/Cartesian — the LATERAL form
+    measured 263 s at sf0.1."""
+    import __spark_entry__ as E
+
+    plan = explain_str(E.queries()["dialect_asof"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_tpch_q8_dims_broadcast_no_cartesian(spark, sf_dir):
+    import __spark_entry__ as E
+
+    plan = explain_str(E.queries()["tpch_q8"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_paragraph_dedup_two_shuffles(spark, sf_dir):
+    """Fingerprint window + per-doc regroup: exactly the two keyed
+    exchanges, no broadcast of the corpus, no nested loop."""
+    import __spark_entry__ as E
+
+    plan = explain_str(E.queries()["paragraph_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # formatted mode lists nodes bare; two keyed exchanges = the window
+    # repartition + the per-doc regroup
+    assert plan.count("Exchange") >= 2 and "Window" in plan
+
+
+def test_hard_negatives_broadcasts_queries(spark, sf_dir):
+    """The query side broadcasts; the corpus scan is never shuffled."""
+    import __spark_entry__ as E
+
+    plan = explain_str(E.queries()["hard_negatives"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
