@@ -155,6 +155,23 @@ def download(
         return error_payload(e)
 
 
+def explain(spark: SparkSession, sql: str, mode: str = "formatted") -> dict:
+    """/explain: translate a ClickHouse-dialect statement and return
+    Spark's physical plan WITHOUT executing it — the pre-flight check a
+    user runs before pointing a query at 100 TB (does the filter push
+    down? did the dimension broadcast?).  ClickHouse's own EXPLAIN
+    family is the parity surface."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+    from clickhouse_flatfile_tool_spark.plans import explain_str
+
+    try:
+        translated = translate_clickhouse_sql(sql, spark=spark)
+        plan = explain_str(spark.sql(translated), mode=mode)
+        return {"success": True, "translated_sql": translated, "plan": plan}
+    except Exception as e:  # noqa: BLE001
+        return error_payload(e)
+
+
 def joinable_tables(spark: SparkSession) -> dict:
     """/joinable-tables + /join-columns (server.js:738-814): tables, their
     columns, and suggested join keys."""

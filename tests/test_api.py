@@ -154,3 +154,15 @@ def test_query_endpoint_runs_clickhouse_sql(spark):
     # errors come back in the reference envelope, not as exceptions
     bad = api.query(spark, "SELECT definitely_not_a_col FROM q_sample")
     assert bad["success"] is False and "error" in bad
+
+
+def test_explain_endpoint(spark, people_csv):
+    """/explain translates the CH dialect and returns the physical plan
+    without executing; filter pushdown is visible in the plan text."""
+    api.ingest(spark, "file", people_csv, "t_exp")
+    out = api.explain(spark, "SELECT name FROM t_exp PREWHERE id = '1'")
+    assert out["success"]
+    assert "WHERE" in out["translated_sql"]  # PREWHERE merged
+    assert "Scan" in out["plan"]
+    bad = api.explain(spark, "SELECT nope FROM missing_table")
+    assert not bad["success"]
