@@ -123,6 +123,13 @@ BENCH_QUERIES = [
     "paragraph_dedup",
     "zipf_fit",
     "sequence_match",
+    "with_fill",
+    "jsonl_scan",
+    "winsorize",
+    "clickhouse_funcs3",
+    "max_intersections",
+    "hard_negatives",
+    "pr_curve",
 ]
 
 

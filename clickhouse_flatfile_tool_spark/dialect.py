@@ -107,6 +107,13 @@ _WRAPS: list[tuple[str, str, str]] = [
 _RENAMES: list[tuple[str, str]] = [
     ("toDateTime", "to_timestamp"),
     ("toDate", "to_date"),
+    # the uniq sketch family all map to Spark's HLL++ aggregate —
+    # approximate on both engines, so values differ per engine (uniqExact
+    # is the oracle path)
+    ("uniqCombined64", "approx_count_distinct"),
+    ("uniqCombined", "approx_count_distinct"),
+    ("uniqTheta", "approx_count_distinct"),
+    ("uniqHLL12", "approx_count_distinct"),
     ("uniq", "approx_count_distinct"),
     ("arrayJoin", "explode"),
     ("lcase", "lower"),

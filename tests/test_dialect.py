@@ -944,3 +944,19 @@ def test_fold_reduce_and_string_counts(spark):
     assert row.p == 4
     # SQL-standard extract passes through untouched
     assert tr("extract(YEAR FROM ts)") == "extract(YEAR FROM ts)"
+
+
+def test_uniq_sketch_family(spark):
+    """uniqCombined/uniqCombined64/uniqTheta/uniqHLL12 all map to the
+    HLL++ aggregate; estimates land near exact on a small set."""
+    spark.createDataFrame(
+        [(i % 50,) for i in range(500)], "x int"
+    ).createOrReplaceTempView("usf")
+    row = spark.sql(
+        tr(
+            "SELECT uniqCombined(x) AS a, uniqCombined64(x) AS b, "
+            "uniqTheta(x) AS c, uniqHLL12(x) AS d FROM usf"
+        )
+    ).first()
+    for v in row:
+        assert abs(v - 50) <= 3
