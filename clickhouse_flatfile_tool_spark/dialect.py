@@ -1733,6 +1733,18 @@ def translate_clickhouse_sql(sql: str, spark=None) -> str:
             masked.append(seg)
     chunk = "".join(masked)
 
+    # ClickHouse double-quoted IDENTIFIERS ("user id" — ANSI identifier
+    # quoting, NOT a string literal) → Spark backticks; Spark's default
+    # mode reads "..." as a string literal, which would silently turn a
+    # column reference into a constant.  Runs on the masked chunk, so
+    # double quotes inside single-quoted literals are untouched; the ""
+    # escape unescapes to a literal quote inside the name.
+    chunk = re.sub(
+        r'"((?:[^"]|"")*)"',
+        lambda m: "`" + m.group(1).replace('""', '"').replace("`", "``") + "`",
+        chunk,
+    )
+
     for src, dst in _ZERO_ARG:
         chunk = chunk.replace(src, dst)
     chunk = _rewrite_clauses(chunk)

@@ -960,3 +960,18 @@ def test_uniq_sketch_family(spark):
     ).first()
     for v in row:
         assert abs(v - 50) <= 3
+
+
+def test_double_quoted_identifiers_become_backticks(spark):
+    """CH double quotes are ANSI identifier quoting, not string literals —
+    Spark's default mode would read "name" as a constant string, silently
+    corrupting the query.  Double quotes inside single-quoted literals
+    stay put."""
+    spark.createDataFrame(
+        [(1, "x")], "id int, `user name` string"
+    ).createOrReplaceTempView("dqi")
+    out = tr('SELECT "user name", id FROM dqi WHERE "user name" = \'x\'')
+    assert "`user name`" in out and '"' not in out
+    assert [tuple(r) for r in spark.sql(out).collect()] == [("x", 1)]
+    lit = tr("SELECT 'he said \"hi\"' AS s")
+    assert '"hi"' in lit  # double quotes inside a string literal survive
