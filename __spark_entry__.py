@@ -1707,6 +1707,21 @@ def q_ewma(spark, d):
     return out.select("user_id", "n_events", F.round("ewma", 6).alias("ewma"))
 
 
+def q_variant_props(spark, d):
+    """ClickHouse native-JSON-type analog via Spark 4 VARIANT
+    (events.py::props_variant_stats): props parsed ONCE to the binary
+    variant encoding, path extraction + per-type aggregation in codegen —
+    the modern engine path next to the stringly get_json_object of
+    json_props.  Oracle: DuckDB json_extract over the same rows."""
+    out = events.props_variant_stats(_t(spark, d, "events"))
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_with_path").cast("long").alias("n_with_path"),
+        F.col("sum_path").cast("long").alias("sum_path"),
+    )
+
+
 def q_hard_negatives(spark, d):
     """Hard-negative mining (similarity.py::hard_negatives): per query,
     top-5 most cosine-similar vectors with a DIFFERENT label — the
@@ -2932,6 +2947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q8": q_tpch_q8,
         "max_intersections": q_max_intersections,
         "hard_negatives": q_hard_negatives,
+        "variant_props": q_variant_props,
         "hybrid_rrf": q_hybrid_rrf,
         "ccnet_buckets": q_ccnet_buckets,
         "nb_quality": q_nb_quality,
@@ -4366,6 +4382,12 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
             "round(sum(e.value * pow(2, -(tmax - epoch_us(e.ts)) / 3600000000.0)) "
             "  / sum(pow(2, -(tmax - epoch_us(e.ts)) / 3600000000.0)), 6) AS ewma "
             "FROM events e JOIN g USING (user_id) GROUP BY e.user_id, tmax"
+        ),
+        "variant_props": (
+            "SELECT event_type, count(*)::BIGINT AS n, "
+            "count(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS n_with_path, "
+            "sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS sum_path "
+            "FROM events GROUP BY event_type"
         ),
         "hard_negatives": """
 WITH q AS (

@@ -1335,6 +1335,11 @@ def paragraph_dedup(
     both on high-cardinality keys.  No driver materialization.
 
     Returns ``(id, n_paragraphs, n_kept, text)``.
+
+    ``sep`` is a REGEX for Spark's ``split`` (fine for the default
+    newline); regex metacharacters in a literal separator must be escaped
+    by the caller, and reassembly joins with the raw ``sep`` string — use
+    plain separators.
     """
     from pyspark.sql.window import Window
 

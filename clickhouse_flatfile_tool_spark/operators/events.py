@@ -848,3 +848,32 @@ def max_intersections(
             "peak_at"
         ),
     )
+
+
+def props_variant_stats(
+    df: DataFrame,
+    props_col: str = "props",
+    group_col: str = "event_type",
+    path: str = "$.k",
+) -> DataFrame:
+    """Semi-structured JSON via Spark 4's VARIANT type — the analog of
+    ClickHouse's native ``JSON`` column type (both store a parsed binary
+    encoding so repeated path access skips re-parsing, unlike the
+    stringly ``get_json_object`` path in :func:`with_props`).
+
+    Parses once (``try_parse_json`` — malformed rows become NULL instead
+    of failing the job), extracts ``path`` as a long, and aggregates per
+    group: row count, rows where the path exists, and the path sum.
+    Pure codegen; one shuffle on the group key.
+    """
+    v = F.try_parse_json(F.col(props_col))
+    k = F.try_variant_get(v, path, "long")
+    return (
+        df.select(F.col(group_col), k.alias("__k"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("__k").alias("n_with_path"),
+            F.sum("__k").alias("sum_path"),
+        )
+    )

@@ -17,3 +17,22 @@ def test_max_intersections_hand_computed(spark):
     assert out[1] == (2, 5)
     assert out[2] == (1, 0)
     assert out[3] == (3, 1)
+
+
+def test_props_variant_stats_handles_malformed(spark):
+    """try_parse_json: malformed/NULL props rows count in n but not in
+    n_with_path; sums are exact."""
+    from clickhouse_flatfile_tool_spark.operators.events import props_variant_stats
+
+    rows = [
+        ("a", '{"k": 5}'),
+        ("a", '{"k": 7}'),
+        ("a", "not json"),
+        ("a", None),
+        ("b", '{"other": 1}'),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, props string")
+    out = {r.event_type: (r.n, r.n_with_path, r.sum_path)
+           for r in props_variant_stats(df).collect()}
+    assert out["a"] == (4, 2, 12)
+    assert out["b"] == (1, 0, None)
