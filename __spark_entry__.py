@@ -350,6 +350,23 @@ def q_png_meta(spark, d):
     return multimodal.decode_png_meta(png, keep=["doc_id"])
 
 
+def q_bmp_meta(spark, d):
+    """REAL multimodal decode round-trip #4: structurally valid
+    headers-only BMP per document (BITMAPFILEHEADER + BITMAPINFOHEADER,
+    little-endian — the byte-order counterpart to PNG's big-endian
+    layout), parsed back by the hand-written decoder with magic/header
+    validation.  Oracle recomputes metadata from table columns."""
+    docs = _t(spark, d, "documents").select("doc_id", "n_chars")
+    bmp = multimodal.synthesize_bmp_payloads(docs)
+    out = multimodal.decode_bmp_meta(bmp, keep=["doc_id"])
+    return out.select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("bits_per_pixel").cast("long").alias("bits_per_pixel"),
+    )
+
+
 def q_jpeg_meta(spark, d):
     """REAL multimodal decode round-trip #3: build a structurally valid
     JPEG marker stream per document (SOI, APP0/JFIF, COM, SOF0/SOF2 frame
@@ -2948,6 +2965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_intersections": q_max_intersections,
         "hard_negatives": q_hard_negatives,
         "variant_props": q_variant_props,
+        "bmp_meta": q_bmp_meta,
         "hybrid_rrf": q_hybrid_rrf,
         "ccnet_buckets": q_ccnet_buckets,
         "nb_quality": q_nb_quality,
@@ -4382,6 +4400,13 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
             "round(sum(e.value * pow(2, -(tmax - epoch_us(e.ts)) / 3600000000.0)) "
             "  / sum(pow(2, -(tmax - epoch_us(e.ts)) / 3600000000.0)), 6) AS ewma "
             "FROM events e JOIN g USING (user_id) GROUP BY e.user_id, tmax"
+        ),
+        "bmp_meta": (
+            "SELECT doc_id, (n_chars % 640 + 1)::BIGINT AS width, "
+            "(doc_id % 480 + 1)::BIGINT AS height, "
+            "(CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 4 WHEN 2 THEN 8 "
+            " WHEN 3 THEN 24 ELSE 32 END)::BIGINT AS bits_per_pixel "
+            "FROM documents"
         ),
         "variant_props": (
             "SELECT event_type, count(*)::BIGINT AS n, "

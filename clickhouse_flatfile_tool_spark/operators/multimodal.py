@@ -484,3 +484,90 @@ def decode_jpeg_meta(
             yield out
 
     return df.mapInPandas(run, out_schema)
+
+
+def synthesize_bmp_payloads(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Build REAL image payloads #4: a structurally valid headers-only BMP
+    per row — 14-byte BITMAPFILEHEADER ('BM' magic, little-endian file
+    size, pixel-data offset 54) + 40-byte BITMAPINFOHEADER (BI_RGB,
+    planes=1).  Width from ``size_col``, height/bit depth from ``id_col``
+    so the decode round-trip is oracle-checkable from table columns alone
+    (the WAV/PNG/JPEG scheme).  BMP is the little-endian counterpart to
+    PNG's big-endian layout — the decoder pair proves both byte orders."""
+    import struct
+
+    depths = [1, 4, 8, 24, 32]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def make(row):
+            rid = int(row[id_col])
+            width = int(row[size_col]) % 640 + 1
+            height = rid % 480 + 1
+            bpp = depths[rid % 5]
+            info = struct.pack(
+                "<IiiHHIIiiII", 40, width, height, 1, bpp, 0, 0, 2835, 2835, 0, 0
+            )
+            header = b"BM" + struct.pack("<IHHI", 14 + 40, 0, 0, 54)
+            return header + info
+
+        for pdf in batches:
+            out = pdf.copy()
+            out[payload_col] = pdf.apply(make, axis=1)
+            yield out
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(payload_col, T.BinaryType(), False)]
+    )
+    return df.mapInPandas(run, schema)
+
+
+def decode_bmp_meta(
+    df: DataFrame,
+    payload_col: str = "payload",
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Hand-written BMP header parser (no imaging libs in the container —
+    the WAV/PNG/JPEG decoder pattern): validates the 'BM' magic, the
+    BITMAPINFOHEADER size (40), planes=1 and the declared pixel-data
+    offset, then extracts little-endian width/height/bit depth.  Rows
+    failing structural validation yield NULL metadata instead of
+    erroring — corrupt binaries are data, not exceptions, in a 100 TB
+    scan.  Arrow-batched mapInPandas; map-only."""
+    import struct
+
+    keep = keep or []
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def parse(b):
+            try:
+                if b is None or len(b) < 54 or b[:2] != b"BM":
+                    return (None, None, None)
+                _size, _r1, _r2, offset = struct.unpack("<IHHI", b[2:14])
+                (
+                    bisize, width, height, planes, bpp, comp, *_rest
+                ) = struct.unpack("<IiiHHIIiiII", b[14:54])
+                if bisize != 40 or planes != 1 or offset < 54:
+                    return (None, None, None)
+                return (width, abs(height), bpp)
+            except Exception:  # noqa: BLE001 — corrupt binary = NULL row
+                return (None, None, None)
+
+        for pdf in batches:
+            meta = pdf[payload_col].map(parse)
+            out = pdf[keep].copy()
+            out["width"] = [m[0] for m in meta]
+            out["height"] = [m[1] for m in meta]
+            out["bits_per_pixel"] = [m[2] for m in meta]
+            yield out
+
+    fields = [f for f in df.schema.fields if f.name in keep] + [
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("bits_per_pixel", T.IntegerType(), True),
+    ]
+    return df.mapInPandas(run, T.StructType(fields))

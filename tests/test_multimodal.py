@@ -170,3 +170,30 @@ def test_jpeg_decoder_rejects_corrupt_streams(spark):
         )
         with _pytest.raises(Exception, match="SOI|truncated|SOF|PythonException"):
             M.decode_jpeg_meta(bad, keep=["doc_id"]).collect()
+
+
+def test_bmp_roundtrip_and_corrupt_rows(spark):
+    """BMP synth->decode round trip; corrupt/truncated/wrong-magic bytes
+    yield NULL metadata, not exceptions."""
+    from clickhouse_flatfile_tool_spark.operators.multimodal import (
+        decode_bmp_meta,
+        synthesize_bmp_payloads,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, 100 + i * 7) for i in range(10)], "doc_id long, n_chars int"
+    )
+    out = decode_bmp_meta(synthesize_bmp_payloads(docs), keep=["doc_id"])
+    rows = {r.doc_id: r for r in out.collect()}
+    depths = [1, 4, 8, 24, 32]
+    for i in range(10):
+        r = rows[i]
+        assert r.width == (100 + i * 7) % 640 + 1
+        assert r.height == i % 480 + 1
+        assert r.bits_per_pixel == depths[i % 5]
+    bad = spark.createDataFrame(
+        [(1, b"NOPE" + b"\x00" * 60), (2, b"BM"), (3, None)],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in decode_bmp_meta(bad, keep=["doc_id"]).collect()}
+    assert all(got[i].width is None for i in (1, 2, 3))
