@@ -434,3 +434,54 @@ def test_ema_recursive_matches_python_fold(spark, events):
         pt = s
     assert got.n_events == len(events)
     assert abs(got.ema - ema) < 1e-9 * max(1.0, abs(ema))
+
+
+@st.composite
+def ch_expression(draw, depth=0):
+    """Random ClickHouse-flavored scalar expression from a small grammar —
+    exercises nesting across every rewriter family."""
+    atoms = ["x", "y", "7", "1.5", "NULL"]
+    if depth >= 3:
+        return draw(st.sampled_from(atoms))
+    kind = draw(st.integers(0, 11))
+    sub = lambda: draw(ch_expression(depth=depth + 1))  # noqa: E731
+    if kind == 0:
+        return f"toInt64({sub()})"
+    if kind == 1:
+        return f"intDiv({sub()}, 3)"
+    if kind == 2:
+        return f"arraySum(arrayPushBack([{sub()}, 2], 5))"
+    if kind == 3:
+        return f"multiIf({sub()} > 0, 1, {sub()} < 0, -1, 0)"
+    if kind == 4:
+        return f"ifNull({sub()}, {sub()})"
+    if kind == 5:
+        return f"arrayCumSum([1, 2])[{draw(st.integers(1, 2))}]"
+    if kind == 6:
+        return f"countEqual([{sub()}, 1], 1)"
+    if kind == 7:
+        return f"tupleElement(tuple({sub()}, 'a'), 1)"
+    if kind == 8:
+        # toUInt8 normalizes the boolean: CH's empty() returns UInt8 and
+        # composes with ints; Spark's boolean wouldn't coerce in arrays —
+        # an accepted type-system divergence, not a rewriter bug
+        return f"toUInt8(empty(toString({sub()})))"
+    if kind == 9:
+        return f"range(2)[1] + {sub()}"
+    if kind == 10:
+        return f"exp2(bitCount({draw(st.integers(0, 99))}))"
+    return f"transform({sub()}, [1, 2], [10, 20], 0)"
+
+
+@given(st.lists(ch_expression(), min_size=1, max_size=3))
+@settings(**SETTINGS)
+def test_dialect_fuzz_translates_and_parses(spark, exprs):
+    """Translation of random nested CH expressions must produce SQL that
+    Spark at least ANALYZES (x/y bound as columns) — guards the string
+    rewriters against paren/comma/mask corruption under composition."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql as tr
+
+    spark.createDataFrame([(1, 2)], "x int, y int").createOrReplaceTempView("fz")
+    sel = ", ".join(f"({e}) AS c{i}" for i, e in enumerate(exprs))
+    out = tr(f"SELECT {sel} FROM fz")
+    spark.sql(out)  # analysis only — throws on malformed output
