@@ -205,6 +205,40 @@ def main() -> None:
     out["pq_search"] = _time_pair(
         lambda enc: similarity.pq_topk(q, enc, cb, k=5, rerank=50), enc1, enck, k
     )
+    # SQL ASOF rewrite (union + running last_value): events-based probe —
+    # scaled by duplicating events with shifted ids/users so per-key
+    # interval structure is constant per copy
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    ev1 = read_parquet(spark, os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    n_ev = ev1.count()
+    n_users = 1000
+    evk = (
+        ev1.crossJoin(
+            F.broadcast(spark.range(k).select(F.col("id").alias("__copy")))
+        )
+        .select(
+            (F.col("event_id") + F.col("__copy") * n_ev).alias("event_id"),
+            (F.col("user_id") + F.col("__copy") * n_users).alias("user_id"),
+            "ts",
+            "event_type",
+        )
+        .localCheckpoint()
+    )
+
+    def asof_sql(df):
+        df.filter("event_type = 'purchase'").createOrReplaceTempView("sm_a")
+        df.filter("event_type = 'view'").createOrReplaceTempView("sm_b")
+        return spark.sql(
+            translate_clickhouse_sql(
+                "SELECT a.event_id, b.ts AS view_ts FROM sm_a a "
+                "ASOF JOIN sm_b b ON a.user_id = b.user_id AND a.ts >= b.ts"
+            )
+        )
+
+    out["dialect_asof"] = _time_pair(asof_sql, ev1, evk, k)
     print(json.dumps({"k": k, "ops": out}))
 
 
