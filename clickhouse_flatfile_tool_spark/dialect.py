@@ -101,6 +101,16 @@ _WRAPS: list[tuple[str, str, str]] = [
     # (module docstring).  Estimates are approximate on both engines.
     ("uniqState", "hll_sketch_agg(", ")"),
     ("uniqMerge", "hll_sketch_estimate(hll_union_agg(", "))"),
+    # CH kurtPop is Pearson kurtosis m4/m2²; Spark kurtosis is the excess
+    # (Fisher) form m4/m2² − 3 — shift it back
+    ("kurtPop", "(kurtosis(", ") + 3.0D)"),
+    # CH crypto hashes return FixedString binaries; Spark's return hex
+    # strings — unhex restores the byte-level value (hex(MD5(x)) etc.
+    # then agree across engines modulo case: CH hex is uppercase)
+    ("MD5", "unhex(md5(", "))"),
+    ("SHA1", "unhex(sha1(", "))"),
+    ("SHA256", "unhex(sha2(", ", 256))"),
+    ("negate", "(-(", "))"),
 ]
 
 # same-shape renames (arity and semantics line up)
@@ -197,6 +207,24 @@ _RENAMES: list[tuple[str, str]] = [
     # keyword-unit form dateAdd(DAY, n, ts) only (string-unit form passes
     # through for Spark to reject by name)
     ("dateAdd", "timestampadd"),
+    # moment aggregates — identical definitions on both engines
+    ("stddevPop", "stddev_pop"),
+    ("stddevSamp", "stddev_samp"),
+    ("varPop", "var_pop"),
+    ("varSamp", "var_samp"),
+    ("covarPop", "covar_pop"),
+    ("covarSamp", "covar_samp"),
+    # CH skewPop = population skewness m3/m2^1.5 — exactly Spark skewness
+    # (kurtPop needs the +3 offset, see _WRAPS)
+    ("skewPop", "skewness"),
+    # engine-specific 64-bit digests: values differ from ClickHouse by
+    # design (same stance as halfMD5 above) — use only where the digest is
+    # an opaque partition/sample/dedup key, never for cross-engine parity
+    ("sipHash64", "xxhash64"),
+    ("cityHash64", "xxhash64"),
+    # best-effort parse → Spark's default-format to_timestamp (strictly
+    # narrower: CH accepts many layouts, Spark its session formats)
+    ("parseDateTimeBestEffort", "to_timestamp"),
 ]
 
 _ZERO_ARG: list[tuple[str, str]] = [
@@ -773,6 +801,70 @@ _ARRAY_LIT_KEYWORDS = {
 }
 
 
+def _rewrite_window_funnel(chunk: str) -> str:
+    """``windowFunnel(W)(ts, c1, …, ck)`` → one codegen ``aggregate`` fold
+    over the key's time-sorted events, O(E·k) per key (reference parity:
+    the App.jsx query surface passes raw CH SQL through server.js:231;
+    the DataFrame analog with strict modes is ``events.window_funnel``).
+
+    State: per level j, the first-event (anchor) timestamp ``f_j`` of the
+    chain that most recently reached level j (−1 = unreached).  For each
+    event all levels update simultaneously from the pre-event state: a
+    step-j event extends a level-(j−1) chain iff ``t ≤ f_{j-1} + W``,
+    propagating the anchor; a step-1 event re-anchors ``f_1 = t``.  Since
+    anchors are non-decreasing over the sorted scan and step validity is
+    monotone in the anchor (later anchor = later deadline), the kept
+    anchor per level is maximal — the fold is EXACT for default-mode
+    semantics (non-decreasing timestamps, window measured from the
+    chain's first event).  Strict modes and non-literal windows pass
+    through untranslated (the DataFrame operator covers them).
+    """
+    pat = re.compile(r"\bwindowFunnel\(")
+    m = pat.search(chunk)
+    while m:
+        p_end = _match_paren(chunk, m.end() - 1)
+        if p_end >= len(chunk) or chunk[p_end] != "(":
+            m = pat.search(chunk, p_end)  # not curried: leave untouched
+            continue
+        x_end = _match_paren(chunk, p_end)
+        w_args = _split_top_comma(chunk[m.end() : p_end - 1])
+        args = _split_top_comma(chunk[p_end + 1 : x_end - 1])
+        if (
+            len(w_args) != 1
+            or not re.fullmatch(r"\d+", w_args[0].strip())
+            or len(args) < 2
+        ):
+            m = pat.search(chunk, x_end)  # modes / dynamic window
+            continue
+        w_us = int(w_args[0].strip()) * 1_000_000
+        ts, conds = args[0], args[1:]
+        k = len(conds)
+        fields = ", ".join(
+            f"CAST({c} AS BOOLEAN) AS s{j + 1}" for j, c in enumerate(conds)
+        )
+        evs = (
+            f"array_sort(collect_list(struct("
+            f"unix_micros(CAST({ts} AS TIMESTAMP)) AS t, {fields})))"
+        )
+        init = ", ".join(f"'f{j + 1}', -1L" for j in range(k))
+        upd = ["'f1', CASE WHEN e.s1 THEN e.t ELSE a.f1 END"]
+        for j in range(2, k + 1):
+            upd.append(
+                f"'f{j}', CASE WHEN e.s{j} AND a.f{j - 1} >= 0L "
+                f"AND e.t <= a.f{j - 1} + {w_us}L "
+                f"THEN a.f{j - 1} ELSE a.f{j} END"
+            )
+        fin = " ".join(f"WHEN a.f{j} >= 0L THEN {j}" for j in range(k, 0, -1))
+        repl = (
+            f"aggregate({evs}, named_struct({init}), "
+            f"(a, e) -> named_struct({', '.join(upd)}), "
+            f"a -> CASE {fin} ELSE 0 END)"
+        )
+        chunk = chunk[: m.start()] + repl + chunk[x_end:]
+        m = pat.search(chunk, m.start() + len(repl))
+    return chunk
+
+
 def _rewrite_array_literals(chunk: str) -> str:
     """ClickHouse bracket syntax → Spark equivalents:
 
@@ -909,6 +1001,60 @@ def _rewrite_misc_calls(chunk: str) -> str:
         chunk, "positionCaseInsensitive", two("instr(lower({0}), lower({1}))")
     )
     chunk = _rewrite_call(chunk, "extractAll", two("regexp_extract_all({0}, {1}, 0)"))
+    # multiSearchAny(haystack, [needles]) — any-substring test; the array
+    # side iterates under exists so the haystack is referenced once
+    chunk = _rewrite_call(
+        chunk, "multiSearchAnyCaseInsensitive",
+        two("exists({1}, __n -> contains(lower({0}), lower(__n)))"),
+    )
+    chunk = _rewrite_call(
+        chunk, "multiSearchAny", two("exists({1}, __n -> contains({0}, __n))")
+    )
+    # simpleLinearRegression(x, y) → CH's (k, b) tuple as the positional
+    # struct (col1=slope, col2=intercept) tupleElement/.1 access expects;
+    # Spark's regr_* take the DEPENDENT variable first
+    chunk = _rewrite_call(
+        chunk, "simpleLinearRegression",
+        two("named_struct('col1', regr_slope({1}, {0}), "
+            "'col2', regr_intercept({1}, {0}))"),
+    )
+    # function-form arithmetic (CH exposes the operators as functions too);
+    # divide is always floating-point in CH — Spark's / on integers is
+    # DOUBLE division as well, so the operator maps directly
+    chunk = _rewrite_call(chunk, "plus", two("(({0}) + ({1}))"))
+    chunk = _rewrite_call(chunk, "minus", two("(({0}) - ({1}))"))
+    chunk = _rewrite_call(chunk, "multiply", two("(({0}) * ({1}))"))
+    chunk = _rewrite_call(chunk, "divide", two("(({0}) / ({1}))"))
+
+    def int_div_or_zero_make(args):
+        if len(args) != 2:
+            return None
+        a = f"CAST({args[0]} AS BIGINT)"
+        b = f"CAST({args[1]} AS BIGINT)"
+        return (
+            f"(CASE WHEN {b} = 0 THEN 0L ELSE "
+            f"(({a} DIV {b}) + (CASE WHEN ({a} % {b}) != 0 "
+            f"AND (({a} < 0) != ({b} < 0)) THEN -1 ELSE 0 END)) END)"
+        )
+
+    chunk = _rewrite_call(chunk, "intDivOrZero", int_div_or_zero_make)
+
+    def retention_make(args):
+        # CH retention(c1, …, ck): r[0] = OR-over-rows(c1); r[i] =
+        # OR-over-rows(c(i+1)) AND r[0] (source: AggregateFunctionRetention
+        # finalize).  max(if(...)) is the OR; Spark dedups the repeated
+        # max(c1) aggregate in the physical plan, so the anchor is
+        # computed once.
+        if len(args) < 1:
+            return None
+        anchor = f"max(CASE WHEN {args[0]} THEN 1 ELSE 0 END)"
+        cells = [anchor] + [
+            f"({anchor} * max(CASE WHEN {c} THEN 1 ELSE 0 END))"
+            for c in args[1:]
+        ]
+        return "array(" + ", ".join(cells) + ")"
+
+    chunk = _rewrite_call(chunk, "retention", retention_make)
 
     def avg_make(args):
         if len(args) != 1:
@@ -1099,6 +1245,9 @@ def _rewrite_misc_calls(chunk: str) -> str:
         # 3-arg form (default = x itself) reuses x.  NOT the array
         # higher-order transform — that one takes a lambda 2nd argument
         # and is left to Spark's own transform() by checking for '->'.
+        # Spark's element_at requires probe type = key type — EXACTLY the
+        # constraint ClickHouse places on transform's x vs array_from, so
+        # CH-valid queries analyze and CH-invalid ones fail the same way.
         if len(args) == 4 and "->" not in args[1]:
             x, f, t, d = args
             return (
@@ -1758,6 +1907,7 @@ def translate_clickhouse_sql(sql: str, spark=None) -> str:
     chunk = _rewrite_array_string_concat(chunk)
     chunk = _rewrite_curried_quantiles(chunk)
     chunk = _rewrite_curried_uniq_up_to(chunk)
+    chunk = _rewrite_window_funnel(chunk)
     chunk = _rewrite_array_literals(chunk)
     chunk = _rewrite_json_extract(chunk)
     chunk = _rewrite_misc_calls(chunk)

@@ -975,3 +975,127 @@ def test_double_quoted_identifiers_become_backticks(spark):
     assert [tuple(r) for r in spark.sql(out).collect()] == [("x", 1)]
     lit = tr("SELECT 'he said \"hi\"' AS s")
     assert '"hi"' in lit  # double quotes inside a string literal survive
+
+
+def test_stat_aggregate_renames(spark):
+    """Moment aggregates: stddev/var/covar map 1:1; skewPop is Spark's
+    skewness verbatim (both population m3/m2^1.5); kurtPop needs +3
+    (Spark kurtosis is the excess/Fisher form)."""
+    import math
+
+    xs = [1.0, 2.0, 2.0, 3.0, 7.0]
+    spark.createDataFrame(
+        [(x, 2 * x + 1) for x in xs], "x double, y double"
+    ).createOrReplaceTempView("stats_t")
+    row = spark.sql(
+        tr(
+            "SELECT varPop(x) AS vp, varSamp(x) AS vs, stddevPop(x) AS sp, "
+            "covarPop(x, y) AS cv, skewPop(x) AS sk, kurtPop(x) AS ku, "
+            "tupleElement(simpleLinearRegression(x, y), 1) AS slope "
+            "FROM stats_t"
+        )
+    ).first()
+    n = len(xs)
+    mu = sum(xs) / n
+    m2 = sum((v - mu) ** 2 for v in xs) / n
+    m3 = sum((v - mu) ** 3 for v in xs) / n
+    m4 = sum((v - mu) ** 4 for v in xs) / n
+    assert abs(row.vp - m2) < 1e-9
+    assert abs(row.vs - m2 * n / (n - 1)) < 1e-9
+    assert abs(row.sp - math.sqrt(m2)) < 1e-9
+    assert abs(row.cv - 2 * m2) < 1e-9
+    assert abs(row.sk - m3 / m2**1.5) < 1e-9
+    assert abs(row.ku - m4 / m2**2) < 1e-9  # Pearson, not excess
+    assert abs(row.slope - 2.0) < 1e-9
+
+
+def test_hash_and_arith_function_forms(spark):
+    """Crypto hashes return byte values (unhex of Spark's hex output) so
+    hex(MD5(x)) agrees with CH up to case; function-form arithmetic maps
+    to the operators; intDivOrZero guards division by zero."""
+    row = spark.sql(
+        tr(
+            "SELECT hex(MD5('abc')) AS m, hex(SHA256('abc')) AS s, "
+            "plus(2, 3) AS p, minus(2, 3) AS mi, multiply(6, 7) AS mu, "
+            "divide(7, 2) AS d, intDiv(7, 2) AS id, "
+            "intDivOrZero(7, 0) AS iz, negate(5) AS ng"
+        )
+    ).first()
+    # ClickHouse hex() is uppercase; Spark's is too for unhexed binary
+    assert row.m == "900150983CD24FB0D6963F7D28E17F72"
+    assert row.s == (
+        "BA7816BF8F01CFEA414140DE5DAE2223B00361A396177A9CB410FF61F20015AD"
+    )
+    assert (row.p, row.mi, row.mu, row.d, row.id, row.iz, row.ng) == (
+        5, -1, 42, 3.5, 3, 0, -5
+    )
+
+
+def test_multi_search_any(spark):
+    out = spark.sql(
+        tr(
+            "SELECT multiSearchAny('hello world', ['lo w', 'zzz']) AS a, "
+            "multiSearchAny('hello', ['zzz']) AS b, "
+            "multiSearchAnyCaseInsensitive('HeLLo', ['ell']) AS c"
+        )
+    ).first()
+    assert (out.a, out.b, out.c) == (True, False, True)
+
+
+def test_retention_aggregate(spark):
+    """retention(c1, …): r[0] = OR-rows(c1); r[i] = OR-rows(ci) AND r[0] —
+    the CH cohort-retention aggregate (anchor condition gates the rest)."""
+    rows = [(1, "a"), (1, "c"), (2, "b"), (2, "c"), (3, "a"), (3, "b")]
+    spark.createDataFrame(rows, "u int, et string").createOrReplaceTempView(
+        "ret_t"
+    )
+    out = spark.sql(
+        tr(
+            "SELECT u, retention(et = 'a', et = 'b', et = 'c') AS r "
+            "FROM ret_t GROUP BY u ORDER BY u"
+        )
+    ).collect()
+    assert [(r.u, r.r) for r in out] == [
+        (1, [1, 0, 1]),
+        (2, [0, 0, 0]),  # anchor missing gates everything
+        (3, [1, 1, 0]),
+    ]
+
+
+def test_window_funnel_dialect(spark):
+    """windowFunnel(W)(ts, c1..ck) single-fold translation: per level the
+    most recent chain anchor is kept (maximal ⇒ exact for default mode).
+    Covers: full chain in window, deadline exceeded, later re-anchor
+    rescuing a chain the first anchor can't finish."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(u, sec, et):
+        return (u, t0 + datetime.timedelta(seconds=sec), et)
+
+    rows = [
+        # u1: A@0 B@10 C@20, W=30 → 3
+        ev(1, 0, "A"), ev(1, 10, "B"), ev(1, 20, "C"),
+        # u2: A@0 B@10 C@50, W=30 → C misses the deadline → 2
+        ev(2, 0, "A"), ev(2, 10, "B"), ev(2, 50, "C"),
+        # u3: A@0 A@40 B@45 C@60, W=30 → first anchor dies, A@40 chain
+        # completes (re-anchor dominance) → 3
+        ev(3, 0, "A"), ev(3, 40, "A"), ev(3, 45, "B"), ev(3, 60, "C"),
+        # u4: B then A only → 1
+        ev(4, 0, "B"), ev(4, 10, "A"),
+    ]
+    spark.createDataFrame(
+        rows, "u int, ts timestamp, et string"
+    ).createOrReplaceTempView("wf_t")
+    out = spark.sql(
+        tr(
+            "SELECT u, windowFunnel(30)(ts, et = 'A', et = 'B', et = 'C') "
+            "AS lvl FROM wf_t GROUP BY u ORDER BY u"
+        )
+    ).collect()
+    assert [(r.u, r.lvl) for r in out] == [(1, 3), (2, 2), (3, 3), (4, 1)]
+    # strict modes / non-literal windows pass through for the DataFrame
+    # operator (events.window_funnel) to handle
+    untouched = tr("SELECT windowFunnel(30, 'strict_order')(ts, a, b) FROM t")
+    assert "windowFunnel" in untouched

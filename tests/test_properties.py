@@ -470,7 +470,10 @@ def ch_expression(draw, depth=0):
         return f"range(2)[1] + {sub()}"
     if kind == 10:
         return f"exp2(bitCount({draw(st.integers(0, 99))}))"
-    return f"transform({sub()}, [1, 2], [10, 20], 0)"
+    # probe and from-array must share a type — ClickHouse itself rejects
+    # transform(Float64, Array(UInt8), ...), so the generator type-matches
+    # them (the translated element_at map lookup inherits CH's strictness)
+    return f"transform(toInt64({sub()}), [toInt64(1), toInt64(2)], [10, 20], 0)"
 
 
 @given(st.lists(ch_expression(), min_size=1, max_size=3))
