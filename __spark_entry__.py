@@ -1962,6 +1962,74 @@ def q_dialect_asof(spark, d):
     return spark.sql(translate_clickhouse_sql(ch_sql))
 
 
+def q_dialect_funnel(spark, d):
+    """ClickHouse ``windowFunnel(W)(ts, c1..ck)`` through the SQL dialect
+    (dialect.py::_rewrite_window_funnel): per user, max funnel level for
+    view→cart→purchase within a 24 h window — translated to ONE codegen
+    ``aggregate`` fold over the time-sorted events (O(E·k) per key; the
+    kept per-level anchor is maximal, so the fold is exact for default
+    mode).  Oracle: the DuckDB EXISTS-chain (reference parity:
+    server.js:231 passes raw CH SQL through; App.jsx:198 renders it)."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    _t(spark, d, "events").createOrReplaceTempView("wf_events")
+    ch_sql = (
+        "SELECT user_id, windowFunnel(86400)(ts, event_type = 'view', "
+        "event_type = 'cart', event_type = 'purchase') AS lvl "
+        "FROM wf_events GROUP BY user_id ORDER BY user_id"
+    )
+    return spark.sql(translate_clickhouse_sql(ch_sql))
+
+
+def q_dialect_retention(spark, d):
+    """ClickHouse ``retention(c1..ck)`` through the SQL dialect: per-user
+    cohort flags [saw view, view∧cart, view∧purchase] — the anchor
+    condition gates the rest (AggregateFunctionRetention semantics).
+    Flags are exploded to columns (posexplode) so the oracle hash covers
+    element values and order without relying on array hashing."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    _t(spark, d, "events").createOrReplaceTempView("ret_events")
+    ch_sql = (
+        "SELECT user_id, retention(event_type = 'view', "
+        "event_type = 'cart', event_type = 'purchase') AS r "
+        "FROM ret_events GROUP BY user_id"
+    )
+    out = spark.sql(translate_clickhouse_sql(ch_sql))
+    return out.select(
+        "user_id",
+        F.col("r").getItem(0).alias("saw_view"),
+        F.col("r").getItem(1).alias("view_cart"),
+        F.col("r").getItem(2).alias("view_purchase"),
+    ).orderBy("user_id")
+
+
+def q_dialect_stats(spark, d):
+    """Moment aggregates through the SQL dialect: varPop/varSamp/stddevPop
+    map 1:1; covarPop over small-magnitude columns (discount) keeps the
+    float summation inside round-6 agreement; skewPop IS Spark skewness
+    (both population m3/m2^1.5); kurtPop = Spark kurtosis + 3 (excess →
+    Pearson); simpleLinearRegression's slope via positional tupleElement.
+    Oracle: DuckDB's sample-adjusted skewness/kurtosis un-adjusted back to
+    the population forms (exact algebra, validated per group)."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    _t(spark, d, "lineitem").createOrReplaceTempView("st_lineitem")
+    ch_sql = (
+        "SELECT l_returnflag, "
+        "round(varPop(l_quantity), 6) AS var_qty, "
+        "round(varSamp(l_quantity), 6) AS vars_qty, "
+        "round(stddevPop(l_quantity), 6) AS sd_qty, "
+        "round(covarPop(l_quantity, l_discount), 6) AS cov_qd, "
+        "round(skewPop(l_discount), 6) AS skew_disc, "
+        "round(kurtPop(l_discount), 6) AS kurt_disc, "
+        "round(tupleElement(simpleLinearRegression(l_quantity, "
+        "l_extendedprice), 1), 6) AS slope "
+        "FROM st_lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    )
+    return spark.sql(translate_clickhouse_sql(ch_sql))
+
+
 def q_ema_recursive(spark, d):
     """ClickHouse exponentialMovingAverage (events.py::ema_recursive): the
     recursive interpolated EMA per user — emaᵢ = emaᵢ₋₁·a + xᵢ·(1−a),
@@ -2950,6 +3018,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pass proves the ENTIRE registry (VERDICT r3 #1).
         # ------------------------------------------------------------------
         "dialect_asof": q_dialect_asof,
+        "dialect_funnel": q_dialect_funnel,
+        "dialect_retention": q_dialect_retention,
+        "dialect_stats": q_dialect_stats,
         "ema_recursive": q_ema_recursive,
         "uniq_state_merge": q_uniq_state_merge,
         "clickhouse_funcs3": q_clickhouse_funcs3,
@@ -4553,6 +4624,53 @@ FROM ranked WHERE rk <= 5
             "SELECT a.event_id, a.user_id, a.ts, "
             "b.vts AS view_ts, b.vvalue AS view_value "
             "FROM a ASOF JOIN b ON a.user_id = b.user_id AND a.ts >= b.vts"
+        ),
+        "dialect_funnel": (
+            "SELECT user_id, "
+            "max(CASE "
+            "WHEN EXISTS (SELECT 1 FROM events e1, events e2, events e3 "
+            " WHERE e1.user_id = u.user_id AND e2.user_id = u.user_id "
+            " AND e3.user_id = u.user_id AND e1.event_type = 'view' "
+            " AND e2.event_type = 'cart' AND e3.event_type = 'purchase' "
+            " AND e2.ts >= e1.ts AND e3.ts >= e2.ts "
+            " AND epoch_us(e3.ts) <= epoch_us(e1.ts) + 86400000000::BIGINT "
+            " AND epoch_us(e2.ts) <= epoch_us(e1.ts) + 86400000000::BIGINT) "
+            "THEN 3 "
+            "WHEN EXISTS (SELECT 1 FROM events e1, events e2 "
+            " WHERE e1.user_id = u.user_id AND e2.user_id = u.user_id "
+            " AND e1.event_type = 'view' AND e2.event_type = 'cart' "
+            " AND e2.ts >= e1.ts "
+            " AND epoch_us(e2.ts) <= epoch_us(e1.ts) + 86400000000::BIGINT) "
+            "THEN 2 "
+            "WHEN EXISTS (SELECT 1 FROM events e1 "
+            " WHERE e1.user_id = u.user_id AND e1.event_type = 'view') "
+            "THEN 1 ELSE 0 END) AS lvl "
+            "FROM events u GROUP BY user_id ORDER BY user_id"
+        ),
+        "dialect_retention": (
+            "SELECT user_id, "
+            "max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS saw_view, "
+            "max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) "
+            " * max(CASE WHEN event_type = 'cart' THEN 1 ELSE 0 END) "
+            " AS view_cart, "
+            "max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) "
+            " * max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+            " AS view_purchase "
+            "FROM events GROUP BY user_id ORDER BY user_id"
+        ),
+        "dialect_stats": (
+            "SELECT l_returnflag, "
+            "round(var_pop(l_quantity), 6) AS var_qty, "
+            "round(var_samp(l_quantity), 6) AS vars_qty, "
+            "round(stddev_pop(l_quantity), 6) AS sd_qty, "
+            "round(covar_pop(l_quantity, l_discount), 6) AS cov_qd, "
+            "round(skewness(l_discount) * (count(*) - 2) "
+            " / sqrt(count(*) * (count(*) - 1.0)), 6) AS skew_disc, "
+            "round(kurtosis(l_discount) * (count(*) - 2.0) * (count(*) - 3.0) "
+            " / ((count(*) - 1.0) * (count(*) + 1.0)) "
+            " - 6.0 / (count(*) + 1.0) + 3.0, 6) AS kurt_disc, "
+            "round(regr_slope(l_extendedprice, l_quantity), 6) AS slope "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
         ),
         "ema_recursive": (
             "WITH s AS (SELECT user_id, "

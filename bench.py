@@ -130,6 +130,9 @@ BENCH_QUERIES = [
     "max_intersections",
     "hard_negatives",
     "pr_curve",
+    "dialect_funnel",
+    "dialect_retention",
+    "dialect_stats",
 ]
 
 
