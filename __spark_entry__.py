@@ -617,6 +617,131 @@ def q_tpch_q8(spark, d):
     )
 
 
+def q_tpch_q4(spark, d):
+    """TPC-H Q4 shape (order priority checking), native DataFrame: the
+    EXISTS turns into a LEFT SEMI join with a compound (equi + non-equi)
+    condition — Spark plans the equi part as the shuffle key and applies
+    the date inequality as a join-time filter, so no correlated per-row
+    subquery survives.  Adapted to the fixture (no l_commitdate /
+    l_receiptdate: "late line" = shipped after the order date)."""
+    o = _t(spark, d, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = _t(spark, d, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_q7(spark, d):
+    """TPC-H Q7 shape (volume shipping), native DataFrame: nation joins
+    TWICE (supplier side, customer side), both broadcast along with
+    supplier/customer; the bidirectional nation-pair predicate applies
+    after the broadcasts so the only shuffle is lineitem⋈orders."""
+    li, o, c, s = (
+        _t(spark, d, t) for t in ["lineitem", "orders", "customer", "supplier"]
+    )
+    n1 = _t(spark, d, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, d, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    li = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") <= F.lit("1997-12-31"))
+    )
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_tpch_q10(spark, d):
+    """TPC-H Q10 shape (returned-item reporting), native DataFrame:
+    customer/nation broadcast, lineitem pre-filtered to returns before
+    the orders shuffle, top-20 by lost revenue with a deterministic
+    custkey tiebreak on both engines."""
+    li = _t(spark, d, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, d, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    c = _t(spark, d, "customer")
+    n = _t(spark, d, "nation")
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_tpch_q12(spark, d):
+    """TPC-H Q12 shape (shipping modes / priority), native DataFrame: one
+    lineitem⋈orders shuffle, then conditional aggregation — the CASE
+    pair becomes two map-side partial sums.  Adapted to the fixture
+    (l_returnflag stands in for the missing l_shipmode; ship-year window
+    replaces the receiptdate window)."""
+    li = _t(spark, d, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    o = _t(spark, d, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_returnflag").alias("ship_mode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_mode")
+    )
+
+
 def q_tpch_q5(spark, d):
     """TPC-H Q5 shape, native DataFrame: 6-table star join where every
     dimension (customer/supplier/nation/region) broadcasts, so the only
@@ -3033,6 +3158,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_match": q_sequence_match,
         "tpch_q3": q_tpch_q3,
         "tpch_q8": q_tpch_q8,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q12": q_tpch_q12,
         "max_intersections": q_max_intersections,
         "hard_negatives": q_hard_negatives,
         "variant_props": q_variant_props,
@@ -3979,6 +4108,57 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
             "AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00' "
             "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
             "ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"
+        ),
+        "tpch_q4": (
+            "SELECT o_orderpriority, count(*) AS order_count FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+            "AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00' "
+            "AND EXISTS (SELECT 1 FROM lineitem "
+            " WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate) "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "tpch_q7": (
+            "SELECT supp_nation, cust_nation, l_year, "
+            "round(sum(volume), 4) AS revenue "
+            "FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "  year(l_shipdate) AS l_year, "
+            "  l_extendedprice * (1 - l_discount) AS volume "
+            "  FROM lineitem "
+            "  JOIN orders ON l_orderkey = o_orderkey "
+            "  JOIN customer ON o_custkey = c_custkey "
+            "  JOIN supplier ON l_suppkey = s_suppkey "
+            "  JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+            "  JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+            "  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+            "   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+            "  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' "
+            "   AND TIMESTAMP '1997-12-31 00:00:00') "
+            "GROUP BY supp_nation, cust_nation, l_year "
+            "ORDER BY supp_nation, cust_nation, l_year"
+        ),
+        "tpch_q10": (
+            "SELECT c_custkey, c_name, c_acctbal, n_name, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue "
+            "FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE l_returnflag = 'R' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+            "AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00' "
+            "GROUP BY c_custkey, c_name, c_acctbal, n_name "
+            "ORDER BY revenue DESC, c_custkey LIMIT 20"
+        ),
+        "tpch_q12": (
+            "SELECT l_returnflag AS ship_mode, "
+            "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            " THEN 1 ELSE 0 END) AS high_line_count, "
+            "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            " THEN 0 ELSE 1 END) AS low_line_count "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
+            "GROUP BY l_returnflag ORDER BY ship_mode"
         ),
         "tpch_q8": (
             "SELECT o_year, "

@@ -133,6 +133,10 @@ BENCH_QUERIES = [
     "dialect_funnel",
     "dialect_retention",
     "dialect_stats",
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q12",
 ]
 
 
