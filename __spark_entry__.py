@@ -742,6 +742,113 @@ def q_tpch_q12(spark, d):
     )
 
 
+def q_tpch_q13(spark, d):
+    """TPC-H Q13 shape (customer order distribution), native DataFrame:
+    LEFT OUTER join with a join-time filter on the right side (so
+    customers with zero qualifying orders count as c_count = 0), then a
+    two-level aggregation — both shuffles are on low-cardinality keys
+    after the first agg.  Adapted to the fixture (o_orderpriority filter
+    stands in for the missing o_comment NOT LIKE)."""
+    c = _t(spark, d, "customer").select("c_custkey")
+    o = _t(spark, d, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_tpch_q15(spark, d):
+    """TPC-H Q15 shape (top supplier), native DataFrame: the revenue view
+    aggregates once, its scalar max broadcasts via a 1-row cross join
+    (NOT a global window — that would serialize onto one partition), and
+    the supplier dim broadcasts into the equality filter."""
+    li = _t(spark, d, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    s = _t(spark, d, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q17(spark, d):
+    """TPC-H Q17 shape (small-quantity-order revenue), native DataFrame:
+    the correlated per-part AVG subquery becomes ONE grouped aggregate
+    broadcast back into the fact filter — the decorrelation Catalyst
+    would have to discover is written directly.  Quantities are
+    integer-valued doubles, so the 0.2·avg threshold is bit-deterministic
+    across engines (exact integer sums < 2^53)."""
+    li = _t(spark, d, "lineitem")
+    p = _t(spark, d, "part").filter(F.col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    part_avg = li.groupBy(F.col("l_partkey").alias("pa_key")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(part_avg), F.col("l_partkey") == F.col("pa_key"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_tpch_q22(spark, d):
+    """TPC-H Q22 shape (global sales opportunity), native DataFrame: the
+    uncorrelated AVG threshold broadcasts as a 1-row cross join; the
+    NOT EXISTS becomes a LEFT ANTI join against the filtered orders side.
+    Adapted to the fixture (c_nationkey stands in for the missing phone
+    country code; "no orders since 1999" replaces "no orders ever", which
+    is vacuous on the dense fixture)."""
+    c = _t(spark, d, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    o = (
+        _t(spark, d, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01"))
+        .select("o_custkey")
+    )
+    rich_idle = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return (
+        rich_idle.groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
 def q_tpch_q5(spark, d):
     """TPC-H Q5 shape, native DataFrame: 6-table star join where every
     dimension (customer/supplier/nation/region) broadcasts, so the only
@@ -3162,6 +3269,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": q_tpch_q7,
         "tpch_q10": q_tpch_q10,
         "tpch_q12": q_tpch_q12,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q22": q_tpch_q22,
         "max_intersections": q_max_intersections,
         "hard_negatives": q_hard_negatives,
         "variant_props": q_variant_props,
@@ -3188,7 +3298,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_docs": q_pagerank_docs,
         "stream_enrich": q_stream_enrich,
         "stream_quality_gate": q_stream_quality_gate,
-        # Slots 26-50: proven filler, chosen to RE-prove the greens most
+        # clickhouse_dates: stale-green (impl drifted since its r1 row) —
+        # must sit inside the window like any unproven entry
+        "clickhouse_dates": q_clickhouse_dates,
+        # tpch_q13: DEFERRED to round 5 (51 unproven entries, 50 slots —
+        # see scripts/registry_window.py); selfcheck-PASS at both scales
+        "tpch_q13": q_tpch_q13,
+        # Remaining slots: proven filler, chosen to RE-prove the greens most
         # affected by this session's changes — the dialect family (empty()/
         # IN-list/subscript/ASOF rewrites touched translate_clickhouse_sql),
         # the similarity family (PQ index refactor touched similarity.py),
@@ -3196,7 +3312,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clickhouse_dialect": q_clickhouse_dialect,
         "clickhouse_aggs": q_clickhouse_aggs,
         "clickhouse_funcs2": q_clickhouse_funcs2,
-        "clickhouse_dates": q_clickhouse_dates,
         "url_funcs": q_url_funcs,
         "dict_lookup": q_dict_lookup,
         "sql_tpch": q_sql_tpch,
@@ -4159,6 +4274,44 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
             "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
             "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
             "GROUP BY l_returnflag ORDER BY ship_mode"
+        ),
+        "tpch_q13": (
+            "SELECT c_count, count(*) AS custdist FROM ("
+            "SELECT c_custkey, count(o_orderkey) AS c_count "
+            "FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey "
+            "AND o_orderpriority <> '1-URGENT' GROUP BY c_custkey) "
+            "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+        ),
+        "tpch_q15": (
+            "WITH revenue AS (SELECT l_suppkey AS supplier_no, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue "
+            "FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' "
+            "GROUP BY l_suppkey) "
+            "SELECT s_suppkey, s_name, total_revenue "
+            "FROM supplier JOIN revenue ON s_suppkey = supplier_no "
+            "WHERE total_revenue = (SELECT max(total_revenue) FROM revenue) "
+            "ORDER BY s_suppkey"
+        ),
+        "tpch_q17": (
+            "SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly, "
+            "count(*) AS n_lines "
+            "FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey "
+            "JOIN (SELECT l_partkey AS pa_key, avg(l_quantity) AS avg_qty "
+            " FROM lineitem GROUP BY l_partkey) ON l_partkey = pa_key "
+            "WHERE p_brand = 'Brand#1' AND l_quantity < 0.2 * avg_qty"
+        ),
+        "tpch_q22": (
+            "SELECT c_nationkey AS cntrycode, count(*) AS numcust, "
+            "round(sum(c_acctbal), 2) AS totacctbal "
+            "FROM customer "
+            "WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer "
+            " WHERE c_acctbal > 0) "
+            "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            " AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00') "
+            "GROUP BY c_nationkey ORDER BY cntrycode"
         ),
         "tpch_q8": (
             "SELECT o_year, "

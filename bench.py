@@ -137,6 +137,10 @@ BENCH_QUERIES = [
     "tpch_q7",
     "tpch_q10",
     "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q22",
 ]
 
 

@@ -38,9 +38,12 @@ FINGERPRINTS_PATH = os.path.join(
 
 # Manual override for staleness the fingerprint can't see (kept empty when
 # the automatic check suffices).  tumbling_window: its r3 avg_value fix
-# predates the fingerprint snapshot, so the automatic check can't flag it —
-# drop the override once a round-4+ green row lands.
-CHANGED_SINCE_GREEN: set[str] = {"tumbling_window"}
+# predates the fingerprint snapshot, so the automatic check can't flag it.
+# tpch_q10: an r2 green row exists under this name but belongs to the
+# PRUNED r2 implementation — the r4 rewrite is new code the fingerprint
+# file has no baseline for (names absent from the snapshot can't drift).
+# Drop both once a round-4+ green row lands.
+CHANGED_SINCE_GREEN: set[str] = {"tumbling_window", "tpch_q10"}
 
 
 def _fingerprint(qfn, oracle: str | None) -> str:
@@ -101,10 +104,11 @@ def stale_entries() -> set[str]:
     return drifted | CHANGED_SINCE_GREEN
 
 # Entries deliberately parked past the window edge (more entries needing
-# rows than the driver checks per round).  EMPTY after the round-4
-# rotation: the full r3 backlog fits the window, so every unproven entry
-# sits inside the top 50 slots (VERDICT r3 #1).
-DEFERRED: set[str] = set()
+# rows than the driver checks per round).  The round-4 session added 51
+# unproven entries — one more than the window holds — so exactly one
+# waits for round 5: tpch_q13, the lowest-risk of the new batch (classic
+# two-level-agg shape, selfcheck-PASS at sf0.01 AND sf0.1).
+DEFERRED: set[str] = {"tpch_q13"}
 
 
 def main() -> int:
