@@ -239,6 +239,21 @@ def main() -> None:
         )
 
     out["dialect_asof"] = _time_pair(asof_sql, ev1, evk, k)
+
+    # SQL windowFunnel rewrite (single O(E·k) anchor fold): per-key event
+    # volume is constant per copy, so healthy scaling is ~linear in keys
+    def funnel_sql(df):
+        df.createOrReplaceTempView("sm_f")
+        return spark.sql(
+            translate_clickhouse_sql(
+                "SELECT user_id, windowFunnel(86400)(ts, "
+                "event_type = 'view', event_type = 'cart', "
+                "event_type = 'purchase') AS lvl "
+                "FROM sm_f GROUP BY user_id"
+            )
+        )
+
+    out["dialect_funnel"] = _time_pair(funnel_sql, ev1, evk, k)
     print(json.dumps({"k": k, "ops": out}))
 
 

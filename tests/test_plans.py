@@ -257,3 +257,48 @@ def test_hard_negatives_broadcasts_queries(spark, sf_dir):
     plan = explain_str(E.queries()["hard_negatives"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q7_all_dims_broadcast(spark, sf_dir):
+    """Q7: customer/supplier/nation×2 all broadcast — the only exchanges
+    left are the aggregation/sort ones, never a join shuffle over the
+    dims, never a cartesian."""
+    import __spark_entry__ as E
+
+    plan = explain_str(E.queries()["tpch_q7"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_tpch_q4_semi_join_not_nested_loop(spark, sf_dir):
+    """Q4's EXISTS must become a LEFT SEMI hash/merge join keyed on the
+    equi predicate (the date inequality rides along as the join
+    condition) — a BroadcastNestedLoopJoin would mean the equi key was
+    lost and every order scans every lineitem."""
+    import __spark_entry__ as E
+
+    plan = explain_str(E.queries()["tpch_q4"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q15_no_global_window(spark, sf_dir):
+    """Q15's scalar max must arrive via a 1-row broadcast join, not a
+    whole-frame Window (which would serialize the revenue view onto one
+    partition)."""
+    import __spark_entry__ as E
+
+    plan = explain_str(E.queries()["tpch_q15"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_tpch_q17_avg_broadcast(spark, sf_dir):
+    """Q17's per-part AVG joins back by broadcast — the fact table is
+    never shuffled for the correlation."""
+    import __spark_entry__ as E
+
+    plan = explain_str(E.queries()["tpch_q17"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -443,7 +443,7 @@ def ch_expression(draw, depth=0):
     atoms = ["x", "y", "7", "1.5", "NULL"]
     if depth >= 3:
         return draw(st.sampled_from(atoms))
-    kind = draw(st.integers(0, 11))
+    kind = draw(st.integers(0, 15))
     sub = lambda: draw(ch_expression(depth=depth + 1))  # noqa: E731
     if kind == 0:
         return f"toInt64({sub()})"
@@ -470,6 +470,14 @@ def ch_expression(draw, depth=0):
         return f"range(2)[1] + {sub()}"
     if kind == 10:
         return f"exp2(bitCount({draw(st.integers(0, 99))}))"
+    if kind == 12:
+        return f"plus(multiply({sub()}, 2), negate({sub()}))"
+    if kind == 13:
+        return f"intDivOrZero({sub()}, {draw(st.integers(0, 3))})"
+    if kind == 14:
+        return (
+            f"multiSearchAny(toString({sub()}), ['1', '7'])"
+        )
     # probe and from-array must share a type — ClickHouse itself rejects
     # transform(Float64, Array(UInt8), ...), so the generator type-matches
     # them (the translated element_at map lookup inherits CH's strictness)
