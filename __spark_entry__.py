@@ -2197,7 +2197,7 @@ def q_dialect_asof(spark, d):
 def q_dialect_funnel(spark, d):
     """ClickHouse ``windowFunnel(W)(ts, c1..ck)`` through the SQL dialect
     (dialect.py::_rewrite_window_funnel): per user, max funnel level for
-    view→cart→purchase within a 24 h window — translated to ONE codegen
+    view→click→purchase within a 24 h window — translated to ONE codegen
     ``aggregate`` fold over the time-sorted events (O(E·k) per key; the
     kept per-level anchor is maximal, so the fold is exact for default
     mode).  Oracle: the DuckDB EXISTS-chain (reference parity:
@@ -2207,7 +2207,7 @@ def q_dialect_funnel(spark, d):
     _t(spark, d, "events").createOrReplaceTempView("wf_events")
     ch_sql = (
         "SELECT user_id, windowFunnel(86400)(ts, event_type = 'view', "
-        "event_type = 'cart', event_type = 'purchase') AS lvl "
+        "event_type = 'click', event_type = 'purchase') AS lvl "
         "FROM wf_events GROUP BY user_id ORDER BY user_id"
     )
     return spark.sql(translate_clickhouse_sql(ch_sql))
@@ -2215,7 +2215,7 @@ def q_dialect_funnel(spark, d):
 
 def q_dialect_retention(spark, d):
     """ClickHouse ``retention(c1..ck)`` through the SQL dialect: per-user
-    cohort flags [saw view, view∧cart, view∧purchase] — the anchor
+    cohort flags [saw view, view∧click, view∧purchase] — the anchor
     condition gates the rest (AggregateFunctionRetention semantics).
     Flags are exploded to columns (posexplode) so the oracle hash covers
     element values and order without relying on array hashing."""
@@ -2224,14 +2224,14 @@ def q_dialect_retention(spark, d):
     _t(spark, d, "events").createOrReplaceTempView("ret_events")
     ch_sql = (
         "SELECT user_id, retention(event_type = 'view', "
-        "event_type = 'cart', event_type = 'purchase') AS r "
+        "event_type = 'click', event_type = 'purchase') AS r "
         "FROM ret_events GROUP BY user_id"
     )
     out = spark.sql(translate_clickhouse_sql(ch_sql))
     return out.select(
         "user_id",
         F.col("r").getItem(0).alias("saw_view"),
-        F.col("r").getItem(1).alias("view_cart"),
+        F.col("r").getItem(1).alias("view_click"),
         F.col("r").getItem(2).alias("view_purchase"),
     ).orderBy("user_id")
 
@@ -2260,6 +2260,32 @@ def q_dialect_stats(spark, d):
         "FROM st_lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
     )
     return spark.sql(translate_clickhouse_sql(ch_sql))
+
+
+def q_mutation_update(spark, d):
+    """ClickHouse mutation analog (operators/mutations.py): parse
+    ``ALTER TABLE … UPDATE``/``DELETE`` statements, build the
+    post-mutation frame — UPDATE is ONE projection whose assignments all
+    see the pre-mutation row (CH simultaneous-assignment semantics),
+    DELETE keeps NULL-predicate rows.  Chains both kinds: purchases get their
+    value doubled (exact in binary floating point — a 1.1× bump lands
+    on .xx5 rounding boundaries where engines disagree), error events are deleted.  Oracle: the equivalent
+    CASE WHEN projection + NOT-coalesce filter."""
+    from clickhouse_flatfile_tool_spark.operators import mutations
+
+    ev = _t(spark, d, "events").select("event_id", "event_type", "value")
+    _, kind, asg, where = mutations.parse_mutation(
+        "ALTER TABLE events UPDATE value = value * 2 "
+        "WHERE event_type = 'purchase'"
+    )
+    bumped = mutations.mutated_frame(ev, kind, asg, where)
+    _, kind2, asg2, where2 = mutations.parse_mutation(
+        "ALTER TABLE events DELETE WHERE event_type = 'error'"
+    )
+    out = mutations.mutated_frame(bumped, kind2, asg2, where2)
+    return out.select(
+        "event_id", "event_type", F.round("value", 2).alias("value")
+    )
 
 
 def q_ema_recursive(spark, d):
@@ -3253,6 +3279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dialect_funnel": q_dialect_funnel,
         "dialect_retention": q_dialect_retention,
         "dialect_stats": q_dialect_stats,
+        "mutation_update": q_mutation_update,
         "ema_recursive": q_ema_recursive,
         "uniq_state_merge": q_uniq_state_merge,
         "clickhouse_funcs3": q_clickhouse_funcs3,
@@ -3269,7 +3296,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": q_tpch_q7,
         "tpch_q10": q_tpch_q10,
         "tpch_q12": q_tpch_q12,
-        "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
         "tpch_q22": q_tpch_q22,
         "max_intersections": q_max_intersections,
@@ -3301,9 +3327,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # clickhouse_dates: stale-green (impl drifted since its r1 row) —
         # must sit inside the window like any unproven entry
         "clickhouse_dates": q_clickhouse_dates,
-        # tpch_q13: DEFERRED to round 5 (51 unproven entries, 50 slots —
-        # see scripts/registry_window.py); selfcheck-PASS at both scales
+        # tpch_q13/tpch_q15: DEFERRED to round 5 (more unproven entries
+        # than window slots — see scripts/registry_window.py); both
+        # selfcheck-PASS at sf0.01 AND sf0.1
         "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
         # Remaining slots: proven filler, chosen to RE-prove the greens most
         # affected by this session's changes — the dialect family (empty()/
         # IN-list/subscript/ASOF rewrites touched translate_clickhouse_sql),
@@ -4958,20 +4986,27 @@ FROM ranked WHERE rk <= 5
             "b.vts AS view_ts, b.vvalue AS view_value "
             "FROM a ASOF JOIN b ON a.user_id = b.user_id AND a.ts >= b.vts"
         ),
+        "mutation_update": (
+            "SELECT event_id, event_type, "
+            "round(CASE WHEN event_type = 'purchase' "
+            " THEN value * 2 ELSE value END, 2) AS value "
+            "FROM events "
+            "WHERE NOT coalesce(event_type = 'error', false)"
+        ),
         "dialect_funnel": (
             "SELECT user_id, "
             "max(CASE "
             "WHEN EXISTS (SELECT 1 FROM events e1, events e2, events e3 "
             " WHERE e1.user_id = u.user_id AND e2.user_id = u.user_id "
             " AND e3.user_id = u.user_id AND e1.event_type = 'view' "
-            " AND e2.event_type = 'cart' AND e3.event_type = 'purchase' "
+            " AND e2.event_type = 'click' AND e3.event_type = 'purchase' "
             " AND e2.ts >= e1.ts AND e3.ts >= e2.ts "
             " AND epoch_us(e3.ts) <= epoch_us(e1.ts) + 86400000000::BIGINT "
             " AND epoch_us(e2.ts) <= epoch_us(e1.ts) + 86400000000::BIGINT) "
             "THEN 3 "
             "WHEN EXISTS (SELECT 1 FROM events e1, events e2 "
             " WHERE e1.user_id = u.user_id AND e2.user_id = u.user_id "
-            " AND e1.event_type = 'view' AND e2.event_type = 'cart' "
+            " AND e1.event_type = 'view' AND e2.event_type = 'click' "
             " AND e2.ts >= e1.ts "
             " AND epoch_us(e2.ts) <= epoch_us(e1.ts) + 86400000000::BIGINT) "
             "THEN 2 "
@@ -4984,8 +5019,8 @@ FROM ranked WHERE rk <= 5
             "SELECT user_id, "
             "max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS saw_view, "
             "max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) "
-            " * max(CASE WHEN event_type = 'cart' THEN 1 ELSE 0 END) "
-            " AS view_cart, "
+            " * max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
+            " AS view_click, "
             "max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) "
             " * max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
             " AS view_purchase "

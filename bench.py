@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "tpch_q15",
     "tpch_q17",
     "tpch_q22",
+    "mutation_update",
 ]
 
 

@@ -249,3 +249,19 @@ def query(
         }
     except Exception as e:  # noqa: BLE001
         return error_payload(e)
+
+
+def mutate(spark: SparkSession, path: str, sql: str) -> dict:
+    """Execute a ClickHouse mutation statement (``ALTER TABLE … UPDATE /
+    DELETE``) against a parquet directory — the analog of the reference's
+    ClickHouse backend applying mutations server-side (the reference's
+    flat-file side has no mutation story; server.js only appends).
+    Copy-on-write rewrite with an atomic directory swap
+    (operators.mutations.apply_mutation)."""
+    from clickhouse_flatfile_tool_spark.operators import mutations
+
+    try:
+        n = mutations.apply_mutation(spark, path, sql)
+        return {"success": True, "path": path, "rows_after": n}
+    except Exception as e:  # noqa: BLE001
+        return error_payload(e)

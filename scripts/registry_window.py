@@ -104,11 +104,13 @@ def stale_entries() -> set[str]:
     return drifted | CHANGED_SINCE_GREEN
 
 # Entries deliberately parked past the window edge (more entries needing
-# rows than the driver checks per round).  The round-4 session added 51
-# unproven entries — one more than the window holds — so exactly one
-# waits for round 5: tpch_q13, the lowest-risk of the new batch (classic
-# two-level-agg shape, selfcheck-PASS at sf0.01 AND sf0.1).
-DEFERRED: set[str] = {"tpch_q13"}
+# rows than the driver checks per round).  The round-4 session added more
+# unproven entries than the window holds — two wait for round 5:
+# tpch_q13 and tpch_q15, the lowest-risk of the new
+# batch (classic shapes, both selfcheck-PASS at sf0.01 AND sf0.1) — the
+# mutation family and stale clickhouse_dates outrank them for window
+# slots.
+DEFERRED: set[str] = {"tpch_q13", "tpch_q15"}
 
 
 def main() -> int:

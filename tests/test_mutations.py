@@ -1,0 +1,106 @@
+"""ClickHouse mutation analogs (operators/mutations.py): parse, CH
+simultaneous-assignment semantics, NULL-predicate DELETE, copy-on-write
+apply with atomic swap, ClickHouse vocabulary in expressions."""
+
+import pytest
+
+from clickhouse_flatfile_tool_spark.operators import mutations as M
+
+
+def test_parse_update_and_delete():
+    t, kind, asg, where = M.parse_mutation(
+        "ALTER TABLE ev UPDATE a = a + 1, b = concat(b, 'x') WHERE a > 2"
+    )
+    assert (t, kind) == ("ev", "update")
+    assert asg == {"a": "a + 1", "b": "concat(b, 'x')"}
+    assert where == "a > 2"
+    t, kind, asg, where = M.parse_mutation(
+        "ALTER TABLE ev DELETE WHERE b = 'gone'"
+    )
+    assert (kind, asg, where) == ("delete", None, "b = 'gone'")
+    with pytest.raises(ValueError):
+        M.parse_mutation("ALTER TABLE ev UPDATE a = 1")  # no WHERE
+    with pytest.raises(ValueError):
+        M.parse_mutation("SELECT 1")
+
+
+def test_update_simultaneous_assignment(spark):
+    """UPDATE a = b, b = a must SWAP (every assignment sees the
+    pre-mutation row, ClickHouse semantics) — chained withColumn would
+    copy instead."""
+    df = spark.createDataFrame([(1, 10), (2, 20)], "a int, b int")
+    _, kind, asg, where = M.parse_mutation(
+        "ALTER TABLE t UPDATE a = b, b = a WHERE a = 1"
+    )
+    out = {r.a: r.b for r in M.mutated_frame(df, kind, asg, where).collect()}
+    assert out == {10: 1, 2: 20}
+
+
+def test_delete_null_predicate_keeps_row(spark):
+    """DELETE removes rows where the predicate is TRUE; NULL predicates
+    keep the row (ClickHouse: NULL is not TRUE)."""
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "y")], "id int, tag string"
+    )
+    _, kind, asg, where = M.parse_mutation(
+        "ALTER TABLE t DELETE WHERE tag = 'x'"
+    )
+    ids = sorted(
+        r.id for r in M.mutated_frame(df, kind, asg, where).collect()
+    )
+    assert ids == [2, 3]  # NULL-tag row survives
+
+
+def test_clickhouse_vocabulary_in_expressions(spark):
+    """Assignment and predicate expressions accept ClickHouse function
+    names (translated before F.expr)."""
+    df = spark.createDataFrame([("a", "x"), ("bb", "y")], "s string, t string")
+    _, kind, asg, where = M.parse_mutation(
+        "ALTER TABLE t UPDATE t = ucase(t) WHERE lengthUTF8(s) = 2"
+    )
+    out = {r.s: r.t for r in M.mutated_frame(df, kind, asg, where).collect()}
+    assert out == {"a": "x", "bb": "Y"}
+
+
+def test_update_unknown_column_rejected(spark):
+    df = spark.createDataFrame([(1,)], "a int")
+    _, kind, asg, where = M.parse_mutation(
+        "ALTER TABLE t UPDATE nope = 1 WHERE a = 1"
+    )
+    with pytest.raises(ValueError, match="unknown column"):
+        M.mutated_frame(df, kind, asg, where)
+
+
+def test_apply_mutation_copy_on_write(spark, tmp_path):
+    """apply_mutation rewrites the parquet dir atomically: UPDATE then
+    DELETE, verifying contents and that no temp/backup dirs remain."""
+    import os
+
+    p = str(tmp_path / "mut")
+    spark.createDataFrame(
+        [(1, "keep", 5.0), (2, "bump", 5.0), (3, "drop", 5.0)],
+        "id int, op string, v double",
+    ).write.parquet(p)
+    n = M.apply_mutation(
+        spark, p, "ALTER TABLE t UPDATE v = v * 2 WHERE op = 'bump'"
+    )
+    assert n == 3
+    n = M.apply_mutation(spark, p, "ALTER TABLE t DELETE WHERE op = 'drop'")
+    assert n == 2
+    got = {r.id: r.v for r in spark.read.parquet(p).collect()}
+    assert got == {1: 5.0, 2: 10.0}
+    assert not os.path.exists(p + ".mutation.tmp")
+    assert not os.path.exists(p + ".mutation.old")
+
+
+def test_api_mutate_endpoint(spark, tmp_path):
+    from clickhouse_flatfile_tool_spark import api
+
+    p = str(tmp_path / "apimut")
+    spark.createDataFrame([(1, 1.0), (2, 2.0)], "id int, v double").write.parquet(p)
+    res = api.mutate(
+        spark, p, "ALTER TABLE t DELETE WHERE id = 1"
+    )
+    assert res["success"] and res["rows_after"] == 1
+    bad = api.mutate(spark, p, "ALTER TABLE t UPDATE v = 1")
+    assert not bad["success"]
