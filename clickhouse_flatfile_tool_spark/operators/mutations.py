@@ -115,6 +115,82 @@ def mutated_frame(
     return df.select(*cols)
 
 
+_SCHEMA_PAT = re.compile(
+    r"(?is)^\s*ALTER\s+TABLE\s+(\S+)\s+"
+    r"(?:ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+(\w+(?:\([^)]*\))?)"
+    r"(?:\s+DEFAULT\s+(.+?))?"
+    r"|DROP\s+COLUMN\s+(?:IF\s+EXISTS\s+)?(\w+)"
+    r"|RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+))\s*;?\s*$"
+)
+
+
+def schema_mutated_frame(df: DataFrame, sql: str) -> DataFrame:
+    """ClickHouse schema mutations as projection rewrites:
+
+    * ``ADD COLUMN name Type [DEFAULT expr]`` — appended, typed through
+      ``schema.clickhouse_to_spark`` (the reference's whitelist mapper
+      done right, server.js:57-85); no DEFAULT → NULL, like CH reading
+      parts written before the ADD;
+    * ``DROP COLUMN name`` — projection without it;
+    * ``RENAME COLUMN a TO b`` — metadata-only in CH, a projection here.
+
+    Same copy-on-write story as the data mutations — at 100 TB CH applies
+    these lazily per part; a lakehouse either rewrites (this) or relies
+    on reader-side schema evolution (``files.read_parquet_evolved``)."""
+    from clickhouse_flatfile_tool_spark.schema import clickhouse_to_spark
+
+    m = _SCHEMA_PAT.match(sql)
+    if not m:
+        raise ValueError(f"not a schema mutation: {sql!r}")
+    _t, add_name, add_type, default, drop_name, ren_from, ren_to = m.groups()
+    if add_name:
+        if add_name in df.columns:
+            return df  # IF NOT EXISTS semantics; CH errors without it
+        dt, _nullable = clickhouse_to_spark(add_type)
+        col = (
+            F.expr(translate_clickhouse_sql(default))
+            if default
+            else F.lit(None)
+        )
+        return df.withColumn(add_name, col.cast(dt))
+    if drop_name:
+        if drop_name not in df.columns:
+            return df
+        return df.drop(drop_name)
+    if ren_from not in df.columns:
+        raise ValueError(f"RENAME of unknown column {ren_from!r}")
+    return df.withColumnRenamed(ren_from, ren_to)
+
+
+_OPTIMIZE_PAT = re.compile(
+    r"(?is)^\s*OPTIMIZE\s+TABLE\s+(\S+)\s+FINAL"
+    r"(\s+DEDUPLICATE(?:\s+BY\s+(.+?))?)?\s*;?\s*$"
+)
+
+
+def optimize_final(
+    df: DataFrame, sql: str = "OPTIMIZE TABLE t FINAL"
+) -> DataFrame:
+    """``OPTIMIZE TABLE … FINAL [DEDUPLICATE [BY col, …]]``: the merge
+    itself is compaction (``writers.compact_parquet`` when writing);
+    DEDUPLICATE drops full-row duplicates, DEDUPLICATE BY keeps one row
+    per key tuple — ClickHouse picks an arbitrary survivor, we pick a
+    deterministic one (min over the remaining columns via dropDuplicates
+    after an orderBy is NOT deterministic in Spark; exact dedup policy
+    belongs to ``dedup.exact_dedup_policy``, this is the CH statement
+    analog)."""
+    m = _OPTIMIZE_PAT.match(sql)
+    if not m:
+        raise ValueError(f"not an OPTIMIZE statement: {sql!r}")
+    _t, dedup, by = m.groups()
+    if not dedup:
+        return df
+    if by:
+        keys = [c.strip().strip("`") for c in by.split(",")]
+        return df.dropDuplicates(keys)
+    return df.dropDuplicates()
+
+
 def apply_mutation(spark: SparkSession, path: str, sql: str) -> int:
     """Execute a mutation against a parquet directory copy-on-write:
     distributed rewrite into a sibling temp dir, then an atomic directory
@@ -126,8 +202,14 @@ def apply_mutation(spark: SparkSession, path: str, sql: str) -> int:
 
     from clickhouse_flatfile_tool_spark.sources.files import read_parquet
 
-    _table, kind, assignments, where = parse_mutation(sql)
-    out = mutated_frame(read_parquet(spark, path), kind, assignments, where)
+    df = read_parquet(spark, path)
+    if _SCHEMA_PAT.match(sql):
+        out = schema_mutated_frame(df, sql)
+    elif _OPTIMIZE_PAT.match(sql):
+        out = optimize_final(df, sql)
+    else:
+        _table, kind, assignments, where = parse_mutation(sql)
+        out = mutated_frame(df, kind, assignments, where)
     tmp = path.rstrip("/") + ".mutation.tmp"
     out.write.mode("overwrite").parquet(tmp)
     bak = path.rstrip("/") + ".mutation.old"

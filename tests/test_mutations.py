@@ -104,3 +104,63 @@ def test_api_mutate_endpoint(spark, tmp_path):
     assert res["success"] and res["rows_after"] == 1
     bad = api.mutate(spark, p, "ALTER TABLE t UPDATE v = 1")
     assert not bad["success"]
+
+
+def test_schema_mutations(spark):
+    """ADD COLUMN (typed via the CH mapper, DEFAULT expr or NULL), DROP
+    COLUMN, RENAME COLUMN as projection rewrites."""
+    from clickhouse_flatfile_tool_spark.operators.mutations import (
+        schema_mutated_frame,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id int, s string")
+    added = schema_mutated_frame(
+        df, "ALTER TABLE t ADD COLUMN n Int64 DEFAULT id * 10"
+    )
+    assert added.schema["n"].dataType.simpleString() == "bigint"
+    assert added.first().n == 10
+    nulled = schema_mutated_frame(df, "ALTER TABLE t ADD COLUMN f Float64")
+    assert nulled.first().f is None
+    # IF NOT EXISTS: re-adding an existing column is a no-op
+    again = schema_mutated_frame(
+        added, "ALTER TABLE t ADD COLUMN IF NOT EXISTS n Int64"
+    )
+    assert again.columns == added.columns
+    dropped = schema_mutated_frame(df, "ALTER TABLE t DROP COLUMN s")
+    assert dropped.columns == ["id"]
+    renamed = schema_mutated_frame(df, "ALTER TABLE t RENAME COLUMN s TO txt")
+    assert renamed.columns == ["id", "txt"]
+
+
+def test_optimize_final_deduplicate(spark):
+    from clickhouse_flatfile_tool_spark.operators.mutations import (
+        optimize_final,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b")], "k int, v string"
+    )
+    assert optimize_final(df, "OPTIMIZE TABLE t FINAL").count() == 3
+    assert (
+        optimize_final(df, "OPTIMIZE TABLE t FINAL DEDUPLICATE").count() == 2
+    )
+    assert (
+        optimize_final(
+            df, "OPTIMIZE TABLE t FINAL DEDUPLICATE BY k"
+        ).count()
+        == 1
+    )
+
+
+def test_apply_schema_mutation_roundtrip(spark, tmp_path):
+    import os
+
+    from clickhouse_flatfile_tool_spark.operators import mutations as M2
+
+    p = str(tmp_path / "schmut")
+    spark.createDataFrame([(1, 2.0)], "id int, v double").write.parquet(p)
+    M2.apply_mutation(spark, p, "ALTER TABLE t ADD COLUMN tag String DEFAULT 'x'")
+    M2.apply_mutation(spark, p, "ALTER TABLE t RENAME COLUMN v TO val")
+    got = spark.read.parquet(p).first()
+    assert got.tag == "x" and got.val == 2.0
+    assert not os.path.exists(p + ".mutation.tmp")
