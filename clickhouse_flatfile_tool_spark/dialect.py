@@ -111,6 +111,11 @@ _WRAPS: list[tuple[str, str, str]] = [
     ("SHA1", "unhex(sha1(", "))"),
     ("SHA256", "unhex(sha2(", ", 256))"),
     ("negate", "(-(", "))"),
+    # CH isInfinite is false for NaN (abs(NaN) != inf in IEEE compares,
+    # matching); isFinite is in _rewrite_misc_calls (references its arg
+    # twice)
+    ("isInfinite", "(abs(", ") = double('Infinity'))"),
+    ("toUUID", "CAST(", " AS STRING)"),
 ]
 
 # same-shape renames (arity and semantics line up)
@@ -225,6 +230,11 @@ _RENAMES: list[tuple[str, str]] = [
     # best-effort parse → Spark's default-format to_timestamp (strictly
     # narrower: CH accepts many layouts, Spark its session formats)
     ("parseDateTimeBestEffort", "to_timestamp"),
+    # banker's rounding IS Spark's bround
+    ("roundBankers", "bround"),
+    ("isNaN", "isnan"),
+    ("generateUUIDv4", "uuid"),
+    ("intHash64", "xxhash64"),  # engine-specific 64-bit digest (halfMD5 stance)
 ]
 
 _ZERO_ARG: list[tuple[str, str]] = [
@@ -1038,6 +1048,32 @@ def _rewrite_misc_calls(chunk: str) -> str:
         )
 
     chunk = _rewrite_call(chunk, "intDivOrZero", int_div_or_zero_make)
+    # finiteness family (CH: NaN is neither finite nor infinite); the
+    # double-reference caveat matches intDiv's documentation
+    chunk = _rewrite_call(
+        chunk, "isFinite",
+        lambda a: f"(NOT isnan({a[0]}) AND abs({a[0]}) != double('Infinity'))"
+        if len(a) == 1 else None,
+    )
+    chunk = _rewrite_call(
+        chunk, "ifNotFinite",
+        lambda a: f"(CASE WHEN isnan({a[0]}) OR abs({a[0]}) = "
+        f"double('Infinity') THEN {a[1]} ELSE {a[0]} END)"
+        if len(a) == 2 else None,
+    )
+
+    def to_decimal_make(precision):
+        def make(args):
+            if len(args) != 2 or not re.fullmatch(r"\d+", args[1].strip()):
+                return None
+            return f"CAST({args[0]} AS DECIMAL({precision}, {args[1].strip()}))"
+
+        return make
+
+    # CH toDecimal32/64/128(x, scale): 9/18/38-digit decimals
+    chunk = _rewrite_call(chunk, "toDecimal32", to_decimal_make(9))
+    chunk = _rewrite_call(chunk, "toDecimal64", to_decimal_make(18))
+    chunk = _rewrite_call(chunk, "toDecimal128", to_decimal_make(38))
 
     def retention_make(args):
         # CH retention(c1, …, ck): r[0] = OR-over-rows(c1); r[i] =

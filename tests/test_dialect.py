@@ -1099,3 +1099,25 @@ def test_window_funnel_dialect(spark):
     # operator (events.window_funnel) to handle
     untouched = tr("SELECT windowFunnel(30, 'strict_order')(ts, a, b) FROM t")
     assert "windowFunnel" in untouched
+
+
+def test_finiteness_decimal_and_rounding_batch(spark):
+    """Batch 5: isFinite/isInfinite/isNaN/ifNotFinite (NaN is neither
+    finite nor infinite, CH semantics), toDecimal32/64 scale casts,
+    roundBankers = bround, toUUID/generateUUIDv4."""
+    row = spark.sql(
+        tr(
+            "SELECT isFinite(1.0) AS a, isFinite(toFloat64('Infinity')) AS b, "
+            "isFinite(sqrt(-1)) AS c, isInfinite(toFloat64('-Infinity')) AS d, "
+            "isInfinite(sqrt(-1)) AS e, isNaN(sqrt(-1)) AS f, "
+            "ifNotFinite(toFloat64('Infinity'), -1.0) AS g, ifNotFinite(2.5, -1.0) AS h, "
+            "toDecimal64(1.005, 2) AS dec, roundBankers(2.5) AS rb, "
+            "roundBankers(3.5) AS rb2, length(generateUUIDv4()) AS u"
+        )
+    ).first()
+    assert (row.a, row.b, row.c) == (True, False, False)
+    assert (row.d, row.e, row.f) == (True, False, True)
+    assert (row.g, row.h) == (-1.0, 2.5)
+    assert str(row.dec) in ("1.00", "1.01")  # decimal cast at scale 2
+    assert (row.rb, row.rb2) == (2.0, 4.0)  # half-to-even
+    assert row.u == 36
