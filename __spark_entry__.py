@@ -2262,6 +2262,26 @@ def q_dialect_stats(spark, d):
     return spark.sql(translate_clickhouse_sql(ch_sql))
 
 
+def q_image_neardup(spark, d):
+    """Image near-duplicate detection (multimodal.py::synthesize_tile_payloads
+    → dhash64 → image_neardup_pairs): 9×8 grayscale tiles with planted
+    near-dup groups, difference-hashed by a vectorized Arrow batch UDF,
+    paired by a 4×16-bit band join — linear candidate generation that is
+    EXACT for Hamming ≤ 3 (pigeonhole: 3 flipped bits cannot touch all 4
+    bands).  Oracle recomputes the hash from integer arithmetic on doc_id
+    alone and brute-forces all pairs — a missed candidate or a bit-order
+    bug breaks the hash."""
+    docs = _t(spark, d, "documents").select("doc_id")
+    tiles = multimodal.synthesize_tile_payloads(docs)
+    hashed = multimodal.dhash64(tiles)
+    out = multimodal.image_neardup_pairs(hashed)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    ).orderBy("id_a", "id_b")
+
+
 def q_mutation_update(spark, d):
     """ClickHouse mutation analog (operators/mutations.py): parse
     ``ALTER TABLE … UPDATE``/``DELETE`` statements, build the
@@ -3280,6 +3300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dialect_retention": q_dialect_retention,
         "dialect_stats": q_dialect_stats,
         "mutation_update": q_mutation_update,
+        "image_neardup": q_image_neardup,
         "ema_recursive": q_ema_recursive,
         "uniq_state_merge": q_uniq_state_merge,
         "clickhouse_funcs3": q_clickhouse_funcs3,
@@ -3296,7 +3317,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": q_tpch_q7,
         "tpch_q10": q_tpch_q10,
         "tpch_q12": q_tpch_q12,
-        "tpch_q17": q_tpch_q17,
         "tpch_q22": q_tpch_q22,
         "max_intersections": q_max_intersections,
         "hard_negatives": q_hard_negatives,
@@ -3332,6 +3352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # selfcheck-PASS at sf0.01 AND sf0.1
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
         # Remaining slots: proven filler, chosen to RE-prove the greens most
         # affected by this session's changes — the dialect family (empty()/
         # IN-list/subscript/ASOF rewrites touched translate_clickhouse_sql),
@@ -4985,6 +5006,30 @@ FROM ranked WHERE rk <= 5
             "SELECT a.event_id, a.user_id, a.ts, "
             "b.vts AS view_ts, b.vvalue AS view_value "
             "FROM a ASOF JOIN b ON a.user_id = b.user_id AND a.ts >= b.vts"
+        ),
+        "image_neardup": (
+            "WITH px AS (SELECT doc_id, r, c, "
+            " (CASE WHEN r*9 + c = doc_id % 72 "
+            "  THEN ((doc_id % 50)*7 + r*13 + c*29 + doc_id % 5) % 256 "
+            "  ELSE ((doc_id % 50)*7 + r*13 + c*29) % 256 END) AS p "
+            " FROM documents, generate_series(0, 7) AS gr(r), "
+            " generate_series(0, 8) AS gc(c)), "
+            "bits AS (SELECT a.doc_id, a.r, a.c, "
+            " CASE WHEN a.p < b.p THEN 1 ELSE 0 END AS bit "
+            " FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.r = b.r "
+            " AND b.c = a.c + 1 WHERE a.c < 8), "
+            "h AS (SELECT doc_id, "
+            " sum(CASE WHEN r*8 + c < 32 "
+            "  THEN bit * (2 ** (r*8 + c))::BIGINT ELSE 0 END)::BIGINT AS lo, "
+            " sum(CASE WHEN r*8 + c >= 32 "
+            "  THEN bit * (2 ** (r*8 + c - 32))::BIGINT ELSE 0 END)::BIGINT AS hi "
+            " FROM bits GROUP BY doc_id) "
+            "SELECT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b, "
+            "(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::INT "
+            " AS hamming "
+            "FROM h a JOIN h b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3 "
+            "ORDER BY id_a, id_b"
         ),
         "mutation_update": (
             "SELECT event_id, event_type, "

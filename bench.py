@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "tpch_q17",
     "tpch_q22",
     "mutation_update",
+    "image_neardup",
 ]
 
 

@@ -571,3 +571,141 @@ def decode_bmp_meta(
         T.StructField("bits_per_pixel", T.IntegerType(), True),
     ]
     return df.mapInPandas(run, T.StructType(fields))
+
+
+def synthesize_tile_payloads(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    n_groups: int = 50,
+) -> DataFrame:
+    """Build 9×8 grayscale tiles with PLANTED near-duplicate structure —
+    the image-dedup fixture (no image libs in the container, so pixels
+    are synthesized; the dHash/banding pipeline downstream is the real
+    operator).  Rows sharing ``id % n_groups`` get the same base image
+    ``p(r, c) = (base·7 + r·13 + c·29) mod 256`` with a single per-row
+    pixel perturbation (position ``id % 72``, magnitude ``id % 5``) —
+    within a group dHashes differ by ≤2 bits (one pixel touches two
+    horizontal comparisons), across groups they differ like random
+    64-bit words.  Integer-only arithmetic so a SQL oracle recomputes
+    the exact hash from the id column alone."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        r = np.arange(8).reshape(-1, 1)  # 8 rows
+        c = np.arange(9).reshape(1, -1)  # 9 cols -> 8 comparisons
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            base = ids % n_groups
+            tiles = (base[:, None, None] * 7 + r * 13 + c * 29) % 256
+            flat = tiles.reshape(len(ids), 72).astype(np.int64)
+            pos = ids % 72
+            flat[np.arange(len(ids)), pos] = (
+                flat[np.arange(len(ids)), pos] + ids % 5
+            ) % 256
+            out = pdf.copy()
+            out[payload_col] = [row.astype(np.uint8).tobytes() for row in flat]
+            yield out
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(payload_col, T.BinaryType(), False)]
+    )
+    return df.mapInPandas(run, schema)
+
+
+def dhash64(
+    df: DataFrame,
+    payload_col: str = "payload",
+    out_col: str = "dhash",
+) -> DataFrame:
+    """Difference-hash over a 9×8 grayscale tile: bit(r, c) = 1 iff
+    p(r, c) < p(r, c+1), packed as ``Σ bit(r,c) · 2^(r·8+c)`` into a
+    SIGNED int64 (two's complement — bit 63 makes the value negative;
+    band extraction masks after the shift so signedness never leaks).
+    Vectorized numpy over Arrow batches — the per-image cost is 64 byte
+    compares, so the pipeline is scan-bound, exactly what you want when
+    hashing billions of thumbnails."""
+    import numpy as np
+
+    fields = list(df.schema.fields) + [T.StructField(out_col, T.LongType(), False)]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = (1 << np.arange(64, dtype=np.uint64)).reshape(1, 64)
+        for pdf in batches:
+            tiles = np.stack(
+                [np.frombuffer(b, dtype=np.uint8) for b in pdf[payload_col]]
+            ).reshape(-1, 8, 9)
+            bits = (tiles[:, :, :-1] < tiles[:, :, 1:]).reshape(-1, 64)
+            h = (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+            out = pdf.copy()
+            out[out_col] = h.astype(np.int64)
+            yield out
+
+    return df.mapInPandas(run, T.StructType(fields))
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate image pairs by banded Hamming join: split the 64-bit
+    dHash into ``bands`` 16-bit keys, self-join per (band, value) —
+    LINEAR candidate generation like the MinHash/SimHash paths (never the
+    O(n²) all-pairs) — then verify ``bit_count(a XOR b) ≤ max_hamming``.
+    Pigeonhole EXACTNESS: ≤3 differing bits cannot touch all 4 bands, so
+    some band matches and every qualifying pair is found — the band join
+    is a lossless rewrite for max_hamming < bands, not an approximation
+    (the guarantee the oracle differential checks)."""
+    if max_hamming >= bands:
+        raise ValueError(
+            "band join is only exact for max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = df.select(
+        F.col(id_col), F.col(hash_col)
+    ).select(
+        id_col,
+        hash_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftright(F.col(hash_col), b * width)
+                            .bitwiseAND(F.lit(mask))
+                        ).alias("val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, hash_col, "bk.band", "bk.val")
+    left = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col(hash_col).alias("h_a"),
+        "band",
+        "val",
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col(hash_col).alias("h_b"),
+        "band",
+        "val",
+    )
+    pairs = (
+        left.join(right, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

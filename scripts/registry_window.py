@@ -105,12 +105,12 @@ def stale_entries() -> set[str]:
 
 # Entries deliberately parked past the window edge (more entries needing
 # rows than the driver checks per round).  The round-4 session added more
-# unproven entries than the window holds — two wait for round 5:
-# tpch_q13 and tpch_q15, the lowest-risk of the new
-# batch (classic shapes, both selfcheck-PASS at sf0.01 AND sf0.1) — the
-# mutation family and stale clickhouse_dates outrank them for window
-# slots.
-DEFERRED: set[str] = {"tpch_q13", "tpch_q15"}
+# unproven entries than the window holds — three wait for round 5:
+# tpch_q13/tpch_q15/tpch_q17, the lowest-risk of the new batch (classic
+# shapes, all selfcheck-PASS at sf0.01 AND sf0.1) — the mutation and
+# image-dedup families and stale clickhouse_dates outrank them for
+# window slots.
+DEFERRED: set[str] = {"tpch_q13", "tpch_q15", "tpch_q17"}
 
 
 def main() -> int:

@@ -197,3 +197,64 @@ def test_bmp_roundtrip_and_corrupt_rows(spark):
     )
     got = {r.doc_id: r for r in decode_bmp_meta(bad, keep=["doc_id"]).collect()}
     assert all(got[i].width is None for i in (1, 2, 3))
+
+
+def test_dhash64_bit_order_golden(spark):
+    """dHash bit packing must be exactly sum(bit(r,c) << (r*8+c)) over
+    p(r,c) < p(r,c+1) — verified against a pure-Python recompute."""
+    from clickhouse_flatfile_tool_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    got = {
+        r.doc_id: r.dhash
+        for r in MM.dhash64(MM.synthesize_tile_payloads(docs)).collect()
+    }
+
+    def py_hash(doc_id, n_groups=50):
+        base = doc_id % n_groups
+        px = [
+            [(base * 7 + r * 13 + c * 29) % 256 for c in range(9)]
+            for r in range(8)
+        ]
+        pos = doc_id % 72
+        px[pos // 9][pos % 9] = (px[pos // 9][pos % 9] + doc_id % 5) % 256
+        h = 0
+        for r in range(8):
+            for c in range(8):
+                if px[r][c] < px[r][c + 1]:
+                    h |= 1 << (r * 8 + c)
+        return h - (1 << 64) if h >= 1 << 63 else h  # signed int64
+
+    for i in range(40):
+        assert got[i] == py_hash(i), i
+
+
+def test_image_neardup_band_join_exact(spark):
+    """The 4×16-bit band join must find EVERY pair with Hamming ≤ 3
+    (pigeonhole) — compared against the brute-force all-pairs set."""
+    from clickhouse_flatfile_tool_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame([(i,) for i in range(60)], "doc_id long")
+    hashed = MM.dhash64(MM.synthesize_tile_payloads(docs))
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in MM.image_neardup_pairs(hashed).collect()
+    }
+    hs = {r.doc_id: r.dhash for r in hashed.collect()}
+    brute = {
+        (a, b, bin((hs[a] ^ hs[b]) & (1 << 64) - 1).count("1"))
+        for a in hs
+        for b in hs
+        if a < b and bin((hs[a] ^ hs[b]) & (1 << 64) - 1).count("1") <= 3
+    }
+    assert got == brute and len(brute) > 0
+
+
+def test_image_neardup_rejects_lossy_threshold(spark):
+    import pytest
+
+    from clickhouse_flatfile_tool_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame([(1, 1)], "doc_id long, dhash long")
+    with pytest.raises(ValueError, match="exact"):
+        MM.image_neardup_pairs(docs, max_hamming=4, bands=4)
