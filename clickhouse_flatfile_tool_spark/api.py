@@ -233,9 +233,20 @@ def query(
     executes on Spark.  Results are page-clamped like ``preview`` so the
     driver never materializes an unbounded result (the reference collects
     everything, SURVEY §2.11)."""
-    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+    from clickhouse_flatfile_tool_spark.dialect import (
+        final_tables,
+        translate_clickhouse_sql,
+    )
+    from clickhouse_flatfile_tool_spark.operators import mergetree
 
     try:
+        # FROM t FINAL: materialize each table's post-merge view from its
+        # registered engine before the dialect rewrite points the query at
+        # <t>__final (ClickHouse's read-time merge, one hash agg per table)
+        for t in final_tables(sql):
+            mergetree.final_read(spark, t).createOrReplaceTempView(
+                f"{t}__final"
+            )
         translated = translate_clickhouse_sql(sql, spark=spark)
         df = spark.sql(translated)
         size = max(1, min(int(page_size), relational.MAX_PAGE_SIZE))

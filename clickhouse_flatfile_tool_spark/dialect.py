@@ -235,12 +235,17 @@ _RENAMES: list[tuple[str, str]] = [
     ("isNaN", "isnan"),
     ("generateUUIDv4", "uuid"),
     ("intHash64", "xxhash64"),  # engine-specific 64-bit digest (halfMD5 stance)
+    ("arrayShuffle", "shuffle"),  # both: nondeterministic permutation
+    ("mapKeys", "map_keys"),
+    ("mapValues", "map_values"),
+    ("mapContains", "map_contains_key"),
 ]
 
 _ZERO_ARG: list[tuple[str, str]] = [
     ("now()", "current_timestamp()"),
     ("today()", "current_date()"),
     ("yesterday()", "date_sub(current_date(), 1)"),
+    ("randCanonical()", "rand()"),  # both: uniform [0, 1)
 ]
 
 
@@ -299,12 +304,14 @@ def _match_paren(chunk: str, start: int) -> int:
 
 
 def _split_top_comma(args: str) -> list[str]:
-    """Split on commas at paren depth 0 (argument boundaries)."""
+    """Split on commas at paren AND bracket depth 0 (argument
+    boundaries) — a ClickHouse ``[1, 2, 3]`` array literal argument must
+    stay one argument."""
     parts, depth, buf = [], 0, []
     for ch in args:
-        if ch == "(":
+        if ch in "([":
             depth += 1
-        elif ch == ")":
+        elif ch in ")]":
             depth -= 1
         if ch == "," and depth == 0:
             parts.append("".join(buf).strip())
@@ -438,7 +445,27 @@ def _rewrite_split_by_char(chunk: str) -> str:
 
     for name in ("splitByChar", "splitByString"):
         chunk = _rewrite_call(chunk, name, make)
-    return chunk
+
+    def regexp_make(args):
+        # splitByRegexp keeps the pattern AS a regex (arg order swaps)
+        if len(args) != 2:
+            return None
+        return f"split({args[1]}, {args[0]})"
+
+    chunk = _rewrite_call(chunk, "splitByRegexp", regexp_make)
+
+    def alpha_make(args):
+        # alphaTokens: maximal a-zA-Z runs; splitting leaves '' stubs at
+        # the edges, filtered out to match CH.  \P{Alpha} (ASCII, Java
+        # regex) instead of a [^...] class — generated brackets would be
+        # re-parsed as a CH array literal by a later rewrite stage
+        if len(args) != 1:
+            return None
+        return (
+            f"filter(split({args[0]}, '\\\\P{{Alpha}}+'), __t -> __t != '')"
+        )
+
+    return _rewrite_call(chunk, "alphaTokens", alpha_make)
 
 
 def _rewrite_array_string_concat(chunk: str) -> str:
@@ -729,6 +756,30 @@ def _rewrite_lambda_array_fns(chunk: str) -> str:
             return None  # lambda-less or >2 arrays: leave for Spark to name
 
         chunk = _rewrite_call(chunk, ch_name, make)
+
+    # accessor family: CH returns the element TYPE's default (0 / '') when
+    # nothing matches — untypeable in a string rewrite, so these yield
+    # NULL instead (try_element_at), the one documented divergence;
+    # arrayFirstIndex/arrayCount keep CH's exact 0-based-none semantics
+    def first_last(idx):
+        def make(args):
+            if len(args) == 2 and "->" in args[0]:
+                return f"try_element_at(filter({args[1]}, {args[0]}), {idx})"
+            return None
+
+        return make
+
+    chunk = _rewrite_call(chunk, "arrayFirstIndex", lambda a: (
+        f"array_position(transform({a[1]}, {a[0]}), true)"
+        if len(a) == 2 and "->" in a[0] else None))
+    chunk = _rewrite_call(chunk, "arrayFirst", first_last(1))
+    chunk = _rewrite_call(chunk, "arrayLast", first_last(-1))
+    chunk = _rewrite_call(chunk, "arrayCount", lambda a: (
+        f"size(filter({a[1]}, {a[0]}))"
+        if len(a) == 2 and "->" in a[0]
+        else f"size(filter({a[0]}, __x -> __x != 0))"
+        if len(a) == 1 and "->" not in a[0]
+        else None))
     return chunk
 
 
@@ -998,6 +1049,9 @@ def _rewrite_misc_calls(chunk: str) -> str:
       ``timestampadd(UNIT, ±n, ts)`` (argument order moves)
     * ``dateSub(UNIT, n, ts)`` → ``timestampadd(UNIT, -(n), ts)``
     """
+    # ClickHouse's zero-arg count() — Spark requires count(*)
+    chunk = re.sub(r"\bcount\(\s*\)", "count(*)", chunk, flags=re.IGNORECASE)
+
     def two(template):
         def make(args):
             return template.format(*args) if len(args) == 2 else None
@@ -1325,6 +1379,233 @@ def _rewrite_misc_calls(chunk: str) -> str:
         return f"timestampadd({args[0]}, -({args[1]}), {args[2]})"
 
     chunk = _rewrite_call(chunk, "dateSub", date_sub_make)
+
+    def resize_make(args):
+        # arrayResize(a, n[, fill]): pad/truncate to n elements.  Index
+        # probe via try_element_at keeps the element type without naming
+        # it (a string rewrite can't) — the 2-arg form therefore pads
+        # with NULL where CH pads with the type's default value, the same
+        # documented divergence as arrayFirst.  The slice guard handles
+        # n <= 0 (Spark's sequence(1, 0) DESCENDS instead of returning []).
+        if len(args) == 2:
+            a, n = args
+            probe = f"try_element_at({a}, CAST(__i AS INT))"
+        elif len(args) == 3:
+            a, n, fill = args
+            probe = (
+                f"CASE WHEN __i <= size({a}) "
+                f"THEN try_element_at({a}, CAST(__i AS INT)) "
+                f"ELSE {fill} END"
+            )
+        else:
+            return None
+        return (
+            f"transform(slice(sequence(1, greatest(({n}), 1)), "
+            f"1, greatest(({n}), 0)), __i -> {probe})"
+        )
+
+    chunk = _rewrite_call(chunk, "arrayResize", resize_make)
+
+    def rotate_make(left: bool):
+        def make(args):
+            # arrayRotateLeft/Right(a, n): n may exceed size or be
+            # negative — pmod normalizes; the size<2 guard also dodges
+            # pmod-by-zero on empty arrays
+            if len(args) != 2:
+                return None
+            a, n = args
+            k = f"({n})" if left else f"(-({n}))"
+            return (
+                f"(CASE WHEN size({a}) < 2 THEN {a} ELSE "
+                f"concat(slice({a}, CAST(pmod({k}, size({a})) AS INT) + 1, "
+                f"size({a})), "
+                f"slice({a}, 1, CAST(pmod({k}, size({a})) AS INT))) END)"
+            )
+        return make
+
+    chunk = _rewrite_call(chunk, "arrayRotateLeft", rotate_make(True))
+    chunk = _rewrite_call(chunk, "arrayRotateRight", rotate_make(False))
+
+    def product_make(args):
+        # arrayProduct returns Float64 in CH regardless of input type
+        if len(args) != 1:
+            return None
+        return (
+            f"aggregate({args[0]}, CAST(1 AS DOUBLE), (a, v) -> a * v)"
+        )
+
+    chunk = _rewrite_call(chunk, "arrayProduct", product_make)
+
+    def cumsum_nn_make(args):
+        # arrayCumSumNonNegative: running sum clamped at 0 after every
+        # step — same one-pass fold shape as arrayCumSum above
+        if len(args) != 1:
+            return None
+        return (
+            f"aggregate({args[0]}, "
+            "named_struct('s', CAST(0 AS DOUBLE), 's_arr', CAST(array() AS ARRAY<DOUBLE>)), "
+            "(acc, x) -> named_struct('s', greatest(acc.s + x, CAST(0 AS DOUBLE)), "
+            "'s_arr', concat(acc.s_arr, array(greatest(acc.s + x, CAST(0 AS DOUBLE))))), "
+            "acc -> acc.s_arr)"
+        )
+
+    chunk = _rewrite_call(chunk, "arrayCumSumNonNegative", cumsum_nn_make)
+
+    def tokens_make(args):
+        # tokens(s): maximal alphanumeric runs.  \P{Alnum} instead of a
+        # [^...] class for the same reason as alphaTokens — generated
+        # brackets would be re-read as a CH array literal downstream
+        if len(args) != 1:
+            return None
+        return (
+            f"filter(split({args[0]}, '\\\\P{{Alnum}}+'), __t -> __t != '')"
+        )
+
+    chunk = _rewrite_call(chunk, "tokens", tokens_make)
+
+    def ngrams_make(args):
+        # ngrams(s, n): all length-n character substrings; the slice
+        # guard yields [] when length(s) < n (sequence(1, 0) descends)
+        if len(args) != 2:
+            return None
+        s, n = args
+        hi = f"greatest(length({s}) - ({n}) + 1, 1)"
+        cnt = f"greatest(length({s}) - ({n}) + 1, 0)"
+        return (
+            f"transform(slice(sequence(1, {hi}), 1, {cnt}), "
+            f"__i -> substr({s}, __i, {n}))"
+        )
+
+    chunk = _rewrite_call(chunk, "ngrams", ngrams_make)
+
+    def month_name_make(args):
+        return f"date_format({args[0]}, 'MMMM')" if len(args) == 1 else None
+
+    chunk = _rewrite_call(chunk, "monthName", month_name_make)
+
+    def readable_size_make(args):
+        # formatReadableSize: binary-prefixed '%.2f <unit>'.  greatest(|x|,
+        # 1) keeps log defined at 0; the unit index is clamped to the table
+        if len(args) != 1:
+            return None
+        x = f"CAST(({args[0]}) AS DOUBLE)"
+        idx = f"least(floor(log(1024, greatest(abs({x}), 1))), 8)"
+        return (
+            f"format_string('%.2f %s', {x} / pow(1024, {idx}), "
+            f"element_at(array('B', 'KiB', 'MiB', 'GiB', 'TiB', 'PiB', "
+            f"'EiB', 'ZiB', 'YiB'), CAST({idx} AS INT) + 1))"
+        )
+
+    chunk = _rewrite_call(chunk, "formatReadableSize", readable_size_make)
+
+    def readable_qty_make(args):
+        # formatReadableQuantity: decimal thousands ('1.23 million');
+        # below 1000 CH prints the bare '%.2f'
+        if len(args) != 1:
+            return None
+        x = f"CAST(({args[0]}) AS DOUBLE)"
+        idx = f"least(floor(log(1000, greatest(abs({x}), 1))), 5)"
+        return (
+            f"format_string('%.2f%s', {x} / pow(1000, {idx}), "
+            f"element_at(array('', ' thousand', ' million', ' billion', "
+            f"' trillion', ' quadrillion'), CAST({idx} AS INT) + 1))"
+        )
+
+    chunk = _rewrite_call(chunk, "formatReadableQuantity", readable_qty_make)
+
+    def bucket_make(secs: int):
+        def make(args):
+            if len(args) != 1:
+                return None
+            return (
+                f"timestamp_seconds((unix_timestamp({args[0]}) "
+                f"DIV {secs}) * {secs})"
+            )
+        return make
+
+    chunk = _rewrite_call(chunk, "toStartOfFiveMinutes", bucket_make(300))
+    chunk = _rewrite_call(chunk, "toStartOfTenMinutes", bucket_make(600))
+    chunk = _rewrite_call(chunk, "toStartOfFifteenMinutes", bucket_make(900))
+    # timeSlot rounds down to the half-hour
+    chunk = _rewrite_call(chunk, "timeSlot", bucket_make(1800))
+
+    def mjd_make(args):
+        # Modified Julian Day epoch is 1858-11-17
+        if len(args) != 1:
+            return None
+        return f"datediff(to_date({args[0]}), DATE '1858-11-17')"
+
+    chunk = _rewrite_call(chunk, "toModifiedJulianDay", mjd_make)
+
+    def from_mjd_make(args):
+        # CH returns the date in text form; DATE prints identically
+        if len(args) != 1:
+            return None
+        return f"date_add(DATE '1858-11-17', CAST(({args[0]}) AS INT))"
+
+    chunk = _rewrite_call(chunk, "fromModifiedJulianDay", from_mjd_make)
+
+    def bit_test_make(args):
+        # bitTest(n, i) → UInt8-style 0/1 (the empty() type convention)
+        if len(args) != 2:
+            return None
+        return (
+            f"CAST(shiftright(CAST(({args[0]}) AS BIGINT), "
+            f"CAST(({args[1]}) AS INT)) & 1 AS INT)"
+        )
+
+    chunk = _rewrite_call(chunk, "bitTest", bit_test_make)
+
+    def bit_test_multi(op: str):
+        def make(args):
+            if len(args) < 2:
+                return None
+            n = args[0]
+            bits = [
+                f"CAST(shiftright(CAST(({n}) AS BIGINT), "
+                f"CAST(({i}) AS INT)) & 1 AS INT)"
+                for i in args[1:]
+            ]
+            return "(" + f" {op} ".join(bits) + ")"
+        return make
+
+    chunk = _rewrite_call(chunk, "bitTestAll", bit_test_multi("&"))
+    chunk = _rewrite_call(chunk, "bitTestAny", bit_test_multi("|"))
+
+    def great_circle_make(args):
+        # greatCircleDistance/geoDistance(lon1, lat1, lon2, lat2) →
+        # haversine on CH's mean-Earth radius (6372797.560856 m).  CH's
+        # own implementation is a piecewise polynomial approximation of
+        # this formula (±0.01% class error), so values agree to ~4
+        # significant digits, not bit-for-bit — use for geo math, not
+        # cross-engine hashing.
+        if len(args) != 4:
+            return None
+        lon1, lat1, lon2, lat2 = (f"CAST(({a}) AS DOUBLE)" for a in args)
+        return (
+            f"(2 * 6372797.560856 * asin(sqrt("
+            f"pow(sin(radians({lat2} - {lat1}) / 2), 2) + "
+            f"cos(radians({lat1})) * cos(radians({lat2})) * "
+            f"pow(sin(radians({lon2} - {lon1}) / 2), 2))))"
+        )
+
+    chunk = _rewrite_call(chunk, "greatCircleDistance", great_circle_make)
+    chunk = _rewrite_call(chunk, "geoDistance", great_circle_make)
+
+    def rand_uniform_make(args):
+        if len(args) != 2:
+            return None
+        a, b = args
+        return f"(({a}) + rand() * (({b}) - ({a})))"
+
+    chunk = _rewrite_call(chunk, "randUniform", rand_uniform_make)
+
+    def rand_normal_make(args):
+        if len(args) != 2:
+            return None
+        return f"(({args[0]}) + randn() * ({args[1]}))"
+
+    chunk = _rewrite_call(chunk, "randNormal", rand_normal_make)
     return chunk
 
 
@@ -1822,6 +2103,30 @@ def _asof_lateral(
     )
 
 
+_FINAL_PAT = re.compile(r"(?i)\b(FROM|JOIN)\s+(\w+)((?:\s+AS\s+\w+)?)\s+FINAL\b")
+
+
+def _rewrite_final(chunk: str) -> str:
+    """``FROM t [AS a] FINAL`` → ``FROM t__final [AS a]``: ClickHouse's
+    read-time merge.  The ``__final`` view is materialized by ``api.query``
+    from the table's registered engine (operators.mergetree.
+    register_table_engine / final_read) before execution; bare
+    ``translate_clickhouse_sql`` callers get the renamed reference and
+    Spark's own missing-view error if they skipped registration."""
+    return _FINAL_PAT.sub(
+        lambda m: f"{m.group(1)} {m.group(2)}__final{m.group(3)}", chunk
+    )
+
+
+def final_tables(sql: str) -> list[str]:
+    """Table names read with FINAL in ``sql`` (literal-masked scan) — the
+    api.query pre-pass uses this to materialize each ``<t>__final`` view."""
+    masked = "".join(
+        seg for is_lit, seg in _split_literals(sql) if not is_lit
+    )
+    return [m.group(2) for m in _FINAL_PAT.finditer(masked)]
+
+
 def _rewrite_clauses(chunk: str) -> str:
     """ClickHouse-specific CLAUSES (not functions):
 
@@ -1932,6 +2237,7 @@ def translate_clickhouse_sql(sql: str, spark=None) -> str:
 
     for src, dst in _ZERO_ARG:
         chunk = chunk.replace(src, dst)
+    chunk = _rewrite_final(chunk)
     chunk = _rewrite_clauses(chunk)
     chunk = _rewrite_with_fill(chunk)
     chunk = _rewrite_asof_join(chunk)

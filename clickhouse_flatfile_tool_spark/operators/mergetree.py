@@ -168,3 +168,96 @@ def mv_refresh(
     if state is None:
         return pre
     return aggregating_final(state.unionByName(pre), key_cols, state_map)
+
+
+# --- SELECT ... FROM t FINAL ---------------------------------------------
+#
+# ClickHouse resolves FINAL from the table's engine declaration; Spark has
+# no engine metadata, so the API keeps a small registry mapping table/view
+# names to their merge semantics.  ``api.query`` consults it whenever the
+# incoming SQL contains ``FROM <t> FINAL`` (the everyday ClickHouse idiom
+# for "give me the post-merge state now") and materializes a ``<t>__final``
+# temp view that the dialect rewrite points the query at.
+
+_ENGINE_REGISTRY: dict[str, dict] = {}
+
+_ENGINE_KINDS = (
+    "ReplacingMergeTree",
+    "SummingMergeTree",
+    "AggregatingMergeTree",
+    "CollapsingMergeTree",
+    "VersionedCollapsingMergeTree",
+)
+
+
+def register_table_engine(
+    table: str,
+    engine: str,
+    key_cols: list[str],
+    version_cols: list[str] | None = None,
+    value_cols: list[str] | None = None,
+    sign_col: str = "sign",
+    sum_cols: list[str] | None = None,
+    state_map: dict[str, str] | None = None,
+) -> None:
+    """Declare the MergeTree engine of a catalog table/view so ``FROM t
+    FINAL`` in the SQL endpoint resolves — the Spark-side stand-in for the
+    ENGINE clause the reference's CREATE TABLE carries
+    (/root/reference/server/server.js:586-589).  Plain ``MergeTree`` needs
+    no registration: FINAL on it is the identity."""
+    if engine not in _ENGINE_KINDS and engine != "MergeTree":
+        raise ValueError(
+            f"register_table_engine: unknown engine {engine!r}; "
+            f"expected one of {('MergeTree',) + _ENGINE_KINDS}"
+        )
+    _ENGINE_REGISTRY[table.lower()] = {
+        "engine": engine,
+        "key_cols": list(key_cols),
+        "version_cols": list(version_cols or []),
+        "value_cols": value_cols,
+        "sign_col": sign_col,
+        "sum_cols": list(sum_cols or []),
+        "state_map": dict(state_map or {}),
+    }
+
+
+def final_read(spark, table: str) -> DataFrame:
+    """The post-merge state of ``table`` per its registered engine — what
+    ClickHouse returns for ``SELECT ... FROM table FINAL``.  One hash
+    aggregation regardless of engine (see the family helpers above)."""
+    meta = _ENGINE_REGISTRY.get(table.lower())
+    if meta is None:
+        raise ValueError(
+            f"FINAL on {table!r} but no engine is registered — call "
+            "mergetree.register_table_engine(table, engine, key_cols, ...) "
+            "first (plain MergeTree tables don't need FINAL)"
+        )
+    df = spark.table(table)
+    eng = meta["engine"]
+    if eng == "MergeTree":
+        return df
+    if eng == "ReplacingMergeTree":
+        return replacing_final(
+            df, meta["key_cols"], meta["version_cols"], meta["value_cols"]
+        )
+    if eng == "SummingMergeTree":
+        sum_cols = meta["sum_cols"] or [
+            c for c, t in df.dtypes
+            if c not in meta["key_cols"]
+            and (
+                t in ("int", "bigint", "smallint", "tinyint", "double", "float")
+                or t.startswith("decimal")
+            )
+        ]
+        return summing_final(df, meta["key_cols"], sum_cols)
+    if eng == "AggregatingMergeTree":
+        return aggregating_final(df, meta["key_cols"], meta["state_map"])
+    # Collapsing / VersionedCollapsing share one helper; the versioned
+    # variant is the version_cols != [] case
+    return collapsing_final(
+        df,
+        meta["key_cols"],
+        sign_col=meta["sign_col"],
+        version_cols=meta["version_cols"],
+        value_cols=meta["value_cols"],
+    )

@@ -1121,3 +1121,117 @@ def test_finiteness_decimal_and_rounding_batch(spark):
     assert str(row.dec) in ("1.00", "1.01")  # decimal cast at scale 2
     assert (row.rb, row.rb2) == (2.0, 4.0)  # half-to-even
     assert row.u == 36
+
+
+def test_lambda_accessors_and_splits(spark):
+    """Batch 6: arrayFirst/arrayLast (NULL when nothing matches — the one
+    documented divergence from CH's typed default), arrayFirstIndex /
+    arrayCount with CH's exact none-semantics, splitByRegexp arg swap,
+    alphaTokens maximal alpha runs."""
+    row = spark.sql(
+        tr(
+            "SELECT arrayFirst(x -> x > 2, [1, 3, 5]) AS f, "
+            "arrayLast(x -> x > 2, [1, 3, 5]) AS l, "
+            "arrayFirst(x -> x > 9, [1, 3]) AS none_f, "
+            "arrayFirstIndex(x -> x > 2, [1, 3, 5]) AS fi, "
+            "arrayFirstIndex(x -> x > 9, [1, 3]) AS fi0, "
+            "arrayCount(x -> x > 2, [1, 3, 5]) AS cnt, "
+            "arrayCount([0, 2, 0, 5]) AS cnz, "
+            "splitByRegexp('[0-9]+', 'a12b3c') AS sr, "
+            "alphaTokens('ab.12cd--ef') AS at"
+        )
+    ).first()
+    assert (row.f, row.l, row.none_f) == (3, 5, None)
+    assert (row.fi, row.fi0, row.cnt, row.cnz) == (2, 0, 2, 2)
+    assert row.sr == ["a", "b", "c"]
+    assert row.at == ["ab", "cd", "ef"]
+
+
+def test_batch7_array_and_string(spark):
+    """Batch 7a: arrayResize (NULL pad — documented divergence from CH's
+    typed default), arrayRotateLeft/Right incl. oversized/negative n and
+    empty arrays, arrayProduct Float64, arrayCumSumNonNegative clamping,
+    tokens/ngrams character ops."""
+    row = spark.sql(
+        tr(
+            "SELECT arrayResize([1, 2, 3], 2) AS shrink, "
+            "arrayResize([1, 2], 4) AS pad_null, "
+            "arrayResize([1, 2], 4, 9) AS pad_fill, "
+            "arrayResize([1, 2], 0) AS to_zero, "
+            "arrayRotateLeft([1, 2, 3, 4], 1) AS rl, "
+            "arrayRotateLeft([1, 2, 3, 4], 6) AS rl_big, "
+            "arrayRotateRight([1, 2, 3, 4], 1) AS rr, "
+            "arrayRotateLeft([1, 2, 3, 4], -1) AS rl_neg, "
+            "arrayRotateLeft(arrayResize([1], 0), 2) AS rl_empty, "
+            "arrayProduct([1, 2, 3, 4]) AS prod, "
+            "arrayCumSumNonNegative([1, 1, -4, 1]) AS cnn, "
+            "tokens('ab_cd 12;ef') AS toks, "
+            "ngrams('abcd', 3) AS ng, "
+            "ngrams('ab', 3) AS ng_short"
+        )
+    ).first()
+    assert row.shrink == [1, 2]
+    assert row.pad_null == [1, 2, None, None]
+    assert row.pad_fill == [1, 2, 9, 9]
+    assert row.to_zero == []
+    assert (row.rl, row.rl_big) == ([2, 3, 4, 1], [3, 4, 1, 2])
+    assert (row.rr, row.rl_neg) == ([4, 1, 2, 3], [4, 1, 2, 3])
+    assert row.rl_empty == []
+    assert row.prod == 24.0
+    assert row.cnn == [1.0, 2.0, 0.0, 1.0]
+    assert row.toks == ["ab", "cd", "12", "ef"]
+    assert row.ng == ["abc", "bcd"]
+    assert row.ng_short == []
+
+
+def test_batch7_datetime_bits_geo_format(spark):
+    """Batch 7b: five/ten/fifteen-minute buckets + timeSlot, Modified
+    Julian Day round-trip, bitTest family (UInt8-style 0/1), readable
+    size/quantity formatting, great-circle distance (haversine on CH's
+    radius — agrees to ~4 significant digits, asserted loosely)."""
+    row = spark.sql(
+        tr(
+            "SELECT toStartOfFiveMinutes(toDateTime('2024-03-05 10:17:44')) AS m5, "
+            "toStartOfFifteenMinutes(toDateTime('2024-03-05 10:17:44')) AS m15, "
+            "timeSlot(toDateTime('2024-03-05 10:44:00')) AS slot, "
+            "toModifiedJulianDay('1858-11-17') AS mjd0, "
+            "toModifiedJulianDay('2020-01-01') AS mjd, "
+            "fromModifiedJulianDay(58849) AS from_mjd, "
+            "bitTest(5, 0) AS b0, bitTest(5, 1) AS b1, "
+            "bitTestAll(5, 0, 2) AS ball, bitTestAny(5, 1, 3) AS bany, "
+            "formatReadableSize(123456789) AS fsize, "
+            "formatReadableSize(0) AS fzero, "
+            "formatReadableQuantity(1234567) AS fqty, "
+            "formatReadableQuantity(123) AS fqty_small, "
+            "greatCircleDistance(-0.1278, 51.5074, 2.3522, 48.8566) AS dist, "
+            "monthName(toDate('2024-03-05')) AS mn, "
+            "mapKeys(map('a', 1)) AS mk, mapContains(map('a', 1), 'b') AS mc"
+        )
+    ).first()
+    assert str(row.m5) == "2024-03-05 10:15:00"
+    assert str(row.m15) == "2024-03-05 10:15:00"
+    assert str(row.slot) == "2024-03-05 10:30:00"
+    assert (row.mjd0, row.mjd) == (0, 58849)
+    assert str(row.from_mjd) == "2020-01-01"
+    assert (row.b0, row.b1, row.ball, row.bany) == (1, 0, 1, 0)
+    assert row.fsize == "117.74 MiB"  # matches ClickHouse output
+    assert row.fzero == "0.00 B"
+    assert row.fqty == "1.23 million"
+    assert row.fqty_small == "123.00"
+    assert abs(row.dist - 343_550) < 1500  # London→Paris ≈ 343.5 km
+    assert row.mn == "March"
+    assert (row.mk, row.mc) == (["a"], False)
+
+
+def test_batch7_rand_family(spark):
+    """randCanonical/randUniform/randNormal translate to Spark's rand/
+    randn forms; values are nondeterministic so only ranges assert."""
+    row = spark.sql(
+        tr(
+            "SELECT randCanonical() AS rc, randUniform(5, 6) AS ru, "
+            "randNormal(100, 0.001) AS rn"
+        )
+    ).first()
+    assert 0.0 <= row.rc < 1.0
+    assert 5.0 <= row.ru < 6.0
+    assert 99.0 < row.rn < 101.0

@@ -326,3 +326,64 @@ def test_uniq_state_merge_estimate_within_bound(spark, sf_dir):
     assert set(got) == set(exact)
     for t, n in exact.items():
         assert abs(got[t] - n) / n <= 0.02, (t, got[t], n)
+
+
+def test_final_read_registry_and_sql_endpoint(spark, cdc):
+    """SELECT ... FROM t FINAL through api.query: the engine registry +
+    final_read + the dialect's FINAL rewrite produce ClickHouse's
+    read-time-merge result; unregistered tables get a clear error."""
+    from clickhouse_flatfile_tool_spark import api
+    from clickhouse_flatfile_tool_spark.dialect import (
+        final_tables,
+        translate_clickhouse_sql as tr,
+    )
+
+    cdc.createOrReplaceTempView("cdc_v")
+    mergetree.register_table_engine(
+        "cdc_v", "VersionedCollapsingMergeTree", ["k"],
+        version_cols=["ver"], sign_col="sign",
+    )
+    # rewrite shape (alias preserved, literal untouched)
+    assert tr("SELECT c.k FROM cdc_v AS c FINAL WHERE state != 'FROM x FINAL'") == (
+        "SELECT c.k FROM cdc_v__final AS c FINAL"
+        .replace(" FINAL", "") + " WHERE state != 'FROM x FINAL'"
+    )
+    assert final_tables("SELECT 'FROM f FINAL', k FROM cdc_v FINAL") == ["cdc_v"]
+
+    out = api.query(
+        spark, "SELECT k, state, amount FROM cdc_v FINAL ORDER BY k"
+    )
+    assert out["success"], out
+    assert [(r["k"], r["state"], r["amount"]) for r in out["data"]] == [
+        (1, "b", 20.0), (3, "z", 5.0)
+    ]
+
+    # Replacing engine on the same view: re-registration wins
+    mergetree.register_table_engine(
+        "cdc_v", "ReplacingMergeTree", ["k"], version_cols=["ver"],
+        value_cols=["state"],
+    )
+    out2 = api.query(spark, "SELECT count() AS n FROM cdc_v FINAL")
+    assert out2["success"] and out2["data"][0]["n"] == 3
+
+    bad = api.query(spark, "SELECT * FROM never_registered FINAL")
+    assert not bad["success"] and "register_table_engine" in bad["error"]
+
+    with pytest.raises(ValueError, match="unknown engine"):
+        mergetree.register_table_engine("x", "GraphiteMergeTree", ["k"])
+
+
+def test_final_read_summing_default_columns(spark):
+    """SummingMergeTree registration without sum_cols sums every numeric
+    non-key column (ClickHouse's default) and nothing else."""
+    df = spark.createDataFrame(
+        [(1, "a", 2, 1.5), (1, "b", 3, 0.5), (2, "c", 7, 1.0)],
+        "k int, tag string, hits int, amt double",
+    )
+    df.createOrReplaceTempView("sums_v")
+    mergetree.register_table_engine("sums_v", "SummingMergeTree", ["k"])
+    got = {
+        r["k"]: (r["hits"], r["amt"])
+        for r in mergetree.final_read(spark, "sums_v").collect()
+    }
+    assert got == {1: (5, 2.0), 2: (7, 1.0)}

@@ -443,8 +443,17 @@ def ch_expression(draw, depth=0):
     atoms = ["x", "y", "7", "1.5", "NULL"]
     if depth >= 3:
         return draw(st.sampled_from(atoms))
-    kind = draw(st.integers(0, 15))
+    kind = draw(st.integers(0, 19))
     sub = lambda: draw(ch_expression(depth=depth + 1))  # noqa: E731
+    if kind == 16:
+        return f"arrayProduct(arrayResize([{sub()}, 2], 3, 1))"
+    if kind == 17:
+        n = draw(st.integers(0, 4))
+        return f"arraySum(arrayRotateLeft([{sub()}, 1, 2], {n}))"
+    if kind == 18:
+        return f"bitTest(toInt64({sub()}), {draw(st.integers(0, 2))})"
+    if kind == 19:
+        return f"size(ngrams(toString({sub()}), 2))"
     if kind == 0:
         return f"toInt64({sub()})"
     if kind == 1:
@@ -475,8 +484,10 @@ def ch_expression(draw, depth=0):
     if kind == 13:
         return f"intDivOrZero({sub()}, {draw(st.integers(0, 3))})"
     if kind == 14:
+        # toUInt8 for the same reason as kind 8: CH multiSearchAny returns
+        # UInt8, Spark's exists() a BOOLEAN that won't coerce in arrays
         return (
-            f"multiSearchAny(toString({sub()}), ['1', '7'])"
+            f"toUInt8(multiSearchAny(toString({sub()}), ['1', '7']))"
         )
     # probe and from-array must share a type — ClickHouse itself rejects
     # transform(Float64, Array(UInt8), ...), so the generator type-matches
