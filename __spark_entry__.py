@@ -2194,6 +2194,43 @@ def q_dialect_asof(spark, d):
     return spark.sql(translate_clickhouse_sql(ch_sql))
 
 
+def q_dialect_final(spark, d):
+    """ClickHouse ``SELECT ... FROM t FINAL`` through the SQL endpoint:
+    the view is registered as a ReplacingMergeTree keyed by
+    (user_id, event_type) with ts as the version (mergetree.py::
+    register_table_engine / final_read; dialect.py::_rewrite_final), so
+    FINAL reads the latest value per key — the everyday CH read-time-merge
+    idiom (the reference's CREATE TABLE carries the ENGINE clause,
+    server/server.js:586-589).  The fixture has no duplicate
+    (user_id, event_type, ts) triples, so the max-version row is unique
+    and the result hash-deterministic.  Oracle: DuckDB max_by per key."""
+    from clickhouse_flatfile_tool_spark.dialect import (
+        final_tables,
+        translate_clickhouse_sql,
+    )
+    from clickhouse_flatfile_tool_spark.operators import mergetree
+
+    _t(spark, d, "events").select(
+        "user_id", "event_type", "ts", "value"
+    ).createOrReplaceTempView("mt_events")
+    mergetree.register_table_engine(
+        "mt_events",
+        "ReplacingMergeTree",
+        ["user_id", "event_type"],
+        version_cols=["ts"],
+        value_cols=["value"],
+    )
+    ch_sql = (
+        "SELECT event_type, count() AS n_keys, "
+        "round(sum(value), 6) AS sum_latest "
+        "FROM mt_events FINAL GROUP BY event_type ORDER BY event_type"
+    )
+    # the api.query pre-pass, inlined (driver queries return DataFrames)
+    for t in final_tables(ch_sql):
+        mergetree.final_read(spark, t).createOrReplaceTempView(f"{t}__final")
+    return spark.sql(translate_clickhouse_sql(ch_sql))
+
+
 def q_dialect_funnel(spark, d):
     """ClickHouse ``windowFunnel(W)(ts, c1..ck)`` through the SQL dialect
     (dialect.py::_rewrite_window_funnel): per user, max funnel level for
@@ -3504,6 +3541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_text": q_chunk_text,
         "hash_split": q_hash_split,
         "ngram_jaccard": q_ngram_jaccard,
+        "dialect_final": q_dialect_final,
     }
 
 
@@ -5006,6 +5044,13 @@ FROM ranked WHERE rk <= 5
             "SELECT a.event_id, a.user_id, a.ts, "
             "b.vts AS view_ts, b.vvalue AS view_value "
             "FROM a ASOF JOIN b ON a.user_id = b.user_id AND a.ts >= b.vts"
+        ),
+        "dialect_final": (
+            "WITH f AS (SELECT user_id, event_type, max_by(value, ts) AS value "
+            "  FROM events GROUP BY user_id, event_type) "
+            "SELECT event_type, count(*)::BIGINT AS n_keys, "
+            "round(sum(value), 6) AS sum_latest "
+            "FROM f GROUP BY event_type ORDER BY event_type"
         ),
         "image_neardup": (
             "WITH px AS (SELECT doc_id, r, c, "

@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "tpch_q22",
     "mutation_update",
     "image_neardup",
+    "dialect_final",
 ]
 
 
