@@ -2231,6 +2231,38 @@ def q_dialect_final(spark, d):
     return spark.sql(translate_clickhouse_sql(ch_sql))
 
 
+def q_summap_merge(spark, d):
+    """ClickHouse ``sumMap(k, v)`` (the ``-Map`` aggregate combinator,
+    relational.py::map_aggregate): stage 1 packs each user's day of events
+    into parallel (event_type, value) arrays — the SummingMergeTree
+    metric-map row shape — and stage 2 merges the daily maps per user,
+    summing equal keys and returning key-sorted parallel arrays.  Oracle:
+    DuckDB per-key sums re-assembled with ordered list() aggregates.
+    Array cells hash-compare via their Python repr: doubles are rounded
+    to 6 AFTER the final merge on both sides, so reprs agree."""
+    ev = _t(spark, d, "events")
+    daily = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("event_type").alias("k"),
+                        F.col("value").alias("v"),
+                    )
+                )
+            ).alias("e")
+        )
+        .select("user_id", F.col("e.k").alias("ks"), F.col("e.v").alias("vs"))
+    )
+    out = relational.map_aggregate(daily, ["user_id"], "ks", "vs", "sum")
+    return out.select(
+        "user_id",
+        "keys",
+        F.transform("vals", lambda v: F.round(v, 6)).alias("vals"),
+    ).orderBy("user_id")
+
+
 def q_dialect_funnel(spark, d):
     """ClickHouse ``windowFunnel(W)(ts, c1..ck)`` through the SQL dialect
     (dialect.py::_rewrite_window_funnel): per user, max funnel level for
@@ -3542,6 +3574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "ngram_jaccard": q_ngram_jaccard,
         "dialect_final": q_dialect_final,
+        "summap_merge": q_summap_merge,
     }
 
 
@@ -5044,6 +5077,13 @@ FROM ranked WHERE rk <= 5
             "SELECT a.event_id, a.user_id, a.ts, "
             "b.vts AS view_ts, b.vvalue AS view_value "
             "FROM a ASOF JOIN b ON a.user_id = b.user_id AND a.ts >= b.vts"
+        ),
+        "summap_merge": (
+            "WITH per AS (SELECT user_id, event_type AS k, sum(value) AS v "
+            "  FROM events GROUP BY user_id, event_type) "
+            "SELECT user_id, list(k ORDER BY k) AS keys, "
+            "list(round(v, 6) ORDER BY k) AS vals "
+            "FROM per GROUP BY user_id ORDER BY user_id"
         ),
         "dialect_final": (
             "WITH f AS (SELECT user_id, event_type, max_by(value, ts) AS value "

@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "mutation_update",
     "image_neardup",
     "dialect_final",
+    "summap_merge",
 ]
 
 

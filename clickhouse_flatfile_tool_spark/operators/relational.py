@@ -830,3 +830,51 @@ def dict_get(
             out, F.coalesce(F.col(f"__v_{out}"), F.lit(default))
         )
     return joined.drop("__dk", *[f"__v_{out}" for out in attrs])
+
+
+def map_aggregate(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    val_col: str,
+    how: str = "sum",
+) -> DataFrame:
+    """ClickHouse ``sumMap(k, v)`` / ``minMap`` / ``maxMap`` (the ``-Map``
+    aggregate combinator): rows carry parallel key/value arrays; the
+    aggregate merges them per group, combining values of equal keys, and
+    returns key-sorted parallel arrays — the CH idiom for pre-aggregated
+    metric maps in SummingMergeTree tables (the reference passes such CH
+    SQL through verbatim, server/server.js:444-470).
+
+    Shape: explode the zipped pairs, ONE hash aggregation per (group, key)
+    — map-side partial combine, shuffle volume O(distinct group·key) —
+    then ONE re-group collecting the sorted entry structs.  No windows,
+    no driver-side state; both shuffles are on aggregate-reduced rows, so
+    the pattern holds at 100 TB (the fact-table rows are only read once,
+    in the explode projection).
+
+    Output: ``group_cols + [keys, vals]`` with ``keys`` sorted ascending
+    and ``vals`` aligned — CH's sumMap output tuple.
+    """
+    mergers = {"sum": F.sum, "min": F.min, "max": F.max, "count": F.count,
+               "avg": F.avg}
+    if how not in mergers:
+        raise ValueError(f"map_aggregate: how={how!r} not in {sorted(mergers)}")
+    pairs = df.select(
+        *group_cols,
+        F.explode(F.arrays_zip(F.col(key_col).alias("k"),
+                               F.col(val_col).alias("v"))).alias("kv"),
+    )
+    per_key = pairs.groupBy(*group_cols, F.col("kv.k").alias("__k")).agg(
+        mergers[how]("kv.v").alias("__v")
+    )
+    entries = per_key.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list(F.struct(F.col("__k"), F.col("__v")))).alias(
+            "__e"
+        )
+    )
+    return entries.select(
+        *group_cols,
+        F.col("__e.__k").alias("keys"),
+        F.col("__e.__v").alias("vals"),
+    )

@@ -374,3 +374,51 @@ def test_paste_join_zips_by_position(spark):
     assert len(out) == 2
     got = {(r.k, r.j) for r in out}
     assert got == {(1, 10), (2, 20)}
+
+
+def test_map_aggregate_summap_golden(spark):
+    """sumMap semantics: equal keys merge, keys sort ascending, vals stay
+    aligned; min/max variants; unknown merger rejected."""
+    import pytest
+
+    from clickhouse_flatfile_tool_spark.operators.relational import map_aggregate
+
+    df = spark.createDataFrame(
+        [
+            (1, ["b", "a"], [10.0, 1.0]),
+            (1, ["a", "c"], [2.0, 5.0]),
+            (2, ["z"], [7.0]),
+        ],
+        "g int, ks array<string>, vs array<double>",
+    )
+    got = {
+        r["g"]: (r["keys"], r["vals"])
+        for r in map_aggregate(df, ["g"], "ks", "vs", "sum").collect()
+    }
+    assert got == {
+        1: (["a", "b", "c"], [3.0, 10.0, 5.0]),
+        2: (["z"], [7.0]),
+    }
+    gmax = {
+        r["g"]: (r["keys"], r["vals"])
+        for r in map_aggregate(df, ["g"], "ks", "vs", "max").collect()
+    }
+    assert gmax[1] == (["a", "b", "c"], [2.0, 10.0, 5.0])
+    with pytest.raises(ValueError, match="how="):
+        map_aggregate(df, ["g"], "ks", "vs", "median")
+
+
+def test_map_aggregate_shuffle_shape(spark):
+    """Both aggregations partially combine map-side: exactly two Exchanges
+    and no Window/Sort-based global operators in the plan."""
+    from clickhouse_flatfile_tool_spark.operators.relational import map_aggregate
+
+    df = spark.createDataFrame(
+        [(1, ["a"], [1.0])], "g int, ks array<string>, vs array<double>"
+    )
+    plan = (
+        map_aggregate(df, ["g"], "ks", "vs")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 2
+    assert "Window" not in plan
