@@ -384,6 +384,19 @@ def q_pack_sequences(spark, d):
     return text.pack_sequences(_t(spark, d, "documents"), budget_tokens=2048)
 
 
+def q_pack_bestfit(spark, d):
+    """Best-fit-decreasing whole-document packing (text.py::pack_best_fit,
+    Ding et al. 2024): fixed-budget bins, no document split, md5-bucketed
+    applyInPandas.  No oracle — BFD placement is a sequential algorithm
+    SQL can't express; correctness is pytest-proven (budget/assignment/
+    bound invariants + golden, tests/test_text.py::test_pack_best_fit_*);
+    the driver records the rows-only run."""
+    out = text.pack_best_fit(
+        _t(spark, d, "documents"), budget_tokens=1024, bucket_chars=1
+    )
+    return out.orderBy("bucket", "bin_id", "doc_id")
+
+
 def q_dataset_mixture(spark, d):
     """Weighted dataset mixture: keep 100% of 'en' docs, 25% of 'de', 10% of
     everything else — membership a pure function of doc_id (md5), so the
@@ -3575,6 +3588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dialect_final": q_dialect_final,
         "summap_merge": q_summap_merge,
+        "pack_bestfit": q_pack_bestfit,
     }
 
 

@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "image_neardup",
     "dialect_final",
     "summap_merge",
+    "pack_bestfit",
 ]
 
 

@@ -341,6 +341,97 @@ def pack_sequences(
     )
 
 
+def pack_best_fit(
+    df: DataFrame,
+    budget_tokens: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_chars: int = 2,
+) -> DataFrame:
+    """Best-fit-decreasing document packing: WHOLE documents into
+    fixed-token-budget bins, no document ever split across a training
+    window — the truncation-free alternative to :func:`pack_sequences`
+    (Ding et al. 2024, "Fewer Truncations Improve Language Modeling",
+    which reports FFD packing preserving ~99%+ of documents intact vs
+    concat-and-chunk's splits).
+
+    Scale shape: packing is inherently sequential, so docs land in
+    16^``bucket_chars`` deterministic md5 buckets (same layout as
+    :func:`pack_sequences`) and each bucket runs best-fit-decreasing
+    independently inside one ``applyInPandas`` group — Arrow-batched,
+    embarrassingly parallel, one shuffle on the bucket key.  Per-bucket
+    state is a sorted residual list, O(n log n) sort + O(n·bins)
+    placement on docs/16^chars rows; raise ``bucket_chars`` until a
+    bucket fits comfortably in one task (at 100 TB with chars=4 a bucket
+    is ~1/65536 of the corpus).  Waste is bounded per bucket, and FFD is
+    within 11/9·OPT + 1 bins of optimal (classic bound).
+
+    A document longer than the budget gets a bin of its own (flagged
+    ``oversize``); callers decide whether to chunk those with
+    :func:`chunk_text` first.
+
+    Returns (id, bucket, n_tokens, bin_id, oversize): ``bin_id`` is
+    dense within each bucket in decreasing-fill order; determinism comes
+    from sorting docs by (n_tokens DESC, id) before placement.
+    """
+    import bisect
+
+    import pandas as pd
+
+    from clickhouse_flatfile_tool_spark.operators.sampling import hash_bucket
+
+    d = df.select(
+        F.col(id_col),
+        hash_bucket(id_col, bucket_chars).alias("bucket"),
+        token_count(text_col).cast("long").alias("n_tokens"),
+    )
+    id_type = dict(d.dtypes)[id_col]
+    out_schema = (
+        f"{id_col} {id_type}, bucket string, n_tokens long, "
+        "bin_id long, oversize boolean"
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        residuals: list[int] = []  # sorted ascending
+        res_bin: list[int] = []    # bin id aligned with residuals
+        bins = 0
+        assigned = []
+        oversize = []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if n > budget_tokens:
+                assigned.append(bins)
+                oversize.append(True)
+                bins += 1  # oversize bin is never reused
+                continue
+            i = bisect.bisect_left(residuals, n)
+            if i < len(residuals):
+                # best fit: the tightest residual that still fits
+                r = residuals.pop(i)
+                b = res_bin.pop(i)
+                r -= n
+                j = bisect.bisect_left(residuals, r)
+                residuals.insert(j, r)
+                res_bin.insert(j, b)
+                assigned.append(b)
+            else:
+                r = budget_tokens - n
+                j = bisect.bisect_left(residuals, r)
+                residuals.insert(j, r)
+                res_bin.insert(j, bins)
+                assigned.append(bins)
+                bins += 1
+            oversize.append(False)
+        pdf["bin_id"] = pd.Series(assigned, dtype="int64")
+        pdf["oversize"] = pd.Series(oversize, dtype="bool")
+        return pdf
+
+    return d.groupBy("bucket").applyInPandas(_pack, out_schema)
+
+
 def unigram_surprisal(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -26,3 +26,71 @@ def test_pr_curve_hand_computed(spark):
     assert pts[0.8] == (0.5, 0.5)
     assert pts[0.7] == (round(2 / 3, 6), 1.0)
     assert pts[0.6] == (0.5, 1.0)
+
+
+def test_pack_best_fit_invariants_and_golden(spark):
+    """Best-fit-decreasing packing: no multi-doc bin exceeds the budget,
+    every doc is assigned exactly once, oversize docs sit alone and
+    flagged, and a hand-checked golden confirms the BFD placement."""
+    from clickhouse_flatfile_tool_spark.operators.text import pack_best_fit
+
+    docs = [
+        # (id, n_tokens approximated by whitespace words)
+        (1, "w " * 6),    # 6 (trailing space trimmed -> 6 words)
+        (2, "w " * 5),    # 5
+        (3, "w " * 4),    # 4
+        (4, "w " * 4),    # 4
+        (5, "w " * 2),    # 2
+        (6, "w " * 12),   # oversize vs budget 10
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pack_best_fit(
+        df, budget_tokens=10, bucket_chars=0
+    ).collect()
+    assert len(out) == 6
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[6]["oversize"] and by_id[6]["n_tokens"] == 12
+    # oversize bin contains only doc 6
+    osb = by_id[6]["bin_id"]
+    assert [r["doc_id"] for r in out if r["bin_id"] == osb] == [6]
+    # BFD order: 12(oversize own bin), 6->new, 5->new, 4 fits with 6?
+    # residual after 6 is 4 -> doc 3 (4) best-fits there exactly;
+    # doc 4 (4) then best-fits the 5-bin (residual 5 -> 1);
+    # doc 5 (2) opens nothing: best fit is residual 1? no (2>1) ->
+    # next residual is 0 -> new bin.
+    import collections
+    fills = collections.defaultdict(int)
+    for r in out:
+        if not r["oversize"]:
+            fills[r["bin_id"]] += r["n_tokens"]
+    assert all(v <= 10 for v in fills.values())
+    assert sorted(fills.values(), reverse=True) == [10, 9, 2]
+    # determinism
+    out2 = pack_best_fit(df, budget_tokens=10, bucket_chars=0).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_pack_best_fit_beats_or_ties_first_fit_bins(spark, tables):
+    """On the real documents fixture, BFD with whole docs never overfills
+    a bin and the per-bucket bin count is within the 11/9·OPT+1 bound of
+    the lower bound ceil(total/budget)."""
+    import math
+
+    from clickhouse_flatfile_tool_spark.operators.text import pack_best_fit
+
+    docs = tables["documents"]
+    out = pack_best_fit(docs, budget_tokens=512, bucket_chars=1)
+    rows = out.collect()
+    from collections import defaultdict
+    per_bucket_tokens = defaultdict(int)
+    per_bucket_bins = defaultdict(set)
+    fills = defaultdict(int)
+    for r in rows:
+        if not r["oversize"]:
+            per_bucket_tokens[r["bucket"]] += r["n_tokens"]
+            per_bucket_bins[r["bucket"]].add(r["bin_id"])
+            fills[(r["bucket"], r["bin_id"])] += r["n_tokens"]
+    assert all(v <= 512 for v in fills.values())
+    for b, toks in per_bucket_tokens.items():
+        lower = math.ceil(toks / 512)
+        assert len(per_bucket_bins[b]) <= math.ceil(11 / 9 * lower) + 1
