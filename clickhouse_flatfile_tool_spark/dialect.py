@@ -239,6 +239,10 @@ _RENAMES: list[tuple[str, str]] = [
     ("mapKeys", "map_keys"),
     ("mapValues", "map_values"),
     ("mapContains", "map_contains_key"),
+    ("toLastDayOfMonth", "last_day"),
+    # type names are engine-specific (UInt8 vs int) — structural use only,
+    # same stance as the uniq sketch family
+    ("toTypeName", "typeof"),
 ]
 
 _ZERO_ARG: list[tuple[str, str]] = [
@@ -399,6 +403,22 @@ def _rewrite_if_combinators(chunk: str) -> str:
         "uniqIf": "count(DISTINCT CASE WHEN {cond} THEN {expr} END)",
         "uniqExactIf": "count(DISTINCT CASE WHEN {cond} THEN {expr} END)",
     }
+    # two-argument aggregates: BOTH args null out on a false condition
+    # (max_by/min_by ignore rows whose ordering value is NULL)
+    def arg_if(fn):
+        def make(args):
+            if len(args) != 3:
+                return None
+            a, b, cond = args
+            return (
+                f"{fn}(CASE WHEN {cond} THEN {a} END, "
+                f"CASE WHEN {cond} THEN {b} END)"
+            )
+        return make
+
+    chunk = _rewrite_call(chunk, "argMaxIf", arg_if("max_by"))
+    chunk = _rewrite_call(chunk, "argMinIf", arg_if("min_by"))
+
     for src, template in shapes.items():
         pat = re.compile(r"\b" + src + r"\(")
         m = pat.search(chunk)
@@ -1606,6 +1626,163 @@ def _rewrite_misc_calls(chunk: str) -> str:
         return f"(({args[0]}) + randn() * ({args[1]}))"
 
     chunk = _rewrite_call(chunk, "randNormal", rand_normal_make)
+
+    # --- vector math over array columns (the CH embeddings idiom) -------
+    # DOUBLE accumulation; each rewrite references its arguments more than
+    # once — fine for column-backed arrays (the documented intDiv caveat)
+    def dot_make(args):
+        if len(args) != 2:
+            return None
+        a, b = args
+        return (
+            f"aggregate(zip_with({a}, {b}, "
+            "(x, y) -> CAST(x AS DOUBLE) * y), "
+            "CAST(0 AS DOUBLE), (s, v) -> s + v)"
+        )
+
+    chunk = _rewrite_call(chunk, "arrayDotProduct", dot_make)
+    chunk = _rewrite_call(chunk, "dotProduct", dot_make)
+
+    def lp_dist(power: str):
+        def make(args):
+            if len(args) != 2:
+                return None
+            a, b = args
+            diff = (
+                f"zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) - y)"
+            )
+            if power == "1":
+                return (
+                    f"aggregate({diff}, CAST(0 AS DOUBLE), "
+                    "(s, v) -> s + abs(v))"
+                )
+            if power == "inf":
+                return f"array_max(transform({diff}, v -> abs(v)))"
+            sq = (
+                f"aggregate({diff}, CAST(0 AS DOUBLE), "
+                "(s, v) -> s + v * v)"
+            )
+            return f"sqrt({sq})" if power == "2" else sq
+
+        return make
+
+    chunk = _rewrite_call(chunk, "arrayL1Distance", lp_dist("1"))
+    chunk = _rewrite_call(chunk, "L1Distance", lp_dist("1"))
+    chunk = _rewrite_call(chunk, "arrayL2Distance", lp_dist("2"))
+    chunk = _rewrite_call(chunk, "L2Distance", lp_dist("2"))
+    chunk = _rewrite_call(chunk, "arrayL2SquaredDistance", lp_dist("2sq"))
+    chunk = _rewrite_call(chunk, "L2SquaredDistance", lp_dist("2sq"))
+    chunk = _rewrite_call(chunk, "arrayLinfDistance", lp_dist("inf"))
+    chunk = _rewrite_call(chunk, "LinfDistance", lp_dist("inf"))
+
+    def norm_make(power: str):
+        def make(args):
+            if len(args) != 1:
+                return None
+            a = args[0]
+            if power == "1":
+                return (
+                    f"aggregate({a}, CAST(0 AS DOUBLE), "
+                    "(s, x) -> s + abs(CAST(x AS DOUBLE)))"
+                )
+            if power == "inf":
+                return f"CAST(array_max(transform({a}, x -> abs(x))) AS DOUBLE)"
+            return (
+                f"sqrt(aggregate({a}, CAST(0 AS DOUBLE), "
+                "(s, x) -> s + CAST(x AS DOUBLE) * x))"
+            )
+
+        return make
+
+    chunk = _rewrite_call(chunk, "L1Norm", norm_make("1"))
+    chunk = _rewrite_call(chunk, "L2Norm", norm_make("2"))
+    chunk = _rewrite_call(chunk, "LinfNorm", norm_make("inf"))
+
+    def cosine_make(args):
+        # cosineDistance = 1 - cos similarity; NULL (not NaN) on a zero
+        # vector via nullif — CH returns nan there, the one divergence
+        if len(args) != 2:
+            return None
+        a, b = args
+        dot = dot_make([a, b])
+        na = norm_make("2")([a])
+        nb = norm_make("2")([b])
+        return f"(1 - {dot} / nullif({na} * {nb}, 0))"
+
+    chunk = _rewrite_call(chunk, "cosineDistance", cosine_make)
+
+    def has_token_make(ci: bool):
+        def make(args):
+            # token = maximal alphanumeric run, same boundary rule as
+            # the tokens() rewrite above
+            if len(args) != 2:
+                return None
+            h, t = args
+            if ci:
+                h, t = f"lower({h})", f"lower({t})"
+            return f"array_contains(split({h}, '\\\\P{{Alnum}}+'), {t})"
+        return make
+
+    chunk = _rewrite_call(chunk, "hasTokenCaseInsensitive", has_token_make(True))
+    chunk = _rewrite_call(chunk, "hasToken", has_token_make(False))
+
+    def rev_sort_make(args):
+        # lambda-less form only; comparator forms pass through
+        if len(args) == 1 and "->" not in args[0]:
+            return f"reverse(array_sort({args[0]}))"
+        return None
+
+    chunk = _rewrite_call(chunk, "arrayReverseSort", rev_sort_make)
+
+    def enum_dense_make(args):
+        # dense id by FIRST APPEARANCE — array_distinct preserves first-
+        # occurrence order, so positions in it are exactly CH's dense ids
+        if len(args) != 1:
+            return None
+        a = args[0]
+        return f"transform({a}, __x -> array_position(array_distinct({a}), __x))"
+
+    chunk = _rewrite_call(chunk, "arrayEnumerateDense", enum_dense_make)
+
+    def bitmask_list_make(args):
+        # bitmaskToList: the powers of two summing to n, ascending, as a
+        # comma-separated STRING (CH returns String)
+        if len(args) != 1:
+            return None
+        n = args[0]
+        return (
+            f"array_join(transform(filter(sequence(0, 62), "
+            f"__i -> (shiftright(CAST(({n}) AS BIGINT), CAST(__i AS INT)) & 1) = 1), "
+            f"__i -> CAST(shiftleft(CAST(1 AS BIGINT), CAST(__i AS INT)) "
+            f"AS STRING)), ',')"
+        )
+
+    chunk = _rewrite_call(chunk, "bitmaskToList", bitmask_list_make)
+
+    def int_exp2_make(args):
+        if len(args) != 1:
+            return None
+        return f"shiftleft(CAST(1 AS BIGINT), CAST(({args[0]}) AS INT))"
+
+    chunk = _rewrite_call(chunk, "intExp2", int_exp2_make)
+
+    def int_exp10_make(args):
+        # exact through 10^15; CH goes to 10^18 (documented narrowing)
+        if len(args) != 1:
+            return None
+        return f"CAST(round(pow(10, ({args[0]}))) AS BIGINT)"
+
+    chunk = _rewrite_call(chunk, "intExp10", int_exp10_make)
+
+    def try_b64_make(args):
+        # CH returns '' on invalid input; try_to_binary gives NULL
+        if len(args) != 1:
+            return None
+        return (
+            f"coalesce(CAST(try_to_binary({args[0]}, 'base64') AS STRING), '')"
+        )
+
+    chunk = _rewrite_call(chunk, "tryBase64Decode", try_b64_make)
     return chunk
 
 

@@ -488,6 +488,67 @@ def ivf_assign(
     return ranked.select(id_col, vec_col, "list_id")
 
 
+def ivf_assign_hier(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_groups: int | None = None,
+) -> DataFrame:
+    """Two-level centroid assignment (the FAISS IMI / coarse-then-fine
+    pattern): cluster the k centroids themselves into ~√k groups (driver
+    numpy — the model is k×dim, tiny by construction), route each vector
+    to its nearest GROUP (n·√k comparisons), then to the nearest fine
+    centroid WITHIN that group (n·(k/√k) ≈ n·√k more).
+
+    Why it exists: flat :func:`ivf_assign` does n·k comparisons, and
+    SemDeDup-style jobs grow k with the corpus (constant target cluster
+    size) — flat assignment is then quadratic in n.  Two-level cuts it to
+    n·2√k, the standard sub-quadratic production shape; the price is
+    approximation (a vector whose true nearest fine centroid lives in a
+    non-nearest group is mis-assigned — boundary cases only, since near
+    vectors share groups by construction).  Identical vectors always
+    receive identical assignments, so exact-duplicate recall is unaffected.
+
+    Same output contract as :func:`ivf_assign` with n_probe=1.
+    """
+    import numpy as np
+
+    rows = centroids.select("list_id", "centroid").collect()
+    k = len(rows)
+    g = coarse_groups or max(1, int(round(k ** 0.5)))
+    mat = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    ids = [int(r["list_id"]) for r in rows]
+    gc = _kmeans_centroids(mat, g, seed=0)
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    grp = np.argmax(normed @ gc.T, axis=1)
+    spark = corpus.sparkSession
+    gcent = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(gc)],
+        "group_id int, gcentroid array<double>",
+    )
+    fine = spark.createDataFrame(
+        [
+            (int(grp[j]), ids[j], [float(x) for x in mat[j]])
+            for j in range(k)
+        ],
+        "group_id int, list_id int, centroid array<double>",
+    )
+    coarse_scored = corpus.crossJoin(F.broadcast(gcent)).withColumn(
+        "__gsim", cosine(F.col(vec_col), F.col("gcentroid"))
+    )
+    coarse_top = top_k_per_group(
+        coarse_scored, [id_col], [F.desc("__gsim"), F.asc("group_id")], 1
+    ).select(id_col, vec_col, "group_id")
+    fine_scored = coarse_top.join(F.broadcast(fine), "group_id").withColumn(
+        "__sim", cosine(F.col(vec_col), F.col("centroid"))
+    )
+    ranked = top_k_per_group(
+        fine_scored, [id_col], [F.desc("__sim"), F.asc("list_id")], 1
+    )
+    return ranked.select(id_col, vec_col, "list_id")
+
+
 def ivf_search(
     queries: DataFrame,
     indexed_corpus: DataFrame,
@@ -600,6 +661,8 @@ def semantic_dedup_pairs(
     n_clusters: int = 16,
     sample_size: int = 10_000,
     seed: int = 42,
+    centroids: DataFrame | None = None,
+    assign: str = "flat",
 ) -> DataFrame:
     """SemDeDup-style within-cluster near-duplicate pairs (Abbas et al.
     2023, "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -618,11 +681,27 @@ def semantic_dedup_pairs(
     Misses only cross-cluster pairs near cluster boundaries — the recall
     trade the paper accepts; pytest plants an exact duplicate and asserts
     it is always caught (identical vectors always share a cluster).
+
+    ``centroids`` (prebuilt, from :func:`ivf_build_centroids`) skips the
+    in-query training — the production shape when the job reruns daily.
+    ``assign="hier"`` swaps the flat n·k centroid assignment for the
+    two-level :func:`ivf_assign_hier` — REQUIRED at corpus scale when
+    n_clusters grows with the corpus (constant target cluster size),
+    because flat assignment is then quadratic in n.
     """
-    centroids = ivf_build_centroids(
-        df, n_lists=n_clusters, sample_size=sample_size, seed=seed, vec_col=vec_col
-    )
-    assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col, n_probe=1)
+    if centroids is None:
+        centroids = ivf_build_centroids(
+            df, n_lists=n_clusters, sample_size=sample_size, seed=seed,
+            vec_col=vec_col,
+        )
+    if assign == "hier":
+        assigned = ivf_assign_hier(df, centroids, id_col=id_col, vec_col=vec_col)
+    elif assign == "flat":
+        assigned = ivf_assign(
+            df, centroids, id_col=id_col, vec_col=vec_col, n_probe=1
+        )
+    else:
+        raise ValueError(f"semantic_dedup_pairs: assign={assign!r}")
 
     def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})

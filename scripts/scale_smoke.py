@@ -247,13 +247,81 @@ def main() -> None:
         return spark.sql(
             translate_clickhouse_sql(
                 "SELECT user_id, windowFunnel(86400)(ts, "
-                "event_type = 'view', event_type = 'cart', "
+                "event_type = 'view', event_type = 'click', "
                 "event_type = 'purchase') AS lvl "
                 "FROM sm_f GROUP BY user_id"
             )
         )
 
     out["dialect_funnel"] = _time_pair(funnel_sql, ev1, evk, k)
+
+    # round-4 heavy operators — image hashing and SemDeDup
+    from clickhouse_flatfile_tool_spark.operators import multimodal
+
+    # dhash64: the Arrow-batch hash stage, per-row cost, shifted ids.
+    # (The band-join pairing stage is not smoked on the synthetic tiles:
+    # their dup groups are keyed by doc_id % 50, so K copies grow each
+    # group K× and the candidate count K²× BY FIXTURE CONSTRUCTION —
+    # that would measure the planted structure, not the operator.  The
+    # banded equi-join shape itself is the minhash_candidates row above.)
+    ids1 = docs1.select("doc_id").localCheckpoint()
+    n_docs = ids1.count()
+    idsk = (
+        ids1.crossJoin(
+            F.broadcast(spark.range(k).select(F.col("id").alias("__copy")))
+        )
+        .select((F.col("doc_id") + F.col("__copy") * n_docs).alias("doc_id"))
+        .localCheckpoint()
+    )
+    out["image_dhash"] = _time_pair(
+        lambda df: multimodal.dhash64(multimodal.synthesize_tile_payloads(df)),
+        ids1,
+        idsk,
+        k,
+    )
+
+    # SemDeDup: per-copy Rademacher sign flips — cos(Sx, Sy) = cos(x, y)
+    # for a shared diagonal ±1 pattern, so WITHIN-copy near-dup structure
+    # is preserved exactly, while distinct per-copy patterns push
+    # cross-copy cosines to ~0 (dim-64 random vectors).  n_clusters
+    # scales with K (SemDeDup's production knob: cluster size, and with
+    # it the within-cluster quadratic compare, stays constant).
+    def signed_embeddings(emb, kk: int):
+        if kk == 1:
+            return emb
+        copies = emb.crossJoin(
+            F.broadcast(spark.range(kk).select(F.col("id").alias("__copy")))
+        )
+        n = emb.count()
+        return copies.select(
+            (F.col("vec_id") + F.col("__copy") * n).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, i) -> x * CASE WHEN "
+                "pmod(hash(i, __copy), 2) = 0 THEN 1.0D ELSE -1.0D END)"
+            ).alias("embedding"),
+        )
+
+    sd1 = signed_embeddings(emb1, 1).localCheckpoint()
+    sdk = signed_embeddings(emb1, k).localCheckpoint()
+    base_clusters = 16
+    # centroids prebuilt per scale (untimed — the daily-rerun production
+    # shape, same stance as pq_search); the timed region is assignment +
+    # within-cluster compare.  assign="hier" is the point: with k ∝ data
+    # the flat n·k assignment is quadratic — two-level keeps it n·2√k.
+    cent1 = similarity.ivf_build_centroids(
+        sd1, n_lists=base_clusters
+    ).localCheckpoint()
+    centk = similarity.ivf_build_centroids(
+        sdk, n_lists=base_clusters * k
+    ).localCheckpoint()
+
+    def semdedup_op(df):
+        cent = cent1 if df is sd1 else centk
+        return similarity.semantic_dedup_pairs(
+            df, centroids=cent, assign="hier"
+        )
+
+    out["semantic_dedup"] = _time_pair(semdedup_op, sd1, sdk, k)
     print(json.dumps({"k": k, "ops": out}))
 
 

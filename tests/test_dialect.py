@@ -1235,3 +1235,67 @@ def test_batch7_rand_family(spark):
     assert 0.0 <= row.rc < 1.0
     assert 5.0 <= row.ru < 6.0
     assert 99.0 < row.rn < 101.0
+
+
+def test_batch8_vector_math(spark):
+    """Batch 8a: the CH vector family over array columns — dot product,
+    Lp distances and norms, cosineDistance (NULL on zero vector — the
+    documented divergence from CH's nan)."""
+    row = spark.sql(
+        tr(
+            "SELECT arrayDotProduct([1.0, 2.0], [3.0, 4.0]) AS dp, "
+            "dotProduct([1, 2], [3, 4]) AS dpi, "
+            "arrayL1Distance([1.0, -2.0], [4.0, 2.0]) AS l1, "
+            "arrayL2Distance([0.0, 0.0], [3.0, 4.0]) AS l2, "
+            "arrayL2SquaredDistance([0.0, 0.0], [3.0, 4.0]) AS l2sq, "
+            "arrayLinfDistance([1.0, 5.0], [2.0, 9.0]) AS linf, "
+            "L1Norm([1.0, -2.0]) AS n1, L2Norm([3.0, 4.0]) AS n2, "
+            "LinfNorm([-7.0, 2.0]) AS ninf, "
+            "round(cosineDistance([1.0, 0.0], [0.0, 1.0]), 6) AS cd_orth, "
+            "round(cosineDistance([1.0, 2.0], [2.0, 4.0]), 6) AS cd_same, "
+            "cosineDistance([0.0, 0.0], [1.0, 0.0]) AS cd_zero"
+        )
+    ).first()
+    assert (row.dp, row.dpi) == (11.0, 11.0)
+    assert (row.l1, row.l2, row.l2sq, row.linf) == (7.0, 5.0, 25.0, 4.0)
+    assert (row.n1, row.n2, row.ninf) == (3.0, 5.0, 7.0)
+    assert (row.cd_orth, row.cd_same) == (1.0, 0.0)
+    assert row.cd_zero is None
+
+
+def test_batch8_tokens_bits_misc(spark):
+    """Batch 8b: hasToken boundary rule, argMaxIf/argMinIf combinators,
+    arrayReverseSort/arrayEnumerateDense, bitmaskToList string output,
+    intExp2/intExp10, tryBase64Decode '' on garbage, toLastDayOfMonth."""
+    spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 30.0, "b"), (3, 20.0, "c"), (4, 99.0, "skip")],
+        "k int, v double, tag string",
+    ).createOrReplaceTempView("b8")
+    row = spark.sql(
+        tr(
+            "SELECT hasToken('ab_cd ef', 'cd') AS ht, "
+            "hasToken('abcd ef', 'bc') AS ht_sub, "
+            "hasTokenCaseInsensitive('AB cd', 'ab') AS htc, "
+            "arrayReverseSort([1, 3, 2]) AS ars, "
+            "arrayEnumerateDense([10, 20, 10, 30]) AS aed, "
+            "bitmaskToList(50) AS bml, "
+            "intExp2(10) AS e2, intExp10(3) AS e10, "
+            "tryBase64Decode('YWJj') AS b64, "
+            "tryBase64Decode('!!invalid!!') AS b64bad, "
+            "toLastDayOfMonth(toDate('2024-02-05')) AS ldm"
+        )
+    ).first()
+    assert row.ht and not row.ht_sub and row.htc
+    assert row.ars == [3, 2, 1]
+    assert row.aed == [1, 2, 1, 3]
+    assert row.bml == "2,16,32"
+    assert (row.e2, row.e10) == (1024, 1000)
+    assert (row.b64, row.b64bad) == ("abc", "")
+    assert str(row.ldm) == "2024-02-29"
+    agg = spark.sql(
+        tr(
+            "SELECT argMaxIf(tag, v, tag != 'skip') AS amx, "
+            "argMinIf(tag, v, tag != 'skip') AS amn FROM b8"
+        )
+    ).first()
+    assert (agg.amx, agg.amn) == ("b", "a")

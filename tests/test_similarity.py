@@ -456,3 +456,54 @@ def test_hard_negatives_label_exclusion(emb, spark):
     assert set(per_q) == set(qlabels)
     for sims in per_q.values():
         assert len(sims) == 5 and sims == sorted(sims, reverse=True)
+
+
+def test_ivf_assign_hier_agreement_and_planted_dup(spark, emb):
+    """Two-level assignment: identical vectors always land identically
+    (exact-dup recall unaffected), most vectors agree with the flat
+    argmax (boundary cases only), and the SemDeDup hier path still
+    catches the planted exact duplicate."""
+    cent = S.ivf_build_centroids(emb, n_lists=16)
+    flat = {
+        r["vec_id"]: r["list_id"]
+        for r in S.ivf_assign(emb, cent).select("vec_id", "list_id").collect()
+    }
+    hier = {
+        r["vec_id"]: r["list_id"]
+        for r in S.ivf_assign_hier(emb, cent)
+        .select("vec_id", "list_id")
+        .collect()
+    }
+    assert set(hier) == set(flat)  # every vector assigned exactly once
+    agree = sum(1 for k in flat if flat[k] == hier[k]) / len(flat)
+    assert agree >= 0.7, f"hier/flat agreement {agree:.2f}"
+
+    dup = emb.filter("vec_id = 7").withColumn(
+        "vec_id", F.lit(999_999).cast("long")
+    )
+    with_dup = emb.unionByName(dup)
+    pairs = S.semantic_dedup_pairs(
+        with_dup, cos_threshold=0.99, centroids=cent, assign="hier"
+    ).collect()
+    assert any(r.id_a == 7 and r.id_b == 999_999 for r in pairs)
+    import pytest
+
+    with pytest.raises(ValueError, match="assign="):
+        S.semantic_dedup_pairs(emb, assign="bogus")
+
+
+def test_semantic_dedup_prebuilt_centroids_match_inline(spark, emb):
+    """Passing prebuilt centroids must reproduce the inline-trained result
+    bit-for-bit (same sample, same seed -> same model)."""
+    cent = S.ivf_build_centroids(emb, n_lists=16)
+    inline = {
+        (r.id_a, r.id_b)
+        for r in S.semantic_dedup_pairs(emb, cos_threshold=0.95).collect()
+    }
+    prebuilt = {
+        (r.id_a, r.id_b)
+        for r in S.semantic_dedup_pairs(
+            emb, cos_threshold=0.95, centroids=cent
+        ).collect()
+    }
+    assert inline == prebuilt
