@@ -397,6 +397,24 @@ def q_pack_bestfit(spark, d):
     return out.orderBy("bucket", "bin_id", "doc_id")
 
 
+def q_strip_html(spark, d):
+    """HTML→text extraction (text.py::strip_html, ClickHouse
+    extractTextFromHTML analog): each document wrapped in markup with a
+    script block, comment, entities and tags, then stripped back to
+    clean text — the Common-Crawl cleanup stage.  Oracle: the identical
+    RE2-compatible regexp/replace chain in DuckDB (global flags)."""
+    docs = _t(spark, d, "documents")
+    html = F.concat(
+        F.lit('<div class="doc"><p>'),
+        F.col("text"),
+        F.lit("</p><script>var x = 1;</script><!-- c -->"
+              "&amp;<style>p{}</style>&nbsp;end</div>"),
+    )
+    return docs.select(
+        "doc_id", text.strip_html(html).alias("clean")
+    ).orderBy("doc_id")
+
+
 def q_dataset_mixture(spark, d):
     """Weighted dataset mixture: keep 100% of 'en' docs, 25% of 'de', 10% of
     everything else — membership a pure function of doc_id (md5), so the
@@ -3589,6 +3607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dialect_final": q_dialect_final,
         "summap_merge": q_summap_merge,
         "pack_bestfit": q_pack_bestfit,
+        "strip_html": q_strip_html,
     }
 
 
@@ -5092,6 +5111,7 @@ FROM ranked WHERE rk <= 5
             "b.vts AS view_ts, b.vvalue AS view_value "
             "FROM a ASOF JOIN b ON a.user_id = b.user_id AND a.ts >= b.vts"
         ),
+        "strip_html": 'WITH h AS (SELECT doc_id, \'<div class="doc"><p>\' || text || \'</p><script>var x = 1;</script><!-- c -->&amp;<style>p{}</style>&nbsp;end</div>\' AS html FROM documents) SELECT doc_id, trim(regexp_replace(replace(replace(replace(replace(replace(replace(replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html, \'(?is)<script[^>]*>.*?</script>\', \' \', \'g\'), \'(?is)<style[^>]*>.*?</style>\', \' \', \'g\'), \'(?s)<!--.*?-->\', \' \', \'g\'), \'<[^>]*>\', \' \', \'g\'), \'&nbsp;\', \' \'), \'&amp;\', \'&\'), \'&lt;\', \'<\'), \'&gt;\', \'>\'), \'&quot;\', \'"\'), \'&#39;\', \'\'\'\'), \'&apos;\', \'\'\'\'), \'\\s+\', \' \', \'g\')) AS clean FROM h ORDER BY doc_id',
         "summap_merge": (
             "WITH per AS (SELECT user_id, event_type AS k, sum(value) AS v "
             "  FROM events GROUP BY user_id, event_type) "

@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "dialect_final",
     "summap_merge",
     "pack_bestfit",
+    "strip_html",
 ]
 
 

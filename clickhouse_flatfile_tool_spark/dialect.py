@@ -1783,6 +1783,31 @@ def _rewrite_misc_calls(chunk: str) -> str:
         )
 
     chunk = _rewrite_call(chunk, "tryBase64Decode", try_b64_make)
+
+    def html_make(args):
+        # extractTextFromHTML: script/style/comment removal → tag strip →
+        # common entity decode → whitespace collapse.  RE2-compatible
+        # patterns (no backreferences) so the same chain runs in oracle
+        # engines; CH's C++ parser additionally handles CDATA/malformed
+        # tags — corpus-cleanup parity, not byte parity.
+        if len(args) != 1:
+            return None
+        out = args[0]
+        for pat in (
+            "(?is)<script[^>]*>.*?</script>",
+            "(?is)<style[^>]*>.*?</style>",
+            "(?s)<!--.*?-->",
+            "<[^>]*>",
+        ):
+            out = f"regexp_replace({out}, '{pat}', ' ')"
+        for ent, ch in (
+            ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+            ("&quot;", '"'), ("&#39;", "''"), ("&apos;", "''"),
+        ):
+            out = f"replace({out}, '{ent}', '{ch}')"
+        return f"trim(regexp_replace({out}, '\\\\s+', ' '))"
+
+    chunk = _rewrite_call(chunk, "extractTextFromHTML", html_make)
     return chunk
 
 

@@ -1286,3 +1286,29 @@ def pr_curve(
         F.round(F.col("__ctp") / F.col("__cn"), 6).alias("precision"),
         F.round(F.col("__ctp") / F.lit(float(total_pos)), 6).alias("recall"),
     )
+
+
+def strip_html(col: str | Column = "text") -> Column:
+    """ClickHouse ``extractTextFromHTML`` analog: drop <script>/<style>
+    blocks and comments, strip remaining tags, decode the common HTML
+    entities, collapse whitespace — the Common-Crawl-style HTML→text
+    cleanup stage of an LLM data pipeline (CCNet/C4 pre-filters operate
+    on extracted text).
+
+    Pure codegen regexp chain (RE2-compatible patterns — no
+    backreferences, so the identical regexes run in the DuckDB oracle);
+    CH's C++ parser additionally handles CDATA and malformed-tag
+    recovery, so outputs can differ on pathological markup — use for
+    corpus cleanup, not byte-parity with CH.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"<[^>]*>", " ")
+    for ent, ch in (
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+        ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+    ):
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

@@ -94,3 +94,26 @@ def test_pack_best_fit_beats_or_ties_first_fit_bins(spark, tables):
     for b, toks in per_bucket_tokens.items():
         lower = math.ceil(toks / 512)
         assert len(per_bucket_bins[b]) <= math.ceil(11 / 9 * lower) + 1
+
+
+def test_strip_html_golden(spark):
+    """extractTextFromHTML analog: scripts/styles/comments dropped whole,
+    tags stripped, entities decoded, whitespace collapsed — and the
+    dialect rewrite computes the identical result."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql as tr
+    from clickhouse_flatfile_tool_spark.operators.text import strip_html
+
+    html = (
+        '<html><body><h1 class="t">Hello &amp; welcome</h1>'
+        "<script type='text/javascript'>var x = '<p>';</script>"
+        "<style>p { color: red }</style><!-- note -->"
+        "<p>a&nbsp;b &lt;tag&gt; &quot;q&quot; &#39;s&#39;</p></body></html>"
+    )
+    df = spark.createDataFrame([(html,)], "text string")
+    got = df.select(strip_html("text").alias("t")).first().t
+    assert got == "Hello & welcome a b <tag> \"q\" 's'"
+    df.createOrReplaceTempView("html_v")
+    via_sql = spark.sql(
+        tr("SELECT extractTextFromHTML(text) AS t FROM html_v")
+    ).first().t
+    assert via_sql == got
