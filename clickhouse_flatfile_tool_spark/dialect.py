@@ -240,6 +240,30 @@ _RENAMES: list[tuple[str, str]] = [
     ("mapValues", "map_values"),
     ("mapContains", "map_contains_key"),
     ("toLastDayOfMonth", "last_day"),
+    # CH window navigation: lagInFrame/leadInFrame respect the window
+    # frame; Spark's lag/lead ignore it — identical under the default
+    # frame, divergent only when an explicit frame would clip the offset
+    ("lagInFrame", "lag"),
+    ("leadInFrame", "lead"),
+    ("firstValue", "first_value"),
+    ("lastValue", "last_value"),
+    ("nthValue", "nth_value"),
+    # the -Stable moment aggregates are the same mathematical definitions
+    # with a numerically stable algorithm — Spark's are already stable
+    ("corrStable", "corr"),
+    ("covarPopStable", "covar_pop"),
+    ("covarSampStable", "covar_samp"),
+    ("stddevPopStable", "stddev_pop"),
+    ("stddevSampStable", "stddev_samp"),
+    ("varPopStable", "var_pop"),
+    ("varSampStable", "var_samp"),
+    ("makeDate", "make_date"),
+    ("makeDateTime", "make_timestamp"),
+    ("fromUnixTimestamp64Milli", "timestamp_millis"),
+    ("fromUnixTimestamp64Micro", "timestamp_micros"),
+    ("toUnixTimestamp64Milli", "unix_millis"),
+    ("toUnixTimestamp64Micro", "unix_micros"),
+    ("translateUTF8", "translate"),
     # type names are engine-specific (UInt8 vs int) — structural use only,
     # same stance as the uniq sketch family
     ("toTypeName", "typeof"),
@@ -643,6 +667,31 @@ def _rewrite_literal_aware(chunk: str, literals: list[str]) -> str:
         has_group = bool(re.search(r"(?<!\\)\((?!\?)", patt))
         return f"regexp_extract({args[0]}, {args[1]}, {1 if has_group else 0})"
 
+    date_name_parts = {
+        "year": "CAST(year({t}) AS STRING)",
+        "quarter": "CAST(quarter({t}) AS STRING)",
+        "month": "date_format({t}, 'MMMM')",
+        "week": "CAST(weekofyear({t}) AS STRING)",
+        "dayofyear": "CAST(dayofyear({t}) AS STRING)",
+        "day": "CAST(dayofmonth({t}) AS STRING)",
+        "weekday": "date_format({t}, 'EEEE')",
+        "hour": "CAST(hour({t}) AS STRING)",
+        "minute": "CAST(minute({t}) AS STRING)",
+        "second": "CAST(second({t}) AS STRING)",
+    }
+
+    def date_name_make(args):
+        # dateName('part', ts) → the named/numbered part AS STRING; only
+        # literal parts resolve at translation time
+        if len(args) != 2:
+            return None
+        part = resolve(args[0])
+        if part is None:
+            return None
+        tpl = date_name_parts.get(part.lower())
+        return tpl.format(t=args[1]) if tpl else None
+
+    chunk = _rewrite_call(chunk, "dateName", date_name_make)
     chunk = _rewrite_call(chunk, "formatDateTime", fmt_make)
     chunk = _rewrite_call(chunk, "dateDiff", diff_make)
     chunk = _rewrite_call(chunk, "date_diff", diff_make)
@@ -1808,6 +1857,82 @@ def _rewrite_misc_calls(chunk: str) -> str:
         return f"trim(regexp_replace({out}, '\\\\s+', ' '))"
 
     chunk = _rewrite_call(chunk, "extractTextFromHTML", html_make)
+
+    def sum_count_make(args):
+        # sumCount(x) → (sum, count) positional tuple, tupleElement-ready
+        if len(args) != 1:
+            return None
+        x = args[0]
+        return f"named_struct('col1', sum({x}), 'col2', count({x}))"
+
+    chunk = _rewrite_call(chunk, "sumCount", sum_count_make)
+
+    def bounding_ratio_make(args):
+        # boundingRatio(x, y): slope between the min-x and max-x points
+        if len(args) != 2:
+            return None
+        x, y = args
+        return (
+            f"((max_by({y}, {x}) - min_by({y}, {x})) / "
+            f"nullif(CAST(max({x}) - min({x}) AS DOUBLE), 0))"
+        )
+
+    chunk = _rewrite_call(chunk, "boundingRatio", bounding_ratio_make)
+
+    for name, secs in (
+        ("toRelativeSecondNum", 1),
+        ("toRelativeMinuteNum", 60),
+        ("toRelativeHourNum", 3600),
+        ("toRelativeDayNum", 86400),
+    ):
+        def rel_make(args, _s=secs):
+            if len(args) != 1:
+                return None
+            return f"(unix_timestamp({args[0]}) DIV {_s})"
+
+        chunk = _rewrite_call(chunk, name, rel_make)
+
+    def jaccard_make(args):
+        if len(args) != 2:
+            return None
+        a, b = args
+        return (
+            f"(CAST(size(array_intersect({a}, {b})) AS DOUBLE) / "
+            f"nullif(size(array_union({a}, {b})), 0))"
+        )
+
+    chunk = _rewrite_call(chunk, "arrayJaccardIndex", jaccard_make)
+
+    def rand_sample_make(args):
+        if len(args) != 2:
+            return None
+        a, n = args
+        return f"slice(shuffle({a}), 1, least(({n}), size({a})))"
+
+    chunk = _rewrite_call(chunk, "arrayRandomSample", rand_sample_make)
+
+    def dec_string_make(args):
+        # literal scale only (DECIMAL type params must be literals)
+        if len(args) == 2 and re.fullmatch(r"\s*\d+\s*", args[1]):
+            sc = int(args[1])
+            return f"CAST(CAST(({args[0]}) AS DECIMAL(38, {sc})) AS STRING)"
+        return None
+
+    chunk = _rewrite_call(chunk, "toDecimalString", dec_string_make)
+
+    def byte_hamming_make(args):
+        # per-position char mismatches; zip_with NULL-pads the shorter
+        # side and <=> counts the pad as a difference — CH's length-delta
+        # behavior exactly
+        if len(args) != 2:
+            return None
+        a, b = args
+        return (
+            f"size(filter(zip_with(split({a}, ''), split({b}, ''), "
+            f"(x, y) -> x <=> y), __m -> NOT __m))"
+        )
+
+    chunk = _rewrite_call(chunk, "byteHammingDistance", byte_hamming_make)
     return chunk
 
 

@@ -1299,3 +1299,74 @@ def test_batch8_tokens_bits_misc(spark):
         )
     ).first()
     assert (agg.amx, agg.amn) == ("b", "a")
+
+
+def test_window_navigation_renames(spark):
+    """lagInFrame/leadInFrame/firstValue/lastValue/nthValue map to
+    Spark's window navigation functions (default-frame semantics agree;
+    explicit-frame clipping is the documented divergence)."""
+    spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "i int, v int"
+    ).createOrReplaceTempView("wn")
+    rows = spark.sql(
+        tr(
+            "SELECT i, lagInFrame(v, 1) OVER (ORDER BY i) AS lg, "
+            "leadInFrame(v) OVER (ORDER BY i) AS ld, "
+            "firstValue(v) OVER (ORDER BY i) AS fv, "
+            "lastValue(v) OVER (ORDER BY i) AS lv, "
+            "nthValue(v, 2) OVER (ORDER BY i) AS nv "
+            "FROM wn ORDER BY i"
+        )
+    ).collect()
+    assert [r.lg for r in rows] == [None, 10, 20]
+    assert [r.ld for r in rows] == [20, 30, None]
+    assert [r.fv for r in rows] == [10, 10, 10]
+    assert [r.lv for r in rows] == [10, 20, 30]
+    assert [r.nv for r in rows] == [None, 20, 20]
+
+
+def test_batch9_misc(spark):
+    """Batch 9: sumCount tuple, boundingRatio slope, toRelative*Num epoch
+    buckets, dateName literal parts, arrayJaccardIndex, toDecimalString,
+    byteHammingDistance (incl. length-delta), translateUTF8, makeDate /
+    makeDateTime, Unix-64 milli round-trip, -Stable aggregate renames."""
+    spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 40.0), (3.0, 30.0)], "x double, y double"
+    ).createOrReplaceTempView("b9")
+    agg = spark.sql(
+        tr(
+            "SELECT sumCount(x) AS sc, boundingRatio(x, y) AS br, "
+            "round(corrStable(x, y), 6) AS cs FROM b9"
+        )
+    ).first()
+    assert (agg.sc.col1, agg.sc.col2) == (6.0, 3)
+    assert agg.br == 10.0  # (30 - 10) / (3 - 1)
+    assert abs(agg.cs - 0.654654) < 1e-6  # corr of (1,10),(2,40),(3,30)
+    row = spark.sql(
+        tr(
+            "SELECT toRelativeHourNum(toDateTime('1970-01-02 03:00:00')) AS rh, "
+            "toRelativeDayNum(toDateTime('1970-01-05 00:00:00')) AS rd, "
+            "dateName('month', toDate('2024-03-05')) AS mn, "
+            "dateName('weekday', toDate('2024-03-05')) AS wd, "
+            "dateName('year', toDate('2024-03-05')) AS yr, "
+            "round(arrayJaccardIndex([1, 2, 3], [2, 3, 4]), 6) AS aj, "
+            "toDecimalString(1.5, 2) AS ds, "
+            "byteHammingDistance('abc', 'abd') AS hd, "
+            "byteHammingDistance('abcde', 'abd') AS hd_len, "
+            "translateUTF8('abca', 'ab', 'xy') AS tl, "
+            "makeDate(2024, 3, 5) AS md, "
+            "makeDateTime(2024, 3, 5, 10, 30, 0) AS mdt, "
+            "toUnixTimestamp64Milli(fromUnixTimestamp64Milli(1700000000123)) AS ms, "
+            "size(arrayRandomSample([1, 2, 3, 4], 2)) AS rs"
+        )
+    ).first()
+    assert (row.rh, row.rd) == (27, 4)
+    assert (row.mn, row.wd, row.yr) == ("March", "Tuesday", "2024")
+    assert row.aj == 0.5
+    assert row.ds == "1.50"
+    assert (row.hd, row.hd_len) == (1, 3)
+    assert row.tl == "xyцx".replace("ц", "c")  # translate maps a->x, b->y
+    assert str(row.md) == "2024-03-05"
+    assert str(row.mdt) == "2024-03-05 10:30:00"
+    assert row.ms == 1700000000123
+    assert row.rs == 2
