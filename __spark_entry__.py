@@ -2294,6 +2294,43 @@ def q_summap_merge(spark, d):
     ).orderBy("user_id")
 
 
+def q_clickhouse_funcs4(spark, d):
+    """Dialect batches 7-9 end-to-end through the SQL endpoint: tokens/
+    ngrams/hasToken boundaries, byteHammingDistance (incl. length tail),
+    bitTest/bitmaskToList/intExp2, formatReadableSize, array Resize/
+    RotateLeft/Product/First/Count/JaccardIndex, the vector family
+    (dot product, L2 distance), monthName/dateName/makeDate, Modified
+    Julian Day.  Oracle: DuckDB natives (list_* family, printf,
+    monthname/dayname, datediff) computing the same values."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    _t(spark, d, "documents").createOrReplaceTempView("cf4_docs")
+    ch_sql = (
+        "SELECT doc_id, "
+        "size(tokens(text)) AS n_toks, "
+        "ngrams(substring(text, 1, 10), 3) AS grams3, "
+        "hasToken(text, 'the') AS has_the, "
+        "byteHammingDistance(lang, 'en') AS hd, "
+        "bitTest(doc_id, 3) AS b3, "
+        "bitmaskToList(modulo(doc_id, 64)) AS bml, "
+        "intExp2(modulo(doc_id, 10)) AS e2, "
+        "formatReadableSize(n_chars * 1024) AS frs, "
+        "arrayProduct([toFloat64(modulo(doc_id, 5)) + 1, 2]) AS prod, "
+        "arrayRotateLeft([n_chars, doc_id, 7], 1) AS rot, "
+        "arrayResize([n_chars], 3, 0) AS rsz, "
+        "arrayFirst(x -> x > 2, [1, modulo(doc_id, 6), 9]) AS afirst, "
+        "arrayCount(x -> modulo(x, 2) = 0, [doc_id, n_chars, 3]) AS acnt, "
+        "round(arrayJaccardIndex([modulo(doc_id, 5), 1, 2], [1, 2, 3]), 6) AS aj, "
+        "round(arrayDotProduct([1.5, 2.0], [toFloat64(modulo(doc_id, 7)), 2.0]), 6) AS dot, "
+        "round(arrayL2Distance([0.0, 0.0], [3.0, toFloat64(modulo(doc_id, 9))]), 6) AS l2, "
+        "monthName(makeDate(2020, modulo(doc_id, 12) + 1, 5)) AS mn, "
+        "dateName('weekday', makeDate(2024, 3, modulo(doc_id, 28) + 1)) AS wd, "
+        "toModifiedJulianDay(makeDate(2024, 1, modulo(doc_id, 28) + 1)) AS mjd "
+        "FROM cf4_docs ORDER BY doc_id"
+    )
+    return spark.sql(translate_clickhouse_sql(ch_sql))
+
+
 def q_dialect_funnel(spark, d):
     """ClickHouse ``windowFunnel(W)(ts, c1..ck)`` through the SQL dialect
     (dialect.py::_rewrite_window_funnel): per user, max funnel level for
@@ -3608,6 +3645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summap_merge": q_summap_merge,
         "pack_bestfit": q_pack_bestfit,
         "strip_html": q_strip_html,
+        "clickhouse_funcs4": q_clickhouse_funcs4,
     }
 
 
@@ -5111,6 +5149,7 @@ FROM ranked WHERE rk <= 5
             "b.vts AS view_ts, b.vvalue AS view_value "
             "FROM a ASOF JOIN b ON a.user_id = b.user_id AND a.ts >= b.vts"
         ),
+        "clickhouse_funcs4": "SELECT doc_id, len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), x -> x != '')) AS n_toks, [substr(substr(text, 1, 10), i, 3) FOR i IN generate_series(1, greatest(len(substr(text, 1, 10)) - 2, 0))] AS grams3, list_contains(string_split_regex(text, '[^a-zA-Z0-9]+'), 'the') AS has_the, greatest(len(lang), 2) - len(list_filter([i FOR i IN generate_series(1, least(len(lang), 2))], i -> substr(lang, i, 1) = substr('en', i, 1))) AS hd, (doc_id >> 3) & 1 AS b3, coalesce(array_to_string([((1::BIGINT) << i)::VARCHAR FOR i IN generate_series(0, 62) IF ((doc_id % 64) >> i) & 1 = 1], ','), '') AS bml, (1::BIGINT) << (doc_id % 10) AS e2, printf('%.2f %s', (n_chars * 1024) / pow(1024, least(floor(log(1024, greatest(abs((n_chars * 1024)::DOUBLE), 1))), 8)), (['B','KiB','MiB','GiB','TiB','PiB','EiB','ZiB','YiB'])[least(floor(log(1024, greatest(abs((n_chars * 1024)::DOUBLE), 1))), 8)::INT + 1]) AS frs, list_product([(doc_id % 5)::DOUBLE + 1, 2]) AS prod, list_concat(([n_chars, doc_id, 7])[2:], ([n_chars, doc_id, 7])[1:1]) AS rot, (list_concat([n_chars], [0, 0]))[1:3] AS rsz, (list_filter([1, doc_id % 6, 9], x -> x > 2))[1] AS afirst, len(list_filter([doc_id, n_chars, 3], x -> x % 2 = 0)) AS acnt, round(len(list_intersect([doc_id % 5, 1, 2], [1, 2, 3]))::DOUBLE / len(list_distinct(list_concat([doc_id % 5, 1, 2], [1, 2, 3]))), 6) AS aj, round(list_dot_product([1.5, 2.0], [(doc_id % 7)::DOUBLE, 2.0]), 6) AS dot, round(list_distance([0.0, 0.0], [3.0, (doc_id % 9)::DOUBLE]), 6) AS l2, monthname(make_date(2020, (doc_id % 12)::INT + 1, 5)) AS mn, dayname(make_date(2024, 3, (doc_id % 28)::INT + 1)) AS wd, datediff('day', DATE '1858-11-17', make_date(2024, 1, (doc_id % 28)::INT + 1)) AS mjd FROM documents ORDER BY doc_id",
         "strip_html": 'WITH h AS (SELECT doc_id, \'<div class="doc"><p>\' || text || \'</p><script>var x = 1;</script><!-- c -->&amp;<style>p{}</style>&nbsp;end</div>\' AS html FROM documents) SELECT doc_id, trim(regexp_replace(replace(replace(replace(replace(replace(replace(replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html, \'(?is)<script[^>]*>.*?</script>\', \' \', \'g\'), \'(?is)<style[^>]*>.*?</style>\', \' \', \'g\'), \'(?s)<!--.*?-->\', \' \', \'g\'), \'<[^>]*>\', \' \', \'g\'), \'&nbsp;\', \' \'), \'&amp;\', \'&\'), \'&lt;\', \'<\'), \'&gt;\', \'>\'), \'&quot;\', \'"\'), \'&#39;\', \'\'\'\'), \'&apos;\', \'\'\'\'), \'\\s+\', \' \', \'g\')) AS clean FROM h ORDER BY doc_id',
         "summap_merge": (
             "WITH per AS (SELECT user_id, event_type AS k, sum(value) AS v "

@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "summap_merge",
     "pack_bestfit",
     "strip_html",
+    "clickhouse_funcs4",
 ]
 
 
