@@ -2331,6 +2331,50 @@ def q_clickhouse_funcs4(spark, d):
     return spark.sql(translate_clickhouse_sql(ch_sql))
 
 
+def q_dialect_aggs2(spark, d):
+    """Batch-9 aggregate forms through the SQL endpoint: sumCount
+    positional tuple via tupleElement, boundingRatio (slope between the
+    min-x and max-x points — x is the unique event_id so the endpoints
+    are deterministic), argMaxIf/argMinIf dual-CASE combinators.
+    Oracle: DuckDB arg_max/arg_min with FILTER."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    _t(spark, d, "events").createOrReplaceTempView("da2_events")
+    ch_sql = (
+        "SELECT event_type, "
+        "round(tupleElement(sumCount(value), 1), 6) AS sum_v, "
+        "tupleElement(sumCount(value), 2) AS cnt_v, "
+        "round(boundingRatio(toFloat64(event_id), value), 6) AS br, "
+        "argMaxIf(user_id, event_id, value > 2) AS amx, "
+        "argMinIf(user_id, event_id, value > 2) AS amn "
+        "FROM da2_events GROUP BY event_type ORDER BY event_type"
+    )
+    return spark.sql(translate_clickhouse_sql(ch_sql))
+
+
+def q_dialect_dates2(spark, d):
+    """Batch-7 time bucketing through the SQL endpoint: five/fifteen-
+    minute and half-hour (timeSlot) epoch-aligned buckets, hours/days
+    since epoch (toRelative*Num), millisecond epoch.  Bucket columns are
+    emitted as epoch seconds (BIGINT) to keep the comparison timezone-
+    free; Spark unix_timestamp and DuckDB epoch_us // 1000000 both
+    TRUNCATE sub-seconds (the ::BIGINT cast would round)."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    _t(spark, d, "events").createOrReplaceTempView("dd2_events")
+    ch_sql = (
+        "SELECT event_id, "
+        "toUnixTimestamp(toStartOfFiveMinutes(ts)) AS b5, "
+        "toUnixTimestamp(toStartOfFifteenMinutes(ts)) AS b15, "
+        "toUnixTimestamp(timeSlot(ts)) AS slot, "
+        "toRelativeHourNum(ts) AS rh, "
+        "toRelativeDayNum(ts) AS rd, "
+        "toUnixTimestamp64Milli(ts) AS ms "
+        "FROM dd2_events ORDER BY event_id"
+    )
+    return spark.sql(translate_clickhouse_sql(ch_sql))
+
+
 def q_dialect_funnel(spark, d):
     """ClickHouse ``windowFunnel(W)(ts, c1..ck)`` through the SQL dialect
     (dialect.py::_rewrite_window_funnel): per user, max funnel level for
@@ -3646,6 +3690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bestfit": q_pack_bestfit,
         "strip_html": q_strip_html,
         "clickhouse_funcs4": q_clickhouse_funcs4,
+        "dialect_aggs2": q_dialect_aggs2,
+        "dialect_dates2": q_dialect_dates2,
     }
 
 
@@ -5149,6 +5195,8 @@ FROM ranked WHERE rk <= 5
             "b.vts AS view_ts, b.vvalue AS view_value "
             "FROM a ASOF JOIN b ON a.user_id = b.user_id AND a.ts >= b.vts"
         ),
+        "dialect_aggs2": 'SELECT event_type, round(sum(value), 6) AS sum_v, count(value) AS cnt_v, round((arg_max(value, event_id) - arg_min(value, event_id)) / (max(event_id) - min(event_id))::DOUBLE, 6) AS br, arg_max(user_id, event_id) FILTER (WHERE value > 2) AS amx, arg_min(user_id, event_id) FILTER (WHERE value > 2) AS amn FROM events GROUP BY event_type ORDER BY event_type',
+        "dialect_dates2": 'SELECT event_id, (epoch_us(ts) // 1000000 // 300) * 300 AS b5, (epoch_us(ts) // 1000000 // 900) * 900 AS b15, (epoch_us(ts) // 1000000 // 1800) * 1800 AS slot, epoch_us(ts) // 1000000 // 3600 AS rh, epoch_us(ts) // 1000000 // 86400 AS rd, epoch_us(ts) // 1000 AS ms FROM events ORDER BY event_id',
         "clickhouse_funcs4": "SELECT doc_id, len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), x -> x != '')) AS n_toks, [substr(substr(text, 1, 10), i, 3) FOR i IN generate_series(1, greatest(len(substr(text, 1, 10)) - 2, 0))] AS grams3, list_contains(string_split_regex(text, '[^a-zA-Z0-9]+'), 'the') AS has_the, greatest(len(lang), 2) - len(list_filter([i FOR i IN generate_series(1, least(len(lang), 2))], i -> substr(lang, i, 1) = substr('en', i, 1))) AS hd, (doc_id >> 3) & 1 AS b3, coalesce(array_to_string([((1::BIGINT) << i)::VARCHAR FOR i IN generate_series(0, 62) IF ((doc_id % 64) >> i) & 1 = 1], ','), '') AS bml, (1::BIGINT) << (doc_id % 10) AS e2, printf('%.2f %s', (n_chars * 1024) / pow(1024, least(floor(log(1024, greatest(abs((n_chars * 1024)::DOUBLE), 1))), 8)), (['B','KiB','MiB','GiB','TiB','PiB','EiB','ZiB','YiB'])[least(floor(log(1024, greatest(abs((n_chars * 1024)::DOUBLE), 1))), 8)::INT + 1]) AS frs, list_product([(doc_id % 5)::DOUBLE + 1, 2]) AS prod, list_concat(([n_chars, doc_id, 7])[2:], ([n_chars, doc_id, 7])[1:1]) AS rot, (list_concat([n_chars], [0, 0]))[1:3] AS rsz, (list_filter([1, doc_id % 6, 9], x -> x > 2))[1] AS afirst, len(list_filter([doc_id, n_chars, 3], x -> x % 2 = 0)) AS acnt, round(len(list_intersect([doc_id % 5, 1, 2], [1, 2, 3]))::DOUBLE / len(list_distinct(list_concat([doc_id % 5, 1, 2], [1, 2, 3]))), 6) AS aj, round(list_dot_product([1.5, 2.0], [(doc_id % 7)::DOUBLE, 2.0]), 6) AS dot, round(list_distance([0.0, 0.0], [3.0, (doc_id % 9)::DOUBLE]), 6) AS l2, monthname(make_date(2020, (doc_id % 12)::INT + 1, 5)) AS mn, dayname(make_date(2024, 3, (doc_id % 28)::INT + 1)) AS wd, datediff('day', DATE '1858-11-17', make_date(2024, 1, (doc_id % 28)::INT + 1)) AS mjd FROM documents ORDER BY doc_id",
         "strip_html": 'WITH h AS (SELECT doc_id, \'<div class="doc"><p>\' || text || \'</p><script>var x = 1;</script><!-- c -->&amp;<style>p{}</style>&nbsp;end</div>\' AS html FROM documents) SELECT doc_id, trim(regexp_replace(replace(replace(replace(replace(replace(replace(replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html, \'(?is)<script[^>]*>.*?</script>\', \' \', \'g\'), \'(?is)<style[^>]*>.*?</style>\', \' \', \'g\'), \'(?s)<!--.*?-->\', \' \', \'g\'), \'<[^>]*>\', \' \', \'g\'), \'&nbsp;\', \' \'), \'&amp;\', \'&\'), \'&lt;\', \'<\'), \'&gt;\', \'>\'), \'&quot;\', \'"\'), \'&#39;\', \'\'\'\'), \'&apos;\', \'\'\'\'), \'\\s+\', \' \', \'g\')) AS clean FROM h ORDER BY doc_id',
         "summap_merge": (

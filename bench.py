@@ -148,6 +148,8 @@ BENCH_QUERIES = [
     "pack_bestfit",
     "strip_html",
     "clickhouse_funcs4",
+    "dialect_aggs2",
+    "dialect_dates2",
 ]
 
 
