@@ -2375,6 +2375,19 @@ def q_dialect_dates2(spark, d):
     return spark.sql(translate_clickhouse_sql(ch_sql))
 
 
+def q_mutual_nn(spark, d):
+    """Mutual nearest-neighbor pair mining (similarity.py::mutual_nn_pairs
+    — the Artetxe & Schwenk bitext-mining criterion, mutual top-1 cosine):
+    embeddings split into even/odd vec_id halves standing in for the two
+    languages; a pair survives iff each side is the other's nearest.
+    Oracle: DuckDB cross join + both-direction row_number ranking with the
+    same (cos DESC, id ASC) tiebreak."""
+    emb = _t(spark, d, "embeddings")
+    left = emb.filter(F.col("vec_id") % 2 == 0)
+    right = emb.filter(F.col("vec_id") % 2 == 1)
+    return similarity.mutual_nn_pairs(left, right).orderBy("left_id")
+
+
 def q_dialect_funnel(spark, d):
     """ClickHouse ``windowFunnel(W)(ts, c1..ck)`` through the SQL dialect
     (dialect.py::_rewrite_window_funnel): per user, max funnel level for
@@ -3690,8 +3703,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bestfit": q_pack_bestfit,
         "strip_html": q_strip_html,
         "clickhouse_funcs4": q_clickhouse_funcs4,
+        "mutual_nn": '\nWITH l AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),\nr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),\npairs AS (SELECT l.vec_id AS left_id, r.vec_id AS right_id,\n          l.embedding AS le, r.embedding AS re FROM l CROSS JOIN r),\nu AS (SELECT left_id, right_id, unnest(le)::DOUBLE AS x,\n      unnest(re)::DOUBLE AS y FROM pairs),\ncos AS (SELECT left_id, right_id,\n        sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS c\n        FROM u GROUP BY left_id, right_id),\nlr AS (SELECT left_id, right_id, c,\n       row_number() OVER (PARTITION BY left_id ORDER BY c DESC, right_id) AS rk\n       FROM cos),\nrl AS (SELECT left_id, right_id,\n       row_number() OVER (PARTITION BY right_id ORDER BY c DESC, left_id) AS rk\n       FROM cos)\nSELECT lr.left_id, lr.right_id, round(lr.c, 6) AS cos_sim\nFROM lr JOIN rl ON lr.left_id = rl.left_id AND lr.right_id = rl.right_id\nWHERE lr.rk = 1 AND rl.rk = 1 ORDER BY lr.left_id\n',
         "dialect_aggs2": q_dialect_aggs2,
         "dialect_dates2": q_dialect_dates2,
+        "mutual_nn": q_mutual_nn,
     }
 
 

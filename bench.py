@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "clickhouse_funcs4",
     "dialect_aggs2",
     "dialect_dates2",
+    "mutual_nn",
 ]
 
 

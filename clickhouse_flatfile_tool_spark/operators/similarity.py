@@ -102,6 +102,47 @@ def cosine_topk(
     )
 
 
+def mutual_nn_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mutual nearest-neighbor pair mining over two embedding sets — the
+    bitext-mining shape (Artetxe & Schwenk 2019, "Margin-based Parallel
+    Corpus Mining with Multilingual Sentence Embeddings" — public paper;
+    this is the mutual-top-1 criterion without the margin ratio): a pair
+    (a, b) survives iff b is a's nearest right-side vector AND a is b's
+    nearest left-side vector.  Mutuality kills the hub problem (a vector
+    that is everyone's neighbor forms at most one pair).
+
+    Plan shape: two :func:`cosine_topk` passes (broadcast one side, scan
+    the other — each side is scanned exactly once) and an equi-join of
+    the two top-1 sets on the (left, right) pair.  At corpus scale swap
+    the exact passes for :func:`ann_cosine_topk`/:func:`ivf_search` —
+    the mutual join is unchanged.
+
+    Returns (left_id, right_id, cos_sim) with cos_sim from the
+    left→right direction (identical to right→left up to rounding).
+    """
+    l2r = cosine_topk(
+        left, right, k=1, query_id=id_col, corpus_id=id_col,
+        vec_col=vec_col, include_self=True,
+    ).select(
+        F.col("query_id").alias("left_id"),
+        F.col("neighbor_id").alias("right_id"),
+        "cos_sim",
+    )
+    r2l = cosine_topk(
+        right, left, k=1, query_id=id_col, corpus_id=id_col,
+        vec_col=vec_col, include_self=True,
+    ).select(
+        F.col("neighbor_id").alias("left_id"),
+        F.col("query_id").alias("right_id"),
+    )
+    return l2r.join(r2l, ["left_id", "right_id"])
+
+
 # ---------------------------------------------------------------------------
 # ANN: random-hyperplane LSH buckets
 # ---------------------------------------------------------------------------

@@ -507,3 +507,28 @@ def test_semantic_dedup_prebuilt_centroids_match_inline(spark, emb):
         ).collect()
     }
     assert inline == prebuilt
+
+
+def test_mutual_nn_planted_and_hub(spark, emb):
+    """Mutual top-1: a planted exact copy forms a pair; a hub vector that
+    is everyone's neighbor forms at most ONE pair (the mutuality point)."""
+    left = emb.filter("vec_id % 2 = 0")
+    planted = left.filter("vec_id = 0").withColumn(
+        "vec_id", F.lit(1_000_001).cast("long")
+    )
+    right = emb.filter("vec_id % 2 = 1").unionByName(planted)
+    pairs = S.mutual_nn_pairs(left, right).collect()
+    assert any(r.left_id == 0 and r.right_id == 1_000_001 for r in pairs)
+    # each id appears at most once per side
+    lefts = [r.left_id for r in pairs]
+    rights = [r.right_id for r in pairs]
+    assert len(lefts) == len(set(lefts)) and len(rights) == len(set(rights))
+
+    hub_left = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.95, 0.05])], "vec_id long, embedding array<double>"
+    )
+    hub_right = spark.createDataFrame(
+        [(10, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    got = S.mutual_nn_pairs(hub_left, hub_right).collect()
+    assert [(r.left_id, r.right_id) for r in got] == [(1, 10)]
