@@ -151,6 +151,8 @@ BENCH_QUERIES = [
     "dialect_aggs2",
     "dialect_dates2",
     "mutual_nn",
+    "value_entropy",
+    "corr_matrix",
 ]
 
 

@@ -878,3 +878,48 @@ def map_aggregate(
         F.col("__e.__k").alias("keys"),
         F.col("__e.__v").alias("vals"),
     )
+
+
+def value_entropy(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str = "entropy",
+    round_to: int = 6,
+) -> DataFrame:
+    """ClickHouse ``entropy(x)`` aggregate: Shannon entropy (bits) of the
+    value distribution per group — H = log2 N − (Σ c·log2 c)/N over the
+    per-value counts.  Two hash aggregations, both map-side combinable;
+    the second one's input is |distinct values| rows per group, so the
+    shuffle never carries raw rows twice.  NULL values count as a
+    category, like ClickHouse."""
+    counts = df.groupBy(*group_cols, value_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    n = F.sum("__c")
+    h = F.log2(n) - F.sum(F.col("__c") * F.log2("__c")) / n
+    return counts.groupBy(*group_cols).agg(
+        F.round(h, round_to).alias(out_col)
+    )
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ClickHouse ``corrMatrix(x1, …, xn)``: all pairwise Pearson
+    correlations in ONE aggregation pass (d² co-moment accumulators,
+    one scan, one 1-row shuffle), unpivoted to (col_a, col_b, corr)
+    long form for joins/filters downstream."""
+    aggs = [
+        F.round(F.corr(a, b), 6).alias(f"__{i}_{j}")
+        for i, a in enumerate(cols)
+        for j, b in enumerate(cols)
+    ]
+    row = df.agg(*aggs)
+    n = len(cols) * len(cols)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', __{i}_{j}"
+        for i, a in enumerate(cols)
+        for j, b in enumerate(cols)
+    )
+    return row.selectExpr(
+        f"stack({n}, {stack_args}) AS (col_a, col_b, corr)"
+    )

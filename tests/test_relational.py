@@ -422,3 +422,34 @@ def test_map_aggregate_shuffle_shape(spark):
     )
     assert plan.count("Exchange") == 2
     assert "Window" not in plan
+
+
+def test_value_entropy_golden(spark):
+    """H([1,1,2,3]) = 1.5 bits; uniform 4 values = 2 bits; constant = 0."""
+    from clickhouse_flatfile_tool_spark.operators.relational import value_entropy
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("a", 3),
+         ("b", 1), ("b", 2), ("b", 3), ("b", 4),
+         ("c", 9), ("c", 9)],
+        "g string, x int",
+    )
+    got = {r["g"]: r["entropy"] for r in value_entropy(df, ["g"], "x").collect()}
+    assert got == {"a": 1.5, "b": 2.0, "c": 0.0}
+
+
+def test_corr_matrix_golden_and_one_pass(spark):
+    from clickhouse_flatfile_tool_spark.operators.relational import corr_matrix
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.5)],
+        "x double, y double, z double",
+    )
+    out = corr_matrix(df, ["x", "y", "z"])
+    got = {(r["col_a"], r["col_b"]): r["corr"] for r in out.collect()}
+    assert got[("x", "x")] == 1.0 and got[("x", "y")] == 1.0
+    assert got[("y", "x")] == 1.0 and abs(got[("x", "z")] + 0.993399) < 1e-6
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one global aggregation; AQE prints the plan twice (final + initial),
+    # so the single real Exchange appears at most twice in the string
+    assert plan.count("Exchange") <= 2 and "Window" not in plan
