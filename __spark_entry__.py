@@ -3589,7 +3589,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
-        "tpch_q10": q_tpch_q10,
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
@@ -4525,19 +4524,6 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
             "   AND TIMESTAMP '1997-12-31 00:00:00') "
             "GROUP BY supp_nation, cust_nation, l_year "
             "ORDER BY supp_nation, cust_nation, l_year"
-        ),
-        "tpch_q10": (
-            "SELECT c_custkey, c_name, c_acctbal, n_name, "
-            "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue "
-            "FROM lineitem "
-            "JOIN orders ON l_orderkey = o_orderkey "
-            "JOIN customer ON o_custkey = c_custkey "
-            "JOIN nation ON c_nationkey = n_nationkey "
-            "WHERE l_returnflag = 'R' "
-            "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
-            "AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00' "
-            "GROUP BY c_custkey, c_name, c_acctbal, n_name "
-            "ORDER BY revenue DESC, c_custkey LIMIT 20"
         ),
         "tpch_q12": (
             "SELECT l_returnflag AS ship_mode, "

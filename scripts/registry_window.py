@@ -125,6 +125,28 @@ def main() -> int:
         print(f"fingerprints refreshed -> {FINGERPRINTS_PATH}")
         return 0
     window = int(args[0]) if args else 50
+    # duplicate-key audit: a repeated literal key in the queries() /
+    # oracle_sql() dict SILENTLY shadows the earlier value (an oracle
+    # that lands in the wrong dict runs rows-only without any error) —
+    # fail loudly instead
+    import ast as _ast
+
+    src = open(entrymod.__file__).read()
+    for fn in _ast.walk(_ast.parse(src)):
+        if isinstance(fn, _ast.FunctionDef) and fn.name in ("queries", "oracle_sql"):
+            for node in _ast.walk(fn):
+                if isinstance(node, _ast.Dict):
+                    keys = [
+                        k.value for k in node.keys
+                        if isinstance(k, _ast.Constant)
+                    ]
+                    dupes = {k for k in keys if keys.count(k) > 1}
+                    if dupes:
+                        print(
+                            f"DUPLICATE literal keys in {fn.name}(): "
+                            f"{sorted(dupes)} — later value shadows earlier"
+                        )
+                        return 1
     names = list(entrymod.queries().keys())
     stale = stale_entries()
     if stale:
