@@ -2397,6 +2397,20 @@ def q_corr_matrix(spark, d):
     ).orderBy("col_a", "col_b")
 
 
+def q_margin_pairs(spark, d):
+    """Ratio-margin pair mining (similarity.py::margin_mined_pairs — the
+    full Artetxe & Schwenk criterion): mutual top-1 pairs scored by
+    cos / mean(the two neighborhood top-4 averages).  Oracle: DuckDB windows —
+    rank on unrounded cosine, average the ROUNDED top-4 values exactly
+    as cosine_topk emits them."""
+    emb = _t(spark, d, "embeddings")
+    left = emb.filter(F.col("vec_id") % 2 == 0)
+    right = emb.filter(F.col("vec_id") % 2 == 1)
+    return similarity.margin_mined_pairs(left, right, margin_k=4).orderBy(
+        "left_id"
+    )
+
+
 def q_mutual_nn(spark, d):
     """Mutual nearest-neighbor pair mining (similarity.py::mutual_nn_pairs
     — the Artetxe & Schwenk bitext-mining criterion, mutual top-1 cosine):
@@ -3729,6 +3743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_nn": q_mutual_nn,
         "value_entropy": q_value_entropy,
         "corr_matrix": q_corr_matrix,
+        "margin_pairs": q_margin_pairs,
     }
 
 
@@ -5222,6 +5237,7 @@ FROM ranked WHERE rk <= 5
         "value_entropy": 'SELECT event_type, round(entropy(user_id), 6) AS entropy FROM events GROUP BY event_type ORDER BY event_type',
         "corr_matrix": "SELECT 'l_quantity' AS col_a, 'l_quantity' AS col_b, round(corr(l_quantity, l_quantity), 6) AS corr FROM lineitem UNION ALL SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, round(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem UNION ALL SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b, round(corr(l_quantity, l_discount), 6) AS corr FROM lineitem UNION ALL SELECT 'l_extendedprice' AS col_a, 'l_quantity' AS col_b, round(corr(l_extendedprice, l_quantity), 6) AS corr FROM lineitem UNION ALL SELECT 'l_extendedprice' AS col_a, 'l_extendedprice' AS col_b, round(corr(l_extendedprice, l_extendedprice), 6) AS corr FROM lineitem UNION ALL SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b, round(corr(l_extendedprice, l_discount), 6) AS corr FROM lineitem UNION ALL SELECT 'l_discount' AS col_a, 'l_quantity' AS col_b, round(corr(l_discount, l_quantity), 6) AS corr FROM lineitem UNION ALL SELECT 'l_discount' AS col_a, 'l_extendedprice' AS col_b, round(corr(l_discount, l_extendedprice), 6) AS corr FROM lineitem UNION ALL SELECT 'l_discount' AS col_a, 'l_discount' AS col_b, round(corr(l_discount, l_discount), 6) AS corr FROM lineitem ORDER BY col_a, col_b",
         "mutual_nn": '\nWITH l AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),\nr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),\npairs AS (SELECT l.vec_id AS left_id, r.vec_id AS right_id,\n          l.embedding AS le, r.embedding AS re FROM l CROSS JOIN r),\nu AS (SELECT left_id, right_id, unnest(le)::DOUBLE AS x,\n      unnest(re)::DOUBLE AS y FROM pairs),\ncos AS (SELECT left_id, right_id,\n        sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS c\n        FROM u GROUP BY left_id, right_id),\nlr AS (SELECT left_id, right_id, c,\n       row_number() OVER (PARTITION BY left_id ORDER BY c DESC, right_id) AS rk\n       FROM cos),\nrl AS (SELECT left_id, right_id,\n       row_number() OVER (PARTITION BY right_id ORDER BY c DESC, left_id) AS rk\n       FROM cos)\nSELECT lr.left_id, lr.right_id, round(lr.c, 6) AS cos_sim\nFROM lr JOIN rl ON lr.left_id = rl.left_id AND lr.right_id = rl.right_id\nWHERE lr.rk = 1 AND rl.rk = 1 ORDER BY lr.left_id\n',
+        "margin_pairs": '\nWITH l AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),\nr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),\npairs AS (SELECT l.vec_id AS left_id, r.vec_id AS right_id,\n          l.embedding AS le, r.embedding AS re FROM l CROSS JOIN r),\nu AS (SELECT left_id, right_id, unnest(le)::DOUBLE AS x,\n      unnest(re)::DOUBLE AS y FROM pairs),\ncos AS (SELECT left_id, right_id,\n        sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS c\n        FROM u GROUP BY left_id, right_id),\nlr AS (SELECT left_id, right_id, c,\n       row_number() OVER (PARTITION BY left_id ORDER BY c DESC, right_id) AS rk\n       FROM cos),\nrl AS (SELECT left_id, right_id, c,\n       row_number() OVER (PARTITION BY right_id ORDER BY c DESC, left_id) AS rk\n       FROM cos),\nlavg AS (SELECT left_id, avg(round(c, 6)) AS la FROM lr WHERE rk <= 4\n         GROUP BY left_id),\nravg AS (SELECT right_id, avg(round(c, 6)) AS ra FROM rl WHERE rk <= 4\n         GROUP BY right_id)\nSELECT lr.left_id, lr.right_id, round(lr.c, 6) AS cos_sim,\n       round(round(lr.c, 6) / ((la + ra) / 2), 6) AS margin\nFROM lr JOIN rl ON lr.left_id = rl.left_id AND lr.right_id = rl.right_id\nJOIN lavg ON lavg.left_id = lr.left_id\nJOIN ravg ON ravg.right_id = lr.right_id\nWHERE lr.rk = 1 AND rl.rk = 1 ORDER BY lr.left_id\n',
         "dialect_aggs2": 'SELECT event_type, round(sum(value), 6) AS sum_v, count(value) AS cnt_v, round((arg_max(value, event_id) - arg_min(value, event_id)) / (max(event_id) - min(event_id))::DOUBLE, 6) AS br, arg_max(user_id, event_id) FILTER (WHERE value > 2) AS amx, arg_min(user_id, event_id) FILTER (WHERE value > 2) AS amn FROM events GROUP BY event_type ORDER BY event_type',
         "dialect_dates2": 'SELECT event_id, (epoch_us(ts) // 1000000 // 300) * 300 AS b5, (epoch_us(ts) // 1000000 // 900) * 900 AS b15, (epoch_us(ts) // 1000000 // 1800) * 1800 AS slot, epoch_us(ts) // 1000000 // 3600 AS rh, epoch_us(ts) // 1000000 // 86400 AS rd, epoch_us(ts) // 1000 AS ms FROM events ORDER BY event_id',
         "clickhouse_funcs4": "SELECT doc_id, len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), x -> x != '')) AS n_toks, [substr(substr(text, 1, 10), i, 3) FOR i IN generate_series(1, greatest(len(substr(text, 1, 10)) - 2, 0))] AS grams3, list_contains(string_split_regex(text, '[^a-zA-Z0-9]+'), 'the') AS has_the, greatest(len(lang), 2) - len(list_filter([i FOR i IN generate_series(1, least(len(lang), 2))], i -> substr(lang, i, 1) = substr('en', i, 1))) AS hd, (doc_id >> 3) & 1 AS b3, coalesce(array_to_string([((1::BIGINT) << i)::VARCHAR FOR i IN generate_series(0, 62) IF ((doc_id % 64) >> i) & 1 = 1], ','), '') AS bml, (1::BIGINT) << (doc_id % 10) AS e2, printf('%.2f %s', (n_chars * 1024) / pow(1024, least(floor(log(1024, greatest(abs((n_chars * 1024)::DOUBLE), 1))), 8)), (['B','KiB','MiB','GiB','TiB','PiB','EiB','ZiB','YiB'])[least(floor(log(1024, greatest(abs((n_chars * 1024)::DOUBLE), 1))), 8)::INT + 1]) AS frs, list_product([(doc_id % 5)::DOUBLE + 1, 2]) AS prod, list_concat(([n_chars, doc_id, 7])[2:], ([n_chars, doc_id, 7])[1:1]) AS rot, (list_concat([n_chars], [0, 0]))[1:3] AS rsz, (list_filter([1, doc_id % 6, 9], x -> x > 2))[1] AS afirst, len(list_filter([doc_id, n_chars, 3], x -> x % 2 = 0)) AS acnt, round(len(list_intersect([doc_id % 5, 1, 2], [1, 2, 3]))::DOUBLE / len(list_distinct(list_concat([doc_id % 5, 1, 2], [1, 2, 3]))), 6) AS aj, round(list_dot_product([1.5, 2.0], [(doc_id % 7)::DOUBLE, 2.0]), 6) AS dot, round(list_distance([0.0, 0.0], [3.0, (doc_id % 9)::DOUBLE]), 6) AS l2, monthname(make_date(2020, (doc_id % 12)::INT + 1, 5)) AS mn, dayname(make_date(2024, 3, (doc_id % 28)::INT + 1)) AS wd, datediff('day', DATE '1858-11-17', make_date(2024, 1, (doc_id % 28)::INT + 1)) AS mjd FROM documents ORDER BY doc_id",

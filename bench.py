@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "mutual_nn",
     "value_entropy",
     "corr_matrix",
+    "margin_pairs",
 ]
 
 

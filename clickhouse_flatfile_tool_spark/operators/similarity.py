@@ -143,6 +143,61 @@ def mutual_nn_pairs(
     return l2r.join(r2l, ["left_id", "right_id"])
 
 
+def margin_mined_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    margin_k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Ratio-margin parallel-pair mining — the full Artetxe & Schwenk
+    2019 criterion on top of :func:`mutual_nn_pairs`: score each mutual
+    top-1 pair by cos(a, b) divided by the mean of the two sides'
+    average top-``margin_k`` cosines.  A pair in a dense hub region
+    (high neighborhood averages) needs a much higher raw cosine to reach
+    the same margin, which is what makes the ratio robust where raw
+    cosine thresholds aren't.
+
+    Plan shape: two more broadcast top-k passes (each side scanned once
+    more) reduced to per-id averages, broadcast-joined onto the mutual
+    pairs.  Margin > 1 means the pair stands out from its neighborhoods;
+    the caller thresholds (the paper uses ~1.06).
+    """
+    pairs = mutual_nn_pairs(left, right, id_col=id_col, vec_col=vec_col)
+    l_avg = (
+        cosine_topk(
+            left, right, k=margin_k, query_id=id_col, corpus_id=id_col,
+            vec_col=vec_col, include_self=True,
+        )
+        .groupBy("query_id")
+        .agg(F.avg("cos_sim").alias("__l_avg"))
+        .withColumnRenamed("query_id", "left_id")
+    )
+    r_avg = (
+        cosine_topk(
+            right, left, k=margin_k, query_id=id_col, corpus_id=id_col,
+            vec_col=vec_col, include_self=True,
+        )
+        .groupBy("query_id")
+        .agg(F.avg("cos_sim").alias("__r_avg"))
+        .withColumnRenamed("query_id", "right_id")
+    )
+    return (
+        pairs.join(l_avg, "left_id")
+        .join(r_avg, "right_id")
+        .select(
+            "left_id",
+            "right_id",
+            "cos_sim",
+            F.round(
+                F.col("cos_sim")
+                / ((F.col("__l_avg") + F.col("__r_avg")) / 2),
+                6,
+            ).alias("margin"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # ANN: random-hyperplane LSH buckets
 # ---------------------------------------------------------------------------

@@ -532,3 +532,22 @@ def test_mutual_nn_planted_and_hub(spark, emb):
     )
     got = S.mutual_nn_pairs(hub_left, hub_right).collect()
     assert [(r.left_id, r.right_id) for r in got] == [(1, 10)]
+
+
+def test_margin_mined_pairs_ranking(spark, emb):
+    """Ratio margin: a planted exact duplicate scores margin > 1 (its
+    cosine of 1.0 exceeds both neighborhood averages), and margins are
+    attached to exactly the mutual pair set."""
+    left = emb.filter("vec_id % 2 = 0")
+    planted = left.filter("vec_id = 0").withColumn(
+        "vec_id", F.lit(1_000_001).cast("long")
+    )
+    right = emb.filter("vec_id % 2 = 1").unionByName(planted)
+    mutual = {(r.left_id, r.right_id)
+              for r in S.mutual_nn_pairs(left, right).collect()}
+    scored = S.margin_mined_pairs(left, right, margin_k=4).collect()
+    assert {(r.left_id, r.right_id) for r in scored} == mutual
+    planted_row = [r for r in scored
+                   if r.left_id == 0 and r.right_id == 1_000_001][0]
+    assert planted_row.margin > 1.0
+    assert all(r.margin > 0 for r in scored)
