@@ -147,6 +147,7 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     allow_exact_matches: bool = True,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """As-of join (EXT J3): each left row picks the latest right row with
     ``right_ts <= left_ts`` (``<`` when ``allow_exact_matches=False``) within
@@ -163,6 +164,9 @@ def asof_join(
 
     Output: all left columns + ``<col>_asof`` for each of ``right_cols`` and
     ``{right_ts}_asof`` (NULL when no right row precedes).
+
+    ``tolerance_seconds`` (pandas ``merge_asof`` semantics): a match more
+    than this far in the past is discarded — NULLs, like no-match.
     """
     lt = left.withColumn("__tag", F.lit(1 if allow_exact_matches else 0))
     rt = right.select(
@@ -186,6 +190,15 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = unioned.withColumn("__m", F.last("__rv", ignorenulls=True).over(w))
+    if tolerance_seconds is not None:
+        # pandas-merge_asof-style tolerance: a match older than the
+        # window is dropped (all _asof columns NULL) — a projection on
+        # the already-matched rows, no extra shuffle
+        within = (
+            F.col(left_ts).cast("double")
+            - F.col(f"__m.{right_ts}_asof").cast("double")
+        ) <= float(tolerance_seconds)
+        matched = matched.withColumn("__m", F.when(within, F.col("__m")))
     out_cols = [c for c in left.columns] + [
         F.col(f"__m.{right_ts}_asof").alias(f"{right_ts}_asof")
     ] + [F.col(f"__m.{c}_asof").alias(f"{c}_asof") for c in right_cols]

@@ -453,3 +453,27 @@ def test_corr_matrix_golden_and_one_pass(spark):
     # one global aggregation; AQE prints the plan twice (final + initial),
     # so the single real Exchange appears at most twice in the string
     assert plan.count("Exchange") <= 2 and "Window" not in plan
+
+
+def test_asof_join_tolerance(spark):
+    """tolerance_seconds drops matches older than the window (pandas
+    merge_asof semantics) while keeping in-window matches intact."""
+    import datetime as dt
+
+    from clickhouse_flatfile_tool_spark.operators.relational import asof_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(seconds=30)), (2, t0 + dt.timedelta(seconds=600))],
+        "k int, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, t0, 10.0), (2, t0, 20.0)], "k int, rts timestamp, v double"
+    )
+    loose = asof_join(left, right, "k", "lts", "rts", ["v"]).collect()
+    assert {r["k"]: r["v_asof"] for r in loose} == {1: 10.0, 2: 20.0}
+    tight = asof_join(
+        left, right, "k", "lts", "rts", ["v"], tolerance_seconds=60
+    ).collect()
+    got = {r["k"]: r["v_asof"] for r in tight}
+    assert got == {1: 10.0, 2: None}
