@@ -264,6 +264,10 @@ _RENAMES: list[tuple[str, str]] = [
     ("toUnixTimestamp64Milli", "unix_millis"),
     ("toUnixTimestamp64Micro", "unix_micros"),
     ("translateUTF8", "translate"),
+    ("substringIndex", "substring_index"),
+    ("reverseUTF8", "reverse"),
+    # CH locate() is MySQL-compat (needle, haystack[, start]) — Spark's
+    # locate has the identical signature, so it passes through untouched
     # type names are engine-specific (UInt8 vs int) — structural use only,
     # same stance as the uniq sketch family
     ("toTypeName", "typeof"),
@@ -1933,6 +1937,79 @@ def _rewrite_misc_calls(chunk: str) -> str:
         )
 
     chunk = _rewrite_call(chunk, "byteHammingDistance", byte_hamming_make)
+
+    def multi_first_pos_make(args):
+        # multiSearchFirstPosition: leftmost occurrence position over all
+        # needles; 0 when none matches (CH's none-value)
+        if len(args) != 2:
+            return None
+        h, arr = args
+        return (
+            f"coalesce(array_min(filter(transform({arr}, "
+            f"__n -> instr({h}, __n)), __p -> __p > 0)), 0)"
+        )
+
+    chunk = _rewrite_call(chunk, "multiSearchFirstPosition", multi_first_pos_make)
+
+    def position_start_make(args):
+        # 3-arg position(haystack, needle, start) → locate(needle,
+        # haystack, start); the 2-arg form is the instr rename below
+        if len(args) != 3:
+            return None
+        h, n, st = args
+        return f"locate({n}, {h}, {st})"
+
+    chunk = _rewrite_call(chunk, "positionUTF8", position_start_make)
+    chunk = _rewrite_call(chunk, "position", position_start_make)
+
+    def count_substr_ci_make(args):
+        if len(args) != 2:
+            return None
+        h, n = args
+        return (
+            f"(CASE WHEN length({n}) = 0 THEN 0 ELSE "
+            f"(length({h}) - length(replace(lower({h}), lower({n}), ''))) "
+            f"DIV length({n}) END)"
+        )
+
+    chunk = _rewrite_call(
+        chunk, "countSubstringsCaseInsensitive", count_substr_ci_make
+    )
+
+    def replace_one_make(args):
+        # replaceOne: first occurrence only (Spark's replace family is
+        # all-occurrences) — splice via instr; no-match leaves h intact
+        if len(args) != 3:
+            return None
+        h, n, r = args
+        pos = f"instr({h}, {n})"
+        return (
+            f"(CASE WHEN {pos} = 0 THEN {h} ELSE "
+            f"concat(substr({h}, 1, {pos} - 1), {r}, "
+            f"substr({h}, {pos} + length({n}))) END)"
+        )
+
+    chunk = _rewrite_call(chunk, "replaceOne", replace_one_make)
+
+    def split_ws_make(args):
+        if len(args) != 1:
+            return None
+        return (
+            f"filter(split({args[0]}, '\\\\s+'), __t -> __t != '')"
+        )
+
+    chunk = _rewrite_call(chunk, "splitByWhitespace", split_ws_make)
+
+    def split_non_alpha_make(args):
+        # splitByNonAlpha: separators are whitespace + punctuation, i.e.
+        # maximal alphanumeric runs — the tokens() boundary rule
+        if len(args) != 1:
+            return None
+        return (
+            f"filter(split({args[0]}, '\\\\P{{Alnum}}+'), __t -> __t != '')"
+        )
+
+    chunk = _rewrite_call(chunk, "splitByNonAlpha", split_non_alpha_make)
     return chunk
 
 

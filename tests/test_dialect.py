@@ -1370,3 +1370,32 @@ def test_batch9_misc(spark):
     assert str(row.mdt) == "2024-03-05 10:30:00"
     assert row.ms == 1700000000123
     assert row.rs == 2
+
+
+def test_batch10_string_search(spark):
+    """Batch 10: multiSearchFirstPosition (0 when absent), 3-arg
+    position→locate, countSubstringsCaseInsensitive, replaceOne first-
+    occurrence splice, splitByWhitespace/splitByNonAlpha,
+    substringIndex/reverseUTF8 renames."""
+    row = spark.sql(
+        tr(
+            "SELECT multiSearchFirstPosition('hello world', ['wor', 'ell']) AS mfp, "
+            "multiSearchFirstPosition('abc', ['xy', 'zq']) AS mfp0, "
+            "position('abcabc', 'bc', 3) AS p3, "
+            "countSubstringsCaseInsensitive('aBAbab', 'ab') AS csci, "
+            "replaceOne('a-b-c', '-', '+') AS ro, "
+            "replaceOne('abc', 'zz', '+') AS ro_none, "
+            "splitByWhitespace('a  b\\tc') AS sw, "
+            "splitByNonAlpha('ab_cd;12') AS sna, "
+            "substringIndex('a.b.c', '.', 2) AS si, "
+            "reverseUTF8('abc') AS rv"
+        )
+    ).first()
+    assert (row.mfp, row.mfp0) == (2, 0)  # 'ell' at 2 beats 'wor' at 7
+    assert row.p3 == 5
+    assert row.csci == 3
+    assert (row.ro, row.ro_none) == ("a+b-c", "abc")
+    assert row.sw == ["a", "b", "c"]
+    assert row.sna == ["ab", "cd", "12"]
+    assert row.si == "a.b"
+    assert row.rv == "cba"
