@@ -266,6 +266,9 @@ _RENAMES: list[tuple[str, str]] = [
     ("translateUTF8", "translate"),
     ("substringIndex", "substring_index"),
     ("reverseUTF8", "reverse"),
+    ("toDate32", "to_date"),
+    ("max2", "greatest"),
+    ("min2", "least"),
     # CH locate() is MySQL-compat (needle, haystack[, start]) — Spark's
     # locate has the identical signature, so it passes through untouched
     # type names are engine-specific (UInt8 vs int) — structural use only,
@@ -278,6 +281,25 @@ _ZERO_ARG: list[tuple[str, str]] = [
     ("today()", "current_date()"),
     ("yesterday()", "date_sub(current_date(), 1)"),
     ("randCanonical()", "rand()"),  # both: uniform [0, 1)
+    ("currentDatabase()", "current_database()"),
+    ("currentUser()", "current_user()"),
+    ("timezone()", "current_timezone()"),
+    ("serverTimezone()", "current_timezone()"),
+    ("now64()", "current_timestamp()"),
+    # typed empty-array constructors
+    ("emptyArrayString()", "CAST(array() AS ARRAY<STRING>)"),
+    ("emptyArrayInt8()", "CAST(array() AS ARRAY<TINYINT>)"),
+    ("emptyArrayInt16()", "CAST(array() AS ARRAY<SMALLINT>)"),
+    ("emptyArrayInt32()", "CAST(array() AS ARRAY<INT>)"),
+    ("emptyArrayInt64()", "CAST(array() AS ARRAY<BIGINT>)"),
+    ("emptyArrayUInt8()", "CAST(array() AS ARRAY<SMALLINT>)"),
+    ("emptyArrayUInt16()", "CAST(array() AS ARRAY<INT>)"),
+    ("emptyArrayUInt32()", "CAST(array() AS ARRAY<BIGINT>)"),
+    ("emptyArrayUInt64()", "CAST(array() AS ARRAY<BIGINT>)"),
+    ("emptyArrayFloat32()", "CAST(array() AS ARRAY<FLOAT>)"),
+    ("emptyArrayFloat64()", "CAST(array() AS ARRAY<DOUBLE>)"),
+    ("emptyArrayDate()", "CAST(array() AS ARRAY<DATE>)"),
+    ("emptyArrayDateTime()", "CAST(array() AS ARRAY<TIMESTAMP>)"),
 ]
 
 
@@ -695,6 +717,28 @@ def _rewrite_literal_aware(chunk: str, literals: list[str]) -> str:
         tpl = date_name_parts.get(part.lower())
         return tpl.format(t=args[1]) if tpl else None
 
+    def acc_cast_make(try_form: bool):
+        def make(args):
+            # accurateCast(x, 'Type') / accurateCastOrNull — the CH type
+            # string maps through the schema mapper; CH raises on
+            # overflow where Spark's ANSI CAST also raises (OrNull →
+            # try_cast → NULL, matching exactly)
+            if len(args) != 2:
+                return None
+            tname = resolve(args[1])
+            if tname is None:
+                return None
+            from clickhouse_flatfile_tool_spark.schema import (
+                clickhouse_to_spark,
+            )
+
+            dt, _ = clickhouse_to_spark(tname)
+            fn = "try_cast" if try_form else "CAST"
+            return f"{fn}({args[0]} AS {dt.simpleString()})"
+        return make
+
+    chunk = _rewrite_call(chunk, "accurateCastOrNull", acc_cast_make(True))
+    chunk = _rewrite_call(chunk, "accurateCast", acc_cast_make(False))
     chunk = _rewrite_call(chunk, "dateName", date_name_make)
     chunk = _rewrite_call(chunk, "formatDateTime", fmt_make)
     chunk = _rewrite_call(chunk, "dateDiff", diff_make)
@@ -2010,6 +2054,110 @@ def _rewrite_misc_calls(chunk: str) -> str:
         )
 
     chunk = _rewrite_call(chunk, "splitByNonAlpha", split_non_alpha_make)
+
+    def to_time_make(args):
+        # toTime: keep the time of day, move the date to 1970-01-02
+        # (ClickHouse's documented anchor date)
+        if len(args) != 1:
+            return None
+        return (
+            f"timestamp_seconds(86400 + pmod(unix_timestamp({args[0]}), 86400))"
+        )
+
+    chunk = _rewrite_call(chunk, "toTime", to_time_make)
+
+    def dt64_make(args):
+        # toDateTime64(s, scale): Spark timestamps are fixed us precision
+        # — the scale argument is storage metadata, value-irrelevant here
+        if len(args) in (1, 2):
+            return f"to_timestamp({args[0]})"
+        return None
+
+    chunk = _rewrite_call(chunk, "toDateTime64", dt64_make)
+    chunk = _rewrite_call(
+        chunk, "now64", lambda a: "current_timestamp()" if len(a) <= 1 else None
+    )
+
+    for unit, pos in (
+        ("Year", 0), ("Month", 1), ("Week", 2), ("Day", 3),
+        ("Hour", 4), ("Minute", 5), ("Second", 6),
+    ):
+        def iv_make(args, _p=pos):
+            if len(args) != 1:
+                return None
+            parts = ["0"] * 7
+            parts[_p] = f"({args[0]})"
+            return f"make_interval({', '.join(parts)})"
+
+        chunk = _rewrite_call(chunk, f"toInterval{unit}", iv_make)
+
+    def array_const_make(args):
+        if len(args) != 2:
+            return None
+        return f"array_repeat({args[1]}, CAST(({args[0]}) AS INT))"
+
+    chunk = _rewrite_call(chunk, "arrayWithConstant", array_const_make)
+
+    def identity_make(args):
+        return f"({args[0]})" if len(args) == 1 else None
+
+    chunk = _rewrite_call(chunk, "identity", identity_make)
+    chunk = _rewrite_call(chunk, "materialize", identity_make)
+    # ignore() always returns 0 whatever its arguments
+    chunk = _rewrite_call(chunk, "ignore", lambda a: "0")
+
+    def yyyymmddhhmmss_make(args):
+        if len(args) != 1:
+            return None
+        return (
+            f"CAST(date_format({args[0]}, 'yyyyMMddHHmmss') AS BIGINT)"
+        )
+
+    chunk = _rewrite_call(chunk, "toYYYYMMDDhhmmss", yyyymmddhhmmss_make)
+
+    def joda_from_unix_make(args):
+        # Joda patterns are Spark's own datetime patterns
+        if len(args) != 2:
+            return None
+        return f"from_unixtime({args[0]}, {args[1]})"
+
+    chunk = _rewrite_call(
+        chunk, "fromUnixTimestampInJodaSyntax", joda_from_unix_make
+    )
+    chunk = _rewrite_call(
+        chunk, "formatDateTimeInJodaSyntax",
+        lambda a: f"date_format({a[0]}, {a[1]})" if len(a) == 2 else None,
+    )
+
+    def zero_or_null_make(args):
+        # UInt8-style 0/1 (the empty()/bitTest type convention)
+        if len(args) != 1:
+            return None
+        x = args[0]
+        return f"CAST(({x}) IS NULL OR ({x}) = 0 AS INT)"
+
+    chunk = _rewrite_call(chunk, "isZeroOrNull", zero_or_null_make)
+
+    def mod_or_zero_make(args):
+        if len(args) != 2:
+            return None
+        a, b = args
+        return f"(CASE WHEN ({b}) = 0 THEN 0 ELSE ({a}) % ({b}) END)"
+
+    chunk = _rewrite_call(chunk, "moduloOrZero", mod_or_zero_make)
+
+    def rotate_left_make(args):
+        # 64-bit rotate via shiftleft | unsigned shiftright
+        if len(args) != 2:
+            return None
+        x, n = args
+        return (
+            f"(shiftleft(CAST(({x}) AS BIGINT), CAST(({n}) AS INT)) | "
+            f"shiftrightunsigned(CAST(({x}) AS BIGINT), "
+            f"64 - CAST(({n}) AS INT)))"
+        )
+
+    chunk = _rewrite_call(chunk, "bitRotateLeft", rotate_left_make)
     return chunk
 
 

@@ -1399,3 +1399,45 @@ def test_batch10_string_search(spark):
     assert row.sna == ["ab", "cd", "12"]
     assert row.si == "a.b"
     assert row.rv == "cba"
+
+
+def test_batch11_misc(spark):
+    """Batch 11: toTime anchor date, toDateTime64/now64, typed empty
+    arrays, toInterval* via make_interval, arrayWithConstant,
+    identity/materialize/ignore, toYYYYMMDDhhmmss, Joda-syntax formats,
+    isZeroOrNull, moduloOrZero, bitRotateLeft, accurateCast[OrNull],
+    toDate32/max2/min2 renames, session zero-arg renames."""
+    row = spark.sql(
+        tr(
+            "SELECT toTime(toDateTime('2024-03-05 10:17:44')) AS tt, "
+            "toDateTime64('2024-01-01 00:00:00.123', 3) AS dt64, "
+            "emptyArrayInt64() AS ea, "
+            "toDateTime('2024-03-05 00:00:00') + toIntervalDay(3) AS iv, "
+            "arrayWithConstant(3, 7) AS awc, "
+            "identity(5) AS idn, materialize(6) AS mz, ignore(99, 'x') AS ig, "
+            "toYYYYMMDDhhmmss(toDateTime('2024-03-05 10:17:44')) AS ymdhms, "
+            "fromUnixTimestampInJodaSyntax(86400, 'yyyy-MM-dd') AS joda, "
+            "isZeroOrNull(0) AS zn0, isZeroOrNull(5) AS zn5, "
+            "isZeroOrNull(NULL) AS znn, "
+            "moduloOrZero(5, 0) AS mz0, moduloOrZero(7, 3) AS mz3, "
+            "bitRotateLeft(1, 3) AS brl, "
+            "accurateCast('42', 'Int64') AS ac, "
+            "accurateCastOrNull('xx', 'Int64') AS acn, "
+            "toDate32('2024-01-01') AS d32, "
+            "max2(1, 2) AS mx, min2(1, 2) AS mn"
+        )
+    ).first()
+    assert str(row.tt) == "1970-01-02 10:17:44"
+    assert str(row.dt64) == "2024-01-01 00:00:00.123000"
+    assert row.ea == []
+    assert str(row.iv) == "2024-03-08 00:00:00"
+    assert row.awc == [7, 7, 7]
+    assert (row.idn, row.mz, row.ig) == (5, 6, 0)
+    assert row.ymdhms == 20240305101744
+    assert row.joda == "1970-01-02"
+    assert (row.zn0, row.zn5, row.znn) == (1, 0, 1)
+    assert (row.mz0, row.mz3) == (0, 1)
+    assert row.brl == 8
+    assert (row.ac, row.acn) == (42, None)
+    assert str(row.d32) == "2024-01-01"
+    assert (row.mx, row.mn) == (2, 1)
