@@ -443,8 +443,16 @@ def ch_expression(draw, depth=0):
     atoms = ["x", "y", "7", "1.5", "NULL"]
     if depth >= 3:
         return draw(st.sampled_from(atoms))
-    kind = draw(st.integers(0, 19))
+    kind = draw(st.integers(0, 23))
     sub = lambda: draw(ch_expression(depth=depth + 1))  # noqa: E731
+    if kind == 20:
+        return f"moduloOrZero({sub()}, {draw(st.integers(0, 3))})"
+    if kind == 21:
+        return f"length(replaceOne(toString({sub()}), '1', '99'))"
+    if kind == 22:
+        return f"isZeroOrNull({sub()})"
+    if kind == 23:
+        return f"arraySum(arrayWithConstant(2, toInt64({sub()})))"
     if kind == 16:
         return f"arrayProduct(arrayResize([{sub()}, 2], 3, 1))"
     if kind == 17:
