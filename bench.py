@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "value_entropy",
     "corr_matrix",
     "margin_pairs",
+    "sparkbar",
 ]
 
 

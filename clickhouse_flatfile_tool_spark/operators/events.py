@@ -877,3 +877,81 @@ def props_variant_stats(
             F.sum("__k").alias("sum_path"),
         )
     )
+
+
+def sparkbar(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    buckets: int = 8,
+) -> DataFrame:
+    """ClickHouse ``sparkbar(buckets)(x, y)``: per group, a unicode bar
+    string (▁..█) of the y-sums over ``buckets`` equal-width x ranges —
+    the CH dashboard one-liner histogram.
+
+    Definition (engine-reproducible, mirrored verbatim by the DuckDB
+    oracle): bucket = floor((x − min x) / (max x − min x) · buckets)
+    clamped to [0, buckets−1]; bar level = ceil(8 · bucket_sum /
+    max_bucket_sum) in 1..8 → U+2580+level; a bucket with no rows or a
+    non-positive sum renders a space.  ClickHouse's own glyph choice at
+    bucket boundaries differs in edge cases (no CH server in the sandbox
+    to pin it) — this is the documented uniq-style stance: same shape,
+    engine-specific rendering details.
+
+    Shape: one groupBy for the per-group x range (tiny, broadcast), one
+    groupBy for (group, bucket) sums with map-side combine, one re-group
+    collecting ≤``buckets`` rows per group.  No windows; shuffles carry
+    aggregate-reduced rows only.
+    """
+    rng = df.groupBy(*group_cols).agg(
+        F.min(x_col).alias("__xmin"), F.max(x_col).alias("__xmax")
+    )
+    with_b = df.join(F.broadcast(rng), group_cols).withColumn(
+        "__b",
+        F.least(
+            F.greatest(
+                F.floor(
+                    (F.col(x_col) - F.col("__xmin"))
+                    / F.when(
+                        F.col("__xmax") > F.col("__xmin"),
+                        F.col("__xmax") - F.col("__xmin"),
+                    ).otherwise(F.lit(1))
+                    * buckets
+                ),
+                F.lit(0),
+            ),
+            F.lit(buckets - 1),
+        ).cast("int"),
+    )
+    sums = with_b.groupBy(*group_cols, "__b").agg(
+        F.sum(y_col).alias("__s")
+    )
+    per_group = sums.groupBy(*group_cols).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__b"), F.col("__s")))
+        ).alias("__m"),
+        F.max("__s").alias("__smax"),
+    )
+    # round the ratio to 9 decimals before ceil: per-engine sum-order ulp
+    # noise must not flip a bucket that sits exactly on a level boundary
+    level = lambda s: F.least(  # noqa: E731
+        F.ceil(F.round(F.lit(8.0) * s / F.col("__smax"), 9)).cast("int"),
+        F.lit(8),
+    )
+    # Spark's char()/chr() wrap at 256 — index a literal glyph array
+    glyphs = F.array(*[F.lit(g) for g in "▁▂▃▄▅▆▇█"])
+    glyph = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(buckets - 1)),
+            lambda b: F.when(
+                F.coalesce(F.try_element_at("__m", b.cast("int")), F.lit(0.0))
+                > 0,
+                F.element_at(
+                    glyphs, level(F.try_element_at("__m", b.cast("int")))
+                ),
+            ).otherwise(F.lit(" ")),
+        ),
+    )
+    return per_group.select(*group_cols, glyph.alias("bar"))

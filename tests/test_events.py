@@ -36,3 +36,21 @@ def test_props_variant_stats_handles_malformed(spark):
            for r in props_variant_stats(df).collect()}
     assert out["a"] == (4, 2, 12)
     assert out["b"] == (1, 0, None)
+
+
+def test_sparkbar_golden(spark):
+    """sparkbar: equal-width buckets, ceil-of-8ths glyphs, spaces for
+    empty buckets, full block for the max bucket."""
+    from clickhouse_flatfile_tool_spark.operators.events import sparkbar
+
+    rows = [
+        # group g: x spans 0..7 -> one bucket per x with buckets=8
+        ("g", 0.0, 8.0), ("g", 1.0, 4.0), ("g", 3.0, 2.0), ("g", 7.0, 8.0),
+        # group h: single x value -> everything lands in bucket 0
+        ("h", 5.0, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = {r["k"]: r["bar"] for r in sparkbar(df, ["k"], "x", "y").collect()}
+    # g: sums per bucket [8,4,0,2,0,0,0,8] -> levels [8,4,_,2,_,_,_,8]
+    assert got["g"] == "█▄ ▂   █"
+    assert got["h"] == "█" + " " * 7
