@@ -2411,6 +2411,27 @@ def q_margin_pairs(spark, d):
     )
 
 
+def q_winnow(spark, d):
+    """Winnowing fingerprints (dedup.py::winnow_fingerprints — Schleimer
+    et al. 2003, the MOSS local-overlap detector): per-doc count and
+    lexicographic extremes of the selected k-gram window minima, k=8 w=8
+    (guarantee: shared substrings ≥ 15 chars share a fingerprint).
+    Oracle: DuckDB list comprehensions computing the identical md5
+    window-min definition.  The candidate-pair stage reuses the
+    oracle-proven _bucket_pairs shape (minhash/simhash precedent); the
+    fixture's small vocabulary makes its pair graph near-complete, so the
+    driver row proves the fingerprint algorithm, not the pairing."""
+    fps = dedup.winnow_fingerprints(
+        _t(spark, d, "documents"), k=8, w=8
+    )
+    return fps.select(
+        "doc_id",
+        F.size("fps").alias("n_fps"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
+    ).orderBy("doc_id")
+
+
 def q_sparkbar(spark, d):
     """ClickHouse ``sparkbar(8)(x, y)`` (events.py::sparkbar): per event
     type, the unicode bar string of hourly value sums — the CH dashboard
@@ -3761,6 +3782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix": q_corr_matrix,
         "margin_pairs": q_margin_pairs,
         "sparkbar": q_sparkbar,
+        "winnow": q_winnow,
     }
 
 
@@ -5254,6 +5276,7 @@ FROM ranked WHERE rk <= 5
         "value_entropy": 'SELECT event_type, round(entropy(user_id), 6) AS entropy FROM events GROUP BY event_type ORDER BY event_type',
         "corr_matrix": "SELECT 'l_quantity' AS col_a, 'l_quantity' AS col_b, round(corr(l_quantity, l_quantity), 6) AS corr FROM lineitem UNION ALL SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, round(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem UNION ALL SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b, round(corr(l_quantity, l_discount), 6) AS corr FROM lineitem UNION ALL SELECT 'l_extendedprice' AS col_a, 'l_quantity' AS col_b, round(corr(l_extendedprice, l_quantity), 6) AS corr FROM lineitem UNION ALL SELECT 'l_extendedprice' AS col_a, 'l_extendedprice' AS col_b, round(corr(l_extendedprice, l_extendedprice), 6) AS corr FROM lineitem UNION ALL SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b, round(corr(l_extendedprice, l_discount), 6) AS corr FROM lineitem UNION ALL SELECT 'l_discount' AS col_a, 'l_quantity' AS col_b, round(corr(l_discount, l_quantity), 6) AS corr FROM lineitem UNION ALL SELECT 'l_discount' AS col_a, 'l_extendedprice' AS col_b, round(corr(l_discount, l_extendedprice), 6) AS corr FROM lineitem UNION ALL SELECT 'l_discount' AS col_a, 'l_discount' AS col_b, round(corr(l_discount, l_discount), 6) AS corr FROM lineitem ORDER BY col_a, col_b",
         "mutual_nn": '\nWITH l AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),\nr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),\npairs AS (SELECT l.vec_id AS left_id, r.vec_id AS right_id,\n          l.embedding AS le, r.embedding AS re FROM l CROSS JOIN r),\nu AS (SELECT left_id, right_id, unnest(le)::DOUBLE AS x,\n      unnest(re)::DOUBLE AS y FROM pairs),\ncos AS (SELECT left_id, right_id,\n        sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS c\n        FROM u GROUP BY left_id, right_id),\nlr AS (SELECT left_id, right_id, c,\n       row_number() OVER (PARTITION BY left_id ORDER BY c DESC, right_id) AS rk\n       FROM cos),\nrl AS (SELECT left_id, right_id,\n       row_number() OVER (PARTITION BY right_id ORDER BY c DESC, left_id) AS rk\n       FROM cos)\nSELECT lr.left_id, lr.right_id, round(lr.c, 6) AS cos_sim\nFROM lr JOIN rl ON lr.left_id = rl.left_id AND lr.right_id = rl.right_id\nWHERE lr.rk = 1 AND rl.rk = 1 ORDER BY lr.left_id\n',
+        "winnow": "\nWITH d AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t\n           FROM documents),\ng AS (SELECT doc_id, [md5(substr(t, i, 8)) FOR i IN\n      generate_series(1, greatest(len(t) - 7, 0))] AS h FROM d),\nf AS (SELECT doc_id, list_distinct([list_min(h[j:j+7]) FOR j IN\n      generate_series(1, greatest(len(h) - 7,\n      CASE WHEN len(h) >= 1 THEN 1 ELSE 0 END))]) AS fps FROM g)\nSELECT doc_id, len(fps) AS n_fps, list_min(fps) AS min_fp,\n       list_max(fps) AS max_fp\nFROM f ORDER BY doc_id\n",
         "sparkbar": "\nWITH src AS (SELECT event_type, extract(hour FROM ts)::DOUBLE AS x, value FROM events),\nrng AS (SELECT event_type, min(x) AS xmin, max(x) AS xmax FROM src GROUP BY event_type),\nb AS (SELECT s.event_type,\n      least(greatest(floor((x - xmin) / (CASE WHEN xmax > xmin THEN xmax - xmin ELSE 1 END) * 8), 0), 7)::INT AS bk,\n      value FROM src s JOIN rng USING (event_type)),\nsums AS (SELECT event_type, bk, sum(value) AS s FROM b GROUP BY event_type, bk),\nmx AS (SELECT event_type, max(s) AS smax FROM sums GROUP BY event_type),\ngrid AS (SELECT DISTINCT event_type, gs.b FROM rng, generate_series(0, 7) AS gs(b)),\ncells AS (SELECT g.event_type, g.b,\n          CASE WHEN coalesce(s.s, 0) > 0\n               THEN chr((9600 + least(ceil(round(8 * s.s / m.smax, 9)), 8))::INT)\n               ELSE ' ' END AS ch\n          FROM grid g\n          LEFT JOIN sums s ON s.event_type = g.event_type AND s.bk = g.b\n          JOIN mx m ON m.event_type = g.event_type)\nSELECT event_type, string_agg(ch, '' ORDER BY b) AS bar\nFROM cells GROUP BY event_type ORDER BY event_type\n",
         "margin_pairs": '\nWITH l AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),\nr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),\npairs AS (SELECT l.vec_id AS left_id, r.vec_id AS right_id,\n          l.embedding AS le, r.embedding AS re FROM l CROSS JOIN r),\nu AS (SELECT left_id, right_id, unnest(le)::DOUBLE AS x,\n      unnest(re)::DOUBLE AS y FROM pairs),\ncos AS (SELECT left_id, right_id,\n        sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS c\n        FROM u GROUP BY left_id, right_id),\nlr AS (SELECT left_id, right_id, c,\n       row_number() OVER (PARTITION BY left_id ORDER BY c DESC, right_id) AS rk\n       FROM cos),\nrl AS (SELECT left_id, right_id, c,\n       row_number() OVER (PARTITION BY right_id ORDER BY c DESC, left_id) AS rk\n       FROM cos),\nlavg AS (SELECT left_id, avg(round(c, 6)) AS la FROM lr WHERE rk <= 4\n         GROUP BY left_id),\nravg AS (SELECT right_id, avg(round(c, 6)) AS ra FROM rl WHERE rk <= 4\n         GROUP BY right_id)\nSELECT lr.left_id, lr.right_id, round(lr.c, 6) AS cos_sim,\n       round(round(lr.c, 6) / ((la + ra) / 2), 6) AS margin\nFROM lr JOIN rl ON lr.left_id = rl.left_id AND lr.right_id = rl.right_id\nJOIN lavg ON lavg.left_id = lr.left_id\nJOIN ravg ON ravg.right_id = lr.right_id\nWHERE lr.rk = 1 AND rl.rk = 1 ORDER BY lr.left_id\n',
         "dialect_aggs2": 'SELECT event_type, round(sum(value), 6) AS sum_v, count(value) AS cnt_v, round((arg_max(value, event_id) - arg_min(value, event_id)) / (max(event_id) - min(event_id))::DOUBLE, 6) AS br, arg_max(user_id, event_id) FILTER (WHERE value > 2) AS amx, arg_min(user_id, event_id) FILTER (WHERE value > 2) AS amn FROM events GROUP BY event_type ORDER BY event_type',

@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "corr_matrix",
     "margin_pairs",
     "sparkbar",
+    "winnow",
 ]
 
 

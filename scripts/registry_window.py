@@ -110,7 +110,7 @@ def stale_entries() -> set[str]:
 # shapes, all selfcheck-PASS at sf0.01 AND sf0.1) — the mutation and
 # image-dedup families and stale clickhouse_dates outrank them for
 # window slots.
-DEFERRED: set[str] = {"tpch_q13", "tpch_q15", "tpch_q17", "dialect_final", "summap_merge", "pack_bestfit", "strip_html", "clickhouse_funcs4", "dialect_aggs2", "dialect_dates2", "mutual_nn", "value_entropy", "corr_matrix", "margin_pairs", "asof_join", "sparkbar"}
+DEFERRED: set[str] = {"tpch_q13", "tpch_q15", "tpch_q17", "dialect_final", "summap_merge", "pack_bestfit", "strip_html", "clickhouse_funcs4", "dialect_aggs2", "dialect_dates2", "mutual_nn", "value_entropy", "corr_matrix", "margin_pairs", "asof_join", "sparkbar", "winnow"}
 
 
 def main() -> int:

@@ -21,3 +21,39 @@ def test_paragraph_dedup_first_occurrence_rule(spark):
     assert (out[3].n_paragraphs, out[3].n_kept) == (1, 0)
     assert out[3].text == ""
     assert out[4].text == "unique only"
+
+
+def test_winnow_guarantee_and_density(spark):
+    """Winnowing: docs sharing a substring of length >= w + k - 1 share a
+    fingerprint (the paper's guarantee); fingerprint density is near the
+    2/(w+1) bound; disjoint docs share nothing."""
+    from clickhouse_flatfile_tool_spark.operators.dedup import (
+        winnow_candidates,
+        winnow_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, "AAAA " + shared + " BBBB"),
+        (2, "CCCC " + shared + " DDDD"),
+        (3, "zzzz yyyy xxxx wwww vvvv uuuu"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in winnow_candidates(df, k=5, w=4).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    fps = winnow_fingerprints(df, k=5, w=4).collect()
+    by_id = {r["doc_id"]: r["fps"] for r in fps}
+    n_grams = len(rows[0][1].lower()) - 4
+    # distinct-set density can undershoot 2/(w+1) on repeated text; it
+    # must exceed the 1/w floor and stay well under all-positions
+    assert len(by_id[1]) >= n_grams // (4 + 1) // 2
+    assert len(by_id[1]) < n_grams
+
+    short = spark.createDataFrame([(9, "ab")], "doc_id long, text string")
+    out = winnow_fingerprints(short, k=5, w=4).first()
+    assert out["fps"] == []  # shorter than one k-gram -> no fingerprints
