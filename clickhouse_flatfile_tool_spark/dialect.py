@@ -239,6 +239,7 @@ _RENAMES: list[tuple[str, str]] = [
     ("mapKeys", "map_keys"),
     ("mapValues", "map_values"),
     ("mapContains", "map_contains_key"),
+    ("mapFromArrays", "map_from_arrays"),
     ("toLastDayOfMonth", "last_day"),
     # CH window navigation: lagInFrame/leadInFrame respect the window
     # frame; Spark's lag/lead ignore it — identical under the default
@@ -2158,6 +2159,32 @@ def _rewrite_misc_calls(chunk: str) -> str:
         )
 
     chunk = _rewrite_call(chunk, "bitRotateLeft", rotate_left_make)
+
+    # map-lambda family: CH puts the lambda FIRST, Spark's map functions
+    # take it last
+    def map_filter_make(args):
+        if len(args) == 2 and "->" in args[0]:
+            return f"map_filter({args[1]}, {args[0]})"
+        return None
+
+    chunk = _rewrite_call(chunk, "mapFilter", map_filter_make)
+
+    def map_exists_make(args):
+        if len(args) == 2 and "->" in args[0]:
+            return f"(cardinality(map_filter({args[1]}, {args[0]})) > 0)"
+        return None
+
+    chunk = _rewrite_call(chunk, "mapExists", map_exists_make)
+
+    def map_all_make(args):
+        if len(args) == 2 and "->" in args[0]:
+            m = args[1]
+            return (
+                f"(cardinality(map_filter({m}, {args[0]})) = cardinality({m}))"
+            )
+        return None
+
+    chunk = _rewrite_call(chunk, "mapAll", map_all_make)
     return chunk
 
 

@@ -1441,3 +1441,22 @@ def test_batch11_misc(spark):
     assert (row.ac, row.acn) == (42, None)
     assert str(row.d32) == "2024-01-01"
     assert (row.mx, row.mn) == (2, 1)
+
+
+def test_batch12_map_lambdas(spark):
+    """Batch 12: mapFilter/mapExists/mapAll (CH lambda-first argument
+    order), mapFromArrays rename."""
+    row = spark.sql(
+        tr(
+            "SELECT mapFilter((k, v) -> v > 1, map('a', 1, 'b', 2)) AS mf, "
+            "mapExists((k, v) -> v > 1, map('a', 1, 'b', 2)) AS me, "
+            "mapExists((k, v) -> v > 9, map('a', 1)) AS me0, "
+            "mapAll((k, v) -> v > 0, map('a', 1, 'b', 2)) AS ma, "
+            "mapAll((k, v) -> v > 1, map('a', 1, 'b', 2)) AS ma0, "
+            "mapFromArrays(['x', 'y'], [1, 2]) AS mfa"
+        )
+    ).first()
+    assert row.mf == {"b": 2}
+    assert row.me and not row.me0
+    assert row.ma and not row.ma0
+    assert row.mfa == {"x": 1, "y": 2}
