@@ -270,6 +270,13 @@ _RENAMES: list[tuple[str, str]] = [
     ("toDate32", "to_date"),
     ("max2", "greatest"),
     ("min2", "least"),
+    # -OrNull combinator: Spark aggregates are already NULL on an empty
+    # group (CH's non-OrNull forms return the type default instead)
+    ("sumOrNull", "sum"),
+    ("avgOrNull", "avg"),
+    ("minOrNull", "min"),
+    ("maxOrNull", "max"),
+    ("anyOrNull", "first"),
     # CH locate() is MySQL-compat (needle, haystack[, start]) — Spark's
     # locate has the identical signature, so it passes through untouched
     # type names are engine-specific (UInt8 vs int) — structural use only,
@@ -2185,6 +2192,42 @@ def _rewrite_misc_calls(chunk: str) -> str:
         return None
 
     chunk = _rewrite_call(chunk, "mapAll", map_all_make)
+
+    # -Array aggregate combinator: aggregate over all elements of the
+    # array arguments across the group — the element fold runs per row
+    # (DOUBLE accumulation, the arraySum stance), the group aggregate on
+    # top of it
+    _sum_fold = "aggregate({a}, CAST(0 AS DOUBLE), (s, v) -> s + v)"
+
+    def arr_comb(tpl):
+        def make(args):
+            if len(args) != 1:
+                return None
+            return tpl.format(a=args[0])
+        return make
+
+    chunk = _rewrite_call(chunk, "sumArray", arr_comb(f"sum({_sum_fold})"))
+    chunk = _rewrite_call(chunk, "minArray", arr_comb("min(array_min({a}))"))
+    chunk = _rewrite_call(chunk, "maxArray", arr_comb("max(array_max({a}))"))
+    chunk = _rewrite_call(
+        chunk, "avgArray",
+        arr_comb(f"(sum({_sum_fold}) / nullif(sum(size({{a}})), 0))"),
+    )
+    chunk = _rewrite_call(
+        chunk, "countArray", arr_comb("sum(size({a}))")
+    )
+
+    # -Distinct combinator
+    def distinct_comb(agg):
+        def make(args):
+            if len(args) != 1:
+                return None
+            return f"{agg}(DISTINCT {args[0]})"
+        return make
+
+    chunk = _rewrite_call(chunk, "sumDistinct", distinct_comb("sum"))
+    chunk = _rewrite_call(chunk, "avgDistinct", distinct_comb("avg"))
+    chunk = _rewrite_call(chunk, "countDistinct", distinct_comb("count"))
     return chunk
 
 

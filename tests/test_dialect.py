@@ -1460,3 +1460,31 @@ def test_batch12_map_lambdas(spark):
     assert row.me and not row.me0
     assert row.ma and not row.ma0
     assert row.mfa == {"x": 1, "y": 2}
+
+
+def test_batch13_aggregate_combinators(spark):
+    """Batch 13: -Array combinator (element folds under the group
+    aggregate), -Distinct, -OrNull renames."""
+    spark.createDataFrame(
+        [("a", [1.0, 2.0], 1), ("a", [3.0], 1), ("b", [], 2)],
+        "g string, arr array<double>, x int",
+    ).createOrReplaceTempView("b13")
+    rows = {
+        r.g: (r.sa, r.mna, r.mxa, r.ava, r.cta)
+        for r in spark.sql(
+            tr(
+                "SELECT g, sumArray(arr) AS sa, minArray(arr) AS mna, "
+                "maxArray(arr) AS mxa, round(avgArray(arr), 6) AS ava, "
+                "countArray(arr) AS cta FROM b13 GROUP BY g"
+            )
+        ).collect()
+    }
+    assert rows["a"] == (6.0, 1.0, 3.0, 2.0, 3)
+    assert rows["b"][0] == 0.0 and rows["b"][4] == 0
+    agg = spark.sql(
+        tr(
+            "SELECT sumDistinct(x) AS sd, countDistinct(x) AS cd, "
+            "sumOrNull(x) AS sn FROM b13"
+        )
+    ).first()
+    assert (agg.sd, agg.cd, agg.sn) == (3, 2, 4)
