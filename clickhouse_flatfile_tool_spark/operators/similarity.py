@@ -19,7 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from clickhouse_flatfile_tool_spark.operators.relational import top_k_per_group
@@ -102,6 +102,70 @@ def cosine_topk(
     )
 
 
+def _directional_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    max_queries: int = 200_000,
+) -> DataFrame:
+    """Broadcast top-k over PRE-NORMALIZED inputs, Arrow-batch BLAS path:
+    the query matrix ships once (bounded — raises beyond ``max_queries``;
+    use the ANN passes for unbounded sides), each corpus partition is one
+    numpy GEMM, and only Q×k rows per partition survive into the final
+    exact window.  Tie-breaking matches the oracle bit-for-bit: each
+    block sorts by neighbor id first, so the STABLE argsort keeps
+    min-id-first among equal cosines, and the global window re-sorts by
+    (cos DESC, id ASC).  ~10× the codegen fold on the fixture (GEMM vs
+    per-pair lambda folds).  Returns raw ``__cos`` and ``__rk``; ids are
+    LONG by contract (the _PAIR_SCHEMA convention)."""
+    spark = queries.sparkSession
+    q_rows = (
+        queries.select(F.col(id_col).cast("long"), vec_col)
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"_directional_topk: query side exceeds {max_queries} rows — "
+            "use ann_cosine_topk/ivf_search for unbounded sides"
+        )
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.array([r[1] for r in q_rows], dtype=np.float64)
+    bq = spark.sparkContext.broadcast((qids, qm))
+
+    def scan(batches):
+        qids_, qm_ = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values("__nid")
+            cm = np.array(list(pdf["__v"]), dtype=np.float64)
+            nids = pdf["__nid"].to_numpy(dtype=np.int64)
+            sims = qm_ @ cm.T
+            kk = min(k, sims.shape[1])
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids_, kk),
+                    "neighbor_id": nids[order].ravel(),
+                    "__cos": np.take_along_axis(sims, order, axis=1).ravel(),
+                }
+            )
+
+    reduced = corpus.select(
+        F.col(id_col).cast("long").alias("__nid"),
+        F.col(vec_col).alias("__v"),
+    ).mapInPandas(scan, "query_id long, neighbor_id long, __cos double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("__cos"), F.asc("neighbor_id")
+    )
+    return reduced.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= k
+    )
+
+
 def mutual_nn_pairs(
     left: DataFrame,
     right: DataFrame,
@@ -116,27 +180,23 @@ def mutual_nn_pairs(
     nearest left-side vector.  Mutuality kills the hub problem (a vector
     that is everyone's neighbor forms at most one pair).
 
-    Plan shape: two :func:`cosine_topk` passes (broadcast one side, scan
-    the other — each side is scanned exactly once) and an equi-join of
-    the two top-1 sets on the (left, right) pair.  At corpus scale swap
-    the exact passes for :func:`ann_cosine_topk`/:func:`ivf_search` —
-    the mutual join is unchanged.
+    Plan shape: both sides L2-normalized ONCE, then two broadcast
+    dot-product top-1 passes (each side scanned exactly once) and an
+    equi-join of the two top-1 sets on the (left, right) pair.  At
+    corpus scale swap the exact passes for :func:`ann_cosine_topk` /
+    :func:`ivf_search` — the mutual join is unchanged.
 
     Returns (left_id, right_id, cos_sim) with cos_sim from the
     left→right direction (identical to right→left up to rounding).
     """
-    l2r = cosine_topk(
-        left, right, k=1, query_id=id_col, corpus_id=id_col,
-        vec_col=vec_col, include_self=True,
-    ).select(
+    ln = normalize(left.select(id_col, vec_col), vec_col)
+    rn = normalize(right.select(id_col, vec_col), vec_col)
+    l2r = _directional_topk(ln, rn, 1, id_col, vec_col).select(
         F.col("query_id").alias("left_id"),
         F.col("neighbor_id").alias("right_id"),
-        "cos_sim",
+        F.round("__cos", 6).alias("cos_sim"),
     )
-    r2l = cosine_topk(
-        right, left, k=1, query_id=id_col, corpus_id=id_col,
-        vec_col=vec_col, include_self=True,
-    ).select(
+    r2l = _directional_topk(rn, ln, 1, id_col, vec_col).select(
         F.col("neighbor_id").alias("left_id"),
         F.col("query_id").alias("right_id"),
     )
@@ -151,37 +211,40 @@ def margin_mined_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Ratio-margin parallel-pair mining — the full Artetxe & Schwenk
-    2019 criterion on top of :func:`mutual_nn_pairs`: score each mutual
-    top-1 pair by cos(a, b) divided by the mean of the two sides'
-    average top-``margin_k`` cosines.  A pair in a dense hub region
-    (high neighborhood averages) needs a much higher raw cosine to reach
-    the same margin, which is what makes the ratio robust where raw
-    cosine thresholds aren't.
+    2019 criterion on top of the mutual-top-1 rule: score each mutual
+    pair by cos(a, b) divided by the mean of the two sides' average
+    top-``margin_k`` cosines.  A pair in a dense hub region (high
+    neighborhood averages) needs a much higher raw cosine to reach the
+    same margin, which is what makes the ratio robust where raw cosine
+    thresholds aren't.
 
-    Plan shape: two more broadcast top-k passes (each side scanned once
-    more) reduced to per-id averages, broadcast-joined onto the mutual
-    pairs.  Margin > 1 means the pair stands out from its neighborhoods;
-    the caller thresholds (the paper uses ~1.06).
+    ONE top-``margin_k`` pass per direction serves double duty: its
+    rank-1 rows are the mutual candidates and the per-id mean of its
+    ROUNDED cosines is the neighborhood average — two corpus scans
+    total, same as plain :func:`mutual_nn_pairs`.  Margin > 1 means the
+    pair stands out from its neighborhoods; the caller thresholds (the
+    paper uses ~1.06).
     """
-    pairs = mutual_nn_pairs(left, right, id_col=id_col, vec_col=vec_col)
-    l_avg = (
-        cosine_topk(
-            left, right, k=margin_k, query_id=id_col, corpus_id=id_col,
-            vec_col=vec_col, include_self=True,
-        )
-        .groupBy("query_id")
-        .agg(F.avg("cos_sim").alias("__l_avg"))
-        .withColumnRenamed("query_id", "left_id")
+    ln = normalize(left.select(id_col, vec_col), vec_col)
+    rn = normalize(right.select(id_col, vec_col), vec_col)
+    l4 = _directional_topk(ln, rn, margin_k, id_col, vec_col)
+    r4 = _directional_topk(rn, ln, margin_k, id_col, vec_col)
+    l1 = l4.filter(F.col("__rk") == 1).select(
+        F.col("query_id").alias("left_id"),
+        F.col("neighbor_id").alias("right_id"),
+        F.round("__cos", 6).alias("cos_sim"),
     )
-    r_avg = (
-        cosine_topk(
-            right, left, k=margin_k, query_id=id_col, corpus_id=id_col,
-            vec_col=vec_col, include_self=True,
-        )
-        .groupBy("query_id")
-        .agg(F.avg("cos_sim").alias("__r_avg"))
-        .withColumnRenamed("query_id", "right_id")
+    r1 = r4.filter(F.col("__rk") == 1).select(
+        F.col("neighbor_id").alias("left_id"),
+        F.col("query_id").alias("right_id"),
     )
+    pairs = l1.join(r1, ["left_id", "right_id"])
+    l_avg = l4.groupBy("query_id").agg(
+        F.avg(F.round("__cos", 6)).alias("__l_avg")
+    ).withColumnRenamed("query_id", "left_id")
+    r_avg = r4.groupBy("query_id").agg(
+        F.avg(F.round("__cos", 6)).alias("__r_avg")
+    ).withColumnRenamed("query_id", "right_id")
     return (
         pairs.join(l_avg, "left_id")
         .join(r_avg, "right_id")
