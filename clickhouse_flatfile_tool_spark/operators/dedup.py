@@ -1378,6 +1378,7 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = 5,
     w: int = 4,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
     "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
@@ -1402,6 +1403,17 @@ def winnow_fingerprints(
     minutes instead of seconds on the 500-doc fixture).  No shuffle at
     all until the caller aggregates.  Returns (id, fps array<string>).
     """
+    if hash_fn == "md5":
+        _gram_hash = F.md5  # the portable-oracle convention
+    elif hash_fn == "xx":
+        # production primitive: xxhash64 longs — ~4× the md5 throughput
+        # and 8-byte shuffle keys; selects DIFFERENT window minima than
+        # md5 (hash order differs), same density and the same local-
+        # match guarantee (the guarantee is hash-agnostic)
+        def _gram_hash(c):
+            return F.xxhash64(c)
+    else:
+        raise ValueError(f"winnow_fingerprints: hash_fn={hash_fn!r}")
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     d = df.select(F.col(id_col), F.split(norm, "").alias("__c"))
     n_gr = F.greatest(F.size("__c") - F.lit(k - 1), F.lit(0))
@@ -1412,7 +1424,9 @@ def winnow_fingerprints(
     grams = F.filter(
         F.transform(
             F.arrays_zip(*g_slices),
-            lambda s: F.md5(F.concat(*[s[str(i)] for i in range(k)])),
+            lambda s: _gram_hash(
+                F.concat(*[s[str(i)] for i in range(k)])
+            ),
         ),
         lambda x: x.isNotNull(),  # zip-padding rows (doc shorter than k)
     )
@@ -1428,10 +1442,10 @@ def winnow_fingerprints(
     )
     # least() ignores NULL zip padding, so a doc with 1..w-1 grams still
     # yields one fingerprint (the min of what exists)
+    # empty-doc fallback is an empty slice OF THE SAME TYPE (md5 path is
+    # array<string>, xx path array<bigint>)
     fps = F.array_distinct(
-        F.when(F.size("__h") > 0, mins).otherwise(
-            F.array().cast("array<string>")
-        )
+        F.when(F.size("__h") > 0, mins).otherwise(F.slice(mins, 1, 0))
     )
     return h.select(F.col(id_col), fps.alias("fps"))
 
@@ -1443,12 +1457,13 @@ def winnow_candidates(
     k: int = 5,
     w: int = 4,
     max_bucket_size: int | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Candidate pairs sharing any winnowing fingerprint — the inverted-
     index shape shared with MinHash/SimHash banding (:func:`_bucket_pairs`:
     one groupBy on the fingerprint, singleton posts dropped pre-pair,
     hot-fingerprint cap for boilerplate)."""
-    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    fps = winnow_fingerprints(df, id_col, text_col, k, w, hash_fn)
     posted = fps.select(
         F.col(id_col),
         F.lit(0).alias("band"),

@@ -57,3 +57,30 @@ def test_winnow_guarantee_and_density(spark):
     short = spark.createDataFrame([(9, "ab")], "doc_id long, text string")
     out = winnow_fingerprints(short, k=5, w=4).first()
     assert out["fps"] == []  # shorter than one k-gram -> no fingerprints
+
+
+def test_winnow_xx_fast_path(spark):
+    """The xxhash64 production path keeps the local-match guarantee and
+    comparable density (different minima than md5 by design)."""
+    from clickhouse_flatfile_tool_spark.operators.dedup import (
+        winnow_candidates,
+        winnow_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [(1, "AAAA " + shared), (2, shared + " BBBB"),
+         (3, "qqqq rrrr ssss tttt uuuu")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in winnow_candidates(df, k=5, w=4, hash_fn="xx").collect()
+    }
+    assert (1, 2) in pairs and (1, 3) not in pairs
+    fps = winnow_fingerprints(df, k=5, w=4, hash_fn="xx").first()
+    assert len(fps["fps"]) > 0
+    import pytest
+
+    with pytest.raises(ValueError, match="hash_fn"):
+        winnow_fingerprints(df, hash_fn="sha")
