@@ -917,6 +917,11 @@ def _rewrite_curried_quantiles(chunk: str) -> str:
     sketch aggregate ``approx_percentile`` — approximate on both sides, so
     values differ per engine (the exact names are the oracle path)."""
     for name, as_array, fn in (
+        # histogram(N)(x): CH's adaptive-bin histogram -> Spark's
+        # histogram_numeric centroids — both adaptive sketches, so bin
+        # boundaries/values are engine-specific (the uniq stance); use
+        # relational.equi-height/fixed-bucket operators for oracle parity
+        ("histogram", False, "histogram_numeric"),
         ("quantilesTDigest", True, "approx_percentile"),
         ("quantileTDigest", False, "approx_percentile"),
         ("quantilesTiming", True, "approx_percentile"),

@@ -1488,3 +1488,17 @@ def test_batch13_aggregate_combinators(spark):
         )
     ).first()
     assert (agg.sd, agg.cd, agg.sn) == (3, 2, 4)
+
+
+def test_curried_histogram(spark):
+    """histogram(N)(x) -> histogram_numeric(x, N): N adaptive centroids
+    covering the value range (engine-specific bin placement — structure
+    asserted, not values)."""
+    spark.range(100).selectExpr("CAST(id AS DOUBLE) AS v").createOrReplaceTempView(
+        "hgr"
+    )
+    row = spark.sql(tr("SELECT histogram(5)(v) AS h FROM hgr")).first()
+    assert len(row.h) == 5
+    assert sum(c["y"] for c in row.h) == 100  # counts cover every row
+    xs = [c["x"] for c in row.h]
+    assert xs == sorted(xs) and 0 <= xs[0] and xs[-1] <= 99
