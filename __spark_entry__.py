@@ -880,6 +880,222 @@ def q_tpch_q22(spark, d):
     )
 
 
+def q_tpch_q2(spark, d):
+    """TPC-H Q2 shape (minimum-cost supplier), native DataFrame.  The
+    fixture has no partsupp, so the part↔supplier relationship derives
+    from lineitem: supply cost per (part, supplier) = min unit price ever
+    shipped (l_extendedprice / l_quantity).  The correlated MIN subquery
+    decorrelates into ONE per-part grouped min broadcast back into an
+    equality filter — same rewrite as Q17's avg.  Unit prices divide two
+    exact integer-valued doubles, so min/equality are bit-deterministic
+    across engines."""
+    li = _t(spark, d, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
+    )
+    p = _t(spark, d, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY")
+    ).select("p_partkey", "p_brand")
+    s = _t(spark, d, "supplier")
+    n = _t(spark, d, "nation")
+    r = _t(spark, d, "region").filter(F.col("r_name") == "ASIA")
+    # suppliers in the target region, nation name carried through
+    sup = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = ps.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).join(
+        F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    min_cost = offers.groupBy(F.col("p_partkey").alias("mc_key")).agg(
+        F.min("supplycost").alias("min_cost")
+    )
+    return (
+        offers.join(F.broadcast(min_cost), F.col("p_partkey") == F.col("mc_key"))
+        .filter(F.col("supplycost") == F.col("min_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            F.round("supplycost", 4).alias("supplycost"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"),
+            F.asc("p_partkey"),
+        )
+        .limit(100)
+    )
+
+
+def q_tpch_q9(spark, d):
+    """TPC-H Q9 shape (product-type profit), native DataFrame: part /
+    supplier / nation broadcast, one lineitem⋈orders shuffle, profit
+    grouped by (supplier nation, order year).  The fixture has no
+    ps_supplycost, so cost proxies as 10% of p_retailprice per unit
+    (documented divergence — the SHAPE, a LIKE-filtered 6-table profit
+    rollup, is what parity targets)."""
+    li, o, s, n = (
+        _t(spark, d, t) for t in ["lineitem", "orders", "supplier", "nation"]
+    )
+    p = _t(spark, d, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    joined = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - (
+        F.col("p_retailprice") * 0.1 * F.col("l_quantity")
+    )
+    return (
+        joined.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 4).alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+def q_tpch_q11(spark, d):
+    """TPC-H Q11 shape (important stock identification), native DataFrame:
+    per-part "inventory value" for one nation's suppliers, kept only where
+    it exceeds 2x the MEAN per-part value (TPC-H's fixed fraction scales
+    as 1/SF for exactly this reason — the mean-relative threshold is
+    scale-invariant, verified non-empty at sf0.01 AND sf0.1).  The global
+    scalar broadcasts via a 1-row cross join (Q15's pattern — never a
+    global window); the fixture's value proxy is sum(l_extendedprice)
+    over each supplier's shipments standing in for
+    ps_supplycost * ps_availqty."""
+    li = _t(spark, d, "lineitem")
+    s = _t(spark, d, "supplier")
+    n = _t(spark, d, "nation").filter(F.col("n_name") == "NATION_3")
+    nat_li = li.join(
+        F.broadcast(
+            s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey")
+        ),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    )
+    per_part = nat_li.groupBy("l_partkey").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("part_value")
+    )
+    total = per_part.agg(
+        (F.avg("part_value") * 2.0).alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
+
+
+def q_tpch_q16(spark, d):
+    """TPC-H Q16 shape (parts/supplier relationship), native DataFrame:
+    distinct (part, supplier) pairs from lineitem stand in for partsupp;
+    the NOT IN (complaint suppliers) becomes a LEFT ANTI join against the
+    negative-balance suppliers (the fixture's complaint stand-in); then a
+    COUNT(DISTINCT supplier) per (brand, type, size).  Anti join
+    broadcasts (complaint side is tiny); the only shuffle is the distinct
+    + grouped count."""
+    li = _t(spark, d, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = _t(spark, d, "part").filter(F.col("p_brand") != "Brand#1").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    complained = _t(spark, d, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(complained), F.col("l_suppkey") == F.col("s_suppkey"),
+                "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"),
+            F.asc("p_size"),
+        )
+    )
+
+
+def q_tpch_q20(spark, d):
+    """TPC-H Q20 shape (potential part promotion), native DataFrame: the
+    doubly-nested IN subqueries decorrelate into two grouped aggregates
+    over the same (part, supplier) cell — 1996 shipments vs lifetime
+    shipments — compared cell-wise, then a LEFT SEMI join lifts qualifying
+    suppliers (no partsupp: "availqty > ½·shipped" becomes "1996 shipped >
+    ½·lifetime shipped", the concentrated-recent-supply analog).  Part
+    name LIKE gate and nation gate broadcast."""
+    li = _t(spark, d, "lineitem")
+    p = _t(spark, d, "part").filter(F.col("p_name").like("small%")).select(
+        "p_partkey"
+    )
+    cells = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum("l_quantity").alias("qty_total"),
+            F.sum(
+                F.when(F.year("l_shipdate") == 1996, F.col("l_quantity"))
+                .otherwise(0.0)
+            ).alias("qty_1996"),
+        )
+        .filter(F.col("qty_1996") > 0.5 * F.col("qty_total"))
+        .select("l_suppkey")
+    )
+    s = _t(spark, d, "supplier")
+    n = _t(spark, d, "nation").filter(F.col("n_name") == "NATION_2")
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(cells, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_suppkey")
+        .orderBy("s_name", "s_suppkey")
+    )
+
+
+def q_tpch_q21(spark, d):
+    """TPC-H Q21 shape (suppliers who kept orders waiting), native
+    DataFrame.  The EXISTS/NOT-EXISTS double self-join decorrelates into
+    ONE per-order aggregate — distinct suppliers, distinct LATE suppliers
+    (late = shipped >60 days after order date; the fixture has no
+    l_receiptdate), and the identity of the late supplier when unique —
+    then filters to multi-supplier orders where exactly one supplier was
+    late.  One lineitem⋈orders shuffle + one per-order agg replaces the
+    classic triple lineitem scan; supplier/nation broadcast at the end.
+    Counts only → hash-deterministic."""
+    o = _t(spark, d, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = _t(spark, d, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS")
+    per_order = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    s = _t(spark, d, "supplier")
+    n = _t(spark, d, "nation").filter(F.col("n_name") == "NATION_1")
+    blamed = s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    return (
+        per_order.join(
+            F.broadcast(blamed), F.col("late_supp") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
 def q_tpch_q5(spark, d):
     """TPC-H Q5 shape, native DataFrame: 6-table star join where every
     dimension (customer/supplier/nation/region) broadcasts, so the only
@@ -3620,6 +3836,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
         # Remaining slots: proven filler, chosen to RE-prove the greens most
         # affected by this session's changes — the dialect family (empty()/
         # IN-list/subscript/ASOF rewrites touched translate_clickhouse_sql),
@@ -4627,6 +4849,87 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
             "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
             " AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00') "
             "GROUP BY c_nationkey ORDER BY cntrycode"
+        ),
+        "tpch_q2": (
+            "WITH ps AS (SELECT l_partkey, l_suppkey, "
+            " min(l_extendedprice / l_quantity) AS supplycost "
+            " FROM lineitem GROUP BY l_partkey, l_suppkey), "
+            "offers AS (SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, "
+            " supplycost FROM ps "
+            " JOIN part ON l_partkey = p_partkey "
+            " JOIN supplier ON l_suppkey = s_suppkey "
+            " JOIN nation ON s_nationkey = n_nationkey "
+            " JOIN region ON n_regionkey = r_regionkey "
+            " WHERE p_size = 15 AND p_type = 'ECONOMY' AND r_name = 'ASIA') "
+            "SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, "
+            "round(supplycost, 4) AS supplycost "
+            "FROM offers o "
+            "WHERE supplycost = (SELECT min(supplycost) FROM offers i "
+            " WHERE i.p_partkey = o.p_partkey) "
+            "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"
+        ),
+        "tpch_q9": (
+            "SELECT n_name AS nation, year(o_orderdate) AS o_year, "
+            "round(sum(l_extendedprice * (1 - l_discount) "
+            " - p_retailprice * 0.1 * l_quantity), 4) AS sum_profit "
+            "FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE p_name LIKE '%red%' "
+            "GROUP BY n_name, year(o_orderdate) "
+            "ORDER BY nation, o_year DESC"
+        ),
+        "tpch_q11": (
+            "WITH per_part AS (SELECT l_partkey, "
+            " round(sum(l_extendedprice), 2) AS part_value "
+            " FROM lineitem "
+            " JOIN supplier ON l_suppkey = s_suppkey "
+            " JOIN nation ON s_nationkey = n_nationkey "
+            " WHERE n_name = 'NATION_3' GROUP BY l_partkey) "
+            "SELECT l_partkey, part_value FROM per_part "
+            "WHERE part_value > (SELECT avg(part_value) * 2.0 FROM per_part) "
+            "ORDER BY part_value DESC, l_partkey"
+        ),
+        "tpch_q16": (
+            "SELECT p_brand, p_type, p_size, "
+            "count(DISTINCT l_suppkey) AS supplier_cnt "
+            "FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) "
+            "JOIN part ON l_partkey = p_partkey "
+            "WHERE p_brand <> 'Brand#1' "
+            "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier "
+            " WHERE s_acctbal < 0) "
+            "GROUP BY p_brand, p_type, p_size "
+            "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+        ),
+        "tpch_q20": (
+            "SELECT s_name, s_suppkey FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE n_name = 'NATION_2' AND s_suppkey IN ("
+            " SELECT l_suppkey FROM lineitem "
+            " JOIN part ON l_partkey = p_partkey "
+            " WHERE p_name LIKE 'small%' "
+            " GROUP BY l_partkey, l_suppkey "
+            " HAVING sum(CASE WHEN year(l_shipdate) = 1996 THEN l_quantity "
+            "  ELSE 0 END) > 0.5 * sum(l_quantity)) "
+            "ORDER BY s_name, s_suppkey"
+        ),
+        "tpch_q21": (
+            "SELECT s_name, count(*) AS numwait FROM ("
+            " SELECT l_orderkey, "
+            "  max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY "
+            "   THEN l_suppkey END) AS late_supp "
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            " WHERE o_orderstatus = 'F' "
+            " GROUP BY l_orderkey "
+            " HAVING count(DISTINCT l_suppkey) > 1 "
+            "  AND count(DISTINCT CASE WHEN l_shipdate > "
+            "   o_orderdate + INTERVAL 60 DAY THEN l_suppkey END) = 1) "
+            "JOIN supplier ON late_supp = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE n_name = 'NATION_1' "
+            "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"
         ),
         "tpch_q8": (
             "SELECT o_year, "

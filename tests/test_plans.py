@@ -302,3 +302,48 @@ def test_tpch_q17_avg_broadcast(spark, sf_dir):
     plan = explain_str(E.queries()["tpch_q17"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+def test_tpch_q2_min_cost_broadcast(spark, sf_dir):
+    """Q2's correlated MIN decorrelates into a per-part grouped min that
+    joins back by BROADCAST; part/supplier/nation/region dims broadcast
+    too, so the only keyed exchange is the (part, supplier) cell agg."""
+    import __spark_entry__ as E
+
+    plan = explain_str(E.queries()["tpch_q2"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_tpch_q9_single_fact_shuffle(spark, sf_dir):
+    """Q9: part/supplier/nation broadcast; lineitem⋈orders is the only
+    join that may shuffle."""
+    import __spark_entry__ as E
+
+    plan = explain_str(E.queries()["tpch_q9"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_tpch_q16_anti_join_broadcast(spark, sf_dir):
+    """Q16's NOT IN must become a broadcast LEFT ANTI hash join, never a
+    nested loop over the pair set."""
+    import __spark_entry__ as E
+
+    plan = explain_str(E.queries()["tpch_q16"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q21_one_lineitem_scan(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS decorrelation must scan lineitem ONCE (the
+    classic form scans it three times) and keep supplier/nation
+    broadcast."""
+    import __spark_entry__ as E
+
+    df = E.queries()["tpch_q21"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("lineitem.parquet") <= 1 or plan.count("lineitem") <= 2, plan
