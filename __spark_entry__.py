@@ -2547,6 +2547,40 @@ def q_clickhouse_funcs4(spark, d):
     return spark.sql(translate_clickhouse_sql(ch_sql))
 
 
+def q_dialect_ips(spark, d):
+    """Dialect batch 14 end-to-end through the SQL endpoint: IP validity
+    predicates (strict octets / ::-compressed hex), IPv4 CIDR ranges via
+    the positional tuple, bitHammingDistance, the bucket-floor round
+    family (roundToExp2/roundDown/roundAge/roundDuration), intExp10,
+    replaceOne, UTF-8 validity.  Oracle: DuckDB regexp_matches + integer
+    shift math + CASE ladders computing the same values."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    _t(spark, d, "documents").createOrReplaceTempView("cf5_docs")
+    ch_sql = (
+        "SELECT doc_id, "
+        "isIPv4String(concat(toString(modulo(doc_id * 7, 300)), '.0.', "
+        " toString(modulo(doc_id, 256)), '.1')) AS ok4, "
+        "isIPv6String(concat('2001:db8::', "
+        " toString(modulo(doc_id, 99999)))) AS ok6, "
+        "IPv4NumToString(modulo(doc_id * 9973, 4294967296)) AS ip, "
+        "tupleElement(IPv4CIDRToRange(modulo(doc_id * 9973, 4294967296), "
+        " modulo(doc_id, 25) + 8), 1) AS cidr_lo, "
+        "tupleElement(IPv4CIDRToRange(modulo(doc_id * 9973, 4294967296), "
+        " modulo(doc_id, 25) + 8), 2) AS cidr_hi, "
+        "bitHammingDistance(doc_id, n_chars) AS hd, "
+        "roundToExp2(n_chars) AS r2, "
+        "roundDown(modulo(doc_id, 40), [1, 5, 10, 30]) AS rdn, "
+        "roundAge(modulo(doc_id, 90)) AS ra, "
+        "roundDuration(modulo(doc_id * 3, 40000)) AS rdur, "
+        "intExp10(modulo(doc_id, 8)) AS i10, "
+        "replaceOne(lang, 'e', 'E') AS rpl, "
+        "isValidUTF8(text) AS vu "
+        "FROM cf5_docs ORDER BY doc_id"
+    )
+    return spark.sql(translate_clickhouse_sql(ch_sql))
+
+
 def q_dialect_aggs2(spark, d):
     """Batch-9 aggregate forms through the SQL endpoint: sumCount
     positional tuple via tupleElement, boundingRatio (slope between the
@@ -3997,6 +4031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bestfit": q_pack_bestfit,
         "strip_html": q_strip_html,
         "clickhouse_funcs4": q_clickhouse_funcs4,
+        "dialect_ips": q_dialect_ips,
         "dialect_aggs2": q_dialect_aggs2,
         "dialect_dates2": q_dialect_dates2,
         "mutual_nn": q_mutual_nn,
@@ -5582,6 +5617,46 @@ FROM ranked WHERE rk <= 5
         "winnow": "\nWITH d AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t\n           FROM documents),\ng AS (SELECT doc_id, [md5(substr(t, i, 8)) FOR i IN\n      generate_series(1, greatest(len(t) - 7, 0))] AS h FROM d),\nf AS (SELECT doc_id, list_distinct([list_min(h[j:j+7]) FOR j IN\n      generate_series(1, greatest(len(h) - 7,\n      CASE WHEN len(h) >= 1 THEN 1 ELSE 0 END))]) AS fps FROM g)\nSELECT doc_id, len(fps) AS n_fps, list_min(fps) AS min_fp,\n       list_max(fps) AS max_fp\nFROM f ORDER BY doc_id\n",
         "sparkbar": "\nWITH src AS (SELECT event_type, extract(hour FROM ts)::DOUBLE AS x, value FROM events),\nrng AS (SELECT event_type, min(x) AS xmin, max(x) AS xmax FROM src GROUP BY event_type),\nb AS (SELECT s.event_type,\n      least(greatest(floor((x - xmin) / (CASE WHEN xmax > xmin THEN xmax - xmin ELSE 1 END) * 8), 0), 7)::INT AS bk,\n      value FROM src s JOIN rng USING (event_type)),\nsums AS (SELECT event_type, bk, sum(value) AS s FROM b GROUP BY event_type, bk),\nmx AS (SELECT event_type, max(s) AS smax FROM sums GROUP BY event_type),\ngrid AS (SELECT DISTINCT event_type, gs.b FROM rng, generate_series(0, 7) AS gs(b)),\ncells AS (SELECT g.event_type, g.b,\n          CASE WHEN coalesce(s.s, 0) > 0\n               THEN chr((9600 + least(ceil(round(8 * s.s / m.smax, 9)), 8))::INT)\n               ELSE ' ' END AS ch\n          FROM grid g\n          LEFT JOIN sums s ON s.event_type = g.event_type AND s.bk = g.b\n          JOIN mx m ON m.event_type = g.event_type)\nSELECT event_type, string_agg(ch, '' ORDER BY b) AS bar\nFROM cells GROUP BY event_type ORDER BY event_type\n",
         "margin_pairs": '\nWITH l AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),\nr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),\npairs AS (SELECT l.vec_id AS left_id, r.vec_id AS right_id,\n          l.embedding AS le, r.embedding AS re FROM l CROSS JOIN r),\nu AS (SELECT left_id, right_id, unnest(le)::DOUBLE AS x,\n      unnest(re)::DOUBLE AS y FROM pairs),\ncos AS (SELECT left_id, right_id,\n        sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS c\n        FROM u GROUP BY left_id, right_id),\nlr AS (SELECT left_id, right_id, c,\n       row_number() OVER (PARTITION BY left_id ORDER BY c DESC, right_id) AS rk\n       FROM cos),\nrl AS (SELECT left_id, right_id, c,\n       row_number() OVER (PARTITION BY right_id ORDER BY c DESC, left_id) AS rk\n       FROM cos),\nlavg AS (SELECT left_id, avg(round(c, 6)) AS la FROM lr WHERE rk <= 4\n         GROUP BY left_id),\nravg AS (SELECT right_id, avg(round(c, 6)) AS ra FROM rl WHERE rk <= 4\n         GROUP BY right_id)\nSELECT lr.left_id, lr.right_id, round(lr.c, 6) AS cos_sim,\n       round(round(lr.c, 6) / ((la + ra) / 2), 6) AS margin\nFROM lr JOIN rl ON lr.left_id = rl.left_id AND lr.right_id = rl.right_id\nJOIN lavg ON lavg.left_id = lr.left_id\nJOIN ravg ON ravg.right_id = lr.right_id\nWHERE lr.rk = 1 AND rl.rk = 1 ORDER BY lr.left_id\n',
+        "dialect_ips": (
+            "WITH b AS (SELECT doc_id, n_chars, lang, "
+            " (doc_id * 9973) % 4294967296 AS ip, "
+            " (1::BIGINT << (32 - ((doc_id % 25)::INT + 8))) AS span "
+            " FROM documents), "
+            "c AS (SELECT doc_id, n_chars, lang, ip, span, "
+            " (ip // span) * span AS lo FROM b) "
+            "SELECT doc_id, "
+            "(doc_id * 7 % 300) <= 255 AS ok4, "
+            "(doc_id % 99999) <= 9999 AS ok6, "
+            "concat(((ip // 16777216) % 256)::VARCHAR, '.', "
+            " ((ip // 65536) % 256)::VARCHAR, '.', "
+            " ((ip // 256) % 256)::VARCHAR, '.', (ip % 256)::VARCHAR) AS ip, "
+            "concat(((lo // 16777216) % 256)::VARCHAR, '.', "
+            " ((lo // 65536) % 256)::VARCHAR, '.', "
+            " ((lo // 256) % 256)::VARCHAR, '.', (lo % 256)::VARCHAR) AS cidr_lo, "
+            "concat((((lo + span - 1) // 16777216) % 256)::VARCHAR, '.', "
+            " (((lo + span - 1) // 65536) % 256)::VARCHAR, '.', "
+            " (((lo + span - 1) // 256) % 256)::VARCHAR, '.', "
+            " ((lo + span - 1) % 256)::VARCHAR) AS cidr_hi, "
+            "bit_count(xor(doc_id, n_chars::BIGINT)) AS hd, "
+            "CASE WHEN n_chars < 1 THEN 0 ELSE "
+            " 1::BIGINT << (length(bin(n_chars)) - 1) END AS r2, "
+            "coalesce(list_max(list_filter([1, 5, 10, 30], "
+            " __e -> __e <= (doc_id % 40))), 1) AS rdn, "
+            "CASE WHEN (doc_id % 90) < 1 THEN 0 WHEN (doc_id % 90) <= 17 "
+            " THEN 17 WHEN (doc_id % 90) <= 24 THEN 18 "
+            " WHEN (doc_id % 90) <= 34 THEN 25 WHEN (doc_id % 90) <= 44 "
+            " THEN 35 WHEN (doc_id % 90) <= 54 THEN 45 ELSE 55 END AS ra, "
+            "CASE WHEN (doc_id * 3 % 40000) < 1 THEN 0 ELSE "
+            " list_max(list_filter([1, 10, 30, 60, 120, 180, 240, 300, 600, "
+            " 1200, 1800, 3600, 7200, 18000, 36000], "
+            " __e -> __e <= (doc_id * 3 % 40000))) END AS rdur, "
+            "round(power(10, (doc_id % 8)))::BIGINT AS i10, "
+            "CASE WHEN strpos(lang, 'e') > 0 THEN "
+            " concat(substr(lang, 1, strpos(lang, 'e') - 1), 'E', "
+            " substr(lang, strpos(lang, 'e') + 1)) ELSE lang END AS rpl, "
+            "TRUE AS vu "
+            "FROM c ORDER BY doc_id"
+        ),
         "dialect_aggs2": 'SELECT event_type, round(sum(value), 6) AS sum_v, count(value) AS cnt_v, round((arg_max(value, event_id) - arg_min(value, event_id)) / (max(event_id) - min(event_id))::DOUBLE, 6) AS br, arg_max(user_id, event_id) FILTER (WHERE value > 2) AS amx, arg_min(user_id, event_id) FILTER (WHERE value > 2) AS amn FROM events GROUP BY event_type ORDER BY event_type',
         "dialect_dates2": 'SELECT event_id, (epoch_us(ts) // 1000000 // 300) * 300 AS b5, (epoch_us(ts) // 1000000 // 900) * 900 AS b15, (epoch_us(ts) // 1000000 // 1800) * 1800 AS slot, epoch_us(ts) // 1000000 // 3600 AS rh, epoch_us(ts) // 1000000 // 86400 AS rd, epoch_us(ts) // 1000 AS ms FROM events ORDER BY event_id',
         "clickhouse_funcs4": "SELECT doc_id, len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), x -> x != '')) AS n_toks, [substr(substr(text, 1, 10), i, 3) FOR i IN generate_series(1, greatest(len(substr(text, 1, 10)) - 2, 0))] AS grams3, list_contains(string_split_regex(text, '[^a-zA-Z0-9]+'), 'the') AS has_the, greatest(len(lang), 2) - len(list_filter([i FOR i IN generate_series(1, least(len(lang), 2))], i -> substr(lang, i, 1) = substr('en', i, 1))) AS hd, (doc_id >> 3) & 1 AS b3, coalesce(array_to_string([((1::BIGINT) << i)::VARCHAR FOR i IN generate_series(0, 62) IF ((doc_id % 64) >> i) & 1 = 1], ','), '') AS bml, (1::BIGINT) << (doc_id % 10) AS e2, printf('%.2f %s', (n_chars * 1024) / pow(1024, least(floor(log(1024, greatest(abs((n_chars * 1024)::DOUBLE), 1))), 8)), (['B','KiB','MiB','GiB','TiB','PiB','EiB','ZiB','YiB'])[least(floor(log(1024, greatest(abs((n_chars * 1024)::DOUBLE), 1))), 8)::INT + 1]) AS frs, list_product([(doc_id % 5)::DOUBLE + 1, 2]) AS prod, list_concat(([n_chars, doc_id, 7])[2:], ([n_chars, doc_id, 7])[1:1]) AS rot, (list_concat([n_chars], [0, 0]))[1:3] AS rsz, (list_filter([1, doc_id % 6, 9], x -> x > 2))[1] AS afirst, len(list_filter([doc_id, n_chars, 3], x -> x % 2 = 0)) AS acnt, round(len(list_intersect([doc_id % 5, 1, 2], [1, 2, 3]))::DOUBLE / len(list_distinct(list_concat([doc_id % 5, 1, 2], [1, 2, 3]))), 6) AS aj, round(list_dot_product([1.5, 2.0], [(doc_id % 7)::DOUBLE, 2.0]), 6) AS dot, round(list_distance([0.0, 0.0], [3.0, (doc_id % 9)::DOUBLE]), 6) AS l2, monthname(make_date(2020, (doc_id % 12)::INT + 1, 5)) AS mn, dayname(make_date(2024, 3, (doc_id % 28)::INT + 1)) AS wd, datediff('day', DATE '1858-11-17', make_date(2024, 1, (doc_id % 28)::INT + 1)) AS mjd FROM documents ORDER BY doc_id",

@@ -282,6 +282,23 @@ _RENAMES: list[tuple[str, str]] = [
     # type names are engine-specific (UInt8 vs int) — structural use only,
     # same stance as the uniq sketch family
     ("toTypeName", "typeof"),
+    # 64-bit digest family → xxhash64, 32-bit → hash (Murmur3-32, seed 42):
+    # engine-specific values by design, the sipHash64/cityHash64 stance
+    ("farmHash64", "xxhash64"),
+    ("metroHash64", "xxhash64"),
+    ("murmurHash2_64", "xxhash64"),
+    ("murmurHash3_64", "xxhash64"),
+    ("xxHash64", "xxhash64"),
+    ("murmurHash3_32", "hash"),
+    ("murmurHash2_32", "hash"),
+    ("xxHash32", "hash"),
+    ("javaHash", "hash"),
+    ("hiveHash", "hash"),
+    ("intHash32", "hash"),
+    # UTF-8 validity (Spark 4 builtins; toValidUTF8 replaces ill-formed
+    # sequences with U+FFFD on both engines)
+    ("isValidUTF8", "is_valid_utf8"),
+    ("toValidUTF8", "make_valid_utf8"),
 ]
 
 _ZERO_ARG: list[tuple[str, str]] = [
@@ -2313,8 +2330,182 @@ def _rewrite_ipv4(chunk: str) -> str:
             f"CAST(split({s}, '\\\\.')[3] AS BIGINT))"
         )
 
+    def cidr_to_range(args):
+        # IPv4CIDRToRange(ip, prefix) → CH's (lo, hi) tuple as the
+        # positional struct; emits IPv4NumToString(...) text that the
+        # rewrites below then translate (CH IPv4 values render dotted)
+        if len(args) != 2:
+            return None
+        ip = f"CAST({args[0]} AS BIGINT)"
+        span = f"shiftleft(CAST(1 AS BIGINT), 32 - ({args[1]}))"
+        lo = f"(({ip} DIV {span}) * {span})"
+        return (
+            f"named_struct('col1', IPv4NumToString({lo}), "
+            f"'col2', IPv4NumToString({lo} + {span} - 1))"
+        )
+
+    chunk = _rewrite_call(chunk, "IPv4CIDRToRange", cidr_to_range)
     chunk = _rewrite_call(chunk, "IPv4NumToString", num_to_str)
     chunk = _rewrite_call(chunk, "IPv4StringToNum", str_to_num)
+    # validity predicates — pure regexp, no UDF.  isIPv4String rejects
+    # leading zeros (matching CH's strict parser); isIPv6String covers
+    # full and ::-compressed hex forms (not IPv4-mapped ones — CH accepts
+    # those too; port by hand if needed)
+    _OCTET = "(25[0-5]|2[0-4]\\\\d|1\\\\d\\\\d|[1-9]?\\\\d)"
+    chunk = _rewrite_call(
+        chunk, "isIPv4String",
+        lambda a: f"(({a[0]}) RLIKE '^({_OCTET}\\\\.){{3}}{_OCTET}$')"
+        if len(a) == 1 else None,
+    )
+    _H = "[0-9A-Fa-f]{1,4}"
+    _IP6 = (
+        f"^(({_H}:){{7}}{_H}|({_H}:){{1,7}}:|({_H}:){{1,6}}:{_H}"
+        f"|({_H}:){{1,5}}(:{_H}){{1,2}}|({_H}:){{1,4}}(:{_H}){{1,3}}"
+        f"|({_H}:){{1,3}}(:{_H}){{1,4}}|({_H}:){{1,2}}(:{_H}){{1,5}}"
+        f"|{_H}:(:{_H}){{1,6}}|:((:{_H}){{1,7}}|:))$"
+    )
+    chunk = _rewrite_call(
+        chunk, "isIPv6String",
+        lambda a: f"(({a[0]}) RLIKE '{_IP6}')" if len(a) == 1 else None,
+    )
+    return chunk
+
+
+def _rewrite_moving_and_maps(chunk: str) -> str:
+    """Batch 14 — map arithmetic, moving/delta aggregates, rounding
+    helpers, and AUC:
+
+    * ``mapAdd/mapSubtract(m1, m2)`` → ``map_zip_with`` with coalesced
+      cell math (key union, missing = 0 — CH Map-form semantics)
+    * ``mapPopulateSeries(m)`` → dense integer key range via ``sequence``
+    * ``groupArrayMovingSum(x)`` → ``arrayCumSum(collect_list(x))`` (CH's
+      default window = total row count ⇒ prefix sums); ``…MovingAvg``
+      divides by that window size.  Encounter-order caveat as groupArray.
+    * ``deltaSum(x)`` → positive consecutive differences summed (DOUBLE)
+    * ``bitHammingDistance(a, b)`` → ``bit_count(a ^ b)``
+    * ``intExp2/intExp10`` → integer powers (intExp10 exact to 1e15)
+    * ``roundToExp2 / roundDown / roundAge / roundDuration`` → CH's
+      bucket-floor family (fixed ladders from FunctionRoundAge/Duration)
+    * ``replaceOne(h, n, r)`` → first-occurrence splice via ``instr``
+    * ``arrayAUC(scores, labels)`` → rank-sum AUC (Mann-Whitney); exact
+      when scores are distinct (CH tie-averages via its ROC trapezoid)
+
+    Emitted ``arrayCumSum``/``arrayDifference`` text relies on this pass
+    running BEFORE ``_rewrite_misc_calls`` / ``_rewrite_literal_aware``.
+    Multi-reference templates carry the intDiv caveat (column-backed
+    arguments only)."""
+
+    def two(template):
+        def make(args):
+            return template.format(*args) if len(args) == 2 else None
+        return make
+
+    def one(template):
+        def make(args):
+            return template.format(args[0]) if len(args) == 1 else None
+        return make
+
+    chunk = _rewrite_call(
+        chunk, "mapAdd",
+        two("map_zip_with({0}, {1}, (__k, __a, __b) -> "
+            "coalesce(__a, 0) + coalesce(__b, 0))"),
+    )
+    chunk = _rewrite_call(
+        chunk, "mapSubtract",
+        two("map_zip_with({0}, {1}, (__k, __a, __b) -> "
+            "coalesce(__a, 0) - coalesce(__b, 0))"),
+    )
+    chunk = _rewrite_call(
+        chunk, "mapPopulateSeries",
+        one("map_from_arrays("
+            "sequence(array_min(map_keys({0})), array_max(map_keys({0}))), "
+            "transform(sequence(array_min(map_keys({0})), "
+            "array_max(map_keys({0}))), "
+            "__k -> coalesce(element_at({0}, __k), 0)))"),
+    )
+    chunk = _rewrite_call(
+        chunk, "groupArrayMovingSum", one("arrayCumSum(collect_list({0}))")
+    )
+    chunk = _rewrite_call(
+        chunk, "groupArrayMovingAvg",
+        one("transform(arrayCumSum(collect_list({0})), "
+            "__s -> __s / CAST(size(collect_list({0})) AS DOUBLE))"),
+    )
+    chunk = _rewrite_call(
+        chunk, "deltaSum",
+        one("aggregate(filter(arrayDifference(collect_list({0})), "
+            "__v -> __v > 0), CAST(0 AS DOUBLE), (__a, __v) -> __a + __v)"),
+    )
+    chunk = _rewrite_call(
+        chunk, "bitHammingDistance", two("bit_count(({0}) ^ ({1}))")
+    )
+    chunk = _rewrite_call(
+        chunk, "intExp2", one("shiftleft(CAST(1 AS BIGINT), {0})")
+    )
+    chunk = _rewrite_call(
+        chunk, "intExp10", one("CAST(round(power(10, {0})) AS BIGINT)")
+    )
+    # exact integer bit math (highest set bit via bin() length), not
+    # power(2, floor(log2(x))) — log2 of exact powers of two can land an
+    # ULP low and floor() then drops a whole bucket
+    chunk = _rewrite_call(
+        chunk, "roundToExp2",
+        one("(CASE WHEN ({0}) < 1 THEN 0 ELSE shiftleft(CAST(1 AS BIGINT), "
+            "length(bin(CAST(floor({0}) AS BIGINT))) - 1) END)"),
+    )
+    chunk = _rewrite_call(
+        chunk, "roundDown",
+        two("coalesce(array_max(filter({1}, __e -> __e <= ({0}))), "
+            "element_at({1}, 1))"),
+    )
+    chunk = _rewrite_call(
+        chunk, "roundAge",
+        one("(CASE WHEN ({0}) < 1 THEN 0 WHEN ({0}) <= 17 THEN 17 "
+            "WHEN ({0}) <= 24 THEN 18 WHEN ({0}) <= 34 THEN 25 "
+            "WHEN ({0}) <= 44 THEN 35 WHEN ({0}) <= 54 THEN 45 "
+            "ELSE 55 END)"),
+    )
+    chunk = _rewrite_call(
+        chunk, "roundDuration",
+        one("(CASE WHEN ({0}) < 1 THEN 0 ELSE array_max(filter("
+            "array(1, 10, 30, 60, 120, 180, 240, 300, 600, 1200, 1800, "
+            "3600, 7200, 18000, 36000), __e -> __e <= ({0}))) END)"),
+    )
+
+    def replace_one_make(args):
+        if len(args) != 3:
+            return None
+        h, n, r = args
+        at = f"instr({h}, {n})"
+        return (
+            f"(CASE WHEN {at} > 0 THEN concat(substr({h}, 1, {at} - 1), "
+            f"{r}, substr({h}, {at} + length({n}))) ELSE {h} END)"
+        )
+
+    chunk = _rewrite_call(chunk, "replaceOne", replace_one_make)
+
+    def auc_make(args):
+        if len(args) != 2:
+            return None
+        s, l = args
+        z = (
+            f"array_sort(zip_with({s}, {l}, (__s, __l) -> "
+            f"struct(__s AS sc, CAST(__l AS DOUBLE) AS lb)), "
+            f"(__a, __b) -> CASE WHEN __a.sc < __b.sc THEN -1 "
+            f"WHEN __a.sc > __b.sc THEN 1 ELSE 0 END)"
+        )
+        pos = f"aggregate({l}, CAST(0 AS DOUBLE), (__a, __v) -> __a + __v)"
+        rank_sum = (
+            f"aggregate(zip_with({z}, sequence(1, size({s})), "
+            f"(__e, __i) -> __e.lb * __i), CAST(0 AS DOUBLE), "
+            f"(__a, __v) -> __a + __v)"
+        )
+        return (
+            f"(({rank_sum} - {pos} * ({pos} + 1) / 2) / "
+            f"({pos} * (size({s}) - {pos})))"
+        )
+
+    chunk = _rewrite_call(chunk, "arrayAUC", auc_make)
     return chunk
 
 
@@ -2879,6 +3070,7 @@ def translate_clickhouse_sql(sql: str, spark=None) -> str:
     chunk = _rewrite_window_funnel(chunk)
     chunk = _rewrite_array_literals(chunk)
     chunk = _rewrite_json_extract(chunk)
+    chunk = _rewrite_moving_and_maps(chunk)
     chunk = _rewrite_misc_calls(chunk)
     chunk = _rewrite_ipv4(chunk)
     chunk = _rewrite_extract_url_parameter(chunk)

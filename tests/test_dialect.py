@@ -1502,3 +1502,98 @@ def test_curried_histogram(spark):
     assert sum(c["y"] for c in row.h) == 100  # counts cover every row
     xs = [c["x"] for c in row.h]
     assert xs == sorted(xs) and 0 <= xs[0] and xs[-1] <= 99
+
+
+def test_batch14_ip_functions(spark):
+    """Batch 14: IP validity predicates (strict octets, no leading
+    zeros), CIDR range as the positional (col1, col2) struct."""
+    row = spark.sql(
+        tr(
+            "SELECT isIPv4String('10.0.0.1') AS v4, "
+            "isIPv4String('256.1.1.1') AS bad_oct, "
+            "isIPv4String('01.2.3.4') AS lead0, "
+            "isIPv6String('2001:db8::8a2e:370:7334') AS v6, "
+            "isIPv6String('::') AS v6z, "
+            "isIPv6String('not-an-ip') AS v6bad, "
+            "IPv4CIDRToRange(IPv4StringToNum('192.168.5.2'), 16) AS r"
+        )
+    ).first()
+    assert row.v4 and not row.bad_oct and not row.lead0
+    assert row.v6 and row.v6z and not row.v6bad
+    assert (row.r.col1, row.r.col2) == ("192.168.0.0", "192.168.255.255")
+
+
+def test_batch14_map_arithmetic(spark):
+    """Batch 14: mapAdd/mapSubtract key-union cell math,
+    mapPopulateSeries dense integer range."""
+    row = spark.sql(
+        tr(
+            "SELECT mapAdd(map(1, 10, 2, 20), map(2, 5, 3, 7)) AS ma, "
+            "mapSubtract(map(1, 10, 2, 20), map(2, 5)) AS ms, "
+            "mapPopulateSeries(map(1, 10, 4, 40)) AS mp"
+        )
+    ).first()
+    assert row.ma == {1: 10, 2: 25, 3: 7}
+    assert row.ms == {1: 10, 2: 15}
+    assert row.mp == {1: 10, 2: 0, 3: 0, 4: 40}
+
+
+def test_batch14_moving_and_delta(spark):
+    """Batch 14: groupArrayMovingSum = prefix sums (default window = row
+    count), MovingAvg divides by that window, deltaSum keeps positive
+    consecutive deltas only."""
+    spark.createDataFrame(
+        [(1, 1.0), (1, 3.0), (1, 2.0), (1, 6.0)], "g int, v double"
+    ).createOrReplaceTempView("b14mv")
+    sub = "(SELECT * FROM b14mv ORDER BY v) "
+    row = spark.sql(
+        tr(
+            "SELECT g, groupArrayMovingSum(v) AS ms, "
+            "groupArrayMovingAvg(v) AS mavg, deltaSum(v) AS ds "
+            "FROM " + sub + "GROUP BY g"
+        )
+    ).first()
+    assert row.ms == [1.0, 3.0, 6.0, 12.0]
+    assert row.mavg == [0.25, 0.75, 1.5, 3.0]
+    assert row.ds == 5.0
+
+
+def test_batch14_round_family(spark):
+    """Batch 14: roundToExp2 / roundDown / roundAge / roundDuration
+    bucket-floor ladders (CH FunctionRoundAge/Duration tables)."""
+    row = spark.sql(
+        tr(
+            "SELECT roundToExp2(100) AS e2, roundToExp2(0.5) AS e2z, "
+            "roundDown(7, [1, 5, 10]) AS rd, roundDown(0, [1, 5, 10]) AS rdz, "
+            "roundAge(30) AS ra, roundAge(16) AS ra17, roundAge(70) AS ra55, "
+            "roundDuration(250) AS du, roundDuration(0) AS duz, "
+            "intExp2(10) AS i2, intExp10(6) AS i10, "
+            "bitHammingDistance(15, 1) AS hd"
+        )
+    ).first()
+    assert (row.e2, row.e2z) == (64, 0)
+    assert (row.rd, row.rdz) == (5, 1)
+    assert (row.ra, row.ra17, row.ra55) == (25, 17, 55)
+    assert (row.du, row.duz) == (240, 0)
+    assert (row.i2, row.i10, row.hd) == (1024, 1000000, 3)
+
+
+def test_batch14_replace_one_auc_digests(spark):
+    """Batch 14: replaceOne first-occurrence splice, arrayAUC rank-sum
+    (0.75 for the sklearn doc example), digest renames and UTF-8
+    validity."""
+    row = spark.sql(
+        tr(
+            "SELECT replaceOne('aXbXc', 'X', '-') AS r1, "
+            "replaceOne('abc', 'z', '-') AS r2, "
+            "round(arrayAUC([0.1, 0.4, 0.35, 0.8], [0, 0, 1, 1]), 4) AS auc, "
+            "farmHash64('x') = xxHash64('x') AS h64, "
+            "murmurHash3_32('x') = javaHash('x') AS h32, "
+            "isValidUTF8('hello') AS vu, "
+            "toValidUTF8('hello') AS tv"
+        )
+    ).first()
+    assert (row.r1, row.r2) == ("a-bXc", "abc")
+    assert row.auc == 0.75
+    assert row.h64 and row.h32
+    assert row.vu and row.tv == "hello"
