@@ -2825,6 +2825,25 @@ def q_mutation_update(spark, d):
     )
 
 
+def q_ttl_expire(spark, d):
+    """ClickHouse table TTL analog (operators/mutations.py::ttl_frame):
+    ``ALTER TABLE events MODIFY TTL ts + INTERVAL 10 DAY WHERE
+    event_type != 'purchase'`` evaluated at a fixed "now" — rows older
+    than 10 days expire unless they are purchases (the WHERE gate).
+    ClickHouse applies this at merge time; the frame is the post-merge
+    state.  Oracle: the equivalent NOT(expired AND subject) filter."""
+    from clickhouse_flatfile_tool_spark.operators import mutations
+
+    ev = _t(spark, d, "events").select("event_id", "ts", "event_type")
+    out = mutations.ttl_frame(
+        ev,
+        "ALTER TABLE events MODIFY TTL ts + INTERVAL 10 DAY DELETE "
+        "WHERE event_type != 'purchase'",
+        now="2024-01-25 00:00:00",
+    )
+    return out.select("event_id", "event_type")
+
+
 def q_ema_recursive(spark, d):
     """ClickHouse exponentialMovingAverage (events.py::ema_recursive): the
     recursive interpolated EMA per user — emaᵢ = emaᵢ₋₁·a + xᵢ·(1−a),
@@ -4040,6 +4059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "margin_pairs": q_margin_pairs,
         "sparkbar": q_sparkbar,
         "winnow": q_winnow,
+        "ttl_expire": q_ttl_expire,
     }
 
 
@@ -5698,6 +5718,11 @@ FROM ranked WHERE rk <= 5
             "FROM h a JOIN h b ON a.doc_id < b.doc_id "
             "WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3 "
             "ORDER BY id_a, id_b"
+        ),
+        "ttl_expire": (
+            "SELECT event_id, event_type FROM events "
+            "WHERE NOT (ts + INTERVAL 10 DAY < TIMESTAMP '2024-01-25 00:00:00' "
+            "AND event_type != 'purchase')"
         ),
         "mutation_update": (
             "SELECT event_id, event_type, "

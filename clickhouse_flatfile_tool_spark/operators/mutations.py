@@ -191,6 +191,42 @@ def optimize_final(
     return df.dropDuplicates()
 
 
+_TTL_PAT = re.compile(
+    r"(?is)^\s*ALTER\s+TABLE\s+(\S+)\s+MODIFY\s+TTL\s+(.+?)"
+    r"(?:\s+DELETE)?(?:\s+WHERE\s+(.+?))?\s*;?\s*$"
+)
+
+
+def ttl_frame(df: DataFrame, sql: str, now=None) -> DataFrame:
+    """``ALTER TABLE t MODIFY TTL expr [DELETE] [WHERE cond]`` — ClickHouse
+    row-level table TTL: a row expires once the TTL expression (a
+    date/datetime derived from the row) falls in the past; with WHERE only
+    matching rows are subject to expiry.  ClickHouse applies TTL lazily at
+    merge time (OPTIMIZE … FINAL forces it); this frame IS the post-merge
+    state, evaluated against ``now`` (pass a fixed timestamp for
+    deterministic tests; defaults to current_timestamp).  The TTL
+    expression may use ClickHouse vocabulary — it runs through
+    ``translate_clickhouse_sql`` like every mutation expression.  NULL TTL
+    values never expire (CH treats NULL as no-TTL), and a NULL WHERE keeps
+    the row, matching DELETE's coalesce rule.  One filter, codegen'd, no
+    shuffle; on a date-partitioned table the expiry predicate partition-
+    prunes the rewrite exactly like ClickHouse drops whole expired parts.
+    """
+    m = _TTL_PAT.match(sql)
+    if not m:
+        raise ValueError(f"not a TTL statement: {sql!r}")
+    _table, ttl_expr, where = m.groups()
+    ttl_col = F.expr(translate_clickhouse_sql(ttl_expr))
+    now_ts = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+    expired = F.coalesce(ttl_col < now_ts, F.lit(False))
+    if where:
+        subject = F.coalesce(
+            F.expr(translate_clickhouse_sql(where)), F.lit(False)
+        )
+        expired = expired & subject
+    return df.filter(~expired)
+
+
 def apply_mutation(spark: SparkSession, path: str, sql: str) -> int:
     """Execute a mutation against a parquet directory copy-on-write:
     distributed rewrite into a sibling temp dir, then an atomic directory
@@ -205,6 +241,8 @@ def apply_mutation(spark: SparkSession, path: str, sql: str) -> int:
     df = read_parquet(spark, path)
     if _SCHEMA_PAT.match(sql):
         out = schema_mutated_frame(df, sql)
+    elif _TTL_PAT.match(sql):
+        out = ttl_frame(df, sql)
     elif _OPTIMIZE_PAT.match(sql):
         out = optimize_final(df, sql)
     else:

@@ -4,6 +4,8 @@ apply with atomic swap, ClickHouse vocabulary in expressions."""
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from clickhouse_flatfile_tool_spark.operators import mutations as M
 
 
@@ -164,3 +166,56 @@ def test_apply_schema_mutation_roundtrip(spark, tmp_path):
     got = spark.read.parquet(p).first()
     assert got.tag == "x" and got.val == 2.0
     assert not os.path.exists(p + ".mutation.tmp")
+
+
+def test_ttl_frame_expires_past_rows(spark):
+    """Rows whose TTL timestamp is already past expire; NULL TTL never
+    expires; the WHERE gate shields matching rows from expiry."""
+    from clickhouse_flatfile_tool_spark.operators.mutations import ttl_frame
+
+    df = spark.createDataFrame(
+        [
+            (1, "2020-01-01 00:00:00", "a"),   # expired
+            (2, "2030-01-01 00:00:00", "a"),   # future TTL — kept
+            (3, None, "a"),                     # NULL TTL — kept
+            (4, "2020-01-01 00:00:00", "keep"),  # expired but WHERE-shielded
+        ],
+        "id int, ts string, kind string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = ttl_frame(
+        df,
+        "ALTER TABLE t MODIFY TTL ts + INTERVAL 30 DAY DELETE "
+        "WHERE kind != 'keep'",
+        now="2024-06-01 00:00:00",
+    )
+    assert sorted(r.id for r in out.collect()) == [2, 3, 4]
+
+
+def test_ttl_frame_clickhouse_vocabulary(spark):
+    """The TTL expression accepts ClickHouse vocabulary (addDays) — it
+    runs through the dialect translator like every mutation expression."""
+    from clickhouse_flatfile_tool_spark.operators.mutations import ttl_frame
+
+    df = spark.createDataFrame(
+        [(1, "2020-01-01 00:00:00"), (2, "2030-01-01 00:00:00")],
+        "id int, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = ttl_frame(
+        df, "ALTER TABLE t MODIFY TTL addDays(ts, 30)", now="2024-06-01 00:00:00"
+    )
+    assert [r.id for r in out.collect()] == [2]
+
+
+def test_apply_mutation_ttl_roundtrip(spark, tmp_path):
+    """apply_mutation routes MODIFY TTL through the same copy-on-write
+    swap; expired rows are gone from the rewritten directory."""
+    from clickhouse_flatfile_tool_spark.operators.mutations import apply_mutation
+
+    p = str(tmp_path / "ttl_t")
+    spark.createDataFrame(
+        [(1, "2000-01-01 00:00:00"), (2, "2999-01-01 00:00:00")],
+        "id int, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(p)
+    n = apply_mutation(spark, p, "ALTER TABLE t MODIFY TTL ts + INTERVAL 1 DAY")
+    assert n == 1
+    assert [r.id for r in spark.read.parquet(p).collect()] == [2]
