@@ -2682,6 +2682,22 @@ def q_winnow(spark, d):
     ).orderBy("doc_id")
 
 
+def q_winnow_fast(spark, d):
+    """Bench-only production twin of ``winnow`` (not in the registry —
+    the md5 entry is the oracle path, this is the xxhash64 fast path the
+    minhash fast/portable split established): same k/w, 8-byte long
+    fingerprints instead of md5 hex strings."""
+    fps = dedup.winnow_fingerprints(
+        _t(spark, d, "documents"), k=8, w=8, hash_fn="xx"
+    )
+    return fps.select(
+        "doc_id",
+        F.size("fps").alias("n_fps"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
+    )
+
+
 def q_sparkbar(spark, d):
     """ClickHouse ``sparkbar(8)(x, y)`` (events.py::sparkbar): per event
     type, the unicode bar string of hourly value sums — the CH dashboard

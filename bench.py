@@ -156,6 +156,16 @@ BENCH_QUERIES = [
     "margin_pairs",
     "sparkbar",
     "winnow",
+    # round 4, session 4 additions
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q20",
+    "tpch_q21",
+    "dialect_ips",
+    "ttl_expire",
+    "winnow_fast",
 ]
 
 
