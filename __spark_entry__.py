@@ -2841,6 +2841,42 @@ def q_mutation_update(spark, d):
     )
 
 
+def q_projection_agg(spark, d):
+    """ClickHouse PROJECTION analog (operators/projections.py): an
+    (event_type, day) pre-aggregation built from ADD PROJECTION DDL
+    answers the coarser per-event_type rollup by re-aggregating cells —
+    sum of sums, sum of counts, min of mins, avg via (sum, count) state.
+    Exact (cells partition the rows), so the oracle is simply the direct
+    aggregate over the base table."""
+    from clickhouse_flatfile_tool_spark.operators import projections as P
+
+    ev = _t(spark, d, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    ps = P.ProjectionSet(ev)
+    ps.add(
+        "ALTER TABLE events ADD PROJECTION p_day "
+        "(SELECT event_type, day, sum(value), count(value), min(value), "
+        "max(value), avg(value) GROUP BY event_type, day)",
+        cache=False,
+    )
+    out = ps.query(
+        ["event_type"],
+        [("sum", "value"), ("count", "value"), ("min", "value"),
+         ("max", "value"), ("avg", "value")],
+        aliases=["sum_v", "cnt_v", "min_v", "max_v", "avg_v"],
+    )
+    assert ps.choose(["event_type"], [("sum", "value")]) == "p_day"
+    return out.select(
+        "event_type",
+        F.round("sum_v", 4).alias("sum_v"),
+        "cnt_v",
+        F.round("min_v", 6).alias("min_v"),
+        F.round("max_v", 6).alias("max_v"),
+        F.round("avg_v", 6).alias("avg_v"),
+    ).orderBy("event_type")
+
+
 def q_ttl_expire(spark, d):
     """ClickHouse table TTL analog (operators/mutations.py::ttl_frame):
     ``ALTER TABLE events MODIFY TTL ts + INTERVAL 10 DAY WHERE
@@ -4076,6 +4112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparkbar": q_sparkbar,
         "winnow": q_winnow,
         "ttl_expire": q_ttl_expire,
+        "projection_agg": q_projection_agg,
     }
 
 
@@ -5734,6 +5771,12 @@ FROM ranked WHERE rk <= 5
             "FROM h a JOIN h b ON a.doc_id < b.doc_id "
             "WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3 "
             "ORDER BY id_a, id_b"
+        ),
+        "projection_agg": (
+            "SELECT event_type, round(sum(value), 4) AS sum_v, "
+            "count(value) AS cnt_v, round(min(value), 6) AS min_v, "
+            "round(max(value), 6) AS max_v, round(avg(value), 6) AS avg_v "
+            "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "ttl_expire": (
             "SELECT event_id, event_type FROM events "

@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "dialect_ips",
     "ttl_expire",
     "winnow_fast",
+    "projection_agg",
 ]
 
 

@@ -178,6 +178,20 @@ def main() -> None:
         docsk,
         k,
     )
+    # winnowing fingerprint stage only (xxhash64 production path) on PLAIN
+    # copies — cost is char-count driven, and scaled_docs' word suffixing
+    # inflates chars ~30%/copy which misreads as super-linear; the pairing
+    # stage shares _bucket_pairs with minhash and the fixture's planted
+    # duplicate structure grows pairs quadratically by construction (the
+    # image_dhash stance)
+    out["winnow_fps"] = _time_pair(
+        lambda df: dedup.winnow_fingerprints(df, k=8, w=8, hash_fn="xx").select(
+            "doc_id", F.size("fps").alias("n")
+        ),
+        docs1,
+        plaink,
+        k,
+    )
     fz1 = scaled_fuzzy(docs1, 1).localCheckpoint()
     fzk = scaled_fuzzy(docs1, k).localCheckpoint()
     out["fuzzy_pairs"] = _time_pair(

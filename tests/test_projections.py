@@ -1,0 +1,103 @@
+"""ClickHouse PROJECTION analog: parse → build cells → re-aggregate.
+
+The load-bearing claim is the aggregate algebra — a query grouped by a
+SUBSET of projection keys re-aggregated from cells must equal the same
+query run directly on the base rows, exactly (cells partition the rows).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_flatfile_tool_spark.operators import projections as P
+
+
+@pytest.fixture()
+def base(spark):
+    return spark.createDataFrame(
+        [
+            ("a", "x", 1.0),
+            ("a", "x", 3.0),
+            ("a", "y", 5.0),
+            ("b", "x", 7.0),
+            ("b", "y", None),  # NULL exercises count(col) semantics
+        ],
+        "g string, h string, v double",
+    )
+
+
+DDL = (
+    "ALTER TABLE t ADD PROJECTION p_gh "
+    "(SELECT g, h, sum(v), count(v), min(v), max(v), avg(v) GROUP BY g, h)"
+)
+
+
+def test_parse_projection():
+    table, name, keys, aggs = P.parse_projection(DDL)
+    assert (table, name) == ("t", "p_gh")
+    assert keys == ["g", "h"]
+    assert ("sum", "v") in aggs and ("avg", "v") in aggs
+
+
+def test_parse_rejects_non_key_select():
+    with pytest.raises(ValueError):
+        P.parse_projection(
+            "ALTER TABLE t ADD PROJECTION p (SELECT g, v, sum(v) GROUP BY g)"
+        )
+
+
+def test_reaggregation_matches_direct(spark, base):
+    ps = P.ProjectionSet(base)
+    ps.add(DDL, cache=False)
+    want = [("sum", "v"), ("count", "v"), ("min", "v"), ("max", "v"), ("avg", "v")]
+    got = {
+        r.g: (r.sum_v, r.count_v, r.min_v, r.max_v, r.avg_v)
+        for r in ps.query(["g"], want).collect()
+    }
+    direct = {
+        r.g: (r.s, r.c, r.mn, r.mx, r.av)
+        for r in base.groupBy("g")
+        .agg(
+            F.sum("v").alias("s"),
+            F.count("v").alias("c"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+            F.avg("v").alias("av"),
+        )
+        .collect()
+    }
+    assert got == direct
+    # avg re-aggregates through (sum, count) — NOT avg of per-cell avgs:
+    # group a has cells (x: avg 2.0 over 2 rows) and (y: avg 5.0 over 1),
+    # whose naive mean 3.5 differs from the true 3.0
+    assert got["a"][4] == 3.0
+
+
+def test_chooser_subset_and_fallback(spark, base):
+    ps = P.ProjectionSet(base)
+    ps.add(DDL, cache=False)
+    ps.add(
+        "ALTER TABLE t ADD PROJECTION p_g (SELECT g, sum(v) GROUP BY g)",
+        cache=False,
+    )
+    # grouping by g: both match; the 1-key projection is cheaper
+    assert ps.choose(["g"], [("sum", "v")]) == "p_g"
+    # p_g lacks min cells — must route to p_gh
+    assert ps.choose(["g"], [("min", "v")]) == "p_gh"
+    # grouping by a non-projection column: no match → base fallback
+    assert ps.choose(["h", "g", "v"], [("sum", "v")]) is None
+    rows = ps.query(["g"], [("sum", "v")], aliases=["s"]).collect()
+    assert {r.g: r.s for r in rows} == {"a": 9.0, "b": 7.0}
+
+
+def test_holistic_aggregate_rejected(spark, base):
+    with pytest.raises(ValueError):
+        P.build_projection(base, ["g"], [("median", "v")])
+
+
+def test_drop_projection(spark, base):
+    ps = P.ProjectionSet(base)
+    ps.add(DDL)
+    ps.drop("p_gh")
+    assert ps.projections == {}
+    # query still works via fallback
+    assert ps.query(["g"], [("sum", "v")], aliases=["s"]).count() == 2
