@@ -2506,6 +2506,39 @@ def _rewrite_moving_and_maps(chunk: str) -> str:
         )
 
     chunk = _rewrite_call(chunk, "arrayAUC", auc_make)
+
+    # batch 15 stragglers --------------------------------------------------
+    def regexp_extract_make(args):
+        # regexpExtract(h, p[, idx]) — 3-arg maps straight to Spark's
+        # regexp_extract; 2-arg defers to the extract() rewrite downstream
+        # (first capture group if present, else whole match)
+        if len(args) == 3:
+            return f"regexp_extract({args[0]}, {args[1]}, {args[2]})"
+        if len(args) == 2:
+            return f"extract({args[0]}, {args[1]})"
+        return None
+
+    chunk = _rewrite_call(chunk, "regexpExtract", regexp_extract_make)
+    # occurrence rank of each element among its predecessors (CH funnel
+    # helper).  O(n²) per row by construction; column-backed args only
+    # (the intDiv multi-reference caveat — the lambda captures the array)
+    chunk = _rewrite_call(
+        chunk, "arrayEnumerateUniq",
+        one("transform({0}, (__v, __i) -> size(filter(slice({0}, 1, __i + 1), "
+            "__e -> __e = __v)))"),
+    )
+    # arrayElement = element_at (both 1-based, both support negative
+    # from-the-end); OOB diverges: CH yields the type default, Spark errors
+    # under ANSI / NULL otherwise — same documented stance as expr[i]
+    chunk = _rewrite_call(
+        chunk, "arrayElement", two("element_at({0}, {1})")
+    )
+    chunk = _rewrite_call(
+        chunk, "bitmaskToArray",
+        one("filter(transform(sequence(0, 62), __i -> "
+            "shiftleft(CAST(1 AS BIGINT), __i)), "
+            "__b -> (CAST({0} AS BIGINT) & __b) != 0)"),
+    )
     return chunk
 
 

@@ -1597,3 +1597,22 @@ def test_batch14_replace_one_auc_digests(spark):
     assert row.auc == 0.75
     assert row.h64 and row.h32
     assert row.vu and row.tv == "hello"
+
+
+def test_batch15_stragglers(spark):
+    """Batch 15: regexpExtract arities, arrayEnumerateUniq occurrence
+    ranks, arrayElement negative indexing, bitmaskToArray powers of
+    two."""
+    row = spark.sql(
+        tr(
+            "SELECT regexpExtract('ab12cd', '([a-z]+)(\\\\d+)', 2) AS g2, "
+            "regexpExtract('ab12cd', '\\\\d+') AS whole, "
+            "arrayEnumerateUniq([10, 20, 10, 10]) AS occ, "
+            "arrayElement([5, 6, 7], -1) AS last, "
+            "bitmaskToArray(50) AS bits"
+        )
+    ).first()
+    assert row.g2 == "12" and row.whole == "12"
+    assert row.occ == [1, 1, 2, 3]
+    assert row.last == 7
+    assert row.bits == [2, 16, 32]
