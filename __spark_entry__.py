@@ -2841,6 +2841,31 @@ def q_mutation_update(spark, d):
     )
 
 
+def q_domain_block(spark, d):
+    """Domain-blocklist curation (text.py::domain_filter — the UT1 /
+    RefinedWeb convention): URLs synthesized deterministically from
+    doc_id/source, blocklist hits via host suffix-chain explode against a
+    broadcast set — 'spam.net' blocks 's4.spam.net', 'tracker.io' blocks
+    'ads.tracker.io', and one exact host.  Oracle: DuckDB computes the
+    ground-truth conditions the synthesis implies."""
+    docs = _t(spark, d, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(
+            "concat('https://', CASE WHEN doc_id % 7 = 0 THEN "
+            "concat('s', CAST(doc_id % 5 AS STRING), '.spam.net') "
+            "WHEN doc_id % 7 = 1 THEN 'ads.tracker.io' "
+            "ELSE concat(source, '.example.com') END, '/p/', doc_id)"
+        ).alias("url"),
+    )
+    bl = spark.createDataFrame(
+        [("spam.net",), ("TRACKER.io",), ("src3.example.com",)],
+        "domain string",
+    )
+    out = text.domain_filter(docs, bl)
+    return out.select("doc_id", "url", "blocked").orderBy("doc_id")
+
+
 def q_projection_agg(spark, d):
     """ClickHouse PROJECTION analog (operators/projections.py): an
     (event_type, day) pre-aggregation built from ADD PROJECTION DDL
@@ -4113,6 +4138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow": q_winnow,
         "ttl_expire": q_ttl_expire,
         "projection_agg": q_projection_agg,
+        "domain_block": q_domain_block,
     }
 
 
@@ -5771,6 +5797,17 @@ FROM ranked WHERE rk <= 5
             "FROM h a JOIN h b ON a.doc_id < b.doc_id "
             "WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3 "
             "ORDER BY id_a, id_b"
+        ),
+        "domain_block": (
+            "SELECT doc_id, "
+            "concat('https://', CASE WHEN doc_id % 7 = 0 THEN "
+            " concat('s', (doc_id % 5)::VARCHAR, '.spam.net') "
+            " WHEN doc_id % 7 = 1 THEN 'ads.tracker.io' "
+            " ELSE concat(source, '.example.com') END, '/p/', "
+            " doc_id::VARCHAR) AS url, "
+            "(doc_id % 7 = 0 OR doc_id % 7 = 1 "
+            " OR (doc_id % 7 NOT IN (0, 1) AND source = 'src3')) AS blocked "
+            "FROM documents ORDER BY doc_id"
         ),
         "projection_agg": (
             "SELECT event_type, round(sum(value), 4) AS sum_v, "

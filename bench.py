@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "ttl_expire",
     "winnow_fast",
     "projection_agg",
+    "domain_block",
 ]
 
 

@@ -1029,6 +1029,67 @@ def canonical_url(col: str | Column = "url") -> Column:
     return F.coalesce(built, c)
 
 
+def domain_suffix_chain(col: str | Column = "url") -> Column:
+    """The host's domain-suffix chain: ``https://a.b.spam.com/x`` →
+    ``['a.b.spam.com', 'b.spam.com', 'spam.com', 'com']``.  Lowercased,
+    ``www.`` stripped (the canonical_url conventions); NULL host (junk
+    input) → empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    host = F.regexp_replace(
+        F.lower(F.try_parse_url(c, F.lit("HOST"))), r"^www\.", ""
+    )
+    parts = F.split(host, r"\.")
+    chain = F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(
+            F.slice(parts, i, F.size(parts) - i + 1), "."
+        ),
+    )
+    return F.coalesce(chain, F.array().cast("array<string>"))
+
+
+def domain_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Domain-blocklist filtering with parent-domain matching — the UT1 /
+    RefinedWeb curation convention: a blocked ``spam.com`` also blocks
+    every subdomain (``a.b.spam.com``), because block decisions attach to
+    registrable domains while crawls carry arbitrary hosts.
+
+    Adds a ``blocked`` boolean to ``df`` (callers filter or audit); a doc
+    is blocked when ANY entry of its host's suffix chain appears in the
+    blocklist.  Scale shape: the blocklist (UT1 is ~10⁶ domains — dim-
+    sized at any corpus scale) lowercases, dedups, and BROADCASTS; the
+    corpus side explodes each host into its ≤⌈host labels⌉ suffixes,
+    probes the broadcast set map-only (LEFT SEMI), and the surviving
+    blocked ids — a tiny set by curation assumption — broadcast back onto
+    the corpus as the flag join, so the 100 TB side is never shuffled.
+    Junk URLs (no host) are never blocked.
+    """
+    bl = F.broadcast(
+        blocklist.select(F.lower(F.col(domain_col)).alias("__bl")).distinct()
+    )
+    hit_ids = (
+        df.select(
+            F.col(id_col),
+            F.explode(domain_suffix_chain(url_col)).alias("__sfx"),
+        )
+        .join(bl, F.col("__sfx") == F.col("__bl"), "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    out = df.join(F.broadcast(hit_ids), id_col, "left")
+    return out.select(
+        *[F.col(c) for c in df.columns],
+        F.coalesce(F.col("__hit"), F.lit(False)).alias("blocked"),
+    )
+
+
 def cdc_chunks(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -117,3 +117,51 @@ def test_strip_html_golden(spark):
         tr("SELECT extractTextFromHTML(text) AS t FROM html_v")
     ).first().t
     assert via_sql == got
+
+
+def test_domain_suffix_chain(spark):
+    from clickhouse_flatfile_tool_spark.operators.text import domain_suffix_chain
+
+    rows = spark.createDataFrame(
+        [
+            (1, "https://a.b.spam.com/x?q=1"),
+            (2, "https://WWW.Example.COM/"),
+            (3, "not a url"),
+        ],
+        "id int, url string",
+    ).select("id", domain_suffix_chain("url").alias("c")).collect()
+    got = {r.id: r.c for r in rows}
+    assert got[1] == ["a.b.spam.com", "b.spam.com", "spam.com", "com"]
+    assert got[2] == ["example.com", "com"]
+    assert got[3] == []
+
+
+def test_domain_filter_parent_matching(spark):
+    from clickhouse_flatfile_tool_spark.operators.text import domain_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://sub.spam.net/page"),   # blocked via parent
+            (2, "https://spam.net/"),           # blocked exactly
+            (3, "https://notspam.net/"),        # different registrable domain
+            (4, "https://ok.example.org/a"),    # clean
+            (5, "junk"),                         # no host — never blocked
+        ],
+        "doc_id int, url string",
+    )
+    bl = spark.createDataFrame([("SPAM.net",), ("evil.org",)], "domain string")
+    got = {r.doc_id: r.blocked for r in domain_filter(docs, bl).collect()}
+    assert got == {1: True, 2: True, 3: False, 4: False, 5: False}
+
+
+def test_domain_filter_plan_broadcasts(spark):
+    from clickhouse_flatfile_tool_spark.operators.text import domain_filter
+
+    docs = spark.createDataFrame(
+        [(i, f"https://h{i}.example.com/") for i in range(20)],
+        "doc_id int, url string",
+    )
+    bl = spark.createDataFrame([("example.com",)], "domain string")
+    plan = domain_filter(docs, bl)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
