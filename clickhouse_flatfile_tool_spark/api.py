@@ -262,6 +262,70 @@ def query(
         return error_payload(e)
 
 
+# per-table projection registries for the projection endpoints (session-
+# scoped, like ClickHouse's table metadata holding projection definitions)
+_PROJECTION_SETS: dict[str, object] = {}
+
+
+def add_projection(spark: SparkSession, sql: str) -> dict:
+    """``ALTER TABLE t ADD PROJECTION p (SELECT … GROUP BY …)`` — the
+    ClickHouse projection DDL endpoint: parses the definition, builds the
+    pre-aggregated cells over the catalog table (temp view or table), and
+    registers it for :func:`projection_query`.  ClickHouse stores the
+    cells per part; the session analog caches the cell frame."""
+    from clickhouse_flatfile_tool_spark.operators import projections as P
+
+    try:
+        table, name, _keys, _aggs = P.parse_projection(sql)
+        ps = _PROJECTION_SETS.get(table)
+        if ps is None:
+            ps = P.ProjectionSet(spark.table(table))
+            _PROJECTION_SETS[table] = ps
+        ps.add(sql)
+        keys, aggs, frame = ps.projections[name]
+        return {
+            "success": True,
+            "table": table,
+            "projection": name,
+            "keys": keys,
+            "aggregates": [f"{k}({c})" for k, c in aggs],
+            "cells": frame.count(),
+        }
+    except Exception as e:  # noqa: BLE001
+        return error_payload(e)
+
+
+def projection_query(
+    spark: SparkSession,
+    table: str,
+    group_keys: list[str],
+    aggs: list[tuple[str, str]],
+    page: int = 1,
+    page_size: int = relational.DEFAULT_PAGE_SIZE,
+) -> dict:
+    """Answer a grouped aggregate from the cheapest registered projection
+    (``optimize_use_projections``) or the base table when none matches;
+    reports which route was taken so callers can see the rewrite."""
+    from clickhouse_flatfile_tool_spark.operators import projections as P
+
+    try:
+        ps = _PROJECTION_SETS.get(table)
+        if ps is None:
+            ps = P.ProjectionSet(spark.table(table))
+        chosen = ps.choose(group_keys, [tuple(a) for a in aggs])
+        df = ps.query(group_keys, [tuple(a) for a in aggs])
+        size = max(1, min(int(page_size), relational.MAX_PAGE_SIZE))
+        rows = df.limit(size).collect()
+        return {
+            "success": True,
+            "table": table,
+            "used_projection": chosen,
+            "data": [r.asDict() for r in rows],
+        }
+    except Exception as e:  # noqa: BLE001
+        return error_payload(e)
+
+
 def mutate(spark: SparkSession, path: str, sql: str) -> dict:
     """Execute a ClickHouse mutation statement (``ALTER TABLE … UPDATE /
     DELETE``) against a parquet directory — the analog of the reference's

@@ -101,3 +101,25 @@ def test_drop_projection(spark, base):
     assert ps.projections == {}
     # query still works via fallback
     assert ps.query(["g"], [("sum", "v")], aliases=["s"]).count() == 2
+
+
+def test_api_projection_endpoints(spark, base):
+    from clickhouse_flatfile_tool_spark import api
+
+    base.createOrReplaceTempView("proj_api_t")
+    added = api.add_projection(
+        spark,
+        "ALTER TABLE proj_api_t ADD PROJECTION pa "
+        "(SELECT g, sum(v), count(v) GROUP BY g)",
+    )
+    assert added["success"] and added["cells"] == 2
+    out = api.projection_query(
+        spark, "proj_api_t", ["g"], [("sum", "v"), ("count", "v")]
+    )
+    assert out["success"] and out["used_projection"] == "pa"
+    got = {r["g"]: (r["sum_v"], r["count_v"]) for r in out["data"]}
+    assert got == {"a": (9.0, 3), "b": (7.0, 1)}
+    # no matching projection -> base fallback, reported as such
+    out2 = api.projection_query(spark, "proj_api_t", ["h"], [("min", "v")])
+    assert out2["success"] and out2["used_projection"] is None
+    api._PROJECTION_SETS.clear()
