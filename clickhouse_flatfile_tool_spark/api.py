@@ -16,8 +16,10 @@ Responses follow the reference's ``{"success": bool, ...}`` envelope.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from clickhouse_flatfile_tool_spark.operators import relational
 from clickhouse_flatfile_tool_spark.progress import ProgressTracker, error_payload
@@ -240,21 +242,32 @@ def query(
     from clickhouse_flatfile_tool_spark.operators import mergetree
 
     try:
-        # FROM t FINAL: materialize each table's post-merge view from its
-        # registered engine before the dialect rewrite points the query at
-        # <t>__final (ClickHouse's read-time merge, one hash agg per table)
-        for t in final_tables(sql):
-            mergetree.final_read(spark, t).createOrReplaceTempView(
-                f"{t}__final"
-            )
-        translated = translate_clickhouse_sql(sql, spark=spark)
-        df = spark.sql(translated)
+        # optimize_use_projections: a plain grouped aggregate over a table
+        # with a matching registered projection reads the cells, not the
+        # scan (the rewrite ClickHouse's optimizer does per part)
+        routed = _try_projection_route(sql)
+        used_projection = None
+        if routed is not None:
+            df, used_projection = routed
+            translated = None
+        else:
+            # FROM t FINAL: materialize each table's post-merge view from
+            # its registered engine before the dialect rewrite points the
+            # query at <t>__final (ClickHouse's read-time merge, one hash
+            # agg per table)
+            for t in final_tables(sql):
+                mergetree.final_read(spark, t).createOrReplaceTempView(
+                    f"{t}__final"
+                )
+            translated = translate_clickhouse_sql(sql, spark=spark)
+            df = spark.sql(translated)
         size = max(1, min(int(page_size), relational.MAX_PAGE_SIZE))
         offset = (max(1, int(page)) - 1) * size
         rows = df.offset(offset).limit(size).collect()
         return {
             "success": True,
             "translated_sql": translated,
+            "used_projection": used_projection,
             "data": [r.asDict() for r in rows],
             "pagination": {"page": max(1, int(page)), "pageSize": size},
         }
@@ -265,6 +278,62 @@ def query(
 # per-table projection registries for the projection endpoints (session-
 # scoped, like ClickHouse's table metadata holding projection definitions)
 _PROJECTION_SETS: dict[str, object] = {}
+
+_SIMPLE_AGG_SQL = re.compile(
+    r"(?is)^\s*SELECT\s+(.+?)\s+FROM\s+(\w+)\s+GROUP\s+BY\s+(.+?)"
+    r"(?:\s+ORDER\s+BY\s+(.+?))?\s*;?\s*$"
+)
+_ITEM_AGG = re.compile(
+    r"(?is)^\s*(sum|count|min|max|avg)\s*\(\s*(\w+)\s*\)\s*"
+    r"(?:AS\s+(\w+))?\s*$"
+)
+
+
+def _try_projection_route(sql: str):
+    """The transparent half of ``optimize_use_projections``: a plain
+    single-table grouped aggregate (no WHERE/JOIN/HAVING — those need the
+    base columns) whose table has a matching registered projection is
+    answered from the cells instead of the scan.  Returns (DataFrame,
+    projection_name) or None when the statement doesn't qualify — the
+    caller then runs the normal translate→spark.sql path."""
+    from clickhouse_flatfile_tool_spark.operators import projections as P
+
+    m = _SIMPLE_AGG_SQL.match(sql)
+    if not m or re.search(r"(?is)\b(WHERE|JOIN|HAVING|LIMIT|UNION)\b", sql):
+        return None
+    select, table, group, order = m.groups()
+    ps = _PROJECTION_SETS.get(table)
+    if ps is None:
+        return None
+    keys = [k.strip().strip("`") for k in group.split(",")]
+    want: list[tuple[str, str]] = []
+    aliases: list[str] = []
+    for item in select.split(","):
+        item = item.strip()
+        if item.strip("`") in keys:
+            continue
+        am = _ITEM_AGG.match(item)
+        if not am:
+            return None  # expression we can't cell-answer — use the scan
+        kind, col, alias = am.group(1).lower(), am.group(2), am.group(3)
+        want.append((kind, col))
+        aliases.append(alias or f"{kind}_{col}")
+    if not want:
+        return None
+    name = ps.choose(keys, want)
+    if name is None:
+        return None
+    df = P.answer_from_projection(ps.projections[name][2], keys, want, aliases)
+    if order:
+        cols = []
+        for o in order.split(","):
+            parts = o.strip().split()
+            c = F.col(parts[0].strip("`"))
+            cols.append(
+                c.desc() if len(parts) > 1 and parts[1].upper() == "DESC" else c
+            )
+        df = df.orderBy(*cols)
+    return df, name
 
 
 def add_projection(spark: SparkSession, sql: str) -> dict:

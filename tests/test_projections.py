@@ -123,3 +123,36 @@ def test_api_projection_endpoints(spark, base):
     out2 = api.projection_query(spark, "proj_api_t", ["h"], [("min", "v")])
     assert out2["success"] and out2["used_projection"] is None
     api._PROJECTION_SETS.clear()
+
+
+def test_api_query_transparent_projection_route(spark, base):
+    """The optimize_use_projections analog: plain grouped-aggregate SQL
+    over a table with a registered projection answers from cells (route
+    reported); a WHERE forces the base-scan path with identical values."""
+    from clickhouse_flatfile_tool_spark import api
+
+    base.createOrReplaceTempView("proj_sql_t")
+    api.add_projection(
+        spark,
+        "ALTER TABLE proj_sql_t ADD PROJECTION psql "
+        "(SELECT g, sum(v), avg(v) GROUP BY g)",
+    )
+    out = api.query(
+        spark,
+        "SELECT g, sum(v) AS s, avg(v) AS a FROM proj_sql_t "
+        "GROUP BY g ORDER BY g",
+    )
+    assert out["success"] and out["used_projection"] == "psql"
+    assert [(r["g"], r["s"], r["a"]) for r in out["data"]] == [
+        ("a", 9.0, 3.0),
+        ("b", 7.0, 7.0),
+    ]
+    # WHERE needs base columns — must NOT route through the projection
+    out2 = api.query(
+        spark,
+        "SELECT g, sum(v) AS s FROM proj_sql_t WHERE h = 'x' "
+        "GROUP BY g ORDER BY g",
+    )
+    assert out2["success"] and out2["used_projection"] is None
+    assert [(r["g"], r["s"]) for r in out2["data"]] == [("a", 4.0), ("b", 7.0)]
+    api._PROJECTION_SETS.clear()
