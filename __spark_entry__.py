@@ -2841,6 +2841,80 @@ def q_mutation_update(spark, d):
     )
 
 
+def q_lttb_downsample(spark, d):
+    """ClickHouse largestTriangleThreeBuckets analog (events.py::lttb —
+    Steinarsson 2013): each event_type's (event_id, value) series
+    downsamples to 10 points; positional-middle anchors and smallest-x
+    tiebreaks make the selection bit-deterministic (operator docstring).
+    Oracle: the same 8 selection steps unrolled as chained DuckDB CTEs
+    (each step max(struct(area, -x, …)) over its bucket against the
+    previous step's pick — see _lttb_oracle_sql)."""
+    ev = _t(spark, d, "events").select("event_type", "event_id", "value")
+    out = events.lttb(ev, ["event_type"], "event_id", "value", n_out=10)
+    return out.select(
+        "event_type", "sel_idx", "x", F.round("y", 6).alias("y")
+    ).orderBy("event_type", "sel_idx")
+
+
+def _lttb_oracle_sql(n_out: int = 10) -> str:
+    """The LTTB spec unrolled as chained CTEs: p (ordered points), mids
+    (each interior bucket's positional-middle element), then one CTE per
+    bucket selecting max(struct(area, -x, x, y)) against the previous
+    selection — recursion-free and engine-portable."""
+    B = n_out - 2
+    jb = f"((p.i - 1) * {B}) // (p.m - 2)"
+    parts = [
+        "WITH p AS (SELECT event_type AS k, event_id::DOUBLE AS x, "
+        "value::DOUBLE AS y, "
+        "row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1 AS i, "
+        "count(*) OVER (PARTITION BY event_type) AS m FROM events), "
+        "mids AS (SELECT k, j, x, y FROM ("
+        " SELECT p.k, " + jb + " AS j, p.x, p.y, "
+        " row_number() OVER (PARTITION BY p.k, " + jb + " ORDER BY p.i) - 1 AS r, "
+        " count(*) OVER (PARTITION BY p.k, " + jb + ") AS c "
+        " FROM p WHERE p.i BETWEEN 1 AND p.m - 2) WHERE r = c // 2), "
+        "lastp AS (SELECT k, x, y FROM p WHERE i = m - 1), "
+        "sel_init AS (SELECT k, x, y FROM p WHERE i = 0)"
+    ]
+    for j in range(B):
+        anchor = (
+            f"(SELECT k, x AS ax, y AS ay FROM mids WHERE j = {j + 1})"
+            if j < B - 1
+            else "(SELECT k, x AS ax, y AS ay FROM lastp)"
+        )
+        prev = f"sel{j - 1}" if j > 0 else "sel_init"
+        parts.append(
+            f", pick{j} AS (SELECT p.k, max(struct_pack("
+            f"a := abs((prev.x - n.ax) * (p.y - prev.y) "
+            f"- (prev.x - p.x) * (n.ay - prev.y)), "
+            f"nx := -p.x, x := p.x, y := p.y)) AS s "
+            f"FROM p JOIN {prev} prev USING (k) "
+            f"JOIN {anchor} n ON n.k = p.k "
+            f"WHERE p.i BETWEEN 1 AND p.m - 2 AND {jb} = {j} "
+            f"GROUP BY p.k)"
+        )
+        # expose the pick as plain (k, x, y) for the next step's prev
+        parts.append(
+            f", sel{j} AS (SELECT k, (s).x AS x, (s).y AS y FROM pick{j})"
+        )
+    selects = [
+        "SELECT k AS event_type, 0 AS sel_idx, x, round(y, 6) AS y FROM sel_init"
+    ]
+    for j in range(B):
+        selects.append(
+            f"SELECT k, {j + 1}, x, round(y, 6) FROM sel{j}"
+        )
+    selects.append(
+        f"SELECT k, {n_out - 1}, x, round(y, 6) FROM lastp"
+    )
+    return (
+        "".join(parts)
+        + " "
+        + " UNION ALL ".join(selects)
+        + " ORDER BY event_type, sel_idx"
+    )
+
+
 def q_domain_block(spark, d):
     """Domain-blocklist curation (text.py::domain_filter — the UT1 /
     RefinedWeb convention): URLs synthesized deterministically from
@@ -4139,6 +4213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ttl_expire": q_ttl_expire,
         "projection_agg": q_projection_agg,
         "domain_block": q_domain_block,
+        "lttb_downsample": q_lttb_downsample,
     }
 
 
@@ -5798,6 +5873,7 @@ FROM ranked WHERE rk <= 5
             "WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3 "
             "ORDER BY id_a, id_b"
         ),
+        "lttb_downsample": _lttb_oracle_sql(10),
         "domain_block": (
             "SELECT doc_id, "
             "concat('https://', CASE WHEN doc_id % 7 = 0 THEN "

@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "winnow_fast",
     "projection_agg",
     "domain_block",
+    "lttb_downsample",
 ]
 
 

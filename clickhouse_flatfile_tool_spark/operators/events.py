@@ -955,3 +955,91 @@ def sparkbar(
         ),
     )
     return per_group.select(*group_cols, glyph.alias("bar"))
+
+
+def lttb(
+    df: DataFrame,
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+    n_out: int = 100,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets time-series downsampling
+    (Steinarsson 2013) — the ClickHouse ``largestTriangleThreeBuckets(n)
+    (x, y)`` aggregate: keep the first and last point of each series and,
+    for each of ``n_out − 2`` even buckets of the interior, the point
+    forming the LARGEST triangle with the previously selected point and
+    the next bucket's centroid — the classic dashboard downsampler that
+    preserves visual extremes where uniform sampling flattens them.
+
+    Deterministic spec (both the operator and its DuckDB oracle implement
+    exactly this): points sort by x (unique x per series required);
+    interior index i ∈ [1, m−2] lands in bucket ⌊(i−1)·B/(m−2)⌋ with
+    B = n_out − 2; the "next anchor" is the next bucket's POSITIONAL
+    MIDDLE element (index ⌊len/2⌋ of the bucket) — an exact order-based
+    stand-in for the classic centroid, pinned because cross-engine
+    floating-point summation order would make averaged centroids differ
+    in the last ulp and flip area ties; bucket B−1's anchor is the last
+    point; ties on triangle area break to the SMALLEST x (CH picks its
+    scan-order first — engine-specific, so the tiebreak is pinned here
+    instead).  Areas are then products/differences of exact table values:
+    bit-identical on every IEEE-754 engine.  Series with m ≤ n_out pass
+    through unchanged (sel_idx = position).
+
+    Scale shape: ONE shuffle on the series keys into ``applyInPandas``
+    (Arrow-batched, numpy argmax inside — the selection is inherently
+    sequential per series, same memory contract as the ClickHouse
+    aggregate which also materializes each group's points).  Output:
+    keys + (sel_idx, x, y), n_out rows per series.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_fields = [df.schema[k] for k in keys] + [
+        T.StructField("sel_idx", T.IntegerType()),
+        T.StructField("x", T.DoubleType()),
+        T.StructField("y", T.DoubleType()),
+    ]
+    schema = T.StructType(out_fields)
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        xs = pdf["__x"].to_numpy(dtype=float)
+        ys = pdf["__y"].to_numpy(dtype=float)
+        order = np.argsort(xs, kind="stable")
+        xs, ys = xs[order], ys[order]
+        m = len(xs)
+        if m <= n_out:
+            sel = np.arange(m)
+        else:
+            B = n_out - 2
+            sel_list = [0]
+            interior = np.arange(1, m - 1)
+            bucket = (interior - 1) * B // (m - 2)
+            for j in range(B):
+                cand = interior[bucket == j]
+                if j < B - 1:
+                    nxt = interior[bucket == j + 1]
+                    mid = nxt[len(nxt) // 2]
+                    ax, ay = xs[mid], ys[mid]
+                else:
+                    ax, ay = xs[m - 1], ys[m - 1]
+                px, py = xs[sel_list[-1]], ys[sel_list[-1]]
+                area = np.abs(
+                    (px - ax) * (ys[cand] - py) - (px - xs[cand]) * (ay - py)
+                )
+                # largest area; ties -> smallest x (stable argmax)
+                sel_list.append(cand[int(np.argmax(area))])
+            sel_list.append(m - 1)
+            sel = np.asarray(sel_list)
+        out = {k: [pdf[k].iloc[0]] * len(sel) for k in keys}
+        out["sel_idx"] = np.arange(len(sel), dtype="int32")
+        out["x"] = xs[sel]
+        out["y"] = ys[sel]
+        return pd.DataFrame(out)
+
+    prepped = df.select(
+        *keys,
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    )
+    return prepped.groupBy(*keys).applyInPandas(_one, schema)

@@ -360,3 +360,26 @@ def test_ewma_final_hand_computed(spark):
     # newest events dominate: ewma sits between the plain mean and the
     # newest value
     assert (10 + 20 + 40) / 3 < out[1].ewma < 40
+
+
+def test_lttb_keeps_endpoints_and_spike(spark):
+    """LTTB must keep both endpoints and prefer the spike over flat
+    neighbors in its bucket; short series pass through unchanged."""
+    from clickhouse_flatfile_tool_spark.operators.events import lttb
+
+    pts = [(1, float(i), 1.0) for i in range(12)]
+    pts[5] = (1, 5.0, 50.0)  # the spike LTTB exists to keep
+    df = spark.createDataFrame(pts, "k int, x double, y double")
+    out = {
+        r.sel_idx: (r.x, r.y)
+        for r in lttb(df, ["k"], "x", "y", n_out=5).collect()
+    }
+    assert len(out) == 5
+    assert out[0] == (0.0, 1.0) and out[4] == (11.0, 1.0)
+    assert (5.0, 50.0) in out.values()
+    # short series: all points, in x order
+    short = spark.createDataFrame(
+        [(2, 3.0, 1.0), (2, 1.0, 2.0)], "k int, x double, y double"
+    )
+    rows = lttb(short, ["k"], "x", "y", n_out=5).orderBy("sel_idx").collect()
+    assert [(r.x, r.y) for r in rows] == [(1.0, 2.0), (3.0, 1.0)]
