@@ -443,8 +443,16 @@ def ch_expression(draw, depth=0):
     atoms = ["x", "y", "7", "1.5", "NULL"]
     if depth >= 3:
         return draw(st.sampled_from(atoms))
-    kind = draw(st.integers(0, 23))
+    kind = draw(st.integers(0, 27))
     sub = lambda: draw(ch_expression(depth=depth + 1))  # noqa: E731
+    if kind == 24:
+        return f"bitHammingDistance(toInt64({sub()}), 9)"
+    if kind == 25:
+        return f"roundDuration(roundAge(toInt64({sub()})))"
+    if kind == 26:
+        return f"arrayElement(mapValues(mapAdd(map(1, toInt64({sub()})), map(1, 2))), 1)"
+    if kind == 27:
+        return f"arraySum(arrayEnumerateUniq([1, {sub()}, 1]))"
     if kind == 20:
         return f"moduloOrZero({sub()}, {draw(st.integers(0, 3))})"
     if kind == 21:
