@@ -933,6 +933,39 @@ def _rewrite_curried_quantiles(chunk: str) -> str:
     variants (TDigest/BFloat16/Timing/Deterministic) map to Spark's own
     sketch aggregate ``approx_percentile`` — approximate on both sides, so
     values differ per engine (the exact names are the oracle path)."""
+    # quantileGK/quantilesGK(accuracy, level…)(expr): Spark's
+    # approx_percentile IS the Greenwald-Khanna sketch, so the mapping is
+    # 1:1 including the accuracy knob (values still engine-specific — GK
+    # summaries depend on merge order); groupConcat(sep)(expr) → listagg
+    gk = re.compile(r"\b(quantilesGK|quantileGK|groupConcat)\(")
+    m = gk.search(chunk)
+    while m:
+        p_end = _match_paren(chunk, m.end() - 1)
+        if p_end >= len(chunk) or chunk[p_end] != "(":
+            m = gk.search(chunk, p_end)
+            continue
+        x_end = _match_paren(chunk, p_end)
+        head = _split_top_comma(chunk[m.end() : p_end - 1])
+        arg = chunk[p_end + 1 : x_end - 1]
+        if m.group(1) == "groupConcat":
+            repl = f"listagg({arg}, {head[0]})" if len(head) == 1 else None
+        elif len(head) >= 2:
+            acc = head[0]
+            levels = (
+                head[1]
+                if m.group(1) == "quantileGK" and len(head) == 2
+                else "array(" + ", ".join(head[1:]) + ")"
+            )
+            repl = f"approx_percentile({arg}, {levels}, {acc})"
+        else:
+            repl = None
+        if repl is None:
+            m = gk.search(chunk, x_end)
+            continue
+        chunk = chunk[: m.start()] + repl + chunk[x_end:]
+        m = gk.search(chunk, m.start() + len(repl))
+    # plain groupConcat(x) (uncurried) → listagg(x)
+    chunk = re.sub(r"\bgroupConcat\(", "listagg(", chunk)
     for name, as_array, fn in (
         # histogram(N)(x): CH's adaptive-bin histogram -> Spark's
         # histogram_numeric centroids — both adaptive sketches, so bin

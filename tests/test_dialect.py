@@ -1616,3 +1616,26 @@ def test_batch15_stragglers(spark):
     assert row.occ == [1, 1, 2, 3]
     assert row.last == 7
     assert row.bits == [2, 16, 32]
+
+
+def test_quantile_gk_and_group_concat(spark):
+    """quantileGK/quantilesGK(accuracy, level...)(x) → approx_percentile
+    (Spark's sketch IS Greenwald-Khanna, accuracy knob included);
+    groupConcat[(sep)](x) → listagg."""
+    spark.range(101).selectExpr(
+        "CAST(id AS DOUBLE) AS v", "CAST(id % 3 AS STRING) AS s"
+    ).createOrReplaceTempView("gk_t")
+    row = spark.sql(
+        tr(
+            "SELECT quantileGK(100, 0.5)(v) AS med, "
+            "quantilesGK(100, 0.25, 0.75)(v) AS qs FROM gk_t"
+        )
+    ).first()
+    assert row.med == 50.0 and row.qs == [24.0, 74.0]
+    row2 = spark.sql(
+        tr(
+            "SELECT groupConcat('|')(s) AS a, groupConcat(s) AS b "
+            "FROM (SELECT s FROM gk_t ORDER BY v LIMIT 3)"
+        )
+    ).first()
+    assert row2.a == "0|1|2" and row2.b == "012"
