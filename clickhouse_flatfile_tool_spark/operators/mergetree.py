@@ -31,10 +31,17 @@ def replacing_final(
     key_cols: list[str],
     version_cols: list[str],
     value_cols: list[str] | None = None,
+    is_deleted_col: str | None = None,
 ) -> DataFrame:
     """ReplacingMergeTree FINAL: one row per key — the row with the greatest
     version (lexicographic over ``version_cols``; remaining value columns
     break exact version ties deterministically).
+
+    ``is_deleted_col`` enables the ClickHouse 23.2+ soft-delete form
+    ``ReplacingMergeTree(ver, is_deleted)``: the winning row per key is
+    DROPPED when its flag is 1 — an upsert-and-tombstone CDC stream
+    collapses to the live set in the same single aggregation (FINAL with
+    ``clean_deleted_rows`` semantics).
 
     Equivalent to the window-rank ``latest_per_key`` but with aggregation
     instead of a sort-based window: ``max(struct(version, values))`` is a
@@ -45,8 +52,17 @@ def replacing_final(
         skip = set(key_cols) | set(version_cols)
         value_cols = [c for c in df.columns if c not in skip]
     out_cols = list(version_cols) + list(value_cols)
+    if is_deleted_col and is_deleted_col not in out_cols:
+        out_cols.append(is_deleted_col)
     agg = df.groupBy(*key_cols).agg(F.max(_payload(out_cols)).alias("_last"))
-    return agg.select(*key_cols, *[F.col(f"_last.{c}").alias(c) for c in out_cols])
+    out = agg.select(
+        *key_cols, *[F.col(f"_last.{c}").alias(c) for c in out_cols]
+    )
+    if is_deleted_col:
+        out = out.filter(
+            F.coalesce(F.col(is_deleted_col).cast("int"), F.lit(0)) != 1
+        )
+    return out
 
 
 def summing_final(

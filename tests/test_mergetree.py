@@ -387,3 +387,28 @@ def test_final_read_summing_default_columns(spark):
         for r in mergetree.final_read(spark, "sums_v").collect()
     }
     assert got == {1: (5, 2.0), 2: (7, 1.0)}
+
+
+def test_replacing_final_is_deleted_tombstones(spark):
+    """ReplacingMergeTree(ver, is_deleted): the max-version row wins per
+    key, and keys whose winner is a tombstone vanish — while an older
+    delete superseded by a newer insert stays alive."""
+    from clickhouse_flatfile_tool_spark.operators.mergetree import replacing_final
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 10.0, 0),
+            ("a", 2, 20.0, 1),   # deleted at v2 -> key a gone
+            ("b", 1, 30.0, 1),
+            ("b", 2, 40.0, 0),   # re-inserted after delete -> alive
+            ("c", 5, 50.0, 0),   # plain live row
+        ],
+        "k string, ver int, v double, is_deleted int",
+    )
+    rows = {
+        r.k: (r.ver, r.v)
+        for r in replacing_final(
+            df, ["k"], ["ver"], is_deleted_col="is_deleted"
+        ).collect()
+    }
+    assert rows == {"b": (2, 40.0), "c": (5, 50.0)}
