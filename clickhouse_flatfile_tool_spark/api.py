@@ -227,6 +227,7 @@ def query(
     sql: str,
     page: int = 1,
     page_size: int = relational.DEFAULT_PAGE_SIZE,
+    params: dict | None = None,
 ) -> dict:
     """Run ClickHouse-dialect SQL against the session catalog — the analog
     of the reference delegating user SQL strings to ClickHouse over HTTP
@@ -242,6 +243,12 @@ def query(
     from clickhouse_flatfile_tool_spark.operators import mergetree
 
     try:
+        if params:
+            # ClickHouse {name:Type} query parameters (the param_p= HTTP
+            # convention) — typed-literal substitution, injection-safe
+            from clickhouse_flatfile_tool_spark.dialect import bind_parameters
+
+            sql = bind_parameters(sql, params)
         # optimize_use_projections: a plain grouped aggregate over a table
         # with a matching registered projection reads the cells, not the
         # scan (the rewrite ClickHouse's optimizer does per part)

@@ -3084,6 +3084,39 @@ def _wrap_empty_sites(chunk: str, flags: list[bool]) -> str:
     return chunk
 
 
+_PARAM_PAT = re.compile(r"\{(\w+)\s*:\s*([A-Za-z0-9()\s,]+?)\}")
+
+
+def bind_parameters(sql: str, params: dict) -> str:
+    """ClickHouse query parameters — ``SELECT {p:UInt32}``-style
+    placeholders bound server-side (the ``param_p=`` HTTP convention).
+    Each ``{name:Type}`` site becomes a SQL literal cast through the
+    declared ClickHouse type (``schema.clickhouse_to_spark`` — the same
+    whitelist mapper the ingest path uses), so a string value can never
+    splice into the statement as syntax: quotes are doubled inside the
+    literal, everything else arrives through a CAST.  Unknown names
+    raise (CH errors on unbound params too); extra params are ignored."""
+    from pyspark.sql.types import DataType
+
+    from clickhouse_flatfile_tool_spark.schema import clickhouse_to_spark
+
+    def _sub(m: re.Match) -> str:
+        name, ch_type = m.group(1), m.group(2).strip()
+        if name not in params:
+            raise ValueError(f"unbound query parameter {{{name}:{ch_type}}}")
+        dt, _nullable = clickhouse_to_spark(ch_type)
+        sql_type = (
+            dt.simpleString() if isinstance(dt, DataType) else str(dt)
+        )
+        v = params[name]
+        if v is None:
+            return f"CAST(NULL AS {sql_type})"
+        lit = str(v).replace("'", "''")
+        return f"CAST('{lit}' AS {sql_type})"
+
+    return _PARAM_PAT.sub(_sub, sql)
+
+
 def translate_clickhouse_sql(sql: str, spark=None) -> str:
     """Translate the common ClickHouse function surface to Spark SQL.
 

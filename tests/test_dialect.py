@@ -1639,3 +1639,39 @@ def test_quantile_gk_and_group_concat(spark):
         )
     ).first()
     assert row2.a == "0|1|2" and row2.b == "012"
+
+
+def test_query_parameters_bind_typed_literals(spark):
+    """ClickHouse {name:Type} query parameters: typed CAST literals,
+    quote-doubling makes string values injection-safe, unbound raises."""
+    import pytest as _pytest
+
+    from clickhouse_flatfile_tool_spark.dialect import bind_parameters
+
+    out = bind_parameters(
+        "SELECT {n:UInt32} AS n, {s:String} AS s, {d:Float64} AS d",
+        {"n": 7, "s": "it's", "d": 1.5},
+    )
+    row = spark.sql(tr(out)).first()
+    assert (row.n, row.s, row.d) == (7, "it's", 1.5)
+    evil = bind_parameters(
+        "SELECT {s:String} AS s", {"s": "x'; DROP TABLE t; --"}
+    )
+    assert spark.sql(tr(evil)).first().s == "x'; DROP TABLE t; --"
+    with _pytest.raises(ValueError):
+        bind_parameters("SELECT {missing:UInt8}", {})
+
+
+def test_api_query_with_params(spark):
+    from clickhouse_flatfile_tool_spark import api
+
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "id int, g string"
+    ).createOrReplaceTempView("qp_t")
+    out = api.query(
+        spark,
+        "SELECT count(*) AS n FROM qp_t WHERE g = {grp:String} "
+        "AND id >= {lo:Int64}",
+        params={"grp": "a", "lo": 1},
+    )
+    assert out["success"] and out["data"] == [{"n": 2}]
