@@ -177,6 +177,30 @@ class ProjectionSet:
         self.projections[name] = (keys, aggs, frame)
         return name
 
+    def refresh(self, delta: DataFrame, name: str, cache: bool = True) -> None:
+        """Incremental maintenance under appends: the delta's cells merge
+        into the stored cells by re-aggregation (cells are associative
+        states — sum/count add, min/max combine), so a day's append costs
+        |delta| + |cells|, never a rescan of the base — the
+        ``mv_refresh`` delta pattern applied to projections.  ClickHouse
+        gets this for free because projections live inside each new part;
+        the explicit merge is the lakehouse equivalent."""
+        keys, aggs, frame = self.projections[name]
+        merged_src = frame.unionByName(build_projection(delta, keys, aggs))
+        cell_cols = [c for c in frame.columns if c not in keys]
+        merged = merged_src.groupBy(*keys).agg(
+            *[
+                (F.min(c) if c.startswith("__min_") else
+                 F.max(c) if c.startswith("__max_") else F.sum(c)).alias(c)
+                for c in cell_cols
+            ]
+        )
+        if cache:
+            merged = merged.cache()
+        if frame.is_cached:
+            frame.unpersist()
+        self.projections[name] = (keys, aggs, merged)
+
     def drop(self, name: str) -> None:
         keys_aggs_frame = self.projections.pop(name, None)
         if keys_aggs_frame is not None and keys_aggs_frame[2].is_cached:

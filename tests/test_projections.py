@@ -156,3 +156,36 @@ def test_api_query_transparent_projection_route(spark, base):
     assert out2["success"] and out2["used_projection"] is None
     assert [(r["g"], r["s"]) for r in out2["data"]] == [("a", 4.0), ("b", 7.0)]
     api._PROJECTION_SETS.clear()
+
+
+def test_refresh_merges_delta_cells(spark, base):
+    """Appending a delta and refreshing must equal rebuilding from the
+    full data — for every cell kind including the (sum, count) avg
+    state."""
+    ps = P.ProjectionSet(base)
+    ps.add(DDL, cache=False)
+    delta = spark.createDataFrame(
+        [("a", "x", 9.0), ("c", "z", 2.0)], "g string, h string, v double"
+    )
+    ps.refresh(delta, "p_gh", cache=False)
+    want = [("sum", "v"), ("count", "v"), ("min", "v"), ("max", "v"), ("avg", "v")]
+    got = {
+        r.g: (r.sum_v, r.count_v, r.min_v, r.max_v, r.avg_v)
+        for r in ps.query(["g"], want).collect()
+    }
+    full = base.unionByName(delta)
+    import pyspark.sql.functions as F2
+
+    direct = {
+        r.g: (r.s, r.c, r.mn, r.mx, r.av)
+        for r in full.groupBy("g")
+        .agg(
+            F2.sum("v").alias("s"),
+            F2.count("v").alias("c"),
+            F2.min("v").alias("mn"),
+            F2.max("v").alias("mx"),
+            F2.avg("v").alias("av"),
+        )
+        .collect()
+    }
+    assert got == direct and "c" in got
