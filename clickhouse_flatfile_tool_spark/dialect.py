@@ -299,6 +299,15 @@ _RENAMES: list[tuple[str, str]] = [
     # sequences with U+FFFD on both engines)
     ("isValidUTF8", "is_valid_utf8"),
     ("toValidUTF8", "make_valid_utf8"),
+    # sumKahan: Spark's sum is plain FP accumulation, not compensated —
+    # same value modulo summation-order ulps (the -Stable stance)
+    ("sumKahan", "sum"),
+    ("concatAssumeInjective", "concat"),  # the hint has no Spark analog
+    ("substringIndexUTF8", "substring_index"),
+    # function forms: notLike(h, p) → NOT like(h, p); Spark has like()/
+    # ilike() as functions too, so plain like/ilike pass through by name
+    ("notLike", "NOT like"),
+    ("notILike", "NOT ilike"),
 ]
 
 _ZERO_ARG: list[tuple[str, str]] = [

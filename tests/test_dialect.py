@@ -1675,3 +1675,16 @@ def test_api_query_with_params(spark):
         params={"grp": "a", "lo": 1},
     )
     assert out["success"] and out["data"] == [{"n": 2}]
+
+
+def test_misc_renames_batch15b(spark):
+    """sumKahan/concatAssumeInjective/substringIndexUTF8 renames and the
+    notLike/notILike function forms."""
+    row = spark.sql(
+        tr(
+            "SELECT notLike('abc', 'a%') AS nl, notILike('ABC', 'a%') AS nil, "
+            "substringIndexUTF8('a.b.c', '.', 2) AS si, "
+            "concatAssumeInjective('x', 'y') AS ci"
+        )
+    ).first()
+    assert (row.nl, row.nil, row.si, row.ci) == (False, False, "a.b", "xy")
