@@ -2841,6 +2841,18 @@ def q_mutation_update(spark, d):
     )
 
 
+def q_anova(spark, d):
+    """One-way ANOVA (relational.py::anova — ClickHouse
+    analysisOfVariance analog): does event value differ across event
+    types?  Two partial-aggregatable passes over per-group (n, Σx, Σx²)
+    cells.  Oracle: DuckDB computing the identical cell algebra."""
+    ev = _t(spark, d, "events")
+    out = relational.anova(ev, "event_type", "value")
+    return out.select(
+        F.round("f_stat", 6).alias("f_stat"), "df_between", "df_within"
+    )
+
+
 def q_lttb_downsample(spark, d):
     """ClickHouse largestTriangleThreeBuckets analog (events.py::lttb —
     Steinarsson 2013): each event_type's (event_id, value) series
@@ -4214,6 +4226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "projection_agg": q_projection_agg,
         "domain_block": q_domain_block,
         "lttb_downsample": q_lttb_downsample,
+        "anova": q_anova,
     }
 
 
@@ -5874,6 +5887,17 @@ FROM ranked WHERE rk <= 5
             "ORDER BY id_a, id_b"
         ),
         "lttb_downsample": _lttb_oracle_sql(10),
+        "anova": (
+            "WITH cells AS (SELECT event_type, count(value) AS n, "
+            " sum(value) AS s, sum(value * value) AS ss FROM events "
+            " WHERE value IS NOT NULL GROUP BY event_type), "
+            "t AS (SELECT count(*) AS k, sum(n) AS nn, sum(s) AS ts, "
+            " sum(ss) AS tss, sum(s * s / n) AS a FROM cells) "
+            "SELECT round(((a - ts * ts / nn) / (k - 1)) / "
+            " ((tss - a) / (nn - k)), 6) AS f_stat, "
+            "(k - 1)::BIGINT AS df_between, (nn - k)::BIGINT AS df_within "
+            "FROM t"
+        ),
         "domain_block": (
             "SELECT doc_id, "
             "concat('https://', CASE WHEN doc_id % 7 = 0 THEN "

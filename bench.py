@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "projection_agg",
     "domain_block",
     "lttb_downsample",
+    "anova",
 ]
 
 

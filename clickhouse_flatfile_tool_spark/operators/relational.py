@@ -936,3 +936,44 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     return row.selectExpr(
         f"stack({n}, {stack_args}) AS (col_a, col_b, corr)"
     )
+
+
+def anova(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """One-way ANOVA — the ClickHouse ``analysisOfVariance(x, group)``
+    aggregate: F = (SSB/(k−1)) / (SSW/(n−k)) over the per-group and
+    grand means.  Two partial-aggregatable passes (per-group cells →
+    tiny k-row frame → 1-row combine): the fact table shuffles once on
+    the group key, the combine is driver-trivial.  Returns one row
+    (f_stat, df_between, df_within) — p-value needs an F-distribution
+    CDF, which neither Spark SQL nor ClickHouse's return tuple exposes
+    beyond the statistic without scipy; CH returns (f, p) and the f
+    component is the cross-engine-checkable half.  NULL values are
+    excluded (CH skips NULLs in aggregates)."""
+    cells = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(value_col).alias("__n"),
+            F.sum(value_col).alias("__s"),
+            F.sum(F.col(value_col) * F.col(value_col)).alias("__ss"),
+        )
+    )
+    # SSW = Σ_g (ss_g − s_g²/n_g);  SSB = Σ_g n_g·(mean_g − grand)²
+    #     = Σ_g s_g²/n_g − S²/N  (computed from the same cells)
+    return cells.agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum("__n").alias("__N"),
+        F.sum("__s").alias("__S"),
+        F.sum("__ss").alias("__SS"),
+        F.sum(F.col("__s") * F.col("__s") / F.col("__n")).alias("__A"),
+    ).select(
+        (
+            ((F.col("__A") - F.col("__S") * F.col("__S") / F.col("__N"))
+             / (F.col("__k") - 1))
+            / ((F.col("__SS") - F.col("__A")) / (F.col("__N") - F.col("__k")))
+        ).alias("f_stat"),
+        (F.col("__k") - 1).cast("long").alias("df_between"),
+        (F.col("__N") - F.col("__k")).cast("long").alias("df_within"),
+    )

@@ -477,3 +477,25 @@ def test_asof_join_tolerance(spark):
     ).collect()
     got = {r["k"]: r["v_asof"] for r in tight}
     assert got == {1: 10.0, 2: None}
+
+
+def test_anova_matches_scipy_formula(spark):
+    """F-statistic against a hand-computed one-way ANOVA (groups with
+    known means); NULLs excluded."""
+    from clickhouse_flatfile_tool_spark.operators.relational import anova
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0),
+         ("b", 2.0), ("b", 4.0), ("b", 6.0),
+         ("c", 5.0), ("c", None)],
+        "g string, v double",
+    )
+    r = anova(df, "g", "v").first()
+    # hand computation: means a=2, b=4, c=5; grand = 23/7
+    # SSB = 3*(2-23/7)^2 + 3*(4-23/7)^2 + 1*(5-23/7)^2
+    # SSW = (1+0+1) + (4+0+4) + 0 = 10
+    grand = 23.0 / 7.0
+    ssb = 3 * (2 - grand) ** 2 + 3 * (4 - grand) ** 2 + 1 * (5 - grand) ** 2
+    f = (ssb / 2) / (10.0 / 4)
+    assert abs(r.f_stat - f) < 1e-9
+    assert (r.df_between, r.df_within) == (2, 4)
