@@ -2853,6 +2853,56 @@ def q_anova(spark, d):
     )
 
 
+def q_cramers_v(spark, d):
+    """Categorical association (relational.py::categorical_association —
+    ClickHouse cramersV/contingency/theilsU family): event_type vs the
+    user-id bucket, one contingency build.  Oracle: DuckDB running the
+    identical cell algebra (incl. the zero-cell chi² mass n − Σe)."""
+    ev = _t(spark, d, "events").select(
+        "event_type", (F.col("user_id") % 4).alias("ub")
+    )
+    out = relational.categorical_association(ev, "event_type", "ub")
+    return out.select(
+        F.round("chi2", 6).alias("chi2"),
+        F.round("cramers_v", 6).alias("cramers_v"),
+        F.round("contingency_coeff", 6).alias("contingency_coeff"),
+        F.round("theils_u", 6).alias("theils_u"),
+    )
+
+
+def q_hypothesis_tests(spark, d):
+    """Two-sample hypothesis tests (relational.py::ttest/mann_whitney_u —
+    ClickHouse studentTTest/welchTTest/mannWhitneyUTest): click vs
+    purchase event values.  U is exact (half-integer rank algebra);
+    t-statistics round at 6.  Oracle: DuckDB group stats + the same
+    distinct-value cumulative-rank construction."""
+    ev = _t(spark, d, "events")
+    w = relational.ttest(ev, "event_type", "value", "click", "purchase")
+    s = relational.ttest(
+        ev, "event_type", "value", "click", "purchase", welch=False
+    )
+    u = relational.mann_whitney_u(ev, "event_type", "value", "click", "purchase")
+    return (
+        w.select(
+            F.round("t_stat", 6).alias("welch_t"),
+            F.round("deg_f", 4).alias("welch_df"),
+        )
+        .crossJoin(
+            s.select(
+                F.round("t_stat", 6).alias("student_t"),
+                F.round("deg_f", 4).alias("student_df"),
+            )
+        )
+        .crossJoin(
+            u.select(
+                "u_stat",
+                F.col("n_a").cast("long").alias("n_a"),
+                F.col("n_b").cast("long").alias("n_b"),
+            )
+        )
+    )
+
+
 def q_lttb_downsample(spark, d):
     """ClickHouse largestTriangleThreeBuckets analog (events.py::lttb —
     Steinarsson 2013): each event_type's (event_id, value) series
@@ -4227,6 +4277,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_block": q_domain_block,
         "lttb_downsample": q_lttb_downsample,
         "anova": q_anova,
+        "cramers_v": q_cramers_v,
+        "hypothesis_tests": q_hypothesis_tests,
     }
 
 
@@ -5887,6 +5939,54 @@ FROM ranked WHERE rk <= 5
             "ORDER BY id_a, id_b"
         ),
         "lttb_downsample": _lttb_oracle_sql(10),
+        "cramers_v": (
+            "WITH pairs AS (SELECT event_type AS a, user_id % 4 AS b, "
+            " count(*)::DOUBLE AS c FROM events GROUP BY 1, 2), "
+            "cells AS (SELECT a, b, c, sum(c) OVER (PARTITION BY a) AS ra, "
+            " sum(c) OVER (PARTITION BY b) AS rb, sum(c) OVER () AS n "
+            " FROM pairs), "
+            "t AS (SELECT any_value(n) AS n, "
+            " count(DISTINCT a)::DOUBLE AS r, count(DISTINCT b)::DOUBLE AS cc, "
+            " sum(pow(c - ra * rb / n, 2) / (ra * rb / n)) "
+            "  + any_value(n) - sum(ra * rb / n) AS chi2, "
+            " sum((c / ra) * -(ra / n) * ln(ra / n)) AS ha, "
+            " sum(-(c / n) * ln(c / rb)) AS hab FROM cells) "
+            "SELECT round(chi2, 6) AS chi2, "
+            "round(sqrt(chi2 / (n * (least(r, cc) - 1))), 6) AS cramers_v, "
+            "round(sqrt(chi2 / (chi2 + n)), 6) AS contingency_coeff, "
+            "round((ha - hab) / ha, 6) AS theils_u FROM t"
+        ),
+        "hypothesis_tests": (
+            "WITH s AS (SELECT event_type AS g, count(value)::DOUBLE AS n, "
+            " avg(value) AS m, var_samp(value) AS v FROM events "
+            " WHERE event_type IN ('click', 'purchase') "
+            " AND value IS NOT NULL GROUP BY event_type), "
+            "wide AS (SELECT "
+            " max(CASE WHEN g = 'click' THEN n END) AS na, "
+            " max(CASE WHEN g = 'click' THEN m END) AS ma, "
+            " max(CASE WHEN g = 'click' THEN v END) AS va, "
+            " max(CASE WHEN g = 'purchase' THEN n END) AS nb, "
+            " max(CASE WHEN g = 'purchase' THEN m END) AS mb, "
+            " max(CASE WHEN g = 'purchase' THEN v END) AS vb FROM s), "
+            "vals AS (SELECT value AS v, "
+            " sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::DOUBLE AS ca, "
+            " sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::DOUBLE AS cb "
+            " FROM events WHERE event_type IN ('click', 'purchase') "
+            " AND value IS NOT NULL GROUP BY value), "
+            "rk AS (SELECT ca, cb, coalesce(sum(ca + cb) OVER ("
+            " ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            " + (ca + cb + 1) / 2.0 AS rank FROM vals), "
+            "uu AS (SELECT sum(ca * rank) - sum(ca) * (sum(ca) + 1) / 2 AS u, "
+            " sum(ca) AS n_a, sum(cb) AS n_b FROM rk) "
+            "SELECT round((ma - mb) / sqrt(va / na + vb / nb), 6) AS welch_t, "
+            "round(pow(va / na + vb / nb, 2) / (pow(va / na, 2) / (na - 1) "
+            " + pow(vb / nb, 2) / (nb - 1)), 4) AS welch_df, "
+            "round((ma - mb) / sqrt(((na - 1) * va + (nb - 1) * vb) "
+            " / (na + nb - 2) * (1 / na + 1 / nb)), 6) AS student_t, "
+            "round(na + nb - 2, 4) AS student_df, "
+            "u AS u_stat, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b "
+            "FROM wide, uu"
+        ),
         "anova": (
             "WITH cells AS (SELECT event_type, count(value) AS n, "
             " sum(value) AS s, sum(value * value) AS ss FROM events "

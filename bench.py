@@ -170,6 +170,8 @@ BENCH_QUERIES = [
     "domain_block",
     "lttb_downsample",
     "anova",
+    "cramers_v",
+    "hypothesis_tests",
 ]
 
 

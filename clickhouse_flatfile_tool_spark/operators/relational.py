@@ -977,3 +977,171 @@ def anova(
         (F.col("__k") - 1).cast("long").alias("df_between"),
         (F.col("__N") - F.col("__k")).cast("long").alias("df_within"),
     )
+
+
+def categorical_association(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Categorical association measures — the ClickHouse ``cramersV`` /
+    ``contingency`` / ``theilsU`` aggregate family, from ONE contingency
+    build: pair counts (one shuffle on (a, b)), marginals re-aggregated
+    from the pair cells (projection-style — never a second scan), then a
+    1-row combine.
+
+    * chi² = Σ (o − e)²/e  with e = rowTotal·colTotal/n
+    * Cramér's V = √(chi² / (n·(min(r, c) − 1)))
+    * contingency coefficient = √(chi² / (chi² + n))
+    * Theil's U (uncertainty coefficient U(a|b)) =
+      (H(a) − H(a|b)) / H(a)  — entropy-based, asymmetric.
+
+    NULL categories count as regular values (CH treats NULL as a key in
+    these aggregates' hashed columns) — callers filter if unwanted."""
+    pairs = df.groupBy(
+        F.col(a_col).alias("__a"), F.col(b_col).alias("__b")
+    ).agg(F.count(F.lit(1)).cast("double").alias("__c"))
+    wa = Window.partitionBy("__a")
+    wb = Window.partitionBy("__b")
+    w_all = Window.partitionBy()
+    cells = pairs.select(
+        "__a",
+        "__b",
+        "__c",
+        F.sum("__c").over(wa).alias("__ra"),
+        F.sum("__c").over(wb).alias("__rb"),
+        F.sum("__c").over(w_all).alias("__n"),
+    )
+    ent = cells.agg(
+        F.first("__n").alias("n"),
+        F.countDistinct("__a").cast("double").alias("r"),
+        F.countDistinct("__b").cast("double").alias("c"),
+        # chi² over ALL r×c cells without materializing the zero ones:
+        # an o=0 cell contributes (0−e)²/e = e, and Σe over every cell is
+        # exactly n — so the zero-cell mass is n − Σ_observed e
+        (
+            F.sum(
+                F.pow(
+                    F.col("__c") - F.col("__ra") * F.col("__rb") / F.col("__n"),
+                    2,
+                )
+                / (F.col("__ra") * F.col("__rb") / F.col("__n"))
+            )
+            + F.first("__n")
+            - F.sum(F.col("__ra") * F.col("__rb") / F.col("__n"))
+        ).alias("chi2"),
+        # H(a) from the a-marginals: weight each pair cell by c/ra so each
+        # distinct a contributes exactly once
+        F.sum(
+            (F.col("__c") / F.col("__ra"))
+            * -(F.col("__ra") / F.col("__n"))
+            * F.log(F.col("__ra") / F.col("__n"))
+        ).alias("ha"),
+        F.sum(
+            -(F.col("__c") / F.col("__n"))
+            * F.log(F.col("__c") / F.col("__rb"))
+        ).alias("hab"),
+    )
+    return ent.select(
+        F.col("chi2"),
+        F.sqrt(
+            F.col("chi2")
+            / (F.col("n") * (F.least("r", "c") - 1))
+        ).alias("cramers_v"),
+        F.sqrt(F.col("chi2") / (F.col("chi2") + F.col("n"))).alias(
+            "contingency_coeff"
+        ),
+        ((F.col("ha") - F.col("hab")) / F.col("ha")).alias("theils_u"),
+    )
+
+
+def ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    welch: bool = True,
+) -> DataFrame:
+    """Two-sample t-test — ClickHouse ``studentTTest`` (pooled variance)
+    and ``welchTTest`` (unequal variances, Welch–Satterthwaite df).  One
+    grouped pass builds (n, mean, sample variance) per side; the combine
+    is 1-row.  Returns (t_stat, deg_f); the p-value needs a t CDF — the
+    statistic is the cross-engine-checkable half (the anova stance)."""
+    stats = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .filter(F.col(value_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(value_col).cast("double").alias("n"),
+            F.avg(value_col).alias("m"),
+            F.var_samp(value_col).alias("v"),
+        )
+        .select(
+            F.when(F.col(group_col) == group_a, F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("g"),
+            "n",
+            "m",
+            "v",
+        )
+    )
+    wide = stats.groupBy().pivot("g", ["a", "b"]).agg(
+        F.first("n").alias("n"), F.first("m").alias("m"), F.first("v").alias("v")
+    )
+    na, ma, va = F.col("a_n"), F.col("a_m"), F.col("a_v")
+    nb, mb, vb = F.col("b_n"), F.col("b_m"), F.col("b_v")
+    if welch:
+        se2a, se2b = va / na, vb / nb
+        t = (ma - mb) / F.sqrt(se2a + se2b)
+        deg = F.pow(se2a + se2b, 2) / (
+            F.pow(se2a, 2) / (na - 1) + F.pow(se2b, 2) / (nb - 1)
+        )
+    else:
+        sp2 = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+        t = (ma - mb) / F.sqrt(sp2 * (1 / na + 1 / nb))
+        deg = na + nb - 2
+    return wide.select(t.alias("t_stat"), deg.alias("deg_f"))
+
+
+def mann_whitney_u(
+    df: DataFrame, group_col: str, value_col: str, group_a, group_b
+) -> DataFrame:
+    """Mann–Whitney U — ClickHouse ``mannWhitneyUTest``: AVERAGE rank for
+    ties (the tie-corrected convention), U₁ = R₁ − n₁(n₁+1)/2 for
+    ``group_a``, plus both group sizes.
+
+    Scale shape: rows first aggregate to DISTINCT VALUES (one shuffle,
+    map-side combinable — ties collapse to (value, cnt_a, cnt_b) cells),
+    and the single-partition cumulative window then runs over the
+    distinct-value frame only, whose cardinality is bounded by the
+    measurement's resolution, not the row count.  Average rank of value v
+    = (running count before v) + (cnt_v + 1)/2; R₁ = Σ cnt_a(v)·rank(v).
+    """
+    two = df.filter(F.col(group_col).isin([group_a, group_b])).filter(
+        F.col(value_col).isNotNull()
+    )
+    cells = two.groupBy(F.col(value_col).alias("__v")).agg(
+        F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0))
+        .cast("double")
+        .alias("__ca"),
+        F.sum(F.when(F.col(group_col) == group_b, 1).otherwise(0))
+        .cast("double")
+        .alias("__cb"),
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = cells.select(
+        "__ca",
+        "__cb",
+        (
+            F.coalesce(F.sum(F.col("__ca") + F.col("__cb")).over(w), F.lit(0.0))
+            + (F.col("__ca") + F.col("__cb") + 1) / 2.0
+        ).alias("__rank"),
+    )
+    return ranked.agg(
+        F.sum(F.col("__ca") * F.col("__rank")).alias("__ra"),
+        F.sum("__ca").alias("n_a"),
+        F.sum("__cb").alias("n_b"),
+    ).select(
+        (F.col("__ra") - F.col("n_a") * (F.col("n_a") + 1) / 2).alias("u_stat"),
+        "n_a",
+        "n_b",
+    )

@@ -499,3 +499,61 @@ def test_anova_matches_scipy_formula(spark):
     f = (ssb / 2) / (10.0 / 4)
     assert abs(r.f_stat - f) < 1e-9
     assert (r.df_between, r.df_within) == (2, 4)
+
+
+def test_categorical_association_perfect_and_independent(spark):
+    """Cramér's V = 1 for a bijective association, ~0 for independence;
+    Theil's U likewise; contingency coefficient bounded by chi2 algebra."""
+    from clickhouse_flatfile_tool_spark.operators.relational import (
+        categorical_association,
+    )
+
+    perfect = spark.createDataFrame(
+        [("x", "1")] * 5 + [("y", "2")] * 5, "a string, b string"
+    )
+    r = categorical_association(perfect, "a", "b").first()
+    assert abs(r.cramers_v - 1.0) < 1e-9
+    assert abs(r.theils_u - 1.0) < 1e-9
+    indep = spark.createDataFrame(
+        [("x", "1"), ("x", "2"), ("y", "1"), ("y", "2")] * 3,
+        "a string, b string",
+    )
+    r2 = categorical_association(indep, "a", "b").first()
+    assert abs(r2.chi2) < 1e-9 and abs(r2.cramers_v) < 1e-9
+    assert abs(r2.theils_u) < 1e-9
+
+
+def test_ttest_welch_and_student(spark):
+    """Hand-computed two-sample t: a = [1,2,3], b = [2,4,6]."""
+    from clickhouse_flatfile_tool_spark.operators.relational import ttest
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 4.0), ("b", 6.0)],
+        "g string, v double",
+    )
+    # means 2, 4; variances 1, 4; n = 3 each
+    w = ttest(df, "g", "v", "a", "b", welch=True).first()
+    import math
+
+    se2 = 1 / 3 + 4 / 3
+    assert abs(w.t_stat - (2 - 4) / math.sqrt(se2)) < 1e-9
+    assert abs(
+        w.deg_f - se2**2 / ((1 / 3) ** 2 / 2 + (4 / 3) ** 2 / 2)
+    ) < 1e-9
+    s = ttest(df, "g", "v", "a", "b", welch=False).first()
+    sp2 = (2 * 1 + 2 * 4) / 4
+    assert abs(s.t_stat - (2 - 4) / math.sqrt(sp2 * (2 / 3))) < 1e-9
+    assert s.deg_f == 4.0
+
+
+def test_mann_whitney_u_with_ties(spark):
+    """Hand-computed U with a tie spanning the groups: a = [1, 2],
+    b = [2, 3].  Ranks: 1 → 1, the two 2s → 2.5 each, 3 → 4.
+    R_a = 3.5 → U = 3.5 − 3 = 0.5."""
+    from clickhouse_flatfile_tool_spark.operators.relational import mann_whitney_u
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)], "g string, v double"
+    )
+    r = mann_whitney_u(df, "g", "v", "a", "b").first()
+    assert (r.u_stat, r.n_a, r.n_b) == (0.5, 2.0, 2.0)
