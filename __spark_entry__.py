@@ -2882,6 +2882,7 @@ def q_hypothesis_tests(spark, d):
         ev, "event_type", "value", "click", "purchase", welch=False
     )
     u = relational.mann_whitney_u(ev, "event_type", "value", "click", "purchase")
+    ks = relational.ks_test(ev, "event_type", "value", "click", "purchase")
     return (
         w.select(
             F.round("t_stat", 6).alias("welch_t"),
@@ -2900,6 +2901,7 @@ def q_hypothesis_tests(spark, d):
                 F.col("n_b").cast("long").alias("n_b"),
             )
         )
+        .crossJoin(ks.select(F.round("d_stat", 6).alias("ks_d")))
     )
 
 
@@ -5977,15 +5979,19 @@ FROM ranked WHERE rk <= 5
             " ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
             " + (ca + cb + 1) / 2.0 AS rank FROM vals), "
             "uu AS (SELECT sum(ca * rank) - sum(ca) * (sum(ca) + 1) / 2 AS u, "
-            " sum(ca) AS n_a, sum(cb) AS n_b FROM rk) "
+            " sum(ca) AS n_a, sum(cb) AS n_b FROM rk), "
+            "cdf AS (SELECT sum(ca) OVER (ORDER BY v) / (SELECT sum(ca) "
+            " FROM vals) AS fa, sum(cb) OVER (ORDER BY v) / (SELECT sum(cb) "
+            " FROM vals) AS fb FROM vals), "
+            "ks AS (SELECT round(max(abs(fa - fb)), 6) AS ks_d FROM cdf) "
             "SELECT round((ma - mb) / sqrt(va / na + vb / nb), 6) AS welch_t, "
             "round(pow(va / na + vb / nb, 2) / (pow(va / na, 2) / (na - 1) "
             " + pow(vb / nb, 2) / (nb - 1)), 4) AS welch_df, "
             "round((ma - mb) / sqrt(((na - 1) * va + (nb - 1) * vb) "
             " / (na + nb - 2) * (1 / na + 1 / nb)), 6) AS student_t, "
             "round(na + nb - 2, 4) AS student_df, "
-            "u AS u_stat, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b "
-            "FROM wide, uu"
+            "u AS u_stat, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b, ks_d "
+            "FROM wide, uu, ks"
         ),
         "anova": (
             "WITH cells AS (SELECT event_type, count(value) AS n, "

@@ -1145,3 +1145,34 @@ def mann_whitney_u(
         "n_a",
         "n_b",
     )
+
+
+def ks_test(
+    df: DataFrame, group_col: str, value_col: str, group_a, group_b
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov — ClickHouse
+    ``kolmogorovSmirnovTest``: D = max |F̂ₐ(v) − F̂ᵦ(v)| over the combined
+    support.  Same scale shape as :func:`mann_whitney_u`: rows collapse
+    to distinct-value cells first, the cumulative window runs over value
+    cardinality only, and the max is a 1-row combine.  Statistic only
+    (the anova stance on p-values)."""
+    two = df.filter(F.col(group_col).isin([group_a, group_b])).filter(
+        F.col(value_col).isNotNull()
+    )
+    cells = two.groupBy(F.col(value_col).alias("__v")).agg(
+        F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0))
+        .cast("double")
+        .alias("__ca"),
+        F.sum(F.when(F.col(group_col) == group_b, 1).otherwise(0))
+        .cast("double")
+        .alias("__cb"),
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    cdf = cells.select(
+        (F.sum("__ca").over(w) / F.sum("__ca").over(wt)).alias("__fa"),
+        (F.sum("__cb").over(w) / F.sum("__cb").over(wt)).alias("__fb"),
+    )
+    return cdf.agg(
+        F.max(F.abs(F.col("__fa") - F.col("__fb"))).alias("d_stat")
+    )

@@ -557,3 +557,15 @@ def test_mann_whitney_u_with_ties(spark):
     )
     r = mann_whitney_u(df, "g", "v", "a", "b").first()
     assert (r.u_stat, r.n_a, r.n_b) == (0.5, 2.0, 2.0)
+
+
+def test_ks_test_hand_computed(spark):
+    """a = [1,2,3,4], b = [3,4,5,6]: D peaks at v=2 with
+    |2/4 − 0| = 0.5."""
+    from clickhouse_flatfile_tool_spark.operators.relational import ks_test
+
+    rows = [("a", float(v)) for v in [1, 2, 3, 4]] + [
+        ("b", float(v)) for v in [3, 4, 5, 6]
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    assert ks_test(df, "g", "v", "a", "b").first().d_stat == 0.5
