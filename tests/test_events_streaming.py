@@ -456,3 +456,47 @@ def test_stream_near_dedup_suppresses_recrawls(spark, tables, tmp_path):
     # every original text is represented exactly once among survivors
     surv_texts = survivors.join(staged, "doc_id").select("text").distinct()
     assert surv_texts.count() == docs.select("text").distinct().count()
+
+
+def test_kafka_reader_options_mapping():
+    from clickhouse_flatfile_tool_spark.streaming.stream_ops import (
+        kafka_reader_options,
+    )
+
+    opts = kafka_reader_options(
+        "b1:9092,b2:9092", "events", "earliest",
+        group_id_prefix="cfts", max_offsets_per_trigger=1000,
+    )
+    assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert opts["subscribe"] == "events"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["groupIdPrefix"] == "cfts"
+    assert opts["maxOffsetsPerTrigger"] == "1000"
+
+
+def test_parse_kafka_values_jsoneachrow(spark):
+    """The JSONEachRow value parse on the kafka wire schema — static
+    frame, no broker: good rows parse, malformed rows keep their
+    metadata with NULL columns."""
+    import datetime
+
+    from clickhouse_flatfile_tool_spark.streaming.stream_ops import (
+        parse_kafka_values,
+    )
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        (b"k1", b'{"user": 7, "v": 1.5}', "events", 0, 10, ts),
+        (b"k2", b"not json", "events", 1, 11, ts),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp",
+    )
+    out = {
+        r._offset: (r._topic, r._partition, r.user, r.v)
+        for r in parse_kafka_values(df, "user long, v double").collect()
+    }
+    assert out[10] == ("events", 0, 7, 1.5)
+    assert out[11] == ("events", 1, None, None)
