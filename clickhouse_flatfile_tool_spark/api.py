@@ -402,6 +402,47 @@ def projection_query(
         return error_payload(e)
 
 
+def query_profile(
+    spark: SparkSession, sql: str, params: dict | None = None
+) -> dict:
+    """Execute a ClickHouse-dialect statement and return its profile —
+    the ``system.query_log`` row the reference's users read after every
+    query (query_duration_ms / result_rows / read_rows live there):
+    wall-clock, exact result row count via Spark's Observation metric
+    (collected on the executors during the SAME pass — no second job,
+    no driver materialization of the result), and the physical plan.
+    The result itself is discarded (profiling is about cost, not data —
+    pair with :func:`query` to fetch rows)."""
+    import time as _time
+
+    from pyspark.sql import Observation
+
+    from clickhouse_flatfile_tool_spark.dialect import (
+        bind_parameters,
+        translate_clickhouse_sql,
+    )
+
+    try:
+        if params:
+            sql = bind_parameters(sql, params)
+        translated = translate_clickhouse_sql(sql, spark=spark)
+        df = spark.sql(translated)
+        obs = Observation()
+        observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        t0 = _time.time()
+        observed.write.format("noop").mode("overwrite").save()
+        wall = _time.time() - t0
+        return {
+            "success": True,
+            "translated_sql": translated,
+            "result_rows": obs.get["rows"],
+            "query_duration_ms": round(wall * 1000.0, 1),
+            "physical_plan": df._jdf.queryExecution().executedPlan().toString(),
+        }
+    except Exception as e:  # noqa: BLE001
+        return error_payload(e)
+
+
 def mutate(spark: SparkSession, path: str, sql: str) -> dict:
     """Execute a ClickHouse mutation statement (``ALTER TABLE … UPDATE /
     DELETE``) against a parquet directory — the analog of the reference's

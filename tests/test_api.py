@@ -166,3 +166,21 @@ def test_explain_endpoint(spark, people_csv):
     assert "Scan" in out["plan"]
     bad = api.explain(spark, "SELECT nope FROM missing_table")
     assert not bad["success"]
+
+
+def test_query_profile_reports_rows_time_plan(spark):
+    from clickhouse_flatfile_tool_spark import api
+
+    spark.createDataFrame(
+        [(i, i % 3) for i in range(50)], "id long, g long"
+    ).createOrReplaceTempView("qprof_t")
+    out = api.query_profile(
+        spark, "SELECT g, uniqExact(id) AS u FROM qprof_t GROUP BY g"
+    )
+    assert out["success"]
+    assert out["result_rows"] == 3
+    assert out["query_duration_ms"] > 0
+    assert "count" in out["translated_sql"]  # uniqExact -> count(DISTINCT
+    assert "qprof_t" in out["physical_plan"] or "Scan" in out["physical_plan"]
+    bad = api.query_profile(spark, "SELECT definitely_not_a_col FROM qprof_t")
+    assert not bad["success"]
