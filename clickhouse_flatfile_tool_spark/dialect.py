@@ -946,7 +946,9 @@ def _rewrite_curried_quantiles(chunk: str) -> str:
     # approx_percentile IS the Greenwald-Khanna sketch, so the mapping is
     # 1:1 including the accuracy knob (values still engine-specific — GK
     # summaries depend on merge order); groupConcat(sep)(expr) → listagg
-    gk = re.compile(r"\b(quantilesGK|quantileGK|groupConcat)\(")
+    gk = re.compile(
+        r"\b(quantilesGK|quantileGK|groupConcat|groupArraySorted)\("
+    )
     m = gk.search(chunk)
     while m:
         p_end = _match_paren(chunk, m.end() - 1)
@@ -958,6 +960,13 @@ def _rewrite_curried_quantiles(chunk: str) -> str:
         arg = chunk[p_end + 1 : x_end - 1]
         if m.group(1) == "groupConcat":
             repl = f"listagg({arg}, {head[0]})" if len(head) == 1 else None
+        elif m.group(1) == "groupArraySorted":
+            # smallest-N values, sorted (CH 23.x aggregate) — exact here
+            repl = (
+                f"slice(array_sort(collect_list({arg})), 1, {head[0]})"
+                if len(head) == 1
+                else None
+            )
         elif len(head) >= 2:
             acc = head[0]
             levels = (

@@ -1688,3 +1688,14 @@ def test_misc_renames_batch15b(spark):
         )
     ).first()
     assert (row.nl, row.nil, row.si, row.ci) == (False, False, "a.b", "xy")
+
+
+def test_group_array_sorted(spark):
+    """groupArraySorted(N)(x): smallest N values, sorted — exact."""
+    spark.createDataFrame(
+        [(1, 5.0), (1, 1.0), (1, 3.0), (1, 2.0)], "g int, v double"
+    ).createOrReplaceTempView("gas_t")
+    row = spark.sql(
+        tr("SELECT g, groupArraySorted(2)(v) AS s FROM gas_t GROUP BY g")
+    ).first()
+    assert row.s == [1.0, 2.0]
