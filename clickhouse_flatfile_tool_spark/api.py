@@ -249,6 +249,23 @@ def query(
             from clickhouse_flatfile_tool_spark.dialect import bind_parameters
 
             sql = bind_parameters(sql, params)
+        # DDL routing — ClickHouse clients send everything through one
+        # endpoint: ADD PROJECTION executes here (it only needs the
+        # catalog); mutations/TTL need a storage path, so the error says
+        # which endpoint owns them instead of surfacing a parse failure
+        if re.search(r"(?is)\bADD\s+PROJECTION\b", sql):
+            return add_projection(spark, sql)
+        if re.search(
+            r"(?is)^\s*ALTER\s+TABLE\s+\S+\s+(UPDATE|DELETE|MODIFY\s+TTL)\b",
+            sql,
+        ):
+            return error_payload(
+                ValueError(
+                    "mutations and TTL rewrite storage — call "
+                    "api.mutate(spark, path, sql) with the table's "
+                    "parquet path"
+                )
+            )
         # optimize_use_projections: a plain grouped aggregate over a table
         # with a matching registered projection reads the cells, not the
         # scan (the rewrite ClickHouse's optimizer does per part)

@@ -189,3 +189,20 @@ def test_refresh_merges_delta_cells(spark, base):
         .collect()
     }
     assert got == direct and "c" in got
+
+
+def test_api_query_routes_ddl(spark, base):
+    """CH clients push DDL through the query endpoint: ADD PROJECTION
+    executes; mutations point at api.mutate instead of a parse error."""
+    from clickhouse_flatfile_tool_spark import api
+
+    base.createOrReplaceTempView("ddl_route_t")
+    out = api.query(
+        spark,
+        "ALTER TABLE ddl_route_t ADD PROJECTION pr "
+        "(SELECT g, sum(v) GROUP BY g)",
+    )
+    assert out["success"] and out["projection"] == "pr"
+    mut = api.query(spark, "ALTER TABLE ddl_route_t DELETE WHERE v > 1")
+    assert not mut["success"] and "api.mutate" in mut["error"]
+    api._PROJECTION_SETS.clear()
