@@ -255,6 +255,28 @@ def query(
         # which endpoint owns them instead of surfacing a parse failure
         if re.search(r"(?is)\bADD\s+PROJECTION\b", sql):
             return add_projection(spark, sql)
+        vm = re.match(
+            r"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.+?)\s*;?\s*$",
+            sql,
+        )
+        if vm:
+            from clickhouse_flatfile_tool_spark.dialect import (
+                translate_clickhouse_sql,
+            )
+
+            name, body = vm.groups()
+            spark.sql(
+                translate_clickhouse_sql(body, spark=spark)
+            ).createOrReplaceTempView(name)
+            return {"success": True, "view": name}
+        dm = re.match(
+            r"(?is)^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", sql
+        )
+        if dm:
+            existed = spark.catalog.dropTempView(dm.group(2))
+            if not existed and not dm.group(1):
+                raise ValueError(f"view {dm.group(2)!r} does not exist")
+            return {"success": True, "view": dm.group(2), "dropped": existed}
         if re.search(
             r"(?is)^\s*ALTER\s+TABLE\s+\S+\s+(UPDATE|DELETE|MODIFY\s+TTL)\b",
             sql,

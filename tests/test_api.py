@@ -184,3 +184,25 @@ def test_query_profile_reports_rows_time_plan(spark):
     assert "qprof_t" in out["physical_plan"] or "Scan" in out["physical_plan"]
     bad = api.query_profile(spark, "SELECT definitely_not_a_col FROM qprof_t")
     assert not bad["success"]
+
+
+def test_query_create_and_drop_view(spark):
+    """CH clients create/drop views through the query endpoint; the view
+    body goes through the dialect (uniqExact here) and subsequent
+    queries read it."""
+    from clickhouse_flatfile_tool_spark import api
+
+    spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id long, g string"
+    ).createOrReplaceTempView("cv_src")
+    out = api.query(
+        spark,
+        "CREATE VIEW cv_agg AS SELECT g, uniqExact(id) AS u "
+        "FROM cv_src GROUP BY g",
+    )
+    assert out["success"] and out["view"] == "cv_agg"
+    got = api.query(spark, "SELECT * FROM cv_agg ORDER BY g")
+    assert got["data"] == [{"g": "a", "u": 2}, {"g": "b", "u": 1}]
+    assert api.query(spark, "DROP VIEW cv_agg")["success"]
+    assert not api.query(spark, "DROP VIEW cv_agg")["success"]
+    assert api.query(spark, "DROP VIEW IF EXISTS cv_agg")["success"]
