@@ -222,6 +222,65 @@ def execute_join(
     return relational.project(joined, selected_columns)
 
 
+_STATE_KINDS = {"sum": "sum", "min": "min", "max": "max",
+                "count": "count", "uniq": "hll"}
+
+
+def _create_materialized_view(
+    spark: SparkSession, name: str, engine: str, order_by: str | None,
+    body: str,
+) -> dict:
+    """``CREATE MATERIALIZED VIEW mv ENGINE = AggregatingMergeTree()
+    ORDER BY (k…) AS SELECT …`` through the SQL endpoint: the body runs
+    through the dialect (``uniqState`` → HLL sketch via the -State
+    mapping), materializes as a temp view, and the declared engine
+    registers with the mergetree registry so ``FROM mv FINAL`` resolves.
+    The ``state_map`` infers from ``<kind>State(… ) AS alias`` in the
+    body (sum/min/max/count states ARE their partial values in the
+    Spark analog; ``uniqState`` is an HLL sketch binary).  SummingMerge-
+    Tree registers its aggregate aliases as sum columns."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+    from clickhouse_flatfile_tool_spark.operators import mergetree
+
+    states = {
+        alias: _STATE_KINDS[kind.lower()]
+        for kind, alias in re.findall(
+            r"(?is)\b(sum|min|max|count|uniq)State\s*\([^)]*\)\s+AS\s+(\w+)",
+            body,
+        )
+    }
+    # sum/min/max/countState have no dialect mapping of their own (the
+    # partial value IS the state here) — strip the suffix before translate
+    plain = re.sub(r"(?i)\b(sum|min|max|count)State\(", r"\1(", body)
+    df = spark.sql(translate_clickhouse_sql(plain, spark=spark))
+    df.createOrReplaceTempView(name)
+    keys = [k.strip() for k in order_by.split(",")] if order_by else [
+        c for c in df.columns if c not in states
+    ]
+    if engine == "AggregatingMergeTree":
+        mergetree.register_table_engine(
+            name, engine, keys, state_map=states or None
+        )
+    elif engine == "SummingMergeTree":
+        sums = list(states) or [c for c in df.columns if c not in keys]
+        mergetree.register_table_engine(name, engine, keys, sum_cols=sums)
+    elif engine in ("MergeTree", "ReplacingMergeTree"):
+        mergetree.register_table_engine(
+            name, engine, keys,
+            version_cols=[c for c in df.columns if c not in keys][:1]
+            if engine == "ReplacingMergeTree" else None,
+        )
+    else:
+        raise ValueError(f"unsupported MV engine {engine!r}")
+    return {
+        "success": True,
+        "view": name,
+        "engine": engine,
+        "keys": keys,
+        "states": states,
+    }
+
+
 def query(
     spark: SparkSession,
     sql: str,
@@ -255,6 +314,15 @@ def query(
         # which endpoint owns them instead of surfacing a parse failure
         if re.search(r"(?is)\bADD\s+PROJECTION\b", sql):
             return add_projection(spark, sql)
+        mv = re.match(
+            r"(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+"
+            r"ENGINE\s*=\s*(\w+)(?:\(\))?\s*"
+            r"(?:ORDER\s+BY\s+\(?([\w\s,]+?)\)?\s+)?"
+            r"AS\s+(.+?)\s*;?\s*$",
+            sql,
+        )
+        if mv:
+            return _create_materialized_view(spark, *mv.groups())
         vm = re.match(
             r"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.+?)\s*;?\s*$",
             sql,

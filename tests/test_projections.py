@@ -206,3 +206,34 @@ def test_api_query_routes_ddl(spark, base):
     mut = api.query(spark, "ALTER TABLE ddl_route_t DELETE WHERE v > 1")
     assert not mut["success"] and "api.mutate" in mut["error"]
     api._PROJECTION_SETS.clear()
+
+
+def test_api_query_create_materialized_view_final(spark):
+    """CREATE MATERIALIZED VIEW ... ENGINE=AggregatingMergeTree through
+    the endpoint: -State aliases infer the state_map, the engine
+    registers, and FROM mv FINAL merges states (uniqState -> HLL
+    estimate)."""
+    from clickhouse_flatfile_tool_spark import api
+    from clickhouse_flatfile_tool_spark.operators import mergetree
+
+    spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 2.0), ("a", 1, 3.0), ("b", 9, 4.0)],
+        "g string, u int, v double",
+    ).createOrReplaceTempView("mv_src")
+    out = api.query(
+        spark,
+        "CREATE MATERIALIZED VIEW mv_agg ENGINE = AggregatingMergeTree() "
+        "ORDER BY (g) AS SELECT g, sumState(v) AS sv, uniqState(u) AS uu "
+        "FROM mv_src GROUP BY g",
+    )
+    assert out["success"] and out["states"] == {"sv": "sum", "uu": "hll"}
+    fin = api.query(
+        spark,
+        "SELECT g, sv, hll_sketch_estimate(uu) AS users "
+        "FROM mv_agg FINAL ORDER BY g",
+    )
+    assert fin["success"]
+    got = {r["g"]: (r["sv"], r["users"]) for r in fin["data"]}
+    assert got == {"a": (6.0, 2), "b": (4.0, 1)}
+    spark.catalog.dropTempView("mv_agg")
+    mergetree._ENGINE_REGISTRY.pop("mv_agg", None)
