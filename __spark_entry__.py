@@ -2853,6 +2853,20 @@ def q_anova(spark, d):
     )
 
 
+def q_embedding_drift(spark, d):
+    """Embedding-distribution drift (similarity.py::embedding_drift):
+    per-bucket centroids (vec_id % 7 stands in for the day) and cosine
+    vs the previous bucket — cells shuffle as buckets × dims, centroids
+    reassemble order-safely, lag window over the handful of bucket rows.
+    Oracle: DuckDB unnest-with-ordinality + list_dot_product."""
+    emb = _t(spark, d, "embeddings").select(
+        (F.col("vec_id") % 7).alias("bucket"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    out = similarity.embedding_drift(emb, "bucket")
+    return out.orderBy("bucket")
+
+
 def q_cramers_v(spark, d):
     """Categorical association (relational.py::categorical_association —
     ClickHouse cramersV/contingency/theilsU family): event_type vs the
@@ -4281,6 +4295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anova": q_anova,
         "cramers_v": q_cramers_v,
         "hypothesis_tests": q_hypothesis_tests,
+        "embedding_drift": q_embedding_drift,
     }
 
 
@@ -5941,6 +5956,20 @@ FROM ranked WHERE rk <= 5
             "ORDER BY id_a, id_b"
         ),
         "lttb_downsample": _lttb_oracle_sql(10),
+        "embedding_drift": (
+            "WITH cells AS (SELECT vec_id % 7 AS b, t.pos, "
+            " avg(embedding[t.pos]::DOUBLE) AS m, count(*) AS n "
+            " FROM embeddings, range(1, 65) t(pos) "
+            " GROUP BY vec_id % 7, t.pos), "
+            "cent AS (SELECT b, list(m ORDER BY pos) AS c, any_value(n) AS "
+            " n_vecs FROM cells GROUP BY b), "
+            "lagged AS (SELECT b, n_vecs, c, lag(c) OVER (ORDER BY b) AS p "
+            " FROM cent) "
+            "SELECT b AS bucket, n_vecs, "
+            "round(list_dot_product(c, p) / (sqrt(list_dot_product(c, c)) "
+            " * sqrt(list_dot_product(p, p))), 6) AS drift_cosine "
+            "FROM lagged ORDER BY bucket"
+        ),
         "cramers_v": (
             "WITH pairs AS (SELECT event_type AS a, user_id % 4 AS b, "
             " count(*)::DOUBLE AS c FROM events GROUP BY 1, 2), "

@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "anova",
     "cramers_v",
     "hypothesis_tests",
+    "embedding_drift",
 ]
 
 

@@ -1597,3 +1597,51 @@ def hard_negatives(
     return ranked.select(
         "query_id", "neighbor_id", "neg_label", F.round("__cos", 6).alias("cos_sim")
     )
+
+
+def embedding_drift(
+    df: DataFrame,
+    bucket_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-distribution drift monitor: per bucket (day / source /
+    model version), the centroid of the embedding column and its cosine
+    similarity to the PREVIOUS bucket's centroid — the cheap first-line
+    signal that an upstream embedding model or corpus mix shifted (the
+    numeric-feature analog is ``relational.population_stability``).
+
+    Plan: posexplode to (bucket, dim, value) — the shuffle carries
+    buckets × dims cells, not vectors — one avg per cell, centroids
+    reassembled order-safely via sort_array(collect_list(struct(pos,
+    avg))), then a lag window over the FEW bucket rows for the cosine.
+    Everything codegen / built-in; no UDF.  Returns (bucket, n_vecs,
+    drift_cosine) with NULL for the first bucket."""
+    cells = (
+        df.select(F.col(bucket_col).alias("__b"), F.posexplode(vec_col))
+        .groupBy("__b", "pos")
+        .agg(F.avg("col").alias("__m"), F.count(F.lit(1)).alias("__n"))
+    )
+    cent = cells.groupBy("__b").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "__m"))),
+            lambda s: s["__m"],
+        ).alias("__c"),
+        F.first("__n").alias("n_vecs"),
+    )
+    w = Window.orderBy("__b")
+    prev = F.lag("__c").over(w)
+    dot = F.aggregate(
+        F.zip_with(F.col("__c"), prev, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    return cent.select(
+        F.col("__b").alias(bucket_col),
+        "n_vecs",
+        F.round(dot / (norm(F.col("__c")) * norm(prev)), 6).alias(
+            "drift_cosine"
+        ),
+    )

@@ -551,3 +551,21 @@ def test_margin_mined_pairs_ranking(spark, emb):
                    if r.left_id == 0 and r.right_id == 1_000_001][0]
     assert planted_row.margin > 1.0
     assert all(r.margin > 0 for r in scored)
+
+
+def test_embedding_drift_identical_and_opposite(spark):
+    """Identical bucket centroids -> cosine 1; negated -> -1; first
+    bucket NULL."""
+    from clickhouse_flatfile_tool_spark.operators.similarity import (
+        embedding_drift,
+    )
+
+    rows = (
+        [(0, [1.0, 0.0, 2.0])] * 3
+        + [(1, [1.0, 0.0, 2.0])] * 2
+        + [(2, [-1.0, 0.0, -2.0])] * 2
+    )
+    df = spark.createDataFrame(rows, "b int, embedding array<double>")
+    got = {r.b: r.drift_cosine for r in embedding_drift(df, "b").collect()}
+    assert got[0] is None
+    assert got[1] == 1.0 and got[2] == -1.0
