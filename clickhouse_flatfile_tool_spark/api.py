@@ -346,16 +346,22 @@ def query(
                 raise ValueError(f"view {dm.group(2)!r} does not exist")
             return {"success": True, "view": dm.group(2), "dropped": existed}
         if re.search(
-            r"(?is)^\s*ALTER\s+TABLE\s+\S+\s+(UPDATE|DELETE|MODIFY\s+TTL)\b",
+            r"(?is)^\s*(ALTER\s+TABLE\s+\S+\s+(UPDATE|DELETE|MODIFY\s+TTL)"
+            r"|OPTIMIZE\s+TABLE)\b",
             sql,
         ):
             return error_payload(
                 ValueError(
-                    "mutations and TTL rewrite storage — call "
+                    "mutations/TTL/OPTIMIZE rewrite storage — call "
                     "api.mutate(spark, path, sql) with the table's "
                     "parquet path"
                 )
             )
+        if re.match(r"(?is)^\s*SHOW\s+TABLES\s*;?\s*$", sql):
+            return joinable_tables(spark)
+        sm = re.match(r"(?is)^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(\w+)\s*;?\s*$", sql)
+        if sm:
+            return columns(spark, "clickhouse", sm.group(1))
         # optimize_use_projections: a plain grouped aggregate over a table
         # with a matching registered projection reads the cells, not the
         # scan (the rewrite ClickHouse's optimizer does per part)

@@ -206,3 +206,22 @@ def test_query_create_and_drop_view(spark):
     assert api.query(spark, "DROP VIEW cv_agg")["success"]
     assert not api.query(spark, "DROP VIEW cv_agg")["success"]
     assert api.query(spark, "DROP VIEW IF EXISTS cv_agg")["success"]
+
+
+def test_query_routes_show_and_describe(spark):
+    from clickhouse_flatfile_tool_spark import api
+
+    spark.createDataFrame([(1, "x")], "id long, s string").createOrReplaceTempView(
+        "meta_t"
+    )
+    shown = api.query(spark, "SHOW TABLES")
+    assert shown["success"] and any(
+        t == "meta_t" or t.get("name") == "meta_t"
+        for t in (shown.get("tables") or [])
+    ) or "meta_t" in str(shown)
+    desc = api.query(spark, "DESCRIBE TABLE meta_t")
+    assert desc["success"] and any(
+        c.get("name") == "id" for c in desc.get("columns", [])
+    )
+    opt = api.query(spark, "OPTIMIZE TABLE meta_t FINAL")
+    assert not opt["success"] and "api.mutate" in opt["error"]
