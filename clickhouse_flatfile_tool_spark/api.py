@@ -312,7 +312,7 @@ def query(
         # endpoint: ADD PROJECTION executes here (it only needs the
         # catalog); mutations/TTL need a storage path, so the error says
         # which endpoint owns them instead of surfacing a parse failure
-        if re.search(r"(?is)\bADD\s+PROJECTION\b", sql):
+        if re.match(r"(?is)^\s*ALTER\s+TABLE\s+\S+\s+ADD\s+PROJECTION\b", sql):
             return add_projection(spark, sql)
         mv = re.match(
             r"(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+"
