@@ -3104,6 +3104,59 @@ def _wrap_empty_sites(chunk: str, flags: list[bool]) -> str:
 
 _PARAM_PAT = re.compile(r"\{(\w+)\s*:\s*([A-Za-z0-9()\s,]+?)\}")
 
+# ClickHouse type-name spellings legal inside CAST(x AS T) / x::T —
+# WHITELIST, because the schema mapper degrades unknown names to String
+# and Spark's own type names (BIGINT, DOUBLE…) must pass through intact
+_CH_TYPE_PAT = re.compile(
+    r"(?:Nullable|LowCardinality|Array|Map)\s*\(.*\)$"
+    r"|(?:U?Int(?:8|16|32|64)|Float(?:32|64)|String|FixedString\(\d+\)"
+    r"|Date(?:32)?|DateTime(?:64)?(?:\([^()]*\))?|UUID|Bool"
+    r"|Decimal(?:32|64|128)?\([\d\s,]+\))$"
+)
+
+
+def _spark_type_sql(ch_type: str) -> str | None:
+    """``Float64`` → ``DOUBLE`` etc. for type tokens that are ClickHouse
+    spellings (whitelisted); None for anything else — Spark's own names
+    and column aliases must never be touched."""
+    ch_type = ch_type.strip()
+    if not _CH_TYPE_PAT.match(ch_type):
+        return None
+    from clickhouse_flatfile_tool_spark.schema import clickhouse_to_spark
+
+    try:
+        dt, _nullable = clickhouse_to_spark(ch_type)
+    except Exception:  # noqa: BLE001 — unknown spelling: leave untouched
+        return None
+    return dt.simpleString()
+
+
+def _rewrite_cast_types(chunk: str) -> str:
+    """ClickHouse type names inside explicit casts → Spark types:
+    ``CAST(x AS Float64)`` and the postfix form ``x::Float64`` (both are
+    legal CH; only whitelisted CH spellings rewrite, so Spark-native
+    types and aliases pass through)."""
+
+    def cast_make(args):
+        if len(args) != 1:
+            return None
+        m = re.match(r"(?is)^(.*\S)\s+AS\s+([A-Za-z][\w(),\s]*?)\s*$", args[0])
+        if not m:
+            return None
+        spark_t = _spark_type_sql(m.group(2))
+        return f"CAST({m.group(1)} AS {spark_t})" if spark_t else None
+
+    for spelled in ("CAST", "cast", "Cast"):
+        chunk = _rewrite_call(chunk, spelled, cast_make)
+
+    def colon_sub(m: re.Match) -> str:
+        spark_t = _spark_type_sql(m.group(1))
+        return f"::{spark_t}" if spark_t else m.group(0)
+
+    return re.sub(
+        r"::\s*([A-Za-z]\w*(?:\([^()]*\))?)", colon_sub, chunk
+    )
+
 
 def bind_parameters(sql: str, params: dict) -> str:
     """ClickHouse query parameters — ``SELECT {p:UInt32}``-style
@@ -3187,6 +3240,7 @@ def translate_clickhouse_sql(sql: str, spark=None) -> str:
     chunk = _rewrite_window_funnel(chunk)
     chunk = _rewrite_array_literals(chunk)
     chunk = _rewrite_json_extract(chunk)
+    chunk = _rewrite_cast_types(chunk)
     chunk = _rewrite_moving_and_maps(chunk)
     chunk = _rewrite_misc_calls(chunk)
     chunk = _rewrite_ipv4(chunk)

@@ -1699,3 +1699,21 @@ def test_group_array_sorted(spark):
         tr("SELECT g, groupArraySorted(2)(v) AS s FROM gas_t GROUP BY g")
     ).first()
     assert row.s == [1.0, 2.0]
+
+
+def test_cast_type_names(spark):
+    """ClickHouse type spellings inside CAST/:: rewrite to Spark types;
+    Spark-native names and aliases pass through untouched."""
+    row = spark.sql(
+        tr(
+            "SELECT CAST('3.5' AS Float64) AS a, cast('7' AS UInt32) AS b, "
+            "'5'::Int64 AS c, CAST('x' AS String) AS d, "
+            "CAST(1.9 AS BIGINT) AS sp, "
+            "CAST('1.5' AS Nullable(Float64)) AS n, "
+            "CAST('2020-01-02' AS Date) AS dt"
+        )
+    ).first()
+    assert (row.a, row.b, row.c, row.d, row.sp, row.n) == (
+        3.5, 7, 5, "x", 1, 1.5,
+    )
+    assert str(row.dt) == "2020-01-02"
