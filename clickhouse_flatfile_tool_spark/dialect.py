@@ -947,7 +947,7 @@ def _rewrite_curried_quantiles(chunk: str) -> str:
     # 1:1 including the accuracy knob (values still engine-specific — GK
     # summaries depend on merge order); groupConcat(sep)(expr) → listagg
     gk = re.compile(
-        r"\b(quantilesGK|quantileGK|groupConcat|groupArraySorted)\("
+        r"\b(quantilesGK|quantileGK|groupConcat|groupArraySorted|topK)\("
     )
     m = gk.search(chunk)
     while m:
@@ -960,6 +960,24 @@ def _rewrite_curried_quantiles(chunk: str) -> str:
         arg = chunk[p_end + 1 : x_end - 1]
         if m.group(1) == "groupConcat":
             repl = f"listagg({arg}, {head[0]})" if len(head) == 1 else None
+        elif m.group(1) == "topK":
+            # most-frequent-N values.  CH's SpaceSaving sketch is O(n)
+            # approximate with engine-specific tie order; this form is
+            # EXACT with a pinned order (count desc, value asc) but
+            # counts each distinct value by scanning the collected group
+            # — O(d·n) per group, so for heavy-hitter mining at corpus
+            # scale use relational.misra_gries_topk (the documented
+            # scale path).  Single-argument form only.
+            if len(head) == 1 and len(_split_top_comma(arg)) == 1:
+                repl = (
+                    f"slice(transform(array_sort(transform("
+                    f"array_distinct(collect_list({arg})), "
+                    f"__v -> struct(-size(filter(collect_list({arg}), "
+                    f"__e -> __e = __v)) AS __negc, __v AS __v))), "
+                    f"__s -> __s.__v), 1, {head[0]})"
+                )
+            else:
+                repl = None
         elif m.group(1) == "groupArraySorted":
             # smallest-N values, sorted (CH 23.x aggregate) — exact here
             repl = (

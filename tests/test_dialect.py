@@ -1717,3 +1717,16 @@ def test_cast_type_names(spark):
         3.5, 7, 5, "x", 1, 1.5,
     )
     assert str(row.dt) == "2020-01-02"
+
+
+def test_topk_curried(spark):
+    """topK(N)(x): most-frequent-N, exact here with pinned order
+    (count desc, value asc)."""
+    spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "a"), (1, "c"), (1, "b"), (1, "a")],
+        "g int, v string",
+    ).createOrReplaceTempView("topk_t")
+    row = spark.sql(
+        tr("SELECT g, topK(2)(v) AS t FROM topk_t GROUP BY g")
+    ).first()
+    assert row.t == ["a", "b"]
