@@ -215,10 +215,13 @@ def test_query_routes_show_and_describe(spark):
         "meta_t"
     )
     shown = api.query(spark, "SHOW TABLES")
-    assert shown["success"] and any(
-        t == "meta_t" or t.get("name") == "meta_t"
+    # entries may be bare names or dicts depending on session contents;
+    # other tests' temp views can be listed alongside meta_t
+    names = {
+        t if isinstance(t, str) else t.get("name")
         for t in (shown.get("tables") or [])
-    ) or "meta_t" in str(shown)
+    }
+    assert shown["success"] and ("meta_t" in names or "meta_t" in str(shown))
     desc = api.query(spark, "DESCRIBE TABLE meta_t")
     assert desc["success"] and any(
         c.get("name") == "id" for c in desc.get("columns", [])
