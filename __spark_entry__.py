@@ -2547,6 +2547,46 @@ def q_clickhouse_funcs4(spark, d):
     return spark.sql(translate_clickhouse_sql(ch_sql))
 
 
+def q_dialect_batch16(spark, d):
+    """Dialect batch 16 end-to-end through the SQL endpoint: arrayFill/
+    arrayReverseFill (fill from nearest predicate match), arraySplit
+    boundary cuts, hasSubstr contiguous subsequence, stringJaccardIndex
+    char-set similarity, multiSearchAllPositions per-needle instr,
+    regexpQuoteMeta escaping, normalizeQuery literal scrubbing,
+    UUIDNumToString byte formatting (over MD5 digests), -OrNull/-OrZero
+    parse conversions, interval constructors + timestampAdd arithmetic,
+    mid, URLPathHierarchy.  Oracle: DuckDB list comprehensions, CASE
+    ladders hand-deriving the fill/split outputs, strpos, TRY_CAST, and
+    interval arithmetic computing the same values."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    _t(spark, d, "documents").createOrReplaceTempView("b16_docs")
+    ch_sql = (
+        "SELECT doc_id, "
+        "arrayFill(x -> x != 0, "
+        "[modulo(doc_id, 3), 0, modulo(doc_id, 5), 0]) AS af, "
+        "arrayReverseFill(x -> x != 0, [0, modulo(doc_id, 3), 0]) AS arf, "
+        "arraySplit(x -> x = 1, [1, modulo(doc_id, 2), 3, 1]) AS asp, "
+        "hasSubstr([1, modulo(doc_id, 4), 3], [1, 2]) AS hs, "
+        "round(stringJaccardIndex(lang, 'english'), 6) AS sj, "
+        "multiSearchAllPositions(text, ['the', 'zzzqx']) AS msp, "
+        "regexpQuoteMeta(substring(text, 1, 8)) AS qm, "
+        "normalizeQuery(concat('SELECT ', toString(doc_id), "
+        "' FROM t WHERE x = 5')) AS nq, "
+        "UUIDNumToString(MD5(text)) AS um, "
+        "toInt64OrNull(substring(text, 1, 2)) AS i64n, "
+        "toFloat64OrZero(lang) AS f0, "
+        "timestampAdd(DAY, modulo(doc_id, 28), "
+        "toDateTime('2024-01-01 00:00:00')) AS tad, "
+        "toDateTime('2024-01-01 00:00:00') "
+        "+ toIntervalMonth(modulo(doc_id, 12)) AS tim, "
+        "mid(text, 3, 5) AS md, "
+        "URLPathHierarchy(concat('https://ex.com/a/', lang, '/b')) AS uph "
+        "FROM b16_docs ORDER BY doc_id"
+    )
+    return spark.sql(translate_clickhouse_sql(ch_sql))
+
+
 def q_dialect_ips(spark, d):
     """Dialect batch 14 end-to-end through the SQL endpoint: IP validity
     predicates (strict octets / ::-compressed hex), IPv4 CIDR ranges via
@@ -4279,6 +4319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bestfit": q_pack_bestfit,
         "strip_html": q_strip_html,
         "clickhouse_funcs4": q_clickhouse_funcs4,
+        "dialect_batch16": q_dialect_batch16,
         "dialect_ips": q_dialect_ips,
         "dialect_aggs2": q_dialect_aggs2,
         "dialect_dates2": q_dialect_dates2,
@@ -5915,6 +5956,43 @@ FROM ranked WHERE rk <= 5
         ),
         "dialect_aggs2": 'SELECT event_type, round(sum(value), 6) AS sum_v, count(value) AS cnt_v, round((arg_max(value, event_id) - arg_min(value, event_id)) / (max(event_id) - min(event_id))::DOUBLE, 6) AS br, arg_max(user_id, event_id) FILTER (WHERE value > 2) AS amx, arg_min(user_id, event_id) FILTER (WHERE value > 2) AS amn FROM events GROUP BY event_type ORDER BY event_type',
         "dialect_dates2": 'SELECT event_id, (epoch_us(ts) // 1000000 // 300) * 300 AS b5, (epoch_us(ts) // 1000000 // 900) * 900 AS b15, (epoch_us(ts) // 1000000 // 1800) * 1800 AS slot, epoch_us(ts) // 1000000 // 3600 AS rh, epoch_us(ts) // 1000000 // 86400 AS rd, epoch_us(ts) // 1000 AS ms FROM events ORDER BY event_id',
+        "dialect_batch16": (
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 3 != 0 AND doc_id % 5 != 0 THEN "
+            "[doc_id % 3, doc_id % 3, doc_id % 5, doc_id % 5] "
+            "WHEN doc_id % 3 != 0 THEN "
+            "[doc_id % 3, doc_id % 3, doc_id % 3, doc_id % 3] "
+            "WHEN doc_id % 5 != 0 THEN [0, 0, doc_id % 5, doc_id % 5] "
+            "ELSE [0, 0, 0, 0] END AS af, "
+            "CASE WHEN doc_id % 3 != 0 THEN [doc_id % 3, doc_id % 3, 0] "
+            "ELSE [0, 0, 0] END AS arf, "
+            "CASE WHEN doc_id % 2 = 1 THEN [[1], [1, 3], [1]] "
+            "ELSE [[1, 0, 3], [1]] END AS asp, "
+            "(doc_id % 4 = 2) AS hs, "
+            "round(len(list_intersect(list_distinct([substr(lang, i, 1) "
+            "FOR i IN generate_series(1, len(lang))]), "
+            "['e','n','g','l','i','s','h']))::DOUBLE / "
+            "len(list_distinct(list_concat([substr(lang, i, 1) "
+            "FOR i IN generate_series(1, len(lang))], "
+            "['e','n','g','l','i','s','h']))), 6) AS sj, "
+            "[strpos(text, 'the'), strpos(text, 'zzzqx')] AS msp, "
+            "regexp_replace(substr(text, 1, 8), "
+            "'([\\\\|()^$.\\[\\]?*+{:-])', '\\\\\\1', 'g') AS qm, "
+            "regexp_replace('SELECT ' || doc_id || ' FROM t WHERE x = 5', "
+            "'\\d+', '?', 'g') AS nq, "
+            "regexp_replace(md5(text), "
+            "'^(.{8})(.{4})(.{4})(.{4})(.{12})$', "
+            "'\\1-\\2-\\3-\\4-\\5') AS um, "
+            "TRY_CAST(substr(text, 1, 2) AS BIGINT) AS i64n, "
+            "coalesce(TRY_CAST(lang AS DOUBLE), 0) AS f0, "
+            "TIMESTAMP '2024-01-01 00:00:00' "
+            "+ to_days((doc_id % 28)::INT) AS tad, "
+            "TIMESTAMP '2024-01-01 00:00:00' "
+            "+ to_months((doc_id % 12)::INT) AS tim, "
+            "substr(text, 3, 5) AS md, "
+            "['/a/', '/a/' || lang || '/', '/a/' || lang || '/b'] AS uph "
+            "FROM documents ORDER BY doc_id"
+        ),
         "clickhouse_funcs4": "SELECT doc_id, len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), x -> x != '')) AS n_toks, [substr(substr(text, 1, 10), i, 3) FOR i IN generate_series(1, greatest(len(substr(text, 1, 10)) - 2, 0))] AS grams3, list_contains(string_split_regex(text, '[^a-zA-Z0-9]+'), 'the') AS has_the, greatest(len(lang), 2) - len(list_filter([i FOR i IN generate_series(1, least(len(lang), 2))], i -> substr(lang, i, 1) = substr('en', i, 1))) AS hd, (doc_id >> 3) & 1 AS b3, coalesce(array_to_string([((1::BIGINT) << i)::VARCHAR FOR i IN generate_series(0, 62) IF ((doc_id % 64) >> i) & 1 = 1], ','), '') AS bml, (1::BIGINT) << (doc_id % 10) AS e2, printf('%.2f %s', (n_chars * 1024) / pow(1024, least(floor(log(1024, greatest(abs((n_chars * 1024)::DOUBLE), 1))), 8)), (['B','KiB','MiB','GiB','TiB','PiB','EiB','ZiB','YiB'])[least(floor(log(1024, greatest(abs((n_chars * 1024)::DOUBLE), 1))), 8)::INT + 1]) AS frs, list_product([(doc_id % 5)::DOUBLE + 1, 2]) AS prod, list_concat(([n_chars, doc_id, 7])[2:], ([n_chars, doc_id, 7])[1:1]) AS rot, (list_concat([n_chars], [0, 0]))[1:3] AS rsz, (list_filter([1, doc_id % 6, 9], x -> x > 2))[1] AS afirst, len(list_filter([doc_id, n_chars, 3], x -> x % 2 = 0)) AS acnt, round(len(list_intersect([doc_id % 5, 1, 2], [1, 2, 3]))::DOUBLE / len(list_distinct(list_concat([doc_id % 5, 1, 2], [1, 2, 3]))), 6) AS aj, round(list_dot_product([1.5, 2.0], [(doc_id % 7)::DOUBLE, 2.0]), 6) AS dot, round(list_distance([0.0, 0.0], [3.0, (doc_id % 9)::DOUBLE]), 6) AS l2, monthname(make_date(2020, (doc_id % 12)::INT + 1, 5)) AS mn, dayname(make_date(2024, 3, (doc_id % 28)::INT + 1)) AS wd, datediff('day', DATE '1858-11-17', make_date(2024, 1, (doc_id % 28)::INT + 1)) AS mjd FROM documents ORDER BY doc_id",
         "strip_html": 'WITH h AS (SELECT doc_id, \'<div class="doc"><p>\' || text || \'</p><script>var x = 1;</script><!-- c -->&amp;<style>p{}</style>&nbsp;end</div>\' AS html FROM documents) SELECT doc_id, trim(regexp_replace(replace(replace(replace(replace(replace(replace(replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html, \'(?is)<script[^>]*>.*?</script>\', \' \', \'g\'), \'(?is)<style[^>]*>.*?</style>\', \' \', \'g\'), \'(?s)<!--.*?-->\', \' \', \'g\'), \'<[^>]*>\', \' \', \'g\'), \'&nbsp;\', \' \'), \'&amp;\', \'&\'), \'&lt;\', \'<\'), \'&gt;\', \'>\'), \'&quot;\', \'"\'), \'&#39;\', \'\'\'\'), \'&apos;\', \'\'\'\'), \'\\s+\', \' \', \'g\')) AS clean FROM h ORDER BY doc_id',
         "summap_merge": (

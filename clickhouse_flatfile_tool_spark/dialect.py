@@ -116,6 +116,61 @@ _WRAPS: list[tuple[str, str, str]] = [
     # twice)
     ("isInfinite", "(abs(", ") = double('Infinity'))"),
     ("toUUID", "CAST(", " AS STRING)"),
+    # batch 16 ------------------------------------------------------------
+    # groupBitmap(x) returns the bitmap's cardinality — exactly distinct
+    # count (the roaring-bitmap state itself stays out of scope, like
+    # other -State kinds)
+    ("groupBitmap", "count(DISTINCT ", ")"),
+    # -OrNull / -OrZero parse-conversion family → try_cast (CH returns
+    # NULL / the type default on unparseable input; same contract)
+    ("toInt8OrNull", "try_cast(", " AS TINYINT)"),
+    ("toInt16OrNull", "try_cast(", " AS SMALLINT)"),
+    ("toInt32OrNull", "try_cast(", " AS INT)"),
+    ("toInt64OrNull", "try_cast(", " AS BIGINT)"),
+    ("toUInt32OrNull", "try_cast(", " AS BIGINT)"),
+    ("toUInt64OrNull", "try_cast(", " AS DECIMAL(20,0))"),
+    ("toFloat32OrNull", "try_cast(", " AS FLOAT)"),
+    ("toFloat64OrNull", "try_cast(", " AS DOUBLE)"),
+    ("toDateOrNull", "try_cast(", " AS DATE)"),
+    ("toDateTimeOrNull", "try_cast(", " AS TIMESTAMP)"),
+    ("toInt32OrZero", "coalesce(try_cast(", " AS INT), 0)"),
+    ("toInt64OrZero", "coalesce(try_cast(", " AS BIGINT), CAST(0 AS BIGINT))"),
+    ("toFloat32OrZero", "coalesce(try_cast(", " AS FLOAT), CAST(0 AS FLOAT))"),
+    ("toFloat64OrZero", "coalesce(try_cast(", " AS DOUBLE), CAST(0 AS DOUBLE))"),
+    # UUID <-> FixedString(16) byte round-trips (canonical lowercase form)
+    ("UUIDStringToNum", "unhex(replace(", ", '-', ''))"),
+    ("UUIDNumToString",
+     "regexp_replace(lower(hex(", ")), "
+     "'^(.{8})(.{4})(.{4})(.{4})(.{12})$', '$1-$2-$3-$4-$5')"),
+    # regexpQuoteMeta: backslash-escape RE2 metacharacters
+    ("regexpQuoteMeta",
+     "regexp_replace(", ", '([\\\\\\\\|()^$.\\\\[\\\\]?*+{:-])', '\\\\\\\\$1')"),
+    # normalizeQuery: literals -> ?, value lists -> ?.. (CH's query-log
+    # normalizer; close parity — CH additionally collapses complex aliases,
+    # which needs a real parser).  normalizedQueryHash is engine-specific
+    # on both sides (CH uses its own hash; we digest the normalized text).
+    ("normalizedQueryHash",
+     "xxhash64(regexp_replace(regexp_replace(regexp_replace(",
+     ", '\\'[^\\']*\\'', '?'), "
+     "'(?<![a-zA-Z_0-9\\\\.])-?\\\\d+(\\\\.\\\\d+)?([eE][-+]?\\\\d+)?', '?'), "
+     "'\\\\?(\\\\s*,\\\\s*\\\\?)+', '?..'))"),
+    ("normalizeQuery",
+     "regexp_replace(regexp_replace(regexp_replace(",
+     ", '\\'[^\\']*\\'', '?'), "
+     "'(?<![a-zA-Z_0-9\\\\.])-?\\\\d+(\\\\.\\\\d+)?([eE][-+]?\\\\d+)?', '?'), "
+     "'\\\\?(\\\\s*,\\\\s*\\\\?)+', '?..')"),
+    # toNullable is a type-system no-op here (Spark columns are nullable)
+    ("toNullable", "(", ")"),
+    # interval constructors (DayTime intervals for sub-month units,
+    # YearMonth for the calendar units — both add to timestamps/dates)
+    ("toIntervalSecond", "make_dt_interval(0, 0, 0, ", ")"),
+    ("toIntervalMinute", "make_dt_interval(0, 0, ", ")"),
+    ("toIntervalHour", "make_dt_interval(0, ", ")"),
+    ("toIntervalDay", "make_dt_interval(", ")"),
+    ("toIntervalWeek", "make_dt_interval((", ") * 7)"),
+    ("toIntervalMonth", "make_interval(0, ", ")"),
+    ("toIntervalQuarter", "make_interval(0, (", ") * 3)"),
+    ("toIntervalYear", "make_interval(", ")"),
 ]
 
 # same-shape renames (arity and semantics line up)
@@ -159,6 +214,15 @@ _RENAMES: list[tuple[str, str]] = [
     ("trimBoth", "trim"),
     ("editDistance", "levenshtein"),
     ("levenshteinDistance", "levenshtein"),
+    # batch 16: 1:1 builtins (soundex/initcap/char_length/octet_length/
+    # ascii need no entry — the CH names ARE the Spark names)
+    ("CRC32", "crc32"),
+    ("initcapUTF8", "initcap"),
+    ("mid", "substr"),          # both (s, offset[, length]), 1-based
+    ("timestampAdd", "timestampadd"),  # keyword-unit form, like dateAdd
+    # CH sums in the argument's own width and lets it wrap; Spark sum
+    # widens to BIGINT/DOUBLE — overflow wrap not reproduced (documented)
+    ("sumWithOverflow", "sum"),
     # date-part extractors with identical numbering on both sides
     ("toYear", "year"),
     ("toMonth", "month"),
@@ -947,7 +1011,8 @@ def _rewrite_curried_quantiles(chunk: str) -> str:
     # 1:1 including the accuracy knob (values still engine-specific — GK
     # summaries depend on merge order); groupConcat(sep)(expr) → listagg
     gk = re.compile(
-        r"\b(quantilesGK|quantileGK|groupConcat|groupArraySorted|topK)\("
+        r"\b(quantilesGK|quantileGK|groupConcat|groupArraySorted"
+        r"|topKWeighted|topK)\("
     )
     m = gk.search(chunk)
     while m:
@@ -960,6 +1025,29 @@ def _rewrite_curried_quantiles(chunk: str) -> str:
         arg = chunk[p_end + 1 : x_end - 1]
         if m.group(1) == "groupConcat":
             repl = f"listagg({arg}, {head[0]})" if len(head) == 1 else None
+        elif m.group(1) == "topKWeighted":
+            # topKWeighted(N)(x, w): most-frequent-N by SUM OF WEIGHTS.
+            # Same exact-with-pinned-tie-order stance as topK below
+            # (weight desc, value asc), same O(d·n)-per-group caveat —
+            # weights accumulate in DOUBLE.
+            inner = _split_top_comma(arg)
+            if len(head) == 1 and len(inner) == 2:
+                x, w = inner
+                pairs = (
+                    f"collect_list(named_struct('e', {x}, "
+                    f"'w', CAST({w} AS DOUBLE)))"
+                )
+                repl = (
+                    f"slice(transform(array_sort(transform("
+                    f"array_distinct(collect_list({x})), "
+                    f"__v -> struct(-aggregate(filter({pairs}, "
+                    f"__p -> __p.e = __v), CAST(0 AS DOUBLE), "
+                    f"(__a, __p) -> __a + __p.w) AS __negw, "
+                    f"__v AS __v))), "
+                    f"__s -> __s.__v), 1, {head[0]})"
+                )
+            else:
+                repl = None
         elif m.group(1) == "topK":
             # most-frequent-N values.  CH's SpaceSaving sketch is O(n)
             # approximate with engine-specific tie order; this form is
@@ -3206,6 +3294,179 @@ def bind_parameters(sql: str, params: dict) -> str:
     return _PARAM_PAT.sub(_sub, sql)
 
 
+def _rewrite_batch16_calls(chunk: str) -> str:
+    """Dialect batch 16: string/array/URL depth.
+
+    * ``timestampSub(UNIT, n, ts)`` → ``timestampadd(UNIT, -(n), ts)``
+      (same shape as the existing ``dateSub`` rewrite).
+    * ``toFixedString(s, n)`` → ``rpad(s, n, chr(0))`` — CH pads with NUL
+      bytes; divergence: CH *throws* when ``length(s) > n``, rpad truncates.
+    * ``hasSubstr(a, b)`` — contiguous-subsequence test via an ``exists``
+      over every start offset (empty needle → true, as in CH).
+    * ``stringJaccardIndex(a, b)`` — set-of-characters Jaccard.  CH
+      operates on the byte set, identical for ASCII text; both-empty
+      is defined as 1.0 (identical strings).
+    * ``multiSearchAllPositions(h, [n1, …])`` → per-needle ``instr``.
+    * ``arrayFill`` / ``arrayReverseFill`` — fill-forward/backward: element
+      i becomes a[j] for the nearest j ≤ i (≥ i) where the predicate held,
+      original value if none.  The predicate is materialized once as a
+      boolean mask; the index scan is O(n²) per array by construction.
+    * ``arraySplit`` / ``arrayReverseSplit`` — cut before (after) each
+      element where the predicate holds; boundary offsets drive ``slice``.
+      Empty input → ``[]`` (typed via ``slice(array(a), 1, 0)``).
+    * ``URLHierarchy`` / ``URLPathHierarchy`` — progressive prefixes cut
+      after every ``/`` or ``?`` past the host (CH's definition); the
+      path-only variant drops protocol/host and the bare ``/`` root.
+
+    Single-binding ``transform(array(x), v -> …)`` is used as a let-form
+    so each derived value (mask, boundary list) is computed once; the
+    *source* argument is still spliced 2–3× where noted, so the usual
+    column-backed-argument caveat applies (same stance as ``intDiv``)."""
+
+    def two(template):
+        def make(args):
+            return template.format(*args) if len(args) == 2 else None
+
+        return make
+
+    def ts_sub_make(args):
+        if len(args) != 3:
+            return None
+        return f"timestampadd({args[0]}, -({args[1]}), {args[2]})"
+
+    chunk = _rewrite_call(chunk, "timestampSub", ts_sub_make)
+    chunk = _rewrite_call(
+        chunk, "toFixedString", two("rpad({0}, {1}, chr(0))")
+    )
+
+    def has_substr_make(args):
+        if len(args) != 2:
+            return None
+        a, b = args
+        return (
+            f"(CASE WHEN size({b}) = 0 THEN true ELSE "
+            f"exists(sequence(1, greatest(size({a}) - size({b}) + 1, 0)), "
+            f"__i -> slice({a}, __i, size({b})) = {b}) END)"
+        )
+
+    chunk = _rewrite_call(chunk, "hasSubstr", has_substr_make)
+
+    def jaccard_make(args):
+        if len(args) != 2:
+            return None
+        a, b = args
+        u = f"array_union(split({a}, ''), split({b}, ''))"
+        i = f"array_intersect(split({a}, ''), split({b}, ''))"
+        return (
+            f"(CASE WHEN size({u}) = 0 THEN CAST(1 AS DOUBLE) "
+            f"ELSE CAST(size({i}) AS DOUBLE) / size({u}) END)"
+        )
+
+    chunk = _rewrite_call(chunk, "stringJaccardIndex", jaccard_make)
+    chunk = _rewrite_call(
+        chunk, "multiSearchAllPositions",
+        two("transform({1}, __n -> instr({0}, __n))"),
+    )
+
+    def fill_make(reverse):
+        def make(args):
+            if len(args) != 2 or "->" not in args[0]:
+                return None
+            f, a = args
+            if reverse:
+                # no later match -> the LAST element's original value
+                # propagates left (a[n] is never replaced)
+                idx = (
+                    "coalesce(array_min(filter(sequence(__i, size(__s.a)), "
+                    "__j -> element_at(__s.m, __j))), size(__s.a))"
+                )
+            else:
+                # no earlier match -> the FIRST element's original value
+                # propagates right (a[1] is never replaced)
+                idx = (
+                    "coalesce(array_max(filter(sequence(1, __i), "
+                    "__j -> element_at(__s.m, __j))), 1)"
+                )
+            return (
+                f"(CASE WHEN size({a}) = 0 THEN {a} ELSE "
+                f"element_at(transform(array(named_struct("
+                f"'a', {a}, 'm', transform({a}, {f}))), __s -> "
+                f"transform(sequence(1, size(__s.a)), __i -> "
+                f"element_at(__s.a, {idx}))), 1) END)"
+            )
+
+        return make
+
+    chunk = _rewrite_call(chunk, "arrayReverseFill", fill_make(True))
+    chunk = _rewrite_call(chunk, "arrayFill", fill_make(False))
+
+    def split_make(reverse):
+        def make(args):
+            if len(args) != 2 or "->" not in args[0]:
+                return None
+            f, a = args
+            if reverse:
+                # cut AFTER matches: group starts at 1 and right after
+                # every index whose predicate held
+                bnd = (
+                    "filter(sequence(1, size(__s.a)), __i -> __i = 1 "
+                    "OR element_at(__s.m, __i - 1))"
+                )
+            else:
+                # cut BEFORE matches (the first element always starts
+                # a group)
+                bnd = (
+                    "filter(sequence(1, size(__s.a)), __i -> __i = 1 "
+                    "OR element_at(__s.m, __i))"
+                )
+            return (
+                f"(CASE WHEN size({a}) = 0 THEN slice(array({a}), 1, 0) "
+                f"ELSE element_at(transform(array(named_struct("
+                f"'a', {a}, 'm', transform({a}, {f}))), __s -> "
+                f"element_at(transform(array({bnd}), __b -> "
+                f"transform(sequence(1, size(__b)), __i -> "
+                f"slice(__s.a, element_at(__b, __i), "
+                f"coalesce(try_element_at(__b, __i + 1), size(__s.a) + 1) "
+                f"- element_at(__b, __i)))), 1)), 1) END)"
+            )
+
+        return make
+
+    chunk = _rewrite_call(chunk, "arrayReverseSplit", split_make(True))
+    chunk = _rewrite_call(chunk, "arraySplit", split_make(False))
+
+    def url_hierarchy_make(path_only):
+        def make(args):
+            if len(args) != 1:
+                return None
+            (u,) = args
+            prefix = (
+                "''" if path_only
+                else f"regexp_extract({u}, '^([a-z]+://[^/?#]*)', 1)"
+            )
+            body = (
+                f"element_at(transform(array(named_struct("
+                f"'p', {prefix}, "
+                f"'r', regexp_replace({u}, '^[a-z]+://[^/?#]*', ''))), "
+                f"__s -> CASE WHEN __s.r = '' THEN array(__s.p) ELSE "
+                f"element_at(transform(array(filter("
+                f"split(__s.r, '(?<=[/?])'), __p -> __p != '')), __t -> "
+                f"transform(sequence(1, size(__t)), __i -> "
+                f"concat(__s.p, array_join(slice(__t, 1, __i), '')))), 1) "
+                f"END), 1)"
+            )
+            if path_only:
+                # CH URLPathHierarchy omits the bare '/' root entry
+                return f"filter({body}, __u -> __u != '/')"
+            return body
+
+        return make
+
+    chunk = _rewrite_call(chunk, "URLPathHierarchy", url_hierarchy_make(True))
+    chunk = _rewrite_call(chunk, "URLHierarchy", url_hierarchy_make(False))
+    return chunk
+
+
 def translate_clickhouse_sql(sql: str, spark=None) -> str:
     """Translate the common ClickHouse function surface to Spark SQL.
 
@@ -3261,6 +3522,7 @@ def translate_clickhouse_sql(sql: str, spark=None) -> str:
     chunk = _rewrite_cast_types(chunk)
     chunk = _rewrite_moving_and_maps(chunk)
     chunk = _rewrite_misc_calls(chunk)
+    chunk = _rewrite_batch16_calls(chunk)
     chunk = _rewrite_ipv4(chunk)
     chunk = _rewrite_extract_url_parameter(chunk)
     chunk = _rewrite_numbers(chunk)

@@ -1730,3 +1730,120 @@ def test_topk_curried(spark):
         tr("SELECT g, topK(2)(v) AS t FROM topk_t GROUP BY g")
     ).first()
     assert row.t == ["a", "b"]
+
+
+def test_batch16_array_fill_split(spark):
+    """arrayFill/arrayReverseFill fill-forward/backward from the nearest
+    predicate match (edge elements keep their original values);
+    arraySplit cuts before matches, arrayReverseSplit after."""
+    row = spark.sql(
+        tr(
+            "SELECT arrayFill(x -> x != 0, [0, 0, 3, 0, 5, 0]) AS ff, "
+            "arrayReverseFill(x -> x != 0, [1, 0, 0, 5, 0]) AS rf, "
+            "arraySplit(x -> x = 1, [1, 2, 3, 1, 4, 5]) AS sp, "
+            "arrayReverseSplit(x -> x = 1, [1, 2, 3, 1, 4, 5]) AS rsp"
+        )
+    ).first()
+    assert row.ff == [0, 0, 3, 3, 5, 5]
+    assert row.rf == [1, 5, 5, 5, 0]
+    assert row.sp == [[1, 2, 3], [1, 4, 5]]
+    assert row.rsp == [[1], [2, 3, 1], [4, 5]]
+
+
+def test_batch16_string_and_array_predicates(spark):
+    """hasSubstr contiguous subsequence (empty needle true),
+    stringJaccardIndex char-set Jaccard, multiSearchAllPositions
+    per-needle instr, toFixedString NUL padding."""
+    row = spark.sql(
+        tr(
+            "SELECT hasSubstr([1, 2, 3, 4], [2, 3]) AS hit, "
+            "hasSubstr([1, 2, 3, 4], [2, 4]) AS miss, "
+            "hasSubstr([1, 2], []) AS empty_needle, "
+            "stringJaccardIndex('apple', 'paper') AS jac, "
+            "multiSearchAllPositions('hello world', ['wor', 'xx', 'hel']) "
+            "AS pos, "
+            "toFixedString('ab', 4) AS fs"
+        )
+    ).first()
+    assert row.hit is True and row.miss is False and row.empty_needle is True
+    assert abs(row.jac - 0.6) < 1e-12
+    assert row.pos == [7, 0, 1]
+    assert row.fs == "ab\x00\x00"
+
+
+def test_batch16_url_hierarchy(spark):
+    """URLHierarchy: progressive prefixes cut after every / and ? past the
+    host; URLPathHierarchy drops protocol/host and the bare root."""
+    row = spark.sql(
+        tr(
+            "SELECT URLHierarchy("
+            "'https://example.com/browse/FOOD/x?b=1') AS h, "
+            "URLPathHierarchy('https://example.com/browse/FOOD/x') AS p"
+        )
+    ).first()
+    assert row.h == [
+        "https://example.com/",
+        "https://example.com/browse/",
+        "https://example.com/browse/FOOD/",
+        "https://example.com/browse/FOOD/x?",
+        "https://example.com/browse/FOOD/x?b=1",
+    ]
+    assert row.p == ["/browse/", "/browse/FOOD/", "/browse/FOOD/x"]
+
+
+def test_batch16_normalize_and_uuid(spark):
+    """normalizeQuery literal scrubbing (+ ?.. list collapse), UUID
+    byte round-trip, regexpQuoteMeta escaping."""
+    row = spark.sql(
+        tr(
+            "SELECT normalizeQuery("
+            "'SELECT a FROM t WHERE id = 42 AND n = \\'bob\\' "
+            "AND v IN (1, 2, 3)') AS nq, "
+            "UUIDNumToString(UUIDStringToNum("
+            "'61F0C404-5CB3-11E7-907B-A6006AD3DBA0')) AS uuid, "
+            "regexpQuoteMeta('a.b*c[x]') AS qm"
+        )
+    ).first()
+    assert row.nq == "SELECT a FROM t WHERE id = ? AND n = ? AND v IN (?..)"
+    assert row.uuid == "61f0c404-5cb3-11e7-907b-a6006ad3dba0"
+    assert row.qm == "a\\.b\\*c\\[x\\]"
+
+
+def test_batch16_casts_intervals_renames(spark):
+    """-OrNull/-OrZero parse conversions, interval constructors through
+    timestamp arithmetic, groupBitmap cardinality, 1:1 renames."""
+    row = spark.sql(
+        tr(
+            "SELECT toInt64OrNull('x') AS bad, toInt64OrNull('42') AS ok, "
+            "toFloat64OrZero('x') AS z, "
+            "toDateTime('2024-01-01 00:00:00') + toIntervalDay(3) AS d3, "
+            "toDateTime('2024-01-01 00:00:00') + toIntervalMonth(2) AS m2, "
+            "timestampAdd(DAY, 3, toDateTime('2024-01-01 00:00:00')) AS ta, "
+            "timestampSub(MONTH, 2, toDateTime('2024-03-05 00:00:00')) AS ts, "
+            "CRC32('abc') AS crc, mid('hello', 2, 3) AS m, "
+            "initcapUTF8('hello world') AS ic, soundex('Robert') AS sx"
+        )
+    ).first()
+    assert row.bad is None and row.ok == 42 and row.z == 0.0
+    assert str(row.d3) == "2024-01-04 00:00:00"
+    assert str(row.m2) == "2024-03-01 00:00:00"
+    assert str(row.ta) == "2024-01-04 00:00:00"
+    assert str(row.ts) == "2024-01-05 00:00:00"
+    assert row.crc == 891568578 and row.m == "ell"
+    assert row.ic == "Hello World" and row.sx == "R163"
+    agg = spark.sql(
+        tr("SELECT groupBitmap(number % 3) AS card FROM numbers(10)")
+    ).first()
+    assert agg.card == 3
+
+
+def test_batch16_topk_weighted(spark):
+    """topKWeighted(N)(x, w): most-frequent-N by weight sum, pinned tie
+    order (weight desc, value asc)."""
+    spark.createDataFrame(
+        [("a", 1.0), ("b", 5.0), ("a", 1.0), ("c", 3.0)], "v string, w double"
+    ).createOrReplaceTempView("tkw_t")
+    row = spark.sql(
+        tr("SELECT topKWeighted(2)(v, w) AS t FROM tkw_t")
+    ).first()
+    assert row.t == ["b", "c"]
