@@ -2937,6 +2937,9 @@ def q_hypothesis_tests(spark, d):
     )
     u = relational.mann_whitney_u(ev, "event_type", "value", "click", "purchase")
     ks = relational.ks_test(ev, "event_type", "value", "click", "purchase")
+    z = relational.mean_z_test(
+        ev, "event_type", "value", "click", "purchase", 1.5, 2.5
+    )
     return (
         w.select(
             F.round("t_stat", 6).alias("welch_t"),
@@ -2956,6 +2959,7 @@ def q_hypothesis_tests(spark, d):
             )
         )
         .crossJoin(ks.select(F.round("d_stat", 6).alias("ks_d")))
+        .crossJoin(z.select(F.round("z_stat", 6).alias("mean_z")))
     )
 
 
@@ -6097,7 +6101,8 @@ FROM ranked WHERE rk <= 5
             "round((ma - mb) / sqrt(((na - 1) * va + (nb - 1) * vb) "
             " / (na + nb - 2) * (1 / na + 1 / nb)), 6) AS student_t, "
             "round(na + nb - 2, 4) AS student_df, "
-            "u AS u_stat, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b, ks_d "
+            "u AS u_stat, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b, ks_d, "
+            "round((ma - mb) / sqrt(1.5 / na + 2.5 / nb), 6) AS mean_z "
             "FROM wide, uu, ks"
         ),
         "anova": (

@@ -1012,7 +1012,7 @@ def _rewrite_curried_quantiles(chunk: str) -> str:
     # summaries depend on merge order); groupConcat(sep)(expr) → listagg
     gk = re.compile(
         r"\b(quantilesGK|quantileGK|groupConcat|groupArraySorted"
-        r"|topKWeighted|topK)\("
+        r"|topKWeighted|topK|meanZTest)\("
     )
     m = gk.search(chunk)
     while m:
@@ -1025,6 +1025,27 @@ def _rewrite_curried_quantiles(chunk: str) -> str:
         arg = chunk[p_end + 1 : x_end - 1]
         if m.group(1) == "groupConcat":
             repl = f"listagg({arg}, {head[0]})" if len(head) == 1 else None
+        elif m.group(1) == "meanZTest":
+            # meanZTest(pop_var_x, pop_var_y, conf)(data, index): two-
+            # sample z with KNOWN population variances; index 0/1 splits
+            # the rows into the two samples (the CH two-sample-test
+            # calling convention).  The z statistic only — CH's tuple
+            # also carries p-value + CI, which need the normal
+            # CDF/quantile (engine-specific numerics); the confidence
+            # level is therefore accepted and unused.  The data/index
+            # expressions are each spliced twice (column-backed caveat).
+            inner = _split_top_comma(arg)
+            if len(head) == 3 and len(inner) == 2:
+                x, idx = inner
+                va, vb = head[0], head[1]
+                sx = f"CASE WHEN ({idx}) = 0 THEN ({x}) END"
+                sy = f"CASE WHEN ({idx}) = 1 THEN ({x}) END"
+                repl = (
+                    f"((avg({sx}) - avg({sy})) / "
+                    f"sqrt(({va}) / count({sx}) + ({vb}) / count({sy})))"
+                )
+            else:
+                repl = None
         elif m.group(1) == "topKWeighted":
             # topKWeighted(N)(x, w): most-frequent-N by SUM OF WEIGHTS.
             # Same exact-with-pinned-tie-order stance as topK below

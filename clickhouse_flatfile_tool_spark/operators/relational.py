@@ -1176,3 +1176,52 @@ def ks_test(
     return cdf.agg(
         F.max(F.abs(F.col("__fa") - F.col("__fb"))).alias("d_stat")
     )
+
+
+def mean_z_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    pop_var_a: float,
+    pop_var_b: float,
+) -> DataFrame:
+    """Two-sample z-test with KNOWN population variances — ClickHouse
+    ``meanZTest(pop_var_x, pop_var_y, conf)(x, y)``: z = (x̄ − ȳ) /
+    √(σ²ₓ/nₓ + σ²ᵧ/nᵧ).  One grouped pass builds (n, mean) per side; the
+    combine is 1-row.  Returns (z_stat, mean_a, mean_b, n_a, n_b) —
+    statistic only, the :func:`anova`/:func:`ttest` stance on p-values
+    and confidence bounds (both need the normal CDF/quantile, which is
+    engine-specific numerics, not data math)."""
+    stats = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .filter(F.col(value_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(value_col).cast("double").alias("n"),
+            F.avg(value_col).alias("m"),
+        )
+        .select(
+            F.when(F.col(group_col) == group_a, F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("g"),
+            "n",
+            "m",
+        )
+    )
+    wide = stats.groupBy().pivot("g", ["a", "b"]).agg(
+        F.first("n").alias("n"), F.first("m").alias("m")
+    )
+    na, ma = F.col("a_n"), F.col("a_m")
+    nb, mb = F.col("b_n"), F.col("b_m")
+    z = (ma - mb) / F.sqrt(
+        F.lit(float(pop_var_a)) / na + F.lit(float(pop_var_b)) / nb
+    )
+    return wide.select(
+        z.alias("z_stat"),
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
+        na.alias("n_a"),
+        nb.alias("n_b"),
+    )

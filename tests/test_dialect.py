@@ -1847,3 +1847,19 @@ def test_batch16_topk_weighted(spark):
         tr("SELECT topKWeighted(2)(v, w) AS t FROM tkw_t")
     ).first()
     assert row.t == ["b", "c"]
+
+
+def test_mean_z_test_curried(spark):
+    """meanZTest(var_x, var_y, conf)(data, index): z with known population
+    variances over the 0/1 sample-index convention.  a = [1,2,3] (idx 0),
+    b = [2,4,6] (idx 1), variances 1 and 4."""
+    import math
+
+    spark.createDataFrame(
+        [(1.0, 0), (2.0, 0), (3.0, 0), (2.0, 1), (4.0, 1), (6.0, 1)],
+        "v double, idx int",
+    ).createOrReplaceTempView("mz_t")
+    row = spark.sql(
+        tr("SELECT meanZTest(1.0, 4.0, 0.95)(v, idx) AS z FROM mz_t")
+    ).first()
+    assert abs(row.z - (2 - 4) / math.sqrt(1 / 3 + 4 / 3)) < 1e-9

@@ -559,6 +559,23 @@ def test_mann_whitney_u_with_ties(spark):
     assert (r.u_stat, r.n_a, r.n_b) == (0.5, 2.0, 2.0)
 
 
+def test_mean_z_hand_computed(spark):
+    """Hand-computed z with known population variances 1 and 4:
+    a = [1,2,3] (mean 2), b = [2,4,6] (mean 4), n = 3 each →
+    z = (2 − 4)/√(1/3 + 4/3)."""
+    import math
+
+    from clickhouse_flatfile_tool_spark.operators.relational import mean_z_test
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 4.0), ("b", 6.0)],
+        "g string, v double",
+    )
+    r = mean_z_test(df, "g", "v", "a", "b", 1.0, 4.0).first()
+    assert abs(r.z_stat - (2 - 4) / math.sqrt(1 / 3 + 4 / 3)) < 1e-9
+    assert (r.mean_a, r.mean_b, r.n_a, r.n_b) == (2.0, 4.0, 3.0, 3.0)
+
+
 def test_ks_test_hand_computed(spark):
     """a = [1,2,3,4], b = [3,4,5,6]: D peaks at v=2 with
     |2/4 − 0| = 0.5."""
