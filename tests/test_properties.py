@@ -443,8 +443,18 @@ def ch_expression(draw, depth=0):
     atoms = ["x", "y", "7", "1.5", "NULL"]
     if depth >= 3:
         return draw(st.sampled_from(atoms))
-    kind = draw(st.integers(0, 27))
+    kind = draw(st.integers(0, 31))
     sub = lambda: draw(ch_expression(depth=depth + 1))  # noqa: E731
+    if kind == 28:
+        return f"arraySum(arrayFill(v -> v != 0, [toInt64({sub()}), 0, 3]))"
+    if kind == 29:
+        return (
+            f"size(arraySplit(v -> v = 1, [1, toInt64({sub()}), 3]))"
+        )
+    if kind == 30:
+        return f"toUInt8(hasSubstr([toInt64({sub()}), 2, 3], [2, 3]))"
+    if kind == 31:
+        return f"toInt64OrNull(mid(toString({sub()}), 1, 2))"
     if kind == 24:
         return f"bitHammingDistance(toInt64({sub()}), 9)"
     if kind == 25:
