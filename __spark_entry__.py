@@ -2786,6 +2786,27 @@ def q_dialect_funnel(spark, d):
     return spark.sql(translate_clickhouse_sql(ch_sql))
 
 
+def q_sequence_next_node(spark, d):
+    """ClickHouse ``sequenceNextNode(direction, base)(ts, val, base_cond,
+    cond1..condK)`` through the SQL dialect
+    (dialect.py::_rewrite_sequence_next_node): per user, the event type
+    FOLLOWING the first consecutive view→click pair — CH's next-action
+    journey aggregate, rendered as one time-sorted collect_list + pure
+    index probes.  Ties on ts break by event value (the struct sort), so
+    the oracle's ORDER BY ts, event_type matches.  Oracle: DuckDB list()
+    + generate_series index scan deriving the same anchor and probe."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    _t(spark, d, "events").createOrReplaceTempView("snn_events")
+    ch_sql = (
+        "SELECT user_id, sequenceNextNode('forward', 'first_match')"
+        "(ts, event_type, event_type = 'view', event_type = 'view', "
+        "event_type = 'click') AS nxt "
+        "FROM snn_events GROUP BY user_id ORDER BY user_id"
+    )
+    return spark.sql(translate_clickhouse_sql(ch_sql))
+
+
 def q_dialect_retention(spark, d):
     """ClickHouse ``retention(c1..ck)`` through the SQL dialect: per-user
     cohort flags [saw view, view∧click, view∧purchase] — the anchor
@@ -4324,6 +4345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_html": q_strip_html,
         "clickhouse_funcs4": q_clickhouse_funcs4,
         "dialect_batch16": q_dialect_batch16,
+        "sequence_next_node": q_sequence_next_node,
         "dialect_ips": q_dialect_ips,
         "dialect_aggs2": q_dialect_aggs2,
         "dialect_dates2": q_dialect_dates2,
@@ -5960,6 +5982,18 @@ FROM ranked WHERE rk <= 5
         ),
         "dialect_aggs2": 'SELECT event_type, round(sum(value), 6) AS sum_v, count(value) AS cnt_v, round((arg_max(value, event_id) - arg_min(value, event_id)) / (max(event_id) - min(event_id))::DOUBLE, 6) AS br, arg_max(user_id, event_id) FILTER (WHERE value > 2) AS amx, arg_min(user_id, event_id) FILTER (WHERE value > 2) AS amn FROM events GROUP BY event_type ORDER BY event_type',
         "dialect_dates2": 'SELECT event_id, (epoch_us(ts) // 1000000 // 300) * 300 AS b5, (epoch_us(ts) // 1000000 // 900) * 900 AS b15, (epoch_us(ts) // 1000000 // 1800) * 1800 AS slot, epoch_us(ts) // 1000000 // 3600 AS rh, epoch_us(ts) // 1000000 // 86400 AS rd, epoch_us(ts) // 1000 AS ms FROM events ORDER BY event_id',
+        "sequence_next_node": (
+            "WITH l AS (SELECT user_id, "
+            " list(event_type ORDER BY ts, event_type) AS evs "
+            " FROM events GROUP BY user_id), "
+            "a AS (SELECT user_id, evs, "
+            " list_min([i FOR i IN generate_series(1, len(evs)) "
+            " IF evs[i] = 'view']) AS ix FROM l) "
+            "SELECT user_id, "
+            "CASE WHEN ix IS NOT NULL AND ix + 2 <= len(evs) "
+            " AND evs[ix + 1] = 'click' THEN evs[ix + 2] END AS nxt "
+            "FROM a ORDER BY user_id"
+        ),
         "dialect_batch16": (
             "SELECT doc_id, "
             "CASE WHEN doc_id % 3 != 0 AND doc_id % 5 != 0 THEN "

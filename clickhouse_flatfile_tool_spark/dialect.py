@@ -844,11 +844,93 @@ def _rewrite_literal_aware(chunk: str, literals: list[str]) -> str:
     chunk = _rewrite_call(chunk, "tupleElement", tuple_elem_make)
     chunk = _rewrite_call(chunk, "arrayReduce", array_reduce_make)
     chunk = _rewrite_call(chunk, "extract", extract_make)
+    chunk = _rewrite_sequence_next_node(chunk, resolve)
     chunk = _rewrite_sequence_funcs(chunk, resolve)
     return chunk
 
 
 _SEQ_PATTERN = re.compile(r"\(\?(\d+)\)(?:\.\*\(\?(\d+)\))*")
+
+
+def _rewrite_sequence_next_node(chunk: str, resolve) -> str:
+    """ClickHouse ``sequenceNextNode(direction, base)(ts, value,
+    base_cond, cond1, …, condK)`` — the value of the event FOLLOWING a
+    matched chain of CONSECUTIVE events, NULL when the chain doesn't
+    match (CH's next-action journey aggregate).
+
+    Supported direction/base combos (the four meaningful pairings CH
+    documents): ``('forward', 'head')`` — chain anchored at the earliest
+    event; ``('backward', 'tail')`` — anchored at the latest, walking
+    earlier; ``('forward', 'first_match')`` / ``('backward',
+    'last_match')`` — anchored at the first/last event satisfying
+    base_cond AND cond1.  Anything else passes through untranslated.
+
+    Shape: one ``collect_list`` per key sorted by time (reversed for
+    backward), then pure index probes — ``try_element_at`` everywhere, so
+    short groups yield NULL instead of erroring under ANSI.  The match
+    anchor for first/last_match binds once via the single-element
+    ``transform`` let-form."""
+    pat = re.compile(r"\bsequenceNextNode\(")
+    m = pat.search(chunk)
+    while m:
+        p_end = _match_paren(chunk, m.end() - 1)
+        if p_end >= len(chunk) or chunk[p_end] != "(":
+            m = pat.search(chunk, p_end)
+            continue
+        x_end = _match_paren(chunk, p_end)
+        head = _split_top_comma(chunk[m.end() : p_end - 1])
+        args = _split_top_comma(chunk[p_end + 1 : x_end - 1])
+        direction = resolve(head[0]) if len(head) == 2 else None
+        base = resolve(head[1]) if len(head) == 2 else None
+        supported = {
+            ("forward", "head"),
+            ("backward", "tail"),
+            ("forward", "first_match"),
+            ("backward", "last_match"),
+        }
+        if (direction, base) not in supported or len(args) < 4:
+            m = pat.search(chunk, x_end)  # unsupported: pass through
+            continue
+        ts, val, base_cond, conds = args[0], args[1], args[2], args[3:]
+        k = len(conds)
+        fields = ", ".join(
+            f"CAST({c}) AS BOOLEAN) AS s{j + 1}".replace("CAST(", "CAST((", 1)
+            for j, c in enumerate(conds)
+        )
+        evs = (
+            f"array_sort(collect_list(struct({ts} AS t, {val} AS v, "
+            f"CAST(({base_cond}) AS BOOLEAN) AS b, {fields})))"
+        )
+        if direction == "backward":
+            evs = f"reverse({evs})"
+        if base in ("head", "tail"):
+            chain = " AND ".join(
+                f"try_element_at(__e, {j + 1}).s{j + 1}" for j in range(k)
+            )
+            body = (
+                f"CASE WHEN try_element_at(__e, 1).b AND {chain} "
+                f"THEN try_element_at(__e, {k + 1}).v END"
+            )
+        else:
+            anchor = (
+                "coalesce(array_min(filter("
+                "sequence(1, greatest(size(__e), 1)), __i -> "
+                "coalesce(try_element_at(__e, __i).b "
+                "AND try_element_at(__e, __i).s1, false))), -1)"
+            )
+            rest = " AND ".join(
+                f"try_element_at(__e, __ix + {j - 1}).s{j}"
+                for j in range(2, k + 1)
+            ) or "true"
+            body = (
+                f"element_at(transform(array({anchor}), __ix -> "
+                f"CASE WHEN __ix > 0 AND {rest} "
+                f"THEN try_element_at(__e, __ix + {k}).v END), 1)"
+            )
+        repl = f"element_at(transform(array({evs}), __e -> {body}), 1)"
+        chunk = chunk[: m.start()] + repl + chunk[x_end:]
+        m = pat.search(chunk, m.start() + len(repl))
+    return chunk
 
 
 def _rewrite_sequence_funcs(chunk: str, resolve) -> str:

@@ -1863,3 +1863,47 @@ def test_mean_z_test_curried(spark):
         tr("SELECT meanZTest(1.0, 4.0, 0.95)(v, idx) AS z FROM mz_t")
     ).first()
     assert abs(row.z - (2 - 4) / math.sqrt(1 / 3 + 4 / 3)) < 1e-9
+
+
+def test_sequence_next_node(spark):
+    """sequenceNextNode: the value following a matched CONSECUTIVE chain.
+    Journey X,A,B,C (uid 1), A,B (uid 2), B,A (uid 3)."""
+    spark.createDataFrame(
+        [(1, 1, "X"), (1, 2, "A"), (1, 3, "B"), (1, 4, "C"),
+         (2, 1, "A"), (2, 2, "B"), (3, 1, "B"), (3, 2, "A")],
+        "uid int, ts int, page string",
+    ).createOrReplaceTempView("snn_t")
+
+    def run(call):
+        q = tr(
+            f"SELECT uid, {call} AS nxt FROM snn_t GROUP BY uid ORDER BY uid"
+        )
+        return [r.nxt for r in spark.sql(q).collect()]
+
+    # head anchored at X for uid 1 -> no match; uid 2 matches A,B but has
+    # no following event; uid 3 head is B
+    assert run(
+        "sequenceNextNode('forward', 'head')"
+        "(ts, page, page = 'A', page = 'A', page = 'B')"
+    ) == [None, None, None]
+    # first_match finds A@2,B@3 for uid 1 -> C; uid 3's A has no B after
+    assert run(
+        "sequenceNextNode('forward', 'first_match')"
+        "(ts, page, page = 'A', page = 'A', page = 'B')"
+    ) == ["C", None, None]
+    # backward from the tail: uid 1 tail C then B -> next-earlier is A
+    assert run(
+        "sequenceNextNode('backward', 'tail')"
+        "(ts, page, page = 'C', page = 'C', page = 'B')"
+    ) == ["A", None, None]
+    # k = 1 last_match: the event right before the last B in time
+    assert run(
+        "sequenceNextNode('backward', 'last_match')(ts, page, page = 'B', page = 'B')"
+    ) == ["A", "A", None]
+    # unsupported combo passes through untranslated (Spark then errors by
+    # name if actually executed) — translation itself must not corrupt
+    out = tr(
+        "SELECT sequenceNextNode('forward', 'tail')"
+        "(ts, page, page = 'A', page = 'A') FROM snn_t"
+    )
+    assert "sequenceNextNode" in out
