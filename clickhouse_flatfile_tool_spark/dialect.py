@@ -3567,6 +3567,51 @@ def _rewrite_batch16_calls(chunk: str) -> str:
 
     chunk = _rewrite_call(chunk, "URLPathHierarchy", url_hierarchy_make(True))
     chunk = _rewrite_call(chunk, "URLHierarchy", url_hierarchy_make(False))
+
+    def point_in_polygon_make(args):
+        # pointInPolygon((px, py), [(x1, y1), …]) — even-odd ray casting,
+        # UNROLLED per edge (the polygon is a LITERAL vertex list in CH
+        # queries; a polygon column passes through untranslated).  Each
+        # edge term: the edge straddles py vertically AND the rightward
+        # ray from (px, py) crosses it — try_divide keeps horizontal
+        # edges NULL-safe under ANSI (false AND NULL = false).  Boundary
+        # points follow the strict >/< convention.  px/py are spliced
+        # per edge (column-backed caveat).  Returns UInt8-style 0/1.
+        if len(args) != 2:
+            return None
+        pt = args[0].strip()
+        poly = args[1].strip()
+        if not (pt.startswith("(") and pt.endswith(")")):
+            return None
+        if not (poly.startswith("array(") and poly.endswith(")")):
+            return None
+        pxy = _split_top_comma(pt[1:-1])
+        verts = []
+        for v in _split_top_comma(poly[len("array(") : -1]):
+            v = v.strip()
+            if not (v.startswith("(") and v.endswith(")")):
+                return None
+            xy = _split_top_comma(v[1:-1])
+            if len(xy) != 2:
+                return None
+            verts.append((xy[0], xy[1]))
+        if len(pxy) != 2 or len(verts) < 3:
+            return None
+        px, py = pxy
+        terms = []
+        for i, (xi, yi) in enumerate(verts):
+            xj, yj = verts[(i + 1) % len(verts)]
+            cross = (
+                f"((CAST(({yi}) AS DOUBLE) > ({py})) != "
+                f"(CAST(({yj}) AS DOUBLE) > ({py}))) AND "
+                f"(({px}) < try_divide((CAST(({xj}) AS DOUBLE) - ({xi})) "
+                f"* (({py}) - ({yi})), (CAST(({yj}) AS DOUBLE) - ({yi}))) "
+                f"+ ({xi}))"
+            )
+            terms.append(f"CAST(coalesce({cross}, false) AS INT)")
+        return f"(({' + '.join(terms)}) % 2)"
+
+    chunk = _rewrite_call(chunk, "pointInPolygon", point_in_polygon_make)
     return chunk
 
 

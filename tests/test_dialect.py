@@ -1907,3 +1907,34 @@ def test_sequence_next_node(spark):
         "(ts, page, page = 'A', page = 'A') FROM snn_t"
     )
     assert "sequenceNextNode" in out
+
+
+def test_point_in_polygon(spark):
+    """pointInPolygon even-odd ray casting over a literal vertex list —
+    convex, concave (L-shape), float coordinates, and a column point."""
+    row = spark.sql(
+        tr(
+            "SELECT "
+            "pointInPolygon((5, 5), [(0, 0), (10, 0), (10, 10), (0, 10)]) AS a, "
+            "pointInPolygon((15, 5), [(0, 0), (10, 0), (10, 10), (0, 10)]) AS b, "
+            "pointInPolygon((3, 3), "
+            "[(0, 0), (4, 0), (4, 2), (2, 2), (2, 4), (0, 4)]) AS c, "
+            "pointInPolygon((1, 3), "
+            "[(0, 0), (4, 0), (4, 2), (2, 2), (2, 4), (0, 4)]) AS d, "
+            "pointInPolygon((0.5, 0.5), "
+            "[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]) AS e"
+        )
+    ).first()
+    assert (row.a, row.b, row.c, row.d, row.e) == (1, 0, 0, 1, 1)
+    spark.createDataFrame(
+        [(5.0, 5.0), (15.0, 5.0)], "x double, y double"
+    ).createOrReplaceTempView("pip_t")
+    got = spark.sql(
+        tr(
+            "SELECT pointInPolygon((x, y), "
+            "[(0, 0), (10, 0), (10, 10), (0, 10)]) AS i FROM pip_t ORDER BY x"
+        )
+    ).collect()
+    assert [r.i for r in got] == [1, 0]
+    # polygon columns are out of scope: the call passes through untouched
+    assert "pointInPolygon" in tr("SELECT pointInPolygon((x, y), poly) FROM t")
