@@ -3612,6 +3612,96 @@ def _rewrite_batch16_calls(chunk: str) -> str:
         return f"(({' + '.join(terms)}) % 2)"
 
     chunk = _rewrite_call(chunk, "pointInPolygon", point_in_polygon_make)
+
+    _GEO_ALPHA = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+    def geohash_encode_make(args):
+        # geohashEncode(lon, lat[, precision]) — textbook interval-halving
+        # geohash, computed CLOSED-FORM: the lon/lat bit streams are the
+        # binary expansions of floor((coord+offset)/range · 2^nbits), and
+        # each base32 character extracts its 5 interleaved bits with
+        # shifts (lon stream first).  The bit streams bind once via the
+        # single-element transform; precision must be an integer literal
+        # (CH's own call shape; default 12 → 30+30 bits, well under 2^53
+        # double precision).  Coordinates clamp to the valid range.
+        if len(args) == 2:
+            p = 12
+        elif len(args) == 3:
+            try:
+                p = int(args[2].strip())
+            except ValueError:
+                return None
+            if not 1 <= p <= 12:
+                return None
+        else:
+            return None
+        lon, lat = args[0], args[1]
+        n = 5 * p
+        nlon, nlat = (n + 1) // 2, n // 2
+        chars = []
+        for c in range(p):
+            terms = []
+            for j in range(5):
+                i = 5 * c + j
+                if i % 2 == 0:
+                    bit = f"(shiftright(__g.lo, {nlon - 1 - i // 2}) & 1)"
+                else:
+                    bit = (
+                        f"(shiftright(__g.la, {nlat - 1 - (i - 1) // 2})"
+                        f" & 1)"
+                    )
+                terms.append(f"{bit} * {1 << (4 - j)}")
+            chars.append(
+                f"substr('{_GEO_ALPHA}', "
+                f"CAST({' + '.join(terms)} AS INT) + 1, 1)"
+            )
+        return (
+            f"element_at(transform(array(named_struct("
+            f"'lo', least(greatest(CAST(floor((({lon}) + 180.0) / 360.0 "
+            f"* {1 << nlon}) AS BIGINT), 0), {(1 << nlon) - 1}), "
+            f"'la', least(greatest(CAST(floor((({lat}) + 90.0) / 180.0 "
+            f"* {1 << nlat}) AS BIGINT), 0), {(1 << nlat) - 1}))), "
+            f"__g -> concat({', '.join(chars)})), 1)"
+        )
+
+    chunk = _rewrite_call(chunk, "geohashEncode", geohash_encode_make)
+
+    def geohash_decode_make(args):
+        # geohashDecode(s) → tuple (longitude, latitude) of the CELL
+        # CENTER — one aggregate fold over the characters rebuilding the
+        # two bit streams (state: lon bits, lat bits, stream parity; each
+        # 5-bit group splits 3/2 or 2/3 by the parity it starts on).
+        # Positional tuple fields col1/col2, like the tuple() rewrite.
+        if len(args) != 1:
+            return None
+        (s,) = args
+        v = f"(instr('{_GEO_ALPHA}', __c) - 1)"
+        b = lambda k: f"(shiftright({v}, {k}) & 1)"  # noqa: E731
+        even = (
+            f"named_struct('lo', __s.lo * 8 + {b(4)} * 4 + {b(2)} * 2 "
+            f"+ {b(0)}, 'la', __s.la * 4 + {b(3)} * 2 + {b(1)}, 'p', 1)"
+        )
+        odd = (
+            f"named_struct('lo', __s.lo * 4 + {b(3)} * 2 + {b(1)}, "
+            f"'la', __s.la * 8 + {b(4)} * 4 + {b(2)} * 2 + {b(0)}, 'p', 0)"
+        )
+        fold = (
+            f"aggregate(split({s}, ''), named_struct("
+            f"'lo', CAST(0 AS BIGINT), 'la', CAST(0 AS BIGINT), 'p', 0), "
+            f"(__s, __c) -> CASE WHEN __s.p = 0 THEN {even} "
+            f"ELSE {odd} END)"
+        )
+        nlon = f"CAST((5 * length({s}) + 1) DIV 2 AS INT)"
+        nlat = f"CAST((5 * length({s})) DIV 2 AS INT)"
+        return (
+            f"element_at(transform(array({fold}), __f -> named_struct("
+            f"'col1', -180.0 + 360.0 * (CAST(__f.lo AS DOUBLE) + 0.5) "
+            f"/ power(2, {nlon}), "
+            f"'col2', -90.0 + 180.0 * (CAST(__f.la AS DOUBLE) + 0.5) "
+            f"/ power(2, {nlat}))), 1)"
+        )
+
+    chunk = _rewrite_call(chunk, "geohashDecode", geohash_decode_make)
     return chunk
 
 

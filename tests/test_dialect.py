@@ -1938,3 +1938,28 @@ def test_point_in_polygon(spark):
     assert [r.i for r in got] == [1, 0]
     # polygon columns are out of scope: the call passes through untouched
     assert "pointInPolygon" in tr("SELECT pointInPolygon((x, y), poly) FROM t")
+
+
+def test_geohash_encode_decode(spark):
+    """geohashEncode closed-form bit extraction vs the canonical example
+    (ezs42), 12-char default precision, range-edge clamps, and the
+    decode round-trip landing inside the cell."""
+    row = spark.sql(
+        tr(
+            "SELECT geohashEncode(-5.60302734375, 42.60498046875, 5) AS a, "
+            "geohashEncode(13.361389, 38.115556) AS b, "
+            "geohashEncode(179.99999, 89.99999, 4) AS hi, "
+            "geohashEncode(-180.0, -90.0, 4) AS lo, "
+            "geohashDecode('ezs42') AS d, "
+            "geohashDecode(geohashEncode(13.361389, 38.115556, 12)) AS e"
+        )
+    ).first()
+    assert row.a == "ezs42"
+    assert row.b == "sqc8b49rnyte" and len(row.b) == 12
+    assert row.hi == "zzzz" and row.lo == "0000"
+    assert abs(row.d.col1 - -5.60302734375) < 1e-9
+    assert abs(row.d.col2 - 42.60498046875) < 1e-9
+    # 12-char cell is ~3.7e-5 degrees — the round-trip center must land
+    # well inside one cell of the input
+    assert abs(row.e.col1 - 13.361389) < 1e-5
+    assert abs(row.e.col2 - 38.115556) < 1e-5
