@@ -1999,6 +1999,22 @@ def _rewrite_misc_calls(chunk: str) -> str:
     chunk = _rewrite_call(chunk, "greatCircleDistance", great_circle_make)
     chunk = _rewrite_call(chunk, "geoDistance", great_circle_make)
 
+    def great_circle_angle_make(args):
+        # greatCircleAngle: the same haversine central angle, in DEGREES
+        # (no radius factor) — same ~4-significant-digit agreement with
+        # CH's polynomial approximation as greatCircleDistance.
+        if len(args) != 4:
+            return None
+        lon1, lat1, lon2, lat2 = (f"CAST(({a}) AS DOUBLE)" for a in args)
+        return (
+            f"degrees(2 * asin(sqrt("
+            f"pow(sin(radians({lat2} - {lat1}) / 2), 2) + "
+            f"cos(radians({lat1})) * cos(radians({lat2})) * "
+            f"pow(sin(radians({lon2} - {lon1}) / 2), 2))))"
+        )
+
+    chunk = _rewrite_call(chunk, "greatCircleAngle", great_circle_angle_make)
+
     def rand_uniform_make(args):
         if len(args) != 2:
             return None
@@ -3702,6 +3718,56 @@ def _rewrite_batch16_calls(chunk: str) -> str:
         )
 
     chunk = _rewrite_call(chunk, "geohashDecode", geohash_decode_make)
+
+    def map_agg_make(combine, init):
+        # sumMap/minMap/maxMap(k, v) over per-row parallel ARRAYS (the
+        # SummingMergeTree/AggregatingMergeTree metric-map idiom): a
+        # tuple of (key-sorted distinct keys, per-key combined values).
+        # The flattened pair list binds once, the sorted key list binds
+        # once more (nested single-element transforms); the per-key
+        # combine is O(d·n) per group — the same exact-with-caveat
+        # stance as topK; relational.map_aggregate is the scale path.
+        # Values accumulate in DOUBLE (the arraySum stance).
+        def make(args):
+            if len(args) != 2:
+                return None
+            k, v = args
+            pairs = (
+                f"flatten(collect_list(zip_with({k}, {v}, "
+                f"(__k, __v) -> struct(__k AS k, "
+                f"CAST(__v AS DOUBLE) AS v))))"
+            )
+            per_key = (
+                f"aggregate(filter(__p, __q -> __q.k = __k), "
+                f"CAST({init} AS DOUBLE), (__a, __q) -> {combine})"
+            )
+            return (
+                f"element_at(transform(array({pairs}), __p -> "
+                f"element_at(transform(array(array_sort(array_distinct("
+                f"transform(__p, __e -> __e.k)))), __ks -> named_struct("
+                f"'col1', __ks, "
+                f"'col2', transform(__ks, __k -> {per_key}))), 1)), 1)"
+            )
+
+        return make
+
+    chunk = _rewrite_call(
+        chunk, "sumMap", map_agg_make("__a + __q.v", "0")
+    )
+    chunk = _rewrite_call(
+        chunk, "minMap",
+        map_agg_make(
+            "CASE WHEN isnan(__a) OR __q.v < __a THEN __q.v ELSE __a END",
+            "double('NaN')",
+        ),
+    )
+    chunk = _rewrite_call(
+        chunk, "maxMap",
+        map_agg_make(
+            "CASE WHEN isnan(__a) OR __q.v > __a THEN __q.v ELSE __a END",
+            "double('NaN')",
+        ),
+    )
     return chunk
 
 

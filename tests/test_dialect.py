@@ -1963,3 +1963,33 @@ def test_geohash_encode_decode(spark):
     # well inside one cell of the input
     assert abs(row.e.col1 - 13.361389) < 1e-5
     assert abs(row.e.col2 - 38.115556) < 1e-5
+
+
+def test_map_aggregates_sql_forms(spark):
+    """sumMap/minMap/maxMap(k, v) over parallel arrays: tuple of
+    key-sorted distinct keys and per-key combined values."""
+    spark.createDataFrame(
+        [(1, ["a", "b"], [1.0, 2.0]), (1, ["b", "c"], [3.0, 4.0]),
+         (2, ["a"], [5.0])],
+        "g int, k array<string>, v array<double>",
+    ).createOrReplaceTempView("mapagg_t")
+    rows = spark.sql(
+        tr(
+            "SELECT g, sumMap(k, v) AS s, minMap(k, v) AS mn, "
+            "maxMap(k, v) AS mx FROM mapagg_t GROUP BY g ORDER BY g"
+        )
+    ).collect()
+    assert rows[0].s.col1 == ["a", "b", "c"]
+    assert rows[0].s.col2 == [1.0, 5.0, 4.0]
+    assert rows[0].mn.col2 == [1.0, 2.0, 4.0]
+    assert rows[0].mx.col2 == [1.0, 3.0, 4.0]
+    assert rows[1].s.col1 == ["a"] and rows[1].s.col2 == [5.0]
+
+
+def test_great_circle_angle(spark):
+    """greatCircleAngle: exact haversine central angle in degrees —
+    a quarter turn along the equator is exactly 45."""
+    row = spark.sql(
+        tr("SELECT greatCircleAngle(0.0, 0.0, 45.0, 0.0) AS a")
+    ).first()
+    assert abs(row.a - 45.0) < 1e-9
