@@ -2587,6 +2587,37 @@ def q_dialect_batch16(spark, d):
     return spark.sql(translate_clickhouse_sql(ch_sql))
 
 
+def q_dialect_geo(spark, d):
+    """Geo dialect functions end-to-end: geohashEncode→geohashDecode
+    round-trip (any bit error would shift the recovered cell center, so
+    comparing the center's INTEGER bit index proves the encode),
+    pointInPolygon ray casting, greatCircleAngle haversine.  Oracle:
+    DuckDB derives the cell-center bit indices CLOSED-FORM (floor-scaled
+    coordinates, no geohash code at all), tests the box point-in-polygon
+    DIRECTLY from the bounds (independent of ray casting), and computes
+    the haversine in its own trig.  Coordinates synthesize .25-offset
+    grids from doc_id, so no point ever lands on a polygon edge or a
+    vertex latitude."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    _t(spark, d, "documents").createOrReplaceTempView("geo_docs")
+    ch_sql = (
+        "SELECT doc_id, "
+        "CAST(round((tupleElement(geohashDecode(geohashEncode(lon, lat, 9)"
+        "), 1) + 180.0) / 360.0 * 8388608 - 0.5) AS Int64) AS flon, "
+        "CAST(round((tupleElement(geohashDecode(geohashEncode(lon, lat, 9)"
+        "), 2) + 90.0) / 180.0 * 4194304 - 0.5) AS Int64) AS flat, "
+        "pointInPolygon((lon, lat), "
+        "[(-90, -45), (90, -45), (90, 45), (-90, 45)]) AS inside, "
+        "round(greatCircleAngle(0.0, 0.0, lon, lat), 6) AS ang "
+        "FROM (SELECT doc_id, "
+        "modulo(doc_id, 360) - 180 + 0.25 AS lon, "
+        "modulo(doc_id, 180) - 90 + 0.25 AS lat FROM geo_docs) "
+        "ORDER BY doc_id"
+    )
+    return spark.sql(translate_clickhouse_sql(ch_sql))
+
+
 def q_dialect_ips(spark, d):
     """Dialect batch 14 end-to-end through the SQL endpoint: IP validity
     predicates (strict octets / ::-compressed hex), IPv4 CIDR ranges via
@@ -4346,6 +4377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clickhouse_funcs4": q_clickhouse_funcs4,
         "dialect_batch16": q_dialect_batch16,
         "sequence_next_node": q_sequence_next_node,
+        "dialect_geo": q_dialect_geo,
         "dialect_ips": q_dialect_ips,
         "dialect_aggs2": q_dialect_aggs2,
         "dialect_dates2": q_dialect_dates2,
@@ -5982,6 +6014,20 @@ FROM ranked WHERE rk <= 5
         ),
         "dialect_aggs2": 'SELECT event_type, round(sum(value), 6) AS sum_v, count(value) AS cnt_v, round((arg_max(value, event_id) - arg_min(value, event_id)) / (max(event_id) - min(event_id))::DOUBLE, 6) AS br, arg_max(user_id, event_id) FILTER (WHERE value > 2) AS amx, arg_min(user_id, event_id) FILTER (WHERE value > 2) AS amn FROM events GROUP BY event_type ORDER BY event_type',
         "dialect_dates2": 'SELECT event_id, (epoch_us(ts) // 1000000 // 300) * 300 AS b5, (epoch_us(ts) // 1000000 // 900) * 900 AS b15, (epoch_us(ts) // 1000000 // 1800) * 1800 AS slot, epoch_us(ts) // 1000000 // 3600 AS rh, epoch_us(ts) // 1000000 // 86400 AS rd, epoch_us(ts) // 1000 AS ms FROM events ORDER BY event_id',
+        "dialect_geo": (
+            "WITH c AS (SELECT doc_id, "
+            " (doc_id % 360) - 180 + 0.25 AS lon, "
+            " (doc_id % 180) - 90 + 0.25 AS lat FROM documents) "
+            "SELECT doc_id, "
+            "floor((lon + 180) / 360 * 8388608)::BIGINT AS flon, "
+            "floor((lat + 90) / 180 * 4194304)::BIGINT AS flat, "
+            "CASE WHEN lon > -90 AND lon < 90 AND lat > -45 AND lat < 45 "
+            " THEN 1 ELSE 0 END AS inside, "
+            "round(degrees(2 * asin(sqrt(pow(sin(radians(lat) / 2), 2) "
+            " + cos(radians(0)) * cos(radians(lat)) "
+            " * pow(sin(radians(lon) / 2), 2)))), 6) AS ang "
+            "FROM c ORDER BY doc_id"
+        ),
         "sequence_next_node": (
             "WITH l AS (SELECT user_id, "
             " list(event_type ORDER BY ts, event_type) AS evs "

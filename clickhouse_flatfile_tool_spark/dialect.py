@@ -3651,7 +3651,11 @@ def _rewrite_batch16_calls(chunk: str) -> str:
                 return None
         else:
             return None
-        lon, lat = args[0], args[1]
+        # CAST to DOUBLE: Spark parses 166.25 as a DECIMAL literal, and
+        # decimal division rounds at a fixed scale — floor() then lands
+        # in the wrong cell for coordinates near a bit boundary
+        lon = f"CAST(({args[0]}) AS DOUBLE)"
+        lat = f"CAST(({args[1]}) AS DOUBLE)"
         n = 5 * p
         nlon, nlat = (n + 1) // 2, n // 2
         chars = []
