@@ -3772,6 +3772,23 @@ def _rewrite_batch16_calls(chunk: str) -> str:
             "double('NaN')",
         ),
     )
+
+    def entropy_make(args):
+        # entropy(x): Shannon entropy (log2) of the group's value
+        # distribution — exact over the collected group, O(d·n) like
+        # topK; relational.value_entropy is the shuffle-based scale path.
+        if len(args) != 1:
+            return None
+        (x,) = args
+        cnt = "size(filter(__l, __e -> __e <=> __v))"
+        return (
+            f"element_at(transform(array(collect_list({x})), __l -> "
+            f"aggregate(array_distinct(__l), CAST(0 AS DOUBLE), "
+            f"(__a, __v) -> __a - (CAST({cnt} AS DOUBLE) / size(__l)) "
+            f"* log2(CAST({cnt} AS DOUBLE) / size(__l)))), 1)"
+        )
+
+    chunk = _rewrite_call(chunk, "entropy", entropy_make)
     return chunk
 
 

@@ -1993,3 +1993,16 @@ def test_great_circle_angle(spark):
         tr("SELECT greatCircleAngle(0.0, 0.0, 45.0, 0.0) AS a")
     ).first()
     assert abs(row.a - 45.0) < 1e-9
+
+
+def test_entropy_sql_form(spark):
+    """entropy(x): Shannon entropy (log2) of the group's value
+    distribution — two 50/50 values = 1 bit, a constant = 0."""
+    spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (1, "b"), (2, "x")],
+        "g int, v string",
+    ).createOrReplaceTempView("ent_t")
+    rows = spark.sql(
+        tr("SELECT g, round(entropy(v), 9) AS h FROM ent_t GROUP BY g ORDER BY g")
+    ).collect()
+    assert [(r.g, r.h) for r in rows] == [(1, 1.0), (2, 0.0)]
