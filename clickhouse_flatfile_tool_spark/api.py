@@ -362,6 +362,14 @@ def query(
         sm = re.match(r"(?is)^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(\w+)\s*;?\s*$", sql)
         if sm:
             return columns(spark, "clickhouse", sm.group(1))
+        # system tables — ClickHouse clients introspect through SQL
+        # (``SELECT … FROM system.tables``), not a separate API.  The
+        # referenced ones materialize as session temp views from the
+        # Spark catalog (+ the engine registry for the ENGINE column)
+        # and the statement is pointed at them; system.numbers is a lazy
+        # 10^9-row range (CH's is infinite — both rely on LIMIT).
+        if re.search(r"(?i)\bsystem\.(tables|columns|one|numbers)\b", sql):
+            sql = _materialize_system_tables(spark, sql)
         # optimize_use_projections: a plain grouped aggregate over a table
         # with a matching registered projection reads the cells, not the
         # scan (the rewrite ClickHouse's optimizer does per part)
@@ -393,6 +401,72 @@ def query(
         }
     except Exception as e:  # noqa: BLE001
         return error_payload(e)
+
+
+def _materialize_system_tables(spark: SparkSession, sql: str) -> str:
+    """Build the referenced ``system.*`` views from the session catalog and
+    rewrite the statement to point at them (``system.tables`` →
+    ``system__tables`` — a dot-free name the translator handles like any
+    table).  Shapes follow ClickHouse's commonly-queried columns:
+
+    * ``system.tables``: database, name, engine — engine from the
+      :mod:`mergetree` registry ('View' for unregistered temp views, the
+      reference's own tables default to 'MergeTree' on creation).
+    * ``system.columns``: database, table, name, type (DESCRIBE across
+      every catalog table, CH type names via the schema mapper).
+    * ``system.one``: the 1-row (dummy UInt8 0) table behind bare SELECTs.
+    * ``system.numbers``: lazily generated ascending ``number`` — bounded
+      at 10^9 rows here (ClickHouse's is infinite; both need LIMIT)."""
+    from clickhouse_flatfile_tool_spark.operators.mergetree import (
+        _ENGINE_REGISTRY,
+    )
+
+    wanted = {
+        m.lower()
+        for m in re.findall(
+            r"(?i)\bsystem\.(tables|columns|one|numbers)\b", sql
+        )
+    }
+    if "tables" in wanted:
+        rows = [
+            (
+                "default",
+                t,
+                _ENGINE_REGISTRY.get(t.lower(), {}).get("engine", "View"),
+            )
+            for t in list_tables(spark)
+        ]
+        spark.createDataFrame(
+            rows or [("default", "", "")],
+            "database string, name string, engine string",
+        ).filter(F.col("name") != "").createOrReplaceTempView(
+            "system__tables"
+        )
+    if "columns" in wanted:
+        rows = [
+            ("default", t, f["name"], f["clickhouse_type"])
+            for t in list_tables(spark)
+            for f in describe_table(spark, t)
+        ]
+        spark.createDataFrame(
+            rows or [("default", "", "", "")],
+            "database string, table string, name string, type string",
+        ).filter(F.col("table") != "").createOrReplaceTempView(
+            "system__columns"
+        )
+    if "one" in wanted:
+        spark.sql("SELECT CAST(0 AS SMALLINT) AS dummy").createOrReplaceTempView(
+            "system__one"
+        )
+    if "numbers" in wanted:
+        spark.range(1_000_000_000).selectExpr(
+            "id AS number"
+        ).createOrReplaceTempView("system__numbers")
+    return re.sub(
+        r"(?i)\bsystem\.(tables|columns|one|numbers)\b",
+        lambda m: f"system__{m.group(1).lower()}",
+        sql,
+    )
 
 
 # per-table projection registries for the projection endpoints (session-

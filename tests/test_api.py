@@ -228,3 +228,28 @@ def test_query_routes_show_and_describe(spark):
     )
     opt = api.query(spark, "OPTIMIZE TABLE meta_t FINAL")
     assert not opt["success"] and "api.mutate" in opt["error"]
+
+
+def test_query_system_tables(spark):
+    """ClickHouse system-table introspection through the SQL endpoint:
+    system.tables/columns from the catalog, system.one's dummy row,
+    system.numbers as a lazy bounded range."""
+    from clickhouse_flatfile_tool_spark import api
+
+    spark.createDataFrame([(1, "x")], "id long, s string").createOrReplaceTempView(
+        "sys_demo"
+    )
+    t = api.query(spark, "SELECT name, engine FROM system.tables WHERE name = 'sys_demo'")
+    assert t["success"] and t["data"] == [{"name": "sys_demo", "engine": "View"}]
+    c = api.query(
+        spark,
+        "SELECT name, type FROM system.columns WHERE table = 'sys_demo' ORDER BY name",
+    )
+    assert c["success"] and c["data"] == [
+        {"name": "id", "type": "Nullable(Int64)"},
+        {"name": "s", "type": "Nullable(String)"},
+    ]
+    one = api.query(spark, "SELECT dummy FROM system.one")
+    assert one["success"] and one["data"] == [{"dummy": 0}]
+    n = api.query(spark, "SELECT count() AS n FROM system.numbers WHERE number < 100")
+    assert n["success"] and n["data"] == [{"n": 100}]
