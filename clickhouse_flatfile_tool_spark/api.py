@@ -359,6 +359,11 @@ def query(
             )
         if re.match(r"(?is)^\s*SHOW\s+TABLES\s*;?\s*$", sql):
             return joinable_tables(spark)
+        em = re.match(r"(?is)^\s*EXISTS\s+(?:TABLE\s+)?(\w+)\s*;?\s*$", sql)
+        if em:
+            # CH `EXISTS [TABLE] t` → one row, column `result` 0/1
+            exists = int(spark.catalog.tableExists(em.group(1)))
+            return {"success": True, "data": [{"result": exists}]}
         sm = re.match(r"(?is)^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(\w+)\s*;?\s*$", sql)
         if sm:
             return columns(spark, "clickhouse", sm.group(1))

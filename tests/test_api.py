@@ -253,3 +253,13 @@ def test_query_system_tables(spark):
     assert one["success"] and one["data"] == [{"dummy": 0}]
     n = api.query(spark, "SELECT count() AS n FROM system.numbers WHERE number < 100")
     assert n["success"] and n["data"] == [{"n": 100}]
+
+
+def test_query_exists_table(spark):
+    """CH `EXISTS [TABLE] t` → one row, column result 0/1."""
+    from clickhouse_flatfile_tool_spark import api
+
+    spark.createDataFrame([(1,)], "id long").createOrReplaceTempView("ex_t")
+    assert api.query(spark, "EXISTS TABLE ex_t")["data"] == [{"result": 1}]
+    assert api.query(spark, "EXISTS ex_t")["data"] == [{"result": 1}]
+    assert api.query(spark, "EXISTS TABLE no_such_t")["data"] == [{"result": 0}]
