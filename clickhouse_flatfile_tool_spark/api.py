@@ -367,6 +367,11 @@ def query(
         sm = re.match(r"(?is)^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(\w+)\s*;?\s*$", sql)
         if sm:
             return columns(spark, "clickhouse", sm.group(1))
+        # file('path'[, 'Format']) table function — THE flat-file idiom of
+        # the reference's domain: each call site materializes a temp view
+        # through the matching reader and the statement points at it
+        if re.search(r"(?i)\bfile\s*\(\s*'", sql):
+            sql = _materialize_file_calls(spark, sql)
         # system tables — ClickHouse clients introspect through SQL
         # (``SELECT … FROM system.tables``), not a separate API.  The
         # referenced ones materialize as session temp views from the
@@ -406,6 +411,62 @@ def query(
         }
     except Exception as e:  # noqa: BLE001
         return error_payload(e)
+
+
+def _materialize_file_calls(spark: SparkSession, sql: str) -> str:
+    """ClickHouse's ``file('path'[, 'Format'])`` table function → a temp
+    view per call site through the matching flat-file reader (the same
+    readers behind /preview and /ingest).  Formats: CSV/TSV (+WithNames),
+    Parquet, ORC, JSONEachRow; omitted → by extension (the reference's
+    ext check, server.js:259-261).  Unknown formats raise the structured
+    error upstream.  The view name hashes path+format, so repeated
+    references reuse one registration and Catalyst sees one scan."""
+    import hashlib
+
+    from clickhouse_flatfile_tool_spark.sources import files as fsrc
+
+    pat = re.compile(r"(?i)\bfile\s*\(\s*'([^']+)'\s*(?:,\s*'(\w+)'\s*)?\)")
+
+    def repl(m: re.Match) -> str:
+        path, fmt = m.group(1), (m.group(2) or "").lower()
+        if not fmt:
+            ext = os.path.splitext(path)[1].lower()
+            fmt = {
+                ".parquet": "parquet",
+                ".orc": "orc",
+                ".jsonl": "jsoneachrow",
+                ".ndjson": "jsoneachrow",
+                ".json": "jsoneachrow",
+            }.get(ext, "csvwithnames")
+        name = "file__" + hashlib.md5(
+            f"{path}|{fmt}".encode()
+        ).hexdigest()[:10]
+        if fmt == "parquet":
+            df = fsrc.read_parquet(spark, path)
+        elif fmt == "orc":
+            df = fsrc.read_orc(spark, path)
+        elif fmt == "jsoneachrow":
+            df = fsrc.read_json_each_row(spark, path)
+        elif fmt in ("csv", "tsv", "tabseparated"):
+            df, _ = fsrc.read_csv(
+                spark, path, has_header=False,
+                sep="\t" if fmt != "csv" else None,
+            )
+        elif fmt in ("csvwithnames", "tsvwithnames", "tabseparatedwithnames"):
+            df, _ = fsrc.read_csv(
+                spark, path, has_header=True,
+                sep="\t" if fmt != "csvwithnames" else None,
+            )
+        else:
+            raise ValueError(
+                f"file(): unsupported format {m.group(2)!r}; expected "
+                "CSV[WithNames], TSV/TabSeparated[WithNames], Parquet, "
+                "ORC, or JSONEachRow"
+            )
+        df.createOrReplaceTempView(name)
+        return name
+
+    return pat.sub(repl, sql)
 
 
 def _materialize_system_tables(spark: SparkSession, sql: str) -> str:

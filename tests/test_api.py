@@ -263,3 +263,34 @@ def test_query_exists_table(spark):
     assert api.query(spark, "EXISTS TABLE ex_t")["data"] == [{"result": 1}]
     assert api.query(spark, "EXISTS ex_t")["data"] == [{"result": 1}]
     assert api.query(spark, "EXISTS TABLE no_such_t")["data"] == [{"result": 0}]
+
+
+def test_query_file_table_function(spark, tmp_path):
+    """file('path'[, 'Format']): flat files readable straight from SQL —
+    header CSV, headerless TSV, extension defaulting, error format,
+    and a join against a catalog view."""
+    from clickhouse_flatfile_tool_spark import api
+
+    csv = tmp_path / "people.csv"
+    csv.write_text("id,name\n1,alice\n2,bob\n")
+    tsv = tmp_path / "raw.tsv"
+    tsv.write_text("1\tx\n2\ty\n")
+    r = api.query(
+        spark, f"SELECT name FROM file('{csv}', 'CSVWithNames') ORDER BY id"
+    )
+    assert r["success"] and [d["name"] for d in r["data"]] == ["alice", "bob"]
+    # no format: extension default (csv -> header CSV, the reference's check)
+    r2 = api.query(spark, f"SELECT count() AS n FROM file('{csv}')")
+    assert r2["success"] and r2["data"] == [{"n": 2}]
+    r3 = api.query(spark, f"SELECT * FROM file('{tsv}', 'TSV')")
+    assert r3["success"] and r3["data"][0] == {"column_1": "1", "column_2": "x"}
+    assert not api.query(spark, f"SELECT 1 FROM file('{csv}', 'Avro')")["success"]
+    spark.createDataFrame([("1", 10)], "id string, score int").createOrReplaceTempView(
+        "file_sc"
+    )
+    r4 = api.query(
+        spark,
+        f"SELECT f.name, s.score FROM file('{csv}', 'CSVWithNames') f "
+        "JOIN file_sc s ON f.id = s.id",
+    )
+    assert r4["success"] and r4["data"] == [{"name": "alice", "score": 10}]
