@@ -364,6 +364,53 @@ def query(
             # CH `EXISTS [TABLE] t` → one row, column `result` 0/1
             exists = int(spark.catalog.tableExists(em.group(1)))
             return {"success": True, "data": [{"result": exists}]}
+        scm = re.match(
+            r"(?is)^\s*SHOW\s+CREATE\s+(?:TABLE\s+)?(\w+)\s*;?\s*$", sql
+        )
+        if scm:
+            # synthesized CH-style DDL: columns via the type mapper, the
+            # ENGINE clause from the mergetree registry (default
+            # MergeTree ORDER BY tuple() — the reference's own CREATE,
+            # server.js:586-589); Spark's SHOW CREATE rejects temp views
+            t = scm.group(1)
+            from clickhouse_flatfile_tool_spark.operators.mergetree import (
+                _ENGINE_REGISTRY,
+            )
+
+            cols = ", ".join(
+                f"`{f['name']}` {f['clickhouse_type']}"
+                for f in describe_table(spark, t)
+            )
+            eng = _ENGINE_REGISTRY.get(t.lower(), {})
+            engine = eng.get("engine", "MergeTree")
+            order = (
+                "(" + ", ".join(eng["key_cols"]) + ")"
+                if eng.get("key_cols")
+                else "tuple()"
+            )
+            stmt = (
+                f"CREATE TABLE default.{t} ({cols}) "
+                f"ENGINE = {engine}() ORDER BY {order}"
+            )
+            return {"success": True, "data": [{"statement": stmt}]}
+        rn = re.match(
+            r"(?is)^\s*RENAME\s+TABLE\s+(\w+)\s+TO\s+(\w+)\s*;?\s*$", sql
+        )
+        if rn:
+            src, dst = rn.groups()
+            spark.table(src).createOrReplaceTempView(dst)
+            spark.catalog.dropTempView(src)
+            return {"success": True, "renamed": {src: dst}}
+        tm = re.match(
+            r"(?is)^\s*TRUNCATE\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$",
+            sql,
+        )
+        if tm:
+            # re-register the view over an empty LIMIT 0 of itself —
+            # same schema, zero rows (Spark's TRUNCATE rejects views)
+            t = tm.group(1)
+            spark.table(t).limit(0).createOrReplaceTempView(t)
+            return {"success": True, "truncated": t}
         sm = re.match(r"(?is)^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(\w+)\s*;?\s*$", sql)
         if sm:
             return columns(spark, "clickhouse", sm.group(1))
@@ -372,6 +419,11 @@ def query(
         # through the matching reader and the statement points at it
         if re.search(r"(?i)\bfile\s*\(\s*'", sql):
             sql = _materialize_file_calls(spark, sql)
+        # merge('db', 'name_regex') — CH's union-of-matching-tables
+        # function; '^t\\d+' style patterns union every catalog table
+        # whose name matches (by name, missing columns NULL-filled)
+        if re.search(r"(?i)\bmerge\s*\(\s*'", sql):
+            sql = _materialize_merge_calls(spark, sql)
         # system tables — ClickHouse clients introspect through SQL
         # (``SELECT … FROM system.tables``), not a separate API.  The
         # referenced ones materialize as session temp views from the
@@ -463,6 +515,38 @@ def _materialize_file_calls(spark: SparkSession, sql: str) -> str:
                 "CSV[WithNames], TSV/TabSeparated[WithNames], Parquet, "
                 "ORC, or JSONEachRow"
             )
+        df.createOrReplaceTempView(name)
+        return name
+
+    return pat.sub(repl, sql)
+
+
+def _materialize_merge_calls(spark: SparkSession, sql: str) -> str:
+    """ClickHouse's ``merge('db', 'name_regex')`` table function → the
+    unionByName of every catalog table whose name matches the (RE2-style)
+    pattern, with a CH-parity ``_table`` virtual column naming each row's
+    source.  Missing columns NULL-fill (allowMissingColumns), matching
+    CH's behavior for divergent physical schemas."""
+    import hashlib
+
+    pat = re.compile(r"(?i)\bmerge\s*\(\s*'([^']*)'\s*,\s*'([^']+)'\s*\)")
+
+    def repl(m: re.Match) -> str:
+        name_re = re.compile(m.group(2))
+        matches = [t for t in list_tables(spark) if name_re.search(t)]
+        if not matches:
+            raise ValueError(
+                f"merge(): no catalog table matches {m.group(2)!r}"
+            )
+        df = None
+        for t in sorted(matches):
+            part = spark.table(t).withColumn("_table", F.lit(t))
+            df = part if df is None else df.unionByName(
+                part, allowMissingColumns=True
+            )
+        name = "merge__" + hashlib.md5(
+            m.group(2).encode()
+        ).hexdigest()[:10]
         df.createOrReplaceTempView(name)
         return name
 

@@ -294,3 +294,35 @@ def test_query_file_table_function(spark, tmp_path):
         "JOIN file_sc s ON f.id = s.id",
     )
     assert r4["success"] and r4["data"] == [{"name": "alice", "score": 10}]
+
+
+def test_query_show_create_rename_truncate_merge(spark):
+    """SHOW CREATE TABLE synthesizes CH DDL from schema + engine registry;
+    RENAME TABLE re-points the temp view; TRUNCATE re-registers an empty
+    LIMIT 0; merge('db', regex) unions matching tables with _table."""
+    from clickhouse_flatfile_tool_spark import api
+
+    spark.createDataFrame([(1, "x")], "id long, s string").createOrReplaceTempView(
+        "ddl_a"
+    )
+    spark.createDataFrame([(2,)], "id long").createOrReplaceTempView("ddl_b")
+    sc = api.query(spark, "SHOW CREATE TABLE ddl_a")
+    assert sc["success"]
+    stmt = sc["data"][0]["statement"]
+    assert "CREATE TABLE default.ddl_a" in stmt
+    assert "`id` Nullable(Int64)" in stmt and "ENGINE = MergeTree()" in stmt
+    mg = api.query(
+        spark, "SELECT id, _table FROM merge('default', '^ddl_') ORDER BY id"
+    )
+    assert mg["success"] and mg["data"] == [
+        {"id": 1, "_table": "ddl_a"},
+        {"id": 2, "_table": "ddl_b"},
+    ]
+    assert not api.query(spark, "SELECT * FROM merge('default', '^zzz')")["success"]
+    rn = api.query(spark, "RENAME TABLE ddl_b TO ddl_c")
+    assert rn["success"]
+    assert api.query(spark, "EXISTS ddl_b")["data"] == [{"result": 0}]
+    assert api.query(spark, "EXISTS ddl_c")["data"] == [{"result": 1}]
+    tr_ = api.query(spark, "TRUNCATE TABLE ddl_c")
+    assert tr_["success"]
+    assert api.query(spark, "SELECT count() AS n FROM ddl_c")["data"] == [{"n": 0}]
