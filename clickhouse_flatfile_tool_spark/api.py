@@ -364,6 +364,21 @@ def query(
             # CH `EXISTS [TABLE] t` → one row, column `result` 0/1
             exists = int(spark.catalog.tableExists(em.group(1)))
             return {"success": True, "data": [{"result": exists}]}
+        im = re.match(
+            r"(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(\w+)\s*"
+            r"(\(\s*[\w\s,`]+?\s*\))?\s*(VALUES\s*.+|SELECT\s+.+)$",
+            sql,
+        )
+        if im:
+            # temp views (and missing tables, for the clean error) route
+            # to the view-rebuild path; PERMANENT tables fall through to
+            # Spark's own INSERT INTO support below
+            target_is_permanent = any(
+                t.name == im.group(1) and not t.isTemporary
+                for t in spark.catalog.listTables()
+            )
+            if not target_is_permanent:
+                return _insert_into_view(spark, *im.groups())
         scm = re.match(
             r"(?is)^\s*SHOW\s+CREATE\s+(?:TABLE\s+)?(\w+)\s*;?\s*$", sql
         )
@@ -463,6 +478,64 @@ def query(
         }
     except Exception as e:  # noqa: BLE001
         return error_payload(e)
+
+
+def _insert_into_view(
+    spark: SparkSession, table: str, col_list: str | None, body: str
+) -> dict:
+    """``INSERT INTO <temp view> VALUES …/SELECT …`` — ClickHouse inserts
+    go through the same SQL endpoint as everything else, and the session
+    analog of a writable table is the temp view: the view re-registers as
+    (old rows UNION new rows), with the new rows aligned to the target
+    schema (by the column list when given, positionally otherwise — CH's
+    own rule) and cast column-by-column, NULL-filling unmentioned
+    columns.  VALUES bodies parse through ``SELECT * FROM VALUES`` after
+    the dialect rewrite, so CH functions work inside tuples."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    if not spark.catalog.tableExists(table):
+        raise ValueError(f"INSERT INTO {table}: table does not exist")
+    target = spark.table(table)
+    tcols = target.schema.fields
+    names = (
+        [c.strip().strip("`") for c in col_list.strip("() \t\n").split(",")]
+        if col_list
+        else [f.name for f in tcols]
+    )
+    unknown = [n for n in names if n not in {f.name for f in tcols}]
+    if unknown:
+        raise ValueError(f"INSERT INTO {table}: unknown columns {unknown}")
+    body = body.strip().rstrip(";").strip()
+    if re.match(r"(?is)^VALUES", body):
+        probe = (
+            f"SELECT * FROM {body} AS __ins("
+            + ", ".join(f"`{n}`" for n in names)
+            + ")"
+        )
+    else:
+        probe = body
+    new = spark.sql(translate_clickhouse_sql(probe, spark=spark))
+    if len(new.columns) != len(names):
+        raise ValueError(
+            f"INSERT INTO {table}: {len(names)} target columns, "
+            f"{len(new.columns)} provided"
+        )
+    by_name = {f.name: f for f in tcols}
+    aligned = new.select(
+        *[
+            F.col(src).cast(by_name[dst].dataType).alias(dst)
+            for src, dst in zip(new.columns, names)
+        ]
+    )
+    for f in tcols:
+        if f.name not in names:
+            aligned = aligned.withColumn(
+                f.name, F.lit(None).cast(f.dataType)
+            )
+    appended = target.unionByName(aligned.select(*[f.name for f in tcols]))
+    n_new = new.count()
+    appended.createOrReplaceTempView(table)
+    return {"success": True, "table": table, "inserted": n_new}
 
 
 def _materialize_file_calls(spark: SparkSession, sql: str) -> str:

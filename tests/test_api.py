@@ -326,3 +326,32 @@ def test_query_show_create_rename_truncate_merge(spark):
     tr_ = api.query(spark, "TRUNCATE TABLE ddl_c")
     assert tr_["success"]
     assert api.query(spark, "SELECT count() AS n FROM ddl_c")["data"] == [{"n": 0}]
+
+
+def test_query_insert_into_temp_view(spark):
+    """INSERT INTO <temp view> VALUES/SELECT: the view re-registers as
+    old UNION new, aligned to the target schema (partial column lists
+    NULL-fill; CH functions work inside VALUES tuples)."""
+    from clickhouse_flatfile_tool_spark import api
+
+    spark.createDataFrame([(1, "x")], "id long, s string").createOrReplaceTempView(
+        "insq_t"
+    )
+    r = api.query(spark, "INSERT INTO insq_t VALUES (2, 'y'), (3, upper('z'))")
+    assert r["success"] and r["inserted"] == 2
+    rows = api.query(spark, "SELECT * FROM insq_t ORDER BY id")["data"]
+    assert rows == [
+        {"id": 1, "s": "x"}, {"id": 2, "s": "y"}, {"id": 3, "s": "Z"},
+    ]
+    assert api.query(spark, "INSERT INTO insq_t (id) VALUES (9)")["inserted"] == 1
+    assert api.query(spark, "SELECT s FROM insq_t WHERE id = 9")["data"] == [
+        {"s": None}
+    ]
+    assert api.query(
+        spark, "INSERT INTO insq_t SELECT id + 100, s FROM insq_t WHERE id = 1"
+    )["inserted"] == 1
+    assert api.query(spark, "SELECT count() AS n FROM insq_t")["data"] == [{"n": 5}]
+    assert not api.query(spark, "INSERT INTO no_such VALUES (1)")["success"]
+    assert not api.query(spark, "INSERT INTO insq_t (id, nope) VALUES (1, 2)")[
+        "success"
+    ]
