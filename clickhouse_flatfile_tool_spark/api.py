@@ -379,6 +379,27 @@ def query(
             )
             if not target_is_permanent:
                 return _insert_into_view(spark, *im.groups())
+        ct = re.match(
+            r"(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
+            r"\((.*)\)\s*ENGINE\s*=\s*(\w+)\s*(?:\(([^)]*)\))?\s*"
+            r"(?:ORDER\s+BY\s+(\(?[\w\s,()]+?\)?))?\s*;?\s*$",
+            sql,
+        )
+        if ct:
+            return _create_table(spark, *ct.groups())
+        dt = re.match(
+            r"(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", sql
+        )
+        if dt:
+            from clickhouse_flatfile_tool_spark.operators.mergetree import (
+                _ENGINE_REGISTRY,
+            )
+
+            existed = spark.catalog.dropTempView(dt.group(2))
+            _ENGINE_REGISTRY.pop(dt.group(2).lower(), None)
+            if not existed and not dt.group(1):
+                raise ValueError(f"table {dt.group(2)!r} does not exist")
+            return {"success": True, "table": dt.group(2), "dropped": existed}
         scm = re.match(
             r"(?is)^\s*SHOW\s+CREATE\s+(?:TABLE\s+)?(\w+)\s*;?\s*$", sql
         )
@@ -478,6 +499,90 @@ def query(
         }
     except Exception as e:  # noqa: BLE001
         return error_payload(e)
+
+
+def _create_table(
+    spark: SparkSession,
+    if_not_exists: str | None,
+    name: str,
+    col_body: str,
+    engine: str,
+    engine_args: str | None,
+    order_by: str | None,
+) -> dict:
+    """``CREATE TABLE t (col Type, …) ENGINE = X(…) [ORDER BY …]`` — the
+    reference's own DDL shape (server.js:586-589): an EMPTY temp view
+    with the ClickHouse types mapped through the schema mapper, plus an
+    engine-registry entry so ``FROM t FINAL``, ``SHOW CREATE TABLE`` and
+    the mergetree read paths resolve.  Engine args follow CH: Replacing
+    (version[, is_deleted]) → version columns, Collapsing (sign) → sign
+    column, Summing ((cols)) → summed columns.  Column DEFAULT/CODEC
+    clauses are not parsed (api.mutate's ADD COLUMN handles defaults)."""
+    from pyspark.sql import types as T
+
+    from clickhouse_flatfile_tool_spark.operators.mergetree import (
+        _ENGINE_KINDS,
+        register_table_engine,
+    )
+    from clickhouse_flatfile_tool_spark.schema import clickhouse_to_spark
+
+    if spark.catalog.tableExists(name):
+        if if_not_exists:
+            return {"success": True, "table": name, "created": False}
+        raise ValueError(f"table {name!r} already exists")
+    fields = []
+    for coldef in _split_top_level_commas(col_body):
+        parts = coldef.strip().split(None, 1)
+        if len(parts) != 2:
+            raise ValueError(f"CREATE TABLE: cannot parse column {coldef!r}")
+        cname, ctype = parts[0].strip("`"), parts[1].strip()
+        dtype, nullable = clickhouse_to_spark(ctype)
+        fields.append(T.StructField(cname, dtype, nullable))
+    spark.createDataFrame([], T.StructType(fields)).createOrReplaceTempView(
+        name
+    )
+    key_cols = [
+        c.strip()
+        for c in (order_by or "").strip().strip("()").split(",")
+        if c.strip() and c.strip() != "tuple"
+    ]
+    if engine in _ENGINE_KINDS or engine == "MergeTree":
+        args = [
+            a.strip().strip("()")
+            for a in (engine_args or "").split(",")
+            if a.strip()
+        ]
+        kw: dict = {}
+        if engine == "ReplacingMergeTree":
+            kw["version_cols"] = args[:1]
+            # (ver, is_deleted) soft-delete form keeps both
+            if len(args) == 2:
+                kw["version_cols"] = args
+        elif engine in ("CollapsingMergeTree", "VersionedCollapsingMergeTree"):
+            if args:
+                kw["sign_col"] = args[0]
+            if len(args) > 1:
+                kw["version_cols"] = args[1:]
+        elif engine == "SummingMergeTree":
+            kw["sum_cols"] = args
+        register_table_engine(name, engine, key_cols, **kw)
+    return {"success": True, "table": name, "created": True}
+
+
+def _split_top_level_commas(s: str) -> list[str]:
+    """Split on commas outside any parenthesis nesting (column defs can
+    carry parametrized types like Decimal(10, 2))."""
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+    out.append(s[start:])
+    return [p for p in out if p.strip()]
 
 
 def _insert_into_view(

@@ -355,3 +355,36 @@ def test_query_insert_into_temp_view(spark):
     assert not api.query(spark, "INSERT INTO insq_t (id, nope) VALUES (1, 2)")[
         "success"
     ]
+
+
+def test_query_create_drop_table_ddl(spark):
+    """CREATE TABLE (CH types + engine args) → INSERT → FROM t FINAL
+    merge → SHOW CREATE round-trip → DROP: the full DDL lifecycle
+    through the one SQL endpoint."""
+    from clickhouse_flatfile_tool_spark import api
+
+    r = api.query(
+        spark,
+        "CREATE TABLE ddlq_t (id Int64, price Decimal(10, 2), "
+        "name Nullable(String), ver UInt32) "
+        "ENGINE = ReplacingMergeTree(ver) ORDER BY id",
+    )
+    assert r["success"] and r["created"]
+    stmt = api.query(spark, "SHOW CREATE TABLE ddlq_t")["data"][0]["statement"]
+    assert "ReplacingMergeTree" in stmt and "Decimal(10, 2)" in stmt
+    assert api.query(
+        spark, "INSERT INTO ddlq_t VALUES (1, 10.50, 'a', 1), (1, 11.00, 'b', 2)"
+    )["inserted"] == 2
+    # FINAL keeps the max-version row per key
+    assert api.query(spark, "SELECT name FROM ddlq_t FINAL")["data"] == [
+        {"name": "b"}
+    ]
+    again = api.query(
+        spark,
+        "CREATE TABLE IF NOT EXISTS ddlq_t (x Int8) ENGINE = MergeTree() "
+        "ORDER BY tuple()",
+    )
+    assert again["success"] and not again["created"]
+    assert api.query(spark, "DROP TABLE ddlq_t")["dropped"]
+    assert not api.query(spark, "DROP TABLE ddlq_t")["success"]
+    assert api.query(spark, "DROP TABLE IF EXISTS ddlq_t")["success"]
