@@ -379,6 +379,40 @@ def query(
             )
             if not target_is_permanent:
                 return _insert_into_view(spark, *im.groups())
+        om = re.search(
+            r"(?is)\bINTO\s+OUTFILE\s+'([^']+)'\s*"
+            r"(?:FORMAT\s+(\w+))?\s*;?\s*$",
+            sql,
+        )
+        if om:
+            # SELECT … INTO OUTFILE 'path' [FORMAT X] — CH's export
+            # statement: run the query (sans the OUTFILE tail) and write
+            # through the /download writers.  CSVWithNames is CH's
+            # default OUTFILE format for .csv; JSONEachRow/Parquet map
+            # to the matching writers.
+            out_path, fmt_name = om.group(1), (om.group(2) or "").lower()
+            inner = sql[: om.start()].strip()
+            fmt = {
+                "": "csv",
+                "csv": "csv",
+                "csvwithnames": "csv",
+                "tabseparated": "csv",
+                "tabseparatedwithnames": "csv",
+                "jsoneachrow": "jsonl",
+                "parquet": "parquet",
+                "orc": "orc",
+            }.get(fmt_name)
+            if fmt is None:
+                raise ValueError(
+                    f"INTO OUTFILE: unsupported FORMAT {om.group(2)!r}"
+                )
+            df = spark.sql(translate_clickhouse_sql(inner, spark=spark))
+            df.createOrReplaceTempView("__outfile_src")
+            out = download(spark, "__outfile_src", out_path, fmt=fmt)
+            if out.get("success"):
+                out["rows"] = spark.table("__outfile_src").count()
+            spark.catalog.dropTempView("__outfile_src")
+            return out
         ct = re.match(
             r"(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
             r"\((.*)\)\s*ENGINE\s*=\s*(\w+)\s*(?:\(([^)]*)\))?\s*"

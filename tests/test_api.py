@@ -388,3 +388,25 @@ def test_query_create_drop_table_ddl(spark):
     assert api.query(spark, "DROP TABLE ddlq_t")["dropped"]
     assert not api.query(spark, "DROP TABLE ddlq_t")["success"]
     assert api.query(spark, "DROP TABLE IF EXISTS ddlq_t")["success"]
+
+
+def test_query_into_outfile(spark, tmp_path):
+    """SELECT … INTO OUTFILE 'path' [FORMAT X]: CH's export statement
+    writes through the /download writers and round-trips via file()."""
+    from clickhouse_flatfile_tool_spark import api
+
+    spark.createDataFrame([(1, "x"), (2, "y")], "id long, s string").createOrReplaceTempView(
+        "outf_t"
+    )
+    p = str(tmp_path / "out.csv")
+    r = api.query(
+        spark, f"SELECT id, upper(s) AS u FROM outf_t ORDER BY id INTO OUTFILE '{p}'"
+    )
+    assert r["success"] and r["rows"] == 2 and r["format"] == "csv"
+    assert open(p).read().splitlines() == ["id,u", "1,X", "2,Y"]
+    back = api.query(spark, f"SELECT count() AS n FROM file('{p}', 'CSVWithNames')")
+    assert back["data"] == [{"n": 2}]
+    bad = api.query(
+        spark, f"SELECT id FROM outf_t INTO OUTFILE '{tmp_path}/x' FORMAT Native"
+    )
+    assert not bad["success"]
