@@ -3462,9 +3462,13 @@ def _rewrite_batch16_calls(chunk: str) -> str:
         if len(args) != 2:
             return None
         a, b = args
+        # greatest(…, 1): when the needle is longer than the haystack the
+        # offset count would be ≤ 0, and Spark's sequence(1, 0) DESCENDS
+        # to [1, 0] — offset 0 then crashes slice.  One offset always
+        # exists under the floor; its shorter slice can never equal b.
         return (
             f"(CASE WHEN size({b}) = 0 THEN true ELSE "
-            f"exists(sequence(1, greatest(size({a}) - size({b}) + 1, 0)), "
+            f"exists(sequence(1, greatest(size({a}) - size({b}) + 1, 1)), "
             f"__i -> slice({a}, __i, size({b})) = {b}) END)"
         )
 

@@ -533,3 +533,89 @@ def test_dialect_fuzz_translates_and_parses(spark, exprs):
     sel = ", ".join(f"({e}) AS c{i}" for i, e in enumerate(exprs))
     out = tr(f"SELECT {sel} FROM fz")
     spark.sql(out)  # analysis only — throws on malformed output
+
+
+@given(
+    st.lists(st.integers(0, 3), min_size=0, max_size=8),
+    st.integers(1, 3),
+)
+@settings(**SETTINGS)
+def test_array_fill_split_match_python_model(spark, arr, cut):
+    """arrayFill/arrayReverseFill/arraySplit/arrayReverseSplit vs a
+    direct Python model of the ClickHouse semantics, over random small
+    int arrays and thresholds."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql as tr
+
+    lit = "[" + ", ".join(map(str, arr)) + "]"
+    row = spark.sql(
+        tr(
+            f"SELECT arrayFill(x -> x != 0, {lit}) AS ff, "
+            f"arrayReverseFill(x -> x != 0, {lit}) AS rf, "
+            f"arraySplit(x -> x = {cut}, {lit}) AS sp, "
+            f"arrayReverseSplit(x -> x = {cut}, {lit}) AS rsp, "
+            f"hasSubstr({lit}, [{cut}, {cut}]) AS hs"
+        )
+    ).first()
+
+    def fill(a, rev):
+        b = list(a)
+        rng = range(len(b) - 2, -1, -1) if rev else range(1, len(b))
+        for i in rng:
+            if b[i] == 0:
+                b[i] = b[i + 1] if rev else b[i - 1]
+        return b
+
+    def split(a, rev):
+        if not a:
+            return []
+        groups, cur = [], []
+        for x in a:
+            if not rev and x == cut and cur:
+                groups.append(cur)
+                cur = []
+            cur.append(x)
+            if rev and x == cut:
+                groups.append(cur)
+                cur = []
+        if cur:
+            groups.append(cur)
+        return groups
+
+    assert row.ff == fill(arr, rev=False)
+    assert row.rf == fill(arr, rev=True)
+    assert row.sp == split(arr, rev=False)
+    assert row.rsp == split(arr, rev=True)
+    want_hs = any(
+        arr[i : i + 2] == [cut, cut] for i in range(len(arr) - 1)
+    )
+    assert row.hs == want_hs
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-5, 5)),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_summap_sql_form_matches_python_model(spark, pairs):
+    """sumMap over random (key, value) rows packed into per-row arrays:
+    matches a dict-accumulating Python model, keys sorted."""
+    from collections import defaultdict
+
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql as tr
+
+    rows = [([f"k{k}"], [float(v)]) for k, v in pairs]
+    spark.createDataFrame(
+        rows, "k array<string>, v array<double>"
+    ).createOrReplaceTempView("summap_prop_t")
+    got = spark.sql(
+        tr("SELECT sumMap(k, v) AS s FROM summap_prop_t")
+    ).first().s
+    model: dict = defaultdict(float)
+    for k, v in pairs:
+        model[f"k{k}"] += float(v)
+    want_keys = sorted(model)
+    assert got.col1 == want_keys
+    assert got.col2 == [model[k] for k in want_keys]
