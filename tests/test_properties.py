@@ -619,3 +619,99 @@ def test_summap_sql_form_matches_python_model(spark, pairs):
     want_keys = sorted(model)
     assert got.col1 == want_keys
     assert got.col2 == [model[k] for k in want_keys]
+
+
+@given(
+    st.floats(-179.99, 179.99, allow_nan=False),
+    st.floats(-89.99, 89.99, allow_nan=False),
+    st.integers(1, 12),
+)
+@settings(**SETTINGS)
+def test_geohash_encode_matches_reference(spark, lon, lat, p):
+    """geohashEncode vs an independent interval-halving reference
+    implementation, and the decode round-trip landing in-cell."""
+    import math
+
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql as tr
+
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+    def ref_encode(lon, lat, p):
+        lon_i, lat_i = [-180.0, 180.0], [-90.0, 90.0]
+        bits, out, even, ch = 0, "", True, 0
+        while len(out) < p:
+            iv, v = (lon_i, lon) if even else (lat_i, lat)
+            mid = (iv[0] + iv[1]) / 2
+            if v >= mid:
+                ch = ch * 2 + 1
+                iv[0] = mid
+            else:
+                ch = ch * 2
+                iv[1] = mid
+            even = not even
+            bits += 1
+            if bits == 5:
+                out += alpha[ch]
+                bits = ch = 0
+        return out
+
+    row = spark.sql(
+        tr(
+            f"SELECT geohashEncode({lon!r}, {lat!r}, {p}) AS g, "
+            f"geohashDecode(geohashEncode({lon!r}, {lat!r}, {p})) AS c"
+        )
+    ).first()
+    n = 5 * p
+    nlon, nlat = (n + 1) // 2, n // 2
+    # When a coordinate sits within float error of a cell boundary, the
+    # closed form ((x+off)/range·2^n can round the tiny offset away) and
+    # interval halving legitimately disagree on that bit — e.g.
+    # lat = -1e-38 where lat + 90 rounds to exactly 90.0.  The in-cell
+    # round-trip bound below still holds; only the exact-string compare
+    # is boundary-sensitive.
+    slon = (lon + 180.0) / 360.0 * (1 << nlon)
+    slat = (lat + 90.0) / 180.0 * (1 << nlat)
+    on_boundary = (
+        abs(slon - round(slon)) < 1e-6 or abs(slat - round(slat)) < 1e-6
+    )
+    if not on_boundary:
+        assert row.g == ref_encode(lon, lat, p)
+    cell_lon = 360.0 / (1 << nlon)
+    cell_lat = 180.0 / (1 << nlat)
+    assert abs(row.c.col1 - lon) <= cell_lon + 1e-9
+    assert abs(row.c.col2 - lat) <= cell_lat + 1e-9
+
+
+@given(
+    st.floats(-4.9, 4.9, allow_nan=False),
+    st.floats(-4.9, 4.9, allow_nan=False),
+    st.lists(
+        st.tuples(st.integers(-4, 4), st.integers(-4, 4)),
+        min_size=3,
+        max_size=7,
+    ),
+)
+@settings(**SETTINGS)
+def test_point_in_polygon_matches_python_ray_caster(spark, px, py, verts):
+    """pointInPolygon vs a direct Python even-odd ray caster over random
+    (possibly degenerate/self-intersecting) integer polygons and float
+    points — float points never sit on integer edges' lattice."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql as tr
+
+    def ref(px, py, poly):
+        inside = False
+        n = len(poly)
+        for i in range(n):
+            x1, y1 = poly[i]
+            x2, y2 = poly[(i + 1) % n]
+            if (y1 > py) != (y2 > py):
+                xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+                if px < xint:
+                    inside = not inside
+        return int(inside)
+
+    lit = ", ".join(f"({x}, {y})" for x, y in verts)
+    row = spark.sql(
+        tr(f"SELECT pointInPolygon(({px!r}, {py!r}), [{lit}]) AS i")
+    ).first()
+    assert row.i == ref(px, py, verts)
