@@ -715,3 +715,61 @@ def test_point_in_polygon_matches_python_ray_caster(spark, px, py, verts):
         tr(f"SELECT pointInPolygon(({px!r}, {py!r}), [{lit}]) AS i")
     ).first()
     assert row.i == ref(px, py, verts)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 2), st.sampled_from(["A", "B", "C"])),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_sequence_next_node_matches_python_model(spark, evs):
+    """sequenceNextNode (all four anchor modes) vs direct Python index
+    probes over random per-user event streams (unique timestamps)."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql as tr
+
+    rows = [(u, i, v) for i, (u, v) in enumerate(evs)]
+    spark.createDataFrame(rows, "uid int, ts int, page string").createOrReplaceTempView(
+        "snn_prop_t"
+    )
+
+    def model(seq, mode):
+        # chain A then B, consecutive; base_cond = first chain cond
+        if mode in ("backward_tail", "backward_last"):
+            seq = seq[::-1]
+        if mode in ("forward_head", "backward_tail"):
+            if len(seq) >= 3 and seq[0] == "A" and seq[1] == "B":
+                return seq[2]
+            return None
+        idxs = [i for i, v in enumerate(seq) if v == "A"]
+        if not idxs:
+            return None
+        i = idxs[0]
+        if i + 2 < len(seq) and seq[i + 1] == "B":
+            return seq[i + 2]
+        return None
+
+    per_user: dict[int, list[str]] = {}
+    for u, _, v in rows:
+        per_user.setdefault(u, []).append(v)
+    calls = {
+        "forward_head": "sequenceNextNode('forward', 'head')",
+        "backward_tail": "sequenceNextNode('backward', 'tail')",
+        "forward_first": "sequenceNextNode('forward', 'first_match')",
+        "backward_last": "sequenceNextNode('backward', 'last_match')",
+    }
+    sel = ", ".join(
+        f"{call}(ts, page, page = 'A', page = 'A', page = 'B') AS {k}"
+        for k, call in calls.items()
+    )
+    got = {
+        r.uid: r.asDict()
+        for r in spark.sql(
+            tr(f"SELECT uid, {sel} FROM snn_prop_t GROUP BY uid")
+        ).collect()
+    }
+    for u, seq in per_user.items():
+        for mode in calls:
+            assert got[u][mode] == model(seq, mode), (u, seq, mode)
