@@ -852,6 +852,69 @@ def _rewrite_literal_aware(chunk: str, literals: list[str]) -> str:
 _SEQ_PATTERN = re.compile(r"\(\?(\d+)\)(?:\.\*\(\?(\d+)\))*")
 
 
+def _rewrite_scalar_with(chunk: str) -> str:
+    """ClickHouse's scalar WITH — ``WITH <expr> AS <ident>, … SELECT …``
+    (note the REVERSED order vs a CTE: the alias comes last) — has no
+    Spark equivalent (Spark's WITH is CTE-only), so each alias
+    substitutes textually as ``(<expr>)`` through the rest of the
+    statement; the scalar-subquery form ``WITH (SELECT …) AS m`` becomes
+    a Spark scalar subquery at each use site.  Later definitions may
+    reference earlier aliases (CH allows it; substitution runs in
+    order).  A WITH whose items are ALL CTE-shaped (``ident AS (…)``)
+    passes through untouched; mixed forms pass through too (out of
+    scope).  Statement-leading WITH only."""
+    m = re.match(r"(?is)^(\s*)WITH\s+", chunk)
+    if not m:
+        return chunk
+    # find the top-level SELECT that ends the WITH item list
+    i = m.end()
+    depth = 0
+    items_end = None
+    while i < len(chunk):
+        ch = chunk[i]
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0 and chunk[i : i + 6].upper() == "SELECT" and (
+            i + 6 == len(chunk) or not (chunk[i + 6].isalnum() or chunk[i + 6] == "_")
+        ):
+            items_end = i
+            break
+        i += 1
+    if items_end is None:
+        return chunk
+    items = _split_top_comma(chunk[m.end() : items_end].strip())
+    pairs = []
+    for item in items:
+        im = re.match(r"(?is)^(.*\S)\s+AS\s+(\w+)\s*$", item.strip())
+        if not im:
+            # CTE items end with ')' (`ident AS (SELECT …)`) and never
+            # match this alias-last shape — leave the whole WITH alone
+            return chunk
+        expr, ident = im.group(1).strip(), im.group(2)
+        if re.fullmatch(r"\w+", expr) and not re.fullmatch(
+            r"\d+(\.\d+)?", expr
+        ):
+            # bare-identifier expr (`WITH a AS b`) is too ambiguous with
+            # dialect-side CTE names — pass through, conservative.
+            # Bare NUMBERS are unambiguous (a CTE can't be named 10).
+            return chunk
+        pairs.append((expr, ident))
+    body = chunk[items_end:]
+    for k, (expr, ident) in enumerate(pairs):
+        # substitute into the body AND into LATER definitions' exprs
+        # (earlier aliases are visible to later ones in CH)
+        sub = re.compile(r"\b" + re.escape(ident) + r"\b")
+        body = sub.sub(lambda _m, e=expr: f"({e})", body)
+        for j in range(k + 1, len(pairs)):
+            pairs[j] = (
+                sub.sub(lambda _m, e=expr: f"({e})", pairs[j][0]),
+                pairs[j][1],
+            )
+    return m.group(1) + body
+
+
 def _rewrite_sequence_next_node(chunk: str, resolve) -> str:
     """ClickHouse ``sequenceNextNode(direction, base)(ts, value,
     base_cond, cond1, …, condK)`` — the value of the event FOLLOWING a
@@ -3833,6 +3896,7 @@ def translate_clickhouse_sql(sql: str, spark=None) -> str:
 
     for src, dst in _ZERO_ARG:
         chunk = chunk.replace(src, dst)
+    chunk = _rewrite_scalar_with(chunk)
     chunk = _rewrite_final(chunk)
     chunk = _rewrite_clauses(chunk)
     chunk = _rewrite_with_fill(chunk)

@@ -2006,3 +2006,28 @@ def test_entropy_sql_form(spark):
         tr("SELECT g, round(entropy(v), 9) AS h FROM ent_t GROUP BY g ORDER BY g")
     ).collect()
     assert [(r.g, r.h) for r in rows] == [(1, 1.0), (2, 0.0)]
+
+
+def test_scalar_with(spark):
+    """ClickHouse scalar WITH (`expr AS ident`, alias LAST): numeric
+    constants, chained aliases, functions, and scalar subqueries
+    substitute at use sites; CTE-shaped WITH passes through intact."""
+    spark.createDataFrame([(1,), (2,)], "id long").createOrReplaceTempView("sw_t")
+    assert [r.v for r in spark.sql(
+        tr("WITH 10 AS k SELECT id * k AS v FROM sw_t ORDER BY id")
+    ).collect()] == [10, 20]
+    assert [r.v for r in spark.sql(
+        tr("WITH 2 AS a, a * 3 AS b SELECT id + b AS v FROM sw_t ORDER BY id")
+    ).collect()] == [7, 8]
+    assert [r.id for r in spark.sql(
+        tr(
+            "WITH (SELECT max(id) FROM sw_t) AS m "
+            "SELECT id FROM sw_t WHERE id = m"
+        )
+    ).collect()] == [2]
+    assert [r.id for r in spark.sql(
+        tr("WITH toInt64(5) AS lim SELECT id FROM sw_t WHERE id < lim ORDER BY id")
+    ).collect()] == [1, 2]
+    # CTE form untouched
+    out = tr("WITH c AS (SELECT id FROM sw_t) SELECT * FROM c")
+    assert out.startswith("WITH c AS")
