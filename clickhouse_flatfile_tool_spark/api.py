@@ -379,6 +379,32 @@ def query(
             )
             if not target_is_permanent:
                 return _insert_into_view(spark, *im.groups())
+        ex = re.match(
+            r"(?is)^\s*EXPLAIN(?:\s+(AST|SYNTAX|PLAN|PIPELINE|ESTIMATE))?"
+            r"\s+(SELECT\b.*|WITH\b.*)$",
+            sql,
+        )
+        if ex:
+            # CH's EXPLAIN variants all answer "what will run" — map AST/
+            # PLAN/PIPELINE/ESTIMATE to the pre-flight /explain endpoint
+            # (formatted physical plan); SYNTAX returns the translated
+            # SQL, CH's rewritten-query semantics
+            if (ex.group(1) or "").upper() == "SYNTAX":
+                return {
+                    "success": True,
+                    "data": [
+                        {
+                            "explain": translate_clickhouse_sql(
+                                ex.group(2), spark=spark
+                            )
+                        }
+                    ],
+                }
+            return explain(spark, ex.group(2))
+        if re.match(r"(?is)^\s*USE\s+\w+\s*;?\s*$", sql):
+            # single-database session (the reference's `database` param
+            # selects one DB per connection) — accept and no-op
+            return {"success": True}
         om = re.search(
             r"(?is)\bINTO\s+OUTFILE\s+'([^']+)'\s*"
             r"(?:FORMAT\s+(\w+))?\s*;?\s*$",

@@ -410,3 +410,18 @@ def test_query_into_outfile(spark, tmp_path):
         spark, f"SELECT id FROM outf_t INTO OUTFILE '{tmp_path}/x' FORMAT Native"
     )
     assert not bad["success"]
+
+
+def test_query_explain_and_use_routing(spark):
+    """EXPLAIN [variant] routes to the pre-flight plan endpoint; EXPLAIN
+    SYNTAX returns the translated SQL (CH's rewritten-query view); USE
+    no-ops in the single-database session."""
+    from clickhouse_flatfile_tool_spark import api
+
+    spark.createDataFrame([(1,)], "id long").createOrReplaceTempView("expl_t")
+    r = api.query(spark, "EXPLAIN SELECT uniqExact(id) FROM expl_t")
+    assert r["success"] and "Physical Plan" in r["plan"]
+    syn = api.query(spark, "EXPLAIN SYNTAX SELECT uniqExact(id) FROM expl_t")
+    assert syn["data"] == [{"explain": "SELECT count(DISTINCT id) FROM expl_t"}]
+    assert api.query(spark, "EXPLAIN PIPELINE SELECT id FROM expl_t")["success"]
+    assert api.query(spark, "USE default")["success"]
