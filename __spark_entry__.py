@@ -2587,6 +2587,43 @@ def q_dialect_batch16(spark, d):
     return spark.sql(translate_clickhouse_sql(ch_sql))
 
 
+def q_dialect_batch17(spark, d):
+    """Dialect batch 17 end-to-end: significant-subdomain rule
+    (com|net|org|co → third-level label), netloc/basename/
+    queryStringAndFragment, %20-exact URL component encoding, ISO year,
+    days-since-year-zero (proleptic year 0 = leap), Twitter-snowflake
+    round-trip, Euclid-fold gcd/lcm.  Oracle: DuckDB string assembly of
+    the same URL parts, isoyear(), datediff from 0001-01-01 + 366, bit
+    arithmetic, and its NATIVE gcd/lcm builtins (independent of the
+    fold)."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    _t(spark, d, "documents").createOrReplaceTempView("b17_docs")
+    ch_sql = (
+        "SELECT doc_id, "
+        "firstSignificantSubdomain(concat('https://news.', lang, "
+        "'.com.tr/a/p', toString(doc_id), '?q=1#f')) AS fsd, "
+        "cutToFirstSignificantSubdomain(concat('https://news.', lang, "
+        "'.com.tr/a/p', toString(doc_id))) AS ctf, "
+        "netloc(concat('https://news.', lang, '.com.tr/a/p', "
+        "toString(doc_id))) AS nl, "
+        "basename(concat('/a/b/p', toString(doc_id))) AS bn, "
+        "queryStringAndFragment(concat('https://x.com/p?q=', "
+        "toString(doc_id), '#f')) AS qsf, "
+        "encodeURLComponent(concat(lang, ' ', lang)) AS enc, "
+        "decodeURLComponent(concat(lang, '%20', toString(doc_id))) AS dec, "
+        "toISOYear(makeDate(2017, 1, modulo(doc_id, 7) + 1)) AS iy, "
+        "toDaysSinceYearZero(makeDate(1970, 1, modulo(doc_id, 28) + 1)) AS dz, "
+        "snowflakeToDateTime((doc_id + 345) * 4194304) AS sdt, "
+        "dateTimeToSnowflake(snowflakeToDateTime((doc_id + 345) "
+        "* 4194304)) AS sf, "
+        "gcd(modulo(doc_id, 48), 36) AS g, "
+        "lcm(modulo(doc_id, 7) + 1, 6) AS l "
+        "FROM b17_docs ORDER BY doc_id"
+    )
+    return spark.sql(translate_clickhouse_sql(ch_sql))
+
+
 def q_dialect_geo(spark, d):
     """Geo dialect functions end-to-end: geohashEncode→geohashDecode
     round-trip (any bit error would shift the recovered cell center, so
@@ -4378,6 +4415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dialect_batch16": q_dialect_batch16,
         "sequence_next_node": q_sequence_next_node,
         "dialect_geo": q_dialect_geo,
+        "dialect_batch17": q_dialect_batch17,
         "dialect_ips": q_dialect_ips,
         "dialect_aggs2": q_dialect_aggs2,
         "dialect_dates2": q_dialect_dates2,
@@ -6014,6 +6052,24 @@ FROM ranked WHERE rk <= 5
         ),
         "dialect_aggs2": 'SELECT event_type, round(sum(value), 6) AS sum_v, count(value) AS cnt_v, round((arg_max(value, event_id) - arg_min(value, event_id)) / (max(event_id) - min(event_id))::DOUBLE, 6) AS br, arg_max(user_id, event_id) FILTER (WHERE value > 2) AS amx, arg_min(user_id, event_id) FILTER (WHERE value > 2) AS amn FROM events GROUP BY event_type ORDER BY event_type',
         "dialect_dates2": 'SELECT event_id, (epoch_us(ts) // 1000000 // 300) * 300 AS b5, (epoch_us(ts) // 1000000 // 900) * 900 AS b15, (epoch_us(ts) // 1000000 // 1800) * 1800 AS slot, epoch_us(ts) // 1000000 // 3600 AS rh, epoch_us(ts) // 1000000 // 86400 AS rd, epoch_us(ts) // 1000 AS ms FROM events ORDER BY event_id',
+        "dialect_batch17": (
+            "SELECT doc_id, "
+            "lang AS fsd, "
+            "lang || '.com.tr' AS ctf, "
+            "'news.' || lang || '.com.tr' AS nl, "
+            "'p' || doc_id AS bn, "
+            "'q=' || doc_id || '#f' AS qsf, "
+            "lang || '%20' || lang AS enc, "
+            "lang || ' ' || doc_id AS dec, "
+            "isoyear(make_date(2017, 1, (doc_id % 7)::INT + 1)) AS iy, "
+            "datediff('day', DATE '0001-01-01', "
+            "make_date(1970, 1, (doc_id % 28)::INT + 1)) + 366 AS dz, "
+            "epoch_ms(1288834974657 + doc_id + 345) AS sdt, "
+            "(doc_id + 345) * 4194304 AS sf, "
+            "gcd(doc_id % 48, 36) AS g, "
+            "lcm((doc_id % 7) + 1, 6) AS l "
+            "FROM documents ORDER BY doc_id"
+        ),
         "dialect_geo": (
             "WITH c AS (SELECT doc_id, "
             " (doc_id % 360) - 180 + 0.25 AS lon, "

@@ -163,6 +163,38 @@ _WRAPS: list[tuple[str, str, str]] = [
     ("toNullable", "(", ")"),
     # interval constructors (DayTime intervals for sub-month units,
     # YearMonth for the calendar units — both add to timestamps/dates)
+    # batch 17 ------------------------------------------------------------
+    # URL depth: CH's "first significant subdomain" rule is exactly
+    # com|net|org|co → third-level label, otherwise second-level
+    ("cutToFirstSignificantSubdomain",
+     "element_at(transform(array(split(try_parse_url(", ", 'HOST'), "
+     "'\\\\.')), __p -> CASE WHEN size(__p) >= 3 AND element_at(__p, -2) "
+     "IN ('com', 'net', 'org', 'co') THEN "
+     "array_join(slice(__p, size(__p) - 2, 3), '.') "
+     "ELSE array_join(slice(__p, greatest(size(__p) - 1, 1), 2), '.') "
+     "END), 1)"),
+    ("firstSignificantSubdomain",
+     "element_at(transform(array(split(try_parse_url(", ", 'HOST'), "
+     "'\\\\.')), __p -> CASE WHEN size(__p) >= 3 AND element_at(__p, -2) "
+     "IN ('com', 'net', 'org', 'co') THEN element_at(__p, -3) "
+     "WHEN size(__p) >= 2 THEN element_at(__p, -2) "
+     "ELSE element_at(__p, 1) END), 1)"),
+    ("cutWWW", "regexp_replace(", ", '^((?:[a-z]+://)?)www\\\\.', '$1')"),
+    ("netloc", "regexp_extract(", ", '^[a-z]+://([^/?#]*)', 1)"),
+    ("basename", "substring_index(", ", '/', -1)"),
+    # %20-exact percent encoding: url_encode form-encodes spaces as '+',
+    # and literal '+' becomes %2B first, so the remaining '+' are spaces
+    ("encodeURLComponent", "replace(url_encode(", "), '+', '%20')"),
+    ("decodeURLComponent", "url_decode(", ")"),
+    ("toISOYear", "extract(YEAROFWEEK FROM ", ")"),
+    # proleptic Gregorian: year 0 is a leap year, 366 days to 0001-01-01
+    ("toDaysSinceYearZero", "(datediff(", ", DATE'0001-01-01') + 366)"),
+    # Twitter snowflake epoch 1288834974657 ms, timestamp in bits 22+
+    ("snowflakeToDateTime",
+     "timestamp_millis(shiftright(CAST(", " AS BIGINT), 22) "
+     "+ 1288834974657)"),
+    ("dateTimeToSnowflake", "shiftleft(unix_millis(", ") - 1288834974657, 22)"),
+    ("medianTiming", "approx_percentile(", ", 0.5)"),
     ("toIntervalSecond", "make_dt_interval(0, 0, 0, ", ")"),
     ("toIntervalMinute", "make_dt_interval(0, 0, ", ")"),
     ("toIntervalHour", "make_dt_interval(0, ", ")"),
@@ -218,6 +250,13 @@ _RENAMES: list[tuple[str, str]] = [
     # ascii need no entry — the CH names ARE the Spark names)
     ("CRC32", "crc32"),
     ("initcapUTF8", "initcap"),
+    # batch 17: 1:1 renames (Spark strings are UTF-8 native)
+    ("leftUTF8", "left"),
+    ("rightUTF8", "right"),
+    ("concatWS", "concat_ws"),
+    ("printf", "format_string"),
+    ("denseRank", "dense_rank"),
+    ("percentRank", "percent_rank"),
     ("mid", "substr"),          # both (s, offset[, length]), 1-based
     ("timestampAdd", "timestampadd"),  # keyword-unit form, like dateAdd
     # CH sums in the argument's own width and lets it wrap; Spark sum
@@ -1157,7 +1196,8 @@ def _rewrite_curried_quantiles(chunk: str) -> str:
     # summaries depend on merge order); groupConcat(sep)(expr) → listagg
     gk = re.compile(
         r"\b(quantilesGK|quantileGK|groupConcat|groupArraySorted"
-        r"|topKWeighted|topK|meanZTest)\("
+        r"|topKWeighted|topK|meanZTest"
+        r"|quantileExactLow|quantileExactHigh)\("
     )
     m = gk.search(chunk)
     while m:
@@ -1170,6 +1210,20 @@ def _rewrite_curried_quantiles(chunk: str) -> str:
         arg = chunk[p_end + 1 : x_end - 1]
         if m.group(1) == "groupConcat":
             repl = f"listagg({arg}, {head[0]})" if len(head) == 1 else None
+        elif m.group(1) in ("quantileExactLow", "quantileExactHigh"):
+            # nearest-rank exact quantiles: sorted[⌊p·(n−1)⌋ + 1] (Low)
+            # or ⌈…⌉ (High), 1-based — the lower/upper median convention.
+            # Collected-group exactness, the topK stance.
+            if len(head) == 1 and len(_split_top_comma(arg)) == 1:
+                rnd = "floor" if m.group(1).endswith("Low") else "ceil"
+                repl = (
+                    f"element_at(transform(array(array_sort("
+                    f"collect_list({arg}))), __l -> element_at(__l, "
+                    f"CAST({rnd}(({head[0]}) * (size(__l) - 1)) AS INT) "
+                    f"+ 1)), 1)"
+                )
+            else:
+                repl = None
         elif m.group(1) == "meanZTest":
             # meanZTest(pop_var_x, pop_var_y, conf)(data, index): two-
             # sample z with KNOWN population variances; index 0/1 splits
@@ -3856,6 +3910,52 @@ def _rewrite_batch16_calls(chunk: str) -> str:
         )
 
     chunk = _rewrite_call(chunk, "entropy", entropy_make)
+
+    def gcd_lcm_make(is_lcm):
+        # Euclid as a bounded aggregate fold — 96 iterations covers the
+        # worst case for 64-bit inputs (consecutive Fibonacci numbers
+        # need ~90 steps); converged state is a fixpoint, so extra
+        # iterations are no-ops.  gcd(0, 0) = 0, like CH.  Both args
+        # spliced twice (column-backed caveat); lcm divides BEFORE
+        # multiplying to keep intermediate products in range.
+        def make(args):
+            if len(args) != 2:
+                return None
+            a, b = args
+            g = (
+                f"(aggregate(sequence(1, 96), named_struct("
+                f"'a', CAST(abs({a}) AS BIGINT), "
+                f"'b', CAST(abs({b}) AS BIGINT)), "
+                f"(__s, __i) -> IF(__s.b = 0, __s, named_struct("
+                f"'a', __s.b, 'b', __s.a % __s.b)))).a"
+            )
+            if not is_lcm:
+                return g
+            return (
+                f"(CASE WHEN ({a}) = 0 OR ({b}) = 0 THEN CAST(0 AS BIGINT) "
+                f"ELSE (CAST(abs({a}) AS BIGINT) DIV {g}) "
+                f"* CAST(abs({b}) AS BIGINT) END)"
+            )
+
+        return make
+
+    chunk = _rewrite_call(chunk, "gcd", gcd_lcm_make(False))
+    chunk = _rewrite_call(chunk, "lcm", gcd_lcm_make(True))
+
+    def qsf_make(args):
+        # queryStringAndFragment(url): 'query#fragment' — empty string
+        # when neither part exists (CH's convention)
+        if len(args) != 1:
+            return None
+        (u,) = args
+        q = f"try_parse_url({u}, 'QUERY')"
+        r = f"try_parse_url({u}, 'REF')"
+        return (
+            f"concat(coalesce({q}, ''), CASE WHEN {r} IS NOT NULL "
+            f"THEN concat('#', {r}) ELSE '' END)"
+        )
+
+    chunk = _rewrite_call(chunk, "queryStringAndFragment", qsf_make)
     return chunk
 
 

@@ -2031,3 +2031,48 @@ def test_scalar_with(spark):
     # CTE form untouched
     out = tr("WITH c AS (SELECT id FROM sw_t) SELECT * FROM c")
     assert out.startswith("WITH c AS")
+
+
+def test_batch17_url_date_math(spark):
+    """Batch 17: significant-subdomain rule (com|net|org|co → 3rd-level),
+    netloc/basename/queryStringAndFragment, %20-exact URL encoding,
+    ISO year, days-since-year-zero, snowflake round-trip, Euclid
+    gcd/lcm, nearest-rank exact quantiles, 1:1 renames."""
+    row = spark.sql(
+        tr(
+            "SELECT "
+            "firstSignificantSubdomain('https://news.clickhouse.com.tr/x') AS fsd, "
+            "cutToFirstSignificantSubdomain('https://news.clickhouse.com.tr/x') AS ctf, "
+            "cutWWW('http://www.example.com/x') AS cw, "
+            "netloc('http://u:p@host.com:8080/p') AS nl, "
+            "basename('/a/b/file.txt') AS bn, "
+            "queryStringAndFragment('https://x.com/p?q=1#f') AS qsf, "
+            "encodeURLComponent('a b+c') AS enc, "
+            "decodeURLComponent('a%20b%2Bc') AS dec, "
+            "toISOYear(toDate('2017-01-01')) AS iy, "
+            "toDaysSinceYearZero(toDate('1970-01-01')) AS dz, "
+            "dateTimeToSnowflake(snowflakeToDateTime(1426860702823350272)) AS sf, "
+            "gcd(12, 18) AS g, lcm(4, 6) AS l, gcd(0, 0) AS g0, "
+            "leftUTF8('abcd', 2) AS lu, concatWS('-', 'a', 'b') AS cws, "
+            "printf('%d-%s', 5, 'x') AS pf"
+        )
+    ).first()
+    assert row.fsd == "clickhouse" and row.ctf == "clickhouse.com.tr"
+    assert row.cw == "http://example.com/x"
+    assert row.nl == "u:p@host.com:8080" and row.bn == "file.txt"
+    assert row.qsf == "q=1#f"
+    assert row.enc == "a%20b%2Bc" and row.dec == "a b+c"
+    assert row.iy == 2016 and row.dz == 719528
+    assert row.sf == 1426860702823350272
+    assert (row.g, row.l, row.g0) == (6, 12, 0)
+    assert row.lu == "ab" and row.cws == "a-b" and row.pf == "5-x"
+    spark.sql("SELECT explode(array(1, 2, 3, 4)) AS x").createOrReplaceTempView(
+        "qelh_t"
+    )
+    q = spark.sql(
+        tr(
+            "SELECT quantileExactLow(0.5)(x) AS lo, "
+            "quantileExactHigh(0.5)(x) AS hi FROM qelh_t"
+        )
+    ).first()
+    assert (q.lo, q.hi) == (2, 3)
