@@ -3371,6 +3371,31 @@ def final_tables(sql: str) -> list[str]:
     return [m.group(2) for m in _FINAL_PAT.finditer(masked)]
 
 
+def _rewrite_limit_with_ties(chunk: str) -> str:
+    """``ORDER BY … LIMIT n WITH TIES`` (no Spark support) → a RANK()
+    window over the same ordering: rank ≤ n is exactly "the first n rows
+    plus everything tied with the n-th".  Statement-trailing form only
+    (the overwhelmingly common shape); subquery occurrences pass
+    through.  The sort keys may name SELECT aliases — they are columns
+    of the wrapped subquery, so the window sees them."""
+    m = re.search(
+        r"(?is)\bORDER\s+BY\s+(.+?)\s+LIMIT\s+(\d+)\s+WITH\s+TIES\s*;?\s*$",
+        chunk,
+    )
+    if not m:
+        return chunk
+    # the ORDER BY must be top-level: no unbalanced parens before it
+    head = chunk[: m.start()]
+    if head.count("(") != head.count(")"):
+        return chunk
+    order, n = m.group(1).strip(), m.group(2)
+    return (
+        f"SELECT * EXCEPT(__r) FROM (SELECT __q0.*, RANK() OVER "
+        f"(ORDER BY {order}) AS __r FROM ({head.strip()}) AS __q0) "
+        f"WHERE __r <= {n} ORDER BY {order}"
+    )
+
+
 def _rewrite_clauses(chunk: str) -> str:
     """ClickHouse-specific CLAUSES (not functions):
 
@@ -3997,6 +4022,7 @@ def translate_clickhouse_sql(sql: str, spark=None) -> str:
     for src, dst in _ZERO_ARG:
         chunk = chunk.replace(src, dst)
     chunk = _rewrite_scalar_with(chunk)
+    chunk = _rewrite_limit_with_ties(chunk)
     chunk = _rewrite_final(chunk)
     chunk = _rewrite_clauses(chunk)
     chunk = _rewrite_with_fill(chunk)

@@ -2076,3 +2076,23 @@ def test_batch17_url_date_math(spark):
         )
     ).first()
     assert (q.lo, q.hi) == (2, 3)
+
+
+def test_limit_with_ties(spark):
+    """ORDER BY … LIMIT n WITH TIES → rank() <= n: the first n rows plus
+    everything tied with the n-th; plain LIMIT stays untouched."""
+    spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 30)], "id long, v long"
+    ).createOrReplaceTempView("ties_t")
+    got = sorted(
+        (r.id, r.v)
+        for r in spark.sql(
+            tr("SELECT id, v FROM ties_t ORDER BY v LIMIT 2 WITH TIES")
+        ).collect()
+    )
+    assert got == [(1, 10), (2, 10), (3, 10)]
+    top = spark.sql(
+        tr("SELECT id, v * 2 AS w FROM ties_t ORDER BY w DESC LIMIT 1 WITH TIES")
+    ).collect()
+    assert [(r.id, r.w) for r in top] == [(5, 60)]
+    assert tr("SELECT id FROM ties_t ORDER BY id LIMIT 2").endswith("LIMIT 2")
