@@ -526,7 +526,9 @@ def query(
         # Spark catalog (+ the engine registry for the ENGINE column)
         # and the statement is pointed at them; system.numbers is a lazy
         # 10^9-row range (CH's is infinite — both rely on LIMIT).
-        if re.search(r"(?i)\bsystem\.(tables|columns|one|numbers)\b", sql):
+        if re.search(
+            r"(?i)\bsystem\.(tables|columns|one|numbers|databases)\b", sql
+        ):
             sql = _materialize_system_tables(spark, sql)
         # optimize_use_projections: a plain grouped aggregate over a table
         # with a matching registered projection reads the cells, not the
@@ -812,7 +814,7 @@ def _materialize_system_tables(spark: SparkSession, sql: str) -> str:
     wanted = {
         m.lower()
         for m in re.findall(
-            r"(?i)\bsystem\.(tables|columns|one|numbers)\b", sql
+            r"(?i)\bsystem\.(tables|columns|one|numbers|databases)\b", sql
         )
     }
     if "tables" in wanted:
@@ -846,12 +848,18 @@ def _materialize_system_tables(spark: SparkSession, sql: str) -> str:
         spark.sql("SELECT CAST(0 AS SMALLINT) AS dummy").createOrReplaceTempView(
             "system__one"
         )
+    if "databases" in wanted:
+        spark.createDataFrame(
+            [(db.name,) for db in spark.catalog.listDatabases()]
+            or [("default",)],
+            "name string",
+        ).createOrReplaceTempView("system__databases")
     if "numbers" in wanted:
         spark.range(1_000_000_000).selectExpr(
             "id AS number"
         ).createOrReplaceTempView("system__numbers")
     return re.sub(
-        r"(?i)\bsystem\.(tables|columns|one|numbers)\b",
+        r"(?i)\bsystem\.(tables|columns|one|numbers|databases)\b",
         lambda m: f"system__{m.group(1).lower()}",
         sql,
     )

@@ -425,3 +425,10 @@ def test_query_explain_and_use_routing(spark):
     assert syn["data"] == [{"explain": "SELECT count(DISTINCT id) FROM expl_t"}]
     assert api.query(spark, "EXPLAIN PIPELINE SELECT id FROM expl_t")["success"]
     assert api.query(spark, "USE default")["success"]
+
+
+def test_query_system_databases(spark):
+    from clickhouse_flatfile_tool_spark import api
+
+    r = api.query(spark, "SELECT name FROM system.databases")
+    assert r["success"] and {d["name"] for d in r["data"]} >= {"default"}
