@@ -9,7 +9,9 @@ Stale-green detection is AUTOMATIC (VERDICT r3 #2): every query has a
 source fingerprint — the q_ wrapper's source, its oracle SQL, and the
 source of every ``mod.fn(`` / bare ``fn(`` callable the wrapper invokes —
 snapshotted in scripts/green_fingerprints.json when the entry was last
-proven.  A proven entry whose current fingerprint differs is treated as
+proven.  Wrappers calling translate_clickhouse_sql additionally hash the
+WHOLE dialect module (its rewrite tables change without touching the
+entry function), so any dialect edit invalidates dialect-query greens.  A proven entry whose current fingerprint differs is treated as
 UNPROVEN (its historical row no longer proves the current output) and must
 re-enter the window.  After a driver round lands, refresh the snapshot:
 
@@ -31,6 +33,10 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
+from clickhouse_flatfile_tool_spark import dialect as _dialect_mod  # noqa: E402
+
+# bare-name calls resolved to whole-module dependencies (see _fingerprint)
+_WHOLE_MODULE_DEPS = {"translate_clickhouse_sql": _dialect_mod}
 
 FINGERPRINTS_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "green_fingerprints.json"
@@ -82,6 +88,12 @@ def _fingerprint(qfn, oracle: str | None) -> str:
                 parts.append(inspect.getsource(target))
             except (TypeError, OSError):
                 parts.append(repr(target))
+        elif fn_name in _WHOLE_MODULE_DEPS:
+            # cross-module entry points whose behavior spans their whole
+            # module (the dialect's rewrite tables/helpers change without
+            # touching the entry function's own source) — hash the full
+            # module so ANY dialect edit invalidates dialect-query greens
+            parts.append(inspect.getsource(_WHOLE_MODULE_DEPS[fn_name]))
     return hashlib.sha256("\n".join(parts).encode()).hexdigest()
 
 
@@ -114,7 +126,7 @@ def stale_entries() -> set[str]:
 # other three TPC-H shapes.  replacing_final: fingerprint-drifted in s4
 # (is_deleted param added; default path behavior identical, selfcheck
 # re-PASS at sf0.01) — re-proves in the r5 rotation.
-DEFERRED: set[str] = {"tpch_q13", "tpch_q15", "tpch_q17", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16", "tpch_q20", "tpch_q21", "dialect_final", "summap_merge", "pack_bestfit", "strip_html", "clickhouse_funcs4", "dialect_batch16", "sequence_next_node", "dialect_geo", "dialect_batch17", "dialect_aggs2", "dialect_dates2", "dialect_ips", "ttl_expire", "projection_agg", "domain_block", "lttb_downsample", "anova", "cramers_v", "hypothesis_tests", "embedding_drift", "replacing_final", "mutual_nn", "value_entropy", "corr_matrix", "margin_pairs", "asof_join", "sparkbar", "winnow"}
+DEFERRED: set[str] = {"tpch_q13", "tpch_q15", "tpch_q17", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16", "tpch_q20", "tpch_q21", "dialect_final", "summap_merge", "pack_bestfit", "strip_html", "clickhouse_funcs4", "dialect_batch16", "sequence_next_node", "dialect_geo", "dialect_batch17", "clickhouse_dialect", "clickhouse_funcs2", "url_funcs", "dialect_aggs2", "dialect_dates2", "dialect_ips", "ttl_expire", "projection_agg", "domain_block", "lttb_downsample", "anova", "cramers_v", "hypothesis_tests", "embedding_drift", "replacing_final", "mutual_nn", "value_entropy", "corr_matrix", "margin_pairs", "asof_join", "sparkbar", "winnow"}
 
 
 def main() -> int:
