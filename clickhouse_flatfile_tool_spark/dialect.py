@@ -3106,7 +3106,8 @@ def _rewrite_array_join_clause(chunk: str) -> str:
 
 _WITH_FILL_PAT = re.compile(
     r"ORDER\s+BY\s+([A-Za-z_]\w*)\s+WITH\s+FILL"
-    r"(?:\s+FROM\s+(\S+))?(?:\s+TO\s+(\S+))?(?:\s+STEP\s+(\S+))?\s*;?\s*$",
+    r"(?:\s+FROM\s+(\S+))?(?:\s+TO\s+(\S+))?(?:\s+STEP\s+(\S+))?"
+    r"(?:\s+INTERPOLATE\s*\(([^)]*)\))?\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -3128,7 +3129,7 @@ def _rewrite_with_fill(chunk: str) -> str:
     m = _WITH_FILL_PAT.search(chunk)
     if not m:
         return chunk
-    col, frm, to, step = m.groups()
+    col, frm, to, step, interp = m.groups()
     base = chunk[: m.start()].rstrip()
     step = step or "1"
     frm_e = frm or f"(SELECT min({col}) FROM __fill_base)"
@@ -3137,9 +3138,38 @@ def _rewrite_with_fill(chunk: str) -> str:
         f"(SELECT explode(sequence({frm_e}, greatest({to_e}, {frm_e}), {step})) "
         f"AS {col})"
     )
+    if not interp:
+        return (
+            f"WITH __fill_base AS ({base}) "
+            f"SELECT * FROM {seq} FULL JOIN __fill_base USING ({col}) "
+            f"ORDER BY {col}"
+        )
+    # INTERPOLATE (c1, c2, …): FILLED rows carry each listed column
+    # forward from the last ORIGINAL row (CH's no-expression form —
+    # original rows keep their own values, NULLs included; the
+    # expression form `c AS expr` iterates per filled row and is out of
+    # scope here, passing through for Spark to reject by syntax).
+    # Implementation: an __orig marker distinguishes filled rows, and
+    # last_value(ignoreNulls) over the raw column sees only original
+    # values, so consecutive fills all take the last original one.
+    # Interpolated columns move to the END of the row (the oracle
+    # compare is column-name keyed, CH keeps positions — documented).
+    cols = [c.strip() for c in interp.split(",") if c.strip()]
+    if any(not re.fullmatch(r"[A-Za-z_]\w*", c) for c in cols):
+        return chunk  # expression form: unsupported, leave untouched
+    carried = ", ".join(
+        f"CASE WHEN __orig THEN {c} ELSE last_value({c}, true) "
+        f"OVER __wfill END AS {c}"
+        for c in cols
+    )
     return (
-        f"WITH __fill_base AS ({base}) "
-        f"SELECT * FROM {seq} FULL JOIN __fill_base USING ({col}) "
+        f"WITH __fill_base AS (SELECT *, true AS __orig FROM ({base})), "
+        f"__filled AS (SELECT * FROM {seq} FULL JOIN __fill_base "
+        f"USING ({col})) "
+        f"SELECT * EXCEPT(__orig, {', '.join(cols)}), {carried} "
+        f"FROM __filled "
+        f"WINDOW __wfill AS (ORDER BY {col} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
         f"ORDER BY {col}"
     )
 

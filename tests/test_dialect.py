@@ -2096,3 +2096,28 @@ def test_limit_with_ties(spark):
     ).collect()
     assert [(r.id, r.w) for r in top] == [(5, 60)]
     assert tr("SELECT id FROM ties_t ORDER BY id LIMIT 2").endswith("LIMIT 2")
+
+
+def test_with_fill_interpolate(spark):
+    """WITH FILL INTERPOLATE (cols): filled rows carry the listed columns
+    forward from the last ORIGINAL row; fills before any original row
+    stay NULL; interpolated columns move to the row's end."""
+    spark.createDataFrame(
+        [(1, 10.0, "a"), (4, 40.0, "d"), (6, 60.0, "f")],
+        "t long, v double, s string",
+    ).createOrReplaceTempView("fill_i_t")
+    rows = spark.sql(
+        tr("SELECT t, v, s FROM fill_i_t ORDER BY t WITH FILL INTERPOLATE (v, s)")
+    ).collect()
+    assert [(r.t, r.v, r.s) for r in rows] == [
+        (1, 10.0, "a"), (2, 10.0, "a"), (3, 10.0, "a"),
+        (4, 40.0, "d"), (5, 40.0, "d"), (6, 60.0, "f"),
+    ]
+    head = spark.sql(
+        tr(
+            "SELECT t, v, s FROM fill_i_t ORDER BY t "
+            "WITH FILL FROM 0 TO 8 STEP 2 INTERPOLATE (v)"
+        )
+    ).collect()
+    assert (head[0].t, head[0].v) == (0, None)   # before any original row
+    assert (head[2].t, head[2].v) == (2, 10.0)   # carried from t=1
