@@ -515,6 +515,12 @@ def query(
         # through the matching reader and the statement points at it
         if re.search(r"(?i)\bfile\s*\(\s*'", sql):
             sql = _materialize_file_calls(spark, sql)
+        # generateRandom('schema'[, seed]) — CH's synthetic-data table
+        # function (the SQL-native analog of the reference's sample-data
+        # bootstrap): typed deterministic pseudo-random columns over a
+        # lazy range; like CH's, it is unbounded — callers LIMIT
+        if re.search(r"(?i)\bgenerateRandom\s*\(\s*'", sql):
+            sql = _materialize_generate_random(spark, sql)
         # merge('db', 'name_regex') — CH's union-of-matching-tables
         # function; '^t\\d+' style patterns union every catalog table
         # whose name matches (by name, missing columns NULL-filled)
@@ -756,6 +762,64 @@ def _materialize_file_calls(spark: SparkSession, sql: str) -> str:
                 "ORC, or JSONEachRow"
             )
         df.createOrReplaceTempView(name)
+        return name
+
+    return pat.sub(repl, sql)
+
+
+def _materialize_generate_random(spark: SparkSession, sql: str) -> str:
+    """``generateRandom('c1 Type1, c2 Type2'[, seed])`` → a lazy
+    10^9-row range with one deterministic pseudo-random column per
+    declared field: integers/floats from xxhash64(id, seed) (full-range,
+    reproducible), Strings as hex of the same hash, Date/DateTime spread
+    over ~8 years from the epoch of 2020-01-01.  Values are
+    engine-specific (CH seeds its own generator) — the contract is the
+    SCHEMA and determinism-under-seed, like CH's docs state."""
+    import hashlib as _hl
+
+    from clickhouse_flatfile_tool_spark.schema import clickhouse_to_spark
+
+    pat = re.compile(
+        r"(?i)\bgenerateRandom\s*\(\s*'([^']+)'\s*(?:,\s*(\d+)\s*)?\)"
+    )
+
+    def repl(m: re.Match) -> str:
+        schema_s, seed = m.group(1), int(m.group(2) or 0)
+        cols = []
+        for i, part in enumerate(p.strip() for p in schema_s.split(",")):
+            toks = part.split(None, 1)
+            if len(toks) != 2:
+                raise ValueError(
+                    f"generateRandom: cannot parse field {part!r}"
+                )
+            cname, ctype = toks[0].strip("`"), toks[1].strip()
+            dtype, _ = clickhouse_to_spark(ctype)
+            h = f"xxhash64(id, {seed}, {i})"
+            kind = dtype.simpleString()
+            if kind in ("tinyint", "smallint", "int", "bigint") or kind.startswith(
+                "decimal"
+            ):
+                expr = f"CAST({h} AS {kind.upper()})" if not kind.startswith(
+                    "decimal"
+                ) else f"CAST({h} % 1000000 AS {kind.upper()})"
+            elif kind in ("float", "double"):
+                expr = f"CAST(pmod({h}, 1000000) AS DOUBLE) / 1000.0"
+            elif kind == "date":
+                expr = f"date_add(DATE'2020-01-01', CAST(pmod({h}, 3000) AS INT))"
+            elif kind == "timestamp":
+                expr = (
+                    f"timestamp_seconds(unix_seconds("
+                    f"TIMESTAMP'2020-01-01 00:00:00') + pmod({h}, 250000000))"
+                )
+            else:
+                expr = f"hex({h})"
+            cols.append(f"{expr} AS `{cname}`")
+        name = "genrand__" + _hl.md5(
+            f"{schema_s}|{seed}".encode()
+        ).hexdigest()[:10]
+        spark.range(1_000_000_000).selectExpr(
+            *cols
+        ).createOrReplaceTempView(name)
         return name
 
     return pat.sub(repl, sql)

@@ -432,3 +432,23 @@ def test_query_system_databases(spark):
 
     r = api.query(spark, "SELECT name FROM system.databases")
     assert r["success"] and {d["name"] for d in r["data"]} >= {"default"}
+
+
+def test_query_generate_random(spark):
+    """generateRandom('schema'[, seed]): typed deterministic pseudo-random
+    columns; same seed → same rows, different seed → different rows."""
+    from clickhouse_flatfile_tool_spark import api
+
+    r = api.query(
+        spark,
+        "SELECT * FROM generateRandom("
+        "'id Int64, score Float64, name String, d Date', 7) LIMIT 3",
+    )
+    assert r["success"] and len(r["data"]) == 3
+    row = r["data"][0]
+    assert isinstance(row["id"], int) and isinstance(row["score"], float)
+    assert isinstance(row["name"], str)
+    a = api.query(spark, "SELECT id FROM generateRandom('id Int64', 7) LIMIT 2")
+    b = api.query(spark, "SELECT id FROM generateRandom('id Int64', 7) LIMIT 2")
+    c = api.query(spark, "SELECT id FROM generateRandom('id Int64', 8) LIMIT 2")
+    assert a["data"] == b["data"] and a["data"] != c["data"]
