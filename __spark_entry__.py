@@ -2587,6 +2587,21 @@ def q_dialect_batch16(spark, d):
     return spark.sql(translate_clickhouse_sql(ch_sql))
 
 
+def q_semantic_decon(spark, d):
+    """Embedding-space decontamination
+    (similarity.py::semantic_decontaminate): every 10th embedding plays
+    the benchmark, the rest are the corpus; a document is contaminated
+    when its MAX cosine against any benchmark vector reaches 0.9.  Plan:
+    broadcast(benchmark) x corpus, map-side max — the corpus never
+    shuffles.  Oracle: DuckDB cross join + unnest cosine + per-id max
+    (the _COSINE_ORACLE construction)."""
+    emb = _t(spark, d, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 10 == 0)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    out = similarity.semantic_decontaminate(corpus, bench, threshold=0.9)
+    return out.orderBy("vec_id")
+
+
 def q_dialect_batch17(spark, d):
     """Dialect batch 17 end-to-end: significant-subdomain rule
     (com|net|org|co → third-level label), netloc/basename/
@@ -4416,6 +4431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_next_node": q_sequence_next_node,
         "dialect_geo": q_dialect_geo,
         "dialect_batch17": q_dialect_batch17,
+        "semantic_decon": q_semantic_decon,
         "dialect_ips": q_dialect_ips,
         "dialect_aggs2": q_dialect_aggs2,
         "dialect_dates2": q_dialect_dates2,
@@ -6052,6 +6068,20 @@ FROM ranked WHERE rk <= 5
         ),
         "dialect_aggs2": 'SELECT event_type, round(sum(value), 6) AS sum_v, count(value) AS cnt_v, round((arg_max(value, event_id) - arg_min(value, event_id)) / (max(event_id) - min(event_id))::DOUBLE, 6) AS br, arg_max(user_id, event_id) FILTER (WHERE value > 2) AS amx, arg_min(user_id, event_id) FILTER (WHERE value > 2) AS amn FROM events GROUP BY event_type ORDER BY event_type',
         "dialect_dates2": 'SELECT event_id, (epoch_us(ts) // 1000000 // 300) * 300 AS b5, (epoch_us(ts) // 1000000 // 900) * 900 AS b15, (epoch_us(ts) // 1000000 // 1800) * 1800 AS slot, epoch_us(ts) // 1000000 // 3600 AS rh, epoch_us(ts) // 1000000 // 86400 AS rd, epoch_us(ts) // 1000 AS ms FROM events ORDER BY event_id',
+        "semantic_decon": (
+            "WITH b AS (SELECT vec_id AS bid, embedding AS be "
+            " FROM embeddings WHERE vec_id % 10 = 0), "
+            "c AS (SELECT vec_id AS cid, embedding AS ce "
+            " FROM embeddings WHERE vec_id % 10 <> 0), "
+            "u AS (SELECT cid, bid, unnest(ce)::DOUBLE AS x, "
+            " unnest(be)::DOUBLE AS y FROM c CROSS JOIN b), "
+            "cos AS (SELECT cid, bid, "
+            " sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cs "
+            " FROM u GROUP BY cid, bid), "
+            "mx AS (SELECT cid, max(cs) AS m FROM cos GROUP BY cid) "
+            "SELECT cid AS vec_id, round(m, 6) AS max_cos, "
+            "m >= 0.9 AS contaminated FROM mx ORDER BY vec_id"
+        ),
         "dialect_batch17": (
             "SELECT doc_id, "
             "lang AS fsd, "

@@ -1645,3 +1645,39 @@ def embedding_drift(
             "drift_cosine"
         ),
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    corpus_id: str = "vec_id",
+    bench_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination (the semantic complement of the
+    exact/Bloom/n-gram paths in :mod:`dedup`): flag every corpus document
+    whose MAX cosine against any benchmark vector reaches ``threshold`` —
+    near-verbatim eval leakage survives paraphrase, so token-level
+    decontamination misses it (Yang et al. 2023, "Rethinking Benchmark
+    and Contamination").  Returns (corpus_id, max_cos, contaminated).
+
+    Plan shape: broadcast(benchmark) ⋈ corpus — benchmarks are small
+    (eval suites, thousands of rows), the corpus NEVER shuffles and is
+    scanned exactly once; the per-document max is a map-side-combinable
+    aggregate on the corpus id.  At 100 TB this is a single pass."""
+    b = F.broadcast(
+        benchmark.select(
+            F.col(bench_id).alias("__bid"), F.col(vec_col).alias("__bv")
+        )
+    )
+    c = corpus.select(F.col(corpus_id).alias("__cid"), F.col(vec_col).alias("__cv"))
+    scored = c.crossJoin(b).select(
+        "__cid", cosine(F.col("__cv"), F.col("__bv")).alias("__cos")
+    )
+    agg = scored.groupBy("__cid").agg(F.max("__cos").alias("__mx"))
+    return agg.select(
+        F.col("__cid").alias(corpus_id),
+        F.round("__mx", 6).alias("max_cos"),
+        (F.col("__mx") >= F.lit(float(threshold))).alias("contaminated"),
+    )

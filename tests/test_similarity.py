@@ -569,3 +569,30 @@ def test_embedding_drift_identical_and_opposite(spark):
     got = {r.b: r.drift_cosine for r in embedding_drift(df, "b").collect()}
     assert got[0] is None
     assert got[1] == 1.0 and got[2] == -1.0
+
+
+def test_semantic_decontaminate_flags_and_scale_shape(spark):
+    """Hand-built vectors: a corpus doc equal to a benchmark vector flags
+    at threshold 0.95; an orthogonal one doesn't.  The plan broadcasts
+    the benchmark (no corpus shuffle before the aggregate)."""
+    from clickhouse_flatfile_tool_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [(1, [2.0, 0.0, 0.0]), (2, [0.0, 0.0, 3.0]), (3, [1.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: (r.max_cos, r.contaminated)
+        for r in semantic_decontaminate(corpus, bench, threshold=0.95).collect()
+    }
+    assert got[1] == (1.0, True)          # parallel to bench 100
+    assert got[2][1] is False             # orthogonal to both
+    assert abs(got[3][0] - 0.707107) < 1e-6 and got[3][1] is False
+    plan = semantic_decontaminate(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
