@@ -173,6 +173,12 @@ BENCH_QUERIES = [
     "cramers_v",
     "hypothesis_tests",
     "embedding_drift",
+    # r4 s5 additions
+    "semantic_decon",
+    "dialect_batch16",
+    "dialect_batch17",
+    "dialect_geo",
+    "sequence_next_node",
 ]
 
 
