@@ -447,6 +447,52 @@ def query(
         )
         if ct:
             return _create_table(spark, *ct.groups())
+        ctas = re.match(
+            r"(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+"
+            r"ENGINE\s*=\s*(\w+)\s*(?:\(([^)]*)\))?\s*"
+            r"(?:ORDER\s+BY\s+(\(?[\w\s,()]+?\)?)\s+)?"
+            r"AS\s+(SELECT\b.*|WITH\b.*)$",
+            sql,
+        )
+        if ctas:
+            # CTAS: columns come from the SELECT; the engine registers
+            # like the explicit-schema form
+            ine, name, engine, eargs, order, body = ctas.groups()
+            if spark.catalog.tableExists(name):
+                if ine:
+                    return {"success": True, "table": name, "created": False}
+                raise ValueError(f"table {name!r} already exists")
+            df = spark.sql(translate_clickhouse_sql(body, spark=spark))
+            df.createOrReplaceTempView(name)
+            from clickhouse_flatfile_tool_spark.operators.mergetree import (
+                _ENGINE_KINDS,
+                register_table_engine,
+            )
+
+            key_cols = [
+                c.strip()
+                for c in (order or "").strip().strip("()").split(",")
+                if c.strip() and c.strip() != "tuple"
+            ]
+            if engine in _ENGINE_KINDS or engine == "MergeTree":
+                ea = [
+                    a.strip() for a in (eargs or "").split(",") if a.strip()
+                ]
+                kw: dict = {}
+                if engine == "ReplacingMergeTree" and ea:
+                    kw["version_cols"] = ea
+                elif engine in (
+                    "CollapsingMergeTree", "VersionedCollapsingMergeTree"
+                ) and ea:
+                    kw["sign_col"] = ea[0]
+                    kw["version_cols"] = ea[1:]
+                elif engine == "SummingMergeTree":
+                    kw["sum_cols"] = ea
+                register_table_engine(name, engine, key_cols, **kw)
+            return {
+                "success": True, "table": name, "created": True,
+                "rows": df.count(),
+            }
         dt = re.match(
             r"(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", sql
         )

@@ -336,6 +336,16 @@ def main() -> None:
         )
 
     out["semantic_dedup"] = _time_pair(semdedup_op, sd1, sdk, k)
+
+    # semantic decontamination: the benchmark side is FIXED (eval suites
+    # don't grow with the corpus), so weak scaling over the corpus side
+    # is the claim — one broadcast pass, ratio ≈ K
+    bench = emb1.filter("vec_id % 10 = 0").localCheckpoint()
+
+    def decon_op(df):
+        return similarity.semantic_decontaminate(df, bench, threshold=0.9)
+
+    out["semantic_decon"] = _time_pair(decon_op, sd1, sdk, k)
     print(json.dumps({"k": k, "ops": out}))
 
 

@@ -452,3 +452,26 @@ def test_query_generate_random(spark):
     b = api.query(spark, "SELECT id FROM generateRandom('id Int64', 7) LIMIT 2")
     c = api.query(spark, "SELECT id FROM generateRandom('id Int64', 8) LIMIT 2")
     assert a["data"] == b["data"] and a["data"] != c["data"]
+
+
+def test_query_create_table_as_select(spark):
+    """CTAS: CREATE TABLE t ENGINE = X() [ORDER BY k] AS SELECT … — the
+    SELECT goes through the dialect, the engine registers, SHOW CREATE
+    reflects the derived schema."""
+    from clickhouse_flatfile_tool_spark import api
+
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string").createOrReplaceTempView(
+        "ctas_src_t"
+    )
+    r = api.query(
+        spark,
+        "CREATE TABLE ctas_tt ENGINE = MergeTree() ORDER BY id "
+        "AS SELECT id, upper(s) AS u FROM ctas_src_t",
+    )
+    assert r["success"] and r["created"] and r["rows"] == 2
+    assert api.query(spark, "SELECT * FROM ctas_tt ORDER BY id")["data"] == [
+        {"id": 1, "u": "A"}, {"id": 2, "u": "B"},
+    ]
+    stmt = api.query(spark, "SHOW CREATE TABLE ctas_tt")["data"][0]["statement"]
+    assert "`u` Nullable(String)" in stmt and "ORDER BY (id)" in stmt
+    assert api.query(spark, "DROP TABLE ctas_tt")["dropped"]
