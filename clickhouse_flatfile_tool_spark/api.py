@@ -308,6 +308,35 @@ def query(
             from clickhouse_flatfile_tool_spark.dialect import bind_parameters
 
             sql = bind_parameters(sql, params)
+        # Table-function materializers run FIRST so every later route
+        # (INSERT bodies, CTAS, INTO OUTFILE, plain SELECTs) sees the
+        # substituted view names.
+        # file('path'[, 'Format']) table function — THE flat-file idiom of
+        # the reference's domain: each call site materializes a temp view
+        # through the matching reader and the statement points at it
+        if re.search(r"(?i)\bfile\s*\(\s*'", sql):
+            sql = _materialize_file_calls(spark, sql)
+        # generateRandom('schema'[, seed]) — CH's synthetic-data table
+        # function (the SQL-native analog of the reference's sample-data
+        # bootstrap): typed deterministic pseudo-random columns over a
+        # lazy range; like CH's, it is unbounded — callers LIMIT
+        if re.search(r"(?i)\bgenerateRandom\s*\(\s*'", sql):
+            sql = _materialize_generate_random(spark, sql)
+        # merge('db', 'name_regex') — CH's union-of-matching-tables
+        # function; '^t\\d+' style patterns union every catalog table
+        # whose name matches (by name, missing columns NULL-filled)
+        if re.search(r"(?i)\bmerge\s*\(\s*'", sql):
+            sql = _materialize_merge_calls(spark, sql)
+        # system tables — ClickHouse clients introspect through SQL
+        # (``SELECT … FROM system.tables``), not a separate API.  The
+        # referenced ones materialize as session temp views from the
+        # Spark catalog (+ the engine registry for the ENGINE column)
+        # and the statement is pointed at them; system.numbers is a lazy
+        # 10^9-row range (CH's is infinite — both rely on LIMIT).
+        if re.search(
+            r"(?i)\bsystem\.(tables|columns|one|numbers|databases)\b", sql
+        ):
+            sql = _materialize_system_tables(spark, sql)
         # DDL routing — ClickHouse clients send everything through one
         # endpoint: ADD PROJECTION executes here (it only needs the
         # catalog); mutations/TTL need a storage path, so the error says
@@ -556,32 +585,6 @@ def query(
         sm = re.match(r"(?is)^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(\w+)\s*;?\s*$", sql)
         if sm:
             return columns(spark, "clickhouse", sm.group(1))
-        # file('path'[, 'Format']) table function — THE flat-file idiom of
-        # the reference's domain: each call site materializes a temp view
-        # through the matching reader and the statement points at it
-        if re.search(r"(?i)\bfile\s*\(\s*'", sql):
-            sql = _materialize_file_calls(spark, sql)
-        # generateRandom('schema'[, seed]) — CH's synthetic-data table
-        # function (the SQL-native analog of the reference's sample-data
-        # bootstrap): typed deterministic pseudo-random columns over a
-        # lazy range; like CH's, it is unbounded — callers LIMIT
-        if re.search(r"(?i)\bgenerateRandom\s*\(\s*'", sql):
-            sql = _materialize_generate_random(spark, sql)
-        # merge('db', 'name_regex') — CH's union-of-matching-tables
-        # function; '^t\\d+' style patterns union every catalog table
-        # whose name matches (by name, missing columns NULL-filled)
-        if re.search(r"(?i)\bmerge\s*\(\s*'", sql):
-            sql = _materialize_merge_calls(spark, sql)
-        # system tables — ClickHouse clients introspect through SQL
-        # (``SELECT … FROM system.tables``), not a separate API.  The
-        # referenced ones materialize as session temp views from the
-        # Spark catalog (+ the engine registry for the ENGINE column)
-        # and the statement is pointed at them; system.numbers is a lazy
-        # 10^9-row range (CH's is infinite — both rely on LIMIT).
-        if re.search(
-            r"(?i)\bsystem\.(tables|columns|one|numbers|databases)\b", sql
-        ):
-            sql = _materialize_system_tables(spark, sql)
         # optimize_use_projections: a plain grouped aggregate over a table
         # with a matching registered projection reads the cells, not the
         # scan (the rewrite ClickHouse's optimizer does per part)
@@ -1118,6 +1121,35 @@ def query_profile(
     try:
         if params:
             sql = bind_parameters(sql, params)
+        # Table-function materializers run FIRST so every later route
+        # (INSERT bodies, CTAS, INTO OUTFILE, plain SELECTs) sees the
+        # substituted view names.
+        # file('path'[, 'Format']) table function — THE flat-file idiom of
+        # the reference's domain: each call site materializes a temp view
+        # through the matching reader and the statement points at it
+        if re.search(r"(?i)\bfile\s*\(\s*'", sql):
+            sql = _materialize_file_calls(spark, sql)
+        # generateRandom('schema'[, seed]) — CH's synthetic-data table
+        # function (the SQL-native analog of the reference's sample-data
+        # bootstrap): typed deterministic pseudo-random columns over a
+        # lazy range; like CH's, it is unbounded — callers LIMIT
+        if re.search(r"(?i)\bgenerateRandom\s*\(\s*'", sql):
+            sql = _materialize_generate_random(spark, sql)
+        # merge('db', 'name_regex') — CH's union-of-matching-tables
+        # function; '^t\\d+' style patterns union every catalog table
+        # whose name matches (by name, missing columns NULL-filled)
+        if re.search(r"(?i)\bmerge\s*\(\s*'", sql):
+            sql = _materialize_merge_calls(spark, sql)
+        # system tables — ClickHouse clients introspect through SQL
+        # (``SELECT … FROM system.tables``), not a separate API.  The
+        # referenced ones materialize as session temp views from the
+        # Spark catalog (+ the engine registry for the ENGINE column)
+        # and the statement is pointed at them; system.numbers is a lazy
+        # 10^9-row range (CH's is infinite — both rely on LIMIT).
+        if re.search(
+            r"(?i)\bsystem\.(tables|columns|one|numbers|databases)\b", sql
+        ):
+            sql = _materialize_system_tables(spark, sql)
         translated = translate_clickhouse_sql(sql, spark=spark)
         df = spark.sql(translated)
         obs = Observation()

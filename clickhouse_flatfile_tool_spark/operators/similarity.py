@@ -1654,6 +1654,8 @@ def semantic_decontaminate(
     corpus_id: str = "vec_id",
     bench_id: str = "vec_id",
     vec_col: str = "embedding",
+    use_arrow: bool = True,
+    max_benchmark: int = 500_000,
 ) -> DataFrame:
     """Embedding-space decontamination (the semantic complement of the
     exact/Bloom/n-gram paths in :mod:`dedup`): flag every corpus document
@@ -1666,6 +1668,49 @@ def semantic_decontaminate(
     (eval suites, thousands of rows), the corpus NEVER shuffles and is
     scanned exactly once; the per-document max is a map-side-combinable
     aggregate on the corpus id.  At 100 TB this is a single pass."""
+    if use_arrow:
+        # Arrow GEMM path (the _directional_topk shape): the L2-normalized
+        # benchmark matrix ships once in the closure, each corpus
+        # partition is one float64 numpy GEMM + row max — ~10x the
+        # per-pair codegen fold at fixture scale, same doubles modulo
+        # summation order (both engines already differ there; round 6
+        # absorbs it, the cosine_topk oracle precedent).
+        b_rows = benchmark.select(
+            F.col(bench_id), F.col(vec_col)
+        ).limit(max_benchmark + 1).collect()
+        if len(b_rows) > max_benchmark:
+            raise ValueError(
+                f"semantic_decontaminate: benchmark exceeds {max_benchmark} "
+                "rows — eval suites are small by design; split the set"
+            )
+        bm = np.asarray([r[1] for r in b_rows], dtype=np.float64)
+        bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-30)
+        thr = float(threshold)
+        cid, vcol = corpus_id, vec_col
+
+        def score(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.asarray(list(pdf[vcol]), dtype=np.float64)
+                m /= np.maximum(
+                    np.linalg.norm(m, axis=1, keepdims=True), 1e-30
+                )
+                mx = (m @ bm.T).max(axis=1)
+                yield pd.DataFrame(
+                    {
+                        cid: pdf[cid].values,
+                        "max_cos": np.round(mx, 6),
+                        "contaminated": mx >= thr,
+                    }
+                )
+
+        id_t = dict(corpus.dtypes)[corpus_id]
+        return corpus.select(corpus_id, vec_col).mapInPandas(
+            score, f"{corpus_id} {id_t}, max_cos double, contaminated boolean"
+        )
     b = F.broadcast(
         benchmark.select(
             F.col(bench_id).alias("__bid"), F.col(vec_col).alias("__bv")

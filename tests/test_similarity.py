@@ -594,5 +594,11 @@ def test_semantic_decontaminate_flags_and_scale_shape(spark):
     assert got[1] == (1.0, True)          # parallel to bench 100
     assert got[2][1] is False             # orthogonal to both
     assert abs(got[3][0] - 0.707107) < 1e-6 and got[3][1] is False
-    plan = semantic_decontaminate(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    # the codegen-fold fallback computes identical rows (oracle twin),
+    # and its plan broadcasts the benchmark side
+    fold = semantic_decontaminate(corpus, bench, threshold=0.95, use_arrow=False)
+    assert {
+        r.vec_id: (r.max_cos, r.contaminated) for r in fold.collect()
+    } == got
+    plan = fold._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
