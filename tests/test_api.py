@@ -475,3 +475,48 @@ def test_query_create_table_as_select(spark):
     stmt = api.query(spark, "SHOW CREATE TABLE ctas_tt")["data"][0]["statement"]
     assert "`u` Nullable(String)" in stmt and "ORDER BY (id)" in stmt
     assert api.query(spark, "DROP TABLE ctas_tt")["dropped"]
+
+
+def test_sql_endpoint_full_lifecycle(spark, tmp_path):
+    """The reference user's full day through ONE SQL endpoint: CREATE a
+    MergeTree table, INSERT literals, bulk-ingest a flat file via
+    INSERT-SELECT-from-file(), join it in CH dialect, export with INTO
+    OUTFILE, read the export back with file(), introspect with
+    system.columns/SHOW CREATE, and DROP."""
+    from clickhouse_flatfile_tool_spark import api
+
+    q = lambda s: api.query(spark, s)  # noqa: E731
+    csv = tmp_path / "orders.csv"
+    csv.write_text("uid,amount\n1,10\n2,20\n1,5\n")
+    assert q(
+        "CREATE TABLE lc_users (uid Int64, name String) "
+        "ENGINE = MergeTree() ORDER BY uid"
+    )["created"]
+    assert q("INSERT INTO lc_users VALUES (1, 'alice'), (2, 'bob')")["inserted"] == 2
+    assert q(
+        "CREATE TABLE lc_orders ENGINE = MergeTree() ORDER BY uid AS "
+        f"SELECT toInt64(uid) AS uid, toFloat64(amount) AS amount "
+        f"FROM file('{csv}', 'CSVWithNames')"
+    )["rows"] == 3
+    joined = q(
+        "SELECT u.name, sumIf(o.amount, o.amount > 6) AS big_total, "
+        "uniqExact(o.amount) AS n "
+        "FROM lc_users u JOIN lc_orders o ON u.uid = o.uid "
+        "GROUP BY u.name ORDER BY u.name"
+    )
+    assert joined["data"] == [
+        {"name": "alice", "big_total": 10.0, "n": 2},
+        {"name": "bob", "big_total": 20.0, "n": 1},
+    ]
+    out = tmp_path / "report.csv"
+    assert q(
+        "SELECT u.name, count() AS orders FROM lc_users u "
+        "JOIN lc_orders o ON u.uid = o.uid GROUP BY u.name "
+        f"ORDER BY u.name INTO OUTFILE '{out}'"
+    )["rows"] == 2
+    back = q(f"SELECT count() AS n FROM file('{out}', 'CSVWithNames')")
+    assert back["data"] == [{"n": 2}]
+    cols = q("SELECT name, type FROM system.columns WHERE table = 'lc_orders' ORDER BY name")
+    assert {c["name"] for c in cols["data"]} == {"uid", "amount"}
+    assert "MergeTree" in q("SHOW CREATE TABLE lc_users")["data"][0]["statement"]
+    assert q("DROP TABLE lc_users")["dropped"] and q("DROP TABLE lc_orders")["dropped"]
