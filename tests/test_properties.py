@@ -443,8 +443,18 @@ def ch_expression(draw, depth=0):
     atoms = ["x", "y", "7", "1.5", "NULL"]
     if depth >= 3:
         return draw(st.sampled_from(atoms))
-    kind = draw(st.integers(0, 31))
+    kind = draw(st.integers(0, 35))
     sub = lambda: draw(ch_expression(depth=depth + 1))  # noqa: E731
+    if kind == 32:
+        return f"gcd(toInt64({sub()}), {draw(st.integers(0, 24))})"
+    if kind == 33:
+        return f"lcm(toInt64({sub()}), {draw(st.integers(1, 6))})"
+    if kind == 34:
+        return f"toDaysSinceYearZero(makeDate(2020, 1, {draw(st.integers(1, 28))}))"
+    if kind == 35:
+        return (
+            f"length(regexpQuoteMeta(toString({sub()})))"
+        )
     if kind == 28:
         return f"arraySum(arrayFill(v -> v != 0, [toInt64({sub()}), 0, 3]))"
     if kind == 29:
