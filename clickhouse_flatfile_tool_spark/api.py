@@ -374,6 +374,20 @@ def query(
             if not existed and not dm.group(1):
                 raise ValueError(f"view {dm.group(2)!r} does not exist")
             return {"success": True, "view": dm.group(2), "dropped": existed}
+        opt = re.match(
+            r"(?is)^\s*OPTIMIZE\s+TABLE\s+(\w+)\s+FINAL\s*;?\s*$", sql
+        )
+        if opt and opt.group(1).lower() in mergetree._ENGINE_REGISTRY:
+            # registered-engine SESSION tables merge in place: the view
+            # re-registers as its post-merge state, so subsequent plain
+            # SELECTs (no FINAL) read merged rows — exactly what CH's
+            # unscheduled merge does.  Storage-backed tables still go
+            # through api.mutate below.
+            t = opt.group(1)
+            merged = mergetree.final_read(spark, t)
+            n = merged.count()
+            merged.createOrReplaceTempView(t)
+            return {"success": True, "table": t, "rows_after_merge": n}
         if re.search(
             r"(?is)^\s*(ALTER\s+TABLE\s+\S+\s+(UPDATE|DELETE|MODIFY\s+TTL)"
             r"|OPTIMIZE\s+TABLE)\b",

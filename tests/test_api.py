@@ -520,3 +520,26 @@ def test_sql_endpoint_full_lifecycle(spark, tmp_path):
     assert {c["name"] for c in cols["data"]} == {"uid", "amount"}
     assert "MergeTree" in q("SHOW CREATE TABLE lc_users")["data"][0]["statement"]
     assert q("DROP TABLE lc_users")["dropped"] and q("DROP TABLE lc_orders")["dropped"]
+
+
+def test_query_optimize_final_session_table(spark):
+    """OPTIMIZE TABLE t FINAL on a registered-engine SESSION table merges
+    in place (plain SELECTs then read merged rows); unregistered tables
+    keep the api.mutate redirect."""
+    from clickhouse_flatfile_tool_spark import api
+
+    q = lambda s: api.query(spark, s)  # noqa: E731
+    q(
+        "CREATE TABLE optf_t (id Int64, v Float64, ver UInt32) "
+        "ENGINE = ReplacingMergeTree(ver) ORDER BY id"
+    )
+    q("INSERT INTO optf_t VALUES (1, 10.0, 1), (1, 20.0, 2), (2, 5.0, 1)")
+    assert q("SELECT count() AS n FROM optf_t")["data"] == [{"n": 3}]
+    r = q("OPTIMIZE TABLE optf_t FINAL")
+    assert r["success"] and r["rows_after_merge"] == 2
+    assert q("SELECT id, v FROM optf_t ORDER BY id")["data"] == [
+        {"id": 1, "v": 20.0}, {"id": 2, "v": 5.0},
+    ]
+    q("DROP TABLE optf_t")
+    spark.createDataFrame([(1,)], "id long").createOrReplaceTempView("optf_u")
+    assert not q("OPTIMIZE TABLE optf_u FINAL")["success"]
