@@ -1197,6 +1197,7 @@ def _rewrite_curried_quantiles(chunk: str) -> str:
     gk = re.compile(
         r"\b(quantilesGK|quantileGK|groupConcat|groupArraySorted"
         r"|topKWeighted|topK|meanZTest"
+        r"|quantilesExactLow|quantilesExactHigh"
         r"|quantileExactLow|quantileExactHigh)\("
     )
     m = gk.search(chunk)
@@ -1210,17 +1211,35 @@ def _rewrite_curried_quantiles(chunk: str) -> str:
         arg = chunk[p_end + 1 : x_end - 1]
         if m.group(1) == "groupConcat":
             repl = f"listagg({arg}, {head[0]})" if len(head) == 1 else None
-        elif m.group(1) in ("quantileExactLow", "quantileExactHigh"):
+        elif m.group(1) in (
+            "quantileExactLow", "quantileExactHigh",
+            "quantilesExactLow", "quantilesExactHigh",
+        ):
             # nearest-rank exact quantiles: sorted[⌊p·(n−1)⌋ + 1] (Low)
             # or ⌈…⌉ (High), 1-based — the lower/upper median convention.
-            # Collected-group exactness, the topK stance.
-            if len(head) == 1 and len(_split_top_comma(arg)) == 1:
+            # Collected-group exactness, the topK stance.  The plural
+            # forms return one value per requested level, in order.
+            plural = m.group(1).startswith("quantiles")
+            if (plural or len(head) == 1) and len(
+                _split_top_comma(arg)
+            ) == 1:
                 rnd = "floor" if m.group(1).endswith("Low") else "ceil"
+                pick = (
+                    f"element_at(__l, CAST({rnd}(__p * (size(__l) - 1)) "
+                    f"AS INT) + 1)"
+                )
+                if plural:
+                    levels = ", ".join(
+                        f"CAST({h} AS DOUBLE)" for h in head
+                    )
+                    body = (
+                        f"transform(array({levels}), __p -> {pick})"
+                    )
+                else:
+                    body = pick.replace("__p", f"(CAST({head[0]} AS DOUBLE))")
                 repl = (
                     f"element_at(transform(array(array_sort("
-                    f"collect_list({arg}))), __l -> element_at(__l, "
-                    f"CAST({rnd}(({head[0]}) * (size(__l) - 1)) AS INT) "
-                    f"+ 1)), 1)"
+                    f"collect_list({arg}))), __l -> {body}), 1)"
                 )
             else:
                 repl = None
@@ -4011,6 +4030,28 @@ def _rewrite_batch16_calls(chunk: str) -> str:
         )
 
     chunk = _rewrite_call(chunk, "queryStringAndFragment", qsf_make)
+
+    def partial_sort_make(desc):
+        # arrayPartialSort(limit, arr): first `limit` elements sorted,
+        # remainder in UNSPECIFIED order (CH docs) — a full sort is a
+        # valid (and deterministic) refinement
+        def make(args):
+            if len(args) != 2:
+                return None
+            n, a = args
+            if desc:
+                return (
+                    f"array_sort({a}, (__x, __y) -> CASE WHEN __x > __y "
+                    f"THEN -1 WHEN __x < __y THEN 1 ELSE 0 END)"
+                )
+            return f"array_sort({a})"
+
+        return make
+
+    chunk = _rewrite_call(
+        chunk, "arrayPartialReverseSort", partial_sort_make(True)
+    )
+    chunk = _rewrite_call(chunk, "arrayPartialSort", partial_sort_make(False))
     return chunk
 
 

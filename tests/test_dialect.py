@@ -2121,3 +2121,26 @@ def test_with_fill_interpolate(spark):
     ).collect()
     assert (head[0].t, head[0].v) == (0, None)   # before any original row
     assert (head[2].t, head[2].v) == (2, 10.0)   # carried from t=1
+
+
+def test_quantiles_exact_plural_and_partial_sort(spark):
+    """quantilesExactLow/High plural forms return one nearest-rank value
+    per level; arrayPartialSort's full sort is a valid refinement of
+    CH's 'remainder unspecified' contract."""
+    spark.sql("SELECT explode(array(1, 2, 3, 4, 5)) AS x").createOrReplaceTempView(
+        "qplural_t"
+    )
+    r = spark.sql(
+        tr(
+            "SELECT quantilesExactLow(0.25, 0.5, 0.75)(x) AS lo, "
+            "quantilesExactHigh(0.5)(x) AS hi FROM qplural_t"
+        )
+    ).first()
+    assert r.lo == [2, 3, 4] and r.hi == [3]
+    p = spark.sql(
+        tr(
+            "SELECT arrayPartialSort(2, [5, 1, 4, 2]) AS a, "
+            "arrayPartialReverseSort(2, [5, 1, 4, 2]) AS b"
+        )
+    ).first()
+    assert p.a == [1, 2, 4, 5] and p.b == [5, 4, 2, 1]
