@@ -891,6 +891,63 @@ def _rewrite_literal_aware(chunk: str, literals: list[str]) -> str:
 _SEQ_PATTERN = re.compile(r"\(\?(\d+)\)(?:\.\*\(\?(\d+)\))*")
 
 
+def _rewrite_any_join(chunk: str, spark) -> str:
+    """``ANY [LEFT|INNER] JOIN t [alias] ON <equi-cond>`` — ClickHouse's
+    first-match-only strictness: at most ONE right row joins per key, so
+    the left side never fans out on duplicate right keys.  The right
+    side collapses to one row per key BEFORE the join (row_number = 1
+    over the ON keys), the same reduce-then-join shape as
+    ``relational.any_join``.  CH picks an arbitrary matching row;
+    this picks a DETERMINISTIC one (min over all right columns — needs
+    the table's schema, hence the SparkSession; without one, or for
+    non-equi/complex conditions, the statement passes through untouched
+    and Spark errors by name).  Right tables with unorderable columns
+    (maps) fail at analysis."""
+    if spark is None:
+        return chunk
+    pat = re.compile(r"\bANY\s+(LEFT\s+|INNER\s+)?JOIN\b", re.IGNORECASE)
+    m = pat.search(chunk)
+    while m:
+        tm = _ASOF_TABLE_PAT.match(chunk, m.end())
+        if not tm:
+            return chunk
+        table = tm.group(1)
+        alias = tm.group(2) or tm.group(3) or table
+        cond_end = _asof_condition_span(chunk, tm.end())
+        cond = chunk[tm.end() : cond_end]
+        keys: list[str] | None = []
+        for part in re.split(r"(?i)\bAND\b", cond):
+            mm = re.match(r"\s*([\w.]+)\s*=\s*([\w.]+)\s*$", part)
+            if not mm:
+                keys = None
+                break
+            a, b = mm.groups()
+            if a.startswith(alias + "."):
+                keys.append(a.split(".", 1)[1])
+            elif b.startswith(alias + "."):
+                keys.append(b.split(".", 1)[1])
+            else:
+                keys = None
+                break
+        if not keys:
+            return chunk
+        try:
+            cols = spark.table(table).columns
+        except Exception:  # noqa: BLE001 — unknown table: let Spark error
+            return chunk
+        sub = (
+            f"(SELECT {', '.join(cols)} FROM (SELECT *, ROW_NUMBER() "
+            f"OVER (PARTITION BY {', '.join(keys)} "
+            f"ORDER BY {', '.join(cols)}) AS __rn1 FROM {table}) "
+            f"WHERE __rn1 = 1) AS {alias}"
+        )
+        kind = (m.group(1) or "INNER ").upper().strip()
+        repl = f"{kind} JOIN {sub} ON"
+        chunk = chunk[: m.start()] + repl + chunk[tm.end() :]
+        m = pat.search(chunk, m.start() + len(repl))
+    return chunk
+
+
 def _rewrite_scalar_with(chunk: str) -> str:
     """ClickHouse's scalar WITH — ``WITH <expr> AS <ident>, … SELECT …``
     (note the REVERSED order vs a CTE: the alias comes last) — has no
@@ -4098,6 +4155,7 @@ def translate_clickhouse_sql(sql: str, spark=None) -> str:
     chunk = _rewrite_clauses(chunk)
     chunk = _rewrite_with_fill(chunk)
     chunk = _rewrite_asof_join(chunk)
+    chunk = _rewrite_any_join(chunk, spark)
     chunk = _rewrite_int_div(chunk)
     chunk = _rewrite_if_combinators(chunk)
     chunk = _rewrite_lambda_array_fns(chunk)

@@ -2144,3 +2144,34 @@ def test_quantiles_exact_plural_and_partial_sort(spark):
         )
     ).first()
     assert p.a == [1, 2, 4, 5] and p.b == [5, 4, 2, 1]
+
+
+def test_any_join_sql_form(spark):
+    """ANY [LEFT|INNER] JOIN: the right side collapses to ONE
+    deterministic row per ON key before the join (min over all right
+    columns), so the left never fans out; schema-free translation
+    passes through."""
+    spark.createDataFrame([(1,), (2,), (3,)], "uid long").createOrReplaceTempView(
+        "anyj_u"
+    )
+    spark.createDataFrame(
+        [(1, 10.0), (1, 99.0), (2, 20.0)], "uid long, amt double"
+    ).createOrReplaceTempView("anyj_o")
+    left = spark.sql(
+        tr(
+            "SELECT u.uid, o.amt FROM anyj_u u ANY LEFT JOIN anyj_o o "
+            "ON u.uid = o.uid ORDER BY u.uid",
+            spark=spark,
+        )
+    ).collect()
+    assert [(r.uid, r.amt) for r in left] == [(1, 10.0), (2, 20.0), (3, None)]
+    inner = spark.sql(
+        tr(
+            "SELECT u.uid, o.amt FROM anyj_u u ANY JOIN anyj_o o "
+            "ON u.uid = o.uid ORDER BY u.uid",
+            spark=spark,
+        )
+    ).collect()
+    assert [(r.uid, r.amt) for r in inner] == [(1, 10.0), (2, 20.0)]
+    # schema-free translation: keyword passes through untouched
+    assert "ANY" in tr("SELECT 1 FROM a ANY LEFT JOIN b ON a.x = b.x")
