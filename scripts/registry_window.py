@@ -115,17 +115,18 @@ def stale_entries() -> set[str]:
     drifted = {n for n, fp in cur.items() if n in recorded and recorded[n] != fp}
     return drifted | CHANGED_SINCE_GREEN
 
-# Entries deliberately parked past the window edge (more entries needing
-# rows than the driver checks per round).  The round-4 session added more
-# unproven entries than the window holds — three wait for round 5:
-# tpch_q13/tpch_q15/tpch_q17, the lowest-risk of the new batch (classic
-# shapes, all selfcheck-PASS at sf0.01 AND sf0.1) — the mutation and
-# image-dedup families and stale clickhouse_dates outrank them for
-# window slots.  Session 4 completed the TPC-H suite (q2/q9/q11/q16/
-# q20/q21, all selfcheck-PASS at sf0.01 AND sf0.1) — deferred with the
-# other three TPC-H shapes.  replacing_final: fingerprint-drifted in s4
-# (is_deleted param added; default path behavior identical, selfcheck
-# re-PASS at sf0.01) — re-proves in the r5 rotation.
+# Entries deliberately parked past the window edge (more unproven entries
+# than the 50 driver slots).  Composition of the round-5 backlog:
+#   * 9 TPC-H shapes (q2/q9/q11/q13/q15/q16/q17/q20/q21) — classic plans,
+#     all selfcheck-PASS at sf0.01 (most also at sf0.1)
+#   * the session-4/5 dialect + endpoint additions (dialect_batch16/17,
+#     dialect_geo, sequence_next_node, semantic_decon, …)
+#   * dialect-dependent greens the session-5 fingerprint extension
+#     re-flagged as stale (clickhouse_dialect/clickhouse_funcs2/url_funcs
+#     — r1 rows, the dialect changed; all selfcheck re-PASS now)
+#   * fingerprint-drifted singles (asof_join, replacing_final, …)
+# Every name here passes scripts/selfcheck.py locally; the r5 window
+# rotation turns them driver-proven.
 DEFERRED: set[str] = {"tpch_q13", "tpch_q15", "tpch_q17", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16", "tpch_q20", "tpch_q21", "dialect_final", "summap_merge", "pack_bestfit", "strip_html", "clickhouse_funcs4", "dialect_batch16", "sequence_next_node", "dialect_geo", "dialect_batch17", "semantic_decon", "clickhouse_dialect", "clickhouse_funcs2", "url_funcs", "dialect_aggs2", "dialect_dates2", "dialect_ips", "ttl_expire", "projection_agg", "domain_block", "lttb_downsample", "anova", "cramers_v", "hypothesis_tests", "embedding_drift", "replacing_final", "mutual_nn", "value_entropy", "corr_matrix", "margin_pairs", "asof_join", "sparkbar", "winnow"}
 
 
