@@ -783,3 +783,58 @@ def test_sequence_next_node_matches_python_model(spark, evs):
     for u, seq in per_user.items():
         for mode in calls:
             assert got[u][mode] == model(seq, mode), (u, seq, mode)
+
+
+@given(
+    st.text(alphabet="abcxyz /?.", min_size=0, max_size=20),
+    st.text(alphabet="abcxyz", min_size=0, max_size=6),
+)
+@settings(**SETTINGS)
+def test_string_rewrites_match_python_models(spark, s, needle):
+    """stringJaccardIndex / multiSearchAllPositions / basename vs direct
+    Python models over random low-alphabet strings."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql as tr
+
+    esc = s.replace("'", "''")
+    nesc = needle.replace("'", "''")
+    row = spark.sql(
+        tr(
+            f"SELECT round(stringJaccardIndex('{esc}', 'abc'), 9) AS j, "
+            f"multiSearchAllPositions('{esc}', ['{nesc}', 'zz']) AS p, "
+            f"basename('{esc}') AS b"
+        )
+    ).first()
+    sa, sb = set(s), set("abc")
+    want_j = 1.0 if not (sa | sb) else len(sa & sb) / len(sa | sb)
+    assert abs(row.j - round(want_j, 9)) < 1e-9
+    want_pos = [
+        (s.find(needle) + 1) if needle else 1,  # instr('', '') convention
+        (s.find("zz") + 1),
+    ]
+    # Spark instr(x, '') returns 1 like ClickHouse position
+    got = list(row.p)
+    assert got[1] == max(want_pos[1], 0)
+    if needle:
+        assert got[0] == max(s.find(needle) + 1, 0)
+    assert row.b == (s.rsplit("/", 1)[-1] if "/" in s else s)
+
+
+@given(st.lists(st.integers(0, 5), min_size=1, max_size=10), st.integers(1, 4))
+@settings(**SETTINGS)
+def test_limit_with_ties_matches_python_model(spark, vals, n):
+    """LIMIT n WITH TIES returns exactly the rows whose value ties into
+    the first n of the sorted order."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql as tr
+
+    spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    ).createOrReplaceTempView("ties_prop_t")
+    got = sorted(
+        (r.id, r.v)
+        for r in spark.sql(
+            tr(f"SELECT id, v FROM ties_prop_t ORDER BY v LIMIT {n} WITH TIES")
+        ).collect()
+    )
+    cut = sorted(vals)[min(n, len(vals)) - 1]
+    want = sorted((i, v) for i, v in enumerate(vals) if v <= cut)
+    assert got == want
