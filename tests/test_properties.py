@@ -838,3 +838,37 @@ def test_limit_with_ties_matches_python_model(spark, vals, n):
     cut = sorted(vals)[min(n, len(vals)) - 1]
     want = sorted((i, v) for i, v in enumerate(vals) if v <= cut)
     assert got == want
+
+
+@given(
+    st.lists(st.text(alphabet="abz1", min_size=1, max_size=4), min_size=0, max_size=4),
+    st.booleans(),
+)
+@settings(**SETTINGS)
+def test_url_hierarchy_matches_python_model(spark, segs, with_query):
+    """URLHierarchy vs a direct Python model: progressive prefixes cut
+    after every / (and ?) past the host, over random path segments."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql as tr
+
+    url = "https://ex.com/" + "/".join(segs)
+    if with_query:
+        url += "?q=1"
+    row = spark.sql(tr(f"SELECT URLHierarchy('{url}') AS h")).first()
+
+    prefix = "https://ex.com"
+    rest = url[len(prefix):]
+    # split keeping each / or ? attached to the END of its piece
+    pieces, cur = [], ""
+    for ch in rest:
+        cur += ch
+        if ch in "/?":
+            pieces.append(cur)
+            cur = ""
+    if cur:
+        pieces.append(cur)
+    want = (
+        [prefix + "".join(pieces[: i + 1]) for i in range(len(pieces))]
+        if pieces
+        else [prefix]
+    )
+    assert list(row.h) == want
