@@ -2587,6 +2587,46 @@ def q_dialect_batch16(spark, d):
     return spark.sql(translate_clickhouse_sql(ch_sql))
 
 
+def q_knn_accuracy(spark, d):
+    """Leave-one-out 1-NN label accuracy — the standard embedding-quality
+    probe (does nearest-neighbor structure respect labels?): each
+    vector's single nearest neighbor (exact cosine, self excluded,
+    deterministic cos-DESC/id-ASC tie rule) votes its label; per-label
+    accuracy = fraction of agreeing votes.  Built from cosine_topk(k=1)
+    + two label joins + one grouped avg.  Oracle: the _COSINE_ORACLE
+    pairwise construction at rk = 1 with the same tie rule."""
+    emb = _t(spark, d, "embeddings")
+    nn = similarity.cosine_topk(emb, emb, k=1)
+    labels = emb.select("vec_id", "label")
+    j = (
+        nn.join(
+            labels.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("q_label"),
+            ),
+            "query_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("n_label"),
+            ),
+            "neighbor_id",
+        )
+    )
+    return (
+        j.groupBy("q_label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.avg((F.col("q_label") == F.col("n_label")).cast("double")),
+                6,
+            ).alias("acc"),
+        )
+        .orderBy("q_label")
+    )
+
+
 def q_semantic_decon(spark, d):
     """Embedding-space decontamination
     (similarity.py::semantic_decontaminate): every 10th embedding plays
@@ -4432,6 +4472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dialect_geo": q_dialect_geo,
         "dialect_batch17": q_dialect_batch17,
         "semantic_decon": q_semantic_decon,
+        "knn_accuracy": q_knn_accuracy,
         "dialect_ips": q_dialect_ips,
         "dialect_aggs2": q_dialect_aggs2,
         "dialect_dates2": q_dialect_dates2,
@@ -6068,6 +6109,22 @@ FROM ranked WHERE rk <= 5
         ),
         "dialect_aggs2": 'SELECT event_type, round(sum(value), 6) AS sum_v, count(value) AS cnt_v, round((arg_max(value, event_id) - arg_min(value, event_id)) / (max(event_id) - min(event_id))::DOUBLE, 6) AS br, arg_max(user_id, event_id) FILTER (WHERE value > 2) AS amx, arg_min(user_id, event_id) FILTER (WHERE value > 2) AS amn FROM events GROUP BY event_type ORDER BY event_type',
         "dialect_dates2": 'SELECT event_id, (epoch_us(ts) // 1000000 // 300) * 300 AS b5, (epoch_us(ts) // 1000000 // 900) * 900 AS b15, (epoch_us(ts) // 1000000 // 1800) * 1800 AS slot, epoch_us(ts) // 1000000 // 3600 AS rh, epoch_us(ts) // 1000000 // 86400 AS rd, epoch_us(ts) // 1000 AS ms FROM events ORDER BY event_id',
+        "knn_accuracy": (
+            "WITH pairs AS (SELECT q.vec_id AS qid, q.label AS ql, "
+            " c.vec_id AS nid, c.label AS nl, q.embedding AS qe, "
+            " c.embedding AS ce FROM embeddings q CROSS JOIN embeddings c "
+            " WHERE q.vec_id <> c.vec_id), "
+            "u AS (SELECT qid, ql, nid, nl, unnest(qe)::DOUBLE AS x, "
+            " unnest(ce)::DOUBLE AS y FROM pairs), "
+            "cos AS (SELECT qid, ql, nid, nl, "
+            " sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS c "
+            " FROM u GROUP BY qid, ql, nid, nl), "
+            "nn AS (SELECT qid, ql, nl, row_number() OVER ("
+            " PARTITION BY qid ORDER BY c DESC, nid) AS rk FROM cos) "
+            "SELECT ql AS q_label, count(*) AS n, "
+            "round(avg(CASE WHEN ql = nl THEN 1.0 ELSE 0.0 END), 6) AS acc "
+            "FROM nn WHERE rk = 1 GROUP BY ql ORDER BY ql"
+        ),
         "semantic_decon": (
             "WITH b AS (SELECT vec_id AS bid, embedding AS be "
             " FROM embeddings WHERE vec_id % 10 = 0), "
