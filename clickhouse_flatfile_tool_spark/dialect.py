@@ -948,6 +948,91 @@ def _rewrite_any_join(chunk: str, spark) -> str:
     return chunk
 
 
+def _rewrite_where_aliases(chunk: str) -> str:
+    """ClickHouse lets WHERE reference SELECT-list aliases (`SELECT x + 1
+    AS y … WHERE y > 0`) — aliases substitute everywhere in CH's
+    analyzer; Spark's WHERE resolves against the FROM relation only.
+    Statement-level repair: each top-level `expr AS alias` from the
+    SELECT list substitutes as `(expr)` inside the top-level WHERE
+    clause (only there — Spark itself resolves aliases in GROUP BY and
+    ORDER BY).  Matches CH's alias-shadows-column semantics; plain
+    column passthroughs (`col AS alias`) substitute harmlessly."""
+    sm = re.match(r"(?is)^(\s*SELECT\s+)(.*)$", chunk)
+    if not sm:
+        return chunk
+    # find the top-level FROM that ends the select list
+    body = sm.group(2)
+    depth = 0
+    from_at = None
+    i = 0
+    while i < len(body):
+        ch = body[i]
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0 and body[i : i + 4].upper() == "FROM" and (
+            i == 0 or not (body[i - 1].isalnum() or body[i - 1] == "_")
+        ) and (
+            i + 4 == len(body)
+            or not (body[i + 4].isalnum() or body[i + 4] == "_")
+        ):
+            from_at = i
+            break
+        i += 1
+    if from_at is None:
+        return chunk
+    aliases = []
+    for item in _split_top_comma(body[:from_at]):
+        im = re.match(r"(?is)^(.+?)\s+AS\s+(\w+)\s*$", item.strip())
+        if im and not re.fullmatch(r"(?is)\w+", im.group(1).strip()):
+            aliases.append((im.group(1).strip(), im.group(2)))
+    if not aliases:
+        return chunk
+    # top-level WHERE span within the rest of the statement
+    rest = body[from_at:]
+    wm = None
+    depth = 0
+    for j in range(len(rest)):
+        ch = rest[j]
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0 and rest[j : j + 5].upper() == "WHERE" and (
+            j == 0 or not (rest[j - 1].isalnum() or rest[j - 1] == "_")
+        ):
+            wm = j
+            break
+    if wm is None:
+        return chunk
+    w_end = len(rest)
+    depth = 0
+    k = wm + 5
+    while k < len(rest):
+        ch = rest[k]
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0 and re.match(
+            r"(?i)(GROUP|ORDER|LIMIT|HAVING|WINDOW|UNION|SETTINGS|FORMAT"
+            r"|INTO)\b",
+            rest[k:],
+        ) and not (rest[k - 1].isalnum() or rest[k - 1] == "_"):
+            w_end = k
+            break
+        k += 1
+    where = rest[wm:w_end]
+    for expr, alias in aliases:
+        where = re.sub(
+            r"\b" + re.escape(alias) + r"\b",
+            lambda _m, e=expr: f"({e})",
+            where,
+        )
+    return sm.group(1) + body[:from_at] + rest[:wm] + where + rest[w_end:]
+
+
 def _rewrite_scalar_with(chunk: str) -> str:
     """ClickHouse's scalar WITH — ``WITH <expr> AS <ident>, … SELECT …``
     (note the REVERSED order vs a CTE: the alias comes last) — has no
@@ -4113,6 +4198,32 @@ def _rewrite_batch16_calls(chunk: str) -> str:
 
 
 def translate_clickhouse_sql(sql: str, spark=None) -> str:
+    """See :func:`_translate_once` for the rewrite pipeline.  With a
+    SparkSession, one extra repair pass runs on ANALYSIS FAILURE only:
+    ClickHouse lets WHERE reference SELECT-list aliases (`SELECT x + 1
+    AS y … WHERE y > 0`) — if the default translation doesn't analyze
+    and the alias-substituted variant does, the variant wins.  Failure-
+    gated so a real column sharing an alias's name keeps Spark's (and
+    the previous rounds') resolution on queries that already work."""
+    out = _translate_once(sql, spark)
+    if spark is None:
+        return out
+    try:
+        spark.sql(out)  # analysis only — no job
+        return out
+    except Exception:  # noqa: BLE001 — try the alias repair
+        pass
+    candidate = _translate_once(sql, spark, where_aliases=True)
+    if candidate != out:
+        try:
+            spark.sql(candidate)
+            return candidate
+        except Exception:  # noqa: BLE001
+            pass
+    return out  # surface Spark's own error upstream
+
+
+def _translate_once(sql: str, spark=None, where_aliases: bool = False) -> str:
     """Translate the common ClickHouse function surface to Spark SQL.
 
     Unknown names pass through; string literals are never modified — they
@@ -4150,6 +4261,8 @@ def translate_clickhouse_sql(sql: str, spark=None) -> str:
     for src, dst in _ZERO_ARG:
         chunk = chunk.replace(src, dst)
     chunk = _rewrite_scalar_with(chunk)
+    if where_aliases:
+        chunk = _rewrite_where_aliases(chunk)
     chunk = _rewrite_limit_with_ties(chunk)
     chunk = _rewrite_final(chunk)
     chunk = _rewrite_clauses(chunk)

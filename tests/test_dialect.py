@@ -2175,3 +2175,26 @@ def test_any_join_sql_form(spark):
     assert [(r.uid, r.amt) for r in inner] == [(1, 10.0), (2, 20.0)]
     # schema-free translation: keyword passes through untouched
     assert "ANY" in tr("SELECT 1 FROM a ANY LEFT JOIN b ON a.x = b.x")
+
+
+def test_where_alias_repair(spark):
+    """Analysis-failure-gated repair: WHERE may reference SELECT-list
+    aliases (the CH idiom); queries that already analyze keep Spark's
+    column resolution even when an alias shadows a real column."""
+    spark.createDataFrame(
+        [(1, 3.0), (2, 8.0)], "id long, v double"
+    ).createOrReplaceTempView("wal_t")
+    got = spark.sql(
+        tr("SELECT id, v * 2 AS dbl FROM wal_t WHERE dbl > 10", spark=spark)
+    ).collect()
+    assert [(r.id, r.dbl) for r in got] == [(2, 16.0)]
+    # shadowing: the statement analyzes as-is, so `v` stays the COLUMN
+    shadow = spark.sql(
+        tr(
+            "SELECT upper('x') AS v, id FROM wal_t WHERE v > 5.0",
+            spark=spark,
+        )
+    ).collect()
+    assert [r.id for r in shadow] == [2]
+    # schema-free translation never rewrites (no analyzer to consult)
+    assert "dbl > 10" in tr("SELECT v * 2 AS dbl FROM wal_t WHERE dbl > 10")
