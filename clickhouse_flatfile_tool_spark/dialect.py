@@ -3562,6 +3562,55 @@ def final_tables(sql: str) -> list[str]:
     return [m.group(2) for m in _FINAL_PAT.finditer(masked)]
 
 
+def _rewrite_qualify(chunk: str) -> str:
+    """``… QUALIFY <window-pred> [tail]`` (ClickHouse 23.x; no Spark
+    support) — filter on window-function results computed over the
+    query's OUTPUT rows: the statement wraps as a subquery, the
+    predicate evaluates in an outer projection (SELECT aliases are now
+    plain columns, windows run post-aggregation — QUALIFY's definition),
+    and the filter + tail apply outside.  Top-level occurrence only."""
+    depth = 0
+    q_at = None
+    for i, ch in enumerate(chunk):
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0 and chunk[i : i + 7].upper() == "QUALIFY" and (
+            i == 0 or not (chunk[i - 1].isalnum() or chunk[i - 1] == "_")
+        ) and (
+            i + 7 == len(chunk)
+            or not (chunk[i + 7].isalnum() or chunk[i + 7] == "_")
+        ):
+            q_at = i
+            break
+    if q_at is None:
+        return chunk
+    inner = chunk[:q_at].strip()
+    rest = chunk[q_at + 7 :]
+    # predicate runs to the next top-level clause keyword
+    depth = 0
+    p_end = len(rest)
+    k = 0
+    while k < len(rest):
+        ch = rest[k]
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0 and re.match(
+            r"(?i)(ORDER|LIMIT|UNION|SETTINGS|FORMAT|INTO)\b", rest[k:]
+        ) and (k == 0 or not (rest[k - 1].isalnum() or rest[k - 1] == "_")):
+            p_end = k
+            break
+        k += 1
+    pred, tail = rest[:p_end].strip(), rest[p_end:]
+    return (
+        f"SELECT * EXCEPT(__qual) FROM (SELECT *, ({pred}) AS __qual "
+        f"FROM ({inner}) __qsub) WHERE __qual {tail}"
+    )
+
+
 def _rewrite_limit_with_ties(chunk: str) -> str:
     """``ORDER BY … LIMIT n WITH TIES`` (no Spark support) → a RANK()
     window over the same ordering: rank ≤ n is exactly "the first n rows
@@ -4263,6 +4312,7 @@ def _translate_once(sql: str, spark=None, where_aliases: bool = False) -> str:
     chunk = _rewrite_scalar_with(chunk)
     if where_aliases:
         chunk = _rewrite_where_aliases(chunk)
+    chunk = _rewrite_qualify(chunk)
     chunk = _rewrite_limit_with_ties(chunk)
     chunk = _rewrite_final(chunk)
     chunk = _rewrite_clauses(chunk)

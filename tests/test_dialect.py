@@ -2198,3 +2198,34 @@ def test_where_alias_repair(spark):
     assert [r.id for r in shadow] == [2]
     # schema-free translation never rewrites (no analyzer to consult)
     assert "dbl > 10" in tr("SELECT v * 2 AS dbl FROM wal_t WHERE dbl > 10")
+
+
+def test_qualify_clause(spark):
+    """QUALIFY filters on window results over the query's OUTPUT rows —
+    top-1 by aggregate, per-group rank, and window-vs-aggregate compare
+    with an ORDER/LIMIT tail."""
+    spark.createDataFrame(
+        [(1, 3.0), (1, 8.0), (2, 1.0), (3, 9.0)], "g long, v double"
+    ).createOrReplaceTempView("qualify_t")
+    top = spark.sql(
+        tr(
+            "SELECT g, sum(v) AS s FROM qualify_t GROUP BY g "
+            "QUALIFY row_number() OVER (ORDER BY s DESC, g) = 1"
+        )
+    ).collect()
+    assert [(r.g, r.s) for r in top] == [(1, 11.0)]
+    per_g = spark.sql(
+        tr(
+            "SELECT g, v FROM qualify_t "
+            "QUALIFY rank() OVER (PARTITION BY g ORDER BY v DESC) = 1 "
+            "ORDER BY g"
+        )
+    ).collect()
+    assert [(r.g, r.v) for r in per_g] == [(1, 8.0), (2, 1.0), (3, 9.0)]
+    above = spark.sql(
+        tr(
+            "SELECT g, sum(v) AS s FROM qualify_t GROUP BY g "
+            "QUALIFY s > avg(s) OVER () ORDER BY g LIMIT 5"
+        )
+    ).collect()
+    assert [(r.g, r.s) for r in above] == [(1, 11.0), (3, 9.0)]
