@@ -2587,6 +2587,26 @@ def q_dialect_batch16(spark, d):
     return spark.sql(translate_clickhouse_sql(ch_sql))
 
 
+def q_dialect_clauses(spark, d):
+    """Session-5 SQL clauses end-to-end: scalar WITH (the constant
+    feeds the QUALIFY bound) + QUALIFY over a window on aggregated
+    output rows — top-10 customers by spend with rank.  Oracle: DuckDB's
+    NATIVE QUALIFY machinery over the same aggregation (independent of
+    the subquery-wrapping rewrite)."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    _t(spark, d, "orders").createOrReplaceTempView("cls_orders")
+    ch_sql = (
+        "WITH 10 AS topn "
+        "SELECT o_custkey, count() AS n, "
+        "row_number() OVER (ORDER BY sum(o_totalprice) DESC, o_custkey) "
+        "AS rk "
+        "FROM cls_orders GROUP BY o_custkey "
+        "QUALIFY rk <= topn ORDER BY rk"
+    )
+    return spark.sql(translate_clickhouse_sql(ch_sql, spark=spark))
+
+
 def q_knn_accuracy(spark, d):
     """Leave-one-out 1-NN label accuracy — the standard embedding-quality
     probe (does nearest-neighbor structure respect labels?): each
@@ -4473,6 +4493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dialect_batch17": q_dialect_batch17,
         "semantic_decon": q_semantic_decon,
         "knn_accuracy": q_knn_accuracy,
+        "dialect_clauses": q_dialect_clauses,
         "dialect_ips": q_dialect_ips,
         "dialect_aggs2": q_dialect_aggs2,
         "dialect_dates2": q_dialect_dates2,
@@ -6109,6 +6130,13 @@ FROM ranked WHERE rk <= 5
         ),
         "dialect_aggs2": 'SELECT event_type, round(sum(value), 6) AS sum_v, count(value) AS cnt_v, round((arg_max(value, event_id) - arg_min(value, event_id)) / (max(event_id) - min(event_id))::DOUBLE, 6) AS br, arg_max(user_id, event_id) FILTER (WHERE value > 2) AS amx, arg_min(user_id, event_id) FILTER (WHERE value > 2) AS amn FROM events GROUP BY event_type ORDER BY event_type',
         "dialect_dates2": 'SELECT event_id, (epoch_us(ts) // 1000000 // 300) * 300 AS b5, (epoch_us(ts) // 1000000 // 900) * 900 AS b15, (epoch_us(ts) // 1000000 // 1800) * 1800 AS slot, epoch_us(ts) // 1000000 // 3600 AS rh, epoch_us(ts) // 1000000 // 86400 AS rd, epoch_us(ts) // 1000 AS ms FROM events ORDER BY event_id',
+        "dialect_clauses": (
+            "SELECT o_custkey, count(*) AS n, "
+            "row_number() OVER (ORDER BY sum(o_totalprice) DESC, "
+            "o_custkey) AS rk "
+            "FROM orders GROUP BY o_custkey "
+            "QUALIFY rk <= 10 ORDER BY rk"
+        ),
         "knn_accuracy": (
             "WITH pairs AS (SELECT q.vec_id AS qid, q.label AS ql, "
             " c.vec_id AS nid, c.label AS nl, q.embedding AS qe, "
