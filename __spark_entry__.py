@@ -2612,11 +2612,13 @@ def q_knn_accuracy(spark, d):
     probe (does nearest-neighbor structure respect labels?): each
     vector's single nearest neighbor (exact cosine, self excluded,
     deterministic cos-DESC/id-ASC tie rule) votes its label; per-label
-    accuracy = fraction of agreeing votes.  Built from cosine_topk(k=1)
-    + two label joins + one grouped avg.  Oracle: the _COSINE_ORACLE
-    pairwise construction at rk = 1 with the same tie rule."""
+    accuracy = fraction of agreeing votes.  Built from
+    cosine_topk_fast(k=1) (the Arrow GEMM path — identical rows to the
+    codegen fold, pytest-equivalence-checked) + two label joins + one
+    grouped avg.  Oracle: the _COSINE_ORACLE pairwise construction at
+    rk = 1 with the same tie rule."""
     emb = _t(spark, d, "embeddings")
-    nn = similarity.cosine_topk(emb, emb, k=1)
+    nn = similarity.cosine_topk_fast(emb, emb, k=1)
     labels = emb.select("vec_id", "label")
     j = (
         nn.join(

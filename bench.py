@@ -179,6 +179,8 @@ BENCH_QUERIES = [
     "dialect_batch17",
     "dialect_geo",
     "sequence_next_node",
+    "knn_accuracy",
+    "dialect_clauses",
 ]
 
 

@@ -602,3 +602,18 @@ def test_semantic_decontaminate_flags_and_scale_shape(spark):
     } == got
     plan = fold._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+
+
+def test_cosine_topk_fast_equals_fold(spark, sf_dir):
+    """The Arrow GEMM top-k returns byte-identical rows to the codegen
+    fold (same tie rule, round 6) including self-exclusion."""
+    from clickhouse_flatfile_tool_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_fast,
+    )
+    from clickhouse_flatfile_tool_spark.sources.files import read_parquet
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    a = sorted(tuple(r) for r in cosine_topk(emb, emb, k=3).collect())
+    b = sorted(tuple(r) for r in cosine_topk_fast(emb, emb, k=3).collect())
+    assert a == b and len(a) > 0
