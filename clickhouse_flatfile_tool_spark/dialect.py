@@ -3562,6 +3562,46 @@ def final_tables(sql: str) -> list[str]:
     return [m.group(2) for m in _FINAL_PAT.finditer(masked)]
 
 
+def _rewrite_distinct_on(chunk: str) -> str:
+    """``SELECT DISTINCT ON (k1, …) …`` (ClickHouse; no Spark support) —
+    the FIRST row per key combination in the statement's ORDER BY order
+    (keys themselves when no ORDER BY): row_number over the keys picks
+    it, the outer ORDER BY/LIMIT tail reapplies.  Statement-level only."""
+    m = re.match(
+        r"(?is)^(\s*)SELECT\s+DISTINCT\s+ON\s*\(", chunk
+    )
+    if not m:
+        return chunk
+    keys_end = _match_paren(chunk, m.end() - 1)
+    keys = chunk[m.end() : keys_end - 1].strip()
+    body = chunk[keys_end:]
+    # split off a trailing top-level ORDER BY … [LIMIT …] tail
+    depth = 0
+    o_at = None
+    for i in range(len(body)):
+        ch = body[i]
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0 and body[i : i + 5].upper() == "ORDER" and (
+            i == 0 or not (body[i - 1].isalnum() or body[i - 1] == "_")
+        ):
+            o_at = i
+    if o_at is not None:
+        inner_body, tail = body[:o_at], body[o_at:]
+        om = re.match(r"(?is)ORDER\s+BY\s+(.+?)(\s+LIMIT\s+.*)?$", tail)
+        order = om.group(1).strip() if om else keys
+    else:
+        inner_body, tail, order = body, "", keys
+    return (
+        f"{m.group(1)}SELECT * EXCEPT(__dn) FROM (SELECT __q0.*, "
+        f"ROW_NUMBER() OVER (PARTITION BY {keys} ORDER BY {order}) "
+        f"AS __dn FROM (SELECT {inner_body}) AS __q0) "
+        f"WHERE __dn = 1 {tail}"
+    )
+
+
 def _rewrite_qualify(chunk: str) -> str:
     """``… QUALIFY <window-pred> [tail]`` (ClickHouse 23.x; no Spark
     support) — filter on window-function results computed over the
@@ -4312,6 +4352,7 @@ def _translate_once(sql: str, spark=None, where_aliases: bool = False) -> str:
     chunk = _rewrite_scalar_with(chunk)
     if where_aliases:
         chunk = _rewrite_where_aliases(chunk)
+    chunk = _rewrite_distinct_on(chunk)
     chunk = _rewrite_qualify(chunk)
     chunk = _rewrite_limit_with_ties(chunk)
     chunk = _rewrite_final(chunk)

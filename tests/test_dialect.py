@@ -2229,3 +2229,23 @@ def test_qualify_clause(spark):
         )
     ).collect()
     assert [(r.g, r.s) for r in above] == [(1, 11.0), (3, 9.0)]
+
+
+def test_distinct_on(spark):
+    """DISTINCT ON (keys): first row per key combination in the
+    statement's ORDER BY order; the tail reapplies outside.  (Without
+    an ORDER BY the pick is arbitrary — matching ClickHouse.)"""
+    spark.createDataFrame(
+        [(1, 10, "a"), (1, 5, "b"), (2, 7, "c"), (2, 9, "d")],
+        "g long, x long, s string",
+    ).createOrReplaceTempView("dist_on_t")
+    rows = spark.sql(
+        tr("SELECT DISTINCT ON (g) g, x, s FROM dist_on_t ORDER BY g, x")
+    ).collect()
+    assert [(r.g, r.x, r.s) for r in rows] == [(1, 5, "b"), (2, 7, "c")]
+    lim = spark.sql(
+        tr("SELECT DISTINCT ON (g) g, x FROM dist_on_t ORDER BY g, x DESC LIMIT 1")
+    ).collect()
+    assert [(r.g, r.x) for r in lim] == [(1, 10)]
+    # plain DISTINCT untouched
+    assert tr("SELECT DISTINCT g FROM dist_on_t").startswith("SELECT DISTINCT g")
