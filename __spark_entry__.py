@@ -2607,6 +2607,24 @@ def q_dialect_clauses(spark, d):
     return spark.sql(translate_clickhouse_sql(ch_sql, spark=spark))
 
 
+def q_distinct_on(spark, d):
+    """``SELECT DISTINCT ON (keys)`` through the dialect
+    (dialect.py::_rewrite_distinct_on): the earliest order per
+    (o_orderstatus, o_orderpriority) cell — first row per key in the
+    statement's ORDER BY order.  Oracle: DuckDB's NATIVE Postgres-style
+    DISTINCT ON (independent of the row_number rewrite)."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    _t(spark, d, "orders").createOrReplaceTempView("don_orders")
+    ch_sql = (
+        "SELECT DISTINCT ON (o_orderstatus, o_orderpriority) "
+        "o_orderstatus, o_orderpriority, o_orderkey, o_orderdate "
+        "FROM don_orders "
+        "ORDER BY o_orderstatus, o_orderpriority, o_orderdate, o_orderkey"
+    )
+    return spark.sql(translate_clickhouse_sql(ch_sql, spark=spark))
+
+
 def q_knn_accuracy(spark, d):
     """Leave-one-out 1-NN label accuracy — the standard embedding-quality
     probe (does nearest-neighbor structure respect labels?): each
@@ -4496,6 +4514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decon": q_semantic_decon,
         "knn_accuracy": q_knn_accuracy,
         "dialect_clauses": q_dialect_clauses,
+        "distinct_on": q_distinct_on,
         "dialect_ips": q_dialect_ips,
         "dialect_aggs2": q_dialect_aggs2,
         "dialect_dates2": q_dialect_dates2,
@@ -6132,6 +6151,12 @@ FROM ranked WHERE rk <= 5
         ),
         "dialect_aggs2": 'SELECT event_type, round(sum(value), 6) AS sum_v, count(value) AS cnt_v, round((arg_max(value, event_id) - arg_min(value, event_id)) / (max(event_id) - min(event_id))::DOUBLE, 6) AS br, arg_max(user_id, event_id) FILTER (WHERE value > 2) AS amx, arg_min(user_id, event_id) FILTER (WHERE value > 2) AS amn FROM events GROUP BY event_type ORDER BY event_type',
         "dialect_dates2": 'SELECT event_id, (epoch_us(ts) // 1000000 // 300) * 300 AS b5, (epoch_us(ts) // 1000000 // 900) * 900 AS b15, (epoch_us(ts) // 1000000 // 1800) * 1800 AS slot, epoch_us(ts) // 1000000 // 3600 AS rh, epoch_us(ts) // 1000000 // 86400 AS rd, epoch_us(ts) // 1000 AS ms FROM events ORDER BY event_id',
+        "distinct_on": (
+            "SELECT DISTINCT ON (o_orderstatus, o_orderpriority) "
+            "o_orderstatus, o_orderpriority, o_orderkey, o_orderdate "
+            "FROM orders "
+            "ORDER BY o_orderstatus, o_orderpriority, o_orderdate, o_orderkey"
+        ),
         "dialect_clauses": (
             "SELECT o_custkey, count(*) AS n, "
             "row_number() OVER (ORDER BY sum(o_totalprice) DESC, "

@@ -127,7 +127,7 @@ def stale_entries() -> set[str]:
 #   * fingerprint-drifted singles (asof_join, replacing_final, …)
 # Every name here passes scripts/selfcheck.py locally; the r5 window
 # rotation turns them driver-proven.
-DEFERRED: set[str] = {"tpch_q13", "tpch_q15", "tpch_q17", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16", "tpch_q20", "tpch_q21", "dialect_final", "summap_merge", "pack_bestfit", "strip_html", "clickhouse_funcs4", "dialect_batch16", "sequence_next_node", "dialect_geo", "dialect_batch17", "semantic_decon", "knn_accuracy", "dialect_clauses", "clickhouse_dialect", "clickhouse_funcs2", "url_funcs", "dialect_aggs2", "dialect_dates2", "dialect_ips", "ttl_expire", "projection_agg", "domain_block", "lttb_downsample", "anova", "cramers_v", "hypothesis_tests", "embedding_drift", "replacing_final", "mutual_nn", "value_entropy", "corr_matrix", "margin_pairs", "asof_join", "sparkbar", "winnow"}
+DEFERRED: set[str] = {"tpch_q13", "tpch_q15", "tpch_q17", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16", "tpch_q20", "tpch_q21", "dialect_final", "summap_merge", "pack_bestfit", "strip_html", "clickhouse_funcs4", "dialect_batch16", "sequence_next_node", "dialect_geo", "dialect_batch17", "semantic_decon", "knn_accuracy", "dialect_clauses", "distinct_on", "clickhouse_dialect", "clickhouse_funcs2", "url_funcs", "dialect_aggs2", "dialect_dates2", "dialect_ips", "ttl_expire", "projection_agg", "domain_block", "lttb_downsample", "anova", "cramers_v", "hypothesis_tests", "embedding_drift", "replacing_final", "mutual_nn", "value_entropy", "corr_matrix", "margin_pairs", "asof_join", "sparkbar", "winnow"}
 
 
 def main() -> int:
