@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "sequence_next_node",
     "knn_accuracy",
     "dialect_clauses",
+    "distinct_on",
 ]
 
 
