@@ -4262,6 +4262,21 @@ def _rewrite_batch16_calls(chunk: str) -> str:
 
     chunk = _rewrite_call(chunk, "queryStringAndFragment", qsf_make)
 
+    def shingles_make(args):
+        # arrayShingles(a, n): consecutive length-n windows — [] when the
+        # array is shorter than n (typed via slice(array(a), 1, 0); the
+        # sequence guard avoids Spark's descending sequence(1, 0))
+        if len(args) != 2:
+            return None
+        a, n = args
+        return (
+            f"(CASE WHEN size({a}) < ({n}) THEN slice(array({a}), 1, 0) "
+            f"ELSE transform(sequence(1, size({a}) - ({n}) + 1), "
+            f"__i -> slice({a}, __i, {n})) END)"
+        )
+
+    chunk = _rewrite_call(chunk, "arrayShingles", shingles_make)
+
     def partial_sort_make(desc):
         # arrayPartialSort(limit, arr): first `limit` elements sorted,
         # remainder in UNSPECIFIED order (CH docs) — a full sort is a

@@ -2249,3 +2249,16 @@ def test_distinct_on(spark):
     assert [(r.g, r.x) for r in lim] == [(1, 10)]
     # plain DISTINCT untouched
     assert tr("SELECT DISTINCT g FROM dist_on_t").startswith("SELECT DISTINCT g")
+
+
+def test_array_shingles(spark):
+    """arrayShingles(a, n): consecutive length-n windows; [] when the
+    array is shorter than n."""
+    row = spark.sql(
+        tr(
+            "SELECT arrayShingles([1, 2, 3, 4], 3) AS a, "
+            "arrayShingles([1, 2], 3) AS b, arrayShingles([7], 1) AS c"
+        )
+    ).first()
+    assert row.a == [[1, 2, 3], [2, 3, 4]]
+    assert row.b == [] and row.c == [[7]]
