@@ -42,6 +42,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _join_arr(col, cast: str = "array<string>"):
+    """Serialize a flat array column to a ','-joined string — the driver's
+    pandas canonicalizer (sort_values over raw cells) cannot hash list
+    cells, so every registry output column must be scalar.  Plain join, not
+    JSON: no escaping, so the string is byte-equal to DuckDB's
+    ``array_to_string(col, ',')`` regardless of element content."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_join(c.cast(cast), ",")
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -2332,17 +2342,20 @@ def q_clickhouse_funcs3(spark, d):
         "FROM ev_funcs3 WHERE event_id < 500"
     )
     out = spark.sql(translate_clickhouse_sql(ch_sql))
+    # array outputs ','-joined to scalar strings (driver canon can't hash
+    # list cells — CORRECTNESS_r04 clickhouse_funcs3 stack); all arrays
+    # here are integer-valued so the join is format-exact vs DuckDB
     return out.select(
         "event_id",
-        "cum",
-        F.col("en").cast("array<long>").alias("en"),
+        _join_arr(F.col("cum").cast("array<long>")).alias("cum"),
+        _join_arr("en").alias("en"),
         F.col("ce").cast("long").alias("ce"),
         F.col("bc").cast("long").alias("bc"),
-        F.col("rg").cast("array<long>").alias("rg"),
+        _join_arr("rg").alias("rg"),
         "e2",
-        F.col("ai").cast("array<long>").alias("ai"),
-        F.col("pb").cast("array<long>").alias("pb"),
-        F.col("pf").cast("array<long>").alias("pf"),
+        _join_arr("ai").alias("ai"),
+        _join_arr("pb").alias("pb"),
+        _join_arr("pf").alias("pf"),
         F.col("ifn").cast("long").alias("ifn"),
         F.col("te").cast("long").alias("te"),
     )
@@ -2485,8 +2498,10 @@ def q_summap_merge(spark, d):
     metric-map row shape — and stage 2 merges the daily maps per user,
     summing equal keys and returning key-sorted parallel arrays.  Oracle:
     DuckDB per-key sums re-assembled with ordered list() aggregates.
-    Array cells hash-compare via their Python repr: doubles are rounded
-    to 6 AFTER the final merge on both sides, so reprs agree."""
+    The merged map is exploded back to (user_id, k, v) scalar rows for the
+    driver (its pandas canonicalizer can't hash array cells); the values
+    still come out of the two-stage map merge, so the shape under test is
+    unchanged."""
     ev = _t(spark, d, "events")
     daily = (
         ev.groupBy("user_id", F.to_date("ts").alias("day"))
@@ -2503,11 +2518,15 @@ def q_summap_merge(spark, d):
         .select("user_id", F.col("e.k").alias("ks"), F.col("e.v").alias("vs"))
     )
     out = relational.map_aggregate(daily, ["user_id"], "ks", "vs", "sum")
-    return out.select(
-        "user_id",
-        "keys",
-        F.transform("vals", lambda v: F.round(v, 6)).alias("vals"),
-    ).orderBy("user_id")
+    return (
+        out.select("user_id", F.explode(F.arrays_zip("keys", "vals")).alias("kv"))
+        .select(
+            "user_id",
+            F.col("kv.keys").alias("k"),
+            F.round("kv.vals", 6).alias("v"),
+        )
+        .orderBy("user_id", "k")
+    )
 
 
 def q_clickhouse_funcs4(spark, d):
@@ -2544,7 +2563,14 @@ def q_clickhouse_funcs4(spark, d):
         "toModifiedJulianDay(makeDate(2024, 1, modulo(doc_id, 28) + 1)) AS mjd "
         "FROM cf4_docs ORDER BY doc_id"
     )
-    return spark.sql(translate_clickhouse_sql(ch_sql))
+    out = spark.sql(translate_clickhouse_sql(ch_sql))
+    # array outputs ','-joined to scalar strings for the driver canon
+    return out.select(
+        *[
+            _join_arr(c).alias(c) if c in ("grams3", "rot", "rsz") else c
+            for c in out.columns
+        ]
+    )
 
 
 def q_dialect_batch16(spark, d):
@@ -2584,7 +2610,20 @@ def q_dialect_batch16(spark, d):
         "URLPathHierarchy(concat('https://ex.com/a/', lang, '/b')) AS uph "
         "FROM b16_docs ORDER BY doc_id"
     )
-    return spark.sql(translate_clickhouse_sql(ch_sql))
+    out = spark.sql(translate_clickhouse_sql(ch_sql))
+    # array outputs serialized to scalar strings for the driver canon:
+    # flat arrays ','-joined, the nested arraySplit result as compact JSON
+    # (Spark to_json and DuckDB to_json agree byte-for-byte on int arrays)
+    return out.select(
+        *[
+            F.to_json(F.col(c).cast("array<array<long>>")).alias(c)
+            if c == "asp"
+            else _join_arr(c).alias(c)
+            if c in ("af", "arf", "msp", "uph")
+            else c
+            for c in out.columns
+        ]
+    )
 
 
 def q_dialect_clauses(spark, d):
@@ -5331,9 +5370,9 @@ SELECT doc_id, lang FROM c WHERE cum <= 6000
         "tpch_q12": (
             "SELECT l_returnflag AS ship_mode, "
             "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
-            " THEN 1 ELSE 0 END) AS high_line_count, "
+            " THEN 1 ELSE 0 END)::BIGINT AS high_line_count, "
             "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
-            " THEN 0 ELSE 1 END) AS low_line_count "
+            " THEN 0 ELSE 1 END)::BIGINT AS low_line_count "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
             "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
@@ -6058,16 +6097,16 @@ FROM ranked WHERE rk <= 5
         ),
         "clickhouse_funcs3": (
             "SELECT event_id, "
-            "list_transform(generate_series(1, 3), "
-            "  i -> (list_sum(([1, event_id % 5, 2])[1:i]))::DOUBLE) AS cum, "
-            "generate_series(1, greatest(event_id % 4, 0)) AS en, "
+            "array_to_string(list_transform(generate_series(1, 3), "
+            "  i -> (list_sum(([1, event_id % 5, 2])[1:i]))::BIGINT), ',') AS cum, "
+            "coalesce(array_to_string(generate_series(1, greatest(event_id % 4, 0)), ','), '') AS en, "
             "len(list_filter([event_id % 3, 1, 1], x -> x = 1))::BIGINT AS ce, "
             "bit_count(event_id)::BIGINT AS bc, "
-            "range(event_id % 4) AS rg, "
+            "coalesce(array_to_string(range(event_id % 4), ','), '') AS rg, "
             "round(pow(2, event_id % 5), 6) AS e2, "
-            "list_sort(list_intersect([1, 2, 3, event_id % 5], [2, 3, 9])) AS ai, "
-            "[1, 2] || [event_id % 7] AS pb, "
-            "[2, 3] AS pf, "
+            "array_to_string(list_sort(list_intersect([1, 2, 3, event_id % 5], [2, 3, 9])), ',') AS ai, "
+            "array_to_string([1, 2] || [event_id % 7], ',') AS pb, "
+            "'2,3' AS pf, "
             "event_id AS ifn, "
             "event_id AS te "
             "FROM events WHERE event_id < 500"
@@ -6240,16 +6279,16 @@ FROM ranked WHERE rk <= 5
         ),
         "dialect_batch16": (
             "SELECT doc_id, "
-            "CASE WHEN doc_id % 3 != 0 AND doc_id % 5 != 0 THEN "
+            "array_to_string(CASE WHEN doc_id % 3 != 0 AND doc_id % 5 != 0 THEN "
             "[doc_id % 3, doc_id % 3, doc_id % 5, doc_id % 5] "
             "WHEN doc_id % 3 != 0 THEN "
             "[doc_id % 3, doc_id % 3, doc_id % 3, doc_id % 3] "
             "WHEN doc_id % 5 != 0 THEN [0, 0, doc_id % 5, doc_id % 5] "
-            "ELSE [0, 0, 0, 0] END AS af, "
-            "CASE WHEN doc_id % 3 != 0 THEN [doc_id % 3, doc_id % 3, 0] "
-            "ELSE [0, 0, 0] END AS arf, "
-            "CASE WHEN doc_id % 2 = 1 THEN [[1], [1, 3], [1]] "
-            "ELSE [[1, 0, 3], [1]] END AS asp, "
+            "ELSE [0, 0, 0, 0] END, ',') AS af, "
+            "array_to_string(CASE WHEN doc_id % 3 != 0 THEN [doc_id % 3, doc_id % 3, 0] "
+            "ELSE [0, 0, 0] END, ',') AS arf, "
+            "(to_json(CASE WHEN doc_id % 2 = 1 THEN [[1], [1, 3], [1]] "
+            "ELSE [[1, 0, 3], [1]] END))::VARCHAR AS asp, "
             "(doc_id % 4 = 2) AS hs, "
             "round(len(list_intersect(list_distinct([substr(lang, i, 1) "
             "FOR i IN generate_series(1, len(lang))]), "
@@ -6257,7 +6296,7 @@ FROM ranked WHERE rk <= 5
             "len(list_distinct(list_concat([substr(lang, i, 1) "
             "FOR i IN generate_series(1, len(lang))], "
             "['e','n','g','l','i','s','h']))), 6) AS sj, "
-            "[strpos(text, 'the'), strpos(text, 'zzzqx')] AS msp, "
+            "array_to_string([strpos(text, 'the'), strpos(text, 'zzzqx')], ',') AS msp, "
             "regexp_replace(substr(text, 1, 8), "
             "'([\\\\|()^$.\\[\\]?*+{:-])', '\\\\\\1', 'g') AS qm, "
             "regexp_replace('SELECT ' || doc_id || ' FROM t WHERE x = 5', "
@@ -6272,17 +6311,14 @@ FROM ranked WHERE rk <= 5
             "TIMESTAMP '2024-01-01 00:00:00' "
             "+ to_months((doc_id % 12)::INT) AS tim, "
             "substr(text, 3, 5) AS md, "
-            "['/a/', '/a/' || lang || '/', '/a/' || lang || '/b'] AS uph "
+            "array_to_string(['/a/', '/a/' || lang || '/', '/a/' || lang || '/b'], ',') AS uph "
             "FROM documents ORDER BY doc_id"
         ),
-        "clickhouse_funcs4": "SELECT doc_id, len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), x -> x != '')) AS n_toks, [substr(substr(text, 1, 10), i, 3) FOR i IN generate_series(1, greatest(len(substr(text, 1, 10)) - 2, 0))] AS grams3, list_contains(string_split_regex(text, '[^a-zA-Z0-9]+'), 'the') AS has_the, greatest(len(lang), 2) - len(list_filter([i FOR i IN generate_series(1, least(len(lang), 2))], i -> substr(lang, i, 1) = substr('en', i, 1))) AS hd, (doc_id >> 3) & 1 AS b3, coalesce(array_to_string([((1::BIGINT) << i)::VARCHAR FOR i IN generate_series(0, 62) IF ((doc_id % 64) >> i) & 1 = 1], ','), '') AS bml, (1::BIGINT) << (doc_id % 10) AS e2, printf('%.2f %s', (n_chars * 1024) / pow(1024, least(floor(log(1024, greatest(abs((n_chars * 1024)::DOUBLE), 1))), 8)), (['B','KiB','MiB','GiB','TiB','PiB','EiB','ZiB','YiB'])[least(floor(log(1024, greatest(abs((n_chars * 1024)::DOUBLE), 1))), 8)::INT + 1]) AS frs, list_product([(doc_id % 5)::DOUBLE + 1, 2]) AS prod, list_concat(([n_chars, doc_id, 7])[2:], ([n_chars, doc_id, 7])[1:1]) AS rot, (list_concat([n_chars], [0, 0]))[1:3] AS rsz, (list_filter([1, doc_id % 6, 9], x -> x > 2))[1] AS afirst, len(list_filter([doc_id, n_chars, 3], x -> x % 2 = 0)) AS acnt, round(len(list_intersect([doc_id % 5, 1, 2], [1, 2, 3]))::DOUBLE / len(list_distinct(list_concat([doc_id % 5, 1, 2], [1, 2, 3]))), 6) AS aj, round(list_dot_product([1.5, 2.0], [(doc_id % 7)::DOUBLE, 2.0]), 6) AS dot, round(list_distance([0.0, 0.0], [3.0, (doc_id % 9)::DOUBLE]), 6) AS l2, monthname(make_date(2020, (doc_id % 12)::INT + 1, 5)) AS mn, dayname(make_date(2024, 3, (doc_id % 28)::INT + 1)) AS wd, datediff('day', DATE '1858-11-17', make_date(2024, 1, (doc_id % 28)::INT + 1)) AS mjd FROM documents ORDER BY doc_id",
+        "clickhouse_funcs4": "SELECT doc_id, len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), x -> x != '')) AS n_toks, array_to_string([substr(substr(text, 1, 10), i, 3) FOR i IN generate_series(1, greatest(len(substr(text, 1, 10)) - 2, 0))], ',') AS grams3, list_contains(string_split_regex(text, '[^a-zA-Z0-9]+'), 'the') AS has_the, greatest(len(lang), 2) - len(list_filter([i FOR i IN generate_series(1, least(len(lang), 2))], i -> substr(lang, i, 1) = substr('en', i, 1))) AS hd, (doc_id >> 3) & 1 AS b3, coalesce(array_to_string([((1::BIGINT) << i)::VARCHAR FOR i IN generate_series(0, 62) IF ((doc_id % 64) >> i) & 1 = 1], ','), '') AS bml, (1::BIGINT) << (doc_id % 10) AS e2, printf('%.2f %s', (n_chars * 1024) / pow(1024, least(floor(log(1024, greatest(abs((n_chars * 1024)::DOUBLE), 1))), 8)), (['B','KiB','MiB','GiB','TiB','PiB','EiB','ZiB','YiB'])[least(floor(log(1024, greatest(abs((n_chars * 1024)::DOUBLE), 1))), 8)::INT + 1]) AS frs, list_product([(doc_id % 5)::DOUBLE + 1, 2]) AS prod, array_to_string(list_concat(([n_chars, doc_id, 7])[2:], ([n_chars, doc_id, 7])[1:1]), ',') AS rot, array_to_string((list_concat([n_chars], [0, 0]))[1:3], ',') AS rsz, (list_filter([1, doc_id % 6, 9], x -> x > 2))[1] AS afirst, len(list_filter([doc_id, n_chars, 3], x -> x % 2 = 0)) AS acnt, round(len(list_intersect([doc_id % 5, 1, 2], [1, 2, 3]))::DOUBLE / len(list_distinct(list_concat([doc_id % 5, 1, 2], [1, 2, 3]))), 6) AS aj, round(list_dot_product([1.5, 2.0], [(doc_id % 7)::DOUBLE, 2.0]), 6) AS dot, round(list_distance([0.0, 0.0], [3.0, (doc_id % 9)::DOUBLE]), 6) AS l2, monthname(make_date(2020, (doc_id % 12)::INT + 1, 5)) AS mn, dayname(make_date(2024, 3, (doc_id % 28)::INT + 1)) AS wd, datediff('day', DATE '1858-11-17', make_date(2024, 1, (doc_id % 28)::INT + 1)) AS mjd FROM documents ORDER BY doc_id",
         "strip_html": 'WITH h AS (SELECT doc_id, \'<div class="doc"><p>\' || text || \'</p><script>var x = 1;</script><!-- c -->&amp;<style>p{}</style>&nbsp;end</div>\' AS html FROM documents) SELECT doc_id, trim(regexp_replace(replace(replace(replace(replace(replace(replace(replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html, \'(?is)<script[^>]*>.*?</script>\', \' \', \'g\'), \'(?is)<style[^>]*>.*?</style>\', \' \', \'g\'), \'(?s)<!--.*?-->\', \' \', \'g\'), \'<[^>]*>\', \' \', \'g\'), \'&nbsp;\', \' \'), \'&amp;\', \'&\'), \'&lt;\', \'<\'), \'&gt;\', \'>\'), \'&quot;\', \'"\'), \'&#39;\', \'\'\'\'), \'&apos;\', \'\'\'\'), \'\\s+\', \' \', \'g\')) AS clean FROM h ORDER BY doc_id',
         "summap_merge": (
-            "WITH per AS (SELECT user_id, event_type AS k, sum(value) AS v "
-            "  FROM events GROUP BY user_id, event_type) "
-            "SELECT user_id, list(k ORDER BY k) AS keys, "
-            "list(round(v, 6) ORDER BY k) AS vals "
-            "FROM per GROUP BY user_id ORDER BY user_id"
+            "SELECT user_id, event_type AS k, round(sum(value), 6) AS v "
+            "FROM events GROUP BY user_id, event_type ORDER BY user_id, k"
         ),
         "dialect_final": (
             "WITH f AS (SELECT user_id, event_type, max_by(value, ts) AS value "

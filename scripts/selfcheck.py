@@ -34,6 +34,77 @@ def norm_cell(v):
     return str(v)
 
 
+def _kind(pdf, col):
+    """Driver-facing type class of a pandas column (the driver fetches both
+    sides to pandas and its value hash is dtype-sensitive — a Spark BIGINT
+    vs a DuckDB HUGEINT→float64 column hash-mismatches even when every
+    value is numerically identical, CORRECTNESS_r04 tpch_q12)."""
+    import datetime
+    import decimal
+
+    k = pdf[col].dtype.kind
+    if k in "iub":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "M":
+        return "datetime"
+    if k == "m":
+        return "timedelta"
+    nn = pdf[col].dropna()
+    if nn.empty:
+        return "empty"
+    v = nn.iloc[0]
+    if isinstance(v, (list, tuple, dict, set)) or type(v).__name__ == "ndarray":
+        return "complex"
+    if isinstance(v, bool):
+        return "int"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, decimal.Decimal):
+        return "decimal"
+    if isinstance(v, datetime.datetime):
+        return "datetime"
+    if isinstance(v, datetime.date):
+        return "date"
+    if isinstance(v, (bytes, bytearray)):
+        return "bytes"
+    return "str" if isinstance(v, str) else type(v).__name__
+
+
+def driver_canon_gate(spdf, opdf):
+    """Replicate the DRIVER's pandas canonicalization hazards (VERDICT r4
+    directive #1): (a) ``sort_values`` over every raw column — crashes with
+    ``unhashable type`` on array/map cells exactly like the driver's _canon
+    did on clickhouse_funcs3; (b) per-column dtype-class comparison so an
+    int-vs-float divergence (the tpch_q12 HUGEINT class) fails loudly here
+    instead of in the round report.  Returns a list of problem strings."""
+    problems = []
+    for side, pdf in (("spark", spdf), ("oracle", opdf)):
+        try:
+            cols = sorted(pdf.columns)
+            pdf[cols].sort_values(by=cols)
+        except Exception as e:  # noqa: BLE001
+            problems.append(f"{side} output not driver-canonicalizable: "
+                            f"{type(e).__name__}: {e}")
+    if problems:
+        return problems
+    for c in sorted(spdf.columns):
+        if c not in opdf.columns:
+            continue
+        ks, ko = _kind(spdf, c), _kind(opdf, c)
+        if "complex" in (ks, ko):
+            problems.append(f"column {c!r} is complex-typed "
+                            f"(spark={ks}, oracle={ko}) — driver canon crashes on it")
+        elif {ks, ko} == {"int", "float"} or {ks, ko} == {"float", "decimal"} \
+                or {ks, ko} == {"int", "decimal"}:
+            problems.append(f"column {c!r} numeric class mismatch "
+                            f"spark={ks} oracle={ko} (tpch_q12 r4 red class)")
+    return problems
+
+
 def canon(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     out = ["\x01".join(norm_cell(r[i]) for i in order) for r in rows]
@@ -90,6 +161,18 @@ def main() -> int:
                 )
                 problems.append(
                     f"values differ, first diff row {diff}:\n  spark : {cs[diff]!r}\n  oracle: {co[diff]!r}"
+                )
+        if not problems:
+            # replicate the driver's pandas-level hazards (sort_values over
+            # raw cells + dtype-sensitive hashing) so interface divergences
+            # can't pass locally while failing the round report
+            try:
+                spdf = sdf.toPandas()
+                opdf = con.execute(oracles[name]).df()
+                problems.extend(driver_canon_gate(spdf, opdf))
+            except Exception as e:  # noqa: BLE001
+                problems.append(
+                    f"driver-canon gate error: {type(e).__name__}: {e}"
                 )
         if problems:
             print(f"FAIL  {name:24s} " + "; ".join(problems))
