@@ -583,8 +583,28 @@ def query(
         )
         if rn:
             src, dst = rn.groups()
+            # temp views only (mirrors the INSERT route's isTemporary
+            # check): on a permanent table dropTempView(src) silently
+            # no-ops and the data stays visible under BOTH names
+            src_is_temp = any(
+                t.name == src and t.isTemporary
+                for t in spark.catalog.listTables()
+            )
+            if not src_is_temp:
+                raise ValueError(
+                    f"RENAME TABLE: {src!r} is not a registered temp view"
+                )
+            from clickhouse_flatfile_tool_spark.operators.mergetree import (
+                _ENGINE_REGISTRY,
+            )
+
             spark.table(src).createOrReplaceTempView(dst)
             spark.catalog.dropTempView(src)
+            # carry the engine semantics (FINAL / OPTIMIZE / SHOW CREATE)
+            # across the rename, like DROP/CREATE maintain the registry
+            eng = _ENGINE_REGISTRY.pop(src.lower(), None)
+            if eng is not None:
+                _ENGINE_REGISTRY[dst.lower()] = eng
             return {"success": True, "renamed": {src: dst}}
         tm = re.match(
             r"(?is)^\s*TRUNCATE\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$",
@@ -774,6 +794,39 @@ def _insert_into_view(
     return {"success": True, "table": table, "inserted": n_new}
 
 
+def _literal_spans(sql: str) -> list[tuple[int, int]]:
+    """Character spans (quote-inclusive) of every single-quoted string
+    literal, via the dialect's escape-aware splitter."""
+    from clickhouse_flatfile_tool_spark.dialect import _split_literals
+
+    spans: list[tuple[int, int]] = []
+    pos, first = 0, True
+    for is_lit, seg in _split_literals(sql):
+        if not first:
+            pos += 1  # the opening/closing quote consumed by the splitter
+        if is_lit:
+            spans.append((pos - 1, pos + len(seg) + 1))
+        pos += len(seg)
+        first = False
+    return spans
+
+
+def _sub_outside_literals(pat: re.Pattern, repl, sql: str) -> str:
+    """``pat.sub(repl, sql)`` that leaves matches starting inside a quoted
+    string literal untouched — the table-function materializers and the
+    system-table rewrite must not fire on ``SELECT 'system.one'`` or on a
+    literal that merely CONTAINS ``file('x.csv')`` (which would trigger a
+    real file read and corrupt the literal)."""
+    spans = _literal_spans(sql)
+
+    def guarded(m: re.Match) -> str:
+        if any(a <= m.start() < b for a, b in spans):
+            return m.group(0)
+        return repl(m)
+
+    return pat.sub(guarded, sql)
+
+
 def _materialize_file_calls(spark: SparkSession, sql: str) -> str:
     """ClickHouse's ``file('path'[, 'Format'])`` table function → a temp
     view per call site through the matching flat-file reader (the same
@@ -827,7 +880,7 @@ def _materialize_file_calls(spark: SparkSession, sql: str) -> str:
         df.createOrReplaceTempView(name)
         return name
 
-    return pat.sub(repl, sql)
+    return _sub_outside_literals(pat, repl, sql)
 
 
 def _materialize_generate_random(spark: SparkSession, sql: str) -> str:
@@ -885,7 +938,7 @@ def _materialize_generate_random(spark: SparkSession, sql: str) -> str:
         ).createOrReplaceTempView(name)
         return name
 
-    return pat.sub(repl, sql)
+    return _sub_outside_literals(pat, repl, sql)
 
 
 def _materialize_merge_calls(spark: SparkSession, sql: str) -> str:
@@ -917,7 +970,7 @@ def _materialize_merge_calls(spark: SparkSession, sql: str) -> str:
         df.createOrReplaceTempView(name)
         return name
 
-    return pat.sub(repl, sql)
+    return _sub_outside_literals(pat, repl, sql)
 
 
 def _materialize_system_tables(spark: SparkSession, sql: str) -> str:
@@ -938,11 +991,14 @@ def _materialize_system_tables(spark: SparkSession, sql: str) -> str:
         _ENGINE_REGISTRY,
     )
 
+    sys_pat = re.compile(
+        r"(?i)\bsystem\.(tables|columns|one|numbers|databases)\b"
+    )
+    lit_spans = _literal_spans(sql)
     wanted = {
-        m.lower()
-        for m in re.findall(
-            r"(?i)\bsystem\.(tables|columns|one|numbers|databases)\b", sql
-        )
+        m.group(1).lower()
+        for m in sys_pat.finditer(sql)
+        if not any(a <= m.start() < b for a, b in lit_spans)
     }
     if "tables" in wanted:
         rows = [
@@ -985,10 +1041,8 @@ def _materialize_system_tables(spark: SparkSession, sql: str) -> str:
         spark.range(1_000_000_000).selectExpr(
             "id AS number"
         ).createOrReplaceTempView("system__numbers")
-    return re.sub(
-        r"(?i)\bsystem\.(tables|columns|one|numbers|databases)\b",
-        lambda m: f"system__{m.group(1).lower()}",
-        sql,
+    return _sub_outside_literals(
+        sys_pat, lambda m: f"system__{m.group(1).lower()}", sql
     )
 
 

@@ -3310,17 +3310,21 @@ def _rewrite_with_fill(chunk: str) -> str:
     # original rows keep their own values, NULLs included; the
     # expression form `c AS expr` iterates per filled row and is out of
     # scope here, passing through for Spark to reject by syntax).
-    # Implementation: an __orig marker distinguishes filled rows, and
-    # last_value(ignoreNulls) over the raw column sees only original
-    # values, so consecutive fills all take the last original one.
+    # Implementation: an __orig marker distinguishes filled rows; the
+    # carried value is last_value(ignoreNulls) over a STRUCT built only on
+    # original rows — the struct is non-NULL for every original row even
+    # when the column itself is NULL, so a fill after an original NULL
+    # carries the NULL (CH's carry-previous-row semantics) instead of
+    # skipping back to an older non-NULL value.
     # Interpolated columns move to the END of the row (the oracle
     # compare is column-name keyed, CH keeps positions — documented).
     cols = [c.strip() for c in interp.split(",") if c.strip()]
     if any(not re.fullmatch(r"[A-Za-z_]\w*", c) for c in cols):
         return chunk  # expression form: unsupported, leave untouched
     carried = ", ".join(
-        f"CASE WHEN __orig THEN {c} ELSE last_value({c}, true) "
-        f"OVER __wfill END AS {c}"
+        f"CASE WHEN __orig THEN {c} ELSE (last_value("
+        f"CASE WHEN __orig THEN struct({c} AS v) END, true) "
+        f"OVER __wfill).v END AS {c}"
         for c in cols
     )
     return (
@@ -4312,8 +4316,16 @@ def translate_clickhouse_sql(sql: str, spark=None) -> str:
     out = _translate_once(sql, spark)
     if spark is None:
         return out
+    # Probe (and alias-repair) ONLY query-shaped statements: spark.sql is
+    # lazy for queries but EAGER for commands (INSERT/CREATE/DROP/...), so
+    # probing a command would execute it here AND again at the caller's
+    # spark.sql — double inserts, 'already exists' on the real run.  CTAS
+    # is a command too, so the gate keys on the statement head, not on
+    # whether a SELECT appears anywhere.
+    if not re.match(r"(?is)\s*[(]*\s*(SELECT|WITH|VALUES|TABLE)\b", out):
+        return out
     try:
-        spark.sql(out)  # analysis only — no job
+        spark.sql(out)  # analysis only — no job for query-shaped input
         return out
     except Exception:  # noqa: BLE001 — try the alias repair
         pass
@@ -4408,6 +4420,11 @@ def _translate_once(sql: str, spark=None, where_aliases: bool = False) -> str:
 
     default = finish([False] * n_empty)
     if spark is None or n_empty == 0:
+        return default
+    # same command-eagerness hazard as the probe in translate_clickhouse_sql:
+    # spark.sql EXECUTES non-query statements, so the empty()/size() search
+    # must never analyze-probe a command (INSERT would run once per combo)
+    if not re.match(r"(?is)\s*[(]*\s*(SELECT|WITH|VALUES|TABLE)\b", default):
         return default
     # analysis feedback: prefer the fewest size() substitutions (keeps the
     # schema-free behavior when length() analyzes); cap the search so a

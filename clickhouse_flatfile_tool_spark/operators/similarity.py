@@ -1683,6 +1683,16 @@ def semantic_decontaminate(
                 f"semantic_decontaminate: benchmark exceeds {max_benchmark} "
                 "rows — eval suites are small by design; split the set"
             )
+        if not b_rows:
+            # empty benchmark: mirror the broadcast-join path (cross join
+            # with an empty side aggregates to ZERO rows) instead of
+            # crashing — np.asarray([]) is 1-D, so norm(axis=1) and bm.T
+            # would raise AxisError on the driver/executor
+            return corpus.select(
+                F.col(corpus_id),
+                F.lit(None).cast("double").alias("max_cos"),
+                F.lit(False).alias("contaminated"),
+            ).limit(0)
         bm = np.asarray([r[1] for r in b_rows], dtype=np.float64)
         bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-30)
         thr = float(threshold)

@@ -543,3 +543,77 @@ def test_query_optimize_final_session_table(spark):
     q("DROP TABLE optf_t")
     spark.createDataFrame([(1,)], "id long").createOrReplaceTempView("optf_u")
     assert not q("OPTIMIZE TABLE optf_u FINAL")["success"]
+
+
+def test_query_no_double_execution_on_commands(spark):
+    """The dialect's analysis probe must never EXECUTE a statement:
+    spark.sql is eager for commands, so an unguarded probe ran INSERT INTO
+    <permanent table> twice and made unrouted DDL 'already exist' on the
+    real run (ADVICE r4, high)."""
+    from clickhouse_flatfile_tool_spark import api
+
+    q = lambda s: api.query(spark, s)  # noqa: E731
+    spark.sql("DROP TABLE IF EXISTS perm_dbl_t")
+    spark.sql("CREATE TABLE perm_dbl_t (id BIGINT, s STRING) USING parquet")
+    try:
+        r = q("INSERT INTO perm_dbl_t VALUES (1, 'a')")
+        assert r["success"], r
+        n = spark.table("perm_dbl_t").count()
+        assert n == 1, f"probe double-executed the INSERT: {n} rows"
+        # unrouted DDL (plain CTAS, no ENGINE clause): must succeed once,
+        # not create-in-the-probe then fail 'already exists' for real
+        spark.sql("DROP TABLE IF EXISTS perm_dbl_ctas")
+        r2 = q("CREATE TABLE perm_dbl_ctas AS SELECT 42 AS x")
+        assert r2["success"], r2
+        assert spark.table("perm_dbl_ctas").count() == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS perm_dbl_t")
+        spark.sql("DROP TABLE IF EXISTS perm_dbl_ctas")
+
+
+def test_query_rename_moves_engine_registry(spark):
+    """RENAME TABLE carries the mergetree engine registration to the new
+    name (FINAL / OPTIMIZE / SHOW CREATE keep working) and refuses
+    non-temp-view sources instead of silently aliasing (ADVICE r4)."""
+    from clickhouse_flatfile_tool_spark import api
+
+    q = lambda s: api.query(spark, s)  # noqa: E731
+    q(
+        "CREATE TABLE ren_src (id Int64, v Float64, ver UInt32) "
+        "ENGINE = ReplacingMergeTree(ver) ORDER BY id"
+    )
+    q("INSERT INTO ren_src VALUES (1, 10.0, 1), (1, 20.0, 2)")
+    assert q("RENAME TABLE ren_src TO ren_dst")["success"]
+    assert "ReplacingMergeTree" in q("SHOW CREATE TABLE ren_dst")["data"][0][
+        "statement"
+    ]
+    assert q("SELECT v FROM ren_dst FINAL")["data"] == [{"v": 20.0}]
+    assert q("DROP TABLE ren_dst")["dropped"]
+    # permanent tables refuse (dropTempView would silently no-op and the
+    # data would stay visible under both names)
+    spark.sql("DROP TABLE IF EXISTS ren_perm")
+    spark.sql("CREATE TABLE ren_perm (id BIGINT) USING parquet")
+    try:
+        r = q("RENAME TABLE ren_perm TO ren_perm2")
+        assert not r["success"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ren_perm")
+
+
+def test_query_table_function_names_inside_literals(spark):
+    """Table-function and system-table rewrites skip matches inside string
+    literals: SELECT 'system.one' returns the literal verbatim, and a
+    literal containing file(...) is not read or rewritten (ADVICE r4)."""
+    from clickhouse_flatfile_tool_spark import api
+
+    r = api.query(spark, "SELECT 'system.one' AS s")
+    assert r["success"] and r["data"] == [{"s": "system.one"}]
+    # real references outside literals still materialize
+    r2 = api.query(spark, "SELECT 'x' AS s, dummy FROM system.one")
+    assert r2["success"] and r2["data"] == [{"s": "x", "dummy": 0}]
+    r3 = api.query(
+        spark,
+        "SELECT 'see file(no_such.csv) and system.numbers here' AS note",
+    )
+    assert r3["success"]
+    assert r3["data"][0]["note"].startswith("see file(")

@@ -2121,6 +2121,20 @@ def test_with_fill_interpolate(spark):
     ).collect()
     assert (head[0].t, head[0].v) == (0, None)   # before any original row
     assert (head[2].t, head[2].v) == (2, 10.0)   # carried from t=1
+    # carry-previous-row includes NULL: an original row with v NULL is the
+    # carry source for the fills after it — ignoreNulls over the raw column
+    # would wrongly skip back to the older non-NULL (ADVICE r4)
+    spark.createDataFrame(
+        [(1, 10.0), (3, None)],
+        "t long, v double",
+    ).createOrReplaceTempView("fill_n_t")
+    rows = spark.sql(
+        tr("SELECT t, v FROM fill_n_t ORDER BY t WITH FILL FROM 1 TO 6 "
+           "INTERPOLATE (v)")
+    ).collect()
+    assert [(r.t, r.v) for r in rows] == [
+        (1, 10.0), (2, 10.0), (3, None), (4, None), (5, None),
+    ]
 
 
 def test_quantiles_exact_plural_and_partial_sort(spark):

@@ -602,6 +602,11 @@ def test_semantic_decontaminate_flags_and_scale_shape(spark):
     } == got
     plan = fold._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+    # empty benchmark: both paths return zero rows — the Arrow path used
+    # to AxisError on np.asarray([]) before collecting (ADVICE r4)
+    empty = bench.limit(0)
+    assert semantic_decontaminate(corpus, empty).count() == 0
+    assert semantic_decontaminate(corpus, empty, use_arrow=False).count() == 0
 
 
 def test_cosine_topk_fast_equals_fold(spark, sf_dir):
