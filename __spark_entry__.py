@@ -2670,40 +2670,15 @@ def q_knn_accuracy(spark, d):
     vector's single nearest neighbor (exact cosine, self excluded,
     deterministic cos-DESC/id-ASC tie rule) votes its label; per-label
     accuracy = fraction of agreeing votes.  Built from
-    cosine_topk_fast(k=1) (the Arrow GEMM path — identical rows to the
-    codegen fold, pytest-equivalence-checked) + two label joins + one
-    grouped avg.  Oracle: the _COSINE_ORACLE pairwise construction at
-    rk = 1 with the same tie rule."""
+    similarity.knn_label_accuracy (cosine_topk_fast(k=1) under the hood —
+    the Arrow GEMM path, identical rows to the codegen fold) + two label
+    joins + one grouped avg.  The operator is a bounded-SAMPLE probe
+    (max_probe raise; at corpus scale the probe is a sample or the exact
+    pass swaps to ANN — the fixture fits whole).  Oracle: the
+    _COSINE_ORACLE pairwise construction at rk = 1 with the same tie
+    rule."""
     emb = _t(spark, d, "embeddings")
-    nn = similarity.cosine_topk_fast(emb, emb, k=1)
-    labels = emb.select("vec_id", "label")
-    j = (
-        nn.join(
-            labels.select(
-                F.col("vec_id").alias("query_id"),
-                F.col("label").alias("q_label"),
-            ),
-            "query_id",
-        )
-        .join(
-            labels.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("label").alias("n_label"),
-            ),
-            "neighbor_id",
-        )
-    )
-    return (
-        j.groupBy("q_label")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.avg((F.col("q_label") == F.col("n_label")).cast("double")),
-                6,
-            ).alias("acc"),
-        )
-        .orderBy("q_label")
-    )
+    return similarity.knn_label_accuracy(emb, "label", k=1)
 
 
 def q_semantic_decon(spark, d):

@@ -300,19 +300,48 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_bench_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "tpch_recheck": tpch_recheck,
-                "cpu_mask": cpu_mask,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "total_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "tpch_recheck": tpch_recheck,
+        "cpu_mask": cpu_mask,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # The driver records only the LAST 2000 chars of stdout (BENCH_r3/r4
+    # came back "parsed": null once the full per-query dict outgrew that
+    # window — VERDICT r4 #7).  The complete result goes to BENCH_FULL.json
+    # at the repo root for round-over-round comparison; the printed line
+    # carries the headline subset and is length-capped so it always parses.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+        "w",
+    ) as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+    headline = [
+        "ingest_csv",
+        *[f"tpch_q{i}" for i in range(1, 23)],
+        "preview_page", "join_chain", "groupby_agg", "window_rank",
+        "dedup_exact", "minhash_candidates", "simhash_candidates",
+        "paragraph_dedup", "winnow_fast", "fuzzy_pairs",
+        "bloom_decontaminate", "semantic_decon", "semantic_dedup",
+        "cosine_topk", "embedding_dedup", "pq_topk", "ivfpq_topk",
+        "mutual_nn", "margin_pairs", "knn_accuracy", "image_neardup",
+        "bm25_rank", "hybrid_rrf", "ccnet_buckets", "gopher_rules",
+        "tumbling_window", "session_window", "event_funnel", "gap_fill",
+        "hll_rollup", "multimodal_join", "mutation_update",
+        "dialect_asof", "distinct_on", "projection_agg", "ttl_expire",
+    ]
+    line = dict(result)
+    line.pop("tpch_recheck")  # in BENCH_FULL.json
+    line["queries"] = {n: timings[n] for n in headline if n in timings}
+    line["queries_full"] = "BENCH_FULL.json"
+    s = json.dumps(line)
+    while len(s) > 1900 and line["queries"]:
+        line["queries"].popitem()
+        s = json.dumps(line)
+    print(s)
 
 
 if __name__ == "__main__":

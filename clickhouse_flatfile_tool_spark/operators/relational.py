@@ -1103,7 +1103,12 @@ def ttest(
 
 
 def mann_whitney_u(
-    df: DataFrame, group_col: str, value_col: str, group_a, group_b
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    quantize: float | None = None,
 ) -> DataFrame:
     """Mann–Whitney U — ClickHouse ``mannWhitneyUTest``: AVERAGE rank for
     ties (the tie-corrected convention), U₁ = R₁ − n₁(n₁+1)/2 for
@@ -1112,14 +1117,23 @@ def mann_whitney_u(
     Scale shape: rows first aggregate to DISTINCT VALUES (one shuffle,
     map-side combinable — ties collapse to (value, cnt_a, cnt_b) cells),
     and the single-partition cumulative window then runs over the
-    distinct-value frame only, whose cardinality is bounded by the
-    measurement's resolution, not the row count.  Average rank of value v
-    = (running count before v) + (cnt_v + 1)/2; R₁ = Σ cnt_a(v)·rank(v).
-    """
+    distinct-value frame only.  That frame is bounded ONLY for discrete
+    inputs (integer codes, fixed-decimal money); for continuous float64
+    columns distinct ≈ rows, and the window becomes the bottleneck at
+    scale.  For those pass ``quantize`` — the bin width values are
+    rounded to before ranking (e.g. ``0.001``): the window input then
+    has at most (max−min)/quantize + 1 rows regardless of corpus size,
+    and the statistic is exact for the quantized data (the standard
+    resolution-limited-measurement semantics).  Default None keeps the
+    exact path for discrete inputs."""
     two = df.filter(F.col(group_col).isin([group_a, group_b])).filter(
         F.col(value_col).isNotNull()
     )
-    cells = two.groupBy(F.col(value_col).alias("__v")).agg(
+    v = F.col(value_col)
+    if quantize is not None:
+        q = float(quantize)
+        v = F.round(v / q) * q
+    cells = two.groupBy(v.alias("__v")).agg(
         F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0))
         .cast("double")
         .alias("__ca"),
@@ -1148,18 +1162,31 @@ def mann_whitney_u(
 
 
 def ks_test(
-    df: DataFrame, group_col: str, value_col: str, group_a, group_b
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    quantize: float | None = None,
 ) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov — ClickHouse
     ``kolmogorovSmirnovTest``: D = max |F̂ₐ(v) − F̂ᵦ(v)| over the combined
     support.  Same scale shape as :func:`mann_whitney_u`: rows collapse
     to distinct-value cells first, the cumulative window runs over value
-    cardinality only, and the max is a 1-row combine.  Statistic only
+    cardinality only, and the max is a 1-row combine.  As there, the
+    cell frame is row-sized for continuous float64 inputs — pass
+    ``quantize`` (bin width) to bound the window input at
+    (max−min)/quantize + 1 CDF steps; D on the binned CDF differs from
+    exact D by at most the mass of one bin boundary.  Statistic only
     (the anova stance on p-values)."""
     two = df.filter(F.col(group_col).isin([group_a, group_b])).filter(
         F.col(value_col).isNotNull()
     )
-    cells = two.groupBy(F.col(value_col).alias("__v")).agg(
+    v = F.col(value_col)
+    if quantize is not None:
+        q = float(quantize)
+        v = F.round(v / q) * q
+    cells = two.groupBy(v.alias("__v")).agg(
         F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0))
         .cast("double")
         .alias("__ca"),

@@ -1775,3 +1775,76 @@ def cosine_topk_fast(
     return nn.select(
         "query_id", "neighbor_id", F.round("__cos", 6).alias("cos_sim")
     )
+
+
+def knn_label_accuracy(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe: DataFrame | None = None,
+    max_probe: int = 200_000,
+) -> DataFrame:
+    """Leave-one-out k-NN label accuracy — the standard embedding-quality
+    PROBE (does nearest-neighbor structure respect labels?): each probe
+    vector's k nearest corpus neighbors (exact cosine, self excluded,
+    cos-DESC/id-ASC tie rule) majority-vote a label; per-label accuracy =
+    fraction of agreeing votes.  Returns (q_label, n, acc).
+
+    This is a bounded-SAMPLE tool by design, mirroring
+    :func:`_directional_topk`'s guard: the probe side (default: the whole
+    ``embeddings`` frame) broadcasts as one GEMM operand and RAISES past
+    ``max_probe`` rows.  At corpus scale pass a sampled ``probe``
+    (``embeddings.sample(...)`` — the quality estimate converges fast) or
+    swap the exact pass for :func:`ann_cosine_topk`/:func:`ivf_search`;
+    the label joins and the grouped average are unchanged either way.
+    The corpus side streams partition-by-partition and is never
+    collected, so only the probe is bounded."""
+    p = probe if probe is not None else embeddings
+    if p.limit(max_probe + 1).count() > max_probe:
+        raise ValueError(
+            f"knn_label_accuracy: probe side exceeds {max_probe} rows — "
+            "this is a sample probe; pass probe=embeddings.sample(...) "
+            "or use ann_cosine_topk for full-corpus sweeps"
+        )
+    nn = cosine_topk_fast(
+        p, embeddings, k=k, query_id=id_col, corpus_id=id_col, vec_col=vec_col
+    )
+    labels = embeddings.select(
+        F.col(id_col).alias("__id"), F.col(label_col).alias("__lbl")
+    )
+    j = (
+        nn.join(
+            labels.select(
+                F.col("__id").alias("query_id"), F.col("__lbl").alias("q_label")
+            ),
+            "query_id",
+        ).join(
+            labels.select(
+                F.col("__id").alias("neighbor_id"),
+                F.col("__lbl").alias("n_label"),
+            ),
+            "neighbor_id",
+        )
+    )
+    if k > 1:
+        # majority vote with deterministic ties: highest count, then
+        # lexicographically smallest label
+        votes = j.groupBy("query_id", "q_label", "n_label").count()
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("count"), F.asc("n_label")
+        )
+        j = votes.withColumn("__r", F.row_number().over(w)).filter(
+            F.col("__r") == 1
+        )
+    return (
+        j.groupBy("q_label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.avg((F.col("q_label") == F.col("n_label")).cast("double")), 6
+            ).alias("acc"),
+        )
+        .orderBy("q_label")
+    )

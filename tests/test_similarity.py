@@ -622,3 +622,39 @@ def test_cosine_topk_fast_equals_fold(spark, sf_dir):
     a = sorted(tuple(r) for r in cosine_topk(emb, emb, k=3).collect())
     b = sorted(tuple(r) for r in cosine_topk_fast(emb, emb, k=3).collect())
     assert a == b and len(a) > 0
+
+
+def test_knn_label_accuracy_probe_guard(spark):
+    """knn_label_accuracy: planted clusters score 1.0, a mislabeled vector
+    drags its label down, and the probe side RAISES past max_probe
+    (bounded-sample contract, VERDICT r4 #6)."""
+    import pytest
+
+    from clickhouse_flatfile_tool_spark.operators.similarity import (
+        knn_label_accuracy,
+    )
+
+    rows = [
+        (1, "a", [1.0, 0.0, 0.05]),
+        (2, "a", [1.0, 0.0, -0.05]),
+        (3, "b", [0.0, 1.0, 0.05]),
+        (4, "b", [0.0, 1.0, -0.05]),
+        (5, "b", [1.0, 0.0, 0.0]),  # labeled b, sits in the a cluster
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    )
+    got = {r.q_label: (r.n, r.acc) for r in knn_label_accuracy(emb).collect()}
+    assert got["a"][0] == 2 and got["b"][0] == 3
+    # 1-NN of BOTH a vectors is the mislabeled b vector sitting between
+    # them; b3/b4 pair up correctly, b5's nearest is an a vector
+    assert got["a"][1] == 0.0
+    assert abs(got["b"][1] - 2 / 3) < 1e-6
+    with pytest.raises(ValueError, match="probe side exceeds"):
+        knn_label_accuracy(emb, max_probe=3)
+    # sampled probe path: restricting the probe keeps the corpus whole
+    probe = emb.filter("vec_id <= 2")
+    sampled = {
+        r.q_label: r.n for r in knn_label_accuracy(emb, probe=probe).collect()
+    }
+    assert sampled == {"a": 2}
