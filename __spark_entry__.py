@@ -4295,14 +4295,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   window_first_last -> window_lag map_props -> array_funcs/json_props
     return {
         # ------------------------------------------------------------------
-        # ROUND-4 DRIVER WINDOW (first 50 slots).  Slots 1-25: every entry
-        # with no current green CORRECTNESS row — the complete r3 DEFERRED
-        # backlog (7 oracled + 14 rows-only), the stale-green tumbling_window
-        # (r3 avg_value fix), and this round's new queries (dialect_asof,
-        # ema_recursive oracled; uniq_state_merge rows-only).  One driver
-        # pass proves the ENTIRE registry (VERDICT r3 #1).
+        # ROUND-5 DRIVER WINDOW (first 50 slots) — finishes the registry:
+        # the 2 fixed r4 reds (tpch_q12 BIGINT casts, clickhouse_funcs3
+        # array stringification), the 3 other canonicalizer-interface
+        # fixes, the complete never-checked backlog (36), and 9 stale
+        # re-proves whose implementation drifted since their green row
+        # (r5 dialect edits; fingerprint audit scripts/registry_window.py).
+        # dialect_funnel/dialect_retention/dialect_stats defer to r6 —
+        # the ONLY formally-stale leftovers (probe-gating edit cannot
+        # change SELECT results; selfcheck re-PASS) — 53 candidates, 50
+        # slots.
         # ------------------------------------------------------------------
+        "tpch_q12": q_tpch_q12,
+        "clickhouse_funcs3": q_clickhouse_funcs3,
+        "summap_merge": q_summap_merge,
+        "clickhouse_funcs4": q_clickhouse_funcs4,
+        "dialect_batch16": q_dialect_batch16,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "dialect_final": q_dialect_final,
+        "pack_bestfit": q_pack_bestfit,
+        "strip_html": q_strip_html,
+        "sequence_next_node": q_sequence_next_node,
+        "dialect_geo": q_dialect_geo,
+        "dialect_batch17": q_dialect_batch17,
+        "semantic_decon": q_semantic_decon,
+        "knn_accuracy": q_knn_accuracy,
+        "dialect_clauses": q_dialect_clauses,
+        "distinct_on": q_distinct_on,
+        "dialect_ips": q_dialect_ips,
+        "dialect_aggs2": q_dialect_aggs2,
+        "dialect_dates2": q_dialect_dates2,
+        "mutual_nn": q_mutual_nn,
+        "value_entropy": q_value_entropy,
+        "corr_matrix": q_corr_matrix,
+        "margin_pairs": q_margin_pairs,
+        "sparkbar": q_sparkbar,
+        "winnow": q_winnow,
+        "ttl_expire": q_ttl_expire,
+        "projection_agg": q_projection_agg,
+        "domain_block": q_domain_block,
+        "lttb_downsample": q_lttb_downsample,
+        "anova": q_anova,
+        "cramers_v": q_cramers_v,
+        "hypothesis_tests": q_hypothesis_tests,
+        "embedding_drift": q_embedding_drift,
+        "clickhouse_dialect": q_clickhouse_dialect,
+        "clickhouse_funcs2": q_clickhouse_funcs2,
+        "url_funcs": q_url_funcs,
+        "asof_join": q_asof_join,
+        "replacing_final": q_replacing_final,
+        "clickhouse_dates": q_clickhouse_dates,
         "dialect_asof": q_dialect_asof,
+        "with_fill": q_with_fill,
+        "sequence_match": q_sequence_match,
+        # ------------------------------------------------------------------
+        # tail: proven green in CORRECTNESS_r01-r04; order immaterial
+        # ------------------------------------------------------------------
         "dialect_funnel": q_dialect_funnel,
         "dialect_retention": q_dialect_retention,
         "dialect_stats": q_dialect_stats,
@@ -4310,20 +4366,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_neardup": q_image_neardup,
         "ema_recursive": q_ema_recursive,
         "uniq_state_merge": q_uniq_state_merge,
-        "clickhouse_funcs3": q_clickhouse_funcs3,
-        "with_fill": q_with_fill,
         "jsonl_scan": q_jsonl_scan,
         "winsorize": q_winsorize,
         "paragraph_dedup": q_paragraph_dedup,
         "zipf_fit": q_zipf_fit,
         "pr_curve": q_pr_curve,
-        "sequence_match": q_sequence_match,
         "tpch_q3": q_tpch_q3,
         "tpch_q8": q_tpch_q8,
         "tpch_q4": q_tpch_q4,
         "tpch_q7": q_tpch_q7,
         "tpch_q10": q_tpch_q10,
-        "tpch_q12": q_tpch_q12,
         "tpch_q22": q_tpch_q22,
         "max_intersections": q_max_intersections,
         "hard_negatives": q_hard_negatives,
@@ -4351,30 +4403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_docs": q_pagerank_docs,
         "stream_enrich": q_stream_enrich,
         "stream_quality_gate": q_stream_quality_gate,
-        # clickhouse_dates: stale-green (impl drifted since its r1 row) —
-        # must sit inside the window like any unproven entry
-        "clickhouse_dates": q_clickhouse_dates,
-        # tpch_q13/tpch_q15: DEFERRED to round 5 (more unproven entries
-        # than window slots — see scripts/registry_window.py); both
-        # selfcheck-PASS at sf0.01 AND sf0.1
-        "tpch_q13": q_tpch_q13,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
-        # Remaining slots: proven filler, chosen to RE-prove the greens most
-        # affected by this session's changes — the dialect family (empty()/
-        # IN-list/subscript/ASOF rewrites touched translate_clickhouse_sql),
-        # the similarity family (PQ index refactor touched similarity.py),
-        # and the TPC-H block (the bench contention control re-measures it).
-        "clickhouse_dialect": q_clickhouse_dialect,
         "clickhouse_aggs": q_clickhouse_aggs,
-        "clickhouse_funcs2": q_clickhouse_funcs2,
-        "url_funcs": q_url_funcs,
         "dict_lookup": q_dict_lookup,
         "sql_tpch": q_sql_tpch,
         "sql_recursive": q_sql_recursive,
@@ -4392,10 +4421,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_funnel": q_window_funnel,
         "stream_mv": q_stream_mv,
         "corpus_stats": q_corpus_stats,
-        "asof_join": q_asof_join,
-        # ------------------------------------------------------------------
-        # tail: proven green in CORRECTNESS_r01-r03; order retained
-        # ------------------------------------------------------------------
         "gopher_rules": q_gopher_rules,
         "boilerplate": q_boilerplate,
         "decontaminate": q_decontaminate,
@@ -4454,7 +4479,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "dedup_cc": q_dedup_cc,
         "collapsing_final": q_collapsing_final,
-        "replacing_final": q_replacing_final,
         "summing_final": q_summing_final,
         "hier_rollup": q_hier_rollup,
         "pipeline_filter_dedup": q_pipeline_filter_dedup,
@@ -4516,36 +4540,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_text": q_chunk_text,
         "hash_split": q_hash_split,
         "ngram_jaccard": q_ngram_jaccard,
-        "dialect_final": q_dialect_final,
-        "summap_merge": q_summap_merge,
-        "pack_bestfit": q_pack_bestfit,
-        "strip_html": q_strip_html,
-        "clickhouse_funcs4": q_clickhouse_funcs4,
-        "dialect_batch16": q_dialect_batch16,
-        "sequence_next_node": q_sequence_next_node,
-        "dialect_geo": q_dialect_geo,
-        "dialect_batch17": q_dialect_batch17,
-        "semantic_decon": q_semantic_decon,
-        "knn_accuracy": q_knn_accuracy,
-        "dialect_clauses": q_dialect_clauses,
-        "distinct_on": q_distinct_on,
-        "dialect_ips": q_dialect_ips,
-        "dialect_aggs2": q_dialect_aggs2,
-        "dialect_dates2": q_dialect_dates2,
-        "mutual_nn": q_mutual_nn,
-        "value_entropy": q_value_entropy,
-        "corr_matrix": q_corr_matrix,
-        "margin_pairs": q_margin_pairs,
-        "sparkbar": q_sparkbar,
-        "winnow": q_winnow,
-        "ttl_expire": q_ttl_expire,
-        "projection_agg": q_projection_agg,
-        "domain_block": q_domain_block,
-        "lttb_downsample": q_lttb_downsample,
-        "anova": q_anova,
-        "cramers_v": q_cramers_v,
-        "hypothesis_tests": q_hypothesis_tests,
-        "embedding_drift": q_embedding_drift,
     }
 
 

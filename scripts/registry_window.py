@@ -43,13 +43,11 @@ FINGERPRINTS_PATH = os.path.join(
 )
 
 # Manual override for staleness the fingerprint can't see (kept empty when
-# the automatic check suffices).  tumbling_window: its r3 avg_value fix
-# predates the fingerprint snapshot, so the automatic check can't flag it.
-# tpch_q10: an r2 green row exists under this name but belongs to the
-# PRUNED r2 implementation — the r4 rewrite is new code the fingerprint
-# file has no baseline for (names absent from the snapshot can't drift).
-# Drop both once a round-4+ green row lands.
-CHANGED_SINCE_GREEN: set[str] = {"tumbling_window", "tpch_q10"}
+# the automatic check suffices).  Round 5: empty — the r4 greens were
+# snapshotted at the r4-end commit (3a368d6) via a git worktree, so every
+# r5 edit (the dialect probe-gating + INTERPOLATE fixes) is auto-flagged;
+# the former tumbling_window/tpch_q10 entries dropped with their r4 greens.
+CHANGED_SINCE_GREEN: set[str] = set()
 
 
 def _fingerprint(qfn, oracle: str | None) -> str:
@@ -116,18 +114,14 @@ def stale_entries() -> set[str]:
     return drifted | CHANGED_SINCE_GREEN
 
 # Entries deliberately parked past the window edge (more unproven entries
-# than the 50 driver slots).  Composition of the round-5 backlog:
-#   * 9 TPC-H shapes (q2/q9/q11/q13/q15/q16/q17/q20/q21) — classic plans,
-#     all selfcheck-PASS at sf0.01 (most also at sf0.1)
-#   * the session-4/5 dialect + endpoint additions (dialect_batch16/17,
-#     dialect_geo, sequence_next_node, semantic_decon, …)
-#   * dialect-dependent greens the session-5 fingerprint extension
-#     re-flagged as stale (clickhouse_dialect/clickhouse_funcs2/url_funcs
-#     — r1 rows, the dialect changed; all selfcheck re-PASS now)
-#   * fingerprint-drifted singles (asof_join, replacing_final, …)
-# Every name here passes scripts/selfcheck.py locally; the r5 window
-# rotation turns them driver-proven.
-DEFERRED: set[str] = {"tpch_q13", "tpch_q15", "tpch_q17", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16", "tpch_q20", "tpch_q21", "dialect_final", "summap_merge", "pack_bestfit", "strip_html", "clickhouse_funcs4", "dialect_batch16", "sequence_next_node", "dialect_geo", "dialect_batch17", "semantic_decon", "knn_accuracy", "dialect_clauses", "distinct_on", "clickhouse_dialect", "clickhouse_funcs2", "url_funcs", "dialect_aggs2", "dialect_dates2", "dialect_ips", "ttl_expire", "projection_agg", "domain_block", "lttb_downsample", "anova", "cramers_v", "hypothesis_tests", "embedding_drift", "replacing_final", "mutual_nn", "value_entropy", "corr_matrix", "margin_pairs", "asof_join", "sparkbar", "winnow"}
+# than the 50 driver slots).  Round-5 composition: the whole never-checked
+# backlog + stale re-proves fit the window EXCEPT three r4 greens whose
+# staleness is purely FORMAL — the whole-dialect-module fingerprint flags
+# them after the r5 probe-gating edit (dialect.py), but that edit cannot
+# change SELECT results (it only stops spark.sql from eagerly executing
+# command statements during the analysis probe); all three selfcheck
+# re-PASS.  They re-rotate in round 6.
+DEFERRED: set[str] = {"dialect_funnel", "dialect_retention", "dialect_stats"}
 
 
 def main() -> int:

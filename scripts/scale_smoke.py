@@ -346,6 +346,62 @@ def main() -> None:
         return similarity.semantic_decontaminate(df, bench, threshold=0.9)
 
     out["semantic_decon"] = _time_pair(decon_op, sd1, sdk, k)
+
+    # round-5 additions (VERDICT r4 #5) — the r4-session-5 heavy operators
+    # kNN label probe: the probe side is FIXED (a bounded sample by the
+    # operator's max_probe contract — the semantic_decon stance), the
+    # labeled corpus grows ×K; one broadcast GEMM pass, healthy ratio ≈ K
+    lab1 = read_parquet(
+        spark, os.path.join(sf_dir, "embeddings.parquet")
+    ).select("vec_id", "embedding", "label").localCheckpoint()
+    n_lab = lab1.count()
+    labk = (
+        lab1.crossJoin(
+            F.broadcast(spark.range(k).select(F.col("id").alias("__copy")))
+        )
+        .select(
+            (F.col("vec_id") + F.col("__copy") * n_lab).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        .localCheckpoint()
+    )
+    knn_probe = lab1.filter("vec_id < 500").localCheckpoint()
+
+    out["knn_probe"] = _time_pair(
+        lambda df: similarity.knn_label_accuracy(df, probe=knn_probe),
+        lab1,
+        labk,
+        k,
+    )
+
+    # bitext mining (mutual-NN + margin): the left side is the bounded
+    # broadcast operand (max_queries raise; ANN is the unbounded tool),
+    # the right corpus grows ×K — two directional passes, each linear in
+    # the grown side, so healthy ratio ≈ K
+    l_half = emb1.filter("vec_id % 2 = 0").localCheckpoint()
+    r_half = emb1.filter("vec_id % 2 = 1").localCheckpoint()
+    r_k = scaled_embeddings(r_half, k).localCheckpoint()
+    out["mutual_nn"] = _time_pair(
+        lambda df: similarity.mutual_nn_pairs(l_half, df), r_half, r_k, k
+    )
+    out["margin_pairs"] = _time_pair(
+        lambda df: similarity.margin_mined_pairs(l_half, df), r_half, r_k, k
+    )
+
+    # image near-dup: hash + BANDING stage at CONSTANT per-copy duplicate
+    # density — n_groups scales with K so group size (10) and the planted
+    # pair count stay constant per copy (the fixture's doc_id % 50 groups
+    # would otherwise grow K× each and candidates K²× BY CONSTRUCTION —
+    # the image_dhash caveat above); healthy ratio ≈ K
+    from clickhouse_flatfile_tool_spark.operators import multimodal as _mm
+
+    def neardup_op(df):
+        ng = 50 if df is ids1 else 50 * k
+        tiles = _mm.synthesize_tile_payloads(df, n_groups=ng)
+        return _mm.image_neardup_pairs(_mm.dhash64(tiles))
+
+    out["image_neardup_band"] = _time_pair(neardup_op, ids1, idsk, k)
     print(json.dumps({"k": k, "ops": out}))
 
 
