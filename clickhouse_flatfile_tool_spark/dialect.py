@@ -3542,6 +3542,82 @@ def _asof_lateral(
     )
 
 
+_PASTE_PAT = re.compile(
+    r"\bFROM\s+([A-Za-z_][\w.]*)"
+    r"(?:\s+AS\s+([A-Za-z_]\w*)|\s+(?!PASTE\b)([A-Za-z_]\w*))?"
+    r"\s+PASTE\s+JOIN\s+([A-Za-z_][\w.]*)"
+    r"(?:\s+AS\s+([A-Za-z_]\w*)|\s+(?!WHERE\b|GROUP\b|ORDER\b|LIMIT\b"
+    r"|HAVING\b|UNION\b|WINDOW\b|SETTINGS\b|FORMAT\b|PASTE\b|JOIN\b"
+    r"|LEFT\b|RIGHT\b|INNER\b|CROSS\b|FULL\b|ON\b|USING\b)"
+    r"([A-Za-z_]\w*))?",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_paste_join(chunk: str) -> str:
+    """ClickHouse ``A PASTE JOIN B`` — positional (horizontal) row
+    concatenation, no join condition.  ClickHouse pastes in block-arrival
+    order, which no distributed engine can reproduce; like the DataFrame
+    operator (``relational.paste_join``, which this mirrors) position is
+    defined by each side's full-row sort order — deterministic and
+    engine-portable::
+
+        FROM (SELECT __pl.*, __pr.* FROM
+          (SELECT struct(a.*) AS __pl,
+                  row_number() OVER (ORDER BY struct(a.*)) AS __pos
+           FROM A AS a)
+          JOIN (... B ...) USING (__pos))
+
+    Unequal lengths truncate to the shorter side (inner join on the
+    position), matching the DataFrame form.  Scope (documented): both
+    sides plain table/view names (optionally aliased); the output
+    flattens both rows, so the outer query uses UNQUALIFIED column
+    names — the natural PASTE shape (sides with distinct columns).  The
+    unpartitioned row_number is the honest cost of positional semantics
+    (same note as relational.paste_join) — for result-shaped frames,
+    not raw fact tables."""
+    m = _PASTE_PAT.search(chunk)
+    while m:
+        lt, la1, la2, rt, ra1, ra2 = m.groups()
+        la = la1 or la2 or lt.split(".")[-1]
+        ra = ra1 or ra2 or rt.split(".")[-1]
+        repl = (
+            f"FROM (SELECT __pl.*, __pr.* FROM "
+            f"(SELECT struct({la}.*) AS __pl, row_number() OVER "
+            f"(ORDER BY struct({la}.*)) AS __pos FROM {lt} AS {la}) "
+            f"JOIN (SELECT struct({ra}.*) AS __pr, row_number() OVER "
+            f"(ORDER BY struct({ra}.*)) AS __pos FROM {rt} AS {ra}) "
+            f"USING (__pos))"
+        )
+        chunk = chunk[: m.start()] + repl + chunk[m.end():]
+        m = _PASTE_PAT.search(chunk, m.start() + len(repl))
+    return chunk
+
+
+_TOTALS_PAT = re.compile(r"(?is)\bGROUP\s+BY\s+(.+?)\s+WITH\s+TOTALS\b")
+
+
+def _rewrite_with_totals(chunk: str) -> str:
+    """ClickHouse ``GROUP BY k… WITH TOTALS`` → ``GROUP BY GROUPING SETS
+    ((k…), ())`` — the per-group rows plus ONE grand-total row aggregated
+    over all rows, in a single Catalyst pass (partial aggregates feed
+    both sets; no second scan).  Divergence (documented): ClickHouse
+    fills the totals row's key columns with type defaults (0, '') and
+    ships it out-of-band; here the keys are NULL — Spark's grouping-set
+    convention, and the unambiguous in-band marker (a real group can be
+    0 or '' but never NULL post-GROUP BY of non-NULL keys).  Scope: the
+    keys list is the text between GROUP BY and WITH TOTALS (non-greedy),
+    so each statement's final GROUP BY … WITH TOTALS rewrites
+    independently; TOTALS inside string literals are masked upstream.
+    Reference parity: ClickHouse "WITH TOTALS Modifier" docs; the
+    reference passes user SQL through to ClickHouse verbatim
+    (server/server.js:444-470)."""
+    return _TOTALS_PAT.sub(
+        lambda m: f"GROUP BY GROUPING SETS (({m.group(1).strip()}), ())",
+        chunk,
+    )
+
+
 _FINAL_PAT = re.compile(r"(?i)\b(FROM|JOIN)\s+(\w+)((?:\s+AS\s+\w+)?)\s+FINAL\b")
 
 
@@ -4385,6 +4461,8 @@ def _translate_once(sql: str, spark=None, where_aliases: bool = False) -> str:
     chunk = _rewrite_final(chunk)
     chunk = _rewrite_clauses(chunk)
     chunk = _rewrite_with_fill(chunk)
+    chunk = _rewrite_with_totals(chunk)
+    chunk = _rewrite_paste_join(chunk)
     chunk = _rewrite_asof_join(chunk)
     chunk = _rewrite_any_join(chunk, spark)
     chunk = _rewrite_int_div(chunk)

@@ -132,6 +132,15 @@ OPS = {
 }
 
 
+# --only name1,name2 restricts the run (skipped ops print nothing); the
+# inputs each op needs are still built, everything else is bypassed
+_ONLY: set[str] | None = None
+
+
+def _wanted(name: str) -> bool:
+    return _ONLY is None or name in _ONLY
+
+
 def _time_pair(op, in_1x, in_kx, k: int):
     times = []
     for df in (in_1x, in_kx):
@@ -149,6 +158,12 @@ def _time_pair(op, in_1x, in_kx, k: int):
 
 
 def main() -> None:
+    global _ONLY
+    args = [a for a in sys.argv[1:] if not a.startswith("--only")]
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            _ONLY = set(a.split("=", 1)[1].split(","))
+    sys.argv[1:] = args
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     spark = get_spark(app_name="scale-smoke")
@@ -159,18 +174,19 @@ def main() -> None:
 
     out = {}
     for name, op in OPS.items():
-        out[name] = _time_pair(op, docs1, docsk, k)
+        if _wanted(name):
+            out[name] = _time_pair(op, docs1, docsk, k)
 
     # round-3 heavy operators (VERDICT r3 #3) — each with the input
     # scaling that isolates the operator's own weak-scaling behavior
     plaink = scaled_plain(docs1, k).localCheckpoint()
-    out["bm25_scores"] = _time_pair(
+    if _wanted("bm25_scores"): out["bm25_scores"] = _time_pair(
         lambda df: retrieval.bm25_scores(df, ["vector", "hash", "join"]),
         docs1,
         plaink,
         k,
     )
-    out["bloom_decontaminate"] = _time_pair(
+    if _wanted("bloom_decontaminate"): out["bloom_decontaminate"] = _time_pair(
         lambda df: dedup.bloom_decontaminate(
             df.filter("doc_id % 20 != 0"), df.filter("doc_id % 20 = 0")
         ),
@@ -184,7 +200,7 @@ def main() -> None:
     # stage shares _bucket_pairs with minhash and the fixture's planted
     # duplicate structure grows pairs quadratically by construction (the
     # image_dhash stance)
-    out["winnow_fps"] = _time_pair(
+    if _wanted("winnow_fps"): out["winnow_fps"] = _time_pair(
         lambda df: dedup.winnow_fingerprints(df, k=8, w=8, hash_fn="xx").select(
             "doc_id", F.size("fps").alias("n")
         ),
@@ -194,7 +210,7 @@ def main() -> None:
     )
     fz1 = scaled_fuzzy(docs1, 1).localCheckpoint()
     fzk = scaled_fuzzy(docs1, k).localCheckpoint()
-    out["fuzzy_pairs"] = _time_pair(
+    if _wanted("fuzzy_pairs"): out["fuzzy_pairs"] = _time_pair(
         lambda df: dedup.edit_distance_pairs(
             df.select("doc_id", F.substring("text", 1, 30).alias("pref")),
             "doc_id",
@@ -216,7 +232,7 @@ def main() -> None:
     enc1 = similarity.pq_encode(emb1, cb).localCheckpoint()
     enck = similarity.pq_encode(embk, cb).localCheckpoint()
     q = emb1.filter("vec_id < 10")
-    out["pq_search"] = _time_pair(
+    if _wanted("pq_search"): out["pq_search"] = _time_pair(
         lambda enc: similarity.pq_topk(q, enc, cb, k=5, rerank=50), enc1, enck, k
     )
     # SQL ASOF rewrite (union + running last_value): events-based probe —
@@ -252,7 +268,7 @@ def main() -> None:
             )
         )
 
-    out["dialect_asof"] = _time_pair(asof_sql, ev1, evk, k)
+    if _wanted("dialect_asof"): out["dialect_asof"] = _time_pair(asof_sql, ev1, evk, k)
 
     # SQL windowFunnel rewrite (single O(E·k) anchor fold): per-key event
     # volume is constant per copy, so healthy scaling is ~linear in keys
@@ -267,7 +283,7 @@ def main() -> None:
             )
         )
 
-    out["dialect_funnel"] = _time_pair(funnel_sql, ev1, evk, k)
+    if _wanted("dialect_funnel"): out["dialect_funnel"] = _time_pair(funnel_sql, ev1, evk, k)
 
     # round-4 heavy operators — image hashing and SemDeDup
     from clickhouse_flatfile_tool_spark.operators import multimodal
@@ -287,7 +303,7 @@ def main() -> None:
         .select((F.col("doc_id") + F.col("__copy") * n_docs).alias("doc_id"))
         .localCheckpoint()
     )
-    out["image_dhash"] = _time_pair(
+    if _wanted("image_dhash"): out["image_dhash"] = _time_pair(
         lambda df: multimodal.dhash64(multimodal.synthesize_tile_payloads(df)),
         ids1,
         idsk,
@@ -335,7 +351,7 @@ def main() -> None:
             df, centroids=cent, assign="hier"
         )
 
-    out["semantic_dedup"] = _time_pair(semdedup_op, sd1, sdk, k)
+    if _wanted("semantic_dedup"): out["semantic_dedup"] = _time_pair(semdedup_op, sd1, sdk, k)
 
     # semantic decontamination: the benchmark side is FIXED (eval suites
     # don't grow with the corpus), so weak scaling over the corpus side
@@ -345,7 +361,7 @@ def main() -> None:
     def decon_op(df):
         return similarity.semantic_decontaminate(df, bench, threshold=0.9)
 
-    out["semantic_decon"] = _time_pair(decon_op, sd1, sdk, k)
+    if _wanted("semantic_decon"): out["semantic_decon"] = _time_pair(decon_op, sd1, sdk, k)
 
     # round-5 additions (VERDICT r4 #5) — the r4-session-5 heavy operators
     # kNN label probe: the probe side is FIXED (a bounded sample by the
@@ -368,7 +384,7 @@ def main() -> None:
     )
     knn_probe = lab1.filter("vec_id < 500").localCheckpoint()
 
-    out["knn_probe"] = _time_pair(
+    if _wanted("knn_probe"): out["knn_probe"] = _time_pair(
         lambda df: similarity.knn_label_accuracy(df, probe=knn_probe),
         lab1,
         labk,
@@ -382,10 +398,10 @@ def main() -> None:
     l_half = emb1.filter("vec_id % 2 = 0").localCheckpoint()
     r_half = emb1.filter("vec_id % 2 = 1").localCheckpoint()
     r_k = scaled_embeddings(r_half, k).localCheckpoint()
-    out["mutual_nn"] = _time_pair(
+    if _wanted("mutual_nn"): out["mutual_nn"] = _time_pair(
         lambda df: similarity.mutual_nn_pairs(l_half, df), r_half, r_k, k
     )
-    out["margin_pairs"] = _time_pair(
+    if _wanted("margin_pairs"): out["margin_pairs"] = _time_pair(
         lambda df: similarity.margin_mined_pairs(l_half, df), r_half, r_k, k
     )
 
@@ -401,7 +417,7 @@ def main() -> None:
         tiles = _mm.synthesize_tile_payloads(df, n_groups=ng)
         return _mm.image_neardup_pairs(_mm.dhash64(tiles))
 
-    out["image_neardup_band"] = _time_pair(neardup_op, ids1, idsk, k)
+    if _wanted("image_neardup_band"): out["image_neardup_band"] = _time_pair(neardup_op, ids1, idsk, k)
     print(json.dumps({"k": k, "ops": out}))
 
 

@@ -2276,3 +2276,50 @@ def test_array_shingles(spark):
     ).first()
     assert row.a == [[1, 2, 3], [2, 3, 4]]
     assert row.b == [] and row.c == [[7]]
+
+
+def test_paste_join_sql(spark):
+    """PASTE JOIN through the SQL endpoint: positional concatenation with
+    each side ordered by its full row (the relational.paste_join
+    convention); unequal lengths truncate to the shorter side."""
+    spark.createDataFrame(
+        [(2, "b"), (1, "a"), (3, "c")], "id long, s string"
+    ).createOrReplaceTempView("pj_l")
+    spark.createDataFrame(
+        [(20.0,), (10.0,)], "v double"
+    ).createOrReplaceTempView("pj_r")
+    rows = spark.sql(
+        tr("SELECT id, s, v FROM pj_l PASTE JOIN pj_r ORDER BY id")
+    ).collect()
+    # left sorted (1,a),(2,b),(3,c); right sorted 10,20 -> 2 rows
+    assert [(r.id, r.s, r.v) for r in rows] == [(1, "a", 10.0), (2, "b", 20.0)]
+    # aliased form
+    rows2 = spark.sql(
+        tr("SELECT * FROM pj_l AS x PASTE JOIN pj_r AS y ORDER BY id")
+    ).collect()
+    assert len(rows2) == 2 and rows2[0].asDict() == {"id": 1, "s": "a", "v": 10.0}
+
+
+def test_with_totals_sql(spark):
+    """GROUP BY ... WITH TOTALS: per-group rows plus one grand-total row
+    with NULL keys (GROUPING SETS ((keys), ()) — single aggregation
+    pass); works through HAVING/ORDER tails and multi-key groups."""
+    spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 10)], "g string, v long"
+    ).createOrReplaceTempView("wt_t")
+    rows = spark.sql(
+        tr("SELECT g, sum(v) AS s FROM wt_t GROUP BY g WITH TOTALS ORDER BY g")
+    ).collect()
+    got = {(r.g, r.s) for r in rows}
+    assert got == {("a", 3), ("b", 10), (None, 13)}
+    # multi-key: groups + ONE totals row, no intermediate subtotals
+    spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 4)],
+        "g string, h string, v long",
+    ).createOrReplaceTempView("wt_m")
+    rows2 = spark.sql(
+        tr("SELECT g, h, sum(v) AS s FROM wt_m GROUP BY g, h WITH TOTALS")
+    ).collect()
+    assert len(rows2) == 4
+    totals = [r for r in rows2 if r.g is None and r.h is None]
+    assert len(totals) == 1 and totals[0].s == 7
