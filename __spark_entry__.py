@@ -3376,7 +3376,7 @@ def q_dialect_paste(spark, d):
 
 def q_with_totals(spark, d):
     """ClickHouse ``GROUP BY … WITH TOTALS`` through the SQL endpoint
-    (dialect.py::_rewrite_with_totals): per-priority order counts/sums
+    (dialect.py::_merge_with_totals): per-priority order counts/sums
     plus ONE grand-total row in a single aggregation pass (GROUPING SETS
     ((keys), ()) — partial aggregates feed both sets).  The totals row
     carries NULL keys (Spark's grouping-set convention; CH ships type

@@ -3594,30 +3594,6 @@ def _rewrite_paste_join(chunk: str) -> str:
     return chunk
 
 
-_TOTALS_PAT = re.compile(r"(?is)\bGROUP\s+BY\s+(.+?)\s+WITH\s+TOTALS\b")
-
-
-def _rewrite_with_totals(chunk: str) -> str:
-    """ClickHouse ``GROUP BY k… WITH TOTALS`` → ``GROUP BY GROUPING SETS
-    ((k…), ())`` — the per-group rows plus ONE grand-total row aggregated
-    over all rows, in a single Catalyst pass (partial aggregates feed
-    both sets; no second scan).  Divergence (documented): ClickHouse
-    fills the totals row's key columns with type defaults (0, '') and
-    ships it out-of-band; here the keys are NULL — Spark's grouping-set
-    convention, and the unambiguous in-band marker (a real group can be
-    0 or '' but never NULL post-GROUP BY of non-NULL keys).  Scope: the
-    keys list is the text between GROUP BY and WITH TOTALS (non-greedy),
-    so each statement's final GROUP BY … WITH TOTALS rewrites
-    independently; TOTALS inside string literals are masked upstream.
-    Reference parity: ClickHouse "WITH TOTALS Modifier" docs; the
-    reference passes user SQL through to ClickHouse verbatim
-    (server/server.js:444-470)."""
-    return _TOTALS_PAT.sub(
-        lambda m: f"GROUP BY GROUPING SETS (({m.group(1).strip()}), ())",
-        chunk,
-    )
-
-
 _FINAL_PAT = re.compile(r"(?i)\b(FROM|JOIN)\s+(\w+)((?:\s+AS\s+\w+)?)\s+FINAL\b")
 
 
@@ -4461,7 +4437,6 @@ def _translate_once(sql: str, spark=None, where_aliases: bool = False) -> str:
     chunk = _rewrite_final(chunk)
     chunk = _rewrite_clauses(chunk)
     chunk = _rewrite_with_fill(chunk)
-    chunk = _rewrite_with_totals(chunk)
     chunk = _rewrite_paste_join(chunk)
     chunk = _rewrite_asof_join(chunk)
     chunk = _rewrite_any_join(chunk, spark)

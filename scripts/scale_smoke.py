@@ -405,17 +405,51 @@ def main() -> None:
         lambda df: similarity.margin_mined_pairs(l_half, df), r_half, r_k, k
     )
 
-    # image near-dup: hash + BANDING stage at CONSTANT per-copy duplicate
-    # density — n_groups scales with K so group size (10) and the planted
-    # pair count stay constant per copy (the fixture's doc_id % 50 groups
-    # would otherwise grow K× each and candidates K²× BY CONSTRUCTION —
-    # the image_dhash caveat above); healthy ratio ≈ K
+    # image near-dup: hash + BANDING stage at CONSTANT duplicate density —
+    # groups of 10 consecutive ids share an md5-random base tile (one
+    # per-row pixel perturbation), so group count scales with K while
+    # group size and the planted pair count per group stay constant.
+    # The ORACLE fixture's generator (multimodal.synthesize_tile_payloads)
+    # is integer-linear mod 256 and saturates at ~72 distinct dHashes —
+    # scaling its n_groups merges buckets and the candidate count grows
+    # quadratically BY SATURATION, not by operator behavior (measured:
+    # 800 bases -> 72 hashes, 70k cross-base band collisions).  Random
+    # base tiles keep cross-group band collisions negligible
+    # (#groups²·4/2^16 ≈ 20 at K=16), so ratio ≈ K measures the operator.
     from clickhouse_flatfile_tool_spark.operators import multimodal as _mm
 
+    def synth_random_tiles(df):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd  # noqa: F401
+        from pyspark.sql import types as T
+
+        def run(batches):
+            for pdf in batches:
+                payloads = []
+                for i in pdf["doc_id"].to_numpy("int64"):
+                    g = int(i) // 10
+                    buf = b"".join(
+                        hashlib.md5(f"tile{g}:{j}".encode()).digest()
+                        for j in range(5)
+                    )[:72]
+                    a = np.frombuffer(buf, np.uint8).copy()
+                    pos = int(i) % 72
+                    a[pos] = (int(a[pos]) + int(i) % 5) % 256
+                    payloads.append(a.tobytes())
+                o = pdf.copy()
+                o["payload"] = payloads
+                yield o
+
+        schema = T.StructType(
+            list(df.schema.fields)
+            + [T.StructField("payload", T.BinaryType(), False)]
+        )
+        return df.mapInPandas(run, schema)
+
     def neardup_op(df):
-        ng = 50 if df is ids1 else 50 * k
-        tiles = _mm.synthesize_tile_payloads(df, n_groups=ng)
-        return _mm.image_neardup_pairs(_mm.dhash64(tiles))
+        return _mm.image_neardup_pairs(_mm.dhash64(synth_random_tiles(df)))
 
     if _wanted("image_neardup_band"): out["image_neardup_band"] = _time_pair(neardup_op, ids1, idsk, k)
     print(json.dumps({"k": k, "ops": out}))
