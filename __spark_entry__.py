@@ -2380,6 +2380,30 @@ def q_with_fill(spark, d):
     return out.select("dom", F.col("n_events").cast("long").alias("n_events"))
 
 
+def q_with_fill_interp(spark, d):
+    """``WITH FILL … INTERPOLATE (col)`` through the SQL endpoint
+    (dialect.py::_rewrite_with_fill): gap-filled day-of-month rows carry
+    the per-day sum forward from the last ORIGINAL row — the r5 fix
+    carries via an __orig-gated struct, so an original NULL would
+    propagate (CH's carry-previous-row rule) instead of skipping to an
+    older non-NULL.  Oracle: DuckDB generate_series left join +
+    last_value IGNORE NULLS carry (equivalent here because original
+    sums are never NULL)."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    _t(spark, d, "events").createOrReplaceTempView("ev_fill_i")
+    ch_sql = (
+        "SELECT toDayOfMonth(ts) AS dom, count(*) AS n_events, "
+        "round(sum(value), 6) AS sv "
+        "FROM ev_fill_i WHERE toDayOfMonth(ts) % 3 != 1 "
+        "GROUP BY dom ORDER BY dom WITH FILL FROM 1 TO 32 INTERPOLATE (sv)"
+    )
+    out = spark.sql(translate_clickhouse_sql(ch_sql))
+    return out.select(
+        "dom", F.col("n_events").cast("long").alias("n_events"), "sv"
+    )
+
+
 def q_jsonl_scan(spark, d):
     """JSONEachRow source round trip (sources/files.py::write_jsonl +
     read_jsonl): documents project to newline-delimited JSON and read back
@@ -4588,6 +4612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotation, selfcheck-green + pytest-covered meanwhile
         "dialect_paste": q_dialect_paste,
         "with_totals": q_with_totals,
+        "with_fill_interp": q_with_fill_interp,
     }
 
 
@@ -6534,6 +6559,16 @@ FROM ranked WHERE rk <= 5
             "  x := a.x * pow(2, -(e.t - a.t)/3600000000.0) "
             "     + e.x * (1 - pow(2, -(e.t - a.t)/3600000000.0)))).x, 6) AS ema "
             "FROM s"
+        ),
+        "with_fill_interp": (
+            "WITH b AS (SELECT day(ts)::INT AS dom, count(*)::BIGINT AS n_events, "
+            "  round(sum(value), 6) AS sv "
+            "  FROM events WHERE day(ts) % 3 != 1 GROUP BY dom), "
+            "g AS (SELECT unnest(generate_series(1, 31))::INT AS dom), "
+            "j AS (SELECT g.dom, b.n_events, b.sv FROM g LEFT JOIN b USING (dom)) "
+            "SELECT dom, n_events, last_value(sv IGNORE NULLS) OVER ("
+            "ORDER BY dom ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sv "
+            "FROM j ORDER BY dom"
         ),
         "dialect_paste": (
             "WITH a AS (SELECT n_nationkey, n_name, "
