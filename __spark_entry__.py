@@ -2650,6 +2650,36 @@ def q_dialect_batch16(spark, d):
     )
 
 
+def q_dialect_batch18(spark, d):
+    """Dialect batch 18 end-to-end through the SQL endpoint: dateTrunc
+    rename, toWeek mode-0 (Sunday-start 0-53 week numbering, derived
+    arithmetically on both engines), ngramDistance/ngramSearch
+    (DISTINCT-set 4-gram variants — CH counts multisets, documented),
+    JSONLength (array length / object key count), toJSONString,
+    timestamp_diff string-unit form.  Oracle: DuckDB date_trunc /
+    dayofweek arithmetic / list-comprehension 4-grams / json_array_length
+    + json_keys / to_json / datediff."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    _t(spark, d, "documents").createOrReplaceTempView("b18_docs")
+    ch_sql = (
+        "SELECT doc_id, "
+        "dateTrunc('month', makeDate(2024, modulo(doc_id, 12) + 1, "
+        "modulo(doc_id, 28) + 1)) AS mt, "
+        "toWeek(makeDate(2024, modulo(doc_id, 12) + 1, "
+        "modulo(doc_id, 28) + 1)) AS wk, "
+        "round(ngramDistance(substring(text, 1, 12), "
+        "substring(text, 3, 12)), 6) AS nd, "
+        "round(ngramSearch(substring(text, 1, 60), 'there'), 6) AS ns, "
+        "JSONLength(concat('[', toString(modulo(doc_id, 5)), ',2]')) AS jl, "
+        "toJSONString([modulo(doc_id, 3), 7]) AS js, "
+        "timestamp_diff('day', toDateTime('2024-01-01 00:00:00'), "
+        "makeDate(2024, modulo(doc_id, 12) + 1, 15)) AS td "
+        "FROM b18_docs ORDER BY doc_id"
+    )
+    return spark.sql(translate_clickhouse_sql(ch_sql))
+
+
 def q_dialect_clauses(spark, d):
     """Session-5 SQL clauses end-to-end: scalar WITH (the constant
     feeds the QUALIFY bound) + QUALIFY over a window on aggregated
@@ -4613,6 +4643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dialect_paste": q_dialect_paste,
         "with_totals": q_with_totals,
         "with_fill_interp": q_with_fill_interp,
+        "dialect_batch18": q_dialect_batch18,
     }
 
 
@@ -6559,6 +6590,35 @@ FROM ranked WHERE rk <= 5
             "  x := a.x * pow(2, -(e.t - a.t)/3600000000.0) "
             "     + e.x * (1 - pow(2, -(e.t - a.t)/3600000000.0)))).x, 6) AS ema "
             "FROM s"
+        ),
+        "dialect_batch18": (
+            "WITH b AS (SELECT doc_id, text, "
+            "  make_date(2024, (doc_id % 12)::INT + 1, (doc_id % 28)::INT + 1) AS d, "
+            "  substr(text, 1, 12) AS sa, substr(text, 3, 12) AS sb, "
+            "  substr(text, 1, 60) AS hh FROM documents), "
+            "g AS (SELECT doc_id, d, "
+            "  CASE WHEN len(sa) >= 4 THEN list_distinct([substr(sa, i, 4) "
+            "    FOR i IN generate_series(1, len(sa) - 3)]) "
+            "   WHEN len(sa) >= 1 THEN [sa] ELSE [] END AS ga, "
+            "  CASE WHEN len(sb) >= 4 THEN list_distinct([substr(sb, i, 4) "
+            "    FOR i IN generate_series(1, len(sb) - 3)]) "
+            "   WHEN len(sb) >= 1 THEN [sb] ELSE [] END AS gb, "
+            "  CASE WHEN len(hh) >= 4 THEN list_distinct([substr(hh, i, 4) "
+            "    FOR i IN generate_series(1, len(hh) - 3)]) "
+            "   WHEN len(hh) >= 1 THEN [hh] ELSE [] END AS gh "
+            "  FROM b) "
+            "SELECT doc_id, "
+            "date_trunc('month', d)::TIMESTAMP AS mt, "
+            "(floor((dayofyear(d) - 1 - ((7 - dayofweek(date_trunc('year', d))) % 7)) "
+            " / 7.0) + 1)::INT AS wk, "
+            "round(CASE WHEN len(ga) + len(gb) = 0 THEN 0.0 ELSE "
+            " 1.0 - 2.0 * len(list_intersect(ga, gb)) / (len(ga) + len(gb)) END, 6) AS nd, "
+            "round(len(list_intersect(['ther', 'here'], gh))::DOUBLE / 2, 6) AS ns, "
+            "json_array_length('[' || (doc_id % 5) || ',2]')::BIGINT AS jl, "
+            "(to_json([(doc_id % 3)::BIGINT, 7::BIGINT]))::VARCHAR AS js, "
+            "datediff('day', TIMESTAMP '2024-01-01 00:00:00', "
+            " make_date(2024, (doc_id % 12)::INT + 1, 15)::TIMESTAMP)::BIGINT AS td "
+            "FROM g ORDER BY doc_id"
         ),
         "with_fill_interp": (
             "WITH b AS (SELECT day(ts)::INT AS dom, count(*)::BIGINT AS n_events, "

@@ -258,6 +258,12 @@ _RENAMES: list[tuple[str, str]] = [
     ("denseRank", "dense_rank"),
     ("percentRank", "percent_rank"),
     ("mid", "substr"),          # both (s, offset[, length]), 1-based
+    # batch 18: 1:1 renames — both (unit, value) with the same unit
+    # strings ('year'..'second'; CH and Spark both truncate week→Monday)
+    ("dateTrunc", "date_trunc"),
+    # CH toJSONString serializes any value; Spark to_json covers the
+    # container types (struct/array/map) — scalar args error by name
+    ("toJSONString", "to_json"),
     ("timestampAdd", "timestampadd"),  # keyword-unit form, like dateAdd
     # CH sums in the argument's own width and lets it wrap; Spark sum
     # widens to BIGINT/DOUBLE — overflow wrap not reproduced (documented)
@@ -880,6 +886,8 @@ def _rewrite_literal_aware(chunk: str, literals: list[str]) -> str:
     chunk = _rewrite_call(chunk, "formatDateTime", fmt_make)
     chunk = _rewrite_call(chunk, "dateDiff", diff_make)
     chunk = _rewrite_call(chunk, "date_diff", diff_make)
+    chunk = _rewrite_call(chunk, "timestampDiff", diff_make)
+    chunk = _rewrite_call(chunk, "timestamp_diff", diff_make)
     chunk = _rewrite_call(chunk, "tupleElement", tuple_elem_make)
     chunk = _rewrite_call(chunk, "arrayReduce", array_reduce_make)
     chunk = _rewrite_call(chunk, "extract", extract_make)
@@ -3891,6 +3899,91 @@ def bind_parameters(sql: str, params: dict) -> str:
     return _PARAM_PAT.sub(_sub, sql)
 
 
+def _ngram_set(x: str) -> str:
+    """Distinct 4-gram set of a string expression (SQL text): full 4-gram
+    windows for length ≥ 4, the whole string as one gram for 1-3 chars,
+    empty array for ''."""
+    return (
+        f"(CASE WHEN length({x}) >= 4 THEN array_distinct(transform("
+        f"sequence(1, length({x}) - 3), __i -> substring({x}, __i, 4))) "
+        f"WHEN length({x}) >= 1 THEN array({x}) "
+        f"ELSE slice(array({x}), 1, 0) END)"
+    )
+
+
+def _rewrite_batch18_calls(chunk: str) -> str:
+    """Round-5 function batch.
+
+    * ``toWeek(d[, mode])`` — CH mode 0 (default): Sunday-start weeks
+      numbered 0-53, week 1 = the first week containing a Sunday; days
+      before the year's first Sunday are week 0.  Derived arithmetically:
+      ``floor((dayofyear − 1 − daysBeforeFirstSunday) / 7) + 1`` where
+      daysBeforeFirstSunday = (8 − dayofweek(Jan 1)) mod 7.  Mode 3 =
+      ISO → ``weekofyear``.  Other modes pass through (error by name).
+    * ``ngramDistance(a, b)`` / ``ngramSearch(h, n)`` — DISTINCT-set
+      4-gram variants (documented divergence: CH counts multisets):
+      distance = 1 − 2|A∩B|/(|A|+|B|), search = |N∩H|/|N| (1 = found).
+      Strings of 1-3 chars gram as themselves; both-empty → identical.
+    * ``JSONLength(j)`` — array length or object key count (CH returns
+      the container's length; path-arg forms pass through).
+    """
+
+    def week_expr(d: str) -> str:
+        return (
+            f"CAST(floor((dayofyear({d}) - 1 - pmod(8 - "
+            f"dayofweek(trunc({d}, 'year')), 7)) / 7.0) + 1 AS INT)"
+        )
+
+    def to_week_make(args):
+        if len(args) == 1:
+            return week_expr(args[0])
+        if len(args) == 2:
+            mode = args[1].strip()
+            if mode == "0":
+                return week_expr(args[0])
+            if mode == "3":
+                return f"weekofyear({args[0]})"
+        return None
+
+    chunk = _rewrite_call(chunk, "toWeek", to_week_make)
+
+    def ngram_distance_make(args):
+        if len(args) != 2:
+            return None
+        a, b = _ngram_set(args[0]), _ngram_set(args[1])
+        return (
+            f"(CASE WHEN size({a}) + size({b}) = 0 THEN 0.0D ELSE "
+            f"1.0D - 2.0D * size(array_intersect({a}, {b})) "
+            f"/ (size({a}) + size({b})) END)"
+        )
+
+    chunk = _rewrite_call(chunk, "ngramDistance", ngram_distance_make)
+
+    def ngram_search_make(args):
+        if len(args) != 2:
+            return None
+        h, n = _ngram_set(args[0]), _ngram_set(args[1])
+        return (
+            f"(CASE WHEN size({n}) = 0 THEN 1.0D ELSE "
+            f"CAST(size(array_intersect({n}, {h})) AS DOUBLE) "
+            f"/ size({n}) END)"
+        )
+
+    chunk = _rewrite_call(chunk, "ngramSearch", ngram_search_make)
+
+    def json_length_make(args):
+        if len(args) != 1:
+            return None
+        j = args[0]
+        return (
+            f"coalesce(json_array_length({j}), "
+            f"size(json_object_keys({j})))"
+        )
+
+    chunk = _rewrite_call(chunk, "JSONLength", json_length_make)
+    return chunk
+
+
 def _rewrite_batch16_calls(chunk: str) -> str:
     """Dialect batch 16: string/array/URL depth.
 
@@ -4454,6 +4547,7 @@ def _translate_once(sql: str, spark=None, where_aliases: bool = False) -> str:
     chunk = _rewrite_cast_types(chunk)
     chunk = _rewrite_moving_and_maps(chunk)
     chunk = _rewrite_misc_calls(chunk)
+    chunk = _rewrite_batch18_calls(chunk)
     chunk = _rewrite_batch16_calls(chunk)
     chunk = _rewrite_ipv4(chunk)
     chunk = _rewrite_extract_url_parameter(chunk)

@@ -2323,3 +2323,37 @@ def test_with_totals_sql(spark):
     assert len(rows2) == 4
     totals = [r for r in rows2 if r.g is None and r.h is None]
     assert len(totals) == 1 and totals[0].s == 7
+
+
+def test_batch18_functions(spark):
+    """Batch 18: dateTrunc rename, toWeek mode 0/3, ngramDistance/Search
+    (distinct-set 4-gram variants), JSONLength, toJSONString,
+    timestamp_diff string-unit form."""
+    rows = spark.sql(
+        tr(
+            "SELECT dateTrunc('month', toDateTime('2024-03-17 10:30:00')) AS mt, "
+            # 2024-01-06 is Saturday (before the first Sunday Jan 7) -> week 0;
+            # 2024-01-07 Sunday -> week 1; 2016-12-27 -> 52 (CH docs value)
+            "toWeek(toDate('2024-01-06')) AS w0, "
+            "toWeek(toDate('2024-01-07')) AS w1, "
+            "toWeek(toDate('2016-12-27'), 0) AS w52, "
+            "toWeek(toDate('2024-01-04'), 3) AS wiso, "
+            "round(ngramDistance('clickhouse', 'clickhouse'), 6) AS nd0, "
+            "round(ngramDistance('abcdefgh', 'zzzzyyyy'), 6) AS nd1, "
+            "round(ngramSearch('the quick brown fox', 'quick'), 6) AS ns1, "
+            "round(ngramSearch('the quick brown fox', 'zzzz'), 6) AS ns0, "
+            "JSONLength('[1,2,3]') AS jl_arr, "
+            "JSONLength('{\"a\":1,\"b\":2}') AS jl_obj, "
+            "toJSONString(array(1, 2)) AS js, "
+            "timestamp_diff('day', toDateTime('2024-01-01 00:00:00'), "
+            "toDateTime('2024-01-31 00:00:00')) AS td"
+        )
+    ).first()
+    assert str(rows.mt).startswith("2024-03-01")
+    assert (rows.w0, rows.w1, rows.w52) == (0, 1, 52)
+    assert rows.wiso == 1
+    assert rows.nd0 == 0.0 and rows.nd1 == 1.0
+    assert rows.ns1 == 1.0 and rows.ns0 == 0.0
+    assert (rows.jl_arr, rows.jl_obj) == (3, 2)
+    assert rows.js == "[1,2]"
+    assert rows.td == 30
