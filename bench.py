@@ -182,6 +182,11 @@ BENCH_QUERIES = [
     "knn_accuracy",
     "dialect_clauses",
     "distinct_on",
+    # round 5 additions
+    "dialect_paste",
+    "with_totals",
+    "with_fill_interp",
+    "dialect_batch18",
 ]
 
 
