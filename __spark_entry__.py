@@ -2380,6 +2380,22 @@ def q_with_fill(spark, d):
     return out.select("dom", F.col("n_events").cast("long").alias("n_events"))
 
 
+def q_c4_rules(spark, d):
+    """C4-style cleaning bundle (text.py::c4_rules — Raffel et al. 2020
+    §2.2): line-level retention (terminal punctuation, ≥5 words, no
+    javascript mention) + page gates (≥3 sentences, no brace, no lorem
+    ipsum).  The single-line fixture text gets newlines injected every
+    6 words (the paragraph_dedup trick) so the line logic is actually
+    exercised.  Oracle: DuckDB list_filter over the same split."""
+    docs = _t(spark, d, "documents").select(
+        "doc_id",
+        F.expr(
+            r"regexp_replace(text, '(\\S+ \\S+ \\S+ \\S+ \\S+ \\S+) ', '$1\n')"
+        ).alias("text"),
+    )
+    return text.c4_rules(docs).orderBy("doc_id")
+
+
 def q_with_fill_interp(spark, d):
     """``WITH FILL … INTERPOLATE (col)`` through the SQL endpoint
     (dialect.py::_rewrite_with_fill): gap-filled day-of-month rows carry
@@ -4644,6 +4660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "with_totals": q_with_totals,
         "with_fill_interp": q_with_fill_interp,
         "dialect_batch18": q_dialect_batch18,
+        "c4_rules": q_c4_rules,
     }
 
 
@@ -6590,6 +6607,27 @@ FROM ranked WHERE rk <= 5
             "  x := a.x * pow(2, -(e.t - a.t)/3600000000.0) "
             "     + e.x * (1 - pow(2, -(e.t - a.t)/3600000000.0)))).x, 6) AS ema "
             "FROM s"
+        ),
+        "c4_rules": (
+            "WITH src AS (SELECT doc_id, regexp_replace(text, "
+            "'(\\S+ \\S+ \\S+ \\S+ \\S+ \\S+) ', '\\1' || chr(10), 'g') AS t "
+            "  FROM documents), "
+            "k AS (SELECT doc_id, t, list_filter(string_split(t, chr(10)), "
+            "  l -> regexp_matches(trim(l), '[.!?\"]$') "
+            "   AND len(list_filter(string_split_regex(trim(l), '\\s+'), "
+            "        w -> w != '')) >= 5 "
+            "   AND NOT contains(lower(l), 'javascript')) AS kept FROM src), "
+            "c AS (SELECT doc_id, t, kept, "
+            "  coalesce(array_to_string(kept, chr(10)), '') AS clean_text FROM k) "
+            "SELECT doc_id, clean_text, len(kept)::INT AS n_lines_kept, "
+            "len(regexp_extract_all(clean_text, '[.!?]'))::INT AS n_sentences, "
+            "len(regexp_extract_all(clean_text, '[.!?]')) >= 3 AS r_min_sentences, "
+            "NOT contains(t, '{') AS r_no_brace, "
+            "NOT contains(lower(t), 'lorem ipsum') AS r_no_lorem, "
+            "(len(regexp_extract_all(clean_text, '[.!?]')) >= 3 "
+            " AND NOT contains(t, '{') "
+            " AND NOT contains(lower(t), 'lorem ipsum')) AS c4_pass "
+            "FROM c ORDER BY doc_id"
         ),
         "dialect_batch18": (
             "WITH b AS (SELECT doc_id, text, "

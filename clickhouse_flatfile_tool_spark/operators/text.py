@@ -238,6 +238,50 @@ def gopher_quality_rules(
     )
 
 
+def c4_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4-style cleaning (Raffel et al. 2020, "Exploring the Limits of
+    Transfer Learning…" §2.2 — public paper): LINE-level retention (keep
+    only lines that end in terminal punctuation, have ≥ ``min_line_words``
+    words, and don't mention javascript) plus PAGE-level gates (≥
+    ``min_sentences`` sentences after cleaning, no ``{``, no
+    "lorem ipsum").  Returns (id, clean_text, n_lines_kept, n_sentences,
+    per-rule booleans, c4_pass).
+
+    Complements :func:`gopher_quality_rules` (statistical gates) with the
+    C4 heuristic bundle; the three-sentence-span dedup half of C4 is the
+    :mod:`dedup` paragraph/span machinery.  All built-in higher-order
+    array expressions — zero shuffle, a pure mapper at 100 TB."""
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: F.trim(ln).rlike(r'[.!?"]$')
+        & (F.size(F.split(F.trim(ln), _WS_SPLIT)) >= min_line_words)
+        & ~F.lower(ln).contains("javascript"),
+    )
+    clean = F.array_join(kept, "\n")
+    n_sent = F.regexp_count(clean, F.lit(r"[.!?]"))
+    out = (
+        df.select(id_col, text_col)
+        .withColumn("clean_text", clean)
+        .withColumn("n_lines_kept", F.size(kept))
+        .withColumn("n_sentences", n_sent)
+        .withColumn("r_min_sentences", n_sent >= min_sentences)
+        .withColumn("r_no_brace", ~c.contains("{"))
+        .withColumn("r_no_lorem", ~F.lower(c).contains("lorem ipsum"))
+    )
+    return out.withColumn(
+        "c4_pass",
+        F.col("r_min_sentences") & F.col("r_no_brace") & F.col("r_no_lorem"),
+    ).drop(text_col)
+
+
 # ---------------------------------------------------------------------------
 # PII redaction & chunking (training-data pipeline ops)
 # ---------------------------------------------------------------------------

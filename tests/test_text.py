@@ -165,3 +165,33 @@ def test_domain_filter_plan_broadcasts(spark):
     plan = domain_filter(docs, bl)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_c4_rules_line_and_page_gates(spark):
+    """C4 cleaning: line retention (terminal punct, >=5 words, no
+    javascript) and page gates (>=3 sentences, no brace, no lorem ipsum)
+    on hand-built documents."""
+    from clickhouse_flatfile_tool_spark.operators.text import c4_rules
+
+    good = (
+        "This is a perfectly fine sentence one.\n"
+        "Here is another good sentence number two!\n"
+        "And finally a third complete sentence here?"
+    )
+    bad_lines = (
+        "short line.\n"                     # < 5 words -> dropped
+        "no terminal punctuation here at all\n"   # no punct -> dropped
+        "enable javascript to view this page today."  # javascript -> dropped
+    )
+    braces = good + "\nfunction f() { return 1; }"
+    lorem = good.replace("fine", "Lorem Ipsum dolor")
+    df = spark.createDataFrame(
+        [(1, good), (2, bad_lines), (3, braces), (4, lorem)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in c4_rules(df).collect()}
+    assert got[1].c4_pass and got[1].n_lines_kept == 3
+    assert got[2].n_lines_kept == 0 and not got[2].c4_pass
+    assert not got[3].r_no_brace and not got[3].c4_pass
+    assert got[3].n_lines_kept == 3          # the brace line itself drops
+    assert not got[4].r_no_lorem and not got[4].c4_pass
