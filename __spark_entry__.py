@@ -2380,6 +2380,33 @@ def q_with_fill(spark, d):
     return out.select("dom", F.col("n_events").cast("long").alias("n_events"))
 
 
+def q_dict_sql(spark, d):
+    """ClickHouse dictionary functions through the SQL endpoint
+    (dialect.py::register_dictionary + the dictGet*/dictHas rewrites):
+    orders enriched with customer names via correlated scalar subqueries
+    that Catalyst decorrelates into a broadcastable left outer join —
+    the executor-local hash probe CH's dictionary layout gives.  Every
+    10th order probes a planted missing key (default path).  Oracle:
+    DuckDB's own correlated scalar subqueries."""
+    from clickhouse_flatfile_tool_spark.dialect import (
+        register_dictionary,
+        translate_clickhouse_sql,
+    )
+
+    _t(spark, d, "customer").createOrReplaceTempView("dsql_cust")
+    register_dictionary("dsql_dict", "dsql_cust", "c_custkey")
+    _t(spark, d, "orders").createOrReplaceTempView("dsql_orders")
+    ch_sql = (
+        "SELECT o_orderkey, "
+        "dictGetOrDefault('dsql_dict', 'c_name', "
+        "  if(modulo(o_orderkey, 10) = 0, -1, o_custkey), 'UNK') AS nm, "
+        "dictHas('dsql_dict', "
+        "  if(modulo(o_orderkey, 10) = 0, -1, o_custkey)) AS h "
+        "FROM dsql_orders WHERE o_orderkey < 1000 ORDER BY o_orderkey"
+    )
+    return spark.sql(translate_clickhouse_sql(ch_sql))
+
+
 def q_c4_rules(spark, d):
     """C4-style cleaning bundle (text.py::c4_rules — Raffel et al. 2020
     §2.2): line-level retention (terminal punctuation, ≥5 words, no
@@ -4661,6 +4688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "with_fill_interp": q_with_fill_interp,
         "dialect_batch18": q_dialect_batch18,
         "c4_rules": q_c4_rules,
+        "dict_sql": q_dict_sql,
     }
 
 
@@ -6607,6 +6635,15 @@ FROM ranked WHERE rk <= 5
             "  x := a.x * pow(2, -(e.t - a.t)/3600000000.0) "
             "     + e.x * (1 - pow(2, -(e.t - a.t)/3600000000.0)))).x, 6) AS ema "
             "FROM s"
+        ),
+        "dict_sql": (
+            "SELECT o_orderkey, "
+            "coalesce((SELECT c_name FROM customer WHERE c_custkey = "
+            " (CASE WHEN o_orderkey % 10 = 0 THEN -1 ELSE o_custkey END)), "
+            " 'UNK') AS nm, "
+            "((SELECT count(1) FROM customer WHERE c_custkey = "
+            " (CASE WHEN o_orderkey % 10 = 0 THEN -1 ELSE o_custkey END)) > 0) AS h "
+            "FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey"
         ),
         "c4_rules": (
             "WITH src AS (SELECT doc_id, regexp_replace(text, "

@@ -482,6 +482,54 @@ def query(
                 out["rows"] = spark.table("__outfile_src").count()
             spark.catalog.dropTempView("__outfile_src")
             return out
+        cd = re.match(
+            r"(?is)^\s*CREATE\s+DICTIONARY\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
+            r"\((.*?)\)\s*PRIMARY\s+KEY\s+(\w+)\s+"
+            r"SOURCE\s*\(\s*\w+\s*\(\s*TABLE\s+'(\w+)'.*$",
+            sql,
+        )
+        if cd:
+            # ClickHouse CREATE DICTIONARY: register the source table under
+            # the dictionary name for the dictGet*/dictHas rewrites, and
+            # alias a view of the declared columns so SELECT FROM <dict>
+            # works like CH's dictionary-as-table reads.  LAYOUT/LIFETIME
+            # are storage hints with no analog here (Catalyst decides the
+            # physical probe) — accepted and ignored.
+            from clickhouse_flatfile_tool_spark.dialect import (
+                register_dictionary,
+            )
+
+            ine, dname, cols_s, key_col, src_table = cd.groups()
+            if spark.catalog.tableExists(dname):
+                if ine:
+                    return {"success": True, "dictionary": dname,
+                            "created": False}
+                raise ValueError(f"dictionary {dname!r} already exists")
+            col_names = [
+                p.strip().split()[0].strip("`")
+                for p in re.split(r",(?![^()]*\))", cols_s)
+                if p.strip()
+            ]
+            spark.table(src_table).select(*col_names).createOrReplaceTempView(
+                dname
+            )
+            register_dictionary(dname, src_table, key_col)
+            return {"success": True, "dictionary": dname, "created": True}
+        dd = re.match(
+            r"(?is)^\s*DROP\s+DICTIONARY\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$",
+            sql,
+        )
+        if dd:
+            from clickhouse_flatfile_tool_spark.dialect import drop_dictionary
+
+            existed = drop_dictionary(dd.group(2))
+            spark.catalog.dropTempView(dd.group(2))
+            if not existed and not dd.group(1):
+                raise ValueError(
+                    f"dictionary {dd.group(2)!r} does not exist"
+                )
+            return {"success": True, "dictionary": dd.group(2),
+                    "dropped": existed}
         ct = re.match(
             r"(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
             r"\((.*)\)\s*ENGINE\s*=\s*(\w+)\s*(?:\(([^)]*)\))?\s*"

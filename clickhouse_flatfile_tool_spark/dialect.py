@@ -880,6 +880,55 @@ def _rewrite_literal_aware(chunk: str, literals: list[str]) -> str:
             return f"{fn}({args[0]} AS {dt.simpleString()})"
         return make
 
+    def dict_get_make(args):
+        # dictGet('dict', 'attr', key) → a correlated scalar subquery on
+        # the registered dictionary table; Catalyst decorrelates it into
+        # a (broadcastable) left outer join — the executor-local hash
+        # probe CH's dictionary layout gives.  Missing keys yield NULL
+        # (CH's dictGetOrNull; plain dictGet THROWS there — a per-row
+        # throw isn't reproducible distributed, documented divergence;
+        # use dictGetOrDefault for CH-portable behavior).  Single-
+        # attribute form only (tuple attrs pass through); unknown
+        # dictionaries pass through and error by name.
+        if len(args) != 3:
+            return None
+        dname, attr = resolve(args[0]), resolve(args[1])
+        if dname is None or attr is None:
+            return None
+        reg = _DICTIONARIES.get(dname.lower())
+        if reg is None or not re.fullmatch(r"\w+", attr):
+            return None
+        table, key_col = reg
+        return (
+            f"(SELECT `{attr}` FROM {table} "
+            f"WHERE `{key_col}` = ({args[2]}))"
+        )
+
+    def dict_get_default_make(args):
+        if len(args) != 4:
+            return None
+        inner = dict_get_make(args[:3])
+        return None if inner is None else f"coalesce({inner}, {args[3]})"
+
+    def dict_has_make(args):
+        if len(args) != 2:
+            return None
+        dname = resolve(args[0])
+        if dname is None:
+            return None
+        reg = _DICTIONARIES.get(dname.lower())
+        if reg is None:
+            return None
+        table, key_col = reg
+        return (
+            f"((SELECT count(1) FROM {table} "
+            f"WHERE `{key_col}` = ({args[1]})) > 0)"
+        )
+
+    chunk = _rewrite_call(chunk, "dictGetOrDefault", dict_get_default_make)
+    chunk = _rewrite_call(chunk, "dictGetOrNull", dict_get_make)
+    chunk = _rewrite_call(chunk, "dictGet", dict_get_make)
+    chunk = _rewrite_call(chunk, "dictHas", dict_has_make)
     chunk = _rewrite_call(chunk, "accurateCastOrNull", acc_cast_make(True))
     chunk = _rewrite_call(chunk, "accurateCast", acc_cast_make(False))
     chunk = _rewrite_call(chunk, "dateName", date_name_make)
@@ -3600,6 +3649,28 @@ def _rewrite_paste_join(chunk: str) -> str:
         chunk = chunk[: m.start()] + repl + chunk[m.end():]
         m = _PASTE_PAT.search(chunk, m.start() + len(repl))
     return chunk
+
+
+# session-scoped dictionary registry (ClickHouse CREATE DICTIONARY analog):
+# lowercase dict name → (catalog table/view, key column).  Populated by
+# register_dictionary / api.query's CREATE DICTIONARY route; consumed by
+# the dictGet/dictGetOrDefault/dictHas rewrites.
+_DICTIONARIES: dict[str, tuple[str, str]] = {}
+
+
+def register_dictionary(name: str, table: str, key_col: str) -> None:
+    """Register a catalog table/view as a ClickHouse-style dictionary for
+    the ``dictGet*``/``dictHas`` SQL rewrites.  Keys are expected unique
+    (CH dictionary layouts enforce this; a duplicate key makes the scalar
+    subquery raise at runtime, which is the honest surface of the same
+    contract)."""
+    if not re.fullmatch(r"\w+", table) or not re.fullmatch(r"\w+", key_col):
+        raise ValueError("register_dictionary: table/key must be identifiers")
+    _DICTIONARIES[name.lower()] = (table, key_col)
+
+
+def drop_dictionary(name: str) -> bool:
+    return _DICTIONARIES.pop(name.lower(), None) is not None
 
 
 _FINAL_PAT = re.compile(r"(?i)\b(FROM|JOIN)\s+(\w+)((?:\s+AS\s+\w+)?)\s+FINAL\b")

@@ -617,3 +617,42 @@ def test_query_table_function_names_inside_literals(spark):
     )
     assert r3["success"]
     assert r3["data"][0]["note"].startswith("see file(")
+
+
+def test_create_dictionary_and_dictget(spark):
+    """CREATE DICTIONARY registers the source table for dictGet*/dictHas
+    (correlated scalar subqueries -> decorrelated joins) and aliases a
+    dictionary-as-table view; DROP DICTIONARY unregisters both."""
+    from clickhouse_flatfile_tool_spark import api
+
+    q = lambda s: api.query(spark, s)  # noqa: E731
+    spark.createDataFrame(
+        [(1, "alice", 10), (2, "bob", 20)], "uid long, name string, nk long"
+    ).createOrReplaceTempView("dict_src")
+    r = q(
+        "CREATE DICTIONARY user_dict (uid UInt64, name String, nk Int64) "
+        "PRIMARY KEY uid SOURCE(CLICKHOUSE(TABLE 'dict_src')) "
+        "LAYOUT(FLAT()) LIFETIME(300)"
+    )
+    assert r["success"] and r["created"]
+    # dictionary-as-table read
+    assert q("SELECT count() AS n FROM user_dict")["data"] == [{"n": 2}]
+    spark.createDataFrame(
+        [(100, 1), (200, 2), (300, 9)], "oid long, fk long"
+    ).createOrReplaceTempView("dict_fact")
+    rows = q(
+        "SELECT oid, dictGet('user_dict', 'name', fk) AS nm, "
+        "dictGetOrDefault('user_dict', 'name', fk, 'UNK') AS nmd, "
+        "dictHas('user_dict', fk) AS h "
+        "FROM dict_fact ORDER BY oid"
+    )["data"]
+    assert rows == [
+        {"oid": 100, "nm": "alice", "nmd": "alice", "h": True},
+        {"oid": 200, "nm": "bob", "nmd": "bob", "h": True},
+        {"oid": 300, "nm": None, "nmd": "UNK", "h": False},
+    ]
+    assert q("DROP DICTIONARY user_dict")["dropped"]
+    # rewrites no longer fire -> Spark errors by name
+    assert not q("SELECT dictGet('user_dict', 'name', 1) AS x")["success"]
+    assert not q("DROP DICTIONARY user_dict")["success"]
+    q("DROP TABLE IF EXISTS dict_src")
