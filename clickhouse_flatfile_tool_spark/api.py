@@ -334,7 +334,7 @@ def query(
         # and the statement is pointed at them; system.numbers is a lazy
         # 10^9-row range (CH's is infinite — both rely on LIMIT).
         if re.search(
-            r"(?i)\bsystem\.(tables|columns|one|numbers|databases)\b", sql
+            r"(?i)\bsystem\.(tables|columns|one|numbers|databases|dictionaries)\b", sql
         ):
             sql = _materialize_system_tables(spark, sql)
         # DDL routing — ClickHouse clients send everything through one
@@ -1040,7 +1040,7 @@ def _materialize_system_tables(spark: SparkSession, sql: str) -> str:
     )
 
     sys_pat = re.compile(
-        r"(?i)\bsystem\.(tables|columns|one|numbers|databases)\b"
+        r"(?i)\bsystem\.(tables|columns|one|numbers|databases|dictionaries)\b"
     )
     lit_spans = _literal_spans(sql)
     wanted = {
@@ -1089,6 +1089,18 @@ def _materialize_system_tables(spark: SparkSession, sql: str) -> str:
         spark.range(1_000_000_000).selectExpr(
             "id AS number"
         ).createOrReplaceTempView("system__numbers")
+    if "dictionaries" in wanted:
+        from clickhouse_flatfile_tool_spark.dialect import _DICTIONARIES
+
+        rows = [
+            (n, t, k) for n, (t, k) in sorted(_DICTIONARIES.items())
+        ]
+        spark.createDataFrame(
+            rows or [("", "", "")],
+            "name string, source string, key string",
+        ).filter(F.col("name") != "").createOrReplaceTempView(
+            "system__dictionaries"
+        )
     return _sub_outside_literals(
         sys_pat, lambda m: f"system__{m.group(1).lower()}", sql
     )
@@ -1263,7 +1275,7 @@ def query_profile(
         # and the statement is pointed at them; system.numbers is a lazy
         # 10^9-row range (CH's is infinite — both rely on LIMIT).
         if re.search(
-            r"(?i)\bsystem\.(tables|columns|one|numbers|databases)\b", sql
+            r"(?i)\bsystem\.(tables|columns|one|numbers|databases|dictionaries)\b", sql
         ):
             sql = _materialize_system_tables(spark, sql)
         translated = translate_clickhouse_sql(sql, spark=spark)

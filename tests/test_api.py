@@ -637,6 +637,12 @@ def test_create_dictionary_and_dictget(spark):
     assert r["success"] and r["created"]
     # dictionary-as-table read
     assert q("SELECT count() AS n FROM user_dict")["data"] == [{"n": 2}]
+    # introspection via system.dictionaries
+    sd = q(
+        "SELECT name, source, key FROM system.dictionaries "
+        "WHERE name = 'user_dict'"
+    )["data"]
+    assert sd == [{"name": "user_dict", "source": "dict_src", "key": "uid"}]
     spark.createDataFrame(
         [(100, 1), (200, 2), (300, 9)], "oid long, fk long"
     ).createOrReplaceTempView("dict_fact")
