@@ -443,8 +443,23 @@ def ch_expression(draw, depth=0):
     atoms = ["x", "y", "7", "1.5", "NULL"]
     if depth >= 3:
         return draw(st.sampled_from(atoms))
-    kind = draw(st.integers(0, 35))
+    kind = draw(st.integers(0, 40))
     sub = lambda: draw(ch_expression(depth=depth + 1))  # noqa: E731
+    # batch 18 (r5)
+    if kind == 36:
+        return f"toWeek(makeDate(2024, 1, {draw(st.integers(1, 28))}))"
+    if kind == 37:
+        return f"round(ngramDistance(toString({sub()}), '1234'), 4)"
+    if kind == 38:
+        return f"JSONLength(concat('[', toString(toInt64({sub()})), ']'))"
+    if kind == 39:
+        return (
+            f"timestamp_diff('day', toDateTime('2024-01-01 00:00:00'), "
+            f"dateTrunc('month', toDateTime('2024-03-0{draw(st.integers(1, 9))}"
+            f" 00:00:00')))"
+        )
+    if kind == 40:
+        return f"round(ngramSearch(toString({sub()}), toString({sub()})), 4)"
     if kind == 32:
         return f"gcd(toInt64({sub()}), {draw(st.integers(0, 24))})"
     if kind == 33:
