@@ -2380,6 +2380,34 @@ def q_with_fill(spark, d):
     return out.select("dom", F.col("n_events").cast("long").alias("n_events"))
 
 
+def q_exactsubstr_dedup(spark, d):
+    """ExactSubstr-style repeated-span removal
+    (dedup.py::remove_repeated_spans — Lee et al. 2022 keep-one policy at
+    3-gram resolution, min span 6 tokens): a shared boilerplate footer
+    planted on every 5th document is excised everywhere except the
+    canonical first occurrence, alongside whatever duplication the
+    fixture corpus itself carries.  String-shingle twin (hashed=False)
+    so the oracle compares values; the xxhash64 path is the production
+    twin (pytest-equivalence-checked).  Oracle: DuckDB replicating the
+    same posting/canonical/island pipeline."""
+    docs = _t(spark, d, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    " common footer boilerplate sentence appended here exactly"
+                ),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = dedup.remove_repeated_spans(docs, n=3, min_tokens=6, hashed=False)
+    return out.orderBy("doc_id")
+
+
 def q_dict_sql(spark, d):
     """ClickHouse dictionary functions through the SQL endpoint
     (dialect.py::register_dictionary + the dictGet*/dictHas rewrites):
@@ -4689,6 +4717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dialect_batch18": q_dialect_batch18,
         "c4_rules": q_c4_rules,
         "dict_sql": q_dict_sql,
+        "exactsubstr_dedup": q_exactsubstr_dedup,
     }
 
 
@@ -6635,6 +6664,50 @@ FROM ranked WHERE rk <= 5
             "  x := a.x * pow(2, -(e.t - a.t)/3600000000.0) "
             "     + e.x * (1 - pow(2, -(e.t - a.t)/3600000000.0)))).x, 6) AS ema "
             "FROM s"
+        ),
+        "exactsubstr_dedup": (
+            "WITH src AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || "
+            "' common footer boilerplate sentence appended here exactly' "
+            "ELSE text END AS text FROM documents), "
+            "w AS (SELECT doc_id, "
+            "string_split_regex(trim(lower(text)), '\\s+') AS lw, "
+            "string_split_regex(trim(text), '\\s+') AS ow FROM src), "
+            "posts AS (SELECT doc_id, "
+            "unnest(generate_series(1, greatest(len(lw) - 2, 0))) AS pos, "
+            "unnest([array_to_string(lw[i:i+2], ' ') "
+            "FOR i IN generate_series(1, greatest(len(lw) - 2, 0))]) AS g "
+            "FROM w), "
+            "s1 AS (SELECT g, count(*) AS c, min(doc_id) AS fd "
+            "FROM posts GROUP BY g), "
+            "s2 AS (SELECT s1.g, s1.c, s1.fd, min(p.pos) AS fp "
+            "FROM posts p JOIN s1 ON p.g = s1.g AND p.doc_id = s1.fd "
+            "GROUP BY s1.g, s1.c, s1.fd), "
+            "dup AS (SELECT p.doc_id, p.pos FROM posts p JOIN s2 ON p.g = s2.g "
+            "WHERE s2.c >= 2 AND NOT (p.doc_id = s2.fd AND p.pos = s2.fp)), "
+            "cov AS (SELECT DISTINCT doc_id, pos + j AS cpos "
+            "FROM dup, generate_series(0, 2) AS t(j)), "
+            "isl AS (SELECT doc_id, cpos, cpos - row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY cpos) AS grp FROM cov), "
+            "runs AS (SELECT doc_id, min(cpos) AS s, max(cpos) AS e, "
+            "max(cpos) - min(cpos) + 1 AS st FROM isl GROUP BY doc_id, grp "
+            "HAVING max(cpos) - min(cpos) + 1 >= 6), "
+            "dr AS (SELECT doc_id, unnest(generate_series(s, e)) AS pos "
+            "FROM runs), "
+            "toks AS (SELECT doc_id, "
+            "unnest(generate_series(1, len(ow))) AS pos, "
+            "unnest(ow) AS tok FROM w), "
+            "kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t "
+            "LEFT JOIN dr ON t.doc_id = dr.doc_id AND t.pos = dr.pos "
+            "WHERE dr.pos IS NULL), "
+            "reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) "
+            "AS clean_text FROM kept GROUP BY doc_id), "
+            "stats AS (SELECT doc_id, sum(st)::BIGINT AS n_tokens_removed, "
+            "count(*)::BIGINT AS n_spans_removed FROM runs GROUP BY doc_id) "
+            "SELECT s.doc_id, coalesce(r.clean_text, '') AS clean_text, "
+            "coalesce(st.n_tokens_removed, 0) AS n_tokens_removed, "
+            "coalesce(st.n_spans_removed, 0) AS n_spans_removed "
+            "FROM src s LEFT JOIN reb r USING (doc_id) "
+            "LEFT JOIN stats st USING (doc_id) ORDER BY s.doc_id"
         ),
         "dict_sql": (
             "SELECT o_orderkey, "

@@ -1146,6 +1146,113 @@ def shared_spans(
     )
 
 
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_tokens: int | None = None,
+    min_occurrences: int = 2,
+    hashed: bool = True,
+) -> DataFrame:
+    """ExactSubstr-style repeated-span REMOVAL (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — public
+    paper) at n-gram resolution: corpus-wide duplicated token n-grams are
+    masked at every occurrence EXCEPT the canonical first (global
+    lexicographic min of (doc, position)), mask positions merge into
+    maximal covered runs per document, and runs of ≥ ``min_tokens``
+    tokens are excised from the original token stream.  The canonical
+    occurrence of every duplicated n-gram is preserved, so one copy of
+    each duplicated span survives (the paper's keep-one policy); when
+    DISTINCT duplicated spans overlap, the surviving copy can lose
+    overlap tokens whose canonicals live elsewhere — the boundary
+    behavior position-level policies share.
+
+    The paper builds a corpus suffix array (single-machine); the
+    distributed equivalent here matches at n-gram resolution — a span is
+    removed iff every length-n window inside it is duplicated, so
+    detected spans are duplicated-substring spans of length ≥ n with
+    boundary resolution n (documented approximation).
+
+    Shuffle profile: one shingle groupBy (stats), one join back, then
+    per-document windows/aggregations — everything keyed by shingle or
+    document, no all-pairs stage anywhere.  ``hashed`` uses xxhash64
+    shingles (production); ``hashed=False`` keeps the strings (the
+    oracle-comparable twin, same convention as winnow/minhash).
+
+    Whitespace note: output tokens re-join with single spaces (matching
+    is whitespace-split; original spacing inside kept runs is not
+    reconstructed).  Returns (id, clean_text, n_tokens_removed,
+    n_spans_removed).
+    """
+    from pyspark.sql.window import Window
+
+    min_tokens = min_tokens or n
+    posts = positional_shingles(df, id_col, text_col, n, hashed=hashed)
+    stats = posts.groupBy("__s").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
+            "__first"
+        ),
+    )
+    dup_starts = (
+        posts.join(stats.filter(F.col("__c") >= min_occurrences), "__s")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("__first.d"))
+                & (F.col("pos") == F.col("__first.p"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+    covered = dup_starts.select(
+        id_col,
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("cpos"),
+    ).distinct()
+    w = Window.partitionBy(id_col).orderBy("cpos")
+    runs = (
+        covered.withColumn("grp", F.col("cpos") - F.row_number().over(w))
+        .groupBy(id_col, "grp")
+        .agg(F.min("cpos").alias("start"), F.max("cpos").alias("end"))
+        .withColumn("span_tokens", F.col("end") - F.col("start") + 1)
+        .filter(F.col("span_tokens") >= min_tokens)
+    )
+    drop = runs.select(
+        id_col, F.explode(F.sequence("start", "end")).alias("pos")
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "pos0", "tok"
+        ),
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = toks.join(drop, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text")
+    )
+    span_stats = runs.groupBy(id_col).agg(
+        F.sum("span_tokens").cast("long").alias("n_tokens_removed"),
+        F.count(F.lit(1)).cast("long").alias("n_spans_removed"),
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .join(span_stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_tokens_removed", F.lit(0)).alias("n_tokens_removed"),
+            F.coalesce("n_spans_removed", F.lit(0)).alias("n_spans_removed"),
+        )
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

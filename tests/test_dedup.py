@@ -84,3 +84,40 @@ def test_winnow_xx_fast_path(spark):
 
     with pytest.raises(ValueError, match="hash_fn"):
         winnow_fingerprints(df, hash_fn="sha")
+
+
+def test_remove_repeated_spans_keeps_canonical_copy(spark):
+    """ExactSubstr-style removal: a 6-token span planted in three docs
+    survives only in the canonical (lowest doc_id) copy; unique text is
+    untouched; sub-threshold repeats survive everywhere."""
+    from clickhouse_flatfile_tool_spark.operators.dedup import (
+        remove_repeated_spans,
+    )
+
+    span = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"unique one text {span} tail one"),
+        (2, f"other opening here {span} closing words"),
+        (3, f"{span} third document body"),
+        (4, "completely unique document with no repeats at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in remove_repeated_spans(df, n=3, min_tokens=6).collect()
+    }
+    # canonical copy = global min (doc_id, pos) -> doc 1 keeps the span
+    assert span in got[1].clean_text and got[1].n_spans_removed == 0
+    assert span not in got[2].clean_text
+    assert got[2].clean_text == "other opening here closing words"
+    assert got[2].n_tokens_removed == 6 and got[2].n_spans_removed == 1
+    assert got[3].clean_text == "third document body"
+    assert got[4].clean_text == rows[3][1] and got[4].n_tokens_removed == 0
+    # hashed and string paths agree
+    plain = {
+        r.doc_id: r.clean_text
+        for r in remove_repeated_spans(
+            df, n=3, min_tokens=6, hashed=False
+        ).collect()
+    }
+    assert plain == {k: v.clean_text for k, v in got.items()}
