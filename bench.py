@@ -187,6 +187,9 @@ BENCH_QUERIES = [
     "with_totals",
     "with_fill_interp",
     "dialect_batch18",
+    "c4_rules",
+    "dict_sql",
+    "exactsubstr_dedup",
 ]
 
 

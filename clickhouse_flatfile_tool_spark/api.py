@@ -448,6 +448,16 @@ def query(
             # single-database session (the reference's `database` param
             # selects one DB per connection) — accept and no-op
             return {"success": True}
+        sy = re.match(
+            r"(?is)^\s*SYSTEM\s+(RELOAD\s+DICTIONAR(?:Y\s+\w+|IES)"
+            r"|FLUSH\s+LOGS|DROP\s+\w*\s*CACHE)\s*;?\s*$",
+            sql,
+        )
+        if sy:
+            # ClickHouse maintenance statements CH clients fire routinely:
+            # dictionaries here are live views (always fresh), logs/caches
+            # are Spark-managed — accepted as no-ops so client scripts run
+            return {"success": True, "statement": " ".join(sy.group(1).split())}
         om = re.search(
             r"(?is)\bINTO\s+OUTFILE\s+'([^']+)'\s*"
             r"(?:FORMAT\s+(\w+))?\s*;?\s*$",

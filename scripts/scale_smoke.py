@@ -129,6 +129,12 @@ OPS = {
     ).cms_table(
         df.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")), "w"
     ),
+    # r5: ExactSubstr span removal — scaled_docs' disjoint shingle spaces
+    # hold per-copy duplication structure constant, so ratio ≈ K measures
+    # the posting/island pipeline, not the planted-dup structure
+    "exactsubstr": lambda df: dedup.remove_repeated_spans(
+        df, n=5, min_tokens=10
+    ),
 }
 
 

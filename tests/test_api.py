@@ -657,6 +657,10 @@ def test_create_dictionary_and_dictget(spark):
         {"oid": 200, "nm": "bob", "nmd": "bob", "h": True},
         {"oid": 300, "nm": None, "nmd": "UNK", "h": False},
     ]
+    # CH maintenance statements no-op (dictionaries are live views)
+    assert q("SYSTEM RELOAD DICTIONARIES")["success"]
+    assert q("SYSTEM RELOAD DICTIONARY user_dict")["success"]
+    assert q("SYSTEM FLUSH LOGS")["success"]
     assert q("DROP DICTIONARY user_dict")["dropped"]
     # rewrites no longer fire -> Spark errors by name
     assert not q("SELECT dictGet('user_dict', 'name', 1) AS x")["success"]
