@@ -887,3 +887,65 @@ def test_url_hierarchy_matches_python_model(spark, segs, with_query):
         else [prefix]
     )
     assert list(row.h) == want
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("a b c d".split()), min_size=1, max_size=12),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(**SETTINGS)
+def test_remove_repeated_spans_matches_python_model(spark, token_lists):
+    """Randomized differential check of ExactSubstr span removal against a
+    brute-force in-memory model (tiny alphabet forces heavy duplication —
+    the canonical-copy, island-merge, and min-length rules all fire)."""
+    n, min_tokens = 2, 2
+    docs = {i + 1: toks for i, toks in enumerate(token_lists)}
+
+    # model: positional postings -> canonical-first mask -> covered runs
+    posts = [
+        (tuple(t[p : p + n]), d, p + 1)
+        for d, t in docs.items()
+        for p in range(len(t) - n + 1)
+    ]
+    from collections import Counter, defaultdict
+
+    cnt = Counter(g for g, _, _ in posts)
+    first = {}
+    for g, d, p in sorted(posts, key=lambda x: (x[1], x[2])):
+        first.setdefault(g, (d, p))
+    covered = defaultdict(set)
+    for g, d, p in posts:
+        if cnt[g] >= 2 and first[g] != (d, p):
+            covered[d].update(range(p, p + n))
+    expect = {}
+    for d, t in docs.items():
+        drop: set[int] = set()
+        spans = 0
+        removed = 0
+        run: list[int] = []
+        for pos in sorted(covered.get(d, ())) + [10**9]:
+            if run and pos != run[-1] + 1:
+                if len(run) >= min_tokens:
+                    drop.update(run)
+                    spans += 1
+                    removed += len(run)
+                run = []
+            run.append(pos)
+        clean = " ".join(
+            tok for i, tok in enumerate(t, start=1) if i not in drop
+        )
+        expect[d] = (clean, removed, spans)
+
+    df = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens_removed, r.n_spans_removed)
+        for r in D.remove_repeated_spans(
+            df, n=n, min_tokens=min_tokens
+        ).collect()
+    }
+    assert got == expect
