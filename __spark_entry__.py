@@ -2408,6 +2408,29 @@ def q_exactsubstr_dedup(spark, d):
     return out.orderBy("doc_id")
 
 
+def q_exactsubstr_fast(spark, d):
+    """Production twin of ``exactsubstr_dedup`` (xxhash64 shingles — 8-byte
+    longs through the shuffle instead of gram strings; pytest asserts the
+    two paths produce identical clean_text).  Benched, not registered:
+    the oracle twin is the driver-checked entry, the winnow/winnow_fast
+    convention."""
+    docs = _t(spark, d, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    " common footer boilerplate sentence appended here exactly"
+                ),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup.remove_repeated_spans(docs, n=3, min_tokens=6, hashed=True)
+
+
 def q_dict_sql(spark, d):
     """ClickHouse dictionary functions through the SQL endpoint
     (dialect.py::register_dictionary + the dictGet*/dictHas rewrites):

@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "c4_rules",
     "dict_sql",
     "exactsubstr_dedup",
+    "exactsubstr_fast",
 ]
 
 
