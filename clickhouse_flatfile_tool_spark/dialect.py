@@ -3096,27 +3096,34 @@ def _rewrite_moving_and_maps(chunk: str) -> str:
     chunk = _rewrite_call(chunk, "replaceOne", replace_one_make)
 
     def auc_make(args):
+        # rank-sum AUC with AVERAGE ranks for tied scores (the
+        # Mann-Whitney identity; average ranks ≡ CH's ROC trapezoid on
+        # ties — the previous sorted-position form over-/under-counted
+        # tied scores and divided by zero on single-class input under
+        # ANSI mode, r5 fix): rank(i) = #[s < s_i] + (#[s = s_i] + 1)/2,
+        # O(len²) per ROW like CH's own per-array evaluation; degenerate
+        # single-class inputs yield NULL (CH nan).
         if len(args) != 2:
             return None
         s, l = args
-        z = (
-            f"array_sort(zip_with({s}, {l}, (__s, __l) -> "
-            f"struct(__s AS sc, CAST(__l AS DOUBLE) AS lb)), "
-            f"(__a, __b) -> CASE WHEN __a.sc < __b.sc THEN -1 "
-            f"WHEN __a.sc > __b.sc THEN 1 ELSE 0 END)"
+        rank_i = (
+            f"size(filter({s}, __v -> __v < element_at({s}, __i))) "
+            f"+ (size(filter({s}, __v -> __v = element_at({s}, __i))) + 1) "
+            f"/ 2.0D"
         )
-        pos = f"aggregate({l}, CAST(0 AS DOUBLE), (__a, __v) -> __a + __v)"
-        rank_sum = (
-            f"aggregate(zip_with({z}, sequence(1, size({s})), "
-            f"(__e, __i) -> __e.lb * __i), CAST(0 AS DOUBLE), "
-            f"(__a, __v) -> __a + __v)"
+        sum_ranks = (
+            f"aggregate(sequence(1, size({s})), 0.0D, "
+            f"(__ac, __i) -> __ac + IF(element_at({l}, __i) > 0, "
+            f"{rank_i}, 0.0D))"
         )
+        p = f"CAST(size(filter({l}, __x -> __x > 0)) AS DOUBLE)"
         return (
-            f"(({rank_sum} - {pos} * ({pos} + 1) / 2) / "
-            f"({pos} * (size({s}) - {pos})))"
+            f"(({sum_ranks} - {p} * ({p} + 1) / 2) "
+            f"/ nullif({p} * (size({s}) - {p}), 0))"
         )
 
     chunk = _rewrite_call(chunk, "arrayAUC", auc_make)
+    chunk = _rewrite_call(chunk, "arrayROCAUC", auc_make)
 
     # batch 15 stragglers --------------------------------------------------
     def regexp_extract_make(args):

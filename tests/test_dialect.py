@@ -2357,3 +2357,21 @@ def test_batch18_functions(spark):
     assert (rows.jl_arr, rows.jl_obj) == (3, 2)
     assert rows.js == "[1,2]"
     assert rows.td == 30
+
+
+def test_array_auc(spark):
+    """arrayAUC: the sklearn doc example scores/labels give 0.75; perfect
+    ranking gives 1.0; ties take average ranks; single-class input is
+    NULL (CH nan — NULL is the relational encoding)."""
+    r = spark.sql(
+        tr(
+            "SELECT round(arrayAUC([0.1, 0.4, 0.35, 0.8], [0, 0, 1, 1]), 6) AS a, "
+            "arrayAUC([0.1, 0.2, 0.9], [0, 0, 1]) AS perfect, "
+            "arrayAUC([0.5, 0.5, 0.5, 0.5], [0, 1, 0, 1]) AS tied, "
+            "arrayAUC([0.3, 0.7], [1, 1]) AS degen"
+        )
+    ).first()
+    assert r.a == 0.75
+    assert r.perfect == 1.0
+    assert r.tied == 0.5
+    assert r.degen is None
