@@ -816,7 +816,7 @@ def _rewrite_literal_aware(chunk: str, literals: list[str]) -> str:
             "sum": f"aggregate({arr}, CAST(0 AS DOUBLE), (a, v) -> a + v)",
             "avg": (
                 f"(aggregate({arr}, CAST(0 AS DOUBLE), (a, v) -> a + v)"
-                f" / size({arr}))"
+                f" / nullif(size({arr}), 0))"
             ),
             "count": f"size({arr})",
             "uniqexact": f"size(array_distinct({arr}))",
@@ -1889,11 +1889,15 @@ def _rewrite_misc_calls(chunk: str) -> str:
     chunk = _rewrite_call(chunk, "retention", retention_make)
 
     def avg_make(args):
+        # nullif(size, 0): empty arrays yield NULL instead of an ANSI
+        # DIVIDE_BY_ZERO (CH returns nan; NULL is the relational encoding,
+        # the arrayAUC convention — r5 fix)
         if len(args) != 1:
             return None
         a = args[0]
         return (
-            f"(aggregate({a}, CAST(0 AS DOUBLE), (a, v) -> a + v) / size({a}))"
+            f"(aggregate({a}, CAST(0 AS DOUBLE), (a, v) -> a + v) "
+            f"/ nullif(size({a}), 0))"
         )
 
     chunk = _rewrite_call(chunk, "arrayAvg", avg_make)
@@ -3039,8 +3043,11 @@ def _rewrite_moving_and_maps(chunk: str) -> str:
     )
     chunk = _rewrite_call(
         chunk, "groupArrayMovingAvg",
+        # nullif guard: collect_list skips NULLs, so an all-NULL group
+        # yields an empty list — size 0 would ANSI-divide-by-zero (r5)
         one("transform(arrayCumSum(collect_list({0})), "
-            "__s -> __s / CAST(size(collect_list({0})) AS DOUBLE))"),
+            "__s -> __s / CAST(nullif(size(collect_list({0})), 0) "
+            "AS DOUBLE))"),
     )
     chunk = _rewrite_call(
         chunk, "deltaSum",

@@ -2375,3 +2375,18 @@ def test_array_auc(spark):
     assert r.perfect == 1.0
     assert r.tied == 0.5
     assert r.degen is None
+
+
+def test_empty_array_division_guards(spark):
+    """Empty-array inputs yield NULL, not an ANSI DIVIDE_BY_ZERO: arrayAvg,
+    arrayReduce('avg'), arrayAUC on single-class labels (r5 audit)."""
+    r = spark.sql(
+        tr(
+            "SELECT arrayAvg(arraySlice([1], 1, 0)) AS a, "
+            "arrayReduce('avg', arraySlice([1], 1, 0)) AS b, "
+            "arrayAUC([0.3, 0.7], [1, 1]) AS c, "
+            "arrayAvg([2, 4]) AS d"
+        )
+    ).first()
+    assert r.a is None and r.b is None and r.c is None
+    assert r.d == 3.0
