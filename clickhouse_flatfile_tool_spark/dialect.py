@@ -3152,11 +3152,15 @@ def _rewrite_moving_and_maps(chunk: str) -> str:
         one("transform({0}, (__v, __i) -> size(filter(slice({0}, 1, __i + 1), "
             "__e -> __e = __v)))"),
     )
-    # arrayElement = element_at (both 1-based, both support negative
-    # from-the-end); OOB diverges: CH yields the type default, Spark errors
-    # under ANSI / NULL otherwise — same documented stance as expr[i]
+    # arrayElement → try_element_at (both 1-based, both support negative
+    # from-the-end indexes); CH yields the TYPE DEFAULT (0/'') for
+    # out-of-range or zero indexes where ANSI element_at THROWS —
+    # try_element_at + nullif(idx, 0) yields NULL instead, the relational
+    # encoding of CH's default (the dictGet/arrayAvg convention; plain
+    # element_at errored under spark.sql.ansi — r5 fix)
     chunk = _rewrite_call(
-        chunk, "arrayElement", two("element_at({0}, {1})")
+        chunk, "arrayElement",
+        two("try_element_at({0}, nullif({1}, 0))"),
     )
     chunk = _rewrite_call(
         chunk, "bitmaskToArray",

@@ -2390,3 +2390,19 @@ def test_empty_array_division_guards(spark):
     ).first()
     assert r.a is None and r.b is None and r.c is None
     assert r.d == 3.0
+
+
+def test_array_element_out_of_bounds_null(spark):
+    """arrayElement: out-of-range and zero indexes yield NULL (CH returns
+    the type default; ANSI element_at used to throw — r5 fix); in-range
+    and negative-from-the-end still work."""
+    r = spark.sql(
+        tr(
+            "SELECT arrayElement([1, 2], 5) AS oob, "
+            "arrayElement([1, 2], 0) AS zero, "
+            "arrayElement([1, 2], 2) AS ok, "
+            "arrayElement([1, 2], -1) AS neg"
+        )
+    ).first()
+    assert r.oob is None and r.zero is None
+    assert r.ok == 2 and r.neg == 2
