@@ -1672,13 +1672,18 @@ def _rewrite_array_literals(chunk: str) -> str:
     """ClickHouse bracket syntax → Spark equivalents:
 
     * ``[1, 2, 3]`` array LITERALS → ``array(1, 2, 3)``
-    * ``expr[i]`` element ACCESS → ``element_at(expr, i)`` — ClickHouse
+    * ``expr[i]`` element ACCESS → ``try_element_at(expr, i)`` — ClickHouse
       indexing is 1-based (negative = from the end); Spark's own bracket
       operator is 0-based, so leaving it untouched would silently shift
-      every index.  ``element_at`` matches both conventions.  (OOB differs:
-      ClickHouse returns the type's default value, element_at raises /
-      NULLs under ANSI off — port OOB-reliant queries by hand.)  Works for
-      map access too (both engines say ``m['k']``).
+      every index.  ``try_element_at`` matches both conventions AND
+      yields NULL for out-of-range indexes / missing map keys where
+      ClickHouse returns the type's default value and plain element_at
+      THROWS under ANSI (r5 fix; NULL is the relational encoding of the
+      default, the arrayElement/dictGet convention).  Works for map
+      access too (both engines say ``m['k']``).  Residual edge: a LITERAL
+      zero array index (CH ``a[0]`` → default) still errors — zero can't
+      be nullif'd away generically because ``m[0]`` is a legitimate map
+      probe.
 
     A bracket after a value expression (identifier, ``)``, ``]``) is
     access; anything else — including after a KEYWORD like ``THEN [1]`` —
@@ -1759,7 +1764,7 @@ def _rewrite_array_literals(chunk: str) -> str:
         while s > 0 and (chunk[s - 1].isalnum() or chunk[s - 1] in "_."):
             s -= 1
         base = chunk[s : j + 1]
-        chunk = chunk[:s] + f"element_at({base}, {inner})" + chunk[e:]
+        chunk = chunk[:s] + f"try_element_at({base}, {inner})" + chunk[e:]
         i = s  # rescan: base/inner may hold further brackets
     return chunk
 

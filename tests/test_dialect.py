@@ -538,26 +538,26 @@ def test_any_and_anylast_aggregates(spark):
 
 
 def test_array_literal_rewrite(spark):
-    # literal positions -> array(); access -> element_at (CH is 1-based,
-    # Spark's bracket operator is 0-based — pass-through would shift
-    # every index)
+    # literal positions -> array(); access -> try_element_at (CH is
+    # 1-based, Spark's bracket operator is 0-based — pass-through would
+    # shift every index; try_ yields NULL on OOB where ANSI throws, r5)
     assert tr("SELECT [1, 2, 3]") == "SELECT array(1, 2, 3)"
-    assert tr("SELECT arr[1] FROM t") == "SELECT element_at(arr, 1) FROM t"
+    assert tr("SELECT arr[1] FROM t") == "SELECT try_element_at(arr, 1) FROM t"
     assert tr("SELECT [[1], [2]]") == "SELECT array(array(1), array(2))"
     assert tr("SELECT CASE WHEN c THEN [1] ELSE [2] END") == (
         "SELECT CASE WHEN c THEN array(1) ELSE array(2) END"
     )
     assert tr("SELECT f(x)[2], [5][1]") == (
-        "SELECT element_at(f(x), 2), element_at(array(5), 1)"
+        "SELECT try_element_at(f(x), 2), try_element_at(array(5), 1)"
     )
     # chained access, qualified columns, negative (from-end) index
-    assert tr("SELECT a.b[1][2]") == "SELECT element_at(element_at(a.b, 1), 2)"
+    assert tr("SELECT a.b[1][2]") == "SELECT try_element_at(try_element_at(a.b, 1), 2)"
     # map access (string-literal key survives masking), lambda bodies,
     # function-result indexing
-    assert tr("SELECT m['k'] FROM t") == "SELECT element_at(m, 'k') FROM t"
-    assert tr("SELECT ['a', 'b'][1]") == "SELECT element_at(array('a', 'b'), 1)"
+    assert tr("SELECT m['k'] FROM t") == "SELECT try_element_at(m, 'k') FROM t"
+    assert tr("SELECT ['a', 'b'][1]") == "SELECT try_element_at(array('a', 'b'), 1)"
     assert tr("SELECT arrayMap(x -> x[1], arr)") == (
-        "SELECT transform(arr, x -> element_at(x, 1))"
+        "SELECT transform(arr, x -> try_element_at(x, 1))"
     )
     row = spark.sql(
         tr("SELECT [10, 20, 30][2] AS v, [10, 20, 30][-1] AS w, "
@@ -2406,3 +2406,18 @@ def test_array_element_out_of_bounds_null(spark):
     ).first()
     assert r.oob is None and r.zero is None
     assert r.ok == 2 and r.neg == 2
+
+
+def test_subscript_out_of_bounds_null(spark):
+    """CH subscripts a[i] rewrite to try_element_at: out-of-range array
+    indexes and missing map keys yield NULL instead of an ANSI throw;
+    in-range / negative / map access unchanged (r5 audit)."""
+    r = spark.sql(
+        tr(
+            "SELECT ([1, 2])[5] AS oob, ([1, 2])[2] AS ok, "
+            "([1, 2])[-1] AS neg, arrayCumSum([1, 2])[9] AS oob2, "
+            "map('a', 7)['a'] AS mk, map('a', 7)['z'] AS miss"
+        )
+    ).first()
+    assert r.oob is None and r.oob2 is None and r.miss is None
+    assert r.ok == 2 and r.neg == 2 and r.mk == 7
