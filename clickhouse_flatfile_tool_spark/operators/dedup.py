@@ -1174,11 +1174,16 @@ def remove_repeated_spans(
     detected spans are duplicated-substring spans of length ≥ n with
     boundary resolution n (documented approximation).
 
-    Shuffle profile: one shingle groupBy (stats), one join back, then
-    per-document windows/aggregations — everything keyed by shingle or
-    document, no all-pairs stage anywhere.  ``hashed`` uses xxhash64
-    shingles (production); ``hashed=False`` keeps the strings (the
-    oracle-comparable twin, same convention as winnow/minhash).
+    Shuffle profile: one shingle groupBy (stats — map-side combinable
+    count/min), one join back, then per-document windows/aggregations —
+    everything keyed by shingle or document, no all-pairs stage anywhere.
+    Skew note for 100 TB: stop-word n-grams are classic hot keys, but the
+    stats side carries exactly ONE row per shingle, so AQE's skew-join
+    split handles the posts⋈stats join by replicating that single row
+    across the split partitions — no salting needed.  ``hashed`` uses
+    xxhash64 shingles (production — 8-byte longs through the shuffle);
+    ``hashed=False`` keeps the strings (the oracle-comparable twin, same
+    convention as winnow/minhash).
 
     Whitespace note: output tokens re-join with single spaces (matching
     is whitespace-split; original spacing inside kept runs is not
