@@ -949,3 +949,22 @@ def test_remove_repeated_spans_matches_python_model(spark, token_lists):
         ).collect()
     }
     assert got == expect
+
+
+@given(st.lists(ch_expression(), min_size=1, max_size=2))
+@settings(**SETTINGS)
+def test_dialect_fuzz_executes_on_hazard_values(spark, exprs):
+    """Beyond analysis: random CH expressions must EXECUTE over hazard
+    inputs (0, negatives, NULL) — guards the rewriters against runtime
+    ANSI errors (the r5 arrayAvg/arrayAUC/subscript DIVIDE_BY_ZERO and
+    INVALID_ARRAY_INDEX class), not just paren/mask corruption."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    spark.sql(
+        "SELECT * FROM VALUES (0L, 3L), (-2L, 0L), "
+        "(7L, CAST(NULL AS BIGINT)) AS t(x, y)"
+    ).createOrReplaceTempView("fuzz_exec_t")
+    sel = ", ".join(f"({e}) AS c{i}" for i, e in enumerate(exprs))
+    spark.sql(
+        translate_clickhouse_sql(f"SELECT {sel} FROM fuzz_exec_t")
+    ).collect()
