@@ -2421,3 +2421,32 @@ def test_subscript_out_of_bounds_null(spark):
     ).first()
     assert r.oob is None and r.oob2 is None and r.miss is None
     assert r.ok == 2 and r.neg == 2 and r.mk == 7
+
+
+def test_paste_join_sql_matches_dataframe_operator(spark):
+    """The SQL PASTE JOIN rewrite and relational.paste_join implement the
+    same positional semantics: identical outputs when the DataFrame form
+    sorts by all columns (the rewrite's full-row order)."""
+    from clickhouse_flatfile_tool_spark.operators.relational import paste_join
+
+    l = spark.createDataFrame(
+        [(3, "c"), (1, "a"), (2, "b")], "id long, s string"
+    )
+    r = spark.createDataFrame([(30.0,), (10.0,), (20.0,)], "v double")
+    df_form = {
+        tuple(x)
+        for x in paste_join(
+            l, r, order_left=["id", "s"], order_right=["v"]
+        ).collect()
+    }
+    l.createOrReplaceTempView("pjeq_l")
+    r.createOrReplaceTempView("pjeq_r")
+    sql_form = {
+        tuple(x)
+        for x in spark.sql(
+            tr("SELECT * FROM pjeq_l PASTE JOIN pjeq_r")
+        ).collect()
+    }
+    assert df_form == sql_form == {
+        (1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0),
+    }
