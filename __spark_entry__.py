@@ -2762,6 +2762,8 @@ def q_dialect_batch18(spark, d):
         "modulo(doc_id, 28) + 1)) AS mt, "
         "toWeek(makeDate(2024, modulo(doc_id, 12) + 1, "
         "modulo(doc_id, 28) + 1)) AS wk, "
+        "toYearWeek(makeDate(2024, modulo(doc_id, 12) + 1, "
+        "modulo(doc_id, 28) + 1)) AS yw, "
         "round(ngramDistance(substring(text, 1, 12), "
         "substring(text, 3, 12)), 6) AS nd, "
         "round(ngramSearch(substring(text, 1, 60), 'there'), 6) AS ns, "
@@ -6782,6 +6784,13 @@ FROM ranked WHERE rk <= 5
             "date_trunc('month', d)::TIMESTAMP AS mt, "
             "(floor((dayofyear(d) - 1 - ((7 - dayofweek(date_trunc('year', d))) % 7)) "
             " / 7.0) + 1)::INT AS wk, "
+            "(CASE WHEN (floor((dayofyear(d) - 1 - ((7 - dayofweek(date_trunc('year', d))) % 7)) "
+            " / 7.0) + 1)::INT > 0 "
+            "THEN year(d) * 100 + (floor((dayofyear(d) - 1 - "
+            " ((7 - dayofweek(date_trunc('year', d))) % 7)) / 7.0) + 1)::INT "
+            "ELSE (year(d) - 1) * 100 + (floor(datediff('day', "
+            " make_date(year(d) - 1, 1, 1) + to_days(((7 - dayofweek(make_date(year(d) - 1, 1, 1))) % 7)::INT), "
+            " d) / 7.0) + 1)::INT END)::INT AS yw, "
             "round(CASE WHEN len(ga) + len(gb) = 0 THEN 0.0 ELSE "
             " 1.0 - 2.0 * len(list_intersect(ga, gb)) / (len(ga) + len(gb)) END, 6) AS nd, "
             "round(len(list_intersect(['ther', 'here'], gh))::DOUBLE / 2, 6) AS ns, "

@@ -4041,6 +4041,34 @@ def _rewrite_batch18_calls(chunk: str) -> str:
 
     chunk = _rewrite_call(chunk, "toWeek", to_week_make)
 
+    def to_yearweek_make(args):
+        # toYearWeek mode 0 (MySQL YEARWEEK): year*100 + week, where a
+        # week-0 date belongs to the PREVIOUS year's numbering — its week
+        # = Sunday-start week count from the previous year's first Sunday
+        # (verified: 2016-01-01 → 201552, 2017-01-01 → 201701).  Mode 3 =
+        # ISO → yearofweek*100 + weekofyear.
+        if len(args) not in (1, 2):
+            return None
+        d = args[0]
+        if len(args) == 2 and args[1].strip() == "3":
+            return (
+                f"(extract(YEAROFWEEK FROM {d}) * 100 + weekofyear({d}))"
+            )
+        if len(args) == 2 and args[1].strip() != "0":
+            return None
+        pj = f"make_date(year({d}) - 1, 1, 1)"
+        prev_first_sun = f"date_add({pj}, pmod(8 - dayofweek({pj}), 7))"
+        prev_week = (
+            f"CAST(floor(datediff({d}, {prev_first_sun}) / 7.0) + 1 AS INT)"
+        )
+        return (
+            f"(CASE WHEN {week_expr(d)} > 0 "
+            f"THEN year({d}) * 100 + {week_expr(d)} "
+            f"ELSE (year({d}) - 1) * 100 + {prev_week} END)"
+        )
+
+    chunk = _rewrite_call(chunk, "toYearWeek", to_yearweek_make)
+
     def ngram_distance_make(args):
         if len(args) != 2:
             return None

@@ -2357,6 +2357,16 @@ def test_batch18_functions(spark):
     assert (rows.jl_arr, rows.jl_obj) == (3, 2)
     assert rows.js == "[1,2]"
     assert rows.td == 30
+    yw = spark.sql(
+        tr(
+            "SELECT toYearWeek(toDate('2016-01-01')) AS a, "  # week 0 -> prior year
+            "toYearWeek(toDate('2017-01-01')) AS b, "
+            "toYearWeek(toDate('2016-12-27')) AS c, "
+            "toYearWeek(toDate('2024-01-04'), 3) AS iso"
+        )
+    ).first()
+    assert (yw.a, yw.b, yw.c) == (201552, 201701, 201652)
+    assert yw.iso == 202401
 
 
 def test_array_auc(spark):
