@@ -2380,6 +2380,19 @@ def q_with_fill(spark, d):
     return out.select("dom", F.col("n_events").cast("long").alias("n_events"))
 
 
+def q_mad_outliers(spark, d):
+    """Median/MAD robust outlier flags (relational.py::robust_outliers —
+    Iglewicz & Hoaglin modified z-score, k = 3.5): per-event-type cutoff
+    statistics the outliers cannot inflate, two grouped medians broadcast
+    back onto the row stream.  Oracle: DuckDB medians (both engines
+    interpolate the even-count midpoint identically)."""
+    ev = _t(spark, d, "events").select("event_id", "event_type", "value")
+    out = relational.robust_outliers(ev, "value", ["event_type"])
+    return out.select(
+        "event_id", "event_type", "mod_z", "is_outlier"
+    ).orderBy("event_id")
+
+
 def q_exactsubstr_dedup(spark, d):
     """ExactSubstr-style repeated-span removal
     (dedup.py::remove_repeated_spans — Lee et al. 2022 keep-one policy at
@@ -4743,6 +4756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_rules": q_c4_rules,
         "dict_sql": q_dict_sql,
         "exactsubstr_dedup": q_exactsubstr_dedup,
+        "mad_outliers": q_mad_outliers,
     }
 
 
@@ -6689,6 +6703,18 @@ FROM ranked WHERE rk <= 5
             "  x := a.x * pow(2, -(e.t - a.t)/3600000000.0) "
             "     + e.x * (1 - pow(2, -(e.t - a.t)/3600000000.0)))).x, 6) AS ema "
             "FROM s"
+        ),
+        "mad_outliers": (
+            "WITH med AS (SELECT event_type, median(value) AS m "
+            "  FROM events GROUP BY event_type), "
+            "mad AS (SELECT e.event_type, median(abs(e.value - med.m)) AS md "
+            "  FROM events e JOIN med USING (event_type) GROUP BY e.event_type) "
+            "SELECT e.event_id, e.event_type, "
+            "round(0.6745 * (e.value - med.m) / nullif(mad.md, 0), 6) AS mod_z, "
+            "coalesce(abs(0.6745 * (e.value - med.m) / nullif(mad.md, 0)) > 3.5, "
+            " false) AS is_outlier "
+            "FROM events e JOIN med USING (event_type) "
+            "JOIN mad USING (event_type) ORDER BY e.event_id"
         ),
         "exactsubstr_dedup": (
             "WITH src AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || "

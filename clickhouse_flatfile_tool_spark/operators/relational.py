@@ -1252,3 +1252,49 @@ def mean_z_test(
         na.alias("n_a"),
         nb.alias("n_b"),
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: float = 3.5,
+) -> DataFrame:
+    """Median/MAD outlier flags — the modified z-score
+    ``|0.6745 · (x − median) / MAD| > k`` (Iglewicz & Hoaglin 1993,
+    k = 3.5 the published default).  Unlike the mean/stddev z-score
+    (driver query ``outliers``), the cutoff statistics are ROBUST: the
+    outliers being hunted cannot inflate them and mask themselves — the
+    property that matters on heavy-tailed corpus metrics.
+
+    Plan shape: two grouped aggregations (median, then median of absolute
+    deviations) broadcast back onto the row stream — no window sort, the
+    same whole-group-stats shape as ``outliers``.  Groups where MAD = 0
+    (a constant majority) yield NULL scores and are never flagged —
+    conservative and documented (Iglewicz–Hoaglin substitute the mean
+    absolute deviation there; NULL keeps the operator deterministic and
+    oracle-comparable).  Returns the input plus ``mod_z`` (rounded 6) and
+    ``is_outlier``."""
+    gcols = list(group_cols or [])
+    med_agg = df.groupBy(*gcols).agg(F.median(value_col).alias("__med"))
+    with_med = (
+        df.join(F.broadcast(med_agg), gcols) if gcols
+        else df.crossJoin(F.broadcast(med_agg))
+    )
+    mad_agg = with_med.groupBy(*gcols).agg(
+        F.median(F.abs(F.col(value_col) - F.col("__med"))).alias("__mad")
+    )
+    scored = (
+        with_med.join(F.broadcast(mad_agg), gcols) if gcols
+        else with_med.crossJoin(F.broadcast(mad_agg))
+    )
+    mz = (
+        F.lit(0.6745)
+        * (F.col(value_col) - F.col("__med"))
+        / F.nullif(F.col("__mad"), F.lit(0.0))
+    )
+    return scored.select(
+        *df.columns,
+        F.round(mz, 6).alias("mod_z"),
+        F.coalesce(F.abs(mz) > k, F.lit(False)).alias("is_outlier"),
+    )

@@ -125,7 +125,7 @@ DEFERRED: set[str] = {
     # formally-stale r4 greens (see above)
     "dialect_funnel", "dialect_retention", "dialect_stats",
     # new round-5 queries — the window is exactly full with the backlog
-    "dialect_paste", "with_totals", "with_fill_interp", "dialect_batch18", "c4_rules", "dict_sql", "exactsubstr_dedup",
+    "dialect_paste", "with_totals", "with_fill_interp", "dialect_batch18", "c4_rules", "dict_sql", "exactsubstr_dedup", "mad_outliers",
 }
 
 

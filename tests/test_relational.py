@@ -626,3 +626,26 @@ def test_rank_tests_quantize_bounds_window_input(spark):
     assert (u.n_a, u.n_b) == (u_exact.n_a, u_exact.n_b)
     # U scales with n_a*n_b; quantization shifts it by at most a few bins
     assert abs(u.u_stat - u_exact.u_stat) / (u.n_a * u.n_b) < 0.02
+
+
+def test_robust_outliers_mad(spark):
+    """Median/MAD modified z-score: a gross outlier is flagged even when
+    it would inflate a mean/stddev cutoff; MAD = 0 groups yield NULL
+    scores and never flag."""
+    from clickhouse_flatfile_tool_spark.operators.relational import (
+        robust_outliers,
+    )
+
+    rows = [("a", float(v)) for v in [10, 11, 12, 13, 14, 1000]] + [
+        ("b", 5.0), ("b", 5.0), ("b", 5.0), ("b", 99.0)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        (r.g, r.v): (r.mod_z, r.is_outlier)
+        for r in robust_outliers(df, "v", ["g"]).collect()
+    }
+    assert out[("a", 1000.0)][1] is True
+    assert all(not out[("a", float(v))][1] for v in [10, 11, 12, 13, 14])
+    # group b: median 5, MAD 0 -> NULL scores, nothing flagged
+    assert out[("b", 99.0)] == (None, False)
+    assert out[("b", 5.0)] == (None, False)
