@@ -533,7 +533,11 @@ def query(
             from clickhouse_flatfile_tool_spark.dialect import drop_dictionary
 
             existed = drop_dictionary(dd.group(2))
-            spark.catalog.dropTempView(dd.group(2))
+            # only drop the temp view when it really was a registered
+            # dictionary — an unconditional drop deleted an unrelated
+            # same-named view on the IF EXISTS no-op path (r5 ADVICE)
+            if existed:
+                spark.catalog.dropTempView(dd.group(2))
             if not existed and not dd.group(1):
                 raise ValueError(
                     f"dictionary {dd.group(2)!r} does not exist"

@@ -899,9 +899,16 @@ def _rewrite_literal_aware(chunk: str, literals: list[str]) -> str:
         if reg is None or not re.fullmatch(r"\w+", attr):
             return None
         table, key_col = reg
+        # the dictionary side is a derived table that RENAMES its columns
+        # to reserved names: with the raw table, a probe column sharing
+        # the key column's name (the canonical CH pattern — dictGet with
+        # PRIMARY KEY user_id probed by fact.user_id) is captured by the
+        # inner scope, turning the predicate into a tautology (r5 ADVICE,
+        # verified: dictHas returned true for absent keys; dictGet hit
+        # SCALAR_SUBQUERY_TOO_MANY_ROWS)
         return (
-            f"(SELECT `{attr}` FROM {table} "
-            f"WHERE `{key_col}` = ({args[2]}))"
+            f"(SELECT __dv FROM (SELECT `{key_col}` AS __dk, "
+            f"`{attr}` AS __dv FROM {table}) WHERE __dk = ({args[2]}))"
         )
 
     def dict_get_default_make(args):
@@ -920,9 +927,11 @@ def _rewrite_literal_aware(chunk: str, literals: list[str]) -> str:
         if reg is None:
             return None
         table, key_col = reg
+        # derived-table rename for the same scope-capture reason as
+        # dict_get_make above
         return (
-            f"((SELECT count(1) FROM {table} "
-            f"WHERE `{key_col}` = ({args[1]})) > 0)"
+            f"((SELECT count(1) FROM (SELECT `{key_col}` AS __dk "
+            f"FROM {table}) WHERE __dk = ({args[1]})) > 0)"
         )
 
     chunk = _rewrite_call(chunk, "dictGetOrDefault", dict_get_default_make)
@@ -3162,7 +3171,13 @@ def _rewrite_moving_and_maps(chunk: str) -> str:
     # out-of-range or zero indexes where ANSI element_at THROWS —
     # try_element_at + nullif(idx, 0) yields NULL instead, the relational
     # encoding of CH's default (the dictGet/arrayAvg convention; plain
-    # element_at errored under spark.sql.ansi — r5 fix)
+    # element_at errored under spark.sql.ansi — r5 fix).
+    # DOCUMENTED DIVERGENCE (r5 ADVICE): arrayElement also accepts MAPS,
+    # and on a map that legitimately stores key 0 the nullif masks that
+    # lookup → NULL where CH returns the stored value.  The type isn't
+    # statically known here, and index 0 on ARRAYS (the dominant case)
+    # must stay NULL; maps keyed by 0 use the m[0] subscript form, whose
+    # rewrite deliberately has no nullif.
     chunk = _rewrite_call(
         chunk, "arrayElement",
         two("try_element_at({0}, nullif({1}, 0))"),

@@ -1102,6 +1102,20 @@ def ttest(
     return wide.select(t.alias("t_stat"), deg.alias("deg_f"))
 
 
+def _guard_rank_cells(cells: DataFrame, quantize, max_cells: int, op: str):
+    """Shared scale guard for the rank tests: on the exact path
+    (``quantize=None``) the distinct-value frame feeds a single-partition
+    cumulative window, so its size must be bounded — raise past
+    ``max_cells`` instead of silently sorting an unbounded frame on one
+    task (the ``max_probe`` stance)."""
+    if quantize is None and cells.limit(max_cells + 1).count() > max_cells:
+        raise ValueError(
+            f"{op}: value column exceeds {max_cells} distinct values — "
+            "the exact rank path sorts the distinct frame on a single "
+            "partition; pass quantize=<bin width> to bound it"
+        )
+
+
 def mann_whitney_u(
     df: DataFrame,
     group_col: str,
@@ -1109,6 +1123,7 @@ def mann_whitney_u(
     group_a,
     group_b,
     quantize: float | None = None,
+    max_cells: int = 2_000_000,
 ) -> DataFrame:
     """Mann–Whitney U — ClickHouse ``mannWhitneyUTest``: AVERAGE rank for
     ties (the tie-corrected convention), U₁ = R₁ − n₁(n₁+1)/2 for
@@ -1125,7 +1140,10 @@ def mann_whitney_u(
     has at most (max−min)/quantize + 1 rows regardless of corpus size,
     and the statistic is exact for the quantized data (the standard
     resolution-limited-measurement semantics).  Default None keeps the
-    exact path for discrete inputs."""
+    exact path for discrete inputs — SELF-DEFENDING: past ``max_cells``
+    distinct values the exact path RAISES (the ``max_probe`` stance,
+    ``knn_label_accuracy``) instead of silently building an unbounded
+    single-partition window; pass ``quantize`` to proceed bounded."""
     two = df.filter(F.col(group_col).isin([group_a, group_b])).filter(
         F.col(value_col).isNotNull()
     )
@@ -1141,6 +1159,7 @@ def mann_whitney_u(
         .cast("double")
         .alias("__cb"),
     )
+    _guard_rank_cells(cells, quantize, max_cells, "mann_whitney_u")
     w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
     ranked = cells.select(
         "__ca",
@@ -1168,6 +1187,7 @@ def ks_test(
     group_a,
     group_b,
     quantize: float | None = None,
+    max_cells: int = 2_000_000,
 ) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov — ClickHouse
     ``kolmogorovSmirnovTest``: D = max |F̂ₐ(v) − F̂ᵦ(v)| over the combined
@@ -1177,8 +1197,10 @@ def ks_test(
     cell frame is row-sized for continuous float64 inputs — pass
     ``quantize`` (bin width) to bound the window input at
     (max−min)/quantize + 1 CDF steps; D on the binned CDF differs from
-    exact D by at most the mass of one bin boundary.  Statistic only
-    (the anova stance on p-values)."""
+    exact D by at most the mass of one bin boundary.  The exact path
+    raises past ``max_cells`` distinct values (see
+    :func:`_guard_rank_cells`).  Statistic only (the anova stance on
+    p-values)."""
     two = df.filter(F.col(group_col).isin([group_a, group_b])).filter(
         F.col(value_col).isNotNull()
     )
@@ -1194,6 +1216,7 @@ def ks_test(
         .cast("double")
         .alias("__cb"),
     )
+    _guard_rank_cells(cells, quantize, max_cells, "ks_test")
     w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
     wt = Window.partitionBy()
     cdf = cells.select(
@@ -1276,18 +1299,31 @@ def robust_outliers(
     oracle-comparable).  Returns the input plus ``mod_z`` (rounded 6) and
     ``is_outlier``."""
     gcols = list(group_cols or [])
+
+    def _join_stats(left: DataFrame, stats: DataFrame, stat_col: str):
+        # null-safe equality on the group keys — a plain name-list join
+        # silently dropped NULL-keyed groups, contradicting the
+        # input-plus-mod_z contract (r5 ADVICE).  The stats side renames
+        # its key columns so the condition is name-unambiguous.
+        right = F.broadcast(
+            stats.select(
+                *[F.col(g).alias(f"__g{i}") for i, g in enumerate(gcols)],
+                stat_col,
+            )
+        )
+        if not gcols:
+            return left.crossJoin(right)
+        cond = left[gcols[0]].eqNullSafe(F.col("__g0"))
+        for i, g in enumerate(gcols[1:], 1):
+            cond = cond & left[g].eqNullSafe(F.col(f"__g{i}"))
+        return left.join(right, cond).select(left["*"], F.col(stat_col))
+
     med_agg = df.groupBy(*gcols).agg(F.median(value_col).alias("__med"))
-    with_med = (
-        df.join(F.broadcast(med_agg), gcols) if gcols
-        else df.crossJoin(F.broadcast(med_agg))
-    )
+    with_med = _join_stats(df, med_agg, "__med")
     mad_agg = with_med.groupBy(*gcols).agg(
         F.median(F.abs(F.col(value_col) - F.col("__med"))).alias("__mad")
     )
-    scored = (
-        with_med.join(F.broadcast(mad_agg), gcols) if gcols
-        else with_med.crossJoin(F.broadcast(mad_agg))
-    )
+    scored = _join_stats(with_med, mad_agg, "__mad")
     mz = (
         F.lit(0.6745)
         * (F.col(value_col) - F.col("__med"))

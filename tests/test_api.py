@@ -666,3 +666,51 @@ def test_create_dictionary_and_dictget(spark):
     assert not q("SELECT dictGet('user_dict', 'name', 1) AS x")["success"]
     assert not q("DROP DICTIONARY user_dict")["success"]
     q("DROP TABLE IF EXISTS dict_src")
+
+
+def test_dictget_shared_key_column_name(spark):
+    """The canonical CH pattern: the FACT table's probe column has the
+    SAME name as the dictionary's key column (dictHas('d', user_id) with
+    PRIMARY KEY user_id).  The rewrite must rename the dictionary side
+    (derived table -> __dk/__dv) or the inner scope captures the probe
+    column and the predicate becomes a tautology (r5 ADVICE, high)."""
+    from clickhouse_flatfile_tool_spark import api
+
+    q = lambda s: api.query(spark, s)  # noqa: E731
+    spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    ).createOrReplaceTempView("tier_src")
+    assert q(
+        "CREATE DICTIONARY tier_dict (user_id UInt64, tier String) "
+        "PRIMARY KEY user_id SOURCE(CLICKHOUSE(TABLE 'tier_src')) "
+        "LAYOUT(FLAT()) LIFETIME(300)"
+    )["success"]
+    spark.createDataFrame(
+        [(1,), (2,), (7,)], "user_id long"
+    ).createOrReplaceTempView("tier_fact")
+    rows = q(
+        "SELECT user_id, dictGet('tier_dict', 'tier', user_id) AS t, "
+        "dictGetOrDefault('tier_dict', 'tier', user_id, 'none') AS td, "
+        "dictHas('tier_dict', user_id) AS h "
+        "FROM tier_fact ORDER BY user_id"
+    )["data"]
+    assert rows == [
+        {"user_id": 1, "t": "gold", "td": "gold", "h": True},
+        {"user_id": 2, "t": "silver", "td": "silver", "h": True},
+        {"user_id": 7, "t": None, "td": "none", "h": False},
+    ]
+    assert q("DROP DICTIONARY tier_dict")["dropped"]
+    q("DROP TABLE IF EXISTS tier_src")
+
+
+def test_drop_dictionary_if_exists_spares_unrelated_view(spark):
+    """DROP DICTIONARY IF EXISTS <name> on a name that was never a
+    dictionary must NOT delete a same-named temp view (r5 ADVICE,
+    medium: the old path dropped it unconditionally)."""
+    from clickhouse_flatfile_tool_spark import api
+
+    spark.range(3).createOrReplaceTempView("not_a_dict")
+    r = api.query(spark, "DROP DICTIONARY IF EXISTS not_a_dict")
+    assert r["success"] and not r["dropped"]
+    assert spark.table("not_a_dict").count() == 3
+    spark.catalog.dropTempView("not_a_dict")
