@@ -2789,6 +2789,68 @@ def q_dialect_batch18(spark, d):
     return spark.sql(translate_clickhouse_sql(ch_sql))
 
 
+def q_dialect_batch19(spark, d):
+    """Dialect batch 19 end-to-end (row-level half): age complete-unit
+    month/day diffs (add-months-clamp-exact), parseDateTime %-syntax,
+    extractGroups (literal pattern, first match), arrayShiftLeft with
+    default fill, simpleJSONHas, replaceRegexpOne (first-occurrence regex
+    replace — DuckDB's regexp_replace default IS first-only, a native
+    oracle), timeSlots period counting, toRelativeMonthNum,
+    positiveModulo, widthBucket, arrayUnion.  Arrays scalarize via
+    arrayStringConcat for the driver canonicalizer."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    _t(spark, d, "documents").createOrReplaceTempView("b19_docs")
+    ch_sql = (
+        "SELECT doc_id, "
+        "age('month', makeDate(2024, 1, 15), "
+        "makeDate(2024, modulo(doc_id, 12) + 1, modulo(doc_id, 28) + 1)) "
+        "AS agm, "
+        "age('day', toDateTime('2024-03-15 00:00:00'), "
+        "makeDate(2024, modulo(doc_id, 12) + 1, modulo(doc_id, 28) + 1)) "
+        "AS agd, "
+        "parseDateTime(concat('2024-0', toString(modulo(doc_id, 9) + 1), "
+        "'-05 06:07:08'), '%Y-%m-%d %H:%M:%S') AS pd, "
+        "arrayStringConcat(extractGroups(concat(toString(doc_id), '-abc'), "
+        "'(\\\\d+)-(\\\\w+)'), ',') AS eg, "
+        "arrayStringConcat(arrayMap(__x -> toString(__x), "
+        "arrayShiftLeft([1, 2, modulo(doc_id, 5)], 1, 9)), '|') AS asl, "
+        "simpleJSONHas(concat('{\"a', toString(modulo(doc_id, 3)), "
+        "'\": 1}'), 'a1') AS sj, "
+        "replaceRegexpOne(substring(text, 1, 40), '[aeiou]+', '_') AS rro, "
+        "arrayCount(__x -> true, "
+        "timeSlots(makeDateTime(2024, 3, 15, modulo(doc_id, 24), 0, 0), "
+        "modulo(doc_id, 5) * 900)) AS tsn, "
+        "toRelativeMonthNum(makeDate(2024, modulo(doc_id, 12) + 1, 1)) "
+        "AS rmn, "
+        "positiveModulo(doc_id - 50, 7) AS pm, "
+        "widthBucket(toFloat64(modulo(n_chars, 100)), 0, 100, 7) AS wb, "
+        "arrayStringConcat(arrayMap(__x -> toString(__x), "
+        "arraySort(arrayUnion([modulo(doc_id, 3), 1], [2, 1]))), ',') AS au "
+        "FROM b19_docs ORDER BY doc_id"
+    )
+    return spark.sql(translate_clickhouse_sql(ch_sql))
+
+
+def q_dialect_batch19_aggs(spark, d):
+    """Dialect batch 19 (aggregate half): skewSamp/kurtSamp — CH's
+    sample-variance-normalized central moments m3/varSamp^1.5 and
+    m4/varSamp², derived in the dialect from Spark's population forms by
+    the (varPop/varSamp)^k correction.  Oracle: explicit moment
+    arithmetic in DuckDB (its own skewness/kurtosis are the
+    bias-corrected g-statistics, a DIFFERENT estimator family)."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    _t(spark, d, "documents").createOrReplaceTempView("b19a_docs")
+    ch_sql = (
+        "SELECT lang, count() AS n, "
+        "round(skewSamp(n_chars), 6) AS sk, "
+        "round(kurtSamp(n_chars), 6) AS ku "
+        "FROM b19a_docs GROUP BY lang ORDER BY lang"
+    )
+    return spark.sql(translate_clickhouse_sql(ch_sql))
+
+
 def q_dialect_clauses(spark, d):
     """Session-5 SQL clauses end-to-end: scalar WITH (the constant
     feeds the QUALIFY bound) + QUALIFY over a window on aggregated
@@ -4753,6 +4815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "with_totals": q_with_totals,
         "with_fill_interp": q_with_fill_interp,
         "dialect_batch18": q_dialect_batch18,
+        "dialect_batch19": q_dialect_batch19,
+        "dialect_batch19_aggs": q_dialect_batch19_aggs,
         "c4_rules": q_c4_rules,
         "dict_sql": q_dict_sql,
         "exactsubstr_dedup": q_exactsubstr_dedup,
@@ -6825,6 +6889,55 @@ FROM ranked WHERE rk <= 5
             "datediff('day', TIMESTAMP '2024-01-01 00:00:00', "
             " make_date(2024, (doc_id % 12)::INT + 1, 15)::TIMESTAMP)::BIGINT AS td "
             "FROM g ORDER BY doc_id"
+        ),
+        "dialect_batch19": (
+            # age month: calendar month delta minus one when end hasn't
+            # reached the start's clamped day-of-month (times are 00:00
+            # here so the time tiebreak drops out); age day: truncated
+            # epoch-diff division.  regexp_replace WITHOUT 'g' is
+            # first-occurrence in DuckDB — the native replaceRegexpOne
+            # oracle.  timeSlots count = boundary-index difference + 1.
+            "WITH b AS (SELECT doc_id, n_chars, substr(text, 1, 40) AS t40, "
+            "  make_date(2024, (doc_id % 12)::INT + 1, (doc_id % 28)::INT + 1) AS d, "
+            "  (3600 * (doc_id % 24) + 1710460800)::BIGINT AS slot0, "
+            "  ((doc_id % 5) * 900)::BIGINT AS dur "
+            "  FROM documents) "
+            "SELECT doc_id, "
+            "((year(d) * 12 + month(d)) - (2024 * 12 + 1) "
+            " - CASE WHEN day(d) < least(15, day(last_day(d))) THEN 1 ELSE 0 END)"
+            "::BIGINT AS agm, "
+            "trunc((epoch(d::TIMESTAMP) - epoch(TIMESTAMP '2024-03-15 00:00:00')) "
+            " / 86400.0)::BIGINT AS agd, "
+            "strptime('2024-0' || ((doc_id % 9) + 1) || '-05 06:07:08', "
+            " '%Y-%m-%d %H:%M:%S') AS pd, "
+            "(doc_id || ',abc') AS eg, "
+            "('2|' || (doc_id % 5) || '|9') AS asl, "
+            "((doc_id % 3) = 1) AS sj, "
+            "regexp_replace(t40, '[aeiou]+', '_') AS rro, "
+            "(((slot0 + dur) // 1800) - (slot0 // 1800) + 1)::INT AS tsn, "
+            "(2024 * 12 + (doc_id % 12)::INT + 1)::INT AS rmn, "
+            "(((doc_id - 50) % 7 + 7) % 7)::BIGINT AS pm, "
+            "(floor((n_chars % 100) * 7 / 100.0) + 1)::BIGINT AS wb, "
+            "list_aggregate(list_sort(list_distinct([(doc_id % 3)::BIGINT, 1, 2])), "
+            " 'string_agg', ',') AS au "
+            "FROM b ORDER BY doc_id"
+        ),
+        "dialect_batch19_aggs": (
+            # CH skewSamp = m3/varSamp^1.5, kurtSamp = m4/varSamp² —
+            # explicit central-moment arithmetic (DuckDB's own skewness/
+            # kurtosis are the bias-corrected g-statistics, a different
+            # estimator family)
+            "WITH mu AS (SELECT lang, count(*)::BIGINT AS n, "
+            "  avg(n_chars) AS m, var_samp(n_chars) AS vs "
+            "  FROM documents GROUP BY lang), "
+            "mom AS (SELECT d.lang, "
+            "  sum(pow(d.n_chars - mu.m, 3)) / count(*) AS m3, "
+            "  sum(pow(d.n_chars - mu.m, 4)) / count(*) AS m4 "
+            "  FROM documents d JOIN mu USING (lang) GROUP BY d.lang) "
+            "SELECT mu.lang, mu.n, "
+            "round(mom.m3 / nullif(pow(mu.vs, 1.5), 0), 6) AS sk, "
+            "round(mom.m4 / nullif(pow(mu.vs, 2), 0), 6) AS ku "
+            "FROM mu JOIN mom USING (lang) ORDER BY mu.lang"
         ),
         "with_fill_interp": (
             "WITH b AS (SELECT day(ts)::INT AS dom, count(*)::BIGINT AS n_events, "

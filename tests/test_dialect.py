@@ -2460,3 +2460,83 @@ def test_paste_join_sql_matches_dataframe_operator(spark):
     assert df_form == sql_form == {
         (1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0),
     }
+
+
+def test_batch19_functions(spark):
+    """Batch 19: age complete units (add-months-clamp-exact),
+    parseDateTime[OrNull] %-syntax, extractGroups, arrayShiftLeft/Right,
+    simpleJSONHas, replaceRegexpOne (first occurrence only), timeSlots,
+    skewSamp/kurtSamp, renames (arrayUnion/widthBucket/positiveModulo/
+    JSONExtractKeys/toRelative*Num/toStartOfSecond)."""
+    r = spark.sql(
+        tr(
+            "SELECT "
+            # Jan 30 + 1 clamped month = Feb 28 -> COMPLETE (months_between
+            # would say 0 here; the clamp-aware formula says 1, as CH)
+            "age('month', toDateTime('2021-01-30 12:00:00'), "
+            "toDateTime('2021-02-28 12:00:00')) AS am1, "
+            "age('month', toDateTime('2021-01-30 12:00:00'), "
+            "toDateTime('2021-02-28 11:59:59')) AS am0, "
+            "age('year', toDateTime('2020-02-29 00:00:00'), "
+            "toDateTime('2021-02-28 00:00:00')) AS ay, "
+            "age('day', toDateTime('2021-01-01 06:00:00'), "
+            "toDateTime('2021-01-03 05:59:59')) AS ad, "
+            "parseDateTime('2021-03-05 06:07:08', '%Y-%m-%d %H:%M:%S') AS pd, "
+            "parseDateTimeOrNull('garbage', '%Y-%m-%d') AS pn, "
+            "extractGroups('id=42-abc', '(\\\\d+)-(\\\\w+)') AS eg, "
+            "extractGroups('nothing', '(\\\\d+)-(\\\\w+)') AS eg0, "
+            "arrayShiftLeft([1, 2, 3, 4, 5], 2) AS sl, "
+            "arrayShiftRight([1, 2, 3, 4, 5], 2) AS sr, "
+            "arrayShiftRight([1, 2, 3], 1, 0) AS srd, "
+            "simpleJSONHas('{\"k\": null}', 'k') AS jh1, "
+            "simpleJSONHas('{\"k\": 1}', 'q') AS jh0, "
+            "replaceRegexpOne('banana', 'an', 'AN') AS r1, "
+            "replaceRegexpOne('banana', 'q+', 'X') AS rmiss, "
+            "arrayCount(__x -> true, "
+            "timeSlots(toDateTime('2024-03-15 06:00:00'), 3600)) AS tsn, "
+            "toRelativeMonthNum(toDate('2021-01-30')) AS rm, "
+            "toRelativeYearNum(toDate('2021-01-30')) AS ry, "
+            "toStartOfSecond(toDateTime('2021-01-30 12:34:56')) AS tss, "
+            "positiveModulo(-5, 3) AS pm, "
+            "widthBucket(7.0, 0, 10, 5) AS wb, "
+            "arraySort(arrayUnion([1, 2], [2, 3])) AS au, "
+            "JSONExtractKeys('{\"a\": 1, \"b\": 2}') AS jk, "
+            "throwIf(1 > 2, 'nope') AS ti"
+        )
+    ).first()
+    assert (r.am1, r.am0, r.ay, r.ad) == (1, 0, 1, 1)
+    assert str(r.pd) == "2021-03-05 06:07:08"
+    assert r.pn is None
+    assert list(r.eg) == ["42", "abc"] and list(r.eg0) == []
+    assert list(r.sl) == [3, 4, 5, None, None]
+    assert list(r.sr) == [None, None, 1, 2, 3]
+    assert list(r.srd) == [0, 1, 2]
+    assert (r.jh1, r.jh0) == (True, False)
+    assert (r.r1, r.rmiss) == ("bANana", "banana")
+    assert r.tsn == 3
+    assert (r.rm, r.ry) == (2021 * 12 + 1, 2021)
+    assert str(r.tss) == "2021-01-30 12:34:56"
+    assert (r.pm, r.wb) == (1, 4)
+    assert list(r.au) == [1, 2, 3]
+    assert list(r.jk) == ["a", "b"]
+    assert r.ti == 0
+    # throwIf raising branch
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="too big|assert"):
+        spark.sql(tr("SELECT throwIf(2 > 1, 'too big') AS x")).collect()
+    # sample central moments vs hand-computed m3/varSamp^1.5, m4/varSamp^2
+    vals = [1.0, 2.0, 2.0, 3.0, 9.0]
+    spark.createDataFrame([(v,) for v in vals], "x double").createOrReplaceTempView(
+        "b19_t"
+    )
+    n = len(vals)
+    mean = sum(vals) / n
+    m3 = sum((v - mean) ** 3 for v in vals) / n
+    m4 = sum((v - mean) ** 4 for v in vals) / n
+    vs = sum((v - mean) ** 2 for v in vals) / (n - 1)
+    got = spark.sql(
+        tr("SELECT round(skewSamp(x), 9) AS s, round(kurtSamp(x), 9) AS k FROM b19_t")
+    ).first()
+    assert got.s == round(m3 / vs**1.5, 9)
+    assert got.k == round(m4 / vs**2, 9)

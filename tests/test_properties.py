@@ -443,8 +443,25 @@ def ch_expression(draw, depth=0):
     atoms = ["x", "y", "7", "1.5", "NULL"]
     if depth >= 3:
         return draw(st.sampled_from(atoms))
-    kind = draw(st.integers(0, 40))
+    kind = draw(st.integers(0, 46))
     sub = lambda: draw(ch_expression(depth=depth + 1))  # noqa: E731
+    # batch 19 (r6)
+    if kind == 41:
+        return (
+            f"age('day', toDateTime('2024-01-01 00:00:00'), "
+            f"makeDate(2024, 2, {draw(st.integers(1, 28))}))"
+        )
+    if kind == 42:
+        return f"arraySum(arrayShiftLeft([toInt64({sub()}), 2, 3], 1, 0))"
+    if kind == 43:
+        return f"length(replaceRegexpOne(toString({sub()}), '1', 'X'))"
+    if kind == 44:
+        # divisor >= 1: CH positiveModulo(x, 0) throws on both engines
+        return f"positiveModulo(toInt64({sub()}), {draw(st.integers(1, 5))})"
+    if kind == 45:
+        return f"widthBucket(toFloat64({sub()}), 0, 10, 4)"
+    if kind == 46:
+        return f"toRelativeMonthNum(makeDate(2024, {draw(st.integers(1, 12))}, 3))"
     # batch 18 (r5)
     if kind == 36:
         return f"toWeek(makeDate(2024, 1, {draw(st.integers(1, 28))}))"
