@@ -4563,73 +4563,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   window_first_last -> window_lag map_props -> array_funcs/json_props
     return {
         # ------------------------------------------------------------------
-        # ROUND-5 DRIVER WINDOW (first 50 slots) — finishes the registry:
-        # the 2 fixed r4 reds (tpch_q12 BIGINT casts, clickhouse_funcs3
-        # array stringification), the 3 other canonicalizer-interface
-        # fixes, the complete never-checked backlog (36), and 9 stale
-        # re-proves whose implementation drifted since their green row
-        # (r5 dialect edits; fingerprint audit scripts/registry_window.py).
-        # dialect_funnel/dialect_retention/dialect_stats defer to r6 —
-        # the ONLY formally-stale leftovers (probe-gating edit cannot
-        # change SELECT results; selfcheck re-PASS) — 53 candidates, 50
-        # slots.
+        # ROUND-6 DRIVER WINDOW (first 50 slots): the 23 formally-stale
+        # dialect-module re-proves (batch-19 + dictGet-scope edits hash the
+        # whole dialect module -- fingerprint audit, selfcheck all-PASS),
+        # the 10-entry never-checked backlog (incl. the two new batch-19
+        # entries), and 17 proven filler slots re-pinning the r5
+        # bench-drift queries (tpch_q9/q11/q13/q16) and the operators the
+        # r6 edits touched (rank tests, robust outliers, dictionaries).
         # ------------------------------------------------------------------
-        "tpch_q12": q_tpch_q12,
         "clickhouse_funcs3": q_clickhouse_funcs3,
-        "summap_merge": q_summap_merge,
         "clickhouse_funcs4": q_clickhouse_funcs4,
         "dialect_batch16": q_dialect_batch16,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
         "dialect_final": q_dialect_final,
-        "pack_bestfit": q_pack_bestfit,
-        "strip_html": q_strip_html,
         "sequence_next_node": q_sequence_next_node,
         "dialect_geo": q_dialect_geo,
         "dialect_batch17": q_dialect_batch17,
-        "semantic_decon": q_semantic_decon,
-        "knn_accuracy": q_knn_accuracy,
         "dialect_clauses": q_dialect_clauses,
         "distinct_on": q_distinct_on,
         "dialect_ips": q_dialect_ips,
         "dialect_aggs2": q_dialect_aggs2,
         "dialect_dates2": q_dialect_dates2,
-        "mutual_nn": q_mutual_nn,
-        "value_entropy": q_value_entropy,
-        "corr_matrix": q_corr_matrix,
-        "margin_pairs": q_margin_pairs,
-        "sparkbar": q_sparkbar,
-        "winnow": q_winnow,
-        "ttl_expire": q_ttl_expire,
-        "projection_agg": q_projection_agg,
-        "domain_block": q_domain_block,
-        "lttb_downsample": q_lttb_downsample,
-        "anova": q_anova,
-        "cramers_v": q_cramers_v,
         "hypothesis_tests": q_hypothesis_tests,
-        "embedding_drift": q_embedding_drift,
         "clickhouse_dialect": q_clickhouse_dialect,
         "clickhouse_funcs2": q_clickhouse_funcs2,
         "url_funcs": q_url_funcs,
-        "asof_join": q_asof_join,
-        "replacing_final": q_replacing_final,
         "clickhouse_dates": q_clickhouse_dates,
         "dialect_asof": q_dialect_asof,
         "with_fill": q_with_fill,
         "sequence_match": q_sequence_match,
-        # ------------------------------------------------------------------
-        # tail: proven green in CORRECTNESS_r01-r04; order immaterial
-        # ------------------------------------------------------------------
         "dialect_funnel": q_dialect_funnel,
         "dialect_retention": q_dialect_retention,
         "dialect_stats": q_dialect_stats,
+        "dialect_paste": q_dialect_paste,
+        "with_totals": q_with_totals,
+        "with_fill_interp": q_with_fill_interp,
+        "dialect_batch18": q_dialect_batch18,
+        "dialect_batch19": q_dialect_batch19,
+        "dialect_batch19_aggs": q_dialect_batch19_aggs,
+        "c4_rules": q_c4_rules,
+        "dict_sql": q_dict_sql,
+        "exactsubstr_dedup": q_exactsubstr_dedup,
+        "mad_outliers": q_mad_outliers,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q12": q_tpch_q12,
+        "asof_join": q_asof_join,
+        "replacing_final": q_replacing_final,
+        "knn_accuracy": q_knn_accuracy,
+        "semantic_decon": q_semantic_decon,
+        "winnow": q_winnow,
+        "mutual_nn": q_mutual_nn,
+        "anova": q_anova,
+        "cramers_v": q_cramers_v,
+        "summap_merge": q_summap_merge,
+        "strip_html": q_strip_html,
+        "domain_block": q_domain_block,
+        "outliers": q_outliers,
+        # ------------------------------------------------------------------
+        # tail: proven green in CORRECTNESS_r01-r05; order immaterial
+        # ------------------------------------------------------------------
+        "tpch_q2": q_tpch_q2,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "pack_bestfit": q_pack_bestfit,
+        "value_entropy": q_value_entropy,
+        "corr_matrix": q_corr_matrix,
+        "margin_pairs": q_margin_pairs,
+        "sparkbar": q_sparkbar,
+        "ttl_expire": q_ttl_expire,
+        "projection_agg": q_projection_agg,
+        "lttb_downsample": q_lttb_downsample,
+        "embedding_drift": q_embedding_drift,
         "mutation_update": q_mutation_update,
         "image_neardup": q_image_neardup,
         "ema_recursive": q_ema_recursive,
@@ -4709,7 +4717,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equiheight_hist": q_equiheight_hist,
         "debounce_events": q_debounce_events,
         "topk_per_group": q_topk_per_group,
-        "outliers": q_outliers,
         "skew_report": q_skew_report,
         "corr_stats": q_corr_stats,
         "profile_table": q_profile_table,
@@ -4732,10 +4739,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "stream_session": q_stream_session,
         "stream_stateful": q_stream_stateful,
-        # Spark 4 transformWithStateInPandas needs a working google.protobuf
-        # (state-server protocol); registered only where the dep functions —
-        # see OPERATORS.md 'Environment gates' for the grader-facing note
-        **({"stream_tws": q_stream_tws} if stream_ops.tws_available() else {}),
         "stream_interval_join": q_stream_interval_join,
         "minhash_portable": q_minhash_portable,
         "simhash_candidates": q_simhash_candidates,
@@ -4808,19 +4811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_text": q_chunk_text,
         "hash_split": q_hash_split,
         "ngram_jaccard": q_ngram_jaccard,
-        # round-5 additions (VERDICT r4 #8) — below the full window by
-        # necessity (50 slots = 50 backlog entries); DEFERRED for the r6
-        # rotation, selfcheck-green + pytest-covered meanwhile
-        "dialect_paste": q_dialect_paste,
-        "with_totals": q_with_totals,
-        "with_fill_interp": q_with_fill_interp,
-        "dialect_batch18": q_dialect_batch18,
-        "dialect_batch19": q_dialect_batch19,
-        "dialect_batch19_aggs": q_dialect_batch19_aggs,
-        "c4_rules": q_c4_rules,
-        "dict_sql": q_dict_sql,
-        "exactsubstr_dedup": q_exactsubstr_dedup,
-        "mad_outliers": q_mad_outliers,
+        **({"stream_tws": q_stream_tws} if stream_ops.tws_available() else {}),
     }
 
 

@@ -114,19 +114,11 @@ def stale_entries() -> set[str]:
     return drifted | CHANGED_SINCE_GREEN
 
 # Entries deliberately parked past the window edge (more unproven entries
-# than the 50 driver slots).  Round-5 composition: the whole never-checked
-# backlog + stale re-proves fit the window EXCEPT three r4 greens whose
-# staleness is purely FORMAL — the whole-dialect-module fingerprint flags
-# them after the r5 probe-gating edit (dialect.py), but that edit cannot
-# change SELECT results (it only stops spark.sql from eagerly executing
-# command statements during the analysis probe); all three selfcheck
-# re-PASS.  They re-rotate in round 6.
-DEFERRED: set[str] = {
-    # formally-stale r4 greens (see above)
-    "dialect_funnel", "dialect_retention", "dialect_stats",
-    # new round-5 queries — the window is exactly full with the backlog
-    "dialect_paste", "with_totals", "with_fill_interp", "dialect_batch18", "c4_rules", "dict_sql", "exactsubstr_dedup", "mad_outliers",
-}
+# than the 50 driver slots).  Round 6: EMPTY — the full unproven set (23
+# formally-stale dialect re-proves from the batch-19/dictGet edits + the
+# 10-entry never-checked backlog) fits the 50-slot window with 17 proven
+# filler slots to spare.
+DEFERRED: set[str] = set()
 
 
 def main() -> int:
