@@ -2421,6 +2421,39 @@ def q_exactsubstr_dedup(spark, d):
     return out.orderBy("doc_id")
 
 
+def q_pipeline_e2e(spark, d):
+    """Composed curation pipeline (pipeline.py::curation_pipeline — the
+    RedPajama/Dolma funnel): Gopher gates → C4 page gates → exact dedup
+    (min-id survivor) → portable-MinHash near-dedup (LSH → Jaccard ≥ 0.8
+    → drop greater id) → ExactSubstr span removal (modifies, never
+    drops) → trigram decontamination against a held-out benchmark split
+    (doc_id % 20 = 0).  Returns the per-stage provenance funnel
+    (stage_idx, stage, docs, dropped, modified) — the table every corpus
+    build reports.  Exercises OPERATOR COMPOSITION: every stage is an
+    already-proven operator, and the oracle replays the whole funnel in
+    DuckDB (portable md5 MinHash makes stage 4 engine-reproducible)."""
+    from clickhouse_flatfile_tool_spark.operators.pipeline import (
+        curation_pipeline,
+    )
+
+    docs = _t(spark, d, "documents").select("doc_id", "text")
+    # sentence structure every 6 words ('.' + newline — the q_c4_rules
+    # trick plus terminal punctuation, since the synthetic corpus has
+    # none): the C4 line gates then operate on real lines, and short
+    # documents (< 3 injected sentences) genuinely fail the page gate.
+    # The injection is part of the fixture on BOTH engines, so every
+    # downstream stage sees the same tokens.
+    train = docs.filter(F.col("doc_id") % 20 != 0).select(
+        "doc_id",
+        F.expr(
+            r"regexp_replace(text, '(\\S+ \\S+ \\S+ \\S+ \\S+ \\S+) ', '$1.\n')"
+        ).alias("text"),
+    )
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    _final, provenance = curation_pipeline(train, bench)
+    return provenance
+
+
 def q_exactsubstr_fast(spark, d):
     """Production twin of ``exactsubstr_dedup`` (xxhash64 shingles — 8-byte
     longs through the shuffle instead of gram strings; pytest asserts the
@@ -4620,10 +4653,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summap_merge": q_summap_merge,
         "strip_html": q_strip_html,
         "domain_block": q_domain_block,
-        "outliers": q_outliers,
+        "pipeline_e2e": q_pipeline_e2e,
         # ------------------------------------------------------------------
         # tail: proven green in CORRECTNESS_r01-r05; order immaterial
         # ------------------------------------------------------------------
+        "outliers": q_outliers,
         "tpch_q2": q_tpch_q2,
         "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
@@ -6929,6 +6963,115 @@ FROM ranked WHERE rk <= 5
             "round(mom.m3 / nullif(pow(mu.vs, 1.5), 0), 6) AS sk, "
             "round(mom.m4 / nullif(pow(mu.vs, 2), 0), 6) AS ku "
             "FROM mu JOIN mom USING (lang) ORDER BY mu.lang"
+        ),
+        "pipeline_e2e": (
+            # full-funnel replay: every stage mirrors its proven per-stage
+            # oracle (gopher_rules / c4 single-line gates / dedup_exact
+            # fingerprint / minhash_portable md5 LSH + Jaccard /
+            # exactsubstr posting-canonical-island pipeline / trigram
+            # decontamination), counts windowed into the funnel
+            "WITH train AS MATERIALIZED (SELECT doc_id, "
+            "  regexp_replace(text, '(\\S+ \\S+ \\S+ \\S+ \\S+ \\S+) ', "
+            "  '\\1.' || chr(10), 'g') AS text "
+            "  FROM documents WHERE doc_id % 20 <> 0), "
+            "bench AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0), "
+            "gm AS MATERIALIZED (SELECT doc_id, text, "
+            "  string_split_regex(trim(lower(text)), '\\s+') AS w FROM train), "
+            "g AS MATERIALIZED (SELECT doc_id, text FROM gm WHERE "
+            "  len(w) BETWEEN 10 AND 100000 "
+            "  AND length(regexp_replace(text, '\\s+', '', 'g')) / greatest(len(w), 1) "
+            "    BETWEEN 2.0 AND 12.0 "
+            "  AND len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(length(text), 1) <= 0.1 "
+            "  AND len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) / greatest(len(w), 1) >= 0.8 "
+            "  AND len(list_intersect(w, ['the', 'a', 'and', 'of', 'to'])) >= 2), "
+            "c4 AS MATERIALIZED (SELECT doc_id, text FROM g WHERE "
+            "  len(regexp_extract_all(coalesce(array_to_string(list_filter("
+            "    string_split(text, chr(10)), "
+            "    l -> regexp_matches(trim(l), '[.!?\"]$') "
+            "      AND len(string_split_regex(trim(l), '\\s+')) >= 5 "
+            "      AND NOT contains(lower(l), 'javascript')), chr(10)), ''), "
+            "    '[.!?]')) >= 3 "
+            "  AND NOT contains(text, '{') AND NOT contains(lower(text), 'lorem ipsum')), "
+            "ex AS MATERIALIZED (SELECT min(doc_id) AS doc_id FROM c4 "
+            "  GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))), "
+            "s3 AS MATERIALIZED (SELECT c4.doc_id, c4.text FROM c4 JOIN ex USING (doc_id)), "
+            "b3 AS MATERIALIZED (SELECT doc_id AS id, "
+            "  list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)), "
+            "    i -> array_to_string(w[i:i+2], ' '))) AS sh "
+            "  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM s3)), "
+            "inv AS MATERIALIZED (SELECT id, unnest(sh) AS s FROM b3), "
+            "sig AS MATERIALIZED (SELECT id, "
+            + ", ".join(
+                f"min(md5(s || '#{i}')) AS mh_{i}" for i in range(16)
+            )
+            + " FROM inv GROUP BY id), "
+            "banded AS MATERIALIZED ("
+            + " UNION ALL ".join(
+                f"SELECT id, {b} AS band, md5("
+                + " || '|' || ".join(f"mh_{b * 4 + r}" for r in range(4))
+                + ") AS bucket FROM sig"
+                for b in range(4)
+            )
+            + "), "
+            "cand AS MATERIALIZED (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM banded a "
+            "  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id), "
+            "jac AS MATERIALIZED (SELECT c.id_b FROM cand c JOIN b3 x ON c.id_a = x.id "
+            "  JOIN b3 y ON c.id_b = y.id "
+            "  WHERE len(list_intersect(x.sh, y.sh))::DOUBLE "
+            "    / len(list_distinct(x.sh || y.sh)) >= 0.8), "
+            "s4 AS MATERIALIZED (SELECT doc_id, text FROM s3 "
+            "  WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM jac)), "
+            "w4 AS MATERIALIZED (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS lw, "
+            "  string_split_regex(trim(text), '\\s+') AS ow FROM s4), "
+            "posts AS MATERIALIZED (SELECT doc_id, "
+            "  unnest(generate_series(1, greatest(len(lw) - 2, 0))) AS pos, "
+            "  unnest([array_to_string(lw[i:i+2], ' ') "
+            "    FOR i IN generate_series(1, greatest(len(lw) - 2, 0))]) AS gr FROM w4), "
+            "t1 AS MATERIALIZED (SELECT gr, count(*) AS c, min(doc_id) AS fd FROM posts GROUP BY gr), "
+            "t2 AS MATERIALIZED (SELECT t1.gr, t1.c, t1.fd, min(p.pos) AS fp FROM posts p "
+            "  JOIN t1 ON p.gr = t1.gr AND p.doc_id = t1.fd GROUP BY t1.gr, t1.c, t1.fd), "
+            "dup AS MATERIALIZED (SELECT p.doc_id, p.pos FROM posts p JOIN t2 ON p.gr = t2.gr "
+            "  WHERE t2.c >= 2 AND NOT (p.doc_id = t2.fd AND p.pos = t2.fp)), "
+            "cov AS MATERIALIZED (SELECT DISTINCT doc_id, pos + j AS cpos FROM dup, "
+            "  generate_series(0, 2) AS tj(j)), "
+            "isl AS MATERIALIZED (SELECT doc_id, cpos, cpos - row_number() OVER ("
+            "  PARTITION BY doc_id ORDER BY cpos) AS grp FROM cov), "
+            "runs AS MATERIALIZED (SELECT doc_id, min(cpos) AS s, max(cpos) AS e FROM isl "
+            "  GROUP BY doc_id, grp HAVING max(cpos) - min(cpos) + 1 >= 6), "
+            "dr AS MATERIALIZED (SELECT doc_id, unnest(generate_series(s, e)) AS pos FROM runs), "
+            "toks AS MATERIALIZED (SELECT doc_id, unnest(generate_series(1, len(ow))) AS pos, "
+            "  unnest(ow) AS tok FROM w4), "
+            "kept AS MATERIALIZED (SELECT t.doc_id, t.pos, t.tok FROM toks t LEFT JOIN dr "
+            "  ON t.doc_id = dr.doc_id AND t.pos = dr.pos WHERE dr.pos IS NULL), "
+            "reb AS MATERIALIZED (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text "
+            "  FROM kept GROUP BY doc_id), "
+            "mod5 AS MATERIALIZED (SELECT DISTINCT doc_id FROM runs), "
+            "s5 AS MATERIALIZED (SELECT s4.doc_id, coalesce(r.clean_text, '') AS text "
+            "  FROM s4 LEFT JOIN reb r USING (doc_id)), "
+            "b5 AS MATERIALIZED (SELECT doc_id AS id, "
+            "  list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)), "
+            "    i -> array_to_string(w[i:i+2], ' '))) AS sh "
+            "  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM s5)), "
+            "bsh AS MATERIALIZED (SELECT DISTINCT s FROM (SELECT unnest("
+            "  list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)), "
+            "    i -> array_to_string(w[i:i+2], ' ')))) AS s "
+            "  FROM (SELECT string_split_regex(trim(lower(text)), '\\s+') AS w FROM bench))), "
+            "cont AS MATERIALIZED (SELECT DISTINCT t.id FROM "
+            "  (SELECT id, unnest(sh) AS s FROM b5) t JOIN bsh b ON t.s = b.s), "
+            "s6 AS MATERIALIZED (SELECT doc_id FROM s5 WHERE doc_id NOT IN (SELECT id FROM cont)), "
+            "funnel AS ("
+            "  SELECT 0 AS stage_idx, 'input' AS stage, (SELECT count(*) FROM train) AS docs "
+            "  UNION ALL SELECT 1, 'gopher', (SELECT count(*) FROM g) "
+            "  UNION ALL SELECT 2, 'c4', (SELECT count(*) FROM c4) "
+            "  UNION ALL SELECT 3, 'exact', (SELECT count(*) FROM s3) "
+            "  UNION ALL SELECT 4, 'neardup', (SELECT count(*) FROM s4) "
+            "  UNION ALL SELECT 5, 'exactsubstr', (SELECT count(*) FROM s5) "
+            "  UNION ALL SELECT 6, 'decontaminate', (SELECT count(*) FROM s6)) "
+            "SELECT stage_idx::INT AS stage_idx, stage, docs::BIGINT AS docs, "
+            "coalesce(lag(docs) OVER (ORDER BY stage_idx) - docs, 0)::BIGINT AS dropped, "
+            "(CASE WHEN stage_idx = 5 THEN (SELECT count(*) FROM mod5) ELSE 0 END)::BIGINT "
+            "AS modified "
+            "FROM funnel ORDER BY stage_idx"
         ),
         "with_fill_interp": (
             "WITH b AS (SELECT day(ts)::INT AS dom, count(*)::BIGINT AS n_events, "

@@ -1,0 +1,134 @@
+"""Composed training-data curation pipeline with per-stage provenance.
+
+The RedPajama/Dolma shape (public pipeline descriptions: Together AI's
+RedPajama-Data, AI2's Dolma toolkit): quality gates → exact dedup →
+near dedup → repeated-span removal → benchmark decontamination, run as
+ONE operator whose output is the per-stage funnel — every production
+corpus build reports exactly this table.  No reference-file analog
+(the reference delegates per-query work to ClickHouse; composition is
+an EXT capability), but each stage is an already-proven operator:
+
+  1. gopher  — :func:`text.gopher_quality_rules` hard gates
+  2. c4      — :func:`text.c4_rules` page-level gates
+  3. exact   — :func:`dedup.exact_dedup_canonical` (min-id survivor)
+  4. neardup — :func:`dedup.minhash_lsh_candidates_portable` →
+               :func:`dedup.jaccard_verify` ≥ threshold → drop greater id
+  5. spans   — :func:`dedup.remove_repeated_spans` (Lee et al. 2022
+               keep-one policy; docs are MODIFIED, not dropped)
+  6. decon   — :func:`dedup.decontaminate` vs the benchmark set → drop
+               contaminated
+
+Scale shape: every stage is the proven operator's own plan (banded LSH,
+shingle groupBy, broadcast benchmark — no all-pairs anywhere).  The
+funnel needs each stage's cardinality, so intermediate survivor sets are
+``persist()``-ed: without it, counting stage k recomputes stages 1..k-1
+(lazy lineage), turning a 6-stage pipeline into a quadratic re-scan.  On
+a real 100 TB run the persists become per-stage Parquet checkpoints
+(also the natural audit artifact); the counts themselves are map-side
+``count(1)`` aggregates, and the final 7-row funnel window is
+result-shaped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from clickhouse_flatfile_tool_spark.operators import dedup, text
+
+
+def curation_pipeline(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.8,
+    span_n: int = 3,
+    span_min_tokens: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Run the 6-stage curation pipeline; returns ``(final_docs,
+    provenance)`` where provenance is the funnel table
+    ``(stage_idx, stage, docs, dropped, modified)`` — one row per stage
+    plus the stage-0 input row.  ``dropped`` is the doc-count delta vs
+    the previous stage; ``modified`` counts span-cleaned documents at the
+    exactsubstr stage (which never drops).
+
+    Near-dup stage uses the PORTABLE md5 MinHash
+    (:func:`dedup.minhash_lsh_candidates_portable`) so the whole funnel
+    is engine-reproducible / oracle-comparable; swap in the xxhash64 fast
+    path for production throughput (identical shape, different hash
+    primitive)."""
+    s0 = docs.select(id_col, text_col)
+
+    g = text.gopher_quality_rules(s0, text_col)
+    s1 = g.filter(F.col("gopher_pass")).select(id_col, text_col).persist()
+
+    c = text.c4_rules(s1, id_col, text_col)
+    s2 = (
+        s1.join(
+            c.filter(F.col("c4_pass")).select(id_col), id_col, "left_semi"
+        ).persist()
+    )
+
+    canon = dedup.exact_dedup_canonical(s2, key=text_col, id_col=id_col)
+    s3 = s2.join(canon.select(id_col), id_col, "left_semi").persist()
+
+    cands = dedup.minhash_lsh_candidates_portable(
+        s3, id_col, text_col, shingle_n, num_hashes, bands
+    )
+    verified = dedup.jaccard_verify(s3, cands, id_col, text_col, shingle_n)
+    losers = (
+        verified.filter(F.col("jaccard") >= jaccard_threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    s4 = s3.join(losers, id_col, "left_anti").persist()
+
+    spans = dedup.remove_repeated_spans(
+        s4, id_col, text_col, n=span_n, min_tokens=span_min_tokens,
+        hashed=False,
+    ).persist()
+    s5 = spans.select(id_col, F.col("clean_text").alias(text_col))
+
+    dec = dedup.decontaminate(s5, benchmark, id_col, text_col, n=shingle_n)
+    s6 = s5.join(
+        dec.filter(F.col("contaminated")).select(id_col), id_col, "left_anti"
+    )
+
+    stages = [
+        (0, "input", s0), (1, "gopher", s1), (2, "c4", s2),
+        (3, "exact", s3), (4, "neardup", s4), (5, "exactsubstr", s5),
+        (6, "decontaminate", s6),
+    ]
+    marks = None
+    for idx, name, df in stages:
+        m = df.select(
+            F.lit(idx).alias("stage_idx"), F.lit(name).alias("stage"),
+            F.col(id_col),
+        )
+        marks = m if marks is None else marks.union(m)
+    counts = marks.groupBy("stage_idx", "stage").agg(
+        F.count(F.lit(1)).cast("long").alias("docs")
+    )
+    modified = spans.filter(F.col("n_spans_removed") > 0).select(
+        F.lit(5).alias("stage_idx"),
+        F.col(id_col),
+    ).groupBy("stage_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("modified")
+    )
+    w = Window.orderBy("stage_idx")  # 7 rows — result-shaped window
+    provenance = (
+        counts.join(F.broadcast(modified), "stage_idx", "left")
+        .select(
+            "stage_idx", "stage", "docs",
+            F.coalesce(F.lag("docs").over(w) - F.col("docs"), F.lit(0))
+            .cast("long")
+            .alias("dropped"),
+            F.coalesce("modified", F.lit(0)).cast("long").alias("modified"),
+        )
+        .orderBy("stage_idx")
+    )
+    return s6, provenance

@@ -842,3 +842,62 @@ def test_nb_classifier_separates_positive_class(spark, tables):
         1 for r in sep_scored if (r.nb_score > 0) == (r.lang == "en")
     ) / len(sep_scored)
     assert acc == 1.0, acc
+
+
+def test_curation_pipeline_funnel(spark):
+    """Composed curation funnel (pipeline.py::curation_pipeline): planted
+    fixtures drive every stage — a too-short doc fails Gopher, a
+    brace-bearing doc fails C4, an exact clone and a near-clone each lose
+    their higher id, a shared footer is span-cleaned (modified, not
+    dropped), and a benchmark-overlapping doc is decontaminated.  The
+    funnel is monotone and its dropped column telescopes."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_flatfile_tool_spark.operators.pipeline import (
+        curation_pipeline,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again.\n"
+            "a stitch in time saves nine of the best things here.\n"
+            "all that glitters is not gold said the wise old miner.\n")
+    footer = "shared footer run alpha beta gamma delta epsilon zeta eta theta."
+    rows = [
+        (1, base + "unique tail one about rivers and the mountain air.\n" + footer),
+        (2, base + "unique tail two about oceans and the desert wind.\n" + footer),
+        # exact clone of 1 -> exact stage drops id 3
+        (3, base + "unique tail one about rivers and the mountain air.\n" + footer),
+        # near clone of 2 (one word differs) -> neardup drops id 4
+        (4, base + "unique tail two about oceans and the desert sand.\n" + footer),
+        # too short -> gopher drops it
+        (5, "tiny doc."),
+        # brace -> c4 drops it
+        (6, base + "this { one carries a brace so c4 rejects it fully."),
+        # overlaps the benchmark trigrams -> decontaminated
+        (7, base + "benchmark secret passphrase trigram overlap window here.\n"
+            + footer),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "totally separate benchmark secret passphrase trigram overlap "
+               "window here for eval")],
+        "doc_id long, text string",
+    )
+    final, prov = curation_pipeline(docs, bench)
+    p = {r.stage: r for r in prov.collect()}
+    assert [p[s].stage_idx for s in
+            ("input", "gopher", "c4", "exact", "neardup", "exactsubstr",
+             "decontaminate")] == list(range(7))
+    assert p["input"].docs == 7
+    assert p["gopher"].docs == 6 and p["gopher"].dropped == 1      # id 5
+    assert p["c4"].docs == 5 and p["c4"].dropped == 1              # id 6
+    assert p["exact"].docs == 4 and p["exact"].dropped == 1        # id 3
+    assert p["neardup"].docs == 3 and p["neardup"].dropped == 1    # id 4
+    assert p["exactsubstr"].docs == 3 and p["exactsubstr"].dropped == 0
+    assert p["exactsubstr"].modified >= 1                          # footer cleaned
+    assert p["decontaminate"].docs == 2 and p["decontaminate"].dropped == 1
+    surv = {r.doc_id for r in final.select("doc_id").collect()}
+    assert surv == {1, 2}
+    # final text is span-cleaned: the shared footer survives only via the
+    # canonical copy; at least one survivor lost it
+    texts = {r.doc_id: r.text for r in final.collect()}
+    assert sum("shared footer run" in t for t in texts.values()) <= 1
