@@ -191,6 +191,10 @@ BENCH_QUERIES = [
     "dict_sql",
     "exactsubstr_dedup",
     "exactsubstr_fast",
+    # round 6 additions
+    "mad_outliers",
+    "dialect_batch19",
+    "pipeline_e2e",
 ]
 
 

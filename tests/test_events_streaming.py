@@ -245,7 +245,7 @@ def test_hier_rollup_matches_direct(spark, sf_dir):
 def test_user_event_stats_tws(spark, sf_dir, tmp_path):
     """transformWithStateInPandas (Spark 4 typed-state API): per-user stats
     must equal the batch groupBy at AvailableNow completion.  Skipped where
-    google.protobuf is broken (this container) - see tws_available."""
+    google.protobuf is absent (this container) - see tws_available."""
     import os
 
     import pytest
