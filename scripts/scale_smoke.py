@@ -183,6 +183,32 @@ def main() -> None:
         if _wanted(name):
             out[name] = _time_pair(op, docs1, docsk, k)
 
+    # r6 (VERDICT r5 #7): exactsubstr SKEW variant — the disjoint-shingle
+    # row above holds duplicate structure constant per copy (clean
+    # scaling); here a fixed 24-token footer is appended UNSUFFIXED to
+    # every document of every copy, so its ~20 five-grams are corpus-wide
+    # hot keys whose posting lists grow linearly with corpus size.  This
+    # measures the AQE skew-split claim at dedup.py's skew note (stats
+    # side is ONE row per shingle; the posts⋈stats join must split the
+    # hot posts partitions) instead of asserting it.
+    if _wanted("exactsubstr_skew"):
+        footer = " ".join(f"skw{i}" for i in range(24))
+
+        def with_footer(df):
+            return df.select(
+                "doc_id",
+                F.concat(F.col("text"), F.lit(" " + footer)).alias("text"),
+            )
+
+        skew1 = with_footer(docs1).localCheckpoint()
+        skewk = with_footer(docsk).localCheckpoint()
+        out["exactsubstr_skew"] = _time_pair(
+            lambda df: dedup.remove_repeated_spans(df, n=5, min_tokens=10),
+            skew1,
+            skewk,
+            k,
+        )
+
     # round-3 heavy operators (VERDICT r3 #3) — each with the input
     # scaling that isolates the operator's own weak-scaling behavior
     plaink = scaled_plain(docs1, k).localCheckpoint()
