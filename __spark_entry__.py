@@ -3615,8 +3615,11 @@ def q_dialect_paste(spark, d):
     nation and region views — position defined by each side's full-row
     sort (CH's block-arrival order is not reproducible distributed; same
     convention as relational.paste_join, driver-green r4), unequal
-    lengths truncating to the shorter side (5 regions vs 25 nations).
-    Oracle: DuckDB row_number zip over the same sorts."""
+    lengths truncating to the shorter side (4 filtered regions vs 25
+    nations).  The right side is a parenthesized SUBQUERY operand (r6,
+    VERDICT r5 #8a — scanner-based operand parsing, plain names no
+    longer required).  Oracle: DuckDB row_number zip over the same
+    sorts."""
     from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
 
     _t(spark, d, "nation").select("n_nationkey", "n_name").createOrReplaceTempView(
@@ -3627,7 +3630,9 @@ def q_dialect_paste(spark, d):
     )
     ch_sql = (
         "SELECT n_nationkey, n_name, r_regionkey, r_name "
-        "FROM pj_nation PASTE JOIN pj_region ORDER BY n_nationkey"
+        "FROM pj_nation PASTE JOIN "
+        "(SELECT r_regionkey, r_name FROM pj_region WHERE r_regionkey < 4) "
+        "ORDER BY n_nationkey"
     )
     return spark.sql(translate_clickhouse_sql(ch_sql))
 
@@ -7098,7 +7103,8 @@ FROM ranked WHERE rk <= 5
             "WITH a AS (SELECT n_nationkey, n_name, "
             "  row_number() OVER (ORDER BY n_nationkey, n_name) AS rn FROM nation), "
             "b AS (SELECT r_regionkey, r_name, "
-            "  row_number() OVER (ORDER BY r_regionkey, r_name) AS rn FROM region) "
+            "  row_number() OVER (ORDER BY r_regionkey, r_name) AS rn "
+            "  FROM region WHERE r_regionkey < 4) "
             "SELECT n_nationkey, n_name, r_regionkey, r_name "
             "FROM a JOIN b USING (rn) ORDER BY n_nationkey"
         ),

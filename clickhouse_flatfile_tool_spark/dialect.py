@@ -3741,16 +3741,105 @@ def _asof_lateral(
     )
 
 
-_PASTE_PAT = re.compile(
-    r"\bFROM\s+([A-Za-z_][\w.]*)"
-    r"(?:\s+AS\s+([A-Za-z_]\w*)|\s+(?!PASTE\b)([A-Za-z_]\w*))?"
-    r"\s+PASTE\s+JOIN\s+([A-Za-z_][\w.]*)"
-    r"(?:\s+AS\s+([A-Za-z_]\w*)|\s+(?!WHERE\b|GROUP\b|ORDER\b|LIMIT\b"
-    r"|HAVING\b|UNION\b|WINDOW\b|SETTINGS\b|FORMAT\b|PASTE\b|JOIN\b"
-    r"|LEFT\b|RIGHT\b|INNER\b|CROSS\b|FULL\b|ON\b|USING\b)"
-    r"([A-Za-z_]\w*))?",
-    re.IGNORECASE,
-)
+_PASTE_KW_PAT = re.compile(r"\bPASTE\s+JOIN\b", re.IGNORECASE)
+
+# words that terminate a FROM item and therefore can never be an alias
+_PASTE_STOP = {
+    "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "UNION", "WINDOW",
+    "SETTINGS", "FORMAT", "PASTE", "JOIN", "LEFT", "RIGHT", "INNER",
+    "CROSS", "FULL", "ON", "USING", "AS", "QUALIFY", "INTERSECT", "EXCEPT",
+}
+
+
+def _rmatch_paren(chunk: str, close: int) -> int:
+    """Index of the ``(`` matching the ``)`` at ``close`` (backward scan)."""
+    depth, j = 1, close - 1
+    while j >= 0 and depth:
+        if chunk[j] == ")":
+            depth += 1
+        elif chunk[j] == "(":
+            depth -= 1
+        j -= 1
+    return j + 1
+
+
+def _paste_left_operand(chunk: str, kw_start: int):
+    """Parse the FROM item ending just before ``kw_start``: a plain
+    table/view name or a parenthesized subquery, optionally aliased
+    (with or without AS).  Returns ``(from_start, operand_sql, alias)``
+    — from_start is the index of the FROM keyword — or None when the
+    operand is not in FROM position."""
+
+    def _back_word(j: int) -> tuple[int, str]:
+        i = j
+        while i > 0 and (chunk[i - 1].isalnum() or chunk[i - 1] in "_."):
+            i -= 1
+        return i, chunk[i:j]
+
+    def _skip_ws_back(j: int) -> int:
+        while j > 0 and chunk[j - 1].isspace():
+            j -= 1
+        return j
+
+    j = _skip_ws_back(kw_start)
+    alias = None
+    if j > 0 and chunk[j - 1] == ")":
+        start = _rmatch_paren(chunk, j - 1)
+        sql = chunk[start:j]
+    else:
+        i, w = _back_word(j)
+        if not w:
+            return None
+        p = _skip_ws_back(i)
+        if p > 0 and chunk[p - 1] == ")":  # (subq) alias
+            start = _rmatch_paren(chunk, p - 1)
+            sql, alias = chunk[start:p], w
+        else:
+            i2, w2 = _back_word(p)
+            if w2.upper() == "AS":
+                p2 = _skip_ws_back(i2)
+                if p2 > 0 and chunk[p2 - 1] == ")":  # (subq) AS alias
+                    start = _rmatch_paren(chunk, p2 - 1)
+                    sql, alias = chunk[start:p2], w
+                else:  # tbl AS alias
+                    start, sql = _back_word(p2)
+                    alias = w
+                    if not sql:
+                        return None
+            elif w2.upper() == "FROM":  # FROM tbl
+                start, sql = i, w
+            elif w2:  # tbl alias
+                start, sql, alias = i2, w2, w
+            else:
+                return None
+    q = _skip_ws_back(start)
+    f_start, f_word = _back_word(q)
+    if f_word.upper() != "FROM":
+        return None
+    return f_start, sql, alias
+
+
+def _paste_right_operand(chunk: str, pos: int):
+    """Parse the FROM item starting at ``pos`` (just past PASTE JOIN):
+    plain name or parenthesized subquery, optional [AS] alias.  Returns
+    ``(operand_sql, alias, end_index)`` or None."""
+    j = pos
+    while j < len(chunk) and chunk[j].isspace():
+        j += 1
+    if j < len(chunk) and chunk[j] == "(":
+        end = _match_paren(chunk, j)
+        sql = chunk[j:end]
+    else:
+        m = re.match(r"[A-Za-z_][\w.]*", chunk[j:])
+        if not m:
+            return None
+        sql, end = m.group(0), j + m.end()
+    am = re.match(r"\s+(?:AS\s+)?([A-Za-z_]\w*)", chunk[end:], re.IGNORECASE)
+    alias = None
+    if am and am.group(1).upper() not in _PASTE_STOP:
+        alias = am.group(1)
+        end += am.end()
+    return sql, alias, end
 
 
 def _rewrite_paste_join(chunk: str) -> str:
@@ -3768,18 +3857,26 @@ def _rewrite_paste_join(chunk: str) -> str:
           JOIN (... B ...) USING (__pos))
 
     Unequal lengths truncate to the shorter side (inner join on the
-    position), matching the DataFrame form.  Scope (documented): both
-    sides plain table/view names (optionally aliased); the output
-    flattens both rows, so the outer query uses UNQUALIFIED column
-    names — the natural PASTE shape (sides with distinct columns).  The
-    unpartitioned row_number is the honest cost of positional semantics
-    (same note as relational.paste_join) — for result-shaped frames,
-    not raw fact tables."""
-    m = _PASTE_PAT.search(chunk)
+    position), matching the DataFrame form.  Operands may be plain
+    table/view names OR parenthesized subqueries (r6, VERDICT r5 #8a),
+    each optionally aliased; chained ``A PASTE JOIN B PASTE JOIN C``
+    resolves left-to-right because the rewritten left side is itself a
+    parenthesized subquery.  The output flattens both rows, so the outer
+    query uses UNQUALIFIED column names — the natural PASTE shape (sides
+    with distinct columns).  The unpartitioned row_number is the honest
+    cost of positional semantics (same note as relational.paste_join) —
+    for result-shaped frames, not raw fact tables."""
+    m = _PASTE_KW_PAT.search(chunk)
     while m:
-        lt, la1, la2, rt, ra1, ra2 = m.groups()
-        la = la1 or la2 or lt.split(".")[-1]
-        ra = ra1 or ra2 or rt.split(".")[-1]
+        left = _paste_left_operand(chunk, m.start())
+        right = _paste_right_operand(chunk, m.end())
+        if left is None or right is None:
+            m = _PASTE_KW_PAT.search(chunk, m.end())
+            continue
+        from_start, lt, la = left
+        rt, ra, end = right
+        la = la or (lt.split(".")[-1] if not lt.startswith("(") else "__pj_l")
+        ra = ra or (rt.split(".")[-1] if not rt.startswith("(") else "__pj_r")
         repl = (
             f"FROM (SELECT __pl.*, __pr.* FROM "
             f"(SELECT struct({la}.*) AS __pl, row_number() OVER "
@@ -3788,8 +3885,8 @@ def _rewrite_paste_join(chunk: str) -> str:
             f"(ORDER BY struct({ra}.*)) AS __pos FROM {rt} AS {ra}) "
             f"USING (__pos))"
         )
-        chunk = chunk[: m.start()] + repl + chunk[m.end():]
-        m = _PASTE_PAT.search(chunk, m.start() + len(repl))
+        chunk = chunk[:from_start] + repl + chunk[end:]
+        m = _PASTE_KW_PAT.search(chunk, from_start + len(repl))
     return chunk
 
 

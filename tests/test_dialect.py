@@ -2300,6 +2300,41 @@ def test_paste_join_sql(spark):
     assert len(rows2) == 2 and rows2[0].asDict() == {"id": 1, "s": "a", "v": 10.0}
 
 
+def test_paste_join_sql_subquery_operands(spark):
+    """PASTE JOIN with parenthesized subquery operands (r6, VERDICT r5
+    #8a): either or both sides may be subqueries (with or without
+    alias), a WHERE tail still belongs to the outer query, and chained
+    PASTE JOIN resolves left-to-right."""
+    spark.createDataFrame(
+        [(2, "b"), (1, "a"), (3, "c")], "id long, s string"
+    ).createOrReplaceTempView("pjs_l")
+    spark.createDataFrame(
+        [(30.0,), (20.0,), (10.0,)], "v double"
+    ).createOrReplaceTempView("pjs_r")
+    spark.createDataFrame(
+        [(200,), (100,)], "w long"
+    ).createOrReplaceTempView("pjs_t")
+    # left subquery (filtered, unaliased) + plain right
+    rows = spark.sql(
+        tr("SELECT id, v FROM (SELECT id FROM pjs_l WHERE id > 1) "
+           "PASTE JOIN pjs_r ORDER BY id")
+    ).collect()
+    assert [(r.id, r.v) for r in rows] == [(2, 10.0), (3, 20.0)]
+    # both sides subqueries, AS and bare aliases, outer WHERE tail
+    rows2 = spark.sql(
+        tr("SELECT id, v FROM (SELECT id FROM pjs_l) x PASTE JOIN "
+           "(SELECT v FROM pjs_r) AS y WHERE v >= 20 ORDER BY id")
+    ).collect()
+    assert [(r.id, r.v) for r in rows2] == [(2, 20.0), (3, 30.0)]
+    # chained: A PASTE JOIN B PASTE JOIN (subquery) — truncates to 2 rows
+    rows3 = spark.sql(
+        tr("SELECT id, v, w FROM pjs_l PASTE JOIN pjs_r PASTE JOIN "
+           "(SELECT w FROM pjs_t) ORDER BY id")
+    ).collect()
+    assert [(r.id, r.v, r.w) for r in rows3] == [
+        (1, 10.0, 100), (2, 20.0, 200)]
+
+
 def test_with_totals_sql(spark):
     """GROUP BY ... WITH TOTALS: per-group rows plus one grand-total row
     with NULL keys (GROUPING SETS ((keys), ()) — single aggregation
