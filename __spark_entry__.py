@@ -2884,6 +2884,70 @@ def q_dialect_batch19_aggs(spark, d):
     return spark.sql(translate_clickhouse_sql(ch_sql))
 
 
+def q_dialect_batch20(spark, d):
+    """Dialect batch 20 (scalar half, r6 doc-sweep continuation):
+    mapApply entrywise map transform (CH tuple-lambda → struct via
+    map_from_entries), isValidJSON / JSONType (VARIANT try_parse_json;
+    type tag from the validated document head), addQuarters /
+    subtractQuarters, YYYYMMDDToDate / YYYYMMDDhhmmssToDateTime numeric
+    serial forms, caseWithExpression (function form of operator CASE),
+    dateTime64ToSnowflake.  Map results scalarize as sorted 'k=v' joins
+    for the driver canonicalizer."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    _t(spark, d, "documents").createOrReplaceTempView("b20_docs")
+    ch_sql = (
+        "SELECT doc_id, "
+        "concat('A=', toString(mapApply((k, v) -> (upper(k), v * 2), "
+        "map('a', modulo(doc_id, 5), 'b', 7))['A']), ',B=', "
+        "toString(mapApply((k, v) -> (upper(k), v * 2), "
+        "map('a', modulo(doc_id, 5), 'b', 7))['B'])) AS ma, "
+        "isValidJSON(concat('{\"x\": ', toString(doc_id), '}')) AS vj, "
+        "isValidJSON(concat('{\"x\": ', toString(doc_id))) AS ivj, "
+        "JSONType(concat('{\"x\": ', toString(doc_id), '}')) AS jto, "
+        "JSONType(toString(modulo(doc_id, 7))) AS jti, "
+        "JSONType(concat('\"', lang, '\"')) AS jts, "
+        "addQuarters(makeDate(2024, 1, 15), modulo(doc_id, 8)) AS aq, "
+        "subtractQuarters(makeDate(2024, 1, 15), modulo(doc_id, 8)) AS sq, "
+        "YYYYMMDDToDate(20240100 + modulo(doc_id, 28) + 1) AS ymd, "
+        "YYYYMMDDhhmmssToDateTime(20240115000000 + modulo(doc_id, 59)) "
+        "AS ymdh, "
+        "caseWithExpression(modulo(doc_id, 4), 0, 'zero', 1, 'one', 2, "
+        "'two', 'many') AS cw, "
+        "dateTime64ToSnowflake(makeDateTime(2024, 1, 15, 0, 0, "
+        "modulo(doc_id, 60))) AS sf "
+        "FROM b20_docs ORDER BY doc_id"
+    )
+    return spark.sql(translate_clickhouse_sql(ch_sql))
+
+
+def q_dialect_batch20_aggs(spark, d):
+    """Dialect batch 20 (aggregate half): ClickHouse's interval /
+    time-series aggregates as windowFunnel-style codegen folds —
+    exponentialMovingAverage (half-life-weighted mean over the t-sorted
+    series), intervalLengthSum (union length of [t, t+600] segments),
+    maxIntersections (±1 endpoint sweep, ends before starts at ties),
+    deltaSumTimestamp (positive deltas of t-ordered values).  Oracle:
+    DuckDB window equivalents — the EMA via its order-independent closed
+    form Σv·2^(-(tmax-t)/hl) / Σ2^(-(tmax-t)/hl), the union length via
+    gaps-and-islands, the sweep via a running ±1 sum."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    _t(spark, d, "events").createOrReplaceTempView("b20_ev")
+    ch_sql = (
+        "SELECT user_id, "
+        "round(exponentialMovingAverage(3600)(value, toUnixTimestamp(ts)), "
+        "6) AS ema, "
+        "round(intervalLengthSum(toUnixTimestamp(ts), "
+        "toUnixTimestamp(ts) + 600), 1) AS ils, "
+        "maxIntersections(toUnixTimestamp(ts), toUnixTimestamp(ts) + 600) "
+        "AS mi, "
+        "round(deltaSumTimestamp(value, toUnixTimestamp(ts)), 6) AS ds "
+        "FROM b20_ev GROUP BY user_id ORDER BY user_id"
+    )
+    return spark.sql(translate_clickhouse_sql(ch_sql))
+
+
 def q_dialect_clauses(spark, d):
     """Session-5 SQL clauses end-to-end: scalar WITH (the constant
     feeds the QUALIFY bound) + QUALIFY over a window on aggregated
@@ -4638,6 +4702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dialect_batch18": q_dialect_batch18,
         "dialect_batch19": q_dialect_batch19,
         "dialect_batch19_aggs": q_dialect_batch19_aggs,
+        "dialect_batch20": q_dialect_batch20,
+        "dialect_batch20_aggs": q_dialect_batch20_aggs,
         "c4_rules": q_c4_rules,
         "dict_sql": q_dict_sql,
         "exactsubstr_dedup": q_exactsubstr_dedup,
@@ -4655,13 +4721,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_nn": q_mutual_nn,
         "anova": q_anova,
         "cramers_v": q_cramers_v,
-        "summap_merge": q_summap_merge,
         "strip_html": q_strip_html,
-        "domain_block": q_domain_block,
         "pipeline_e2e": q_pipeline_e2e,
         # ------------------------------------------------------------------
         # tail: proven green in CORRECTNESS_r01-r05; order immaterial
+        # (summap_merge/domain_block displaced by the batch-20 entries --
+        # both r5-green, untouched by any r6 edit)
         # ------------------------------------------------------------------
+        "summap_merge": q_summap_merge,
+        "domain_block": q_domain_block,
         "outliers": q_outliers,
         "tpch_q2": q_tpch_q2,
         "tpch_q15": q_tpch_q15,
@@ -6979,6 +7047,66 @@ FROM ranked WHERE rk <= 5
             "round(mom.m3 / nullif(pow(mu.vs, 1.5), 0), 6) AS sk, "
             "round(mom.m4 / nullif(pow(mu.vs, 2), 0), 6) AS ku "
             "FROM mu JOIN mom USING (lang) ORDER BY mu.lang"
+        ),
+        "dialect_batch20": (
+            "SELECT doc_id, "
+            "concat('A=', (doc_id % 5) * 2, ',B=', 14) AS ma, "
+            "true AS vj, false AS ivj, "
+            "'Object' AS jto, 'Int64' AS jti, 'String' AS jts, "
+            "(DATE '2024-01-15' + (3 * (doc_id % 8)) * INTERVAL 1 MONTH)"
+            "::DATE AS aq, "
+            "(DATE '2024-01-15' - (3 * (doc_id % 8)) * INTERVAL 1 MONTH)"
+            "::DATE AS sq, "
+            "strptime((20240100 + doc_id % 28 + 1)::VARCHAR, '%Y%m%d')::DATE "
+            "AS ymd, "
+            "strptime((20240115000000 + doc_id % 59)::VARCHAR, "
+            "'%Y%m%d%H%M%S') AS ymdh, "
+            "CASE doc_id % 4 WHEN 0 THEN 'zero' WHEN 1 THEN 'one' "
+            "WHEN 2 THEN 'two' ELSE 'many' END AS cw, "
+            "((epoch_ms(strptime('2024-01-15', '%Y-%m-%d') + "
+            "  (doc_id % 60) * INTERVAL 1 SECOND) - 1288834974657) "
+            "* 4194304) AS sf "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "dialect_batch20_aggs": (
+            # EMA via the order-independent closed form; union length via
+            # gaps-and-islands (frontier = running max of prior ends);
+            # maxIntersections via a +-1 endpoint sweep with ends sorted
+            # before starts at ties (matches the Spark struct sort on
+            # (t, d), d=-1 for ends); deltaSumTimestamp via lag over
+            # (t, v) ordering (same tie resolution as the fold's
+            # array_sort)
+            "WITH e AS MATERIALIZED (SELECT user_id, "
+            "  floor(epoch(ts))::BIGINT AS t, value AS v FROM events), "
+            "ema AS (SELECT user_id, round("
+            "  sum(v * pow(0.5, (tmax - t) / 3600.0)) / "
+            "  sum(pow(0.5, (tmax - t) / 3600.0)), 6) AS ema "
+            "  FROM (SELECT user_id, t, v, "
+            "    max(t) OVER (PARTITION BY user_id) AS tmax FROM e) "
+            "  GROUP BY user_id), "
+            "iv AS (SELECT user_id, t AS s, t + 600 AS e2, "
+            "  coalesce(max(t + 600) OVER (PARTITION BY user_id ORDER BY t "
+            "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+            "    -9223372036854775807) AS fr FROM e), "
+            "isl AS (SELECT user_id, s, e2, sum(CASE WHEN s > fr THEN 1 "
+            "  ELSE 0 END) OVER (PARTITION BY user_id ORDER BY s, e2 "
+            "  ROWS UNBOUNDED PRECEDING) AS grp FROM iv), "
+            "ils AS (SELECT user_id, round(sum(ln)::DOUBLE, 1) AS ils FROM "
+            "  (SELECT user_id, grp, max(e2) - min(s) AS ln FROM isl "
+            "   GROUP BY user_id, grp) GROUP BY user_id), "
+            "ev AS (SELECT user_id, t, 1 AS d FROM e "
+            "  UNION ALL SELECT user_id, t + 600, -1 FROM e), "
+            "mi AS (SELECT user_id, max(c)::INT AS mi FROM "
+            "  (SELECT user_id, sum(d) OVER (PARTITION BY user_id "
+            "   ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS c FROM ev) "
+            "  GROUP BY user_id), "
+            "ds AS (SELECT user_id, round(sum(CASE WHEN pv IS NOT NULL "
+            "  AND v > pv THEN v - pv ELSE 0 END), 6) AS ds FROM "
+            "  (SELECT user_id, v, lag(v) OVER (PARTITION BY user_id "
+            "   ORDER BY t, v) AS pv FROM e) GROUP BY user_id) "
+            "SELECT user_id, ema.ema, ils.ils, mi.mi, ds.ds "
+            "FROM ema JOIN ils USING (user_id) JOIN mi USING (user_id) "
+            "JOIN ds USING (user_id) ORDER BY user_id"
         ),
         "pipeline_e2e": (
             # full-funnel replay: every stage mirrors its proven per-stage

@@ -4454,6 +4454,290 @@ def _rewrite_batch19_calls(chunk: str) -> str:
     return chunk
 
 
+def _rewrite_batch20_aggs(chunk: str) -> str:
+    """Round-6 batch 20, aggregate folds — the windowFunnel machinery
+    (collect → array_sort → codegen ``aggregate`` fold, one collect_list
+    per group, all JVM-side) applied to ClickHouse's interval/time-series
+    aggregates:
+
+    * ``exponentialMovingAverage(hl)(v, t)`` — half-life-weighted mean of
+      an irregular time series (CH's published model): walking the
+      t-sorted values, both numerator and denominator decay by
+      ``2^(-Δt/hl)`` between samples; result ``Σ2^(-(tn-ti)/hl)·vi /
+      Σ2^(-(tn-ti)/hl)``.  ``t`` is any numeric (CH passes unix seconds).
+    * ``intervalLengthSum(s, e)`` — total length of the UNION of the
+      group's [s, e] segments (overlaps counted once): sweep over
+      (s, e)-sorted intervals carrying the covered frontier.  Returns
+      DOUBLE (CH returns the argument type).
+    * ``maxIntersections(s, e)`` — maximum number of simultaneously
+      overlapping intervals: ±1 sweep over sorted endpoint events; ends
+      sort before starts at the same point (struct sort on (t, d) with
+      d = −1 for ends), so touching intervals [a,b],[b,c] do NOT count
+      as intersecting — CH counts half-open occupancy the same way.
+    * ``deltaSumTimestamp(v, t)`` — sum of POSITIVE deltas of consecutive
+      t-ordered values (CH's counter-reset-tolerant rate primitive; the
+      unordered ``deltaSum`` keeps its separate rewrite).
+
+    All four are exact single-pass folds; the per-group state is O(1) and
+    the collected array is the group's own rows — the same scale contract
+    as windowFunnel/sequenceMatch (bounded by per-key event volume)."""
+    # exponentialMovingAverage is CURRIED: name(hl)(value, time)
+    pat = re.compile(r"\bexponentialMovingAverage\(")
+    m = pat.search(chunk)
+    while m:
+        p_end = _match_paren(chunk, m.end() - 1)
+        if p_end >= len(chunk) or chunk[p_end] != "(":
+            m = pat.search(chunk, p_end)
+            continue
+        x_end = _match_paren(chunk, p_end)
+        hl_args = _split_top_comma(chunk[m.end() : p_end - 1])
+        args = _split_top_comma(chunk[p_end + 1 : x_end - 1])
+        if len(hl_args) != 1 or len(args) != 2:
+            m = pat.search(chunk, x_end)
+            continue
+        hl, v, t = hl_args[0], args[0], args[1]
+        decay = (
+            f"CASE WHEN a.tp IS NULL THEN 1.0D "
+            f"ELSE pow(0.5D, (e.t - a.tp) / CAST({hl} AS DOUBLE)) END"
+        )
+        repl = (
+            f"aggregate(array_sort(collect_list(struct("
+            f"CAST({t} AS DOUBLE) AS t, CAST({v} AS DOUBLE) AS v))), "
+            f"named_struct('n', 0.0D, 'd', 0.0D, 'tp', CAST(NULL AS DOUBLE)), "
+            f"(a, e) -> named_struct("
+            f"'n', a.n * {decay} + e.v, "
+            f"'d', a.d * {decay} + 1.0D, "
+            f"'tp', e.t), "
+            f"a -> CASE WHEN a.d = 0.0D THEN NULL ELSE a.n / a.d END)"
+        )
+        chunk = chunk[: m.start()] + repl + chunk[x_end:]
+        m = pat.search(chunk, m.start() + len(repl))
+
+    def ils_make(args):
+        if len(args) != 2:
+            return None
+        s, e = args
+        return (
+            f"aggregate(array_sort(collect_list(struct("
+            f"CAST({s} AS DOUBLE) AS s, CAST({e} AS DOUBLE) AS e))), "
+            f"named_struct('tot', 0.0D, 'fr', CAST(NULL AS DOUBLE)), "
+            f"(a, iv) -> named_struct("
+            f"'tot', a.tot + greatest(0.0D, iv.e - greatest(iv.s, "
+            f"coalesce(a.fr, iv.s))), "
+            f"'fr', greatest(coalesce(a.fr, iv.e), iv.e)), "
+            f"a -> a.tot)"
+        )
+
+    chunk = _rewrite_call(chunk, "intervalLengthSum", ils_make)
+
+    def mi_make(args):
+        if len(args) != 2:
+            return None
+        s, e = args
+        return (
+            f"aggregate(array_sort(flatten(transform(collect_list(struct("
+            f"CAST({s} AS DOUBLE) AS s, CAST({e} AS DOUBLE) AS e)), "
+            f"__iv -> array(struct(__iv.s AS t, 1 AS d), "
+            f"struct(__iv.e AS t, -1 AS d))))), "
+            f"named_struct('c', 0, 'b', 0), "
+            f"(a, ev) -> named_struct('c', a.c + ev.d, "
+            f"'b', greatest(a.b, a.c + ev.d)), "
+            f"a -> a.b)"
+        )
+
+    chunk = _rewrite_call(chunk, "maxIntersections", mi_make)
+
+    def dst_make(args):
+        if len(args) != 2:
+            return None
+        v, t = args
+        return (
+            f"aggregate(array_sort(collect_list(struct("
+            f"CAST({t} AS DOUBLE) AS t, CAST({v} AS DOUBLE) AS v))), "
+            f"named_struct('tot', 0.0D, 'pv', CAST(NULL AS DOUBLE)), "
+            f"(a, e) -> named_struct("
+            f"'tot', a.tot + CASE WHEN a.pv IS NOT NULL AND e.v > a.pv "
+            f"THEN e.v - a.pv ELSE 0.0D END, "
+            f"'pv', e.v), "
+            f"a -> a.tot)"
+        )
+
+    chunk = _rewrite_call(chunk, "deltaSumTimestamp", dst_make)
+    return chunk
+
+
+def _rewrite_batch20_calls(chunk: str) -> str:
+    """Round-6 batch 20, scalar surface (doc-sweep continuation):
+
+    * ``mapApply((k, v) -> (ke, ve), m)`` — entrywise map transform via
+      ``map_from_entries(transform(map_entries(m), …))``; the CH lambda's
+      tuple result becomes a struct, parameter names substituted on word
+      boundaries.  Lambdas not of the 2-param → 2-tuple shape pass
+      through.
+    * ``isValidJSON(j)`` → ``try_parse_json(j) IS NOT NULL`` (VARIANT
+      parse — full JSON validation, not a prefix probe).
+    * ``JSONType(j)`` (no-path form) — 'Object'/'Array'/'String'/'Bool'/
+      'Null'/'Int64'/'Double' by inspecting the trimmed document head
+      after validation (CH returns the same tags; numeric split Int64 vs
+      Double by the presence of ./e/E).  Path forms pass through.
+    * ``addQuarters/subtractQuarters(d, n)`` → ``add_months(d, ±3n)``.
+    * ``YYYYMMDDToDate(n)`` / ``YYYYMMDDhhmmssToDateTime(n)`` — numeric
+      serial date forms via try_to_date/try_to_timestamp (NULL on
+      invalid serials; CH returns epoch defaults — NULL is the house
+      encoding, see arrayElement).
+    * ``toTimezone(ts, tz)`` → ``convert_timezone(current_timezone(),
+      tz, ts)`` — CH changes display metadata only; Spark timestamps have
+      no per-value zone, so the rewrite materializes the wall-clock shift
+      (the observable toString behavior).
+    * ``timezoneOf(ts)`` → session timezone (CH: the column's zone
+      attribute; Spark has exactly one, the session's).
+    * ``nowInBlock()`` → ``current_timestamp()`` (per-block freshness is
+      meaningless under whole-stage codegen).
+    * ``caseWithExpression(x, a, ra, b, rb, …[, dflt])`` → ``CASE x WHEN
+      a THEN ra … ELSE dflt END`` (the function form of operator CASE).
+    * ``dateTime64ToSnowflake`` — same epoch shift as the existing
+      dateTimeToSnowflake wrap.
+    """
+
+    def map_apply_make(args):
+        if len(args) != 2:
+            return None
+        lam, m = args
+        lm = re.match(
+            r"^\s*\(\s*([A-Za-z_]\w*)\s*,\s*([A-Za-z_]\w*)\s*\)\s*->\s*\((.*)\)\s*$",
+            lam,
+            re.DOTALL,
+        )
+        if not lm:
+            return None
+        kname, vname, body = lm.groups()
+        parts = _split_top_comma(body)
+        if len(parts) != 2:
+            return None
+        ke, ve = parts
+        for src, dst in ((kname, "__me.key"), (vname, "__me.value")):
+            ke = re.sub(rf"\b{src}\b", dst, ke)
+            ve = re.sub(rf"\b{src}\b", dst, ve)
+        return (
+            f"map_from_entries(transform(map_entries({m}), "
+            f"__me -> struct({ke} AS key, {ve} AS value)))"
+        )
+
+    chunk = _rewrite_call(chunk, "mapApply", map_apply_make)
+
+    chunk = _rewrite_call(
+        chunk,
+        "isValidJSON",
+        lambda args: (
+            f"(try_parse_json({args[0]}) IS NOT NULL)"
+            if len(args) == 1
+            else None
+        ),
+    )
+
+    def json_type_make(args):
+        if len(args) != 1:
+            return None
+        j = args[0]
+        head = f"left(ltrim({j}), 1)"
+        return (
+            f"(CASE WHEN try_parse_json({j}) IS NULL THEN NULL "
+            f"WHEN {head} = '{{' THEN 'Object' "
+            f"WHEN {head} = '[' THEN 'Array' "
+            f"WHEN {head} = '\"' THEN 'String' "
+            f"WHEN ltrim(rtrim({j})) IN ('true', 'false') THEN 'Bool' "
+            f"WHEN ltrim(rtrim({j})) = 'null' THEN 'Null' "
+            f"WHEN ltrim(rtrim({j})) RLIKE '[.eE]' THEN 'Double' "
+            f"ELSE 'Int64' END)"
+        )
+
+    chunk = _rewrite_call(chunk, "JSONType", json_type_make)
+
+    chunk = _rewrite_call(
+        chunk,
+        "addQuarters",
+        lambda args: (
+            f"add_months({args[0]}, 3 * ({args[1]}))"
+            if len(args) == 2
+            else None
+        ),
+    )
+    chunk = _rewrite_call(
+        chunk,
+        "subtractQuarters",
+        lambda args: (
+            f"add_months({args[0]}, -3 * ({args[1]}))"
+            if len(args) == 2
+            else None
+        ),
+    )
+    chunk = _rewrite_call(
+        chunk,
+        "YYYYMMDDToDate",
+        lambda args: (
+            f"try_to_date(CAST(CAST({args[0]} AS BIGINT) AS STRING), "
+            f"'yyyyMMdd')"
+            if len(args) == 1
+            else None
+        ),
+    )
+    chunk = _rewrite_call(
+        chunk,
+        "YYYYMMDDhhmmssToDateTime",
+        lambda args: (
+            f"try_to_timestamp(CAST(CAST({args[0]} AS BIGINT) AS STRING), "
+            f"'yyyyMMddHHmmss')"
+            if len(args) == 1
+            else None
+        ),
+    )
+    chunk = _rewrite_call(
+        chunk,
+        "toTimezone",
+        lambda args: (
+            f"convert_timezone(current_timezone(), {args[1]}, {args[0]})"
+            if len(args) == 2
+            else None
+        ),
+    )
+    chunk = _rewrite_call(
+        chunk,
+        "timezoneOf",
+        lambda args: "current_timezone()" if len(args) == 1 else None,
+    )
+    chunk = _rewrite_call(
+        chunk,
+        "nowInBlock",
+        lambda args: "current_timestamp()" if len(args) in (0, 1) else None,
+    )
+
+    def case_with_expr_make(args):
+        if len(args) < 3:
+            return None
+        x, rest = args[0], args[1:]
+        pairs, dflt = (
+            (rest, "NULL") if len(rest) % 2 == 0 else (rest[:-1], rest[-1])
+        )
+        whens = " ".join(
+            f"WHEN {pairs[i]} THEN {pairs[i + 1]}"
+            for i in range(0, len(pairs), 2)
+        )
+        return f"(CASE {x} {whens} ELSE {dflt} END)"
+
+    chunk = _rewrite_call(chunk, "caseWithExpression", case_with_expr_make)
+
+    chunk = _rewrite_call(
+        chunk,
+        "dateTime64ToSnowflake",
+        lambda args: (
+            f"shiftleft(unix_millis({args[0]}) - 1288834974657, 22)"
+            if len(args) == 1
+            else None
+        ),
+    )
+    return chunk
+
+
 def _rewrite_batch16_calls(chunk: str) -> str:
     """Dialect batch 16: string/array/URL depth.
 
@@ -5017,6 +5301,8 @@ def _translate_once(sql: str, spark=None, where_aliases: bool = False) -> str:
     chunk = _rewrite_cast_types(chunk)
     chunk = _rewrite_moving_and_maps(chunk)
     chunk = _rewrite_misc_calls(chunk)
+    chunk = _rewrite_batch20_aggs(chunk)
+    chunk = _rewrite_batch20_calls(chunk)
     chunk = _rewrite_batch19_calls(chunk)
     chunk = _rewrite_batch18_calls(chunk)
     chunk = _rewrite_batch16_calls(chunk)

@@ -2575,3 +2575,106 @@ def test_batch19_functions(spark):
     ).first()
     assert got.s == round(m3 / vs**1.5, 9)
     assert got.k == round(m4 / vs**2, 9)
+
+
+def test_batch20_functions(spark):
+    """Batch 20 scalars: mapApply (tuple-lambda entrywise transform),
+    isValidJSON/JSONType (VARIANT-validated), addQuarters/
+    subtractQuarters, YYYYMMDD serial forms, toTimezone, timezoneOf,
+    nowInBlock, caseWithExpression, dateTime64ToSnowflake."""
+    r = spark.sql(
+        tr(
+            "SELECT "
+            "mapApply((k, v) -> (upper(k), v * 2), map('a', 1, 'b', 2)) "
+            "AS ma, "
+            "isValidJSON('{\"a\": [1, 2]}') AS vj, "
+            "isValidJSON('{\"a\": [1, 2]') AS ivj, "
+            "JSONType('{\"a\": 1}') AS jo, JSONType('[1]') AS ja, "
+            "JSONType('\"s\"') AS js, JSONType('3.5e2') AS jd, "
+            "JSONType('42') AS ji, JSONType('false') AS jb, "
+            "JSONType('null') AS jn, JSONType('oops') AS jbad, "
+            "addQuarters(toDate('2023-11-30'), 1) AS aq, "
+            "subtractQuarters(toDate('2024-01-15'), 2) AS sq, "
+            "YYYYMMDDToDate(20240229) AS ymd, "
+            "YYYYMMDDToDate(20240230) AS ymdbad, "
+            "YYYYMMDDhhmmssToDateTime(20240229235959) AS ymdh, "
+            "toTimezone(toDateTime('2024-06-15 12:00:00'), "
+            "'America/New_York') AS ttz, "
+            "timezoneOf(now()) AS tzof, "
+            "nowInBlock() IS NOT NULL AS nib, "
+            "caseWithExpression(3, 1, 'a', 3, 'b', 'z') AS cw1, "
+            "caseWithExpression(9, 1, 'a', 3, 'b', 'z') AS cwd, "
+            "caseWithExpression(9, 1, 'a', 3, 'b') AS cwn, "
+            "dateTime64ToSnowflake(toDateTime('2021-08-15 18:57:56')) AS sf"
+        )
+    ).first()
+    assert dict(r.ma) == {"A": 2, "B": 4}
+    assert (r.vj, r.ivj) == (True, False)
+    assert (r.jo, r.ja, r.js) == ("Object", "Array", "String")
+    assert (r.jd, r.ji, r.jb, r.jn) == ("Double", "Int64", "Bool", "Null")
+    assert r.jbad is None
+    assert str(r.aq) == "2024-02-29"  # Nov 30 + 3 months clamps to Feb 29
+    assert str(r.sq) == "2023-07-15"
+    assert str(r.ymd) == "2024-02-29" and r.ymdbad is None
+    assert str(r.ymdh) == "2024-02-29 23:59:59"
+    # UTC noon -> New York wall clock 08:00 (EDT in June)
+    assert str(r.ttz) == "2024-06-15 08:00:00"
+    assert isinstance(r.tzof, str) and r.tzof
+    assert r.nib is True
+    assert (r.cw1, r.cwd, r.cwn) == ("b", "z", None)
+    # (epoch_ms('2021-08-15 18:57:56' UTC) - 1288834974657) << 22; the CH
+    # docs example value is the same instant in Asia/Shanghai
+    assert r.sf == (1629053876000 - 1288834974657) * 4194304
+
+
+def test_batch20_interval_aggregates(spark):
+    """Batch 20 aggregate folds: exponentialMovingAverage (half-life
+    weighted mean, verified against the closed form), intervalLengthSum
+    (union of overlapping segments counted once), maxIntersections
+    (touching intervals do NOT intersect), deltaSumTimestamp (positive
+    deltas in t order, counter resets ignored)."""
+    rows = [
+        # g=1: overlapping chain [0,10],[5,15],[20,25] union=20, max 2
+        (1, 0.0, 1.0), (1, 5.0, 3.0), (1, 20.0, 2.0),
+        # g=2: single interval / single sample
+        (2, 7.0, 4.0),
+    ]
+    spark.createDataFrame(rows, "g long, t double, v double") \
+        .createOrReplaceTempView("b20_iv")
+    got = {
+        r.g: r
+        for r in spark.sql(
+            tr(
+                "SELECT g, "
+                "exponentialMovingAverage(5)(v, t) AS ema, "
+                "intervalLengthSum(t, t + CASE WHEN g = 1 AND t < 6 "
+                "THEN 10 ELSE 5 END) AS ils, "
+                "maxIntersections(t, t + CASE WHEN g = 1 AND t < 6 "
+                "THEN 10 ELSE 5 END) AS mi, "
+                "deltaSumTimestamp(v, t) AS ds "
+                "FROM b20_iv GROUP BY g"
+            )
+        ).collect()
+    }
+    import math
+
+    # closed form: sum(v*2^-(tmax-t)/hl) / sum(2^-(tmax-t)/hl)
+    w = [2 ** (-(20 - t) / 5) for t in (0, 5, 20)]
+    exp_ema = sum(wi * vi for wi, vi in zip(w, (1.0, 3.0, 2.0))) / sum(w)
+    assert math.isclose(got[1].ema, exp_ema, rel_tol=1e-12)
+    assert got[1].ils == 20.0  # [0,15] merged + [20,25]
+    assert got[1].mi == 2
+    assert got[1].ds == 2.0  # 1->3 (+2), 3->2 (ignored)
+    assert got[2].ema == 4.0 and got[2].ils == 5.0
+    assert got[2].mi == 1 and got[2].ds == 0.0
+    # touching intervals [0,5],[5,10]: union 10, intersections 1
+    spark.createDataFrame(
+        [(1, 0.0), (1, 5.0)], "g long, s double"
+    ).createOrReplaceTempView("b20_tch")
+    t = spark.sql(
+        tr(
+            "SELECT intervalLengthSum(s, s + 5) AS u, "
+            "maxIntersections(s, s + 5) AS m FROM b20_tch GROUP BY g"
+        )
+    ).first()
+    assert t.u == 10.0 and t.m == 1

@@ -443,8 +443,33 @@ def ch_expression(draw, depth=0):
     atoms = ["x", "y", "7", "1.5", "NULL"]
     if depth >= 3:
         return draw(st.sampled_from(atoms))
-    kind = draw(st.integers(0, 46))
+    kind = draw(st.integers(0, 52))
     sub = lambda: draw(ch_expression(depth=depth + 1))  # noqa: E731
+    # batch 20 (r6)
+    if kind == 47:
+        return (
+            f"try_element_at(mapApply((k, v) -> (upper(k), v + "
+            f"toInt64({sub()})), map('a', 1)), 'A')"
+        )
+    if kind == 48:
+        return f"isValidJSON(toString({sub()}))"
+    if kind == 49:
+        return f"length(JSONType(toString(toFloat64({sub()}))))"
+    if kind == 50:
+        return (
+            f"toDayOfMonth(addQuarters(makeDate(2024, 1, 15), "
+            f"toInt64({draw(st.integers(0, 6))})))"
+        )
+    if kind == 51:
+        return (
+            f"toDayOfMonth(YYYYMMDDToDate("
+            f"20240100 + {draw(st.integers(1, 28))}))"
+        )
+    if kind == 52:
+        return (
+            f"length(caseWithExpression(toInt64({sub()}), 1, 'one', 2, "
+            f"'two', 'other'))"
+        )
     # batch 19 (r6)
     if kind == 41:
         return (
