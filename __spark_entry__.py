@@ -3439,9 +3439,31 @@ def q_cramers_v(spark, d):
     return out.select(
         F.round("chi2", 6).alias("chi2"),
         F.round("cramers_v", 6).alias("cramers_v"),
+        F.round("cramers_v_bias_corrected", 6).alias("cramers_v_bc"),
         F.round("contingency_coeff", 6).alias("contingency_coeff"),
         F.round("theils_u", 6).alias("theils_u"),
     )
+
+
+def q_rank_assoc(spark, d):
+    """Spearman rank correlation (relational.py::spearman_corr —
+    ClickHouse ``rankCorr``): per event type, rho between the event value
+    and its epoch second.  Average ranks via the cumulative-count algebra
+    over DISTINCT (group, value) cells (never a raw-row sort window,
+    guarded by max_cells — the mann_whitney_u scale stance), joined back
+    null-safely, one corr() finish.  Oracle: DuckDB avg(row_number) tie
+    ranks + corr."""
+    ev = _t(spark, d, "events").select(
+        "event_type",
+        F.col("value").alias("x"),
+        F.unix_timestamp("ts").cast("double").alias("y"),
+    )
+    out = relational.spearman_corr(ev, "x", "y", ["event_type"])
+    return out.select(
+        "event_type",
+        F.round("spearman_rho", 6).alias("rho"),
+        "n",
+    ).orderBy("event_type")
 
 
 def q_hypothesis_tests(spark, d):
@@ -4704,6 +4726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dialect_batch19_aggs": q_dialect_batch19_aggs,
         "dialect_batch20": q_dialect_batch20,
         "dialect_batch20_aggs": q_dialect_batch20_aggs,
+        "rank_assoc": q_rank_assoc,
         "c4_rules": q_c4_rules,
         "dict_sql": q_dict_sql,
         "exactsubstr_dedup": q_exactsubstr_dedup,
@@ -4721,13 +4744,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_nn": q_mutual_nn,
         "anova": q_anova,
         "cramers_v": q_cramers_v,
-        "strip_html": q_strip_html,
         "pipeline_e2e": q_pipeline_e2e,
         # ------------------------------------------------------------------
         # tail: proven green in CORRECTNESS_r01-r05; order immaterial
-        # (summap_merge/domain_block displaced by the batch-20 entries --
-        # both r5-green, untouched by any r6 edit)
+        # (summap_merge/domain_block/strip_html displaced by the batch-20 +
+        # rank_assoc entries -- all r5-green, untouched by any r6 edit)
         # ------------------------------------------------------------------
+        "strip_html": q_strip_html,
         "summap_merge": q_summap_merge,
         "domain_block": q_domain_block,
         "outliers": q_outliers,
@@ -6739,8 +6762,26 @@ FROM ranked WHERE rk <= 5
             " sum(-(c / n) * ln(c / rb)) AS hab FROM cells) "
             "SELECT round(chi2, 6) AS chi2, "
             "round(sqrt(chi2 / (n * (least(r, cc) - 1))), 6) AS cramers_v, "
+            "round(sqrt(greatest(0, chi2 / n - (r - 1) * (cc - 1) / (n - 1)) "
+            " / nullif(least(r - pow(r - 1, 2) / (n - 1), "
+            "          cc - pow(cc - 1, 2) / (n - 1)) - 1, 0)), 6) "
+            "AS cramers_v_bc, "
             "round(sqrt(chi2 / (chi2 + n)), 6) AS contingency_coeff, "
             "round((ha - hab) / ha, 6) AS theils_u FROM t"
+        ),
+        "rank_assoc": (
+            "WITH e AS (SELECT event_type AS g, value AS x, "
+            "  floor(epoch(ts))::DOUBLE AS y FROM events "
+            "  WHERE value IS NOT NULL AND ts IS NOT NULL), "
+            "r AS (SELECT g, "
+            "  avg(rnx) OVER (PARTITION BY g, x) AS rx, "
+            "  avg(rny) OVER (PARTITION BY g, y) AS ry "
+            "  FROM (SELECT g, x, y, "
+            "    row_number() OVER (PARTITION BY g ORDER BY x) AS rnx, "
+            "    row_number() OVER (PARTITION BY g ORDER BY y) AS rny "
+            "    FROM e)) "
+            "SELECT g AS event_type, round(corr(rx, ry), 6) AS rho, "
+            "count(*)::BIGINT AS n FROM r GROUP BY g ORDER BY g"
         ),
         "hypothesis_tests": (
             "WITH s AS (SELECT event_type AS g, count(value)::DOUBLE AS n, "

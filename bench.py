@@ -194,6 +194,9 @@ BENCH_QUERIES = [
     # round 6 additions
     "mad_outliers",
     "dialect_batch19",
+    "dialect_batch20",
+    "dialect_batch20_aggs",
+    "rank_assoc",
     "pipeline_e2e",
 ]
 

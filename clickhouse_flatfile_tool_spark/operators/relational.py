@@ -990,6 +990,11 @@ def categorical_association(
 
     * chi² = Σ (o − e)²/e  with e = rowTotal·colTotal/n
     * Cramér's V = √(chi² / (n·(min(r, c) − 1)))
+    * bias-corrected Cramér's V (Bergsma 2013, CH's
+      ``cramersVBiasCorrected``): φ̃² = max(0, chi²/n − (r−1)(c−1)/(n−1)),
+      r̃ = r − (r−1)²/(n−1), c̃ = c − (c−1)²/(n−1),
+      Ṽ = √(φ̃² / min(r̃−1, c̃−1));  NULL when min(r̃, c̃) ≤ 1 (a 1×k
+      table has no correctable association).
     * contingency coefficient = √(chi² / (chi² + n))
     * Theil's U (uncertainty coefficient U(a|b)) =
       (H(a) − H(a|b)) / H(a)  — entropy-based, asymmetric.
@@ -1040,16 +1045,124 @@ def categorical_association(
             * F.log(F.col("__c") / F.col("__rb"))
         ).alias("hab"),
     )
+    phi2c = F.greatest(
+        F.lit(0.0),
+        F.col("chi2") / F.col("n")
+        - (F.col("r") - 1) * (F.col("c") - 1) / (F.col("n") - 1),
+    )
+    r_c = F.col("r") - F.pow(F.col("r") - 1, 2) / (F.col("n") - 1)
+    c_c = F.col("c") - F.pow(F.col("c") - 1, 2) / (F.col("n") - 1)
+    # degenerate 1×k tables: min(r,c)−1 = 0 and H(a) = 0 — NULL instead of
+    # an ANSI DIVIDE_BY_ZERO (the arrayElement/dictGet NULL-default
+    # convention); CH itself errors on cramersV with a constant column
     return ent.select(
         F.col("chi2"),
         F.sqrt(
             F.col("chi2")
-            / (F.col("n") * (F.least("r", "c") - 1))
+            / F.nullif(F.col("n") * (F.least("r", "c") - 1), F.lit(0.0))
         ).alias("cramers_v"),
+        F.sqrt(
+            phi2c / F.nullif(F.least(r_c - 1, c_c - 1), F.lit(0.0))
+        ).alias("cramers_v_bias_corrected"),
         F.sqrt(F.col("chi2") / (F.col("chi2") + F.col("n"))).alias(
             "contingency_coeff"
         ),
-        ((F.col("ha") - F.col("hab")) / F.col("ha")).alias("theils_u"),
+        (
+            (F.col("ha") - F.col("hab"))
+            / F.nullif(F.col("ha"), F.lit(0.0))
+        ).alias("theils_u"),
+    )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+    quantize_x: float | None = None,
+    quantize_y: float | None = None,
+    max_cells: int = 2_000_000,
+) -> DataFrame:
+    """Spearman rank correlation — ClickHouse ``rankCorr``: Pearson
+    correlation of AVERAGE ranks (the tie-corrected convention).  Returns
+    one row per group: ``group_cols + (spearman_rho, n)``.
+
+    Scale shape (the ``mann_whitney_u`` stance): per axis, rows first
+    aggregate to DISTINCT ``(group, value)`` cells (one map-side-combinable
+    shuffle); average ranks come from the cumulative-count algebra over
+    the cell frame — a window partitioned by the group columns, so it is
+    single-partition only in the ungrouped case — then join back to rows
+    keyed by (group, value) and finish with one ``corr`` aggregation.
+    Never sorts the raw row frame.  The cell frame is guarded: past
+    ``max_cells`` distinct values the exact path RAISES; pass
+    ``quantize_x``/``quantize_y`` (bin widths) to bound it for continuous
+    float columns — the statistic is then exact for the quantized data
+    (resolution-limited-measurement semantics).  NULL group keys are kept
+    (null-safe join-back, the ``robust_outliers`` convention); NULL x/y
+    rows are dropped pairwise."""
+    group_cols = list(group_cols or [])
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        *group_cols,
+        F.col(x_col).alias("__x"),
+        F.col(y_col).alias("__y"),
+    )
+
+    def _q(col: str, quantize):
+        v = F.col(col)
+        if quantize is not None:
+            q = float(quantize)
+            v = F.round(v / q) * q
+        return v
+
+    base = base.select(
+        *group_cols,
+        _q("__x", quantize_x).alias("__x"),
+        _q("__y", quantize_y).alias("__y"),
+    )
+
+    def _rank_cells(val: str, quantize, tag: str) -> DataFrame:
+        # key columns renamed with a per-axis tag so the join back to the
+        # row frame has no self-join lineage ambiguity
+        cells = base.groupBy(*group_cols, val).agg(
+            F.count(F.lit(1)).cast("double").alias("__c")
+        )
+        _guard_rank_cells(cells, quantize, max_cells, "spearman_corr")
+        w = (
+            Window.partitionBy(*group_cols)
+            .orderBy(val)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return cells.select(
+            *[F.col(g).alias(f"__g{i}{tag}") for i, g in enumerate(group_cols)],
+            F.col(val).alias(f"__k{tag}"),
+            (
+                F.coalesce(F.sum("__c").over(w), F.lit(0.0))
+                + (F.col("__c") + 1) / 2.0
+            ).alias(f"__r{tag}"),
+        )
+
+    rx = _rank_cells("__x", quantize_x, "x")
+    ry = _rank_cells("__y", quantize_y, "y")
+
+    def _join_back(rows: DataFrame, cells: DataFrame, val: str, tag: str):
+        cond = rows[val] == cells[f"__k{tag}"]
+        for i, g in enumerate(group_cols):
+            cond = cond & rows[g].eqNullSafe(cells[f"__g{i}{tag}"])
+        return rows.join(cells, cond).drop(
+            f"__k{tag}", *[f"__g{i}{tag}" for i in range(len(group_cols))]
+        )
+
+    ranked = _join_back(
+        _join_back(base, rx, "__x", "x"), ry, "__y", "y"
+    )
+    return (
+        ranked.groupBy(*group_cols)
+        .agg(
+            F.corr("__rx", "__ry").alias("spearman_rho"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
     )
 
 

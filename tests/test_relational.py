@@ -521,6 +521,61 @@ def test_categorical_association_perfect_and_independent(spark):
     r2 = categorical_association(indep, "a", "b").first()
     assert abs(r2.chi2) < 1e-9 and abs(r2.cramers_v) < 1e-9
     assert abs(r2.theils_u) < 1e-9
+    # Bergsma bias correction: hand-computed for the perfect 2x2 table
+    # (n=10, r=c=2, chi2=10): phi2c = 1 - 1/9, r~ = c~ = 2 - 1/9,
+    # V~ = sqrt((8/9) / (8/9)) = 1
+    assert abs(r.cramers_v_bias_corrected - 1.0) < 1e-9
+    # independence: phi2c clamps to 0
+    assert abs(r2.cramers_v_bias_corrected) < 1e-9
+    # degenerate 1xk table: no correctable association -> NULL
+    one_row = spark.createDataFrame(
+        [("x", "1"), ("x", "2")], "a string, b string"
+    )
+    assert (
+        categorical_association(one_row, "a", "b")
+        .first()
+        .cramers_v_bias_corrected
+        is None
+    )
+
+
+def test_spearman_corr_ties_groups_and_guard(spark):
+    """spearman_corr (CH rankCorr): +-1 for monotone/antitone groups,
+    tie-averaged ranks match the numpy-computed constant, NULL group
+    keys survive the null-safe join-back, and the exact path raises past
+    max_cells (the mann_whitney_u stance) while quantize proceeds."""
+    import pytest
+
+    from clickhouse_flatfile_tool_spark.operators.relational import (
+        spearman_corr,
+    )
+
+    rows = [
+        ("a", 1.0, 10.0), ("a", 2.0, 20.0), ("a", 3.0, 30.0),
+        ("b", 1.0, 5.0), ("b", 2.0, 4.0), ("b", 3.0, 1.0),
+        # ties: x=[1,1,2,3] -> rx=[1.5,1.5,3,4]; y=[1,2,2,1] ->
+        # ry=[1.5,3.5,3.5,1.5]; corr = -0.23570226...
+        ("c", 1.0, 1.0), ("c", 1.0, 2.0), ("c", 2.0, 2.0), ("c", 3.0, 1.0),
+        (None, 1.0, 1.0), (None, 2.0, 2.0), (None, 3.0, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r.g: r for r in spearman_corr(df, "x", "y", ["g"]).collect()}
+    assert abs(got["a"].spearman_rho - 1.0) < 1e-9
+    assert abs(got["b"].spearman_rho + 1.0) < 1e-9
+    assert abs(got["c"].spearman_rho + 0.23570226039551587) < 1e-9
+    assert None in got and abs(got[None].spearman_rho - 0.8660254037844387) < 1e-9
+    assert got["c"].n == 4
+    # ungrouped form returns one row
+    assert spearman_corr(df, "x", "y").count() == 1
+    # scale guard: exact path raises, quantized path is bounded
+    with pytest.raises(ValueError, match="distinct values"):
+        spearman_corr(df, "x", "y", max_cells=2).collect()
+    assert (
+        spearman_corr(
+            df, "x", "y", quantize_x=10.0, quantize_y=10.0, max_cells=2
+        ).count()
+        == 1
+    )
 
 
 def test_ttest_welch_and_student(spark):
