@@ -2948,6 +2948,55 @@ def q_dialect_batch20_aggs(spark, d):
     return spark.sql(translate_clickhouse_sql(ch_sql))
 
 
+def q_dialect_modifiers(spark, d):
+    """ClickHouse SELECT-list column modifiers end-to-end
+    (dialect.py::_expand_select_modifiers): ``COLUMNS('re')`` regex base
+    + ``APPLY(fn)`` wrapping with CH result naming (``sum(col)``), and
+    ``* REPLACE`` positional substitution — the chain expands
+    against the analysis-probed FROM schema.  Oracle: DuckDB with the
+    expansion written out by hand (same quoted result names)."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    _t(spark, d, "orders").createOrReplaceTempView("mod_orders")
+    _t(spark, d, "region").createOrReplaceTempView("mod_region")
+    a = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT o_orderpriority, "
+            "COLUMNS('totalprice|custkey') "
+            # inner round at 3 decimals = the true precision of a
+            # 2-decimal price x 0.9 (a .xx5 boundary at 2 would split
+            # engines); the outer sum rounds at 2 with 5e-3 margin
+            "REPLACE(round(o_totalprice * 0.9, 3) AS o_totalprice) "
+            "APPLY(sum) "
+            "FROM mod_orders GROUP BY o_orderpriority "
+            "ORDER BY o_orderpriority",
+            spark=spark,
+        )
+    ).select(
+        "o_orderpriority",
+        F.round(F.col("`sum(o_totalprice)`"), 2).alias("sum_totalprice"),
+        F.col("`sum(o_custkey)`").alias("sum_custkey"),
+    )
+    b = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT * REPLACE(upper(r_name) AS r_name) "
+            "FROM mod_region ORDER BY r_regionkey",
+            spark=spark,
+        )
+    )
+    return a.join(
+        b.select(
+            F.col("r_regionkey").alias("o_orderpriority_rk"),
+            "r_name",
+        ),
+        F.expr("CAST(substring(o_orderpriority, 1, 1) AS INT) - 1")
+        == F.col("o_orderpriority_rk"),
+        "left",
+    ).select(
+        "o_orderpriority", "sum_totalprice", "sum_custkey", "r_name"
+    ).orderBy("o_orderpriority")
+
+
 def q_dialect_clauses(spark, d):
     """Session-5 SQL clauses end-to-end: scalar WITH (the constant
     feeds the QUALIFY bound) + QUALIFY over a window on aggregated
@@ -4726,6 +4775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dialect_batch19_aggs": q_dialect_batch19_aggs,
         "dialect_batch20": q_dialect_batch20,
         "dialect_batch20_aggs": q_dialect_batch20_aggs,
+        "dialect_modifiers": q_dialect_modifiers,
         "rank_assoc": q_rank_assoc,
         "c4_rules": q_c4_rules,
         "dict_sql": q_dict_sql,
@@ -4740,16 +4790,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "replacing_final": q_replacing_final,
         "knn_accuracy": q_knn_accuracy,
         "semantic_decon": q_semantic_decon,
-        "winnow": q_winnow,
         "mutual_nn": q_mutual_nn,
         "anova": q_anova,
         "cramers_v": q_cramers_v,
         "pipeline_e2e": q_pipeline_e2e,
         # ------------------------------------------------------------------
         # tail: proven green in CORRECTNESS_r01-r05; order immaterial
-        # (summap_merge/domain_block/strip_html displaced by the batch-20 +
-        # rank_assoc entries -- all r5-green, untouched by any r6 edit)
+        # (summap_merge/domain_block/strip_html/winnow displaced by the r6
+        # batch-20/modifiers/rank_assoc entries -- all r5-green, untouched
+        # by any r6 edit; cramers_v stays in the window because the
+        # bias-corrected column changed its output this round)
         # ------------------------------------------------------------------
+        "winnow": q_winnow,
         "strip_html": q_strip_html,
         "summap_merge": q_summap_merge,
         "domain_block": q_domain_block,
@@ -6768,6 +6820,20 @@ FROM ranked WHERE rk <= 5
             "AS cramers_v_bc, "
             "round(sqrt(chi2 / (chi2 + n)), 6) AS contingency_coeff, "
             "round((ha - hab) / ha, 6) AS theils_u FROM t"
+        ),
+        "dialect_modifiers": (
+            # hand-expanded form of the modifier chain: COLUMNS regex
+            # selects (o_totalprice, o_shippriority), REPLACE swaps the
+            # discounted-price expression in place, APPLY(sum) wraps both
+            "WITH a AS (SELECT o_orderpriority, "
+            "  round(sum(round(o_totalprice * 0.9, 3)), 2) AS sum_totalprice, "
+            "  sum(o_custkey)::BIGINT AS sum_custkey "
+            "  FROM orders GROUP BY o_orderpriority), "
+            "b AS (SELECT r_regionkey, upper(r_name) AS r_name FROM region) "
+            "SELECT o_orderpriority, sum_totalprice, sum_custkey, "
+            "r_name FROM a LEFT JOIN b ON "
+            "(substring(o_orderpriority, 1, 1)::INT - 1) = b.r_regionkey "
+            "ORDER BY o_orderpriority"
         ),
         "rank_assoc": (
             "WITH e AS (SELECT event_type AS g, value AS x, "

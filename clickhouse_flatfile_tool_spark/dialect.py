@@ -5204,6 +5204,178 @@ def _rewrite_batch16_calls(chunk: str) -> str:
     return chunk
 
 
+_MOD_BASE_PAT = re.compile(
+    r"(?<![\w.`'\"])(\*|COLUMNS\()", re.IGNORECASE
+)
+_MOD_KW_PAT = re.compile(r"\s*(EXCEPT|REPLACE|APPLY)\s*\(", re.IGNORECASE)
+_MOD_TAIL_STOP = re.compile(
+    r"\b(GROUP|HAVING|ORDER|LIMIT|WINDOW|QUALIFY|UNION|INTERSECT"
+    r"|EXCEPT\s+(?:ALL|DISTINCT|SELECT))\b",
+    re.IGNORECASE,
+)
+
+
+def _expand_select_modifiers(sql: str, spark=None) -> str:
+    """ClickHouse SELECT-list column modifiers (public docs,
+    "SELECT modifiers"): ``* EXCEPT(cols)`` (Spark-native, kept),
+    ``* REPLACE(expr AS col, …)``, ``COLUMNS('re')``, and ``APPLY(fn)``,
+    chainable in any order.  Runs as a POST-pass on the fully translated
+    SQL: with a SparkSession the enclosing block's FROM tail is
+    analysis-probed (``SELECT * FROM <tail>`` — lazy, no job) for the
+    column list and the modifier chain expands POSITIONALLY, exactly the
+    CH evaluation order: base selection (star, or names matched by the
+    COLUMNS regex) → EXCEPT removals → REPLACE substitutions in place →
+    APPLY wrapping ``fn(expr) AS `fn(name)``` (CH's result naming).
+    Without a SparkSession only the schema-free ``* REPLACE`` form
+    rewrites (to ``* EXCEPT(cols), expr AS col`` — the replaced columns
+    move to the END of the row, documented divergence); COLUMNS/APPLY
+    pass through for Spark to error on by name.  Qualified-star bases
+    (``t.*``) and set-op tails pass through untouched."""
+    i, out = 0, sql
+    while True:
+        m = _MOD_BASE_PAT.search(out, i)
+        if not m:
+            return out
+        base = m.group(1)
+        pos = m.end()
+        cols_regex = None
+        if base != "*":  # COLUMNS('re')
+            close = _match_paren(out, m.end() - 1)
+            lit = re.fullmatch(
+                r"\s*'([^']*)'\s*", out[m.end() : close - 1]
+            )
+            if not lit:
+                i = close
+                continue
+            cols_regex, pos = lit.group(1), close
+        # consume the modifier chain
+        mods: list[tuple[str, list[str]]] = []
+        while True:
+            km = _MOD_KW_PAT.match(out, pos)
+            if not km:
+                break
+            kend = _match_paren(out, km.end() - 1)
+            mods.append(
+                (
+                    km.group(1).upper(),
+                    _split_top_comma(out[km.end() : kend - 1]),
+                )
+            )
+            pos = kend
+        needs_schema = cols_regex is not None or any(
+            k == "APPLY" for k, _ in mods
+        )
+        has_rewrite = needs_schema or any(k == "REPLACE" for k, _ in mods)
+        if not has_rewrite:  # plain * or Spark-native * EXCEPT(...)
+            i = pos
+            continue
+        if spark is None and needs_schema:
+            i = pos
+            continue
+        if spark is None:
+            # schema-free * REPLACE [EXCEPT] trick: replaced columns
+            # re-emitted at the end of the row
+            excepts, repls = [], []
+            for k, args in mods:
+                (excepts if k == "EXCEPT" else repls).extend(args)
+            names = []
+            for r in repls:
+                am = re.search(r"\s+AS\s+(`[^`]+`|\w+)\s*$", r, re.IGNORECASE)
+                if not am:
+                    return out  # malformed; leave for Spark to report
+                names.append(am.group(1).strip("`"))
+            repl_sql = (
+                "* EXCEPT("
+                + ", ".join(f"`{n}`" for n in names + [e.strip("` ") for e in excepts])
+                + "), "
+                + ", ".join(repls)
+            )
+            out = out[: m.start()] + repl_sql + out[pos:]
+            i = m.start() + len(repl_sql)
+            continue
+        # schema path: probe the enclosing block's FROM tail
+        depth, j, from_idx = 0, pos, None
+        while j < len(out):
+            ch = out[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and out[j : j + 4].upper() == "FROM" and (
+                j + 4 == len(out) or not (out[j + 4].isalnum() or out[j + 4] == "_")
+            ) and (j == 0 or not (out[j - 1].isalnum() or out[j - 1] in "_.")):
+                from_idx = j
+                break
+            j += 1
+        if from_idx is None:
+            i = pos
+            continue
+        depth, j, end_idx = 0, from_idx, len(out)
+        while j < len(out):
+            ch = out[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    end_idx = j
+                    break
+                depth -= 1
+            elif depth == 0:
+                sm = _MOD_TAIL_STOP.match(out, j)
+                if sm and not (out[j - 1].isalnum() or out[j - 1] in "_."):
+                    end_idx = j
+                    break
+            j += 1
+        try:
+            cols = spark.sql("SELECT * " + out[from_idx:end_idx]).columns
+        except Exception:  # noqa: BLE001 — unprobeable tail: leave as-is
+            i = pos
+            continue
+        if cols_regex is not None:
+            try:
+                pat = re.compile(cols_regex)
+            except re.error:
+                i = pos
+                continue
+            items = [(c, c) for c in cols if pat.search(c)]
+        else:
+            items = [(c, c) for c in cols]
+        for k, args in mods:
+            if k == "EXCEPT":
+                drop = {a.strip(" `").lower() for a in args}
+                items = [it for it in items if it[1].lower() not in drop]
+            elif k == "REPLACE":
+                for r in args:
+                    am = re.search(
+                        r"\s+AS\s+(`[^`]+`|\w+)\s*$", r, re.IGNORECASE
+                    )
+                    if not am:
+                        return out
+                    nm = am.group(1).strip("`")
+                    expr = r[: am.start()].strip()
+                    items = [
+                        (expr, n) if n.lower() == nm.lower() else (e, n)
+                        for e, n in items
+                    ]
+            else:  # APPLY
+                if len(args) != 1 or not re.fullmatch(r"\w+", args[0].strip()):
+                    return out
+                fn = args[0].strip()
+                items = [
+                    (f"{fn}({e})", f"{fn}({n})") for e, n in items
+                ]
+        if not items:
+            i = pos
+            continue
+        repl_sql = ", ".join(
+            e if e == n else f"{e} AS `{n}`" for e, n in items
+        )
+        out = out[: m.start()] + repl_sql + out[pos:]
+        i = m.start() + len(repl_sql)
+
+
 def translate_clickhouse_sql(sql: str, spark=None) -> str:
     """See :func:`_translate_once` for the rewrite pipeline.  With a
     SparkSession, one extra repair pass runs on ANALYSIS FAILURE only:
@@ -5213,6 +5385,7 @@ def translate_clickhouse_sql(sql: str, spark=None) -> str:
     gated so a real column sharing an alias's name keeps Spark's (and
     the previous rounds') resolution on queries that already work."""
     out = _translate_once(sql, spark)
+    out = _expand_select_modifiers(out, spark)
     if spark is None:
         return out
     # Probe (and alias-repair) ONLY query-shaped statements: spark.sql is

@@ -2678,3 +2678,58 @@ def test_batch20_interval_aggregates(spark):
         )
     ).first()
     assert t.u == 10.0 and t.m == 1
+
+
+def test_select_column_modifiers(spark):
+    """ClickHouse SELECT modifiers (_expand_select_modifiers): positional
+    * REPLACE, COLUMNS('re') regex base, APPLY(fn) with CH result naming,
+    chained EXCEPT/REPLACE/APPLY, schema-free REPLACE without a session,
+    and non-modifier stars/multiplication left untouched."""
+    from clickhouse_flatfile_tool_spark.dialect import (
+        translate_clickhouse_sql as t,
+    )
+
+    spark.createDataFrame(
+        [(1, 10.0, 100.0, "x"), (2, 20.0, 200.0, "y")],
+        "id long, price double, total double, tag string",
+    ).createOrReplaceTempView("mod_t")
+    # positional REPLACE: column order preserved
+    df = spark.sql(
+        t("SELECT * REPLACE(price * 2 AS price) FROM mod_t ORDER BY id",
+          spark=spark)
+    )
+    assert df.columns == ["id", "price", "total", "tag"]
+    assert [r.price for r in df.collect()] == [20.0, 40.0]
+    # COLUMNS regex + APPLY naming
+    df2 = spark.sql(
+        t("SELECT tag, COLUMNS('^(price|total)$') APPLY(sum) FROM mod_t "
+          "GROUP BY tag ORDER BY tag", spark=spark)
+    )
+    assert df2.columns == ["tag", "sum(price)", "sum(total)"]
+    assert [tuple(r) for r in df2.collect()] == [
+        ("x", 10.0, 100.0), ("y", 20.0, 200.0)]
+    # chained EXCEPT -> REPLACE -> APPLY
+    df3 = spark.sql(
+        t("SELECT * EXCEPT(tag) REPLACE(id + 100 AS id) APPLY(max) "
+          "FROM mod_t", spark=spark)
+    )
+    assert df3.columns == ["max(id)", "max(price)", "max(total)"]
+    assert tuple(df3.first()) == (102, 20.0, 200.0)
+    # schema-free REPLACE (no session): EXCEPT trick, column moves to end
+    sql = t("SELECT * REPLACE(round(price, 0) AS price) FROM mod_t")
+    assert "EXCEPT(`price`)" in sql and sql.rstrip().endswith(
+        "round(price, 0) AS price FROM mod_t"
+    )
+    # stars and multiplication pass through untouched
+    assert t("SELECT count(*) FROM mod_t", spark=spark) == (
+        "SELECT count(*) FROM mod_t"
+    )
+    assert t("SELECT id * 2 AS d FROM mod_t", spark=spark) == (
+        "SELECT id * 2 AS d FROM mod_t"
+    )
+    # set-op EXCEPT (parenthesized operand) is not a modifier
+    df4 = spark.sql(
+        t("SELECT * FROM mod_t EXCEPT (SELECT * FROM mod_t WHERE id = 2)",
+          spark=spark)
+    )
+    assert [r.id for r in df4.collect()] == [1]
