@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "dialect_batch19",
     "dialect_batch20",
     "dialect_batch20_aggs",
+    "dialect_modifiers",
     "rank_assoc",
     "pipeline_e2e",
 ]
