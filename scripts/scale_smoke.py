@@ -220,11 +220,20 @@ def main() -> None:
         )
 
         def funnel(df):
+            # ' the a' tail re-arms the Gopher stopword gate on the
+            # suffixed K× copies (scaled_docs' word suffixing would
+            # otherwise fail EVERY doc at stage 1 and the funnel would
+            # time an empty frame chain).  Only 2 consecutive unsuffixed
+            # tokens, so every trigram window over them still contains a
+            # per-copy body word — no corpus-wide contamination shingles.
             with_sent = df.select(
                 "doc_id",
-                F.expr(
-                    r"regexp_replace(text, "
-                    r"'(\\S+ \\S+ \\S+ \\S+ \\S+ \\S+) ', '$1.\n')"
+                F.concat(
+                    F.expr(
+                        r"regexp_replace(text, "
+                        r"'(\\S+ \\S+ \\S+ \\S+ \\S+ \\S+) ', '$1.\n')"
+                    ),
+                    F.lit(" the a"),
                 ).alias("text"),
             )
             train = with_sent.filter(F.col("doc_id") % 20 != 0)
