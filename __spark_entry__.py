@@ -4566,20 +4566,61 @@ def q_stream_near_dedup(spark, d):
     per-row MinHash signatures + dropDuplicatesWithinWatermark.  Input is
     the documents table unioned with a re-crawl copy (same text, new ids,
     1 minute later) — exactly one survivor per distinct signature must
-    remain (rows-only; signature ≡ batch path is pytest-proven)."""
+    remain (rows-only; signature ≡ batch path is pytest-proven).
+    Timestamps anchor at 2024-01-01, NOT epoch 0: rows at the stream's
+    initial watermark (epoch 0) are silently dropped as LATE, which
+    would fake the suppression (r6 finding, pytest now asserts the
+    survivors are the ORIGINALS)."""
     tmp = tempfile.mkdtemp(prefix="cfts_sndedup_")
     src, out_dir, ckpt = (os.path.join(tmp, p) for p in ("src", "out", "ckpt"))
     try:
+        base_ts = 1_704_067_200  # 2024-01-01 00:00:00 UTC
         docs = _t(spark, d, "documents").select("doc_id", "text")
         recrawl = docs.select(
             (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
         )
-        staged = docs.withColumn("__ts", F.timestamp_seconds(F.lit(0))).unionByName(
-            recrawl.withColumn("__ts", F.timestamp_seconds(F.lit(60)))
+        staged = docs.withColumn(
+            "__ts", F.timestamp_seconds(F.lit(base_ts))
+        ).unionByName(
+            recrawl.withColumn("__ts", F.timestamp_seconds(F.lit(base_ts + 60)))
         )
         staged.write.mode("overwrite").parquet(src)
         stream = stream_ops.read_event_stream(spark, src)
         result = stream_ops.stream_near_dedup(stream, watermark="10 minutes")
+        stream_ops.run_available_now(result.select("doc_id"), out_dir, ckpt)
+        return spark.read.parquet(out_dir)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def q_stream_curation(spark, d):
+    """Composed streaming curation (stream_ops.py::
+    stream_curation_pipeline — the streaming twin of pipeline_e2e's
+    funnel): Gopher gate (stateless) → MinHash near-dup suppression
+    within the watermark (the one stateful stage) → Bloom benchmark
+    decontamination (stateless probe of the static benchmark's 128 KiB
+    bitset literal).  Input: documents + re-crawl copies 1 min later;
+    benchmark = the doc_id % 20 = 0 split.  Rows-only (streaming);
+    per-stage semantics are pytest-proven on a planted fixture."""
+    tmp = tempfile.mkdtemp(prefix="cfts_scur_")
+    src, out_dir, ckpt = (os.path.join(tmp, p) for p in ("src", "out", "ckpt"))
+    try:
+        base_ts = 1_704_067_200  # 2024-01-01; NOT epoch 0 (late-drop trap)
+        docs = _t(spark, d, "documents").select("doc_id", "text")
+        recrawl = docs.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+        staged = docs.withColumn(
+            "__ts", F.timestamp_seconds(F.lit(base_ts))
+        ).unionByName(
+            recrawl.withColumn("__ts", F.timestamp_seconds(F.lit(base_ts + 60)))
+        )
+        staged.write.mode("overwrite").parquet(src)
+        bench = docs.filter(F.col("doc_id") % 20 == 0)
+        stream = stream_ops.read_event_stream(spark, src)
+        result = stream_ops.stream_curation_pipeline(
+            stream, bench, watermark="10 minutes"
+        )
         stream_ops.run_available_now(result.select("doc_id"), out_dir, ckpt)
         return spark.read.parquet(out_dir)
     finally:
@@ -4790,17 +4831,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "replacing_final": q_replacing_final,
         "knn_accuracy": q_knn_accuracy,
         "semantic_decon": q_semantic_decon,
-        "mutual_nn": q_mutual_nn,
-        "anova": q_anova,
         "cramers_v": q_cramers_v,
+        "stream_near_dedup": q_stream_near_dedup,
+        "stream_curation": q_stream_curation,
         "pipeline_e2e": q_pipeline_e2e,
         # ------------------------------------------------------------------
         # tail: proven green in CORRECTNESS_r01-r05; order immaterial
-        # (summap_merge/domain_block/strip_html/winnow displaced by the r6
-        # batch-20/modifiers/rank_assoc entries -- all r5-green, untouched
-        # by any r6 edit; cramers_v stays in the window because the
-        # bias-corrected column changed its output this round)
+        # (summap_merge/domain_block/strip_html/winnow/mutual_nn/anova displaced
+        # by the r6 batch-20/modifiers/rank_assoc/stream entries -- all
+        # r5-green, untouched by any r6 edit; cramers_v and
+        # stream_near_dedup stay in the window because r6 edits changed
+        # their output/fixture)
         # ------------------------------------------------------------------
+        "anova": q_anova,
+        "mutual_nn": q_mutual_nn,
         "winnow": q_winnow,
         "strip_html": q_strip_html,
         "summap_merge": q_summap_merge,
@@ -4853,7 +4897,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
         "simhash_verified": q_simhash_verified,
-        "stream_near_dedup": q_stream_near_dedup,
         "pca_project": q_pca_project,
         "sequence_count": q_sequence_count,
         "bpe_merges": q_bpe_merges,

@@ -476,6 +476,100 @@ def stream_near_dedup(
     return sig.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_bloom_decontaminate(
+    stream: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """STATELESS streaming benchmark decontamination: the static
+    benchmark's hashed shingle set compresses batch-side to a Bloom
+    bitset (``dedup.bloom_bitset`` — 16,384 longs = 128 KiB at m=2²⁰,
+    for ANY benchmark size), collected once at plan time and embedded as
+    a single ARRAY literal; each streaming document then probes it with
+    a pure-JVM ``exists`` over its own shingle array (k xxhash64
+    positions per shingle — byte-identical to the
+    ``_bloom_position_cols`` build contract).  No state store, no UDF,
+    no shuffle, so the stage legally flanks the one stateful operator a
+    streaming query may have.
+
+    Bloom false positives OVER-DROP at ε ≈ (1 − e^(−kN/m))^k (0.1 % at
+    N=10⁵, m=2²⁰, k=4) — the exact-verify join of the batch path
+    (``dedup.bloom_decontaminate``) needs a shuffle a stateless stage
+    cannot do; run the batch path on backfills where exactness matters.
+    Documents with NULL/empty text pass (nothing to match)."""
+    from clickhouse_flatfile_tool_spark.operators import dedup as _dedup
+
+    bench_sh = (
+        _dedup.shingle_postings(benchmark, "doc_id", text_col, n, hashed=True)
+        .select("__s")
+        .distinct()
+    )
+    bits = [0] * (m_bits // 64)
+    for r in _dedup.bloom_bitset(bench_sh, "__s", m_bits, k, seed).collect():
+        bits[int(r["word"])] = int(r["bits"])
+    probes = " AND ".join(
+        f"(coalesce(try_element_at(__bloom_bits, "
+        f"CAST(pmod(xxhash64(__s_el, {seed + i}), {m_bits}) / 64 AS INT) + 1), "
+        f"CAST(0 AS BIGINT)) & shiftleft(CAST(1 AS BIGINT), "
+        f"CAST(pmod(xxhash64(__s_el, {seed + i}), {m_bits}) % 64 AS INT))) != 0"
+        for i in range(k)
+    )
+    staged = (
+        stream.withColumn(
+            "__shh",
+            F.transform(
+                _dedup._shingles_from_words(
+                    F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), n
+                ),
+                lambda s: F.xxhash64(s),
+            ),
+        )
+        .withColumn("__bloom_bits", F.lit(bits))
+        .withColumn(
+            "__contaminated", F.expr(f"exists(__shh, __s_el -> {probes})")
+        )
+    )
+    return staged.where(
+        ~F.coalesce(F.col("__contaminated"), F.lit(False))
+    ).drop("__shh", "__bloom_bits", "__contaminated")
+
+
+def stream_curation_pipeline(
+    stream: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "__ts",
+    watermark: str = "1 hour",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    decon_n: int = 3,
+) -> DataFrame:
+    """Composed streaming curation — the streaming twin of
+    ``pipeline.curation_pipeline``: Gopher quality gate (stateless map)
+    → MinHash near-dup suppression within the watermark (the ONE
+    stateful stage Structured Streaming allows) → Bloom benchmark
+    decontamination (stateless map against the static benchmark's
+    bitset).  The stage ORDER is forced by the one-stateful-operator
+    rule: both curation maps are stateless expressions, so they legally
+    flank ``dropDuplicatesWithinWatermark``; the batch pipeline's exact
+    dedup / ExactSubstr stages are corpus-wide aggregations with no
+    bounded-state streaming form — they belong to the batch backfill
+    (documented division of labor, same as CCNet/Dolma: stream-gate
+    cheaply, batch-dedup globally)."""
+    gated = stream_quality_gate(stream, text_col)
+    deduped = stream_near_dedup(
+        gated, text_col, ts_col, watermark, shingle_n, num_hashes
+    )
+    cleaned = stream_bloom_decontaminate(
+        deduped, benchmark, text_col, decon_n
+    )
+    return cleaned.drop(*[f"mh_{i}" for i in range(num_hashes)])
+
+
 def kafka_reader_options(
     brokers: str,
     topic: str,

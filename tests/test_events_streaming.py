@@ -434,10 +434,17 @@ def test_stream_near_dedup_suppresses_recrawls(spark, tables, tmp_path):
     from clickhouse_flatfile_tool_spark.operators import dedup
     from clickhouse_flatfile_tool_spark.streaming import stream_ops
 
+    # anchor at 2024, NOT epoch 0 — rows at the initial watermark (epoch
+    # 0) are dropped as LATE, which would fake the suppression: the
+    # originals would vanish via the late filter and the recrawls would
+    # survive untouched (r6 finding)
+    base_ts = 1_704_067_200
     docs = tables["documents"].select("doc_id", "text").limit(50)
     recrawl = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
-    staged = docs.withColumn("__ts", F.timestamp_seconds(F.lit(0))).unionByName(
-        recrawl.withColumn("__ts", F.timestamp_seconds(F.lit(60)))
+    staged = docs.withColumn(
+        "__ts", F.timestamp_seconds(F.lit(base_ts))
+    ).unionByName(
+        recrawl.withColumn("__ts", F.timestamp_seconds(F.lit(base_ts + 60)))
     )
     src = str(tmp_path / "src")
     staged.write.mode("overwrite").parquet(src)
@@ -456,6 +463,11 @@ def test_stream_near_dedup_suppresses_recrawls(spark, tables, tmp_path):
     # every original text is represented exactly once among survivors
     surv_texts = survivors.join(staged, "doc_id").select("text").distinct()
     assert surv_texts.count() == docs.select("text").distinct().count()
+    # first-sighting semantics: the survivors are the ORIGINALS (ids
+    # < 1M) — the recrawls were suppressed by STATE, not by the late
+    # filter (both batches share one AvailableNow micro-batch here, but
+    # an epoch-0 fixture would let the late filter fake this)
+    assert survivors.filter("doc_id >= 1000000").count() == 0
 
 
 def test_kafka_reader_options_mapping():
@@ -500,3 +512,74 @@ def test_parse_kafka_values_jsoneachrow(spark):
     }
     assert out[10] == ("events", 0, 7, 1.5)
     assert out[11] == ("events", 1, None, None)
+
+
+def test_stream_bloom_decontaminate_stateless(spark):
+    """Stateless Bloom decontamination: contaminated docs drop, clean docs
+    pass, NULL/empty text passes; pure expressions (no state store)."""
+    from clickhouse_flatfile_tool_spark.streaming import stream_ops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "totally different words with no overlap at all"),
+            (3, None),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the eval set contains alpha beta gamma inside it")],
+        "doc_id long, text string",
+    )
+    out = stream_ops.stream_bloom_decontaminate(docs, bench, "text")
+    assert sorted(r.doc_id for r in out.collect()) == [2, 3, 4]
+
+
+def test_stream_curation_pipeline_planted(spark, tmp_path):
+    """Composed streaming curation on a planted fixture: a too-short doc
+    fails the Gopher gate, a later near-clone is suppressed by watermark
+    state (NOT the late filter — 2024-anchored timestamps), and a
+    benchmark-overlapping doc is decontaminated."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_flatfile_tool_spark.streaming import stream_ops
+
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "a stitch in time saves nine of the best things here and "
+            "all that glitters is not gold said the wise old miner today ")
+    base_ts = 1_704_067_200
+    rows = [
+        (1, base + "unique tail one about rivers and the mountain air", 0),
+        (2, base + "unique tail two about oceans and the desert wind", 0),
+        # byte-identical re-crawl of 1, one minute later -> suppressed
+        (3, base + "unique tail one about rivers and the mountain air", 60),
+        (4, "tiny doc", 0),                                # gopher drop
+        (5, base + "holdout secret passphrase trigram overlap window here",
+         0),                                               # contaminated
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, secs long"
+    ).select(
+        "doc_id", "text",
+        F.timestamp_seconds(F.col("secs") + base_ts).alias("__ts"),
+    )
+    bench = spark.createDataFrame(
+        [(100, "totally separate holdout secret passphrase trigram overlap "
+               "window here for eval")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "src")
+    docs.write.mode("overwrite").parquet(src)
+    stream = stream_ops.read_event_stream(spark, src)
+    result = stream_ops.stream_curation_pipeline(
+        stream, bench, watermark="10 minutes"
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream_ops.run_available_now(result.select("doc_id"), out_dir, ckpt)
+    survivors = sorted(
+        r.doc_id for r in spark.read.parquet(out_dir).collect()
+    )
+    assert survivors == [1, 2]
