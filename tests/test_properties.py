@@ -1010,3 +1010,80 @@ def test_dialect_fuzz_executes_on_hazard_values(spark, exprs):
     spark.sql(
         translate_clickhouse_sql(f"SELECT {sel} FROM fuzz_exec_t")
     ).collect()
+
+
+@st.composite
+def modifier_chain(draw):
+    """Random SELECT-modifier chain over the fixed (a, b, cc, dd) view:
+    base (* or COLUMNS regex) + shuffled EXCEPT/REPLACE/APPLY subset.
+    Returns (sql_fragment, expected_items) where expected_items is the
+    hand-computed [(expr, name)] expansion."""
+    cols = ["a", "b", "cc", "dd"]
+    if draw(st.booleans()):
+        base_sql, items = "*", [(c, c) for c in cols]
+    else:
+        pat = draw(st.sampled_from(["a|b", "^c", "d", "a", "c{2}"]))
+        import re as _re
+
+        items = [(c, c) for c in cols if _re.search(pat, c)]
+        base_sql = f"COLUMNS('{pat}')"
+    mods = []
+    if draw(st.booleans()):
+        drop = draw(st.sampled_from(["a", "cc", "dd"]))
+        mods.append((f"EXCEPT({drop})", ("except", [drop])))
+    if draw(st.booleans()):
+        tgt = draw(st.sampled_from(["b", "cc"]))
+        mods.append(
+            (f"REPLACE(({tgt} + 1) * 2 AS {tgt})", ("replace", [tgt]))
+        )
+    if draw(st.booleans()):
+        fn = draw(st.sampled_from(["sum", "max", "min"]))
+        mods.append((f"APPLY({fn})", ("apply", [fn])))
+    for sql, (kind, args) in mods:
+        if kind == "except":
+            items = [it for it in items if it[1] != args[0]]
+        elif kind == "replace":
+            items = [
+                (f"({args[0]} + 1) * 2", n) if n == args[0] else (e, n)
+                for e, n in items
+            ]
+        else:
+            items = [(f"{args[0]}({e})", f"{args[0]}({n})") for e, n in items]
+    frag = " ".join([base_sql] + [s for s, _ in mods])
+    return frag, items
+
+
+@given(modifier_chain())
+@settings(**SETTINGS)
+def test_select_modifier_chain_matches_model(spark, chain):
+    """Property: every random modifier chain expands to exactly the
+    hand-computed column list with matching values (APPLY chains force a
+    GROUP BY () via the aggregate shape — tested ungrouped on one row to
+    keep values deterministic)."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    frag, items = chain
+    if not items:
+        return  # empty expansion passes through for Spark to error on
+    spark.sql(
+        "SELECT * FROM VALUES (1L, 2L, 3L, 4L) AS t(a, b, cc, dd)"
+    ).createOrReplaceTempView("mod_prop_t")
+    df = spark.sql(
+        translate_clickhouse_sql(
+            f"SELECT {frag} FROM mod_prop_t", spark=spark
+        )
+    )
+    assert df.columns == [n for _, n in items]
+    vals = {"a": 1, "b": 2, "cc": 3, "dd": 4}
+
+    def ev(e):
+        e = e.strip()
+        for f in ("sum", "max", "min"):
+            if e.startswith(f + "("):
+                return ev(e[len(f) + 1 : -1])
+        if e.startswith("(") and e.endswith(") * 2"):
+            inner = e[1:-5]
+            return (ev(inner.replace(" + 1", "")) + 1) * 2
+        return vals[e]
+
+    assert tuple(df.first()) == tuple(ev(e) for e, _ in items)
