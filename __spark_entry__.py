@@ -2997,6 +2997,61 @@ def q_dialect_modifiers(spark, d):
     ).orderBy("o_orderpriority")
 
 
+def q_dialect_batch21(spark, d):
+    """Dialect batch 21 (scalar half): bar (full-block ASCII chart),
+    space, parseTimeDelta (unit-suffixed duration → seconds),
+    formatReadableTimeDelta (CH's '2 hours, 8 minutes' rendering), and
+    joinGet over a registered ENGINE=Join table (same derived-table
+    scalar-subquery shape as dictGet — Catalyst decorrelates to a
+    broadcastable join; missing keys → NULL, the house default
+    encoding).  Oracle: DuckDB repeat/regexp list fold/concat_ws and a
+    correlated subquery."""
+    from clickhouse_flatfile_tool_spark.dialect import (
+        register_join_table,
+        translate_clickhouse_sql,
+    )
+
+    _t(spark, d, "documents").createOrReplaceTempView("b21_docs")
+    _t(spark, d, "nation").select(
+        "n_nationkey", "n_name"
+    ).createOrReplaceTempView("b21_jt")
+    register_join_table("b21_jt", "b21_jt", "n_nationkey")
+    ch_sql = (
+        "SELECT doc_id, "
+        "bar(modulo(doc_id, 11), 0, 10, 10) AS br, "
+        "length(space(modulo(doc_id, 5))) AS sp, "
+        "round(parseTimeDelta(concat(toString(modulo(doc_id, 4)), 'h ', "
+        "toString(modulo(doc_id, 60)), 'm')), 1) AS ptd, "
+        "formatReadableTimeDelta(modulo(doc_id * 433, 200000)) AS frt, "
+        "joinGet('b21_jt', 'n_name', modulo(doc_id, 30)) AS jg "
+        "FROM b21_docs ORDER BY doc_id"
+    )
+    return spark.sql(translate_clickhouse_sql(ch_sql))
+
+
+def q_dialect_batch21_aggs(spark, d):
+    """Dialect batch 21 (aggregate half): the conditional-combinator
+    extensions — curried quantileIf/quantilesIf, medianIf,
+    groupUniqArrayIf (CASE-NULL composition; percentile and
+    collect_list both ignore NULLs).  Oracle: DuckDB FILTER clauses +
+    quantile_cont (same linear interpolation as Spark percentile)."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    _t(spark, d, "events").createOrReplaceTempView("b21_ev")
+    ch_sql = (
+        "SELECT event_type, "
+        "round(quantileIf(0.5)(value, value > 10), 6) AS q50_hi, "
+        "round(medianIf(value, value <= 10), 6) AS med_lo, "
+        "round(arraySum(quantilesIf(0.25, 0.75)(value, value > 0)), 6) "
+        "AS iqr_sum, "
+        "arrayStringConcat(arrayMap(__x -> toString(__x), "
+        "arraySort(groupUniqArrayIf(toInt64(value), value < 3))), ',') "
+        "AS low_vals "
+        "FROM b21_ev GROUP BY event_type ORDER BY event_type"
+    )
+    return spark.sql(translate_clickhouse_sql(ch_sql))
+
+
 def q_dialect_clauses(spark, d):
     """Session-5 SQL clauses end-to-end: scalar WITH (the constant
     feeds the QUALIFY bound) + QUALIFY over a window on aggregated
@@ -4817,6 +4872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dialect_batch20": q_dialect_batch20,
         "dialect_batch20_aggs": q_dialect_batch20_aggs,
         "dialect_modifiers": q_dialect_modifiers,
+        "dialect_batch21": q_dialect_batch21,
+        "dialect_batch21_aggs": q_dialect_batch21_aggs,
         "rank_assoc": q_rank_assoc,
         "c4_rules": q_c4_rules,
         "dict_sql": q_dict_sql,
@@ -4829,8 +4886,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12": q_tpch_q12,
         "asof_join": q_asof_join,
         "replacing_final": q_replacing_final,
-        "knn_accuracy": q_knn_accuracy,
-        "semantic_decon": q_semantic_decon,
         "cramers_v": q_cramers_v,
         "stream_near_dedup": q_stream_near_dedup,
         "stream_curation": q_stream_curation,
@@ -4844,6 +4899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # their output/fixture)
         # ------------------------------------------------------------------
         "anova": q_anova,
+        "knn_accuracy": q_knn_accuracy,
+        "semantic_decon": q_semantic_decon,
         "mutual_nn": q_mutual_nn,
         "winnow": q_winnow,
         "strip_html": q_strip_html,
@@ -6863,6 +6920,34 @@ FROM ranked WHERE rk <= 5
             "AS cramers_v_bc, "
             "round(sqrt(chi2 / (chi2 + n)), 6) AS contingency_coeff, "
             "round((ha - hab) / ha, 6) AS theils_u FROM t"
+        ),
+        "dialect_batch21": (
+            "WITH d AS (SELECT doc_id, (doc_id * 433) % 200000 AS v "
+            "  FROM documents) "
+            "SELECT doc_id, "
+            "repeat('█', least(greatest(round((doc_id % 11) * 1.0)::INT, "
+            "  0), 10)) AS br, "
+            "(doc_id % 5)::INT AS sp, "
+            "round((doc_id % 4) * 3600.0 + (doc_id % 60) * 60.0, 1)::DOUBLE "
+            "AS ptd, "
+            "coalesce(nullif(concat_ws(', ', CASE WHEN (v // 86400) > 0 THEN (v // 86400) || ' day' || (CASE WHEN (v // 86400) = 1 THEN '' ELSE 's' END) END, CASE WHEN ((v % 86400) // 3600) > 0 THEN ((v % 86400) // 3600) || ' hour' || (CASE WHEN ((v % 86400) // 3600) = 1 THEN '' ELSE 's' END) END, CASE WHEN ((v % 3600) // 60) > 0 THEN ((v % 3600) // 60) || ' minute' || (CASE WHEN ((v % 3600) // 60) = 1 THEN '' ELSE 's' END) END, CASE WHEN (v % 60) > 0 THEN (v % 60) || ' second' || (CASE WHEN (v % 60) = 1 THEN '' ELSE 's' END) END), ''), '0 seconds') AS frt, "
+            "(SELECT n_name FROM nation WHERE n_nationkey = "
+            "  d.doc_id % 30) AS jg "
+            "FROM d ORDER BY doc_id"
+        ),
+        "dialect_batch21_aggs": (
+            "SELECT event_type, "
+            "round(quantile_cont(value, 0.5) FILTER (WHERE value > 10), 6) "
+            "AS q50_hi, "
+            "round(quantile_cont(value, 0.5) FILTER (WHERE value <= 10), 6) "
+            "AS med_lo, "
+            "round((quantile_cont(value, 0.25) FILTER (WHERE value > 0)) + "
+            " (quantile_cont(value, 0.75) FILTER (WHERE value > 0)), 6) "
+            "AS iqr_sum, "
+            "coalesce(array_to_string(list_sort(list_distinct("
+            "  list(trunc(value)::BIGINT) FILTER (WHERE value < 3))), "
+            "  ','), '') AS low_vals "
+            "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "dialect_modifiers": (
             # hand-expanded form of the modifier chain: COLUMNS regex

@@ -197,6 +197,8 @@ BENCH_QUERIES = [
     "dialect_batch20",
     "dialect_batch20_aggs",
     "dialect_modifiers",
+    "dialect_batch21",
+    "dialect_batch21_aggs",
     "rank_assoc",
     "pipeline_e2e",
 ]

@@ -594,6 +594,14 @@ def query(
                 elif engine == "SummingMergeTree":
                     kw["sum_cols"] = ea
                 register_table_engine(name, engine, key_cols, **kw)
+            elif engine == "Join":
+                from clickhouse_flatfile_tool_spark.dialect import (
+                    register_join_table,
+                )
+
+                ja = [a.strip() for a in (eargs or "").split(",") if a.strip()]
+                if len(ja) >= 3:
+                    register_join_table(name, name, ja[2])
             return {
                 "success": True, "table": name, "created": True,
                 "rows": df.count(),
@@ -606,8 +614,11 @@ def query(
                 _ENGINE_REGISTRY,
             )
 
+            from clickhouse_flatfile_tool_spark.dialect import drop_join_table
+
             existed = spark.catalog.dropTempView(dt.group(2))
             _ENGINE_REGISTRY.pop(dt.group(2).lower(), None)
+            drop_join_table(dt.group(2))
             if not existed and not dt.group(1):
                 raise ValueError(f"table {dt.group(2)!r} does not exist")
             return {"success": True, "table": dt.group(2), "dropped": existed}
@@ -779,6 +790,16 @@ def _create_table(
         elif engine == "SummingMergeTree":
             kw["sum_cols"] = args
         register_table_engine(name, engine, key_cols, **kw)
+    elif engine == "Join":
+        # ENGINE = Join(strictness, kind, key[, ...]) — register for the
+        # joinGet rewrite (r6).  Only the first key column routes (CH
+        # joinGet itself takes one probe expression per key; composite
+        # keys pass through unregistered and error by name).
+        from clickhouse_flatfile_tool_spark.dialect import register_join_table
+
+        jargs = [a.strip() for a in (engine_args or "").split(",") if a.strip()]
+        if len(jargs) >= 3:
+            register_join_table(name, name, jargs[2])
     return {"success": True, "table": name, "created": True}
 
 

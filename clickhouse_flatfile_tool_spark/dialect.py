@@ -605,6 +605,15 @@ def _rewrite_if_combinators(chunk: str) -> str:
         "anyIf": "first_value(CASE WHEN {cond} THEN {expr} END, true)",
         "uniqIf": "count(DISTINCT CASE WHEN {cond} THEN {expr} END)",
         "uniqExactIf": "count(DISTINCT CASE WHEN {cond} THEN {expr} END)",
+        # r6: the CASE nulls out non-matching rows; percentile and
+        # collect_list both ignore NULLs, so the conditional forms
+        # compose the same way as sum/avg
+        "medianIf": "percentile(CASE WHEN {cond} THEN {expr} END, 0.5)",
+        "medianExactIf": "percentile(CASE WHEN {cond} THEN {expr} END, 0.5)",
+        "groupArrayIf": "collect_list(CASE WHEN {cond} THEN {expr} END)",
+        "groupUniqArrayIf": (
+            "array_distinct(collect_list(CASE WHEN {cond} THEN {expr} END))"
+        ),
     }
     # two-argument aggregates: BOTH args null out on a false condition
     # (max_by/min_by ignore rows whose ordering value is NULL)
@@ -1034,6 +1043,29 @@ def _rewrite_literal_aware(chunk: str, literals: list[str]) -> str:
             f"FROM {table}) WHERE __dk = ({args[1]})) > 0)"
         )
 
+    def join_get_make(args):
+        # joinGet('join_table', 'attr', key) — the Join-engine probe
+        # (r6): same derived-table scalar-subquery shape as dictGet,
+        # against the Join-engine registry (CREATE TABLE … ENGINE =
+        # Join(ANY, LEFT, k) routes here via api.query).  Missing keys
+        # yield NULL (CH joinGetOrNull; plain joinGet ships the type
+        # default — NULL is the house encoding, the dictGet note).
+        if len(args) != 3:
+            return None
+        tname, attr = resolve(args[0]), resolve(args[1])
+        if tname is None or attr is None:
+            return None
+        reg = _JOIN_TABLES.get(tname.lower())
+        if reg is None or not re.fullmatch(r"\w+", attr):
+            return None
+        table, key_col = reg
+        return (
+            f"(SELECT __jv FROM (SELECT `{key_col}` AS __jk, "
+            f"`{attr}` AS __jv FROM {table}) WHERE __jk = ({args[2]}))"
+        )
+
+    chunk = _rewrite_call(chunk, "joinGetOrNull", join_get_make)
+    chunk = _rewrite_call(chunk, "joinGet", join_get_make)
     chunk = _rewrite_call(chunk, "dictGetOrDefault", dict_get_default_make)
     chunk = _rewrite_call(chunk, "dictGetOrNull", dict_get_make)
     chunk = _rewrite_call(chunk, "dictGet", dict_get_make)
@@ -3897,6 +3929,22 @@ def _rewrite_paste_join(chunk: str) -> str:
 _DICTIONARIES: dict[str, tuple[str, str]] = {}
 
 
+# session-scoped Join-engine table registry (ClickHouse ENGINE = Join):
+# lowercase table name → (catalog table/view, key column).  Populated by
+# api.query's CREATE TABLE … ENGINE = Join route; consumed by joinGet.
+_JOIN_TABLES: dict[str, tuple[str, str]] = {}
+
+
+def register_join_table(name: str, table: str, key_col: str) -> None:
+    """Register a Join-engine table for the joinGet rewrite (CH
+    ``CREATE TABLE t (…) ENGINE = Join(ANY, LEFT, key)``)."""
+    _JOIN_TABLES[name.lower()] = (table, key_col)
+
+
+def drop_join_table(name: str) -> bool:
+    return _JOIN_TABLES.pop(name.lower(), None) is not None
+
+
 def register_dictionary(name: str, table: str, key_col: str) -> None:
     """Register a catalog table/view as a ClickHouse-style dictionary for
     the ``dictGet*``/``dictHas`` SQL rewrites.  Keys are expected unique
@@ -4738,6 +4786,115 @@ def _rewrite_batch20_calls(chunk: str) -> str:
     return chunk
 
 
+def _rewrite_batch21_calls(chunk: str) -> str:
+    """Round-6 batch 21 (second doc-sweep pass):
+
+    * ``quantileIf(p)(x, cond)`` / ``quantilesIf(p1, …)(x, cond)`` —
+      curried conditional quantiles: the CASE nulls out non-matching
+      rows, percentile ignores NULLs (the -If combinator convention).
+    * ``bar(x, lo, hi, width)`` — ASCII bar chart: FULL '█' blocks only
+      (CH draws eighth-block partials; the relational ``sparkbar``
+      operator carries the same note), clamped to [0, width]; lo = hi
+      yields an empty bar (NULL-guarded division).
+    * ``space(n)`` → ``repeat(' ', n)``.
+    * ``parseTimeDelta('1 d 2h 3.5m')`` — unit-suffixed duration parse to
+      SECONDS: zip the numeric and unit capture groups, fold with the
+      multiplier ladder (s/m/h/d/w, case-insensitive, 'sec'/'min'/…
+      prefixes accepted); unknown units contribute 0 (CH throws — the
+      NULL/0 house stance), no matches → 0.
+    * ``formatReadableTimeDelta(sec)`` — '2 hours, 8 minutes, 13 seconds'
+      (CH's rendering: zero units skipped, singular at 1, all-zero →
+      '0 seconds').  Days are the largest unit emitted (CH's optional
+      years/months are calendar-approximate; documented scope).
+    """
+    # curried: quantileIf(p)(x, cond) / quantilesIf(...)(x, cond)
+    for nm, plural in (("quantilesIf", True), ("quantileIf", False)):
+        pat = re.compile(r"\b" + nm + r"\(")
+        m = pat.search(chunk)
+        while m:
+            p_end = _match_paren(chunk, m.end() - 1)
+            if p_end >= len(chunk) or chunk[p_end] != "(":
+                m = pat.search(chunk, p_end)
+                continue
+            x_end = _match_paren(chunk, p_end)
+            ps = _split_top_comma(chunk[m.end() : p_end - 1])
+            args = _split_top_comma(chunk[p_end + 1 : x_end - 1])
+            if len(args) != 2 or (not plural and len(ps) != 1):
+                m = pat.search(chunk, x_end)
+                continue
+            x, cond = args
+            tgt = f"array({', '.join(ps)})" if plural else ps[0]
+            repl = f"percentile(CASE WHEN {cond} THEN {x} END, {tgt})"
+            chunk = chunk[: m.start()] + repl + chunk[x_end:]
+            m = pat.search(chunk, m.start() + len(repl))
+
+    def bar_make(args):
+        if len(args) != 4:
+            return None
+        x, lo, hi, w = args
+        frac = (
+            f"(CAST({x} AS DOUBLE) - ({lo})) / "
+            f"nullif(CAST({hi} AS DOUBLE) - ({lo}), 0.0D)"
+        )
+        n = f"least(greatest(CAST(round({frac} * ({w})) AS INT), 0), CAST({w} AS INT))"
+        return f"repeat('█', coalesce({n}, 0))"
+
+    chunk = _rewrite_call(chunk, "bar", bar_make)
+
+    chunk = _rewrite_call(
+        chunk,
+        "space",
+        lambda args: f"repeat(' ', {args[0]})" if len(args) == 1 else None,
+    )
+
+    def parse_td_make(args):
+        if len(args) != 1:
+            return None
+        s = args[0]
+        pat = r"'([0-9]+(?:\\.[0-9]+)?)\\s*([a-zA-Z]+)'"
+        # numeric and unit capture groups extracted separately (Spark's
+        # regexp_extract_all takes ONE group index), zipped and folded
+        nums = f"regexp_extract_all({s}, {pat}, 1)"
+        units = f"regexp_extract_all({s}, {pat}, 2)"
+        mult = (
+            "CASE WHEN u RLIKE '(?i)^(w|week)' THEN 604800.0D "
+            "WHEN u RLIKE '(?i)^(d|day)' THEN 86400.0D "
+            "WHEN u RLIKE '(?i)^(h|hour|hr)' THEN 3600.0D "
+            "WHEN u RLIKE '(?i)^(ms|milli)' THEN 0.001D "
+            "WHEN u RLIKE '(?i)^(m|min)' THEN 60.0D "
+            "WHEN u RLIKE '(?i)^(s|sec)' THEN 1.0D "
+            "ELSE 0.0D END"
+        )
+        return (
+            f"aggregate(zip_with({nums}, {units}, "
+            f"(n, u) -> CAST(n AS DOUBLE) * ({mult})), "
+            f"0.0D, (acc, v) -> acc + coalesce(v, 0.0D))"
+        )
+
+    chunk = _rewrite_call(chunk, "parseTimeDelta", parse_td_make)
+
+    def fmt_td_make(args):
+        if len(args) != 1:
+            return None
+        v = f"CAST({args[0]} AS BIGINT)"
+        units = [
+            (f"CAST({v} / 86400 AS BIGINT)", "day"),
+            (f"CAST(({v} % 86400) / 3600 AS BIGINT)", "hour"),
+            (f"CAST(({v} % 3600) / 60 AS BIGINT)", "minute"),
+            (f"({v} % 60)", "second"),
+        ]
+        parts = ", ".join(
+            f"IF({n} > 0, concat({n}, ' {u}', IF({n} = 1, '', 's')), NULL)"
+            for n, u in units
+        )
+        return (
+            f"coalesce(nullif(concat_ws(', ', {parts}), ''), '0 seconds')"
+        )
+
+    chunk = _rewrite_call(chunk, "formatReadableTimeDelta", fmt_td_make)
+    return chunk
+
+
 def _rewrite_batch16_calls(chunk: str) -> str:
     """Dialect batch 16: string/array/URL depth.
 
@@ -5474,6 +5631,7 @@ def _translate_once(sql: str, spark=None, where_aliases: bool = False) -> str:
     chunk = _rewrite_cast_types(chunk)
     chunk = _rewrite_moving_and_maps(chunk)
     chunk = _rewrite_misc_calls(chunk)
+    chunk = _rewrite_batch21_calls(chunk)
     chunk = _rewrite_batch20_aggs(chunk)
     chunk = _rewrite_batch20_calls(chunk)
     chunk = _rewrite_batch19_calls(chunk)

@@ -2733,3 +2733,80 @@ def test_select_column_modifiers(spark):
           spark=spark)
     )
     assert [r.id for r in df4.collect()] == [1]
+
+
+def test_batch21_functions(spark):
+    """Batch 21: conditional-combinator extensions (quantileIf/
+    quantilesIf curried, medianIf, groupArrayIf/groupUniqArrayIf), bar
+    full-block chart, space, parseTimeDelta unit ladder,
+    formatReadableTimeDelta rendering, joinGet over a registered
+    Join-engine table."""
+    from clickhouse_flatfile_tool_spark.dialect import register_join_table
+
+    r = spark.sql(
+        tr(
+            "SELECT "
+            "quantileIf(0.5)(v, v > 1) AS q, "
+            "medianIf(v, v > 1) AS m, "
+            "arraySort(groupArrayIf(v, v >= 2)) AS ga, "
+            "arraySort(groupUniqArrayIf(v, v >= 2)) AS gu, "
+            "arraySum(quantilesIf(0.0, 1.0)(v, v > 1)) AS qs "
+            "FROM VALUES (1.0), (2.0), (3.0), (2.0) AS t(v)"
+        )
+    ).first()
+    assert (float(r.q), float(r.m)) == (2.0, 2.0)
+    assert [float(x) for x in r.ga] == [2.0, 2.0, 3.0]
+    assert [float(x) for x in r.gu] == [2.0, 3.0]
+    assert float(r.qs) == 5.0  # min 2 + max 3 of the v > 1 subset
+    s = spark.sql(
+        tr(
+            "SELECT bar(5, 0, 10, 8) AS b1, bar(99, 0, 10, 8) AS bclamp, "
+            "bar(3, 3, 3, 8) AS bdegen, space(3) AS sp, "
+            "parseTimeDelta('1h 30m') AS p1, "
+            "parseTimeDelta('2 days 4 hours') AS p2, "
+            "parseTimeDelta('500ms') AS p3, "
+            "parseTimeDelta('nonsense') AS p0, "
+            "formatReadableTimeDelta(7693) AS f1, "
+            "formatReadableTimeDelta(0) AS f0, "
+            "formatReadableTimeDelta(90061) AS f2"
+        )
+    ).first()
+    assert s.b1 == "████" and s.bclamp == "████████" and s.bdegen == ""
+    assert s.sp == "   "
+    assert (s.p1, s.p2, s.p3, s.p0) == (5400.0, 187200.0, 0.5, 0.0)
+    assert s.f1 == "2 hours, 8 minutes, 13 seconds"
+    assert s.f0 == "0 seconds"
+    assert s.f2 == "1 day, 1 hour, 1 minute, 1 second"
+    # joinGet: registered Join-engine table; misses yield NULL
+    spark.createDataFrame(
+        [(1, "one"), (2, "two")], "k long, v string"
+    ).createOrReplaceTempView("b21_jt_t")
+    register_join_table("b21_jt_t", "b21_jt_t", "k")
+    j = spark.sql(
+        tr("SELECT joinGet('b21_jt_t', 'v', 2) AS a, "
+           "joinGet('b21_jt_t', 'v', 9) AS miss, "
+           "joinGetOrNull('b21_jt_t', 'v', 1) AS c")
+    ).first()
+    assert (j.a, j.miss, j.c) == ("two", None, "one")
+
+
+def test_join_engine_ddl_lifecycle(spark):
+    """CREATE TABLE ... ENGINE = Join(ANY, LEFT, k) registers the table
+    for joinGet through api.query; DROP TABLE deregisters it."""
+    from clickhouse_flatfile_tool_spark import api
+
+    api.query(
+        spark,
+        "CREATE TABLE jlife (k Int64, v String) ENGINE = Join(ANY, LEFT, k)",
+    )
+    spark.sql(
+        "SELECT 1L AS k, 'one' AS v UNION ALL SELECT 2L, 'two'"
+    ).createOrReplaceTempView("jlife")
+    got = api.query(
+        spark, "SELECT joinGet('jlife', 'v', 1) AS a"
+    )
+    assert got["data"][0]["a"] == "one"
+    api.query(spark, "DROP TABLE jlife")
+    from clickhouse_flatfile_tool_spark.dialect import _JOIN_TABLES
+
+    assert "jlife" not in _JOIN_TABLES
