@@ -4832,13 +4832,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   window_first_last -> window_lag map_props -> array_funcs/json_props
     return {
         # ------------------------------------------------------------------
-        # ROUND-6 DRIVER WINDOW (first 50 slots): the 23 formally-stale
-        # dialect-module re-proves (batch-19 + dictGet-scope edits hash the
-        # whole dialect module -- fingerprint audit, selfcheck all-PASS),
-        # the 10-entry never-checked backlog (incl. the two new batch-19
-        # entries), and 17 proven filler slots re-pinning the r5
-        # bench-drift queries (tpch_q9/q11/q13/q16) and the operators the
-        # r6 edits touched (rank tests, robust outliers, dictionaries).
+        # ROUND-6 DRIVER WINDOW (first 50 slots), final composition:
+        # 43 unproven (the 23 dialect-module re-proves -- every r6 dialect
+        # batch re-invalidated them, all selfcheck-PASS; the 10-entry
+        # never-checked backlog; and the 10 new r6 entries:
+        # dialect_batch20/20_aggs/21/21_aggs, dialect_modifiers,
+        # rank_assoc, pipeline_e2e, stream_curation, plus the r6-edited
+        # cramers_v and stream_near_dedup) + 7 proven filler slots
+        # re-pinning the r5 bench-drift queries (tpch_q9/q11/q13/q16) and
+        # q12/asof_join/replacing_final.  Everything here is
+        # selfcheck-PASS at sf0.001 AND sf0.01 (the driver's gate scale).
         # ------------------------------------------------------------------
         "clickhouse_funcs3": q_clickhouse_funcs3,
         "clickhouse_funcs4": q_clickhouse_funcs4,

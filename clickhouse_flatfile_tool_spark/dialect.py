@@ -4688,11 +4688,15 @@ def _rewrite_batch20_calls(chunk: str) -> str:
             return None
         j = args[0]
         head = f"left(ltrim({j}), 1)"
+        # head sentinels via chr(): a bare '[' / '{' literal spliced into
+        # the chunk breaks the bracket-depth tracking of every LATER
+        # rewrite that arg-splits an expression containing this one
+        # (found by the execution fuzz: arrayShiftLeft(JSONType(...)))
         return (
             f"(CASE WHEN try_parse_json({j}) IS NULL THEN NULL "
-            f"WHEN {head} = '{{' THEN 'Object' "
-            f"WHEN {head} = '[' THEN 'Array' "
-            f"WHEN {head} = '\"' THEN 'String' "
+            f"WHEN {head} = chr(123) THEN 'Object' "
+            f"WHEN {head} = chr(91) THEN 'Array' "
+            f"WHEN {head} = chr(34) THEN 'String' "
             f"WHEN ltrim(rtrim({j})) IN ('true', 'false') THEN 'Bool' "
             f"WHEN ltrim(rtrim({j})) = 'null' THEN 'Null' "
             f"WHEN ltrim(rtrim({j})) RLIKE '[.eE]' THEN 'Double' "
