@@ -94,7 +94,7 @@ _WRAPS: list[tuple[str, str, str]] = [
     ("toRelativeDayNum", "datediff(", ", DATE'1970-01-01')"),
     # arraySum/arrayAvg accumulate in DOUBLE (ClickHouse keeps integer sums
     # integer — cast the result back where exactness matters)
-    ("arraySum", "aggregate(", ", CAST(0 AS DOUBLE), (a, v) -> a + v)"),
+    ("arraySum", "aggregate(", ", CAST(0 AS DOUBLE), (__a, __v) -> __a + __v)"),
     # the one -State/-Merge combinator pair with a native Spark state:
     # uniqState → an HLL sketch binary (store it, merge it, ship it),
     # uniqMerge → union + estimate.  Other -State kinds stay out of scope
@@ -922,9 +922,9 @@ def _rewrite_literal_aware(chunk: str, literals: list[str]) -> str:
         forms = {
             "max": f"array_max({arr})",
             "min": f"array_min({arr})",
-            "sum": f"aggregate({arr}, CAST(0 AS DOUBLE), (a, v) -> a + v)",
+            "sum": f"aggregate({arr}, CAST(0 AS DOUBLE), (__a, __v) -> __a + __v)",
             "avg": (
-                f"(aggregate({arr}, CAST(0 AS DOUBLE), (a, v) -> a + v)"
+                f"(aggregate({arr}, CAST(0 AS DOUBLE), (__a, __v) -> __a + __v)"
                 f" / nullif(size({arr}), 0))"
             ),
             "count": f"size({arr})",
@@ -2046,7 +2046,7 @@ def _rewrite_misc_calls(chunk: str) -> str:
             return None
         a = args[0]
         return (
-            f"(aggregate({a}, CAST(0 AS DOUBLE), (a, v) -> a + v) "
+            f"(aggregate({a}, CAST(0 AS DOUBLE), (__a, __v) -> __a + __v) "
             f"/ nullif(size({a}), 0))"
         )
 
@@ -2327,7 +2327,7 @@ def _rewrite_misc_calls(chunk: str) -> str:
         if len(args) != 1:
             return None
         return (
-            f"aggregate({args[0]}, CAST(1 AS DOUBLE), (a, v) -> a * v)"
+            f"aggregate({args[0]}, CAST(1 AS DOUBLE), (__a, __v) -> __a * __v)"
         )
 
     chunk = _rewrite_call(chunk, "arrayProduct", product_make)
@@ -4659,6 +4659,18 @@ def _rewrite_batch20_calls(chunk: str) -> str:
         if not lm:
             return None
         kname, vname, body = lm.groups()
+        # shadowing guard: the param substitution below is textual, so a
+        # nested lambda inside the body DECLARING the same name would be
+        # captured (the fuzz-caught arrayProduct `v` case — generated
+        # lambdas now use __-reserved params, but user-written nested
+        # lambdas can still collide).  Pass through on collision rather
+        # than corrupt silently.
+        nested = set()
+        for pm in re.finditer(r"\(([\w\s,]+)\)\s*->|\b(\w+)\s*->", body):
+            grp = pm.group(1) or pm.group(2)
+            nested |= {p.strip() for p in grp.split(",")}
+        if nested & {kname, vname}:
+            return None
         parts = _split_top_comma(body)
         if len(parts) != 2:
             return None
@@ -4872,7 +4884,7 @@ def _rewrite_batch21_calls(chunk: str) -> str:
         return (
             f"aggregate(zip_with({nums}, {units}, "
             f"(n, u) -> CAST(n AS DOUBLE) * ({mult})), "
-            f"0.0D, (acc, v) -> acc + coalesce(v, 0.0D))"
+            f"0.0D, (__acc, __v) -> __acc + coalesce(__v, 0.0D))"
         )
 
     chunk = _rewrite_call(chunk, "parseTimeDelta", parse_td_make)
