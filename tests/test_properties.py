@@ -447,12 +447,18 @@ def ch_expression(draw, depth=0):
     sub = lambda: draw(ch_expression(depth=depth + 1))  # noqa: E731
     # batch 20 (r6)
     if kind == 47:
+        # the nested expression feeds the MAP VALUE, not the lambda body:
+        # mapApply's param substitution passes through (by design) when a
+        # nested lambda declares k/v, so a sub() that generates one (e.g.
+        # arrayFill(v -> ...)) inside the body would stay untranslated
         return (
-            f"try_element_at(mapApply((k, v) -> (upper(k), v + "
-            f"toInt64({sub()})), map('a', 1)), 'A')"
+            f"try_element_at(mapApply((k, v) -> (upper(k), v + 1), "
+            f"map('a', toInt64({sub()}))), 'A')"
         )
     if kind == 48:
-        return f"isValidJSON(toString({sub()}))"
+        # toInt64 wrap: CH isValidJSON returns UInt8 (numeric), so it can
+        # sit in numeric array literals; Spark's boolean can't
+        return f"toInt64(isValidJSON(toString({sub()})))"
     if kind == 49:
         return f"length(JSONType(toString(toFloat64({sub()}))))"
     if kind == 50:
