@@ -600,7 +600,10 @@ def query(
                 )
 
                 ja = [a.strip() for a in (eargs or "").split(",") if a.strip()]
-                if len(ja) >= 3:
+                # Exactly (strictness, kind, key): composite-key tables
+                # stay unregistered so joinGet errors by name instead of
+                # silently resolving on the first key alone.
+                if len(ja) == 3:
                     register_join_table(name, name, ja[2])
             return {
                 "success": True, "table": name, "created": True,
@@ -798,7 +801,11 @@ def _create_table(
         from clickhouse_flatfile_tool_spark.dialect import register_join_table
 
         jargs = [a.strip() for a in (engine_args or "").split(",") if a.strip()]
-        if len(jargs) >= 3:
+        # == 3, not >= 3: a composite-key Join(ANY, LEFT, k1, k2) must NOT
+        # register on k1 alone — a 3-arg joinGet would then probe the wrong
+        # key.  Unregistered composite tables error by name, matching the
+        # documented scope in the comment above.
+        if len(jargs) == 3:
             register_join_table(name, name, jargs[2])
     return {"success": True, "table": name, "created": True}
 

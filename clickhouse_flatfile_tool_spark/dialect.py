@@ -456,6 +456,74 @@ _ZERO_ARG: list[tuple[str, str]] = [
 ]
 
 
+def _count_capture_groups(patt: str) -> int:
+    """Count CAPTURING groups in a regex pattern, tracking backslash
+    escapes and character-class state (a naive ``(?<!\\\\)\\((?!\\?)`` scan
+    miscounts ``[(]`` and misses a group after an escaped backslash like
+    ``\\\\(a)``).  Python's own compiler is authoritative when the pattern
+    compiles; the manual scanner covers Java-only syntax Spark accepts but
+    Python rejects (e.g. ``(?<name>...)`` named groups, which DO capture —
+    unlike the ``(?<=``/``(?<!`` lookbehinds)."""
+    try:
+        return re.compile(patt).groups
+    except re.error:
+        pass
+    n, i, in_cls = 0, 0, False
+    while i < len(patt):
+        c = patt[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_cls:
+            if c == "]":
+                in_cls = False
+        elif c == "[":
+            in_cls = True
+        elif c == "(":
+            nxt = patt[i + 1 : i + 2]
+            if nxt != "?":
+                n += 1
+            elif patt[i + 2 : i + 3] == "<" and patt[i + 3 : i + 4] not in (
+                "=",
+                "!",
+            ):
+                n += 1  # Java named capture group
+        i += 1
+    return n
+
+
+def _split_literals_spark(sql: str) -> list[tuple[bool, str]]:
+    """(is_literal, chunk) segments for SPARK-dialect SQL: both the ``''``
+    doubling AND backslash escapes (``\\'``, ``\\\\``) stay inside their
+    literal.  Needed by the one pass that scans TRANSLATED output
+    (:func:`_expand_select_modifiers`) — earlier rewrites legitimately
+    generate ``\\'``-escaped quotes (e.g. the normalizeQuery pattern),
+    which the ClickHouse-input splitter would misread as terminators."""
+    out: list[tuple[bool, str]] = []
+    buf: list[str] = []
+    in_lit = False
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if in_lit and ch == "\\" and i + 1 < len(sql):
+            buf.append(sql[i : i + 2])
+            i += 2
+            continue
+        if in_lit and ch == "'" and i + 1 < len(sql) and sql[i + 1] == "'":
+            buf.append("''")
+            i += 2
+            continue
+        if ch == "'":
+            out.append((in_lit, "".join(buf)))
+            buf, in_lit = [], not in_lit
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    out.append((in_lit, "".join(buf)))
+    return out
+
+
 def _split_literals(sql: str) -> list[tuple[bool, str]]:
     """(is_literal, chunk) segments; '' escapes stay inside their literal."""
     out: list[tuple[bool, str]] = []
@@ -882,7 +950,7 @@ def _rewrite_literal_aware(chunk: str, literals: list[str]) -> str:
         patt = resolve(args[1])
         if patt is None:
             return None
-        n = len(re.findall(r"(?<!\\)\((?!\?)", patt))
+        n = _count_capture_groups(patt)
         if n == 0:
             return None
         gets = ", ".join(
@@ -4544,19 +4612,23 @@ def _rewrite_batch20_aggs(chunk: str) -> str:
             m = pat.search(chunk, x_end)
             continue
         hl, v, t = hl_args[0], args[0], args[1]
+        # reserved __ac/__ev lambda params: the user hl expression is
+        # spliced INSIDE the fold lambda, so bare a/e would capture a
+        # column of that name (the same class 0d999ff fixed elsewhere)
         decay = (
-            f"CASE WHEN a.tp IS NULL THEN 1.0D "
-            f"ELSE pow(0.5D, (e.t - a.tp) / CAST({hl} AS DOUBLE)) END"
+            f"CASE WHEN __ac.tp IS NULL THEN 1.0D "
+            f"ELSE pow(0.5D, (__ev.t - __ac.tp) / CAST({hl} AS DOUBLE)) END"
         )
         repl = (
             f"aggregate(array_sort(collect_list(struct("
             f"CAST({t} AS DOUBLE) AS t, CAST({v} AS DOUBLE) AS v))), "
             f"named_struct('n', 0.0D, 'd', 0.0D, 'tp', CAST(NULL AS DOUBLE)), "
-            f"(a, e) -> named_struct("
-            f"'n', a.n * {decay} + e.v, "
-            f"'d', a.d * {decay} + 1.0D, "
-            f"'tp', e.t), "
-            f"a -> CASE WHEN a.d = 0.0D THEN NULL ELSE a.n / a.d END)"
+            f"(__ac, __ev) -> named_struct("
+            f"'n', __ac.n * {decay} + __ev.v, "
+            f"'d', __ac.d * {decay} + 1.0D, "
+            f"'tp', __ev.t), "
+            f"__ac -> CASE WHEN __ac.d = 0.0D THEN NULL "
+            f"ELSE __ac.n / __ac.d END)"
         )
         chunk = chunk[: m.start()] + repl + chunk[x_end:]
         m = pat.search(chunk, m.start() + len(repl))
@@ -5403,24 +5475,50 @@ def _expand_select_modifiers(sql: str, spark=None) -> str:
     rewrites (to ``* EXCEPT(cols), expr AS col`` — the replaced columns
     move to the END of the row, documented divergence); COLUMNS/APPLY
     pass through for Spark to error on by name.  Qualified-star bases
-    (``t.*``) and set-op tails pass through untouched."""
-    i, out = 0, sql
+    (``t.*``) and set-op tails pass through untouched.
+
+    String literals are masked with ``\\x00<i>\\x00`` placeholders for the
+    whole scan (this was the one pass that previously ran unmasked — a
+    literal containing ``' * REPLACE(x AS y) ... FROM t'`` would match the
+    modifier patterns and get corrupted) and restored at exit; the schema
+    probe un-masks its FROM-tail slice before calling ``spark.sql``."""
+    literals: list[str] = []
+    masked_parts: list[str] = []
+    for is_lit, seg in _split_literals_spark(sql):
+        if is_lit:
+            masked_parts.append(f"\x00{len(literals)}\x00")
+            literals.append(seg)
+        else:
+            masked_parts.append(seg)
+
+    def _unmask(s: str) -> str:
+        return re.sub(
+            "\x00(\\d+)\x00", lambda m: f"'{literals[int(m.group(1))]}'", s
+        )
+
+    i, out = 0, "".join(masked_parts)
     while True:
         m = _MOD_BASE_PAT.search(out, i)
         if not m:
-            return out
+            return _unmask(out)
         base = m.group(1)
         pos = m.end()
         cols_regex = None
-        if base != "*":  # COLUMNS('re')
+        if base != "*":  # COLUMNS('re') — the literal arrives masked
             close = _match_paren(out, m.end() - 1)
             lit = re.fullmatch(
-                r"\s*'([^']*)'\s*", out[m.end() : close - 1]
+                r"\s*(?:'([^']*)'|\x00(\d+)\x00)\s*",
+                out[m.end() : close - 1],
             )
             if not lit:
                 i = close
                 continue
-            cols_regex, pos = lit.group(1), close
+            cols_regex = (
+                lit.group(1)
+                if lit.group(1) is not None
+                else literals[int(lit.group(2))]
+            )
+            pos = close
         # consume the modifier chain
         mods: list[tuple[str, list[str]]] = []
         while True:
@@ -5452,11 +5550,18 @@ def _expand_select_modifiers(sql: str, spark=None) -> str:
             for k, args in mods:
                 (excepts if k == "EXCEPT" else repls).extend(args)
             names = []
+            malformed = False
             for r in repls:
                 am = re.search(r"\s+AS\s+(`[^`]+`|\w+)\s*$", r, re.IGNORECASE)
                 if not am:
-                    return out  # malformed; leave for Spark to report
+                    malformed = True  # e.g. real multiplication `x * replace(s,'a','b')`
+                    break
                 names.append(am.group(1).strip("`"))
+            if malformed:
+                # skip THIS candidate only — keep scanning so a genuine
+                # modifier chain later in the statement still expands
+                i = pos
+                continue
             repl_sql = (
                 "* EXCEPT("
                 + ", ".join(f"`{n}`" for n in names + [e.strip("` ") for e in excepts])
@@ -5502,7 +5607,9 @@ def _expand_select_modifiers(sql: str, spark=None) -> str:
                     break
             j += 1
         try:
-            cols = spark.sql("SELECT * " + out[from_idx:end_idx]).columns
+            cols = spark.sql(
+                "SELECT * " + _unmask(out[from_idx:end_idx])
+            ).columns
         except Exception:  # noqa: BLE001 — unprobeable tail: leave as-is
             i = pos
             continue
@@ -5515,6 +5622,7 @@ def _expand_select_modifiers(sql: str, spark=None) -> str:
             items = [(c, c) for c in cols if pat.search(c)]
         else:
             items = [(c, c) for c in cols]
+        malformed = False
         for k, args in mods:
             if k == "EXCEPT":
                 drop = {a.strip(" `").lower() for a in args}
@@ -5525,21 +5633,26 @@ def _expand_select_modifiers(sql: str, spark=None) -> str:
                         r"\s+AS\s+(`[^`]+`|\w+)\s*$", r, re.IGNORECASE
                     )
                     if not am:
-                        return out
+                        malformed = True
+                        break
                     nm = am.group(1).strip("`")
                     expr = r[: am.start()].strip()
                     items = [
                         (expr, n) if n.lower() == nm.lower() else (e, n)
                         for e, n in items
                     ]
+                if malformed:
+                    break
             else:  # APPLY
                 if len(args) != 1 or not re.fullmatch(r"\w+", args[0].strip()):
-                    return out
+                    malformed = True
+                    break
                 fn = args[0].strip()
                 items = [
                     (f"{fn}({e})", f"{fn}({n})") for e, n in items
                 ]
-        if not items:
+        if malformed or not items:
+            # unparseable candidate: pass it through locally, keep scanning
             i = pos
             continue
         repl_sql = ", ".join(

@@ -2810,3 +2810,84 @@ def test_join_engine_ddl_lifecycle(spark):
     from clickhouse_flatfile_tool_spark.dialect import _JOIN_TABLES
 
     assert "jlife" not in _JOIN_TABLES
+
+
+def test_r7_advice_fixes(spark):
+    """Round-7 ADVICE regression pack: (1) composite-key Join tables stay
+    unregistered so joinGet errors by name instead of probing k1 alone;
+    (2) _expand_select_modifiers masks string literals (a literal that
+    LOOKS like a modifier chain is preserved verbatim); (3) a malformed
+    modifier candidate (real multiplication `x * replace(...)`) skips
+    locally without aborting a genuine chain later in the statement;
+    (4) the exponentialMovingAverage fold uses reserved __ac/__ev lambda
+    params so an hl expression naming columns `a`/`e` isn't captured; (5)
+    extractGroups counts capture groups escape/char-class-aware."""
+    from clickhouse_flatfile_tool_spark import api
+    from clickhouse_flatfile_tool_spark.dialect import (
+        _JOIN_TABLES,
+        _count_capture_groups,
+        translate_clickhouse_sql as t,
+    )
+
+    # (1) composite-key Join engine: NOT registered
+    api.query(
+        spark,
+        "CREATE TABLE jcomp (k1 Int64, k2 Int64, v String) "
+        "ENGINE = Join(ANY, LEFT, k1, k2)",
+    )
+    try:
+        assert "jcomp" not in _JOIN_TABLES
+    finally:
+        api.query(spark, "DROP TABLE IF EXISTS jcomp")
+
+    # (2) modifier-looking text inside a string literal is untouched
+    spark.createDataFrame(
+        [(1, 10.0, "2")], "id long, price double, s string"
+    ).createOrReplaceTempView("mod_lit")
+    lit_sql = "SELECT ' * REPLACE(x AS y) junk FROM t' AS s FROM mod_lit"
+    assert t(lit_sql) == lit_sql
+    assert t(lit_sql, spark=spark) == lit_sql
+
+    # (3) malformed candidate is local: the genuine chain after it expands
+    df = spark.sql(
+        t(
+            "SELECT price * replace(s, '9', '8') AS p2, "
+            "* REPLACE(price * 3 AS price) FROM mod_lit",
+            spark=spark,
+        )
+    )
+    assert df.columns == ["p2", "id", "price", "s"]
+    row = df.first()
+    assert row.price == 30.0 and row.p2 == 20.0
+
+    # (4) EMA fold params are reserved: an hl expression naming columns
+    # a/e is NOT captured by the fold lambda anymore.  Pre-fix, bare a/e
+    # params silently bound `a + e` to accumulator/element structs and the
+    # query "worked" with garbage; post-fix Spark correctly rejects a
+    # non-grouped column inside the aggregate (CH requires constant hl).
+    sql = t("SELECT exponentialMovingAverage(a + e)(v, ts) AS ema FROM ema_ae")
+    assert "(__ac, __ev) ->" in sql and "CAST(a + e AS DOUBLE)" in sql
+    spark.createDataFrame(
+        [(5.0, 0.0, 1.0, 0.0), (5.0, 0.0, 3.0, 5.0)],
+        "a double, e double, v double, ts double",
+    ).createOrReplaceTempView("ema_ae")
+    import pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        spark.sql(sql)
+    # constant hl still computes: decay on the older point pow(.5,5/5)=.5
+    got = spark.sql(
+        t("SELECT exponentialMovingAverage(5)(v, ts) AS ema FROM ema_ae")
+    ).first()
+    assert abs(got.ema - (3.0 + 0.5 * 1.0) / 1.5) < 1e-9
+
+    # (5) capture-group counting: char class, escaped backslash, named
+    assert _count_capture_groups("[(]x") == 0
+    assert _count_capture_groups(r"\\(a)") == 1
+    assert _count_capture_groups(r"(?:x)(y)") == 1
+    assert _count_capture_groups("(?<name>x)(?<=y)") == 1
+    g = spark.sql(
+        t("SELECT extractGroups('ab(cd', '[(](\\\\w+)') AS eg")
+    ).first()
+    assert list(g.eg) == ["cd"]

