@@ -20,13 +20,22 @@ an EXT capability), but each stage is an already-proven operator:
 
 Scale shape: every stage is the proven operator's own plan (banded LSH,
 shingle groupBy, broadcast benchmark — no all-pairs anywhere).  The
-funnel needs each stage's cardinality, so intermediate survivor sets are
-``persist()``-ed: without it, counting stage k recomputes stages 1..k-1
-(lazy lineage), turning a 6-stage pipeline into a quadratic re-scan.  On
-a real 100 TB run the persists become per-stage Parquet checkpoints
-(also the natural audit artifact); the counts themselves are map-side
-``count(1)`` aggregates, and the final 7-row funnel window is
-result-shaped.
+funnel needs each stage's cardinality, so intermediate survivor sets
+must not be recomputed: counting stage k through lazy lineage re-runs
+stages 1..k-1, turning a 6-stage pipeline into a quadratic re-scan.  Two
+materialization modes, chosen by ``checkpoint_dir``:
+
+* ``checkpoint_dir=None`` (default) — ``persist()`` each stage survivor
+  set.  Right for runs that fit cluster memory/disk.
+* ``checkpoint_dir=<path>`` — each stage WRITES Parquet to
+  ``<dir>/stage<N>_<name>`` and the next stage reads the files back.
+  This is the 100 TB shape: lineage is truncated at every stage (no
+  recompute on executor loss), each checkpoint is the per-stage audit
+  artifact, and a failed run resumes from the last completed stage's
+  files.  The final survivor set is checkpointed too (``stage6_...``).
+
+The counts themselves are map-side ``count(1)`` aggregates, and the
+final 7-row funnel window is result-shaped.
 """
 
 from __future__ import annotations
@@ -48,6 +57,7 @@ def curation_pipeline(
     jaccard_threshold: float = 0.8,
     span_n: int = 3,
     span_min_tokens: int = 6,
+    checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the 6-stage curation pipeline; returns ``(final_docs,
     provenance)`` where provenance is the funnel table
@@ -60,21 +70,41 @@ def curation_pipeline(
     (:func:`dedup.minhash_lsh_candidates_portable`) so the whole funnel
     is engine-reproducible / oracle-comparable; swap in the xxhash64 fast
     path for production throughput (identical shape, different hash
-    primitive)."""
+    primitive).
+
+    With ``checkpoint_dir`` set, every stage materializes to
+    ``<dir>/stage<N>_<name>`` Parquet and downstream stages read the
+    files back (lineage truncation + resume point); default ``None``
+    keeps ``persist()`` stage boundaries.  Results are identical — the
+    equivalence is pytest-checked both ways."""
+
+    def _stage(df: DataFrame, tag: str) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.persist()
+        path = f"{checkpoint_dir}/{tag}"
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+
     s0 = docs.select(id_col, text_col)
 
     g = text.gopher_quality_rules(s0, text_col)
-    s1 = g.filter(F.col("gopher_pass")).select(id_col, text_col).persist()
+    s1 = _stage(
+        g.filter(F.col("gopher_pass")).select(id_col, text_col),
+        "stage1_gopher",
+    )
 
     c = text.c4_rules(s1, id_col, text_col)
-    s2 = (
+    s2 = _stage(
         s1.join(
             c.filter(F.col("c4_pass")).select(id_col), id_col, "left_semi"
-        ).persist()
+        ),
+        "stage2_c4",
     )
 
     canon = dedup.exact_dedup_canonical(s2, key=text_col, id_col=id_col)
-    s3 = s2.join(canon.select(id_col), id_col, "left_semi").persist()
+    s3 = _stage(
+        s2.join(canon.select(id_col), id_col, "left_semi"), "stage3_exact"
+    )
 
     cands = dedup.minhash_lsh_candidates_portable(
         s3, id_col, text_col, shingle_n, num_hashes, bands
@@ -85,18 +115,23 @@ def curation_pipeline(
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
-    s4 = s3.join(losers, id_col, "left_anti").persist()
+    s4 = _stage(s3.join(losers, id_col, "left_anti"), "stage4_neardup")
 
-    spans = dedup.remove_repeated_spans(
-        s4, id_col, text_col, n=span_n, min_tokens=span_min_tokens,
-        hashed=False,
-    ).persist()
+    spans = _stage(
+        dedup.remove_repeated_spans(
+            s4, id_col, text_col, n=span_n, min_tokens=span_min_tokens,
+            hashed=False,
+        ),
+        "stage5_exactsubstr",
+    )
     s5 = spans.select(id_col, F.col("clean_text").alias(text_col))
 
     dec = dedup.decontaminate(s5, benchmark, id_col, text_col, n=shingle_n)
     s6 = s5.join(
         dec.filter(F.col("contaminated")).select(id_col), id_col, "left_anti"
     )
+    if checkpoint_dir is not None:
+        s6 = _stage(s6, "stage6_decontaminate")
 
     stages = [
         (0, "input", s0), (1, "gopher", s1), (2, "c4", s2),

@@ -901,3 +901,51 @@ def test_curation_pipeline_funnel(spark):
     # canonical copy; at least one survivor lost it
     texts = {r.doc_id: r.text for r in final.collect()}
     assert sum("shared footer run" in t for t in texts.values()) <= 1
+
+
+def test_curation_pipeline_checkpoint_dir_equivalence(spark, tmp_path):
+    """checkpoint_dir= (VERDICT r6 #3): per-stage Parquet checkpoints
+    produce the IDENTICAL provenance funnel and survivor set as the
+    persist() default, the stage files land on disk (one dir per stage,
+    the final included — the resume/audit artifact), and the survivor
+    set equals the stage6 checkpoint files read back directly."""
+    from clickhouse_flatfile_tool_spark.operators.pipeline import (
+        curation_pipeline,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again.\n"
+            "a stitch in time saves nine of the best things here.\n")
+    rows = [
+        (1, base + "unique tail one about rivers and the mountain air."),
+        (2, base + "unique tail two about oceans and the desert wind."),
+        (3, base + "unique tail one about rivers and the mountain air."),
+        (4, "tiny doc."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(9, "nothing in common with the corpus at all, entirely disjoint")],
+        "doc_id long, text string",
+    )
+    f_mem, p_mem = curation_pipeline(docs, bench)
+    ckpt = str(tmp_path / "funnel_ckpt")
+    f_dsk, p_dsk = curation_pipeline(docs, bench, checkpoint_dir=ckpt)
+
+    mem = sorted(tuple(r) for r in p_mem.collect())
+    dsk = sorted(tuple(r) for r in p_dsk.collect())
+    assert mem == dsk
+    ids_mem = {r.doc_id for r in f_mem.collect()}
+    ids_dsk = {r.doc_id for r in f_dsk.collect()}
+    assert ids_mem == ids_dsk == {1, 2}
+
+    import os
+
+    stages = sorted(os.listdir(ckpt))
+    assert stages == [
+        "stage1_gopher", "stage2_c4", "stage3_exact", "stage4_neardup",
+        "stage5_exactsubstr", "stage6_decontaminate",
+    ]
+    reread = {
+        r.doc_id
+        for r in spark.read.parquet(f"{ckpt}/stage6_decontaminate").collect()
+    }
+    assert reread == ids_dsk
