@@ -2421,6 +2421,26 @@ def q_exactsubstr_dedup(spark, d):
     return out.orderBy("doc_id")
 
 
+def _pipeline_e2e_inputs(spark, d):
+    """Shared train/bench fixture for the composed funnel (used by
+    q_pipeline_e2e and by bench.py's per-stage attribution run)."""
+    docs = _t(spark, d, "documents").select("doc_id", "text")
+    # sentence structure every 6 words ('.' + newline — the q_c4_rules
+    # trick plus terminal punctuation, since the synthetic corpus has
+    # none): the C4 line gates then operate on real lines, and short
+    # documents (< 3 injected sentences) genuinely fail the page gate.
+    # The injection is part of the fixture on BOTH engines, so every
+    # downstream stage sees the same tokens.
+    train = docs.filter(F.col("doc_id") % 20 != 0).select(
+        "doc_id",
+        F.expr(
+            r"regexp_replace(text, '(\\S+ \\S+ \\S+ \\S+ \\S+ \\S+) ', '$1.\n')"
+        ).alias("text"),
+    )
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return train, bench
+
+
 def q_pipeline_e2e(spark, d):
     """Composed curation pipeline (pipeline.py::curation_pipeline — the
     RedPajama/Dolma funnel): Gopher gates → C4 page gates → exact dedup
@@ -2436,20 +2456,7 @@ def q_pipeline_e2e(spark, d):
         curation_pipeline,
     )
 
-    docs = _t(spark, d, "documents").select("doc_id", "text")
-    # sentence structure every 6 words ('.' + newline — the q_c4_rules
-    # trick plus terminal punctuation, since the synthetic corpus has
-    # none): the C4 line gates then operate on real lines, and short
-    # documents (< 3 injected sentences) genuinely fail the page gate.
-    # The injection is part of the fixture on BOTH engines, so every
-    # downstream stage sees the same tokens.
-    train = docs.filter(F.col("doc_id") % 20 != 0).select(
-        "doc_id",
-        F.expr(
-            r"regexp_replace(text, '(\\S+ \\S+ \\S+ \\S+ \\S+ \\S+) ', '$1.\n')"
-        ).alias("text"),
-    )
-    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train, bench = _pipeline_e2e_inputs(spark, d)
     _final, provenance = curation_pipeline(train, bench)
     return provenance
 

@@ -318,6 +318,23 @@ def main() -> None:
         name: time_query(name) for name in ("tpch_q5", "tpch_q6", "tpch_q14", "tpch_q18")
     }
 
+    # Per-stage attribution for the costliest composed query (VERDICT r6
+    # #4): one extra instrumented run of the SAME fixture with eager stage
+    # boundaries, recorded in BENCH_FULL only — the headline pipeline_e2e
+    # number above stays the uninstrumented plan for r{N} comparability.
+    from clickhouse_flatfile_tool_spark.operators.pipeline import (
+        curation_pipeline,
+    )
+
+    stage_times: dict[str, float] = {}
+    train_df, bench_df = entrymod._pipeline_e2e_inputs(spark, sf_dir)
+    t0 = time.time()
+    _final, prov = curation_pipeline(train_df, bench_df, stage_timings=stage_times)
+    prov.write.format("noop").mode("overwrite").save()
+    stage_times["funnel_counts"] = round(
+        time.time() - t0 - sum(stage_times.values()), 3
+    )
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "total_bench_seconds",
@@ -325,6 +342,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "tpch_recheck": tpch_recheck,
+        "pipeline_e2e_stages": stage_times,
         "cpu_mask": cpu_mask,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -354,6 +372,7 @@ def main() -> None:
     ]
     line = dict(result)
     line.pop("tpch_recheck")  # in BENCH_FULL.json
+    line.pop("pipeline_e2e_stages")  # in BENCH_FULL.json
     line["queries"] = {n: timings[n] for n in headline if n in timings}
     line["queries_full"] = "BENCH_FULL.json"
     s = json.dumps(line)

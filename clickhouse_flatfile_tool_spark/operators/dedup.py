@@ -772,22 +772,20 @@ def minhash_signatures_portable(
     return exploded.groupBy(id_col).agg(*mins)
 
 
-def minhash_lsh_candidates_portable(
+def _portable_banded(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    shingle_n: int = 3,
-    num_hashes: int = 16,
-    bands: int = 4,
-    max_bucket_size: int | None = None,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    num_hashes: int,
+    bands: int,
 ) -> DataFrame:
-    """Banded LSH over the portable md5 signatures: band bucket =
-    md5(concat of the band's signature components); candidates = distinct
-    (id_a < id_b) sharing any (band, bucket).  Same bucket-grouping shape as
-    the fast path — only the hash primitive differs."""
+    """(id, band, bucket) rows over the portable md5 signatures: band
+    bucket = md5('|'-concat of the band's signature components).  Shared
+    by the within-set and incremental (new-vs-corpus) candidate paths."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures_portable(df, id_col, text_col, shingle_n, num_hashes)
-    banded = sigs.select(
+    return sigs.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -809,7 +807,56 @@ def minhash_lsh_candidates_portable(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def minhash_lsh_candidates_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Banded LSH over the portable md5 signatures: band bucket =
+    md5(concat of the band's signature components); candidates = distinct
+    (id_a < id_b) sharing any (band, bucket).  Same bucket-grouping shape as
+    the fast path — only the hash primitive differs."""
+    banded = _portable_banded(df, id_col, text_col, shingle_n, num_hashes, bands)
     return _bucket_pairs(banded, id_col, max_bucket_size)
+
+
+def incremental_lsh_candidates_portable(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Portable-md5 twin of :func:`incremental_lsh_dedup_candidates`:
+    near-dup candidates of NEW docs against the historical corpus as
+    distinct ``(corpus_id, new_id)`` — band both sides with the SAME md5
+    signature scheme and equi-join new×corpus on (band, bucket).  Never a
+    corpus self-join, so a daily batch costs O(batch), and the md5
+    primitive keeps the whole incremental funnel DuckDB-replayable.
+
+    Scale shape: at 100 TB the corpus's banded signatures are computed
+    once and stored as a table bucketed on (band, bucket); the daily
+    delta's signatures shuffle-join against it without rescanning or
+    re-hashing history."""
+    n = _portable_banded(
+        new_df, id_col, text_col, shingle_n, num_hashes, bands
+    ).withColumnRenamed(id_col, "new_id")
+    c = _portable_banded(
+        corpus_df, id_col, text_col, shingle_n, num_hashes, bands
+    ).withColumnRenamed(id_col, "corpus_id")
+    return (
+        n.join(c, on=["band", "bucket"])
+        .select("corpus_id", "new_id")
+        .distinct()
+    )
 
 
 def simhash_verify(

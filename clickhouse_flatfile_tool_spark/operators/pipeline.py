@@ -58,6 +58,7 @@ def curation_pipeline(
     span_n: int = 3,
     span_min_tokens: int = 6,
     checkpoint_dir: str | None = None,
+    stage_timings: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the 6-stage curation pipeline; returns ``(final_docs,
     provenance)`` where provenance is the funnel table
@@ -76,14 +77,30 @@ def curation_pipeline(
     ``<dir>/stage<N>_<name>`` Parquet and downstream stages read the
     files back (lineage truncation + resume point); default ``None``
     keeps ``persist()`` stage boundaries.  Results are identical — the
-    equivalence is pytest-checked both ways."""
+    equivalence is pytest-checked both ways.
+
+    ``stage_timings`` (bench attribution, VERDICT r6 #4): pass a dict to
+    force each stage boundary eagerly (a ``count()`` on the persisted
+    frame; checkpoint writes force anyway) and record its wall seconds
+    under the stage tag — so a future single-stage regression in the
+    bench is attributable without re-deriving the funnel.  Default
+    ``None`` keeps every boundary lazy; the registered driver query never
+    passes it."""
+    import time as _time
 
     def _stage(df: DataFrame, tag: str) -> DataFrame:
+        t0 = _time.time()
         if checkpoint_dir is None:
-            return df.persist()
-        path = f"{checkpoint_dir}/{tag}"
-        df.write.mode("overwrite").parquet(path)
-        return df.sparkSession.read.parquet(path)
+            df = df.persist()
+            if stage_timings is not None:
+                df.count()  # materialize NOW so elapsed = this stage only
+        else:
+            path = f"{checkpoint_dir}/{tag}"
+            df.write.mode("overwrite").parquet(path)
+            df = df.sparkSession.read.parquet(path)
+        if stage_timings is not None:
+            stage_timings[tag] = round(_time.time() - t0, 3)
+        return df
 
     s0 = docs.select(id_col, text_col)
 
@@ -138,6 +155,23 @@ def curation_pipeline(
         (3, "exact", s3), (4, "neardup", s4), (5, "exactsubstr", s5),
         (6, "decontaminate", s6),
     ]
+    modified = spans.filter(F.col("n_spans_removed") > 0).select(
+        F.lit(5).alias("stage_idx"),
+        F.col(id_col),
+    ).groupBy("stage_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("modified")
+    )
+    return s6, _provenance_funnel(stages, id_col, modified)
+
+
+def _provenance_funnel(
+    stages: list, id_col: str, modified: DataFrame | None = None
+) -> DataFrame:
+    """Funnel table ``(stage_idx, stage, docs, dropped, modified)`` from
+    ``(idx, name, survivor_df)`` triples: per-stage map-side count(1)
+    aggregates, ``dropped`` = lag delta over the handful of funnel rows
+    (result-shaped window), ``modified`` joined in when a stage modifies
+    documents in place (the batch funnel's exactsubstr stage), else 0."""
     marks = None
     for idx, name, df in stages:
         m = df.select(
@@ -148,22 +182,130 @@ def curation_pipeline(
     counts = marks.groupBy("stage_idx", "stage").agg(
         F.count(F.lit(1)).cast("long").alias("docs")
     )
-    modified = spans.filter(F.col("n_spans_removed") > 0).select(
-        F.lit(5).alias("stage_idx"),
-        F.col(id_col),
-    ).groupBy("stage_idx").agg(
-        F.count(F.lit(1)).cast("long").alias("modified")
-    )
-    w = Window.orderBy("stage_idx")  # 7 rows — result-shaped window
-    provenance = (
-        counts.join(F.broadcast(modified), "stage_idx", "left")
-        .select(
+    if modified is not None:
+        counts = counts.join(F.broadcast(modified), "stage_idx", "left")
+        mod_col = F.coalesce("modified", F.lit(0)).cast("long")
+    else:
+        mod_col = F.lit(0).cast("long")
+    w = Window.orderBy("stage_idx")  # one row per stage — result-shaped
+    return (
+        counts.select(
             "stage_idx", "stage", "docs",
             F.coalesce(F.lag("docs").over(w) - F.col("docs"), F.lit(0))
             .cast("long")
             .alias("dropped"),
-            F.coalesce("modified", F.lit(0)).cast("long").alias("modified"),
+            mod_col.alias("modified"),
         )
         .orderBy("stage_idx")
     )
-    return s6, provenance
+
+
+def curation_pipeline_incremental(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.8,
+    checkpoint_dir: str | None = None,
+    stage_timings: dict | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental (new-batch-vs-existing-corpus) curation funnel — the
+    shape a daily corpus build actually runs: the historical corpus is
+    already curated and IMMUTABLE; only the delta is gated, deduped
+    against both itself and history, and decontaminated.  Returns
+    ``(final_delta, provenance)`` with the same funnel schema as
+    :func:`curation_pipeline` (``modified`` is always 0 — no in-place
+    stage here):
+
+      1. gopher — :func:`text.gopher_quality_rules` hard gates (delta)
+      2. c4     — :func:`text.c4_rules` page gates (delta)
+      3. exact  — :func:`dedup.incremental_exact_dedup`: drop delta docs
+                  whose fingerprint already exists in the corpus, then
+                  min-id survivor within the delta
+      4. neardup— :func:`dedup.incremental_lsh_candidates_portable`
+                  (delta×corpus, never a corpus self-join) UNION the
+                  within-delta :func:`dedup.minhash_lsh_candidates_portable`
+                  pairs → exact Jaccard verify ≥ threshold → drop the
+                  delta doc (corpus docs are never dropped)
+      5. decon  — :func:`dedup.decontaminate` vs the benchmark set
+
+    Scale shape: every corpus-side artifact (distinct fingerprints,
+    banded md5 signatures, shingle sets) is computed once per corpus
+    generation and at 100 TB lives as a bucketed table on its join key,
+    so the daily run costs O(delta) — history is probed, never
+    rescanned per batch.  Portable md5 MinHash keeps the whole funnel
+    DuckDB-replayable; ``checkpoint_dir`` / ``stage_timings`` behave as
+    in :func:`curation_pipeline`."""
+    import time as _time
+
+    def _stage(df: DataFrame, tag: str) -> DataFrame:
+        t0 = _time.time()
+        if checkpoint_dir is None:
+            df = df.persist()
+            if stage_timings is not None:
+                df.count()
+        else:
+            path = f"{checkpoint_dir}/{tag}"
+            df.write.mode("overwrite").parquet(path)
+            df = df.sparkSession.read.parquet(path)
+        if stage_timings is not None:
+            stage_timings[tag] = round(_time.time() - t0, 3)
+        return df
+
+    s0 = new_docs.select(id_col, text_col)
+    corp = corpus.select(id_col, text_col)
+
+    g = text.gopher_quality_rules(s0, text_col)
+    s1 = _stage(
+        g.filter(F.col("gopher_pass")).select(id_col, text_col),
+        "stage1_gopher",
+    )
+
+    c = text.c4_rules(s1, id_col, text_col)
+    s2 = _stage(
+        s1.join(
+            c.filter(F.col("c4_pass")).select(id_col), id_col, "left_semi"
+        ),
+        "stage2_c4",
+    )
+
+    s3 = _stage(
+        dedup.incremental_exact_dedup(s2, corp, id_col, text_col),
+        "stage3_exact",
+    )
+
+    cross = dedup.incremental_lsh_candidates_portable(
+        s3, corp, id_col, text_col, shingle_n, num_hashes, bands
+    ).select(
+        F.col("corpus_id").alias("id_a"), F.col("new_id").alias("id_b")
+    )
+    within = dedup.minhash_lsh_candidates_portable(
+        s3, id_col, text_col, shingle_n, num_hashes, bands
+    )
+    pairs = cross.union(within)  # id_b is ALWAYS a delta doc
+    verified = dedup.jaccard_verify(
+        corp.union(s3), pairs, id_col, text_col, shingle_n
+    )
+    losers = (
+        verified.filter(F.col("jaccard") >= jaccard_threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    s4 = _stage(s3.join(losers, id_col, "left_anti"), "stage4_neardup")
+
+    dec = dedup.decontaminate(s4, benchmark, id_col, text_col, n=shingle_n)
+    s5 = s4.join(
+        dec.filter(F.col("contaminated")).select(id_col), id_col, "left_anti"
+    )
+    if checkpoint_dir is not None:
+        s5 = _stage(s5, "stage5_decontaminate")
+
+    stages = [
+        (0, "input", s0), (1, "gopher", s1), (2, "c4", s2),
+        (3, "exact", s3), (4, "neardup", s4), (5, "decontaminate", s5),
+    ]
+    return s5, _provenance_funnel(stages, id_col)

@@ -949,3 +949,124 @@ def test_curation_pipeline_checkpoint_dir_equivalence(spark, tmp_path):
         for r in spark.read.parquet(f"{ckpt}/stage6_decontaminate").collect()
     }
     assert reread == ids_dsk
+
+
+def test_curation_pipeline_stage_timings(spark):
+    """stage_timings= (VERDICT r6 #4, bench attribution): passing a dict
+    forces each stage boundary eagerly and records its wall seconds per
+    stage tag — and the instrumented run returns the identical funnel as
+    the lazy default."""
+    from clickhouse_flatfile_tool_spark.operators.pipeline import (
+        curation_pipeline,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again.\n"
+            "a stitch in time saves nine of the best things here.\n")
+    rows = [
+        (1, base + "unique tail one about rivers and the mountain air."),
+        (2, base + "unique tail two about oceans and the desert wind."),
+        (3, base + "unique tail one about rivers and the mountain air."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(9, "nothing in common with the corpus at all, entirely disjoint")],
+        "doc_id long, text string",
+    )
+    _f0, p0 = curation_pipeline(docs, bench)
+    times: dict = {}
+    _f1, p1 = curation_pipeline(docs, bench, stage_timings=times)
+    assert sorted(times) == [
+        "stage1_gopher", "stage2_c4", "stage3_exact", "stage4_neardup",
+        "stage5_exactsubstr",
+    ]
+    assert all(isinstance(v, float) and v >= 0 for v in times.values())
+    assert sorted(tuple(r) for r in p0.collect()) == sorted(
+        tuple(r) for r in p1.collect()
+    )
+
+
+def test_curation_pipeline_incremental(spark):
+    """Incremental funnel (pipeline.py::curation_pipeline_incremental):
+    the corpus is immutable; planted delta fixtures drive every stage —
+    a short doc fails Gopher, a braced doc fails C4, an exact clone of a
+    CORPUS doc and an exact clone WITHIN the delta drop at the exact
+    stage, a near-clone of a corpus doc and a within-delta near-clone
+    drop at neardup (corpus docs never drop), and a benchmark-overlapping
+    doc is decontaminated.  modified is identically 0."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_flatfile_tool_spark.operators.pipeline import (
+        curation_pipeline_incremental,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again.\n"
+            "a stitch in time saves nine of the best things here.\n"
+            "all that glitters is not gold said the wise old miner.\n")
+    corpus = spark.createDataFrame(
+        [
+            (1, base + "corpus tail about rivers and the mountain air today."),
+            (2, base + "corpus tail about oceans and the desert wind today."),
+        ],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [
+            # survives everything
+            (10, base + "fresh tail about forests and the northern lights."),
+            # exact clone of corpus doc 1 -> exact stage
+            (11, base + "corpus tail about rivers and the mountain air today."),
+            # near clone of corpus doc 2 (one word differs) -> neardup
+            (12, base + "corpus tail about oceans and the desert sand today."),
+            # within-delta exact clone of 10 -> exact stage (min-id keeps 10)
+            (13, base + "fresh tail about forests and the northern lights."),
+            # within-delta near clone of 10 -> neardup (greater id drops)
+            (14, base + "fresh tail about forests and the southern lights."),
+            # too short -> gopher
+            (15, "tiny doc."),
+            # brace -> c4
+            (16, base + "this { one carries a brace so c4 rejects it fully."),
+            # overlaps benchmark trigrams -> decontaminated
+            (17, base + "benchmark secret passphrase trigram overlap window."),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "entirely separate benchmark secret passphrase trigram "
+               "overlap window for eval")],
+        "doc_id long, text string",
+    )
+    final, prov = curation_pipeline_incremental(delta, corpus, bench)
+    p = {r.stage: r for r in prov.collect()}
+    assert [p[s].stage_idx for s in
+            ("input", "gopher", "c4", "exact", "neardup",
+             "decontaminate")] == list(range(6))
+    assert p["input"].docs == 8
+    assert p["gopher"].docs == 7 and p["gopher"].dropped == 1        # 15
+    assert p["c4"].docs == 6 and p["c4"].dropped == 1                # 16
+    assert p["exact"].docs == 4 and p["exact"].dropped == 2          # 11, 13
+    assert p["neardup"].docs == 2 and p["neardup"].dropped == 2      # 12, 14
+    assert p["decontaminate"].docs == 1 and p["decontaminate"].dropped == 1
+    assert all(r.modified == 0 for r in prov.collect())
+    surv = {r.doc_id for r in final.select("doc_id").collect()}
+    assert surv == {10}
+
+
+def test_incremental_lsh_candidates_portable_shape(spark):
+    """Delta×corpus portable candidates: a near-clone pair lands as
+    (corpus_id, new_id); no corpus×corpus or delta×delta pair appears."""
+    from clickhouse_flatfile_tool_spark.operators import dedup
+
+    long = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    corpus = spark.createDataFrame(
+        [(1, long + " one"), (2, long + " one")],  # corpus self-dup: ignored
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(10, long + " two"), (11, long + " two"), (12, "unrelated words")],
+        "doc_id long, text string",
+    )
+    cands = dedup.incremental_lsh_candidates_portable(delta, corpus)
+    rows = {(r.corpus_id, r.new_id) for r in cands.collect()}
+    assert all(c in (1, 2) and n in (10, 11, 12) for c, n in rows)
+    assert (1, 10) in rows or (2, 10) in rows  # near-identical texts collide
