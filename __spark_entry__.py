@@ -2461,6 +2461,49 @@ def q_pipeline_e2e(spark, d):
     return provenance
 
 
+def q_pipeline_incremental(spark, d):
+    """Incremental (daily-batch) curation funnel (pipeline.py::
+    curation_pipeline_incremental — the shape a production corpus build
+    runs every day: history immutable, only the delta is gated/deduped/
+    decontaminated).  Fixture: every document gets the q_pipeline_e2e
+    sentence injection, then corpus = doc_id%4==0 (already curated),
+    benchmark = doc_id%20==1, natural delta = the rest; planted delta
+    rows replay corpus docs verbatim (+10M ids → dropped at the
+    incremental-exact stage) and with a 6-word appended tail (+20M ids →
+    dropped at neardup when the doc is long enough for Jaccard ≥ 0.8 —
+    short docs legitimately survive, both engines agree).  Returns the
+    provenance funnel; the oracle replays the full incremental funnel in
+    DuckDB (portable md5 MinHash on BOTH sides keeps stage 4
+    engine-reproducible)."""
+    from clickhouse_flatfile_tool_spark.operators.pipeline import (
+        curation_pipeline_incremental,
+    )
+
+    docs = _t(spark, d, "documents").select(
+        "doc_id",
+        F.expr(
+            r"regexp_replace(text, '(\\S+ \\S+ \\S+ \\S+ \\S+ \\S+) ', '$1.\n')"
+        ).alias("text"),
+    )
+    corpus = docs.filter(F.col("doc_id") % 4 == 0)
+    bench = docs.filter(F.col("doc_id") % 20 == 1)
+    natural = docs.filter(
+        (F.col("doc_id") % 4 != 0) & (F.col("doc_id") % 20 != 1)
+    )
+    clones = corpus.filter(F.col("doc_id") % 8 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    nears = corpus.filter(F.col("doc_id") % 8 == 4).select(
+        (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" appended near duplicate tail words here")
+        ).alias("text"),
+    )
+    delta = natural.union(clones).union(nears)
+    _final, provenance = curation_pipeline_incremental(delta, corpus, bench)
+    return provenance
+
+
 def q_exactsubstr_fast(spark, d):
     """Production twin of ``exactsubstr_dedup`` (xxhash64 shingles — 8-byte
     longs through the shuffle instead of gram strings; pytest asserts the
@@ -3057,6 +3100,131 @@ def q_dialect_batch21_aggs(spark, d):
         "FROM b21_ev GROUP BY event_type ORDER BY event_type"
     )
     return spark.sql(translate_clickhouse_sql(ch_sql))
+
+
+def q_dialect_batch22(spark, d):
+    """Dialect batch 22 (scalar half — the coverage-report closure,
+    DIALECT_COVERAGE.md top-uncovered): multiMatchAny/AnyIndex,
+    multiSearchFirstIndex, JSONExtractArrayRaw/JSONExtractUInt/
+    JSONArrayLength, xor, timeDiff, sigmoid, firstLine,
+    appendTrailingCharIfAbsent, add/toMilliseconds, toStartOfISOYear,
+    toUInt32OrZero/toDateOrZero, toDecimal64OrNull,
+    parseDateTimeBestEffortOrNull, extractAllGroupsHorizontal,
+    mapSort/mapReverseSort/mapConcat.  Oracle: DuckDB regexp/json/date
+    equivalents and closed forms of the constructed fixtures."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    _t(spark, d, "documents").createOrReplaceTempView("b22_docs")
+    ch_sql = (
+        "SELECT doc_id, "
+        "multiMatchAny(lang, ['^e', 'n$']) AS mma, "
+        "multiMatchAnyIndex(lang, ['^e', 'n$']) AS mmi, "
+        "multiSearchFirstIndex(text, ['vector', 'join']) AS msf, "
+        "arrayStringConcat(JSONExtractArrayRaw(concat('[', "
+        "  toString(modulo(doc_id, 7)), ',', toString(modulo(doc_id * 3, 5)), "
+        "  ']')), '|') AS jar, "
+        "JSONExtractUInt(concat('{\"n\":', toString(modulo(doc_id, 100)), '}'), "
+        "  'n') AS jeu, "
+        "JSONArrayLength(concat('[', toString(doc_id), ',2,3]')) AS jal, "
+        "xor(modulo(doc_id, 2) = 0, modulo(doc_id, 3) = 0) AS xr, "
+        "timeDiff(toDateTime('2024-01-01 00:00:00'), "
+        "  addSeconds(toDateTime('2024-01-01 00:00:00'), modulo(doc_id, 500))) "
+        "  AS td, "
+        "round(sigmoid(modulo(doc_id, 9) - 4), 6) AS sg, "
+        "firstLine(concat(lang, '\\n', text)) AS fl, "
+        "appendTrailingCharIfAbsent(lang, 'n') AS atc, "
+        "toMillisecond(addMilliseconds(toDateTime('2024-01-01 00:00:00'), "
+        "  modulo(doc_id, 1000))) AS ms, "
+        "toStartOfISOYear(addDays(toDate('2020-01-01'), modulo(doc_id, 800))) "
+        "  AS isy, "
+        "toUInt32OrZero(substring(text, 1, 2)) AS u0, "
+        "toUInt32OrZero(toString(modulo(doc_id, 50))) AS u1, "
+        "toDateOrZero(substring(text, 1, 4)) AS d0, "
+        "toFloat64(toDecimal64OrNull(concat(toString(modulo(doc_id, 90)), "
+        "  '.25'), 2)) AS dec2, "
+        "parseDateTimeBestEffortOrNull(concat('2024-01-1', "
+        "  toString(modulo(doc_id, 9)))) AS pdt, "
+        "arrayStringConcat(arrayMap(__g -> arrayStringConcat(__g, ','), "
+        "  extractAllGroupsHorizontal(substring(text, 1, 60), '(th)(e)')), '|') "
+        "  AS eag, "
+        "arrayStringConcat(mapKeys(mapSort(mapConcat("
+        "  map(concat('b', toString(modulo(doc_id, 3))), 1), "
+        "  map(concat('a', toString(modulo(doc_id, 5))), 2)))), ',') AS msk, "
+        "arrayStringConcat(mapKeys(mapReverseSort("
+        "  map(concat('b', toString(modulo(doc_id, 3))), 1, "
+        "      concat('a', toString(modulo(doc_id, 5))), 2))), ',') AS mrk "
+        "FROM b22_docs ORDER BY doc_id"
+    )
+    return spark.sql(translate_clickhouse_sql(ch_sql))
+
+
+def q_dialect_batch22_aggs(spark, d):
+    """Dialect batch 22 (aggregate half): corrMatrix / covarSampMatrix
+    (explicit n×n pairwise built-in aggregates) and groupArrayLast
+    (last-n slice of collect_list; the per-doc arrayJoin fixture emits
+    each group's rows adjacently in one task, so collection order is
+    the emission order — deterministic, the groupArray caveat
+    documented in dialect.py).  Oracle: DuckDB corr/covar_samp and the
+    closed-form last-3 of the constructed per-doc array."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    _t(spark, d, "events").createOrReplaceTempView("b22_ev")
+    _t(spark, d, "documents").createOrReplaceTempView("b22a_docs")
+    mat = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT event_type, "
+            "round(arrayElement(arrayElement(corrMatrix(value, "
+            "  toFloat64(modulo(user_id, 7))), 1), 2), 6) AS cor12, "
+            "round(arrayElement(arrayElement(corrMatrix(value, "
+            "  toFloat64(modulo(user_id, 7))), 1), 1), 6) AS cor11, "
+            "round(arrayElement(arrayElement(covarSampMatrix(value, "
+            "  toFloat64(modulo(user_id, 7))), 2), 1), 6) AS cov21, "
+            "round(arrayElement(arrayElement(covarSampMatrix(value, "
+            "  toFloat64(modulo(user_id, 7))), 2), 2), 6) AS cov22 "
+            "FROM b22_ev GROUP BY event_type"
+        )
+    )
+    # groupArrayLast with n >= the group size (slice no-op) + arraySort:
+    # Spark's collection order is partition/buffer-dependent (like
+    # groupArray/collect_list — measured: even a single-task group came
+    # back rotated), so the hash-checkable driver form proves the rewrite
+    # plumbing and the exact last-n slice semantics live in pytest over
+    # literal arrays (tests/test_dialect.py::test_batch22_group_array_last)
+    last = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT doc_id, arrayStringConcat(arrayMap(__x -> toString(__x), "
+            "arraySort(groupArrayLast(7)(v))), ',') AS last3 FROM "
+            "(SELECT doc_id, arrayJoin([modulo(doc_id, 10), "
+            "  modulo(doc_id, 7), modulo(doc_id, 5), modulo(doc_id, 3), "
+            "  modulo(doc_id, 2)]) AS v FROM b22a_docs) "
+            "GROUP BY doc_id"
+        )
+    )
+    return _b22_aggs_join(mat, last)
+
+
+def _b22_aggs_join(mat, last):
+    """Stitch the two aggregate halves into one result frame: the matrix
+    half is keyed by event_type (a handful of rows), the last-n half by
+    doc_id — disjoint keys, so a tagged union keeps every column in its
+    native type (doubles stay DOUBLE: string-rendering floats diverges
+    between engines on scientific-notation thresholds)."""
+    m = mat.select(
+        F.lit("mat").alias("part"),
+        F.col("event_type").alias("k"),
+        "cor11", "cor12", "cov21", "cov22",
+        F.lit(None).cast("string").alias("last3"),
+    )
+    l = last.select(
+        F.lit("last").alias("part"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.lit(None).cast("double").alias("cor11"),
+        F.lit(None).cast("double").alias("cor12"),
+        F.lit(None).cast("double").alias("cov21"),
+        F.lit(None).cast("double").alias("cov22"),
+        "last3",
+    )
+    return m.union(l).orderBy("part", "k")
 
 
 def q_dialect_clauses(spark, d):
@@ -4889,12 +5057,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dict_sql": q_dict_sql,
         "exactsubstr_dedup": q_exactsubstr_dedup,
         "mad_outliers": q_mad_outliers,
+        "pipeline_incremental": q_pipeline_incremental,
         "tpch_q9": q_tpch_q9,
         "tpch_q11": q_tpch_q11,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q12": q_tpch_q12,
-        "asof_join": q_asof_join,
+        "minhash_portable": q_minhash_portable,
+        "dialect_batch22": q_dialect_batch22,
+        "dialect_batch22_aggs": q_dialect_batch22_aggs,
         "replacing_final": q_replacing_final,
         "cramers_v": q_cramers_v,
         "stream_near_dedup": q_stream_near_dedup,
@@ -4908,6 +5076,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stream_near_dedup stay in the window because r6 edits changed
         # their output/fixture)
         # ------------------------------------------------------------------
+        "tpch_q13": q_tpch_q13,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q12": q_tpch_q12,
+        "asof_join": q_asof_join,
         "anova": q_anova,
         "knn_accuracy": q_knn_accuracy,
         "semantic_decon": q_semantic_decon,
@@ -5032,7 +5204,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session": q_stream_session,
         "stream_stateful": q_stream_stateful,
         "stream_interval_join": q_stream_interval_join,
-        "minhash_portable": q_minhash_portable,
         "simhash_candidates": q_simhash_candidates,
         "ann_topk": q_ann_topk,
         "embedding_dedup": q_embedding_dedup,
@@ -6959,6 +7130,62 @@ FROM ranked WHERE rk <= 5
             "  ','), '') AS low_vals "
             "FROM events GROUP BY event_type ORDER BY event_type"
         ),
+        "dialect_batch22": (
+            # closed forms / DuckDB equivalents of every constructed
+            # fixture column; floats via the same formula + round 6
+            "SELECT doc_id, "
+            "(regexp_matches(lang, '^e') OR regexp_matches(lang, 'n$')) AS mma, "
+            "(CASE WHEN regexp_matches(lang, '^e') THEN 1 "
+            "  WHEN regexp_matches(lang, 'n$') THEN 2 ELSE 0 END)::BIGINT AS mmi, "
+            "(CASE WHEN contains(text, 'vector') THEN 1 "
+            "  WHEN contains(text, 'join') THEN 2 ELSE 0 END)::BIGINT AS msf, "
+            "concat(CAST(doc_id % 7 AS VARCHAR), '|', "
+            "  CAST((doc_id * 3) % 5 AS VARCHAR)) AS jar, "
+            "(doc_id % 100)::BIGINT AS jeu, "
+            "3::BIGINT AS jal, "
+            "((doc_id % 2 = 0) != (doc_id % 3 = 0)) AS xr, "
+            "(doc_id % 500)::BIGINT AS td, "
+            "round(1.0 / (1.0 + exp(-((doc_id % 9) - 4))), 6) AS sg, "
+            "lang AS fl, "
+            "(CASE WHEN lang LIKE '%n' THEN lang ELSE lang || 'n' END) AS atc, "
+            "(doc_id % 1000)::INT AS ms, "
+            "date_trunc('week', make_date(isoyear("
+            "  DATE '2020-01-01' + (doc_id % 800)::INT), 1, 4))::DATE AS isy, "
+            "coalesce(TRY_CAST(substring(text, 1, 2) AS BIGINT), 0)::BIGINT AS u0, "
+            "(doc_id % 50)::BIGINT AS u1, "
+            "coalesce(TRY_CAST(substring(text, 1, 4) AS DATE), "
+            "  DATE '1970-01-01') AS d0, "
+            "TRY_CAST(concat(CAST(doc_id % 90 AS VARCHAR), '.25') "
+            "  AS DECIMAL(18,2))::DOUBLE AS dec2, "
+            "TRY_CAST(concat('2024-01-1', CAST(doc_id % 9 AS VARCHAR)) "
+            "  AS TIMESTAMP) AS pdt, "
+            "concat(array_to_string(regexp_extract_all("
+            "  substring(text, 1, 60), '(th)(e)', 1), ','), '|', "
+            "  array_to_string(regexp_extract_all("
+            "  substring(text, 1, 60), '(th)(e)', 2), ',')) AS eag, "
+            "concat('a', CAST(doc_id % 5 AS VARCHAR), ',b', "
+            "  CAST(doc_id % 3 AS VARCHAR)) AS msk, "
+            "concat('b', CAST(doc_id % 3 AS VARCHAR), ',a', "
+            "  CAST(doc_id % 5 AS VARCHAR)) AS mrk "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "dialect_batch22_aggs": (
+            "WITH mat AS (SELECT event_type, "
+            "  round(corr(value, (user_id % 7)::DOUBLE), 6) AS cor12, "
+            "  round(corr(value, value), 6) AS cor11, "
+            "  round(covar_samp((user_id % 7)::DOUBLE, value), 6) AS cov21, "
+            "  round(covar_samp((user_id % 7)::DOUBLE, "
+            "    (user_id % 7)::DOUBLE), 6) AS cov22 "
+            "  FROM events GROUP BY event_type) "
+            "SELECT 'mat' AS part, event_type AS k, cor11, cor12, cov21, "
+            "  cov22, NULL::VARCHAR AS last3 FROM mat "
+            "UNION ALL "
+            "SELECT 'last', CAST(doc_id AS VARCHAR), NULL::DOUBLE, "
+            "  NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, "
+            "  array_to_string(list_sort([doc_id % 10, doc_id % 7, "
+            "    doc_id % 5, doc_id % 3, doc_id % 2]), ',') FROM documents "
+            "ORDER BY part, k"
+        ),
         "dialect_modifiers": (
             # hand-expanded form of the modifier chain: COLUMNS regex
             # selects (o_totalprice, o_shippriority), REPLACE swaps the
@@ -7460,6 +7687,120 @@ FROM ranked WHERE rk <= 5
             "coalesce(lag(docs) OVER (ORDER BY stage_idx) - docs, 0)::BIGINT AS dropped, "
             "(CASE WHEN stage_idx = 5 THEN (SELECT count(*) FROM mod5) ELSE 0 END)::BIGINT "
             "AS modified "
+            "FROM funnel ORDER BY stage_idx"
+        ),
+        "pipeline_incremental": (
+            # incremental-funnel replay: corpus fingerprints/signatures are
+            # the immutable history side; the delta (natural + planted
+            # clones/near-clones of corpus docs) runs gopher → c4 →
+            # exact-vs-corpus+within → md5-LSH delta×corpus UNION
+            # within-delta → Jaccard ≥ 0.8 drops the delta doc → trigram
+            # decontamination; funnel windowed as in pipeline_e2e
+            "WITH alldocs AS MATERIALIZED (SELECT doc_id, "
+            "  regexp_replace(text, '(\\S+ \\S+ \\S+ \\S+ \\S+ \\S+) ', "
+            "  '\\1.' || chr(10), 'g') AS text FROM documents), "
+            "corpus AS MATERIALIZED (SELECT doc_id, text FROM alldocs WHERE doc_id % 4 = 0), "
+            "bench AS MATERIALIZED (SELECT doc_id, text FROM alldocs WHERE doc_id % 20 = 1), "
+            "delta AS MATERIALIZED ("
+            "  SELECT doc_id, text FROM alldocs WHERE doc_id % 4 <> 0 AND doc_id % 20 <> 1 "
+            "  UNION ALL SELECT doc_id + 10000000, text FROM corpus WHERE doc_id % 8 = 0 "
+            "  UNION ALL SELECT doc_id + 20000000, "
+            "    text || ' appended near duplicate tail words here' "
+            "    FROM corpus WHERE doc_id % 8 = 4), "
+            "gm AS MATERIALIZED (SELECT doc_id, text, "
+            "  string_split_regex(trim(lower(text)), '\\s+') AS w FROM delta), "
+            "g AS MATERIALIZED (SELECT doc_id, text FROM gm WHERE "
+            "  len(w) BETWEEN 10 AND 100000 "
+            "  AND length(regexp_replace(text, '\\s+', '', 'g')) / greatest(len(w), 1) "
+            "    BETWEEN 2.0 AND 12.0 "
+            "  AND len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(length(text), 1) <= 0.1 "
+            "  AND len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) / greatest(len(w), 1) >= 0.8 "
+            "  AND len(list_intersect(w, ['the', 'a', 'and', 'of', 'to'])) >= 2), "
+            "c4 AS MATERIALIZED (SELECT doc_id, text FROM g WHERE "
+            "  len(regexp_extract_all(coalesce(array_to_string(list_filter("
+            "    string_split(text, chr(10)), "
+            "    l -> regexp_matches(trim(l), '[.!?\"]$') "
+            "      AND len(string_split_regex(trim(l), '\\s+')) >= 5 "
+            "      AND NOT contains(lower(l), 'javascript')), chr(10)), ''), "
+            "    '[.!?]')) >= 3 "
+            "  AND NOT contains(text, '{') AND NOT contains(lower(text), 'lorem ipsum')), "
+            "cfp AS MATERIALIZED (SELECT DISTINCT "
+            "  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM corpus), "
+            "fr AS MATERIALIZED (SELECT doc_id, text, fp FROM "
+            "  (SELECT doc_id, text, "
+            "    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM c4) "
+            "  WHERE fp NOT IN (SELECT fp FROM cfp)), "
+            "ex AS MATERIALIZED (SELECT min(doc_id) AS doc_id FROM fr GROUP BY fp), "
+            "s3 AS MATERIALIZED (SELECT fr.doc_id, fr.text FROM fr JOIN ex USING (doc_id)), "
+            "b3 AS MATERIALIZED (SELECT doc_id AS id, "
+            "  list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)), "
+            "    i -> array_to_string(w[i:i+2], ' '))) AS sh "
+            "  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM s3)), "
+            "bc AS MATERIALIZED (SELECT doc_id AS id, "
+            "  list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)), "
+            "    i -> array_to_string(w[i:i+2], ' '))) AS sh "
+            "  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM corpus)), "
+            "sigd AS MATERIALIZED (SELECT id, "
+            + ", ".join(
+                f"min(md5(s || '#{i}')) AS mh_{i}" for i in range(16)
+            )
+            + " FROM (SELECT id, unnest(sh) AS s FROM b3) GROUP BY id), "
+            "sigc AS MATERIALIZED (SELECT id, "
+            + ", ".join(
+                f"min(md5(s || '#{i}')) AS mh_{i}" for i in range(16)
+            )
+            + " FROM (SELECT id, unnest(sh) AS s FROM bc) GROUP BY id), "
+            "bd AS MATERIALIZED ("
+            + " UNION ALL ".join(
+                f"SELECT id, {b} AS band, md5("
+                + " || '|' || ".join(f"mh_{b * 4 + r}" for r in range(4))
+                + ") AS bucket FROM sigd"
+                for b in range(4)
+            )
+            + "), "
+            "bcb AS MATERIALIZED ("
+            + " UNION ALL ".join(
+                f"SELECT id, {b} AS band, md5("
+                + " || '|' || ".join(f"mh_{b * 4 + r}" for r in range(4))
+                + ") AS bucket FROM sigc"
+                for b in range(4)
+            )
+            + "), "
+            "cand AS MATERIALIZED ("
+            "  SELECT DISTINCT c.id AS id_a, d.id AS id_b FROM bcb c "
+            "    JOIN bd d ON c.band = d.band AND c.bucket = d.bucket "
+            "  UNION "
+            "  SELECT DISTINCT a.id, b.id FROM bd a "
+            "    JOIN bd b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id), "
+            "allsh AS MATERIALIZED (SELECT * FROM bc UNION ALL SELECT * FROM b3), "
+            "jac AS MATERIALIZED (SELECT DISTINCT c.id_b FROM cand c "
+            "  JOIN allsh x ON c.id_a = x.id JOIN allsh y ON c.id_b = y.id "
+            "  WHERE len(list_intersect(x.sh, y.sh))::DOUBLE "
+            "    / len(list_distinct(x.sh || y.sh)) >= 0.8), "
+            "s4 AS MATERIALIZED (SELECT doc_id, text FROM s3 "
+            "  WHERE doc_id NOT IN (SELECT id_b FROM jac)), "
+            "b4 AS MATERIALIZED (SELECT doc_id AS id, "
+            "  list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)), "
+            "    i -> array_to_string(w[i:i+2], ' '))) AS sh "
+            "  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM s4)), "
+            "bsh AS MATERIALIZED (SELECT DISTINCT s FROM (SELECT unnest("
+            "  list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)), "
+            "    i -> array_to_string(w[i:i+2], ' ')))) AS s "
+            "  FROM (SELECT string_split_regex(trim(lower(text)), '\\s+') AS w FROM bench))), "
+            "cont AS MATERIALIZED (SELECT DISTINCT t.id FROM "
+            "  (SELECT id, unnest(sh) AS s FROM b4) t JOIN bsh b ON t.s = b.s), "
+            "s5 AS MATERIALIZED (SELECT doc_id FROM s4 "
+            "  WHERE doc_id NOT IN (SELECT id FROM cont)), "
+            "funnel AS ("
+            "  SELECT 0 AS stage_idx, 'input' AS stage, (SELECT count(*) FROM delta) AS docs "
+            "  UNION ALL SELECT 1, 'gopher', (SELECT count(*) FROM g) "
+            "  UNION ALL SELECT 2, 'c4', (SELECT count(*) FROM c4) "
+            "  UNION ALL SELECT 3, 'exact', (SELECT count(*) FROM s3) "
+            "  UNION ALL SELECT 4, 'neardup', (SELECT count(*) FROM s4) "
+            "  UNION ALL SELECT 5, 'decontaminate', (SELECT count(*) FROM s5)) "
+            "SELECT stage_idx::INT AS stage_idx, stage, docs::BIGINT AS docs, "
+            "coalesce(lag(docs) OVER (ORDER BY stage_idx) - docs, 0)::BIGINT AS dropped, "
+            "0::BIGINT AS modified "
             "FROM funnel ORDER BY stage_idx"
         ),
         "with_fill_interp": (

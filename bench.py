@@ -201,6 +201,10 @@ BENCH_QUERIES = [
     "dialect_batch21_aggs",
     "rank_assoc",
     "pipeline_e2e",
+    # round 7 additions
+    "pipeline_incremental",
+    "dialect_batch22",
+    "dialect_batch22_aggs",
 ]
 
 

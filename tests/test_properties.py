@@ -443,8 +443,38 @@ def ch_expression(draw, depth=0):
     atoms = ["x", "y", "7", "1.5", "NULL"]
     if depth >= 3:
         return draw(st.sampled_from(atoms))
-    kind = draw(st.integers(0, 52))
+    kind = draw(st.integers(0, 60))
     sub = lambda: draw(ch_expression(depth=depth + 1))  # noqa: E731
+    # batch 22 (r7)
+    if kind == 53:
+        # toUInt8 wrap: CH multiMatch* return UInt8 (the multiSearchAny
+        # note below)
+        return f"toUInt8(multiMatchAny(toString({sub()}), ['1', '7$']))"
+    if kind == 54:
+        return f"multiMatchAnyIndex(toString({sub()}), ['^1', '5'])"
+    if kind == 55:
+        return (
+            f"arraySum(arrayMap(__x -> toInt64OrZero(__x), "
+            f"JSONExtractArrayRaw(concat('[', toString(toInt64({sub()})), "
+            f"',2]'))))"
+        )
+    if kind == 56:
+        return (
+            f"timeDiff(toDateTime('2024-01-01 00:00:00'), "
+            f"addMilliseconds(toDateTime('2024-01-01 00:00:00'), "
+            f"positiveModulo(toInt64({sub()}), 1000)))"
+        )
+    if kind == 57:
+        return f"round(sigmoid(toFloat64({sub()})), 4)"
+    if kind == 58:
+        return f"length(appendTrailingCharIfAbsent(toString({sub()}), '/'))"
+    if kind == 59:
+        return f"toUInt8(xor({sub()} > 0, {sub()} < 0))"
+    if kind == 60:
+        return (
+            f"length(arrayElement(mapKeys(mapSort(mapConcat(map('b', 1), "
+            f"map(concat('a', toString(toInt64({sub()}))), 2)))), 1))"
+        )
     # batch 20 (r6)
     if kind == 47:
         # the nested expression feeds the MAP VALUE, not the lambda body:
