@@ -583,3 +583,106 @@ def test_stream_curation_pipeline_planted(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(out_dir).collect()
     )
     assert survivors == [1, 2]
+
+
+def test_stream_curation_matches_batch_stages(spark, sf_dir, tmp_path):
+    """Batch-twin equivalence for the composed streaming curation
+    pipeline (VERDICT r6 #7), on the real sf documents fixture: every
+    stage's streaming form is checked against the batch operator with
+    the same semantics —
+
+    * gate: Gopher rules are pure per-row expressions → identical sets.
+    * watermark near-dedup vs batch signature-dedup: the surviving
+      SIGNATURE set is identical; survivor IDENTITY within a duplicate-
+      signature group is arrival-order in the stream vs min-id in batch
+      (the documented divergence), so ids are asserted only outside
+      those groups.
+    * decon: the batch twin reuses the same Bloom bitset probe (it runs
+      on static frames), so outcomes match exactly; the Bloom-vs-exact
+      divergence is bounded separately (bloom drops ⊇ exact drops).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_flatfile_tool_spark.operators import dedup
+    from clickhouse_flatfile_tool_spark.operators.text import gopher_quality_rules
+    from clickhouse_flatfile_tool_spark.sources.files import read_parquet
+    from clickhouse_flatfile_tool_spark.streaming import stream_ops
+
+    docs = read_parquet(
+        spark, os.path.join(sf_dir, "documents.parquet")
+    ).select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(
+            F.lit(1_704_067_200) + F.col("doc_id") % 600
+        ).alias("__ts"),  # all inside one 1-hour watermark window
+    )
+    bench = docs.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+
+    src = str(tmp_path / "src")
+    train.write.mode("overwrite").parquet(src)
+    stream = stream_ops.stream_curation_pipeline(
+        stream_ops.read_event_stream(spark, src), bench, watermark="1 hour"
+    )
+    out_dir = str(tmp_path / "out")
+    stream_ops.run_available_now(
+        stream.select("doc_id"), out_dir, str(tmp_path / "ckpt")
+    )
+    stream_ids = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+
+    # batch twin, stage by stage
+    keys = [f"mh_{i}" for i in range(16)]
+    gated = gopher_quality_rules(train, "text").where("gopher_pass")
+    sigs = dedup.with_minhash_signature(gated, "text").persist()
+    batch_dedup = sigs.join(
+        sigs.groupBy(keys).agg(F.min("doc_id").alias("doc_id")),
+        keys + ["doc_id"],
+    )
+    batch_clean = stream_ops.stream_bloom_decontaminate(
+        batch_dedup.select("doc_id", "text"), bench, "text"
+    )
+    batch_ids = {r.doc_id for r in batch_clean.select("doc_id").collect()}
+
+    # ids in duplicate-signature groups: survivor identity legitimately
+    # differs between arrival-order (stream) and min-id (batch)
+    dup_ids = {
+        r.doc_id
+        for r in sigs.join(
+            sigs.groupBy(keys)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where("n > 1"),
+            keys,
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert stream_ids - dup_ids == batch_ids - dup_ids
+    assert len(stream_ids) == len(batch_ids) > 0
+
+    # signature-level agreement including the duplicate groups
+    def sig_set(ids):
+        return {
+            tuple(r[k] for k in keys)
+            for r in sigs.where(
+                F.col("doc_id").isin([int(i) for i in ids])
+            ).collect()
+        }
+
+    assert sig_set(stream_ids) == sig_set(batch_ids)
+
+    # bloom-vs-exact decon bound: every exactly-contaminated doc is also
+    # bloom-dropped (fp over-drop is the only permitted direction)
+    exact = dedup.decontaminate(
+        batch_dedup.select("doc_id", "text"), bench, "doc_id", "text"
+    )
+    exact_drop = {
+        r.doc_id for r in exact.where("contaminated").collect()
+    }
+    batch_dedup_ids = {
+        r.doc_id for r in batch_dedup.select("doc_id").collect()
+    }
+    assert exact_drop <= (batch_dedup_ids - batch_ids)
+    sigs.unpersist()
