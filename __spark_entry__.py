@@ -3158,6 +3158,100 @@ def q_dialect_batch22(spark, d):
     return spark.sql(translate_clickhouse_sql(ch_sql))
 
 
+def q_dialect_batch23(spark, d):
+    """Dialect batch 23 (scalar half — second coverage-closure pass):
+    mapUpdate (m2-wins collision policy), isNotDistinctFrom,
+    multiSearchAllPositions/FirstPosition, LpNorm/normalizeL2,
+    JSONExtractKeysAndValuesRaw, toUUIDOrNull, URL tails
+    (cutQueryStringAndFragment, extractURLParameters/Names,
+    encode/decodeURLFormComponent).  Oracle: DuckDB position/regexp
+    equivalents and closed forms of the constructed fixtures.  The
+    random generators (rand32/64, randBernoulli/Exponential/LogNormal)
+    are engine-random — pytest range checks, excluded here."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    _t(spark, d, "documents").createOrReplaceTempView("b23_docs")
+    ch_sql = (
+        "SELECT doc_id, "
+        "arrayStringConcat(arrayMap(__x -> toString(__x), mapValues("
+        "  mapUpdate(map('a', 1, 'b', toInt64(modulo(doc_id, 5))), "
+        "            map('b', toInt64(modulo(doc_id, 7)))))), ',') AS mu, "
+        "isNotDistinctFrom(nullIf(modulo(doc_id, 3), 0), "
+        "  nullIf(modulo(doc_id, 5), 0)) AS ind, "
+        "arrayStringConcat(arrayMap(__x -> toString(__x), "
+        "  multiSearchAllPositions(text, ['the', 'join'])), ',') AS msa, "
+        "multiSearchFirstPosition(text, ['zebra', 'join']) AS msf, "
+        "round(LpNorm([1.0, toFloat64(modulo(doc_id, 4)), 2.0], 3), 6) AS lp3, "
+        "round(arrayElement(normalizeL2([3.0, "
+        "  toFloat64(modulo(doc_id, 5) + 1)]), 2), 6) AS nl2, "
+        "arrayStringConcat(arrayMap(__p -> concat(tupleElement(__p, 1), '=', "
+        "  tupleElement(__p, 2)), JSONExtractKeysAndValuesRaw(concat('{\"a\":', "
+        "  toString(modulo(doc_id, 9)), ',\"b\":2}'))), '|') AS kvr, "
+        "toUUIDOrNull(if(modulo(doc_id, 2) = 0, "
+        "  '123e4567-e89b-12d3-a456-426614174000', 'bad')) AS uid, "
+        "cutQueryStringAndFragment(concat('http://ex.com/p', "
+        "  toString(doc_id), '?q=1#z')) AS cut, "
+        "arrayStringConcat(extractURLParameters(concat('http://ex.com/p?a=', "
+        "  toString(modulo(doc_id, 3)), '&b=2')), '|') AS ups, "
+        "arrayStringConcat(extractURLParameterNames("
+        "  'http://ex.com/p?a=1&b=2'), '|') AS upn, "
+        "encodeURLFormComponent(concat('v ', toString(modulo(doc_id, 4)))) "
+        "  AS efc, "
+        "decodeURLFormComponent('x+y%21z') AS dfc "
+        "FROM b23_docs ORDER BY doc_id"
+    )
+    return spark.sql(translate_clickhouse_sql(ch_sql))
+
+
+def q_dialect_batch23_aggs(spark, d):
+    """Dialect batch 23 (aggregate half): studentTTest/welchTTest
+    (two-sample t statistics from pure sums — the meanZTest
+    statistic-only stance), sumMapFiltered (key-filtered metric-map
+    aggregation), maxIntersectionsPosition (argmax of the ±1 endpoint
+    sweep — first position where peak occupancy is reached).  Oracle:
+    DuckDB FILTER aggregates for the t statistics, closed-form key sums,
+    and an overlap-count replay for the sweep position."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    _t(spark, d, "events").createOrReplaceTempView("b23_ev")
+    ch_sql = (
+        "SELECT event_type, "
+        "round(studentTTest(value, modulo(user_id, 2)), 6) AS st, "
+        "round(welchTTest(value, modulo(user_id, 2)), 6) AS wt, "
+        "round(arrayElement(tupleElement(sumMapFiltered([1, 3])("
+        "  [1, 2, 3], [round(value, 2), 1.0, 2.0]), 2), 1), 4) AS sk1, "
+        "round(arrayElement(tupleElement(sumMapFiltered([1, 3])("
+        "  [1, 2, 3], [round(value, 2), 1.0, 2.0]), 2), 2), 4) AS sk3, "
+        "round(maxIntersectionsPosition(value, value + 10), 2) AS mip "
+        "FROM b23_ev GROUP BY event_type ORDER BY event_type"
+    )
+    return spark.sql(translate_clickhouse_sql(ch_sql))
+
+
+def q_dialect_batch23_window(spark, d):
+    """Dialect batch 23 (window half): nonNegativeDerivative — the
+    counter-rate window function (per-second positive delta, NULL on
+    each partition's first row, negative deltas clamped to 0; DateTime
+    second resolution, matching CH's DateTime semantics).  Oracle:
+    DuckDB lag replay over the same (event_type, ts, event_id) order."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    _t(spark, d, "events").createOrReplaceTempView("b23w_ev")
+    ch_sql = (
+        # floor(x * 1e6) instead of round(x, 6): the compared value is a
+        # d/t rational that lands EXACTLY on .xxxxx5 round ties (2-decimal
+        # deltas over integer seconds), where Spark's BigDecimal HALF_UP
+        # and DuckDB's double-scaling round disagree; floor of the product
+        # is pure IEEE double ops — bit-identical on both engines
+        "SELECT event_id, "
+        "toInt64(floor(nonNegativeDerivative(value, ts) "
+        "OVER (PARTITION BY event_type ORDER BY ts, event_id) * 1000000)) "
+        "  AS nnd "
+        "FROM b23w_ev ORDER BY event_id"
+    )
+    return spark.sql(translate_clickhouse_sql(ch_sql))
+
+
 def q_dialect_batch22_aggs(spark, d):
     """Dialect batch 22 (aggregate half): corrMatrix / covarSampMatrix
     (explicit n×n pairwise built-in aggregates) and groupArrayLast
@@ -5058,12 +5152,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exactsubstr_dedup": q_exactsubstr_dedup,
         "mad_outliers": q_mad_outliers,
         "pipeline_incremental": q_pipeline_incremental,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q11": q_tpch_q11,
+        "dialect_batch23": q_dialect_batch23,
+        "dialect_batch23_aggs": q_dialect_batch23_aggs,
         "minhash_portable": q_minhash_portable,
         "dialect_batch22": q_dialect_batch22,
         "dialect_batch22_aggs": q_dialect_batch22_aggs,
-        "replacing_final": q_replacing_final,
+        "dialect_batch23_window": q_dialect_batch23_window,
         "cramers_v": q_cramers_v,
         "stream_near_dedup": q_stream_near_dedup,
         "stream_curation": q_stream_curation,
@@ -5080,6 +5174,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16": q_tpch_q16,
         "tpch_q12": q_tpch_q12,
         "asof_join": q_asof_join,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "replacing_final": q_replacing_final,
         "anova": q_anova,
         "knn_accuracy": q_knn_accuracy,
         "semantic_decon": q_semantic_decon,
@@ -7185,6 +7282,78 @@ FROM ranked WHERE rk <= 5
             "  array_to_string(list_sort([doc_id % 10, doc_id % 7, "
             "    doc_id % 5, doc_id % 3, doc_id % 2]), ',') FROM documents "
             "ORDER BY part, k"
+        ),
+        "dialect_batch23": (
+            "SELECT doc_id, "
+            "concat('1,', CAST(doc_id % 7 AS VARCHAR)) AS mu, "
+            "(nullif(doc_id % 3, 0) IS NOT DISTINCT FROM "
+            "  nullif(doc_id % 5, 0)) AS ind, "
+            "concat(CAST(strpos(text, 'the') AS VARCHAR), ',', "
+            "  CAST(strpos(text, 'join') AS VARCHAR)) AS msa, "
+            "(CASE WHEN strpos(text, 'zebra') > 0 AND (strpos(text, 'join') = 0 "
+            "    OR strpos(text, 'zebra') <= strpos(text, 'join')) "
+            "  THEN strpos(text, 'zebra') "
+            "  WHEN strpos(text, 'join') > 0 THEN strpos(text, 'join') "
+            "  ELSE 0 END)::BIGINT AS msf, "
+            "round(pow(1.0 + pow((doc_id % 4)::DOUBLE, 3) + 8.0, "
+            "  1.0 / 3), 6) AS lp3, "
+            "round(((doc_id % 5) + 1)::DOUBLE / sqrt(9.0 + "
+            "  pow(((doc_id % 5) + 1)::DOUBLE, 2)), 6) AS nl2, "
+            "concat('a=', CAST(doc_id % 9 AS VARCHAR), '|b=2') AS kvr, "
+            "(CASE WHEN doc_id % 2 = 0 "
+            "  THEN '123e4567-e89b-12d3-a456-426614174000' END) AS uid, "
+            "concat('http://ex.com/p', CAST(doc_id AS VARCHAR)) AS cut, "
+            "concat('a=', CAST(doc_id % 3 AS VARCHAR), '|b=2') AS ups, "
+            "'a|b' AS upn, "
+            "concat('v+', CAST(doc_id % 4 AS VARCHAR)) AS efc, "
+            "'x y!z' AS dfc "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "dialect_batch23_aggs": (
+            # t statistics replayed with FILTER aggregates; the sweep
+            # position replayed as the minimal start point attaining the
+            # per-type peak interval-overlap count (proof of equivalence
+            # in q_dialect_batch23_aggs's fold: ends-before-starts at
+            # equal points = half-open [v, v+10) occupancy)
+            "WITH s AS (SELECT event_type, "
+            "  avg(value) FILTER (user_id % 2 = 0) AS m0, "
+            "  avg(value) FILTER (user_id % 2 = 1) AS m1, "
+            "  var_samp(value) FILTER (user_id % 2 = 0) AS v0, "
+            "  var_samp(value) FILTER (user_id % 2 = 1) AS v1, "
+            "  count(value) FILTER (user_id % 2 = 0) AS n0, "
+            "  count(value) FILTER (user_id % 2 = 1) AS n1, "
+            "  sum(round(value, 2)) AS sv, count(*) AS n "
+            "  FROM events GROUP BY event_type), "
+            "pos AS (SELECT DISTINCT event_type AS et, value AS p "
+            "  FROM events), "
+            "occ AS (SELECT pos.et, pos.p, count(*) AS c "
+            "  FROM pos JOIN events b ON pos.et = b.event_type "
+            "    AND b.value <= pos.p AND pos.p < b.value + 10 "
+            "  GROUP BY pos.et, pos.p), "
+            "mip AS (SELECT et, p FROM (SELECT et, p, row_number() OVER ("
+            "  PARTITION BY et ORDER BY c DESC, p ASC) AS rn FROM occ) "
+            "  WHERE rn = 1) "
+            "SELECT event_type, "
+            "round((m0 - m1) / sqrt((((n0 - 1) * v0 + (n1 - 1) * v1) "
+            "  / (n0 + n1 - 2)) * (1.0 / n0 + 1.0 / n1)), 6) AS st, "
+            "round((m0 - m1) / sqrt(v0 / n0 + v1 / n1), 6) AS wt, "
+            "round(sv, 4) AS sk1, "
+            "round(2.0 * n, 4)::DOUBLE AS sk3, "
+            "round(mip.p, 2) AS mip "
+            "FROM s JOIN mip ON s.event_type = mip.et "
+            "ORDER BY event_type"
+        ),
+        "dialect_batch23_window": (
+            "SELECT event_id, "
+            "floor(CASE WHEN lag(value) OVER w IS NULL THEN NULL "
+            "  WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w = 0 "
+            "    THEN 0.0 "
+            "  ELSE greatest(0.0, (value - lag(value) OVER w) "
+            "    / (floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w)) "
+            "  END * 1000000)::BIGINT AS nnd "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id) "
+            "ORDER BY event_id"
         ),
         "dialect_modifiers": (
             # hand-expanded form of the modifier chain: COLUMNS regex

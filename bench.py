@@ -205,6 +205,9 @@ BENCH_QUERIES = [
     "pipeline_incremental",
     "dialect_batch22",
     "dialect_batch22_aggs",
+    "dialect_batch23",
+    "dialect_batch23_aggs",
+    "dialect_batch23_window",
 ]
 
 

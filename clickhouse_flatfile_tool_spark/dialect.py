@@ -378,6 +378,10 @@ _RENAMES: list[tuple[str, str]] = [
     ("parseDateTime64BestEffort", "to_timestamp"),
     ("startsWithUTF8", "startswith"),
     ("endsWithUTF8", "endswith"),
+    # batch 23: Spark url_encode/url_decode are the form-encoded ('+'
+    # for space) variants — exactly CH's *FormComponent pair
+    ("encodeURLFormComponent", "url_encode"),
+    ("decodeURLFormComponent", "url_decode"),
     ("JSONArrayLength", "json_array_length"),
     ("mapConcat", "map_concat"),
     # banker's rounding IS Spark's bround
@@ -1858,6 +1862,16 @@ def _rewrite_curried_quantiles(chunk: str) -> str:
         # argument is the integral frequency, exactly CH's weight
         ("quantilesExactWeighted", True, "percentile#w"),
         ("quantileExactWeighted", False, "percentile#w"),
+        # batch 23: the other weighted-quantile kinds share the exact
+        # weighted lane — Interpolated is exactly percentile-with-
+        # frequency; Timing/TDigest are sketches on CH (the uniq stance:
+        # exactness only improves the answer)
+        ("quantilesInterpolatedWeighted", True, "percentile#w"),
+        ("quantileInterpolatedWeighted", False, "percentile#w"),
+        ("quantilesTimingWeighted", True, "percentile#w"),
+        ("quantileTimingWeighted", False, "percentile#w"),
+        ("quantilesTDigestWeighted", True, "percentile#w"),
+        ("quantileTDigestWeighted", False, "percentile#w"),
         ("quantilesExact", True, "percentile"),
         ("quantileExact", False, "percentile"),
         ("quantiles", True, "percentile"),
@@ -4774,6 +4788,30 @@ def _rewrite_batch20_aggs(chunk: str) -> str:
             f"a -> a.b)"
         )
 
+    def mi_pos_make(args):
+        # batch 23: maxIntersectionsPosition — the sweep position (the
+        # start-event t) where the maximum occupancy is FIRST reached:
+        # same ±1 endpoint sweep, with an argmax slot updated only on a
+        # strict new best (later ties keep the first position, CH's
+        # leftmost answer)
+        if len(args) != 2:
+            return None
+        s, e = args
+        return (
+            f"aggregate(array_sort(flatten(transform(collect_list(struct("
+            f"CAST({s} AS DOUBLE) AS s, CAST({e} AS DOUBLE) AS e)), "
+            f"__iv -> array(struct(__iv.s AS t, 1 AS d), "
+            f"struct(__iv.e AS t, -1 AS d))))), "
+            f"named_struct('c', 0, 'b', 0, 'bp', CAST(NULL AS DOUBLE)), "
+            f"(a, ev) -> named_struct('c', a.c + ev.d, "
+            f"'b', greatest(a.b, a.c + ev.d), "
+            f"'bp', CASE WHEN a.c + ev.d > a.b THEN ev.t ELSE a.bp END), "
+            f"a -> a.bp)"
+        )
+
+    chunk = _rewrite_call(
+        chunk, "maxIntersectionsPosition", mi_pos_make
+    )
     chunk = _rewrite_call(chunk, "maxIntersections", mi_make)
 
     def dst_make(args):
@@ -4980,6 +5018,276 @@ def _rewrite_batch20_calls(chunk: str) -> str:
             else None
         ),
     )
+    return chunk
+
+
+def _rewrite_batch23_calls(chunk: str) -> str:
+    """Round-7 batch 23 (second coverage-closure pass):
+
+    * ``studentTTest(x, idx)`` / ``welchTTest(x, idx)`` — two-sample t
+      statistics from pure sum aggregates (pooled / Welch variance),
+      the meanZTest convention: the statistic only (CH's tuple carries
+      a p-value needing the t CDF — engine-specific numerics), index
+      0/1 splits samples, scale-safe (no collection).  The rank-based
+      tests (mannWhitneyUTest/kolmogorovSmirnovTest/rankCorr) and the
+      categorical family (cramersV/theilsU/contingency/ANOVA) are
+      engine OPERATORS (relational.py, driver-proven) — a faithful SQL
+      aggregate form needs global ranks/cells no single aggregate
+      expression can compute scale-safely; DIALECT_COVERAGE.md reports
+      them as operator-only.
+    * ``nonNegativeDerivative(m, t) OVER …`` — per-second positive rate
+      via lag over the SAME window (both forms: ``OVER (…)`` and a
+      named window); NULL on the partition's first row (CH), clamped
+      at 0 otherwise.  2-arg form only (the INTERVAL scale factor
+      passes through).
+    * ``mapUpdate(m1, m2)`` — m2 wins on key collisions (entry filter +
+      concat; Spark's map_concat raises on duplicates by default).
+    * ``isNotDistinctFrom`` → ``<=>``; ``multiSearchAllPositions`` /
+      ``multiSearchFirstPosition`` → instr transforms (1-based, 0 =
+      absent, CH's encoding).
+    * ``LpNorm(v, p)`` / ``normalizeL1/L2(v)`` — higher-order folds
+      (the vector arg is referenced twice in normalize*, column-backed
+      caveat).
+    * ``JSONExtractKeysAndValuesRaw(j)`` — (key, raw value) struct
+      array over ``json_object_keys``.
+    * ``toUUIDOrNull`` — format-validated pass/NULL.
+    * ``cutQueryStringAndFragment`` / ``extractURLParameters`` /
+      ``extractURLParameterNames`` — URL-family tails over
+      try_parse_url/regexp.
+    * ``rand32/rand64/randBernoulli/randExponential/randLogNormal`` —
+      engine-random (values never comparable; pytest range checks);
+      randLogNormal uses one Box-Muller draw.
+    * ``groupArraySample(n[, seed])(x)`` — slice of shuffled
+      collect_list (random sample; the uniq stance — the seed is
+      accepted and unused, Spark's shuffle takes none).
+    """
+    for nm, pooled in (("studentTTest", True), ("welchTTest", False)):
+        def ttest_make(args, _pooled=pooled):
+            if len(args) != 2:
+                return None
+            x, idx = args
+            sx = f"CASE WHEN ({idx}) = 0 THEN CAST({x} AS DOUBLE) END"
+            sy = f"CASE WHEN ({idx}) = 1 THEN CAST({x} AS DOUBLE) END"
+            if _pooled:
+                sp2 = (
+                    f"(((count({sx}) - 1) * var_samp({sx}) + "
+                    f"(count({sy}) - 1) * var_samp({sy})) / "
+                    f"(count({sx}) + count({sy}) - 2))"
+                )
+                denom = (
+                    f"sqrt({sp2} * (1.0D / count({sx}) + 1.0D / count({sy})))"
+                )
+            else:
+                denom = (
+                    f"sqrt(var_samp({sx}) / count({sx}) + "
+                    f"var_samp({sy}) / count({sy}))"
+                )
+            return f"((avg({sx}) - avg({sy})) / {denom})"
+
+        chunk = _rewrite_call(chunk, nm, ttest_make)
+
+    # nonNegativeDerivative(m, t) OVER (…) / OVER w — needs the window
+    # text duplicated onto each lag, so it has its own scanner
+    nnd_pat = re.compile(r"\bnonNegativeDerivative\(")
+    m = nnd_pat.search(chunk)
+    while m:
+        a_end = _match_paren(chunk, m.end() - 1)
+        args = _split_top_comma(chunk[m.end() : a_end - 1])
+        tail = chunk[a_end:]
+        ov_m = re.match(r"\s*OVER\s*(\(|\w+)", tail, re.IGNORECASE)
+        if len(args) != 2 or not ov_m:
+            m = nnd_pat.search(chunk, a_end)
+            continue
+        if ov_m.group(1) == "(":
+            ov_end = _match_paren(tail, ov_m.end() - 1)
+            over = tail[: ov_end]
+        else:
+            ov_end = ov_m.end()
+            over = tail[:ov_end]
+        mm, tt = args
+        mv = f"CAST({mm} AS DOUBLE)"
+        tv = f"CAST(unix_timestamp({tt}) AS DOUBLE)"
+        prev_m = f"lag({mv}){over}"
+        prev_t = f"lag({tv}){over}"
+        repl = (
+            f"(CASE WHEN {prev_m} IS NULL THEN CAST(NULL AS DOUBLE) "
+            f"ELSE greatest(0.0D, ({mv} - {prev_m}) / "
+            f"nullif({tv} - {prev_t}, 0.0D)) END)"
+        )
+        chunk = chunk[: m.start()] + repl + chunk[a_end + ov_end:]
+        m = nnd_pat.search(chunk, m.start() + len(repl))
+
+    chunk = _rewrite_call(
+        chunk,
+        "mapUpdate",
+        lambda a: (
+            f"map_from_entries(concat(filter(map_entries({a[0]}), "
+            f"__e -> NOT map_contains_key({a[1]}, __e.key)), "
+            f"map_entries({a[1]})))"
+            if len(a) == 2
+            else None
+        ),
+    )
+    chunk = _rewrite_call(
+        chunk,
+        "isNotDistinctFrom",
+        lambda a: f"(({a[0]}) <=> ({a[1]}))" if len(a) == 2 else None,
+    )
+    chunk = _rewrite_call(
+        chunk,
+        "multiSearchAllPositions",
+        lambda a: (
+            f"transform({a[1]}, __n -> CAST(instr({a[0]}, __n) AS BIGINT))"
+            if len(a) == 2
+            else None
+        ),
+    )
+    chunk = _rewrite_call(
+        chunk,
+        "multiSearchFirstPosition",
+        lambda a: (
+            f"coalesce(array_min(filter(transform({a[1]}, "
+            f"__n -> CAST(instr({a[0]}, __n) AS BIGINT)), __p -> __p > 0)), "
+            f"CAST(0 AS BIGINT))"
+            if len(a) == 2
+            else None
+        ),
+    )
+    chunk = _rewrite_call(
+        chunk,
+        "LpNorm",
+        lambda a: (
+            f"pow(aggregate({a[0]}, 0.0D, (__a, __x) -> "
+            f"__a + pow(abs(CAST(__x AS DOUBLE)), {a[1]})), 1.0D / ({a[1]}))"
+            if len(a) == 2
+            else None
+        ),
+    )
+    for nm, acc in (
+        ("normalizeL1", "__a + abs(CAST(__y AS DOUBLE))"),
+        ("normalizeL2", "__a + CAST(__y AS DOUBLE) * CAST(__y AS DOUBLE)"),
+    ):
+        def norm_make(args, _acc=acc, _l2=(nm == "normalizeL2")):
+            if len(args) != 1:
+                return None
+            v = args[0]
+            total = f"aggregate({v}, 0.0D, (__a, __y) -> {_acc})"
+            if _l2:
+                total = f"sqrt({total})"
+            return f"transform({v}, __x -> CAST(__x AS DOUBLE) / {total})"
+
+        chunk = _rewrite_call(chunk, nm, norm_make)
+
+    chunk = _rewrite_call(
+        chunk,
+        "JSONExtractKeysAndValuesRaw",
+        lambda a: (
+            f"transform(json_object_keys({a[0]}), __k -> "
+            f"struct(__k AS col1, get_json_object({a[0]}, "
+            f"concat('$.', __k)) AS col2))"
+            if len(a) == 1
+            else None
+        ),
+    )
+    _UUID_RE = (
+        "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+        "-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+    )
+    chunk = _rewrite_call(
+        chunk,
+        "toUUIDOrNull",
+        lambda a: (
+            f"(CASE WHEN CAST({a[0]} AS STRING) rlike '{_UUID_RE}' "
+            f"THEN CAST({a[0]} AS STRING) END)"
+            if len(a) == 1
+            else None
+        ),
+    )
+    chunk = _rewrite_call(
+        chunk,
+        "cutQueryStringAndFragment",
+        lambda a: (
+            f"regexp_replace({a[0]}, '[?#].*$', '')" if len(a) == 1 else None
+        ),
+    )
+    chunk = _rewrite_call(
+        chunk,
+        "extractURLParameters",
+        lambda a: (
+            f"filter(split(coalesce(try_parse_url({a[0]}, 'QUERY'), ''), "
+            f"'&'), __p -> __p != '')"
+            if len(a) == 1
+            else None
+        ),
+    )
+    chunk = _rewrite_call(
+        chunk,
+        "extractURLParameterNames",
+        lambda a: (
+            f"transform(filter(split(coalesce(try_parse_url({a[0]}, "
+            f"'QUERY'), ''), '&'), __p -> __p != ''), "
+            f"__p -> element_at(split(__p, '='), 1))"
+            if len(a) == 1
+            else None
+        ),
+    )
+    chunk = re.sub(
+        r"\brand32\(\)", "CAST(floor(rand() * 4294967296) AS BIGINT)", chunk
+    )
+    chunk = re.sub(
+        r"\brand64\(\)",
+        "CAST(floor(rand() * 9223372036854775807) AS BIGINT)",
+        chunk,
+    )
+    chunk = _rewrite_call(
+        chunk,
+        "randBernoulli",
+        lambda a: (
+            f"CAST(CASE WHEN rand() < ({a[0]}) THEN 1 ELSE 0 END AS BIGINT)"
+            if len(a) == 1
+            else None
+        ),
+    )
+    chunk = _rewrite_call(
+        chunk,
+        "randExponential",
+        lambda a: (
+            f"(-ln(1.0D - rand()) / CAST({a[0]} AS DOUBLE))"
+            if len(a) == 1
+            else None
+        ),
+    )
+    chunk = _rewrite_call(
+        chunk,
+        "randLogNormal",
+        lambda a: (
+            f"exp(CAST({a[0]} AS DOUBLE) + CAST({a[1]} AS DOUBLE) * "
+            f"sqrt(-2.0D * ln(1.0D - rand())) * cos(2.0D * pi() * rand()))"
+            if len(a) == 2
+            else None
+        ),
+    )
+
+    # curried: groupArraySample(n[, seed])(x)
+    gas_pat = re.compile(r"\bgroupArraySample\(")
+    m = gas_pat.search(chunk)
+    while m:
+        p_end = _match_paren(chunk, m.end() - 1)
+        if p_end >= len(chunk) or chunk[p_end] != "(":
+            m = gas_pat.search(chunk, p_end)
+            continue
+        x_end = _match_paren(chunk, p_end)
+        head = _split_top_comma(chunk[m.end() : p_end - 1])
+        args = _split_top_comma(chunk[p_end + 1 : x_end - 1])
+        if len(head) not in (1, 2) or len(args) != 1:
+            m = gas_pat.search(chunk, x_end)
+            continue
+        repl = (
+            f"slice(shuffle(collect_list({args[0]})), 1, "
+            f"CAST({head[0]} AS INT))"
+        )
+        chunk = chunk[: m.start()] + repl + chunk[x_end:]
+        m = gas_pat.search(chunk, m.start() + len(repl))
     return chunk
 
 
@@ -5644,6 +5952,35 @@ def _rewrite_batch16_calls(chunk: str) -> str:
 
         return make
 
+    # batch 23: sumMapFiltered([keys])(k, v) — keep only pairs whose key
+    # is in the literal list, then delegate to the sumMap rewrite below
+    # (textual composition: this runs first in the same pass)
+    smf_pat = re.compile(r"\bsumMapFiltered\(")
+    m = smf_pat.search(chunk)
+    while m:
+        p_end = _match_paren(chunk, m.end() - 1)
+        if p_end >= len(chunk) or chunk[p_end] != "(":
+            m = smf_pat.search(chunk, p_end)
+            continue
+        x_end = _match_paren(chunk, p_end)
+        keys = chunk[m.end() : p_end - 1]
+        args = _split_top_comma(chunk[p_end + 1 : x_end - 1])
+        if len(args) != 2:
+            m = smf_pat.search(chunk, x_end)
+            continue
+        k, v = args
+        zipped = (
+            f"filter(zip_with({k}, {v}, (__fk, __fv) -> "
+            f"struct(__fk AS k, __fv AS v)), "
+            f"__fp -> array_contains({keys}, __fp.k))"
+        )
+        repl = (
+            f"sumMap(transform({zipped}, __fp -> __fp.k), "
+            f"transform({zipped}, __fp -> __fp.v))"
+        )
+        chunk = chunk[: m.start()] + repl + chunk[x_end:]
+        m = smf_pat.search(chunk, m.start() + len(repl))
+
     chunk = _rewrite_call(
         chunk, "sumMap", map_agg_make("__a + __q.v", "0")
     )
@@ -6075,6 +6412,7 @@ def _translate_once(sql: str, spark=None, where_aliases: bool = False) -> str:
     chunk = _rewrite_cast_types(chunk)
     chunk = _rewrite_moving_and_maps(chunk)
     chunk = _rewrite_misc_calls(chunk)
+    chunk = _rewrite_batch23_calls(chunk)
     chunk = _rewrite_batch22_calls(chunk)
     chunk = _rewrite_batch21_calls(chunk)
     chunk = _rewrite_batch20_aggs(chunk)

@@ -47,6 +47,26 @@ DELIBERATE_NON_SUPPORT = {
     "blockNumber", "blockSize",
 }
 
+# Implemented as ENGINE OPERATORS (relational.py / events.py — each
+# driver-proven with its own oracle) but NOT as SQL-translatable
+# aggregate names: a faithful single-aggregate-expression form needs
+# global ranks or contingency cells that no scale-safe aggregate
+# expression can compute (the batch-23 docstring in dialect.py).  The
+# t/z tests, which ARE pure-sum expressible, live in the translator.
+OPERATOR_ONLY = {
+    "mannWhitneyUTest": "relational.mann_whitney_u (driver hypothesis_tests)",
+    "kolmogorovSmirnovTest": "relational.ks_test (driver hypothesis_tests)",
+    "rankCorr": "relational.spearman_corr (driver rank_assoc)",
+    "cramersV": "relational.categorical_association (driver cramers_v)",
+    "cramersVBiasCorrected":
+        "relational.categorical_association (driver cramers_v)",
+    "theilsU": "relational.categorical_association (driver cramers_v)",
+    "contingency": "relational.categorical_association (driver cramers_v)",
+    "analysisOfVariance": "relational.anova (driver anova)",
+    "largestTriangleThreeBuckets":
+        "relational.lttb_downsample (driver lttb_downsample)",
+}
+
 # (name, weight) per family — the documented ClickHouse function index.
 FUNCS: dict[str, list[tuple[str, int]]] = {
     "arithmetic": [
@@ -457,6 +477,8 @@ def main() -> int:
         for name, weight in entries:
             if name in DELIBERATE_NON_SUPPORT:
                 status = "non-support (documented)"
+            elif name in OPERATOR_ONLY:
+                status = "operator-only"
             elif in_dialect(name) or probe_rewrites(name):
                 status = "rewritten"
             elif name.lower() in spark_names:
@@ -467,14 +489,21 @@ def main() -> int:
 
     total_w = sum(w for _, _, w, s in rows if "non-support" not in s)
     cov_w = sum(
-        w for _, _, w, s in rows if s in ("rewritten", "pass-through")
+        w
+        for _, _, w, s in rows
+        if s in ("rewritten", "pass-through", "operator-only")
     )
     uncovered = sorted(
         [(f, n, w) for f, n, w, s in rows if s == "UNCOVERED"],
         key=lambda t: (-t[2], t[0], t[1]),
     )
     n_total = sum(1 for r in rows if "non-support" not in r[3])
-    n_cov = sum(1 for r in rows if r[3] in ("rewritten", "pass-through"))
+    n_cov = sum(
+        1
+        for r in rows
+        if r[3] in ("rewritten", "pass-through", "operator-only")
+    )
+    n_op_only = sum(1 for r in rows if r[3] == "operator-only")
 
     lines = [
         "# Dialect coverage report",
@@ -488,10 +517,18 @@ def main() -> int:
         "",
         f"- Names indexed: **{n_total}** "
         f"(+{len(DELIBERATE_NON_SUPPORT)} documented non-support)",
-        f"- Covered: **{n_cov}** ({100.0 * n_cov / n_total:.1f}%)",
+        f"- Covered: **{n_cov}** ({100.0 * n_cov / n_total:.1f}%) — "
+        f"of which {n_op_only} operator-only (engine operator with its "
+        f"own driver oracle; no SQL-aggregate form is scale-safe)",
         f"- Usage-weighted coverage: **{100.0 * cov_w / total_w:.1f}%** "
         f"({cov_w}/{total_w} weight)",
         f"- Uncovered: **{len(uncovered)}**",
+        "",
+        "## Operator-only names",
+        "",
+    ] + [
+        f"- `{n}` → {impl}" for n, impl in sorted(OPERATOR_ONLY.items())
+    ] + [
         "",
         "## Top uncovered by usage weight",
         "",
@@ -508,7 +545,11 @@ def main() -> int:
         fam = [r for r in rows if r[0] == family and "non-support" not in r[3]]
         if not fam:
             continue
-        c = sum(1 for r in fam if r[3] in ("rewritten", "pass-through"))
+        c = sum(
+            1
+            for r in fam
+            if r[3] in ("rewritten", "pass-through", "operator-only")
+        )
         lines.append(
             f"| {family} | {c} | {len(fam)} | {100.0 * c / len(fam):.0f}% |"
         )

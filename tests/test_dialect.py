@@ -3043,3 +3043,130 @@ def test_batch22_typed_dict_get(spark):
     r = df.first()
     assert r.s == "one" and r.f == 2.5 and r.i == 1 and r.missing is None
     assert dict(df.dtypes)["f"] == "double"
+
+
+def test_batch23_ttests(spark):
+    """studentTTest/welchTTest t statistics from pure sums match scipy's
+    hand-derivable two-sample values on a tiny fixture (statistic only,
+    the meanZTest stance)."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql as t
+
+    # sample0 = [1,2,3], sample1 = [2,4,6,8]
+    spark.createDataFrame(
+        [(1.0, 0), (2.0, 0), (3.0, 0), (2.0, 1), (4.0, 1), (6.0, 1), (8.0, 1)],
+        "x double, idx int",
+    ).createOrReplaceTempView("tt23")
+    r = spark.sql(t(
+        "SELECT studentTTest(x, idx) AS st, welchTTest(x, idx) AS wt FROM tt23"
+    )).first()
+    # hand-computed: m0=2, m1=5, s0²=1, s1²=20/3, n0=3, n1=4
+    sp2 = (2 * 1.0 + 3 * (20.0 / 3)) / 5
+    import math
+
+    st = (2.0 - 5.0) / math.sqrt(sp2 * (1 / 3 + 1 / 4))
+    wt = (2.0 - 5.0) / math.sqrt(1.0 / 3 + (20.0 / 3) / 4)
+    assert abs(r.st - st) < 1e-9 and abs(r.wt - wt) < 1e-9
+
+
+def test_batch23_nonnegative_derivative(spark):
+    """nonNegativeDerivative: per-second positive rate over the window,
+    NULL on the first row, negative deltas clamped to 0."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql as t
+
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 10.0), (1, "2024-01-01 00:00:10", 30.0),
+         (1, "2024-01-01 00:00:20", 20.0), (2, "2024-01-01 00:00:00", 5.0)],
+        "u int, ts string, m double",
+    ).selectExpr("u", "CAST(ts AS TIMESTAMP) AS ts", "m").createOrReplaceTempView("nnd23")
+    rows = spark.sql(t(
+        "SELECT u, ts, nonNegativeDerivative(m, ts) "
+        "OVER (PARTITION BY u ORDER BY ts) AS r FROM nnd23 ORDER BY u, ts"
+    )).collect()
+    assert rows[0].r is None and abs(rows[1].r - 2.0) < 1e-9
+    assert rows[2].r == 0.0 and rows[3].r is None
+
+
+def test_batch23_misc_scalars(spark):
+    """mapUpdate collision policy, isNotDistinctFrom NULL semantics,
+    multiSearch positions, Lp norms, JSON key/value pairs, UUID
+    validation, URL tails."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql as t
+
+    r = spark.sql(t(
+        "SELECT "
+        "mapValues(mapUpdate(map('a', 1, 'b', 2), map('b', 9, 'c', 3))) AS mu, "
+        "mapKeys(mapUpdate(map('a', 1, 'b', 2), map('b', 9, 'c', 3))) AS muk, "
+        "isNotDistinctFrom(NULL, NULL) AS ind1, "
+        "isNotDistinctFrom(1, NULL) AS ind2, "
+        "multiSearchAllPositions('hello world', ['wor', 'zz', 'h']) AS map_, "
+        "multiSearchFirstPosition('hello world', ['zz', 'wor']) AS mfp, "
+        "multiSearchFirstPosition('hello', ['zz']) AS mfp0, "
+        "round(LpNorm([3.0, 4.0], 2), 6) AS lp2, "
+        "normalizeL1([1.0, 3.0]) AS n1, "
+        "round(arrayElement(normalizeL2([3.0, 4.0]), 1), 6) AS n2, "
+        "JSONExtractKeysAndValuesRaw('{\"a\": 1, \"b\": \"x\"}') AS kv, "
+        "toUUIDOrNull('123e4567-e89b-12d3-a456-426614174000') AS u1, "
+        "toUUIDOrNull('nope') AS u0, "
+        "cutQueryStringAndFragment('http://x.com/p?a=1#f') AS cut, "
+        "extractURLParameters('http://x.com/p?a=1&b=2') AS ps, "
+        "extractURLParameterNames('http://x.com/p?a=1&b=2') AS pn, "
+        "decodeURLFormComponent('a+b%21') AS dfc"
+    )).first()
+    assert list(r.mu) == [1, 9, 3] and list(r.muk) == ["a", "b", "c"]
+    assert r.ind1 is True and r.ind2 is False
+    assert list(r.map_) == [7, 0, 1]
+    assert r.mfp == 7 and r.mfp0 == 0
+    assert abs(r.lp2 - 5.0) < 1e-9
+    assert [round(x, 6) for x in r.n1] == [0.25, 0.75]
+    assert abs(r.n2 - 0.6) < 1e-9
+    assert [(e.col1, e.col2) for e in r.kv] == [("a", "1"), ("b", "x")]
+    assert r.u1 is not None and r.u0 is None
+    assert r.cut == "http://x.com/p"
+    assert list(r.ps) == ["a=1", "b=2"] and list(r.pn) == ["a", "b"]
+    assert r.dfc == "a b!"
+
+
+def test_batch23_aggregates(spark):
+    """sumMapFiltered key filter, maxIntersectionsPosition argmax sweep,
+    weighted-quantile aliases, groupArraySample size/membership, random
+    generators in range."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql as t
+
+    spark.createDataFrame(
+        [([1, 2, 3], [10.0, 20.0, 30.0]), ([1, 3], [5.0, 5.0])],
+        "k array<int>, v array<double>",
+    ).createOrReplaceTempView("smf23")
+    r = spark.sql(t(
+        "SELECT sumMapFiltered([1, 3])(k, v) AS sm FROM smf23"
+    )).first()
+    assert list(r.sm.col1) == [1, 3] and list(r.sm.col2) == [15.0, 35.0]
+
+    spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 6.0), (3.0, 4.0), (10.0, 11.0)],
+        "s double, e double",
+    ).createOrReplaceTempView("mi23")
+    r = spark.sql(t(
+        "SELECT maxIntersections(s, e) AS mi, "
+        "maxIntersectionsPosition(s, e) AS mp FROM mi23"
+    )).first()
+    assert r.mi == 3 and r.mp == 3.0  # occupancy hits 3 when [3,4) opens
+
+    spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (3.0, 2)], "x double, w int"
+    ).createOrReplaceTempView("qw23")
+    r = spark.sql(t(
+        "SELECT quantileInterpolatedWeighted(0.5)(x, w) AS q FROM qw23"
+    )).first()
+    assert abs(r.q - 2.5) < 1e-9  # expanded multiset [1,2,3,3] median
+
+    spark.createDataFrame(
+        [(i,) for i in range(10)], "x int"
+    ).createOrReplaceTempView("gs23")
+    r = spark.sql(t(
+        "SELECT groupArraySample(4)(x) AS s, "
+        "CAST(floor(rand32() / 4294967296.0) AS INT) AS z32, "
+        "randBernoulli(0.5) AS rb, randExponential(2.0) AS re, "
+        "randLogNormal(0.0, 1.0) AS rl FROM gs23 GROUP BY 'all'"
+    )).first()
+    assert len(r.s) == 4 and set(r.s) <= set(range(10))
+    assert r.z32 == 0 and r.rb in (0, 1) and r.re > 0 and r.rl > 0

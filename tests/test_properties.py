@@ -443,8 +443,32 @@ def ch_expression(draw, depth=0):
     atoms = ["x", "y", "7", "1.5", "NULL"]
     if depth >= 3:
         return draw(st.sampled_from(atoms))
-    kind = draw(st.integers(0, 60))
+    kind = draw(st.integers(0, 66))
     sub = lambda: draw(ch_expression(depth=depth + 1))  # noqa: E731
+    # batch 23 (r7)
+    if kind == 61:
+        return f"toUInt8(isNotDistinctFrom({sub()}, {sub()}))"
+    if kind == 62:
+        return (
+            f"arrayElement(multiSearchAllPositions("
+            f"toString({sub()}), ['1', '7']), 1)"
+        )
+    if kind == 63:
+        return f"round(LpNorm([toFloat64({sub()}), 2.0], 2), 4)"
+    if kind == 64:
+        return (
+            f"arrayElement(mapValues(mapUpdate(map('a', toInt64({sub()})), "
+            f"map('a', 2))), 1)"
+        )
+    if kind == 65:
+        return (
+            f"length(cutQueryStringAndFragment(concat('http://x/',"
+            f"toString({sub()}), '?q=1')))"
+        )
+    if kind == 66:
+        return (
+            f"round(arrayElement(normalizeL2([toFloat64({sub()}), 1.0]), 2), 4)"
+        )
     # batch 22 (r7)
     if kind == 53:
         # toUInt8 wrap: CH multiMatch* return UInt8 (the multiSearchAny
