@@ -3252,6 +3252,61 @@ def q_dialect_batch23_window(spark, d):
     return spark.sql(translate_clickhouse_sql(ch_sql))
 
 
+def q_dialect_batch24(spark, d):
+    """Dialect batch 24 — the -State/-Merge/-ForEach/-OrDefault/
+    -Resample combinator families, exercised in the REAL two-phase
+    shape: the inner query builds per-(type, user) partial states
+    (sumState/countState/avgState/quantileState), the outer MERGES them
+    per type — exactly ClickHouse's AggregatingMergeTree read path.
+    Plus sumForEach (element-wise array sums), sumOrDefault (empty
+    state → type default), sumResample (literal-bucket array
+    aggregates), sumArgMin/ArgMax, groupArrayInsertAt (slot scatter;
+    slot value derived from the position so duplicate writers agree),
+    arrayLastIndex.  avgMerge is compared as floor(x*1e6) — S/n
+    rationals hit exact round-ties (the batch23_window lesson).
+    Oracle: DuckDB single-phase aggregates (merge of partial states ==
+    the direct aggregate, which is the semantic claim) + FILTER sums."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    _t(spark, d, "events").createOrReplaceTempView("b24_ev")
+    ch_sql = (
+        "WITH st AS (SELECT event_type, "
+        "  round(sumMerge(ps), 4) AS sm, "
+        "  countMerge(cs) AS cm, "
+        "  toInt64(floor(avgMerge(avs) * 1000000)) AS am, "
+        "  round(quantileMerge(0.5)(qs), 4) AS qm "
+        "  FROM (SELECT event_type, user_id, "
+        "    sumState(round(value, 2)) AS ps, countState(value) AS cs, "
+        "    avgState(round(value, 2)) AS avs, "
+        "    quantileState(round(value, 2)) AS qs "
+        "    FROM b24_ev GROUP BY event_type, user_id) "
+        "  GROUP BY event_type), "
+        "raw AS (SELECT event_type, "
+        "  round(arrayElement(sumForEach([round(value, 2), 1.0]), 1), 4) "
+        "    AS fe1, "
+        "  round(arrayElement(sumForEach([round(value, 2), 1.0]), 2), 4) "
+        "    AS fe2, "
+        "  sumOrDefault(CASE WHEN value < 0 THEN value END) AS sod, "
+        "  round(arrayElement(sumResample(0, 500, 100)(round(value, 2), "
+        "    value), 1), 4) AS rs1, "
+        "  round(arrayElement(sumResample(0, 500, 100)(round(value, 2), "
+        "    value), 5), 4) AS rs5, "
+        "  round(sumArgMin(round(value, 2), modulo(user_id, 10)), 4) AS sam, "
+        "  round(sumArgMax(round(value, 2), modulo(user_id, 10)), 4) AS sax, "
+        "  arrayStringConcat(arrayMap(__x -> toString(__x), "
+        "    groupArrayInsertAt(toInt64(-1), 5)(toInt64(value) % 5 * 10, "
+        "    toInt64(value) % 5)), ',') AS gia, "
+        "  arrayLastIndex(__x -> __x > 1, [1, toInt64(min(value)), 2, 0]) "
+        "    AS ali "
+        "  FROM b24_ev GROUP BY event_type) "
+        "SELECT st.event_type AS event_type, sm, cm, am, qm, fe1, fe2, "
+        "sod, rs1, rs5, sam, sax, gia, ali "
+        "FROM st JOIN raw ON st.event_type = raw.event_type "
+        "ORDER BY event_type"
+    )
+    return spark.sql(translate_clickhouse_sql(ch_sql))
+
+
 def q_dialect_batch22_aggs(spark, d):
     """Dialect batch 22 (aggregate half): corrMatrix / covarSampMatrix
     (explicit n×n pairwise built-in aggregates) and groupArrayLast
@@ -5158,7 +5213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dialect_batch22": q_dialect_batch22,
         "dialect_batch22_aggs": q_dialect_batch22_aggs,
         "dialect_batch23_window": q_dialect_batch23_window,
-        "cramers_v": q_cramers_v,
+        "dialect_batch24": q_dialect_batch24,
         "stream_near_dedup": q_stream_near_dedup,
         "stream_curation": q_stream_curation,
         "pipeline_e2e": q_pipeline_e2e,
@@ -5172,10 +5227,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------------------------------------------------------------------
         "tpch_q13": q_tpch_q13,
         "tpch_q16": q_tpch_q16,
-        "tpch_q12": q_tpch_q12,
+        "cramers_v": q_cramers_v,
         "asof_join": q_asof_join,
         "tpch_q9": q_tpch_q9,
         "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
         "replacing_final": q_replacing_final,
         "anova": q_anova,
         "knn_accuracy": q_knn_accuracy,
@@ -7342,6 +7398,41 @@ FROM ranked WHERE rk <= 5
             "round(mip.p, 2) AS mip "
             "FROM s JOIN mip ON s.event_type = mip.et "
             "ORDER BY event_type"
+        ),
+        "dialect_batch24": (
+            # merging partial states == the direct aggregate (the
+            # semantic claim of the State/Merge mapping), so the oracle
+            # is the single-phase form; toInt64 truncates (trunc, not
+            # DuckDB's round-half-even CAST)
+            "WITH mm AS (SELECT event_type, min(user_id % 10) AS mn, "
+            "  max(user_id % 10) AS mx FROM events GROUP BY event_type), "
+            "base AS (SELECT e.event_type, "
+            "  round(sum(round(value, 2)), 4) AS sm, "
+            "  count(value)::BIGINT AS cm, "
+            "  floor(avg(round(value, 2)) * 1000000)::BIGINT AS am, "
+            "  round(quantile_cont(round(value, 2), 0.5), 4) AS qm, "
+            "  round(sum(round(value, 2)), 4) AS fe1, "
+            "  round(count(*) * 1.0, 4)::DOUBLE AS fe2, "
+            "  0.0::DOUBLE AS sod, "
+            "  round(sum(round(value, 2)) FILTER (value >= 0 AND value < 100), "
+            "    4) AS rs1, "
+            "  round(sum(round(value, 2)) FILTER (value >= 400 AND value < 500), "
+            "    4) AS rs5, "
+            "  round(sum(round(value, 2)) FILTER (user_id % 10 = mm.mn), 4) "
+            "    AS sam, "
+            "  round(sum(round(value, 2)) FILTER (user_id % 10 = mm.mx), 4) "
+            "    AS sax, "
+            "  concat_ws(',', "
+            + ", ".join(
+                f"CASE WHEN count(*) FILTER (trunc(value)::BIGINT % 5 = {p}) "
+                f"> 0 THEN '{p * 10}' ELSE '-1' END"
+                for p in range(5)
+            )
+            + ") AS gia, "
+            "  3::BIGINT AS ali "
+            "  FROM events e JOIN mm ON e.event_type = mm.event_type "
+            "  GROUP BY e.event_type, mm.mn, mm.mx) "
+            "SELECT * FROM base ORDER BY event_type"
         ),
         "dialect_batch23_window": (
             "SELECT event_id, "

@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "dialect_batch23",
     "dialect_batch23_aggs",
     "dialect_batch23_window",
+    "dialect_batch24",
 ]
 
 

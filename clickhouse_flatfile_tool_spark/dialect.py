@@ -382,6 +382,17 @@ _RENAMES: list[tuple[str, str]] = [
     # for space) variants — exactly CH's *FormComponent pair
     ("encodeURLFormComponent", "url_encode"),
     ("decodeURLFormComponent", "url_decode"),
+    # batch 24: algebraic aggregates ARE their own state (see
+    # _rewrite_batch24_calls docstring); merging count states sums them
+    ("sumState", "sum"),
+    ("sumMerge", "sum"),
+    ("sumSimpleState", "sum"),
+    ("minState", "min"),
+    ("minMerge", "min"),
+    ("maxState", "max"),
+    ("maxMerge", "max"),
+    ("countState", "count"),
+    ("countMerge", "sum"),
     ("JSONArrayLength", "json_array_length"),
     ("mapConcat", "map_concat"),
     # banker's rounding IS Spark's bround
@@ -5021,6 +5032,268 @@ def _rewrite_batch20_calls(chunk: str) -> str:
     return chunk
 
 
+def _rewrite_batch24_calls(chunk: str) -> str:
+    """Round-7 batch 24 — the -State/-Merge/-ForEach/-OrDefault/
+    -Resample combinator families plus the aggregate-argument tail:
+
+    * ``-State``/``-Merge``: ClickHouse's State is an opaque
+      ``AggregateFunction`` binary; the faithful Spark representation
+      is the state's VALUE — algebraic aggregates are their own state
+      (sumState ≡ sum, merging count states sums them), avgState is
+      the (sum, count) struct, quantileState is the collected value
+      list (exact superset of CH's reservoir — exactness only
+      improves).  Reading CH's binary state columns stays out of
+      scope (cross-system wire format); uniqState/uniqMerge keep
+      their real sketch mapping (Spark HLL, in _WRAPS).
+    * ``-ForEach``: element-wise aggregation across array rows —
+      zero-padded zip folds over the collected arrays (per-group
+      O(n·d), the sumMap/topK collected-group stance).
+    * ``-OrDefault``: CH returns the type default (0) on an empty
+      aggregation state → ``coalesce(agg, 0)``.
+    * ``-Resample(start, end, step)(x, key)``: literal bounds only —
+      the bucket count is resolved at translation time and emitted as
+      an explicit ``array(agg(CASE bucket_i)…)`` (scale-safe, no
+      collection); bucket count capped at 64, beyond passes through.
+    * ``sumArgMin/sumArgMax(x, arg)``: single collected fold carrying
+      (best arg, running sum), restarting the sum on a new best.
+    * ``groupArrayInsertAt(def, size)(x, pos)``: scatter into a
+      fixed-size slot array via an index-aware transform fold.
+    * ``arrayLastIndex(λ, arr)``: last matching 1-based position, 0
+      when none (mirror of arrayFirstIndex via reverse).
+    """
+    for nm, agg in (
+        ("sumArgMin", "min"), ("sumArgMax", "max"),
+    ):
+        def arg_make(args, _max=(agg == "max")):
+            if len(args) != 2:
+                return None
+            x, a = args
+            better = ">" if _max else "<"
+            return (
+                f"aggregate(collect_list(struct(CAST({x} AS DOUBLE) AS v, "
+                f"CAST({a} AS DOUBLE) AS a)), "
+                f"named_struct('m', CAST(NULL AS DOUBLE), 's', 0.0D), "
+                f"(__ac, __q) -> CASE "
+                f"WHEN __ac.m IS NULL OR __q.a {better} __ac.m "
+                f"THEN named_struct('m', __q.a, 's', __q.v) "
+                f"WHEN __q.a = __ac.m "
+                f"THEN named_struct('m', __ac.m, 's', __ac.s + __q.v) "
+                f"ELSE __ac END, "
+                f"__ac -> __ac.s)"
+            )
+
+        chunk = _rewrite_call(chunk, nm, arg_make)
+
+    # -ForEach: padded element-wise folds over collected arrays
+    def foreach_make(op):
+        def make(args):
+            if len(args) != 1:
+                return None
+            v = args[0]
+            pad_a = "concat(__ac, array_repeat(__init, greatest(size(__x) - size(__ac), 0)))"
+            pad_x = "concat(__x, array_repeat(__init, greatest(size(__ac) - size(__x), 0)))"
+            if op == "sum":
+                init, comb = "0.0D", "__p + __q"
+            elif op == "min":
+                init, comb = (
+                    "double('Infinity')", "least(__p, __q)"
+                )
+            elif op == "max":
+                init, comb = (
+                    "double('-Infinity')", "greatest(__p, __q)"
+                )
+            else:  # avg: fold (sum, count) pairs, divide at finish
+                pairs = (
+                    f"aggregate(collect_list(transform({v}, "
+                    f"__e -> CAST(__e AS DOUBLE))), "
+                    f"CAST(array() AS ARRAY<STRUCT<s: DOUBLE, c: BIGINT>>), "
+                    f"(__ac, __x) -> zip_with("
+                    f"concat(__ac, array_repeat(named_struct('s', 0.0D, "
+                    f"'c', CAST(0 AS BIGINT)), "
+                    f"greatest(size(__x) - size(__ac), 0))), "
+                    f"concat(transform(__x, __e -> named_struct('s', __e, "
+                    f"'c', CAST(1 AS BIGINT))), "
+                    f"array_repeat(named_struct('s', 0.0D, "
+                    f"'c', CAST(0 AS BIGINT)), "
+                    f"greatest(size(__ac) - size(__x), 0))), "
+                    f"(__p, __q) -> named_struct('s', __p.s + __q.s, "
+                    f"'c', __p.c + __q.c)), "
+                    f"__ac -> transform(__ac, __e -> __e.s / __e.c))"
+                )
+                return pairs
+            body = (
+                f"aggregate(collect_list(transform({v}, "
+                f"__e -> CAST(__e AS DOUBLE))), "
+                f"CAST(array() AS ARRAY<DOUBLE>), "
+                f"(__ac, __x) -> zip_with({pad_a}, {pad_x}, "
+                f"(__p, __q) -> {comb}))"
+            )
+            return body.replace("__init", init)
+
+        return make
+
+    chunk = _rewrite_call(chunk, "sumForEach", foreach_make("sum"))
+    chunk = _rewrite_call(chunk, "minForEach", foreach_make("min"))
+    chunk = _rewrite_call(chunk, "maxForEach", foreach_make("max"))
+    chunk = _rewrite_call(chunk, "avgForEach", foreach_make("avg"))
+
+    for nm, agg in (
+        ("sumOrDefault", "sum"), ("avgOrDefault", "avg"),
+        ("minOrDefault", "min"), ("maxOrDefault", "max"),
+    ):
+        def od_make(args, _agg=agg):
+            if len(args) != 1:
+                return None
+            return f"coalesce({_agg}({args[0]}), 0)"
+
+        chunk = _rewrite_call(chunk, nm, od_make)
+
+    # avgState/avgMerge + quantileState (plain calls)
+    chunk = _rewrite_call(
+        chunk,
+        "avgState",
+        lambda a: (
+            f"named_struct('sum', sum(CAST({a[0]} AS DOUBLE)), "
+            f"'cnt', count({a[0]}))"
+            if len(a) == 1
+            else None
+        ),
+    )
+    chunk = _rewrite_call(
+        chunk,
+        "avgMerge",
+        lambda a: (
+            f"(sum(({a[0]}).sum) / sum(({a[0]}).cnt))"
+            if len(a) == 1
+            else None
+        ),
+    )
+    chunk = _rewrite_call(
+        chunk,
+        "quantileState",
+        lambda a: (
+            f"collect_list(CAST({a[0]} AS DOUBLE))" if len(a) == 1 else None
+        ),
+    )
+
+    # curried: quantileMerge(p)(state) — interpolated quantile over the
+    # flattened merged value lists (percentile's interpolation rule)
+    qm_pat = re.compile(r"\bquantileMerge\(")
+    m = qm_pat.search(chunk)
+    while m:
+        p_end = _match_paren(chunk, m.end() - 1)
+        if p_end >= len(chunk) or chunk[p_end] != "(":
+            m = qm_pat.search(chunk, p_end)
+            continue
+        x_end = _match_paren(chunk, p_end)
+        head = _split_top_comma(chunk[m.end() : p_end - 1])
+        args = _split_top_comma(chunk[p_end + 1 : x_end - 1])
+        if len(head) != 1 or len(args) != 1:
+            m = qm_pat.search(chunk, x_end)
+            continue
+        p, s = head[0], args[0]
+        pick = (
+            f"element_at(__l, CAST(floor((({p})) * (size(__l) - 1)) AS INT) "
+            f"+ 1) * (1.0D - ((({p})) * (size(__l) - 1) "
+            f"- floor((({p})) * (size(__l) - 1)))) "
+            f"+ element_at(__l, least(CAST(floor((({p})) * (size(__l) - 1)) "
+            f"AS INT) + 2, size(__l))) * ((({p})) * (size(__l) - 1) "
+            f"- floor((({p})) * (size(__l) - 1)))"
+        )
+        repl = (
+            f"element_at(transform(array(array_sort(flatten("
+            f"collect_list({s})))), __l -> {pick}), 1)"
+        )
+        chunk = chunk[: m.start()] + repl + chunk[x_end:]
+        m = qm_pat.search(chunk, m.start() + len(repl))
+
+    # curried: <agg>Resample(start, end, step)(x, key) — literal bounds,
+    # explicit per-bucket CASE aggregates (scale-safe, no collection)
+    rs_pat = re.compile(r"\b(sum|count|avg|min|max)Resample\(")
+    m = rs_pat.search(chunk)
+    while m:
+        p_end = _match_paren(chunk, m.end() - 1)
+        if p_end >= len(chunk) or chunk[p_end] != "(":
+            m = rs_pat.search(chunk, p_end)
+            continue
+        x_end = _match_paren(chunk, p_end)
+        head = _split_top_comma(chunk[m.end() : p_end - 1])
+        args = _split_top_comma(chunk[p_end + 1 : x_end - 1])
+        num = r"-?\d+(\.\d+)?"
+        if (
+            len(head) != 3
+            or len(args) != 2
+            or not all(re.fullmatch(num, h.strip()) for h in head)
+        ):
+            m = rs_pat.search(chunk, x_end)
+            continue
+        start, end, step = (float(h) for h in head)
+        agg = m.group(1)
+        if step <= 0 or end <= start:
+            m = rs_pat.search(chunk, x_end)
+            continue
+        import math as _math
+
+        nb = int(_math.ceil((end - start) / step))
+        if nb > 64:
+            m = rs_pat.search(chunk, x_end)
+            continue
+        x, key = args
+        cells = []
+        for b in range(nb):
+            lo = start + b * step
+            hi = min(start + (b + 1) * step, end)
+            cond = f"({key}) >= {lo} AND ({key}) < {hi}"
+            if agg == "count":
+                cells.append(f"count(CASE WHEN {cond} THEN 1 END)")
+            else:
+                cells.append(f"{agg}(CASE WHEN {cond} THEN ({x}) END)")
+        repl = f"array({', '.join(cells)})"
+        chunk = chunk[: m.start()] + repl + chunk[x_end:]
+        m = rs_pat.search(chunk, m.start() + len(repl))
+
+    # curried: groupArrayInsertAt(def, size)(x, pos) — fixed-size slot
+    # scatter via index-aware transform fold (duplicate positions keep
+    # an arbitrary writer, CH's own contract)
+    gia_pat = re.compile(r"\bgroupArrayInsertAt\(")
+    m = gia_pat.search(chunk)
+    while m:
+        p_end = _match_paren(chunk, m.end() - 1)
+        if p_end >= len(chunk) or chunk[p_end] != "(":
+            m = gia_pat.search(chunk, p_end)
+            continue
+        x_end = _match_paren(chunk, p_end)
+        head = _split_top_comma(chunk[m.end() : p_end - 1])
+        args = _split_top_comma(chunk[p_end + 1 : x_end - 1])
+        if len(head) != 2 or len(args) != 2:
+            m = gia_pat.search(chunk, x_end)
+            continue
+        dflt, size = head
+        x, pos = args
+        # per-slot lookup over the collected pairs, not an aggregate()
+        # fold: aggregate demands the merge lambda's return type match
+        # the init EXACTLY (a -1.0 default types as DECIMAL and clashes
+        # with DOUBLE values); coalesce coerces default/value freely
+        repl = (
+            f"element_at(transform(array(collect_list(struct("
+            f"CAST({pos} AS INT) AS p, ({x}) AS v))), "
+            f"__ps -> transform(sequence(0, CAST({size} AS INT) - 1), "
+            f"__i -> coalesce(element_at(transform(filter(__ps, "
+            f"__q -> __q.p = __i), __q -> __q.v), 1), {dflt}))), 1)"
+        )
+        chunk = chunk[: m.start()] + repl + chunk[x_end:]
+        m = gia_pat.search(chunk, m.start() + len(repl))
+
+    chunk = _rewrite_call(chunk, "arrayLastIndex", lambda a: (
+        f"(CASE WHEN array_position(reverse(transform({a[1]}, {a[0]})), "
+        f"true) = 0 THEN CAST(0 AS BIGINT) ELSE size({a[1]}) + 1 "
+        f"- array_position(reverse(transform({a[1]}, {a[0]})), true) END)"
+        if len(a) == 2 and "->" in a[0]
+        else None
+    ))
+    return chunk
+
+
 def _rewrite_batch23_calls(chunk: str) -> str:
     """Round-7 batch 23 (second coverage-closure pass):
 
@@ -6412,6 +6685,7 @@ def _translate_once(sql: str, spark=None, where_aliases: bool = False) -> str:
     chunk = _rewrite_cast_types(chunk)
     chunk = _rewrite_moving_and_maps(chunk)
     chunk = _rewrite_misc_calls(chunk)
+    chunk = _rewrite_batch24_calls(chunk)
     chunk = _rewrite_batch23_calls(chunk)
     chunk = _rewrite_batch22_calls(chunk)
     chunk = _rewrite_batch21_calls(chunk)

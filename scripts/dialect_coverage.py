@@ -462,6 +462,11 @@ def main() -> int:
             f"SELECT {name}(c1, c2, c3) FROM t",
             f"SELECT {name}('k', c1) FROM t",
             f"SELECT {name}(x -> x + 1, c1) FROM t",
+            # curried (parametric-aggregate) forms
+            f"SELECT {name}(1)(c1) FROM t",
+            f"SELECT {name}(0.5)(c1, c2) FROM t",
+            f"SELECT {name}(0, 10, 2)(c1, c2) FROM t",
+            f"SELECT {name}(1, 2)(c1, c2) FROM t",
         ]
         for p in probes:
             try:

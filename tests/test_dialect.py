@@ -3170,3 +3170,69 @@ def test_batch23_aggregates(spark):
     )).first()
     assert len(r.s) == 4 and set(r.s) <= set(range(10))
     assert r.z32 == 0 and r.rb in (0, 1) and r.re > 0 and r.rl > 0
+
+
+def test_batch24_state_merge(spark):
+    """-State/-Merge two-phase: per-key partial states merged equal the
+    direct aggregate (sum/count identity, avg struct, quantile collected
+    list with percentile interpolation)."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql as t
+
+    spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (2, 3.0), (2, 4.0), (2, 5.0)],
+        "k int, v double",
+    ).createOrReplaceTempView("sm24")
+    r = spark.sql(t(
+        "SELECT sumMerge(ps) AS s, countMerge(cs) AS c, "
+        "avgMerge(avs) AS a, quantileMerge(0.5)(qs) AS q "
+        "FROM (SELECT k, sumState(v) AS ps, countState(v) AS cs, "
+        "avgState(v) AS avs, quantileState(v) AS qs FROM sm24 GROUP BY k)"
+    )).first()
+    assert r.s == 15.0 and r.c == 5
+    assert abs(r.a - 3.0) < 1e-9 and abs(r.q - 3.0) < 1e-9
+    # interpolation on an even count
+    r2 = spark.sql(t(
+        "SELECT quantileMerge(0.5)(qs) AS q FROM (SELECT k, "
+        "quantileState(v) AS qs FROM sm24 WHERE v <= 4 GROUP BY k)"
+    )).first()
+    assert abs(r2.q - 2.5) < 1e-9
+
+
+def test_batch24_foreach_resample_argminmax(spark):
+    """-ForEach padded element-wise folds (ragged arrays), -Resample
+    literal buckets, sumArgMin/Max restart-sum folds, -OrDefault,
+    groupArrayInsertAt scatter, arrayLastIndex."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql as t
+
+    spark.createDataFrame(
+        [([1.0, 2.0], 1), ([3.0, 4.0, 5.0], 2)], "a array<double>, k int"
+    ).createOrReplaceTempView("fe24")
+    r = spark.sql(t(
+        "SELECT sumForEach(a) AS s, maxForEach(a) AS mx, "
+        "avgForEach(a) AS av FROM fe24"
+    )).first()
+    assert list(r.s) == [4.0, 6.0, 5.0]
+    assert list(r.mx) == [3.0, 4.0, 5.0]
+    assert list(r.av) == [2.0, 3.0, 5.0]  # position 3 has one member
+
+    spark.createDataFrame(
+        [(0.5, 1.0), (1.5, 2.0), (2.5, 3.0), (7.0, 9.0)],
+        "k double, v double",
+    ).createOrReplaceTempView("rs24")
+    r = spark.sql(t(
+        "SELECT sumResample(0, 4, 2)(v, k) AS sr, "
+        "countResample(0, 4, 2)(v, k) AS cr, "
+        "sumArgMin(v, k) AS sam, sumArgMax(v, k) AS sax, "
+        "sumOrDefault(CASE WHEN v < 0 THEN v END) AS sod, "
+        "groupArrayInsertAt(-1.0, 3)(v, toInt64(k)) AS gia, "
+        "arrayLastIndex(__x -> __x > 1.5, [1.0, 2.0, 3.0, 1.0]) AS ali "
+        "FROM rs24"
+    )).first()
+    assert list(r.sr) == [3.0, 3.0]     # [0,2): 1+2; [2,4): 3; k=7 outside
+    assert list(r.cr) == [2, 1]
+    assert r.sam == 1.0 and r.sax == 9.0
+    assert r.sod == 0
+    # toInt64 truncates k: slots 0<-0.5, 1<-1.5, 2<-2.5 (7.0 -> pos 7 ignored
+    # beyond size... transform guard: only positions < size land)
+    assert list(r.gia) == [1.0, 2.0, 3.0]
+    assert r.ali == 3

@@ -443,8 +443,23 @@ def ch_expression(draw, depth=0):
     atoms = ["x", "y", "7", "1.5", "NULL"]
     if depth >= 3:
         return draw(st.sampled_from(atoms))
-    kind = draw(st.integers(0, 66))
+    kind = draw(st.integers(0, 69))
     sub = lambda: draw(ch_expression(depth=depth + 1))  # noqa: E731
+    # batch 24 (r7) — scalar-safe members (the State/Merge combinators
+    # are aggregates; they get their own execution pytest)
+    if kind == 67:
+        return (
+            f"arrayElement(sumForEach([toFloat64({sub()}), 1.0]), 2)"
+        )
+    if kind == 68:
+        return (
+            f"arrayLastIndex(__z -> __z > 1, [1, toInt64({sub()}), 2])"
+        )
+    if kind == 69:
+        return (
+            f"arrayElement(groupArrayInsertAt(toInt64(-1), 2)("
+            f"toInt64({sub()}), 0), 2)"
+        )
     # batch 23 (r7)
     if kind == 61:
         return f"toUInt8(isNotDistinctFrom({sub()}, {sub()}))"
