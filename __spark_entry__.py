@@ -3252,6 +3252,38 @@ def q_dialect_batch23_window(spark, d):
     return spark.sql(translate_clickhouse_sql(ch_sql))
 
 
+def q_dialect_batch25(spark, d):
+    """Dialect batch 25 (coverage tail): comparison function-call forms,
+    byteSwap (64-bit byte reversal), timezoneOffset (0 under the
+    fixed-UTC session), toRelativeWeekNum (Monday-aligned epoch weeks),
+    multiplyDecimal, toInt128 wide lane, formatReadableDecimalSize,
+    hasTokenOrNull, visibleWidth.  Fixture values are chosen so the
+    %.2f rendering never lands on a rounding tie (Java HALF_UP vs C
+    printf half-even) and byteSwap stays in the positive BIGINT range.
+    Oracle: DuckDB closed forms / printf."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    _t(spark, d, "documents").createOrReplaceTempView("b25_docs")
+    ch_sql = (
+        "SELECT doc_id, "
+        "equals(modulo(doc_id, 3), modulo(doc_id, 5)) AS eq, "
+        "greaterOrEquals(modulo(doc_id, 7), 3) AS ge, "
+        "byteSwap(modulo(doc_id, 128)) AS bs, "
+        "timezoneOffset(toDateTime('2024-06-01 00:00:00')) AS tzo, "
+        "toRelativeWeekNum(addDays(toDate('2020-01-01'), "
+        "  modulo(doc_id, 400))) AS rwn, "
+        "toFloat64(multiplyDecimal(toDecimal64(concat(toString("
+        "  modulo(doc_id, 50)), '.25'), 2), toDecimal64('2.00', 2))) AS md, "
+        "toString(toInt128(toString(doc_id * 1000000007))) AS i128, "
+        "formatReadableDecimalSize(modulo(doc_id, 800) * 1234) AS frd, "
+        "hasTokenOrNull(text, 'the') AS ht, "
+        "hasTokenOrNull(text, 'a b') AS htn, "
+        "visibleWidth(doc_id * 37) AS vw "
+        "FROM b25_docs ORDER BY doc_id"
+    )
+    return spark.sql(translate_clickhouse_sql(ch_sql))
+
+
 def q_dialect_batch24(spark, d):
     """Dialect batch 24 — the -State/-Merge/-ForEach/-OrDefault/
     -Resample combinator families, exercised in the REAL two-phase
@@ -5214,7 +5246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dialect_batch22_aggs": q_dialect_batch22_aggs,
         "dialect_batch23_window": q_dialect_batch23_window,
         "dialect_batch24": q_dialect_batch24,
-        "stream_near_dedup": q_stream_near_dedup,
+        "dialect_batch25": q_dialect_batch25,
         "stream_curation": q_stream_curation,
         "pipeline_e2e": q_pipeline_e2e,
         # ------------------------------------------------------------------
@@ -5228,6 +5260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13": q_tpch_q13,
         "tpch_q16": q_tpch_q16,
         "cramers_v": q_cramers_v,
+        "stream_near_dedup": q_stream_near_dedup,
         "asof_join": q_asof_join,
         "tpch_q9": q_tpch_q9,
         "tpch_q11": q_tpch_q11,
@@ -7398,6 +7431,27 @@ FROM ranked WHERE rk <= 5
             "round(mip.p, 2) AS mip "
             "FROM s JOIN mip ON s.event_type = mip.et "
             "ORDER BY event_type"
+        ),
+        "dialect_batch25": (
+            "SELECT doc_id, "
+            "(doc_id % 3 = doc_id % 5) AS eq, "
+            "(doc_id % 7 >= 3) AS ge, "
+            "((doc_id % 128) * 72057594037927936)::BIGINT AS bs, "
+            "0::BIGINT AS tzo, "
+            "((DATE '2020-01-01' + (doc_id % 400)::INT - "
+            "  DATE '1969-12-29') // 7)::INT AS rwn, "
+            "(((doc_id % 50) + 0.25) * 2.0)::DOUBLE AS md, "
+            "(doc_id * 1000000007)::DECIMAL(38,0)::VARCHAR AS i128, "
+            "printf('%.2f %s', ((doc_id % 800) * 1234) / "
+            "  (CASE WHEN (doc_id % 800) * 1234 >= 1000 THEN 1000.0 "
+            "   ELSE 1.0 END), "
+            "  CASE WHEN (doc_id % 800) * 1234 >= 1000 THEN 'KB' "
+            "   ELSE 'B' END) AS frd, "
+            "list_contains(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), "
+            "  'the') AS ht, "
+            "NULL::BOOLEAN AS htn, "
+            "length((doc_id * 37)::VARCHAR)::INT AS vw "
+            "FROM documents ORDER BY doc_id"
         ),
         "dialect_batch24": (
             # merging partial states == the direct aggregate (the

@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "dialect_batch23_aggs",
     "dialect_batch23_window",
     "dialect_batch24",
+    "dialect_batch25",
 ]
 
 

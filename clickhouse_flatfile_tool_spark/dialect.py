@@ -59,6 +59,12 @@ _WRAPS: list[tuple[str, str, str]] = [
     ("toUInt16", "CAST(", " AS INT)"),
     ("toUInt32", "CAST(", " AS BIGINT)"),
     ("toUInt64", "CAST(", " AS DECIMAL(20,0))"),
+    # batch 25: 128/256-bit integer lanes — DECIMAL(38,0) is Spark's
+    # widest exact integer (CH allows 39/77 digits; documented bound)
+    ("toInt128", "CAST(", " AS DECIMAL(38,0))"),
+    ("toInt256", "CAST(", " AS DECIMAL(38,0))"),
+    ("toUInt128", "CAST(", " AS DECIMAL(38,0))"),
+    ("toUInt256", "CAST(", " AS DECIMAL(38,0))"),
     ("toFloat32", "CAST(", " AS FLOAT)"),
     ("toFloat64", "CAST(", " AS DOUBLE)"),
     ("toString", "CAST(", " AS STRING)"),
@@ -393,6 +399,9 @@ _RENAMES: list[tuple[str, str]] = [
     ("maxMerge", "max"),
     ("countState", "count"),
     ("countMerge", "sum"),
+    # batch 25: Spark typeof() — type NAMES are engine-specific (the
+    # uniq stance); toInt128/256 lanes are in _WRAPS (DECIMAL(38,0))
+    ("toColumnTypeName", "typeof"),
     ("JSONArrayLength", "json_array_length"),
     ("mapConcat", "map_concat"),
     # banker's rounding IS Spark's bround
@@ -491,6 +500,7 @@ _ZERO_ARG: list[tuple[str, str]] = [
     ("timezone()", "current_timezone()"),
     ("serverTimezone()", "current_timezone()"),
     ("now64()", "current_timestamp()"),
+    ("UTCTimestamp()", "current_timestamp()"),  # session TZ is UTC
     # typed empty-array constructors
     ("emptyArrayString()", "CAST(array() AS ARRAY<STRING>)"),
     ("emptyArrayInt8()", "CAST(array() AS ARRAY<TINYINT>)"),
@@ -5032,6 +5042,138 @@ def _rewrite_batch20_calls(chunk: str) -> str:
     return chunk
 
 
+def _rewrite_batch25_calls(chunk: str) -> str:
+    """Round-7 batch 25 — the last easy coverage tail:
+
+    * function-call forms of the comparison operators (``equals(a,b)``
+      …) → the operators themselves;
+    * ``bitRotateRight`` (mirror of the existing left rotate),
+      ``byteSwap`` (64-bit byte reversal via an 8-byte fold — CH swaps
+      at the integer's own width; the 64-bit form is the documented
+      scope);
+    * ``timezoneOffset(t)`` — session zone's UTC offset at t (DST-aware
+      via to_utc_timestamp; 0 under this engine's fixed-UTC session);
+    * ``toRelativeWeekNum`` — Monday-aligned weeks since the epoch week
+      (CH's own docs define the anchor only as "a certain fixed point
+      in the past" — the VALUE is engine-specific, differences are
+      portable; the uniq stance);
+    * ``multiplyDecimal/divideDecimal(a, b[, scale])`` — DECIMAL(38, s)
+      arithmetic (literal scale, default 10; CH allows 76 digits —
+      Spark's 38 is the documented bound);
+    * ``toInt128/256, toUInt128/256`` → DECIMAL(38,0) (same bound);
+    * ``formatReadableDecimalSize`` — the 1000-based sibling of the
+      existing binary formatReadableSize;
+    * ``hasTokenOrNull`` — hasToken, NULL when the needle is not a
+      valid token; ``visibleWidth`` → string length;
+      ``toColumnTypeName`` → ``typeof`` (engine-specific type names).
+    """
+    for nm, op in (
+        ("notEquals", "!="), ("equals", "="),
+        ("lessOrEquals", "<="), ("greaterOrEquals", ">="),
+        ("less", "<"), ("greater", ">"),
+    ):
+        def cmp_make(args, _op=op):
+            if len(args) != 2:
+                return None
+            return f"(({args[0]}) {_op} ({args[1]}))"
+
+        chunk = _rewrite_call(chunk, nm, cmp_make)
+
+    chunk = _rewrite_call(
+        chunk,
+        "bitRotateRight",
+        lambda a: (
+            f"(shiftrightunsigned(CAST(({a[0]}) AS BIGINT), "
+            f"CAST(({a[1]}) AS INT)) | shiftleft(CAST(({a[0]}) AS BIGINT), "
+            f"64 - CAST(({a[1]}) AS INT)))"
+            if len(a) == 2
+            else None
+        ),
+    )
+    chunk = _rewrite_call(
+        chunk,
+        "byteSwap",
+        lambda a: (
+            f"aggregate(sequence(0, 7), CAST(0 AS BIGINT), "
+            f"(__ac, __i) -> __ac | shiftleft("
+            f"shiftrightunsigned(CAST(({a[0]}) AS BIGINT), __i * 8) "
+            f"& CAST(255 AS BIGINT), (7 - __i) * 8))"
+            if len(a) == 1
+            else None
+        ),
+    )
+    chunk = _rewrite_call(
+        chunk,
+        "timezoneOffset",
+        lambda a: (
+            f"(unix_timestamp({a[0]}) - unix_timestamp("
+            f"to_utc_timestamp({a[0]}, current_timezone())))"
+            if len(a) == 1
+            else None
+        ),
+    )
+    chunk = _rewrite_call(
+        chunk,
+        "toRelativeWeekNum",
+        lambda a: (
+            f"CAST(floor(datediff({a[0]}, DATE'1969-12-29') / 7) AS INT)"
+            if len(a) == 1
+            else None
+        ),
+    )
+
+    def dec_arith_make(op):
+        def make(args):
+            if len(args) == 2:
+                s = "10"
+            elif len(args) == 3 and re.fullmatch(r"\d+", args[2].strip()):
+                s = args[2].strip()
+            else:
+                return None
+            return (
+                f"CAST(CAST({args[0]} AS DECIMAL(38, 10)) {op} "
+                f"CAST({args[1]} AS DECIMAL(38, 10)) AS DECIMAL(38, {s}))"
+            )
+
+        return make
+
+    chunk = _rewrite_call(chunk, "multiplyDecimal", dec_arith_make("*"))
+    chunk = _rewrite_call(chunk, "divideDecimal", dec_arith_make("/"))
+
+    def readable_dec_make(args):
+        if len(args) != 1:
+            return None
+        x = f"CAST(({args[0]}) AS DOUBLE)"
+        idx = f"least(floor(log(1000, greatest(abs({x}), 1))), 8)"
+        return (
+            f"format_string('%.2f %s', {x} / pow(1000, {idx}), "
+            f"element_at(array('B', 'KB', 'MB', 'GB', 'TB', 'PB', "
+            f"'EB', 'ZB', 'YB'), CAST({idx} AS INT) + 1))"
+        )
+
+    chunk = _rewrite_call(
+        chunk, "formatReadableDecimalSize", readable_dec_make
+    )
+    chunk = _rewrite_call(
+        chunk,
+        "hasTokenOrNull",
+        lambda a: (
+            f"(CASE WHEN {a[1]} rlike '^[\\\\p{{Alnum}}]+$' THEN "
+            f"array_contains(split({a[0]}, '\\\\P{{Alnum}}+'), {a[1]}) END)"
+            if len(a) == 2
+            else None
+        ),
+    )
+    chunk = _rewrite_call(
+        chunk,
+        "visibleWidth",
+        lambda a: (
+            f"length(CAST({a[0]} AS STRING))" if len(a) == 1 else None
+        ),
+    )
+    return chunk
+
+
 def _rewrite_batch24_calls(chunk: str) -> str:
     """Round-7 batch 24 — the -State/-Merge/-ForEach/-OrDefault/
     -Resample combinator families plus the aggregate-argument tail:
@@ -6685,6 +6827,7 @@ def _translate_once(sql: str, spark=None, where_aliases: bool = False) -> str:
     chunk = _rewrite_cast_types(chunk)
     chunk = _rewrite_moving_and_maps(chunk)
     chunk = _rewrite_misc_calls(chunk)
+    chunk = _rewrite_batch25_calls(chunk)
     chunk = _rewrite_batch24_calls(chunk)
     chunk = _rewrite_batch23_calls(chunk)
     chunk = _rewrite_batch22_calls(chunk)

@@ -3236,3 +3236,43 @@ def test_batch24_foreach_resample_argminmax(spark):
     # beyond size... transform guard: only positions < size land)
     assert list(r.gia) == [1.0, 2.0, 3.0]
     assert r.ali == 3
+
+
+def test_batch25_tail(spark):
+    """Batch 25: comparison function forms, bit rotate right, byteSwap,
+    timezoneOffset (0 under the fixed-UTC session), relative week
+    arithmetic, decimal arithmetic, wide-integer lanes, decimal
+    readable size, hasTokenOrNull, visibleWidth, toColumnTypeName."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql as t
+
+    r = spark.sql(t(
+        "SELECT equals(1, 1) AS e1, notEquals(1, 2) AS ne, "
+        "lessOrEquals(1, 1) AS le, greater(2, 1) AS g, "
+        "bitRotateRight(8, 3) AS brr, bitRotateLeft(1, 3) AS brl, "
+        "byteSwap(1) AS bs, byteSwap(258) AS bs2, "
+        "timezoneOffset(toDateTime('2024-06-01 00:00:00')) AS tzo, "
+        "toRelativeWeekNum(toDate('1970-01-01')) - "
+        "  toRelativeWeekNum(toDate('1969-12-29')) AS rw0, "
+        "toRelativeWeekNum(toDate('1970-01-12')) - "
+        "  toRelativeWeekNum(toDate('1970-01-01')) AS rw2, "
+        "multiplyDecimal(toDecimal64('1.5', 2), toDecimal64('2.5', 2)) AS md, "
+        "divideDecimal(toDecimal64('7.0', 2), toDecimal64('2.0', 2), 3) AS dd, "
+        "toInt128('99999999999999999999') AS i128, "
+        "formatReadableDecimalSize(1500000) AS frd, "
+        "hasTokenOrNull('alpha beta', 'beta') AS ht1, "
+        "hasTokenOrNull('alpha beta', 'be ta') AS ht0, "
+        "visibleWidth(12345) AS vw"
+    )).first()
+    assert r.e1 is True and r.ne is True and r.le is True and r.g is True
+    assert r.brr == 1 and r.brl == 8
+    # byteSwap(1) = 1 << 56; byteSwap(258 = 0x0102) = 0x0201 << 48
+    assert r.bs == 1 << 56 and r.bs2 == (0x0201 << 48)
+    assert r.tzo == 0
+    # Monday-aligned: Jan 1 1970 sits in the anchor's own week (delta 0);
+    # Jan 12 is two Monday boundaries later
+    assert r.rw0 == 0 and r.rw2 == 2
+    assert float(r.md) == 3.75 and float(r.dd) == 3.5
+    assert str(r.i128) == "99999999999999999999"
+    assert r.frd == "1.50 MB"
+    assert r.ht1 is True and r.ht0 is None
+    assert r.vw == 5
