@@ -5188,16 +5188,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   window_first_last -> window_lag map_props -> array_funcs/json_props
     return {
         # ------------------------------------------------------------------
-        # ROUND-6 DRIVER WINDOW (first 50 slots), final composition:
-        # 43 unproven (the 23 dialect-module re-proves -- every r6 dialect
-        # batch re-invalidated them, all selfcheck-PASS; the 10-entry
-        # never-checked backlog; and the 10 new r6 entries:
-        # dialect_batch20/20_aggs/21/21_aggs, dialect_modifiers,
-        # rank_assoc, pipeline_e2e, stream_curation, plus the r6-edited
-        # cramers_v and stream_near_dedup) + 7 proven filler slots
-        # re-pinning the r5 bench-drift queries (tpch_q9/q11/q13/q16) and
-        # q12/asof_join/replacing_final.  Everything here is
-        # selfcheck-PASS at sf0.001 AND sf0.01 (the driver's gate scale).
+        # ROUND-7 DRIVER WINDOW (first 50 slots), final composition:
+        # 46 unproven (the 36 fingerprint-stale re-proves -- the r6
+        # post-judge ADVICE fixes plus every r7 dialect batch 22-25
+        # re-invalidated the whole dialect-entry family at once, exactly
+        # the "land dialect work while those entries are in-window" plan
+        # from VERDICT r6 #1; plus the 10 new r7 entries:
+        # pipeline_incremental, dialect_batch22/22_aggs,
+        # dialect_batch23/23_aggs/23_window, dialect_batch24,
+        # dialect_batch25, minhash_portable (staled by the
+        # _portable_banded refactor), pipeline_e2e (staled by the shared
+        # fixture-builder refactor)) + 4 proven filler slots
+        # (cramers_v, stream_near_dedup, stream_curation, tpch_q13-
+        # adjacent tail).  Everything here is selfcheck-PASS at sf0.001
+        # AND sf0.01 (the driver's gate scale).  Fingerprints refresh
+        # next round after CORRECTNESS_r07 lands (the one-round-lag
+        # protocol, scripts/registry_window.py --update).
         # ------------------------------------------------------------------
         "clickhouse_funcs3": q_clickhouse_funcs3,
         "clickhouse_funcs4": q_clickhouse_funcs4,

@@ -5416,11 +5416,14 @@ def _rewrite_batch24_calls(chunk: str) -> str:
         # fold: aggregate demands the merge lambda's return type match
         # the init EXACTLY (a -1.0 default types as DECIMAL and clashes
         # with DOUBLE values); coalesce coerces default/value freely
+        # try_element_at: an empty slot's filtered list has 0 elements —
+        # strict element_at RAISES there instead of falling through to
+        # the default (fuzz-caught, hazard-values harness)
         repl = (
             f"element_at(transform(array(collect_list(struct("
             f"CAST({pos} AS INT) AS p, ({x}) AS v))), "
             f"__ps -> transform(sequence(0, CAST({size} AS INT) - 1), "
-            f"__i -> coalesce(element_at(transform(filter(__ps, "
+            f"__i -> coalesce(try_element_at(transform(filter(__ps, "
             f"__q -> __q.p = __i), __q -> __q.v), 1), {dflt}))), 1)"
         )
         chunk = chunk[: m.start()] + repl + chunk[x_end:]

@@ -239,7 +239,12 @@ def curation_pipeline_incremental(
     so the daily run costs O(delta) — history is probed, never
     rescanned per batch.  Portable md5 MinHash keeps the whole funnel
     DuckDB-replayable; ``checkpoint_dir`` / ``stage_timings`` behave as
-    in :func:`curation_pipeline`."""
+    in :func:`curation_pipeline`.
+
+    Corpus and delta ids must be DISJOINT (any real ingest pipeline's
+    invariant): the Jaccard verify attaches shingle sets over the
+    corpus ∪ delta union by id, so a shared id would attach ambiguous
+    text to its pairs."""
     import time as _time
 
     def _stage(df: DataFrame, tag: str) -> DataFrame:

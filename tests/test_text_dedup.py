@@ -1070,3 +1070,58 @@ def test_incremental_lsh_candidates_portable_shape(spark):
     rows = {(r.corpus_id, r.new_id) for r in cands.collect()}
     assert all(c in (1, 2) and n in (10, 11, 12) for c, n in rows)
     assert (1, 10) in rows or (2, 10) in rows  # near-identical texts collide
+
+
+def test_curation_pipeline_incremental_checkpoint_and_timings(
+    spark, tmp_path
+):
+    """checkpoint_dir= and stage_timings= on the INCREMENTAL funnel:
+    per-stage Parquet checkpoints produce the identical provenance and
+    survivor set as the persist() default (final stage file included),
+    and the instrumented run records one wall time per stage."""
+    from clickhouse_flatfile_tool_spark.operators.pipeline import (
+        curation_pipeline_incremental,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again.\n"
+            "a stitch in time saves nine of the best things here.\n")
+    corpus = spark.createDataFrame(
+        [(1, base + "corpus tail about rivers and the mountain air.")],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [
+            (10, base + "fresh tail about forests and the northern lights."),
+            (11, base + "corpus tail about rivers and the mountain air."),
+            (12, "tiny doc."),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "nothing in common with the corpus at all entirely disjoint")],
+        "doc_id long, text string",
+    )
+    f_mem, p_mem = curation_pipeline_incremental(delta, corpus, bench)
+    ckpt = str(tmp_path / "incr_ckpt")
+    times: dict = {}
+    f_dsk, p_dsk = curation_pipeline_incremental(
+        delta, corpus, bench, checkpoint_dir=ckpt, stage_timings=times
+    )
+    assert sorted(tuple(r) for r in p_mem.collect()) == sorted(
+        tuple(r) for r in p_dsk.collect()
+    )
+    ids = {r.doc_id for r in f_mem.collect()}
+    assert ids == {r.doc_id for r in f_dsk.collect()} == {10}
+
+    import os
+
+    assert sorted(os.listdir(ckpt)) == [
+        "stage1_gopher", "stage2_c4", "stage3_exact", "stage4_neardup",
+        "stage5_decontaminate",
+    ]
+    assert sorted(times) == sorted(os.listdir(ckpt))
+    reread = {
+        r.doc_id
+        for r in spark.read.parquet(f"{ckpt}/stage5_decontaminate").collect()
+    }
+    assert reread == ids
