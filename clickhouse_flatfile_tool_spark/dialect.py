@@ -488,6 +488,16 @@ _RENAMES: list[tuple[str, str]] = [
     # ilike() as functions too, so plain like/ilike pass through by name
     ("notLike", "NOT like"),
     ("notILike", "NOT ilike"),
+    # batch 26: Spark lpad/rpad are already character-based (UTF-8-aware)
+    ("leftPadUTF8", "lpad"),
+    ("rightPadUTF8", "rpad"),
+    # batch 26: 64-bit digest tail → xxhash64 (the sipHash64/cityHash64
+    # engine-specific-values stance — opaque partition/sample/dedup keys,
+    # never cross-engine parity)
+    ("xxh3", "xxhash64"),
+    ("wyHash64", "xxhash64"),
+    ("farmFingerprint64", "xxhash64"),
+    ("gccMurmurHash", "xxhash64"),
 ]
 
 _ZERO_ARG: list[tuple[str, str]] = [
@@ -515,6 +525,10 @@ _ZERO_ARG: list[tuple[str, str]] = [
     ("emptyArrayFloat64()", "CAST(array() AS ARRAY<DOUBLE>)"),
     ("emptyArrayDate()", "CAST(array() AS ARRAY<DATE>)"),
     ("emptyArrayDateTime()", "CAST(array() AS ARRAY<TIMESTAMP>)"),
+    # batch 26: runtime introspection — engine-specific values by design
+    # (the typeof stance); this engine reports a fixed host/uptime
+    ("hostName()", "'localhost'"),
+    ("uptime()", "CAST(0 AS BIGINT)"),
 ]
 
 
@@ -1277,7 +1291,159 @@ def _rewrite_literal_aware(chunk: str, literals: list[str]) -> str:
     chunk = _rewrite_call(chunk, "timestampDiff", diff_make)
     chunk = _rewrite_call(chunk, "timestamp_diff", diff_make)
     chunk = _rewrite_call(chunk, "tupleElement", tuple_elem_make)
+
+    def array_reduce_in_ranges_make(args):
+        # arrayReduceInRanges('agg', ranges, arr) — one reduce per
+        # (start, length) tuple (1-based; negative starts count from the
+        # end, as Spark slice); reuses the arrayReduce name->fold table
+        if len(args) != 3:
+            return None
+        sliced = (
+            f"slice({args[2]}, CAST(__r.col1 AS INT), CAST(__r.col2 AS INT))"
+        )
+        inner = array_reduce_make([args[0], sliced])
+        if inner is None:
+            return None
+        return f"transform({args[1]}, __r -> {inner})"
+
+    chunk = _rewrite_call(
+        chunk, "arrayReduceInRanges", array_reduce_in_ranges_make
+    )
     chunk = _rewrite_call(chunk, "arrayReduce", array_reduce_make)
+
+    def cut_url_parameter_make(args):
+        # cutURLParameter(url, 'name') — strips name=value and one
+        # adjoining separator; a lone '?p=v' leaves the '?' (CH renders
+        # 'http://x/?' for the last parameter cut)
+        if len(args) != 2:
+            return None
+        name = resolve(args[1])
+        if name is None:
+            return None
+        esc = re.escape(name)
+        # Spark string literals process backslash escapes — double every
+        # regex backslash at the SQL-source level
+        dbl = "\\\\"
+
+        def sqlre(p: str) -> str:
+            return new_lit(p.replace("\\", dbl))
+
+        p1 = sqlre(f"(?<=[?&]){esc}=[^&#]*&")
+        p2 = sqlre(f"&{esc}=[^&#]*")
+        p3 = sqlre(f"(?<=\\?){esc}=[^&#]*")
+        return (
+            f"regexp_replace(regexp_replace(regexp_replace({args[0]}, "
+            f"{p1}, ''), {p2}, ''), {p3}, '')"
+        )
+
+    chunk = _rewrite_call(chunk, "cutURLParameter", cut_url_parameter_make)
+
+    def json_kv_make(args):
+        # JSONExtractKeysAndValues(j, 'T') — top-level (key, value)
+        # tuples via from_json's map reader
+        if len(args) != 2:
+            return None
+        t = resolve(args[1])
+        if t is None:
+            return None
+        spark_t = {
+            "String": "string", "Int8": "bigint", "Int16": "bigint",
+            "Int32": "bigint", "Int64": "bigint", "UInt8": "bigint",
+            "UInt16": "bigint", "UInt32": "bigint", "UInt64": "bigint",
+            "Float32": "double", "Float64": "double", "Bool": "boolean",
+        }.get(t)
+        if spark_t is None:
+            return None
+        schema = new_lit(f"map<string,{spark_t}>")
+        return (
+            f"transform(map_entries(from_json({args[0]}, {schema})), "
+            f"__e -> named_struct('col1', __e.key, 'col2', __e.value))"
+        )
+
+    chunk = _rewrite_call(chunk, "JSONExtractKeysAndValues", json_kv_make)
+
+    def format_row_make(newline: bool):
+        # formatRow('JSONEachRow'|'TSV', x, y, ...) — the two wire
+        # formats this engine itself speaks (sources/files.py); CSV's
+        # quoting rules are format-settings-dependent in CH and stay out
+        # of scope.  Column naming: bare identifiers keep their name,
+        # computed expressions get expr_N (CH names them by expression
+        # text — engine-specific rendering, the typeof stance).
+        def make(args):
+            if len(args) < 2:
+                return None
+            fmt = resolve(args[0])
+            if fmt is None:
+                return None
+            cols = [a.strip() for a in args[1:]]
+            if fmt == "JSONEachRow":
+                pairs = ", ".join(
+                    f"{new_lit(c if re.fullmatch('[A-Za-z_][A-Za-z0-9_]*', c) else f'expr_{i + 1}')}, {c}"
+                    for i, c in enumerate(cols)
+                )
+                body = f"to_json(named_struct({pairs}))"
+            elif fmt in ("TSV", "TabSeparated"):
+                vals = ", ".join(f"CAST({c} AS STRING)" for c in cols)
+                body = (
+                    f"array_join(array({vals}), {new_lit(chr(9))}, "
+                    f"{new_lit(chr(92) * 2 + 'N')})"
+                )
+            else:
+                return None
+            if newline:
+                return f"concat({body}, {new_lit(chr(10))})"
+            return body
+
+        return make
+
+    chunk = _rewrite_call(chunk, "formatRowNoNewline", format_row_make(False))
+    chunk = _rewrite_call(chunk, "formatRow", format_row_make(True))
+
+    def ip_in_range_make(args):
+        # isIPAddressInRange(addr, 'cidr') — the CIDR is a literal (CH's
+        # own call shape), so the masked network/prefix are computed at
+        # translation time with the stdlib ipaddress module; the address
+        # side stays a pure column expression (v4: octet-fold prefix
+        # compare; v6: hex-prefix compare via _ipv6_hex_sql)
+        if len(args) != 2:
+            return None
+        cidr = resolve(args[1])
+        if cidr is None or "/" not in cidr:
+            return None
+        import ipaddress
+
+        try:
+            net = ipaddress.ip_network(cidr, strict=False)
+        except ValueError:
+            return None
+        addr, plen = args[0], net.prefixlen
+        if net.version == 4:
+            base = int(net.network_address) >> (32 - plen) if plen else 0
+            fold = (
+                f"aggregate(split({addr}, '\\\\.'), CAST(0 AS BIGINT), "
+                f"(__a, __o) -> __a * 256 + CAST(__o AS BIGINT))"
+            )
+            return f"(shiftrightunsigned({fold}, {32 - plen}) = {base})"
+        hexfull = "%032x" % int(net.network_address)
+        fulln, rem = plen // 4, plen % 4
+        hexpr = _ipv6_hex_sql(addr)
+        conds = []
+        if fulln:
+            conds.append(
+                f"substring({hexpr}, 1, {fulln}) = '{hexfull[:fulln]}'"
+            )
+        if rem:
+            mask = 15 - ((1 << (4 - rem)) - 1)
+            want = int(hexfull[fulln], 16) & mask
+            conds.append(
+                f"(CAST(conv(substring({hexpr}, {fulln + 1}, 1), 16, 10) "
+                f"AS INT) & {mask}) = {want}"
+            )
+        if not conds:
+            conds = ["({a}) = ({a})".format(a=addr)]
+        return "(" + " AND ".join(conds) + ")"
+
+    chunk = _rewrite_call(chunk, "isIPAddressInRange", ip_in_range_make)
     chunk = _rewrite_call(chunk, "extract", extract_make)
     chunk = _rewrite_sequence_next_node(chunk, resolve)
     chunk = _rewrite_sequence_funcs(chunk, resolve)
@@ -2224,6 +2390,9 @@ def _rewrite_misc_calls(chunk: str) -> str:
     chunk = _rewrite_call(chunk, "toDecimal32", to_decimal_make(9))
     chunk = _rewrite_call(chunk, "toDecimal64", to_decimal_make(18))
     chunk = _rewrite_call(chunk, "toDecimal128", to_decimal_make(38))
+    # batch 26: Decimal256 shares the DECIMAL(38) lane — Spark's widest
+    # (the toInt128/256 documented-bound stance)
+    chunk = _rewrite_call(chunk, "toDecimal256", to_decimal_make(38))
 
     def retention_make(args):
         # CH retention(c1, …, ck): r[0] = OR-over-rows(c1); r[i] =
@@ -5042,6 +5211,624 @@ def _rewrite_batch20_calls(chunk: str) -> str:
     return chunk
 
 
+def _ipv6_hex_sql(s: str) -> str:
+    """32-char lowercase hex of the IPv6 address in string expression
+    ``s``: handles ``::`` compression, dotted-IPv4 tails (and bare dotted
+    quads, which map to ``::ffff:a.b.c.d`` — CH's own conversion), and
+    mixed case.  Best-effort on malformed input (CH throws; this engine
+    yields a zero-padded parse).  Pure built-ins: the let-bindings are
+    single-element transform() closures (the geohashEncode pattern)."""
+    v4 = "substring_index(__s0, ':', -1)"
+    o = [
+        f"CAST(element_at(split({v4}, '\\\\.'), {i}) AS BIGINT)"
+        for i in (1, 2, 3, 4)
+    ]
+    ghi = f"lpad(lower(hex({o[0]} * 256 + {o[1]})), 4, '0')"
+    glo = f"lpad(lower(hex({o[2]} * 256 + {o[3]})), 4, '0')"
+    s2 = (
+        f"IF(__s0 rlike '\\\\.', "
+        f"concat(IF(__s0 rlike ':', "
+        f"substring(__s0, 1, length(__s0) - length({v4})), '::ffff:'), "
+        f"{ghi}, ':', {glo}), __s0)"
+    )
+    lg = (
+        "filter(split(coalesce(try_element_at(split(__s1, '::'), 1), ''), "
+        "':'), __x -> __x != '')"
+    )
+    rg = (
+        "IF(__s1 rlike '::', "
+        "filter(split(coalesce(try_element_at(split(__s1, '::'), 2), ''), "
+        "':'), __x -> __x != ''), CAST(array() AS ARRAY<STRING>))"
+    )
+    full = (
+        f"IF(__s1 rlike '::', concat({lg}, "
+        f"array_repeat('0', 8 - size({lg}) - size({rg})), {rg}), "
+        f"split(__s1, ':'))"
+    )
+    hex32 = (
+        f"array_join(transform({full}, __g -> lpad(lower(__g), 4, '0')), '')"
+    )
+    return (
+        f"element_at(transform(array(lower(trim({s}))), __s0 -> "
+        f"element_at(transform(array({s2}), __s1 -> {hex32}), 1)), 1)"
+    )
+
+
+def _ipv6_text_sql(b: str) -> str:
+    """RFC 5952 canonical text of the 16-byte IPv6 BINARY expression
+    ``b``: per-group zero stripping, first-longest zero run of >= 2
+    groups compressed to ``::``, IPv4-mapped addresses rendered
+    ``::ffff:a.b.c.d`` (CH's own formatter behavior)."""
+    garr = (
+        "transform(sequence(0, 7), __gi -> regexp_replace("
+        "substring(__h6, __gi * 4 + 1, 4), '^0{1,3}', ''))"
+    )
+    runfold = (
+        "aggregate(sequence(0, 7), "
+        "named_struct('cs', -1, 'cl', 0, 'bs', -1, 'bl', 0), "
+        "(__st, __i) -> IF(substring(__h6, __i * 4 + 1, 4) = '0000', "
+        "named_struct("
+        "'cs', IF(__st.cl = 0, __i, __st.cs), "
+        "'cl', __st.cl + 1, "
+        "'bs', IF(__st.cl + 1 > __st.bl, IF(__st.cl = 0, __i, __st.cs), "
+        "__st.bs), "
+        "'bl', greatest(__st.cl + 1, __st.bl)), "
+        "named_struct('cs', -1, 'cl', 0, 'bs', __st.bs, 'bl', __st.bl)))"
+    )
+    compressed = (
+        f"IF(__rf.bl >= 2, concat("
+        f"IF(__rf.bs > 0, array_join(slice({garr}, 1, __rf.bs), ':'), ''), "
+        f"'::', "
+        f"IF(__rf.bs + __rf.bl < 8, array_join(slice({garr}, "
+        f"__rf.bs + __rf.bl + 1, 8 - __rf.bs - __rf.bl), ':'), '')), "
+        f"array_join({garr}, ':'))"
+    )
+    dotted = ", '.', ".join(
+        f"CAST(conv(substring(__h6, {25 + 2 * i}, 2), 16, 10) AS STRING)"
+        for i in range(4)
+    )
+    return (
+        f"element_at(transform(array(lower(hex({b}))), __h6 -> "
+        f"IF(substring(__h6, 1, 24) = '00000000000000000000ffff', "
+        f"concat('::ffff:', {dotted}), "
+        f"element_at(transform(array({runfold}), __rf -> {compressed}), 1)"
+        f")), 1)"
+    )
+
+
+def _rewrite_batch27_calls(chunk: str) -> str:
+    """Round-7 batch 27 — the IPv4/IPv6 completeness tail
+    (DIALECT_COVERAGE.md's weakest family, 36% before this batch).
+
+    Representation: IPv6 values are 16-byte BINARY (CH's
+    FixedString(16)); IPv4 values are the existing BIGINT lane.
+
+    * ``IPv6StringToNum`` / ``toIPv6`` — full text parse (``::``
+      compression, dotted-IPv4 tails, mixed case) via
+      :func:`_ipv6_hex_sql`; best-effort on malformed input (CH
+      throws).
+    * ``IPv6NumToString`` — RFC 5952 canonical printer (first-longest
+      zero-run compression, ``::ffff:`` dotted rendering) via
+      :func:`_ipv6_text_sql`.
+    * ``cutIPv6(b, c6, c4)`` — zeroes the trailing c6 (or, for
+      IPv4-mapped values, c4) bytes and prints the result.
+    * ``IPv6CIDRToRange(b, p)`` — (lo, hi) tuple via nibble-wise prefix
+      masking.
+    * ``IPv4StringToNumOrNull`` — strict dotted-quad gate, else NULL;
+      ``toIPv4`` — alias of IPv4StringToNum; ``IPv4ToIPv6`` — the
+      ``::ffff:`` mapped 16-byte form.
+
+    ``isIPAddressInRange`` lives in the literal-aware pass (its CIDR
+    argument is a string literal at this stage)."""
+    _OCT = "(25[0-5]|2[0-4]\\\\d|1\\\\d\\\\d|[1-9]?\\\\d)"
+
+    chunk = _rewrite_call(
+        chunk,
+        "IPv4StringToNumOrNull",
+        lambda a: (
+            f"IF(({a[0]}) RLIKE '^({_OCT}\\\\.){{3}}{_OCT}$', "
+            f"IPv4StringToNum({a[0]}), CAST(NULL AS BIGINT))"
+            if len(a) == 1
+            else None
+        ),
+    )
+    chunk = _rewrite_call(
+        chunk,
+        "toIPv4",
+        lambda a: f"IPv4StringToNum({a[0]})" if len(a) == 1 else None,
+    )
+    chunk = _rewrite_call(
+        chunk,
+        "IPv4ToIPv6",
+        lambda a: (
+            f"unhex(concat('00000000000000000000ffff', "
+            f"lpad(lower(hex(CAST(({a[0]}) AS BIGINT))), 8, '0')))"
+            if len(a) == 1
+            else None
+        ),
+    )
+
+    def v6_parse_make(args):
+        if len(args) != 1:
+            return None
+        return f"unhex({_ipv6_hex_sql(args[0])})"
+
+    chunk = _rewrite_call(chunk, "IPv6StringToNum", v6_parse_make)
+    chunk = _rewrite_call(chunk, "toIPv6", v6_parse_make)
+
+    def cut_v6_make(args):
+        # cutIPv6 zeroes trailing bytes and RENDERS text (CH returns
+        # String here) — emits IPv6NumToString for the rewrite below
+        if len(args) != 3:
+            return None
+        b, c6, c4 = args
+        cut = (
+            f"IF(substring(lower(hex({b})), 1, 24) = "
+            f"'00000000000000000000ffff', CAST(({c4}) AS INT), "
+            f"CAST(({c6}) AS INT))"
+        )
+        return (
+            f"IPv6NumToString(unhex(concat("
+            f"substring(lower(hex({b})), 1, 32 - {cut} * 2), "
+            f"repeat('0', {cut} * 2))))"
+        )
+
+    chunk = _rewrite_call(chunk, "cutIPv6", cut_v6_make)
+
+    def v6_cidr_make(args):
+        if len(args) != 2:
+            return None
+        b, p = args
+        pl = f"CAST(({p}) AS INT)"
+
+        def nib(hi: bool) -> str:
+            full, mask_op = ("'f'", "|") if hi else ("'0'", "&")
+            part = f"(shiftleft(1, __i * 4 - {pl}) - 1)"
+            mask = part if hi else f"(15 - {part})"
+            return (
+                f"IF(__i * 4 <= {pl}, substring(__h6, __i, 1), "
+                f"IF((__i - 1) * 4 >= {pl}, {full}, "
+                f"substring('0123456789abcdef', (CAST(conv("
+                f"substring(__h6, __i, 1), 16, 10) AS INT) {mask_op} {mask})"
+                f" + 1, 1)))"
+            )
+
+        def lane(hi: bool) -> str:
+            return (
+                f"unhex(array_join(transform(sequence(1, 32), "
+                f"__i -> {nib(hi)}), ''))"
+            )
+
+        return (
+            f"element_at(transform(array(lower(hex({b}))), __h6 -> "
+            f"named_struct('col1', {lane(False)}, 'col2', {lane(True)})), 1)"
+        )
+
+    chunk = _rewrite_call(chunk, "IPv6CIDRToRange", v6_cidr_make)
+
+    chunk = _rewrite_call(
+        chunk,
+        "IPv6NumToString",
+        lambda a: _ipv6_text_sql(a[0]) if len(a) == 1 else None,
+    )
+    return chunk
+
+
+# Lanczos approximation (g=7, 9 coefficients — the public Numerical
+# Recipes / Wikipedia constants) for lgamma/tgamma.  Valid for z >= 0.5
+# (~1e-13 relative); the reflection formula for smaller/negative z is out
+# of scope (documented).  The SAME closed form is mirrored in the DuckDB
+# oracle so the driver hash tests the translation, while pytest checks
+# accuracy against math.lgamma.
+_LANCZOS = (
+    "0.99999999999980993", "676.5203681218851", "-1259.1392167224028",
+    "771.32342877765313", "-176.61502916214059", "12.507343278686905",
+    "-0.13857109526572012", "0.0000099843695780195716",
+    "0.00000015056327351493116",
+)
+
+
+def _lgamma_sql(x: str) -> str:
+    z = f"CAST(({x}) AS DOUBLE)"
+    acc = " + ".join(
+        [_LANCZOS[0]]
+        + [f"{c} / ({z} + {i}.0D)" for i, c in enumerate(_LANCZOS[1:])]
+    )
+    # 0.9189385332046727 = ln(sqrt(2*pi))
+    return (
+        f"(0.9189385332046727D + (({z}) - 0.5D) * ln(({z}) + 6.5D) "
+        f"- (({z}) + 6.5D) + ln({acc}))"
+    )
+
+
+def _erf_sql(x: str) -> str:
+    # Abramowitz & Stegun 7.1.26 rational approximation (|err| < 1.5e-7);
+    # mirrored verbatim in the oracle (accuracy pytest vs math.erf)
+    v = f"CAST(({x}) AS DOUBLE)"
+    t = f"(1.0D / (1.0D + 0.3275911D * abs({v})))"
+    poly = (
+        f"({t} * (0.254829592D + {t} * (-0.284496736D + {t} * "
+        f"(1.421413741D + {t} * (-1.453152027D + {t} * 1.061405429D)))))"
+    )
+    return f"(sign({v}) * (1.0D - {poly} * exp(-({v}) * ({v}))))"
+
+
+_GEO_ALPHA32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _py_geohash(lon: float, lat: float, precision: int) -> str:
+    """Plain-Python geohash encoder (same interval-halving closed form as
+    the geohashEncode SQL rewrite) — used to constant-fold
+    geohashesInBox, whose arguments are literal by CH's own call shape."""
+    nbits = 5 * precision
+    nlon, nlat = (nbits + 1) // 2, nbits // 2
+    lo = min(max(int((lon + 180.0) / 360.0 * (1 << nlon)), 0), (1 << nlon) - 1)
+    la = min(max(int((lat + 90.0) / 180.0 * (1 << nlat)), 0), (1 << nlat) - 1)
+    out = []
+    for c in range(precision):
+        val = 0
+        for j in range(5):
+            i = 5 * c + j
+            if i % 2 == 0:
+                bit = (lo >> (nlon - 1 - i // 2)) & 1
+            else:
+                bit = (la >> (nlat - 1 - (i - 1) // 2)) & 1
+            val = val * 2 + bit
+        out.append(_GEO_ALPHA32[val])
+    return "".join(out)
+
+
+def _rewrite_batch26_calls(chunk: str) -> str:
+    """Round-7 batch 26 — coverage tail past batch 25 (the
+    DIALECT_COVERAGE.md uncovered list, highest-leverage first):
+
+    * ``erf``/``erfc`` — Abramowitz & Stegun 7.1.26 closed form;
+      ``lgamma``/``tgamma`` — Lanczos g=7 (z >= 0.5 scope; tgamma via
+      exp(lgamma), positive arguments).
+    * ``emptyArrayToSingle`` — numeric/date scope (the type default of a
+      string element is not expressible without a type argument).
+    * ``hasSubsequence`` — in-order character scan as a single
+      ``aggregate`` fold over the haystack characters.
+    * ``unbin`` — whole-byte scope ('01000001' -> 'A'); ``bitSlice`` —
+      positive offset/length scope, zero-padded to the byte boundary
+      (composes the bin/unbin machinery).
+    * ``mortonEncode(x, y)`` / ``mortonDecode(2, code)`` — 2-D bit
+      interleave over 32 bit positions (UInt32 lanes; 3-D+ passes
+      through).
+    * ``reinterpretAsUInt64/Int64`` (first 8 bytes, little-endian,
+      single-byte-codepoint scope) and ``reinterpretAsString``
+      (positive values, trailing zero bytes trimmed — CH's contract).
+    * ``pointInEllipses(x, y, x0, y0, a0, b0, ...)`` — OR-chain of the
+      ellipse inequality over the variadic (center, axes) quadruples.
+    * ``tupleToNameValuePairs`` — string-valued pairs via a JSON
+      round-trip (CH keeps the homogeneous value type; documented).
+    * ``untuple(t)`` — struct star-expansion for named operands.
+    * ``geohashesInBox`` — constant-folded at translation time (all five
+      arguments are literal in CH's call shape): the covering grid is
+      enumerated in Python with the same closed form as geohashEncode
+      and emitted as a sorted array literal; grids over 1024 cells pass
+      through (CH itself throws past a size cap).
+    * ``randomString``/``randomPrintableASCII`` (printable-ASCII scope,
+      literal length <= 64, unrolled independent rand() draws),
+      ``randBinomial`` (literal trial count <= 256, unrolled Bernoulli
+      sum), ``randPoisson`` (literal lambda, inverse-CDF on a single
+      uniform via a threshold-array fold), ``randConstant`` — one draw
+      per CALL SITE, constant across rows (keyed on current_timestamp,
+      which Spark fixes at query start).
+    """
+    chunk = _rewrite_call(
+        chunk, "erf", lambda a: _erf_sql(a[0]) if len(a) == 1 else None
+    )
+    chunk = _rewrite_call(
+        chunk,
+        "erfc",
+        lambda a: f"(1.0D - {_erf_sql(a[0])})" if len(a) == 1 else None,
+    )
+    chunk = _rewrite_call(
+        chunk, "lgamma", lambda a: _lgamma_sql(a[0]) if len(a) == 1 else None
+    )
+    chunk = _rewrite_call(
+        chunk,
+        "tgamma",
+        lambda a: f"exp({_lgamma_sql(a[0])})" if len(a) == 1 else None,
+    )
+
+    chunk = _rewrite_call(
+        chunk,
+        "emptyArrayToSingle",
+        lambda a: (
+            f"IF(size({a[0]}) = 0, "
+            f"array(coalesce(try_element_at({a[0]}, 1), 0)), {a[0]})"
+            if len(a) == 1
+            else None
+        ),
+    )
+
+    def has_subseq_make(args):
+        if len(args) != 2:
+            return None
+        h, n = args
+        return (
+            f"(aggregate(split({h}, ''), 0, (__ac, __c) -> "
+            f"IF(__ac < length({n}) AND __c = substring({n}, __ac + 1, 1), "
+            f"__ac + 1, __ac)) = length({n}))"
+        )
+
+    chunk = _rewrite_call(chunk, "hasSubsequence", has_subseq_make)
+    chunk = _rewrite_call(chunk, "hasSubsequenceUTF8", has_subseq_make)
+
+    def unbin_sql(bits: str) -> str:
+        return (
+            f"CASE WHEN length({bits}) >= 8 THEN "
+            f"array_join(transform(sequence(1, "
+            f"CAST(length({bits}) / 8 AS INT)), __i -> "
+            f"char(CAST(conv(substring({bits}, (__i - 1) * 8 + 1, 8), "
+            f"2, 10) AS BIGINT))), '') ELSE '' END"
+        )
+
+    chunk = _rewrite_call(
+        chunk, "unbin", lambda a: unbin_sql(a[0]) if len(a) == 1 else None
+    )
+
+    def bit_slice_make(args):
+        if len(args) != 3:
+            return None
+        s, off, ln = args
+        allbits = (
+            f"array_join(transform(sequence(1, greatest(length({s}), 1)), "
+            f"__i -> lpad(bin(ascii(substring({s}, __i, 1))), 8, '0')), '')"
+        )
+        sliced = (
+            f"substring({allbits}, CAST(({off}) AS INT), "
+            f"CAST(({ln}) AS INT))"
+        )
+        padded = (
+            f"rpad({sliced}, CAST(ceil(length({sliced}) / 8.0) * 8 AS INT), "
+            f"'0')"
+        )
+        return unbin_sql(padded)
+
+    chunk = _rewrite_call(chunk, "bitSlice", bit_slice_make)
+
+    def morton_encode_make(args):
+        if len(args) != 2:
+            return None
+        x = f"CAST(({args[0]}) AS BIGINT)"
+        y = f"CAST(({args[1]}) AS BIGINT)"
+        return (
+            f"aggregate(sequence(0, 31), CAST(0 AS BIGINT), (__ac, __i) -> "
+            f"__ac | shiftleft(shiftrightunsigned({x}, __i) & 1, 2 * __i) "
+            f"| shiftleft(shiftrightunsigned({y}, __i) & 1, 2 * __i + 1))"
+        )
+
+    chunk = _rewrite_call(chunk, "mortonEncode", morton_encode_make)
+
+    def morton_decode_make(args):
+        if len(args) != 2 or args[0].strip() != "2":
+            return None
+        c = f"CAST(({args[1]}) AS BIGINT)"
+        lane = (
+            "aggregate(sequence(0, 31), CAST(0 AS BIGINT), (__ac, __i) -> "
+            "__ac | shiftleft(shiftrightunsigned({c}, 2 * __i + {o}) & 1, "
+            "__i))"
+        )
+        return (
+            f"named_struct('col1', {lane.format(c=c, o=0)}, "
+            f"'col2', {lane.format(c=c, o=1)})"
+        )
+
+    chunk = _rewrite_call(chunk, "mortonDecode", morton_decode_make)
+
+    def reinterp_int_make(args):
+        if len(args) != 1:
+            return None
+        s = args[0]
+        return (
+            f"aggregate(sequence(1, greatest(least(length({s}), 8), 1)), "
+            f"CAST(0 AS BIGINT), (__ac, __i) -> __ac | "
+            f"shiftleft(CAST(ascii(substring({s}, __i, 1)) AS BIGINT) & 255, "
+            f"(__i - 1) * 8))"
+        )
+
+    chunk = _rewrite_call(chunk, "reinterpretAsUInt64", reinterp_int_make)
+    chunk = _rewrite_call(chunk, "reinterpretAsInt64", reinterp_int_make)
+
+    chunk = _rewrite_call(
+        chunk,
+        "reinterpretAsString",
+        lambda a: (
+            f"CASE WHEN CAST(({a[0]}) AS BIGINT) <= 0 THEN '' ELSE "
+            f"array_join(transform(sequence(0, CAST(floor(log2("
+            f"CAST(({a[0]}) AS DOUBLE)) / 8) AS INT)), __i -> "
+            f"char(shiftrightunsigned(CAST(({a[0]}) AS BIGINT), __i * 8) "
+            f"& 255)), '') END"
+            if len(a) == 1
+            else None
+        ),
+    )
+
+    def point_in_ellipses_make(args):
+        if len(args) < 6 or (len(args) - 2) % 4 != 0:
+            return None
+        x = f"CAST(({args[0]}) AS DOUBLE)"
+        y = f"CAST(({args[1]}) AS DOUBLE)"
+        terms = []
+        for k in range(2, len(args), 4):
+            x0, y0, a0, b0 = (f"CAST(({a}) AS DOUBLE)" for a in args[k:k + 4])
+            terms.append(
+                f"(({x} - {x0}) * ({x} - {x0}) / ({a0} * {a0}) + "
+                f"({y} - {y0}) * ({y} - {y0}) / ({b0} * {b0}) <= 1.0D)"
+            )
+        return "(" + " OR ".join(terms) + ")"
+
+    chunk = _rewrite_call(chunk, "pointInEllipses", point_in_ellipses_make)
+
+    chunk = _rewrite_call(
+        chunk,
+        "tupleToNameValuePairs",
+        lambda a: (
+            f"transform(map_entries(from_json(to_json({a[0]}), "
+            f"'map<string,string>')), __e -> "
+            f"named_struct('col1', __e.key, 'col2', __e.value))"
+            if len(a) == 1
+            else None
+        ),
+    )
+
+    chunk = _rewrite_call(
+        chunk,
+        "untuple",
+        lambda a: (
+            f"{a[0].strip()}.*"
+            if len(a) == 1
+            and re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", a[0].strip())
+            else None
+        ),
+    )
+
+    def geohashes_in_box_make(args):
+        if len(args) != 5:
+            return None
+        try:
+            lon1, lat1, lon2, lat2 = (float(a.strip()) for a in args[:4])
+            p = int(args[4].strip())
+        except ValueError:
+            return None
+        if not 1 <= p <= 12 or lon2 < lon1 or lat2 < lat1:
+            return None
+        nbits = 5 * p
+        nlon, nlat = (nbits + 1) // 2, nbits // 2
+        slon, slat = 360.0 / (1 << nlon), 180.0 / (1 << nlat)
+        i0, i1 = int((lon1 + 180.0) / slon), int((lon2 + 180.0) / slon)
+        j0, j1 = int((lat1 + 90.0) / slat), int((lat2 + 90.0) / slat)
+        i1, j1 = min(i1, (1 << nlon) - 1), min(j1, (1 << nlat) - 1)
+        if (i1 - i0 + 1) * (j1 - j0 + 1) > 1024:
+            return None
+        cells = sorted(
+            {
+                _py_geohash(
+                    -180.0 + (i + 0.5) * slon, -90.0 + (j + 0.5) * slat, p
+                )
+                for i in range(i0, i1 + 1)
+                for j in range(j0, j1 + 1)
+            }
+        )
+        return "array(" + ", ".join(f"'{c}'" for c in cells) + ")"
+
+    chunk = _rewrite_call(chunk, "geohashesInBox", geohashes_in_box_make)
+
+    def random_ascii_make(args):
+        if len(args) != 1:
+            return None
+        try:
+            n = int(args[0].strip())
+        except ValueError:
+            return None
+        if not 1 <= n <= 64:
+            return None
+        draws = ", ".join(
+            "char(32 + CAST(floor(rand() * 95) AS INT))" for _ in range(n)
+        )
+        return f"concat({draws})"
+
+    chunk = _rewrite_call(chunk, "randomPrintableASCII", random_ascii_make)
+    chunk = _rewrite_call(chunk, "randomString", random_ascii_make)
+
+    def rand_binomial_make(args):
+        if len(args) != 2:
+            return None
+        try:
+            t = int(args[0].strip())
+        except ValueError:
+            return None
+        if not 1 <= t <= 256:
+            return None
+        p = f"CAST(({args[1]}) AS DOUBLE)"
+        return (
+            "(" + " + ".join(f"IF(rand() < {p}, 1, 0)" for _ in range(t)) + ")"
+        )
+
+    chunk = _rewrite_call(chunk, "randBinomial", rand_binomial_make)
+
+    def rand_poisson_make(args):
+        if len(args) != 1:
+            return None
+        try:
+            lam = float(args[0].strip())
+        except ValueError:
+            return None
+        if not 0 < lam <= 1000:
+            return None
+        import math as _m
+
+        # inverse-CDF thresholds: k = #{j : CDF(j) < u} for one uniform u
+        ts, cdf, pk = [], 0.0, _m.exp(-lam)
+        k = 0
+        while cdf < 1.0 - 1e-12 and k < lam + 12 * _m.sqrt(lam) + 30:
+            cdf += pk
+            ts.append(repr(min(cdf, 1.0)))
+            pk *= lam / (k + 1)
+            k += 1
+        arr = ", ".join(f"{t}D" for t in ts)
+        return (
+            f"aggregate(array({arr}), named_struct('u', rand(), 'k', 0), "
+            f"(__s, __t) -> named_struct('u', __s.u, "
+            f"'k', __s.k + IF(__t < __s.u, 1, 0)), __s -> __s.k)"
+        )
+
+    chunk = _rewrite_call(chunk, "randPoisson", rand_poisson_make)
+
+    # randConstant: one random constant per CALL SITE (distinct sites get
+    # distinct values, all rows share one) — keyed on current_timestamp,
+    # which Spark evaluates once per query
+    site = [0]
+
+    def rand_const_make(args):
+        if len(args) > 1 or (args and args[0].strip() and len(args) != 1):
+            return None
+        site[0] += 1
+        return (
+            f"pmod(xxhash64(CAST(current_timestamp() AS STRING), "
+            f"{site[0]}), 4294967296)"
+        )
+
+    chunk = _rewrite_call(chunk, "randConstant", rand_const_make)
+
+    # sleep/sleepEachRow return 0 in CH; the delay side effect is
+    # deliberately not performed (a per-row sleep is a scale hazard, not
+    # a semantic — same stance as the dropped offset-paged ingest)
+    def sleep_make(args):
+        if len(args) != 1:
+            return None
+        return f"CAST(({args[0]}) * 0 AS INT)"
+
+    chunk = _rewrite_call(chunk, "sleepEachRow", sleep_make)
+    chunk = _rewrite_call(chunk, "sleep", sleep_make)
+
+    # 128-bit digest tail — engine-specific values (the sipHash64 stance),
+    # rendered as the 32-hex-char string CH users feed to hex() anyway
+    chunk = _rewrite_call(
+        chunk,
+        "sipHash128",
+        lambda a: (
+            f"md5(CAST(concat({', '.join(a)}) AS BINARY))"
+            if len(a) >= 1
+            else None
+        ),
+    )
+    chunk = _rewrite_call(
+        chunk,
+        "murmurHash3_128",
+        lambda a: (
+            f"substring(sha2(CAST(concat({', '.join(a)}) AS BINARY), 256), "
+            f"1, 32)"
+            if len(a) >= 1
+            else None
+        ),
+    )
+    return chunk
+
+
 def _rewrite_batch25_calls(chunk: str) -> str:
     """Round-7 batch 25 — the last easy coverage tail:
 
@@ -6830,6 +7617,8 @@ def _translate_once(sql: str, spark=None, where_aliases: bool = False) -> str:
     chunk = _rewrite_cast_types(chunk)
     chunk = _rewrite_moving_and_maps(chunk)
     chunk = _rewrite_misc_calls(chunk)
+    chunk = _rewrite_batch27_calls(chunk)
+    chunk = _rewrite_batch26_calls(chunk)
     chunk = _rewrite_batch25_calls(chunk)
     chunk = _rewrite_batch24_calls(chunk)
     chunk = _rewrite_batch23_calls(chunk)

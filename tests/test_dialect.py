@@ -3276,3 +3276,170 @@ def test_batch25_tail(spark):
     assert r.frd == "1.50 MB"
     assert r.ht1 is True and r.ht0 is None
     assert r.vw == 5
+
+
+def test_batch26_math_specials(spark):
+    """Batch 26: erf/erfc (A&S 7.1.26, |err| < 1.5e-7) and
+    lgamma/tgamma (Lanczos g=7, z >= 0.5) against Python math."""
+    import math
+
+    r = spark.sql(tr(
+        "SELECT erf(0.5) AS e1, erf(-1.2) AS e2, erfc(0.8) AS ec, "
+        "lgamma(4.5) AS lg, lgamma(0.7) AS lg2, "
+        "tgamma(5) AS tg, tgamma(2.5) AS tg2"
+    )).first()
+    assert abs(r.e1 - math.erf(0.5)) < 2e-7
+    assert abs(r.e2 - math.erf(-1.2)) < 2e-7
+    assert abs(r.ec - math.erfc(0.8)) < 2e-7
+    assert abs(r.lg - math.lgamma(4.5)) < 1e-10
+    assert abs(r.lg2 - math.lgamma(0.7)) < 1e-10
+    assert abs(r.tg - 24.0) < 1e-7
+    assert abs(r.tg2 - math.gamma(2.5)) < 1e-10
+
+
+def test_batch26_tail(spark):
+    """Batch 26: array/string/bit/tuple/url/json coverage tail."""
+    r = spark.sql(tr(
+        "SELECT emptyArrayToSingle(emptyArrayInt64()) AS ea, "
+        "emptyArrayToSingle([7, 8]) AS ea2, "
+        "arrayReduceInRanges('sum', [(1, 3), (2, 2)], [1, 2, 3, 4]) AS arr, "
+        "hasSubsequence('garbage', 'arg') AS hs1, "
+        "hasSubsequence('garbage', 'bga') AS hs0, "
+        "unbin('0100000101000010') AS ub, "
+        "bitSlice('Hello', 1, 8) AS bsl, "
+        "mortonEncode(5, 9) AS me, mortonDecode(2, 99).col1 AS mdx, "
+        "reinterpretAsUInt64('AB') AS ri, "
+        "reinterpretAsString(16706) AS rs, "
+        "pointInEllipses(1.0, 1.0, 0.0, 0.0, 2.0, 2.0) AS pe1, "
+        "pointInEllipses(3.0, 3.0, 0.0, 0.0, 1.0, 1.0, 0.5, 0.5, 1.0, 1.0) "
+        "  AS pe0, "
+        "cutURLParameter('http://x/?a=1&b=2&c=3', 'b') AS cu1, "
+        "cutURLParameter('http://x/?a=1', 'a') AS cu2, "
+        "JSONExtractKeysAndValues('{\"a\": 5, \"b\": 7}', 'Int64') AS kv, "
+        "formatRowNoNewline('JSONEachRow', 5) AS frj, "
+        "formatRow('TSV', 5, 'x') AS frt, "
+        "toFloat64(toDecimal256('1.25', 2)) AS d256, "
+        "hostName() AS hn, uptime() AS up, sleep(3) AS sl, "
+        "sipHash128('abc') AS sh, murmurHash3_128('abc') AS mh, "
+        "xxh3('q') = xxHash64('q') AS xx, "
+        "leftPadUTF8('ab', 4, '*') AS lp, rightPadUTF8('ab', 4, '*') AS rp"
+    )).first()
+    # mortonEncode(5, 9): x bits 0,2 -> even lanes 0,4; y bits 0,3 ->
+    # odd lanes 1,7 => 1 + 2 + 16 + 128 = 147
+    assert list(r.ea) == [0] and list(r.ea2) == [7, 8]
+    assert [float(v) for v in r.arr] == [6.0, 5.0]
+    assert r.hs1 is True and r.hs0 is False
+    assert r.ub == "AB" and r.bsl == "H"
+    assert r.me == 147
+    assert r.mdx == sum(((99 >> (2 * i)) & 1) << i for i in range(32))
+    assert r.ri == ord("A") + 256 * ord("B")
+    assert r.rs == "BA"
+    assert r.pe1 is True and r.pe0 is False
+    assert r.cu1 == "http://x/?a=1&c=3" and r.cu2 == "http://x/?"
+    assert [(e.col1, e.col2) for e in r.kv] == [("a", 5), ("b", 7)]
+    assert r.frj == '{"expr_1":5}'
+    assert r.frt == "5\tx\n"
+    assert float(r.d256) == 1.25
+    assert r.hn == "localhost" and r.up == 0 and r.sl == 0
+    assert len(r.sh) == 32 and len(r.mh) == 32 and r.sh != r.mh
+    assert r.xx is True
+    assert r.lp == "**ab" and r.rp == "ab**"
+
+
+def test_batch26_geohashes_in_box(spark):
+    """geohashesInBox constant-folds to the covering cell array and
+    agrees with the engine's own geohashEncode on an interior point."""
+    r = spark.sql(tr(
+        "SELECT geohashesInBox(-1.0, -1.0, 1.0, 1.0, 3) AS cells, "
+        "geohashEncode(0.1, 0.1, 3) AS center, "
+        "geohashEncode(-0.9, -0.9, 3) AS corner"
+    )).first()
+    assert r.center in r.cells and r.corner in r.cells
+    assert list(r.cells) == sorted(set(r.cells))
+
+
+def test_batch26_random_family(spark):
+    """Nondeterministic family: deterministic PROPERTIES only (length,
+    range, per-call-site constancy across rows)."""
+    spark.range(50).createOrReplaceTempView("b26_rows")
+    rows = spark.sql(tr(
+        "SELECT randomPrintableASCII(16) AS ra, randomString(8) AS rs, "
+        "randBinomial(10, 0.5) AS rb, randPoisson(4.0) AS rp, "
+        "randConstant() AS rc1, randConstant() AS rc2 "
+        "FROM b26_rows LIMIT 50"
+    )).collect()
+    import re as _re
+
+    for r in rows:
+        assert len(r.ra) == 16 and _re.fullmatch(r"[ -~]{16}", r.ra)
+        assert len(r.rs) == 8
+        assert 0 <= r.rb <= 10
+        assert r.rp >= 0
+    # one constant per call site, shared by every row
+    assert len({r.rc1 for r in rows}) == 1
+    assert len({r.rc2 for r in rows}) == 1
+    vals = [r.rb for r in rows] + [r.rp for r in rows]
+    assert len(set(vals)) > 1  # actually random, not a constant fold
+
+
+def test_batch27_ipv6_roundtrip(spark):
+    """Batch 27 IPv6: parse/print agree with Python's ipaddress for a
+    spread of forms (:: compression, mixed case, dotted tails, mapped
+    rendering — CH renders ::ffff:a.b.c.d, Python 3.11 does not, so the
+    round-trip compares ADDRESSES, not strings)."""
+    import ipaddress
+
+    cases = [
+        "2001:db8::1", "::1", "::", "1:2:3:4:5:6:7:8", "fe80::1:2",
+        "::ffff:192.168.1.1", "2001:DB8::FF", "1::", "0:1:2:3:4:5:6:7",
+        "1:0:0:1:0:0:0:1", "2001:0:0:1::1", "abcd:ef01:2345:6789::",
+    ]
+    sel = ", ".join(
+        f"hex(IPv6StringToNum('{a}')) AS h{i}, "
+        f"IPv6NumToString(IPv6StringToNum('{a}')) AS s{i}"
+        for i, a in enumerate(cases)
+    )
+    r = spark.sql(tr("SELECT " + sel)).first()
+    for i, a in enumerate(cases):
+        want = int(ipaddress.IPv6Address(a))
+        assert int(r[f"h{i}"], 16) == want, a
+        assert int(ipaddress.IPv6Address(r[f"s{i}"])) == want, a
+    # dotted-quad input maps to ::ffff (CH's own conversion)
+    r = spark.sql(tr(
+        "SELECT IPv6NumToString(IPv6StringToNum('1.2.3.4')) AS m"
+    )).first()
+    assert r.m == "::ffff:1.2.3.4"
+
+
+def test_batch27_ip_tail(spark):
+    """Batch 27: OrNull gate, toIPv4/toIPv6, IPv4ToIPv6, cutIPv6,
+    IPv6CIDRToRange, isIPAddressInRange (v4 + v6, non-nibble prefixes)."""
+    import ipaddress
+
+    net = ipaddress.ip_network("2001:db8::/53")
+    r = spark.sql(tr(
+        "SELECT IPv4StringToNumOrNull('1.2.3.4') AS ok, "
+        "IPv4StringToNumOrNull('1.2.3.999') AS bad, "
+        "IPv4StringToNumOrNull('01.2.3.4') AS zeros, "
+        "toIPv4('255.255.255.255') AS t4, "
+        "hex(IPv4ToIPv6(toIPv4('1.2.3.4'))) AS m6, "
+        "cutIPv6(IPv6StringToNum('2001:db8:1:2:3:4:5:6'), 4, 0) AS cut, "
+        "hex(IPv6CIDRToRange(IPv6StringToNum('2001:db8::1'), 53).col1) "
+        "  AS lo, "
+        "hex(IPv6CIDRToRange(IPv6StringToNum('2001:db8::1'), 53).col2) "
+        "  AS hi, "
+        "isIPAddressInRange('192.168.5.7', '192.168.4.0/22') AS in4, "
+        "isIPAddressInRange('192.168.8.7', '192.168.4.0/22') AS out4, "
+        "isIPAddressInRange('2001:db8:8000::1', '2001:db8:8000::/33') "
+        "  AS in6, "
+        "isIPAddressInRange('2001:db8:4000::1', '2001:db8:8000::/33') "
+        "  AS out6"
+    )).first()
+    assert r.ok == 16909060 and r.bad is None and r.zeros is None
+    assert r.t4 == 4294967295
+    assert r.m6 == "00000000000000000000FFFF01020304"
+    assert r.cut == "2001:db8:1:2:3:4::"
+    assert int(r.lo, 16) == int(net.network_address)
+    assert int(r.hi, 16) == int(net.broadcast_address)
+    assert r.in4 is True and r.out4 is False
+    assert r.in6 is True and r.out6 is False
