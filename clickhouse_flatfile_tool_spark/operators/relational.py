@@ -1486,3 +1486,166 @@ def robust_outliers(
         F.round(mz, 6).alias("mod_z"),
         F.coalesce(F.abs(mz) > k, F.lit(False)).alias("is_outlier"),
     )
+
+
+def information_value(
+    df: DataFrame, cat_col: str, label_col: str
+) -> DataFrame:
+    """Weight-of-evidence / information value of a categorical feature
+    against a binary label — ClickHouse's ``categoricalInformationValue``
+    aggregate (reference surface: whatever ClickHouse evaluates behind the
+    tool's SQL endpoint, server/server.js:817).
+
+    IV = sum over categories of (good_c/G - bad_c/B) * ln((good_c/G) /
+    (bad_c/B)) with good = label 1, bad = label 0; categories where either
+    side is empty are SKIPPED (their WoE is infinite — the standard
+    credit-scoring convention; CH returns inf there, a documented
+    divergence).  Returns one row: (iv, n_categories, n_skipped).
+
+    100 TB design: one groupBy on the category (the only shuffle, usually
+    low-cardinality) then a single tiny aggregate over category rows —
+    never a per-row pass in Python.
+    """
+    lbl = F.col(label_col).cast("double")
+    cats = df.groupBy(cat_col).agg(
+        F.sum(lbl).alias("__good"),
+        F.sum(1 - lbl).alias("__bad"),
+    )
+    tot = cats.agg(
+        F.sum("__good").alias("__g"),
+        F.sum("__bad").alias("__b"),
+        F.count(F.lit(1)).alias("__nc"),
+    )
+    joined = cats.crossJoin(F.broadcast(tot))
+    ok = (F.col("__good") > 0) & (F.col("__bad") > 0)
+    woe = F.log(
+        (F.col("__good") / F.col("__g")) / (F.col("__bad") / F.col("__b"))
+    )
+    term = (F.col("__good") / F.col("__g") - F.col("__bad") / F.col("__b")) * woe
+    return joined.agg(
+        F.sum(F.when(ok, term).otherwise(F.lit(0.0))).alias("iv"),
+        F.max("__nc").cast("long").alias("n_categories"),
+        F.sum(F.when(ok, F.lit(0)).otherwise(F.lit(1)))
+        .cast("long")
+        .alias("n_skipped"),
+    )
+
+
+def _design_moments(
+    df: DataFrame, y_col: str, x_cols: list[str], weight_expr=None
+):
+    """Aggregate the normal-equation moments for y ~ [1, x_cols]: returns
+    (XtX, Xty) as numpy arrays from ONE distributed aggregate pass —
+    (k+1)^2 sums, never a row collect."""
+    import numpy as np
+
+    feats = [F.lit(1.0)] + [F.col(c).cast("double") for c in x_cols]
+    w = weight_expr if weight_expr is not None else F.lit(1.0)
+    y = F.col(y_col).cast("double")
+    aggs = []
+    k = len(feats)
+    for i in range(k):
+        for j in range(i, k):
+            aggs.append(F.sum(w * feats[i] * feats[j]).alias(f"xx_{i}_{j}"))
+        aggs.append(F.sum(w * feats[i] * y).alias(f"xy_{i}"))
+    row = df.agg(*aggs).first()
+    xtx = np.zeros((k, k))
+    xty = np.zeros(k)
+    for i in range(k):
+        for j in range(i, k):
+            xtx[i, j] = xtx[j, i] = row[f"xx_{i}_{j}"]
+        xty[i] = row[f"xy_{i}"]
+    return xtx, xty
+
+
+def linear_regression_fit(
+    df: DataFrame, y_col: str, x_cols: list[str]
+) -> DataFrame:
+    """Ordinary least squares for y ~ x_cols + intercept — the engine's
+    analog of ClickHouse's ``stochasticLinearRegression`` aggregate
+    (reference surface: server/server.js:817).  Deterministic EXACT
+    normal-equation solution instead of CH's seeded SGD — a strict
+    upgrade, the anyHeavy->mode stance: same contract (fitted weights),
+    reproducible values.
+
+    One distributed aggregate computes the (k+1)^2 moments; the tiny
+    symmetric solve happens on the driver (numpy, k is the FEATURE count
+    — never data-sized).  Returns one row: w0 (intercept), w1..wk in
+    x_cols order.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    xtx, xty = _design_moments(df, y_col, x_cols)
+    w = np.linalg.solve(xtx, xty)
+    names = ["w0"] + [f"w{i + 1}" for i in range(len(x_cols))]
+    return spark.createDataFrame(
+        [tuple(float(v) for v in w)], names
+    )
+
+
+def logistic_regression_fit(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    iters: int = 8,
+) -> DataFrame:
+    """Logistic regression via IRLS (Newton-Raphson) — the engine's analog
+    of ClickHouse's ``stochasticLogisticRegression`` aggregate.
+    Deterministic exact-Newton fit instead of CH's seeded SGD (the
+    stochasticLinearRegression stance above).
+
+    Each iteration is ONE distributed aggregate over the data computing
+    the weighted moments X'WX (W = p(1-p)) and the working-response
+    moments; the k+1-dim solve runs on the driver.  ``iters`` Newton steps
+    from w = 0 — quadratic convergence makes 8 plenty for any
+    well-conditioned fit; the iteration count is FIXED (not
+    convergence-tested) so the result is bit-reproducible and the DuckDB
+    oracle can replay the same unrolled schedule.
+
+    100 TB design: iters sequential scans, no shuffle (aggregate-only),
+    driver state is k+1 floats.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    k = len(x_cols) + 1
+    w = np.zeros(k)
+    feats = [F.lit(1.0)] + [F.col(c).cast("double") for c in x_cols]
+    y = F.col(y_col).cast("double")
+    for _ in range(iters):
+        lin = reduce(
+            lambda a, b: a + b,
+            [feats[i] * float(w[i]) for i in range(k)],
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-lin))
+        wt = p * (1 - p)
+        aggs = []
+        for i in range(k):
+            for j in range(i, k):
+                aggs.append(
+                    F.sum(wt * feats[i] * feats[j]).alias(f"h_{i}_{j}")
+                )
+            aggs.append(F.sum(feats[i] * (y - p)).alias(f"g_{i}"))
+        row = df.agg(*aggs).first()
+        hess = np.zeros((k, k))
+        grad = np.zeros(k)
+        for i in range(k):
+            for j in range(i, k):
+                hess[i, j] = hess[j, i] = row[f"h_{i}_{j}"]
+            grad[i] = row[f"g_{i}"]
+        w = w + np.linalg.solve(hess, grad)
+    names = ["w0"] + [f"w{i + 1}" for i in range(len(x_cols))]
+    return spark.createDataFrame([tuple(float(v) for v in w)], names)
+
+
+def ml_predict(df: DataFrame, weights: list[float], x_cols: list[str],
+               kind: str = "linear", out_col: str = "pred") -> DataFrame:
+    """``evalMLMethod`` analog: apply fitted weights [w0, w1..wk] to
+    feature columns — pure codegen arithmetic (+ sigmoid for logistic)."""
+    lin = F.lit(float(weights[0]))
+    for wv, c in zip(weights[1:], x_cols):
+        lin = lin + F.col(c).cast("double") * float(wv)
+    if kind == "logistic":
+        lin = F.lit(1.0) / (F.lit(1.0) + F.exp(-lin))
+    return df.withColumn(out_col, lin)

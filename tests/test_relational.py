@@ -778,3 +778,84 @@ def test_rank_guard_single_action_shape(spark):
     )
     u = mann_whitney_u(df, "g", "v", "a", "b").first()
     assert u.n_a == 100.0 and u.n_b == 100.0
+
+
+def test_information_value(spark):
+    """IV matches the hand-computed WoE sum; empty-side categories are
+    skipped and counted."""
+    import math
+
+    from clickhouse_flatfile_tool_spark.operators import relational as R
+
+    rows = (
+        [("a", 1)] * 30 + [("a", 0)] * 10
+        + [("b", 1)] * 5 + [("b", 0)] * 25
+        + [("c", 1)] * 15 + [("c", 0)] * 15
+        + [("d", 1)] * 3  # bad side empty -> skipped
+    )
+    df = spark.createDataFrame(rows, ["cat", "label"])
+    r = R.information_value(df, "cat", "label").first()
+    G, B = 53.0, 50.0
+    want = sum(
+        (g / G - b / B) * math.log((g / G) / (b / B))
+        for g, b in [(30, 10), (5, 25), (15, 15)]
+    )
+    assert abs(r.iv - want) < 1e-12
+    assert r.n_categories == 4 and r.n_skipped == 1
+
+
+def test_linear_regression_fit(spark):
+    """Exact OLS: matches numpy.linalg.lstsq on a noisy 2-feature fit."""
+    import random
+
+    import numpy as np
+
+    from clickhouse_flatfile_tool_spark.operators import relational as R
+
+    rng = random.Random(3)
+    rows = []
+    for _ in range(500):
+        x1, x2 = rng.uniform(-3, 3), rng.uniform(0, 10)
+        y = 2.5 - 1.25 * x1 + 0.75 * x2 + rng.gauss(0, 0.3)
+        rows.append((float(y), float(x1), float(x2)))
+    df = spark.createDataFrame(rows, ["y", "x1", "x2"])
+    r = R.linear_regression_fit(df, "y", ["x1", "x2"]).first()
+    A = np.array([[1.0, x1, x2] for _, x1, x2 in rows])
+    yv = np.array([y for y, _, _ in rows])
+    ref, *_ = np.linalg.lstsq(A, yv, rcond=None)
+    assert abs(r.w0 - ref[0]) < 1e-8
+    assert abs(r.w1 - ref[1]) < 1e-8
+    assert abs(r.w2 - ref[2]) < 1e-8
+    pred = R.ml_predict(df, [r.w0, r.w1, r.w2], ["x1", "x2"]).first()
+    assert abs(pred.pred - (r.w0 + r.w1 * pred.x1 + r.w2 * pred.x2)) < 1e-12
+
+
+def test_logistic_regression_fit(spark):
+    """IRLS matches an offline numpy Newton replay with the same fixed
+    iteration schedule, and recovers the generating direction."""
+    import math
+    import random
+
+    import numpy as np
+
+    from clickhouse_flatfile_tool_spark.operators import relational as R
+
+    rng = random.Random(5)
+    rows = []
+    for _ in range(600):
+        x = rng.uniform(-4, 4)
+        p = 1.0 / (1.0 + math.exp(-(0.5 + 1.5 * x)))
+        rows.append((1 if rng.random() < p else 0, float(x)))
+    df = spark.createDataFrame(rows, ["y", "x"])
+    r = R.logistic_regression_fit(df, "y", ["x"], iters=8).first()
+    X = np.array([[1.0, x] for _, x in rows])
+    yv = np.array([y for y, _ in rows], dtype=float)
+    w = np.zeros(2)
+    for _ in range(8):
+        p = 1.0 / (1.0 + np.exp(-X @ w))
+        wt = p * (1 - p)
+        H = X.T @ (X * wt[:, None])
+        g = X.T @ (yv - p)
+        w = w + np.linalg.solve(H, g)
+    assert abs(r.w0 - w[0]) < 1e-8 and abs(r.w1 - w[1]) < 1e-8
+    assert 1.0 < r.w1 < 2.0 and 0.0 < r.w0 < 1.0

@@ -195,3 +195,45 @@ def test_c4_rules_line_and_page_gates(spark):
     assert not got[3].r_no_brace and not got[3].c4_pass
     assert got[3].n_lines_kept == 3          # the brace line itself drops
     assert not got[4].r_no_lorem and not got[4].c4_pass
+
+
+def test_string_similarity_vs_duckdb(spark):
+    """Differential: jaro / jaro_winkler / (full) damerau_levenshtein
+    match DuckDB's natives on random pairs plus the textbook cases —
+    the same natives the driver oracle runs."""
+    import random
+
+    import duckdb
+
+    from clickhouse_flatfile_tool_spark.operators import text as T
+
+    rng = random.Random(7)
+    alpha = "abcdeXY"
+    pairs = [
+        ("MARTHA", "MARHTA"), ("DWAYNE", "DUANE"), ("DIXON", "DICKSONX"),
+        ("CA", "ABC"), ("ab", "ba"), ("kitten", "sitting"),
+        ("same", "same"), ("", "x"), ("x", ""),
+    ] + [
+        (
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 12))),
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 12))),
+        )
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    got = {
+        (r.a, r.b): (r.sim_jaro, r.sim_jaro_winkler,
+                     r.sim_damerau_levenshtein)
+        for r in T.string_similarity(df, "a", "b").collect()
+    }
+    con = duckdb.connect()
+    for a, b in pairs:
+        j, jw, dl = con.execute(
+            "SELECT jaro_similarity(?, ?), jaro_winkler_similarity(?, ?), "
+            "damerau_levenshtein(?, ?)",
+            [a, b, a, b, a, b],
+        ).fetchone()
+        gj, gjw, gdl = got[(a, b)]
+        assert abs(gj - j) < 1e-12, (a, b, gj, j)
+        assert abs(gjw - jw) < 1e-12, (a, b, gjw, jw)
+        assert gdl == dl, (a, b, gdl, dl)
