@@ -5171,6 +5171,238 @@ def q_csv_quoted(spark, d):
     )
 
 
+def q_dialect_batch26(spark, d):
+    """Dialect batch 26 (coverage tail past batch 25): erf/lgamma closed
+    forms (the SAME formula is mirrored in the DuckDB oracle — the hash
+    tests the translation; pytest tests accuracy vs math.erf/lgamma),
+    emptyArrayToSingle, arrayReduceInRanges, hasSubsequence, unbin,
+    bitSlice, morton encode/decode, reinterpret casts, pointInEllipses,
+    geohashesInBox (constant-folded; the expected array is pinned and
+    cross-checked against the proven geohashEncode in pytest),
+    deterministic PROPERTIES of the random family, toDecimal256,
+    cutURLParameter, JSONExtractKeysAndValues, formatRow, pads,
+    hostName/uptime/sleep, digest lanes."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    _t(spark, d, "documents").createOrReplaceTempView("b26_docs")
+    ch_sql = (
+        "SELECT doc_id, "
+        "toInt64(floor(erf(toFloat64(modulo(doc_id, 13)) / 3.0 - 2.0) "
+        "  * 1000000)) "
+        "  AS erf6, "
+        "toInt64(floor(lgamma(modulo(doc_id, 10) + 1.5) * 1000000)) AS lg6, "
+        "arrayStringConcat(arrayMap(__x -> toString(__x), "
+        "  emptyArrayToSingle(if(modulo(doc_id, 3) = 0, emptyArrayInt64(), "
+        "  [toInt64(doc_id)]))), ',') AS eas, "
+        "toInt64(arrayElement(arrayReduceInRanges('sum', [(1, 2), (2, 3)], "
+        "  [modulo(doc_id, 5), 1, 2, 3]), 1)) AS arr1, "
+        "toInt64(arrayElement(arrayReduceInRanges('sum', [(1, 2), (2, 3)], "
+        "  [modulo(doc_id, 5), 1, 2, 3]), 2)) AS arr2, "
+        "hasSubsequence(text, 'the') AS hs, "
+        "unbin(arrayElement(['01000001', '0100001001000011'], "
+        "  toInt32(modulo(doc_id, 2) + 1))) AS ub, "
+        "bitSlice('Spark', 9, 16) AS bsl, "
+        "mortonEncode(modulo(doc_id, 256), modulo(doc_id, 77)) AS me, "
+        "tupleElement(mortonDecode(2, modulo(doc_id * 37, 1024)), 1) AS mdx, "
+        "tupleElement(mortonDecode(2, modulo(doc_id * 37, 1024)), 2) AS mdy, "
+        "reinterpretAsUInt64(substring('abcdefgh', modulo(doc_id, 5) + 1, 3)) "
+        "  AS ri, "
+        "reinterpretAsString(65 + modulo(doc_id, 26)) AS rs, "
+        "pointInEllipses(modulo(doc_id, 10), modulo(doc_id, 7), "
+        "  5, 3, 4, 3) AS pe, "
+        "arrayStringConcat(geohashesInBox(-0.5, -0.5, 0.5, 0.5, 3), ',') "
+        "  AS gh, "
+        "length(randomPrintableASCII(12)) AS rlen, "
+        "randBinomial(8, 0.5) BETWEEN 0 AND 8 AS rb_ok, "
+        "randPoisson(3.0) >= 0 AS rp_ok, "
+        "randConstant() >= 0 AS rc_ok, "
+        "toFloat64(toDecimal256(concat(toString(modulo(doc_id, 9)), '.5'), "
+        "  1)) AS d256, "
+        "cutURLParameter(concat('http://ex.com/?a=', toString(doc_id), "
+        "  '&b=2&c=3'), 'b') AS cu, "
+        "arrayStringConcat(arrayMap(__e -> concat(tupleElement(__e, 1), "
+        "  '=', toString(tupleElement(__e, 2))), JSONExtractKeysAndValues("
+        "  concat('{\"k', toString(modulo(doc_id, 3)), '\":', "
+        "  toString(doc_id), '}'), 'Int64')), ',') AS kv, "
+        "formatRowNoNewline('JSONEachRow', doc_id) AS frj, "
+        "formatRow('TSV', doc_id, 'zz') AS frt, "
+        "leftPadUTF8(toString(doc_id), 6, '0') AS lp, "
+        "length(sipHash128(text)) AS shl, "
+        "sipHash128(text) != murmurHash3_128(text) AS hne, "
+        "xxh3(text) = xxHash64(text) AS xx, "
+        "hostName() AS hn, uptime() AS up, sleep(1) AS sl "
+        "FROM b26_docs ORDER BY doc_id"
+    )
+    return spark.sql(translate_clickhouse_sql(ch_sql))
+
+
+# batch-27 IPv6 fixture addresses and their Python-ipaddress-derived
+# expected values (hex form, RFC 5952 canonical text with CH's
+# ::ffff dotted rendering, 6/2-byte cut, /53 CIDR bounds, /32 membership)
+_B27_ADDRS = [
+    "2001:db8::1", "::1", "1:2:3:4:5:6:7:8", "fe80::1:2",
+    "::ffff:192.168.1.1", "2001:0:0:1::1", "1:0:0:1:0:0:0:1",
+    "abcd:ef01:2345:6789::",
+]
+_B27_HEX = [
+    "20010DB8000000000000000000000001", "00000000000000000000000000000001",
+    "00010002000300040005000600070008", "FE800000000000000000000000010002",
+    "00000000000000000000FFFFC0A80101", "20010000000000010000000000000001",
+    "00010000000000010000000000000001", "ABCDEF01234567890000000000000000",
+]
+_B27_CANON = [
+    "2001:db8::1", "::1", "1:2:3:4:5:6:7:8", "fe80::1:2",
+    "::ffff:192.168.1.1", "2001:0:0:1::1", "1:0:0:1::1",
+    "abcd:ef01:2345:6789::",
+]
+_B27_CUT = [
+    "2001:db8::", "::", "1:2:3:4:5::", "fe80::", "::ffff:192.168.0.0",
+    "2001:0:0:1::", "1:0:0:1::", "abcd:ef01:2345:6789::",
+]
+_B27_LO = [
+    "20010DB8000000000000000000000000", "00000000000000000000000000000000",
+    "00010002000300000000000000000000", "FE800000000000000000000000000000",
+    "00000000000000000000000000000000", "20010000000000000000000000000000",
+    "00010000000000000000000000000000", "ABCDEF01234560000000000000000000",
+]
+_B27_HI = [
+    "20010DB8000007FFFFFFFFFFFFFFFFFF", "00000000000007FFFFFFFFFFFFFFFFFF",
+    "00010002000307FFFFFFFFFFFFFFFFFF", "FE800000000007FFFFFFFFFFFFFFFFFF",
+    "00000000000007FFFFFFFFFFFFFFFFFF", "20010000000007FFFFFFFFFFFFFFFFFF",
+    "00010000000007FFFFFFFFFFFFFFFFFF", "ABCDEF01234567FFFFFFFFFFFFFFFFFF",
+]
+_B27_INR = [
+    "TRUE", "FALSE", "FALSE", "FALSE", "FALSE", "FALSE", "FALSE", "FALSE",
+]
+
+
+def q_dialect_batch27(spark, d):
+    """Dialect batch 27 — the IPv4/IPv6 completeness family: text parse
+    (:: compression, dotted tails), RFC 5952 canonical printer, cutIPv6,
+    CIDR ranges, membership tests, OrNull gates, mapped conversion.
+    Oracle: the Python-ipaddress-derived constants above, indexed per
+    row (the literal-expected pattern: the oracle STATES the truth; the
+    engine must parse/print its way to it)."""
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+
+    _t(spark, d, "documents").createOrReplaceTempView("b27_docs")
+    arr = "[" + ", ".join(f"'{a}'" for a in _B27_ADDRS) + "]"
+    a = f"arrayElement({arr}, toInt32(modulo(doc_id, 8) + 1))"
+    v4 = (
+        "concat(toString(modulo(doc_id, 256)), '.', "
+        "toString(modulo(doc_id * 7, 256)), '.0.', "
+        "toString(modulo(doc_id, 100)))"
+    )
+    ch_sql = (
+        "SELECT doc_id, "
+        f"hex(IPv6StringToNum({a})) AS h6, "
+        f"IPv6NumToString(IPv6StringToNum({a})) AS s6, "
+        f"cutIPv6(IPv6StringToNum({a}), 6, 2) AS cut6, "
+        f"hex(tupleElement(IPv6CIDRToRange(IPv6StringToNum({a}), 53), 1)) "
+        "  AS lo6, "
+        f"hex(tupleElement(IPv6CIDRToRange(IPv6StringToNum({a}), 53), 2)) "
+        "  AS hi6, "
+        f"isIPAddressInRange({a}, '2001:db8::/32') AS inr6, "
+        f"IPv4StringToNumOrNull({v4}) AS v4n, "
+        "IPv4StringToNumOrNull(concat('300.1.1.', "
+        "  toString(modulo(doc_id, 5)))) AS v4bad, "
+        f"toIPv4({v4}) AS t4, "
+        f"hex(IPv4ToIPv6(toIPv4({v4}))) AS m6, "
+        f"isIPAddressInRange({v4}, '10.0.0.0/8') AS inr4 "
+        "FROM b27_docs ORDER BY doc_id"
+    )
+    return spark.sql(translate_clickhouse_sql(ch_sql))
+
+
+def q_text_similarity(spark, d):
+    """jaroSimilarity / jaroWinklerSimilarity / damerauLevenshteinDistance
+    as the string_similarity operator (text.py) over overlapping
+    document-text windows — oracled against DuckDB's NATIVE
+    jaro_similarity / jaro_winkler_similarity / damerau_levenshtein
+    (semantics pinned: integer transposition halving, 0.7 Winkler boost
+    threshold, full unrestricted Damerau)."""
+    docs = _t(spark, d, "documents")
+    pairs = docs.select(
+        "doc_id",
+        F.lower(F.substring("text", 1, 12)).alias("a"),
+        F.lower(F.substring("text", 5, 12)).alias("b"),
+    )
+    out = text.string_similarity(pairs, "a", "b")
+    return out.select(
+        "doc_id",
+        F.round("sim_jaro", 6).alias("jaro"),
+        F.round("sim_jaro_winkler", 6).alias("jw"),
+        F.col("sim_damerau_levenshtein").alias("dl"),
+    ).orderBy("doc_id")
+
+
+def q_ml_aggregates(spark, d):
+    """categoricalInformationValue + stochasticLinearRegression +
+    stochasticLogisticRegression analogs (relational.py): exact
+    WoE/IV, exact OLS, fixed-schedule IRLS.  The label is a
+    deterministic hash-threshold function of user_id (logistic-ish in
+    x = user_id % 10, never separable), so DuckDB can replay it
+    bit-for-bit; the logistic oracle replays the SAME 5 unrolled Newton
+    steps in chained CTEs."""
+    ev = (
+        _t(spark, d, "events")
+        .filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            F.col("value").cast("double").alias("value"),
+            F.pmod("user_id", F.lit(10)).cast("double").alias("x"),
+            (
+                F.pmod(F.col("user_id") * 2654435761, F.lit(1000))
+                < 300 + 40 * F.pmod("user_id", F.lit(10))
+            ).cast("int").alias("lbl"),
+            "event_type",
+        )
+    )
+    iv = relational.information_value(ev, "event_type", "lbl")
+    lin = relational.linear_regression_fit(ev, "value", ["x"])
+    logi = relational.logistic_regression_fit(ev, "lbl", ["x"], iters=5)
+    return (
+        iv.crossJoin(F.broadcast(lin.select(
+            F.col("w0").alias("lin_w0"), F.col("w1").alias("lin_w1"))))
+        .crossJoin(F.broadcast(logi.select(
+            F.col("w0").alias("log_w0"), F.col("w1").alias("log_w1"))))
+        .select(
+            F.round("iv", 6).alias("iv"),
+            "n_categories",
+            "n_skipped",
+            F.round("lin_w0", 5).alias("lin_w0"),
+            F.round("lin_w1", 5).alias("lin_w1"),
+            F.round("log_w0", 5).alias("log_w0"),
+            F.round("log_w1", 5).alias("log_w1"),
+        )
+    )
+
+
+def q_dict_hierarchy(spark, d):
+    """dictGetHierarchy / dictIsIn over a hierarchical dictionary built
+    from nation (child = n_nationkey, parent = n_nationkey DIV 2; 0 is
+    CH's stop sentinel), probed per customer key.  The chain walk is a
+    pure-JVM map-literal fold (relational.dict_hierarchy — the bounded
+    broadcast-dict stance); oracle: DuckDB WITH RECURSIVE replay of the
+    same walk."""
+    nat = _t(spark, d, "nation").select(
+        F.col("n_nationkey").alias("child"),
+        F.expr("n_nationkey DIV 2").alias("parent"),
+    )
+    cust = _t(spark, d, "customer").select(
+        "c_custkey", F.pmod("c_custkey", F.lit(25)).alias("k")
+    )
+    out = relational.dict_hierarchy(
+        cust, nat, "k", "child", "parent", ancestor=1
+    )
+    return out.select(
+        "c_custkey",
+        F.array_join(
+            F.transform("hierarchy", lambda x: x.cast("string")), ","
+        ).alias("hier"),
+        F.col("hierarchy_isin").alias("isin"),
+    ).orderBy("c_custkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the correctness driver checks the FIRST 50
     # entries per round.  Entries ROTATE each round: unproven (no green
@@ -5240,10 +5472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dialect_batch21": q_dialect_batch21,
         "dialect_batch21_aggs": q_dialect_batch21_aggs,
         "rank_assoc": q_rank_assoc,
-        "c4_rules": q_c4_rules,
         "dict_sql": q_dict_sql,
-        "exactsubstr_dedup": q_exactsubstr_dedup,
-        "mad_outliers": q_mad_outliers,
         "pipeline_incremental": q_pipeline_incremental,
         "dialect_batch23": q_dialect_batch23,
         "dialect_batch23_aggs": q_dialect_batch23_aggs,
@@ -5253,7 +5482,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dialect_batch23_window": q_dialect_batch23_window,
         "dialect_batch24": q_dialect_batch24,
         "dialect_batch25": q_dialect_batch25,
-        "stream_curation": q_stream_curation,
+        "dialect_batch26": q_dialect_batch26,
+        "dialect_batch27": q_dialect_batch27,
+        "text_similarity": q_text_similarity,
+        "ml_aggregates": q_ml_aggregates,
         "pipeline_e2e": q_pipeline_e2e,
         # ------------------------------------------------------------------
         # tail: proven green in CORRECTNESS_r01-r05; order immaterial
@@ -5267,6 +5499,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16": q_tpch_q16,
         "cramers_v": q_cramers_v,
         "stream_near_dedup": q_stream_near_dedup,
+        # r7 mid-round rotation: c4_rules / exactsubstr_dedup /
+        # mad_outliers / stream_curation (all r6-proven, untouched by any
+        # r7 edit) moved to the tail to free window slots for the four
+        # new r7 entries (dialect_batch26/27, text_similarity,
+        # ml_aggregates)
+        "c4_rules": q_c4_rules,
+        "exactsubstr_dedup": q_exactsubstr_dedup,
+        "mad_outliers": q_mad_outliers,
+        "stream_curation": q_stream_curation,
+        # new in late r7, DEFERRED past the (full) r7 window — rotates
+        # into the r8 window first (registry_window.py DEFERRED set)
+        "dict_hierarchy": q_dict_hierarchy,
         "asof_join": q_asof_join,
         "tpch_q9": q_tpch_q9,
         "tpch_q11": q_tpch_q11,
@@ -5776,6 +6020,72 @@ SELECT doc_id,
         + ord(substr(hx, 4, 1))::BIGINT) AS checksum
 FROM h
 """
+
+
+def _erf_duck(x: str) -> str:
+    """DuckDB mirror of dialect._erf_sql — IDENTICAL formula and op
+    order (A&S 7.1.26), so the driver hash tests the translation while
+    pytest tests accuracy against math.erf."""
+    v = f"CAST(({x}) AS DOUBLE)"
+    t = f"(1.0 / (1.0 + 0.3275911 * abs({v})))"
+    poly = (
+        f"({t} * (0.254829592 + {t} * (-0.284496736 + {t} * "
+        f"(1.421413741 + {t} * (-1.453152027 + {t} * 1.061405429)))))"
+    )
+    return f"(sign({v}) * (1.0 - {poly} * exp(-({v}) * ({v}))))"
+
+
+def _lgamma_duck(x: str) -> str:
+    """DuckDB mirror of dialect._lgamma_sql (Lanczos g=7)."""
+    cs = (
+        "0.99999999999980993", "676.5203681218851", "-1259.1392167224028",
+        "771.32342877765313", "-176.61502916214059", "12.507343278686905",
+        "-0.13857109526572012", "0.0000099843695780195716",
+        "0.00000015056327351493116",
+    )
+    z = f"CAST(({x}) AS DOUBLE)"
+    acc = " + ".join(
+        [cs[0]] + [f"{c} / ({z} + {i}.0)" for i, c in enumerate(cs[1:])]
+    )
+    return (
+        f"(0.9189385332046727 + (({z}) - 0.5) * ln(({z}) + 6.5) "
+        f"- (({z}) + 6.5) + ln({acc}))"
+    )
+
+
+def _morton_duck() -> tuple[str, str, str]:
+    """DuckDB closed forms for the batch-26 morton columns."""
+    me = " + ".join(
+        [f"(((doc_id % 256) >> {i}) & 1) * {1 << (2 * i)}" for i in range(8)]
+        + [f"(((doc_id % 77) >> {i}) & 1) * {1 << (2 * i + 1)}" for i in range(7)]
+    )
+    c = "((doc_id * 37) % 1024)"
+    mdx = " + ".join(f"((({c}) >> {2 * i}) & 1) * {1 << i}" for i in range(5))
+    mdy = " + ".join(
+        f"((({c}) >> {2 * i + 1}) & 1) * {1 << i}" for i in range(5)
+    )
+    return me, mdx, mdy
+
+
+def _logistic_duck_cte(n_iters: int = 8) -> str:
+    """Unrolled IRLS replay for the ml_aggregates oracle: the SAME fixed
+    8-step Newton schedule relational.logistic_regression_fit runs, as
+    chained DuckDB CTEs (2x2 solve in closed form)."""
+    p = "(1.0 / (1.0 + exp(-(w0 + w1 * x))))"
+    parts = ["it0 AS (SELECT 0.0 AS w0, 0.0 AS w1)"]
+    for k in range(1, n_iters + 1):
+        parts.append(
+            f"it{k} AS (SELECT "
+            "w0 + (sxx * g0 - sx * g1) / (s1 * sxx - sx * sx) AS w0, "
+            "w1 + (s1 * g1 - sx * g0) / (s1 * sxx - sx * sx) AS w1 "
+            "FROM (SELECT max(w0) AS w0, max(w1) AS w1, "
+            "sum(wt) AS s1, sum(wt * x) AS sx, sum(wt * x * x) AS sxx, "
+            "sum(y - p) AS g0, sum((y - p) * x) AS g1 "
+            f"FROM (SELECT x, y, w0, w1, {p} AS p, "
+            f"{p} * (1.0 - {p}) AS wt "
+            f"FROM mld, it{k - 1})))"
+        )
+    return ", ".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7458,6 +7768,122 @@ FROM ranked WHERE rk <= 5
             "NULL::BOOLEAN AS htn, "
             "length((doc_id * 37)::VARCHAR)::INT AS vw "
             "FROM documents ORDER BY doc_id"
+        ),
+        "dialect_batch26": (
+            "SELECT doc_id, "
+            f"floor({_erf_duck('(doc_id % 13) / 3.0 - 2.0')} * 1000000)"
+            "::BIGINT AS erf6, "
+            f"floor({_lgamma_duck('(doc_id % 10) + 1.5')} * 1000000)"
+            "::BIGINT AS lg6, "
+            "CASE WHEN doc_id % 3 = 0 THEN '0' ELSE doc_id::VARCHAR END "
+            "  AS eas, "
+            "(doc_id % 5 + 1)::BIGINT AS arr1, 6::BIGINT AS arr2, "
+            "regexp_matches(text, 't.*h.*e', 's') AS hs, "
+            "list_extract(['A', 'BC'], (doc_id % 2) + 1) AS ub, "
+            "'pa' AS bsl, "
+            f"({_morton_duck()[0]})::BIGINT AS me, "
+            f"({_morton_duck()[1]})::BIGINT AS mdx, "
+            f"({_morton_duck()[2]})::BIGINT AS mdy, "
+            "(ascii(substr('abcdefgh', (doc_id % 5)::INT + 1, 1)) "
+            " + 256 * ascii(substr('abcdefgh', (doc_id % 5)::INT + 2, 1)) "
+            " + 65536 * ascii(substr('abcdefgh', (doc_id % 5)::INT + 3, 1))"
+            ")::BIGINT AS ri, "
+            "chr(65 + (doc_id % 26)::INT) AS rs, "
+            "(((doc_id % 10) - 5.0) * ((doc_id % 10) - 5.0) / 16.0 "
+            " + ((doc_id % 7) - 3.0) * ((doc_id % 7) - 3.0) / 9.0 <= 1.0) "
+            "  AS pe, "
+            "'7zz,ebp,kpb,s00' AS gh, "
+            "12::INT AS rlen, TRUE AS rb_ok, TRUE AS rp_ok, TRUE AS rc_ok, "
+            "((doc_id % 9) + 0.5)::DOUBLE AS d256, "
+            "'http://ex.com/?a=' || doc_id::VARCHAR || '&c=3' AS cu, "
+            "'k' || (doc_id % 3)::VARCHAR || '=' || doc_id::VARCHAR AS kv, "
+            "'{\"doc_id\":' || doc_id::VARCHAR || '}' AS frj, "
+            "doc_id::VARCHAR || chr(9) || 'zz' || chr(10) AS frt, "
+            "lpad(doc_id::VARCHAR, 6, '0') AS lp, "
+            "32::INT AS shl, TRUE AS hne, TRUE AS xx, "
+            "'localhost' AS hn, 0::BIGINT AS up, 0::INT AS sl "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "dialect_batch27": (
+            "SELECT doc_id, "
+            + "".join(
+                "list_extract(["
+                + ", ".join(vals)
+                + f"], (doc_id % 8) + 1) AS {alias}, "
+                for alias, vals in [
+                    ("h6", [f"'{v}'" for v in _B27_HEX]),
+                    ("s6", [f"'{v}'" for v in _B27_CANON]),
+                    ("cut6", [f"'{v}'" for v in _B27_CUT]),
+                    ("lo6", [f"'{v}'" for v in _B27_LO]),
+                    ("hi6", [f"'{v}'" for v in _B27_HI]),
+                    ("inr6", list(_B27_INR)),
+                ]
+            )
+            + "((doc_id % 256) * 16777216 + ((doc_id * 7) % 256) * 65536 "
+            "  + (doc_id % 100))::BIGINT AS v4n, "
+            "NULL::BIGINT AS v4bad, "
+            "((doc_id % 256) * 16777216 + ((doc_id * 7) % 256) * 65536 "
+            "  + (doc_id % 100))::BIGINT AS t4, "
+            "'00000000000000000000FFFF' || upper(lpad(to_hex("
+            "  (doc_id % 256) * 16777216 + ((doc_id * 7) % 256) * 65536 "
+            "  + (doc_id % 100)), 8, '0')) AS m6, "
+            "((doc_id % 256) = 10) AS inr4 "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "dict_hierarchy": (
+            "WITH RECURSIVE "
+            "hdict AS (SELECT n_nationkey AS child, n_nationkey // 2 AS "
+            "  parent FROM nation), "
+            "hkeys AS (SELECT c_custkey, c_custkey % 25 AS k "
+            "  FROM customer), "
+            "walk(c_custkey, cur, chain, depth) AS ("
+            "  SELECT hkeys.c_custkey, d.parent, [hkeys.k], 1 "
+            "  FROM hkeys LEFT JOIN hdict d ON d.child = hkeys.k "
+            "  UNION ALL "
+            "  SELECT w.c_custkey, d.parent, list_append(w.chain, w.cur), "
+            "  w.depth + 1 FROM walk w LEFT JOIN hdict d ON d.child = w.cur "
+            "  WHERE w.cur IS NOT NULL AND w.cur > 0 AND w.depth < 32), "
+            "sel AS (SELECT c_custkey, chain FROM ("
+            "  SELECT c_custkey, chain, row_number() OVER ("
+            "  PARTITION BY c_custkey ORDER BY depth DESC) AS rn FROM walk) "
+            "  WHERE rn = 1) "
+            "SELECT c_custkey, array_to_string(list_transform(chain, "
+            "  __x -> __x::VARCHAR), ',') AS hier, "
+            "list_contains(chain, 1) AS isin "
+            "FROM sel ORDER BY c_custkey"
+        ),
+        "text_similarity": (
+            "SELECT doc_id, "
+            "round(jaro_similarity(lower(substr(text, 1, 12)), "
+            "  lower(substr(text, 5, 12))), 6) AS jaro, "
+            "round(jaro_winkler_similarity(lower(substr(text, 1, 12)), "
+            "  lower(substr(text, 5, 12))), 6) AS jw, "
+            "damerau_levenshtein(lower(substr(text, 1, 12)), "
+            "  lower(substr(text, 5, 12)))::BIGINT AS dl "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "ml_aggregates": (
+            "WITH mlb AS (SELECT event_type, value, "
+            "  (user_id % 10)::DOUBLE AS x, "
+            "  CASE WHEN (user_id * 2654435761) % 1000 < "
+            "  300 + 40 * (user_id % 10) THEN 1 ELSE 0 END AS lbl "
+            "  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL), "
+            "mld AS (SELECT x, lbl::DOUBLE AS y FROM mlb), "
+            "cats AS (SELECT event_type, sum(lbl)::DOUBLE AS g, "
+            "  sum(1 - lbl)::DOUBLE AS b FROM mlb GROUP BY event_type), "
+            "tot AS (SELECT sum(g) AS gg, sum(b) AS bb, "
+            "  count(*)::BIGINT AS nc FROM cats), "
+            "ivx AS (SELECT round(sum(CASE WHEN g > 0 AND b > 0 THEN "
+            "  (g / gg - b / bb) * ln((g / gg) / (b / bb)) ELSE 0 END), 6) "
+            "  AS iv, max(nc) AS n_categories, "
+            "  sum(CASE WHEN g > 0 AND b > 0 THEN 0 ELSE 1 END)::BIGINT "
+            "  AS n_skipped FROM cats, tot), "
+            "lin AS (SELECT round(regr_intercept(value, x), 5) AS lin_w0, "
+            "  round(regr_slope(value, x), 5) AS lin_w1 FROM mlb), "
+            + _logistic_duck_cte(5)
+            + " SELECT iv, n_categories, n_skipped, lin_w0, lin_w1, "
+            "round(w0, 5) AS log_w0, round(w1, 5) AS log_w1 "
+            "FROM ivx, lin, it5"
         ),
         "dialect_batch24": (
             # merging partial states == the direct aggregate (the

@@ -210,6 +210,11 @@ BENCH_QUERIES = [
     "dialect_batch23_window",
     "dialect_batch24",
     "dialect_batch25",
+    "dialect_batch26",
+    "dialect_batch27",
+    "text_similarity",
+    "ml_aggregates",
+    "dict_hierarchy",
 ]
 
 

@@ -1558,6 +1558,18 @@ def _design_moments(
     return xtx, xty
 
 
+def _weights_df(spark, w, n_feats: int) -> DataFrame:
+    """One-row weights frame built from LITERALS over spark.range(1) —
+    pure JVM (a createDataFrame local relation would plan as a
+    Python-RDD scan, spinning a worker per downstream job)."""
+    return spark.range(1).select(
+        *[
+            F.lit(float(w[i])).alias("w0" if i == 0 else f"w{i}")
+            for i in range(n_feats + 1)
+        ]
+    )
+
+
 def linear_regression_fit(
     df: DataFrame, y_col: str, x_cols: list[str]
 ) -> DataFrame:
@@ -1578,10 +1590,7 @@ def linear_regression_fit(
     spark = df.sparkSession
     xtx, xty = _design_moments(df, y_col, x_cols)
     w = np.linalg.solve(xtx, xty)
-    names = ["w0"] + [f"w{i + 1}" for i in range(len(x_cols))]
-    return spark.createDataFrame(
-        [tuple(float(v) for v in w)], names
-    )
+    return _weights_df(spark, w, len(x_cols))
 
 
 def logistic_regression_fit(
@@ -1611,6 +1620,10 @@ def logistic_regression_fit(
     spark = df.sparkSession
     k = len(x_cols) + 1
     w = np.zeros(k)
+    # iterative scans: materialize the (tiny, projected) design once so
+    # the 8 Newton aggregates don't re-read the source — the standard
+    # iterative-algorithm persist; released before returning
+    df = df.select(y_col, *x_cols).persist()
     feats = [F.lit(1.0)] + [F.col(c).cast("double") for c in x_cols]
     y = F.col(y_col).cast("double")
     for _ in range(iters):
@@ -1635,8 +1648,8 @@ def logistic_regression_fit(
                 hess[i, j] = hess[j, i] = row[f"h_{i}_{j}"]
             grad[i] = row[f"g_{i}"]
         w = w + np.linalg.solve(hess, grad)
-    names = ["w0"] + [f"w{i + 1}" for i in range(len(x_cols))]
-    return spark.createDataFrame([tuple(float(v) for v in w)], names)
+    df.unpersist()
+    return _weights_df(spark, w, len(x_cols))
 
 
 def ml_predict(df: DataFrame, weights: list[float], x_cols: list[str],
@@ -1649,3 +1662,83 @@ def ml_predict(df: DataFrame, weights: list[float], x_cols: list[str],
     if kind == "logistic":
         lin = F.lit(1.0) / (F.lit(1.0) + F.exp(-lin))
     return df.withColumn(out_col, lin)
+
+
+def dict_hierarchy(
+    df: DataFrame,
+    dict_df: DataFrame,
+    key_col: str,
+    child_col: str,
+    parent_col: str,
+    out_col: str = "hierarchy",
+    ancestor=None,
+    max_depth: int = 32,
+    max_entries: int = 100_000,
+) -> DataFrame:
+    """ClickHouse ``dictGetHierarchy(dict, key)`` / ``dictIsIn(dict,
+    child, ancestor)`` over a hierarchical dictionary: the ancestor chain
+    [k, parent(k), grandparent(k), ...] following ``child_col ->
+    parent_col`` links until the CH stop sentinel (parent 0, a NULL, or a
+    missing key), cycle-proof via ``max_depth``.
+
+    100 TB design: ClickHouse dictionaries are by definition small,
+    broadcast-resident lookup tables — the chain walk embeds the dict as
+    a MAP LITERAL in the plan (the bounded-collect pattern of the
+    streaming Bloom bitset, stream_ops.py) and each row's walk is one
+    pure-JVM ``aggregate`` fold over ``sequence(1, max_depth)``: no UDF,
+    no shuffle, no per-level join.  Dictionaries above ``max_entries``
+    raise — at that size the caller wants a join-based walk, not a plan
+    literal.
+
+    When ``ancestor`` is given, also emits ``<out_col>_isin`` =
+    dictIsIn(child, ancestor) (ancestor may be a literal or a column
+    name)."""
+    n = dict_df.count()
+    if n > max_entries:
+        raise ValueError(
+            f"dict_hierarchy: dictionary has {n} entries > max_entries="
+            f"{max_entries}; use an explicit iterative join for dictionaries "
+            f"this large"
+        )
+    pairs = dict_df.select(
+        F.col(child_col).cast("long"), F.col(parent_col).cast("long")
+    ).collect()
+    args: list[Column] = []
+    for c, p in pairs:
+        if c is None:
+            continue
+        args.append(F.lit(int(c)))
+        args.append(F.lit(-1 if p is None else int(p)))
+    m = F.create_map(*args) if args else F.create_map()
+    key = F.col(key_col).cast("long")
+    # fold state: (arr: accumulated chain, cur: next key to look up;
+    # cur = -1 once the walk stopped).  Lookup miss / parent 0 / NULL
+    # parent all stop the walk, matching CH's hierarchy terminator.
+    fold = F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(max_depth))),
+        F.struct(
+            F.array(key).alias("arr"),
+            F.coalesce(F.element_at(m, key), F.lit(-1)).alias("cur"),
+        ),
+        lambda st, _: F.when(
+            (st.cur <= F.lit(0)),
+            st,
+        ).otherwise(
+            F.struct(
+                F.concat(st.arr, F.array(st.cur)).alias("arr"),
+                F.coalesce(F.element_at(m, st.cur), F.lit(-1)).alias("cur"),
+            )
+        ),
+        lambda st: st.arr,
+    )
+    out = df.withColumn(out_col, F.when(key.isNotNull(), fold))
+    if ancestor is not None:
+        anc = (
+            F.col(ancestor).cast("long")
+            if isinstance(ancestor, str)
+            else F.lit(int(ancestor))
+        )
+        out = out.withColumn(
+            f"{out_col}_isin", F.array_contains(F.col(out_col), anc)
+        )
+    return out

@@ -45,6 +45,18 @@ DELIBERATE_NON_SUPPORT = {
     "runningDifference", "runningAccumulate", "neighbor",
     "runningConcurrency", "rowNumberInAllBlocks", "rowNumberInBlock",
     "blockNumber", "blockSize",
+    # r7 batch 26/27 stances:
+    # - H3 indexing needs Uber's icosahedral-projection native library
+    #   (the image-decode stance: real plumbing would be a fake without
+    #   the lib; geohash* IS implemented closed-form)
+    "geoToH3", "h3ToGeo", "h3kRing", "h3IsValid",
+    # - cryptographic interop digests absent from JVM/Spark built-ins;
+    #   md5/sha1/sha2 families ARE provided exactly, and the
+    #   non-cryptographic digest family maps to engine-specific lanes
+    "BLAKE3", "MD4",
+    # - arbitrary-precision radix conversion (bignum long division) is
+    #   not expressible in Spark SQL built-ins; base64/hex/bin ARE
+    "base58Encode", "base58Decode",
 }
 
 # Implemented as ENGINE OPERATORS (relational.py / events.py — each
@@ -65,6 +77,29 @@ OPERATOR_ONLY = {
     "analysisOfVariance": "relational.anova (driver anova)",
     "largestTriangleThreeBuckets":
         "relational.lttb_downsample (driver lttb_downsample)",
+    # r7: string-similarity trio — per-pair DP, a vectorized pandas-UDF
+    # operator (no scale-safe SQL-expression form)
+    "jaroSimilarity": "text.string_similarity (driver text_similarity)",
+    "jaroWinklerSimilarity":
+        "text.string_similarity (driver text_similarity)",
+    "damerauLevenshteinDistance":
+        "text.string_similarity (driver text_similarity)",
+    # r7: ICU normalization needs unicodedata (pandas-UDF operator)
+    "normalizeUTF8NFC": "text.normalize_text (driver normalize_unicode)",
+    "normalizeUTF8NFD": "text.normalize_text (driver normalize_unicode)",
+    # r7: ML aggregates — exact deterministic fits replacing CH's seeded
+    # SGD (the anyHeavy->mode stance); driver-oracled incl. an unrolled
+    # IRLS replay in DuckDB
+    "categoricalInformationValue":
+        "relational.information_value (driver ml_aggregates)",
+    "stochasticLinearRegression":
+        "relational.linear_regression_fit (driver ml_aggregates)",
+    "stochasticLogisticRegression":
+        "relational.logistic_regression_fit (driver ml_aggregates)",
+    # r7: hierarchical-dictionary walk — bounded broadcast-dict map
+    # literal + pure-JVM fold (driver entry oracled vs WITH RECURSIVE)
+    "dictGetHierarchy": "relational.dict_hierarchy (driver dict_hierarchy)",
+    "dictIsIn": "relational.dict_hierarchy (driver dict_hierarchy)",
 }
 
 # (name, weight) per family — the documented ClickHouse function index.

@@ -114,11 +114,12 @@ def stale_entries() -> set[str]:
     return drifted | CHANGED_SINCE_GREEN
 
 # Entries deliberately parked past the window edge (more unproven entries
-# than the 50 driver slots).  Round 6: EMPTY — the full unproven set (23
-# formally-stale dialect re-proves from the batch-19/dictGet edits + the
-# 10-entry never-checked backlog) fits the 50-slot window with 17 proven
-# filler slots to spare.
-DEFERRED: set[str] = set()
+# than the 50 driver slots).  Round 7: the window is FULL (50 unproven:
+# 38 dialect-family re-proves staled by batches 22-27 + the 12 new r7
+# entries), so dict_hierarchy — added late in r7 — waits one round and
+# rotates into the r8 window first.  It is selfcheck-PASS at sf0.001 and
+# sf0.01 locally (the same oracle the driver runs).
+DEFERRED: set[str] = {"dict_hierarchy"}
 
 
 def main() -> int:

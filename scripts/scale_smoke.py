@@ -135,6 +135,33 @@ OPS = {
     "exactsubstr": lambda df: dedup.remove_repeated_spans(
         df, n=5, min_tokens=10
     ),
+    # r7: similarity trio — stateless Arrow-batched pandas UDF over
+    # per-row substring pairs; the healthy shape is ratio ≈ K (pure map)
+    "string_similarity": lambda df: text.string_similarity(
+        df.select(
+            "doc_id",
+            F.lower(F.substring("text", 1, 12)).alias("a"),
+            F.lower(F.substring("text", 5, 12)).alias("b"),
+        ),
+        "a",
+        "b",
+    ),
+    # r7: fixed-schedule IRLS (5 Newton aggregate scans + driver solve) —
+    # aggregate-only, so the K× cost is K× scan work, no shuffle growth
+    "logistic_fit": lambda df: __import__(
+        "clickhouse_flatfile_tool_spark.operators.relational",
+        fromlist=["relational"],
+    ).logistic_regression_fit(
+        df.select(
+            (F.pmod(F.col("doc_id") * 2654435761, F.lit(1000)) < 450)
+            .cast("int")
+            .alias("lbl"),
+            F.pmod("doc_id", F.lit(10)).cast("double").alias("x"),
+        ),
+        "lbl",
+        ["x"],
+        iters=5,
+    ),
 }
 
 

@@ -3443,3 +3443,43 @@ def test_batch27_ip_tail(spark):
     assert int(r.hi, 16) == int(net.broadcast_address)
     assert r.in4 is True and r.out4 is False
     assert r.in6 is True and r.out6 is False
+
+
+def test_batch27_ipv6_random_roundtrip(spark):
+    """Randomized differential: 120 random IPv6 values (full-random,
+    zero-run-heavy, and mapped shapes) go text -> parse -> print ->
+    parse; every stage must agree with Python's ipaddress on the VALUE
+    (string forms may differ only in the documented ::ffff dotted
+    rendering)."""
+    import ipaddress
+    import random
+
+    rng = random.Random(11)
+    vals = []
+    for _ in range(40):
+        vals.append(rng.getrandbits(128))
+    for _ in range(40):
+        # sparse: few nonzero groups -> long zero runs exercise the
+        # RFC 5952 compressor
+        v = 0
+        for g in rng.sample(range(8), rng.randint(1, 3)):
+            v |= rng.getrandbits(16) << (16 * g)
+        vals.append(v)
+    for _ in range(40):
+        vals.append((0xFFFF << 32) | rng.getrandbits(32))  # mapped
+    rows = [(i, str(ipaddress.IPv6Address(v)), v) for i, v in enumerate(vals)]
+    spark.createDataFrame(
+        [(i, s) for i, s, _ in rows], ["i", "addr"]
+    ).createOrReplaceTempView("b27_rand")
+    got = {
+        r.i: (r.h, r.h2)
+        for r in spark.sql(tr(
+            "SELECT i, hex(IPv6StringToNum(addr)) AS h, "
+            "hex(IPv6StringToNum(IPv6NumToString(IPv6StringToNum(addr)))) "
+            "AS h2 FROM b27_rand"
+        )).collect()
+    }
+    for i, _, v in rows:
+        want = "%032X" % v
+        assert got[i][0] == want, (i, rows[i], got[i])
+        assert got[i][1] == want, (i, rows[i], got[i])

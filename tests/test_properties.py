@@ -443,8 +443,45 @@ def ch_expression(draw, depth=0):
     atoms = ["x", "y", "7", "1.5", "NULL"]
     if depth >= 3:
         return draw(st.sampled_from(atoms))
-    kind = draw(st.integers(0, 69))
+    kind = draw(st.integers(0, 79))
     sub = lambda: draw(ch_expression(depth=depth + 1))  # noqa: E731
+    # batch 26/27 (r7) — deterministic scalar members (the random family
+    # and the geo constant-folds get direct pytests)
+    if kind == 70:
+        return f"round(erf(toFloat64({sub()}) / 10), 4)"
+    if kind == 71:
+        return f"round(lgamma(abs(toFloat64({sub()})) + 1.5), 4)"
+    if kind == 72:
+        return f"toUInt8(hasSubsequence(toString({sub()}), '1'))"
+    if kind == 73:
+        return f"length(unbin(bin(toInt64(abs({sub()})) % 256 + 1)))"
+    if kind == 74:
+        return (
+            f"tupleElement(mortonDecode(2, mortonEncode("
+            f"toInt64(abs({sub()})) % 64, 9)), 1)"
+        )
+    if kind == 75:
+        return f"reinterpretAsUInt64(reinterpretAsString(toInt64(abs({sub()})) % 200 + 1))"
+    if kind == 76:
+        return (
+            f"length(cutURLParameter(concat('http://x/?a=', "
+            f"toString(toInt64({sub()})), '&b=2'), 'b'))"
+        )
+    if kind == 77:
+        return (
+            f"length(IPv6NumToString(IPv6StringToNum(concat('2001:db8::', "
+            f"toString(toInt64(abs({sub()})) % 9 + 1)))))"
+        )
+    if kind == 78:
+        return (
+            f"toUInt8(isIPAddressInRange(concat('10.0.0.', "
+            f"toString(toInt64(abs({sub()})) % 200)), '10.0.0.0/8'))"
+        )
+    if kind == 79:
+        return (
+            f"toUInt8(pointInEllipses(toFloat64({sub()}), 0.0, "
+            f"0.0, 0.0, 100.0, 100.0))"
+        )
     # batch 24 (r7) — scalar-safe members (the State/Merge combinators
     # are aggregates; they get their own execution pytest)
     if kind == 67:

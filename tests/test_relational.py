@@ -859,3 +859,39 @@ def test_logistic_regression_fit(spark):
         w = w + np.linalg.solve(H, g)
     assert abs(r.w0 - w[0]) < 1e-8 and abs(r.w1 - w[1]) < 1e-8
     assert 1.0 < r.w1 < 2.0 and 0.0 < r.w0 < 1.0
+
+
+def test_dict_hierarchy(spark):
+    """Ancestor-chain walk: includes the key itself, follows parents,
+    stops at the 0 sentinel / missing keys, caps cycles at max_depth;
+    dictIsIn via array_contains."""
+    from clickhouse_flatfile_tool_spark.operators import relational as R
+
+    #       1
+    #      / \
+    #     2   3
+    #    /
+    #   4        10 -> 11 -> 10 (cycle)
+    dict_df = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 1), (4, 2), (10, 11), (11, 10)],
+        ["child", "parent"],
+    )
+    df = spark.createDataFrame([(4,), (3,), (1,), (99,), (10,)], ["k"])
+    out = {
+        r.k: (list(r.hierarchy), r.hierarchy_isin)
+        for r in R.dict_hierarchy(
+            df, dict_df, "k", "child", "parent", ancestor=1, max_depth=8
+        ).collect()
+    }
+    assert out[4] == ([4, 2, 1], True)
+    assert out[3] == ([3, 1], True)
+    assert out[1] == ([1], True)
+    assert out[99] == ([99], False)      # key missing from the dict
+    # cycle: capped by max_depth, never hangs
+    arr, isin = out[10]
+    assert len(arr) == 9 and not isin
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        R.dict_hierarchy(df, dict_df, "k", "child", "parent", max_entries=2)
