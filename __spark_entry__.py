@@ -7842,7 +7842,11 @@ FROM ranked WHERE rk <= 5
             "  UNION ALL "
             "  SELECT w.c_custkey, d.parent, list_append(w.chain, w.cur), "
             "  w.depth + 1 FROM walk w LEFT JOIN hdict d ON d.child = w.cur "
-            "  WHERE w.cur IS NOT NULL AND w.cur > 0 AND w.depth < 32), "
+            # depth < 33: the engine chain is 1 key + up to max_depth=32
+            # appended ancestors (33 elements), and oracle chain length
+            # equals depth — off-by-one alignment matters only for
+            # >=32-deep chains/cycles, but keep the caps identical
+            "  WHERE w.cur IS NOT NULL AND w.cur > 0 AND w.depth < 33), "
             "sel AS (SELECT c_custkey, chain FROM ("
             "  SELECT c_custkey, chain, row_number() OVER ("
             "  PARTITION BY c_custkey ORDER BY depth DESC) AS rn FROM walk) "

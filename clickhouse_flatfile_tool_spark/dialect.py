@@ -1381,7 +1381,12 @@ def _rewrite_literal_aware(chunk: str, literals: list[str]) -> str:
                     f"{new_lit(c if re.fullmatch('[A-Za-z_][A-Za-z0-9_]*', c) else f'expr_{i + 1}')}, {c}"
                     for i, c in enumerate(cols)
                 )
-                body = f"to_json(named_struct({pairs}))"
+                # ignoreNullFields=false: CH's JSONEachRow renders
+                # {"x":null}; Spark's to_json drops null fields by default
+                body = (
+                    f"to_json(named_struct({pairs}), "
+                    f"map('ignoreNullFields', 'false'))"
+                )
             elif fmt in ("TSV", "TabSeparated"):
                 vals = ", ".join(f"CAST({c} AS STRING)" for c in cols)
                 body = (
@@ -5485,8 +5490,11 @@ def _rewrite_batch26_calls(chunk: str) -> str:
     * ``erf``/``erfc`` — Abramowitz & Stegun 7.1.26 closed form;
       ``lgamma``/``tgamma`` — Lanczos g=7 (z >= 0.5 scope; tgamma via
       exp(lgamma), positive arguments).
-    * ``emptyArrayToSingle`` — numeric/date scope (the type default of a
-      string element is not expressible without a type argument).
+    * ``emptyArrayToSingle`` — NUMERIC scope (the type default of a
+      string/date element is not expressible without a type argument:
+      coalesce(DATE, 0) has no common type and fails analysis, so
+      date/string arrays error loudly rather than silently diverge;
+      CH returns ['1970-01-01'] / [''] there).
     * ``hasSubsequence`` — in-order character scan as a single
       ``aggregate`` fold over the haystack characters.
     * ``unbin`` — whole-byte scope ('01000001' -> 'A'); ``bitSlice`` —
@@ -5494,7 +5502,10 @@ def _rewrite_batch26_calls(chunk: str) -> str:
       (composes the bin/unbin machinery).
     * ``mortonEncode(x, y)`` / ``mortonDecode(2, code)`` — 2-D bit
       interleave over 32 bit positions (UInt32 lanes; 3-D+ passes
-      through).
+      through).  y's bit 31 lands on BIGINT's sign bit, so codes with
+      y >= 2^31 read negative — the UInt64-as-signed-BIGINT lane every
+      64-bit digest in this engine uses (xxhash64 stance); decode
+      round-trips exactly either way.
     * ``reinterpretAsUInt64/Int64`` (first 8 bytes, little-endian,
       single-byte-codepoint scope) and ``reinterpretAsString``
       (positive values, trailing zero bytes trimmed — CH's contract).
@@ -5574,9 +5585,15 @@ def _rewrite_batch26_calls(chunk: str) -> str:
         if len(args) != 3:
             return None
         s, off, ln = args
+        # bits from the UTF-8 BYTES via hex(CAST AS BINARY) — one 4-bit
+        # group per hex nibble, byte-accurate for non-ASCII input (an
+        # ascii()/bin() form would read CODEPOINTS and lpad-truncate
+        # multi-byte ones)
+        hx = f"lower(hex(CAST({s} AS BINARY)))"
         allbits = (
-            f"array_join(transform(sequence(1, greatest(length({s}), 1)), "
-            f"__i -> lpad(bin(ascii(substring({s}, __i, 1))), 8, '0')), '')"
+            f"array_join(transform(sequence(1, greatest(length({hx}), 1)), "
+            f"__i -> lpad(conv(substring({hx}, __i, 1), 16, 2), 4, '0')), "
+            f"'')"
         )
         sliced = (
             f"substring({allbits}, CAST(({off}) AS INT), "
@@ -5633,19 +5650,24 @@ def _rewrite_batch26_calls(chunk: str) -> str:
     chunk = _rewrite_call(chunk, "reinterpretAsUInt64", reinterp_int_make)
     chunk = _rewrite_call(chunk, "reinterpretAsInt64", reinterp_int_make)
 
-    chunk = _rewrite_call(
-        chunk,
-        "reinterpretAsString",
-        lambda a: (
-            f"CASE WHEN CAST(({a[0]}) AS BIGINT) <= 0 THEN '' ELSE "
-            f"array_join(transform(sequence(0, CAST(floor(log2("
-            f"CAST(({a[0]}) AS DOUBLE)) / 8) AS INT)), __i -> "
-            f"char(shiftrightunsigned(CAST(({a[0]}) AS BIGINT), __i * 8) "
-            f"& 255)), '') END"
-            if len(a) == 1
-            else None
-        ),
-    )
+    def reinterp_str_make(args):
+        if len(args) != 1:
+            return None
+        v = f"CAST(({args[0]}) AS BIGINT)"
+        # highest nonzero byte via EXACT integer thresholds (a log2-on-
+        # DOUBLE form miscounts when the double rounding crosses a
+        # 2^(8k) boundary, emitting a spurious trailing NUL)
+        hi = "CASE " + " ".join(
+            f"WHEN {v} < {1 << (8 * (b + 1))} THEN {b}"
+            for b in range(7)
+        ) + " ELSE 7 END"
+        return (
+            f"CASE WHEN {v} <= 0 THEN '' ELSE "
+            f"array_join(transform(sequence(0, {hi}), __i -> "
+            f"char(shiftrightunsigned({v}, __i * 8) & 255)), '') END"
+        )
+
+    chunk = _rewrite_call(chunk, "reinterpretAsString", reinterp_str_make)
 
     def point_in_ellipses_make(args):
         if len(args) < 6 or (len(args) - 2) % 4 != 0:
@@ -5757,7 +5779,10 @@ def _rewrite_batch26_calls(chunk: str) -> str:
             lam = float(args[0].strip())
         except ValueError:
             return None
-        if not 0 < lam <= 1000:
+        # lam <= 700: exp(-lam) underflows to 0.0 past ~745, which would
+        # flatten every CDF threshold to 0 and return a deterministic
+        # constant; larger lambdas pass through (error by name)
+        if not 0 < lam <= 700:
             return None
         import math as _m
 
@@ -5784,7 +5809,9 @@ def _rewrite_batch26_calls(chunk: str) -> str:
     site = [0]
 
     def rand_const_make(args):
-        if len(args) > 1 or (args and args[0].strip() and len(args) != 1):
+        # randConstant() or randConstant(expr) — the argument only pins
+        # the constant's type in CH and is accepted-and-ignored here
+        if len(args) > 1:
             return None
         site[0] += 1
         return (

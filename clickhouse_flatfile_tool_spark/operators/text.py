@@ -1438,8 +1438,9 @@ def string_similarity(
     * Jaro: match window ``max(|a|,|b|)//2 - 1``, transpositions counted
       over matched sequences; either string empty -> 0.0 (DuckDB's edge;
       some texts define both-empty as 1.0).
-    * Jaro-Winkler: unthresholded boost ``j + l*0.1*(1-j)``, common-prefix
-      length capped at 4.
+    * Jaro-Winkler: boost ``j + l*0.1*(1-j)`` with the CLASSIC 0.7
+      threshold (no boost when jaro <= 0.7 — DuckDB and CH both keep
+      it), common-prefix length capped at 4.
     * Damerau-Levenshtein: FULL variant (transposed characters may be
       edited further, so d('CA','ABC') = 2), not the restricted
       optimal-string-alignment one.

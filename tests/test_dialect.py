@@ -3483,3 +3483,27 @@ def test_batch27_ipv6_random_roundtrip(spark):
         want = "%032X" % v
         assert got[i][0] == want, (i, rows[i], got[i])
         assert got[i][1] == want, (i, rows[i], got[i])
+
+
+def test_batch26_review_fixes(spark):
+    """r7 self-review regressions: formatRow keeps NULL fields (CH
+    renders {"x":null}), bitSlice is UTF-8-BYTE accurate for non-ASCII,
+    reinterpretAsString has no spurious NUL at double-rounding byte
+    boundaries, randPoisson past the exp-underflow bound passes through,
+    and the mapped-IPv6 printer keeps CH's dotted form."""
+    r = spark.sql(tr(
+        "SELECT formatRowNoNewline('JSONEachRow', CAST(NULL AS BIGINT)) "
+        "  AS fn, "
+        "bitSlice('€x', 25, 8) AS bs, "
+        "length(reinterpretAsString(72057594037927935)) AS rl, "
+        "reinterpretAsString(72057594037927935) AS rv"
+    )).first()
+    assert r.fn == '{"expr_1":null}'
+    assert r.bs == "x"  # euro sign is 3 UTF-8 bytes; byte 4 is 'x'
+    # 2^56 - 1: double rounding hits 2^56 exactly; the integer-threshold
+    # byte count must still say 7 bytes, all 0xFF
+    assert r.rl == 7 and r.rv == "\xff" * 7
+    # randPoisson(900) would underflow exp(-lam): stays untranslated and
+    # errors by name instead of returning a deterministic constant
+    from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
+    assert "randPoisson" in translate_clickhouse_sql("SELECT randPoisson(900.0)")
