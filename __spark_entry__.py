@@ -5230,7 +5230,10 @@ def q_dialect_batch26(spark, d):
         "length(sipHash128(text)) AS shl, "
         "sipHash128(text) != murmurHash3_128(text) AS hne, "
         "xxh3(text) = xxHash64(text) AS xx, "
-        "hostName() AS hn, uptime() AS up, sleep(1) AS sl "
+        "hostName() AS hn, uptime() AS up, sleep(1) AS sl, "
+        "base58Encode(arrayElement(['doc', 'key-1', 'x', "
+        "  'a longer payload'], toInt32(modulo(doc_id, 4) + 1))) AS b58, "
+        "hex(base58Decode(base58Encode(substring(text, 1, 8)))) AS b58rt "
         "FROM b26_docs ORDER BY doc_id"
     )
     return spark.sql(translate_clickhouse_sql(ch_sql))
@@ -7801,7 +7804,10 @@ FROM ranked WHERE rk <= 5
             "doc_id::VARCHAR || chr(9) || 'zz' || chr(10) AS frt, "
             "lpad(doc_id::VARCHAR, 6, '0') AS lp, "
             "32::INT AS shl, TRUE AS hne, TRUE AS xx, "
-            "'localhost' AS hn, 0::BIGINT AS up, 0::INT AS sl "
+            "'localhost' AS hn, 0::BIGINT AS up, 0::INT AS sl, "
+            "list_extract(['ajdk', 'D7mKGSU', '35', "
+            "  'CzdWts68Rbdp7onhMFkdHV'], (doc_id % 4) + 1) AS b58, "
+            "hex(substr(text, 1, 8)::BLOB) AS b58rt "
             "FROM documents ORDER BY doc_id"
         ),
         "dialect_batch27": (

@@ -5519,6 +5519,16 @@ def _rewrite_batch26_calls(chunk: str) -> str:
       enumerated in Python with the same closed form as geohashEncode
       and emitted as a sorted array literal; grids over 1024 cells pass
       through (CH itself throws past a size cap).
+    * ``base58Encode``/``base58Decode`` — Bitcoin-alphabet radix
+      conversion as NESTED aggregate folds (outer over input bytes/
+      chars, inner multiply-add with carry over the growing digit
+      array; O(n^2), fine for the short keys base58 carries); decode
+      returns BINARY (the IPv6 FixedString lane) and NULLs on invalid
+      alphabet chars where CH throws.  NOTE the neighboring ``bin()``
+      pass-through keeps SPARK semantics (number -> unpadded binary
+      digits); CH's byte-padded, type-width-aware bin would need the
+      argument's type at translation time — compose hex()/unbin() for
+      byte-exact bit strings instead.
     * ``randomString``/``randomPrintableASCII`` (printable-ASCII scope,
       literal length <= 64, unrolled independent rand() draws),
       ``randBinomial`` (literal trial count <= 256, unrolled Bernoulli
@@ -5831,6 +5841,106 @@ def _rewrite_batch26_calls(chunk: str) -> str:
 
     chunk = _rewrite_call(chunk, "sleepEachRow", sleep_make)
     chunk = _rewrite_call(chunk, "sleep", sleep_make)
+
+    # base58Encode/Decode — Bitcoin-alphabet radix conversion as NESTED
+    # aggregate folds (outer over input units, inner over the growing
+    # digit array doing multiply-add with carry propagation): O(n^2) in
+    # the input length, fine for the short keys/hashes base58 carries.
+    # Decode returns BINARY (CH String holds raw bytes; BINARY is this
+    # engine's faithful lane for that, the IPv6 FixedString stance).
+    b58 = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+
+    # aggregate() demands the merge lambda's type equal the zero's
+    # INCLUDING nullability — IF(true, ..., NULL) makes the zero arrays
+    # nullable so they unify with the (nullable) concat results
+    nullable_ints = "IF(true, CAST(array() AS ARRAY<INT>), NULL)"
+
+    def base58_encode_make(args):
+        if len(args) != 1:
+            return None
+        hx = f"lower(hex(CAST(({args[0]}) AS BINARY)))"
+        byte = (
+            f"CAST(conv(substring({hx}, __bi * 2 - 1, 2), 16, 10) AS INT)"
+        )
+        inner = (
+            f"aggregate(__st, "
+            f"named_struct('nd', {nullable_ints}, 'c', {byte}), "
+            f"(__s2, __d) -> named_struct("
+            f"'nd', concat(__s2.nd, array((__d * 256 + __s2.c) % 58)), "
+            f"'c', CAST((__d * 256 + __s2.c) DIV 58 AS INT)))"
+        )
+        # after multiply-add the residual carry is < 256 -> at most two
+        # more base-58 digits
+        step = (
+            f"element_at(transform(array({inner}), __s3 -> "
+            f"concat(__s3.nd, "
+            f"CASE WHEN __s3.c >= 58 "
+            f"THEN array(__s3.c % 58, CAST(__s3.c DIV 58 AS INT)) "
+            f"WHEN __s3.c > 0 THEN array(__s3.c) "
+            f"ELSE CAST(array() AS ARRAY<INT>) END)), 1)"
+        )
+        fold = (
+            f"aggregate(sequence(1, greatest(length({hx}) DIV 2, 1)), "
+            f"{nullable_ints}, "
+            f"(__st, __bi) -> {step}, "
+            f"__st -> array_join(transform(reverse(__st), "
+            f"__d58 -> substring('{b58}', __d58 + 1, 1)), ''))"
+        )
+        # leading 0x00 bytes render as leading '1's (the Bitcoin rule);
+        # the fold above drops them (value arithmetic), so re-prepend
+        zeros = (
+            f"CAST((length({hx}) - length(regexp_replace({hx}, '^(00)+', "
+            f"''))) DIV 2 AS INT)"
+        )
+        return (
+            f"CASE WHEN length({hx}) = 0 THEN '' ELSE "
+            f"concat(repeat('1', {zeros}), "
+            f"CASE WHEN regexp_replace({hx}, '^(00)+', '') = '' THEN '' "
+            f"ELSE {fold} END) END"
+        )
+
+    chunk = _rewrite_call(chunk, "base58Encode", base58_encode_make)
+
+    def base58_decode_make(args):
+        if len(args) != 1:
+            return None
+        s = args[0]
+        digit = (
+            f"CAST(instr('{b58}', substring({s}, __ci, 1)) - 1 AS INT)"
+        )
+        inner = (
+            f"aggregate(__st, "
+            f"named_struct('nb', {nullable_ints}, 'c', {digit}), "
+            f"(__s2, __b) -> named_struct("
+            f"'nb', concat(__s2.nb, array((__b * 58 + __s2.c) % 256)), "
+            f"'c', CAST((__b * 58 + __s2.c) DIV 256 AS INT)))"
+        )
+        step = (
+            f"element_at(transform(array({inner}), __s3 -> "
+            f"concat(__s3.nb, "
+            f"CASE WHEN __s3.c > 0 THEN array(__s3.c) "
+            f"ELSE CAST(array() AS ARRAY<INT>) END)), 1)"
+        )
+        hexout = (
+            f"aggregate(sequence(1, greatest(length({s}), 1)), "
+            f"{nullable_ints}, "
+            f"(__st, __ci) -> {step}, "
+            f"__st -> array_join(transform(reverse(__st), "
+            f"__b2 -> lpad(lower(hex(__b2)), 2, '0')), ''))"
+        )
+        ones = (
+            f"(length({s}) - length(regexp_replace({s}, '^1+', '')))"
+        )
+        # invalid alphabet chars -> NULL (CH throws; NULL is this
+        # engine's OrNull-style analog, matching try_-family behavior)
+        return (
+            f"CASE WHEN {s} rlike '^[1-9A-HJ-NP-Za-km-z]*$' THEN "
+            f"unhex(concat(repeat('00', {ones}), "
+            f"CASE WHEN regexp_replace({s}, '^1+', '') = '' THEN '' "
+            f"ELSE {hexout} END)) END"
+        )
+
+    chunk = _rewrite_call(chunk, "base58Decode", base58_decode_make)
 
     # 128-bit digest tail — engine-specific values (the sipHash64 stance),
     # rendered as the 32-hex-char string CH users feed to hex() anyway

@@ -54,9 +54,6 @@ DELIBERATE_NON_SUPPORT = {
     #   md5/sha1/sha2 families ARE provided exactly, and the
     #   non-cryptographic digest family maps to engine-specific lanes
     "BLAKE3", "MD4",
-    # - arbitrary-precision radix conversion (bignum long division) is
-    #   not expressible in Spark SQL built-ins; base64/hex/bin ARE
-    "base58Encode", "base58Decode",
 }
 
 # Implemented as ENGINE OPERATORS (relational.py / events.py — each

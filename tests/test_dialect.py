@@ -3507,3 +3507,43 @@ def test_batch26_review_fixes(spark):
     # errors by name instead of returning a deterministic constant
     from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
     assert "randPoisson" in translate_clickhouse_sql("SELECT randPoisson(900.0)")
+
+
+def test_batch26_base58(spark):
+    """base58Encode/Decode: Bitcoin-alphabet radix conversion as nested
+    aggregate folds — differential vs a Python big-int reference over
+    random byte strings, leading-zero '1' rule, round-trips, NULL on
+    invalid alphabet chars, BINARY decode lane."""
+    import random
+
+    alpha = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+
+    def pyenc(b: bytes) -> str:
+        n = int.from_bytes(b, "big")
+        out = ""
+        while n:
+            n, r = divmod(n, 58)
+            out = alpha[r] + out
+        return "1" * (len(b) - len(b.lstrip(b"\0"))) + out
+
+    rng = random.Random(3)
+    cases = [
+        b"Hello World!", b"", b"\x00\x00abc", b"a", b"\x00",
+        bytes(range(1, 20)), bytes([255] * 8),
+    ] + [
+        bytes(rng.randrange(256) for _ in range(rng.randrange(0, 24)))
+        for _ in range(12)
+    ]
+    sel = ", ".join(
+        f"base58Encode(unhex('{c.hex()}')) AS e{i}, "
+        f"hex(base58Decode(base58Encode(unhex('{c.hex()}')))) AS rt{i}"
+        for i, c in enumerate(cases)
+    )
+    r = spark.sql(tr("SELECT " + sel)).first()
+    for i, c in enumerate(cases):
+        assert r[f"e{i}"] == pyenc(c), (c, r[f"e{i}"])
+        assert (r[f"rt{i}"] or "").lower() == c.hex(), c
+    r = spark.sql(tr(
+        "SELECT base58Decode('0OIl') AS bad, base58Encode('abc') AS s"
+    )).first()
+    assert r.bad is None and r.s == pyenc(b"abc")
