@@ -5858,7 +5858,12 @@ def _rewrite_batch26_calls(chunk: str) -> str:
     def base58_encode_make(args):
         if len(args) != 1:
             return None
-        hx = f"lower(hex(CAST(({args[0]}) AS BINARY)))"
+        # let-bind the hex form ONCE (single-element transform closure):
+        # the argument may itself be a large expression, and it is
+        # referenced from ~6 sites below — textual splicing at each site
+        # blows the expression tree up multiplicatively when calls nest
+        # (base58Decode(base58Encode(x)) went 1.8s -> 17.9s before this)
+        hx = "__b58h"
         byte = (
             f"CAST(conv(substring({hx}, __bi * 2 - 1, 2), 16, 10) AS INT)"
         )
@@ -5892,11 +5897,15 @@ def _rewrite_batch26_calls(chunk: str) -> str:
             f"CAST((length({hx}) - length(regexp_replace({hx}, '^(00)+', "
             f"''))) DIV 2 AS INT)"
         )
-        return (
+        body = (
             f"CASE WHEN length({hx}) = 0 THEN '' ELSE "
             f"concat(repeat('1', {zeros}), "
             f"CASE WHEN regexp_replace({hx}, '^(00)+', '') = '' THEN '' "
             f"ELSE {fold} END) END"
+        )
+        return (
+            f"element_at(transform(array(lower(hex(CAST(({args[0]}) "
+            f"AS BINARY)))), __b58h -> {body}), 1)"
         )
 
     chunk = _rewrite_call(chunk, "base58Encode", base58_encode_make)
@@ -5904,7 +5913,7 @@ def _rewrite_batch26_calls(chunk: str) -> str:
     def base58_decode_make(args):
         if len(args) != 1:
             return None
-        s = args[0]
+        s = "__b58s"  # let-bound once below (the encode-side note)
         digit = (
             f"CAST(instr('{b58}', substring({s}, __ci, 1)) - 1 AS INT)"
         )
@@ -5933,11 +5942,14 @@ def _rewrite_batch26_calls(chunk: str) -> str:
         )
         # invalid alphabet chars -> NULL (CH throws; NULL is this
         # engine's OrNull-style analog, matching try_-family behavior)
-        return (
+        body = (
             f"CASE WHEN {s} rlike '^[1-9A-HJ-NP-Za-km-z]*$' THEN "
             f"unhex(concat(repeat('00', {ones}), "
             f"CASE WHEN regexp_replace({s}, '^1+', '') = '' THEN '' "
             f"ELSE {hexout} END)) END"
+        )
+        return (
+            f"element_at(transform(array({args[0]}), __b58s -> {body}), 1)"
         )
 
     chunk = _rewrite_call(chunk, "base58Decode", base58_decode_make)

@@ -443,7 +443,7 @@ def ch_expression(draw, depth=0):
     atoms = ["x", "y", "7", "1.5", "NULL"]
     if depth >= 3:
         return draw(st.sampled_from(atoms))
-    kind = draw(st.integers(0, 79))
+    kind = draw(st.integers(0, 80))
     sub = lambda: draw(ch_expression(depth=depth + 1))  # noqa: E731
     # batch 26/27 (r7) — deterministic scalar members (the random family
     # and the geo constant-folds get direct pytests)
@@ -482,11 +482,23 @@ def ch_expression(draw, depth=0):
             f"toUInt8(pointInEllipses(toFloat64({sub()}), 0.0, "
             f"0.0, 0.0, 100.0, 100.0))"
         )
-    # batch 24 (r7) — scalar-safe members (the State/Merge combinators
-    # are aggregates; they get their own execution pytest)
+    if kind == 80:
+        return (
+            f"length(base58Encode(toString(toInt64({sub()})))) + "
+            f"length(base58Decode(base58Encode('k')))"
+        )
+    # batch 24 (r7) — sumForEach/groupArrayInsertAt are AGGREGATES, so
+    # they fuzz as UNCORRELATED scalar subqueries (a bare aggregate mixed
+    # with plain columns in one SELECT is MISSING_GROUP_BY — a latent
+    # grammar hazard hypothesis found once the kind range grew in r7) and
+    # only at DEPTH 0 (Spark rejects subqueries nested inside array
+    # constructors / lambda bodies)
+    if kind in (67, 69) and depth > 0:
+        kind = 68
     if kind == 67:
         return (
-            f"arrayElement(sumForEach([toFloat64({sub()}), 1.0]), 2)"
+            f"(SELECT toInt64(arrayElement(sumForEach("
+            f"[toFloat64({draw(st.integers(0, 9))}), 1.0]), 2)))"
         )
     if kind == 68:
         return (
@@ -494,8 +506,8 @@ def ch_expression(draw, depth=0):
         )
     if kind == 69:
         return (
-            f"arrayElement(groupArrayInsertAt(toInt64(-1), 2)("
-            f"toInt64({sub()}), 0), 2)"
+            f"(SELECT arrayElement(groupArrayInsertAt(toInt64(-1), 2)("
+            f"toInt64({draw(st.integers(0, 9))}), 0), 2))"
         )
     # batch 23 (r7)
     if kind == 61:
