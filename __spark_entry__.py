@@ -7642,8 +7642,15 @@ FROM ranked WHERE rk <= 5
             "(regexp_matches(lang, '^e') OR regexp_matches(lang, 'n$')) AS mma, "
             "(CASE WHEN regexp_matches(lang, '^e') THEN 1 "
             "  WHEN regexp_matches(lang, 'n$') THEN 2 ELSE 0 END)::BIGINT AS mmi, "
-            "(CASE WHEN contains(text, 'vector') THEN 1 "
-            "  WHEN contains(text, 'join') THEN 2 ELSE 0 END)::BIGINT AS msf, "
+            # leftmost-OCCURRENCE semantics (CH): the winning needle is
+            # the one found earliest in the haystack, array order only
+            # breaks position ties
+            "(CASE "
+            "  WHEN strpos(text, 'vector') > 0 AND (strpos(text, 'join') "
+            "    = 0 OR strpos(text, 'vector') <= strpos(text, 'join')) "
+            "    THEN 1 "
+            "  WHEN strpos(text, 'join') > 0 THEN 2 "
+            "  ELSE 0 END)::BIGINT AS msf, "
             "concat(CAST(doc_id % 7 AS VARCHAR), '|', "
             "  CAST((doc_id * 3) % 5 AS VARCHAR)) AS jar, "
             "(doc_id % 100)::BIGINT AS jeu, "

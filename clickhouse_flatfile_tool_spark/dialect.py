@@ -6278,9 +6278,14 @@ def _rewrite_batch24_calls(chunk: str) -> str:
             f"AS INT) + 2, size(__l))) * ((({p})) * (size(__l) - 1) "
             f"- floor((({p})) * (size(__l) - 1)))"
         )
+        # IF guard: an all-empty merged state (every per-group value
+        # NULL) has size(__l) = 0, where the pick's element_at index
+        # would be 0 — INVALID_INDEX_OF_ZERO at runtime.  NULL instead
+        # (the groupArrayInsertAt a20117a hazard class).
         repl = (
             f"element_at(transform(array(array_sort(flatten("
-            f"collect_list({s})))), __l -> {pick}), 1)"
+            f"collect_list({s})))), __l -> IF(size(__l) = 0, "
+            f"CAST(NULL AS DOUBLE), {pick})), 1)"
         )
         chunk = chunk[: m.start()] + repl + chunk[x_end:]
         m = qm_pat.search(chunk, m.start() + len(repl))
@@ -6719,10 +6724,15 @@ def _rewrite_batch22_calls(chunk: str) -> str:
     chunk = _rewrite_call(
         chunk,
         "multiSearchFirstIndex",
+        # CH returns the index of the needle whose OCCURRENCE is leftmost
+        # in the haystack (array order only breaks position ties) — not
+        # the first needle in array order that occurs anywhere
         lambda a: (
-            f"coalesce(CAST(array_position(transform({a[1]}, "
-            f"__n -> contains({a[0]}, __n)), true) AS BIGINT), "
-            f"CAST(0 AS BIGINT))"
+            f"element_at(transform(array(transform({a[1]}, "
+            f"__n -> instr({a[0]}, __n))), __ps -> "
+            f"coalesce(CAST(array_position(__ps, "
+            f"array_min(filter(__ps, __q -> __q > 0))) AS BIGINT), "
+            f"CAST(0 AS BIGINT))), 1)"
             if len(a) == 2
             else None
         ),

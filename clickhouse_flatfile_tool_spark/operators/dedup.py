@@ -817,12 +817,20 @@ def minhash_lsh_candidates_portable(
     num_hashes: int = 16,
     bands: int = 4,
     max_bucket_size: int | None = None,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Banded LSH over the portable md5 signatures: band bucket =
     md5(concat of the band's signature components); candidates = distinct
     (id_a < id_b) sharing any (band, bucket).  Same bucket-grouping shape as
-    the fast path — only the hash primitive differs."""
-    banded = _portable_banded(df, id_col, text_col, shingle_n, num_hashes, bands)
+    the fast path — only the hash primitive differs.  Pass ``banded`` (a
+    prebuilt :func:`_portable_banded` frame for ``df``) to share the
+    signature/banding work with another consumer — the incremental
+    curation funnel bands the delta ONCE for both its within-delta and
+    delta-vs-corpus passes."""
+    if banded is None:
+        banded = _portable_banded(
+            df, id_col, text_col, shingle_n, num_hashes, bands
+        )
     return _bucket_pairs(banded, id_col, max_bucket_size)
 
 
@@ -834,6 +842,7 @@ def incremental_lsh_candidates_portable(
     shingle_n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    new_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Portable-md5 twin of :func:`incremental_lsh_dedup_candidates`:
     near-dup candidates of NEW docs against the historical corpus as
@@ -845,10 +854,14 @@ def incremental_lsh_candidates_portable(
     Scale shape: at 100 TB the corpus's banded signatures are computed
     once and stored as a table bucketed on (band, bucket); the daily
     delta's signatures shuffle-join against it without rescanning or
-    re-hashing history."""
-    n = _portable_banded(
-        new_df, id_col, text_col, shingle_n, num_hashes, bands
-    ).withColumnRenamed(id_col, "new_id")
+    re-hashing history.  ``new_banded`` (a prebuilt
+    :func:`_portable_banded` frame for ``new_df``) shares the delta's
+    banding with the within-delta pass (the minhash_lsh twin's note)."""
+    if new_banded is None:
+        new_banded = _portable_banded(
+            new_df, id_col, text_col, shingle_n, num_hashes, bands
+        )
+    n = new_banded.withColumnRenamed(id_col, "new_id")
     c = _portable_banded(
         corpus_df, id_col, text_col, shingle_n, num_hashes, bands
     ).withColumnRenamed(id_col, "corpus_id")

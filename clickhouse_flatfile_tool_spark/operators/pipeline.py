@@ -46,6 +46,29 @@ from pyspark.sql import functions as F
 from clickhouse_flatfile_tool_spark.operators import dedup, text
 
 
+def _make_stage(checkpoint_dir, stage_timings):
+    """Stage-boundary closure shared by both funnels: persist (or, with
+    ``checkpoint_dir``, write/read Parquet — the resumable 100 TB shape)
+    and record wall seconds per stage tag when asked."""
+    import time as _time
+
+    def _stage(df: DataFrame, tag: str) -> DataFrame:
+        t0 = _time.time()
+        if checkpoint_dir is None:
+            df = df.persist()
+            if stage_timings is not None:
+                df.count()  # materialize NOW so elapsed = this stage only
+        else:
+            path = f"{checkpoint_dir}/{tag}"
+            df.write.mode("overwrite").parquet(path)
+            df = df.sparkSession.read.parquet(path)
+        if stage_timings is not None:
+            stage_timings[tag] = round(_time.time() - t0, 3)
+        return df
+
+    return _stage
+
+
 def curation_pipeline(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -86,21 +109,7 @@ def curation_pipeline(
     bench is attributable without re-deriving the funnel.  Default
     ``None`` keeps every boundary lazy; the registered driver query never
     passes it."""
-    import time as _time
-
-    def _stage(df: DataFrame, tag: str) -> DataFrame:
-        t0 = _time.time()
-        if checkpoint_dir is None:
-            df = df.persist()
-            if stage_timings is not None:
-                df.count()  # materialize NOW so elapsed = this stage only
-        else:
-            path = f"{checkpoint_dir}/{tag}"
-            df.write.mode("overwrite").parquet(path)
-            df = df.sparkSession.read.parquet(path)
-        if stage_timings is not None:
-            stage_timings[tag] = round(_time.time() - t0, 3)
-        return df
+    _stage = _make_stage(checkpoint_dir, stage_timings)
 
     s0 = docs.select(id_col, text_col)
 
@@ -245,21 +254,7 @@ def curation_pipeline_incremental(
     invariant): the Jaccard verify attaches shingle sets over the
     corpus ∪ delta union by id, so a shared id would attach ambiguous
     text to its pairs."""
-    import time as _time
-
-    def _stage(df: DataFrame, tag: str) -> DataFrame:
-        t0 = _time.time()
-        if checkpoint_dir is None:
-            df = df.persist()
-            if stage_timings is not None:
-                df.count()
-        else:
-            path = f"{checkpoint_dir}/{tag}"
-            df.write.mode("overwrite").parquet(path)
-            df = df.sparkSession.read.parquet(path)
-        if stage_timings is not None:
-            stage_timings[tag] = round(_time.time() - t0, 3)
-        return df
+    _stage = _make_stage(checkpoint_dir, stage_timings)
 
     s0 = new_docs.select(id_col, text_col)
     corp = corpus.select(id_col, text_col)
@@ -283,13 +278,20 @@ def curation_pipeline_incremental(
         "stage3_exact",
     )
 
+    # band the DELTA once — the dominant per-run cost (shingle explode +
+    # md5 min-hash aggregation) is shared by both candidate passes
+    delta_banded = dedup._portable_banded(
+        s3, id_col, text_col, shingle_n, num_hashes, bands
+    ).persist()
     cross = dedup.incremental_lsh_candidates_portable(
-        s3, corp, id_col, text_col, shingle_n, num_hashes, bands
+        s3, corp, id_col, text_col, shingle_n, num_hashes, bands,
+        new_banded=delta_banded,
     ).select(
         F.col("corpus_id").alias("id_a"), F.col("new_id").alias("id_b")
     )
     within = dedup.minhash_lsh_candidates_portable(
-        s3, id_col, text_col, shingle_n, num_hashes, bands
+        s3, id_col, text_col, shingle_n, num_hashes, bands,
+        banded=delta_banded,
     )
     pairs = cross.union(within)  # id_b is ALWAYS a delta doc
     verified = dedup.jaccard_verify(

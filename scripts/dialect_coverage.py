@@ -161,7 +161,7 @@ FUNCS: dict[str, list[tuple[str, int]]] = {
         ("normalizeQuery", 1), ("normalizeUTF8NFC", 1),
         ("normalizeUTF8NFD", 1), ("toValidUTF8", 1), ("char", 1),
         ("bin", 1), ("unbin", 1), ("hex", 2), ("unhex", 2),
-        ("bytesToHex", 1) if False else ("firstLine", 1),
+        ("firstLine", 1),
     ],
     "string_search_replace": [
         ("position", 3), ("positionUTF8", 2), ("locate", 2),

@@ -2908,6 +2908,10 @@ def test_batch22_scalar_rewrites(spark):
         "multiMatchAnyIndex('warehouse', ['^cl', 'se$']) AS mi, "
         "multiSearchFirstIndex('a join b', ['vector', 'join']) AS ms, "
         "multiSearchFirstIndex('nothing', ['vector', 'join']) AS ms0, "
+        # leftmost-occurrence rule: 'join' (offset 3) beats 'vector'
+        # (offset 10) even though 'vector' is first in the array
+        "multiSearchFirstIndex('a join b vector', ['vector', 'join']) "
+        "  AS msl, "
         "JSONExtractArrayRaw('[1, \"a\", {\"k\": 2}]') AS jar, "
         "JSONExtractArrayRaw('{\"items\": [7, 8]}', 'items') AS jar2, "
         "JSONExtractArrayRaw('{}') AS jar0, "
@@ -2937,6 +2941,7 @@ def test_batch22_scalar_rewrites(spark):
     )).first()
     assert r.m1 is True and r.m2 is False
     assert r.mi == 2 and r.ms == 2 and r.ms0 == 0
+    assert r.msl == 2  # leftmost occurrence wins, not array order
     # string elements come back unquoted (Spark get_json_object rendering,
     # the documented JSONExtractRaw stance; CH keeps the quotes)
     assert list(r.jar) == ["1", "a", '{"k":2}']
