@@ -153,11 +153,14 @@ def curation_pipeline(
     s5 = spans.select(id_col, F.col("clean_text").alias(text_col))
 
     dec = dedup.decontaminate(s5, benchmark, id_col, text_col, n=shingle_n)
-    s6 = s5.join(
-        dec.filter(F.col("contaminated")).select(id_col), id_col, "left_anti"
+    s6 = _stage(
+        s5.join(
+            dec.filter(F.col("contaminated")).select(id_col),
+            id_col,
+            "left_anti",
+        ),
+        "stage6_decontaminate",
     )
-    if checkpoint_dir is not None:
-        s6 = _stage(s6, "stage6_decontaminate")
 
     stages = [
         (0, "input", s0), (1, "gopher", s1), (2, "c4", s2),
@@ -221,6 +224,8 @@ def curation_pipeline_incremental(
     jaccard_threshold: float = 0.8,
     checkpoint_dir: str | None = None,
     stage_timings: dict | None = None,
+    corpus_fps: DataFrame | None = None,
+    corpus_banded: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental (new-batch-vs-existing-corpus) curation funnel — the
     shape a daily corpus build actually runs: the historical corpus is
@@ -242,13 +247,20 @@ def curation_pipeline_incremental(
                   delta doc (corpus docs are never dropped)
       5. decon  — :func:`dedup.decontaminate` vs the benchmark set
 
-    Scale shape: every corpus-side artifact (distinct fingerprints,
-    banded md5 signatures, shingle sets) is computed once per corpus
-    generation and at 100 TB lives as a bucketed table on its join key,
-    so the daily run costs O(delta) — history is probed, never
-    rescanned per batch.  Portable md5 MinHash keeps the whole funnel
-    DuckDB-replayable; ``checkpoint_dir`` / ``stage_timings`` behave as
-    in :func:`curation_pipeline`.
+    Scale shape: the corpus-side artifacts are computed once per corpus
+    generation by :func:`dedup.write_corpus_artifacts` and passed in as
+    ``corpus_fps`` (distinct fingerprints, bucketed on ``__fp``) and
+    ``corpus_banded`` (banded md5 signatures, bucketed on
+    ``(band, bucket)``) — with both given, the corpus TEXT is touched
+    only for the candidate docs the verify stage needs (a left-semi join
+    on the candidate corpus ids), so the daily run costs O(delta +
+    candidates): history is probed, never rescanned or re-hashed per
+    batch.  Omitting them recomputes both artifacts from ``corpus``
+    in-flight (identical results — pytest-proven); the prebuilt path is
+    the 100 TB shape.  ``corpus_banded`` must use this call's
+    ``(shingle_n, num_hashes, bands)``.  Portable md5 MinHash keeps the
+    whole funnel DuckDB-replayable; ``checkpoint_dir`` /
+    ``stage_timings`` behave as in :func:`curation_pipeline`.
 
     Corpus and delta ids must be DISJOINT (any real ingest pipeline's
     invariant): the Jaccard verify attaches shingle sets over the
@@ -274,18 +286,21 @@ def curation_pipeline_incremental(
     )
 
     s3 = _stage(
-        dedup.incremental_exact_dedup(s2, corp, id_col, text_col),
+        dedup.incremental_exact_dedup(
+            s2, corp, id_col, text_col, corpus_fps=corpus_fps
+        ),
         "stage3_exact",
     )
 
     # band the DELTA once — the dominant per-run cost (shingle explode +
-    # md5 min-hash aggregation) is shared by both candidate passes
+    # md5 min-hash aggregation) is shared by both candidate passes via
+    # the persisted frame (ADVICE r7: released below, branch-dependent)
     delta_banded = dedup._portable_banded(
         s3, id_col, text_col, shingle_n, num_hashes, bands
     ).persist()
     cross = dedup.incremental_lsh_candidates_portable(
         s3, corp, id_col, text_col, shingle_n, num_hashes, bands,
-        new_banded=delta_banded,
+        new_banded=delta_banded, corpus_banded=corpus_banded,
     ).select(
         F.col("corpus_id").alias("id_a"), F.col("new_id").alias("id_b")
     )
@@ -293,9 +308,35 @@ def curation_pipeline_incremental(
         s3, id_col, text_col, shingle_n, num_hashes, bands,
         banded=delta_banded,
     )
-    pairs = cross.union(within)  # id_b is ALWAYS a delta doc
+    if corpus_banded is not None or corpus_fps is not None:
+        # PREBUILT-ARTIFACT MODE (the 100 TB daily build).  pairs is
+        # consumed three times (corpus-text pruning semi-join, verify
+        # attach, loser anti-join); localCheckpoint materializes the
+        # small candidate-id list ONCE and truncates lineage so the
+        # banding subtree never re-executes (the connected_components
+        # stance), and the banded-delta cache is released
+        # deterministically right after.  The verify then touches corpus
+        # TEXT only for candidate docs (corpus ids appear only as id_a)
+        # — O(candidates), not O(corpus): with the fingerprint/banded
+        # artifacts prebuilt, NOTHING in the funnel scans full history.
+        pairs = cross.union(within).localCheckpoint()
+        delta_banded.unpersist()
+        verify_docs = corp.join(
+            pairs.select(F.col("id_a").alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        ).union(s3)
+    else:
+        # RECOMPUTE MODE (small-corpus convenience): keep the whole
+        # funnel lazy — one action evaluates it and Spark's ReuseExchange
+        # dedupes the shared banding subtree; an eager checkpoint here
+        # only adds a barrier.  The banded-delta cache stays registered
+        # for the session (deliberate: releasing it needs an eager
+        # action, which costs more than the cache at this mode's scale).
+        pairs = cross.union(within)
+        verify_docs = corp.union(s3)
     verified = dedup.jaccard_verify(
-        corp.union(s3), pairs, id_col, text_col, shingle_n
+        verify_docs, pairs, id_col, text_col, shingle_n
     )
     losers = (
         verified.filter(F.col("jaccard") >= jaccard_threshold)
@@ -305,11 +346,14 @@ def curation_pipeline_incremental(
     s4 = _stage(s3.join(losers, id_col, "left_anti"), "stage4_neardup")
 
     dec = dedup.decontaminate(s4, benchmark, id_col, text_col, n=shingle_n)
-    s5 = s4.join(
-        dec.filter(F.col("contaminated")).select(id_col), id_col, "left_anti"
+    s5 = _stage(
+        s4.join(
+            dec.filter(F.col("contaminated")).select(id_col),
+            id_col,
+            "left_anti",
+        ),
+        "stage5_decontaminate",
     )
-    if checkpoint_dir is not None:
-        s5 = _stage(s5, "stage5_decontaminate")
 
     stages = [
         (0, "input", s0), (1, "gopher", s1), (2, "c4", s2),

@@ -1500,7 +1500,10 @@ def information_value(
     (bad_c/B)) with good = label 1, bad = label 0; categories where either
     side is empty are SKIPPED (their WoE is infinite — the standard
     credit-scoring convention; CH returns inf there, a documented
-    divergence).  Returns one row: (iv, n_categories, n_skipped).
+    divergence).  Rows whose label is NOT exactly 0 or 1 count toward
+    NEITHER side (set-membership clamp, not ``sum(1-lbl)`` — a stray
+    label of 2 must not produce negative "bad" counts).  Returns one
+    row: (iv, n_categories, n_skipped).
 
     100 TB design: one groupBy on the category (the only shuffle, usually
     low-cardinality) then a single tiny aggregate over category rows —
@@ -1508,8 +1511,8 @@ def information_value(
     """
     lbl = F.col(label_col).cast("double")
     cats = df.groupBy(cat_col).agg(
-        F.sum(lbl).alias("__good"),
-        F.sum(1 - lbl).alias("__bad"),
+        F.sum(F.when(lbl == 1.0, 1).otherwise(0)).alias("__good"),
+        F.sum(F.when(lbl == 0.0, 1).otherwise(0)).alias("__bad"),
     )
     tot = cats.agg(
         F.sum("__good").alias("__g"),
@@ -1699,6 +1702,22 @@ def dict_hierarchy(
             f"dict_hierarchy: dictionary has {n} entries > max_entries="
             f"{max_entries}; use an explicit iterative join for dictionaries "
             f"this large"
+        )
+    # duplicate child keys would hit Spark's mapKeyDedupPolicy=EXCEPTION
+    # mid-query with an opaque error — fail early with the keys instead
+    # (same explicit-guard style as max_entries; dict is bounded-small)
+    dup_rows = (
+        dict_df.groupBy(child_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(5)
+        .collect()
+    )
+    if dup_rows:
+        raise ValueError(
+            "dict_hierarchy: duplicate child keys in dictionary "
+            f"(first few: {[r[0] for r in dup_rows]}); a hierarchy "
+            "dictionary must map each child to exactly one parent"
         )
     pairs = dict_df.select(
         F.col(child_col).cast("long"), F.col(parent_col).cast("long")

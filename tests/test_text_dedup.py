@@ -977,7 +977,7 @@ def test_curation_pipeline_stage_timings(spark):
     _f1, p1 = curation_pipeline(docs, bench, stage_timings=times)
     assert sorted(times) == [
         "stage1_gopher", "stage2_c4", "stage3_exact", "stage4_neardup",
-        "stage5_exactsubstr",
+        "stage5_exactsubstr", "stage6_decontaminate",
     ]
     assert all(isinstance(v, float) and v >= 0 for v in times.values())
     assert sorted(tuple(r) for r in p0.collect()) == sorted(
@@ -1125,3 +1125,132 @@ def test_curation_pipeline_incremental_checkpoint_and_timings(
         for r in spark.read.parquet(f"{ckpt}/stage5_decontaminate").collect()
     }
     assert reread == ids
+
+
+def _incr_funnel_fixture(spark):
+    """Shared delta/corpus/bench fixture for the incremental-funnel
+    artifact tests (same planted stages as
+    test_curation_pipeline_incremental)."""
+    base = ("the quick brown fox jumps over the lazy dog again.\n"
+            "a stitch in time saves nine of the best things here.\n"
+            "all that glitters is not gold said the wise old miner.\n")
+    corpus = spark.createDataFrame(
+        [
+            (1, base + "corpus tail about rivers and the mountain air today."),
+            (2, base + "corpus tail about oceans and the desert wind today."),
+        ],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [
+            (10, base + "fresh tail about forests and the northern lights."),
+            (11, base + "corpus tail about rivers and the mountain air today."),
+            (12, base + "corpus tail about oceans and the desert sand today."),
+            (13, base + "fresh tail about forests and the northern lights."),
+            (14, base + "fresh tail about forests and the southern lights."),
+            (15, "tiny doc."),
+            (16, base + "this { one carries a brace so c4 rejects it fully."),
+            (17, base + "benchmark secret passphrase trigram overlap window."),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "entirely separate benchmark secret passphrase trigram "
+               "overlap window for eval")],
+        "doc_id long, text string",
+    )
+    return delta, corpus, bench
+
+
+def test_corpus_artifacts_prebuilt_funnel_equality(spark, tmp_path):
+    """write_corpus_artifacts + corpus_fps=/corpus_banded= (VERDICT r7
+    #1): the prebuilt-artifact incremental funnel returns the IDENTICAL
+    provenance and survivor set as the recompute path, in both artifact
+    layouts (plain hash-repartitioned Parquet and bucketed catalog
+    tables)."""
+    from clickhouse_flatfile_tool_spark.operators import dedup
+    from clickhouse_flatfile_tool_spark.operators.pipeline import (
+        curation_pipeline_incremental,
+    )
+
+    delta, corpus, bench = _incr_funnel_fixture(spark)
+    _f0, p0 = curation_pipeline_incremental(delta, corpus, bench)
+    want_prov = sorted(tuple(r) for r in p0.collect())
+    want_ids = {r.doc_id for r in _f0.collect()}
+    assert want_ids == {10}
+
+    arts = dedup.write_corpus_artifacts(corpus, str(tmp_path / "arts"))
+    f1, p1 = curation_pipeline_incremental(
+        delta, corpus, bench,
+        corpus_fps=arts["fingerprints"], corpus_banded=arts["banded"],
+    )
+    assert sorted(tuple(r) for r in p1.collect()) == want_prov
+    assert {r.doc_id for r in f1.collect()} == want_ids
+
+    arts_t = dedup.write_corpus_artifacts(
+        corpus, str(tmp_path / "arts_tbl"), table_prefix="corpus_art_eq"
+    )
+    f2, p2 = curation_pipeline_incremental(
+        delta, corpus, bench,
+        corpus_fps=arts_t["fingerprints"], corpus_banded=arts_t["banded"],
+    )
+    assert sorted(tuple(r) for r in p2.collect()) == want_prov
+    assert {r.doc_id for r in f2.collect()} == want_ids
+
+    reread = dedup.read_corpus_artifacts(spark, str(tmp_path / "arts"))
+    assert set(reread["fingerprints"].columns) == {"__fp"}
+    assert set(reread["banded"].columns) == {"doc_id", "band", "bucket"}
+
+
+def test_corpus_artifacts_bucketed_scan_no_exchange(spark, tmp_path):
+    """The bucketed-TABLE artifact is the zero-exchange probe side: with
+    broadcast off, the delta×corpus banded join reads the corpus
+    signatures straight from the bucketed files (plan shows the bucketed
+    scan, and strictly fewer Exchanges than the recompute plan — the
+    corpus side loses both its minhash groupBy shuffle and its join-side
+    exchange) — the executable form of 'history is probed, never
+    reshuffled'."""
+    import contextlib
+    import io
+
+    from clickhouse_flatfile_tool_spark.operators import dedup
+
+    delta, corpus, _bench = _incr_funnel_fixture(spark)
+    arts = dedup.write_corpus_artifacts(
+        corpus, str(tmp_path / "arts_x"), table_prefix="corpus_art_xchg"
+    )
+
+    def _plan(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        prebuilt = _plan(
+            dedup.incremental_lsh_candidates_portable(
+                delta, corpus_banded=arts["banded"]
+            )
+        )
+        recompute = _plan(
+            dedup.incremental_lsh_candidates_portable(delta, corpus)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    assert "Bucketed: true" in prebuilt
+    assert prebuilt.count("Exchange") < recompute.count("Exchange")
+    # structural proof: in the plan tree, the corpus-table scan's branch
+    # (the join's right child — its lines carry no ':' left-branch rail)
+    # has NO Exchange between SortMergeJoin and the bucketed scan
+    tree = prebuilt.split("\n\n")[0].splitlines()
+    smj = next(i for i, l in enumerate(tree) if "SortMergeJoin" in l)
+    scan = next(
+        i for i, l in enumerate(tree)
+        if "Scan parquet" in l and "corpus_art_xchg_banded" in l
+    )
+    assert scan > smj
+    right_branch = [l for l in tree[smj + 1: scan] if ":" not in l]
+    assert not any("Exchange" in l for l in right_branch), right_branch
