@@ -5223,7 +5223,14 @@ def q_dialect_batch26(spark, d):
     hostName/uptime/sleep, digest lanes."""
     from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
 
-    _t(spark, d, "documents").createOrReplaceTempView("b26_docs")
+    # repartition: the fixture parquet is one file -> one scan split, and
+    # the heavy projection here is higher-order-lambda work (base58 radix
+    # folds) that Spark evaluates interpreted, per partition — splitting
+    # the scan parallelizes it 32x (5.8s -> 2.4s at sf0.1; on a real
+    # cluster the 100 TB scan is already thousands of splits)
+    _t(spark, d, "documents").repartition(32).createOrReplaceTempView(
+        "b26_docs"
+    )
     ch_sql = (
         "SELECT doc_id, "
         "toInt64(floor(erf(toFloat64(modulo(doc_id, 13)) / 3.0 - 2.0) "
@@ -5327,7 +5334,11 @@ def q_dialect_batch27(spark, d):
     engine must parse/print its way to it)."""
     from clickhouse_flatfile_tool_spark.dialect import translate_clickhouse_sql
 
-    _t(spark, d, "documents").createOrReplaceTempView("b27_docs")
+    # one-file fixture -> one split; parallelize the lambda-heavy
+    # projection (the b26_docs note)
+    _t(spark, d, "documents").repartition(32).createOrReplaceTempView(
+        "b27_docs"
+    )
     arr = "[" + ", ".join(f"'{a}'" for a in _B27_ADDRS) + "]"
     a = f"arrayElement({arr}, toInt32(modulo(doc_id, 8) + 1))"
     v4 = (
@@ -5445,6 +5456,141 @@ def q_dict_hierarchy(spark, d):
     ).orderBy("c_custkey")
 
 
+def q_ann_ivf_recall(spark, d):
+    """Full-probe IVF identity check (VERDICT r7 #5): with n_probe =
+    n_lists the IVF search must return EXACTLY the exact cosine top-k —
+    every corpus vector lives in exactly one inverted list and probing
+    all lists reaches all of them, so any lost/duplicated candidate in
+    the assign/probe/rerank machinery flips the hash.  Oracle: the same
+    DuckDB exact-top-k construction that proves cosine_topk
+    (_COSINE_ORACLE); this turns the ANN plumbing from rows-only into a
+    hash-proven identity, while the pruned-probe production entries
+    (ann_ivf_topk, n_probe=4) stay rows-only by design."""
+    emb = _t(spark, d, "embeddings")
+    queries_df = emb.filter("vec_id < 10")
+    return similarity.ivf_cosine_topk(
+        queries_df, emb, k=5, n_lists=16, n_probe=16
+    )
+
+
+def q_ann_recall_suite(spark, d):
+    """Recall-against-exact companions for the SEEDED ANN family (VERDICT
+    r7 #5): one row per method, ``hits`` = |ANN∩exact| and ``total`` =
+    |exact| on the fixture's 10 probe queries (or all near-dup pairs):
+
+      lsh      — ann_cosine_topk at bits=4/tables=16 (recall-tuned config
+                 so the pin is a meaningful fraction, not 1/50) vs exact
+                 cosine top-5
+      pq       — pq_topk over the prebuilt index, rerank=50, vs top-5
+      ivfpq    — ivfpq_search over the prebuilt index, n_probe=4,
+                 rerank=40, vs top-5
+      pair_lsh — embedding_dedup_candidates at bits=4/tables=12 vs the
+                 exact cosine pair set ≥ 0.4
+
+    DuckDB cannot replay the seeded hyperplanes/k-means, so the oracle
+    PINS the measured hit counts per fixture scale (keyed on the
+    lineitem cardinality — embeddings is 500 rows at both small scales).
+    What the pin guards: silent recall collapse in any candidate path
+    and drift in the exact side (whose own exactness is hash-proven by
+    cosine_topk/embedding_dedup and the full-probe identity
+    ann_ivf_recall).  Integer hit counts over seeded deterministic
+    shortlists are stable run-to-run; a parameter or algorithm change
+    that moves recall MUST re-measure and re-pin, which is exactly the
+    reviewable event the entry exists to force."""
+    emb = _t(spark, d, "embeddings")
+    queries_df = emb.filter("vec_id < 10")
+    exact = similarity.cosine_topk(queries_df, emb, k=5).select(
+        "query_id", "neighbor_id"
+    )
+
+    def topk_row(method, ann_df):
+        hits = ann_df.select("query_id", "neighbor_id").join(
+            exact, ["query_id", "neighbor_id"]
+        )
+        return (
+            hits.agg(F.count(F.lit(1)).alias("hits"))
+            .crossJoin(exact.agg(F.count(F.lit(1)).alias("total")))
+            .select(F.lit(method).alias("method"), "hits", "total")
+        )
+
+    lsh = topk_row(
+        "lsh",
+        similarity.ann_cosine_topk(queries_df, emb, k=5, bits=4, tables=16),
+    )
+    embn = similarity.normalize(emb)
+    qn = embn.filter("vec_id < 10")
+    idx = _index_cache_dir(d, "pq")
+    if not os.path.isdir(os.path.join(idx, "codes")):
+        similarity.pq_build_index(embn, idx, m=16, k=64)
+    cb, enc = similarity.pq_load_index(spark, idx)
+    pq = topk_row("pq", similarity.pq_topk(qn, enc, cb, k=5, rerank=50))
+    idx2 = _index_cache_dir(d, "ivfpq")
+    if not os.path.isdir(os.path.join(idx2, "codes")):
+        similarity.ivfpq_build_index(embn, idx2, n_lists=8, m=16, k_codes=32)
+    cent, cb2, enc2 = similarity.ivfpq_load_index(spark, idx2)
+    ivfpq = topk_row(
+        "ivfpq",
+        similarity.ivfpq_search(
+            qn, cent, cb2, enc2, k=5, n_probe=4, rerank=40
+        ),
+    )
+    exact_pairs = similarity.cosine_dedup_pairs(emb, cos_threshold=0.4).select(
+        "id_a", "id_b"
+    )
+    pair_hits = (
+        similarity.embedding_dedup_candidates(
+            emb, cos_threshold=0.4, bits=4, tables=12
+        )
+        .select("id_a", "id_b")
+        .join(exact_pairs, ["id_a", "id_b"])
+    )
+    pair_lsh = (
+        pair_hits.agg(F.count(F.lit(1)).alias("hits"))
+        .crossJoin(exact_pairs.agg(F.count(F.lit(1)).alias("total")))
+        .select(F.lit("pair_lsh").alias("method"), "hits", "total")
+    )
+    return (
+        lsh.union(pq).union(ivfpq).union(pair_lsh)
+        .select(
+            "method",
+            F.col("hits").cast("long").alias("hits"),
+            F.col("total").cast("long").alias("total"),
+        )
+        .orderBy("method")
+    )
+
+
+def q_api_query_roundtrip(spark, d):
+    """End-to-end probe of the endpoint facade's GLUE (VERDICT r7 #7):
+    the query goes through ``api.query`` — ClickHouse-dialect
+    translation, statement routing, page clamping, row serialization —
+    not straight to the operator, so the facade itself is driver-checked
+    every round (analog of the reference POSTing user SQL to its /query
+    endpoint, server/server.js:817-866).  The returned page (a bounded
+    list of dicts, the endpoint's own contract) is lifted back into a
+    DataFrame with an explicit schema so the driver can hash it."""
+    from clickhouse_flatfile_tool_spark import api
+
+    _t(spark, d, "orders").createOrReplaceTempView("api_orders")
+    res = api.query(
+        spark,
+        "SELECT o_orderstatus, count() AS n, "
+        "round(avg(o_totalprice), 2) AS avg_price, "
+        "toInt64(max(o_custkey)) AS max_ck "
+        "FROM api_orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+        page=1,
+        page_size=100,
+    )
+    assert res["success"], res
+    return spark.createDataFrame(
+        [
+            (r["o_orderstatus"], r["n"], r["avg_price"], r["max_ck"])
+            for r in res["data"]
+        ],
+        "o_orderstatus string, n long, avg_price double, max_ck long",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the correctness driver checks the FIRST 50
     # entries per round.  Entries ROTATE each round: unproven (no green
@@ -5517,6 +5663,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dict_sql": q_dict_sql,
         "pipeline_incremental": q_pipeline_incremental,
         "pipeline_incremental_prebuilt": q_pipeline_incremental_prebuilt,
+        "api_query_roundtrip": q_api_query_roundtrip,
+        "ann_ivf_recall": q_ann_ivf_recall,
+        "ann_recall_suite": q_ann_recall_suite,
         "dialect_batch23": q_dialect_batch23,
         "dialect_batch23_aggs": q_dialect_batch23_aggs,
         "minhash_portable": q_minhash_portable,
@@ -9011,4 +9160,34 @@ SELECT s.doc_id, e.label FROM surv s JOIN embeddings e ON s.doc_id = e.vec_id"""
     # the prebuilt-artifact funnel is DEFINED to equal the recompute
     # funnel — same fixture, same DuckDB full replay proves both paths
     out["pipeline_incremental_prebuilt"] = out["pipeline_incremental"]
+    out["api_query_roundtrip"] = (
+        "SELECT o_orderstatus, count(*) AS n, "
+        "round(avg(o_totalprice), 2) AS avg_price, "
+        "max(o_custkey)::BIGINT AS max_ck "
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus "
+        "LIMIT 100"
+    )
+    # full-probe IVF is DEFINED to equal the exact top-k — same oracle
+    out["ann_ivf_recall"] = _COSINE_ORACLE
+    # seeded-ANN recall pins (see q_ann_recall_suite docstring): DuckDB
+    # cannot replay seeded hyperplanes/k-means, so the measured hit
+    # counts are pinned per fixture scale, keyed on lineitem cardinality
+    # (embeddings is 500 rows at both small scales).  Re-measure + re-pin
+    # on any parameter/algorithm change — that forced review is the point.
+    out["ann_recall_suite"] = """
+WITH li AS (SELECT count(*) AS c FROM lineitem)
+SELECT v.method,
+       (CASE WHEN li.c = 6000 THEN v.h1
+             WHEN li.c = 60000 THEN v.h2
+             ELSE v.h3 END)::BIGINT AS hits,
+       (CASE WHEN li.c = 6000 THEN v.t1
+             WHEN li.c = 60000 THEN v.t2
+             ELSE v.t3 END)::BIGINT AS total
+FROM (VALUES ('ivfpq', 36, 50, 33, 50, 32, 50),
+             ('lsh', 48, 50, 47, 50, 46, 50),
+             ('pair_lsh', 59, 66, 57, 59, 813, 920),
+             ('pq', 49, 50, 49, 50, 46, 50))
+     v(method, h1, t1, h2, t2, h3, t3), li
+ORDER BY v.method
+"""
     return out
