@@ -5608,23 +5608,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   window_first_last -> window_lag map_props -> array_funcs/json_props
     return {
         # ------------------------------------------------------------------
-        # ROUND-7 DRIVER WINDOW (first 50 slots), final composition:
-        # 46 unproven (the 36 fingerprint-stale re-proves -- the r6
-        # post-judge ADVICE fixes plus every r7 dialect batch 22-25
-        # re-invalidated the whole dialect-entry family at once, exactly
-        # the "land dialect work while those entries are in-window" plan
-        # from VERDICT r6 #1; plus the 10 new r7 entries:
-        # pipeline_incremental, dialect_batch22/22_aggs,
-        # dialect_batch23/23_aggs/23_window, dialect_batch24,
-        # dialect_batch25, minhash_portable (staled by the
-        # _portable_banded refactor), pipeline_e2e (staled by the shared
-        # fixture-builder refactor)) + 4 proven filler slots
-        # (cramers_v, stream_near_dedup, stream_curation, tpch_q13-
-        # adjacent tail).  Everything here is selfcheck-PASS at sf0.001
-        # AND sf0.01 (the driver's gate scale).  Fingerprints refresh
-        # next round after CORRECTNESS_r07 lands (the one-round-lag
-        # protocol, scripts/registry_window.py --update).
+        # ROUND-8 DRIVER WINDOW (first 50 slots): 10 unproven first —
+        # dict_hierarchy leads (the one oracled entry never driver-
+        # checked, DEFERRED from r7 per VERDICT r7 #2), then the r8
+        # entries (pipeline_incremental_prebuilt, api_query_roundtrip,
+        # ann_ivf_recall, ann_recall_suite) and the five r8-staled
+        # re-proves (pipeline_incremental + dedup_incremental via the
+        # corpus-artifact params, dialect_batch26/27 via the erf4/scan-
+        # split fixture edits, ml_aggregates via the information_value
+        # label clamp).  40 proven-filler slots follow (all re-proved
+        # 50/50 at the r7 HEAD).  Everything selfcheck-PASS at sf0.001
+        # AND sf0.01 before rotation; fingerprints were refreshed at the
+        # r7-end commit 51d2e1d via the worktree protocol.
         # ------------------------------------------------------------------
+        "dict_hierarchy": q_dict_hierarchy,
+        "pipeline_incremental": q_pipeline_incremental,
+        "pipeline_incremental_prebuilt": q_pipeline_incremental_prebuilt,
+        "api_query_roundtrip": q_api_query_roundtrip,
+        "ann_ivf_recall": q_ann_ivf_recall,
+        "ann_recall_suite": q_ann_recall_suite,
+        "dedup_incremental": q_dedup_incremental,
+        "dialect_batch26": q_dialect_batch26,
+        "dialect_batch27": q_dialect_batch27,
+        "ml_aggregates": q_ml_aggregates,
+        # ---- proven filler (r7-green at HEAD) ----------------------------
         "clickhouse_funcs3": q_clickhouse_funcs3,
         "clickhouse_funcs4": q_clickhouse_funcs4,
         "dialect_batch16": q_dialect_batch16,
@@ -5661,11 +5668,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dialect_batch21_aggs": q_dialect_batch21_aggs,
         "rank_assoc": q_rank_assoc,
         "dict_sql": q_dict_sql,
-        "pipeline_incremental": q_pipeline_incremental,
-        "pipeline_incremental_prebuilt": q_pipeline_incremental_prebuilt,
-        "api_query_roundtrip": q_api_query_roundtrip,
-        "ann_ivf_recall": q_ann_ivf_recall,
-        "ann_recall_suite": q_ann_recall_suite,
         "dialect_batch23": q_dialect_batch23,
         "dialect_batch23_aggs": q_dialect_batch23_aggs,
         "minhash_portable": q_minhash_portable,
@@ -5674,10 +5676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dialect_batch23_window": q_dialect_batch23_window,
         "dialect_batch24": q_dialect_batch24,
         "dialect_batch25": q_dialect_batch25,
-        "dialect_batch26": q_dialect_batch26,
-        "dialect_batch27": q_dialect_batch27,
         "text_similarity": q_text_similarity,
-        "ml_aggregates": q_ml_aggregates,
         "pipeline_e2e": q_pipeline_e2e,
         # ------------------------------------------------------------------
         # tail: proven green in CORRECTNESS_r01-r05; order immaterial
@@ -5700,9 +5699,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exactsubstr_dedup": q_exactsubstr_dedup,
         "mad_outliers": q_mad_outliers,
         "stream_curation": q_stream_curation,
-        # new in late r7, DEFERRED past the (full) r7 window — rotates
-        # into the r8 window first (registry_window.py DEFERRED set)
-        "dict_hierarchy": q_dict_hierarchy,
         "asof_join": q_asof_join,
         "tpch_q9": q_tpch_q9,
         "tpch_q11": q_tpch_q11,
@@ -5862,7 +5858,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_dist": q_window_dist,
         "edit_distance": q_edit_distance,
         "containment": q_containment,
-        "dedup_incremental": q_dedup_incremental,
         "null_semantics": q_null_semantics,
         "integrity_check": q_integrity_check,
         "quantize_embeddings": q_quantize_embeddings,

@@ -349,6 +349,35 @@ def main() -> None:
         time.time() - t0 - sum(stage_times.values()), 3
     )
 
+    # Prebuilt-artifact incremental funnel (VERDICT r7 #1): the corpus
+    # fingerprint/banded-signature tables are built UNTIMED — in
+    # production they are written once per corpus generation
+    # (dedup.write_corpus_artifacts) — and the timed region is the
+    # O(delta) daily run that probes them (the pq_search prebuilt-index
+    # stance).  Recorded alongside the recompute-mode headline
+    # `pipeline_incremental` so the artifact win is a measured number.
+    from clickhouse_flatfile_tool_spark.operators import dedup as _dedup
+    from clickhouse_flatfile_tool_spark.operators.pipeline import (
+        curation_pipeline_incremental,
+    )
+
+    delta_df, corpus_df, ibench_df = entrymod._incr_funnel_frames(spark, sf_dir)
+    arts_dir = tempfile.mkdtemp(prefix="cfts_bench_arts_")
+    arts = _dedup.write_corpus_artifacts(
+        corpus_df, arts_dir, table_prefix="cfts_bench_corpus_art"
+    )
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        _f, iprov = curation_pipeline_incremental(
+            delta_df, corpus_df, ibench_df,
+            corpus_fps=arts["fingerprints"], corpus_banded=arts["banded"],
+        )
+        iprov.write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    timings["pipeline_incremental_prebuilt"] = round(best, 3)
+    shutil.rmtree(arts_dir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "total_bench_seconds",

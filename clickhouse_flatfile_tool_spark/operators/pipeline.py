@@ -226,6 +226,7 @@ def curation_pipeline_incremental(
     stage_timings: dict | None = None,
     corpus_fps: DataFrame | None = None,
     corpus_banded: DataFrame | None = None,
+    prune_corpus_text: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental (new-batch-vs-existing-corpus) curation funnel — the
     shape a daily corpus build actually runs: the historical corpus is
@@ -251,16 +252,27 @@ def curation_pipeline_incremental(
     generation by :func:`dedup.write_corpus_artifacts` and passed in as
     ``corpus_fps`` (distinct fingerprints, bucketed on ``__fp``) and
     ``corpus_banded`` (banded md5 signatures, bucketed on
-    ``(band, bucket)``) — with both given, the corpus TEXT is touched
-    only for the candidate docs the verify stage needs (a left-semi join
-    on the candidate corpus ids), so the daily run costs O(delta +
-    candidates): history is probed, never rescanned or re-hashed per
-    batch.  Omitting them recomputes both artifacts from ``corpus``
-    in-flight (identical results — pytest-proven); the prebuilt path is
-    the 100 TB shape.  ``corpus_banded`` must use this call's
-    ``(shingle_n, num_hashes, bands)``.  Portable md5 MinHash keeps the
-    whole funnel DuckDB-replayable; ``checkpoint_dir`` /
-    ``stage_timings`` behave as in :func:`curation_pipeline`.
+    ``(band, bucket)``) — with both given, history is probed through the
+    artifact tables, never re-hashed per batch, so the hash/band work is
+    O(delta).  Omitting them recomputes both artifacts from ``corpus``
+    in-flight (identical results — pytest-proven across all modes).
+
+    ``prune_corpus_text=True`` additionally restricts the verify stage's
+    corpus TEXT scan to candidate docs (a left-semi join on the
+    candidate corpus ids over an eagerly checkpointed pair list), making
+    the whole daily run O(delta + candidates) — turn it on when corpus
+    text is large relative to the candidate set (the 100 TB daily
+    build).  Default False: at small corpus scale the prune's extra
+    joins cost MORE than the one map-only text scan they avoid
+    (measured: 6.2s vs 2.3s at the sf0.1 fixture, BASELINE §e
+    curation_incremental_prebuilt), and fixture-truth beats
+    story-symmetry here.  Results are identical either way
+    (pytest-proven).
+
+    ``corpus_banded`` must use this call's ``(shingle_n, num_hashes,
+    bands)``.  Portable md5 MinHash keeps the whole funnel
+    DuckDB-replayable; ``checkpoint_dir`` / ``stage_timings`` behave as
+    in :func:`curation_pipeline`.
 
     Corpus and delta ids must be DISJOINT (any real ingest pipeline's
     invariant): the Jaccard verify attaches shingle sets over the
@@ -308,17 +320,17 @@ def curation_pipeline_incremental(
         s3, id_col, text_col, shingle_n, num_hashes, bands,
         banded=delta_banded,
     )
-    if corpus_banded is not None or corpus_fps is not None:
-        # PREBUILT-ARTIFACT MODE (the 100 TB daily build).  pairs is
-        # consumed three times (corpus-text pruning semi-join, verify
+    if prune_corpus_text:
+        # O(delta + candidates) VERIFY (the 100 TB daily build): pairs
+        # is consumed three times (corpus-text pruning semi-join, verify
         # attach, loser anti-join); localCheckpoint materializes the
         # small candidate-id list ONCE and truncates lineage so the
         # banding subtree never re-executes (the connected_components
         # stance), and the banded-delta cache is released
         # deterministically right after.  The verify then touches corpus
-        # TEXT only for candidate docs (corpus ids appear only as id_a)
-        # — O(candidates), not O(corpus): with the fingerprint/banded
-        # artifacts prebuilt, NOTHING in the funnel scans full history.
+        # TEXT only for candidate docs (corpus ids appear only as id_a):
+        # with the fingerprint/banded artifacts also prebuilt, NOTHING
+        # in the funnel scans full history.
         pairs = cross.union(within).localCheckpoint()
         delta_banded.unpersist()
         verify_docs = corp.join(
@@ -327,12 +339,14 @@ def curation_pipeline_incremental(
             "left_semi",
         ).union(s3)
     else:
-        # RECOMPUTE MODE (small-corpus convenience): keep the whole
-        # funnel lazy — one action evaluates it and Spark's ReuseExchange
-        # dedupes the shared banding subtree; an eager checkpoint here
-        # only adds a barrier.  The banded-delta cache stays registered
-        # for the session (deliberate: releasing it needs an eager
-        # action, which costs more than the cache at this mode's scale).
+        # Default: keep the whole funnel lazy — one action evaluates it
+        # and Spark's ReuseExchange dedupes the shared banding subtree;
+        # an eager checkpoint here only adds a barrier, and the one
+        # map-only corpus text scan in the verify is cheaper than the
+        # prune's joins until corpus text dwarfs the candidate set.  The
+        # banded-delta cache stays registered for the session
+        # (deliberate: releasing it needs an eager action, which costs
+        # more than the cache at this mode's scale).
         pairs = cross.union(within)
         verify_docs = corp.union(s3)
     verified = dedup.jaccard_verify(

@@ -119,7 +119,7 @@ def stale_entries() -> set[str]:
 # entries), so dict_hierarchy — added late in r7 — waits one round and
 # rotates into the r8 window first.  It is selfcheck-PASS at sf0.001 and
 # sf0.01 locally (the same oracle the driver runs).
-DEFERRED: set[str] = {"dict_hierarchy"}
+DEFERRED: set[str] = set()
 
 
 def main() -> int:

@@ -304,6 +304,74 @@ def main() -> None:
 
         out["curation_incremental"] = _time_pair(incr_funnel, docs1, docsk, k)
 
+    if _wanted("curation_incremental_prebuilt"):
+        # VERDICT r7 #1: the PREBUILT-ARTIFACT daily-build shape — the
+        # corpus fingerprint/banded tables are written once (untimed,
+        # like the pq_search prebuilt codebooks) and the timed funnel
+        # only probes them; with the fixed base, the row stays flat in
+        # delta size AND its 1x leg drops vs curation_incremental's
+        # (corpus re-banding was the dominant fixture-scale cost).
+        import tempfile as _tf
+
+        from clickhouse_flatfile_tool_spark.operators import (
+            dedup as _dedup_mod,
+        )
+        from clickhouse_flatfile_tool_spark.operators.pipeline import (
+            curation_pipeline_incremental as _cpi,
+        )
+
+        def _prep2(df):
+            return df.select(
+                "doc_id",
+                F.concat(
+                    F.expr(
+                        r"regexp_replace(text, "
+                        r"'(\\S+ \\S+ \\S+ \\S+ \\S+ \\S+) ', '$1.\n')"
+                    ),
+                    F.lit(" the a"),
+                ).alias("text"),
+            )
+
+        base_fx = _prep2(docs1).filter(F.col("doc_id") % 4 == 0).localCheckpoint()
+        held_fx = _prep2(docs1).filter(F.col("doc_id") % 20 == 1).localCheckpoint()
+        arts = _dedup_mod.write_corpus_artifacts(
+            base_fx, _tf.mkdtemp(prefix="cfts_smoke_arts_"),
+            table_prefix="cfts_smoke_corpus_art",
+        )
+
+        def incr_funnel_pre(df):
+            delta = _prep2(df).filter(
+                (F.col("doc_id") % 4 != 0) & (F.col("doc_id") % 20 != 1)
+            )
+            return _cpi(
+                delta, base_fx, held_fx,
+                corpus_fps=arts["fingerprints"],
+                corpus_banded=arts["banded"],
+            )[1]
+
+        out["curation_incremental_prebuilt"] = _time_pair(
+            incr_funnel_pre, docs1, docsk, k
+        )
+
+        def incr_funnel_prune(df):
+            delta = _prep2(df).filter(
+                (F.col("doc_id") % 4 != 0) & (F.col("doc_id") % 20 != 1)
+            )
+            return _cpi(
+                delta, base_fx, held_fx,
+                corpus_fps=arts["fingerprints"],
+                corpus_banded=arts["banded"],
+                prune_corpus_text=True,
+            )[1]
+
+        # the O(delta+candidates) verify shape: slower at fixture scale
+        # (the prune's joins cost more than the one corpus text scan
+        # they avoid — the documented default-off rationale), flat in
+        # delta size; at 100 TB the avoided scan IS the ballgame
+        out["curation_incremental_pruneverify"] = _time_pair(
+            incr_funnel_prune, docs1, docsk, k
+        )
+
     # round-3 heavy operators (VERDICT r3 #3) — each with the input
     # scaling that isolates the operator's own weak-scaling behavior
     plaink = scaled_plain(docs1, k).localCheckpoint()

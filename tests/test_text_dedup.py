@@ -1197,6 +1197,16 @@ def test_corpus_artifacts_prebuilt_funnel_equality(spark, tmp_path):
     assert sorted(tuple(r) for r in p2.collect()) == want_prov
     assert {r.doc_id for r in f2.collect()} == want_ids
 
+    # prune_corpus_text=True (the O(delta+candidates) verify shape)
+    # must also be funnel-identical
+    f3, p3 = curation_pipeline_incremental(
+        delta, corpus, bench,
+        corpus_fps=arts_t["fingerprints"], corpus_banded=arts_t["banded"],
+        prune_corpus_text=True,
+    )
+    assert sorted(tuple(r) for r in p3.collect()) == want_prov
+    assert {r.doc_id for r in f3.collect()} == want_ids
+
     reread = dedup.read_corpus_artifacts(spark, str(tmp_path / "arts"))
     assert set(reread["fingerprints"].columns) == {"__fp"}
     assert set(reread["banded"].columns) == {"doc_id", "band", "bucket"}
