@@ -983,6 +983,61 @@ def write_corpus_artifacts(
     return out
 
 
+def append_corpus_artifacts(
+    accepted_delta: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    num_buckets: int = 8,
+    table_prefix: str | None = None,
+) -> dict[str, DataFrame]:
+    """Close the daily-build loop: after a delta batch survives the
+    incremental funnel, APPEND its fingerprints and banded signatures to
+    the corpus artifacts so tomorrow's build probes today's accepted
+    docs — the corpus artifact tables are maintained incrementally, not
+    rebuilt (an O(corpus) rebuild per day is exactly what
+    :func:`write_corpus_artifacts`'s once-per-generation contract
+    forbids).
+
+    Appends are O(delta): the delta's artifacts are computed with the
+    same construction as the writer and appended into the same bucketed
+    layout (``insertInto`` keeps bucket spills correct for catalog
+    tables; plain-Parquet mode appends hash-repartitioned files).
+    Fingerprint duplicates across appends are harmless — the consumer
+    is an anti-join (:func:`incremental_exact_dedup`'s note) — but the
+    delta's fingerprints are still deduped locally to keep the table
+    from accreting copies.  Pytest proves append(write(corpus), delta)
+    is funnel-equivalent to write(corpus ∪ delta).
+
+    Pass the same ``(shingle_n, num_hashes, bands, num_buckets,
+    table_prefix)`` the artifacts were written with."""
+    spark = accepted_delta.sparkSession
+    fps = accepted_delta.select(fingerprint(text_col).alias("__fp")).distinct()
+    banded = _portable_banded(
+        accepted_delta, id_col, text_col, shingle_n, num_hashes, bands
+    )
+    specs = {
+        "fingerprints": (fps, ["__fp"]),
+        "banded": (banded, ["band", "bucket"]),
+    }
+    out: dict[str, DataFrame] = {}
+    for name, (frame, keys) in specs.items():
+        if table_prefix is not None:
+            tbl = f"{table_prefix}_{name}"
+            frame.write.mode("append").insertInto(tbl)
+            out[name] = spark.table(tbl)
+        else:
+            path = f"{out_dir}/{name}"
+            frame.repartition(num_buckets, *keys).write.mode(
+                "append"
+            ).parquet(path)
+            out[name] = spark.read.parquet(path)
+    return out
+
+
 def read_corpus_artifacts(
     spark,
     out_dir: str | None = None,

@@ -1264,3 +1264,67 @@ def test_corpus_artifacts_bucketed_scan_no_exchange(spark, tmp_path):
     assert scan > smj
     right_branch = [l for l in tree[smj + 1: scan] if ":" not in l]
     assert not any("Exchange" in l for l in right_branch), right_branch
+
+
+def test_append_corpus_artifacts_daily_loop(spark, tmp_path):
+    """The daily-build loop closes: append_corpus_artifacts(delta) on
+    yesterday's artifacts yields the same funnel decisions as artifacts
+    rebuilt from scratch over corpus ∪ delta — in both layouts — and the
+    appended catalog table still scans bucketed."""
+    import contextlib
+    import io
+
+    from clickhouse_flatfile_tool_spark.operators import dedup
+    from clickhouse_flatfile_tool_spark.operators.pipeline import (
+        curation_pipeline_incremental,
+    )
+
+    delta, corpus, bench = _incr_funnel_fixture(spark)
+    # day 1's accepted delta becomes part of history; day 2 replays the
+    # SAME delta (now fully duplicate) -> everything non-gated drops at
+    # the exact/neardup stages against the appended artifacts
+    day1_accepted, _p = curation_pipeline_incremental(delta, corpus, bench)
+    day1_rows = day1_accepted.collect()
+    assert {r.doc_id for r in day1_rows} == {10}
+    accepted = spark.createDataFrame(day1_rows, day1_accepted.schema)
+
+    new_corpus = corpus.union(accepted)
+    day2 = delta.selectExpr("doc_id + 100 AS doc_id", "text")
+
+    for mode, prefix in (("dir", None), ("tbl", "corpus_art_append")):
+        base_dir = str(tmp_path / f"arts_{mode}")
+        arts = dedup.write_corpus_artifacts(
+            corpus, base_dir, table_prefix=prefix
+        )
+        appended = dedup.append_corpus_artifacts(
+            accepted, base_dir, table_prefix=prefix
+        )
+        rebuilt = dedup.write_corpus_artifacts(
+            new_corpus, str(tmp_path / f"arts_{mode}_rb"),
+            table_prefix=None if prefix is None else prefix + "_rb",
+        )
+        f_app, p_app = curation_pipeline_incremental(
+            day2, new_corpus, bench,
+            corpus_fps=appended["fingerprints"],
+            corpus_banded=appended["banded"],
+        )
+        f_rb, p_rb = curation_pipeline_incremental(
+            day2, new_corpus, bench,
+            corpus_fps=rebuilt["fingerprints"],
+            corpus_banded=rebuilt["banded"],
+        )
+        assert sorted(tuple(r) for r in p_app.collect()) == sorted(
+            tuple(r) for r in p_rb.collect()
+        )
+        # day-2 replay of doc 10's text is now an exact dup of history
+        assert {r.doc_id for r in f_app.collect()} == {
+            r.doc_id for r in f_rb.collect()
+        } == set()
+
+    # appended catalog table still scans bucketed
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        spark.table("corpus_art_append_banded").groupBy(
+            "band", "bucket"
+        ).count().explain("formatted")
+    assert "Bucketed: true" in buf.getvalue()
