@@ -2461,6 +2461,22 @@ def q_pipeline_e2e(spark, d):
     return provenance
 
 
+def q_pipeline_e2e_fast(spark, d):
+    """Production twin of ``pipeline_e2e`` (portable=False: xxhash64
+    MinHash banding + hashed ExactSubstr shingles — 8-byte longs through
+    every dedup shuffle instead of md5 hex strings).  Benched, not
+    registered: the md5 oracle twin is the driver-checked entry, the
+    winnow/winnow_fast and exactsubstr/exactsubstr_fast convention;
+    pytest asserts mode agreement on the planted funnel fixture."""
+    from clickhouse_flatfile_tool_spark.operators.pipeline import (
+        curation_pipeline,
+    )
+
+    train, bench = _pipeline_e2e_inputs(spark, d)
+    _final, provenance = curation_pipeline(train, bench, portable=False)
+    return provenance
+
+
 def q_pipeline_incremental(spark, d):
     """Incremental (daily-batch) curation funnel (pipeline.py::
     curation_pipeline_incremental — the shape a production corpus build
@@ -5631,6 +5647,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dialect_batch26": q_dialect_batch26,
         "dialect_batch27": q_dialect_batch27,
         "ml_aggregates": q_ml_aggregates,
+        # pipeline_e2e: staled by the r8 curation_pipeline edits (s6
+        # staging + portable=); the fingerprint cannot see through the
+        # function-local import, so it re-enters via CHANGED_SINCE_GREEN
+        "pipeline_e2e": q_pipeline_e2e,
         # ---- proven filler (r7-green at HEAD) ----------------------------
         "clickhouse_funcs3": q_clickhouse_funcs3,
         "clickhouse_funcs4": q_clickhouse_funcs4,
@@ -5677,7 +5697,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dialect_batch24": q_dialect_batch24,
         "dialect_batch25": q_dialect_batch25,
         "text_similarity": q_text_similarity,
-        "pipeline_e2e": q_pipeline_e2e,
         # ------------------------------------------------------------------
         # tail: proven green in CORRECTNESS_r01-r05; order immaterial
         # (summap_merge/domain_block/strip_html/winnow/mutual_nn/anova displaced

@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     "dialect_batch21_aggs",
     "rank_assoc",
     "pipeline_e2e",
+    "pipeline_e2e_fast",
     # round 7 additions
     "pipeline_incremental",
     "dialect_batch22",

@@ -82,6 +82,7 @@ def curation_pipeline(
     span_min_tokens: int = 6,
     checkpoint_dir: str | None = None,
     stage_timings: dict | None = None,
+    portable: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the 6-stage curation pipeline; returns ``(final_docs,
     provenance)`` where provenance is the funnel table
@@ -92,9 +93,12 @@ def curation_pipeline(
 
     Near-dup stage uses the PORTABLE md5 MinHash
     (:func:`dedup.minhash_lsh_candidates_portable`) so the whole funnel
-    is engine-reproducible / oracle-comparable; swap in the xxhash64 fast
-    path for production throughput (identical shape, different hash
-    primitive).
+    is engine-reproducible / oracle-comparable; ``portable=False`` swaps
+    in the xxhash64 production path (8-byte longs through the shuffle
+    instead of hex strings, same banded shape) and hashed ExactSubstr
+    shingles — the winnow/winnow_fast convention, benched as
+    ``pipeline_e2e_fast``; pytest asserts the two modes agree on the
+    planted fixture's funnel.
 
     With ``checkpoint_dir`` set, every stage materializes to
     ``<dir>/stage<N>_<name>`` Parquet and downstream stages read the
@@ -132,9 +136,14 @@ def curation_pipeline(
         s2.join(canon.select(id_col), id_col, "left_semi"), "stage3_exact"
     )
 
-    cands = dedup.minhash_lsh_candidates_portable(
-        s3, id_col, text_col, shingle_n, num_hashes, bands
-    )
+    if portable:
+        cands = dedup.minhash_lsh_candidates_portable(
+            s3, id_col, text_col, shingle_n, num_hashes, bands
+        )
+    else:
+        cands = dedup.minhash_lsh_candidates(
+            s3, id_col, text_col, shingle_n, num_hashes, bands
+        )
     verified = dedup.jaccard_verify(s3, cands, id_col, text_col, shingle_n)
     losers = (
         verified.filter(F.col("jaccard") >= jaccard_threshold)
@@ -146,7 +155,7 @@ def curation_pipeline(
     spans = _stage(
         dedup.remove_repeated_spans(
             s4, id_col, text_col, n=span_n, min_tokens=span_min_tokens,
-            hashed=False,
+            hashed=not portable,
         ),
         "stage5_exactsubstr",
     )

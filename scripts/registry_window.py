@@ -47,7 +47,11 @@ FINGERPRINTS_PATH = os.path.join(
 # snapshotted at the r4-end commit (3a368d6) via a git worktree, so every
 # r5 edit (the dialect probe-gating + INTERPOLATE fixes) is auto-flagged;
 # the former tumbling_window/tpch_q10 entries dropped with their r4 greens.
-CHANGED_SINCE_GREEN: set[str] = set()
+# Round 8: pipeline_e2e calls curation_pipeline through a function-local
+# import, which the bare-name resolution cannot see — its r7 green was
+# staled by the r8 pipeline.py edits (stage-6 staging + portable=), so it
+# re-enters the window manually.
+CHANGED_SINCE_GREEN: set[str] = {"pipeline_e2e"}
 
 
 def _fingerprint(qfn, oracle: str | None) -> str:

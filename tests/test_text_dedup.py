@@ -1328,3 +1328,36 @@ def test_append_corpus_artifacts_daily_loop(spark, tmp_path):
             "band", "bucket"
         ).count().explain("formatted")
     assert "Bucketed: true" in buf.getvalue()
+
+
+def test_curation_pipeline_fast_mode_agrees(spark):
+    """portable=False (xxhash64 banding + hashed ExactSubstr shingles —
+    the production funnel) produces the identical provenance funnel and
+    survivor set as the portable md5 oracle twin on the planted
+    fixture."""
+    from clickhouse_flatfile_tool_spark.operators.pipeline import (
+        curation_pipeline,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again.\n"
+            "a stitch in time saves nine of the best things here.\n")
+    rows = [
+        (1, base + "unique tail one about rivers and the mountain air."),
+        (2, base + "unique tail two about oceans and the desert wind."),
+        (3, base + "unique tail one about rivers and the mountain air."),
+        (4, base + "unique tail one about rivers and the mountain airs."),
+        (5, "tiny doc."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(9, "nothing in common with the corpus at all, entirely disjoint")],
+        "doc_id long, text string",
+    )
+    f_md5, p_md5 = curation_pipeline(docs, bench)
+    f_fast, p_fast = curation_pipeline(docs, bench, portable=False)
+    assert sorted(tuple(r) for r in p_md5.collect()) == sorted(
+        tuple(r) for r in p_fast.collect()
+    )
+    assert {r.doc_id for r in f_md5.collect()} == {
+        r.doc_id for r in f_fast.collect()
+    }
