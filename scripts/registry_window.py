@@ -7,9 +7,10 @@ to the scorer.  Exits non-zero if any unproven entry is below the window.
 
 Stale-green detection is AUTOMATIC (VERDICT r3 #2): every query has a
 source fingerprint — the q_ wrapper's source, its oracle SQL, and the
-source of every ``mod.fn(`` / bare ``fn(`` callable the wrapper invokes —
-snapshotted in scripts/green_fingerprints.json when the entry was last
-proven.  Wrappers calling translate_clickhouse_sql additionally hash the
+source of every ``mod.fn(`` / bare ``fn(`` callable the wrapper invokes,
+plus (r8) every callable the wrapper imports FUNCTION-LOCALLY from the
+package — snapshotted in scripts/green_fingerprints.json when the entry
+was last proven.  Wrappers calling translate_clickhouse_sql additionally hash the
 WHOLE dialect module (its rewrite tables change without touching the
 entry function), so any dialect edit invalidates dialect-query greens.  A proven entry whose current fingerprint differs is treated as
 UNPROVEN (its historical row no longer proves the current output) and must
@@ -47,11 +48,11 @@ FINGERPRINTS_PATH = os.path.join(
 # snapshotted at the r4-end commit (3a368d6) via a git worktree, so every
 # r5 edit (the dialect probe-gating + INTERPOLATE fixes) is auto-flagged;
 # the former tumbling_window/tpch_q10 entries dropped with their r4 greens.
-# Round 8: pipeline_e2e calls curation_pipeline through a function-local
-# import, which the bare-name resolution cannot see — its r7 green was
-# staled by the r8 pipeline.py edits (stage-6 staging + portable=), so it
-# re-enters the window manually.
-CHANGED_SINCE_GREEN: set[str] = {"pipeline_e2e"}
+# Round 8: empty again — the fingerprint now resolves function-LOCAL
+# imports too (the pipeline_e2e blindness this set covered for one
+# audit), and the snapshot was re-taken at the r7-end commit (51d2e1d)
+# under the new definition via the worktree protocol.
+CHANGED_SINCE_GREEN: set[str] = set()
 
 
 def _fingerprint(qfn, oracle: str | None) -> str:
@@ -66,6 +67,31 @@ def _fingerprint(qfn, oracle: str | None) -> str:
         src = repr(qfn)
     parts = [src, oracle or ""]
     seen = set()
+    # function-LOCAL imports (``from pkg.mod import name`` inside the
+    # wrapper body) hide their targets from both call-form scans below —
+    # r8 caught pipeline_e2e staled invisibly this way — so resolve and
+    # hash those imported callables explicitly
+    for mod_path, names_blob in re.findall(
+        r"from\s+(clickhouse_flatfile_tool_spark[\w.]*)\s+import\s+"
+        r"\(?([\w,\s]+?)\)?\s*(?:\n(?!\s*\w+,)|$)",
+        src,
+    ):
+        try:
+            import importlib
+
+            mod = importlib.import_module(mod_path)
+        except ImportError:
+            continue
+        for name in re.split(r"[\s,]+", names_blob.strip()):
+            if not name or name in seen:
+                continue
+            seen.add(name)
+            target = getattr(mod, name, None)
+            if inspect.isfunction(target):
+                try:
+                    parts.append(inspect.getsource(target))
+                except (TypeError, OSError):
+                    parts.append(repr(target))
     for mod_name, fn_name in re.findall(r"\b(\w+)\.(\w+)\(", src):
         key = f"{mod_name}.{fn_name}"
         if key in seen:
@@ -118,11 +144,9 @@ def stale_entries() -> set[str]:
     return drifted | CHANGED_SINCE_GREEN
 
 # Entries deliberately parked past the window edge (more unproven entries
-# than the 50 driver slots).  Round 7: the window is FULL (50 unproven:
-# 38 dialect-family re-proves staled by batches 22-27 + the 12 new r7
-# entries), so dict_hierarchy — added late in r7 — waits one round and
-# rotates into the r8 window first.  It is selfcheck-PASS at sf0.001 and
-# sf0.01 locally (the same oracle the driver runs).
+# than the 50 driver slots).  Round 8: empty — the r8 window holds all 11
+# unproven entries (dict_hierarchy rotated in first per VERDICT r7 #2)
+# with 39 proven-filler slots to spare.
 DEFERRED: set[str] = set()
 
 
