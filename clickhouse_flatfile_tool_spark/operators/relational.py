@@ -1707,8 +1707,9 @@ def dict_hierarchy(
     # mid-query with an opaque error — fail early with the keys instead
     # (same explicit-guard style as max_entries; dict is bounded-small)
     dup_rows = (
-        dict_df.groupBy(child_col)
-        .agg(F.count(F.lit(1)).alias("__n"))
+        dict_df.filter(F.col(child_col).isNotNull())  # NULL children are
+        .groupBy(child_col)                           # skipped by the map
+        .agg(F.count(F.lit(1)).alias("__n"))          # builder, not dups
         .filter(F.col("__n") > 1)
         .limit(5)
         .collect()
