@@ -559,9 +559,15 @@ def ch_expression(draw, depth=0):
     if kind == 59:
         return f"toUInt8(xor({sub()} > 0, {sub()} < 0))"
     if kind == 60:
+        # the computed key must be NULL-proof: a NULL sub-expression would
+        # make the whole key NULL and map() rejects NULL keys in BOTH
+        # engines (CH forbids Nullable map keys at type level; Spark
+        # raises NULL_MAP_KEY) — deep-fuzz (r8, 200 examples) caught the
+        # unguarded form as a grammar hazard, not a translation bug
         return (
             f"length(arrayElement(mapKeys(mapSort(mapConcat(map('b', 1), "
-            f"map(concat('a', toString(toInt64({sub()}))), 2)))), 1))"
+            f"map(concat('a', ifNull(toString(toInt64({sub()})), '0')), "
+            f"2)))), 1))"
         )
     # batch 20 (r6)
     if kind == 47:
