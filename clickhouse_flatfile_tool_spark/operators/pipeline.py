@@ -47,31 +47,42 @@ from pyspark.sql import functions as F
 from clickhouse_flatfile_tool_spark.operators import dedup, text
 
 
-def _make_stage(checkpoint_dir, stage_timings):
-    """Stage-boundary closure shared by both funnels: localCheckpoint
-    (or, with ``checkpoint_dir``, write/read Parquet — the resumable
-    100 TB shape) and record wall seconds per stage tag when asked.
+def _make_stage(checkpoint_dir, stage_timings, boundary="localCheckpoint"):
+    """Stage-boundary closure shared by both funnels (with
+    ``checkpoint_dir``, always write/read Parquet — the resumable 100 TB
+    shape) and record wall seconds per stage tag when asked.
 
-    localCheckpoint over persist() (r8): it truncates the LOGICAL plan
-    at every boundary, so stage k+1's analysis doesn't re-walk stages
-    1..k's trees and the provenance counts scan stored blocks instead of
-    re-analyzing six nested plans — measured 10.3s → 7.5s on the sf0.1
-    batch funnel with identical output.  Tradeoff: checkpoint blocks
-    are not lineage-recoverable on executor loss (persist recomputes) —
-    irrelevant in local mode, and the durable 100 TB shape is
-    ``checkpoint_dir`` anyway."""
+    ``boundary`` picks the in-memory materialization primitive, and the
+    right one is FUNNEL-SPECIFIC (both A/B-measured at sf0.1, best-of-3):
+
+    * ``"localCheckpoint"`` — truncates the LOGICAL plan at every
+      boundary, so stage k+1's analysis doesn't re-walk stages 1..k's
+      trees and provenance counts scan stored blocks instead of
+      re-analyzing six nested plans.  Wins for the BATCH funnel, whose
+      cost is analysis of six deeply nested stage trees (12.7s → 8.1s).
+    * ``"persist"`` — lazy cache marks, single fused action.  Wins for
+      the INCREMENTAL funnel, whose cost is per-stage compute (banding)
+      that the checkpoint barriers serialize (4.1s vs 8.5s).
+
+    Tradeoff note: localCheckpoint blocks are not lineage-recoverable on
+    executor loss (persist recomputes) — irrelevant in local mode, and
+    the durable 100 TB shape is ``checkpoint_dir`` anyway."""
     import time as _time
 
     def _stage(df: DataFrame, tag: str) -> DataFrame:
         t0 = _time.time()
-        if checkpoint_dir is None:
+        if checkpoint_dir is not None:
+            path = f"{checkpoint_dir}/{tag}"
+            df.write.mode("overwrite").parquet(path)
+            df = df.sparkSession.read.parquet(path)
+        elif boundary == "localCheckpoint":
             # eager only when timing — materialize NOW so elapsed = this
             # stage only; the lazy default computes on first action
             df = df.localCheckpoint(eager=stage_timings is not None)
         else:
-            path = f"{checkpoint_dir}/{tag}"
-            df.write.mode("overwrite").parquet(path)
-            df = df.sparkSession.read.parquet(path)
+            df = df.persist()
+            if stage_timings is not None:
+                df.count()  # materialize NOW so elapsed = this stage only
         if stage_timings is not None:
             stage_timings[tag] = round(_time.time() - t0, 3)
         return df
@@ -297,7 +308,9 @@ def curation_pipeline_incremental(
     invariant): the Jaccard verify attaches shingle sets over the
     corpus ∪ delta union by id, so a shared id would attach ambiguous
     text to its pairs."""
-    _stage = _make_stage(checkpoint_dir, stage_timings)
+    _stage = _make_stage(
+        checkpoint_dir, stage_timings, boundary="persist"
+    )  # measured: see _make_stage — barriers hurt this funnel
 
     s0 = new_docs.select(id_col, text_col)
     corp = corpus.select(id_col, text_col)
