@@ -5576,6 +5576,25 @@ def q_ann_recall_suite(spark, d):
     )
 
 
+def q_training_shards(spark, d):
+    """Equal-token training-shard assignment
+    (sampling.assign_training_shards — the trainer-facing layout step
+    after curation): each document lands in the shard containing its
+    START offset in the global md5(id)-ordered token stream, documents
+    never split.  The global running sum is a TWO-LEVEL prefix sum (256
+    md5-prefix buckets: within-bucket window cumsum + result-shaped
+    bucket-offset cumsum) — never a single-partition global window.
+    Fully engine-portable (md5 order key, integer DIV), so the oracle
+    replays the exact assignment in DuckDB."""
+    docs = _t(spark, d, "documents").select("doc_id", "text")
+    out = sampling.assign_training_shards(docs, 2000)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("shard").cast("long").alias("shard"),
+    ).orderBy("doc_id")
+
+
 def q_api_query_roundtrip(spark, d):
     """End-to-end probe of the endpoint facade's GLUE (VERDICT r7 #7):
     the query goes through ``api.query`` — ClickHouse-dialect
@@ -5648,9 +5667,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dialect_batch27": q_dialect_batch27,
         "ml_aggregates": q_ml_aggregates,
         # pipeline_e2e: staled by the r8 curation_pipeline edits (s6
-        # staging + portable=); the fingerprint cannot see through the
-        # function-local import, so it re-enters via CHANGED_SINCE_GREEN
+        # staging + portable= + boundary split); caught automatically
+        # once the fingerprint learned to resolve function-local imports
         "pipeline_e2e": q_pipeline_e2e,
+        "training_shards": q_training_shards,
         # ---- proven filler (r7-green at HEAD) ----------------------------
         "clickhouse_funcs3": q_clickhouse_funcs3,
         "clickhouse_funcs4": q_clickhouse_funcs4,
@@ -5664,20 +5684,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dialect_ips": q_dialect_ips,
         "dialect_aggs2": q_dialect_aggs2,
         "dialect_dates2": q_dialect_dates2,
-        "hypothesis_tests": q_hypothesis_tests,
+        "dialect_batch23_aggs": q_dialect_batch23_aggs,
         "clickhouse_dialect": q_clickhouse_dialect,
         "clickhouse_funcs2": q_clickhouse_funcs2,
         "url_funcs": q_url_funcs,
         "clickhouse_dates": q_clickhouse_dates,
         "dialect_asof": q_dialect_asof,
-        "with_fill": q_with_fill,
         "sequence_match": q_sequence_match,
         "dialect_funnel": q_dialect_funnel,
         "dialect_retention": q_dialect_retention,
         "dialect_stats": q_dialect_stats,
         "dialect_paste": q_dialect_paste,
-        "with_totals": q_with_totals,
-        "with_fill_interp": q_with_fill_interp,
         "dialect_batch18": q_dialect_batch18,
         "dialect_batch19": q_dialect_batch19,
         "dialect_batch19_aggs": q_dialect_batch19_aggs,
@@ -5686,16 +5703,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dialect_modifiers": q_dialect_modifiers,
         "dialect_batch21": q_dialect_batch21,
         "dialect_batch21_aggs": q_dialect_batch21_aggs,
-        "rank_assoc": q_rank_assoc,
-        "dict_sql": q_dict_sql,
-        "dialect_batch23": q_dialect_batch23,
-        "dialect_batch23_aggs": q_dialect_batch23_aggs,
-        "minhash_portable": q_minhash_portable,
         "dialect_batch22": q_dialect_batch22,
         "dialect_batch22_aggs": q_dialect_batch22_aggs,
         "dialect_batch23_window": q_dialect_batch23_window,
         "dialect_batch24": q_dialect_batch24,
         "dialect_batch25": q_dialect_batch25,
+        "dict_sql": q_dict_sql,
+        "dialect_batch23": q_dialect_batch23,
         "text_similarity": q_text_similarity,
         # ------------------------------------------------------------------
         # tail: proven green in CORRECTNESS_r01-r05; order immaterial
@@ -5715,6 +5729,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new r7 entries (dialect_batch26/27, text_similarity,
         # ml_aggregates)
         "c4_rules": q_c4_rules,
+        # DEFERRED r8 (registry_window.py DEFERRED set): with_totals /
+        # with_fill / with_fill_interp are fingerprint-stale only via the
+        # whole-dialect-module hash; the one r8 dialect edit (reinterpret
+        # let-binding) cannot change their translations (no reinterpret*
+        # in their SQL), and each is selfcheck-PASS at sf0.001+sf0.01 at
+        # HEAD.  53 unproven > 50 slots; these three wait one round.
+        "with_totals": q_with_totals,
+        "with_fill": q_with_fill,
+        "with_fill_interp": q_with_fill_interp,
+        "rank_assoc": q_rank_assoc,
+        "minhash_portable": q_minhash_portable,
+        "hypothesis_tests": q_hypothesis_tests,
         "exactsubstr_dedup": q_exactsubstr_dedup,
         "mad_outliers": q_mad_outliers,
         "stream_curation": q_stream_curation,
@@ -9181,6 +9207,27 @@ SELECT s.doc_id, e.label FROM surv s JOIN embeddings e ON s.doc_id = e.vec_id"""
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus "
         "LIMIT 100"
     )
+    out["training_shards"] = r"""
+WITH d AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+'))::BIGINT AS nt,
+         md5(doc_id::VARCHAR) AS h,
+         substring(md5(doc_id::VARCHAR), 1, 2) AS b
+  FROM documents
+), wb AS (
+  SELECT doc_id, nt, b,
+         sum(nt) OVER (PARTITION BY b ORDER BY h, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS wcum
+  FROM d
+), off AS (
+  SELECT b, coalesce(sum(bt) OVER (ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS boff
+  FROM (SELECT b, sum(nt) AS bt FROM d GROUP BY b)
+)
+SELECT doc_id, nt AS n_tokens,
+       ((boff + wcum - nt) // 2000)::BIGINT AS shard
+FROM wb JOIN off USING (b) ORDER BY doc_id
+"""
     # full-probe IVF is DEFINED to equal the exact top-k — same oracle
     out["ann_ivf_recall"] = _COSINE_ORACLE
     # seeded-ANN recall pins (see q_ann_recall_suite docstring): DuckDB

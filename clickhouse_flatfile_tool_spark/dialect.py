@@ -5649,12 +5649,20 @@ def _rewrite_batch26_calls(chunk: str) -> str:
     def reinterp_int_make(args):
         if len(args) != 1:
             return None
-        s = args[0]
-        return (
+        # let-bind the argument ONCE (the base58 note): it is spliced at
+        # two sites below, and textual splicing multiplies under nesting
+        # — reinterpretAsUInt64∘reinterpretAsString self-composed 3 deep
+        # hit 587 KB of SQL and the analyzer's max-iterations cap before
+        # this (caught by the r8 deep-fuzz)
+        s = "__ri8s"
+        body = (
             f"aggregate(sequence(1, greatest(least(length({s}), 8), 1)), "
             f"CAST(0 AS BIGINT), (__ac, __i) -> __ac | "
             f"shiftleft(CAST(ascii(substring({s}, __i, 1)) AS BIGINT) & 255, "
             f"(__i - 1) * 8))"
+        )
+        return (
+            f"element_at(transform(array({args[0]}), __ri8s -> {body}), 1)"
         )
 
     chunk = _rewrite_call(chunk, "reinterpretAsUInt64", reinterp_int_make)
@@ -5663,7 +5671,9 @@ def _rewrite_batch26_calls(chunk: str) -> str:
     def reinterp_str_make(args):
         if len(args) != 1:
             return None
-        v = f"CAST(({args[0]}) AS BIGINT)"
+        # let-bound: v is spliced at TEN sites (7 threshold comparisons +
+        # the guard + the byte extraction) — the reinterp_int_make note
+        v = "__ri8v"
         # highest nonzero byte via EXACT integer thresholds (a log2-on-
         # DOUBLE form miscounts when the double rounding crosses a
         # 2^(8k) boundary, emitting a spurious trailing NUL)
@@ -5671,10 +5681,14 @@ def _rewrite_batch26_calls(chunk: str) -> str:
             f"WHEN {v} < {1 << (8 * (b + 1))} THEN {b}"
             for b in range(7)
         ) + " ELSE 7 END"
-        return (
+        body = (
             f"CASE WHEN {v} <= 0 THEN '' ELSE "
             f"array_join(transform(sequence(0, {hi}), __i -> "
             f"char(shiftrightunsigned({v}, __i * 8) & 255)), '') END"
+        )
+        return (
+            f"element_at(transform(array(CAST(({args[0]}) AS BIGINT)), "
+            f"__ri8v -> {body}), 1)"
         )
 
     chunk = _rewrite_call(chunk, "reinterpretAsString", reinterp_str_make)

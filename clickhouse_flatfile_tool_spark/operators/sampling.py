@@ -155,3 +155,70 @@ def token_budget_trim(
         .where(F.col("__cum") <= token_budget)
         .drop("__nt", "__cum")
     )
+
+
+def assign_training_shards(
+    df: DataFrame,
+    tokens_per_shard: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign every document to a training shard of ~``tokens_per_shard``
+    whitespace tokens — the trainer-facing layout step after curation: a
+    shard is the unit a data loader streams, so shards must be
+    near-equal-token, deterministic across runs/retries, and documents
+    must never split.  A document's shard is the shard containing its
+    START offset in the global md5(id)-ordered token stream (boundary
+    documents straddle into the next shard rather than splitting — the
+    standard pack-then-overflow rule).
+
+    Returns ``df`` + ``(n_tokens, shard)``.  Deterministic and
+    engine-portable: the order key is md5 of the id, so the DuckDB
+    oracle replays the exact assignment.
+
+    100 TB shape — a global running sum WITHOUT a global window: a naive
+    ``Window.orderBy(h)`` cumsum puts the whole corpus in ONE partition
+    (the classic scale killer).  Instead, a TWO-LEVEL prefix sum:
+
+      1. bucket = first 2 md5 hex chars (256 uniform buckets);
+      2. within-bucket cumsum — a window PARTITIONED by bucket (one
+         shuffle, 256-way parallel);
+      3. bucket offsets — the 256-row per-bucket totals cumsum'd in a
+         result-shaped window and broadcast back.
+
+    global_cum = bucket_offset + within_cum; shard = (global_cum −
+    n_tokens) DIV tokens_per_shard (integer division — exact in both
+    engines)."""
+    from pyspark.sql import Window
+
+    if tokens_per_shard <= 0:
+        raise ValueError("assign_training_shards: tokens_per_shard must be > 0")
+    h = F.md5(F.col(id_col).cast("string"))
+    d = df.withColumn(
+        "__nt",
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long"),
+    ).withColumn("__b", F.substring(h, 1, 2))
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("__wcum", F.sum("__nt").over(w_in))
+    w_off = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # 256 rows — result-shaped
+    offsets = (
+        d.groupBy("__b")
+        .agg(F.sum("__nt").alias("__bt"))
+        .withColumn("__boff", F.coalesce(F.sum("__bt").over(w_off), F.lit(0)))
+        .select("__b", "__boff")
+    )
+    out = d.join(F.broadcast(offsets), "__b")
+    return out.select(
+        *df.columns,
+        F.col("__nt").alias("n_tokens"),
+        F.expr(
+            f"CAST((__boff + __wcum - __nt) DIV {int(tokens_per_shard)} "
+            "AS INT)"
+        ).alias("shard"),
+    )

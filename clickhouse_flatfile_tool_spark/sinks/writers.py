@@ -235,6 +235,53 @@ def compact_parquet(
     return len(glob.glob(os.path.join(path, "part-*.parquet")))
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    tokens_per_shard: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Write a curated corpus as near-equal-token training shards — the
+    data-loader-facing layout: one directory per shard
+    (``shard=<k>/part-*.parquet``, a single file per shard so a loader
+    streams each shard sequentially), documents never split, assignment
+    deterministic and engine-portable via
+    :func:`operators.sampling.assign_training_shards`.
+
+    Returns the manifest frame ``(shard, n_docs, n_tokens)`` — the
+    per-shard accounting every training run records next to the data.
+
+    Scale shape: assignment is the two-level prefix sum (no global
+    window); the write repartitions BY the shard column so each shard's
+    rows converge on one task → one file (at 100 TB pick
+    ``tokens_per_shard`` so a shard is a few hundred MB and the
+    repartition spreads shards across the cluster)."""
+    from clickhouse_flatfile_tool_spark.operators.sampling import (
+        assign_training_shards,
+    )
+
+    assigned = assign_training_shards(
+        df, tokens_per_shard, id_col=id_col, text_col=text_col
+    )
+    (
+        assigned.repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    return (
+        spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
 def upsert_table(
     spark: SparkSession,
     changes: DataFrame,

@@ -86,6 +86,14 @@ def _fingerprint(qfn, oracle: str | None) -> str:
             if not name or name in seen:
                 continue
             seen.add(name)
+            if name in _WHOLE_MODULE_DEPS:
+                # the function's own source is NOT enough for these —
+                # dialect rewrite closures change without touching the
+                # entry point's def (the bare-name branch's rationale);
+                # marking it seen here without the module hash would
+                # blind the audit to every dialect edit
+                parts.append(inspect.getsource(_WHOLE_MODULE_DEPS[name]))
+                continue
             target = getattr(mod, name, None)
             if inspect.isfunction(target):
                 try:
@@ -144,10 +152,14 @@ def stale_entries() -> set[str]:
     return drifted | CHANGED_SINCE_GREEN
 
 # Entries deliberately parked past the window edge (more unproven entries
-# than the 50 driver slots).  Round 8: empty — the r8 window holds all 11
-# unproven entries (dict_hierarchy rotated in first per VERDICT r7 #2)
-# with 39 proven-filler slots to spare.
-DEFERRED: set[str] = set()
+# than the 50 driver slots).  Round 8: the late-round reinterpret
+# let-binding edit re-staled the whole 41-entry dialect family (the
+# module hash is deliberately coarse), pushing unproven to 53.  The
+# three deferred entries are stale ONLY via that module hash — their
+# own SQL contains no reinterpret*, so their translations are
+# byte-identical — and each is selfcheck-PASS at sf0.001+sf0.01 at
+# HEAD; they rotate into the r9 window first.
+DEFERRED: set[str] = {"with_totals", "with_fill", "with_fill_interp"}
 
 
 def main() -> int:

@@ -408,3 +408,38 @@ def test_write_with_bloom_adds_filters_and_roundtrips(spark, tmp_path):
     # read-back correctness with a point probe (the bloom's target shape)
     got = spark.read.parquet(bloomed).where("user = 'user_123'").count()
     assert got == 1
+
+
+def test_write_training_shards_layout_and_manifest(spark, tables, tmp_path):
+    """write_training_shards: one directory and ONE file per shard,
+    every document present exactly once, manifest (shard, n_docs,
+    n_tokens) matches the data, shard ids contiguous from 0."""
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_flatfile_tool_spark.sinks.writers import (
+        write_training_shards,
+    )
+
+    docs = tables["documents"].select("doc_id", "text").limit(300)
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(docs, path, tokens_per_shard=500)
+    rows = manifest.collect()
+    shards = [r.shard for r in rows]
+    assert shards == list(range(len(shards))) and len(shards) >= 2
+    back = spark.read.parquet(path)
+    assert back.count() == 300
+    assert back.select("doc_id").distinct().count() == 300
+    per = {
+        r.shard: (r.n, r.t)
+        for r in back.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    for r in rows:
+        assert per[r.shard] == (r.n_docs, r.n_tokens)
+    for s in shards:
+        files = _glob.glob(_os.path.join(path, f"shard={s}", "part-*.parquet"))
+        assert len(files) == 1, (s, files)

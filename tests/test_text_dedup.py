@@ -1361,3 +1361,36 @@ def test_curation_pipeline_fast_mode_agrees(spark):
     assert {r.doc_id for r in f_md5.collect()} == {
         r.doc_id for r in f_fast.collect()
     }
+
+
+def test_assign_training_shards_matches_reference(spark, docs):
+    """Two-level prefix-sum shard assignment equals the brute-force
+    python replay (md5-ordered global cumsum, start-offset DIV rule),
+    and shard token totals are near-equal."""
+    import hashlib
+
+    from clickhouse_flatfile_tool_spark.operators.sampling import (
+        assign_training_shards,
+    )
+
+    tps = 400
+    sample = docs.limit(200)
+    got = {
+        r.doc_id: (r.n_tokens, r.shard)
+        for r in assign_training_shards(sample, tps).collect()
+    }
+    rows = [(r.doc_id, r.text) for r in sample.collect()]
+    order = sorted(
+        rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0])
+    )
+    cum = 0
+    want = {}
+    for doc_id, text in order:
+        nt = len(text.strip().split())
+        want[doc_id] = (nt, cum // tps)
+        cum += nt
+    assert got == want
+    # near-equal shards: every shard except the last spans >= tps tokens
+    # from its first doc's start to the next shard's start by construction
+    shards = sorted({s for _, s in got.values()})
+    assert shards == list(range(len(shards)))
