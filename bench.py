@@ -201,7 +201,6 @@ BENCH_QUERIES = [
     "dialect_batch21_aggs",
     "rank_assoc",
     "pipeline_e2e",
-    "pipeline_e2e_fast",
     # round 7 additions
     "pipeline_incremental",
     "dialect_batch22",
@@ -216,6 +215,9 @@ BENCH_QUERIES = [
     "text_similarity",
     "ml_aggregates",
     "dict_hierarchy",
+    # round 8 additions
+    "pipeline_e2e_fast",
+    "training_shards",
 ]
 
 
