@@ -67,10 +67,16 @@ def _fingerprint(qfn, oracle: str | None) -> str:
         src = repr(qfn)
     parts = [src, oracle or ""]
     seen = set()
-    # function-LOCAL imports (``from pkg.mod import name`` inside the
-    # wrapper body) hide their targets from both call-form scans below —
-    # r8 caught pipeline_e2e staled invisibly this way — so resolve and
-    # hash those imported callables explicitly
+    # module objects bound to a function-LOCAL name (``... import dedup
+    # as _dd``): the ``mod.fn(`` scan below resolves module names via
+    # entrymod attributes, which cannot see wrapper-local bindings — r8's
+    # ADVICE caught q_pipeline_incremental_prebuilt's _dd.write_corpus_
+    # artifacts( calls invisible this way
+    local_mods: dict[str, object] = {}
+    # function-LOCAL imports (``from pkg.mod import name [as alias]``
+    # inside the wrapper body) hide their targets from both call-form
+    # scans below — r8 caught pipeline_e2e staled invisibly this way —
+    # so resolve and hash those imported callables explicitly
     for mod_path, names_blob in re.findall(
         r"from\s+(clickhouse_flatfile_tool_spark[\w.]*)\s+import\s+"
         r"\(?([\w,\s]+?)\)?\s*(?:\n(?!\s*\w+,)|$)",
@@ -82,10 +88,19 @@ def _fingerprint(qfn, oracle: str | None) -> str:
             mod = importlib.import_module(mod_path)
         except ImportError:
             continue
-        for name in re.split(r"[\s,]+", names_blob.strip()):
-            if not name or name in seen:
+        for name_m, alias_m in re.findall(
+            r"(\w+)(?:\s+as\s+(\w+))?\s*(?:,|$)", names_blob.strip()
+        ):
+            name, bound = name_m, (alias_m or name_m)
+            if not name or bound in seen:
                 continue
-            seen.add(name)
+            seen.add(bound)
+            target = getattr(mod, name, None)
+            if inspect.ismodule(target):
+                # calls through the alias (``_dd.write_corpus_artifacts(``)
+                # are hashed by the mod.fn( scan via local_mods
+                local_mods[bound] = target
+                continue
             if name in _WHOLE_MODULE_DEPS:
                 # the function's own source is NOT enough for these —
                 # dialect rewrite closures change without touching the
@@ -94,7 +109,6 @@ def _fingerprint(qfn, oracle: str | None) -> str:
                 # blind the audit to every dialect edit
                 parts.append(inspect.getsource(_WHOLE_MODULE_DEPS[name]))
                 continue
-            target = getattr(mod, name, None)
             if inspect.isfunction(target):
                 try:
                     parts.append(inspect.getsource(target))
@@ -105,10 +119,16 @@ def _fingerprint(qfn, oracle: str | None) -> str:
         if key in seen:
             continue
         seen.add(key)
-        mod = getattr(entrymod, mod_name, None)
+        # wrapper-local aliased module imports shadow entrymod attributes
+        mod = local_mods.get(mod_name) or getattr(entrymod, mod_name, None)
         target = (
             getattr(mod, fn_name, None) if inspect.ismodule(mod) else None
         )
+        if fn_name in _WHOLE_MODULE_DEPS and target is not None:
+            # whole-module deps stay whole-module even when called
+            # through an aliased module import
+            parts.append(inspect.getsource(_WHOLE_MODULE_DEPS[fn_name]))
+            continue
         if callable(target):
             try:
                 parts.append(inspect.getsource(target))

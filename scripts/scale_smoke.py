@@ -372,6 +372,92 @@ def main() -> None:
             incr_funnel_prune, docs1, docsk, k
         )
 
+    if _wanted("prune_crossover"):
+        # VERDICT r8 #4: MEASURE where prune_corpus_text wins instead of
+        # asserting it.  The flag exists to avoid the full corpus-TEXT
+        # scan in the verify stage, so the right scaling axis is CORPUS
+        # text volume at FIXED delta: corpus at 1x/4x/16x/32x/64x of the
+        # base, delta constant, artifacts prebuilt per corpus generation
+        # (untimed — the once-per-generation contract); timed = the
+        # daily funnel, prune off (map-only full text scan) vs on
+        # (candidate-semi-joined scan).  Copy 0 keeps the ORIGINAL text
+        # so the delta x corpus candidate structure is CONSTANT across
+        # multiples (suffixed copies have disjoint shingle spaces) —
+        # the measurement isolates scan volume, not candidate growth.
+        import tempfile as _tf2
+
+        from clickhouse_flatfile_tool_spark.operators import (
+            dedup as _dd2,
+        )
+        from clickhouse_flatfile_tool_spark.operators.pipeline import (
+            curation_pipeline_incremental as _cpi2,
+        )
+
+        def _prep3(df):
+            return df.select(
+                "doc_id",
+                F.concat(
+                    F.expr(
+                        r"regexp_replace(text, "
+                        r"'(\\S+ \\S+ \\S+ \\S+ \\S+ \\S+) ', '$1.\n')"
+                    ),
+                    F.lit(" the a"),
+                ).alias("text"),
+            )
+
+        corp_base = _prep3(docs1).filter(F.col("doc_id") % 4 == 0)
+        held_x = _prep3(docs1).filter(F.col("doc_id") % 20 == 1).localCheckpoint()
+        delta_x = _prep3(docs1).filter(
+            (F.col("doc_id") % 4 != 0) & (F.col("doc_id") % 20 != 1)
+        ).localCheckpoint()
+
+        def corpus_times(m: int):
+            if m == 1:
+                corp = corp_base
+            else:
+                copies = corp_base.crossJoin(
+                    F.broadcast(
+                        spark.range(m).select(F.col("id").alias("__copy"))
+                    )
+                )
+                corp = copies.select(
+                    (F.col("doc_id") + F.col("__copy") * 10_000_000).alias(
+                        "doc_id"
+                    ),
+                    F.when(F.col("__copy") == 0, F.col("text"))
+                    .otherwise(
+                        F.expr(
+                            "regexp_replace(text, '(\\\\S+)', "
+                            "concat('$1_', __copy))"
+                        )
+                    )
+                    .alias("text"),
+                )
+            corp = corp.localCheckpoint()
+            arts_m = _dd2.write_corpus_artifacts(
+                corp, _tf2.mkdtemp(prefix=f"cfts_prune_arts_{m}x_"),
+                table_prefix=f"cfts_prune_art_{m}x",
+            )
+            row = {}
+            for label, flag in (("t_mapscan", False), ("t_prune", True)):
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.time()
+                    _cpi2(
+                        delta_x, corp, held_x,
+                        corpus_fps=arts_m["fingerprints"],
+                        corpus_banded=arts_m["banded"],
+                        prune_corpus_text=flag,
+                    )[1].write.format("noop").mode("overwrite").save()
+                    best = min(best, time.time() - t0)
+                row[label] = round(best, 3)
+            row["prune_wins"] = row["t_prune"] < row["t_mapscan"]
+            return row
+
+        out["prune_crossover"] = {
+            f"{m}x": corpus_times(m) for m in (1, 4, 16, 32, 64)
+        }
+
     # round-3 heavy operators (VERDICT r3 #3) — each with the input
     # scaling that isolates the operator's own weak-scaling behavior
     plaink = scaled_plain(docs1, k).localCheckpoint()
