@@ -1784,14 +1784,50 @@ def q_dedup_cc(spark, d):
     return dedup.cc_dedup(docs, pairs).select("doc_id", "lang", "source")
 
 
+_PR_TAIL_A = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+    "lima mike november oscar papa quebec romeo sierra tango uniform "
+    "victor whiskey xray yankee"
+)
+_PR_TAIL_B = (
+    "zulu amber birch cedar dune ember fern grove haze iris jade kelp "
+    "larch moss nectar onyx pearl quartz reef slate topaz umber vale "
+    "willow zephyr"
+)
+
+
 def q_pagerank_docs(spark, d):
     """PageRank centrality over the exact-Jaccard near-dup graph — ranks
-    the canonical exemplar per neighborhood (dedup.py::pagerank; fixed
-    power iterations, lineage-truncated per round).  Rows-only: iterative
-    float fixpoint; hand-computed goldens + invariants in pytest."""
-    docs = _t(spark, d, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
-    return dedup.pagerank(pairs).select(F.col("node").alias("doc_id"), "rank")
+    the canonical exemplar per neighborhood (dedup.py::pagerank; fixed 10
+    power iterations, lineage-truncated per round).  ORACLED since r9
+    (VERDICT r8 #5): the fixture plants STAR structure — each %10==0 doc
+    gets two long-tail variants (+50M/+60M, 25 disjoint tail words each);
+    at threshold 0.7 hub↔variant pairs survive (J = N/(N+k)) while
+    variant↔variant pairs (J = N/(N+2k)) do not, so hubs out-rank leaves
+    and the oracle checks real dynamics, not the all-1.0 fixpoint the
+    natural clone-clique graph yields.  Oracle: the 10 rounds UNROLLED as
+    DuckDB CTEs over the identical pair replay; round-6 rank precision is
+    safe — min distance of any unrounded rank from a rounding boundary is
+    1.2e-7 at both gate scales (pre-checked) vs ~1e-15 cross-engine float
+    noise."""
+    docs = _t(spark, d, "documents").select("doc_id", "text")
+    hubs = docs.filter(F.col("doc_id") % 10 == 0)
+    va = hubs.select(
+        (F.col("doc_id") + F.lit(50_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" " + _PR_TAIL_A)).alias("text"),
+    )
+    vb = hubs.select(
+        (F.col("doc_id") + F.lit(60_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" " + _PR_TAIL_B)).alias("text"),
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        docs.union(va).union(vb), threshold=0.7
+    )
+    return (
+        dedup.pagerank(pairs)
+        .select(F.col("node").alias("doc_id"), "rank")
+        .orderBy("doc_id")
+    )
 
 
 def q_collapsing_final(spark, d):
@@ -2538,7 +2574,12 @@ def q_pipeline_incremental_prebuilt(spark, d):
     corpus_banded= — history is probed through the artifacts, never
     re-hashed per batch.  Same fixture and SAME oracle as
     pipeline_incremental: the driver hash-proves the prebuilt path equals
-    the recompute path (which equals the full DuckDB funnel replay)."""
+    the recompute path (which equals the full DuckDB funnel replay).
+    Hygiene (VERDICT r8 #7): the artifact dir and catalog tables are
+    removed in a finally — repeated runs leave /tmp and the warehouse
+    clean; the 6-row provenance is localCheckpointed first so the
+    returned frame no longer depends on the dropped tables."""
+    import shutil
     import tempfile
 
     from clickhouse_flatfile_tool_spark.operators import dedup as _dd
@@ -2547,16 +2588,229 @@ def q_pipeline_incremental_prebuilt(spark, d):
     )
 
     delta, corpus, bench = _incr_funnel_frames(spark, d)
-    arts = _dd.write_corpus_artifacts(
-        corpus,
-        tempfile.mkdtemp(prefix="drv_corpus_arts_"),
-        table_prefix="drv_corpus_art",
+    tmp = tempfile.mkdtemp(prefix="drv_corpus_arts_")
+    try:
+        arts = _dd.write_corpus_artifacts(
+            corpus, tmp, table_prefix="drv_corpus_art"
+        )
+        _final, provenance = curation_pipeline_incremental(
+            delta, corpus, bench,
+            corpus_fps=arts["fingerprints"], corpus_banded=arts["banded"],
+        )
+        return provenance.localCheckpoint()
+    finally:
+        for t in ("drv_corpus_art_fingerprints", "drv_corpus_art_banded"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _append_funnel_frames(spark, d):
+    """Fixture for the DAILY-APPEND funnel entry (VERDICT r8 #3): two
+    consecutive build days over disjoint id spaces.  corpus = doc_id%4==0,
+    bench = %20==1; day-1 delta = the %4==1 naturals plus verbatim clones
+    of corpus docs (+10M); day-2 delta = the %4∈{2,3} naturals plus
+    verbatim copies (+30M) AND near-dup tails (+40M) of the day-1
+    naturals — the copies of day-1 ACCEPTED docs can only be dropped via
+    the APPENDED artifacts, which is the property under test."""
+    docs = _t(spark, d, "documents").select(
+        "doc_id",
+        F.expr(
+            r"regexp_replace(text, '(\\S+ \\S+ \\S+ \\S+ \\S+ \\S+) ', '$1.\n')"
+        ).alias("text"),
     )
-    _final, provenance = curation_pipeline_incremental(
-        delta, corpus, bench,
-        corpus_fps=arts["fingerprints"], corpus_banded=arts["banded"],
+    corpus = docs.filter(F.col("doc_id") % 4 == 0)
+    bench = docs.filter(F.col("doc_id") % 20 == 1)
+    nat1 = docs.filter(
+        (F.col("doc_id") % 4 == 1) & (F.col("doc_id") % 20 != 1)
     )
-    return provenance
+    clones = corpus.filter(F.col("doc_id") % 8 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    delta1 = nat1.union(clones)
+    nat2 = docs.filter(
+        (F.col("doc_id") % 4 >= 2) & (F.col("doc_id") % 20 != 1)
+    )
+    copies = nat1.select(
+        (F.col("doc_id") + F.lit(30_000_000)).alias("doc_id"), "text"
+    )
+    nears = nat1.select(
+        (F.col("doc_id") + F.lit(40_000_000)).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" appended near duplicate tail words here")
+        ).alias("text"),
+    )
+    delta2 = nat2.union(copies).union(nears)
+    return delta1, delta2, corpus, bench
+
+
+def q_pipeline_incremental_append(spark, d):
+    """The DAY-2+ shape of the incremental funnel (VERDICT r8 #3 — what
+    every production daily build after the first actually runs,
+    previously pytest-only at tests/test_text_dedup.py::
+    test_append_corpus_artifacts_daily_loop): day 1 probes delta1
+    against write-once corpus artifacts and ACCEPTS a batch;
+    dedup.append_corpus_artifacts folds the accepted batch's
+    fingerprints/banded signatures into the same bucketed tables
+    (insertInto preserves bucket assignment — O(delta), never an
+    O(corpus) rebuild); day 2's delta then probes the APPENDED tables.
+    Returned: day-2 provenance.  Oracle: a full two-day DuckDB funnel
+    replay where day 2 runs against corpus ∪ day-1-accepted — the
+    driver hash-proves the appended-artifact probe equals history
+    rebuilt from scratch.  Day-2's exact stage drops exactly the
+    verbatim copies of day-1-accepted docs, which only the appended
+    artifacts can know about."""
+    import shutil
+    import tempfile
+
+    from clickhouse_flatfile_tool_spark.operators import dedup as _dd
+    from clickhouse_flatfile_tool_spark.operators.pipeline import (
+        curation_pipeline_incremental,
+    )
+
+    delta1, delta2, corpus, bench = _append_funnel_frames(spark, d)
+    tmp = tempfile.mkdtemp(prefix="drv_append_arts_")
+    try:
+        arts = _dd.write_corpus_artifacts(
+            corpus, tmp, table_prefix="drv_append_art"
+        )
+        final1, _p1 = curation_pipeline_incremental(
+            delta1, corpus, bench,
+            corpus_fps=arts["fingerprints"], corpus_banded=arts["banded"],
+        )
+        accepted1 = final1.localCheckpoint()
+        appended = _dd.append_corpus_artifacts(
+            accepted1, tmp, table_prefix="drv_append_art"
+        )
+        corpus2 = corpus.union(accepted1)
+        _f2, provenance2 = curation_pipeline_incremental(
+            delta2, corpus2, bench,
+            corpus_fps=appended["fingerprints"],
+            corpus_banded=appended["banded"],
+        )
+        # 6 rows — materialize so the returned frame no longer depends
+        # on the artifact tables dropped below (the prebuilt entry's
+        # hygiene contract)
+        return provenance2.localCheckpoint()
+    finally:
+        for t in ("drv_append_art_fingerprints", "drv_append_art_banded"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_pack_valid(spark, d):
+    """Validity frame for best-fit-decreasing packing (VERDICT r8 #5 —
+    the DuckDB-expressible invariants of text.pack_best_fit): every doc
+    packed exactly once, token totals conserved, oversize flags ≡ docs
+    over budget, NO regular bin over budget, and the global bin count
+    both pinned (placement-regression tripwire, lineitem-count keyed,
+    NULL at unpinned scales) and ≥ the ceil(tokens/budget) lower bound.
+    BFD placement itself is sequential (pytest-golden); this entry makes
+    its correctness FRAME a driver-checked hash."""
+    budget = 1024
+    packed = text.pack_best_fit(
+        _t(spark, d, "documents"), budget_tokens=budget, bucket_chars=1
+    )
+    bins = packed.groupBy("bucket", "bin_id").agg(
+        F.sum("n_tokens").alias("fill"),
+        F.max(F.col("oversize").cast("int")).alias("ov"),
+    )
+    stats = packed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("doc_id").alias("n_distinct"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.col("oversize").cast("long")).alias("n_oversize"),
+        F.sum(
+            F.when(~F.col("oversize"), F.col("n_tokens")).otherwise(F.lit(0))
+        ).alias("reg_tokens"),
+    )
+    binstats = bins.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum(
+            ((F.col("fill") > budget) & (F.col("ov") == 0)).cast("long")
+        ).alias("overfull_bins"),
+    )
+    return stats.crossJoin(binstats).select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("n_oversize").cast("long").alias("n_oversize"),
+        F.col("overfull_bins").cast("long").alias("overfull_bins"),
+        F.col("n_bins").cast("long").alias("n_bins"),
+        (
+            (F.col("n_bins") - F.col("n_oversize"))
+            >= F.ceil(F.col("reg_tokens") / F.lit(float(budget)))
+        ).cast("int").alias("lb_ok"),
+    )
+
+
+def q_sketch_error(spark, d):
+    """|HLL estimate − exact| made a driver-checked hash (VERDICT r8 #5
+    for hll_rollup + uniq_state_merge): per-type mv_refresh estimates at
+    lg_k=14 AND at lg_k=4, plus the hourly→daily hll_rollup estimate
+    sum, each joined to its exact COUNT(DISTINCT) twin and emitted as
+    (dim, exact, approx, err_bp).  Exact sides replay in DuckDB; the
+    DataSketches estimates are deterministic for a given input set, so
+    they are PINNED per fixture scale (lineitem-count keyed, NULL at
+    unpinned scales) — any lg_k / library / path change forces a re-pin
+    review, which is the point.  At fixture cardinalities the lg_k=14
+    sketches are sparse-mode EXACT (err_bp 0 — itself a pinned fact);
+    the lg_k=4 rows exercise real estimation error (the pytest ≤2%
+    bound covers production lg_k at larger synthetic cardinalities)."""
+    ev = _t(spark, d, "events").withColumn("day", F.to_date("ts"))
+    exact_t = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact")
+    )
+
+    def _per_type(lg_k: int, tag: str):
+        daily = mergetree.hll_state(
+            ev, ["event_type", "day"], "user_id", lg_k=lg_k
+        )
+        merged = mergetree.mv_refresh(
+            None, daily.drop("day"), ["event_type"], {"uniq_state": "hll"}
+        )
+        return (
+            merged.select(
+                "event_type",
+                F.hll_sketch_estimate("uniq_state").cast("long").alias(
+                    "approx"
+                ),
+            )
+            .join(exact_t, "event_type")
+            .select(
+                F.concat(F.lit(tag), F.col("event_type")).alias("dim"),
+                F.col("exact").cast("long").alias("exact"),
+                "approx",
+            )
+        )
+
+    roll = events.hll_rollup(ev)
+    exact_d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("exact")
+    )
+    day_sum = (
+        roll.join(exact_d, "day")
+        .agg(
+            F.sum("exact").cast("long").alias("exact"),
+            F.sum(F.col("approx_users").cast("long")).alias("approx"),
+        )
+        .select(F.lit("day_rollup_sum").alias("dim"), "exact", "approx")
+    )
+    return (
+        _per_type(14, "type:")
+        .union(_per_type(4, "lgk4:"))
+        .union(day_sum)
+        .select(
+            "dim",
+            "exact",
+            "approx",
+            F.floor(
+                F.abs(F.col("approx") - F.col("exact"))
+                * 10000
+                / F.col("exact")
+            ).cast("long").alias("err_bp"),
+        )
+        .orderBy("dim")
+    )
 
 
 def q_exactsubstr_fast(spark, d):
@@ -5643,35 +5897,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   window_first_last -> window_lag map_props -> array_funcs/json_props
     return {
         # ------------------------------------------------------------------
-        # ROUND-8 DRIVER WINDOW (first 50 slots): 10 unproven first —
-        # dict_hierarchy leads (the one oracled entry never driver-
-        # checked, DEFERRED from r7 per VERDICT r7 #2), then the r8
-        # entries (pipeline_incremental_prebuilt, api_query_roundtrip,
-        # ann_ivf_recall, ann_recall_suite) and the five r8-staled
-        # re-proves (pipeline_incremental + dedup_incremental via the
-        # corpus-artifact params, dialect_batch26/27 via the erf4/scan-
-        # split fixture edits, ml_aggregates via the information_value
-        # label clamp).  40 proven-filler slots follow (all re-proved
-        # 50/50 at the r7 HEAD).  Everything selfcheck-PASS at sf0.001
-        # AND sf0.01 before rotation; fingerprints were refreshed at the
-        # r7-end commit 51d2e1d via the worktree protocol.
+        # ROUND-9 DRIVER WINDOW (first 50 slots) — EXACTLY 50 unproven:
+        # the three r8-deferred WITH FILL entries rotate in FIRST
+        # (VERDICT r8 #2 — deferral is one round only), then the four
+        # new r9 entries (pipeline_incremental_append per VERDICT #3;
+        # sketch_error + pack_valid + the pagerank_docs oracle upgrade
+        # per VERDICT #5), the three r9-edited re-proves
+        # (training_shards: ADVICE BIGINT-shard + whitespace-trim fixes;
+        # ann_recall_suite: explicit-cardinality NULL sentinel;
+        # pipeline_incremental_prebuilt: tempdir/catalog hygiene per
+        # VERDICT #7), and the 40 remaining dialect-family entries —
+        # staled as one block by the _rewrite_call expansion guard
+        # (VERDICT #6; the deliberately coarse whole-module hash).
+        # Fingerprints were refreshed at the r8-end commit 19cc202 via
+        # the worktree protocol under the NEW aliased-import-aware
+        # definition; everything selfcheck-PASS at sf0.001 AND sf0.01
+        # before rotation.
         # ------------------------------------------------------------------
-        "dict_hierarchy": q_dict_hierarchy,
-        "pipeline_incremental": q_pipeline_incremental,
-        "pipeline_incremental_prebuilt": q_pipeline_incremental_prebuilt,
-        "api_query_roundtrip": q_api_query_roundtrip,
-        "ann_ivf_recall": q_ann_ivf_recall,
+        "with_totals": q_with_totals,
+        "with_fill": q_with_fill,
+        "with_fill_interp": q_with_fill_interp,
+        "pipeline_incremental_append": q_pipeline_incremental_append,
+        "sketch_error": q_sketch_error,
+        "pack_valid": q_pack_valid,
+        "pagerank_docs": q_pagerank_docs,
+        "training_shards": q_training_shards,
         "ann_recall_suite": q_ann_recall_suite,
-        "dedup_incremental": q_dedup_incremental,
+        "pipeline_incremental_prebuilt": q_pipeline_incremental_prebuilt,
         "dialect_batch26": q_dialect_batch26,
         "dialect_batch27": q_dialect_batch27,
-        "ml_aggregates": q_ml_aggregates,
-        # pipeline_e2e: staled by the r8 curation_pipeline edits (s6
-        # staging + portable= + boundary split); caught automatically
-        # once the fingerprint learned to resolve function-local imports
-        "pipeline_e2e": q_pipeline_e2e,
-        "training_shards": q_training_shards,
-        # ---- proven filler (r7-green at HEAD) ----------------------------
         "clickhouse_funcs3": q_clickhouse_funcs3,
         "clickhouse_funcs4": q_clickhouse_funcs4,
         "dialect_batch16": q_dialect_batch16,
@@ -5710,6 +5964,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dialect_batch25": q_dialect_batch25,
         "dict_sql": q_dict_sql,
         "dialect_batch23": q_dialect_batch23,
+        # ---- slot 51+: below the window -----------------------------------
+        # r8 window leads displaced by the r9 rotation — all 50/50 green
+        # at the r8 HEAD (CORRECTNESS_r08) and untouched by any r9 edit
+        "dict_hierarchy": q_dict_hierarchy,
+        "pipeline_incremental": q_pipeline_incremental,
+        "api_query_roundtrip": q_api_query_roundtrip,
+        "ann_ivf_recall": q_ann_ivf_recall,
+        "dedup_incremental": q_dedup_incremental,
+        "ml_aggregates": q_ml_aggregates,
+        "pipeline_e2e": q_pipeline_e2e,
         "text_similarity": q_text_similarity,
         # ------------------------------------------------------------------
         # tail: proven green in CORRECTNESS_r01-r05; order immaterial
@@ -5729,15 +5993,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new r7 entries (dialect_batch26/27, text_similarity,
         # ml_aggregates)
         "c4_rules": q_c4_rules,
-        # DEFERRED r8 (registry_window.py DEFERRED set): with_totals /
-        # with_fill / with_fill_interp are fingerprint-stale only via the
-        # whole-dialect-module hash; the one r8 dialect edit (reinterpret
-        # let-binding) cannot change their translations (no reinterpret*
-        # in their SQL), and each is selfcheck-PASS at sf0.001+sf0.01 at
-        # HEAD.  53 unproven > 50 slots; these three wait one round.
-        "with_totals": q_with_totals,
-        "with_fill": q_with_fill,
-        "with_fill_interp": q_with_fill_interp,
         "rank_assoc": q_rank_assoc,
         "minhash_portable": q_minhash_portable,
         "hypothesis_tests": q_hypothesis_tests,
@@ -5809,7 +6064,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_count": q_sequence_count,
         "bpe_merges": q_bpe_merges,
         "embedding_clusters": q_embedding_clusters,
-        "pagerank_docs": q_pagerank_docs,
         "stream_enrich": q_stream_enrich,
         "stream_quality_gate": q_stream_quality_gate,
         "clickhouse_aggs": q_clickhouse_aggs,
@@ -5972,6 +6226,197 @@ _SHINGLES = (
     "list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),"
     " i -> array_to_string(w[i:i+2], ' ')))"
 )
+
+
+def _duck_incr_day(k: str, delta: str, corpus: str) -> str:
+    """One day of the incremental funnel as a DuckDB CTE chain with
+    suffix ``k`` (shared by the pipeline_incremental_append oracle's two
+    days): gopher → c4 → exact-vs-corpus + within-delta min-id →
+    (delta×corpus ∪ within-delta) md5-LSH → Jaccard ≥ 0.8 drops the
+    delta doc → trigram decontamination vs the shared bench shingles
+    (``bsh``).  Emits ``acc{k}`` (accepted doc_id+text) and
+    ``funnel{k}``.  Same construction as the inline pipeline_incremental
+    oracle — kept textually separate so that entry's proven string stays
+    byte-stable."""
+    mh = ", ".join(f"min(md5(s || '#{i}')) AS mh_{i}" for i in range(16))
+
+    def band(tbl: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT id, {b} AS band, md5("
+            + " || '|' || ".join(f"mh_{b * 4 + r}" for r in range(4))
+            + f") AS bucket FROM {tbl}"
+            for b in range(4)
+        )
+
+    sh = _SHINGLES
+    return (
+        f"gm{k} AS MATERIALIZED (SELECT doc_id, text, "
+        f"  string_split_regex(trim(lower(text)), '\\s+') AS w FROM {delta}), "
+        f"g{k} AS MATERIALIZED (SELECT doc_id, text FROM gm{k} WHERE "
+        "  len(w) BETWEEN 10 AND 100000 "
+        "  AND length(regexp_replace(text, '\\s+', '', 'g')) / greatest(len(w), 1) "
+        "    BETWEEN 2.0 AND 12.0 "
+        "  AND len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(length(text), 1) <= 0.1 "
+        "  AND len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) / greatest(len(w), 1) >= 0.8 "
+        "  AND len(list_intersect(w, ['the', 'a', 'and', 'of', 'to'])) >= 2), "
+        f"c4{k} AS MATERIALIZED (SELECT doc_id, text FROM g{k} WHERE "
+        "  len(regexp_extract_all(coalesce(array_to_string(list_filter("
+        "    string_split(text, chr(10)), "
+        "    l -> regexp_matches(trim(l), '[.!?\"]$') "
+        "      AND len(string_split_regex(trim(l), '\\s+')) >= 5 "
+        "      AND NOT contains(lower(l), 'javascript')), chr(10)), ''), "
+        "    '[.!?]')) >= 3 "
+        "  AND NOT contains(text, '{') AND NOT contains(lower(text), 'lorem ipsum')), "
+        f"cfp{k} AS MATERIALIZED (SELECT DISTINCT "
+        f"  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM {corpus}), "
+        f"fr{k} AS MATERIALIZED (SELECT doc_id, text, fp FROM "
+        "  (SELECT doc_id, text, "
+        f"    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM c4{k}) "
+        f"  WHERE fp NOT IN (SELECT fp FROM cfp{k})), "
+        f"ex{k} AS MATERIALIZED (SELECT min(doc_id) AS doc_id FROM fr{k} GROUP BY fp), "
+        f"s3{k} AS MATERIALIZED (SELECT fr{k}.doc_id, fr{k}.text FROM fr{k} "
+        f"  JOIN ex{k} USING (doc_id)), "
+        f"b3{k} AS MATERIALIZED (SELECT doc_id AS id, {sh} AS sh "
+        f"  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM s3{k})), "
+        f"bc{k} AS MATERIALIZED (SELECT doc_id AS id, {sh} AS sh "
+        f"  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM {corpus})), "
+        f"sigd{k} AS MATERIALIZED (SELECT id, {mh} "
+        f"  FROM (SELECT id, unnest(sh) AS s FROM b3{k}) GROUP BY id), "
+        f"sigc{k} AS MATERIALIZED (SELECT id, {mh} "
+        f"  FROM (SELECT id, unnest(sh) AS s FROM bc{k}) GROUP BY id), "
+        f"bd{k} AS MATERIALIZED ({band(f'sigd{k}')}), "
+        f"bcb{k} AS MATERIALIZED ({band(f'sigc{k}')}), "
+        f"cand{k} AS MATERIALIZED ("
+        f"  SELECT DISTINCT c.id AS id_a, d.id AS id_b FROM bcb{k} c "
+        f"    JOIN bd{k} d ON c.band = d.band AND c.bucket = d.bucket "
+        "  UNION "
+        f"  SELECT DISTINCT a.id, b.id FROM bd{k} a "
+        f"    JOIN bd{k} b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id), "
+        f"allsh{k} AS MATERIALIZED (SELECT * FROM bc{k} UNION ALL SELECT * FROM b3{k}), "
+        f"jac{k} AS MATERIALIZED (SELECT DISTINCT c.id_b FROM cand{k} c "
+        f"  JOIN allsh{k} x ON c.id_a = x.id JOIN allsh{k} y ON c.id_b = y.id "
+        "  WHERE len(list_intersect(x.sh, y.sh))::DOUBLE "
+        "    / len(list_distinct(x.sh || y.sh)) >= 0.8), "
+        f"s4{k} AS MATERIALIZED (SELECT doc_id, text FROM s3{k} "
+        f"  WHERE doc_id NOT IN (SELECT id_b FROM jac{k})), "
+        f"b4{k} AS MATERIALIZED (SELECT doc_id AS id, {sh} AS sh "
+        f"  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM s4{k})), "
+        f"cont{k} AS MATERIALIZED (SELECT DISTINCT t.id FROM "
+        f"  (SELECT id, unnest(sh) AS s FROM b4{k}) t JOIN bsh b ON t.s = b.s), "
+        f"s5{k} AS MATERIALIZED (SELECT doc_id FROM s4{k} "
+        f"  WHERE doc_id NOT IN (SELECT id FROM cont{k})), "
+        f"acc{k} AS MATERIALIZED (SELECT t.doc_id, t.text FROM s4{k} t "
+        f"  JOIN s5{k} USING (doc_id)), "
+        f"funnel{k} AS ("
+        f"  SELECT 0 AS stage_idx, 'input' AS stage, (SELECT count(*) FROM {delta}) AS docs "
+        f"  UNION ALL SELECT 1, 'gopher', (SELECT count(*) FROM g{k}) "
+        f"  UNION ALL SELECT 2, 'c4', (SELECT count(*) FROM c4{k}) "
+        f"  UNION ALL SELECT 3, 'exact', (SELECT count(*) FROM s3{k}) "
+        f"  UNION ALL SELECT 4, 'neardup', (SELECT count(*) FROM s4{k}) "
+        f"  UNION ALL SELECT 5, 'decontaminate', (SELECT count(*) FROM s5{k}))"
+    )
+
+
+def _pipeline_append_oracle() -> str:
+    """Two-day funnel replay for pipeline_incremental_append: day 2's
+    corpus is corpus ∪ acc1 — exactly what the appended artifact tables
+    represent on the Spark side."""
+    return (
+        "WITH alldocs AS MATERIALIZED (SELECT doc_id, "
+        "  regexp_replace(text, '(\\S+ \\S+ \\S+ \\S+ \\S+ \\S+) ', "
+        "  '\\1.' || chr(10), 'g') AS text FROM documents), "
+        "corpus AS MATERIALIZED (SELECT doc_id, text FROM alldocs WHERE doc_id % 4 = 0), "
+        "bench AS MATERIALIZED (SELECT doc_id, text FROM alldocs WHERE doc_id % 20 = 1), "
+        "bsh AS MATERIALIZED (SELECT DISTINCT s FROM (SELECT unnest("
+        "  list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)), "
+        "    i -> array_to_string(w[i:i+2], ' ')))) AS s "
+        "  FROM (SELECT string_split_regex(trim(lower(text)), '\\s+') AS w FROM bench))), "
+        "nat1 AS MATERIALIZED (SELECT doc_id, text FROM alldocs "
+        "  WHERE doc_id % 4 = 1 AND doc_id % 20 <> 1), "
+        "delta1 AS MATERIALIZED (SELECT doc_id, text FROM nat1 "
+        "  UNION ALL SELECT doc_id + 10000000, text FROM corpus WHERE doc_id % 8 = 0), "
+        + _duck_incr_day("1", "delta1", "corpus")
+        + ", corpus2 AS MATERIALIZED (SELECT doc_id, text FROM corpus "
+        "  UNION ALL SELECT doc_id, text FROM acc1), "
+        "delta2 AS MATERIALIZED (SELECT doc_id, text FROM alldocs "
+        "  WHERE doc_id % 4 >= 2 AND doc_id % 20 <> 1 "
+        "  UNION ALL SELECT doc_id + 30000000, text FROM nat1 "
+        "  UNION ALL SELECT doc_id + 40000000, "
+        "    text || ' appended near duplicate tail words here' FROM nat1), "
+        + _duck_incr_day("2", "delta2", "corpus2")
+        + " SELECT stage_idx::INT AS stage_idx, stage, docs::BIGINT AS docs, "
+        "coalesce(lag(docs) OVER (ORDER BY stage_idx) - docs, 0)::BIGINT AS dropped, "
+        "0::BIGINT AS modified "
+        "FROM funnel2 ORDER BY stage_idx"
+    )
+
+
+# sketch_error pinned HLL estimates per scale (a1=sf0.001, a2=sf0.01,
+# a3=sf0.1; measured from q_sketch_error itself — the mv_refresh FOLD of
+# daily states, which differs from a direct one-shot sketch).  The lgk4
+# estimates are identical across types because every fixture user emits
+# every event type (the per-type user sets coincide).
+_SKETCH_PINS = ", ".join(
+    f"('{dim}', {a1}, {a2}, {a3})"
+    for dim, a1, a2, a3 in [
+        ("day_rollup_sum", 397, 4006, 40083),
+        ("lgk4:click", 13, 115, 1204),
+        ("lgk4:error", 13, 115, 1204),
+        ("lgk4:purchase", 13, 115, 1204),
+        ("lgk4:signup", 13, 115, 1204),
+        ("lgk4:view", 13, 115, 1204),
+        ("type:click", 15, 150, 1500),
+        ("type:error", 15, 150, 1500),
+        ("type:purchase", 15, 150, 1500),
+        ("type:signup", 15, 150, 1500),
+        ("type:view", 15, 150, 1500),
+    ]
+)
+
+
+def _pagerank_oracle() -> str:
+    """pagerank_docs replay: the planted-star pair graph (hub + two
+    long-tail variants at threshold 0.7) and 10 power-iteration rounds
+    UNROLLED as CTEs — rank = 0.15 + 0.85·Σ(rank_src/deg_src), ranks
+    carry degree so each round is one join + one groupBy, exactly
+    dedup.pagerank's update."""
+    rounds = [
+        "r0 AS MATERIALIZED (SELECT src, deg, 1.0::DOUBLE AS rank FROM degs)"
+    ]
+    for i in range(1, 11):
+        rounds.append(
+            f"c{i} AS MATERIALIZED (SELECT e.dst AS src, "
+            f"sum(r.rank / r.deg) AS recv FROM edges e "
+            f"JOIN r{i - 1} r ON e.src = r.src GROUP BY e.dst), "
+            f"r{i} AS MATERIALIZED (SELECT d.src, d.deg, "
+            f"0.15 + 0.85 * coalesce(c.recv, 0.0) AS rank "
+            f"FROM degs d LEFT JOIN c{i} c ON d.src = c.src)"
+        )
+    return (
+        "WITH docs AS MATERIALIZED (SELECT doc_id, text FROM documents "
+        f"UNION ALL SELECT doc_id + 50000000, text || ' {_PR_TAIL_A}' "
+        "FROM documents WHERE doc_id % 10 = 0 "
+        f"UNION ALL SELECT doc_id + 60000000, text || ' {_PR_TAIL_B}' "
+        "FROM documents WHERE doc_id % 10 = 0), "
+        f"base AS MATERIALIZED (SELECT doc_id AS id, {_SHINGLES} AS sh "
+        f"  FROM (SELECT doc_id, {_WORDS} AS w FROM docs)), "
+        "sizes AS MATERIALIZED (SELECT id, len(sh) AS sz FROM base), "
+        "inv AS MATERIALIZED (SELECT id, unnest(sh) AS s FROM base), "
+        "shared AS MATERIALIZED (SELECT a.id AS id_a, b.id AS id_b, "
+        "  count(*) AS n_shared FROM inv a JOIN inv b ON a.s = b.s AND a.id < b.id "
+        "  GROUP BY a.id, b.id), "
+        "prs AS MATERIALIZED (SELECT id_a, id_b FROM shared "
+        "  JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b "
+        "  WHERE n_shared / (sa.sz + sb.sz - n_shared) >= 0.7), "
+        "edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM prs "
+        "  UNION SELECT id_b, id_a FROM prs), "
+        "degs AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS deg "
+        "  FROM edges GROUP BY src), "
+        + ", ".join(rounds)
+        + " SELECT src::BIGINT AS doc_id, round(rank, 6) AS rank FROM r10 "
+        "ORDER BY doc_id"
+    )
+
 
 _COSINE_ORACLE = """
 WITH q AS (
@@ -9200,6 +9645,49 @@ SELECT s.doc_id, e.label FROM surv s JOIN embeddings e ON s.doc_id = e.vec_id"""
     # the prebuilt-artifact funnel is DEFINED to equal the recompute
     # funnel — same fixture, same DuckDB full replay proves both paths
     out["pipeline_incremental_prebuilt"] = out["pipeline_incremental"]
+    # two-day replay: day 2's corpus = corpus ∪ day-1-accepted — the
+    # from-scratch ground truth the APPENDED artifact tables must equal
+    out["pipeline_incremental_append"] = _pipeline_append_oracle()
+    out["pagerank_docs"] = _pagerank_oracle()
+    out["pack_valid"] = """
+WITH t AS (SELECT doc_id,
+  len(string_split_regex(trim(text), '\\s+'))::BIGINT AS nt FROM documents),
+li AS (SELECT count(*) AS c FROM lineitem)
+SELECT (SELECT count(*) FROM t)::BIGINT AS n_docs,
+       (SELECT count(DISTINCT doc_id) FROM t)::BIGINT AS n_distinct,
+       (SELECT sum(nt) FROM t)::BIGINT AS total_tokens,
+       (SELECT count(*) FROM t WHERE nt > 1024)::BIGINT AS n_oversize,
+       0::BIGINT AS overfull_bins,
+       (CASE WHEN li.c = 6000 THEN 35 WHEN li.c = 60000 THEN 35
+             WHEN li.c = 600000 THEN 272 ELSE NULL END)::BIGINT AS n_bins,
+       1::INT AS lb_ok
+FROM li
+"""
+    # DataSketches HLL estimates are deterministic per input set: pinned
+    # per scale (lineitem-count keyed; NULL = unpinned scale).  exact
+    # sides replay outright; err_bp recomputed from the pins so the
+    # formula stays consistent with the Spark side.
+    out["sketch_error"] = """
+WITH li AS (SELECT count(*) AS c FROM lineitem),
+ext AS (SELECT 'type:' || event_type AS dim,
+        count(DISTINCT user_id)::BIGINT AS exact
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT 'lgk4:' || event_type, count(DISTINCT user_id)::BIGINT
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT 'day_rollup_sum', sum(cnt)::BIGINT FROM (
+          SELECT count(DISTINCT user_id) AS cnt FROM events
+          GROUP BY date_trunc('day', ts))),
+pins(dim, a1, a2, a3) AS (VALUES {PINS})
+SELECT e.dim, e.exact,
+       (CASE WHEN li.c = 6000 THEN p.a1 WHEN li.c = 60000 THEN p.a2
+             WHEN li.c = 600000 THEN p.a3 ELSE NULL END)::BIGINT AS approx,
+       floor(abs((CASE WHEN li.c = 6000 THEN p.a1 WHEN li.c = 60000 THEN p.a2
+             WHEN li.c = 600000 THEN p.a3 ELSE NULL END) - e.exact) * 10000
+             / e.exact)::BIGINT AS err_bp
+FROM ext e JOIN pins p ON e.dim = p.dim, li ORDER BY e.dim
+""".replace("{PINS}", _SKETCH_PINS)
     out["api_query_roundtrip"] = (
         "SELECT o_orderstatus, count(*) AS n, "
         "round(avg(o_totalprice), 2) AS avg_price, "
@@ -9210,7 +9698,8 @@ SELECT s.doc_id, e.label FROM surv s JOIN embeddings e ON s.doc_id = e.vec_id"""
     out["training_shards"] = r"""
 WITH d AS (
   SELECT doc_id,
-         len(string_split_regex(trim(text), '\s+'))::BIGINT AS nt,
+         len(string_split_regex(
+           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))::BIGINT AS nt,
          md5(doc_id::VARCHAR) AS h,
          substring(md5(doc_id::VARCHAR), 1, 2) AS b
   FROM documents
@@ -9235,15 +9724,20 @@ FROM wb JOIN off USING (b) ORDER BY doc_id
     # counts are pinned per fixture scale, keyed on lineitem cardinality
     # (embeddings is 500 rows at both small scales).  Re-measure + re-pin
     # on any parameter/algorithm change — that forced review is the point.
+    # Each branch keys an EXPLICIT cardinality; any other scale yields
+    # NULL so "unpinned scale" is distinguishable from a recall
+    # regression (ADVICE r8).
     out["ann_recall_suite"] = """
 WITH li AS (SELECT count(*) AS c FROM lineitem)
 SELECT v.method,
        (CASE WHEN li.c = 6000 THEN v.h1
              WHEN li.c = 60000 THEN v.h2
-             ELSE v.h3 END)::BIGINT AS hits,
+             WHEN li.c = 600000 THEN v.h3
+             ELSE NULL END)::BIGINT AS hits,
        (CASE WHEN li.c = 6000 THEN v.t1
              WHEN li.c = 60000 THEN v.t2
-             ELSE v.t3 END)::BIGINT AS total
+             WHEN li.c = 600000 THEN v.t3
+             ELSE NULL END)::BIGINT AS total
 FROM (VALUES ('ivfpq', 36, 50, 33, 50, 32, 50),
              ('lsh', 48, 50, 47, 50, 46, 50),
              ('pair_lsh', 59, 66, 57, 59, 813, 920),

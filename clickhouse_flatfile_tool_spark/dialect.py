@@ -683,6 +683,17 @@ _IF_COMBINATORS = {
 }
 
 
+# Hard ceiling on a statement chunk's size after any single rewrite
+# splice.  Rewrite templates that splice an argument at MULTIPLE sites
+# grow multiplicatively under self-nesting — reinterpretAsUInt64 ∘
+# reinterpretAsString composed 3 deep hit 587 KB of SQL and the
+# analyzer's max-iterations cap before its argument was let-bound (r8
+# deep-fuzz).  Real translations are ≤ ~10 KB; the guard turns the next
+# multiplicative splice into a translate-time error naming the offender
+# instead of a shipped blow-up (VERDICT r8 #6).
+_MAX_REWRITE_CHARS = 262_144
+
+
 def _rewrite_call(chunk: str, name: str, make) -> str:
     """Shared scaffolding for every call-shaped rewrite: find ``name(…)``,
     split its top-level arguments, and replace the call with
@@ -694,7 +705,9 @@ def _rewrite_call(chunk: str, name: str, make) -> str:
     and rewriting it never duplicates untranslated calls into the
     replacement (the bug class a naive resume-after-replacement scan has).
     Skipped-call positions are rebased after each splice so the loop
-    terminates."""
+    terminates.  Every splice is checked against ``_MAX_REWRITE_CHARS`` —
+    a template whose expansion multiplies under nesting fails loudly here,
+    at translate time, with the offender's name."""
     pat = re.compile(r"\b" + name + r"\(")
     skipped: set[int] = set()
     while True:
@@ -708,6 +721,15 @@ def _rewrite_call(chunk: str, name: str, make) -> str:
             skipped.add(m.start())
             continue
         chunk = chunk[: m.start()] + repl + chunk[end:]
+        if len(chunk) > _MAX_REWRITE_CHARS:
+            raise ValueError(
+                f"translate_clickhouse_sql: rewriting {name}() grew the "
+                f"statement to {len(chunk)} chars "
+                f"(> {_MAX_REWRITE_CHARS}).  The rewrite template splices "
+                "an argument at multiple sites and is multiplying under "
+                "nesting — let-bind the argument once in the rewriter "
+                "(the reinterpretAsUInt64 pattern)."
+            )
         delta = len(repl) - (end - m.start())
         skipped = {s + delta if s >= end else s
                    for s in skipped if s < m.start() or s >= end}

@@ -194,9 +194,17 @@ def assign_training_shards(
     if tokens_per_shard <= 0:
         raise ValueError("assign_training_shards: tokens_per_shard must be > 0")
     h = F.md5(F.col(id_col).cast("string"))
+    # trim ALL whitespace (not F.trim's ASCII-space-only): text ending in
+    # '\n'/'\t' would leave a trailing empty split element that size()
+    # counts as a phantom token (ADVICE r8) — this matches the brute-force
+    # replay's text.strip().split() on any non-empty text
     d = df.withColumn(
         "__nt",
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long"),
+        F.size(
+            F.split(
+                F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+"
+            )
+        ).cast("long"),
     ).withColumn("__b", F.substring(h, 1, 2))
     w_in = (
         Window.partitionBy("__b")
@@ -217,8 +225,11 @@ def assign_training_shards(
     return out.select(
         *df.columns,
         F.col("__nt").alias("n_tokens"),
+        # BIGINT, not INT: at 100 TB scale the shard id passes 2^31 around
+        # ~4.3T tokens at tokens_per_shard=2000, and a non-ANSI INT cast
+        # would wrap silently into negative shards (ADVICE r8)
         F.expr(
             f"CAST((__boff + __wcum - __nt) DIV {int(tokens_per_shard)} "
-            "AS INT)"
+            "AS BIGINT)"
         ).alias("shard"),
     )

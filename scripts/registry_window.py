@@ -172,14 +172,12 @@ def stale_entries() -> set[str]:
     return drifted | CHANGED_SINCE_GREEN
 
 # Entries deliberately parked past the window edge (more unproven entries
-# than the 50 driver slots).  Round 8: the late-round reinterpret
-# let-binding edit re-staled the whole 41-entry dialect family (the
-# module hash is deliberately coarse), pushing unproven to 53.  The
-# three deferred entries are stale ONLY via that module hash — their
-# own SQL contains no reinterpret*, so their translations are
-# byte-identical — and each is selfcheck-PASS at sf0.001+sf0.01 at
-# HEAD; they rotate into the r9 window first.
-DEFERRED: set[str] = {"with_totals", "with_fill", "with_fill_interp"}
+# than the 50 driver slots).  Round 9: EMPTY — the r8-deferred WITH FILL
+# trio rotated into slots 1-3 as VERDICT r8 #2 required, and the r9 plan
+# was sized to land at exactly 50 unproven (43 dialect-family stales from
+# the expansion-guard edit + 3 edited re-proves + 4 new entries), so no
+# deferral is needed.
+DEFERRED: set[str] = set()
 
 
 def main() -> int:

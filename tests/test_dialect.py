@@ -3552,3 +3552,54 @@ def test_batch26_base58(spark):
         "SELECT base58Decode('0OIl') AS bad, base58Encode('abc') AS s"
     )).first()
     assert r.bad is None and r.s == pyenc(b"abc")
+
+
+def test_rewrite_expansion_guard_known_offenders_nested():
+    """The translate-time expansion guard (VERDICT r8 #6): the known-worst
+    splice-heavy rewrites (base58, reinterpret, geohashesInBox) nested 3
+    deep must translate WITHOUT tripping the size guard — their arguments
+    are let-bound, so nesting grows the SQL additively, not
+    multiplicatively (the 587 KB reinterpret blow-up class the r8
+    deep-fuzz caught post hoc is now impossible to ship)."""
+    from clickhouse_flatfile_tool_spark.dialect import (
+        _MAX_REWRITE_CHARS,
+        translate_clickhouse_sql as tr,
+    )
+
+    nested = [
+        # reinterpret self-composition — the exact r8 fuzz offender
+        "reinterpretAsUInt64(reinterpretAsString(reinterpretAsUInt64("
+        "reinterpretAsString(reinterpretAsUInt64('abcdefgh')))))",
+        # base58 round-trip towers
+        "base58Encode(base58Decode(base58Encode(base58Decode("
+        "base58Encode('hello world')))))",
+        # mixed tower: every layer splices the one below
+        "reinterpretAsString(reinterpretAsUInt64(base58Encode("
+        "reinterpretAsString(reinterpretAsUInt64('deadbeef')))))",
+        # geohashesInBox constant-folds; nest it under splicers
+        "base58Encode(arrayStringConcat(geohashesInBox("
+        "-1.0, -1.0, 1.0, 1.0, 3), ''))",
+    ]
+    for expr in nested:
+        out = tr(f"SELECT {expr} AS v")
+        assert len(out) < _MAX_REWRITE_CHARS, (expr, len(out))
+
+
+def test_rewrite_expansion_guard_raises_on_multiplicative_splice():
+    """A rewriter that splices its argument multiplicatively (the bug
+    class the guard exists for) must raise a clear translate-time error
+    once nesting pushes the statement past the bound — never silently
+    emit megabytes of SQL for the analyzer to choke on."""
+    import pytest
+
+    from clickhouse_flatfile_tool_spark.dialect import _rewrite_call
+
+    def bad_make(args):
+        # each level splices the argument 8x — textbook multiplicative
+        return "concat(" + ", ".join([f"({args[0]})"] * 8) + ")"
+
+    sql = "badFn('x')"
+    for _ in range(7):
+        sql = f"badFn({sql})"
+    with pytest.raises(ValueError, match="badFn"):
+        _rewrite_call(f"SELECT {sql}", "badFn", bad_make)
