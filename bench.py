@@ -381,6 +381,44 @@ def main() -> None:
     timings["pipeline_incremental_prebuilt"] = round(best, 3)
     shutil.rmtree(arts_dir, ignore_errors=True)
 
+    # Daily-APPEND incremental funnel (VERDICT r8 #3 — the day-2+ cycle a
+    # production build runs every day after the first): day-1 artifacts
+    # and the day-1 accepted batch are prebuilt/untimed; the TIMED region
+    # is append_corpus_artifacts (O(delta) insertInto) + the day-2 funnel
+    # probing the appended tables.  Each iteration appends into a FRESH
+    # artifact copy so best-of-2 never probes a double-appended table.
+    d1_df, d2_df, corp2_df, bench2_df = entrymod._append_funnel_frames(
+        spark, sf_dir
+    )
+    best = float("inf")
+    for i in range(2):
+        adir = tempfile.mkdtemp(prefix=f"cfts_bench_arts_app{i}_")
+        prefix = f"cfts_bench_corpus_artapp{i}"
+        arts_i = _dedup.write_corpus_artifacts(
+            corp2_df, adir, table_prefix=prefix
+        )
+        f1, _p1 = curation_pipeline_incremental(
+            d1_df, corp2_df, bench2_df,
+            corpus_fps=arts_i["fingerprints"], corpus_banded=arts_i["banded"],
+        )
+        acc1 = f1.localCheckpoint()
+        corpus2 = corp2_df.union(acc1)
+        t0 = time.time()
+        appended = _dedup.append_corpus_artifacts(
+            acc1, adir, table_prefix=prefix
+        )
+        _f2, prov2 = curation_pipeline_incremental(
+            d2_df, corpus2, bench2_df,
+            corpus_fps=appended["fingerprints"],
+            corpus_banded=appended["banded"],
+        )
+        prov2.write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+        for t in (f"{prefix}_fingerprints", f"{prefix}_banded"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(adir, ignore_errors=True)
+    timings["pipeline_incremental_append"] = round(best, 3)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "total_bench_seconds",
