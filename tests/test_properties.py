@@ -1217,3 +1217,48 @@ def test_select_modifier_chain_matches_model(spark, chain):
         return vals[e]
 
     assert tuple(df.first()) == tuple(ev(e) for e, _ in items)
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=" \t\n\rabc",  # whitespace-heavy on purpose
+            min_size=1,
+            max_size=40,
+        ).filter(lambda t: t.strip()),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    ),
+    st.integers(1, 20),
+)
+@settings(**SETTINGS)
+def test_training_shards_whitespace_adversarial(spark, texts, tps):
+    """assign_training_shards token counts match text.strip().split()
+    under adversarial whitespace — leading/trailing \\t \\n \\r and
+    internal runs (the ADVICE r8 phantom-trailing-token class), and the
+    md5-ordered global cumsum start-offset rule holds."""
+    import hashlib
+
+    from clickhouse_flatfile_tool_spark.operators.sampling import (
+        assign_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.shard)
+        for r in assign_training_shards(df, tps).collect()
+    }
+    order = sorted(
+        enumerate(texts),
+        key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]),
+    )
+    cum = 0
+    want = {}
+    for doc_id, t in order:
+        nt = len(t.strip().split())
+        want[doc_id] = (nt, cum // tps)
+        cum += nt
+    assert got == want

@@ -1394,3 +1394,34 @@ def test_assign_training_shards_matches_reference(spark, docs):
     # from its first doc's start to the next shard's start by construction
     shards = sorted({s for _, s in got.values()})
     assert shards == list(range(len(shards)))
+
+
+def test_driver_artifact_entries_leave_no_residue(spark):
+    """VERDICT r8 #7's done condition: the prebuilt/append driver entries
+    clean up after themselves — repeated runs leave no drv_* catalog
+    tables and no drv_*arts_* dirs in /tmp — and the returned provenance
+    is still collectable AFTER cleanup (localCheckpoint decouples it
+    from the dropped tables)."""
+    import glob as _glob
+
+    import __spark_entry__ as e  # conftest puts the repo root on sys.path
+
+    d = "/root/testdata/sf0.001"
+    before = set(_glob.glob("/tmp/drv_corpus_arts_*")) | set(
+        _glob.glob("/tmp/drv_append_arts_*")
+    )
+    for _ in range(2):
+        prov = e.q_pipeline_incremental_prebuilt(spark, d)
+        assert len(prov.collect()) == 6
+    prov2 = e.q_pipeline_incremental_append(spark, d)
+    assert len(prov2.collect()) == 6
+    after = set(_glob.glob("/tmp/drv_corpus_arts_*")) | set(
+        _glob.glob("/tmp/drv_append_arts_*")
+    )
+    assert after == before, after - before
+    leftover = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith(("drv_corpus_art", "drv_append_art"))
+    ]
+    assert leftover == [], leftover
