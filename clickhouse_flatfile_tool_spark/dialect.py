@@ -6987,7 +6987,12 @@ def _rewrite_batch21_calls(chunk: str) -> str:
     def fmt_td_make(args):
         if len(args) != 1:
             return None
-        v = f"CAST({args[0]} AS BIGINT)"
+        # let-bind the argument ONCE (the reinterpretAsUInt64 pattern):
+        # the template references it ~20x across the four units, which
+        # multiplied to 134 KB of SQL under 3-deep self-nesting — found
+        # by the r9 self-composition fuzz, the only multiplicative
+        # splicer left among all 238 call rewrites
+        v = "CAST(__ftd AS BIGINT)"
         units = [
             (f"CAST({v} / 86400 AS BIGINT)", "day"),
             (f"CAST(({v} % 86400) / 3600 AS BIGINT)", "hour"),
@@ -6998,8 +7003,11 @@ def _rewrite_batch21_calls(chunk: str) -> str:
             f"IF({n} > 0, concat({n}, ' {u}', IF({n} = 1, '', 's')), NULL)"
             for n, u in units
         )
-        return (
+        body = (
             f"coalesce(nullif(concat_ws(', ', {parts}), ''), '0 seconds')"
+        )
+        return (
+            f"element_at(transform(array({args[0]}), __ftd -> {body}), 1)"
         )
 
     chunk = _rewrite_call(chunk, "formatReadableTimeDelta", fmt_td_make)

@@ -3579,10 +3579,17 @@ def test_rewrite_expansion_guard_known_offenders_nested():
         # geohashesInBox constant-folds; nest it under splicers
         "base58Encode(arrayStringConcat(geohashesInBox("
         "-1.0, -1.0, 1.0, 1.0, 3), ''))",
+        # the r9 fuzz find — ~20 argument references across four units,
+        # 134 KB at depth 3 before its argument was let-bound
+        "formatReadableTimeDelta(formatReadableTimeDelta("
+        "formatReadableTimeDelta(7573)))",
     ]
     for expr in nested:
         out = tr(f"SELECT {expr} AS v")
         assert len(out) < _MAX_REWRITE_CHARS, (expr, len(out))
+        # additive, not multiplicative: 3-deep nesting of let-bound
+        # rewrites stays within a few KB
+        assert len(out) < 32_768, (expr, len(out))
 
 
 def test_rewrite_expansion_guard_raises_on_multiplicative_splice():
