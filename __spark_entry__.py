@@ -9698,8 +9698,8 @@ FROM ext e JOIN pins p ON e.dim = p.dim, li ORDER BY e.dim
     out["training_shards"] = r"""
 WITH d AS (
   SELECT doc_id,
-         len(string_split_regex(
-           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))::BIGINT AS nt,
+         len(list_filter(string_split_regex(text, '\s+'),
+             x -> x <> ''))::BIGINT AS nt,
          md5(doc_id::VARCHAR) AS h,
          substring(md5(doc_id::VARCHAR), 1, 2) AS b
   FROM documents

@@ -5456,28 +5456,43 @@ _LANCZOS = (
 
 
 def _lgamma_sql(x: str) -> str:
-    z = f"CAST(({x}) AS DOUBLE)"
+    # let-bind the argument ONCE (the reinterpretAsUInt64 pattern): the
+    # Lanczos form references z 12x — 89 KB of SQL under 3-deep
+    # self-nesting before this (found by the r9 expanded fuzz once the
+    # name recorder saw all 404 registered rewrites).  Values identical:
+    # same arithmetic, same DuckDB oracle mirror.
+    z = "__lgz"
     acc = " + ".join(
         [_LANCZOS[0]]
         + [f"{c} / ({z} + {i}.0D)" for i, c in enumerate(_LANCZOS[1:])]
     )
     # 0.9189385332046727 = ln(sqrt(2*pi))
-    return (
+    body = (
         f"(0.9189385332046727D + (({z}) - 0.5D) * ln(({z}) + 6.5D) "
         f"- (({z}) + 6.5D) + ln({acc}))"
+    )
+    return (
+        f"element_at(transform(array(CAST(({x}) AS DOUBLE)), "
+        f"__lgz -> {body}), 1)"
     )
 
 
 def _erf_sql(x: str) -> str:
     # Abramowitz & Stegun 7.1.26 rational approximation (|err| < 1.5e-7);
-    # mirrored verbatim in the oracle (accuracy pytest vs math.erf)
-    v = f"CAST(({x}) AS DOUBLE)"
+    # mirrored verbatim in the oracle (accuracy pytest vs math.erf).
+    # Argument let-bound (5 references — multiplicative under nesting,
+    # the lgamma note).
+    v = "__erfv"
     t = f"(1.0D / (1.0D + 0.3275911D * abs({v})))"
     poly = (
         f"({t} * (0.254829592D + {t} * (-0.284496736D + {t} * "
         f"(1.421413741D + {t} * (-1.453152027D + {t} * 1.061405429D)))))"
     )
-    return f"(sign({v}) * (1.0D - {poly} * exp(-({v}) * ({v}))))"
+    body = f"(sign({v}) * (1.0D - {poly} * exp(-({v}) * ({v}))))"
+    return (
+        f"element_at(transform(array(CAST(({x}) AS DOUBLE)), "
+        f"__erfv -> {body}), 1)"
+    )
 
 
 _GEO_ALPHA32 = "0123456789bcdefghjkmnpqrstuvwxyz"

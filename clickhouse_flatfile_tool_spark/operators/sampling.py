@@ -194,15 +194,16 @@ def assign_training_shards(
     if tokens_per_shard <= 0:
         raise ValueError("assign_training_shards: tokens_per_shard must be > 0")
     h = F.md5(F.col(id_col).cast("string"))
-    # trim ALL whitespace (not F.trim's ASCII-space-only): text ending in
-    # '\n'/'\t' would leave a trailing empty split element that size()
-    # counts as a phantom token (ADVICE r8) — this matches the brute-force
-    # replay's text.strip().split() on any non-empty text
+    # count non-empty split elements: trailing/leading whitespace (incl.
+    # '\n'/'\t', which F.trim's ASCII-space-only strip misses) yields
+    # empty elements that a bare size() counts as phantom tokens (ADVICE
+    # r8), and a whitespace-ONLY text must count 0, not 1 (r9 review) —
+    # this matches Python's text.strip().split() on EVERY input
     d = df.withColumn(
         "__nt",
         F.size(
-            F.split(
-                F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+"
+            F.filter(
+                F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
             )
         ).cast("long"),
     ).withColumn("__b", F.substring(h, 1, 2))

@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import itertools
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -42,8 +41,24 @@ LITS = ["'abcdefgh'", "12345", "1.5", "('a', 'b')"]
 
 
 def rewrite_names() -> list[str]:
-    src = open(_dialect.__file__).read()
-    return sorted(set(re.findall(r'_rewrite_call\(chunk, "(\w+)"', src)))
+    """Record every name the rewrite chain registers by RUNNING it once
+    with a spy on _rewrite_call — no per-function gating exists, so one
+    translate visits every registration, including loop/f-string/dict
+    forms a static regex misses (the r9 review found the single-line
+    regex saw 238 of the 404 registered names)."""
+    recorded: set[str] = set()
+    orig = _dialect._rewrite_call
+
+    def spy(chunk, name, make):
+        recorded.add(name)
+        return orig(chunk, name, make)
+
+    _dialect._rewrite_call = spy
+    try:
+        tr("SELECT 1")
+    finally:
+        _dialect._rewrite_call = orig
+    return sorted(recorded)
 
 
 def main() -> int:
@@ -72,13 +87,25 @@ def main() -> int:
                 seeds.append((n, lit))
                 break
 
+    # non-guard translate-time ValueErrors are reported but SOFT: several
+    # rewrites deliberately raise on non-literal arguments (geohashesInBox
+    # etc.), which nesting necessarily produces — a deliberate raise is
+    # designed behavior, not a splice bug.  Only the guard's own message
+    # is silently accepted.
+    soft: list[tuple] = []
+
+    def classify_ve(e: ValueError):
+        return "guard" if "grew the statement" in str(e) else "other"
+
     if mode != "--pairs-only":
         for n, lit in seeds:
             expr = f"{n}({n}({n}({lit})))"
             try:
                 t3 = tr(f"SELECT {expr} AS v")
-            except ValueError:
-                continue  # the guard fired loudly — by design
+            except ValueError as e:
+                if classify_ve(e) == "other":
+                    soft.append((n, lit, "TRANSLATE-VE", str(e)[:120]))
+                continue
             except Exception as e:  # noqa: BLE001
                 issues.append((n, lit, "TRANSLATE-EXC", str(e)[:120]))
                 continue
@@ -95,7 +122,9 @@ def main() -> int:
         for f, (g, lit) in pairs:
             try:
                 t = tr(f"SELECT {f}({g}({lit})) AS v")
-            except ValueError:
+            except ValueError as e:
+                if classify_ve(e) == "other":
+                    soft.append((f, g, lit, "TRANSLATE-VE", str(e)[:120]))
                 continue
             except Exception as e:  # noqa: BLE001
                 issues.append((f, g, lit, "TRANSLATE-EXC", str(e)[:120]))
@@ -108,9 +137,14 @@ def main() -> int:
                 issues.append((f, g, lit, "ANALYZER", err))
         print(f"pairs: {len(pairs)} compositions checked")
 
+    for s in soft:
+        print("soft (deliberate translate-time raise under nesting):", s)
     for i in issues:
         print("ISSUE:", i)
-    print(f"issues: {len(issues)}  (guard cap {_MAX_REWRITE_CHARS})")
+    print(
+        f"issues: {len(issues)}  soft: {len(soft)}  "
+        f"(guard cap {_MAX_REWRITE_CHARS})"
+    )
     spark.stop()
     return 1 if issues else 0
 

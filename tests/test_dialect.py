@@ -3554,13 +3554,16 @@ def test_batch26_base58(spark):
     assert r.bad is None and r.s == pyenc(b"abc")
 
 
-def test_rewrite_expansion_guard_known_offenders_nested():
+def test_rewrite_expansion_guard_known_offenders_nested(spark):
     """The translate-time expansion guard (VERDICT r8 #6): the known-worst
     splice-heavy rewrites (base58, reinterpret, geohashesInBox) nested 3
     deep must translate WITHOUT tripping the size guard — their arguments
     are let-bound, so nesting grows the SQL additively, not
     multiplicatively (the 587 KB reinterpret blow-up class the r8
-    deep-fuzz caught post hoc is now impossible to ship)."""
+    deep-fuzz caught post hoc is now impossible to ship).  Each tower is
+    also pushed through Spark's ANALYZER: semantic type errors the fuzz
+    shape itself causes are tolerated, but an iteration/stack blow-up
+    (what oversized splices actually produce) fails the test."""
     from clickhouse_flatfile_tool_spark.dialect import (
         _MAX_REWRITE_CHARS,
         translate_clickhouse_sql as tr,
@@ -3590,6 +3593,12 @@ def test_rewrite_expansion_guard_known_offenders_nested():
         # additive, not multiplicative: 3-deep nesting of let-bound
         # rewrites stays within a few KB
         assert len(out) < 32_768, (expr, len(out))
+        try:
+            spark.sql(out).schema
+        except Exception as e:  # noqa: BLE001
+            msg = str(e)
+            assert "MAX_ITERATIONS" not in msg, (expr, msg[:200])
+            assert "StackOverflow" not in msg, (expr, msg[:200])
 
 
 def test_rewrite_expansion_guard_raises_on_multiplicative_splice():

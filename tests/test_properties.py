@@ -1222,10 +1222,10 @@ def test_select_modifier_chain_matches_model(spark, chain):
 @given(
     st.lists(
         st.text(
-            alphabet=" \t\n\rabc",  # whitespace-heavy on purpose
-            min_size=1,
+            alphabet=" \t\n\rabc",  # whitespace-heavy on purpose,
+            min_size=1,             # whitespace-ONLY texts included
             max_size=40,
-        ).filter(lambda t: t.strip()),
+        ),
         min_size=1,
         max_size=12,
         unique=True,
@@ -1235,9 +1235,10 @@ def test_select_modifier_chain_matches_model(spark, chain):
 @settings(**SETTINGS)
 def test_training_shards_whitespace_adversarial(spark, texts, tps):
     """assign_training_shards token counts match text.strip().split()
-    under adversarial whitespace — leading/trailing \\t \\n \\r and
-    internal runs (the ADVICE r8 phantom-trailing-token class), and the
-    md5-ordered global cumsum start-offset rule holds."""
+    under adversarial whitespace — leading/trailing \\t \\n \\r,
+    internal runs, and whitespace-ONLY texts (which must count 0 tokens,
+    the r9 review's boundary case) — and the md5-ordered global cumsum
+    start-offset rule holds."""
     import hashlib
 
     from clickhouse_flatfile_tool_spark.operators.sampling import (
