@@ -135,6 +135,15 @@ OPS = {
     "exactsubstr": lambda df: dedup.remove_repeated_spans(
         df, n=5, min_tokens=10
     ),
+    # r9: PageRank over the near-dup pair graph — scaled_docs' disjoint
+    # shingle spaces keep each copy's clone components separate, so the
+    # edge count grows ~K while component structure stays constant; 10
+    # power-iteration rounds of (edges⋈ranks → groupBy), lineage
+    # truncated per round.  Healthy shape: ratio well under K (the
+    # per-round shuffles are wide enough to use every core at 1x).
+    "pagerank": lambda df: dedup.pagerank(
+        dedup.minhash_lsh_candidates_portable(df)
+    ),
     # r7: similarity trio — stateless Arrow-batched pandas UDF over
     # per-row substring pairs; the healthy shape is ratio ≈ K (pure map)
     "string_similarity": lambda df: text.string_similarity(
