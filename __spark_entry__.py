@@ -1437,16 +1437,63 @@ def q_pca_project(spark, d):
     """PCA: distributed moments (Σx fold + Gram partials) → O(d³) eigh of
     the d×d covariance on the driver (d² floats collected, independent of
     n) → projection as literal-array zip_with/aggregate expressions (pure
-    JVM codegen, no UDF).  Rows-only: eigenvectors are numpy-specific up to
-    sign/degeneracy; pytest asserts orthonormality, eigenvalue-descending
-    order, per-component variance == eigenvalue, and monotone
-    reconstruction error (tests/test_similarity.py)."""
+    JVM codegen, no UDF).
+
+    Oracle-upgraded r10 (VERDICT r9 #3, the sketch_error pattern): raw
+    per-row projections are numpy-eigh-specific, so the hashed frame is
+    the sign-canonical VERIFICATION summary instead — per component k,
+    the exact integer sum of squares and sum of the quantized projections
+    floor(pc·1000+0.5) over the whole corpus (order-independent BIGINT
+    arithmetic; ssq/1e6/(n−1) ≈ the eigenvalue, so variance-explained is
+    pinned implicitly), plus the driver-side orthonormality residual
+    max|CᵀC−I| (identically 0 at 6 dp for a correct eigh).  pca_fit's
+    sign canon (largest-|.| coordinate positive) makes the per-component
+    quantities deterministic given the fixture's distinct eigenvalues;
+    the oracle pins the measured integers per lineitem cardinality with
+    a NULL sentinel at unpinned scales.  Tie distance pre-checked (the
+    pagerank_docs discipline): the closest any pc·1000+0.5 sits to a
+    floor boundary is 5.1e-6 (sf0.001) / 5.0e-4 (sf0.01) / 3.3e-5
+    (sf0.1) — ~10⁷× the float-accumulation-order noise scale, and the
+    per-scale ssq values are >4% apart so eigenvalues are comfortably
+    non-degenerate.  Raw-projection properties
+    (orthonormality, eigenvalue order, monotone reconstruction error)
+    stay pytest-asserted in tests/test_similarity.py."""
+    import numpy as np
+
     emb = _t(spark, d, "embeddings")
     mu, comps, _ = similarity.pca_fit(emb, k=4)
     out = similarity.pca_project(emb, mu, comps)
-    return out.select(
-        "vec_id",
-        *[F.round(F.element_at("pca", i + 1), 4).alias(f"pc{i}") for i in range(4)],
+    orth = float(np.abs(comps @ comps.T - np.eye(len(comps))).max())
+    pairs = out.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("k"),
+                        F.floor(
+                            F.element_at("pca", i + 1) * 1000 + F.lit(0.5)
+                        )
+                        .cast("long")
+                        .alias("q"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("p")
+    ).select("p.k", "p.q")
+    return (
+        pairs.groupBy("k")
+        .agg(
+            F.sum(F.col("q") * F.col("q")).alias("ssq_q"),
+            F.sum("q").alias("sum_q"),
+        )
+        .select(
+            "k",
+            "ssq_q",
+            "sum_q",
+            F.round(F.lit(orth), 6).alias("orth_residual"),
+        )
+        .orderBy("k")
     )
 
 
@@ -1568,9 +1615,17 @@ def q_bpe_merges(spark, d):
     """Distributed BPE vocabulary induction (Sennrich et al. 2016): one
     corpus pass builds the vocab-sized word-frequency table; each merge
     iteration runs on that small table only (text.py::bpe_train).
-    Rows-only: iterative with a 1-row driver decision per merge, the same
-    documented pattern as connected_components; hand-computed goldens in
-    pytest."""
+
+    Oracle-upgraded r10 (VERDICT r9 #3, the pagerank_docs pattern): the
+    12 fixed merge iterations are unrolled as DuckDB CTEs.  Each word's
+    symbol sequence is carried as a space-joined string; applying merge
+    (l, r) is replace(s, 'l r', 'lr') — SQL replace scans left-to-right
+    and resumes AFTER each replacement, exactly bpe_train's greedy
+    non-overlapping fold — and the per-iteration winner is the (count
+    desc, l, r) ORDER BY LIMIT 1, bytewise-identical tie-break in both
+    engines on the fixture's ASCII symbols.  Pre-checked: 12 merges all
+    clear the cnt≥2 early-break at both driver scales, so the oracle's
+    unconditional unroll matches."""
     docs = _t(spark, d, "documents")
     return text.bpe_train(docs, num_merges=12)
 
@@ -4774,9 +4829,16 @@ def q_mv_incremental(spark, d):
 
 def q_sequence_count(spark, d):
     """ClickHouse sequenceCount analog (events.py::sequence_count): per
-    user, non-overlapping greedy view→click chain completions.  Rows-only
-    (greedy non-overlapping counting isn't tractable in set-based SQL);
-    pytest covers the counting semantics hand-computed."""
+    user, non-overlapping greedy view→click chain completions.
+
+    Oracle-upgraded r10 (VERDICT r9 #3 — directly SQL-expressible after
+    all): the greedy left-to-right state machine over DISJOINT step
+    conditions is equivalent to counting leftmost non-overlapping regex
+    matches of 'a[^b]*b' over the per-user event string in (ts, event_id)
+    order — a regex match consumes its span and resumes after it, exactly
+    the machine's release-the-pointer-on-completion rule, and events
+    matching neither step are state no-ops so they can be dropped before
+    stringification.  The DuckDB oracle replays that."""
     ev = _t(spark, d, "events")
     return events.sequence_count(
         ev, ["event_type = 'view'", "event_type = 'click'"]
@@ -5880,13 +5942,85 @@ def q_api_query_roundtrip(spark, d):
     )
 
 
+# ---------------------------------------------------------------------------
+# ROUND-10 DRIVER WINDOW (the first 50 slots of queries()).  The driver
+# checks only these per round; queries() hoists this list to the front of
+# the registry, so each round's rotation is a ONE-LIST edit pasted from
+# `scripts/registry_window.py --suggest` (unproven first, then proven
+# filler by OLDEST last-green round — VERDICT r9 #3's systematic
+# re-verification of greens that fingerprints can't see drift for).
+#
+# r10 composition — all 47 stale entries fit, so NO deferral this round:
+#   1-3   the VERDICT r9 #2 oracle upgrades (pca_project pinned-integer
+#         verification frame, sequence_count regex-count oracle,
+#         bpe_merges unrolled-CTE oracle) — edited entries, re-prove;
+#   4     training_shards — ADVICE r9 comment fix in sampling.py staled it;
+#   5-47  the dialect family — staled as one block by the expansion-guard
+#         budget fix (ADVICE r9; whole-module hash, deliberately coarse);
+#         scripts/dialect_equiv.py proved every recorded translation
+#         byte-identical across the edit, and selfcheck re-proved all at
+#         sf0.001 + sf0.01 before rotation;
+#   48-50 oldest-green rotation filler (last green r1).
+# ---------------------------------------------------------------------------
+_WINDOW_R10 = [
+    "pca_project",
+    "sequence_count",
+    "bpe_merges",
+    "training_shards",
+    "with_totals",
+    "with_fill",
+    "with_fill_interp",
+    "dialect_batch26",
+    "dialect_batch27",
+    "clickhouse_funcs3",
+    "clickhouse_funcs4",
+    "dialect_batch16",
+    "dialect_final",
+    "sequence_next_node",
+    "dialect_geo",
+    "dialect_batch17",
+    "dialect_clauses",
+    "distinct_on",
+    "dialect_ips",
+    "dialect_aggs2",
+    "dialect_dates2",
+    "dialect_batch23_aggs",
+    "clickhouse_dialect",
+    "clickhouse_funcs2",
+    "url_funcs",
+    "clickhouse_dates",
+    "dialect_asof",
+    "sequence_match",
+    "dialect_funnel",
+    "dialect_retention",
+    "dialect_stats",
+    "dialect_paste",
+    "dialect_batch18",
+    "dialect_batch19",
+    "dialect_batch19_aggs",
+    "dialect_batch20",
+    "dialect_batch20_aggs",
+    "dialect_modifiers",
+    "dialect_batch21",
+    "dialect_batch21_aggs",
+    "dialect_batch22",
+    "dialect_batch22_aggs",
+    "dialect_batch23_window",
+    "dialect_batch24",
+    "dialect_batch25",
+    "dict_sql",
+    "dialect_batch23",
+    "agg_stats",
+    "ann_topk",
+    "anti_join",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the correctness driver checks the FIRST 50
-    # entries per round.  Entries ROTATE each round: unproven (no green
-    # CORRECTNESS row, or implementation drifted since the green — see
-    # scripts/registry_window.py's fingerprint audit) come first, then
-    # re-prove-worthy filler, then the proven tail.  Round-4 rotation
-    # brings the entire r3 DEFERRED backlog into the window at once.
+    # entries per round.  The window is declared in _WINDOW_R10 above and
+    # hoisted to the front below; the base dict keeps its historical
+    # grouping and no longer encodes the window.
     #
     # Pruned in r3 (near-duplicate variants folded into a sibling that
     # exercises the same operator family; all keep direct pytest coverage):
@@ -5895,25 +6029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   running_sum -> range_frame      sliding_window -> tumbling_window
     #   embedding_norm -> cosine_topk   token_histogram -> topk_freq
     #   window_first_last -> window_lag map_props -> array_funcs/json_props
-    return {
-        # ------------------------------------------------------------------
-        # ROUND-9 DRIVER WINDOW (first 50 slots) — EXACTLY 50 unproven:
-        # the three r8-deferred WITH FILL entries rotate in FIRST
-        # (VERDICT r8 #2 — deferral is one round only), then the four
-        # new r9 entries (pipeline_incremental_append per VERDICT #3;
-        # sketch_error + pack_valid + the pagerank_docs oracle upgrade
-        # per VERDICT #5), the three r9-edited re-proves
-        # (training_shards: ADVICE BIGINT-shard + whitespace-trim fixes;
-        # ann_recall_suite: explicit-cardinality NULL sentinel;
-        # pipeline_incremental_prebuilt: tempdir/catalog hygiene per
-        # VERDICT #7), and the 40 remaining dialect-family entries —
-        # staled as one block by the _rewrite_call expansion guard
-        # (VERDICT #6; the deliberately coarse whole-module hash).
-        # Fingerprints were refreshed at the r8-end commit 19cc202 via
-        # the worktree protocol under the NEW aliased-import-aware
-        # definition; everything selfcheck-PASS at sf0.001 AND sf0.01
-        # before rotation.
-        # ------------------------------------------------------------------
+    base = {
         "with_totals": q_with_totals,
         "with_fill": q_with_fill,
         "with_fill_interp": q_with_fill_interp,
@@ -6209,6 +6325,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (applyInPandasWithState).  q_stream_tws is kept importable so the
         # pytest variant and external users can still call it.
     }
+    # hoist the declared window to the front (dict.update on existing keys
+    # keeps head's insertion order, so the remainder follows in base order)
+    head = {n: base[n] for n in _WINDOW_R10}
+    head.update(base)
+    return head
 
 
 # ---------------------------------------------------------------------------
@@ -6415,6 +6536,52 @@ def _pagerank_oracle() -> str:
         + ", ".join(rounds)
         + " SELECT src::BIGINT AS doc_id, round(rank, 6) AS rank FROM r10 "
         "ORDER BY doc_id"
+    )
+
+
+def _bpe_oracle(num_merges: int = 12) -> str:
+    """bpe_merges replay (VERDICT r9 #3, the pagerank_docs pattern): the
+    fixed merge iterations UNROLLED as CTEs.  Each word's symbol sequence
+    rides as a space-joined string (tokens from a \\s+ split can't contain
+    the separator); applying merge (l, r) is replace(s, 'l r', 'lr') —
+    SQL replace scans left-to-right and resumes AFTER each replacement,
+    exactly bpe_train's greedy non-overlapping fold — and each
+    iteration's winner is ORDER BY cnt DESC, l, r LIMIT 1 (bytewise
+    tie-break, identical to Spark's string ordering on UTF-8).  Adjacent
+    pairs come from DuckDB's positional parallel unnest of the shifted
+    symbol lists."""
+    ctes = [
+        "w AS MATERIALIZED (SELECT unnest(string_split_regex("
+        "trim(lower(text)), '\\s+')) AS w FROM documents)",
+        "v0 AS MATERIALIZED (SELECT array_to_string(list_filter("
+        "string_split(w, ''), x -> x <> ''), ' ') AS s, "
+        "count(*)::BIGINT AS n FROM w WHERE length(w) > 0 GROUP BY w)",
+    ]
+    sels = []
+    for i in range(num_merges):
+        ctes.append(
+            f"p{i} AS MATERIALIZED (SELECT l, r, sum(n)::BIGINT AS cnt "
+            f"FROM (SELECT unnest(list_slice(a, 1, len(a) - 1)) AS l, "
+            f"unnest(list_slice(a, 2, len(a))) AS r, n "
+            f"FROM (SELECT string_split(s, ' ') AS a, n FROM v{i})) "
+            f"WHERE l IS NOT NULL AND r IS NOT NULL GROUP BY l, r)"
+        )
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT l, r, cnt FROM p{i} "
+            f"ORDER BY cnt DESC, l, r LIMIT 1)"
+        )
+        ctes.append(
+            f"v{i + 1} AS MATERIALIZED (SELECT "
+            f"replace(s, (SELECT l || ' ' || r FROM m{i}), "
+            f"(SELECT l || r FROM m{i})) AS s, n FROM v{i})"
+        )
+        sels.append(
+            f"SELECT {i}::INT AS rank, l AS \"left\", r AS \"right\", "
+            f"cnt AS pair_count FROM m{i}"
+        )
+    return (
+        "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(sels)
+        + " ORDER BY rank"
     )
 
 
@@ -9649,6 +9816,47 @@ SELECT s.doc_id, e.label FROM surv s JOIN embeddings e ON s.doc_id = e.vec_id"""
     # from-scratch ground truth the APPENDED artifact tables must equal
     out["pipeline_incremental_append"] = _pipeline_append_oracle()
     out["pagerank_docs"] = _pagerank_oracle()
+    # greedy non-overlapping chain counting == leftmost non-overlapping
+    # regex matches over the per-user (ts, event_id)-ordered step string
+    # (see q_sequence_count docstring); events matching neither step are
+    # state no-ops and are dropped before stringification
+    out["sequence_count"] = """
+WITH s AS (
+  SELECT user_id,
+         string_agg(CASE WHEN event_type = 'view' THEN 'a' ELSE 'b' END,
+                    '' ORDER BY ts, event_id) AS seq
+  FROM events WHERE event_type IN ('view', 'click') GROUP BY user_id
+)
+SELECT u.user_id,
+       coalesce(len(regexp_extract_all(s.seq, 'a[^b]*b')), 0)::BIGINT
+         AS n_matches
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN s USING (user_id)
+"""
+    out["bpe_merges"] = _bpe_oracle()
+    # PCA verification pins (see q_pca_project docstring): eigenvectors
+    # are driver-side eigh output, so the sign-canonical quantized
+    # per-component integers are MEASURED and pinned per lineitem
+    # cardinality (embeddings is 500 rows at both small scales but with
+    # different content); NULL sentinel at unpinned scales.  Re-measure +
+    # re-pin on any pca_fit/pca_project change — that forced review is
+    # the point (the ann_recall_suite stance).
+    out["pca_project"] = """
+WITH li AS (SELECT count(*) AS c FROM lineitem)
+SELECT v.k::INT AS k,
+       (CASE WHEN li.c = 6000 THEN v.s1 WHEN li.c = 60000 THEN v.s2
+             WHEN li.c = 600000 THEN v.s3 ELSE NULL END)::BIGINT AS ssq_q,
+       (CASE WHEN li.c = 6000 THEN v.m1 WHEN li.c = 60000 THEN v.m2
+             WHEN li.c = 600000 THEN v.m3 ELSE NULL END)::BIGINT AS sum_q,
+       (CASE WHEN li.c IN (6000, 60000, 600000) THEN 0.0
+             ELSE NULL END)::DOUBLE AS orth_residual
+FROM (VALUES (0, 14442970, 13757110, 41862413, 0, 0, -3),
+             (1, 13463131, 13582878, 41142101, -7, 2, 19),
+             (2, 12914351, 13309071, 40766643, 3, 1, 17),
+             (3, 12635827, 12796279, 39958670, -7, -5, -14))
+     v(k, s1, s2, s3, m1, m2, m3), li
+ORDER BY v.k
+"""
     out["pack_valid"] = """
 WITH t AS (SELECT doc_id,
   len(string_split_regex(trim(text), '\\s+'))::BIGINT AS nt FROM documents),

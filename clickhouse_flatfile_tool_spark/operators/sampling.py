@@ -198,7 +198,12 @@ def assign_training_shards(
     # '\n'/'\t', which F.trim's ASCII-space-only strip misses) yields
     # empty elements that a bare size() counts as phantom tokens (ADVICE
     # r8), and a whitespace-ONLY text must count 0, not 1 (r9 review) —
-    # this matches Python's text.strip().split() on EVERY input
+    # this matches Python's text.strip().split() on every input whose
+    # whitespace is ASCII (Java regex \s is ASCII-only, while Python
+    # str.split() also splits Unicode whitespace like U+00A0 — ADVICE
+    # r9; the DuckDB oracle's \s is the same ASCII class, so the two
+    # ENGINES agree on all inputs, and the pytest reference model keeps
+    # its alphabet ASCII-whitespace-only to match)
     d = df.withColumn(
         "__nt",
         F.size(

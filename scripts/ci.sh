@@ -20,5 +20,8 @@ python scripts/selfcheck.py "${SF}" 2>/dev/null | tail -3
 echo "== plan audit (anti-pattern sweep) =="
 python scripts/plan_audit.py 2>/dev/null | tail -2
 
+echo "== dialect self-composition fuzz (guard-class regression leg) =="
+python scripts/fuzz_dialect.py --self-only 2>/dev/null | tail -2
+
 echo "== registry window placement =="
 python scripts/registry_window.py 2>/dev/null | tail -3

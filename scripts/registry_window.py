@@ -18,7 +18,13 @@ re-enter the window.  After a driver round lands, refresh the snapshot:
 
     python scripts/registry_window.py --update
 
-Usage: python scripts/registry_window.py [window_size] [--update]
+Idle filler slots rotate systematically (VERDICT r9 #3): the audit
+prints min(last_green_round) over proven entries plus its histogram, and
+``--suggest`` emits the window order that re-proves the OLDEST greens
+first — unproven entries lead, then proven filler by ascending last
+green round.
+
+Usage: python scripts/registry_window.py [window_size] [--update|--suggest]
 """
 
 from __future__ import annotations
@@ -181,7 +187,7 @@ DEFERRED: set[str] = set()
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--update"]
+    args = [a for a in sys.argv[1:] if a not in ("--update", "--suggest")]
     if "--update" in sys.argv[1:]:
         json.dump(
             current_fingerprints(),
@@ -219,17 +225,50 @@ def main() -> int:
     if stale:
         print(f"stale greens (impl changed since snapshot): {sorted(stale)}")
     proven: set[str] = set()
+    # last round each entry was (re-)verified by the driver — green hash
+    # OR a rows-only run.  Fingerprints catch code edits, but an entry
+    # last proven in r1 has every round since of environment/dependency
+    # drift unverified (VERDICT r9 #3): idle window slots should re-prove
+    # the OLDEST greens first, so the whole registry re-proof cycles.
+    last_green: dict[str, int] = {}
     for f in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json", f).group(1))
         for k, v in json.load(open(f)).items():
             ran_rows_only = v.get("err") == "no_oracle" and v.get("spark_rows") is not None
-            if (v.get("hash_match") or ran_rows_only) and k not in stale:
-                proven.add(k)
+            if v.get("hash_match") or ran_rows_only:
+                last_green[k] = max(last_green.get(k, 0), rnd)
+                if k not in stale:
+                    proven.add(k)
     top = names[:window]
     in_window = [n for n in top if n not in proven]
     below = [n for n in names[window:] if n not in proven]
     print(f"registry entries: {len(names)}  window: {window}")
     print(f"unproven inside window: {len(in_window)}")
     print(f"proven filler inside window: {len(top) - len(in_window)}")
+    ranked_filler = sorted(
+        (n for n in names if n in proven), key=lambda n: (last_green[n], n)
+    )
+    if ranked_filler:
+        import collections
+
+        hist = collections.Counter(last_green[n] for n in ranked_filler)
+        print(
+            f"min(last_green_round) among proven: {last_green[ranked_filler[0]]}"
+            f"  histogram: {dict(sorted(hist.items()))}"
+        )
+    if "--suggest" in sys.argv[1:]:
+        # proposed window: every unproven entry (current registry order),
+        # then proven filler OLDEST last-green first — reorder queries()
+        # to this and every idle slot re-proves the stalest green
+        unproven_all = [n for n in names if n not in proven]
+        suggestion = unproven_all + [
+            n for n in ranked_filler if n not in unproven_all
+        ]
+        print(f"suggested window (unproven first, then oldest-green filler):")
+        for i, n in enumerate(suggestion[:window]):
+            tag = "UNPROVEN" if n not in proven else f"r{last_green[n]}"
+            print(f"  {i + 1:3d}. {n}  [{tag}]")
+        return 0
     deferred = [n for n in below if n in DEFERRED]
     surprise = [n for n in below if n not in DEFERRED]
     if deferred:

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -525,23 +526,33 @@ def main() -> None:
                     .alias("text"),
                 )
             corp = corp.localCheckpoint()
+            adir_m = _tf2.mkdtemp(prefix=f"cfts_prune_arts_{m}x_")
+            prefix_m = f"cfts_prune_art_{m}x"
             arts_m = _dd2.write_corpus_artifacts(
-                corp, _tf2.mkdtemp(prefix=f"cfts_prune_arts_{m}x_"),
-                table_prefix=f"cfts_prune_art_{m}x",
+                corp, adir_m, table_prefix=prefix_m,
             )
             row = {}
-            for label, flag in (("t_mapscan", False), ("t_prune", True)):
-                best = float("inf")
-                for _ in range(2):
-                    t0 = time.time()
-                    _cpi2(
-                        delta_x, corp, held_x,
-                        corpus_fps=arts_m["fingerprints"],
-                        corpus_banded=arts_m["banded"],
-                        prune_corpus_text=flag,
-                    )[1].write.format("noop").mode("overwrite").save()
-                    best = min(best, time.time() - t0)
-                row[label] = round(best, 3)
+            try:
+                for label, flag in (("t_mapscan", False), ("t_prune", True)):
+                    best = float("inf")
+                    for _ in range(2):
+                        t0 = time.time()
+                        _cpi2(
+                            delta_x, corp, held_x,
+                            corpus_fps=arts_m["fingerprints"],
+                            corpus_banded=arts_m["banded"],
+                            prune_corpus_text=flag,
+                        )[1].write.format("noop").mode("overwrite").save()
+                        best = min(best, time.time() - t0)
+                    row[label] = round(best, 3)
+            finally:
+                # mirror the append block's hygiene (ADVICE r9): drop the
+                # per-multiple catalog tables and remove the temp dir so a
+                # rerun in the same warehouse never collides with existing
+                # saveAsTable names and temp dirs don't accrete
+                for t in (f"{prefix_m}_fingerprints", f"{prefix_m}_banded"):
+                    spark.sql(f"DROP TABLE IF EXISTS {t}")
+                shutil.rmtree(adir_m, ignore_errors=True)
             row["prune_wins"] = row["t_prune"] < row["t_mapscan"]
             return row
 

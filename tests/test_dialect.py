@@ -3619,3 +3619,22 @@ def test_rewrite_expansion_guard_raises_on_multiplicative_splice():
         sql = f"badFn({sql})"
     with pytest.raises(ValueError, match="badFn"):
         _rewrite_call(f"SELECT {sql}", "badFn", bad_make)
+
+
+def test_rewrite_expansion_guard_scales_with_entry_size():
+    """ADVICE r9: the guard budget scales with the statement's size at
+    translate ENTRY — a legitimately large input (a machine-generated
+    >256 KB IN-list) must pass through a benign multi-splice rewrite
+    (intDiv references its argument 3x) without tripping the absolute
+    floor and blaming that rewrite's name, while tiny multiplicative
+    inputs keep tripping the floor exactly as before (previous test)."""
+    from clickhouse_flatfile_tool_spark.dialect import (
+        _MAX_REWRITE_CHARS,
+        translate_clickhouse_sql as tr,
+    )
+
+    inlist = ",".join(str(i) for i in range(52_000))  # ~300 KB of SQL
+    sql = f"SELECT intDiv(x, 7) AS q FROM t WHERE x IN ({inlist})"
+    assert len(sql) > _MAX_REWRITE_CHARS  # bigger than the old hard cap
+    out = tr(sql)  # must NOT raise ValueError
+    assert " DIV " in out and inlist in out

@@ -1403,21 +1403,30 @@ def test_driver_artifact_entries_leave_no_residue(spark):
     is still collectable AFTER cleanup (localCheckpoint decouples it
     from the dropped tables)."""
     import glob as _glob
+    import os as _os
+    import tempfile as _tf
 
     import __spark_entry__ as e  # conftest puts the repo root on sys.path
 
+    # the entries use tempfile.mkdtemp, which honors TMPDIR — build the
+    # residue glob from the same root so the assertion follows wherever
+    # mkdtemp actually writes (ADVICE r9: a hardcoded /tmp glob is
+    # vacuously true under a non-/tmp TMPDIR)
+    _td = _tf.gettempdir()
+
+    def _residue() -> set[str]:
+        return set(_glob.glob(_os.path.join(_td, "drv_corpus_arts_*"))) | set(
+            _glob.glob(_os.path.join(_td, "drv_append_arts_*"))
+        )
+
     d = "/root/testdata/sf0.001"
-    before = set(_glob.glob("/tmp/drv_corpus_arts_*")) | set(
-        _glob.glob("/tmp/drv_append_arts_*")
-    )
+    before = _residue()
     for _ in range(2):
         prov = e.q_pipeline_incremental_prebuilt(spark, d)
         assert len(prov.collect()) == 6
     prov2 = e.q_pipeline_incremental_append(spark, d)
     assert len(prov2.collect()) == 6
-    after = set(_glob.glob("/tmp/drv_corpus_arts_*")) | set(
-        _glob.glob("/tmp/drv_append_arts_*")
-    )
+    after = _residue()
     assert after == before, after - before
     leftover = [
         t.name
