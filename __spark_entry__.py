@@ -1399,9 +1399,62 @@ def q_embedding_dedup(spark, d):
 def q_embedding_clusters(spark, d):
     """Per-cluster size + cosine-to-centroid cohesion report — the
     cluster-balanced-sampling diagnostic (similarity.py::cluster_report).
-    Rows-only (driver-side k-means training)."""
+
+    Oracle-upgraded r10 (the ann_recall_suite stance): the seeded
+    driver-side k-means is deterministic per input set, so the full
+    8-row report is MEASURED and pinned per lineitem cardinality (NULL
+    sentinel at unpinned scales).  Stability pre-checked: two back-to-back
+    runs byte-identical at all three scales, and the rounded cohesion's
+    distance to its 6-dp rounding boundary is ≥2.9e-10 (sf0.01 worst
+    case) — ~10⁵× the float-accumulation-order noise scale.  Re-measure +
+    re-pin on any quantizer/report change; that forced review is the
+    point."""
     emb = _t(spark, d, "embeddings")
     return similarity.cluster_report(emb, n_lists=8)
+
+
+def q_semdedup_valid(spark, d):
+    """SemDeDup validity frame (the sketch_error pattern — hash-proven
+    companion for the rows-only semantic_dedup entry): over the corpus
+    plus ONE planted exact duplicate of vec 0 under a larger id,
+
+      * n_input — replayed outright by the oracle (count+1);
+      * n_survivors — pinned per lineitem cardinality (seeded driver
+        k-means, the ann_recall_suite stance; NULL sentinel otherwise);
+      * planted_pair_survivors ≡ 1 — identical vectors always share a
+        cluster, so exactly one of {0, 90000000} survives (min-id wins);
+      * within_cluster_viol ≡ 0 — semantic_dedup's guarantee: re-running
+        semantic_dedup_pairs over the SURVIVORS with the same centroids
+        (rebuilt with the identical ivf_build_centroids call
+        semantic_dedup makes internally: same input/seed/sample) finds
+        zero remaining within-cluster pairs ≥ threshold, because any
+        surviving pair (a<b) would have dropped b.
+
+    All four quantities in one row via broadcast 1-row aggregates."""
+    emb = _t(spark, d, "embeddings")
+    planted = emb.unionByName(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.lit(90000000).cast("long").alias("vec_id"), "embedding", "label"
+        )
+    )
+    surv = similarity.semantic_dedup(
+        planted, cos_threshold=0.4, n_clusters=8
+    ).localCheckpoint()
+    cent = similarity.ivf_build_centroids(
+        planted, n_lists=8, sample_size=10_000, seed=42
+    )
+    viol = similarity.semantic_dedup_pairs(
+        surv, cos_threshold=0.4, n_clusters=8, centroids=cent
+    )
+    a = planted.agg(F.count(F.lit(1)).alias("n_input"))
+    s = surv.agg(
+        F.count(F.lit(1)).alias("n_survivors"),
+        F.sum(
+            F.when(F.col("vec_id").isin(0, 90000000), 1).otherwise(0)
+        ).alias("planted_pair_survivors"),
+    )
+    v = viol.agg(F.count(F.lit(1)).alias("within_cluster_viol"))
+    return a.join(F.broadcast(s)).join(F.broadcast(v))
 
 
 def q_semantic_dedup(spark, d):
@@ -5960,7 +6013,13 @@ def q_api_query_roundtrip(spark, d):
 #         scripts/dialect_equiv.py proved every recorded translation
 #         byte-identical across the edit, and selfcheck re-proved all at
 #         sf0.001 + sf0.01 before rotation;
-#   48-50 oldest-green rotation filler (last green r1).
+#   48-49 two more rows-only upgrades landed mid-round: embedding_clusters
+#         (seeded k-means report pinned per scale) and the new
+#         semdedup_valid companion (identities + pinned survivor count);
+#   50    oldest-green rotation filler (last green r1) — rotation runs at
+#         full width from r11 (one dialect-free round re-proves ~45 of
+#         the 121 r1-r3 greens per cycle; min(last_green_round) is now a
+#         printed audit metric).
 # ---------------------------------------------------------------------------
 _WINDOW_R10 = [
     "pca_project",
@@ -6010,9 +6069,9 @@ _WINDOW_R10 = [
     "dialect_batch25",
     "dict_sql",
     "dialect_batch23",
+    "embedding_clusters",
+    "semdedup_valid",
     "agg_stats",
-    "ann_topk",
-    "anti_join",
 ]
 
 
@@ -6204,6 +6263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": q_boilerplate,
         "decontaminate": q_decontaminate,
         "semantic_dedup": q_semantic_dedup,
+        "semdedup_valid": q_semdedup_valid,
         "bigram_surprisal": q_bigram_surprisal,
         "mixture_weights": q_mixture_weights,
         "token_budget": q_token_budget,
@@ -9834,6 +9894,41 @@ FROM (SELECT DISTINCT user_id FROM events) u
 LEFT JOIN s USING (user_id)
 """
     out["bpe_merges"] = _bpe_oracle()
+    # seeded driver k-means report: full 8-row output pinned per scale
+    # (stability + rounding tie distance pre-checked — see the
+    # q_embedding_clusters docstring)
+    out["embedding_clusters"] = """
+WITH li AS (SELECT count(*) AS c FROM lineitem)
+SELECT v.list_id::INT AS list_id,
+       (CASE WHEN li.c = 6000 THEN v.n1 WHEN li.c = 60000 THEN v.n2
+             WHEN li.c = 600000 THEN v.n3 ELSE NULL END)::BIGINT AS n_vectors,
+       (CASE WHEN li.c = 6000 THEN v.c1 WHEN li.c = 60000 THEN v.c2
+             WHEN li.c = 600000 THEN v.c3 ELSE NULL END)::DOUBLE AS cohesion
+FROM (VALUES
+  (0, 69, 63, 248, 0.270282, 0.262232, 0.22568),
+  (1, 59, 55, 265, 0.274675, 0.293884, 0.2217),
+  (2, 61, 63, 243, 0.270398, 0.271071, 0.224819),
+  (3, 68, 64, 274, 0.269946, 0.270342, 0.229049),
+  (4, 58, 63, 237, 0.269489, 0.276546, 0.234125),
+  (5, 56, 69, 254, 0.28139, 0.280665, 0.220609),
+  (6, 66, 57, 245, 0.267953, 0.283669, 0.232877),
+  (7, 63, 66, 234, 0.263785, 0.284693, 0.22915))
+     v(list_id, n1, n2, n3, c1, c2, c3), li
+ORDER BY v.list_id
+"""
+    # SemDeDup validity: n_input replays outright, both identities are
+    # constants by the min-id greedy guarantee, survivors pinned per scale
+    out["semdedup_valid"] = """
+WITH li AS (SELECT count(*) AS c FROM lineitem),
+n AS (SELECT count(*) + 1 AS n_input FROM embeddings)
+SELECT n.n_input::BIGINT AS n_input,
+       (CASE WHEN li.c = 6000 THEN 471 WHEN li.c = 60000 THEN 473
+             WHEN li.c = 600000 THEN 1713 ELSE NULL END)::BIGINT
+         AS n_survivors,
+       1::BIGINT AS planted_pair_survivors,
+       0::BIGINT AS within_cluster_viol
+FROM n, li
+"""
     # PCA verification pins (see q_pca_project docstring): eigenvectors
     # are driver-side eigh output, so the sign-canonical quantized
     # per-component integers are MEASURED and pinned per lineitem
