@@ -1670,15 +1670,15 @@ def q_bpe_merges(spark, d):
     iteration runs on that small table only (text.py::bpe_train).
 
     Oracle-upgraded r10 (VERDICT r9 #3, the pagerank_docs pattern): the
-    12 fixed merge iterations are unrolled as DuckDB CTEs.  Each word's
-    symbol sequence is carried as a space-joined string; applying merge
-    (l, r) is replace(s, 'l r', 'lr') — SQL replace scans left-to-right
-    and resumes AFTER each replacement, exactly bpe_train's greedy
-    non-overlapping fold — and the per-iteration winner is the (count
-    desc, l, r) ORDER BY LIMIT 1, bytewise-identical tie-break in both
-    engines on the fixture's ASCII symbols.  Pre-checked: 12 merges all
-    clear the cnt≥2 early-break at both driver scales, so the oracle's
-    unconditional unroll matches."""
+    12 fixed merge iterations are unrolled as DuckDB CTEs; each word's
+    symbol sequence rides as a per-symbol-delimiter-wrapped string whose
+    replace() IS the greedy non-overlapping merge fold (see _bpe_oracle —
+    the encoding's two failure modes and their fix are property-tested in
+    test_bpe_merge_replace_equivalence).  The per-iteration winner is the
+    (count desc, l, r) ORDER BY LIMIT 1, bytewise-identical tie-break in
+    both engines on UTF-8.  Pre-checked: 12 merges all clear the cnt≥2
+    early-break at both driver scales, so the oracle's unconditional
+    unroll matches."""
     docs = _t(spark, d, "documents")
     return text.bpe_train(docs, num_merges=12)
 
@@ -6602,19 +6602,28 @@ def _pagerank_oracle() -> str:
 def _bpe_oracle(num_merges: int = 12) -> str:
     """bpe_merges replay (VERDICT r9 #3, the pagerank_docs pattern): the
     fixed merge iterations UNROLLED as CTEs.  Each word's symbol sequence
-    rides as a space-joined string (tokens from a \\s+ split can't contain
-    the separator); applying merge (l, r) is replace(s, 'l r', 'lr') —
-    SQL replace scans left-to-right and resumes AFTER each replacement,
-    exactly bpe_train's greedy non-overlapping fold — and each
+    rides as a string with EVERY symbol wrapped in its own chr(1)
+    delimiter pair (``\\x01sym\\x01`` concatenated — merged symbols could
+    contain any text character, and a single shared separator both
+    matches across symbol boundaries when a neighbor has the pattern's
+    right side as a prefix AND breaks consecutive merges; the r10
+    property test test_bpe_merge_replace_equivalence found exactly those
+    two failure modes in the naive encoding).  Applying merge (l, r) is
+    then ``replace(s, '\\x01l\\x01\\x01r\\x01', '\\x01lr\\x01')`` — SQL
+    replace scans left-to-right and resumes AFTER each replacement,
+    exactly bpe_train's greedy non-overlapping fold, and the anchored
+    wrapping makes every match a full adjacent symbol pair.  Each
     iteration's winner is ORDER BY cnt DESC, l, r LIMIT 1 (bytewise
-    tie-break, identical to Spark's string ordering on UTF-8).  Adjacent
+    tie-break, identical to Spark's string ordering on UTF-8); adjacent
     pairs come from DuckDB's positional parallel unnest of the shifted
     symbol lists."""
+    d = "chr(1)"
     ctes = [
         "w AS MATERIALIZED (SELECT unnest(string_split_regex("
         "trim(lower(text)), '\\s+')) AS w FROM documents)",
-        "v0 AS MATERIALIZED (SELECT array_to_string(list_filter("
-        "string_split(w, ''), x -> x <> ''), ' ') AS s, "
+        "v0 AS MATERIALIZED (SELECT array_to_string(list_transform("
+        f"list_filter(string_split(w, ''), x -> x <> ''), "
+        f"c -> {d} || c || {d}), '') AS s, "
         "count(*)::BIGINT AS n FROM w WHERE length(w) > 0 GROUP BY w)",
     ]
     sels = []
@@ -6623,7 +6632,8 @@ def _bpe_oracle(num_merges: int = 12) -> str:
             f"p{i} AS MATERIALIZED (SELECT l, r, sum(n)::BIGINT AS cnt "
             f"FROM (SELECT unnest(list_slice(a, 1, len(a) - 1)) AS l, "
             f"unnest(list_slice(a, 2, len(a))) AS r, n "
-            f"FROM (SELECT string_split(s, ' ') AS a, n FROM v{i})) "
+            f"FROM (SELECT list_filter(string_split(s, {d}), "
+            f"x -> x <> '') AS a, n FROM v{i})) "
             f"WHERE l IS NOT NULL AND r IS NOT NULL GROUP BY l, r)"
         )
         ctes.append(
@@ -6632,8 +6642,9 @@ def _bpe_oracle(num_merges: int = 12) -> str:
         )
         ctes.append(
             f"v{i + 1} AS MATERIALIZED (SELECT "
-            f"replace(s, (SELECT l || ' ' || r FROM m{i}), "
-            f"(SELECT l || r FROM m{i})) AS s, n FROM v{i})"
+            f"replace(s, (SELECT {d} || l || {d} || {d} || r || {d} "
+            f"FROM m{i}), (SELECT {d} || l || r || {d} FROM m{i})) AS s, "
+            f"n FROM v{i})"
         )
         sels.append(
             f"SELECT {i}::INT AS rank, l AS \"left\", r AS \"right\", "

@@ -571,6 +571,20 @@ def main() -> None:
     # round-3 heavy operators (VERDICT r3 #3) — each with the input
     # scaling that isolates the operator's own weak-scaling behavior
     plaink = scaled_plain(docs1, k).localCheckpoint()
+    if _wanted("bpe_train"):
+        # BPE induction scale shape (r10, after the bpe_merges oracle
+        # upgrade): the corpus pass builds a VOCAB-sized word-frequency
+        # table once; the 12 merge iterations then run on that small
+        # table only, so corpus ×K should cost ~the extra scan, far from
+        # ×K.  scaled_docs suffixes copies, so vocab grows ~×K too — the
+        # honest harder case (merge-table work also grows).
+        from clickhouse_flatfile_tool_spark.operators.text import (
+            bpe_train as _bpe,
+        )
+
+        out["bpe_train"] = _time_pair(
+            lambda df: _bpe(df, num_merges=12), docs1, docsk, k
+        )
     if _wanted("bm25_scores"): out["bm25_scores"] = _time_pair(
         lambda df: retrieval.bm25_scores(df, ["vector", "hash", "join"]),
         docs1,

@@ -1263,3 +1263,78 @@ def test_training_shards_whitespace_adversarial(spark, texts, tps):
         want[doc_id] = (nt, cum // tps)
         cum += nt
     assert got == want
+
+
+@given(
+    st.lists(st.sampled_from("abx"), min_size=0, max_size=60),
+)
+@settings(max_examples=300, deadline=None)
+def test_sequence_count_regex_equivalence(chars):
+    """The r10 sequence_count oracle's core claim, property-checked: for
+    DISJOINT step conditions, the greedy left-to-right state machine
+    (events.py::sequence_count's aggregate fold) counts exactly the
+    leftmost non-overlapping matches of 'a[^b]*b' over the step string
+    with no-op events dropped.  Pure-model twin — the Spark fold itself
+    is covered by the hand-computed pytest; this defends the SQL replay's
+    equivalence argument against future edits."""
+    import re
+
+    # state machine: prog advances on the NEXT step's char, counts and
+    # resets on completing the last step; 'x' (matches no step) is a no-op
+    prog = cnt = 0
+    for c in chars:
+        if prog == 0 and c == "a":
+            prog = 1
+        elif prog == 1 and c == "b":
+            cnt += 1
+            prog = 0
+    s = "".join(c for c in chars if c != "x")
+    assert cnt == len(re.findall("a[^b]*b", s))
+    # the lazy-quantifier form the n-step generalization would use
+    assert cnt == len(re.findall("a.*?b", s))
+
+
+@given(
+    st.lists(
+        st.text(alphabet="pqr", min_size=1, max_size=3),
+        min_size=0,
+        max_size=20,
+    ),
+    st.text(alphabet="pqr", min_size=1, max_size=3),
+    st.text(alphabet="pqr", min_size=1, max_size=3),
+)
+@settings(max_examples=300, deadline=None)
+def test_bpe_merge_replace_equivalence(syms, left, right):
+    """The r10 bpe_merges oracle's core claim, property-checked: applying
+    merge (l, r) to a symbol sequence encoded with EACH symbol wrapped in
+    its own delimiter pair (``\\x01sym\\x01``, concatenated) via string
+    ``replace('\\x01l\\x01\\x01r\\x01', '\\x01lr\\x01')`` equals
+    bpe_train's greedy left-to-right non-overlapping fold — replace scans
+    left-to-right and resumes AFTER each replacement, exactly the fold's
+    release-the-pending-symbol-on-merge rule (text.py::bpe_train).
+
+    The wrapping matters: this test FOUND the naive single-separator
+    encoding wrong — with ``' '.join``, merging (p, p) on [p, pp] matches
+    'p p' across the symbol boundary ('pp' has the pattern's right side
+    as a PREFIX), and a single shared delimiter breaks consecutive merges
+    ([a,a,a,a] must give [aa,aa], which needs each boundary owned by one
+    symbol).  Per-symbol wrapping anchors both pattern ends at full
+    symbols and shares nothing."""
+    # fold model mirroring bpe_train's aggregate (out, pend) state
+    out, pend = [], ""
+    for s in syms:
+        if pend == "":
+            pend = s
+        elif pend == left and s == right:
+            out.append(left + right)
+            pend = ""
+        else:
+            out.append(pend)
+            pend = s
+    if pend != "":
+        out.append(pend)
+
+    D = "\x01"
+    enc = "".join(D + s + D for s in syms)
+    enc = enc.replace(f"{D}{left}{D}{D}{right}{D}", f"{D}{left}{right}{D}")
+    assert out == [t for t in enc.split(D) if t != ""]
