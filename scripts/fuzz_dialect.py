@@ -17,8 +17,12 @@ guard), and analyzer iteration/stack blow-ups.  Depth-1-broken shapes
 (type mismatches the fuzz shape causes) are skipped — they are not
 bugs.  Exit code 1 when anything is flagged.
 
-Usage: python scripts/fuzz_dialect.py [--self-only|--pairs-only]
-Runtime: ~2 min self, ~7 min pairs (local[32]).
+  3. TRIPLES (sampled): f(g(h(lit))) over a fixed-seed random sample of
+     the ~1.8M triple space — the depth the r9 offenders needed to show
+     multiplicative growth, now probed across DIFFERENT-name stacks too.
+
+Usage: python scripts/fuzz_dialect.py [--self-only|--pairs-only|--triples-sample[=N]]
+Runtime: ~2 min self, ~30 min pairs, ~N/500 min triples (local[32]).
 """
 
 from __future__ import annotations
@@ -117,8 +121,40 @@ def main() -> int:
                 issues.append((n, lit, "ANALYZER", err))
         print(f"self-composition: {len(seeds)} seeds checked")
 
-    if mode != "--self-only":
+    if mode.startswith("--triples-sample"):
+        import random
+
+        n_sample = int(mode.partition("=")[2] or 6000)
+        rng = random.Random(42)  # fixed seed: reruns probe the same set
+        fs = [s[0] for s in seeds]
+        triples = {
+            (rng.choice(fs), rng.choice(fs), rng.choice(range(len(seeds))))
+            for _ in range(n_sample)
+        }
+        for f, g, hi in sorted(triples):
+            h, lit = seeds[hi]
+            try:
+                t = tr(f"SELECT {f}({g}({h}({lit}))) AS v")
+            except ValueError as e:
+                if classify_ve(e) == "other":
+                    soft.append((f, g, h, lit, "TRANSLATE-VE", str(e)[:120]))
+                continue
+            except Exception as e:  # noqa: BLE001
+                issues.append((f, g, h, lit, "TRANSLATE-EXC", str(e)[:120]))
+                continue
+            if len(t) > BIG:
+                issues.append((f, g, h, lit, "BIG", len(t)))
+                continue
+            ok, err = analyzes(t)
+            if not ok and ("MAX_ITERATIONS" in err or "StackOverflow" in err):
+                issues.append((f, g, h, lit, "ANALYZER", err))
+        print(f"triples: {len(triples)} sampled compositions checked")
+
+    if mode == "--self-only" or mode.startswith("--triples-sample"):
+        pairs = []
+    else:
         pairs = list(itertools.product([s[0] for s in seeds], seeds))
+    if pairs:
         for f, (g, lit) in pairs:
             try:
                 t = tr(f"SELECT {f}({g}({lit})) AS v")
