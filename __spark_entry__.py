@@ -6616,7 +6616,10 @@ def _bpe_oracle(num_merges: int = 12) -> str:
     iteration's winner is ORDER BY cnt DESC, l, r LIMIT 1 (bytewise
     tie-break, identical to Spark's string ordering on UTF-8); adjacent
     pairs come from DuckDB's positional parallel unnest of the shifted
-    symbol lists."""
+    symbol lists.  Pre-checked: the documents fixture is pure printable
+    ASCII at all three scales (zero chr(1) or non-\\x20-\\x7e docs), so
+    the delimiter cannot collide and the char-split/lower/binary-collation
+    equivalences hold trivially."""
     d = "chr(1)"
     ctes = [
         "w AS MATERIALIZED (SELECT unnest(string_split_regex("
