@@ -5344,7 +5344,16 @@ def q_tpch_q14(spark, d):
 def q_hll_rollup(spark, d):
     """Sketch-based distinct rollup (uniqState/uniqMerge analog): hourly HLL
     sketches of user_id merged into daily estimates — constant-size shuffle
-    state per bucket (rows-only: estimates are engine-specific)."""
+    state per bucket.
+
+    Oracle-upgraded r10: at the fixture's per-day cardinalities (≤ ~1.4k
+    distinct users even at sf0.1) the lg_k=14 DataSketches HLL stays in
+    its SPARSE-EXACT regime, so the merged estimate EQUALS the exact
+    per-day COUNT(DISTINCT) — measured 0 diff across all 30 days × 3
+    scales — and the DuckDB oracle is the exact replay.  If the fixture
+    ever outgrows the sparse regime this hash-fails loudly (the forced
+    review is the point); real estimation error is pinned separately in
+    sketch_error's lg_k=4 branch."""
     ev = _t(spark, d, "events")
     return events.hll_rollup(ev)
 
@@ -5354,10 +5363,16 @@ def q_uniq_state_merge(spark, d):
     (mergetree.py::hll_state + mv_refresh): per-(event_type, day) HLL
     sketch states of user_id — the AggregatingMergeTree MV rows — folded
     by mv_refresh into per-type distinct-user estimates, exactly the
-    -State write / -Merge read split.  Rows-only: HLL estimates are
-    engine-specific; the ≤2 % error bound vs exact COUNT(DISTINCT) is
-    pytest-asserted (tests/test_mergetree.py::
-    test_uniq_state_merge_estimate_within_bound)."""
+    -State write / -Merge read split.
+
+    Oracle-upgraded r10: at the fixture's per-type cardinalities (1.5k
+    distinct users at sf0.1) the lg_k=14 sketch is SPARSE-EXACT, so the
+    folded estimate equals exact COUNT(DISTINCT) — measured 0 diff at all
+    three scales — and the oracle is the exact DuckDB replay (hash-fails
+    loudly if the fixture ever leaves the sparse regime).  The ≤2 % error
+    bound stays pytest-asserted (tests/test_mergetree.py::
+    test_uniq_state_merge_estimate_within_bound); real estimation error
+    is pinned in sketch_error's lg_k=4 branch."""
     ev = _t(spark, d, "events").withColumn("day", F.to_date("ts"))
     daily = mergetree.hll_state(ev, ["event_type", "day"], "user_id", lg_k=14)
     merged = mergetree.mv_refresh(
@@ -6013,12 +6028,16 @@ def q_api_query_roundtrip(spark, d):
 #         scripts/dialect_equiv.py proved every recorded translation
 #         byte-identical across the edit, and selfcheck re-proved all at
 #         sf0.001 + sf0.01 before rotation;
-#   48-49 two more rows-only upgrades landed mid-round: embedding_clusters
-#         (seeded k-means report pinned per scale) and the new
-#         semdedup_valid companion (identities + pinned survivor count);
-#   50    oldest-green rotation filler (last green r1) — rotation runs at
-#         full width from r11 (one dialect-free round re-proves ~45 of
-#         the 121 r1-r3 greens per cycle; min(last_green_round) is now a
+#   48-50 four more rows-only upgrades landed mid-round: embedding_clusters
+#         (seeded k-means report pinned per scale), the new semdedup_valid
+#         companion (identities + pinned survivor count), and the two HLL
+#         entries' exact replays (lg_k=14 sparse-exact at fixture
+#         cardinalities, measured 0 diff at all scales) — uniq_state_merge
+#         takes the last slot and hll_rollup is DEFERRED one round with
+#         selfcheck evidence (the r8 WITH-FILL precedent; see
+#         registry_window.DEFERRED), so r10 ships 50 unproven exactly.
+#         Oldest-green rotation starts at full width in r11 (~45+ filler
+#         slots in a dialect-free round; min(last_green_round) is now a
 #         printed audit metric).
 # ---------------------------------------------------------------------------
 _WINDOW_R10 = [
@@ -6071,7 +6090,7 @@ _WINDOW_R10 = [
     "dialect_batch23",
     "embedding_clusters",
     "semdedup_valid",
-    "agg_stats",
+    "uniq_state_merge",
 ]
 
 
@@ -9908,6 +9927,19 @@ FROM (SELECT DISTINCT user_id FROM events) u
 LEFT JOIN s USING (user_id)
 """
     out["bpe_merges"] = _bpe_oracle()
+    # lg_k=14 HLL is sparse-exact at every fixture cardinality (see the
+    # two entries' docstrings): the oracles are the EXACT replays, which
+    # hash-fail loudly if the fixture ever leaves the sparse regime
+    out["hll_rollup"] = """
+SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+       count(DISTINCT user_id)::BIGINT AS approx_users,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY 1 ORDER BY 1
+"""
+    out["uniq_state_merge"] = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS approx_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
     # seeded driver k-means report: full 8-row output pinned per scale
     # (stability + rounding tie distance pre-checked — see the
     # q_embedding_clusters docstring)

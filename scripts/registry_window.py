@@ -183,7 +183,16 @@ def stale_entries() -> set[str]:
 # was sized to land at exactly 50 unproven (43 dialect-family stales from
 # the expansion-guard edit + 3 edited re-proves + 4 new entries), so no
 # deferral is needed.
-DEFERRED: set[str] = set()
+# Round 10: hll_rollup — its rows-only→exact-replay oracle upgrade (the
+# lg_k=14 sparse-exact finding) landed after the window filled to exactly
+# 50 unproven (47 stales + embedding_clusters + semdedup_valid +
+# uniq_state_merge, the sibling upgrade from the same finding).  The r8
+# WITH-FILL precedent: deferral is ONE round, slot 1 of r11; evidence =
+# selfcheck PASS at sf0.001 AND sf0.01 at HEAD (SELFCHECK_r10_* predates
+# the upgrade; the post-upgrade runs are in the round log), and the
+# entry's Spark code is unchanged — only the docstring and the new oracle
+# SQL differ from its green r?-proven form.
+DEFERRED: set[str] = {"hll_rollup"}
 
 
 def main() -> int:
