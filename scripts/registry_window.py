@@ -188,10 +188,10 @@ def stale_entries() -> set[str]:
 # 50 unproven (47 stales + embedding_clusters + semdedup_valid +
 # uniq_state_merge, the sibling upgrade from the same finding).  The r8
 # WITH-FILL precedent: deferral is ONE round, slot 1 of r11; evidence =
-# selfcheck PASS at sf0.001 AND sf0.01 at HEAD (SELFCHECK_r10_* predates
-# the upgrade; the post-upgrade runs are in the round log), and the
+# selfcheck PASS at sf0.001 AND sf0.01 at HEAD (the regenerated
+# SELFCHECK_r10_*.json artifacts record it as oracle-pass), and the
 # entry's Spark code is unchanged — only the docstring and the new oracle
-# SQL differ from its green r?-proven form.
+# SQL differ from its green rows-only-proven form.
 DEFERRED: set[str] = {"hll_rollup"}
 
 
