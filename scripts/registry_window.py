@@ -192,7 +192,16 @@ def stale_entries() -> set[str]:
 # SELFCHECK_r10_*.json artifacts record it as oracle-pass), and the
 # entry's Spark code is unchanged — only the docstring and the new oracle
 # SQL differ from its green rows-only-proven form.
-DEFERRED: set[str] = {"hll_rollup"}
+#
+# The value is the round of deferral, and it is ENFORCED: a deferred
+# entry counts as unproven until a driver round AFTER that number proves
+# it again.  Without this, the next round's fingerprint refresh (taken at
+# the round-end commit, which includes the deferred edit) would make the
+# entry look non-stale, its OLD green would count, and the deferral
+# contract would silently evaporate — the masking loophole the r8
+# precedent handled only by convention.
+DEFERRED_SINCE: dict[str, int] = {"hll_rollup": 10}
+DEFERRED: set[str] = set(DEFERRED_SINCE)
 
 
 def main() -> int:
@@ -248,6 +257,12 @@ def main() -> int:
                 last_green[k] = max(last_green.get(k, 0), rnd)
                 if k not in stale:
                     proven.add(k)
+    # deferral contract: greens from before (or during) the deferral
+    # round do not count — the entry re-enters the window until a LATER
+    # driver round proves the deferred form
+    for k, since in DEFERRED_SINCE.items():
+        if last_green.get(k, 0) <= since:
+            proven.discard(k)
     top = names[:window]
     in_window = [n for n in top if n not in proven]
     below = [n for n in names[window:] if n not in proven]
