@@ -9912,12 +9912,18 @@ SELECT s.doc_id, e.label FROM surv s JOIN embeddings e ON s.doc_id = e.vec_id"""
     # greedy non-overlapping chain counting == leftmost non-overlapping
     # regex matches over the per-user (ts, event_id)-ordered step string
     # (see q_sequence_count docstring); events matching neither step are
-    # state no-ops and are dropped before stringification
+    # state no-ops and are dropped before stringification.  The step
+    # character is the FINAL order key (ADVICE r10): Spark's array_sort
+    # over struct(ts, event_id, m) tie-breaks duplicate (ts, event_id)
+    # rows on the step mask ascending (view=1 before click=2), and
+    # DuckDB's string_agg ORDER BY is unspecified for duplicate keys —
+    # 'a' < 'b' ascending replays the same mask order
     out["sequence_count"] = """
 WITH s AS (
   SELECT user_id,
          string_agg(CASE WHEN event_type = 'view' THEN 'a' ELSE 'b' END,
-                    '' ORDER BY ts, event_id) AS seq
+                    '' ORDER BY ts, event_id,
+                       CASE WHEN event_type = 'view' THEN 'a' ELSE 'b' END) AS seq
   FROM events WHERE event_type IN ('view', 'click') GROUP BY user_id
 )
 SELECT u.user_id,

@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from clickhouse_flatfile_tool_spark.operators.relational import top_k_per_group
+from clickhouse_flatfile_tool_spark.partitioning import ensure_parallelism
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -154,9 +155,15 @@ def _directional_topk(
                 }
             )
 
-    reduced = corpus.select(
-        F.col(id_col).cast("long").alias("__nid"),
-        F.col(vec_col).alias("__v"),
+    # a single-file parquet corpus arrives as ONE scan split, which would
+    # serialize the whole GEMM on one core (the r8 winnow lesson);
+    # ensure_parallelism never repartitions DOWN, so an at-scale corpus
+    # with thousands of splits is untouched and no shuffle is added
+    reduced = ensure_parallelism(
+        corpus.select(
+            F.col(id_col).cast("long").alias("__nid"),
+            F.col(vec_col).alias("__v"),
+        )
     ).mapInPandas(scan, "query_id long, neighbor_id long, __cos double")
     w = Window.partitionBy("query_id").orderBy(
         F.desc("__cos"), F.asc("neighbor_id")
@@ -1718,7 +1725,9 @@ def semantic_decontaminate(
                 )
 
         id_t = dict(corpus.dtypes)[corpus_id]
-        return corpus.select(corpus_id, vec_col).mapInPandas(
+        # single-split corpora would serialize the GEMM on one core (see
+        # _directional_topk); never repartitions down, no shuffle at scale
+        return ensure_parallelism(corpus.select(corpus_id, vec_col)).mapInPandas(
             score, f"{corpus_id} {id_t}, max_cos double, contaminated boolean"
         )
     b = F.broadcast(
