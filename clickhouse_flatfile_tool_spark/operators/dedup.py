@@ -640,8 +640,21 @@ def incremental_exact_dedup(
         new_df.withColumn("__fp", fp)
         .join(corpus_fps, "__fp", "left_anti")
     )
-    w_min = fresh.groupBy("__fp").agg(F.min(id_col).alias(id_col))
-    return fresh.join(w_min, [ "__fp", id_col]).drop("__fp")
+    # min-id survivor as a window filter, not a groupBy+self-join: one
+    # reference of ``fresh`` instead of two.  Same rows (ids are unique, so
+    # id == min(id) over fp picks exactly the groupBy+join survivor), same
+    # single shuffle on __fp; the self-join form doubles the upstream plan,
+    # which compounds exponentially in composed funnels (the
+    # pipeline_incremental 19k-line-plan finding, OPTIMIZATION_r11.md §plan
+    # size).
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("__fp")
+    return (
+        fresh.withColumn("__minid", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("__minid"))
+        .drop("__fp", "__minid")
+    )
 
 
 def incremental_lsh_dedup_candidates(

@@ -144,17 +144,27 @@ def curation_pipeline(
         "stage1_gopher",
     )
 
-    c = text.c4_rules(s1, id_col, text_col)
+    # gate in place (keep_text): the semi-join form references s1 twice —
+    # one reference keeps the stage subtree (and its localCheckpoint
+    # planning cost) minimal; identical rows (same predicate, same input)
+    c = text.c4_rules(s1, id_col, text_col, keep_text=True)
     s2 = _stage(
-        s1.join(
-            c.filter(F.col("c4_pass")).select(id_col), id_col, "left_semi"
-        ),
+        c.filter(F.col("c4_pass")).select(id_col, text_col),
         "stage2_c4",
     )
 
-    canon = dedup.exact_dedup_canonical(s2, key=text_col, id_col=id_col)
+    # min-id exact-dedup survivor as a window filter over the fingerprint
+    # (one reference of s2) — identical rows to the
+    # exact_dedup_canonical+semi-join form (ids unique, min-id survivor),
+    # one less join per stage subtree
+    from pyspark.sql.window import Window as _W
+
     s3 = _stage(
-        s2.join(canon.select(id_col), id_col, "left_semi"), "stage3_exact"
+        s2.withColumn("__fp", dedup.fingerprint(text_col))
+        .withColumn("__minid", F.min(id_col).over(_W.partitionBy("__fp")))
+        .filter(F.col(id_col) == F.col("__minid"))
+        .select(id_col, text_col),
+        "stage3_exact",
     )
 
     if portable:
@@ -321,11 +331,14 @@ def curation_pipeline_incremental(
         "stage1_gopher",
     )
 
-    c = text.c4_rules(s1, id_col, text_col)
+    # gate in place (keep_text) instead of semi-joining flags back to s1:
+    # the join form references s1 twice, and every downstream stage here
+    # keeps full lineage (persist boundaries), so reference multiplicity
+    # compounds exponentially — this plus the incremental_exact_dedup
+    # window form cut the final plan ~4x (OPTIMIZATION_r11.md §plan size)
+    c = text.c4_rules(s1, id_col, text_col, keep_text=True)
     s2 = _stage(
-        s1.join(
-            c.filter(F.col("c4_pass")).select(id_col), id_col, "left_semi"
-        ),
+        c.filter(F.col("c4_pass")).select(id_col, text_col),
         "stage2_c4",
     )
 

@@ -244,6 +244,7 @@ def c4_rules(
     text_col: str = "text",
     min_line_words: int = 5,
     min_sentences: int = 3,
+    keep_text: bool = False,
 ) -> DataFrame:
     """C4-style cleaning (Raffel et al. 2020, "Exploring the Limits of
     Transfer Learning…" §2.2 — public paper): LINE-level retention (keep
@@ -256,7 +257,14 @@ def c4_rules(
     Complements :func:`gopher_quality_rules` (statistical gates) with the
     C4 heuristic bundle; the three-sentence-span dedup half of C4 is the
     :mod:`dedup` paragraph/span machinery.  All built-in higher-order
-    array expressions — zero shuffle, a pure mapper at 100 TB."""
+    array expressions — zero shuffle, a pure mapper at 100 TB.
+
+    ``keep_text=True`` keeps the original ``text_col`` in the output so a
+    caller that gates-and-continues can ``filter(c4_pass)`` in place
+    instead of semi-joining the flags back to its input — the join form
+    references the upstream plan twice, which compounds exponentially in
+    composed funnels (the pipeline_incremental 19k-line-plan finding,
+    OPTIMIZATION_r11.md)."""
     c = F.col(text_col)
     lines = F.split(c, "\n")
     kept = F.filter(
@@ -276,10 +284,11 @@ def c4_rules(
         .withColumn("r_no_brace", ~c.contains("{"))
         .withColumn("r_no_lorem", ~F.lower(c).contains("lorem ipsum"))
     )
-    return out.withColumn(
+    out = out.withColumn(
         "c4_pass",
         F.col("r_min_sentences") & F.col("r_no_brace") & F.col("r_no_lorem"),
-    ).drop(text_col)
+    )
+    return out if keep_text else out.drop(text_col)
 
 
 # ---------------------------------------------------------------------------

@@ -1434,3 +1434,47 @@ def test_driver_artifact_entries_leave_no_residue(spark):
         if t.name.startswith(("drv_corpus_art", "drv_append_art"))
     ]
     assert leftover == [], leftover
+
+
+def test_incremental_exact_dedup_window_form(spark, docs):
+    """r11 optimization regression pin: the min-id survivor is now a window
+    filter (one reference of the batch) instead of a groupBy+self-join —
+    rows must equal the join form's on a fixture with corpus hits,
+    within-batch dups, and fresh rows."""
+    base = docs.select("doc_id", "text")
+    corpus = base.filter("doc_id % 3 = 0")
+    batch = (
+        base.filter("doc_id % 3 = 1")                       # fresh
+        .unionByName(corpus.limit(5).select(                # corpus replays
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+        .unionByName(base.filter("doc_id % 3 = 1").limit(7).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"))
+    )
+    out = D.incremental_exact_dedup(batch, corpus)
+    # reference semantics: drop corpus-fingerprint hits, then min-id per fp
+    fp = X.fingerprint("text")
+    fresh = batch.withColumn("__fp", fp).join(
+        corpus.select(fp.alias("__fp")).distinct(), "__fp", "left_anti"
+    )
+    w_min = fresh.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
+    ref = fresh.join(w_min, ["__fp", "doc_id"]).drop("__fp")
+    assert out.exceptAll(ref).count() == 0
+    assert ref.exceptAll(out).count() == 0
+    assert out.columns == ["doc_id", "text"]
+
+
+def test_c4_rules_keep_text_matches_semi_join(spark, docs):
+    """r11 optimization regression pin: funnels gate in place via
+    keep_text=True; the surviving (id, text) set must equal the old
+    flags-semi-join-back-to-input shape."""
+    inline = (
+        X.c4_rules(docs, keep_text=True)
+        .filter(F.col("c4_pass"))
+        .select("doc_id", "text")
+    )
+    flags = X.c4_rules(docs)
+    joined = docs.select("doc_id", "text").join(
+        flags.filter(F.col("c4_pass")).select("doc_id"), "doc_id", "left_semi"
+    )
+    assert inline.exceptAll(joined).count() == 0
+    assert joined.exceptAll(inline).count() == 0
