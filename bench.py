@@ -233,6 +233,42 @@ def _loadavg() -> list[float]:
         return [-1.0, -1.0]
 
 
+def _external_cpu_jiffies() -> int:
+    """Total utime+stime jiffies of every process OUTSIDE this process's
+    tree — the bench's own self-defense signal (VERDICT r11 #7: three
+    consecutive official records carried load-inflated lines that needed
+    post-hoc adjudication).  Unlike the 1-min loadavg, which mixes the
+    bench's own 32-task bursts with external contention, a delta of this
+    counter across a timed query measures EXTERNAL cpu directly.  Returns
+    -1 where /proc is unavailable (non-Linux)."""
+    me = os.getpid()
+    try:
+        pids = [int(p) for p in os.listdir("/proc") if p.isdigit()]
+    except OSError:  # pragma: no cover - non-Linux
+        return -1
+    ppid: dict[int, int] = {}
+    cpu: dict[int, int] = {}
+    for pid in pids:
+        try:
+            with open(f"/proc/{pid}/stat", "rb") as f:
+                raw = f.read()
+        except OSError:  # raced exit
+            continue
+        # comm can contain spaces/parens: split at the LAST ')'
+        rest = raw[raw.rfind(b")") + 2 :].split()
+        ppid[pid] = int(rest[1])  # field 4
+        cpu[pid] = int(rest[11]) + int(rest[12])  # fields 14+15
+    def _mine(pid: int) -> bool:
+        seen = 0
+        while pid > 1 and seen < 64:
+            if pid == me:
+                return True
+            pid = ppid.get(pid, 0)
+            seen += 1
+        return False
+    return sum(j for pid, j in cpu.items() if not _mine(pid))
+
+
 def _format_mask(cpus: list[int]) -> str:
     """Compact range form of a CPU list: [0,1,2,5,7,8] -> '0-2,5,7-8'."""
     runs: list[str] = []
@@ -295,6 +331,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     query_load: dict[str, list[float]] = {}
+    query_extcpu: dict[str, float] = {}
+    queries_rerun: dict[str, dict] = {}
 
     # Ingest throughput — the reference's core capability (file→table bulk
     # load, server.js:530-735, an O(n²/B) offset-paging loop there; one
@@ -328,8 +366,17 @@ def main() -> None:
         external CPU contention (the r2→r1 TPC-H drift was exactly this
         class of noise).  Queries whose best is still >1 s also record the
         load average observed while they ran (query_load in BENCH_FULL) —
-        the expensive lines are exactly the ones load inflation distorts."""
+        the expensive lines are exactly the ones load inflation distorts.
+
+        Load-gated self-defense (VERDICT r11 #7, additions-only): jiffies
+        burned by processes OUTSIDE the bench's own tree are measured
+        across the attempts; a slow query that ran while external work
+        held >2 cores on average gets ONE extra attempt, and both the
+        pre- and post-rerun bests plus the external-core reading land in
+        BENCH_FULL (query_extcpu / queries_rerun) so the record
+        adjudicates itself instead of needing forensic load archaeology."""
         best = float("inf")
+        j0, w0 = _external_cpu_jiffies(), time.time()
         for attempt in range(3):
             if attempt == 2 and best <= 1.0:
                 break
@@ -338,8 +385,26 @@ def main() -> None:
             # force full evaluation; no driver-side materialization
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
+        j1, w1 = _external_cpu_jiffies(), time.time()
+        # jiffies are USER_HZ (100/s); /100/elapsed = external cores busy
+        ext_cores = (
+            (j1 - j0) / 100.0 / max(w1 - w0, 1e-3) if j0 >= 0 and j1 >= 0 else -1.0
+        )
         if best > 1.0:
             query_load[name] = _loadavg()
+            query_extcpu[name] = round(ext_cores, 2)
+            if ext_cores > 2.0:
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                rerun = time.time() - t0
+                queries_rerun[name] = {
+                    "best_pre": round(best, 3),
+                    "rerun": round(rerun, 3),
+                    "ext_cores": round(ext_cores, 2),
+                }
+                best = min(best, rerun)
         return round(best, 3)
 
     for name in BENCH_QUERIES:
@@ -449,6 +514,8 @@ def main() -> None:
         "load_start": load_start,
         "load_end": _loadavg(),
         "query_load": query_load,
+        "query_extcpu": query_extcpu,
+        "queries_rerun": queries_rerun,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # The driver records only the LAST 2000 chars of stdout (BENCH_r3/r4
@@ -479,6 +546,8 @@ def main() -> None:
     line.pop("tpch_recheck")  # in BENCH_FULL.json
     line.pop("pipeline_e2e_stages")  # in BENCH_FULL.json
     line.pop("query_load")  # in BENCH_FULL.json
+    line.pop("query_extcpu")  # in BENCH_FULL.json
+    line.pop("queries_rerun")  # in BENCH_FULL.json
     line.pop("load_end")  # in BENCH_FULL.json; load_start stays in headline
     line["queries"] = {n: timings[n] for n in headline if n in timings}
     line["queries_full"] = "BENCH_FULL.json"

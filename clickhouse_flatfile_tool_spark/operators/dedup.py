@@ -3,7 +3,12 @@ SimHash, and n-gram Jaccard near-dup detection.
 
 Scale design:
   * exact dedup = hash-groupBy on a fingerprint — one shuffle keyed by a
-    16-byte hash, no full-text comparison, no skew (hashes are uniform).
+    16-byte hash, no full-text comparison.  Distinct hashes spread
+    uniformly, but a hot fingerprint (many byte-identical docs, e.g. empty
+    or boilerplate text) is a single key: the groupBy forms keep map-side
+    partial aggregation so it stays cheap; the window-filter form in
+    ``incremental_exact_dedup`` does not (see its docstring for when that
+    matters).
   * MinHash-LSH = shingle → minhash signature → band → bucket-join: candidate
     pairs only ever meet inside a band bucket, so the join is equi-join
     shaped (shuffle on band-hash), never a cross join.
@@ -15,7 +20,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from clickhouse_flatfile_tool_spark.operators.text import fingerprint
@@ -646,10 +651,13 @@ def incremental_exact_dedup(
     # single shuffle on __fp; the self-join form doubles the upstream plan,
     # which compounds exponentially in composed funnels (the
     # pipeline_incremental 19k-line-plan finding, OPTIMIZATION_r11.md §plan
-    # size).
-    from pyspark.sql.window import Window as _W
-
-    w = _W.partitionBy("__fp")
+    # size).  Skew tradeoff vs the groupBy form: the window has no map-side
+    # partial aggregation, so a pathologically hot fingerprint (empty or
+    # boilerplate docs all hashing identically) lands in one window task;
+    # acceptable here because the input is a DAILY BATCH (O(delta), not the
+    # corpus), but if batch duplicate density is extreme, pre-aggregate
+    # min(id) per __fp and broadcast-join instead.
+    w = Window.partitionBy("__fp")
     return (
         fresh.withColumn("__minid", F.min(id_col).over(w))
         .filter(F.col(id_col) == F.col("__minid"))
@@ -1326,8 +1334,12 @@ def positional_shingles(
     a per-index ``slice`` lambda — the naive form re-evaluated the regex
     split per ELEMENT (measured 8× slower at sf0.1)."""
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    tok = df.select(F.col(id_col), words.alias("__w")).where(
-        F.size("__w") >= n
+    # split + n zipped slices + posexplode is heavy map work: spread the
+    # scan before it (§2.5; no-op on many-split inputs at scale)
+    tok = (
+        ensure_parallelism(df.select(id_col, text_col))
+        .select(F.col(id_col), words.alias("__w"))
+        .where(F.size("__w") >= n)
     )
     n_sh = F.size("__w") - F.lit(n - 1)
     slices = [F.slice("__w", k + 1, n_sh) for k in range(n)]
@@ -1488,7 +1500,7 @@ def remove_repeated_spans(
     drop = runs.select(
         id_col, F.explode(F.sequence("start", "end")).alias("pos")
     )
-    toks = df.select(
+    toks = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
             "pos0", "tok"
@@ -1718,7 +1730,7 @@ def paragraph_dedup(
     """
     from pyspark.sql.window import Window
 
-    segs = df.select(
+    segs = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "seg")
     )
     fp = F.md5(F.regexp_replace(F.trim(F.lower(F.col("seg"))), r"\s+", " "))
@@ -1790,7 +1802,15 @@ def winnow_fingerprints(
     else:
         raise ValueError(f"winnow_fingerprints: hash_fn={hash_fn!r}")
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
-    d = df.select(F.col(id_col), F.split(norm, "").alias("__c"))
+    # the gram hashing below is the costliest per-row map work in the
+    # module (one md5/xxhash64 per character position); a single-row-group
+    # parquet input would serialize it all on one scan task (§2.5 input
+    # parallelism — the GEMM/shingle_sets precedent).  Project to the two
+    # needed columns BEFORE the round-robin exchange so only (id, text)
+    # bytes move; no-op at scale (never repartitions down).
+    d = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col), F.split(norm, "").alias("__c")
+    )
     n_gr = F.greatest(F.size("__c") - F.lit(k - 1), F.lit(0))
     g_slices = [
         F.slice(F.col("__c"), i + 1, F.greatest(n_gr, F.lit(1)))

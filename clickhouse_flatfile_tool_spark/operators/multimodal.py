@@ -422,58 +422,64 @@ def synthesize_jpeg_payloads(
     return df.mapInPandas(run, schema)
 
 
+def parse_jpeg_meta_record(b: bytes) -> tuple:
+    """Walk one JPEG marker stream: validate SOI, skip variable-length
+    segments by their declared lengths, find the SOF frame header (any of
+    SOF0/1/2/3) and return ``(width, height, precision, n_components,
+    progressive, n_pixels)``.  Corrupt streams (bad SOI, truncated segment,
+    missing SOF, zero dimensions) raise ``ValueError`` deterministically —
+    module-level so the rejection contract is unit-testable without the
+    Spark boundary (a worker-crash wrapper must never be the only evidence)."""
+    import struct
+
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: bad SOI")
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            raise ValueError(f"marker expected at offset {i}")
+        marker = b[i + 1]
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        (seglen,) = struct.unpack(">H", b[i + 2 : i + 4])
+        if seglen < 2 or i + 2 + seglen > len(b):
+            raise ValueError("truncated segment")
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            precision, height, width, ncomp = struct.unpack(
+                ">BHHB", b[i + 4 : i + 10]
+            )
+            if not width or not height or not ncomp:
+                raise ValueError("degenerate SOF dimensions")
+            if seglen != 8 + 3 * ncomp:
+                raise ValueError("SOF length inconsistent with components")
+            return (
+                width,
+                height,
+                precision,
+                ncomp,
+                marker == 0xC2,
+                width * height,
+            )
+        i += 2 + seglen
+    raise ValueError("no SOF frame header found")
+
+
 def decode_jpeg_meta(
     df: DataFrame, payload_col: str = "payload", keep: list[str] | None = None
 ) -> DataFrame:
-    """REAL binary decode #3 (no stub): walk the JPEG marker stream —
-    validate SOI, skip variable-length segments by their declared lengths,
-    find the SOF frame header (any of SOF0/1/2/3), and parse precision /
-    height / width / component count; SOF2 flags ``progressive``.  Corrupt
-    streams (bad SOI, truncated segment, missing SOF, zero dimensions)
-    raise instead of yielding garbage.  The payload never survives the
-    operator — downstream shuffles carry only the metadata struct."""
-    import struct
-
+    """REAL binary decode #3 (no stub): parse each payload with
+    ``parse_jpeg_meta_record`` (SOI → segment walk → SOF0/1/2/3; SOF2 flags
+    ``progressive``).  Corrupt streams raise instead of yielding garbage.
+    The payload never survives the operator — downstream shuffles carry
+    only the metadata struct."""
     keep = keep or [f.name for f in df.schema.fields if f.name != payload_col]
     out_schema = T.StructType(
         [f for f in df.schema.fields if f.name in keep] + list(JPEG_META.fields)
     )
 
-    def parse(b: bytes) -> tuple:
-        if b[:2] != b"\xff\xd8":
-            raise ValueError("not a JPEG: bad SOI")
-        i = 2
-        while i + 4 <= len(b):
-            if b[i] != 0xFF:
-                raise ValueError(f"marker expected at offset {i}")
-            marker = b[i + 1]
-            if marker == 0xD9:  # EOI before any SOF
-                break
-            (seglen,) = struct.unpack(">H", b[i + 2 : i + 4])
-            if seglen < 2 or i + 2 + seglen > len(b):
-                raise ValueError("truncated segment")
-            if marker in (0xC0, 0xC1, 0xC2, 0xC3):
-                precision, height, width, ncomp = struct.unpack(
-                    ">BHHB", b[i + 4 : i + 10]
-                )
-                if not width or not height or not ncomp:
-                    raise ValueError("degenerate SOF dimensions")
-                if seglen != 8 + 3 * ncomp:
-                    raise ValueError("SOF length inconsistent with components")
-                return (
-                    width,
-                    height,
-                    precision,
-                    ncomp,
-                    marker == 0xC2,
-                    width * height,
-                )
-            i += 2 + seglen
-        raise ValueError("no SOF frame header found")
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            parsed = pdf[payload_col].map(lambda b: parse(bytes(b)))
+            parsed = pdf[payload_col].map(lambda b: parse_jpeg_meta_record(bytes(b)))
             out = pdf[keep].copy()
             for i, (name, dtype) in enumerate(
                 [("width", "int32"), ("height", "int32"), ("precision", "int32"),

@@ -157,11 +157,9 @@ def curation_pipeline(
     # (one reference of s2) — identical rows to the
     # exact_dedup_canonical+semi-join form (ids unique, min-id survivor),
     # one less join per stage subtree
-    from pyspark.sql.window import Window as _W
-
     s3 = _stage(
         s2.withColumn("__fp", dedup.fingerprint(text_col))
-        .withColumn("__minid", F.min(id_col).over(_W.partitionBy("__fp")))
+        .withColumn("__minid", F.min(id_col).over(Window.partitionBy("__fp")))
         .filter(F.col(id_col) == F.col("__minid"))
         .select(id_col, text_col),
         "stage3_exact",

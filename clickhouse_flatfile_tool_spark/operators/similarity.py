@@ -236,35 +236,51 @@ def margin_mined_pairs(
     rn = normalize(right.select(id_col, vec_col), vec_col)
     l4 = _directional_topk(ln, rn, margin_k, id_col, vec_col)
     r4 = _directional_topk(rn, ln, margin_k, id_col, vec_col)
-    l1 = l4.filter(F.col("__rk") == 1).select(
-        F.col("query_id").alias("left_id"),
-        F.col("neighbor_id").alias("right_id"),
-        F.round("__cos", 6).alias("cos_sim"),
-    )
-    r1 = r4.filter(F.col("__rk") == 1).select(
-        F.col("neighbor_id").alias("left_id"),
-        F.col("query_id").alias("right_id"),
-    )
-    pairs = l1.join(r1, ["left_id", "right_id"])
-    l_avg = l4.groupBy("query_id").agg(
-        F.avg(F.round("__cos", 6)).alias("__l_avg")
-    ).withColumnRenamed("query_id", "left_id")
-    r_avg = r4.groupBy("query_id").agg(
-        F.avg(F.round("__cos", 6)).alias("__r_avg")
-    ).withColumnRenamed("query_id", "right_id")
-    return (
-        pairs.join(l_avg, "left_id")
-        .join(r_avg, "right_id")
-        .select(
-            "left_id",
-            "right_id",
-            "cos_sim",
-            F.round(
-                F.col("cos_sim")
-                / ((F.col("__l_avg") + F.col("__r_avg")) / 2),
-                6,
-            ).alias("margin"),
+    # rank-1 neighbor AND the neighborhood average from ONE aggregation
+    # per direction: the old form referenced each top-k frame twice (the
+    # rank-1 filter + the avg groupBy), which planned the GEMM subtree
+    # twice per direction — 4 MapInPandas scans in the plan, with only
+    # AQE exchange reuse standing between them and 4 executions
+    # (plans/r12/margin_pairs_before.txt).  rk==1 is unique per query, so
+    # max(when(rk==1, struct)) recovers exactly the old rank-1 row, and
+    # the groupBy key equals the window's partition key — no new shuffle.
+    l_agg = (
+        l4.groupBy("query_id")
+        .agg(
+            F.max(
+                F.when(F.col("__rk") == 1, F.struct("neighbor_id", "__cos"))
+            ).alias("__top"),
+            F.avg(F.round("__cos", 6)).alias("__l_avg"),
         )
+        .select(
+            F.col("query_id").alias("left_id"),
+            F.col("__top.neighbor_id").alias("right_id"),
+            F.round("__top.__cos", 6).alias("cos_sim"),
+            "__l_avg",
+        )
+    )
+    r_agg = (
+        r4.groupBy("query_id")
+        .agg(
+            F.max(
+                F.when(F.col("__rk") == 1, F.struct("neighbor_id"))
+            ).alias("__top"),
+            F.avg(F.round("__cos", 6)).alias("__r_avg"),
+        )
+        .select(
+            F.col("__top.neighbor_id").alias("left_id"),
+            F.col("query_id").alias("right_id"),
+            "__r_avg",
+        )
+    )
+    return l_agg.join(r_agg, ["left_id", "right_id"]).select(
+        "left_id",
+        "right_id",
+        "cos_sim",
+        F.round(
+            F.col("cos_sim") / ((F.col("__l_avg") + F.col("__r_avg")) / 2),
+            6,
+        ).alias("margin"),
     )
 
 
@@ -989,7 +1005,10 @@ def gram_matrix_long(
             )
 
     out_t = "bigint" if scale is not None else "double"
-    partials = df.select(vec_col).mapInPandas(
+    # one d×d GEMM partial per PARTITION: a single-split input serializes
+    # the whole matrix product on one core (§2.5, the _directional_topk
+    # precedent); no-op on many-split inputs
+    partials = ensure_parallelism(df.select(vec_col)).mapInPandas(
         partial, f"i int, j int, g {out_t}"
     )
     return partials.groupBy("i", "j").agg(F.sum("g").alias("g"))

@@ -61,7 +61,7 @@ def get_spark(
         # 2min is conservative for any heap size; env-tunable per deployment.
         .config(
             "spark.cleaner.periodicGC.interval",
-            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "2min"),
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC") or "2min",
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -6,9 +6,12 @@ bench methodology — noop sink, best-of-N, warm session — and optionally dump
 OPTIMIZATION_r11.md are verifiable offline.
 
 Usage:
-  python scripts/r11_probe.py [--sf DIR] [--n N] [--plans TAG] name [name ...]
+  python scripts/r11_probe.py [--sf DIR] [--n N] [--plans TAG]
+                              [--plans-dir DIR] name [name ...]
 
 Prints one line per query: ``<name> <best_sec> <all_runs>``.
+``--plans-dir`` defaults to ``plans/r11``; later rounds pass ``plans/r12``
+etc. so the same harness serves every optimization round.
 """
 
 from __future__ import annotations
@@ -29,6 +32,7 @@ def main() -> None:
     sf_dir = "/root/testdata/sf0.1"
     n = 3
     plans_tag = None
+    plans_dir = None
     names: list[str] = []
     i = 0
     while i < len(args):
@@ -41,6 +45,9 @@ def main() -> None:
             i += 2
         elif a == "--plans":
             plans_tag = args[i + 1]
+            i += 2
+        elif a == "--plans-dir":
+            plans_dir = args[i + 1]
             i += 2
         else:
             names.append(a)
@@ -59,18 +66,26 @@ def main() -> None:
     registry = entrymod.queries()
 
     def get_q(name):
-        return registry.get(name) or getattr(entrymod, f"q_{name}")
+        fn = registry.get(name) or getattr(entrymod, f"q_{name}", None)
+        if fn is None:
+            sys.exit(
+                f"unknown query {name!r}: not in queries() registry and no "
+                f"q_{name} fallback in __spark_entry__"
+            )
+        return fn
 
     # bench.py warm-up: trivial JVM action + one Arrow action so worker fork
     # and numpy import never land inside a timed run
-    registry["count"](spark, sf_dir).collect()
+    get_q("count")(spark, sf_dir).collect()
     spark.range(64).repartition(32).mapInPandas(
         lambda it: (pdf for pdf in it), "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    plans_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11"
-    )
+    if plans_dir is None:
+        plans_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "plans", "r11",
+        )
     if plans_tag:
         os.makedirs(plans_dir, exist_ok=True)
 

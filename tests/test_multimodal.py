@@ -160,16 +160,24 @@ def test_jpeg_decoder_rejects_corrupt_streams(spark):
     from clickhouse_flatfile_tool_spark.operators import multimodal as M
 
     cases = [
-        b"GIF89a not a jpeg",                      # bad SOI
-        b"\xff\xd8\xff\xe0\x00\x99",               # truncated segment
-        b"\xff\xd8\xff\xd9",                       # no SOF at all
+        (b"GIF89a not a jpeg", "SOI"),             # bad SOI
+        (b"\xff\xd8\xff\xe0\x00\x99", "truncated"),  # truncated segment
+        (b"\xff\xd8\xff\xd9", "SOF"),              # no SOF at all
     ]
-    for payload in cases:
-        bad = spark.createDataFrame(
-            [(1, bytearray(payload))], "doc_id long, payload binary"
-        )
-        with _pytest.raises(Exception, match="SOI|truncated|SOF|PythonException"):
-            M.decode_jpeg_meta(bad, keep=["doc_id"]).collect()
+    # The typed-rejection contract is checked WITHOUT the Spark boundary:
+    # a Python worker dying under memory pressure surfaces as a
+    # Py4JJavaError whose string carries only a Java stacktrace, so a
+    # message-match through collect() can flake (VERDICT r11 #1).
+    for payload, msg in cases:
+        with _pytest.raises(ValueError, match=msg):
+            M.parse_jpeg_meta_record(payload)
+    # Spark-level: the error must propagate out of the job — any raised
+    # exception (PythonException or a worker-crash wrapper) is a rejection.
+    bad = spark.createDataFrame(
+        [(1, bytearray(cases[0][0]))], "doc_id long, payload binary"
+    )
+    with _pytest.raises(Exception):
+        M.decode_jpeg_meta(bad, keep=["doc_id"]).collect()
 
 
 def test_bmp_roundtrip_and_corrupt_rows(spark):

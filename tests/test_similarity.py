@@ -553,6 +553,52 @@ def test_margin_mined_pairs_ranking(spark, emb):
     assert all(r.margin > 0 for r in scored)
 
 
+def test_margin_mined_pairs_single_pass_matches_two_ref_form(spark, emb):
+    """r12 pin: margin_mined_pairs computes rank-1 + neighborhood average
+    in ONE aggregation per direction (each GEMM subtree referenced once).
+    This replays the pre-r12 two-reference form (rank-1 filter joined to
+    a separate avg groupBy) and asserts identical rows."""
+    left = emb.filter("vec_id % 2 = 0")
+    right = emb.filter("vec_id % 2 = 1")
+    got = {tuple(r) for r in S.margin_mined_pairs(left, right, margin_k=4).collect()}
+
+    ln = S.normalize(left.select("vec_id", "embedding"), "embedding")
+    rn = S.normalize(right.select("vec_id", "embedding"), "embedding")
+    l4 = S._directional_topk(ln, rn, 4, "vec_id", "embedding")
+    r4 = S._directional_topk(rn, ln, 4, "vec_id", "embedding")
+    l1 = l4.filter(F.col("__rk") == 1).select(
+        F.col("query_id").alias("left_id"),
+        F.col("neighbor_id").alias("right_id"),
+        F.round("__cos", 6).alias("cos_sim"),
+    )
+    r1 = r4.filter(F.col("__rk") == 1).select(
+        F.col("neighbor_id").alias("left_id"),
+        F.col("query_id").alias("right_id"),
+    )
+    pairs = l1.join(r1, ["left_id", "right_id"])
+    l_avg = l4.groupBy("query_id").agg(
+        F.avg(F.round("__cos", 6)).alias("__l_avg")
+    ).withColumnRenamed("query_id", "left_id")
+    r_avg = r4.groupBy("query_id").agg(
+        F.avg(F.round("__cos", 6)).alias("__r_avg")
+    ).withColumnRenamed("query_id", "right_id")
+    old = {
+        tuple(r)
+        for r in pairs.join(l_avg, "left_id")
+        .join(r_avg, "right_id")
+        .select(
+            "left_id",
+            "right_id",
+            "cos_sim",
+            F.round(
+                F.col("cos_sim") / ((F.col("__l_avg") + F.col("__r_avg")) / 2), 6
+            ).alias("margin"),
+        )
+        .collect()
+    }
+    assert got == old and len(got) > 0
+
+
 def test_embedding_drift_identical_and_opposite(spark):
     """Identical bucket centroids -> cosine 1; negated -> -1; first
     bucket NULL."""
