@@ -1005,10 +1005,13 @@ def gram_matrix_long(
             )
 
     out_t = "bigint" if scale is not None else "double"
-    # one d×d GEMM partial per PARTITION: a single-split input serializes
-    # the whole matrix product on one core (§2.5, the _directional_topk
-    # precedent); no-op on many-split inputs
-    partials = ensure_parallelism(df.select(vec_col)).mapInPandas(
+    # NO ensure_parallelism here (examined r12 and rejected): the partial
+    # is one numpy GEMM per batch — O(d) flops per row, far cheaper than
+    # the per-char hashing paths — and the round-robin exchange cost
+    # measurably exceeds the single-task compute on the fixture
+    # (gram_matrix 0.43→0.90 s interleaved A/B); at scale the input
+    # arrives multi-split anyway
+    partials = df.select(vec_col).mapInPandas(
         partial, f"i int, j int, g {out_t}"
     )
     return partials.groupBy("i", "j").agg(F.sum("g").alias("g"))
